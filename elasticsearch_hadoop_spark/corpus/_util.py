@@ -1,0 +1,46 @@
+"""Shared helpers for corpus queries.
+
+Conventions (FIXTURES.md "Harness conventions"):
+- every query ends with an explicit ORDER BY on a unique key combination;
+- returned doubles are rounded identically on both sides (2 dp for large
+  money sums, 6 dp for ratios/averages) so float-summation-order noise
+  cannot flip the driver's value hash;
+- returned timestamps are formatted to strings (session-timezone-invariant:
+  naive parquet wall-clock -> internal -> same wall-clock string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+# events.ts carries microseconds (observed at sf0.001)
+TS_US_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_US_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism.  The fixture
+    documents/embeddings tables are single small parquet files -> one scan
+    task; CPU-heavy per-row ops (signatures, pairwise verify) would run
+    serially without this.  At 100 TB the scan has thousands of splits and
+    AQE coalesces instead — this is a small-file correction, not a scale
+    crutch (cost: one shuffle of the already-column-pruned rows)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a fixture table.  events.ts is parquet TIMESTAMP(NANOS), which
+    Spark 4 refuses outright [PARQUET_TYPE_ILLEGAL]; read it as nanos-long
+    (legacy conf, runtime-settable) and floor-convert to micros — the exact
+    truncation DuckDB applies, so oracles agree to the microsecond."""
+    df = None
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,319 @@
+"""Dedup corpus: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+near-dup, and stateless stream dedup (driver-mandated extensions).
+
+Every DuckDB oracle below is GENERATED from the same constants the Spark
+implementation uses (operators/dedup.py MINHASH_PERMS / MINHASH_PRIME /
+md5-prefix hashing), so signatures — and therefore LSH candidate sets —
+are bit-for-bit identical on both sides.  That makes even the LSH pipeline
+hash-checkable, not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import spread, tbl
+from elasticsearch_hadoop_spark.operators.dedup import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingle_hashes,
+    shingles,
+    simhash_signature,
+)
+
+# ---- generated SQL fragments (DuckDB dialect) --------------------------------
+_ANALYZE = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> length(t) > 0)"
+_SHINGLES = (
+    "CASE WHEN len({t}) >= 3 THEN list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> concat({t}[i], ' ', {t}[i+1], ' ', {t}[i+2]))) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+_HASH = (
+    "list_transform({s}, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) "
+    f"% {MINHASH_PRIME})"
+)
+_SIG_ITEMS = ", ".join(
+    f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MINHASH_PRIME}))"
+    for a, b in MINHASH_PERMS
+)
+_SIMHASH = " + ".join(
+    "(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {j}) & 1 = 1 "
+    "THEN 1 ELSE -1 END)) > 0 THEN CAST({p} AS BIGINT) ELSE 0 END)".format(j=j, p=1 << j)
+    for j in range(SIMHASH_BITS)
+)
+_JACCARD = (
+    "CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
+    "len(list_distinct(list_concat({a}, {b})))"
+)
+
+_DOC_SHINGLE_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, {_ANALYZE.format(c='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, n_chars, {_SHINGLES.format(t='t')} AS s FROM toks
+), hs AS (
+  SELECT doc_id, n_chars, s, {_HASH.format(s='s')} AS h FROM sh
+)"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id,
+         md5(array_to_string({_ANALYZE.format(c='text')}, ' ')) AS dedup_key
+  FROM documents
+)
+SELECT doc_id, dedup_key,
+       CAST(count(*) OVER (PARTITION BY dedup_key) AS BIGINT) AS group_size,
+       (doc_id = min(doc_id) OVER (PARTITION BY dedup_key)) AS is_keeper
+FROM norm
+ORDER BY doc_id
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text (analyzed tokens re-joined): md5
+    group key, min-id keeper.  One hash shuffle — the 100 TB baseline
+    dedup."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+
+    norm = F.concat_ws(" ", standard_analyze(F.col("text")))
+    out = exact_dedup(d.select("doc_id", "text"), norm, "doc_id")
+    return out.select(
+        "doc_id",
+        "dedup_key",
+        F.col("group_size").cast("bigint").alias("group_size"),
+        "is_keeper",
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+{_DOC_SHINGLE_CTE}
+SELECT doc_id, [{_SIG_ITEMS}] AS sig
+FROM hs
+WHERE len(h) > 0
+ORDER BY doc_id
+""",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """16-permutation MinHash signatures over 3-gram shingles.  The md5-
+    prefix hash + frozen (a,b) constants make the DuckDB oracle reproduce
+    the signature exactly — cross-engine bit-parity for the sketch."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    sh = shingles(F.col("text"))
+    base = d.select("doc_id", shingle_hashes(sh).alias("h")).filter(F.size("h") > 0)
+    return base.select("doc_id", minhash_signature(F.col("h")).alias("sig")).orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+{_DOC_SHINGLE_CTE}, sig AS (
+  SELECT doc_id, s, [{_SIG_ITEMS}] AS sig FROM hs WHERE len(h) > 0
+), bands AS (
+  SELECT doc_id, s, bb.band AS band,
+         array_to_string(list_transform(list_slice(sig, bb.band*4 + 1, bb.band*4 + 4),
+                                        x -> CAST(x AS VARCHAR)), '-') AS key
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round({_JACCARD.format(a='sa.s', b='sb.s')}, 6) AS jaccard
+FROM cand
+JOIN sig sa ON cand.id_a = sa.doc_id
+JOIN sig sb ON cand.id_b = sb.doc_id
+WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (4 bands x 4 rows, Jaccard >= 0.8 verify).
+
+    Scale path: band-bucket self-equi-join — candidates ~= true dups, never
+    O(n^2).  The oracle replays the identical LSH pipeline in SQL, so this
+    is a full hash-match check (collision prob at J=0.8: 1-(1-0.8^4)^4 ~ 0.93;
+    recall vs brute force asserted in tests/test_dedup.py)."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(d, id_col="doc_id", text_col="text").orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+{_DOC_SHINGLE_CTE}
+SELECT doc_id, ({_SIMHASH}) AS simhash
+FROM hs
+WHERE len(h) > 0
+ORDER BY doc_id
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signatures over shingle hashes (sign-of-bit-sums);
+    bit-for-bit oracle parity via the shared md5-prefix hash."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    sh = shingles(F.col("text"))
+    base = d.select("doc_id", shingle_hashes(sh).alias("h")).filter(F.size("h") > 0)
+    return base.select("doc_id", simhash_signature(F.col("h")).alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+{_DOC_SHINGLE_CTE}, sig AS (
+  SELECT doc_id, n_chars, ({_SIMHASH}) AS simhash FROM hs WHERE len(h) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: Hamming distance <= 3 within +-32-char
+    length blocks.  At 100 TB the pair join is replaced by banding the
+    signature bytes (same trick as MinHash-LSH); length blocking keeps the
+    corpus-scale check honest and small."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    sh = shingles(F.col("text"))
+    base = (
+        d.select("doc_id", "n_chars", shingle_hashes(sh).alias("h"))
+        .filter(F.size("h") > 0)
+        .select("doc_id", "n_chars", simhash_signature(F.col("h")).alias("simhash"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 32),
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+{_DOC_SHINGLE_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round({_JACCARD.format(a='a.s', b='b.s')}, 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND {_JACCARD.format(a='a.s', b='b.s')} >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs with length blocking — the
+    brute-force correctness anchor for the LSH path (quadratic within
+    blocks; production uses dedup_minhash_lsh)."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    base = d.select("doc_id", "n_chars", shingles(F.col("text")).alias("s")).filter(
+        F.size("s") > 0
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 32),
+        )
+        .withColumn("jaccard", jaccard(F.col("a.s"), F.col("b.s")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the IVF-style
+    cell: compare only within a coarse partition — at 100 TB the label is
+    a k-means cell id, see operators/similarity.py)."""
+    from elasticsearch_hadoop_spark.functions.similarity import cosine_similarity
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine", cosine_similarity(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_events_first",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY event_id
+""",
+)
+def dedup_events_first(spark, sf_dir):
+    """Keyed keep-first dedup (deterministic dropDuplicates): first event
+    per (user_id, event_type) by time.  The batch twin of streaming
+    dropDuplicates-with-watermark (corpus/streaming_batch.py)."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )

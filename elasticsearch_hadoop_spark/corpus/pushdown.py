@@ -1,0 +1,210 @@
+"""Pushdown-predicate corpus: the reference's §2.B filter algebra, both as
+native Column predicates and through the ES query-DSL compiler
+(elasticsearch_hadoop_spark/query_dsl.py — parity with
+DefaultSource.scala#translateFilter†).
+
+Every predicate here is Catalyst-pushable: `.explain()` shows them in
+PushedFilters on the parquet scan (asserted in tests/test_pushdown.py) —
+the Spark-native equivalent of the reference shipping query DSL to ES.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import tbl
+from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+
+@query(
+    "pushdown_predicates",
+    oracle="""
+SELECT o_orderkey
+FROM orders
+WHERE o_orderstatus = 'O'
+  AND o_totalprice > 100000 AND o_totalprice <= 400000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_custkey IS NOT NULL
+  AND NOT (o_orderkey % 10 = 0)
+ORDER BY o_orderkey
+""",
+)
+def pushdown_predicates(spark, sf_dir):
+    """§2.B algebra as native Columns: EqualTo, range, In, IsNotNull, Not,
+    And — all land in the parquet scan's PushedFilters."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 100000)
+            & (F.col("o_totalprice") <= 400000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_custkey").isNotNull()
+            & ~((F.col("o_orderkey") % 10) == 0)
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "pushdown_string_predicates",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE starts_with(p_brand, 'Brand#1')
+  AND p_type LIKE '%BRASS%'
+  AND p_name LIKE '%a'
+  AND regexp_matches(p_name, '^[a-z]+ ')
+ORDER BY p_partkey
+""",
+)
+def pushdown_string_predicates(spark, sf_dir):
+    """StringStartsWith / Contains / EndsWith / rlike (§2.B string rows)."""
+    p = tbl(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_brand").startswith("Brand#1")
+            & F.col("p_type").contains("BRASS")
+            & F.col("p_name").endswith("a")
+            & F.col("p_name").rlike("^[a-z]+ ")
+        )
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "query_dsl_bool",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_orderstatus = 'F'
+  AND o_totalprice >= 50000 AND o_totalprice < 300000
+  AND (o_orderpriority = '5-LOW' OR o_orderpriority = '4-NOT SPECIFIED')
+  AND NOT o_custkey IN (1, 2, 3)
+ORDER BY o_orderkey
+""",
+)
+def query_dsl_bool(spark, sf_dir):
+    """ES bool query (must/should/must_not + term/terms/range) compiled to
+    a Column predicate by query_dsl.compile_query — the §2.B planner run in
+    reverse (engine-side instead of ES-side)."""
+    dsl = {
+        "bool": {
+            "must": [
+                {"term": {"o_orderstatus": "F"}},
+                {"range": {"o_totalprice": {"gte": 50000, "lt": 300000}}},
+            ],
+            "should": [
+                {"term": {"o_orderpriority": "5-LOW"}},
+                {"term": {"o_orderpriority": "4-NOT SPECIFIED"}},
+            ],
+            "minimum_should_match": 1,
+            "must_not": [{"terms": {"o_custkey": [1, 2, 3]}}],
+        }
+    }
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.filter(compile_query(dsl))
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "query_dsl_match",
+    oracle="""
+WITH analyzed AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents
+)
+SELECT doc_id, lang
+FROM analyzed
+WHERE list_has_any(toks, ['merge', 'window'])
+ORDER BY doc_id
+""",
+)
+def query_dsl_match(spark, sf_dir):
+    """ES `match` (OR operator): tokenized overlap — the documented exact
+    subset of analyzed match (SURVEY.md §2.C semantic-gap note)."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.filter(compile_query({"match": {"text": "merge window"}}))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "query_dsl_match_and_phrase",
+    oracle="""
+WITH analyzed AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       (list_contains(toks, 'merge') AND list_contains(toks, 'sort')) AS match_and,
+       (strpos(concat(' ', array_to_string(toks, ' '), ' '), ' fast key ') > 0) AS has_phrase
+FROM analyzed
+ORDER BY doc_id
+""",
+)
+def query_dsl_match_and_phrase(spark, sf_dir):
+    """match operator=and (token containment) + match_phrase (analyzed
+    adjacency) as boolean columns."""
+    d = tbl(spark, sf_dir, "documents")
+    match_and = compile_query({"match": {"text": {"query": "merge sort", "operator": "and"}}})
+    phrase = compile_query({"match_phrase": {"text": "fast key"}})
+    return d.select(
+        "doc_id", match_and.alias("match_and"), phrase.alias("has_phrase")
+    ).orderBy("doc_id")
+
+
+@query(
+    "query_dsl_wildcard_prefix",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_mktsegment LIKE 'BUIL%'
+   OR regexp_matches(c_name, '^Customer#0.*1.2$')
+ORDER BY c_custkey
+""",
+)
+def query_dsl_wildcard_prefix(spark, sf_dir):
+    """prefix + wildcard clauses (compiled to startswith / anchored rlike)."""
+    d = tbl(spark, sf_dir, "customer")
+    dsl = {
+        "bool": {
+            "should": [
+                {"prefix": {"c_mktsegment": "BUIL"}},
+                {"wildcard": {"c_name": "Customer#0*1?2"}},
+            ]
+        }
+    }
+    return d.filter(compile_query(dsl)).select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+
+
+@query(
+    "query_dsl_uri",
+    oracle="""
+SELECT n_nationkey, n_name
+FROM nation
+WHERE n_name = 'CHINA' OR n_name = 'FRANCE'
+ORDER BY n_nationkey
+""",
+)
+def query_dsl_uri(spark, sf_dir):
+    """`?q=field:value` URI-lite subset (reference: raw es.query URI form,
+    SURVEY.md §2.B last row)."""
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        n.filter(compile_query("n_name:CHINA OR n_name:FRANCE"))
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )

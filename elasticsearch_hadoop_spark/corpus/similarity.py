@@ -1,0 +1,117 @@
+"""Similarity-search corpus: brute-force cosine top-k (exact baseline),
+range search, per-group top-k, and IVF-probed approximate top-k
+(driver-mandated extension, SURVEY.md §2.C).
+
+The query vector is embeddings[vec_id=0] — fetched at plan-build time (a
+one-row lookup, the analogue of embedding the user's query text).  All
+cosine math is double-precision on both sides (fixtures store float32 —
+cast first, or Spark's float accumulation diverges from DuckDB's double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import spread, tbl
+from elasticsearch_hadoop_spark.functions.similarity import cosine_similarity
+from elasticsearch_hadoop_spark.operators.similarity import (
+    assign_ivf_cells,
+    brute_force_topk,
+    ivf_topk,
+    topk_per_group,
+)
+
+_QVEC_SQL = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "similarity_topk_brute",
+    oracle=f"""
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}), 6) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) DESC, vec_id
+LIMIT 10
+""",
+)
+def similarity_topk_brute(spark, sf_dir):
+    """Exact cosine top-10: one scan + TakeOrderedAndProject (per-partition
+    heaps, k-row driver merge — no global sort, 100 TB-safe)."""
+    e = spread(spark, tbl(spark, sf_dir, "embeddings"))
+    out = brute_force_topk(e, _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "similarity_range_search",
+    oracle=f"""
+SELECT vec_id, label,
+       round(list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}), 6) AS cosine
+FROM embeddings
+WHERE list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) >= 0.35
+ORDER BY vec_id
+""",
+)
+def similarity_range_search(spark, sf_dir):
+    """Threshold (range) similarity search: all vectors with cosine >= 0.35."""
+    e = spread(spark, tbl(spark, sf_dir, "embeddings"))
+    q = F.array(*[F.lit(x) for x in _query_vec(spark, sf_dir)]).cast("array<double>")
+    return (
+        e.withColumn("cosine", cosine_similarity(F.col("embedding").cast("array<double>"), q))
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "similarity_topk_per_label",
+    oracle=f"""
+SELECT vec_id, label, round(cosine, 6) AS cosine, rn
+FROM (
+  SELECT vec_id, label,
+         list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) AS cosine,
+         CAST(row_number() OVER (
+             PARTITION BY label
+             ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) DESC, vec_id
+         ) AS BIGINT) AS rn
+  FROM embeddings
+)
+WHERE rn <= 3
+ORDER BY label, rn
+""",
+)
+def similarity_topk_per_label(spark, sf_dir):
+    """Top-3 nearest per label (grouped ANN result diversification)."""
+    e = spread(spark, tbl(spark, sf_dir, "embeddings"))
+    out = topk_per_group(e, _query_vec(spark, sf_dir), group_col="label", k=3)
+    return out.select(
+        "vec_id", "label", F.round("cosine", 6).alias("cosine"), F.col("rn").cast("bigint").alias("rn")
+    ).orderBy("label", "rn")
+
+
+@query("similarity_ivf_topk", oracle=None)
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF-probed approximate top-10 (centroids = first 8 vectors, probe 4
+    cells).  Rows-only check here (cell argmax ties on ~1e-16 cosine
+    differences make a cross-engine hash brittle); recall >= 0.8 vs the
+    brute-force baseline is asserted in tests/test_similarity.py.
+
+    Scale story: with the table written partitionBy(ivf_cell), the probe
+    filter is partition pruning — a 16x fan-in at nprobe=4/64 cells."""
+    e = spread(spark, tbl(spark, sf_dir, "embeddings"))
+    cent_rows = (
+        e.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    with_cells = assign_ivf_cells(e, centroids)
+    return ivf_topk(with_cells, centroids, _query_vec(spark, sf_dir), k=10, nprobe=4).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )

@@ -1,0 +1,168 @@
+"""Text-analysis corpus: analyzer parity + LLM-pipeline text ops
+(tokenization, quality scoring, token counting, language-ID heuristic,
+document fingerprinting — driver-mandated extensions, SURVEY.md §2.C).
+
+All implementations are in functions/text.py as pure Column expressions;
+each query here declares the DuckDB-SQL twin.  At 100 TB these are
+embarrassingly parallel scans — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import spread, tbl
+from elasticsearch_hadoop_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    BPE_ISH_REGEX,
+    doc_fingerprint,
+    lang_id_heuristic,
+    quality_score,
+    standard_analyze,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_whitespace,
+)
+
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+_ANALYZE_SQL = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> length(t) > 0)"
+
+
+@query(
+    "text_tokenize",
+    oracle=f"""
+WITH analyzed AS (
+  SELECT doc_id, {_ANALYZE_SQL.format(c='text')} AS toks, text FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS INT)
+           AS n_bpe_tokens,
+       array_to_string(list_slice(toks, 1, 5), ' ') AS head5
+FROM analyzed
+ORDER BY doc_id
+""",
+)
+def text_tokenize(spark, sf_dir):
+    """Standard-analyzer tokenization + whitespace and BPE-ish token counts
+    (LLM token budgeting)."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    toks = standard_analyze(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            token_count_whitespace("text").alias("n_ws_tokens"),
+            token_count_bpe("text").alias("n_bpe_tokens"),
+            F.concat_ws(" ", F.slice(toks, 1, 5)).alias("head5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+WITH analyzed AS (
+  SELECT doc_id, text, {_ANALYZE_SQL.format(c='text')} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS DOUBLE) AS n_toks,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END AS sw_ratio
+  FROM analyzed
+)
+SELECT doc_id,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0
+             THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / n_chars
+             ELSE 0.0 END, 6) AS alpha_ratio,
+       round(0.3 * (CASE WHEN n_toks >= 10 AND n_toks <= 5000 THEN 1 ELSE 0 END)
+           + 0.2 * (CASE WHEN n_toks > 0 AND n_chars / n_toks BETWEEN 3.0 AND 12.0
+                         THEN 1 ELSE 0 END)
+           + 0.25 * (CASE WHEN sw_ratio BETWEEN 0.05 AND 0.7 THEN 1 ELSE 0 END)
+           + 0.25 * (CASE WHEN n_chars > 0
+                     THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                          / n_chars
+                     ELSE 0.0 END), 6) AS quality
+FROM feat
+ORDER BY doc_id
+""",
+)
+def text_quality(spark, sf_dir):
+    """Heuristic quality scoring: stopword ratio, alphabetic ratio, length
+    bands -> composite score (the classic pre-training corpus filter)."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    toks = standard_analyze(F.col("text"))
+    n_chars = F.length("text").cast("double")
+    alpha = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[^a-z]", "")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select(
+            "doc_id",
+            F.round(stopword_ratio(toks), 6).alias("stopword_ratio"),
+            F.round(alpha, 6).alias("alpha_ratio"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH analyzed AS (
+  SELECT doc_id, lang, {_ANALYZE_SQL.format(c='text')} AS toks FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN len(toks) > 0
+                  AND CAST(len(list_filter(toks, t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+                      / len(toks) >= 0.08
+            THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM analyzed
+ORDER BY doc_id
+""",
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-hit language-ID heuristic vs the fixture's lang label."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            lang_id_heuristic(F.col("text")).alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(i AS BIGINT) * ascii(substr(text, i, 1))) AS weighted
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(weighted) % 2147483647 AS BIGINT) AS fingerprint
+FROM chars
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Positional rolling-hash document fingerprint (order-sensitive,
+    SQL-reproducible)."""
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint")).orderBy("doc_id")

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exact baseline) and an IVF-partitioned variant (the 100 TB path).
+Driver-mandated extension, SURVEY.md §2.C.
+
+Brute force: broadcast the query vector(s), compute cosine as a Column
+expression, TakeOrderedAndProject for top-k — one scan, no shuffle beyond
+the final k-row merge.  Fine for one query over any corpus size; for QxN
+batch search use ivf_topk.
+
+IVF: assign every vector to its nearest centroid (coarse quantizer) once —
+at scale this is a stored partition/cluster column, so a query probes only
+`nprobe` cells (partition pruning on the cell id).  Centroid assignment is
+itself pure Column math (argmin over a broadcast centroid array).  Recall
+vs brute force is asserted in tests/test_similarity.py.
+
+Deterministic centroid choice here: the first k vectors by id (k-means
+iterations would add nothing for parity testing and everything here is
+seeded data); a production build would run k-means|| via
+pyspark.ml.clustering.KMeans on a sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.functions.similarity import cosine_similarity
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector: scan + TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        embeddings.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Attach nearest-centroid (by cosine) cell id — the coarse quantizer.
+    At scale: write the table partitioned/bucketed by this column."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]).cast("array<double>") for c in centroids]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    # argmax over centroid index of cosine(v, centroid_i)
+    scores = F.transform(cent_arr, lambda c: cosine_similarity(v, c))
+    best = F.array_max(scores)
+    return embeddings.withColumn(cell_col, F.array_position(scores, best).cast("int") - 1)
+
+
+def ivf_topk(
+    embeddings_with_cells: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Approximate top-k: rank centroids by cosine to the query, scan only
+    the nprobe nearest cells, exact cosine within them.
+
+    With a cell-partitioned table the `isin(cells)` filter is partition
+    pruning — the scan physically skips (1 - nprobe/ncells) of the data.
+    """
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i))
+    probe_cells = order[:nprobe]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        embeddings_with_cells.filter(F.col(cell_col).isin(probe_cells))
+        .select(
+            F.col(id_col),
+            F.col(cell_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def topk_per_group(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    group_col: str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-similar per group (window row_number idiom)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    scored = embeddings.select(
+        F.col(id_col),
+        F.col(group_col),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

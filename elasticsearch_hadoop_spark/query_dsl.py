@@ -1,0 +1,227 @@
+"""ES query-DSL -> Spark Column compiler.
+
+Parity target: the reference's pushdown planner, which translates Spark
+``sources.Filter`` trees into ES query-DSL JSON
+(spark/sql-20/.../sql/DefaultSource.scala#translateFilter†, SURVEY.md §2.B)
+and composes them with a user-supplied ``es.query``
+(mr/.../rest/query/*QueryBuilder.java†, QueryUtils.parseQueryAndFilters†).
+
+This module runs the translation in the OPPOSITE direction — the target
+engine stores Parquet, so a user's ES-style query must become a Catalyst
+predicate.  Because the result is a plain ``Column``, Catalyst then pushes
+the supported parts down to the Parquet scan exactly like the reference
+pushes them to ES: the pushdown machinery is inherited, not re-implemented.
+
+Supported clauses (the reference's §2.B algebra + the common ES core):
+  term, terms, range (gt/gte/lt/lte), exists, prefix, wildcard, regexp,
+  ids, match (tokenized, OR/AND operator), match_phrase (substring on the
+  analyzed text), match_all, bool (must/filter/should/must_not,
+  minimum_should_match=1), and the ``?q=field:value`` URI-lite subset.
+
+Semantics notes (SURVEY.md §2.C "one real semantic gap"):
+- ``term`` is exact equality (reference `strict` mode).
+- ``match`` tokenizes BOTH sides with the standard analyzer
+  (functions/text.py) and tests token overlap (OR) / containment (AND) —
+  an exact, documented subset of ES's scored match; no `_score` is ever
+  produced.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.functions.text import analyze_tokens
+
+
+class QueryDslError(ValueError):
+    pass
+
+
+def compile_query(query: str | dict[str, Any], id_col: str = "_id") -> Column:
+    """Compile an ES query-DSL JSON (dict or string) to a Column predicate.
+
+    ``id_col`` names the column the ``ids`` clause matches against
+    (the reference exposes ES `_id`; our catalog materializes it on request
+    — SURVEY.md §2.A A8 metadata parity).
+    """
+    if isinstance(query, str):
+        query = query.strip()
+        if not query.startswith("{"):
+            return _compile_uri_query(query)
+        query = json.loads(query)
+    if "query" in query and set(query) == {"query"}:  # full search body
+        query = query["query"]
+    return _compile_clause(query, id_col)
+
+
+def _compile_clause(clause: dict[str, Any], id_col: str) -> Column:
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise QueryDslError(f"expected a single-key query clause, got: {clause!r}")
+    (kind, body), = clause.items()
+    handler = _HANDLERS.get(kind)
+    if handler is None:
+        raise QueryDslError(f"unsupported query clause: {kind}")
+    return handler(body, id_col)
+
+
+def _field_value(body: dict[str, Any]) -> tuple[str, Any]:
+    (field, value), = body.items()
+    if isinstance(value, dict) and "value" in value:  # long form {"value": x}
+        value = value["value"]
+    return field, value
+
+
+def _term(body, id_col):
+    field, value = _field_value(body)
+    return F.col(field) == F.lit(value)
+
+
+def _terms(body, id_col):
+    (field, values), = body.items()
+    return F.col(field).isin(list(values))
+
+
+def _range(body, id_col):
+    (field, bounds), = body.items()
+    col, pred = F.col(field), F.lit(True)
+    ops = {"gt": col.__gt__, "gte": col.__ge__, "lt": col.__lt__, "lte": col.__le__}
+    for op, v in bounds.items():
+        if op in ("format", "time_zone", "boost"):
+            continue
+        if op not in ops:
+            raise QueryDslError(f"unsupported range op: {op}")
+        pred = pred & ops[op](F.lit(v))
+    return pred
+
+
+def _exists(body, id_col):
+    return F.col(body["field"]).isNotNull()
+
+
+def _prefix(body, id_col):
+    field, value = _field_value(body)
+    return F.col(field).startswith(str(value))
+
+
+def _wildcard(body, id_col):
+    field, value = _field_value(body)
+    # ES wildcard: * = any run, ? = any single char; anchor both ends.
+    import re as _re
+
+    pattern = "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch) for ch in str(value)
+    )
+    return F.col(field).rlike(f"^{pattern}$")
+
+
+def _regexp(body, id_col):
+    field, value = _field_value(body)
+    return F.col(field).rlike(f"^(?:{value})$")  # ES regexp is fully anchored
+
+
+def _ids(body, id_col):
+    return F.col(id_col).isin(list(body["values"]))
+
+
+def _match(body, id_col):
+    field, value = _field_value(body)
+    operator = "or"
+    if isinstance(body[next(iter(body))], dict):
+        spec = body[next(iter(body))]
+        value = spec.get("query", value)
+        operator = spec.get("operator", "or").lower()
+    qtokens = F.array_distinct(analyze_tokens(F.lit(str(value))))
+    ftokens = analyze_tokens(F.col(field))
+    if operator == "and":
+        return F.size(F.array_except(qtokens, ftokens)) == 0
+    return F.arrays_overlap(ftokens, qtokens)
+
+
+def _match_phrase(body, id_col):
+    field, value = _field_value(body)
+    if isinstance(value, dict):
+        value = value.get("query")
+    # analyzed-phrase containment: token-joined needle in token-joined haystack
+    needle = F.concat_ws(" ", analyze_tokens(F.lit(str(value))))
+    hay = F.concat_ws(" ", analyze_tokens(F.col(field)))
+    return F.concat(F.lit(" "), hay, F.lit(" ")).contains(F.concat(F.lit(" "), needle, F.lit(" ")))
+
+
+def _match_all(body, id_col):
+    return F.lit(True)
+
+
+def _bool(body, id_col):
+    pred = F.lit(True)
+    for key in ("must", "filter"):
+        for sub in _as_list(body.get(key)):
+            pred = pred & _compile_clause(sub, id_col)
+    for sub in _as_list(body.get("must_not")):
+        pred = pred & ~_compile_clause(sub, id_col)
+    should = _as_list(body.get("should"))
+    if should:
+        any_should = None
+        for sub in should:
+            c = _compile_clause(sub, id_col)
+            any_should = c if any_should is None else (any_should | c)
+        # ES: should is optional when must/filter present UNLESS
+        # minimum_should_match forces it; required when should-only.
+        msm = body.get("minimum_should_match")
+        required = bool(msm) or not (body.get("must") or body.get("filter"))
+        if required:
+            pred = pred & any_should
+    return pred
+
+
+def _as_list(x) -> list:
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+def _compile_uri_query(q: str) -> Column:
+    """`?q=` URI-lite subset: `field:value`, bare `value` unsupported
+    (no _all field in a columnar store), AND/OR of pairs."""
+    import re as _re
+
+    parts = _re.split(r"\s+(AND|OR)\s+", q.strip())
+    pred: Column | None = None
+    op = "AND"
+    for part in parts:
+        if part in ("AND", "OR"):
+            op = part
+            continue
+        if ":" not in part:
+            raise QueryDslError(f"URI query needs field:value pairs, got {part!r}")
+        field, value = part.split(":", 1)
+        value = value.strip().strip('"')
+        clause = F.col(field.strip()) == F.lit(value)
+        if pred is None:
+            pred = clause
+        elif op == "AND":
+            pred = pred & clause
+        else:
+            pred = pred | clause
+    if pred is None:
+        raise QueryDslError("empty URI query")
+    return pred
+
+
+_HANDLERS = {
+    "term": _term,
+    "terms": _terms,
+    "range": _range,
+    "exists": _exists,
+    "prefix": _prefix,
+    "wildcard": _wildcard,
+    "regexp": _regexp,
+    "ids": _ids,
+    "match": _match,
+    "match_phrase": _match_phrase,
+    "match_all": _match_all,
+    "bool": _bool,
+}

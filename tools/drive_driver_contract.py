@@ -1,0 +1,71 @@
+"""Simulate the driver: smoke entry(), then run every queries() entry at
+sf0.01 side-by-side with its oracle_sql() in duckdb, comparing row count,
+sorted-column value hash (rounded doubles), like CORRECTNESS_r{N}.json."""
+import hashlib, json, sys
+sys.path.insert(0, "/root/repo")
+import duckdb
+import __spark_entry__ as e
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.driver.memory", "8g")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# 1. entry() smoke
+df = e.entry(spark)
+rows = df.collect()
+print(f"ENTRY: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+
+# 2. oracle parity at sf0.01
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def canon(rows, cols):
+    cols = sorted(cols)
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = f"{v:.6f}"
+            vals.append(str(v))
+        out.append("|".join(vals))
+    out.sort()
+    return hashlib.sha256("\n".join(out).encode()).hexdigest()[:12]
+
+qs, oracles = e.queries(), e.oracle_sql()
+results = {}
+for name, fn in qs.items():
+    try:
+        sdf = fn(spark, SF)
+        srows = [r.asDict(recursive=True) for r in sdf.collect()]
+        scols = sdf.columns
+        if name in oracles:
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = [dict(zip(ocols, row)) for row in ores.fetchall()]
+            match = (len(srows) == len(orows)
+                     and sorted(scols) == sorted(ocols)
+                     and canon(srows, scols) == canon(orows, ocols))
+            results[name] = ("MATCH" if match else "MISMATCH",
+                             len(srows), len(orows))
+        else:
+            results[name] = ("ROWS_ONLY", len(srows), None)
+    except Exception as ex:
+        results[name] = ("ERROR", str(ex)[:150], None)
+
+bad = 0
+for name, (st, a, b) in sorted(results.items()):
+    flag = "" if st in ("MATCH", "ROWS_ONLY") else " <<<<"
+    if flag:
+        bad += 1
+    print(f"{st:10} {name:35} spark={a} oracle={b}{flag}")
+print(f"\nTOTAL {len(results)} queries, {bad} failing, "
+      f"{sum(1 for v in results.values() if v[0]=='MATCH')} hash-matched, "
+      f"{sum(1 for v in results.values() if v[0]=='ROWS_ONLY')} rows-only")
