@@ -48,3 +48,7 @@ except Exception:  # pragma: no cover - older pyspark without the API
 from elasticsearch_hadoop_spark.session import get_spark, load_tables
 
 __all__ = ["get_spark", "load_tables"]
+
+from elasticsearch_hadoop_spark.catalog import Catalog  # noqa: E402
+
+__all__.append("Catalog")

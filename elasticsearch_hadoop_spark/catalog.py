@@ -1,0 +1,338 @@
+"""The "index" abstraction — reference-parity core (SURVEY.md §7 step 1).
+
+The reference (elasticsearch-hadoop) plumbs Spark to Elasticsearch indices:
+``EsSparkSQL.esDF(name, query)`` reads, ``df.saveToEs(name, cfg)`` writes
+(SURVEY.md §3.1/§3.2; upstream ``spark/sql-20/.../sql/DefaultSource.scala``,
+``mr/.../rest/RestRepository.java`` — path-level citations per SURVEY.md §0).
+Here an *index* is a managed Parquet directory: Spark-native columnar storage
+replaces the document store, and Catalyst replaces the connector's pushdown
+planner (scan A1, projection A2, filter A3 are native; see SURVEY.md §2.A).
+
+Parity map (reference op -> this module):
+
+- A5 bulk sink w/ op types          -> ``write_index(operation=...)``
+  (``index``/``create``/``update``/``upsert``/``delete`` — the ES ``_bulk``
+  op types, ``es.write.operation`` in ConfigurationOptions.java)
+- A6 id/routing extraction          -> ``id_col`` / ``routing_col`` become
+  materialized ``_id`` / ``_routing`` columns (FieldExtractor parity)
+- A7 dynamic index routing          -> ``index_pattern="logs-{field}"`` or
+  ``"{field|date:yyyy-MM-dd}"`` -> ``_index`` column + ``partitionBy``
+  (AbstractIndexExtractor / IndexFormatter parity)
+- A8 schema discovery               -> parquet is self-describing; field
+  include/exclude via ``fields=`` on read (es.read.field.include parity)
+- A10 count                         -> ``count_index`` (``_count`` parity)
+- A11 scripted upsert               -> ``on_match={"col": Column}`` Spark
+  expressions instead of painless scripts (UpdateBulkFactory parity)
+- SaveMode semantics (§3.2 step 1)  -> mode="append"/"overwrite" (truncate
+  parity)/"error"/"ignore"
+- ``_metadata`` column (§1.1)       -> ``read_index(metadata=True)`` adds a
+  MapType(String,String) column with _id/_index (es.read.metadata parity)
+- es.query on read (§2.B)           -> ``query=`` accepts the ES query-DSL
+  JSON subset compiled by ``query_dsl.compile_query``
+
+Scale notes (100 TB):
+- Merge ops (update/upsert/delete/create-conflict-check) are hash joins on
+  ``_id`` — the only shuffle is on the merge key, and the incoming batch is
+  broadcast when small (Spark AQE decides).  The commit is
+  write-new-directory + atomic rename: coarse but correct single-writer
+  semantics.  A production deployment swaps the commit layer for Delta/
+  Iceberg ``MERGE INTO`` (same join shape, finer-grained file rewrite);
+  nothing above the commit changes.
+- ``index_pattern`` routing writes with ``partitionBy(_index)`` -> Hive-style
+  directory layout, so per-index reads are partition-pruned scans.
+- Append never reads existing data: blind parquet append, no shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+_PATTERN_RE = re.compile(r"\{([A-Za-z0-9_.]+)(\|date:([^}]+))?\}")
+
+# Java SimpleDateFormat tokens used by the reference's IndexFormatter are a
+# subset compatible with Spark's date_format patterns (yyyy MM dd HH mm ss).
+VALID_OPERATIONS = ("index", "create", "update", "upsert", "delete")
+VALID_MODES = ("append", "overwrite", "error", "ignore")
+
+
+class IndexExistsError(RuntimeError):
+    """mode="error" target already exists (SaveMode.ErrorIfExists parity)."""
+
+
+class DocumentConflictError(RuntimeError):
+    """operation="create" hit existing _ids (ES 409 version_conflict parity)."""
+
+
+class DocumentMissingError(RuntimeError):
+    """operation="update" for _ids not present (ES 404 on update parity)."""
+
+
+class Catalog:
+    """Managed parquet indices under a root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------------------------------------------------------------- paths
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._meta.json")
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+    def list_indices(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def drop_index(self, name: str) -> None:
+        shutil.rmtree(self.path(name), ignore_errors=True)
+        if os.path.exists(self._meta_path(name)):
+            os.remove(self._meta_path(name))
+
+    def _read_meta(self, name: str) -> dict:
+        try:
+            with open(self._meta_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_meta(self, name: str, meta: dict) -> None:
+        with open(self._meta_path(name), "w") as f:
+            json.dump(meta, f)
+
+    # ---------------------------------------------------------------- write
+    def write_index(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "append",
+        operation: str = "index",
+        id_col: str | None = None,
+        routing_col: str | None = None,
+        index_pattern: str | None = None,
+        on_match: dict[str, Column] | None = None,
+    ) -> None:
+        """Write ``df`` into index ``name`` (saveToEs parity, SURVEY.md §3.2).
+
+        ``operation`` mirrors es.write.operation: ``index`` = last-write-wins
+        on ``_id`` (requires id_col to dedupe within+against the target;
+        without id_col it is a plain append), ``create`` = insert-only
+        (conflict -> DocumentConflictError), ``update`` = change existing
+        only (missing -> DocumentMissingError), ``upsert`` = update-or-
+        insert, ``delete`` = remove matching ``_id``s.  ``on_match`` maps
+        column -> Column expression applied to matched rows (scripted-update
+        parity, A11): expressions see the existing row's columns plus the
+        incoming row's values prefixed ``_new_``.
+        """
+        if mode not in VALID_MODES:
+            raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+        if operation not in VALID_OPERATIONS:
+            raise ValueError(f"operation must be one of {VALID_OPERATIONS}, got {operation!r}")
+        if operation in ("update", "upsert", "delete") and id_col is None:
+            raise ValueError(f"operation={operation!r} requires id_col")
+
+        target = self.path(name)
+        existed = self.exists(name)
+        if existed and mode == "error":
+            raise IndexExistsError(name)
+        if existed and mode == "ignore":
+            return
+
+        out = df
+        if id_col is not None:
+            out = out.withColumn("_id", F.col(id_col).cast("string"))
+        if routing_col is not None:
+            out = out.withColumn("_routing", F.col(routing_col).cast("string"))
+        if index_pattern is not None:
+            out = out.withColumn("_index", format_index_pattern(index_pattern))
+
+        partition_cols = ["_index"] if index_pattern is not None else []
+
+        if mode == "overwrite" or not existed:
+            # truncate-then-write parity; also the create path
+            self._commit(out, name, partition_cols, replace=True)
+        elif operation in ("index", "create", "update", "upsert", "delete"):
+            if id_col is None and operation == "index":
+                # plain append, no identity: blind parquet append, no read
+                writer = out.write.mode("append")
+                if partition_cols:
+                    writer = writer.partitionBy(*partition_cols)
+                writer.parquet(target)
+            else:
+                merged = self._merge(name, out, operation, on_match)
+                self._commit(merged, name, partition_cols, replace=True)
+
+        self._write_meta(
+            name,
+            {
+                "id_col": id_col,
+                "routing_col": routing_col,
+                "index_pattern": index_pattern,
+                "updated_at": time.time(),
+            },
+        )
+
+    def _merge(
+        self,
+        name: str,
+        incoming: DataFrame,
+        operation: str,
+        on_match: dict[str, Column] | None,
+    ) -> DataFrame:
+        """Hash-join merge on _id.  Incoming batch is usually the small side
+        -> AQE broadcasts it; existing data shuffles at most once on _id."""
+        existing = self.spark.read.parquet(self.path(name))
+        # last occurrence wins within the incoming batch (bulk-order parity)
+        w_id = incoming
+        if operation != "delete":
+            w_id = dedupe_last(incoming, "_id")
+
+        if operation == "delete":
+            ids = w_id.select("_id").distinct()
+            return existing.join(ids, on="_id", how="left_anti")
+
+        if operation == "create":
+            conflicts = w_id.join(existing.select("_id"), on="_id", how="left_semi")
+            n = conflicts.limit(1).count()
+            if n:
+                some = [r["_id"] for r in conflicts.select("_id").limit(5).collect()]
+                raise DocumentConflictError(f"create conflicts on _id, e.g. {some}")
+            return existing.unionByName(w_id, allowMissingColumns=True)
+
+        if operation == "update":
+            missing = w_id.join(existing.select("_id"), on="_id", how="left_anti")
+            if missing.limit(1).count():
+                some = [r["_id"] for r in missing.select("_id").limit(5).collect()]
+                raise DocumentMissingError(f"update for missing _id, e.g. {some}")
+
+        # update / upsert
+        if on_match:
+            # scripted update (A11): matched rows = existing row + _new_* cols
+            new_side = w_id.select(
+                F.col("_id"), *[F.col(c).alias(f"_new_{c}") for c in w_id.columns if c != "_id"]
+            )
+            matched = existing.join(new_side, on="_id", how="inner")
+            for col_name, expr in on_match.items():
+                matched = matched.withColumn(col_name, expr)
+            matched = matched.select(existing.columns)
+            untouched = existing.join(w_id.select("_id"), on="_id", how="left_anti")
+            result = untouched.unionByName(matched)
+            if operation == "upsert":
+                inserts = w_id.join(existing.select("_id"), on="_id", how="left_anti")
+                result = result.unionByName(inserts, allowMissingColumns=True)
+            return result
+
+        # whole-document replace (ES index/upsert semantics)
+        untouched = existing.join(w_id.select("_id"), on="_id", how="left_anti")
+        if operation == "update":
+            replacements = w_id.join(existing.select("_id"), on="_id", how="left_semi")
+        else:  # index / upsert: all incoming docs land
+            replacements = w_id
+        return untouched.unionByName(replacements, allowMissingColumns=True)
+
+    def _commit(
+        self, df: DataFrame, name: str, partition_cols: list[str], replace: bool
+    ) -> None:
+        """Write to a temp dir, atomically swap in (single-writer commit).
+        Production swaps this for Delta/Iceberg transactional commit."""
+        target = self.path(name)
+        tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
+        old = None
+        if os.path.exists(target):
+            old = os.path.join(self.root, f".old-{name}-{uuid.uuid4().hex[:8]}")
+            os.rename(target, old)
+        os.rename(tmp, target)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    # ----------------------------------------------------------------- read
+    def read_index(
+        self,
+        name: str,
+        query: str | dict | None = None,
+        fields: list[str] | None = None,
+        exclude_fields: list[str] | None = None,
+        metadata: bool = False,
+    ) -> DataFrame:
+        """esDF parity (SURVEY.md §3.1).  ``query`` is the ES query-DSL JSON
+        subset (compiled to Column predicates -> Catalyst pushes them to the
+        parquet scan); ``fields``/``exclude_fields`` mirror
+        es.read.field.include/exclude (A2/A8); ``metadata=True`` appends the
+        ``_metadata`` map column (es.read.metadata parity, §1.1)."""
+        df = self.spark.read.parquet(self.path(name))
+        if query is not None:
+            df = df.filter(compile_query(query))
+        meta_cols = [c for c in ("_id", "_index", "_routing") if c in df.columns]
+        if metadata and meta_cols:
+            df = df.withColumn(
+                "_metadata",
+                F.create_map(
+                    *[x for c in meta_cols for x in (F.lit(c), F.col(c).cast("string"))]
+                ),
+            )
+        if fields:
+            keep = list(fields) + (["_metadata"] if metadata else [])
+            df = df.select(*[c for c in keep if c in df.columns or c == "_metadata"])
+        elif exclude_fields:
+            df = df.drop(*[c for c in exclude_fields if c in df.columns])
+        if not metadata:
+            df = df.drop(*[c for c in meta_cols if c in df.columns])
+        return df
+
+    def count_index(self, name: str, query: str | dict | None = None) -> int:
+        """_count parity (A10)."""
+        return self.read_index(name, query=query).count()
+
+
+def dedupe_last(df: DataFrame, key: str) -> DataFrame:
+    """Last-write-wins within a batch on ``key`` (ES bulk ordering parity).
+    Uses a monotonically-increasing ordinal as the tiebreak; max_by keeps it
+    a single hash aggregate (no window sort)."""
+    ordered = df.withColumn("_ord", F.monotonically_increasing_id())
+    cols = [c for c in df.columns if c != key]
+    agg = ordered.groupBy(key).agg(
+        *[F.max_by(F.col(c), F.col("_ord")).alias(c) for c in cols]
+    )
+    return agg.select(df.columns)
+
+
+def format_index_pattern(pattern: str) -> Column:
+    """Compile ``"logs-{field}"`` / ``"{field|date:yyyy-MM-dd}"`` into a
+    Column (A7: AbstractIndexExtractor/IndexFormatter parity)."""
+    pieces: list[Column] = []
+    pos = 0
+    for m in _PATTERN_RE.finditer(pattern):
+        if m.start() > pos:
+            pieces.append(F.lit(pattern[pos : m.start()]))
+        field, _, datefmt = m.groups()
+        col = F.col(field)
+        if datefmt:
+            pieces.append(F.date_format(col, datefmt))
+        else:
+            pieces.append(col.cast("string"))
+        pos = m.end()
+    if pos < len(pattern):
+        pieces.append(F.lit(pattern[pos:]))
+    if not pieces:
+        return F.lit(pattern)
+    return F.concat(*pieces) if len(pieces) > 1 else pieces[0]

@@ -1,0 +1,162 @@
+"""Catalog ("index" abstraction) round-trip tests — the reference's own
+itest pattern (write-then-read equality, SURVEY.md §5: AbstractScalaEsSparkSQL
+save-mode / multi-index coverage), re-expressed for the parquet-backed engine."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.catalog import (
+    Catalog,
+    DocumentConflictError,
+    DocumentMissingError,
+    IndexExistsError,
+    dedupe_last,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "indices"))
+
+
+def docs(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+BASE = [
+    {"k": 1, "v": "a", "n": 10},
+    {"k": 2, "v": "b", "n": 20},
+    {"k": 3, "v": "c", "n": 30},
+]
+
+
+def as_dicts(df):
+    return sorted((r.asDict() for r in df.collect()), key=lambda d: d["k"])
+
+
+def test_append_roundtrip(spark, cat):
+    cat.write_index(docs(spark, BASE), "t1")
+    got = as_dicts(cat.read_index("t1"))
+    assert got == BASE
+    # blind append (no id): rows accumulate
+    cat.write_index(docs(spark, BASE[:1]), "t1")
+    assert cat.count_index("t1") == 4
+
+
+def test_save_modes(spark, cat):
+    cat.write_index(docs(spark, BASE), "t2")
+    with pytest.raises(IndexExistsError):
+        cat.write_index(docs(spark, BASE), "t2", mode="error")
+    cat.write_index(docs(spark, BASE[:1]), "t2", mode="ignore")
+    assert cat.count_index("t2") == 3  # ignore: untouched
+    cat.write_index(docs(spark, BASE[:1]), "t2", mode="overwrite")
+    assert cat.count_index("t2") == 1  # truncate parity
+
+
+def test_index_op_last_write_wins(spark, cat):
+    cat.write_index(docs(spark, BASE), "t3", id_col="k")
+    # batch has k=2 twice; last occurrence wins, and it replaces the stored doc
+    batch = docs(
+        spark,
+        [{"k": 2, "v": "first", "n": 0}, {"k": 2, "v": "last", "n": 99}, {"k": 4, "v": "d", "n": 40}],
+    )
+    cat.write_index(batch, "t3", id_col="k", operation="index")
+    got = {d["k"]: d for d in as_dicts(cat.read_index("t3"))}
+    assert got[2]["v"] == "last" and got[2]["n"] == 99
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_create_conflict(spark, cat):
+    cat.write_index(docs(spark, BASE), "t4", id_col="k")
+    with pytest.raises(DocumentConflictError):
+        cat.write_index(docs(spark, BASE[:1]), "t4", id_col="k", operation="create")
+    cat.write_index(docs(spark, [{"k": 9, "v": "z", "n": 90}]), "t4", id_col="k", operation="create")
+    assert cat.count_index("t4") == 4
+
+
+def test_update_and_upsert(spark, cat):
+    cat.write_index(docs(spark, BASE), "t5", id_col="k")
+    with pytest.raises(DocumentMissingError):
+        cat.write_index(
+            docs(spark, [{"k": 7, "v": "x", "n": 0}]), "t5", id_col="k", operation="update"
+        )
+    cat.write_index(
+        docs(spark, [{"k": 1, "v": "A", "n": 11}]), "t5", id_col="k", operation="update"
+    )
+    got = {d["k"]: d for d in as_dicts(cat.read_index("t5"))}
+    assert got[1]["v"] == "A"
+    cat.write_index(
+        docs(spark, [{"k": 7, "v": "x", "n": 70}, {"k": 2, "v": "B", "n": 22}]),
+        "t5",
+        id_col="k",
+        operation="upsert",
+    )
+    got = {d["k"]: d for d in as_dicts(cat.read_index("t5"))}
+    assert set(got) == {1, 2, 3, 7} and got[2]["v"] == "B" and got[7]["n"] == 70
+
+
+def test_scripted_update(spark, cat):
+    """A11 parity: painless `ctx._source.n += params.n` becomes a Column
+    expression over existing + _new_* columns."""
+    cat.write_index(docs(spark, BASE), "t6", id_col="k")
+    cat.write_index(
+        docs(spark, [{"k": 1, "v": "ignored", "n": 5}, {"k": 8, "v": "new", "n": 80}]),
+        "t6",
+        id_col="k",
+        operation="upsert",
+        on_match={"n": F.col("n") + F.col("_new_n")},
+    )
+    got = {d["k"]: d for d in as_dicts(cat.read_index("t6"))}
+    assert got[1]["n"] == 15  # 10 + 5, v untouched by script
+    assert got[1]["v"] == "a"
+    assert got[8]["n"] == 80  # insert branch takes the new doc wholesale
+
+
+def test_delete(spark, cat):
+    cat.write_index(docs(spark, BASE), "t7", id_col="k")
+    cat.write_index(docs(spark, BASE[:2]), "t7", id_col="k", operation="delete")
+    assert [d["k"] for d in as_dicts(cat.read_index("t7"))] == [3]
+
+
+def test_index_pattern_routing(spark, cat):
+    """A7: dynamic index routing -> hive partitions, partition-prunable."""
+    rows = [
+        {"k": 1, "typ": "click", "ts": "2024-03-01 10:00:00"},
+        {"k": 2, "typ": "view", "ts": "2024-03-02 11:00:00"},
+        {"k": 3, "typ": "click", "ts": "2024-03-02 12:00:00"},
+    ]
+    df = docs(spark, rows).withColumn("ts", F.to_timestamp("ts"))
+    cat.write_index(df, "ev", id_col="k", index_pattern="ev-{typ}-{ts|date:yyyy.MM.dd}")
+    parts = {d for d in os.listdir(cat.path("ev")) if d.startswith("_index=")}
+    assert parts == {
+        "_index=ev-click-2024.03.01",
+        "_index=ev-view-2024.03.02",
+        "_index=ev-click-2024.03.02",
+    }
+    got = cat.read_index("ev", metadata=True)
+    m = {r["k"]: r["_metadata"] for r in got.collect()}
+    assert m[1]["_index"] == "ev-click-2024.03.01" and m[1]["_id"] == "1"
+
+
+def test_read_query_fields_metadata(spark, cat):
+    cat.write_index(docs(spark, BASE), "t8", id_col="k")
+    got = cat.read_index("t8", query={"range": {"n": {"gte": 20}}}, fields=["k", "n"])
+    assert got.columns == ["k", "n"]
+    assert sorted(r["k"] for r in got.collect()) == [2, 3]
+    # no metadata requested -> internal columns hidden
+    assert "_id" not in cat.read_index("t8").columns
+    assert cat.count_index("t8", query={"term": {"v": "a"}}) == 1
+
+
+def test_dedupe_last_order(spark):
+    df = docs(
+        spark,
+        [{"k": 1, "v": "x", "n": 1}, {"k": 1, "v": "y", "n": 2}, {"k": 2, "v": "z", "n": 3}],
+    ).withColumn("_id", F.col("k").cast("string"))
+    out = {r["_id"]: r["v"] for r in dedupe_last(df, "_id").collect()}
+    assert out == {"1": "y", "2": "z"}
