@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalar_functions,
         similarity,
         streaming_batch,
+        streaming_live,
         text_analysis,
         windows,
     )
