@@ -42,13 +42,16 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         dedup,
         joins,
+        lateral_ops,
         multimodal,
         pushdown,
         scalar_functions,
         similarity,
         streaming_batch,
         streaming_live,
+        subqueries,
         text_analysis,
+        tpch_more,
         windows,
     )
 
