@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         subqueries,
         text_analysis,
         tpch_more,
+        udf_surface,
         windows,
     )
 

@@ -212,17 +212,28 @@ def agg_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (ES `percentiles` agg analogue).
 
     Spark `percentile` == DuckDB `quantile_cont` (linear interpolation).
-    At 100 TB use percentile_approx (t-digest-style sketch) — declared
-    separately rows-only.
+    The three quantity percentiles go through ONE array-argument
+    percentile agg (one sort of the group's values instead of three —
+    the per-group buffers are the cost driver at scale). At 100 TB use
+    percentile_approx (t-digest-style sketch) — declared separately
+    rows-only.
     """
     li = tbl(spark, sf_dir, "lineitem")
+    qty_ps = F.percentile(
+        "l_quantity", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("qty_p25"),
-            F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("qty_p50"),
-            F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("qty_p75"),
+            qty_ps.alias("qty_ps"),
             F.round(F.percentile("l_extendedprice", F.lit(0.90)), 6).alias("price_p90"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("qty_ps")[0], 6).alias("qty_p25"),
+            F.round(F.col("qty_ps")[1], 6).alias("qty_p50"),
+            F.round(F.col("qty_ps")[2], 6).alias("qty_p75"),
+            "price_p90",
         )
         .orderBy("l_returnflag")
     )

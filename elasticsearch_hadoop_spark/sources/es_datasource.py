@@ -1,0 +1,513 @@
+"""`esdocs` — a Spark 4 Python Data Source replicating the reference
+connector's scan/sink surface (SURVEY.md §1.3 "target equivalent": PySpark
+DataSource V2-style reader implemented in Python via
+``spark.dataSource.register``).
+
+Reference parity map (path citations per SURVEY.md §0 — upstream layout):
+
+- **A1 partitioned scan** — one ``InputPartition`` per NDJSON file: a file
+  is the engine's shard analogue (upstream: one Spark partition per ES
+  shard, ``mr/.../rest/RestService.java#findPartitions``,
+  ``PartitionDefinition.java``).
+- **A2 projection pushdown** — ``fields`` option + the column-pruned schema
+  Spark hands to ``reader()`` (upstream ``DefaultSource.scala#buildScan``
+  ``requiredColumns`` → ``_source`` filtering).
+- **A3 filter pushdown** — ``pushFilters`` receives exactly the Spark
+  ``Filter`` algebra the reference compiles to ES query DSL
+  (``DefaultSource.scala#translateFilter``: EqualTo/In/range/IsNull/
+  StringStartsWith/EndsWith/Contains/Not); we evaluate the accepted subset
+  per-document in the reader. The ``query`` option carries a user ES
+  query-DSL JSON, composed AND-wise with pushed filters — the analogue of
+  ``QueryUtils.parseQueryAndFilters``.
+- **A4 deserializer** — per-doc JSON → typed tuples per the §1.2 ES→Spark
+  type table (dates accept ISO-8601 or epoch millis, ``ScrollReader``/
+  ``DateUtils`` leniency; binary is base64). Scalar-or-array leniency: a
+  scalar arriving where the mapping says array is wrapped, mirroring ES's
+  "any field may be multi-valued".
+- **A5/A6 bulk sink** — the writer emits *bulk-format* NDJSON: an action
+  line (``{"index": {"_id": ...}}``) then the source line — the wire format
+  ``BulkProcessor``/``AbstractBulkFactory`` build. ``write.operation``
+  index/create/update/delete (``IndexBulkFactory`` et al.); ``mapping.id``/
+  ``mapping.routing`` header extractors (``FieldExtractor``); ``delete``
+  emits the action line only.
+- **metadata column** — ``read.metadata=true`` adds a ``_metadata``
+  map<string,string> column (``es.read.metadata``, ScrollReader metadata).
+
+Scale notes: this source is the *API-parity* path and is row-at-a-time
+Python — exactly as row-at-a-time as the reference's own JSON scroll reader.
+The 100 TB path for the same data is ``read_json_docs`` (Spark's native JVM
+JSON reader, json_docs.py) or Parquet via the Catalog; this source is for
+bulk-file interchange and keeps per-file streaming (never materializes a
+file in memory: line-iterator in, incremental write out).
+"""
+
+from __future__ import annotations
+
+import base64
+import fnmatch
+import json
+import os
+import re
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any, Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+
+from elasticsearch_hadoop_spark.sources.json_docs import mapping_to_struct
+
+METADATA_COL = "_metadata"
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+# --------------------------------------------------------------------------
+# doc-level value coercion (A4)
+# --------------------------------------------------------------------------
+
+
+def _parse_ts(v: Any) -> datetime | None:
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):  # epoch millis (DateUtils parity)
+        return datetime.fromtimestamp(v / 1000.0, tz=timezone.utc).replace(tzinfo=None)
+    s = str(v).replace("T", " ").replace("Z", "")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def _coerce(v: Any, dt: T.DataType) -> Any:
+    if v is None:
+        return None
+    if isinstance(dt, T.ArrayType):
+        vals = v if isinstance(v, list) else [v]  # scalar-or-array leniency
+        return [_coerce(x, dt.elementType) for x in vals]
+    if isinstance(v, list):  # multi-value where mapping says scalar: first wins
+        v = v[0] if v else None
+        if v is None:
+            return None
+    if isinstance(dt, T.StructType):
+        if not isinstance(v, dict):
+            return None
+        return tuple(_coerce(v.get(f.name), f.dataType) for f in dt.fields)
+    if isinstance(dt, T.MapType):
+        if not isinstance(v, dict):
+            return None
+        return {str(k): _coerce(x, dt.valueType) for k, x in v.items()}
+    if isinstance(dt, T.TimestampType):
+        return _parse_ts(v)
+    if isinstance(dt, T.BinaryType):
+        return base64.b64decode(v) if isinstance(v, str) else bytes(v)
+    if isinstance(dt, T.BooleanType):
+        return bool(v)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dt, T.StringType):
+        return v if isinstance(v, str) else json.dumps(v)
+    return v
+
+
+# --------------------------------------------------------------------------
+# doc-level query-DSL evaluation (A3 + es.query passthrough)
+# --------------------------------------------------------------------------
+
+
+def _doc_get(doc: dict, path: str) -> Any:
+    cur: Any = doc
+    for part in path.split("."):
+        if not isinstance(cur, dict):
+            return None
+        cur = cur.get(part)
+    return cur
+
+
+def _tokens(s: Any) -> set[str]:
+    return {t for t in _TOKEN_RE.split(str(s).lower()) if t}
+
+
+def _cmp_key(v: Any) -> Any:
+    ts = _parse_ts(v) if isinstance(v, str) and re.match(r"\d{4}-\d{2}-\d{2}", v) else None
+    return ts if ts is not None else v
+
+
+def match_doc(doc: dict, query: dict) -> bool:
+    """Evaluate the supported ES query-DSL subset against one parsed doc.
+    Same subset query_dsl.compile_query accepts (term/terms/range/exists/
+    prefix/wildcard/regexp/ids/match/match_phrase/match_all/bool)."""
+    if not query:
+        return True
+    (kind, body), *rest = query.items()
+    if rest:
+        raise ValueError(f"query clause must have one key, got {list(query)}")
+    if kind == "match_all":
+        return True
+    if kind == "bool":
+        must = [match_doc(doc, q) for q in _aslist(body.get("must"))]
+        filt = [match_doc(doc, q) for q in _aslist(body.get("filter"))]
+        must_not = [match_doc(doc, q) for q in _aslist(body.get("must_not"))]
+        should = [match_doc(doc, q) for q in _aslist(body.get("should"))]
+        ok = all(must) and all(filt) and not any(must_not)
+        if should and not (must or filt):
+            ok = ok and any(should)
+        return ok
+    if kind == "ids":
+        return str(doc.get("_id")) in {str(x) for x in body.get("values", [])}
+    field, value = next(iter(body.items()))
+    if isinstance(value, dict) and "value" in value:
+        value = value["value"]
+    dv = _doc_get(doc, field)
+    if kind == "term":
+        return dv == value or str(dv) == str(value)
+    if kind == "terms":
+        return dv in value or str(dv) in {str(x) for x in value}
+    if kind == "exists":
+        return _doc_get(doc, body["field"]) is not None
+    if kind == "range":
+        if dv is None:
+            return False
+        k = _cmp_key(dv)
+        for op, bound in value.items():
+            b = _cmp_key(bound)
+            if op == "gt" and not k > b:
+                return False
+            if op == "gte" and not k >= b:
+                return False
+            if op == "lt" and not k < b:
+                return False
+            if op == "lte" and not k <= b:
+                return False
+        return True
+    if kind == "prefix":
+        return dv is not None and str(dv).startswith(str(value))
+    if kind == "wildcard":
+        return dv is not None and fnmatch.fnmatchcase(str(dv), str(value))
+    if kind == "regexp":
+        return dv is not None and re.fullmatch(str(value), str(dv)) is not None
+    if kind == "match":
+        return bool(_tokens(dv) & _tokens(value)) if dv is not None else False
+    if kind == "match_phrase":
+        return dv is not None and str(value).lower() in str(dv).lower()
+    raise ValueError(f"unsupported query clause: {kind}")
+
+
+def _aslist(x: Any) -> list:
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+# --------------------------------------------------------------------------
+# pushed-filter evaluation (the §2.B algebra, reference translateFilter)
+# --------------------------------------------------------------------------
+
+
+def _filter_ok(doc: dict, f: Filter) -> bool:
+    if isinstance(f, Not):
+        return not _filter_ok(doc, f.child)
+    col = ".".join(f.attribute)
+    v = _doc_get(doc, col)
+    if isinstance(f, IsNull):
+        return v is None
+    if isinstance(f, IsNotNull):
+        return v is not None
+    if v is None:
+        return False
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        return _cmp_key(v) == _norm(f.value)
+    if isinstance(f, In):
+        return _cmp_key(v) in {_norm(x) for x in f.value}
+    if isinstance(f, GreaterThan):
+        return _cmp_key(v) > _norm(f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return _cmp_key(v) >= _norm(f.value)
+    if isinstance(f, LessThan):
+        return _cmp_key(v) < _norm(f.value)
+    if isinstance(f, LessThanOrEqual):
+        return _cmp_key(v) <= _norm(f.value)
+    if isinstance(f, StringStartsWith):
+        return str(v).startswith(f.value)
+    if isinstance(f, StringEndsWith):
+        return str(v).endswith(f.value)
+    if isinstance(f, StringContains):
+        return f.value in str(v)
+    raise AssertionError(f"accepted unsupported filter {f}")
+
+
+def _norm(v: Any) -> Any:
+    return _cmp_key(v.isoformat(sep=" ")) if isinstance(v, datetime) else _cmp_key(v)
+
+
+_SUPPORTED_FILTERS = (
+    EqualTo,
+    EqualNullSafe,
+    In,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    IsNull,
+    IsNotNull,
+    StringStartsWith,
+    StringEndsWith,
+    StringContains,
+)
+
+
+def _attr(f: Filter) -> tuple[str, ...]:
+    return _attr(f.child) if isinstance(f, Not) else f.attribute
+
+
+def _supportable(f: Filter) -> bool:
+    if isinstance(f, Not):
+        return _supportable(f.child)
+    return isinstance(f, _SUPPORTED_FILTERS) and len(f.attribute) == 1
+
+
+# --------------------------------------------------------------------------
+# the data source
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class EsDocsReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self.schema = schema
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("esdocs: 'path' is required")
+        self.query = json.loads(options["query"]) if options.get("query") else None
+        self.with_meta = str(options.get("read.metadata", "false")).lower() == "true"
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """A3: accept the reference's §2.B algebra; everything else is
+        returned for Spark to evaluate post-scan (same split as upstream —
+        arbitrary expressions never reach the source). Reset accumulated
+        state first: Spark may re-plan different queries against the same
+        reader instance, and stale filters must not leak between plans."""
+        self.pushed = []
+        for f in filters:
+            if _supportable(f) and _attr(f)[0] != METADATA_COL:
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def partitions(self) -> list[_FilePartition]:
+        """A1: one partition per bulk file (the shard analogue)."""
+        if os.path.isfile(self.path):
+            return [_FilePartition(self.path)]
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith((".json", ".ndjson")) and not f.startswith(("_", "."))
+        )
+        if not files:
+            raise FileNotFoundError(f"esdocs: no .json/.ndjson files under {self.path}")
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        fields = [f for f in self.schema.fields if f.name != METADATA_COL]
+        fname = os.path.basename(partition.path)
+        with open(partition.path, encoding="utf-8") as fh:
+            for lineno, line in enumerate(fh):
+                line = line.strip()
+                if not line:
+                    continue
+                doc = json.loads(line)
+                if doc and next(iter(doc)) in ("index", "create", "update", "delete"):
+                    continue  # bulk action line (our own sink's output)
+                if self.query and not match_doc(doc, self.query):
+                    continue
+                if not all(_filter_ok(doc, f) for f in self.pushed):
+                    continue
+                row = tuple(_coerce(doc.get(f.name), f.dataType) for f in fields)
+                if self.with_meta:
+                    meta = {
+                        "_id": str(doc.get("_id", f"{fname}#{lineno}")),
+                        "_index": self.options.get("index", fname.rsplit(".", 1)[0]),
+                    }
+                    row = row + (meta,)
+                yield row
+
+
+@dataclass
+class _WriteDone(WriterCommitMessage):
+    path: str
+
+
+class EsDocsWriter(DataSourceWriter):
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool) -> None:
+        self.schema = schema
+        self.options = options
+        self.overwrite = overwrite
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("esdocs: 'path' is required")
+        self.operation = options.get("write.operation", "index")
+        if self.operation not in ("index", "create", "update", "delete"):
+            raise ValueError(f"esdocs: bad write.operation {self.operation!r}")
+        self.id_field = options.get("mapping.id")
+        self.routing_field = options.get("mapping.routing")
+
+    def write(self, rows: Iterator) -> _WriteDone:
+        """A5/A6: serialize rows to bulk-format NDJSON. One output file per
+        task = no shuffle, mirroring EsRDDWriter's 1 task : 1 partition."""
+        os.makedirs(self.path, exist_ok=True)
+        out_path = os.path.join(self.path, f"part-{uuid.uuid4().hex}.ndjson.tmp")
+        names = self.schema.fieldNames()
+        with open(out_path, "w", encoding="utf-8") as out:
+            for row in rows:
+                doc = {n: _jsonable(v) for n, v in zip(names, row)}
+                action: dict[str, Any] = {}
+                if self.id_field is not None:
+                    action["_id"] = doc.get(self.id_field)
+                if self.routing_field is not None:
+                    action["routing"] = doc.get(self.routing_field)
+                out.write(json.dumps({self.operation: action}, default=str) + "\n")
+                if self.operation == "update":
+                    out.write(json.dumps({"doc": doc}, default=str) + "\n")
+                elif self.operation != "delete":
+                    out.write(json.dumps(doc, default=str) + "\n")
+        return _WriteDone(out_path)
+
+    def commit(self, messages: list[_WriteDone]) -> None:
+        """Driver-side finalize: publish task files, drop stale data on
+        overwrite (SaveMode.Overwrite = truncate-then-write, upstream
+        RestRepository delete). Rename-on-commit keeps failed tasks' temp
+        files out of the dataset (the job-level atomicity the reference
+        gets from its per-batch bulk error handling)."""
+        keep = set()
+        for m in messages:
+            final = m.path[: -len(".tmp")]
+            os.replace(m.path, final)
+            keep.add(os.path.basename(final))
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".ndjson") and f not in keep:
+                    os.remove(os.path.join(self.path, f))
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as fh:
+            fh.write("")
+
+    def abort(self, messages: list[_WriteDone]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def _jsonable(v: Any) -> Any:
+    if isinstance(v, bytes):
+        return base64.b64encode(v).decode("ascii")
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if hasattr(v, "asDict"):  # Row
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
+class EsDocsDataSource(DataSource):
+    """format("esdocs") — see module docstring. Register with
+    ``spark.dataSource.register(EsDocsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "esdocs"
+
+    def schema(self) -> T.StructType:
+        mapping = self.options.get("mapping")
+        if not mapping:
+            raise ValueError(
+                "esdocs: 'mapping' option (ES _mapping JSON) is required for reads; "
+                "for writes the DataFrame schema is used"
+            )
+        include = self.options.get("fields")
+        struct = mapping_to_struct(
+            json.loads(mapping),
+            array_include=self.options.get("field.as.array.include"),
+            map_include=self.options.get("field.as.map.include"),
+        )
+        if include:
+            wanted = [c.strip() for c in include.split(",")]
+            struct = T.StructType([f for f in struct.fields if f.name in wanted])
+        if str(self.options.get("read.metadata", "false")).lower() == "true":
+            struct = struct.add(METADATA_COL, T.MapType(T.StringType(), T.StringType()))
+        return struct
+
+    def reader(self, schema: T.StructType) -> EsDocsReader:
+        return EsDocsReader(schema, dict(self.options))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> EsDocsWriter:
+        return EsDocsWriter(schema, dict(self.options), overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(EsDocsDataSource)
+
+
+# --------------------------------------------------------------------------
+# veneer: always build a FRESH relation per call.
+#
+# Observed sharp edge (Spark 4.1, local repro in tests/test_es_datasource.py
+# history): after running a *filtered* action on a Python-data-source
+# DataFrame, re-running an action on the SAME DataFrame object reuses the
+# filter-pushed scan (an unfiltered .count() on it returns the filtered
+# count). A freshly loaded DataFrame is always correct. Until that is fixed
+# upstream, load per query — these helpers do exactly that, and our own code
+# never reuses an esdocs DataFrame across differently-filtered actions.
+# --------------------------------------------------------------------------
+
+
+def read_docs(spark, path: str, mapping: str | dict, **options):
+    """Fresh ``format("esdocs")`` read. ``mapping`` is the ES _mapping JSON
+    (dict or string); extra options pass through (query, fields,
+    read.metadata, field.as.array.include, ...)."""
+    if not isinstance(mapping, str):
+        mapping = json.dumps(mapping)
+    r = spark.read.format("esdocs").option("path", path).option("mapping", mapping)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def write_docs(df, path: str, mode: str = "append", **options) -> None:
+    """Bulk-format NDJSON sink (A5/A6). Options: write.operation,
+    mapping.id, mapping.routing."""
+    w = df.write.format("esdocs").option("path", path).mode(mode)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()
