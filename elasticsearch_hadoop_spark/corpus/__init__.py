@@ -41,6 +41,7 @@ def load_all() -> dict[str, QuerySpec]:
     from elasticsearch_hadoop_spark.corpus import (  # noqa: F401
         aggregates,
         dedup,
+        geo,
         joins,
         lateral_ops,
         multimodal,

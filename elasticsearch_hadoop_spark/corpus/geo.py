@@ -1,0 +1,117 @@
+"""Geo corpus: ES geo_distance / geo_bounding_box query analogues over
+geo_point-shaped struct(lat, lon) columns (SURVEY.md §1.2 geo_point row;
+the reference passes these DSL clauses through in `es.query` — here they
+compile to native Column predicates via query_dsl.compile_query).
+
+The fixtures carry no coordinates, so both sides derive deterministic
+lat/lon from c_custkey with identical integer arithmetic — the oracle
+recomputes the same haversine formula in SQL, so the hash gate covers the
+trig itself (JVM vs DuckDB agree well inside the 6-dp canonicalization;
+results are pre-rounded to 3 dp for margin).
+
+Scale: both predicates are pure codegen expressions; the bounding-box
+prefilter inside geo_distance_filter is sargable (pushable to parquet
+row-group stats when lat/lon are physical columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import tbl
+from elasticsearch_hadoop_spark.functions.geo import haversine_km
+from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+# identical derivation on both sides: lat in [-89.5, 89.5], lon in [-179.5, 179.5].
+# CAST to DOUBLE: DuckDB types `bigint - 89.5` as DECIMAL, and the driver's
+# canonicalizer float-formats only true doubles — a DECIMAL 10.5 would hash
+# as "10.5" against Spark's "10.500000".
+_LAT_SQL = "CAST((c_custkey % 180) - 89.5 AS DOUBLE)"
+_LON_SQL = "CAST(((c_custkey * 7) % 360) - 179.5 AS DOUBLE)"
+
+_DUCK_HAVERSINE = """
+round(2 * 6371.0088 * asin(sqrt(
+    pow(sin((radians(20.0) - radians(lat)) / 2), 2)
+    + cos(radians(lat)) * cos(radians(20.0))
+      * pow(sin((radians(30.0) - radians(lon)) / 2), 2)
+)), 3)
+""".strip()
+
+
+def _with_coords(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+        (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+    )
+
+
+@query(
+    "geo_distance_search",
+    oracle=f"""
+WITH pts AS (SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)
+SELECT c_custkey, {_DUCK_HAVERSINE} AS dist_km
+FROM pts
+WHERE {_DUCK_HAVERSINE} <= 3000.0
+ORDER BY c_custkey
+""",
+)
+def geo_distance_search(spark, sf_dir):
+    """geo_distance DSL clause → bounding-box prefilter AND exact
+    haversine, both codegen; distance returned for the hash gate."""
+    pts = _with_coords(spark, sf_dir).withColumn(
+        "loc", F.struct(F.col("lat"), F.col("lon"))
+    )
+    pred = compile_query(
+        {"geo_distance": {"distance": "3000km", "loc": {"lat": 20.0, "lon": 30.0}}}
+    )
+    return (
+        pts.filter(pred)
+        .select(
+            "c_custkey",
+            F.round(
+                haversine_km(F.col("lat"), F.col("lon"), F.lit(20.0), F.lit(30.0)), 3
+            ).alias("dist_km"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "geo_bounding_box_search",
+    oracle=f"""
+WITH pts AS (SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)
+SELECT c_custkey, round(lat, 1) AS lat, round(lon, 1) AS lon
+FROM pts
+WHERE lat BETWEEN -10.0 AND 45.0
+  AND (lon >= 150.0 OR lon <= -120.0)
+ORDER BY c_custkey
+""",
+)
+def geo_bounding_box_search(spark, sf_dir):
+    """geo_bounding_box DSL clause, antimeridian-crossing box (left 150 >
+    right -120 wraps, ES semantics)."""
+    pts = _with_coords(spark, sf_dir).withColumn(
+        "loc", F.struct(F.col("lat"), F.col("lon"))
+    )
+    pred = compile_query(
+        {
+            "geo_bounding_box": {
+                "loc": {
+                    "top_left": {"lat": 45.0, "lon": 150.0},
+                    "bottom_right": {"lat": -10.0, "lon": -120.0},
+                }
+            }
+        }
+    )
+    return (
+        pts.filter(pred)
+        .select(
+            "c_custkey",
+            F.round("lat", 1).alias("lat"),
+            F.round("lon", 1).alias("lon"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1,0 +1,77 @@
+"""Geo functions: the engine-side analogues of ES geo queries over
+``geo_point`` columns (SURVEY.md §1.2 maps ``geo_point`` →
+``StructType(lat, lon)``; upstream geo handling in
+``spark/sql-20/.../sql/SchemaUtils.scala`` geo detection and the
+``geo_distance``/``geo_bounding_box``/``geo_polygon`` query DSL the
+reference passes through in ``es.query``).
+
+All pure Column expressions (whole-stage codegen; no UDF): haversine uses
+Spark's JVM trig intrinsics, so distance filters run at scan speed and any
+cheap prefilter (bounding box) can be pushed to Parquet by Catalyst.
+
+Scale note: for repeated geo-radius queries at 100 TB, store a geohash-/
+S2-style cell id column, partition by it, and prefilter on cell membership
+before the exact haversine — `geo_distance` below stays the exact verifier.
+The bounding-box prefilter applied by `geo_distance_filter` is the first
+step of that pattern and is pushable to row-group stats today.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def _rad(c: Column) -> Column:
+    return F.radians(c)
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km (haversine on the mean-radius sphere —
+    the same model ES uses for `geo_distance` arc distances)."""
+    dlat = _rad(lat2) - _rad(lat1)
+    dlon = _rad(lon2) - _rad(lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(_rad(lat1)) * F.cos(_rad(lat2)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_distance_filter(
+    lat: Column, lon: Column, center_lat: float, center_lon: float, radius_km: float
+) -> Column:
+    """ES `geo_distance` query analogue: points within radius_km of center.
+
+    Composes a degree-space bounding-box prefilter (pushable to Parquet
+    row-group min/max stats — the cheap cull) AND the exact haversine
+    check. The longitude delta is widened by cos(lat) at the center;
+    clamped for poles."""
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    cos_lat = max(math.cos(math.radians(center_lat)), 1e-9)
+    dlon = min(180.0, math.degrees(radius_km / (EARTH_RADIUS_KM * cos_lat)))
+    box = (
+        lat.between(center_lat - dlat, center_lat + dlat)
+        & lon.between(center_lon - dlon, center_lon + dlon)
+    )
+    exact = haversine_km(lat, lon, F.lit(float(center_lat)), F.lit(float(center_lon))) <= F.lit(
+        float(radius_km)
+    )
+    return box & exact
+
+
+def geo_bounding_box_filter(
+    lat: Column, lon: Column, top: float, left: float, bottom: float, right: float
+) -> Column:
+    """ES `geo_bounding_box` query analogue. Handles antimeridian-crossing
+    boxes (left > right) the way ES does: the box wraps."""
+    lat_ok = lat.between(float(bottom), float(top))
+    if left <= right:
+        lon_ok = lon.between(float(left), float(right))
+    else:  # wraps the antimeridian
+        lon_ok = (lon >= float(left)) | (lon <= float(right))
+    return lat_ok & lon_ok

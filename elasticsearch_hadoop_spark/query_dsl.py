@@ -211,7 +211,74 @@ def _compile_uri_query(q: str) -> Column:
     return pred
 
 
+_DISTANCE_UNITS_KM = {
+    "km": 1.0,
+    "kilometers": 1.0,
+    "m": 0.001,
+    "meters": 0.001,
+    "mi": 1.609344,
+    "miles": 1.609344,
+    "nmi": 1.852,
+    "yd": 0.0009144,
+    "ft": 0.0003048,
+}
+
+
+def _parse_distance_km(s: Any) -> float:
+    """ES distance-string parsing ('200km', '50mi', '1000m'; bare number =
+    meters, matching ES's default unit)."""
+    if isinstance(s, (int, float)):
+        return float(s) * 0.001
+    txt = str(s).strip().lower()
+    for unit in sorted(_DISTANCE_UNITS_KM, key=len, reverse=True):
+        if txt.endswith(unit):
+            return float(txt[: -len(unit)]) * _DISTANCE_UNITS_KM[unit]
+    return float(txt) * 0.001
+
+
+def _latlon(spec: Any) -> tuple[float, float]:
+    """ES geo-point literal forms: {"lat":..,"lon":..}, [lon, lat], "lat,lon"."""
+    if isinstance(spec, dict):
+        return float(spec["lat"]), float(spec["lon"])
+    if isinstance(spec, (list, tuple)):  # GeoJSON order: [lon, lat]
+        return float(spec[1]), float(spec[0])
+    lat, lon = str(spec).split(",")
+    return float(lat), float(lon)
+
+
+def _geo_distance(body, id_col):
+    """{"geo_distance": {"distance": "200km", "<field>": {"lat":..,"lon":..}}}
+    — field is geo_point → struct(lat,lon) per SURVEY.md §1.2."""
+    from elasticsearch_hadoop_spark.functions.geo import geo_distance_filter
+
+    body = dict(body)
+    radius_km = _parse_distance_km(body.pop("distance"))
+    body.pop("distance_type", None)
+    (field, center), = body.items()
+    lat, lon = _latlon(center)
+    return geo_distance_filter(
+        F.col(f"{field}.lat"), F.col(f"{field}.lon"), lat, lon, radius_km
+    )
+
+
+def _geo_bounding_box(body, id_col):
+    from elasticsearch_hadoop_spark.functions.geo import geo_bounding_box_filter
+
+    (field, box), = body.items()
+    if "top_left" in box:
+        top, left = _latlon(box["top_left"])
+        bottom, right = _latlon(box["bottom_right"])
+    else:
+        top, left = float(box["top"]), float(box["left"])
+        bottom, right = float(box["bottom"]), float(box["right"])
+    return geo_bounding_box_filter(
+        F.col(f"{field}.lat"), F.col(f"{field}.lon"), top, left, bottom, right
+    )
+
+
 _HANDLERS = {
+    "geo_distance": _geo_distance,
+    "geo_bounding_box": _geo_bounding_box,
     "term": _term,
     "terms": _terms,
     "range": _range,
