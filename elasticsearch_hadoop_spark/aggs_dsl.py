@@ -1,0 +1,185 @@
+"""ES aggregations-DSL veneer: compile an `"aggs"` request body to a
+DataFrame `groupBy().agg()` pipeline.
+
+Scope note (SURVEY.md §2.9): the reference connector itself never invokes
+ES aggregations — every aggregation its users run happens in Spark over
+scanned rows. This module closes the *user-visible* gap for people whose
+mental model is the ES aggs DSL: the same JSON now drives a Catalyst
+aggregation over the engine's tables. The result is the flat relational
+equivalent of ES's nested bucket response — one row per innermost bucket,
+bucket keys as columns, metric values as columns named `<agg_name>` (or
+`<agg_name>_<stat>` for multi-value metrics).
+
+Supported:
+
+- bucket aggs (one per nesting level, arbitrarily chained through
+  ``"aggs"``): ``terms`` (with ``size``, ordered by doc_count desc — ES
+  default), ``histogram`` (``interval``), ``date_histogram``
+  (``calendar_interval``: minute/hour/day/week/month/quarter/year, or
+  ``fixed_interval``: "<n>s/m/h/d"), ``range`` (``ranges`` with ES
+  "from inclusive, to exclusive" semantics and auto "a-b" keys)
+- metric aggs: ``avg sum min max value_count cardinality stats
+  percentiles`` — ``cardinality`` compiles to exact ``countDistinct`` by
+  default (``"approximate": true`` opts into HLL++ ``approx_count_distinct``,
+  which is what ES itself does); ``percentiles`` uses exact interpolated
+  ``percentile`` (ES uses t-digest — same caveat, ``"approximate": true``
+  switches to ``percentile_approx``)
+- ``doc_count`` is always emitted per bucket, like ES
+
+Scale: everything compiles to a single hash aggregation over the bucket-key
+chain (partial+final, one shuffle); ``terms`` ``size`` becomes a
+TakeOrderedAndProject. No collect, no per-bucket queries.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CALENDAR = {
+    "minute": "minute", "1m": "minute",
+    "hour": "hour", "1h": "hour",
+    "day": "day", "1d": "day",
+    "week": "week", "1w": "week",
+    "month": "month", "1M": "month",
+    "quarter": "quarter", "1q": "quarter",
+    "year": "year", "1y": "year",
+}
+_FIXED_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+class AggsDslError(ValueError):
+    pass
+
+
+def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
+    """Compile an ES aggs body (dict or JSON string) against ``df``.
+
+    Accepts ``{"aggs": {...}}``, ``{"aggregations": {...}}`` or the bare
+    agg map. Returns one row per innermost bucket (a single global row if
+    only metrics are given), ordered by doc_count desc then keys for a
+    top-level ``terms`` (ES default order), else by bucket keys."""
+    if isinstance(spec, str):
+        spec = json.loads(spec)
+    spec = spec.get("aggs", spec.get("aggregations", spec))
+
+    keys: list[tuple[str, Column]] = []  # (output name, key expr)
+    metrics: list[Column] = []
+    terms_size: int | None = None
+
+    level = spec
+    depth = 0
+    while level:
+        bucket_items = [(n, b) for n, b in level.items() if _bucket_kind(b)]
+        metric_items = [(n, b) for n, b in level.items() if not _bucket_kind(b)]
+        for name, body in metric_items:
+            metrics.extend(_metric(name, body))
+        if not bucket_items:
+            break
+        if len(bucket_items) > 1:
+            raise AggsDslError(
+                "one bucket agg per level is supported (ES sibling buckets "
+                f"need separate queries): {[n for n, _ in bucket_items]}"
+            )
+        name, body = bucket_items[0]
+        kind = _bucket_kind(body)
+        keys.append((name, _bucket_key(kind, body[kind])))
+        if depth == 0 and kind == "terms" and "size" in body[kind]:
+            terms_size = int(body[kind]["size"])
+        level = body.get("aggs", body.get("aggregations"))
+        depth += 1
+
+    metrics = [F.count(F.lit(1)).alias("doc_count")] + metrics
+    if keys:
+        out = df.groupBy(*[expr.alias(name) for name, expr in keys]).agg(*metrics)
+        key_names = [name for name, _ in keys]
+        if terms_size is not None:
+            out = out.orderBy(F.col("doc_count").desc(), *key_names).limit(terms_size)
+        else:
+            out = out.orderBy(*key_names)
+        return out
+    return df.agg(*metrics)
+
+
+def _bucket_kind(body: dict) -> str | None:
+    for kind in ("terms", "histogram", "date_histogram", "range"):
+        if kind in body:
+            return kind
+    return None
+
+
+def _bucket_key(kind: str, b: dict) -> Column:
+    field = F.col(b["field"])
+    if kind == "terms":
+        return field
+    if kind == "histogram":
+        interval = float(b["interval"])
+        return (F.floor(field / F.lit(interval)) * F.lit(interval)).cast("double")
+    if kind == "date_histogram":
+        if "calendar_interval" in b:
+            unit = _CALENDAR.get(b["calendar_interval"])
+            if unit is None:
+                raise AggsDslError(f"calendar_interval {b['calendar_interval']!r}")
+            return F.date_trunc(unit, field)
+        iv = str(b["fixed_interval"]).strip()
+        secs = int(iv[:-1]) * _FIXED_SECONDS[iv[-1]]
+        epoch = F.unix_timestamp(field)
+        return F.timestamp_seconds(F.floor(epoch / secs) * secs)
+    if kind == "range":
+        whens = None
+        for r in b["ranges"]:
+            lo, hi = r.get("from"), r.get("to")
+            label = r.get("key") or f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (field >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (field < F.lit(hi))
+            whens = F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
+        return whens  # docs outside every range -> NULL bucket, filtered by ES; we keep NULL
+    raise AggsDslError(kind)
+
+
+def _metric(name: str, body: dict) -> list[Column]:
+    (kind, spec), = body.items()
+    if not isinstance(spec, dict) or "field" not in spec:
+        raise AggsDslError(f"metric {name!r}: expected {{'field': ...}}, got {spec!r}")
+    field = spec["field"]
+    approx = bool(spec.get("approximate", False))
+    c = F.col(field)
+    if kind == "avg":
+        return [F.avg(c).alias(name)]
+    if kind == "sum":
+        return [F.sum(c).alias(name)]
+    if kind == "min":
+        return [F.min(c).alias(name)]
+    if kind == "max":
+        return [F.max(c).alias(name)]
+    if kind == "value_count":
+        return [F.count(c).alias(name)]
+    if kind == "cardinality":
+        agg = F.approx_count_distinct(c) if approx else F.countDistinct(c)
+        return [agg.alias(name)]
+    if kind == "stats":
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_avg"),
+            F.sum(c).alias(f"{name}_sum"),
+        ]
+    if kind == "percentiles":
+        pcts = [float(p) for p in spec.get("percents", (1, 5, 25, 50, 75, 95, 99))]
+        if approx:
+            arr = F.percentile_approx(c, [p / 100.0 for p in pcts], 10000)
+        else:
+            arr = F.percentile(c, F.array(*[F.lit(p / 100.0) for p in pcts]))
+        return [arr[i].alias(f"{name}_{_pname(p)}") for i, p in enumerate(pcts)]
+    raise AggsDslError(f"unsupported metric agg: {kind}")
+
+
+def _pname(p: float) -> str:
+    return str(int(p)) if float(p).is_integer() else str(p).replace(".", "_")

@@ -278,8 +278,17 @@ class Catalog:
         subset (compiled to Column predicates -> Catalyst pushes them to the
         parquet scan); ``fields``/``exclude_fields`` mirror
         es.read.field.include/exclude (A2/A8); ``metadata=True`` appends the
-        ``_metadata`` map column (es.read.metadata parity, §1.1)."""
-        df = self.spark.read.parquet(self.path(name))
+        ``_metadata`` map column (es.read.metadata parity, §1.1).
+
+        ``name`` accepts the reference's multi-resource syntax
+        (``mr/.../rest/Resource.java`` parsing, per SURVEY.md §0 path
+        citations): a comma list (``"a,b"``) and/or ``*`` wildcards
+        (``"logs-*"``).  Multi-index reads union per-index scans by column
+        name with missing columns nulled (ES indices may drift schemas);
+        each branch stays an independent parquet scan, so Catalyst still
+        pushes filters/pruning into every branch — the union adds no
+        shuffle."""
+        df = self._read_resolved(name)
         if query is not None:
             df = df.filter(compile_query(query))
         meta_cols = [c for c in ("_id", "_index", "_routing") if c in df.columns]
@@ -298,6 +307,38 @@ class Catalog:
         if not metadata:
             df = df.drop(*[c for c in meta_cols if c in df.columns])
         return df
+
+    def resolve_pattern(self, name: str) -> list[str]:
+        """Expand the comma/wildcard resource syntax to managed index names."""
+        import fnmatch
+
+        out: list[str] = []
+        for part in (p.strip() for p in name.split(",")):
+            if not part:
+                continue
+            if "*" in part or "?" in part:
+                matches = sorted(fnmatch.filter(self.list_indices(), part))
+                out.extend(m for m in matches if m not in out)
+            elif part not in out:
+                out.append(part)
+        if not out:
+            raise ValueError(f"no index matches resource {name!r}")
+        return out
+
+    def _read_resolved(self, name: str) -> DataFrame:
+        names = self.resolve_pattern(name)
+        if len(names) == 1:
+            return self.spark.read.parquet(self.path(names[0]))
+        parts = []
+        for n in names:
+            df = self.spark.read.parquet(self.path(n))
+            if "_index" not in df.columns:
+                df = df.withColumn("_index", F.lit(n))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def count_index(self, name: str, query: str | dict | None = None) -> int:
         """_count parity (A10)."""

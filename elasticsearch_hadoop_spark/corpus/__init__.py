@@ -40,6 +40,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every corpus module (side-effect: fills REGISTRY)."""
     from elasticsearch_hadoop_spark.corpus import (  # noqa: F401
         aggregates,
+        aggs_dsl_queries,
         dedup,
         geo,
         joins,

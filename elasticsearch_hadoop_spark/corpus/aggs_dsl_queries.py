@@ -1,0 +1,174 @@
+"""Aggs-DSL corpus: ES aggregation-request JSON driving Catalyst
+aggregations (aggs_dsl.compile_aggs), hash-gated like every other query.
+The oracle states the equivalent flat SQL the compiler must produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import tbl
+
+
+@query(
+    "aggs_terms_metrics",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(value), 6) AS avg_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+GROUP BY event_type
+ORDER BY doc_count DESC, event_type
+LIMIT 3
+""",
+)
+def aggs_terms_metrics(spark, sf_dir):
+    """terms bucket (size=3, ES default count-desc order) + avg +
+    cardinality metrics, from aggs-DSL JSON."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "event_type": {
+                    "terms": {"field": "event_type", "size": 3},
+                    "aggs": {
+                        "avg_value": {"avg": {"field": "value"}},
+                        "users": {"cardinality": {"field": "user_id"}},
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "event_type", "doc_count", F.round("avg_value", 6).alias("avg_value"), "users"
+    )
+
+
+@query(
+    "aggs_date_histogram_nested",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS total
+FROM events
+WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def aggs_date_histogram_nested(spark, sf_dir):
+    """date_histogram(day) > terms(event_type) > sum — a two-level bucket
+    chain compiling to ONE hash aggregation on (day, event_type)."""
+    ev = tbl(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "day": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                    "aggs": {
+                        "event_type": {
+                            "terms": {"field": "event_type"},
+                            "aggs": {"total": {"sum": {"field": "value"}}},
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "event_type",
+        "doc_count",
+        F.round("total", 6).alias("total"),
+    ).orderBy("day", "event_type")
+
+
+@query(
+    "aggs_range_stats",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice >= 100000 AND o_totalprice < 300000 THEN 'mid'
+            ELSE 'large' END AS price_band,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(min(o_totalprice), 2) AS price_min,
+       round(max(o_totalprice), 2) AS price_max,
+       round(avg(o_totalprice), 6) AS price_avg
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def aggs_range_stats(spark, sf_dir):
+    """range buckets (ES from-inclusive / to-exclusive) + stats metric."""
+    o = tbl(spark, sf_dir, "orders")
+    out = compile_aggs(
+        o,
+        {
+            "aggs": {
+                "price_band": {
+                    "range": {
+                        "field": "o_totalprice",
+                        "ranges": [
+                            {"to": 100000, "key": "small"},
+                            {"from": 100000, "to": 300000, "key": "mid"},
+                            {"from": 300000, "key": "large"},
+                        ],
+                    },
+                    "aggs": {"price": {"stats": {"field": "o_totalprice"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "price_band",
+        "doc_count",
+        F.round("price_min", 2).alias("price_min"),
+        F.round("price_max", 2).alias("price_max"),
+        F.round("price_avg", 6).alias("price_avg"),
+    ).orderBy("price_band")
+
+
+@query(
+    "aggs_histogram_percentiles",
+    oracle="""
+SELECT CAST(floor(l_quantity / 10) * 10 AS DOUBLE) AS qty_bucket,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS price_50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS price_95
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def aggs_histogram_percentiles(spark, sf_dir):
+    """histogram(interval=10) + exact percentiles (single array pass)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    out = compile_aggs(
+        li,
+        {
+            "aggs": {
+                "qty_bucket": {
+                    "histogram": {"field": "l_quantity", "interval": 10},
+                    "aggs": {
+                        "price": {
+                            "percentiles": {"field": "l_extendedprice", "percents": [50, 95]}
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "qty_bucket",
+        "doc_count",
+        F.round("price_50", 6).alias("price_50"),
+        F.round("price_95", 6).alias("price_95"),
+    ).orderBy("qty_bucket")

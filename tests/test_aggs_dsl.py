@@ -1,0 +1,71 @@
+"""aggs_dsl unit tests: fixed_interval bucketing, metrics-only global row,
+approximate variants, and error paths (sibling buckets, bad metric)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(ts=base + datetime.timedelta(minutes=37 * i), kind="ab"[i % 2], v=float(i))
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_fixed_interval_2h(ev):
+    out = compile_aggs(ev, {"two_h": {"date_histogram": {"field": "ts", "fixed_interval": "2h"}}})
+    rows = out.collect()
+    assert [r.two_h.minute for r in rows] == [0] * len(rows)
+    assert all(r.two_h.hour % 2 == 0 for r in rows)
+    assert sum(r.doc_count for r in rows) == 20
+
+
+def test_metrics_only_global_row(ev):
+    out = compile_aggs(
+        ev,
+        {"n": {"value_count": {"field": "v"}}, "hi": {"max": {"field": "v"}}},
+    ).collect()
+    assert len(out) == 1
+    assert out[0].doc_count == 20 and out[0].n == 20 and out[0].hi == 19.0
+
+
+def test_approximate_cardinality_and_percentiles(ev):
+    out = compile_aggs(
+        ev,
+        {
+            "kinds": {"cardinality": {"field": "kind", "approximate": True}},
+            "p": {"percentiles": {"field": "v", "percents": [50], "approximate": True}},
+        },
+    ).collect()[0]
+    assert out.kinds == 2
+    assert 8.0 <= out.p_50 <= 11.0
+
+
+def test_sibling_buckets_rejected(ev):
+    with pytest.raises(AggsDslError, match="one bucket agg per level"):
+        compile_aggs(
+            ev,
+            {
+                "a": {"terms": {"field": "kind"}},
+                "b": {"histogram": {"field": "v", "interval": 5}},
+            },
+        )
+
+
+def test_unknown_metric_rejected(ev):
+    with pytest.raises(AggsDslError, match="unsupported metric"):
+        compile_aggs(ev, {"x": {"median_absolute_deviation": {"field": "v"}}})
+
+
+def test_json_string_and_wrapped_body(ev):
+    out = compile_aggs(ev, '{"aggs": {"kinds": {"terms": {"field": "kind"}}}}')
+    assert {r.kinds: r.doc_count for r in out.collect()} == {"a": 10, "b": 10}

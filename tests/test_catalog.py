@@ -160,3 +160,39 @@ def test_dedupe_last_order(spark):
     ).withColumn("_id", F.col("k").cast("string"))
     out = {r["_id"]: r["v"] for r in dedupe_last(df, "_id").collect()}
     assert out == {"1": "y", "2": "z"}
+
+
+def test_multi_index_comma_and_wildcard(spark, cat):
+    cat.write_index(docs(spark, BASE), "logs-2024")
+    cat.write_index(docs(spark, [{"k": 4, "v": "d", "n": 40}]), "logs-2025")
+    cat.write_index(docs(spark, [{"k": 9, "v": "z", "n": 90}]), "metrics")
+
+    assert cat.resolve_pattern("logs-*") == ["logs-2024", "logs-2025"]
+    assert cat.resolve_pattern("logs-2024,metrics") == ["logs-2024", "metrics"]
+    assert cat.resolve_pattern("logs-*,metrics") == ["logs-2024", "logs-2025", "metrics"]
+
+    assert cat.read_index("logs-*").count() == 4
+    assert cat.read_index("logs-*,metrics").count() == 5
+    # single-name read keeps its exact historical shape
+    assert set(cat.read_index("logs-2024").columns) == {"k", "v", "n"}
+    # provenance via metadata: _index lands in the _metadata map
+    got = cat.read_index("logs-*", metadata=True)
+    idx = {r["k"]: r["_metadata"]["_index"] for r in got.collect()}
+    assert idx[1] == "logs-2024" and idx[4] == "logs-2025"
+    # query pushdown still applies across branches
+    assert cat.read_index("logs-*", query={"range": {"n": {"gte": 30}}}).count() == 2
+
+
+def test_multi_index_schema_drift(spark, cat):
+    cat.write_index(docs(spark, BASE), "drift-a")
+    cat.write_index(docs(spark, [{"k": 5, "extra": "x"}]), "drift-b")
+    got = cat.read_index("drift-*")
+    assert set(got.columns) == {"k", "v", "n", "extra"}
+    row5 = [r for r in got.collect() if r.k == 5][0]
+    assert row5.extra == "x" and row5.v is None
+
+
+def test_resolve_pattern_no_match(spark, cat):
+    cat.write_index(docs(spark, BASE), "only")
+    with pytest.raises(ValueError):
+        cat.resolve_pattern("nope-*")
