@@ -57,6 +57,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualNullSafe,
     EqualTo,
@@ -440,6 +441,42 @@ def _jsonable(v: Any) -> Any:
     return v
 
 
+class EsDocsStreamWriter(DataSourceStreamWriter):
+    """A9 parity in the datasource API: Structured Streaming micro-batch
+    sink over the same bulk wire format (upstream
+    ``spark/sql-20/.../sql/streaming/EsSparkSqlStreamingSink.scala``
+    ``addBatch`` + ``EsCommitProtocol``; path citation per SURVEY.md §0).
+
+    Exactly-once layering: Spark's checkpoint offset/commit log already
+    guarantees a batchId is handed to ``commit`` once; we mirror the
+    reference's own second layer (EsSinkMetadataLog) with a ``_batch_<id>``
+    marker — task files of a replayed/aborted batch are never published
+    because publication (tmp → final rename) happens only in ``commit``.
+    Only append mode is supported, as in the reference."""
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self._batch = EsDocsWriter(schema, options, overwrite=False)
+        self.path = self._batch.path
+
+    def write(self, rows: Iterator) -> _WriteDone:
+        return self._batch.write(rows)
+
+    def commit(self, messages: list[_WriteDone], batchId: int) -> None:
+        marker = os.path.join(self.path, f"_batch_{batchId}")
+        if os.path.exists(marker):  # replayed batch: drop its task output
+            self.abort(messages, batchId)
+            return
+        for m in messages:
+            os.replace(m.path, m.path[: -len(".tmp")])
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write(str(len(messages)))
+
+    def abort(self, messages: list[_WriteDone], batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class EsDocsDataSource(DataSource):
     """format("esdocs") — see module docstring. Register with
     ``spark.dataSource.register(EsDocsDataSource)``."""
@@ -473,6 +510,9 @@ class EsDocsDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> EsDocsWriter:
         return EsDocsWriter(schema, dict(self.options), overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> EsDocsStreamWriter:
+        return EsDocsStreamWriter(schema, dict(self.options))
 
 
 def register(spark) -> None:

@@ -176,3 +176,40 @@ def test_match_doc_subset():
     assert match_doc(d, {"wildcard": {"name": "Quick*Fox"}})
     assert match_doc(d, {"bool": {"should": [{"term": {"n": 5}}, {"term": {"n": 6}}]}})
     assert not match_doc(d, {"bool": {"must_not": [{"exists": {"field": "n"}}]}})
+
+
+def test_stream_write_exactly_once(registered, docs_dir, tmp_path):
+    """writeStream.format('esdocs'): rate-limited replay of the fixture docs
+    lands every doc exactly once, with per-batch commit markers."""
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    # three single-doc json files -> file stream with 1 file per batch
+    for d in DOCS:
+        with open(os.path.join(src_dir, f"d{d['doc_id']}.json"), "w") as fh:
+            fh.write(json.dumps({"doc_id": d["doc_id"], "name": d["name"]}) + "\n")
+    stream = (
+        registered.readStream.format("json")
+        .schema("doc_id long, name string")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    q = (
+        stream.writeStream.format("esdocs")
+        .option("path", out)
+        .option("mapping.id", "doc_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    docs = []
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".ndjson"):
+            docs += [json.loads(x) for x in open(os.path.join(out, f)) if x.strip()]
+    got = sorted(d["doc_id"] for d in docs if "doc_id" in d)
+    assert got == [1, 2, 3]
+    markers = [f for f in os.listdir(out) if f.startswith("_batch_")]
+    assert len(markers) >= 1  # commit log written
+    assert not any(f.endswith(".tmp") for f in os.listdir(out))
