@@ -344,6 +344,47 @@ class Catalog:
         """_count parity (A10)."""
         return self.read_index(name, query=query).count()
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        num_buckets: int,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Persist an index as a bucketed table (hash-partitioned into
+        ``num_buckets`` files by ``bucket_cols``, optionally sorted within
+        buckets). This is the 100 TB co-located-join path referenced from
+        the join corpus: two tables bucketed the same way on the join key
+        are joined with ZERO shuffle (verified in tests/test_skew_bucket.py
+        by asserting no Exchange in the plan).
+
+        Bucketing metadata lives in the session catalog (saveAsTable with
+        an explicit path -> external table at the index's managed path);
+        read back with ``read_bucketed`` — a plain parquet read of the same
+        path works too but loses the bucket metadata and re-shuffles."""
+        table = self._table_name(name)
+        writer = df.write.format("parquet").option("path", self.path(name)).mode(mode)
+        writer = writer.bucketBy(num_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+        self._write_meta(
+            name,
+            {"bucket_cols": bucket_cols, "num_buckets": num_buckets, "table": table},
+        )
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed index through the session catalog (keeps the
+        bucket-distribution metadata Catalyst needs to elide shuffles)."""
+        return self.spark.table(self._table_name(name))
+
+    def _table_name(self, name: str) -> str:
+        import re as _re
+
+        return "esidx_" + _re.sub(r"[^A-Za-z0-9_]", "_", name)
+
 
 def dedupe_last(df: DataFrame, key: str) -> DataFrame:
     """Last-write-wins within a batch on ``key`` (ES bulk ordering parity).
