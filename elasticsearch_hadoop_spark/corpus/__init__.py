@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         streaming_live,
         subqueries,
         text_analysis,
+        tpch_full,
         tpch_more,
         udf_surface,
         windows,
