@@ -1,0 +1,8 @@
+"""Plan-level tooling: `.explain("formatted")` parsing and assertions."""
+
+from elasticsearch_hadoop_spark.plans.inspect import (  # noqa: F401
+    count_nodes,
+    formatted_plan,
+    pushed_filters,
+    read_schema_columns,
+)

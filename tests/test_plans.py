@@ -8,27 +8,18 @@ scans-all-columns or sort-merge-joins a 5-row dim here does the same on a
 
 from __future__ import annotations
 
-import contextlib
-import io
 import re
 
 import pytest
 
 from elasticsearch_hadoop_spark.corpus import load_all
+from elasticsearch_hadoop_spark.plans import count_nodes, formatted_plan, pushed_filters
 
 REGISTRY = load_all()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
-
-
-def count_nodes(plan: str, node: str) -> int:
-    return len(re.findall(rf"^\(\d+\) {node}\b", plan, flags=re.M))
+    return formatted_plan(REGISTRY[name].fn(spark, sf_dir))
 
 
 def test_q6_full_pushdown_single_shuffle(spark, sf_dir):
@@ -93,5 +84,37 @@ def test_generator_runs_in_scan_stage(spark, sf_dir):
 )
 def test_filters_pushed(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
-    pushed = re.findall(r"PushedFilters: \[([^\]]+)\]", plan)
-    assert any(p.strip() for p in pushed), f"{name}: no pushed filters\n{plan[:800]}"
+    assert pushed_filters(plan), f"{name}: no pushed filters\n{plan[:800]}"
+
+
+def test_q8_eight_table_join_all_dims_broadcast(spark, sf_dir):
+    # 8-table star: the ONLY shuffle join allowed is fact-fact
+    # lineitem⋈orders; part/supplier/customer/nation×2/region broadcast
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 6
+    assert count_nodes(plan, "SortMergeJoin") + count_nodes(plan, "ShuffledHashJoin") <= 1
+
+
+def test_q21_semi_anti_keep_equi_key(spark, sf_dir):
+    # the compound probe conditions (orderkey = ∧ suppkey ≠ [∧ shipdate >])
+    # must keep l_orderkey as the hash key — if Catalyst failed to extract
+    # the equi conjunct, semi/anti would degrade to BroadcastNestedLoopJoin
+    # (a per-row scan of the whole probe side: fatal at scale)
+    plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_q2_correlated_max_is_window_not_rescan(spark, sf_dir):
+    # the per-part max must be a Window over the joined pairs, not a second
+    # scan+join of lineitem (the decorrelated-subquery trap)
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert count_nodes(plan, "Window") == 1
+    assert count_nodes(plan, "Scan parquet") <= 4  # lineitem once + 3 dims
+
+
+def test_q11_scalar_threshold_is_broadcast(spark, sf_dir):
+    # HAVING > (scalar subquery): the 1-row threshold must broadcast into
+    # the per-supplier aggregate, never a cartesian shuffle
+    plan = plan_of(spark, sf_dir, "q11_important_suppliers")
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1

@@ -4,8 +4,6 @@ gone)."""
 
 from __future__ import annotations
 
-import contextlib
-import io
 import re
 
 import pytest
@@ -14,6 +12,7 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.catalog import Catalog
 from elasticsearch_hadoop_spark.operators.skew import explain_skew, salted_join
+from elasticsearch_hadoop_spark.plans import formatted_plan
 
 
 @pytest.fixture(scope="module")
@@ -66,10 +65,7 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             joined = a.join(b, on=["o"]).groupBy("c").agg(F.sum("qty").alias("s"))
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                joined.explain("formatted")
-            plan = buf.getvalue()
+            plan = formatted_plan(joined)
             # the join itself must not shuffle: the only Exchange allowed is
             # the groupBy on c AFTER the join
             join_part = plan.split("SortMergeJoin")[0]
