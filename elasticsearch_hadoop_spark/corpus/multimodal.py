@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.corpus import query
 from elasticsearch_hadoop_spark.corpus._util import tbl
-from elasticsearch_hadoop_spark.operators.multimodal import extract_features, pack_media
+from elasticsearch_hadoop_spark.operators.multimodal import (
+    extract_features,
+    pack_media,
+    resize_media,
+    sample_frames,
+)
 
 
 @query(
@@ -56,3 +61,54 @@ def multimodal_features(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents")
     binary = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return extract_features(binary).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH sizes AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+), idx AS (
+  SELECT doc_id, n,
+         unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT), 2)) AS fi
+  FROM sizes
+)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_index,
+       CAST(least(256, n - fi * 256) AS BIGINT) AS frame_len
+FROM idx
+ORDER BY doc_id, frame_index
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Row-expanding mapInPandas frame sampler (every 2nd 256-byte frame of
+    the payload).  The frame BYTES can't be oracle-checked (DuckDB here has
+    no blob substring/md5), so the hash-checked surface is the expansion
+    itself — (doc_id, frame_index, frame_len) must match the closed-form
+    integer math; exact frame bytes are pinned in tests/test_multimodal.py."""
+    d = tbl(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    frames = sample_frames(binary, frame_bytes=256, every=2)
+    return frames.select("doc_id", "frame_index", "frame_len").orderBy(
+        "doc_id", "frame_index"
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
+       CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS resized_len
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """Binary resize stage (stub semantics: keep every 4th byte).  Oracle
+    checks the length contract ceil(n/4); exact output bytes are pinned in
+    tests/test_multimodal.py."""
+    d = tbl(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return resize_media(binary, factor=4).select(
+        "doc_id", "orig_len", "resized_len"
+    ).orderBy("doc_id")

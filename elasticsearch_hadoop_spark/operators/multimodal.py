@@ -105,3 +105,92 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_len", T.LongType()),
+        T.StructField("resized_len", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, factor: int, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Resize stage — STUB semantics, real plumbing.  A production
+    deployment decodes + resamples pixels; here "resize by factor k" keeps
+    every k-th byte (deterministic, length ceil(n/k)).  The Spark shape is
+    what matters: Arrow-batched mapInPandas, binary in → binary out, zero
+    shuffle, output schema fixed so downstream pruning works."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf[payload_col].map(bytes)
+            resized = raw.map(lambda b: b[::factor])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "orig_len": raw.map(len).astype("int64"),
+                    "resized_len": resized.map(len).astype("int64"),
+                    "resized": resized,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    every: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling — STUB semantics, real plumbing.  The payload
+    is treated as concatenated fixed-size frames of ``frame_bytes``; every
+    ``every``-th frame (0, every, 2·every, …) is emitted as its own row.
+
+    This is the row-EXPANDING mapInPandas shape (1 video in, k frames out)
+    a real frame sampler needs: output cardinality is decided inside the
+    Arrow batch, no explode/join, no shuffle; frames inherit the input's
+    partitioning so a downstream per-frame featurizer chains shuffle-free."""
+    if frame_bytes < 1 or every < 1:
+        raise ValueError("frame_bytes and every must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_len, out_frame = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_len.append(len(chunk))
+                    out_frame.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "frame_index": pd.Series(out_idx, dtype="int32"),
+                    "frame_len": pd.Series(out_len, dtype="int64"),
+                    "frame": pd.Series(out_frame, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
