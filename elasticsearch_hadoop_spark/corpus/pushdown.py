@@ -4,7 +4,7 @@ native Column predicates and through the ES query-DSL compiler
 DefaultSource.scala#translateFilter†).
 
 Every predicate here is Catalyst-pushable: `.explain()` shows them in
-PushedFilters on the parquet scan (asserted in tests/test_pushdown.py) —
+PushedFilters on the parquet scan (asserted in tests/test_plans.py) —
 the Spark-native equivalent of the reference shipping query DSL to ES.
 """
 

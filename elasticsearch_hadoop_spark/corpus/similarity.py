@@ -20,6 +20,7 @@ from elasticsearch_hadoop_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     topk_per_group,
+    train_centroids,
 )
 
 _QVEC_SQL = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
@@ -99,19 +100,21 @@ def similarity_topk_per_label(spark, sf_dir):
 
 @query("similarity_ivf_topk", oracle=None)
 def similarity_ivf_topk(spark, sf_dir):
-    """IVF-probed approximate top-10 (centroids = first 8 vectors, probe 4
-    cells).  Rows-only check here (cell argmax ties on ~1e-16 cosine
-    differences make a cross-engine hash brittle); recall >= 0.8 vs the
-    brute-force baseline is asserted in tests/test_similarity.py.
+    """IVF-probed approximate top-10: 8 cells from 4 deterministic Lloyd's
+    iterations (train_centroids — distributed posexplode/groupBy means, no
+    driver pass), probe the 5 nearest cells.  Rows-only check here (cell
+    argmax ties on ~1e-16 cosine differences make a cross-engine hash
+    brittle); recall >= 0.8 vs the brute-force baseline is asserted in
+    tests/test_similarity.py.  The synthetic embeddings are near-uniform —
+    IVF's worst case; clustered real embeddings allow much lower
+    nprobe/ncells ratios.
 
     Scale story: with the table written partitionBy(ivf_cell), the probe
-    filter is partition pruning — a 16x fan-in at nprobe=4/64 cells."""
+    filter is partition pruning — the scan physically skips the unprobed
+    cells' files."""
     e = spread(spark, tbl(spark, sf_dir, "embeddings"))
-    cent_rows = (
-        e.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    centroids = train_centroids(e, k=8, iters=4)
     with_cells = assign_ivf_cells(e, centroids)
-    return ivf_topk(with_cells, centroids, _query_vec(spark, sf_dir), k=10, nprobe=4).select(
+    return ivf_topk(with_cells, centroids, _query_vec(spark, sf_dir), k=10, nprobe=5).select(
         "vec_id", F.round("cosine", 6).alias("cosine")
     )

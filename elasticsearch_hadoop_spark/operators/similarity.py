@@ -104,6 +104,50 @@ def ivf_topk(
     )
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's iterations for the IVF coarse quantizer.
+
+    Init = the first ``k`` vectors by id; each iteration assigns every
+    vector to its nearest (cosine) centroid with pure Column math, then
+    recomputes centroids as the per-cell per-dimension mean via
+    posexplode → groupBy(cell, dim) → avg — one narrow shuffle of
+    (cell, dim, value) triples per iteration, never a driver-side pass
+    over the data.  Only k×dim aggregated values ever reach the driver.
+
+    At 100 TB: run on a sample (`df.sample(...)`) — the quantizer needs
+    representative centroids, not every row; assignment of the full table
+    happens once afterwards via assign_ivf_cells and is persisted as the
+    partition column."""
+    rows = (
+        embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in rows]
+    for _ in range(iters):
+        assigned = assign_ivf_cells(embeddings, cents, vec_col=vec_col)
+        means = (
+            assigned.select(
+                "ivf_cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(cents))}
+        for r in means:
+            new[r["ivf_cell"]][r["pos"]] = r["m"]
+        cents = [
+            [new[c][d] for d in sorted(new[c])] if new[c] else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
 def topk_per_group(
     embeddings: DataFrame,
     query_vec: list[float],

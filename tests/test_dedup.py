@@ -1,0 +1,81 @@
+"""Near-dup dedup quality gates (SURVEY.md §5: sketch ops vs the exact
+brute-force oracle): MinHash-LSH recall/precision against all-pairs exact
+Jaccard on the documents fixture, and SimHash locality sanity."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus._util import tbl
+from elasticsearch_hadoop_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    shingles,
+    simhash_signature,
+    shingle_hashes,
+)
+
+THRESHOLD = 0.8
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return tbl(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def truth_pairs(docs):
+    """All-pairs exact Jaccard ground truth, computed in-driver over the
+    SAME shingle pipeline the operator uses (500 docs -> 125k pairs, cheap
+    here; this is the oracle, not the scale path)."""
+    rows = docs.select("doc_id", shingles(F.col("text")).alias("sh")).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in rows}
+    truth = set()
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa and not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= THRESHOLD:
+            truth.add((a, b))
+    return truth
+
+
+def test_lsh_recall_and_precision(docs, truth_pairs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", threshold=THRESHOLD).collect()
+    }
+    # precision is 1.0 by construction (candidates are verified with exact
+    # Jaccard) — every returned pair must be in the ground truth
+    assert got <= truth_pairs, got - truth_pairs
+    # recall: banding (4x4 over 16 perms) catches >=93% of J>=0.8 pairs in
+    # expectation; on the fixture we require 0.9 if any truth pairs exist
+    if truth_pairs:
+        recall = len(got & truth_pairs) / len(truth_pairs)
+        assert recall >= 0.9, f"recall {recall}: missed {truth_pairs - got}"
+    else:
+        pytest.skip("fixture has no J>=0.8 pairs at this sf")
+
+
+def test_simhash_locality(spark):
+    """Near-identical texts collide in most bits; unrelated texts don't."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " now"
+    far = "completely different words about database engines and shuffles here"
+    df = spark.createDataFrame(
+        [Row(i=0, text=base), Row(i=1, text=near), Row(i=2, text=far)]
+    )
+    sigs = {
+        r["i"]: r["sig"]
+        for r in df.select(
+            "i", simhash_signature(shingle_hashes(shingles(F.col("text")))).alias("sig")
+        ).collect()
+    }
+    ham_near = bin(sigs[0] ^ sigs[1]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 8  # near-dups within 8 of 32 bits

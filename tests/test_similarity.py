@@ -1,0 +1,105 @@
+"""Similarity-search quality gates (SURVEY.md §5: approximate ops are
+tested against the exact brute-force oracle): cosine correctness vs numpy,
+and IVF top-k recall vs brute force at the corpus's own configuration."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus._util import tbl
+from elasticsearch_hadoop_spark.functions.similarity import cosine_similarity
+from elasticsearch_hadoop_spark.operators.similarity import (
+    assign_ivf_cells,
+    brute_force_topk,
+    ivf_topk,
+    train_centroids,
+)
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 16))
+    q = rng.normal(size=16)
+    df = spark.createDataFrame(
+        [Row(i=i, v=[float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i",
+            cosine_similarity(
+                F.col("v").cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in q]),
+            ).alias("c"),
+        ).collect()
+    }
+    for i in range(len(vecs)):
+        expect = float(vecs[i] @ q / (np.linalg.norm(vecs[i]) * np.linalg.norm(q)))
+        assert got[i] == pytest.approx(expect, abs=1e-12)
+
+
+def test_cosine_zero_vector_is_zero(spark):
+    df = spark.createDataFrame([Row(v=[0.0] * 4)])
+    got = df.select(
+        cosine_similarity(F.col("v"), F.array(*[F.lit(1.0)] * 4)).alias("c")
+    ).collect()[0]["c"]
+    assert got == 0.0
+
+
+def _centroids(emb, n=8):
+    return train_centroids(emb, k=n, iters=4)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return tbl(spark, sf_dir, "embeddings")
+
+
+def _qvec(emb, vec_id):
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    """The gate the corpus docstring declares: recall@10 >= 0.8 at the
+    corpus configuration (8 Lloyd's-trained cells, nprobe=5), averaged over
+    5 queries.  Measured 0.86 on the near-uniform synthetic fixture —
+    IVF's worst case."""
+    centroids = _centroids(emb)
+    with_cells = assign_ivf_cells(emb, centroids).cache()
+    recalls = []
+    for qid in (0, 17, 101, 233, 400):
+        q = _qvec(emb, qid)
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ivf_topk(with_cells, centroids, q, k=10, nprobe=5).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    """nprobe == ncells degenerates to exact search — same ids, same order."""
+    centroids = _centroids(emb)
+    with_cells = assign_ivf_cells(emb, centroids)
+    q = _qvec(emb, 42)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in ivf_topk(with_cells, centroids, q, k=10, nprobe=len(centroids)).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_cells_partition_the_data(emb):
+    centroids = _centroids(emb)
+    with_cells = assign_ivf_cells(emb, centroids)
+    assert with_cells.count() == emb.count()
+    cells = {r["ivf_cell"] for r in with_cells.select("ivf_cell").distinct().collect()}
+    assert cells <= set(range(len(centroids)))
