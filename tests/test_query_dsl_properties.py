@@ -1,0 +1,160 @@
+"""Property-based differential test of the query-DSL compiler (SURVEY.md §7
+step 5: "pure function → property-test against the Column-API equivalents").
+
+Hypothesis generates random DSL trees (term/terms/range/prefix/wildcard/
+exists/ids/bool to depth 3); each is compiled to a Column and run on a fixed
+dense DataFrame, and the surviving _ids must equal those picked by an
+independent pure-Python evaluator implementing the documented semantics.
+The data is non-null except the `n` column (exercised only via `exists`) —
+SQL three-valued logic vs ES missing-field semantics is a documented
+difference, not a property to fuzz."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+STRINGS = ["", "a", "b", "ab", "ba", "aab", "abb", "bab"]
+INTS = [-2, -1, 0, 1, 2, 3]
+
+ROWS = [
+    {"_id": f"id{i}", "s": s, "i": n, "n": (None if (i % 3 == 0) else i)}
+    for i, (s, n) in enumerate((s, n) for s in STRINGS for n in INTS)
+]
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    df = spark.createDataFrame(
+        [(r["_id"], r["s"], r["i"], r["n"]) for r in ROWS],
+        "`_id` string, s string, i int, n int",
+    )
+    df.cache().count()
+    return df
+
+
+# ---- pure-Python reference evaluator ----------------------------------------
+
+
+def _fv(body):
+    ((f, v),) = body.items()
+    if isinstance(v, dict) and "value" in v:
+        v = v["value"]
+    return f, v
+
+
+def ev(clause, row):
+    ((kind, body),) = clause.items()
+    if kind == "term":
+        f, v = _fv(body)
+        return row[f] == v
+    if kind == "terms":
+        ((f, vs),) = body.items()
+        return row[f] in list(vs)
+    if kind == "range":
+        ((f, bounds),) = body.items()
+        x = row[f]
+        ops = {
+            "gt": lambda a, b: a > b,
+            "gte": lambda a, b: a >= b,
+            "lt": lambda a, b: a < b,
+            "lte": lambda a, b: a <= b,
+        }
+        return all(ops[op](x, v) for op, v in bounds.items())
+    if kind == "exists":
+        return row[body["field"]] is not None
+    if kind == "prefix":
+        f, v = _fv(body)
+        return row[f].startswith(str(v))
+    if kind == "wildcard":
+        f, v = _fv(body)
+        pat = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch) for ch in str(v)
+        )
+        return re.fullmatch(pat, row[f]) is not None
+    if kind == "ids":
+        return row["_id"] in list(body["values"])
+    if kind == "match_all":
+        return True
+    if kind == "bool":
+        as_list = lambda x: [] if x is None else (x if isinstance(x, list) else [x])  # noqa: E731
+        if not all(ev(c, row) for c in as_list(body.get("must")) + as_list(body.get("filter"))):
+            return False
+        if any(ev(c, row) for c in as_list(body.get("must_not"))):
+            return False
+        should = as_list(body.get("should"))
+        if should:
+            required = bool(body.get("minimum_should_match")) or not (
+                body.get("must") or body.get("filter")
+            )
+            if required and not any(ev(c, row) for c in should):
+                return False
+        return True
+    raise AssertionError(f"unhandled clause {kind}")
+
+
+# ---- clause strategies -------------------------------------------------------
+
+s_val = st.sampled_from(STRINGS + ["c", "abc"])
+i_val = st.sampled_from(INTS + [-7, 9])
+
+term_c = st.one_of(
+    s_val.map(lambda v: {"term": {"s": v}}),
+    i_val.map(lambda v: {"term": {"i": v}}),
+    s_val.map(lambda v: {"term": {"s": {"value": v}}}),
+)
+terms_c = st.one_of(
+    st.lists(s_val, min_size=1, max_size=3).map(lambda vs: {"terms": {"s": vs}}),
+    st.lists(i_val, min_size=1, max_size=3).map(lambda vs: {"terms": {"i": vs}}),
+)
+range_c = st.dictionaries(
+    st.sampled_from(["gt", "gte", "lt", "lte"]), i_val, min_size=1, max_size=2
+).map(lambda b: {"range": {"i": b}})
+exists_c = st.sampled_from(["s", "i", "n"]).map(lambda f: {"exists": {"field": f}})
+prefix_c = st.sampled_from(["", "a", "b", "ab"]).map(lambda v: {"prefix": {"s": v}})
+wildcard_c = st.sampled_from(["*", "a*", "*b", "a?b", "?", "a*b", "ab"]).map(
+    lambda v: {"wildcard": {"s": v}}
+)
+ids_c = st.lists(
+    st.sampled_from([r["_id"] for r in ROWS[:8]] + ["nope"]), min_size=1, max_size=3
+).map(lambda vs: {"ids": {"values": vs}})
+leaf = st.one_of(
+    term_c, terms_c, range_c, exists_c, prefix_c, wildcard_c, ids_c,
+    st.just({"match_all": {}}),
+)
+
+
+def bool_of(children):
+    @st.composite
+    def build(draw):
+        body = {}
+        for key in ("must", "filter", "should", "must_not"):
+            if draw(st.booleans()):
+                body[key] = draw(st.lists(children, min_size=1, max_size=2))
+        if body.get("should") and draw(st.booleans()):
+            body["minimum_should_match"] = 1
+        if not body:
+            body["must"] = [draw(children)]
+        return {"bool": body}
+
+    return build()
+
+
+clause = st.recursive(leaf, bool_of, max_leaves=6)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(q=clause)
+def test_compiler_matches_reference_evaluator(table, q):
+    got = {r["_id"] for r in table.filter(compile_query(q)).select("_id").collect()}
+    expect = {r["_id"] for r in ROWS if ev(q, r)}
+    assert got == expect, f"query {q}: spark={sorted(got)} expect={sorted(expect)}"
