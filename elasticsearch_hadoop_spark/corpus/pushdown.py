@@ -195,16 +195,39 @@ def query_dsl_wildcard_prefix(spark, sf_dir):
     oracle="""
 SELECT n_nationkey, n_name
 FROM nation
-WHERE n_name = 'CHINA' OR n_name = 'FRANCE'
+WHERE n_name = 'NATION_3' OR n_name = 'NATION_17'
 ORDER BY n_nationkey
 """,
 )
 def query_dsl_uri(spark, sf_dir):
     """`?q=field:value` URI-lite subset (reference: raw es.query URI form,
-    SURVEY.md §2.B last row)."""
+    SURVEY.md §2.B last row).  Values exist in the fixture (NATION_0..24)
+    so the check matches real rows, not the empty set."""
     n = tbl(spark, sf_dir, "nation")
     return (
-        n.filter(compile_query("n_name:CHINA OR n_name:FRANCE"))
+        n.filter(compile_query("n_name:NATION_3 OR n_name:NATION_17"))
         .select("n_nationkey", "n_name")
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "query_dsl_fuzzy",
+    oracle="""
+SELECT p_partkey, p_brand
+FROM part
+WHERE levenshtein(p_brand, 'Brand#1') <= 1
+ORDER BY p_partkey
+""",
+)
+def query_dsl_fuzzy(spark, sf_dir):
+    """`fuzzy` (edit-distance, ES AUTO fuzziness rule) wrapped in
+    `constant_score` (scoring wrapper -> inner filter verbatim; `_score`
+    is out of scope).  levenshtein is JVM-native — whole-stage codegen."""
+    p = tbl(spark, sf_dir, "part")
+    dsl = {
+        "constant_score": {
+            "filter": {"fuzzy": {"p_brand": {"value": "Brand#1", "fuzziness": 1}}}
+        }
+    }
+    return p.filter(compile_query(dsl)).select("p_partkey", "p_brand").orderBy("p_partkey")

@@ -16,7 +16,9 @@ Supported clauses (the reference's §2.B algebra + the common ES core):
   term, terms, range (gt/gte/lt/lte), exists, prefix, wildcard, regexp,
   ids, match (tokenized, OR/AND operator), match_phrase (substring on the
   analyzed text), match_all, bool (must/filter/should/must_not,
-  minimum_should_match=1), and the ``?q=field:value`` URI-lite subset.
+  minimum_should_match=1), fuzzy (levenshtein, AUTO rule), constant_score
+  (scoring wrapper -> inner filter), and the ``?q=field:value`` URI-lite
+  subset.
 
 Semantics notes (SURVEY.md §2.C "one real semantic gap"):
 - ``term`` is exact equality (reference `strict` mode).
@@ -155,6 +157,34 @@ def _match_all(body, id_col):
     return F.lit(True)
 
 
+def _fuzzy(body, id_col):
+    """ES `fuzzy`: edit-distance match.  `fuzziness` N or "AUTO" (AUTO ≈
+    ES's length-scaled rule: 0 edits for len<3, 1 for len<6, else 2 —
+    applied to the QUERY term's length, computed at compile time).
+    Levenshtein is a JVM-native Column function — stays in codegen."""
+    field, value = _field_value(body)
+    fuzziness = 2
+    spec = body[next(iter(body))]
+    if isinstance(spec, dict):
+        value = spec.get("value", value)
+        fuzziness = spec.get("fuzziness", "AUTO")
+    value = str(value)
+    if isinstance(fuzziness, str):
+        if fuzziness.upper() != "AUTO":
+            raise QueryDslError(f"unsupported fuzziness: {fuzziness!r}")
+        fuzziness = 0 if len(value) < 3 else (1 if len(value) < 6 else 2)
+    return F.levenshtein(F.col(field), F.lit(value)) <= int(fuzziness)
+
+
+def _constant_score(body, id_col):
+    """ES `constant_score`: scoring wrapper — scores are out of scope
+    (README), so it compiles to its inner filter verbatim."""
+    inner = body.get("filter")
+    if inner is None:
+        raise QueryDslError("constant_score requires a filter clause")
+    return _compile_clause(inner, id_col)
+
+
 def _bool(body, id_col):
     pred = F.lit(True)
     for key in ("must", "filter"):
@@ -291,4 +321,6 @@ _HANDLERS = {
     "match_phrase": _match_phrase,
     "match_all": _match_all,
     "bool": _bool,
+    "fuzzy": _fuzzy,
+    "constant_score": _constant_score,
 }
