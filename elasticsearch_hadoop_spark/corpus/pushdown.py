@@ -54,20 +54,23 @@ def pushdown_predicates(spark, sf_dir):
 SELECT p_partkey, p_name, p_brand
 FROM part
 WHERE starts_with(p_brand, 'Brand#1')
-  AND p_type LIKE '%BRASS%'
-  AND p_name LIKE '%a'
+  AND p_type LIKE '%AND%'
+  AND p_name LIKE '%t'
   AND regexp_matches(p_name, '^[a-z]+ ')
 ORDER BY p_partkey
 """,
 )
 def pushdown_string_predicates(spark, sf_dir):
-    """StringStartsWith / Contains / EndsWith / rlike (§2.B string rows)."""
+    """StringStartsWith / Contains / EndsWith / rlike (§2.B string rows).
+    Constants chosen to match real fixture rows at every sf (contains
+    'AND' hits STANDARD; names end in 't' for ~10% of parts) — a 0-row
+    result would make the oracle hash-match vacuous."""
     p = tbl(spark, sf_dir, "part")
     return (
         p.filter(
             F.col("p_brand").startswith("Brand#1")
-            & F.col("p_type").contains("BRASS")
-            & F.col("p_name").endswith("a")
+            & F.col("p_type").contains("AND")
+            & F.col("p_name").endswith("t")
             & F.col("p_name").rlike("^[a-z]+ ")
         )
         .select("p_partkey", "p_name", "p_brand")

@@ -235,19 +235,24 @@ SELECT l_suppkey, round(sum(l_extendedprice * l_quantity), 2) AS value
 FROM lineitem
 GROUP BY l_suppkey
 HAVING sum(l_extendedprice * l_quantity) >
-       (SELECT sum(l_extendedprice * l_quantity) * 0.012 FROM lineitem)
+       (SELECT sum(l_extendedprice * l_quantity) * 1.05
+               / count(DISTINCT l_suppkey) FROM lineitem)
 ORDER BY value DESC, l_suppkey
 """,
 )
 def q11_important_suppliers(spark, sf_dir):
     """TPC-H Q11 shape (partsupp value → lineitem value by supplier):
-    grouped HAVING against an uncorrelated scalar threshold. The scalar agg
-    is a 1-row broadcast (crossJoin), never a driver collect — the same
-    plan works when lineitem is 100 TB."""
+    grouped HAVING against an uncorrelated scalar threshold. The threshold
+    is scale-free (1.05× the average supplier's value — TPC-H's own Q11
+    fraction is 0.0001/SF for the same reason), so the result is non-empty
+    at every sf. The scalar agg is a 1-row broadcast (crossJoin), never a
+    driver collect — the same plan works when lineitem is 100 TB."""
     li = tbl(spark, sf_dir, "lineitem")
     val = F.col("l_extendedprice") * F.col("l_quantity")
     per_supp = li.groupBy("l_suppkey").agg(F.sum(val).alias("__raw_value"))
-    threshold = li.agg((F.sum(val) * 0.012).alias("__threshold"))
+    threshold = li.agg(
+        (F.sum(val) * 1.05 / F.countDistinct("l_suppkey")).alias("__threshold")
+    )
     return (
         per_supp.crossJoin(F.broadcast(threshold))
         .filter(F.col("__raw_value") > F.col("__threshold"))
@@ -434,21 +439,29 @@ FROM (SELECT c_nationkey AS cntry, c_acctbal
                          WHERE c_acctbal > 0.0
                            AND c_nationkey IN (1, 2, 3, 4, 5))
         AND NOT EXISTS (SELECT 1 FROM orders
-                        WHERE o_custkey = c_custkey)) custsale
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+     ) custsale
 GROUP BY cntry
 ORDER BY cntry
 """,
 )
 def q22_global_sales_opportunity(spark, sf_dir):
     """TPC-H Q22 shape (phone-prefix → nation-key membership): well-funded
-    customers in target countries who never ordered. The avg is a 1-row
-    broadcast; NOT EXISTS is a left-anti join against orders keyed on
-    custkey."""
+    customers in target countries with no RECENT (>= 2000-01-01) orders —
+    the fixture's order coverage is dense enough that "never ordered"
+    matches nobody, which would make the check vacuous. The avg is a 1-row
+    broadcast; NOT EXISTS is a left-anti join against the date-filtered
+    orders keyed on custkey."""
     c = tbl(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(1, 2, 3, 4, 5))
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("__avg_bal")
     )
-    o = tbl(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("__avg_bal"))

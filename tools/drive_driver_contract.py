@@ -61,11 +61,18 @@ for name, fn in qs.items():
         results[name] = ("ERROR", str(ex)[:150], None)
 
 bad = 0
+vacuous = 0
 for name, (st, a, b) in sorted(results.items()):
     flag = "" if st in ("MATCH", "ROWS_ONLY") else " <<<<"
     if flag:
         bad += 1
+    # a 0-row MATCH is trivially true — the query constants miss the
+    # fixture entirely and the check verifies nothing
+    if st == "MATCH" and a == 0:
+        flag = " (VACUOUS: 0 rows)"
+        vacuous += 1
     print(f"{st:10} {name:35} spark={a} oracle={b}{flag}")
 print(f"\nTOTAL {len(results)} queries, {bad} failing, "
       f"{sum(1 for v in results.values() if v[0]=='MATCH')} hash-matched, "
-      f"{sum(1 for v in results.values() if v[0]=='ROWS_ONLY')} rows-only")
+      f"{sum(1 for v in results.values() if v[0]=='ROWS_ONLY')} rows-only, "
+      f"{vacuous} vacuous")
