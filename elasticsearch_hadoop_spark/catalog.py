@@ -344,6 +344,30 @@ class Catalog:
         """_count parity (A10)."""
         return self.read_index(name, query=query).count()
 
+    def read_index_stream(
+        self, name: str, query: str | dict | None = None, schema=None
+    ) -> DataFrame:
+        """Streaming read of a managed index: new parquet files appended to
+        the index path become micro-batches (Structured Streaming file
+        source — the readStream symmetry to the A9 sink). Structured
+        Streaming requires a fixed schema; default = the index's current
+        one. ``query`` compiles to a Column predicate exactly as in
+        read_index, so per-batch filtering inherits pushdown.
+
+        Works with blind-append writes (write_index without id_col);
+        merge-based operations rewrite files in place, which a file stream
+        will not re-read — use the esdocs streaming sink for those."""
+        names = self.resolve_pattern(name)
+        if len(names) != 1:
+            raise ValueError(f"streaming read supports a single index, got {names}")
+        path = self.path(names[0])
+        if schema is None:
+            schema = self.spark.read.parquet(path).schema
+        df = self.spark.readStream.schema(schema).parquet(path)
+        if query is not None:
+            df = df.filter(compile_query(query))
+        return df
+
     def write_bucketed(
         self,
         df: DataFrame,

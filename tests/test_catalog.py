@@ -196,3 +196,35 @@ def test_resolve_pattern_no_match(spark, cat):
     cat.write_index(docs(spark, BASE), "only")
     with pytest.raises(ValueError):
         cat.resolve_pattern("nope-*")
+
+
+def test_read_index_stream_picks_up_appends(spark, cat, tmp_path):
+    cat.write_index(docs(spark, BASE), "streamed")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            cat.read_index_stream("streamed", query={"range": {"n": {"gte": 20}}})
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return {r["k"] for r in spark.read.parquet(out).collect()}
+
+    assert cat.read_index_stream("streamed").isStreaming
+    assert run_once() == {2, 3}  # n>=20 filter applied per batch
+
+    # blind append (no id_col) adds new files; the checkpoint makes the
+    # second availableNow run process ONLY the new file (incremental)
+    cat.write_index(docs(spark, [{"k": 9, "v": "z", "n": 90}]), "streamed")
+    assert run_once() == {2, 3, 9}
+
+
+def test_read_index_stream_rejects_multi(spark, cat):
+    cat.write_index(docs(spark, BASE), "sa")
+    cat.write_index(docs(spark, BASE), "sb")
+    with pytest.raises(ValueError):
+        cat.read_index_stream("s*")
