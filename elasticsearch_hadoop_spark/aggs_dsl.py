@@ -17,7 +17,11 @@ Supported:
   default), ``histogram`` (``interval``), ``date_histogram``
   (``calendar_interval``: minute/hour/day/week/month/quarter/year, or
   ``fixed_interval``: "<n>s/m/h/d"), ``range`` (``ranges`` with ES
-  "from inclusive, to exclusive" semantics and auto "a-b" keys)
+  "from inclusive, to exclusive" semantics and auto "a-b" keys),
+  ``filter`` (query-DSL clause narrowing the subtree — compiled by
+  query_dsl.compile_query, so it inherits pushdown), ``filters``
+  (named query-DSL buckets; overlapping buckets are exact — a doc lands
+  in EVERY matching bucket via a names-array explode, still one shuffle)
 - metric aggs: ``avg sum min max value_count cardinality stats
   percentiles`` — ``cardinality`` compiles to exact ``countDistinct`` by
   default (``"approximate": true`` opts into HLL++ ``approx_count_distinct``,
@@ -25,6 +29,10 @@ Supported:
   ``percentile`` (ES uses t-digest — same caveat, ``"approximate": true``
   switches to ``percentile_approx``)
 - ``doc_count`` is always emitted per bucket, like ES
+- ``top_hits`` (must be the only metric at its level): per-bucket top-N
+  rows — compiles to a row_number window over the bucket-key chain
+  (WindowGroupLimit prunes map-side), emitting ``hit_rank`` + the
+  requested ``_source`` columns instead of aggregate columns
 
 Scale: everything compiles to a single hash aggregation over the bucket-key
 chain (partial+final, one shuffle); ``terms`` ``size`` becomes a
@@ -69,6 +77,7 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     keys: list[tuple[str, Column]] = []  # (output name, key expr)
     metrics: list[Column] = []
     terms_size: int | None = None
+    top_hits: tuple[str, dict] | None = None
 
     level = spec
     depth = 0
@@ -76,6 +85,11 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
         bucket_items = [(n, b) for n, b in level.items() if _bucket_kind(b)]
         metric_items = [(n, b) for n, b in level.items() if not _bucket_kind(b)]
         for name, body in metric_items:
+            if "top_hits" in body:
+                if top_hits is not None or len(metric_items) > 1:
+                    raise AggsDslError("top_hits must be the only metric at its level")
+                top_hits = (name, body["top_hits"])
+                continue
             metrics.extend(_metric(name, body))
         if not bucket_items:
             break
@@ -86,11 +100,32 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             )
         name, body = bucket_items[0]
         kind = _bucket_kind(body)
-        keys.append((name, _bucket_key(kind, body[kind])))
+        if kind == "filter":
+            # narrowing bucket: no key, just a predicate over the subtree
+            df = df.filter(_compile_dsl(body["filter"]))
+        elif kind == "filters":
+            specs = body["filters"]["filters"]
+            if not isinstance(specs, dict):
+                raise AggsDslError("filters.filters must map bucket name -> query")
+            names_arr = F.array(
+                *[F.when(_compile_dsl(q), F.lit(n)) for n, q in specs.items()]
+            )
+            tmp = f"__bucket_{name}"
+            df = df.withColumn(
+                tmp, F.explode(F.filter(names_arr, lambda x: x.isNotNull()))
+            )
+            keys.append((name, F.col(tmp)))
+        else:
+            keys.append((name, _bucket_key(kind, body[kind])))
         if depth == 0 and kind == "terms" and "size" in body[kind]:
             terms_size = int(body[kind]["size"])
         level = body.get("aggs", body.get("aggregations"))
         depth += 1
+
+    if top_hits is not None:
+        if metrics:
+            raise AggsDslError("top_hits must be the only metric at its level")
+        return _top_hits(df, keys, *top_hits)
 
     metrics = [F.count(F.lit(1)).alias("doc_count")] + metrics
     if keys:
@@ -104,8 +139,47 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     return df.agg(*metrics)
 
 
+def _compile_dsl(clause: dict) -> Column:
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    return compile_query(clause)
+
+
+def _top_hits(df: DataFrame, keys: list[tuple[str, Column]], name: str, spec: dict) -> DataFrame:
+    """Per-bucket top-N rows: row_number window over the bucket keys (no
+    keys -> global orderBy+limit, a TakeOrderedAndProject)."""
+    from pyspark.sql import Window
+
+    size = int(spec.get("size", 3))
+    sort_cols = []
+    for s in spec.get("sort", []):
+        ((f, o),) = s.items() if isinstance(s, dict) else ((s, "asc"),)
+        order = o.get("order", "asc") if isinstance(o, dict) else o
+        c = F.col(f)
+        sort_cols.append(c.desc() if str(order).lower() == "desc" else c.asc())
+    if not sort_cols:
+        raise AggsDslError("top_hits requires a sort")
+    source = spec.get("_source")
+
+    key_names = [n for n, _ in keys]
+    out = df
+    for n, expr in keys:
+        out = out.withColumn(n, expr)
+    if keys:
+        w = Window.partitionBy(*key_names).orderBy(*sort_cols)
+        out = out.withColumn("hit_rank", F.row_number().over(w)).filter(
+            F.col("hit_rank") <= size
+        )
+    else:
+        out = out.orderBy(*sort_cols).limit(size).withColumn(
+            "hit_rank", F.lit(None).cast("int")
+        )
+    cols = key_names + (list(source) if source else [c for c in df.columns]) + ["hit_rank"]
+    return out.select(*dict.fromkeys(cols))
+
+
 def _bucket_kind(body: dict) -> str | None:
-    for kind in ("terms", "histogram", "date_histogram", "range"):
+    for kind in ("terms", "histogram", "date_histogram", "range", "filter", "filters"):
         if kind in body:
             return kind
     return None

@@ -172,3 +172,131 @@ def aggs_histogram_percentiles(spark, sf_dir):
         F.round("price_50", 6).alias("price_50"),
         F.round("price_95", 6).alias("price_95"),
     ).orderBy("qty_bucket")
+
+
+@query(
+    "aggs_filters_top_hits",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+       CAST(row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+       ) AS INTEGER) AS hit_rank
+FROM lineitem
+QUALIFY hit_rank <= 2
+ORDER BY l_returnflag, hit_rank
+""",
+)
+def aggs_filters_top_hits(spark, sf_dir):
+    """top_hits metric under a terms bucket: per-returnflag top-2 line items
+    by price, straight from aggs-DSL JSON.  Compiles to a row_number window
+    (WindowGroupLimit prunes each map partition to its local top-2 before
+    the shuffle — same plan the hand-written window_topk_per_group pins)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    out = compile_aggs(
+        li,
+        {
+            "aggs": {
+                "l_returnflag": {
+                    "terms": {"field": "l_returnflag"},
+                    "aggs": {
+                        "hits": {
+                            "top_hits": {
+                                "size": 2,
+                                "sort": [
+                                    {"l_extendedprice": {"order": "desc"}},
+                                    {"l_orderkey": {"order": "asc"}},
+                                    {"l_linenumber": {"order": "asc"}},
+                                ],
+                                "_source": [
+                                    "l_orderkey",
+                                    "l_linenumber",
+                                    "l_extendedprice",
+                                ],
+                            }
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.orderBy("l_returnflag", "hit_rank")
+
+
+@query(
+    "aggs_filters_buckets",
+    oracle="""
+SELECT *
+FROM (
+  SELECT 'finished' AS status, CAST(count(*) AS BIGINT) AS doc_count,
+         round(avg(o_totalprice), 6) AS avg_price
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT 'urgent', CAST(count(*) AS BIGINT), round(avg(o_totalprice), 6)
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+ORDER BY status
+""",
+)
+def aggs_filters_buckets(spark, sf_dir):
+    """`filters` bucket agg: named query-DSL buckets.  Buckets OVERLAP
+    (an urgent finished order is in both) — exact ES semantics via the
+    names-array explode, still a single hash aggregation.  The oracle is
+    the UNION ALL of the per-bucket aggregates."""
+    o = tbl(spark, sf_dir, "orders")
+    out = compile_aggs(
+        o,
+        {
+            "aggs": {
+                "status": {
+                    "filters": {
+                        "filters": {
+                            "finished": {"term": {"o_orderstatus": "F"}},
+                            "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+                        }
+                    },
+                    "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "status", "doc_count", F.round("avg_price", 6).alias("avg_price")
+    ).orderBy("status")
+
+
+@query(
+    "aggs_filter_narrowed",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS total
+FROM events
+WHERE value >= 10.0
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def aggs_filter_narrowed(spark, sf_dir):
+    """`filter` bucket narrowing a nested terms agg (the query-DSL range
+    clause compiles through query_dsl -> pushed to the scan)."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "big": {
+                    "filter": {"range": {"value": {"gte": 10.0}}},
+                    "aggs": {
+                        "event_type": {
+                            "terms": {"field": "event_type"},
+                            "aggs": {"total": {"sum": {"field": "value"}}},
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "event_type", "doc_count", F.round("total", 6).alias("total")
+    ).orderBy("event_type")

@@ -69,3 +69,60 @@ def test_unknown_metric_rejected(ev):
 def test_json_string_and_wrapped_body(ev):
     out = compile_aggs(ev, '{"aggs": {"kinds": {"terms": {"field": "kind"}}}}')
     assert {r.kinds: r.doc_count for r in out.collect()} == {"a": 10, "b": 10}
+
+
+def test_top_hits_requires_sort(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.range(3).withColumnRenamed("id", "x")
+    with pytest.raises(AggsDslError, match="sort"):
+        compile_aggs(df, {"aggs": {"h": {"top_hits": {"size": 1}}}})
+
+
+def test_top_hits_must_be_only_metric(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.range(3).withColumnRenamed("id", "x")
+    spec = {
+        "aggs": {
+            "h": {"top_hits": {"size": 1, "sort": [{"x": {"order": "asc"}}]}},
+            "m": {"avg": {"field": "x"}},
+        }
+    }
+    with pytest.raises(AggsDslError, match="only metric"):
+        compile_aggs(df, spec)
+
+
+def test_global_top_hits_is_order_limit(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(9)], "x int, g int")
+    out = compile_aggs(
+        df,
+        {"aggs": {"h": {"top_hits": {"size": 2, "sort": [{"x": {"order": "desc"}}],
+                                     "_source": ["x"]}}}},
+    )
+    assert [r["x"] for r in out.collect()] == [8, 7]
+
+
+def test_overlapping_filters_count_doc_twice(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.createDataFrame([(1, "a"), (5, "a"), (10, "b")], "v int, s string")
+    out = compile_aggs(
+        df,
+        {
+            "aggs": {
+                "b": {
+                    "filters": {
+                        "filters": {
+                            "all_a": {"term": {"s": "a"}},
+                            "big": {"range": {"v": {"gte": 5}}},
+                        }
+                    }
+                }
+            }
+        },
+    )
+    got = {r["b"]: r["doc_count"] for r in out.collect()}
+    assert got == {"all_a": 2, "big": 2}  # v=5,s=a doc is in BOTH buckets
