@@ -113,6 +113,14 @@ def test_q2_correlated_max_is_window_not_rescan(spark, sf_dir):
     assert count_nodes(plan, "Scan parquet") <= 4  # lineitem once + 3 dims
 
 
+def test_aggs_top_hits_uses_group_limit(spark, sf_dir):
+    # the aggs-DSL top_hits metric must compile to the same pruned-window
+    # plan as the hand-written per-group top-k
+    plan = plan_of(spark, sf_dir, "aggs_filters_top_hits")
+    assert "WindowGroupLimit" in plan
+    assert count_nodes(plan, "Exchange") <= 2
+
+
 def test_q11_scalar_threshold_is_broadcast(spark, sf_dir):
     # HAVING > (scalar subquery): the 1-row threshold must broadcast into
     # the per-supplier aggregate, never a cartesian shuffle
