@@ -116,6 +116,55 @@ class Catalog:
         with open(self._meta_path(name), "w") as f:
             json.dump(meta, f)
 
+    # --------------------------------------------------------------- aliases
+    def _aliases_path(self) -> str:
+        return os.path.join(self.root, "_aliases.json")
+
+    def _read_aliases(self) -> dict[str, list[str]]:
+        try:
+            with open(self._aliases_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_alias(self, alias: str, *indices: str) -> None:
+        """ES alias parity: an alias names one or more indices; reads
+        through the alias union them (exactly like a comma-list resource).
+        Re-pointing an alias is atomic (single JSON rewrite), which is the
+        ES blue/green reindex idiom (`_aliases` swap)."""
+        if not indices:
+            raise ValueError("alias needs at least one index")
+        for n in indices:
+            if not self.exists(n):
+                raise ValueError(f"alias target {n!r} does not exist")
+        aliases = self._read_aliases()
+        aliases[alias] = list(indices)
+        with open(self._aliases_path(), "w") as f:
+            json.dump(aliases, f)
+
+    def delete_alias(self, alias: str) -> None:
+        aliases = self._read_aliases()
+        aliases.pop(alias, None)
+        with open(self._aliases_path(), "w") as f:
+            json.dump(aliases, f)
+
+    def delete_by_query(self, name: str, query: str | dict) -> int:
+        """_delete_by_query parity (the reference's SaveMode.Overwrite path
+        truncates via delete-by-query — RestRepository truncate/delete, per
+        SURVEY.md §3.2). Rewrites the index keeping only non-matching rows;
+        returns the number deleted. One scan + one write, no driver-side
+        row handling."""
+        names = self.resolve_pattern(name)
+        if len(names) != 1:
+            raise ValueError(f"delete_by_query takes a single index, got {names}")
+        (idx,) = names
+        df = self.spark.read.parquet(self.path(idx))
+        pred = compile_query(query)
+        before = df.count()
+        kept = df.filter(~pred | pred.isNull())
+        self._commit(kept, idx, [], replace=True)
+        return before - self.spark.read.parquet(self.path(idx)).count()
+
     # ---------------------------------------------------------------- write
     def write_index(
         self,
@@ -309,16 +358,24 @@ class Catalog:
         return df
 
     def resolve_pattern(self, name: str) -> list[str]:
-        """Expand the comma/wildcard resource syntax to managed index names."""
+        """Expand the comma/wildcard resource syntax to managed index names.
+        An exact part naming an alias expands to the alias's target
+        indices (ES resolves aliases the same way)."""
         import fnmatch
 
+        aliases = self._read_aliases()
         out: list[str] = []
         for part in (p.strip() for p in name.split(",")):
             if not part:
                 continue
-            if "*" in part or "?" in part:
+            if part in aliases:
+                out.extend(t for t in aliases[part] if t not in out)
+            elif "*" in part or "?" in part:
                 matches = sorted(fnmatch.filter(self.list_indices(), part))
                 out.extend(m for m in matches if m not in out)
+            elif not self.exists(part):
+                # ES answers 404 for an unknown exact index/alias name
+                raise ValueError(f"no such index or alias: {part!r}")
             elif part not in out:
                 out.append(part)
         if not out:

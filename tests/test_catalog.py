@@ -228,3 +228,34 @@ def test_read_index_stream_rejects_multi(spark, cat):
     cat.write_index(docs(spark, BASE), "sb")
     with pytest.raises(ValueError):
         cat.read_index_stream("s*")
+
+
+def test_alias_read_and_swap(spark, cat):
+    cat.write_index(docs(spark, BASE), "v1")
+    cat.write_index(docs(spark, [{"k": 7, "v": "g", "n": 70}]), "v2")
+    cat.put_alias("live", "v1")
+    assert cat.read_index("live").count() == 3
+    # blue/green: atomically re-point the alias at the new index
+    cat.put_alias("live", "v2")
+    assert {r.k for r in cat.read_index("live").collect()} == {7}
+    # alias over two indices unions them like a comma list
+    cat.put_alias("live", "v1", "v2")
+    assert cat.read_index("live").count() == 4
+    cat.delete_alias("live")
+    with pytest.raises(ValueError):
+        cat.resolve_pattern("live")
+
+
+def test_alias_requires_existing_target(spark, cat):
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.put_alias("a", "missing-index")
+
+
+def test_delete_by_query(spark, cat):
+    cat.write_index(docs(spark, BASE), "dbq")
+    n = cat.delete_by_query("dbq", {"range": {"n": {"gte": 20}}})
+    assert n == 2
+    assert {r.k for r in cat.read_index("dbq").collect()} == {1}
+    # deleting with a non-matching query is a no-op
+    assert cat.delete_by_query("dbq", {"term": {"v": "zzz"}}) == 0
+    assert cat.read_index("dbq").count() == 1
