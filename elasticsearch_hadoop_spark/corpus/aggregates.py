@@ -419,3 +419,34 @@ def order_by_date_buckets(spark, sf_dir):
 
 # referenced by docstring only; keeps import of TS_FMT_SPARK honest
 _ = TS_FMT_SPARK
+
+
+@query(
+    "sketch_hll_rollup_merge",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+GROUP BY 1
+ORDER BY day
+""",
+)
+def sketch_hll_rollup_merge(spark, sf_dir):
+    """Mergeable-sketch pre-aggregation (operators/sketches.py): per-HOUR
+    HLL sketches of distinct users, merged up to per-day estimates WITHOUT
+    rescanning the raw rows — the 100 TB pattern for "distinct over any
+    time grain".  At this fixture's per-day cardinality the DataSketches
+    HLL is in its sparse (exact) regime, so the estimates hash-match the
+    oracle's exact COUNT(DISTINCT); the statistical-error gates live in
+    tests/test_sketches.py."""
+    from elasticsearch_hadoop_spark.operators.sketches import hll_merge, hll_rollup
+
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    ).withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+    per_hour = hll_rollup(ev, ["day", "hour"], "user_id")
+    return (
+        hll_merge(per_hour, ["day"], out_col="est")
+        .select("day", F.round("est").cast("bigint").alias("distinct_users"))
+        .orderBy("day")
+    )
