@@ -259,3 +259,46 @@ def test_delete_by_query(spark, cat):
     # deleting with a non-matching query is a no-op
     assert cat.delete_by_query("dbq", {"term": {"v": "zzz"}}) == 0
     assert cat.read_index("dbq").count() == 1
+
+
+def test_typed_roundtrip_fidelity(spark, cat):
+    """A4/A6 serialization parity: every §1.2-relevant Spark type survives
+    write_index -> read_index bit-for-bit (timestamps, arrays, structs,
+    binary, nulls) — the reference's write-then-read itest pattern."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField(
+                "loc",
+                T.StructType(
+                    [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
+                ),
+            ),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("maybe", T.StringType()),
+            T.StructField("nested", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        ]
+    )
+    rows = [
+        (1, datetime(2024, 3, 1, 10, 30, 0, 123000), ["a", "b"], (48.85, 2.35),
+         b"\x00\xffpayload", None, [[1, 2], [], [3]]),
+        (2, None, [], (None, 2.0), b"", "present", None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    cat.write_index(df, "typed", id_col="k")
+    got = {r["k"]: r for r in cat.read_index("typed").collect()}
+    assert got[1]["ts"] == rows[0][1]
+    assert got[1]["tags"] == ["a", "b"] and got[2]["tags"] == []
+    assert got[1]["loc"]["lat"] == 48.85 and got[2]["loc"]["lat"] is None
+    assert bytes(got[1]["blob"]) == b"\x00\xffpayload" and bytes(got[2]["blob"]) == b""
+    assert got[1]["maybe"] is None and got[2]["maybe"] == "present"
+    assert got[1]["nested"] == [[1, 2], [], [3]] and got[2]["nested"] is None
+    assert got[2]["ts"] is None
+    # schema itself unchanged (no silent widening/narrowing)
+    assert cat.read_index("typed").schema == schema
