@@ -383,12 +383,19 @@ class Catalog:
         return out
 
     def _read_resolved(self, name: str) -> DataFrame:
+        # mergeSchema: ES dynamic-mapping parity — a blind append may add
+        # fields, and without it Spark takes ONE file's footer (listing-order
+        # dependent: the new column can silently vanish). Cost is one footer
+        # read per file at planning; an index with millions of files should
+        # persist its schema in _meta and pass it explicitly instead.
         names = self.resolve_pattern(name)
         if len(names) == 1:
-            return self.spark.read.parquet(self.path(names[0]))
+            return (
+                self.spark.read.option("mergeSchema", "true").parquet(self.path(names[0]))
+            )
         parts = []
         for n in names:
-            df = self.spark.read.parquet(self.path(n))
+            df = self.spark.read.option("mergeSchema", "true").parquet(self.path(n))
             if "_index" not in df.columns:
                 df = df.withColumn("_index", F.lit(n))
             parts.append(df)

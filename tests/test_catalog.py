@@ -302,3 +302,15 @@ def test_typed_roundtrip_fidelity(spark, cat):
     assert got[2]["ts"] is None
     # schema itself unchanged (no silent widening/narrowing)
     assert cat.read_index("typed").schema == schema
+
+
+def test_blind_append_schema_drift_unions_fields(spark, cat):
+    """ES dynamic-mapping parity: a blind append introducing a new field
+    must surface it on read regardless of parquet file listing order
+    (mergeSchema — without it Spark takes one arbitrary footer)."""
+    cat.write_index(docs(spark, [{"k": 1, "v": "a"}]), "dyn")
+    cat.write_index(docs(spark, [{"k": 2, "v": "b", "extra": 99}]), "dyn")
+    got = cat.read_index("dyn")
+    assert set(got.columns) == {"k", "v", "extra"}
+    by_k = {r.k: r for r in got.collect()}
+    assert by_k[2].extra == 99 and by_k[1].extra is None
