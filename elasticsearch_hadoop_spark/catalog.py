@@ -165,6 +165,51 @@ class Catalog:
         self._commit(kept, idx, [], replace=True)
         return before - self.spark.read.parquet(self.path(idx)).count()
 
+    def update_by_query(
+        self, name: str, query: str | dict, set_exprs: dict[str, Column]
+    ) -> int:
+        """_update_by_query parity: apply ``set_exprs`` (column -> Column
+        expression over the existing row, the painless-script analogue) to
+        every document matching ``query``; returns the match count.  One
+        scan + one rewrite — the non-matching rows pass through untouched,
+        no row-at-a-time path."""
+        names = self.resolve_pattern(name)
+        if len(names) != 1:
+            raise ValueError(f"update_by_query takes a single index, got {names}")
+        (idx,) = names
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.path(idx))
+        pred = compile_query(query)
+        matched = df.filter(pred).count()
+        out = df
+        for col_name, expr in set_exprs.items():
+            out = out.withColumn(
+                col_name, F.when(pred, expr).otherwise(F.col(col_name))
+            )
+        self._commit(out, idx, [], replace=True)
+        return matched
+
+    def reindex(
+        self,
+        source: str,
+        dest: str,
+        query: str | dict | None = None,
+        transform=None,
+        mode: str = "overwrite",
+        id_col: str | None = None,
+    ) -> int:
+        """_reindex parity: copy ``source`` (any resource pattern — comma
+        lists, wildcards, aliases) into ``dest``, optionally filtered by a
+        query-DSL ``query`` and reshaped by ``transform`` (DataFrame ->
+        DataFrame — the ingest-pipeline analogue, A12: transformations are
+        just DataFrame ops pre-write).  Returns the number of documents
+        written.  Composes scan pushdown + the bulk write path; the typical
+        blue/green flow is reindex -> put_alias swap."""
+        df = self.read_index(source, query=query)
+        if transform is not None:
+            df = transform(df)
+        self.write_index(df, dest, mode=mode, id_col=id_col)
+        return self.count_index(dest)
+
     # ---------------------------------------------------------------- write
     def write_index(
         self,

@@ -314,3 +314,33 @@ def test_blind_append_schema_drift_unions_fields(spark, cat):
     assert set(got.columns) == {"k", "v", "extra"}
     by_k = {r.k: r for r in got.collect()}
     assert by_k[2].extra == 99 and by_k[1].extra is None
+
+
+def test_update_by_query(spark, cat):
+    cat.write_index(docs(spark, BASE), "ubq")
+    n = cat.update_by_query(
+        "ubq", {"range": {"n": {"gte": 20}}}, {"n": F.col("n") * 10, "v": F.upper("v")}
+    )
+    assert n == 2
+    got = {r.k: r for r in cat.read_index("ubq").collect()}
+    assert got[1].n == 10 and got[1].v == "a"       # untouched
+    assert got[2].n == 200 and got[2].v == "B"      # updated
+    assert got[3].n == 300 and got[3].v == "C"
+
+
+def test_reindex_with_query_transform_and_alias_swap(spark, cat):
+    cat.write_index(docs(spark, BASE), "src-a")
+    cat.write_index(docs(spark, [{"k": 4, "v": "d", "n": 40}]), "src-b")
+    n = cat.reindex(
+        "src-*",
+        "dst",
+        query={"range": {"n": {"gte": 20}}},
+        transform=lambda df: df.withColumn("n2", F.col("n") * 2),
+        id_col="k",
+    )
+    assert n == 3
+    got = {r.k: r.n2 for r in cat.read_index("dst").collect()}
+    assert got == {2: 40, 3: 60, 4: 80}
+    # blue/green completion: alias swap onto the reindexed copy
+    cat.put_alias("live", "dst")
+    assert cat.count_index("live") == 3

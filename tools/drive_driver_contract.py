@@ -1,7 +1,7 @@
 """Simulate the driver: smoke entry(), then run every queries() entry at
 sf0.01 side-by-side with its oracle_sql() in duckdb, comparing row count,
 sorted-column value hash (rounded doubles), like CORRECTNESS_r{N}.json."""
-import hashlib, json, sys
+import hashlib, json, os, sys
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as e
@@ -19,8 +19,9 @@ df = e.entry(spark)
 rows = df.collect()
 print(f"ENTRY: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
 
-# 2. oracle parity at sf0.01
-SF = "/root/testdata/sf0.01"
+# 2. oracle parity at sf0.01 (override with SPARK_GRAFT_ORACLE_SF_DIR for
+# cross-sf robustness sweeps)
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
