@@ -121,6 +121,26 @@ def test_aggs_top_hits_uses_group_limit(spark, sf_dir):
     assert count_nodes(plan, "Exchange") <= 2
 
 
+def test_lsh_never_cartesians(spark, sf_dir):
+    # the LSH self-join must stay an equi hash join on the band key —
+    # a cartesian/nested-loop candidate generation is O(n²) and fatal
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_brute_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "similarity_topk_brute")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sketch_rollup_merge_two_shuffles(spark, sf_dir):
+    # fine-grain sketch agg + merge agg: exactly the partial/final pairs,
+    # no extra exchanges between the two grains
+    plan = plan_of(spark, sf_dir, "sketch_hll_rollup_merge")
+    assert count_nodes(plan, "Exchange") <= 3  # hour-agg, day-agg, final sort
+
+
 def test_q11_scalar_threshold_is_broadcast(spark, sf_dir):
     # HAVING > (scalar subquery): the 1-row threshold must broadcast into
     # the per-supplier aggregate, never a cartesian shuffle
