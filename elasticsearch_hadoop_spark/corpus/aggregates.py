@@ -435,16 +435,17 @@ def sketch_hll_rollup_merge(spark, sf_dir):
     """Mergeable-sketch pre-aggregation (operators/sketches.py): per-HOUR
     HLL sketches of distinct users, merged up to per-day estimates WITHOUT
     rescanning the raw rows — the 100 TB pattern for "distinct over any
-    time grain".  At this fixture's per-day cardinality the DataSketches
-    HLL is in its sparse (exact) regime, so the estimates hash-match the
-    oracle's exact COUNT(DISTINCT); the statistical-error gates live in
-    tests/test_sketches.py."""
+    time grain".  lgK=14 keeps the DataSketches HLL in its sparse (exact)
+    regime through sf0.1's per-day cardinalities (verified: exact at ~1.4k
+    distinct/day), so the estimates hash-match the oracle's exact
+    COUNT(DISTINCT) at every driver sf; past the sparse regime the
+    statistical-error gates in tests/test_sketches.py take over."""
     from elasticsearch_hadoop_spark.operators.sketches import hll_merge, hll_rollup
 
     ev = tbl(spark, sf_dir, "events").withColumn(
         "hour", F.date_trunc("hour", "ts")
     ).withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
-    per_hour = hll_rollup(ev, ["day", "hour"], "user_id")
+    per_hour = hll_rollup(ev, ["day", "hour"], "user_id", lgk=14)
     return (
         hll_merge(per_hour, ["day"], out_col="est")
         .select("day", F.round("est").cast("bigint").alias("distinct_users"))
