@@ -221,6 +221,7 @@ class Catalog:
         routing_col: str | None = None,
         index_pattern: str | None = None,
         on_match: dict[str, Column] | None = None,
+        max_records_per_file: int | None = None,
     ) -> None:
         """Write ``df`` into index ``name`` (saveToEs parity, SURVEY.md §3.2).
 
@@ -232,7 +233,10 @@ class Catalog:
         insert, ``delete`` = remove matching ``_id``s.  ``on_match`` maps
         column -> Column expression applied to matched rows (scripted-update
         parity, A11): expressions see the existing row's columns plus the
-        incoming row's values prefixed ``_new_``.
+        incoming row's values prefixed ``_new_``.  ``max_records_per_file``
+        bounds output file sizes (the bulk-batch-size analogue at the
+        storage layer; SCALE.md knobs) — essential when a partitionBy key
+        concentrates rows.
         """
         if mode not in VALID_MODES:
             raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
@@ -260,17 +264,21 @@ class Catalog:
 
         if mode == "overwrite" or not existed:
             # truncate-then-write parity; also the create path
-            self._commit(out, name, partition_cols, replace=True)
+            self._commit(out, name, partition_cols, replace=True,
+                         max_records_per_file=max_records_per_file)
         elif operation in ("index", "create", "update", "upsert", "delete"):
             if id_col is None and operation == "index":
                 # plain append, no identity: blind parquet append, no read
                 writer = out.write.mode("append")
+                if max_records_per_file:
+                    writer = writer.option("maxRecordsPerFile", max_records_per_file)
                 if partition_cols:
                     writer = writer.partitionBy(*partition_cols)
                 writer.parquet(target)
             else:
                 merged = self._merge(name, out, operation, on_match)
-                self._commit(merged, name, partition_cols, replace=True)
+                self._commit(merged, name, partition_cols, replace=True,
+                             max_records_per_file=max_records_per_file)
 
         self._write_meta(
             name,
@@ -341,13 +349,20 @@ class Catalog:
         return untouched.unionByName(replacements, allowMissingColumns=True)
 
     def _commit(
-        self, df: DataFrame, name: str, partition_cols: list[str], replace: bool
+        self,
+        df: DataFrame,
+        name: str,
+        partition_cols: list[str],
+        replace: bool,
+        max_records_per_file: int | None = None,
     ) -> None:
         """Write to a temp dir, atomically swap in (single-writer commit).
         Production swaps this for Delta/Iceberg transactional commit."""
         target = self.path(name)
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(tmp)

@@ -17,8 +17,9 @@ Supported clauses (the reference's §2.B algebra + the common ES core):
   ids, match (tokenized, OR/AND operator), match_phrase (substring on the
   analyzed text), match_all, bool (must/filter/should/must_not,
   minimum_should_match=1), fuzzy (levenshtein, AUTO rule), constant_score
-  (scoring wrapper -> inner filter), and the ``?q=field:value`` URI-lite
-  subset.
+  (scoring wrapper -> inner filter), nested (same-element match over
+  array-of-struct via higher-order exists), and the ``?q=field:value``
+  URI-lite subset.
 
 Semantics notes (SURVEY.md §2.C "one real semantic gap"):
 - ``term`` is exact equality (reference `strict` mode).
@@ -41,6 +42,20 @@ from elasticsearch_hadoop_spark.functions.text import analyze_tokens
 
 class QueryDslError(ValueError):
     pass
+
+
+# Field-resolver stack: normally a field name compiles to F.col(name); inside
+# a `nested` clause it resolves against the current array element instead.
+# Spark higher-order-function lambdas are built EAGERLY (the python callable
+# runs once at expression-construction time), so a push/pop around the inner
+# compile is race-free.
+_RESOLVER_STACK: list = []
+
+
+def _resolve(field: str) -> Column:
+    if _RESOLVER_STACK:
+        return _RESOLVER_STACK[-1](field)
+    return F.col(field)
 
 
 def compile_query(query: str | dict[str, Any], id_col: str = "_id") -> Column:
@@ -79,17 +94,17 @@ def _field_value(body: dict[str, Any]) -> tuple[str, Any]:
 
 def _term(body, id_col):
     field, value = _field_value(body)
-    return F.col(field) == F.lit(value)
+    return _resolve(field) == F.lit(value)
 
 
 def _terms(body, id_col):
     (field, values), = body.items()
-    return F.col(field).isin(list(values))
+    return _resolve(field).isin(list(values))
 
 
 def _range(body, id_col):
     (field, bounds), = body.items()
-    col, pred = F.col(field), F.lit(True)
+    col, pred = _resolve(field), F.lit(True)
     ops = {"gt": col.__gt__, "gte": col.__ge__, "lt": col.__lt__, "lte": col.__le__}
     for op, v in bounds.items():
         if op in ("format", "time_zone", "boost"):
@@ -101,12 +116,12 @@ def _range(body, id_col):
 
 
 def _exists(body, id_col):
-    return F.col(body["field"]).isNotNull()
+    return _resolve(body["field"]).isNotNull()
 
 
 def _prefix(body, id_col):
     field, value = _field_value(body)
-    return F.col(field).startswith(str(value))
+    return _resolve(field).startswith(str(value))
 
 
 def _wildcard(body, id_col):
@@ -117,12 +132,12 @@ def _wildcard(body, id_col):
     pattern = "".join(
         ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch) for ch in str(value)
     )
-    return F.col(field).rlike(f"^{pattern}$")
+    return _resolve(field).rlike(f"^{pattern}$")
 
 
 def _regexp(body, id_col):
     field, value = _field_value(body)
-    return F.col(field).rlike(f"^(?:{value})$")  # ES regexp is fully anchored
+    return _resolve(field).rlike(f"^(?:{value})$")  # ES regexp is fully anchored
 
 
 def _ids(body, id_col):
@@ -137,7 +152,7 @@ def _match(body, id_col):
         value = spec.get("query", value)
         operator = spec.get("operator", "or").lower()
     qtokens = F.array_distinct(analyze_tokens(F.lit(str(value))))
-    ftokens = analyze_tokens(F.col(field))
+    ftokens = analyze_tokens(_resolve(field))
     if operator == "and":
         return F.size(F.array_except(qtokens, ftokens)) == 0
     return F.arrays_overlap(ftokens, qtokens)
@@ -149,7 +164,7 @@ def _match_phrase(body, id_col):
         value = value.get("query")
     # analyzed-phrase containment: token-joined needle in token-joined haystack
     needle = F.concat_ws(" ", analyze_tokens(F.lit(str(value))))
-    hay = F.concat_ws(" ", analyze_tokens(F.col(field)))
+    hay = F.concat_ws(" ", analyze_tokens(_resolve(field)))
     return F.concat(F.lit(" "), hay, F.lit(" ")).contains(F.concat(F.lit(" "), needle, F.lit(" ")))
 
 
@@ -173,7 +188,40 @@ def _fuzzy(body, id_col):
         if fuzziness.upper() != "AUTO":
             raise QueryDslError(f"unsupported fuzziness: {fuzziness!r}")
         fuzziness = 0 if len(value) < 3 else (1 if len(value) < 6 else 2)
-    return F.levenshtein(F.col(field), F.lit(value)) <= int(fuzziness)
+    return F.levenshtein(_resolve(field), F.lit(value)) <= int(fuzziness)
+
+
+def _nested(body, id_col):
+    """ES `nested` query over an array-of-struct column: the WHOLE inner
+    query must match the SAME array element (the semantic that
+    distinguishes nested docs from flattened fields).  Compiles to the
+    higher-order `exists(path, x -> inner(x))` — pure Column math, no
+    explode/join, evaluated element-wise inside codegen.
+
+    Inner field names may be path-qualified ("items.price") or bare
+    ("price"); both resolve against the current element."""
+    path = body.get("path")
+    inner = body.get("query")
+    if not path or not inner:
+        raise QueryDslError("nested requires path and query")
+
+    def build(x):
+        prefix = f"{path}."
+
+        def res(f: str) -> Column:
+            leaf = f[len(prefix):] if f.startswith(prefix) else f
+            out = x
+            for part in leaf.split("."):
+                out = out[part]
+            return out
+
+        _RESOLVER_STACK.append(res)
+        try:
+            return _compile_clause(inner, id_col)
+        finally:
+            _RESOLVER_STACK.pop()
+
+    return F.coalesce(F.exists(_resolve(path), build), F.lit(False))
 
 
 def _constant_score(body, id_col):
@@ -323,4 +371,5 @@ _HANDLERS = {
     "bool": _bool,
     "fuzzy": _fuzzy,
     "constant_score": _constant_score,
+    "nested": _nested,
 }

@@ -344,3 +344,11 @@ def test_reindex_with_query_transform_and_alias_swap(spark, cat):
     # blue/green completion: alias swap onto the reindexed copy
     cat.put_alias("live", "dst")
     assert cat.count_index("live") == 3
+
+
+def test_max_records_per_file_bounds_files(spark, cat):
+    df = docs(spark, [{"k": i, "v": str(i), "n": i} for i in range(100)]).coalesce(1)
+    cat.write_index(df, "bounded", mode="overwrite", max_records_per_file=10)
+    files = [f for f in os.listdir(cat.path("bounded")) if f.endswith(".parquet")]
+    assert len(files) >= 10  # 100 rows / <=10 per file
+    assert cat.count_index("bounded") == 100
