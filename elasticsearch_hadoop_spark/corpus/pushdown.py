@@ -234,3 +234,50 @@ def query_dsl_fuzzy(spark, sf_dir):
         }
     }
     return p.filter(compile_query(dsl)).select("p_partkey", "p_brand").orderBy("p_partkey")
+
+
+@query(
+    "query_dsl_nested",
+    oracle="""
+WITH docs AS (
+  SELECT l_orderkey,
+         list(struct_pack(flag := l_returnflag, qty := l_quantity)) AS items
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, CAST(len(items) AS INT) AS n_items
+FROM docs
+WHERE len(list_filter(items, x -> x.flag = 'R' AND x.qty >= 45)) > 0
+ORDER BY l_orderkey
+""",
+)
+def query_dsl_nested(spark, sf_dir):
+    """`nested` clause over an array-of-struct column (built here by
+    rolling lineitem up into per-order item docs — the ES nested-doc
+    shape, §1.2 `nested` -> ArrayType(StructType)).  Both inner predicates
+    must hit the SAME element; a flattened translation would over-match.
+    Compiles to higher-order exists — element-wise in codegen, no
+    explode."""
+    li = tbl(spark, sf_dir, "lineitem")
+    docs = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("qty"))
+        ).alias("items")
+    )
+    dsl = {
+        "nested": {
+            "path": "items",
+            "query": {
+                "bool": {
+                    "must": [
+                        {"term": {"items.flag": "R"}},
+                        {"range": {"items.qty": {"gte": 45}}},
+                    ]
+                }
+            },
+        }
+    }
+    return (
+        docs.filter(compile_query(dsl))
+        .select("l_orderkey", F.size("items").alias("n_items"))
+        .orderBy("l_orderkey")
+    )
