@@ -175,7 +175,12 @@ def match_doc(doc: dict, query: dict) -> bool:
         must_not = [match_doc(doc, q) for q in _aslist(body.get("must_not"))]
         should = [match_doc(doc, q) for q in _aslist(body.get("should"))]
         ok = all(must) and all(filt) and not any(must_not)
-        if should and not (must or filt):
+        # ES: should is optional when must/filter present UNLESS
+        # minimum_should_match forces it (same rule as query_dsl._bool)
+        required = bool(body.get("minimum_should_match")) or not (
+            body.get("must") or body.get("filter")
+        )
+        if should and required:
             ok = ok and any(should)
         return ok
     if kind == "ids":

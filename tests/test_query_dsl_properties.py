@@ -158,3 +158,9 @@ def test_compiler_matches_reference_evaluator(table, q):
     got = {r["_id"] for r in table.filter(compile_query(q)).select("_id").collect()}
     expect = {r["_id"] for r in ROWS if ev(q, r)}
     assert got == expect, f"query {q}: spark={sorted(got)} expect={sorted(expect)}"
+    # three-way: the esdocs datasource's Python-side evaluator implements
+    # the same subset — all three implementations must agree
+    from elasticsearch_hadoop_spark.sources.es_datasource import match_doc
+
+    via_docs = {r["_id"] for r in ROWS if match_doc(r, q)}
+    assert via_docs == expect, f"match_doc diverges on {q}: {sorted(via_docs)}"
