@@ -187,6 +187,48 @@ def sink_index(
     return writer.start()
 
 
+def continuous_aggregate(
+    stream: DataFrame,
+    catalog,
+    dest: str,
+    key_cols: list[str],
+    aggs: dict,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Incrementally-maintained rollup index (the hypertable
+    continuous-aggregate / materialized-view pattern): a streaming
+    aggregation holds the running totals per key; each micro-batch emits
+    the UPDATED totals for keys that changed (update output mode), and
+    foreachBatch upserts exactly those rows into ``dest`` keyed on the
+    group columns.  Reading ``dest`` at any time gives current totals
+    without touching raw data.
+
+    Exactly-once: the aggregation state + batch ids live in the
+    checkpoint; a replayed batch re-upserts the same totals (idempotent).
+    Scale: per-batch work is O(changed keys), dest merge is one hash join
+    on the key — raw events are read once, ever.  Use mergeable aggregates
+    (count/sum/min/max; avg = sum/count at read time)."""
+    agg_df = stream.groupBy(*key_cols).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        keyed = batch_df.withColumn("_cagg_id", F.concat_ws("", *key_cols))
+        catalog.write_index(keyed, dest, operation="upsert", id_col="_cagg_id")
+
+    writer = (
+        agg_df.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batches(
     stream: DataFrame, checkpoint: str, output_mode: str = "update"
 ) -> "list[tuple[int, list]]":

@@ -352,3 +352,13 @@ def test_max_records_per_file_bounds_files(spark, cat):
     files = [f for f in os.listdir(cat.path("bounded")) if f.endswith(".parquet")]
     assert len(files) >= 10  # 100 rows / <=10 per file
     assert cat.count_index("bounded") == 100
+
+
+def test_sort_by_write_preserves_rows(spark, cat):
+    import random
+
+    rng = random.Random(7)
+    rows = [{"k": i, "v": str(i), "n": rng.randint(0, 1000)} for i in range(500)]
+    cat.write_index(docs(spark, rows), "sorted", mode="overwrite", sort_by=["n"])
+    got = as_dicts(cat.read_index("sorted"))
+    assert got == sorted(rows, key=lambda d: d["k"])

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.corpus._util import tbl
 from elasticsearch_hadoop_spark.streaming.pipeline import (
+    EVENTS_SCHEMA,
     dedup_stream,
     run_batches,
     running_user_totals,
@@ -151,3 +152,53 @@ def test_running_user_totals_stateful(spark, sf_dir, events_dir, tmp_path):
         .collect()
     }
     assert last == expect
+
+
+def test_continuous_aggregate_maintains_rollup(spark, sf_dir, events_dir, tmp_path):
+    """Incremental rollup: two micro-batches (maxFilesPerTrigger=1 over two
+    files) upsert running per-type totals into a catalog index; final state
+    equals the batch aggregate, and a checkpointed rerun changes nothing."""
+    import shutil as _sh
+
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus._util import tbl
+    from elasticsearch_hadoop_spark.streaming.pipeline import continuous_aggregate
+
+    # second micro-batch = the same raw file again (duplicate events —
+    # totals must accumulate across batches, proving the merge is
+    # incremental rather than last-batch-wins)
+    _sh.copy(f"{events_dir}/part-000.parquet", f"{events_dir}/part-001.parquet")
+
+    cat = Catalog(spark, str(tmp_path / "caggidx"))
+    ckpt = str(tmp_path / "cagg_ckpt")
+    aggs = {"n": F.count(F.lit(1)), "total": F.sum("value")}
+
+    q = continuous_aggregate(
+        stream_events(spark, events_dir, max_files_per_trigger=1),
+        cat, "rollup", ["event_type"], aggs, ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in cat.read_index("rollup").collect()
+    }
+    expect_df = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    expect = {r["event_type"]: (r["n"], round(r["total"], 6)) for r in expect_df.collect()}
+    assert got == expect
+
+    # exactly-once: rerun with same checkpoint is a no-op
+    q2 = continuous_aggregate(
+        stream_events(spark, events_dir, max_files_per_trigger=1),
+        cat, "rollup", ["event_type"], aggs, ckpt,
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in cat.read_index("rollup").collect()
+    }
+    assert got2 == expect
