@@ -165,6 +165,25 @@ class Catalog:
         self._commit(kept, idx, [], replace=True)
         return before - self.spark.read.parquet(self.path(idx)).count()
 
+    def stats_index(self, name: str) -> dict:
+        """_stats parity: per-index doc count, store size in bytes, field
+        names.  Doc count is answered from parquet footer metadata (the
+        aggregate-pushdown path — no data read), store size from the
+        filesystem; neither scans rows."""
+        out: dict[str, dict] = {}
+        for idx in self.resolve_pattern(name):
+            path = self.path(idx)
+            size = 0
+            for root, _dirs, files in os.walk(path):
+                size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            df = self.spark.read.option("mergeSchema", "true").parquet(path)
+            out[idx] = {
+                "doc_count": df.count(),
+                "store_bytes": size,
+                "fields": df.columns,
+            }
+        return out
+
     def update_by_query(
         self, name: str, query: str | dict, set_exprs: dict[str, Column]
     ) -> int:

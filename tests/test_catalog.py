@@ -362,3 +362,13 @@ def test_sort_by_write_preserves_rows(spark, cat):
     cat.write_index(docs(spark, rows), "sorted", mode="overwrite", sort_by=["n"])
     got = as_dicts(cat.read_index("sorted"))
     assert got == sorted(rows, key=lambda d: d["k"])
+
+
+def test_stats_index(spark, cat):
+    cat.write_index(docs(spark, BASE), "st-a")
+    cat.write_index(docs(spark, [{"k": 4, "v": "d", "n": 40}]), "st-b")
+    stats = cat.stats_index("st-*")
+    assert set(stats) == {"st-a", "st-b"}
+    assert stats["st-a"]["doc_count"] == 3 and stats["st-b"]["doc_count"] == 1
+    assert stats["st-a"]["store_bytes"] > 0
+    assert set(stats["st-a"]["fields"]) == {"k", "v", "n"}
