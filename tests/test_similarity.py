@@ -103,3 +103,21 @@ def test_ivf_cells_partition_the_data(emb):
     assert with_cells.count() == emb.count()
     cells = {r["ivf_cell"] for r in with_cells.select("ivf_cell").distinct().collect()}
     assert cells <= set(range(len(centroids)))
+
+
+def test_ivf_cells_partition_prune_on_disk(emb, spark, tmp_path):
+    """The SCALE.md claim made checkable: with the table written
+    partitionBy(ivf_cell), the nprobe filter becomes partition pruning —
+    the scan plans only the probed cells' directories."""
+    from elasticsearch_hadoop_spark.plans import formatted_plan
+
+    centroids = _centroids(emb)
+    path = str(tmp_path / "ivf_table")
+    assign_ivf_cells(emb, centroids).write.partitionBy("ivf_cell").parquet(path)
+    table = spark.read.parquet(path)
+    probed = table.filter(F.col("ivf_cell").isin([0, 3]))
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
+    # and only the probed cells' rows come back
+    cells = {r["ivf_cell"] for r in probed.select("ivf_cell").distinct().collect()}
+    assert cells <= {0, 3}
