@@ -51,13 +51,16 @@ def test_cosine_zero_vector_is_zero(spark):
     assert got == 0.0
 
 
-def _centroids(emb, n=8):
-    return train_centroids(emb, k=n, iters=4)
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = tbl(spark, sf_dir, "embeddings")
+    df.cache().count()
+    return df
 
 
 @pytest.fixture(scope="module")
-def emb(spark, sf_dir):
-    return tbl(spark, sf_dir, "embeddings")
+def centroids(emb):
+    return train_centroids(emb, k=8, iters=4)
 
 
 def _qvec(emb, vec_id):
@@ -65,12 +68,11 @@ def _qvec(emb, vec_id):
     return [float(x) for x in row[0]]
 
 
-def test_ivf_recall_vs_brute_force(emb):
+def test_ivf_recall_vs_brute_force(emb, centroids):
     """The gate the corpus docstring declares: recall@10 >= 0.8 at the
     corpus configuration (8 Lloyd's-trained cells, nprobe=5), averaged over
     5 queries.  Measured 0.86 on the near-uniform synthetic fixture —
     IVF's worst case."""
-    centroids = _centroids(emb)
     with_cells = assign_ivf_cells(emb, centroids).cache()
     recalls = []
     for qid in (0, 17, 101, 233, 400):
@@ -84,9 +86,8 @@ def test_ivf_recall_vs_brute_force(emb):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
-def test_ivf_full_probe_equals_brute_force(emb):
+def test_ivf_full_probe_equals_brute_force(emb, centroids):
     """nprobe == ncells degenerates to exact search — same ids, same order."""
-    centroids = _centroids(emb)
     with_cells = assign_ivf_cells(emb, centroids)
     q = _qvec(emb, 42)
     exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
@@ -97,21 +98,19 @@ def test_ivf_full_probe_equals_brute_force(emb):
     assert full == exact
 
 
-def test_ivf_cells_partition_the_data(emb):
-    centroids = _centroids(emb)
+def test_ivf_cells_partition_the_data(emb, centroids):
     with_cells = assign_ivf_cells(emb, centroids)
     assert with_cells.count() == emb.count()
     cells = {r["ivf_cell"] for r in with_cells.select("ivf_cell").distinct().collect()}
     assert cells <= set(range(len(centroids)))
 
 
-def test_ivf_cells_partition_prune_on_disk(emb, spark, tmp_path):
+def test_ivf_cells_partition_prune_on_disk(emb, centroids, spark, tmp_path):
     """The SCALE.md claim made checkable: with the table written
     partitionBy(ivf_cell), the nprobe filter becomes partition pruning —
     the scan plans only the probed cells' directories."""
     from elasticsearch_hadoop_spark.plans import formatted_plan
 
-    centroids = _centroids(emb)
     path = str(tmp_path / "ivf_table")
     assign_ivf_cells(emb, centroids).write.partitionBy("ivf_cell").parquet(path)
     table = spark.read.parquet(path)
