@@ -4,8 +4,10 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice (forcing full materialization via collect);
-the min is reported — first run pays JVM/codegen warmup.
+Each query is executed three times (forcing full materialization via
+collect); the min is reported — the first run pays JVM/codegen warmup, and
+best-of-3 absorbs host-level noisy-neighbor variance (observed 2-3x
+machine-wide slowdowns with an idle guest process table).
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ def main() -> None:
     for name in HEADLINE:
         spec = registry[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
