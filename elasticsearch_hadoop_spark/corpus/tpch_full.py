@@ -503,3 +503,33 @@ def skew_salted_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "order_nulls_explicit",
+    oracle="""
+SELECT c_custkey, rev
+FROM (SELECT c_custkey, round(sum(o_totalprice), 2) AS rev
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY c_custkey) t
+ORDER BY rev ASC NULLS FIRST, c_custkey
+""",
+)
+def order_nulls_explicit(spark, sf_dir):
+    """Null-ordering semantics (SURVEY.md §7 step 3 watch item): Spark's
+    ASC default is NULLS FIRST, DuckDB's is NULLS LAST — every sort on a
+    nullable key must say which.  The key here is genuinely nullable
+    (customers with no recent orders aggregate an all-null group -> NULL
+    revenue); both sides pin NULLS FIRST explicitly."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .orderBy(F.col("rev").asc_nulls_first(), F.col("c_custkey"))
+    )
