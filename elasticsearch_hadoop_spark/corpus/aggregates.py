@@ -318,19 +318,21 @@ def agg_filtered_case(spark, sf_dir):
     "agg_collect_set",
     oracle="""
 SELECT n_regionkey AS regionkey,
-       list_sort(list(DISTINCT n_name)) AS nations
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
 FROM nation
 GROUP BY n_regionkey
 ORDER BY regionkey
 """,
 )
 def agg_collect_set(spark, sf_dir):
-    """collect_set with canonical (sorted) ordering so the array hash is
-    deterministic on both sides."""
+    """collect_set with canonical (sorted) ordering, serialized to a CSV
+    string: the driver's pandas canonicalizer cannot hash raw array<T>
+    columns (unhashable list), so both sides emit array_to_string/array_join
+    of the same sorted set — semantics unchanged, hash computable."""
     n = tbl(spark, sf_dir, "nation")
     return (
         n.groupBy(F.col("n_regionkey").alias("regionkey"))
-        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
         .orderBy("regionkey")
     )
 

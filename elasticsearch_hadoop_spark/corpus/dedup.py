@@ -99,7 +99,8 @@ def dedup_exact(spark, sf_dir):
     "dedup_minhash_signatures",
     oracle=f"""
 {_DOC_SHINGLE_CTE}
-SELECT doc_id, [{_SIG_ITEMS}] AS sig
+SELECT doc_id,
+       array_to_string(list_transform([{_SIG_ITEMS}], x -> CAST(x AS VARCHAR)), '-') AS sig
 FROM hs
 WHERE len(h) > 0
 ORDER BY doc_id
@@ -108,11 +109,16 @@ ORDER BY doc_id
 def dedup_minhash_signatures(spark, sf_dir):
     """16-permutation MinHash signatures over 3-gram shingles.  The md5-
     prefix hash + frozen (a,b) constants make the DuckDB oracle reproduce
-    the signature exactly — cross-engine bit-parity for the sketch."""
+    the signature exactly — cross-engine bit-parity for the sketch.
+    Serialized '-'-joined (not array<bigint>): the driver canonicalizer
+    cannot hash raw list cells."""
     d = spread(spark, tbl(spark, sf_dir, "documents"))
     sh = shingles(F.col("text"))
     base = d.select("doc_id", shingle_hashes(sh).alias("h")).filter(F.size("h") > 0)
-    return base.select("doc_id", minhash_signature(F.col("h")).alias("sig")).orderBy("doc_id")
+    return base.select(
+        "doc_id",
+        F.array_join(minhash_signature(F.col("h")).cast("array<string>"), "-").alias("sig"),
+    ).orderBy("doc_id")
 
 
 @query(

@@ -165,7 +165,7 @@ SELECT doc_id,
        list_contains(tokens, 'table') AS has_table,
        list_sort(list_distinct(tokens))[1] AS first_tok,
        CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) AS total_chars,
-       list_sort(list_filter(list_distinct(tokens), t -> length(t) >= 8)) AS long_toks,
+       coalesce(array_to_string(list_sort(list_filter(list_distinct(tokens), t -> length(t) >= 8)), ','), '') AS long_toks,
        array_to_string(list_slice(tokens, 1, 3), ' ') AS head3
 FROM toks
 ORDER BY doc_id
@@ -190,8 +190,9 @@ def fn_array(spark, sf_dir):
                 F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,
             ).alias("total_chars"),
-            F.sort_array(
-                F.filter(F.array_distinct(toks), lambda t: F.length(t) >= 8)
+            F.array_join(
+                F.sort_array(F.filter(F.array_distinct(toks), lambda t: F.length(t) >= 8)),
+                ",",
             ).alias("long_toks"),
             F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"),
         )
