@@ -96,18 +96,42 @@ def agg_distinct_counts(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_rsd
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct = HLL++ — the scale path for ES `cardinality`.
 
-    No DuckDB oracle (different sketch implementation -> different
-    estimates); driver records rows-only. Correct-range behavior is
-    asserted in tests/test_aggregates.py against exact counts.
-    """
+    The raw estimate differs per engine, so it cannot be value-hashed.
+    Instead the query emits a BOUNDS ASSERTION the oracle can check: the
+    exact distinct count (hashable, engine-independent) plus a boolean
+    `within_rsd` that is true iff the HLL estimate lands inside ±5×rsd of
+    exact (rsd=0.02; HLL++ guarantees ~rsd standard error, so 5σ is a
+    deterministic-in-practice margin).  The DuckDB twin asserts TRUE
+    literally — a drifting sketch flips the boolean and fails the hash."""
     li = tbl(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 5 * 0.02 * F.col("exact_parts")
+            ).alias("within_rsd"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -239,14 +263,42 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
-@query("agg_percentile_approx", oracle=None)
+@query(
+    "agg_percentile_approx",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+       TRUE AS within_rank_err
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def agg_percentile_approx(spark, sf_dir):
-    """Sketch percentiles for the 100 TB path (rows-only check; accuracy vs
-    exact asserted in tests)."""
+    """Sketch percentiles for the 100 TB path.  Like agg_approx_distinct,
+    the estimate itself is engine-specific, so the hashed output is the
+    exact p50 plus a bounds assertion: percentile_approx(accuracy=10000)
+    guarantees rank error <= 1/accuracy, so the estimate must lie within
+    the exact [p45, p55] value envelope (a 500× margin).  DuckDB asserts
+    the boolean literally."""
     li = tbl(spark, sf_dir, "lineitem")
+    ps = F.percentile(
+        "l_quantity", F.array(F.lit(0.45), F.lit(0.50), F.lit(0.55))
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_p50_approx"))
+        .agg(
+            ps.alias("__ps"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("__ps")[1], 6).alias("exact_p50"),
+            (
+                (F.col("__approx") >= F.col("__ps")[0])
+                & (F.col("__approx") <= F.col("__ps")[2])
+            ).alias("within_rank_err"),
+        )
         .orderBy("l_returnflag")
     )
 

@@ -533,3 +533,158 @@ def order_nulls_explicit(spark, sf_dir):
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
         .orderBy(F.col("rev").asc_nulls_first(), F.col("c_custkey"))
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4: order-priority checking.  The fixture has no
+    l_commitdate/l_receiptdate, so "late" is adapted to shipped >60 days
+    after the order date (SURVEY.md §2.C subquery surface; same EXISTS →
+    left-semi decorrelation as the reference's Q4 pushdown tests).
+    Scale: the quarter filter is pushed to the orders scan; the semi join
+    shuffles both sides once on orderkey with the non-equi lateness
+    predicate evaluated inside the join — no per-row subplan."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_type = 'PROMO'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: small-quantity-order revenue.  The correlated scalar AVG
+    per part becomes a window AVG over l_partkey AFTER the broadcast join
+    with the filtered part dim — correct because the part filter touches
+    only part attributes, so the joined set still holds every lineitem of
+    each qualifying part.  One broadcast + one shuffle on partkey; no
+    re-executed subquery (the DuckDB oracle keeps the correlated form)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "PROMO")
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 280)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18: large-volume customer (IN over a grouped HAVING).  Spark
+    computes the per-order quantity total ONCE (groupBy orderkey, map-side
+    partial agg) and reuses it as both the IN filter and the output column
+    — the oracle's second sum over the joined rows is identical by
+    construction.  The >280 HAVING leaves a tiny key set, so the join into
+    orders/customer broadcasts the aggregated side; at 100 TB the same
+    plan holds because the HAVING output stays small relative to the
+    fact."""
+    li = tbl(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 280)
+    )
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+SELECT s_name, n_name, s_suppkey
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem, part
+      WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 45)
+ORDER BY s_name
+""",
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20: potential part promotion.  The fixture has no partsupp/
+    ps_availqty, so "excess stock" is adapted to suppliers who shipped >45
+    units of any 'small%' part during 1996 (nested grouped-HAVING IN, the
+    same two-level subquery shape).  Scale: part filter broadcasts into the
+    lineitem scan (prefix LIKE stays JVM-side), the grouped HAVING is one
+    shuffle on (suppkey, partkey), and the surviving supplier keys flow
+    into a left-semi join against the supplier dim."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        s.join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name", "s_suppkey")
+        .orderBy("s_name")
+    )
