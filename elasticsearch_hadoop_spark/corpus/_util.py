@@ -22,13 +22,18 @@ TS_US_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
 def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's parallelism.  The fixture
-    documents/embeddings tables are single small parquet files -> one scan
-    task; CPU-heavy per-row ops (signatures, pairwise verify) would run
-    serially without this.  At 100 TB the scan has thousands of splits and
-    AQE coalesces instead — this is a small-file correction, not a scale
-    crutch (cost: one shuffle of the already-column-pruned rows)."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    """Round-robin repartition to the session's parallelism — but ONLY when
+    the input is under-split.  The fixture documents/embeddings tables are
+    single small parquet files -> one scan task; CPU-heavy per-row ops
+    (signatures, pairwise verify) would run serially without this.  On a
+    real multi-split scan (the 100 TB case: thousands of file splits) the
+    guard makes this a no-op, so no corpus query embeds an unconditional
+    full shuffle of the corpus.  The partition probe plans the scan but
+    launches no job."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
