@@ -158,7 +158,10 @@ class Catalog:
         if len(names) != 1:
             raise ValueError(f"delete_by_query takes a single index, got {names}")
         (idx,) = names
-        df = self.spark.read.parquet(self.path(idx))
+        # mergeSchema like _read_resolved: after a blind append adds a
+        # column, a single-footer read would rewrite the index without the
+        # newer column — silent schema loss on the drift path.
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.path(idx))
         pred = compile_query(query)
         before = df.count()
         kept = df.filter(~pred | pred.isNull())

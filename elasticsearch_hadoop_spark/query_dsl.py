@@ -32,6 +32,7 @@ Semantics notes (SURVEY.md §2.C "one real semantic gap"):
 from __future__ import annotations
 
 import json
+from contextvars import ContextVar
 from typing import Any
 
 from pyspark.sql import Column
@@ -47,14 +48,18 @@ class QueryDslError(ValueError):
 # Field-resolver stack: normally a field name compiles to F.col(name); inside
 # a `nested` clause it resolves against the current array element instead.
 # Spark higher-order-function lambdas are built EAGERLY (the python callable
-# runs once at expression-construction time), so a push/pop around the inner
-# compile is race-free.
-_RESOLVER_STACK: list = []
+# runs once at expression-construction time), so the push/pop brackets the
+# inner compile synchronously — but compile_query may be called from several
+# threads at once (parallel job submission), so the stack lives in a
+# ContextVar holding an immutable tuple: each thread/context sees only its
+# own nesting, and a failed compile cannot leak a resolver into a peer.
+_RESOLVER_STACK: ContextVar[tuple] = ContextVar("es_query_resolver_stack", default=())
 
 
 def _resolve(field: str) -> Column:
-    if _RESOLVER_STACK:
-        return _RESOLVER_STACK[-1](field)
+    stack = _RESOLVER_STACK.get()
+    if stack:
+        return stack[-1](field)
     return F.col(field)
 
 
@@ -215,11 +220,11 @@ def _nested(body, id_col):
                 out = out[part]
             return out
 
-        _RESOLVER_STACK.append(res)
+        token = _RESOLVER_STACK.set(_RESOLVER_STACK.get() + (res,))
         try:
             return _compile_clause(inner, id_col)
         finally:
-            _RESOLVER_STACK.pop()
+            _RESOLVER_STACK.reset(token)
 
     return F.coalesce(F.exists(_resolve(path), build), F.lit(False))
 

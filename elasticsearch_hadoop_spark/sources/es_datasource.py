@@ -186,8 +186,15 @@ def match_doc(doc: dict, query: dict) -> bool:
     if kind == "ids":
         return str(doc.get("_id")) in {str(x) for x in body.get("values", [])}
     field, value = next(iter(body.items()))
-    if isinstance(value, dict) and "value" in value:
-        value = value["value"]
+    match_operator = "or"
+    if isinstance(value, dict):
+        if kind in ("match", "match_phrase"):
+            # full-text clauses spell the needle "query" (not "value") in
+            # dict form, plus an optional operator — mirror query_dsl._match
+            match_operator = str(value.get("operator", "or")).lower()
+            value = value.get("query")
+        elif "value" in value:
+            value = value["value"]
     dv = _doc_get(doc, field)
     if kind == "term":
         return dv == value or str(dv) == str(value)
@@ -217,7 +224,11 @@ def match_doc(doc: dict, query: dict) -> bool:
     if kind == "regexp":
         return dv is not None and re.fullmatch(str(value), str(dv)) is not None
     if kind == "match":
-        return bool(_tokens(dv) & _tokens(value)) if dv is not None else False
+        if dv is None:
+            return False
+        if match_operator == "and":
+            return _tokens(value) <= _tokens(dv)
+        return bool(_tokens(dv) & _tokens(value))
     if kind == "match_phrase":
         return dv is not None and str(value).lower() in str(dv).lower()
     raise ValueError(f"unsupported query clause: {kind}")
@@ -227,6 +238,28 @@ def _aslist(x: Any) -> list:
     if x is None:
         return []
     return x if isinstance(x, list) else [x]
+
+
+_BULK_OPS = ("index", "create", "update", "delete")
+# keys the bulk wire-format allows in an action header's body
+_BULK_HEADER_KEYS = frozenset(
+    {"_id", "_index", "_type", "_routing", "routing", "retry_on_conflict",
+     "version", "version_type", "if_seq_no", "if_primary_term", "pipeline"}
+)
+
+
+def _is_bulk_action(doc: Any) -> bool:
+    """True only for a well-formed action header: a single-key
+    {op: {header keys}} object.  A document that merely has a field named
+    "index"/"create"/... does not qualify."""
+    if not (isinstance(doc, dict) and len(doc) == 1):
+        return False
+    op, body = next(iter(doc.items()))
+    if op not in _BULK_OPS:
+        return False
+    return body is None or (
+        isinstance(body, dict) and set(body) <= _BULK_HEADER_KEYS
+    )
 
 
 # --------------------------------------------------------------------------
@@ -243,9 +276,14 @@ def _filter_ok(doc: dict, f: Filter) -> bool:
         return v is None
     if isinstance(f, IsNotNull):
         return v is not None
+    if isinstance(f, EqualNullSafe):
+        # <=> semantics: null <=> null is TRUE, null <=> literal is FALSE
+        if v is None or f.value is None:
+            return v is None and f.value is None
+        return _cmp_key(v) == _norm(f.value)
     if v is None:
         return False
-    if isinstance(f, (EqualTo, EqualNullSafe)):
+    if isinstance(f, EqualTo):
         return _cmp_key(v) == _norm(f.value)
     if isinstance(f, In):
         return _cmp_key(v) in {_norm(x) for x in f.value}
@@ -346,14 +384,30 @@ class EsDocsReader(DataSourceReader):
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         fields = [f for f in self.schema.fields if f.name != METADATA_COL]
         fname = os.path.basename(partition.path)
+        # Bulk files alternate action header / source line.  Track that
+        # alternation per file: a line parses as an action ONLY if it is a
+        # single-key {op: {header-keys...}} object AND we are not expecting
+        # a source line — so a source document whose first field happens to
+        # be named "index"/"create"/... is never silently dropped, and the
+        # source line FOLLOWING an update action ({"doc": {...}}) unwraps
+        # instead of coercing to an all-null row.
+        pending_op: str | None = None
+        pending_hdr: dict = {}
         with open(partition.path, encoding="utf-8") as fh:
             for lineno, line in enumerate(fh):
                 line = line.strip()
                 if not line:
                     continue
                 doc = json.loads(line)
-                if doc and next(iter(doc)) in ("index", "create", "update", "delete"):
-                    continue  # bulk action line (our own sink's output)
+                if pending_op is None and _is_bulk_action(doc):
+                    op, hdr = next(iter(doc.items()))
+                    if op != "delete":  # delete has no source line
+                        pending_op, pending_hdr = op, hdr or {}
+                    continue
+                hdr, pending_hdr = pending_hdr, {}
+                if pending_op == "update" and isinstance(doc, dict) and set(doc) == {"doc"}:
+                    doc = doc["doc"]
+                pending_op = None
                 if self.query and not match_doc(doc, self.query):
                     continue
                 if not all(_filter_ok(doc, f) for f in self.pushed):
@@ -361,7 +415,9 @@ class EsDocsReader(DataSourceReader):
                 row = tuple(_coerce(doc.get(f.name), f.dataType) for f in fields)
                 if self.with_meta:
                     meta = {
-                        "_id": str(doc.get("_id", f"{fname}#{lineno}")),
+                        "_id": str(
+                            doc.get("_id", hdr.get("_id", f"{fname}#{lineno}"))
+                        ),
                         "_index": self.options.get("index", fname.rsplit(".", 1)[0]),
                     }
                     row = row + (meta,)

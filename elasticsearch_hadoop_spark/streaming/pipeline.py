@@ -216,7 +216,13 @@ def continuous_aggregate(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        keyed = batch_df.withColumn("_cagg_id", F.concat_ws("", *key_cols))
+        # Hash a struct of the keys: concat_ws null-skips, so distinct
+        # tuples like (null, "a") and ("a", null) collide and silently
+        # merge unrelated groups' totals.  to_json keeps field boundaries
+        # and renders nulls explicitly; sha2 bounds the key width.
+        keyed = batch_df.withColumn(
+            "_cagg_id", F.sha2(F.to_json(F.struct(*key_cols)), 256)
+        )
         catalog.write_index(keyed, dest, operation="upsert", id_col="_cagg_id")
 
     writer = (
