@@ -146,3 +146,38 @@ def test_q11_scalar_threshold_is_broadcast(spark, sf_dir):
     # the per-supplier aggregate, never a cartesian shuffle
     plan = plan_of(spark, sf_dir, "q11_important_suppliers")
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1
+
+
+def test_q4_semi_join_keeps_equi_key(spark, sf_dir):
+    # the lateness predicate (shipdate > orderdate + 60d) references both
+    # sides; Catalyst must still extract l_orderkey = o_orderkey as the
+    # hash key — losing it degrades to a nested-loop scan of lineitem
+    plan = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "o_orderdate" in " ".join(pushed_filters(plan))
+
+
+def test_q17_window_not_rescan(spark, sf_dir):
+    # the correlated per-part AVG must be ONE window over the joined rows,
+    # not a second scan+join of lineitem
+    plan = plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+    assert count_nodes(plan, "Window") == 1
+    assert count_nodes(plan, "Scan parquet") == 2  # lineitem once, part once
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_q18_take_ordered_and_single_fact_agg(spark, sf_dir):
+    # per-order totals computed once (one partial/final agg pair over
+    # lineitem), reused for both the HAVING filter and the output column;
+    # top-100 must never global-sort
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customer")
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "Scan parquet") == 3  # lineitem, orders, customer
+
+
+def test_q20_no_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q20_potential_promotion")
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "l_shipdate" in " ".join(pushed_filters(plan))

@@ -1,7 +1,9 @@
 """Simulate the driver: smoke entry(), then run every queries() entry at
 sf0.01 side-by-side with its oracle_sql() in duckdb, comparing row count,
-sorted-column value hash (rounded doubles), like CORRECTNESS_r{N}.json."""
-import hashlib, json, os, sys
+sorted-column value hash (rounded doubles), like CORRECTNESS_r{N}.json.
+Also reports per-query wall time (registration order) so slow entries in
+the driver's graded window stand out."""
+import hashlib, json, os, sys, time
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as e
@@ -42,7 +44,9 @@ def canon(rows, cols):
 
 qs, oracles = e.queries(), e.oracle_sql()
 results = {}
+timings = {}
 for name, fn in qs.items():
+    t0 = time.monotonic()
     try:
         sdf = fn(spark, SF)
         srows = [r.asDict(recursive=True) for r in sdf.collect()]
@@ -60,6 +64,7 @@ for name, fn in qs.items():
             results[name] = ("ROWS_ONLY", len(srows), None)
     except Exception as ex:
         results[name] = ("ERROR", str(ex)[:150], None)
+    timings[name] = time.monotonic() - t0
 
 bad = 0
 vacuous = 0
@@ -77,3 +82,11 @@ print(f"\nTOTAL {len(results)} queries, {bad} failing, "
       f"{sum(1 for v in results.values() if v[0]=='MATCH')} hash-matched, "
       f"{sum(1 for v in results.values() if v[0]=='ROWS_ONLY')} rows-only, "
       f"{vacuous} vacuous")
+order = list(qs)
+first50 = order[:50]
+print(f"first-50 wall time: {sum(timings[n] for n in first50):.1f}s "
+      f"(all {len(order)}: {sum(timings.values()):.1f}s)")
+print("slowest 10 overall:")
+for n in sorted(timings, key=timings.get, reverse=True)[:10]:
+    pos = order.index(n) + 1
+    print(f"  {timings[n]:6.2f}s  #{pos:3d} {n}")
