@@ -21,9 +21,25 @@ from elasticsearch_hadoop_spark.query_dsl import compile_query
 
 STRINGS = ["", "a", "b", "ab", "ba", "aab", "abb", "bab"]
 INTS = [-2, -1, 0, 1, 2, 3]
+# multi-token text for match/match_phrase (same vocabulary both sides; the
+# standard analyzer and the datasource _TOKEN_RE tokenize these identically)
+TEXTS = [
+    "quick brown fox",
+    "quick dog",
+    "brown dog jumps",
+    "fox",
+    "lazy quick brown",
+    "dog fox quick",
+]
 
 ROWS = [
-    {"_id": f"id{i}", "s": s, "i": n, "n": (None if (i % 3 == 0) else i)}
+    {
+        "_id": f"id{i}",
+        "s": s,
+        "i": n,
+        "n": (None if (i % 3 == 0) else i),
+        "t": TEXTS[i % len(TEXTS)],
+    }
     for i, (s, n) in enumerate((s, n) for s in STRINGS for n in INTS)
 ]
 
@@ -31,8 +47,8 @@ ROWS = [
 @pytest.fixture(scope="module")
 def table(spark):
     df = spark.createDataFrame(
-        [(r["_id"], r["s"], r["i"], r["n"]) for r in ROWS],
-        "`_id` string, s string, i int, n int",
+        [(r["_id"], r["s"], r["i"], r["n"], r["t"]) for r in ROWS],
+        "`_id` string, s string, i int, n int, t string",
     )
     df.cache().count()
     return df
@@ -81,6 +97,26 @@ def ev(clause, row):
         return row["_id"] in list(body["values"])
     if kind == "match_all":
         return True
+    if kind == "match":
+        ((f, spec),) = body.items()
+        op = "or"
+        if isinstance(spec, dict):
+            op = str(spec.get("operator", "or")).lower()
+            spec = spec.get("query")
+        qtok = [t for t in re.split(r"[^a-z0-9]+", str(spec).lower()) if t]
+        ftok = [t for t in re.split(r"[^a-z0-9]+", str(row[f]).lower()) if t]
+        if op == "and":
+            return set(qtok) <= set(ftok)
+        return bool(set(qtok) & set(ftok))
+    if kind == "match_phrase":
+        ((f, spec),) = body.items()
+        if isinstance(spec, dict):
+            spec = spec.get("query")
+        qtok = [t for t in re.split(r"[^a-z0-9]+", str(spec).lower()) if t]
+        ftok = [t for t in re.split(r"[^a-z0-9]+", str(row[f]).lower()) if t]
+        needle = " " + " ".join(qtok) + " "
+        hay = " " + " ".join(ftok) + " "
+        return needle in hay
     if kind == "bool":
         as_list = lambda x: [] if x is None else (x if isinstance(x, list) else [x])  # noqa: E731
         if not all(ev(c, row) for c in as_list(body.get("must")) + as_list(body.get("filter"))):
@@ -123,8 +159,23 @@ wildcard_c = st.sampled_from(["*", "a*", "*b", "a?b", "?", "a*b", "ab"]).map(
 ids_c = st.lists(
     st.sampled_from([r["_id"] for r in ROWS[:8]] + ["nope"]), min_size=1, max_size=3
 ).map(lambda vs: {"ids": {"values": vs}})
+m_val = st.sampled_from(
+    ["quick", "fox", "brown dog", "quick fox", "cat", "lazy brown", "dog"]
+)
+match_c = st.one_of(
+    m_val.map(lambda v: {"match": {"t": v}}),
+    m_val.map(lambda v: {"match": {"t": {"query": v}}}),
+    st.tuples(m_val, st.sampled_from(["and", "or"])).map(
+        lambda t: {"match": {"t": {"query": t[0], "operator": t[1]}}}
+    ),
+)
+phrase_c = st.one_of(
+    m_val.map(lambda v: {"match_phrase": {"t": v}}),
+    m_val.map(lambda v: {"match_phrase": {"t": {"query": v}}}),
+)
 leaf = st.one_of(
     term_c, terms_c, range_c, exists_c, prefix_c, wildcard_c, ids_c,
+    match_c, phrase_c,
     st.just({"match_all": {}}),
 )
 
