@@ -167,3 +167,107 @@ def topk_per_group(
     )
     w = Window.partitionBy(group_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (the bucketed ANN alternative to IVF)
+# ---------------------------------------------------------------------------
+
+
+def rp_lsh_planes(num_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 signed-random-projection hyperplanes.
+
+    Entries derive from md5(f"{plane}:{dim_idx}") so any engine (or the
+    DuckDB oracle) given the same literals reproduces the same buckets —
+    the same frozen-constant discipline as the MinHash permutations."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec, planes: list[list[float]]):
+    """Column: bit-packed sign pattern of <vec, plane_p> — the LSH bucket.
+
+    Pure Column math (zip_with product + aggregate sum per plane); the
+    plane matrix enters as ONE nested-array literal (see the IVF planning
+    note above)."""
+    plane_arr = F.lit([[float(x) for x in p] for p in planes])
+    v = vec.cast("array<double>")
+
+    def dot(p):
+        return F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for i in range(len(planes)):
+        bit = (dot(F.get(plane_arr, i)) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def assign_lsh_buckets(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Attach the random-hyperplane bucket id.  At scale: persist the
+    table partitioned/bucketed by this column, exactly like the IVF cell —
+    probing becomes partition pruning."""
+    return embeddings.withColumn(bucket_col, lsh_bucket_expr(F.col(vec_col), planes))
+
+
+def lsh_probe_buckets(
+    query_vec: list[float], planes: list[list[float]], hamming_radius: int = 1
+) -> list[int]:
+    """Buckets within the given Hamming radius of the query's bucket
+    (multiprobe LSH): the query bucket itself plus every single-bit flip
+    for radius 1.  Computed driver-side from the query vector — k+1 ints,
+    never a data pass."""
+    qb = 0
+    for i, p in enumerate(planes):
+        d = sum(x * y for x, y in zip(query_vec, p))
+        if d >= 0:
+            qb |= 1 << i
+    probes = [qb]
+    if hamming_radius >= 1:
+        probes += [qb ^ (1 << i) for i in range(len(planes))]
+    return probes
+
+
+def lsh_topk(
+    embeddings_with_buckets: DataFrame,
+    planes: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    hamming_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Approximate top-k: scan only the multiprobe buckets, exact cosine
+    within them, TakeOrderedAndProject merge.  With a bucket-partitioned
+    table the isin() filter is partition pruning — same scale shape as
+    ivf_topk, trading IVF's trained quantizer for a training-free hash."""
+    probes = lsh_probe_buckets(query_vec, planes, hamming_radius)
+    q = F.lit([float(x) for x in query_vec])
+    return (
+        embeddings_with_buckets.filter(F.col(bucket_col).isin(probes))
+        .select(
+            F.col(id_col),
+            F.col(bucket_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -120,3 +120,89 @@ def test_ivf_cells_partition_prune_on_disk(emb, centroids, spark, tmp_path):
     # and only the probed cells' rows come back
     cells = {r["ivf_cell"] for r in probed.select("ivf_cell").distinct().collect()}
     assert cells <= {0, 3}
+
+
+# ---------------------------------------------------------------- LSH ANN
+
+
+@pytest.fixture(scope="module")
+def lsh_setup(emb):
+    from elasticsearch_hadoop_spark.operators.similarity import (
+        assign_lsh_buckets,
+        rp_lsh_planes,
+    )
+
+    planes = rp_lsh_planes(num_planes=4, dim=64)
+    return planes, assign_lsh_buckets(emb, planes).cache()
+
+
+def test_lsh_recall_vs_brute_force(emb, lsh_setup):
+    """Corpus configuration gate: 4 planes, multiprobe radius 1,
+    recall@10 >= 0.6 averaged over 5 queries on the near-uniform fixture
+    (LSH's worst case — measured 0.8 for the corpus query's vec_id=0)."""
+    from elasticsearch_hadoop_spark.operators.similarity import lsh_topk
+
+    planes, wb = lsh_setup
+    recalls = []
+    for qid in (0, 17, 101, 233, 400):
+        q = _qvec(emb, qid)
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in lsh_topk(wb, planes, q, k=10, hamming_radius=1).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_lsh_probe_scans_fraction(emb, lsh_setup):
+    """Multiprobe radius 1 over 4 planes touches 5 of 16 buckets — the
+    candidate set must stay well under the corpus (the point of bucketing)."""
+    planes, wb = lsh_setup
+    from elasticsearch_hadoop_spark.operators.similarity import lsh_probe_buckets
+
+    probes = lsh_probe_buckets(_qvec(emb, 0), planes, hamming_radius=1)
+    assert len(probes) == 5
+    cand = wb.filter(F.col("lsh_bucket").isin(probes)).count()
+    assert 0 < cand < emb.count() * 0.6, cand
+
+
+def test_lsh_full_radius_equals_brute_force(emb, lsh_setup):
+    """Probing every bucket degenerates to exact search."""
+    from elasticsearch_hadoop_spark.operators.similarity import lsh_topk
+
+    planes, wb = lsh_setup
+    q = _qvec(emb, 42)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    all_buckets = wb  # no filter == all buckets
+    got = [
+        r["vec_id"]
+        for r in all_buckets.select(
+            "vec_id",
+            cosine_similarity(
+                F.col("embedding").cast("array<double>"),
+                F.lit([float(x) for x in q]),
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_lsh_buckets_partition_prune_on_disk(emb, lsh_setup, spark, tmp_path):
+    """Same pruning story as IVF: written partitionBy(lsh_bucket), the
+    probe filter must read only the probed buckets' files."""
+    from elasticsearch_hadoop_spark.operators.similarity import lsh_probe_buckets
+
+    planes, wb = lsh_setup
+    path = str(tmp_path / "lsh_parts")
+    wb.write.partitionBy("lsh_bucket").parquet(path)
+    probes = lsh_probe_buckets(_qvec(emb, 0), planes, hamming_radius=1)
+    df = spark.read.parquet(path).filter(F.col("lsh_bucket").isin(probes))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lsh_bucket" in m.group(1), plan[:1200]
