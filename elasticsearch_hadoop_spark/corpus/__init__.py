@@ -115,6 +115,7 @@ def load_all() -> dict[str, QuerySpec]:
         lateral_ops,
         multimodal,
         pushdown,
+        sampling,
         scalar_functions,
         similarity,
         streaming_batch,

@@ -1,0 +1,95 @@
+"""Sampling/split operator gates: determinism, partition coverage,
+fraction accuracy, per-stratum caps, and the plan properties (split is
+scan-stage Column math with no shuffle; top-n-per-stratum plans as
+WindowGroupLimit)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus._util import tbl
+from elasticsearch_hadoop_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    topn_per_stratum,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = tbl(spark, sf_dir, "documents")
+    df.cache().count()
+    return df
+
+
+def test_split_covers_all_rows_disjointly(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+
+
+def test_split_fractions_approximately_hold(docs):
+    total = docs.count()
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # binomial 3-sigma bounds at n=500: train 400±27, val/test 50±20
+    assert abs(counts["train"] / total - 0.8) < 0.06, counts
+    assert abs(counts["val"] / total - 0.1) < 0.05, counts
+    assert abs(counts["test"] / total - 0.1) < 0.05, counts
+
+
+def test_split_is_deterministic_and_seed_sensitive(docs):
+    a1 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}, seed=1).select("doc_id", "split").collect()}
+    a2 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}, seed=1).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}, seed=2).select("doc_id", "split").collect()}
+    assert a1 == a2
+    assert a1 != b  # a different seed reshuffles assignments
+
+
+def test_split_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 0.8, "test": 0.1})
+
+
+def test_sample_subset_semantics(docs):
+    """A smaller fraction's sample is a SUBSET of a larger one (threshold
+    monotonicity) — lets a pipeline grow its sample without resampling."""
+    small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1, seed=3).select("doc_id").collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.4, seed=3).select("doc_id").collect()}
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_stratified_sample_only_listed_strata(docs):
+    out = hash_sample(
+        docs, "doc_id", {"src0": 1.0, "src1": 0.2}, strata_col="source", seed=3
+    )
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got <= {"src0", "src1"}
+    n_src0 = out.filter(F.col("source") == "src0").count()
+    assert n_src0 == docs.filter(F.col("source") == "src0").count()  # frac 1.0 keeps all
+
+
+def test_topn_caps_every_stratum(docs):
+    out = topn_per_stratum(docs, "lang", 3, "doc_id")
+    per = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert per and all(r["n"] <= 3 for r in per)
+    # strata with >= 3 members must yield exactly 3
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in per}
+    for lang, size in sizes.items():
+        assert got.get(lang, 0) == min(3, size)
+
+
+def test_split_plan_has_no_exchange(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1}).select("doc_id", "split")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, "split must be scan-stage Column math"
+
+
+def test_topn_plans_as_window_group_limit(docs):
+    out = topn_per_stratum(docs, "lang", 3, "doc_id")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "WindowGroupLimit" in plan
