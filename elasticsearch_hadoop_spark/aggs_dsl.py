@@ -33,6 +33,21 @@ Supported:
   rows — compiles to a row_number window over the bucket-key chain
   (WindowGroupLimit prunes map-side), emitting ``hit_rank`` + the
   requested ``_source`` columns instead of aggregate columns
+- pipeline aggregations over the finished buckets (window functions over
+  the flat bucket rows — partitioned by the outer bucket keys, ordered by
+  the key at the pipeline's level):
+  ``derivative`` (metric - lag; NULL for the first bucket, which ES
+  omits), ``cumulative_sum``, ``serial_diff`` (``lag`` param),
+  ``moving_fn``/``moving_avg`` (``window`` trailing buckets INCLUDING the
+  current one; scripts ``MovingFunctions.unweightedAvg/sum/min/max/
+  stdDev``), ``bucket_script`` (arithmetic over ``params``-mapped sibling
+  metrics), ``bucket_selector`` (same expression language, filters
+  buckets); sibling ``avg_bucket``/``sum_bucket``/``min_bucket``/
+  ``max_bucket`` emit the cross-bucket value as a column repeated on every
+  row of their scope (the flat-relational rendering of ES's sibling
+  output).  ``buckets_path`` accepts a sibling metric name, ``_count``
+  (doc_count), multi-value paths like ``s.avg`` (-> ``s_avg`` column),
+  and ``bucket>metric`` (the final path segment resolves the column).
 
 Scale: everything compiles to a single hash aggregation over the bucket-key
 chain (partial+final, one shuffle); ``terms`` ``size`` becomes a
@@ -42,6 +57,7 @@ TakeOrderedAndProject. No collect, no per-bucket queries.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -78,6 +94,8 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     metrics: list[Column] = []
     terms_size: int | None = None
     top_hits: tuple[str, dict] | None = None
+    # (name, kind, spec, level_index): applied over the finished buckets
+    pipelines: list[tuple[str, str, dict, int]] = []
 
     level = spec
     depth = 0
@@ -89,6 +107,14 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
                 if top_hits is not None or len(metric_items) > 1:
                     raise AggsDslError("top_hits must be the only metric at its level")
                 top_hits = (name, body["top_hits"])
+                continue
+            pkind = _pipeline_kind(body)
+            if pkind:
+                # record how many bucket keys are OUTER to this declaration:
+                # a parent pipeline (inside a bucket's aggs) orders by
+                # keys[k-1]; a sibling *_bucket (next to a bucket agg)
+                # aggregates the buckets keyed at index k
+                pipelines.append((name, pkind, body[pkind], len(keys)))
                 continue
             metrics.extend(_metric(name, body))
         if not bucket_items:
@@ -133,9 +159,12 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
         key_names = [name for name, _ in keys]
         if terms_size is not None:
             out = out.orderBy(F.col("doc_count").desc(), *key_names).limit(terms_size)
-        else:
-            out = out.orderBy(*key_names)
-        return out
+        out = _apply_pipelines(out, key_names, pipelines)
+        if terms_size is not None:
+            return out.orderBy(F.col("doc_count").desc(), *key_names)
+        return out.orderBy(*key_names)
+    if pipelines:
+        raise AggsDslError("pipeline aggs need a bucket agg to run over")
     return df.agg(*metrics)
 
 
@@ -176,6 +205,124 @@ def _top_hits(df: DataFrame, keys: list[tuple[str, Column]], name: str, spec: di
         )
     cols = key_names + (list(source) if source else [c for c in df.columns]) + ["hit_rank"]
     return out.select(*dict.fromkeys(cols))
+
+
+_PARENT_PIPELINES = (
+    "derivative", "cumulative_sum", "serial_diff", "moving_fn", "moving_avg",
+    "bucket_script", "bucket_selector",
+)
+_SIBLING_PIPELINES = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+_MOVING_FNS = {
+    "unweightedAvg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+    "stdDev": F.stddev_samp,
+}
+# arithmetic + comparisons/boolean connectives (bucket_selector); no
+# quotes/semicolons/backticks — the expression can only reference the
+# params-substituted bucket columns and literals
+_SCRIPT_OK = re.compile(r"^[\w\s.+\-*/()%,<>=!&|]+$")
+
+
+def _pipeline_kind(body: dict) -> str | None:
+    for kind in _PARENT_PIPELINES + _SIBLING_PIPELINES:
+        if kind in body:
+            return kind
+    return None
+
+
+def _path_col(path: str) -> Column:
+    """Resolve a buckets_path to a bucket-frame column: '_count' ->
+    doc_count; 'bucket>metric' keeps the last segment; multi-value paths
+    like 's.avg' map to the flattened 's_avg' column."""
+    leaf = str(path).split(">")[-1].strip()
+    if leaf == "_count":
+        return F.col("doc_count")
+    return F.col(leaf.replace(".", "_"))
+
+
+def _script_expr(spec: dict) -> Column:
+    """ES bucket_script/bucket_selector arithmetic: substitute
+    params.<name> with the mapped bucket columns, then hand the (checked,
+    arithmetic-only) expression to F.expr."""
+    script = str(spec.get("script", "")).strip()
+    params = spec.get("buckets_path")
+    if not script or not isinstance(params, dict):
+        raise AggsDslError("bucket_script/selector need script + buckets_path map")
+    if not _SCRIPT_OK.match(script.replace("params.", "")):
+        raise AggsDslError(f"unsupported script syntax: {script!r}")
+    for pname, path in params.items():
+        leaf = str(path).split(">")[-1].strip()
+        col = "doc_count" if leaf == "_count" else leaf.replace(".", "_")
+        script = script.replace(f"params.{pname}", f"`{col}`")
+    if "params." in script:
+        raise AggsDslError(f"unmapped params in script: {script!r}")
+    return F.expr(script)
+
+
+def _apply_pipelines(
+    out: DataFrame, key_names: list[str], pipelines: list[tuple[str, str, dict, int]]
+) -> DataFrame:
+    """Run pipeline aggs as window functions over the finished bucket rows.
+
+    A parent pipeline at level d partitions by the outer keys
+    (key_names[:d]) and orders by its own level's key (key_names[d]); a
+    sibling *_bucket at level d aggregates the level-d buckets within the
+    same partition and repeats the value on every row (flat-relational
+    rendering of ES's sibling output).  The frame this runs over is
+    post-aggregation — bucket counts, not fact rows — so these windows
+    never touch the raw table."""
+    from pyspark.sql import Window
+
+    for name, kind, spec, k in pipelines:
+        if kind in _SIBLING_PIPELINES:
+            if k != len(key_names) - 1:
+                raise AggsDslError(
+                    f"sibling pipeline {name!r} must sit beside the innermost bucket agg"
+                )
+            part = key_names[:k]
+            v = _path_col(spec["buckets_path"])
+            agg = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+                   "min_bucket": F.min, "max_bucket": F.max}[kind]
+            ws = Window.partitionBy(*part) if part else Window.partitionBy()
+            out = out.withColumn(name, agg(v).over(ws))
+            continue
+        if k == 0 or k != len(key_names):
+            raise AggsDslError(
+                f"parent pipeline {name!r} must live inside the innermost bucket's aggs"
+            )
+        part, order = key_names[: k - 1], key_names[k - 1]
+        w = (
+            Window.partitionBy(*part).orderBy(order)
+            if part
+            else Window.orderBy(order)
+        )
+        if kind == "derivative":
+            v = _path_col(spec["buckets_path"])
+            out = out.withColumn(name, v - F.lag(v, 1).over(w))
+        elif kind == "serial_diff":
+            v = _path_col(spec["buckets_path"])
+            out = out.withColumn(name, v - F.lag(v, int(spec.get("lag", 1))).over(w))
+        elif kind == "cumulative_sum":
+            v = _path_col(spec["buckets_path"])
+            wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            out = out.withColumn(name, F.sum(v).over(wf))
+        elif kind in ("moving_fn", "moving_avg"):
+            v = _path_col(spec["buckets_path"])
+            n = int(spec.get("window", 5))
+            script = str(spec.get("script", "MovingFunctions.unweightedAvg(values)"))
+            m = re.search(r"MovingFunctions\.(\w+)", script)
+            fn_name = m.group(1) if m else "unweightedAvg"
+            fn = _MOVING_FNS.get(fn_name)
+            if fn is None:
+                raise AggsDslError(f"unsupported moving function {fn_name!r}")
+            wf = w.rowsBetween(-(n - 1), Window.currentRow)
+            out = out.withColumn(name, fn(v).over(wf))
+        elif kind == "bucket_script":
+            out = out.withColumn(name, _script_expr(spec))
+        elif kind == "bucket_selector":
+            out = out.filter(_script_expr(spec).cast("boolean"))
+        else:
+            raise AggsDslError(kind)
+    return out
 
 
 def _bucket_kind(body: dict) -> str | None:

@@ -300,3 +300,125 @@ def aggs_filter_narrowed(spark, sf_dir):
     return out.select(
         "event_type", "doc_count", F.round("total", 6).alias("total")
     ).orderBy("event_type")
+
+
+@query(
+    "aggs_pipeline_derivative",
+    oracle="""
+WITH buckets AS (
+  SELECT date_trunc('day', ts) AS day_ts,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         sum(value) AS rev
+  FROM events
+  GROUP BY 1
+)
+SELECT strftime(day_ts, '%Y-%m-%d %H:%M:%S') AS day,
+       doc_count,
+       round(rev, 6) AS rev,
+       round(rev - lag(rev, 1) OVER (ORDER BY day_ts), 6) AS rev_deriv,
+       round(sum(rev) OVER (ORDER BY day_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rev_cum,
+       round(avg(rev) OVER (ORDER BY day_ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rev_ma3,
+       round(rev / doc_count, 6) AS per_event
+FROM buckets
+WHERE doc_count >= 10
+ORDER BY day
+""",
+)
+def aggs_pipeline_derivative(spark, sf_dir):
+    """ES pipeline aggregations over a date_histogram: derivative,
+    cumulative_sum, moving_fn (window 3 trailing incl. current),
+    bucket_script (per-event revenue), bucket_selector (doc_count >= 10).
+    All compile to window functions over the FINISHED bucket rows — the
+    raw events are aggregated exactly once; the pipeline pass touches
+    only per-day bucket counts (hundreds of rows at any data scale)."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "day": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                    "aggs": {
+                        "rev": {"sum": {"field": "value"}},
+                        "rev_deriv": {"derivative": {"buckets_path": "rev"}},
+                        "rev_cum": {"cumulative_sum": {"buckets_path": "rev"}},
+                        "rev_ma3": {
+                            "moving_fn": {
+                                "buckets_path": "rev",
+                                "window": 3,
+                                "script": "MovingFunctions.unweightedAvg(values)",
+                            }
+                        },
+                        "per_event": {
+                            "bucket_script": {
+                                "buckets_path": {"r": "rev", "n": "_count"},
+                                "script": "params.r / params.n",
+                            }
+                        },
+                        "keep": {
+                            "bucket_selector": {
+                                "buckets_path": {"n": "_count"},
+                                "script": "params.n >= 10",
+                            }
+                        },
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "doc_count",
+        F.round("rev", 6).alias("rev"),
+        F.round("rev_deriv", 6).alias("rev_deriv"),
+        F.round("rev_cum", 6).alias("rev_cum"),
+        F.round("rev_ma3", 6).alias("rev_ma3"),
+        F.round("per_event", 6).alias("per_event"),
+    ).orderBy("day")
+
+
+@query(
+    "aggs_pipeline_sibling",
+    oracle="""
+WITH buckets AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         avg(n_chars) AS chars
+  FROM documents
+  GROUP BY lang
+)
+SELECT lang, doc_count,
+       round(chars, 6) AS chars,
+       round(avg(doc_count) OVER (), 6) AS avg_bucket_count,
+       round(max(chars) OVER (), 6) AS max_bucket_chars
+FROM buckets
+ORDER BY lang
+""",
+)
+def aggs_pipeline_sibling(spark, sf_dir):
+    """Sibling pipeline aggs (avg_bucket / max_bucket beside the terms
+    agg): the cross-bucket value is emitted as a column repeated on every
+    bucket row — the flat-relational rendering of ES's sibling output."""
+    d = tbl(spark, sf_dir, "documents")
+    out = compile_aggs(
+        d,
+        {
+            "aggs": {
+                "lang": {
+                    "terms": {"field": "lang"},
+                    "aggs": {"chars": {"avg": {"field": "n_chars"}}},
+                },
+                "avg_bucket_count": {"avg_bucket": {"buckets_path": "lang>_count"}},
+                "max_bucket_chars": {"max_bucket": {"buckets_path": "lang>chars"}},
+            }
+        },
+    )
+    return out.select(
+        "lang",
+        "doc_count",
+        F.round("chars", 6).alias("chars"),
+        F.round("avg_bucket_count", 6).alias("avg_bucket_count"),
+        F.round("max_bucket_chars", 6).alias("max_bucket_chars"),
+    ).orderBy("lang")

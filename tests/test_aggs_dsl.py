@@ -126,3 +126,152 @@ def test_overlapping_filters_count_doc_twice(spark):
     )
     got = {r["b"]: r["doc_count"] for r in out.collect()}
     assert got == {"all_a": 2, "big": 2}  # v=5,s=a doc is in BOTH buckets
+
+
+def test_pipeline_derivative_and_cumsum(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 40.0), (3, 5.0)], "k int, v double"
+    )
+    out = compile_aggs(
+        df,
+        {
+            "aggs": {
+                "k": {
+                    "terms": {"field": "k"},
+                    "aggs": {
+                        "s": {"sum": {"field": "v"}},
+                        "d": {"derivative": {"buckets_path": "s"}},
+                        "c": {"cumulative_sum": {"buckets_path": "s"}},
+                    },
+                }
+            }
+        },
+    ).orderBy("k")
+    rows = {r["k"]: (r["d"], r["c"]) for r in out.collect()}
+    assert rows[1] == (None, 30.0)  # first bucket: ES omits, we emit NULL
+    assert rows[2] == (10.0, 70.0)
+    assert rows[3] == (-35.0, 75.0)
+
+
+def test_pipeline_bucket_selector_filters_buckets(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    out = compile_aggs(
+        df,
+        {
+            "aggs": {
+                "k": {
+                    "terms": {"field": "k"},
+                    "aggs": {
+                        "keep": {
+                            "bucket_selector": {
+                                "buckets_path": {"n": "_count"},
+                                "script": "params.n >= 2",
+                            }
+                        }
+                    },
+                }
+            }
+        },
+    )
+    assert [r["k"] for r in out.collect()] == [1]
+
+
+def test_pipeline_rejects_quotes_in_script(spark):
+    import pytest as _pytest
+
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with _pytest.raises(AggsDslError, match="script"):
+        compile_aggs(
+            df,
+            {
+                "aggs": {
+                    "k": {
+                        "terms": {"field": "k"},
+                        "aggs": {
+                            "x": {
+                                "bucket_script": {
+                                    "buckets_path": {"n": "_count"},
+                                    "script": "params.n; drop'",
+                                }
+                            }
+                        },
+                    }
+                }
+            },
+        )
+
+
+def test_pipeline_rejects_unmapped_params(spark):
+    import pytest as _pytest
+
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with _pytest.raises(AggsDslError, match="unmapped"):
+        compile_aggs(
+            df,
+            {
+                "aggs": {
+                    "k": {
+                        "terms": {"field": "k"},
+                        "aggs": {
+                            "x": {
+                                "bucket_script": {
+                                    "buckets_path": {"n": "_count"},
+                                    "script": "params.n + params.missing",
+                                }
+                            }
+                        },
+                    }
+                }
+            },
+        )
+
+
+def test_pipeline_requires_bucket_context(spark):
+    import pytest as _pytest
+
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with _pytest.raises(AggsDslError):
+        compile_aggs(
+            df,
+            {"aggs": {"d": {"derivative": {"buckets_path": "doc_count"}}}},
+        )
+
+
+def test_sibling_bucket_partitions_by_outer_keys(spark):
+    """avg_bucket beside an inner terms agg aggregates within each outer
+    bucket, not globally."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 3.0), ("b", 1, 10.0)], "g string, k int, v double"
+    )
+    out = compile_aggs(
+        df,
+        {
+            "aggs": {
+                "g": {
+                    "terms": {"field": "g"},
+                    "aggs": {
+                        "k": {
+                            "terms": {"field": "k"},
+                            "aggs": {"s": {"sum": {"field": "v"}}},
+                        },
+                        "avg_s": {"avg_bucket": {"buckets_path": "k>s"}},
+                    },
+                }
+            }
+        },
+    )
+    rows = {(r["g"], r["k"]): r["avg_s"] for r in out.collect()}
+    assert rows[("a", 1)] == 2.0 and rows[("a", 2)] == 2.0  # (1+3)/2 within g=a
+    assert rows[("b", 1)] == 10.0
