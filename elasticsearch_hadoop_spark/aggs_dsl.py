@@ -21,7 +21,13 @@ Supported:
   ``filter`` (query-DSL clause narrowing the subtree — compiled by
   query_dsl.compile_query, so it inherits pushdown), ``filters``
   (named query-DSL buckets; overlapping buckets are exact — a doc lands
-  in EVERY matching bucket via a names-array explode, still one shuffle)
+  in EVERY matching bucket via a names-array explode, still one shuffle),
+  ``missing`` (docs where the field is null — a narrowing bucket in flat
+  form), ``composite`` (multi-source paginated buckets: sources
+  terms/histogram/date_histogram, key-ascending order, ``after`` resume
+  cursor compiled to a lexicographic tuple filter, ``size`` page limit —
+  a TakeOrderedAndProject, never a full sort; must be the top-level
+  bucket agg, like ES requires)
 - metric aggs: ``avg sum min max value_count cardinality stats
   percentiles`` — ``cardinality`` compiles to exact ``countDistinct`` by
   default (``"approximate": true`` opts into HLL++ ``approx_count_distinct``,
@@ -93,6 +99,7 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     keys: list[tuple[str, Column]] = []  # (output name, key expr)
     metrics: list[Column] = []
     terms_size: int | None = None
+    composite: tuple[int, dict | None] | None = None  # (size, after)
     top_hits: tuple[str, dict] | None = None
     # (name, kind, spec, level_index): applied over the finished buckets
     pipelines: list[tuple[str, str, dict, int]] = []
@@ -126,9 +133,24 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             )
         name, body = bucket_items[0]
         kind = _bucket_kind(body)
-        if kind == "filter":
+        if kind == "composite":
+            if keys or composite is not None:
+                raise AggsDslError("composite must be the only/top-level bucket agg")
+            comp = body["composite"]
+            for src in comp.get("sources", []):
+                ((sname, sbody),) = src.items()
+                skind = _bucket_kind(sbody)
+                if skind not in ("terms", "histogram", "date_histogram"):
+                    raise AggsDslError(f"composite source {sname!r}: {skind}")
+                keys.append((sname, _bucket_key(skind, sbody[skind])))
+            composite = (int(comp.get("size", 10)), comp.get("after"))
+        elif kind == "filter":
             # narrowing bucket: no key, just a predicate over the subtree
             df = df.filter(_compile_dsl(body["filter"]))
+        elif kind == "missing":
+            # ES `missing` bucket: docs where the field is null — a
+            # narrowing bucket in flat form
+            df = df.filter(F.col(body["missing"]["field"]).isNull())
         elif kind == "filters":
             specs = body["filters"]["filters"]
             if not isinstance(specs, dict):
@@ -157,6 +179,14 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     if keys:
         out = df.groupBy(*[expr.alias(name) for name, expr in keys]).agg(*metrics)
         key_names = [name for name, _ in keys]
+        if composite is not None:
+            # composite pagination: key-ascending order, resume strictly
+            # after the `after` key tuple (lexicographic), one page of
+            # `size` buckets — a TakeOrderedAndProject, never a full sort
+            size, after = composite
+            if after:
+                out = out.filter(_after_key_gt(key_names, after))
+            return out.orderBy(*key_names).limit(size)
         if terms_size is not None:
             out = out.orderBy(F.col("doc_count").desc(), *key_names).limit(terms_size)
         out = _apply_pipelines(out, key_names, pipelines)
@@ -326,10 +356,30 @@ def _apply_pipelines(
 
 
 def _bucket_kind(body: dict) -> str | None:
-    for kind in ("terms", "histogram", "date_histogram", "range", "filter", "filters"):
+    for kind in (
+        "terms", "histogram", "date_histogram", "range", "filter", "filters",
+        "composite", "missing",
+    ):
         if kind in body:
             return kind
     return None
+
+
+def _after_key_gt(key_names: list[str], after: dict) -> Column:
+    """Lexicographic (k1..kn) > (a1..an): the composite `after` cursor.
+    Null after-values are not supported (ES encodes them specially)."""
+    cond = None
+    eq_prefix = None
+    for kn in key_names:
+        if kn not in after:
+            raise AggsDslError(f"composite after-key missing source {kn!r}")
+        a = F.lit(after[kn])
+        gt = F.col(kn) > a
+        term = gt if eq_prefix is None else (eq_prefix & gt)
+        cond = term if cond is None else (cond | term)
+        eq = F.col(kn) == a
+        eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
+    return cond
 
 
 def _bucket_key(kind: str, b: dict) -> Column:

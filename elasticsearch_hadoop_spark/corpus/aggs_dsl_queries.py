@@ -422,3 +422,52 @@ def aggs_pipeline_sibling(spark, sf_dir):
         F.round("avg_bucket_count", 6).alias("avg_bucket_count"),
         F.round("max_bucket_chars", 6).alias("max_bucket_chars"),
     ).orderBy("lang")
+
+
+@query(
+    "aggs_composite_page",
+    oracle="""
+SELECT event_type AS etype,
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS total
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+HAVING (event_type, date_trunc('day', ts)) >
+       ('click', TIMESTAMP '2024-01-05 00:00:00')
+ORDER BY etype, date_trunc('day', ts)
+LIMIT 10
+""",
+)
+def aggs_composite_page(spark, sf_dir):
+    """ES composite aggregation: multi-source buckets (terms ×
+    date_histogram), key-ascending, resumed strictly after the
+    ('click', 2024-01-05) cursor, one 10-bucket page.  The after cursor
+    compiles to a lexicographic tuple filter and the page to a
+    TakeOrderedAndProject — pagination over billions of buckets never
+    global-sorts and each page is one aggregation pass."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "page": {
+                    "composite": {
+                        "size": 10,
+                        "sources": [
+                            {"etype": {"terms": {"field": "event_type"}}},
+                            {"day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+                        ],
+                        "after": {"etype": "click", "day": "2024-01-05 00:00:00"},
+                    },
+                    "aggs": {"total": {"sum": {"field": "value"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "etype",
+        F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "doc_count",
+        F.round("total", 6).alias("total"),
+    )

@@ -275,3 +275,65 @@ def test_sibling_bucket_partitions_by_outer_keys(spark):
     rows = {(r["g"], r["k"]): r["avg_s"] for r in out.collect()}
     assert rows[("a", 1)] == 2.0 and rows[("a", 2)] == 2.0  # (1+3)/2 within g=a
     assert rows[("b", 1)] == 10.0
+
+
+def test_composite_pages_are_disjoint_and_ordered(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.createDataFrame(
+        [(g, k) for g in "ab" for k in range(4)], "g string, k int"
+    )
+    spec = {
+        "aggs": {
+            "p": {
+                "composite": {
+                    "size": 3,
+                    "sources": [
+                        {"g": {"terms": {"field": "g"}}},
+                        {"k": {"terms": {"field": "k"}}},
+                    ],
+                }
+            }
+        }
+    }
+    page1 = [(r["g"], r["k"]) for r in compile_aggs(df, spec).collect()]
+    assert page1 == [("a", 0), ("a", 1), ("a", 2)]
+    spec["aggs"]["p"]["composite"]["after"] = {"g": "a", "k": 2}
+    page2 = [(r["g"], r["k"]) for r in compile_aggs(df, spec).collect()]
+    assert page2 == [("a", 3), ("b", 0), ("b", 1)]
+
+
+def test_composite_must_be_top_level(spark):
+    import pytest as _pytest
+
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame([("a", 1)], "g string, k int")
+    with _pytest.raises(AggsDslError, match="composite"):
+        compile_aggs(
+            df,
+            {
+                "aggs": {
+                    "g": {
+                        "terms": {"field": "g"},
+                        "aggs": {
+                            "p": {
+                                "composite": {
+                                    "sources": [{"k": {"terms": {"field": "k"}}}]
+                                }
+                            }
+                        },
+                    }
+                }
+            },
+        )
+
+
+def test_missing_bucket_counts_nulls(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "id int, f string"
+    )
+    out = compile_aggs(df, {"aggs": {"no_f": {"missing": {"field": "f"}}}})
+    assert out.collect()[0]["doc_count"] == 2
