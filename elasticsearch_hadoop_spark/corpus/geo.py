@@ -115,3 +115,54 @@ def geo_bounding_box_search(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+# pentagon vertices (lat, lon) — all latitudes distinct so no edge is
+# horizontal (the ray-cast division is then always well-defined; see
+# geo_polygon_filter's note)
+_POLY = [(0.0, -30.0), (25.0, -10.0), (50.0, -25.0), (40.0, 40.0), (5.0, 35.0)]
+
+
+def _poly_crossing_sql() -> str:
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        yi, xi = _POLY[i]
+        yj, xj = _POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({yi} > lat) != ({yj} > lat))"
+            f" AND lon < ({xj} - {xi}) * (lat - {yi}) / ({yj} - {yi}) + {xi}"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+@query(
+    "geo_polygon_search",
+    oracle=f"""
+WITH pts AS (SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)
+SELECT c_custkey, round(lat, 1) AS lat, round(lon, 1) AS lon
+FROM pts
+WHERE {_poly_crossing_sql()}
+ORDER BY c_custkey
+""",
+)
+def geo_polygon_search(spark, sf_dir):
+    """geo_polygon DSL clause → even-odd ray casting unrolled over the
+    literal vertex list (one codegen expression, no UDF); the oracle
+    recomputes the identical crossing arithmetic in SQL."""
+    pts = _with_coords(spark, sf_dir).withColumn(
+        "loc", F.struct(F.col("lat"), F.col("lon"))
+    )
+    pred = compile_query(
+        {"geo_polygon": {"loc": {"points": [{"lat": la, "lon": lo} for la, lo in _POLY]}}}
+    )
+    return (
+        pts.filter(pred)
+        .select(
+            "c_custkey",
+            F.round("lat", 1).alias("lat"),
+            F.round("lon", 1).alias("lon"),
+        )
+        .orderBy("c_custkey")
+    )

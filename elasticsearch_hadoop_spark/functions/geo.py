@@ -75,3 +75,34 @@ def geo_bounding_box_filter(
     else:  # wraps the antimeridian
         lon_ok = (lon >= float(left)) | (lon <= float(right))
     return lat_ok & lon_ok
+
+
+def geo_polygon_filter(
+    lat: Column, lon: Column, points: list[tuple[float, float]]
+) -> Column:
+    """ES `geo_polygon` query analogue: point-in-polygon by the even-odd
+    (ray casting) rule, unrolled over the literal vertex list — still one
+    codegen expression, no UDF.  ``points`` are (lat, lon) vertices; the
+    polygon closes itself.  Uses planar lon/lat geometry (the same
+    approximation ES's default does for small polygons).
+
+    NOTE: vertices must not repeat a latitude exactly with their edge
+    partner (horizontal edges) — the crossing-test division is then
+    degenerate; perturb such a vertex by an epsilon."""
+    if len(points) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    inside = F.lit(False)
+    n = len(points)
+    for i in range(n):
+        yi, xi = (float(v) for v in points[i])
+        yj, xj = (float(v) for v in points[(i + 1) % n])
+        crosses = (
+            ((F.lit(yi) > lat) != (F.lit(yj) > lat))
+            & (
+                lon
+                < (F.lit(xj) - F.lit(xi)) * (lat - F.lit(yi)) / (F.lit(yj) - F.lit(yi))
+                + F.lit(xi)
+            )
+        )
+        inside = inside != crosses  # boolean != is XOR
+    return inside

@@ -359,9 +359,20 @@ def _geo_bounding_box(body, id_col):
     )
 
 
+def _geo_polygon(body, id_col):
+    """{"geo_polygon": {"<field>": {"points": [pt, ...]}}} — points in any
+    ES geo-point literal form; even-odd ray casting, pure Column math."""
+    from elasticsearch_hadoop_spark.functions.geo import geo_polygon_filter
+
+    (field, spec), = body.items()
+    pts = [_latlon(p) for p in spec["points"]]
+    return geo_polygon_filter(F.col(f"{field}.lat"), F.col(f"{field}.lon"), pts)
+
+
 _HANDLERS = {
     "geo_distance": _geo_distance,
     "geo_bounding_box": _geo_bounding_box,
+    "geo_polygon": _geo_polygon,
     "term": _term,
     "terms": _terms,
     "range": _range,
