@@ -27,7 +27,11 @@ Supported:
   terms/histogram/date_histogram, key-ascending order, ``after`` resume
   cursor compiled to a lexicographic tuple filter, ``size`` page limit —
   a TakeOrderedAndProject, never a full sort; must be the top-level
-  bucket agg, like ES requires)
+  bucket agg, like ES requires), ``significant_terms`` (JLH-scored
+  over-representation of foreground — the frame after preceding
+  filter/missing buckets — vs the background frame; terminal bucket),
+  ``rare_terms`` (long-tail terms with doc_count <= max_doc_count,
+  rarest first; terminal bucket)
 - metric aggs: ``avg sum min max value_count cardinality stats
   percentiles`` — ``cardinality`` compiles to exact ``countDistinct`` by
   default (``"approximate": true`` opts into HLL++ ``approx_count_distinct``,
@@ -104,6 +108,10 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     # (name, kind, spec, level_index): applied over the finished buckets
     pipelines: list[tuple[str, str, dict, int]] = []
 
+    # significant_terms background: the frame as handed in, BEFORE any
+    # filter/missing bucket narrows the foreground
+    df_background = df
+
     level = spec
     depth = 0
     while level:
@@ -133,6 +141,16 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             )
         name, body = bucket_items[0]
         kind = _bucket_kind(body)
+        if kind == "significant_terms":
+            if keys or metrics or body.get("aggs") or body.get("aggregations"):
+                raise AggsDslError(
+                    "significant_terms must be the only, terminal bucket agg"
+                )
+            return _significant_terms(df, df_background, name, body[kind])
+        if kind == "rare_terms":
+            if keys or metrics or body.get("aggs") or body.get("aggregations"):
+                raise AggsDslError("rare_terms must be the only, terminal bucket agg")
+            return _rare_terms(df, name, body[kind])
         if kind == "composite":
             if keys or composite is not None:
                 raise AggsDslError("composite must be the only/top-level bucket agg")
@@ -358,11 +376,62 @@ def _apply_pipelines(
 def _bucket_kind(body: dict) -> str | None:
     for kind in (
         "terms", "histogram", "date_histogram", "range", "filter", "filters",
-        "composite", "missing",
+        "composite", "missing", "significant_terms", "rare_terms",
     ):
         if kind in body:
             return kind
     return None
+
+
+def _significant_terms(
+    fg: DataFrame, bg: DataFrame, name: str, spec: dict
+) -> DataFrame:
+    """ES significant_terms: terms over-represented in the foreground
+    (the frame after preceding filter/missing buckets) vs the background
+    (the frame as given).  JLH score: (fg% - bg%) * (fg% / bg%), ES's
+    default heuristic.  Two aggregations + a join of per-term stats —
+    the term-stat frames are tiny, so the join broadcasts; totals come
+    from window sums over the stat rows, never a second pass over data."""
+    from pyspark.sql import Window
+
+    field, size = spec["field"], int(spec.get("size", 10))
+    wall = Window.partitionBy()
+    fgs = (
+        fg.groupBy(F.col(field).alias(name))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumn("__fg_total", F.sum("doc_count").over(wall))
+    )
+    bgs = (
+        bg.groupBy(F.col(field).alias(name))
+        .agg(F.count(F.lit(1)).alias("bg_count"))
+        .withColumn("__bg_total", F.sum("bg_count").over(wall))
+    )
+    fgp = F.col("doc_count") / F.col("__fg_total")
+    bgp = F.col("bg_count") / F.col("__bg_total")
+    return (
+        fgs.join(bgs, name)
+        .withColumn("score", (fgp - bgp) * (fgp / bgp))
+        .filter(F.col("score") > 0)  # ES only reports over-represented terms
+        .select(name, "doc_count", "bg_count", "score")
+        .orderBy(F.col("score").desc(), name)
+        .limit(size)
+    )
+
+
+def _rare_terms(df: DataFrame, name: str, spec: dict) -> DataFrame:
+    """ES rare_terms: the long tail — terms with doc_count <=
+    max_doc_count, ascending count (rarest first).  One hash aggregation
+    + TakeOrderedAndProject."""
+    field = spec["field"]
+    max_dc = int(spec.get("max_doc_count", 1))
+    size = int(spec.get("size", 100))
+    return (
+        df.groupBy(F.col(field).alias(name))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= max_dc)
+        .orderBy(F.col("doc_count").asc(), name)
+        .limit(size)
+    )
 
 
 def _after_key_gt(key_names: list[str], after: dict) -> Column:

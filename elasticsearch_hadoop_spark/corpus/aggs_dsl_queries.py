@@ -471,3 +471,81 @@ def aggs_composite_page(spark, sf_dir):
         "doc_count",
         F.round("total", 6).alias("total"),
     )
+
+
+@query(
+    "aggs_significant_terms",
+    oracle="""
+WITH fg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS doc_count
+  FROM documents WHERE n_chars > 300 GROUP BY lang
+),
+fgt AS (SELECT sum(doc_count) AS t FROM fg),
+bg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS bg_count
+  FROM documents GROUP BY lang
+),
+bgt AS (SELECT sum(bg_count) AS t FROM bg)
+SELECT lang, doc_count, bg_count,
+       round((doc_count / fgt.t - bg_count / bgt.t)
+             * ((doc_count / fgt.t) / (bg_count / bgt.t)), 6) AS score
+FROM fg JOIN bg USING (lang), fgt, bgt
+WHERE (doc_count / fgt.t - bg_count / bgt.t)
+      * ((doc_count / fgt.t) / (bg_count / bgt.t)) > 0
+ORDER BY score DESC, lang
+LIMIT 5
+""",
+)
+def aggs_significant_terms(spark, sf_dir):
+    """significant_terms with a filter-bucket foreground (long documents)
+    vs the whole-table background, JLH-scored — which languages are
+    over-represented among long docs.  Two tiny term-stat aggregations +
+    a broadcast join; totals by window sum over the stat rows."""
+    d = tbl(spark, sf_dir, "documents")
+    out = compile_aggs(
+        d,
+        {
+            "aggs": {
+                "long_docs": {
+                    "filter": {"range": {"n_chars": {"gt": 300}}},
+                    "aggs": {
+                        "lang": {
+                            "significant_terms": {"field": "lang", "size": 5}
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "lang", "doc_count", "bg_count", F.round("score", 6).alias("score")
+    )
+
+
+@query(
+    "aggs_rare_terms",
+    oracle="""
+SELECT n_chars, CAST(count(*) AS BIGINT) AS doc_count
+FROM documents
+GROUP BY n_chars
+HAVING count(*) <= 2
+ORDER BY doc_count ASC, n_chars
+LIMIT 100
+""",
+)
+def aggs_rare_terms(spark, sf_dir):
+    """rare_terms: the long tail of document lengths — n_chars values
+    carried by at most 2 documents, rarest first (one hash aggregation +
+    TakeOrderedAndProject)."""
+    d = tbl(spark, sf_dir, "documents")
+    out = compile_aggs(
+        d,
+        {
+            "aggs": {
+                "n_chars": {
+                    "rare_terms": {"field": "n_chars", "max_doc_count": 2, "size": 100}
+                }
+            }
+        },
+    )
+    return out

@@ -337,3 +337,57 @@ def test_missing_bucket_counts_nulls(spark):
     )
     out = compile_aggs(df, {"aggs": {"no_f": {"missing": {"field": "f"}}}})
     assert out.collect()[0]["doc_count"] == 2
+
+
+def test_significant_terms_jlh_score(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    # foreground (f=1): a-heavy; background: a and b equal
+    rows = [("a", 1)] * 3 + [("b", 1)] * 1 + [("a", 0)] * 2 + [("b", 0)] * 4
+    df = spark.createDataFrame(rows, "t string, f int")
+    out = compile_aggs(
+        df,
+        {
+            "aggs": {
+                "fg": {
+                    "filter": {"term": {"f": 1}},
+                    "aggs": {"t": {"significant_terms": {"field": "t"}}},
+                }
+            }
+        },
+    )
+    got = {r["t"]: r for r in out.collect()}
+    # 'a': fg 3/4 vs bg 5/10 -> over-represented; 'b': fg 1/4 vs bg 5/10 -> under
+    assert "a" in got and "b" not in got
+    fgp, bgp = 3 / 4, 5 / 10
+    assert got["a"]["score"] == pytest.approx((fgp - bgp) * (fgp / bgp))
+    assert got["a"]["doc_count"] == 3 and got["a"]["bg_count"] == 5
+
+
+def test_significant_terms_must_be_terminal(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame([("a", 1)], "t string, v int")
+    with pytest.raises(AggsDslError):
+        compile_aggs(
+            df,
+            {
+                "aggs": {
+                    "t": {
+                        "significant_terms": {"field": "t"},
+                        "aggs": {"m": {"sum": {"field": "v"}}},
+                    }
+                }
+            },
+        )
+
+
+def test_rare_terms_orders_rarest_first(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    rows = [("x",)] * 1 + [("y",)] * 2 + [("z",)] * 5
+    df = spark.createDataFrame(rows, "t string")
+    out = compile_aggs(
+        df, {"aggs": {"t": {"rare_terms": {"field": "t", "max_doc_count": 2}}}}
+    )
+    assert [(r["t"], r["doc_count"]) for r in out.collect()] == [("x", 1), ("y", 2)]
