@@ -55,6 +55,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elasticsearch_hadoop_spark import txn
 from elasticsearch_hadoop_spark.query_dsl import compile_query
 
 _PATTERN_RE = re.compile(r"\{([A-Za-z0-9_.]+)(\|date:([^}]+))?\}")
@@ -78,11 +79,21 @@ class DocumentMissingError(RuntimeError):
 
 
 class Catalog:
-    """Managed parquet indices under a root directory."""
+    """Managed parquet indices under a root directory.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``transactional=True`` switches the commit layer from the single-writer
+    atomic directory swap to the optimistic-concurrency manifest log in
+    ``txn.py`` (Delta-protocol core: immutable uuid data dirs + O_EXCL
+    version-file claims).  Concurrent blind appends always both land
+    (manifest-union retry, no data rewrite); concurrent merge/upsert/
+    delete_by_query rewrites retry their read-modify-write against the
+    winner's snapshot — ES's server-side concurrent-bulk-writer semantics,
+    re-expressed as a commit protocol (SURVEY.md §2.A A5)."""
+
+    def __init__(self, spark: SparkSession, root: str, transactional: bool = False):
         self.spark = spark
         self.root = root
+        self.transactional = transactional
         os.makedirs(root, exist_ok=True)
 
     # ---------------------------------------------------------------- paths
@@ -158,15 +169,15 @@ class Catalog:
         if len(names) != 1:
             raise ValueError(f"delete_by_query takes a single index, got {names}")
         (idx,) = names
-        # mergeSchema like _read_resolved: after a blind append adds a
-        # column, a single-footer read would rewrite the index without the
-        # newer column — silent schema loss on the drift path.
-        df = self.spark.read.option("mergeSchema", "true").parquet(self.path(idx))
         pred = compile_query(query)
-        before = df.count()
-        kept = df.filter(~pred | pred.isNull())
-        self._commit(kept, idx, [], replace=True)
-        return before - self.spark.read.parquet(self.path(idx)).count()
+        counts: dict[str, int] = {}
+
+        def build(df: DataFrame) -> DataFrame:
+            counts["before"] = df.count()
+            return df.filter(~pred | pred.isNull())
+
+        self._commit_build(idx, [], build)
+        return counts["before"] - self._read_files(idx).count()
 
     def stats_index(self, name: str) -> dict:
         """_stats parity: per-index doc count, store size in bytes, field
@@ -179,7 +190,7 @@ class Catalog:
             size = 0
             for root, _dirs, files in os.walk(path):
                 size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-            df = self.spark.read.option("mergeSchema", "true").parquet(path)
+            df = self._read_files(idx)
             out[idx] = {
                 "doc_count": df.count(),
                 "store_bytes": size,
@@ -199,16 +210,20 @@ class Catalog:
         if len(names) != 1:
             raise ValueError(f"update_by_query takes a single index, got {names}")
         (idx,) = names
-        df = self.spark.read.option("mergeSchema", "true").parquet(self.path(idx))
         pred = compile_query(query)
-        matched = df.filter(pred).count()
-        out = df
-        for col_name, expr in set_exprs.items():
-            out = out.withColumn(
-                col_name, F.when(pred, expr).otherwise(F.col(col_name))
-            )
-        self._commit(out, idx, [], replace=True)
-        return matched
+        counts: dict[str, int] = {}
+
+        def build(df: DataFrame) -> DataFrame:
+            counts["matched"] = df.filter(pred).count()
+            out = df
+            for col_name, expr in set_exprs.items():
+                out = out.withColumn(
+                    col_name, F.when(pred, expr).otherwise(F.col(col_name))
+                )
+            return out
+
+        self._commit_build(idx, [], build)
+        return counts["matched"]
 
     def reindex(
         self,
@@ -293,21 +308,23 @@ class Catalog:
 
         if mode == "overwrite" or not existed:
             # truncate-then-write parity; also the create path
-            self._commit(out, name, partition_cols, replace=True,
-                         max_records_per_file=max_records_per_file)
+            self._commit_build(
+                name, partition_cols, lambda _existing: out,
+                max_records_per_file=max_records_per_file, needs_existing=False,
+            )
         elif operation in ("index", "create", "update", "upsert", "delete"):
             if id_col is None and operation == "index":
-                # plain append, no identity: blind parquet append, no read
-                writer = out.write.mode("append")
-                if max_records_per_file:
-                    writer = writer.option("maxRecordsPerFile", max_records_per_file)
-                if partition_cols:
-                    writer = writer.partitionBy(*partition_cols)
-                writer.parquet(target)
+                # plain append, no identity: blind parquet append, no read.
+                # Transactional mode publishes via manifest-union retry —
+                # concurrent appends both land, no data rewrite on a race.
+                self._append_files(out, name, partition_cols, max_records_per_file)
             else:
-                merged = self._merge(name, out, operation, on_match)
-                self._commit(merged, name, partition_cols, replace=True,
-                             max_records_per_file=max_records_per_file)
+                self._commit_build(
+                    name,
+                    partition_cols,
+                    lambda existing: self._merge(existing, out, operation, on_match),
+                    max_records_per_file=max_records_per_file,
+                )
 
         self._write_meta(
             name,
@@ -321,14 +338,16 @@ class Catalog:
 
     def _merge(
         self,
-        name: str,
+        existing: DataFrame,
         incoming: DataFrame,
         operation: str,
         on_match: dict[str, Column] | None,
     ) -> DataFrame:
         """Hash-join merge on _id.  Incoming batch is usually the small side
-        -> AQE broadcasts it; existing data shuffles at most once on _id."""
-        existing = self.spark.read.parquet(self.path(name))
+        -> AQE broadcasts it; existing data shuffles at most once on _id.
+        ``existing`` is the snapshot the commit layer resolved — under the
+        transactional log a lost race re-invokes this against the winner's
+        snapshot (optimistic MERGE INTO)."""
         # last occurrence wins within the incoming batch (bulk-order parity)
         w_id = incoming
         if operation != "delete":
@@ -377,6 +396,90 @@ class Catalog:
             replacements = w_id
         return untouched.unionByName(replacements, allowMissingColumns=True)
 
+    def _writer(self, df: DataFrame, partition_cols: list[str], max_records_per_file):
+        writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        return writer
+
+    def _commit_build(
+        self,
+        name: str,
+        partition_cols: list[str],
+        build,
+        max_records_per_file: int | None = None,
+        needs_existing: bool = True,
+    ) -> None:
+        """Derive-and-replace commit: ``build(existing_df_or_None)`` returns
+        the index's new full contents.
+
+        Non-transactional: read once, write a temp dir, atomic swap (exactly
+        the old single-writer _commit).  Transactional: write the result to
+        an immutable uuid data dir and claim the next manifest version; if
+        another writer won the race, re-run ``build`` against the winner's
+        snapshot and try again (txn.commit_replace's optimistic loop)."""
+        target = self.path(name)
+        if not self.transactional:
+            existing = (
+                self._read_files(name) if needs_existing and self.exists(name) else None
+            )
+            self._commit(build(existing), name, partition_cols, replace=True,
+                         max_records_per_file=max_records_per_file)
+            return
+        txn.init_log(target)
+        version, dirs = txn.latest(target)
+
+        def produce(dirs_: list[str]) -> str:
+            existing = self._read_dirs(dirs_) if (needs_existing and dirs_) else None
+            out = build(existing)
+            d = txn.new_data_dir(target)
+            self._writer(out, partition_cols, max_records_per_file).parquet(d)
+            return d
+
+        txn.commit_replace(target, version, produce(dirs), recompute=produce)
+
+    def _append_files(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_cols: list[str],
+        max_records_per_file: int | None = None,
+    ) -> None:
+        """Blind append.  Transactional mode writes a complete uuid data dir
+        first, then publishes it with a manifest-union claim — a lost race
+        retries only the (tiny) manifest write, never the data."""
+        target = self.path(name)
+        if not self.transactional:
+            writer = df.write.mode("append")
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", max_records_per_file)
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(target)
+            return
+        txn.init_log(target)
+        d = txn.new_data_dir(target)
+        self._writer(df, partition_cols, max_records_per_file).parquet(d)
+        txn.commit_append(target, d)
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def _read_files(self, idx: str) -> DataFrame:
+        """One resolved index's current contents: the latest manifest's data
+        dirs when the index is transactional, else the plain directory.
+        mergeSchema either way (ES dynamic-mapping drift parity — see
+        _read_resolved)."""
+        path = self.path(idx)
+        if txn.is_transactional(path):
+            _, dirs = txn.latest(path)
+            if not dirs:
+                raise ValueError(f"index {idx!r} has no committed data")
+            return self._read_dirs(dirs)
+        return self.spark.read.option("mergeSchema", "true").parquet(path)
+
     def _commit(
         self,
         df: DataFrame,
@@ -386,7 +489,7 @@ class Catalog:
         max_records_per_file: int | None = None,
     ) -> None:
         """Write to a temp dir, atomically swap in (single-writer commit).
-        Production swaps this for Delta/Iceberg transactional commit."""
+        The transactional path never routes here — see _commit_build."""
         target = self.path(name)
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
@@ -479,12 +582,10 @@ class Catalog:
         # persist its schema in _meta and pass it explicitly instead.
         names = self.resolve_pattern(name)
         if len(names) == 1:
-            return (
-                self.spark.read.option("mergeSchema", "true").parquet(self.path(names[0]))
-            )
+            return self._read_files(names[0])
         parts = []
         for n in names:
-            df = self.spark.read.option("mergeSchema", "true").parquet(self.path(n))
+            df = self._read_files(n)
             if "_index" not in df.columns:
                 df = df.withColumn("_index", F.lit(n))
             parts.append(df)
@@ -509,14 +610,24 @@ class Catalog:
 
         Works with blind-append writes (write_index without id_col);
         merge-based operations rewrite files in place, which a file stream
-        will not re-read — use the esdocs streaming sink for those."""
+        will not re-read — use the esdocs streaming sink for those.
+        Transactional indices stream from the immutable data-dir pool:
+        append data is fully written before its manifest claim and losing
+        append writers retry the claim (never the data), so every file the
+        stream picks up is at most a few milliseconds ahead of its commit."""
         names = self.resolve_pattern(name)
         if len(names) != 1:
             raise ValueError(f"streaming read supports a single index, got {names}")
         path = self.path(names[0])
-        if schema is None:
-            schema = self.spark.read.parquet(path).schema
-        df = self.spark.readStream.schema(schema).parquet(path)
+        if txn.is_transactional(path):
+            if schema is None:
+                schema = self._read_files(names[0]).schema
+            stream_path = os.path.join(path, "_data", "*")
+        else:
+            if schema is None:
+                schema = self.spark.read.parquet(path).schema
+            stream_path = path
+        df = self.spark.readStream.schema(schema).parquet(stream_path)
         if query is not None:
             df = df.filter(compile_query(query))
         return df

@@ -41,6 +41,10 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark 4 refuses outright [PARQUET_TYPE_ILLEGAL]; read it as nanos-long
     (legacy conf, runtime-settable) and floor-convert to micros — the exact
     truncation DuckDB applies, so oracles agree to the microsecond."""
+    # The driver hands corpus queries ITS session; wall-clock <-> string
+    # round-trips are only stable under one tz (session.py pins UTC for our
+    # own sessions — pin it here too, it is runtime-settable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = None
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

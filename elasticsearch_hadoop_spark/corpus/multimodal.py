@@ -52,15 +52,46 @@ def multimodal_metadata(spark, sf_dir):
     )
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle="""
+WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+s AS (
+  SELECT doc_id, CAST(octet_length(p) AS BIGINT) AS n_bytes,
+         coalesce(list_sum(list_transform(range(least(octet_length(p), 16)),
+           j -> (strpos('0123456789abcdef', substr(lower(hex(p)), 2*j+1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(lower(hex(p)), 2*j+2, 1)) - 1))), 0) AS s
+  FROM b)
+SELECT doc_id, n_bytes,
+       CAST(64 + (s % 192) AS INTEGER) AS width,
+       CAST(64 + ((s * 31) % 192) AS INTEGER) AS height,
+       round(CASE WHEN n_bytes = 0 THEN 0.0 ELSE (s % 256) / 255.0 END, 6) AS brightness
+FROM s
+ORDER BY doc_id
+""",
+)
 def multimodal_features(spark, sf_dir):
     """mapInPandas decode/feature pipeline over binary payloads with the
     deterministic fake decoder (real decoders are stubbed —
-    operators/multimodal.py).  Rows-only check: pandas-UDF stage has no SQL
-    twin; determinism is asserted in tests/test_multimodal.py."""
+    operators/multimodal.py).  fake_decode derives width/height/brightness
+    from the sum of the payload's first 16 bytes, which the oracle
+    reproduces byte-for-byte in DuckDB by hex-parsing the blob — so the
+    pandas-UDF stage IS value-hashed end to end (formerly the registry's
+    last rows-only query); exact-bytes determinism is additionally pinned
+    in tests/test_multimodal.py."""
     d = tbl(spark, sf_dir, "documents")
     binary = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return extract_features(binary).orderBy("doc_id")
+    return (
+        extract_features(binary)
+        .select(
+            "doc_id",
+            "n_bytes",
+            "width",
+            "height",
+            F.round("brightness", 6).alias("brightness"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

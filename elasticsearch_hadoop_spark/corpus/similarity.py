@@ -98,16 +98,31 @@ def similarity_topk_per_label(spark, sf_dir):
     ).orderBy("label", "rn")
 
 
-@query("similarity_ivf_topk", oracle=None)
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+SELECT CAST(10 AS BIGINT) AS k_returned,
+       (SELECT round(min(c), 6) FROM (
+          SELECT list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) AS c
+          FROM embeddings ORDER BY c DESC LIMIT 10
+       )) AS kth_exact_cosine,
+       TRUE AS recall_ok
+""",
+)
 def similarity_ivf_topk(spark, sf_dir):
     """IVF-probed approximate top-10: 8 cells from 4 deterministic Lloyd's
     iterations (train_centroids — distributed posexplode/groupBy means, no
-    driver pass), probe the 5 nearest cells.  Rows-only check here (cell
-    argmax ties on ~1e-16 cosine differences make a cross-engine hash
-    brittle); recall >= 0.8 vs the brute-force baseline is asserted in
-    tests/test_similarity.py.  The synthetic embeddings are near-uniform —
-    IVF's worst case; clustered real embeddings allow much lower
-    nprobe/ncells ratios.
+    driver pass), probe the 5 nearest cells.  The raw id list cannot be
+    value-hashed cross-engine (cell argmax ties on ~1e-16 cosine
+    differences), so — like the agg_approx_distinct/percentile sketch
+    promotions — the hashed output is a BOUNDS ASSERTION: the exact
+    brute-force 10th-best cosine (engine-independent, DuckDB recomputes
+    it), the IVF result count, and a boolean `recall_ok` that is true iff
+    >= 8 of the IVF top-10 are in the exact top-10 (the 0.8 recall gate
+    tests/test_similarity.py pins).  A drifting quantizer or probe bug
+    flips the boolean and fails the hash.  The synthetic embeddings are
+    near-uniform — IVF's worst case; clustered real embeddings allow much
+    lower nprobe/ncells ratios.
 
     Scale story: with the table written partitionBy(ivf_cell), the probe
     filter is partition pruning — the scan physically skips the unprobed
@@ -115,8 +130,20 @@ def similarity_ivf_topk(spark, sf_dir):
     e = spread(spark, tbl(spark, sf_dir, "embeddings"))
     centroids = train_centroids(e, k=8, iters=4)
     with_cells = assign_ivf_cells(e, centroids)
-    return ivf_topk(with_cells, centroids, _query_vec(spark, sf_dir), k=10, nprobe=5).select(
-        "vec_id", F.round("cosine", 6).alias("cosine")
+    qv = _query_vec(spark, sf_dir)
+    ivf = ivf_topk(with_cells, centroids, qv, k=10, nprobe=5).select("vec_id", "cosine")
+    brute = brute_force_topk(e, qv, k=10)
+    k_returned = ivf.agg(F.count("*").alias("k_returned"))
+    overlap = ivf.join(brute.select("vec_id"), on="vec_id", how="left_semi").agg(
+        F.count("*").alias("__overlap")
+    )
+    kth = brute.agg(F.round(F.min("cosine"), 6).alias("kth_exact_cosine"))
+    return (
+        k_returned.crossJoin(kth)
+        .crossJoin(overlap)
+        .select(
+            "k_returned", "kth_exact_cosine", (F.col("__overlap") >= 8).alias("recall_ok")
+        )
     )
 
 

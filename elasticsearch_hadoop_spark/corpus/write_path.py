@@ -1,0 +1,363 @@
+"""Write-path round-trip corpus: the ingestion / sink / catalog surfaces
+(SURVEY.md §2.A A4-A9, A11) as driver-gradeable queries.
+
+Every query here WRITES inside its body — to a per-query scratch directory
+wiped at the start of each run — then reads its own output back and returns
+a hashable projection whose DuckDB oracle is expressed over the ORIGINAL
+fixture tables.  That closes the loop the read-only corpus cannot: a wrong
+serialization, a dropped document, a mis-merged upsert, or a broken commit
+shows up as a value-hash mismatch, not just a unit-test failure.
+
+Scale notes: each round trip uses the same code paths the 100 TB design
+documents — blind parquet append (no read-modify-write) for ingestion,
+hash-join merges on ``_id`` for upsert/update (incoming batch broadcast by
+AQE), ``partitionBy(_index)`` for dynamic routing (per-index reads are
+partition-pruned), and the checkpoint+marker exactly-once protocol for the
+streaming sink.  The esdocs NDJSON reader is the documented row-at-a-time
+interchange path (API parity with the reference's scroll reader —
+sources/es_datasource.py), exercised here over the small documents/events
+fixtures only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.catalog import Catalog
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import TS_FMT_DUCK, TS_FMT_SPARK, tbl
+
+
+def _workdir(sf_dir: str, name: str) -> str:
+    """Fresh scratch dir, stable per (query, fixture-scale) so concurrent
+    test/driver runs at different SFs never collide; wiped on entry so the
+    returned DataFrame always reads THIS run's output (the read is lazy —
+    the directory must outlive the query function)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), "ehs_writepath", f"{name}-{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+_EPOCH_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+@query(
+    "writepath_json_ingest",
+    oracle=f"""
+SELECT doc_id, lang, n_chars, md5(text) AS payload_md5,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR,
+                '{TS_FMT_DUCK}') AS created_s
+FROM documents
+ORDER BY doc_id
+""",
+)
+def writepath_json_ingest(spark, sf_dir):
+    """NDJSON ingestion round trip (A4/A8, sources/json_docs.py): write the
+    documents table as newline-delimited JSON — binary payload as base64,
+    the `created` date as ISO string for odd ids and epoch-millis for even
+    ids (the per-document wire leniency the reference's DateUtils allows) —
+    then read it back through the ES-mapping-typed reader and hash the
+    decoded payload + parsed timestamps against the source table."""
+    d = _workdir(sf_dir, "json_ingest")
+    docs = tbl(spark, sf_dir, "documents")
+    created = F.timestamp_millis(
+        (F.lit(_EPOCH_2024) + F.col("doc_id") * 3600) * 1000
+    )
+    wire = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),  # JSON writer -> base64
+        F.when(
+            F.col("doc_id") % 2 == 1, F.date_format(created, TS_FMT_SPARK)
+        )
+        .otherwise(((F.lit(_EPOCH_2024) + F.col("doc_id") * 3600) * 1000).cast("string"))
+        .alias("created"),
+    )
+    wire.write.mode("overwrite").json(d)
+
+    from elasticsearch_hadoop_spark.sources.json_docs import read_json_docs
+
+    mapping = {
+        "properties": {
+            "doc_id": {"type": "long"},
+            "lang": {"type": "keyword"},
+            "n_chars": {"type": "integer"},
+            "payload": {"type": "binary"},
+            "created": {"type": "date"},
+        }
+    }
+    back = read_json_docs(spark, d, mapping=mapping)
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5("payload").alias("payload_md5"),
+        F.date_format("created", TS_FMT_SPARK).alias("created_s"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "writepath_esdocs_roundtrip",
+    oracle="""
+SELECT doc_id, lang, n_chars, CAST(doc_id AS VARCHAR) AS id
+FROM documents
+WHERE n_chars >= 200 AND lang <> 'de'
+ORDER BY doc_id
+""",
+)
+def writepath_esdocs_roundtrip(spark, sf_dir):
+    """esdocs DataSource round trip (A1-A7, sources/es_datasource.py): bulk
+    NDJSON sink with `mapping.id` extraction, read back with the ES-mapping
+    schema, §2.B filter pushdown into the reader, and `_metadata._id`
+    recovered from the bulk action lines."""
+    from elasticsearch_hadoop_spark.sources.es_datasource import (
+        read_docs,
+        register,
+        write_docs,
+    )
+
+    out = _workdir(sf_dir, "esdocs_rt")
+    register(spark)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    write_docs(docs, out, mode="overwrite", **{"mapping.id": "doc_id"})
+
+    mapping = {
+        "properties": {
+            "doc_id": {"type": "long"},
+            "lang": {"type": "keyword"},
+            "source": {"type": "keyword"},
+            "n_chars": {"type": "integer"},
+        }
+    }
+    back = read_docs(spark, out, mapping, **{"read.metadata": "true"})
+    return (
+        back.filter((F.col("n_chars") >= 200) & (F.col("lang") != "de"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.col("_metadata")["_id"].alias("id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "writepath_sink_upsert",
+    oracle="""
+WITH updated AS (
+  SELECT c_custkey, c_name,
+         c_acctbal + (CASE WHEN c_custkey % 3 = 0 THEN 1000 ELSE 0 END)
+                   + (CASE WHEN c_custkey % 5 = 0 THEN 500 ELSE 0 END) AS bal
+  FROM customer
+), inserted AS (
+  SELECT c_custkey + 1000000 AS c_custkey, concat('new-', c_name) AS c_name,
+         c_acctbal AS bal
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, c_name, round(bal, 2) AS c_acctbal
+FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
+ORDER BY c_custkey
+""",
+)
+def writepath_sink_upsert(spark, sf_dir):
+    """Batch sink merge ops round trip (A5/A11, catalog.write_index/_merge):
+    seed the index from customer, upsert a batch that replaces every
+    custkey%3 row (acctbal+1000) and inserts custkey%10 clones under new
+    ids, then a scripted update (`on_match` Column expressions over the
+    existing row + `_new_` incoming values — painless-script parity) adds
+    500 to every custkey%5 row.  The merges are _id hash joins; the small
+    incoming batches are AQE-broadcast."""
+    root = _workdir(sf_dir, "sink_upsert")
+    cat = Catalog(spark, root)
+    cust = tbl(spark, sf_dir, "customer")
+
+    cat.write_index(cust, "cust", mode="overwrite", id_col="c_custkey")
+
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_name", F.concat(F.lit("new-"), F.col("c_name")))
+    )
+    cat.write_index(
+        updates.unionByName(inserts), "cust", operation="upsert", id_col="c_custkey"
+    )
+
+    delta = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", F.lit(500.0).alias("delta")
+    )
+    cat.write_index(
+        delta,
+        "cust",
+        operation="update",
+        id_col="c_custkey",
+        on_match={"c_acctbal": F.col("c_acctbal") + F.col("_new_delta")},
+    )
+
+    return (
+        cat.read_index("cust")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "writepath_dynamic_routing",
+    oracle=f"""
+SELECT concat('ev-', event_type, '-', strftime(ts, '%Y-%m')) AS idx,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY idx
+ORDER BY idx
+""",
+)
+def writepath_dynamic_routing(spark, sf_dir):
+    """Dynamic index routing round trip (A7, catalog.format_index_pattern):
+    write events with index_pattern "ev-{event_type}-{ts|date:yyyy-MM}" —
+    field substitution + SimpleDateFormat-style date formatting — which
+    lands as partitionBy(_index) Hive layout (per-index reads are partition
+    pruning at scale), then read back and aggregate per routed index."""
+    root = _workdir(sf_dir, "dyn_routing")
+    cat = Catalog(spark, root)
+    ev = tbl(spark, sf_dir, "events")
+    cat.write_index(
+        ev, "ev", mode="overwrite", index_pattern="ev-{event_type}-{ts|date:yyyy-MM}"
+    )
+    return (
+        cat.read_index("ev", metadata=True)
+        .groupBy(F.col("_index").alias("idx"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("idx")
+    )
+
+
+@query(
+    "writepath_delete_update_by_query",
+    oracle="""
+SELECT doc_id, lang,
+       n_chars + (CASE WHEN lang = 'en' THEN 1000 ELSE 0 END) AS n_chars
+FROM documents
+WHERE n_chars >= 200
+ORDER BY doc_id
+""",
+)
+def writepath_delete_update_by_query(spark, sf_dir):
+    """Catalog maintenance ops round trip (catalog.delete_by_query /
+    update_by_query): seed from documents, delete every doc with
+    n_chars < 200 via a range query-DSL clause, then a scripted
+    update_by_query adds 1000 to n_chars of every English doc.  Both ops
+    are one-scan-one-rewrite (no row-at-a-time path); the read-back hashes
+    the surviving, mutated rows."""
+    root = _workdir(sf_dir, "del_upd")
+    cat = Catalog(spark, root)
+    docs = tbl(spark, sf_dir, "documents")
+    cat.write_index(docs, "docs", mode="overwrite")
+    cat.delete_by_query("docs", {"range": {"n_chars": {"lt": 200}}})
+    cat.update_by_query(
+        "docs", {"term": {"lang": "en"}}, {"n_chars": F.col("n_chars") + 1000}
+    )
+    return cat.read_index("docs").select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "writepath_reindex_alias",
+    oracle="""
+SELECT o_orderstatus, substr(o_orderpriority, 1, 1) AS o_priority_cls,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_totalprice >= 150000
+GROUP BY o_orderstatus, o_priority_cls
+ORDER BY o_orderstatus, o_priority_cls
+""",
+)
+def writepath_reindex_alias(spark, sf_dir):
+    """_reindex + alias round trip (catalog.reindex/put_alias): copy the
+    orders index into a filtered (query-DSL range pushed into the scan),
+    transformed (ingest-pipeline-analogue DataFrame op) destination, swap
+    an alias onto it — the ES blue/green idiom — and aggregate through the
+    alias."""
+    root = _workdir(sf_dir, "reindex")
+    cat = Catalog(spark, root)
+    orders = tbl(spark, sf_dir, "orders")
+    cat.write_index(orders, "orders_all", mode="overwrite")
+    cat.reindex(
+        "orders_all",
+        "orders_big",
+        query={"range": {"o_totalprice": {"gte": 150000}}},
+        transform=lambda df: df.withColumn(
+            "o_priority_cls", F.substring("o_orderpriority", 1, 1)
+        ),
+    )
+    cat.put_alias("hot", "orders_big")
+    return (
+        cat.read_index("hot")
+        .groupBy("o_orderstatus", "o_priority_cls")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("o_orderstatus", "o_priority_cls")
+    )
+
+
+@query(
+    "writepath_stream_sink",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def writepath_stream_sink(spark, sf_dir):
+    """Streaming esdocs sink round trip (A9,
+    sources/es_datasource.EsDocsStreamWriter): replay events as a file
+    stream, writeStream through the bulk-NDJSON sink with checkpoint +
+    per-batch commit markers (the exactly-once layering the reference gets
+    from EsSinkMetadataLog), read the sink's bulk files back through the
+    esdocs reader, and hash the aggregate — a dropped batch, a replayed
+    batch, or an unpublished tmp file all flip the counts."""
+    from elasticsearch_hadoop_spark.sources.es_datasource import read_docs, register
+    from elasticsearch_hadoop_spark.streaming.pipeline import stream_events
+
+    base = _workdir(sf_dir, "stream_sink")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
+
+    register(spark)
+    stream = stream_events(spark, src).select("event_id", "user_id", "event_type", "value")
+    q = (
+        stream.writeStream.format("esdocs")
+        .option("path", out)
+        .option("mapping.id", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    mapping = {
+        "properties": {
+            "event_id": {"type": "long"},
+            "user_id": {"type": "long"},
+            "event_type": {"type": "keyword"},
+            "value": {"type": "double"},
+        }
+    }
+    back = read_docs(spark, out, mapping)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type")
+    )

@@ -247,17 +247,40 @@ def _bool(body, id_col):
         pred = pred & ~_compile_clause(sub, id_col)
     should = _as_list(body.get("should"))
     if should:
-        any_should = None
-        for sub in should:
-            c = _compile_clause(sub, id_col)
-            any_should = c if any_should is None else (any_should | c)
         # ES: should is optional when must/filter present UNLESS
-        # minimum_should_match forces it; required when should-only.
+        # minimum_should_match forces it; required (>=1) when should-only.
+        # An integer minimum_should_match N means "at least N of the
+        # should clauses" — counted with a sum of casts (stays in codegen).
         msm = body.get("minimum_should_match")
-        required = bool(msm) or not (body.get("must") or body.get("filter"))
-        if required:
+        n_required = _msm_count(msm, len(should), bool(body.get("must") or body.get("filter")))
+        if n_required == 1:
+            any_should = None
+            for sub in should:
+                c = _compile_clause(sub, id_col)
+                any_should = c if any_should is None else (any_should | c)
             pred = pred & any_should
+        elif n_required > 1:
+            n_matched = None
+            for sub in should:
+                c = _compile_clause(sub, id_col).cast("int")
+                n_matched = c if n_matched is None else (n_matched + c)
+            pred = pred & (n_matched >= n_required)
     return pred
+
+
+def _msm_count(msm, n_should: int, has_must_or_filter: bool) -> int:
+    """Resolve minimum_should_match to a required count (0 = optional).
+    Integers (and integer strings) only; ES's percentage/negative forms
+    are rejected rather than silently misread."""
+    if msm is None:
+        return 0 if has_must_or_filter else 1
+    try:
+        n = int(str(msm))
+    except ValueError:
+        raise QueryDslError(f"unsupported minimum_should_match: {msm!r}") from None
+    if n < 0:
+        raise QueryDslError(f"unsupported minimum_should_match: {msm!r}")
+    return min(n, n_should)
 
 
 def _as_list(x) -> list:

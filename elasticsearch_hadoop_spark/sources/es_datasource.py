@@ -169,19 +169,30 @@ def match_doc(doc: dict, query: dict) -> bool:
         raise ValueError(f"query clause must have one key, got {list(query)}")
     if kind == "match_all":
         return True
+    if kind == "constant_score":
+        # scoring wrapper — same reduction as query_dsl._constant_score
+        inner = body.get("filter")
+        if inner is None:
+            raise ValueError("constant_score requires a filter clause")
+        return match_doc(doc, inner)
     if kind == "bool":
+        from elasticsearch_hadoop_spark.query_dsl import _msm_count
+
         must = [match_doc(doc, q) for q in _aslist(body.get("must"))]
         filt = [match_doc(doc, q) for q in _aslist(body.get("filter"))]
         must_not = [match_doc(doc, q) for q in _aslist(body.get("must_not"))]
         should = [match_doc(doc, q) for q in _aslist(body.get("should"))]
         ok = all(must) and all(filt) and not any(must_not)
         # ES: should is optional when must/filter present UNLESS
-        # minimum_should_match forces it (same rule as query_dsl._bool)
-        required = bool(body.get("minimum_should_match")) or not (
-            body.get("must") or body.get("filter")
-        )
-        if should and required:
-            ok = ok and any(should)
+        # minimum_should_match forces it (same N-of rule as query_dsl._bool)
+        if should:
+            n_required = _msm_count(
+                body.get("minimum_should_match"),
+                len(should),
+                bool(body.get("must") or body.get("filter")),
+            )
+            if n_required:
+                ok = ok and sum(should) >= n_required
         return ok
     if kind == "ids":
         return str(doc.get("_id")) in {str(x) for x in body.get("values", [])}
@@ -577,6 +588,10 @@ class EsDocsDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # Spark 4 refuses a pushFilters() reader outright unless the Python
+    # filter-pushdown flag is on; runtime-settable, so pin it here rather
+    # than requiring every session factory to know about it.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EsDocsDataSource)
 
 

@@ -39,16 +39,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # fixture parquet is TIMESTAMP(NANOS)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# kept for callers that construct the legacy nanos-long shape explicitly
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def stream_events(
@@ -56,15 +61,24 @@ def stream_events(
 ) -> DataFrame:
     """The events fixture as a file-source stream (micro-batch replay).
 
-    ``ts`` arrives as nanos-long (see corpus/_util.tbl) and is floored to
-    micros, matching the batch read exactly, so batch recomputation is a
-    valid oracle for every streaming query."""
+    Structured Streaming needs a fixed schema up front, but the fixture's
+    ``ts`` physical type has changed across driver testdata generations
+    (TIMESTAMP(NANOS) in rounds 1-2 — unreadable by Spark 4 without the
+    nanos-as-long legacy conf — plain TIMESTAMP(MICROS) now).  Probe the
+    directory with a one-footer batch read and pick the matching schema:
+    nanos-long gets the floor-to-micros conversion corpus/_util.tbl applies,
+    so batch recomputation stays a valid oracle either way; native
+    timestamps stream through untouched."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ts_is_long = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+    schema = _events_schema(T.LongType() if ts_is_long else T.TimestampType())
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(events_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

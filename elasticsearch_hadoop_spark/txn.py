@@ -1,0 +1,170 @@
+"""Optimistic-concurrency commit log for managed indices.
+
+The default Catalog commit is write-new-directory + atomic rename — correct
+for a single writer, but two concurrent writers can interleave their swaps
+and one writer's output silently vanishes.  The reference engine tolerates
+concurrent bulk writers natively (server-side versioning); this module
+closes that gap Spark-side with the same protocol Delta/Iceberg use,
+reduced to its core:
+
+- An index's live data is defined by a MANIFEST, not by directory listing.
+  Version N's manifest lives at ``<index>/_txn/v{N:012d}.json`` and names
+  the data directories (each written exactly once, under a uuid, never
+  mutated) that make up the snapshot.
+- Committing version N+1 is ``open(v{N+1}.json, O_CREAT|O_EXCL)`` — an
+  atomic claim on POSIX filesystems (and on object stores via
+  put-if-absent).  Exactly one concurrent writer wins; losers re-read the
+  new latest version and retry.
+- APPEND commits retry trivially: the new data directory is already on
+  disk, only the manifest union is recomputed — no data rewrite.
+- REPLACE commits (merge/upsert/delete-by-query rewrites) are
+  read-modify-write: a lost race means the snapshot the rewrite was
+  derived from is stale, so the caller's ``recompute`` hook re-runs the
+  derivation against the new snapshot (the MERGE INTO retry loop).
+
+Readers resolve latest() and load exactly the manifest's directories —
+a reader never sees a half-commit, because data directories are complete
+before the manifest claim and are immutable afterwards.
+
+Orphan data dirs from losing replace-writers or crashed jobs are invisible
+(not in any manifest) and are swept by ``vacuum``.
+
+At 100 TB the manifest lists directories (one per commit), not files —
+listing cost is O(commits), and compaction is just a REPLACE commit whose
+recompute reads the union and writes one directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+_TXN_DIR = "_txn"
+_DATA_DIR = "_data"
+
+
+class CommitConflictError(RuntimeError):
+    """A replace commit lost the version race more times than retries allow."""
+
+
+def _txn_path(index_path: str) -> str:
+    return os.path.join(index_path, _TXN_DIR)
+
+
+def _version_file(index_path: str, version: int) -> str:
+    return os.path.join(_txn_path(index_path), f"v{version:012d}.json")
+
+
+def is_transactional(index_path: str) -> bool:
+    return os.path.isdir(_txn_path(index_path))
+
+
+def init_log(index_path: str) -> None:
+    os.makedirs(_txn_path(index_path), exist_ok=True)
+    os.makedirs(os.path.join(index_path, _DATA_DIR), exist_ok=True)
+
+
+def latest(index_path: str) -> tuple[int, list[str]]:
+    """(version, data dirs) of the newest committed manifest; (0, []) for a
+    fresh log.  Partially-written manifest files cannot exist: the O_EXCL
+    claim writes through a temp file + rename within the claim (see
+    try_commit)."""
+    tdir = _txn_path(index_path)
+    try:
+        names = [n for n in os.listdir(tdir) if n.startswith("v") and n.endswith(".json")]
+    except FileNotFoundError:
+        return 0, []
+    if not names:
+        return 0, []
+    top = max(names)
+    version = int(top[1:-5])
+    with open(os.path.join(tdir, top)) as fh:
+        manifest = json.load(fh)
+    return version, [os.path.join(index_path, _DATA_DIR, d) for d in manifest["dirs"]]
+
+
+def new_data_dir(index_path: str) -> str:
+    """A fresh, uniquely-named directory for one commit's data files."""
+    name = uuid.uuid4().hex
+    path = os.path.join(index_path, _DATA_DIR, name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def try_commit(index_path: str, version: int, dirs: list[str], meta: dict | None = None) -> bool:
+    """Atomically claim ``version``; True iff this writer won.  The claim is
+    O_CREAT|O_EXCL on the version file; the manifest body is written through
+    the claimed fd, so a reader either sees no file or a complete one after
+    the final flush (single small write)."""
+    init_log(index_path)
+    path = _version_file(index_path, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    body = {
+        "version": version,
+        "dirs": [os.path.basename(d.rstrip("/")) for d in dirs],
+        "ts": time.time(),
+        **(meta or {}),
+    }
+    with os.fdopen(fd, "w") as fh:
+        json.dump(body, fh)
+    return True
+
+
+def commit_append(index_path: str, data_dir: str, max_retries: int = 50) -> int:
+    """Publish ``data_dir`` as an append.  Lost races only re-read the
+    manifest and re-claim — the data is already on disk, nothing recomputes.
+    Returns the committed version."""
+    for _ in range(max_retries):
+        version, dirs = latest(index_path)
+        if try_commit(index_path, version + 1, dirs + [data_dir]):
+            return version + 1
+    raise CommitConflictError(f"append to {index_path} lost {max_retries} races")
+
+
+def commit_replace(
+    index_path: str,
+    base_version: int,
+    data_dir: str,
+    recompute=None,
+    max_retries: int = 10,
+) -> int:
+    """Publish ``data_dir`` as the FULL new snapshot, valid only if the
+    index is still at ``base_version``.  On a lost race the derivation is
+    stale: ``recompute(new_snapshot_dirs) -> new_data_dir`` re-runs the
+    caller's read-modify-write against the winner's snapshot (the
+    optimistic MERGE INTO loop).  Without a recompute hook a conflict is an
+    error."""
+    version = base_version
+    for _ in range(max_retries):
+        if try_commit(index_path, version + 1, [data_dir], meta={"replace": True}):
+            return version + 1
+        if recompute is None:
+            raise CommitConflictError(
+                f"replace of {index_path} based on v{version} lost the race"
+            )
+        version, dirs = latest(index_path)
+        stale, data_dir = data_dir, recompute(dirs)
+        shutil.rmtree(stale, ignore_errors=True)
+    raise CommitConflictError(f"replace of {index_path} lost {max_retries} races")
+
+
+def vacuum(index_path: str) -> list[str]:
+    """Delete data directories not referenced by the LATEST manifest
+    (losing writers, crashed jobs, superseded replace snapshots).  Run only
+    when no reader may hold an older manifest (same contract as Delta
+    VACUUM retention=0 — a production build keeps a retention window)."""
+    _, live = latest(index_path)
+    live_names = {os.path.basename(d.rstrip("/")) for d in live}
+    removed = []
+    data_root = os.path.join(index_path, _DATA_DIR)
+    for name in os.listdir(data_root) if os.path.isdir(data_root) else []:
+        if name not in live_names:
+            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+            removed.append(name)
+    return removed

@@ -125,12 +125,16 @@ def ev(clause, row):
             return False
         should = as_list(body.get("should"))
         if should:
-            required = bool(body.get("minimum_should_match")) or not (
-                body.get("must") or body.get("filter")
-            )
-            if required and not any(ev(c, row) for c in should):
+            msm = body.get("minimum_should_match")
+            if msm is None:
+                n_required = 0 if (body.get("must") or body.get("filter")) else 1
+            else:
+                n_required = min(int(msm), len(should))
+            if n_required and sum(ev(c, row) for c in should) < n_required:
                 return False
         return True
+    if kind == "constant_score":
+        return ev(body["filter"], row)
     raise AssertionError(f"unhandled clause {kind}")
 
 
@@ -186,12 +190,20 @@ def bool_of(children):
         body = {}
         for key in ("must", "filter", "should", "must_not"):
             if draw(st.booleans()):
-                body[key] = draw(st.lists(children, min_size=1, max_size=2))
+                body[key] = draw(st.lists(children, min_size=1, max_size=3))
         if body.get("should") and draw(st.booleans()):
-            body["minimum_should_match"] = 1
+            # integer N-of semantics, incl. N > len(should) (clamped) and
+            # the string-integer spelling ES accepts
+            n = draw(st.sampled_from([1, 2, 3, "1", "2"]))
+            body["minimum_should_match"] = n
         if not body:
             body["must"] = [draw(children)]
-        return {"bool": body}
+        node = {"bool": body}
+        # occasionally wrap in the scoring no-op — compiler, reference
+        # evaluator, and match_doc must all see through it
+        if draw(st.booleans()) and draw(st.booleans()):
+            node = {"constant_score": {"filter": node}}
+        return node
 
     return build()
 

@@ -1,0 +1,154 @@
+"""Optimistic-concurrency commit log (txn.py + Catalog(transactional=True)):
+concurrent appends must both land, replace commits must detect lost races
+and re-derive, and readers must only ever see committed manifests."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark import txn
+from elasticsearch_hadoop_spark.catalog import Catalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "idx"), transactional=True)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("tag")
+    )
+
+
+# ----------------------------------------------------------------- log level
+
+
+def test_version_claim_is_exclusive(tmp_path):
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    assert txn.try_commit(p, 1, [txn.new_data_dir(p)])
+    assert not txn.try_commit(p, 1, [txn.new_data_dir(p)])  # lost race
+    assert txn.latest(p)[0] == 1
+
+
+def test_append_retries_manifest_union(tmp_path):
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    d1, d2 = txn.new_data_dir(p), txn.new_data_dir(p)
+    # simulate a writer that claimed v1 between d2's latest() and claim:
+    assert txn.commit_append(p, d1) == 1
+    assert txn.commit_append(p, d2) == 2
+    _, dirs = txn.latest(p)
+    assert sorted(map(str, dirs)) == sorted([d1, d2])
+
+
+def test_replace_conflict_without_recompute_raises(tmp_path):
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    base, _ = txn.latest(p)
+    txn.commit_append(p, txn.new_data_dir(p))  # someone else moved the log
+    with pytest.raises(txn.CommitConflictError):
+        txn.commit_replace(p, base, txn.new_data_dir(p), recompute=None)
+
+
+def test_replace_recompute_sees_winner_snapshot(tmp_path):
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    winner = txn.new_data_dir(p)
+    txn.commit_append(p, winner)  # v1
+    seen = []
+
+    def recompute(dirs):
+        seen.append(list(dirs))
+        return txn.new_data_dir(p)
+
+    # stale writer based its rewrite on v0
+    v = txn.commit_replace(p, 0, txn.new_data_dir(p), recompute=recompute)
+    assert v == 2
+    assert seen and seen[0] == [winner]
+
+
+def test_vacuum_sweeps_orphans(tmp_path):
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    live = txn.new_data_dir(p)
+    orphan = txn.new_data_dir(p)
+    txn.commit_append(p, live)
+    removed = txn.vacuum(p)
+    import os
+
+    assert os.path.basename(orphan) in removed
+    assert os.path.isdir(live)
+
+
+# ------------------------------------------------------------- catalog level
+
+
+def test_txn_append_and_read(spark, cat):
+    cat.write_index(_df(spark, 0, 5, "a"), "t")
+    cat.write_index(_df(spark, 5, 8, "b"), "t")  # blind append, no id_col
+    got = {(r["k"], r["tag"]) for r in cat.read_index("t").collect()}
+    assert got == {(i, "a") for i in range(5)} | {(i, "b") for i in range(5, 8)}
+    assert txn.latest(cat.path("t"))[0] == 2
+
+
+def test_txn_concurrent_appends_both_land(spark, cat):
+    cat.write_index(_df(spark, 0, 1, "seed"), "t")
+    errs = []
+
+    def run(lo, hi, tag):
+        try:
+            cat.write_index(_df(spark, lo, hi, tag), "t")
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    threads = [
+        threading.Thread(target=run, args=(10, 15, "w1")),
+        threading.Thread(target=run, args=(20, 25, "w2")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert cat.count_index("t") == 11
+    # one version per writer + seed
+    assert txn.latest(cat.path("t"))[0] == 3
+
+
+def test_txn_upsert_and_delete_by_query(spark, cat):
+    cat.write_index(_df(spark, 0, 10, "a"), "t", id_col="k")
+    cat.write_index(
+        _df(spark, 5, 12, "b"), "t", operation="upsert", id_col="k"
+    )
+    got = {(r["k"], r["tag"]) for r in cat.read_index("t").collect()}
+    assert got == {(i, "a") for i in range(5)} | {(i, "b") for i in range(5, 12)}
+    deleted = cat.delete_by_query("t", {"term": {"tag": "a"}})
+    assert deleted == 5
+    assert cat.count_index("t") == 7
+
+
+def test_txn_reader_never_sees_halfcommit(spark, cat):
+    """A replace commit in flight must not change what a reader resolves
+    until the manifest claim lands: read before/after interleaved with a
+    concurrent overwrite."""
+    cat.write_index(_df(spark, 0, 100, "a"), "t", id_col="k")
+    before = cat.count_index("t")
+    done = threading.Event()
+
+    def rewrite():
+        cat.write_index(_df(spark, 0, 50, "b"), "t", mode="overwrite", id_col="k")
+        done.set()
+
+    th = threading.Thread(target=rewrite)
+    th.start()
+    # reads during the rewrite: always a committed snapshot, 100 or 50, never between
+    while not done.is_set():
+        n = cat.count_index("t")
+        assert n in (before, 50), n
+    th.join()
+    assert cat.count_index("t") == 50

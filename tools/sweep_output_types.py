@@ -1,53 +1,50 @@
-"""Sweep every corpus query's output schema for driver-canonicalizer traps.
+"""CI hook: sweep every registered corpus query's OUTPUT SCHEMA for
+complex-typed columns (array/map/struct) that would hit the driver's
+raw-array serialization trap (round-1 `agg_collect_set` harness failure).
 
-The driver hashes results via pandas sort_values; array<T>, map<K,V> and
-struct cells arrive as Python lists/dicts and raise `unhashable type`.
-This prints every (query, column, type) whose type would break the hash —
-only queries WITH an oracle matter (rows-only checks never canonicalize).
+Builds each query's DataFrame plan at sf0.001 and checks the schema only —
+no collect.  Note the write-path queries execute their (small) writes at
+plan-build time; the whole sweep is a ~2 min local gate.
+
+Usage: python tools/sweep_output_types.py [sf_dir]
+Exit 0 = clean; exit 1 lists offending (query, column, type) triples.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
-from pyspark.sql import SparkSession
-from pyspark.sql.types import ArrayType, MapType, StructType
-
-sys.path.insert(0, "/root/repo")
-from elasticsearch_hadoop_spark.corpus import load_all  # noqa: E402
-
-SF_DIR = "/root/testdata/sf0.001"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .appName("sweep")
-        .getOrCreate()
-    )
-    bad = []
-    errs = []
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import types as T
+
+    from elasticsearch_hadoop_spark.corpus import load_all
+    from elasticsearch_hadoop_spark.session import get_spark
+
+    spark = get_spark(app_name="sweep_output_types", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad: list[tuple[str, str, str]] = []
     for name, spec in load_all().items():
         try:
-            df = spec.fn(spark, SF_DIR)
-            schema = df.schema
-        except Exception as e:  # noqa: BLE001
-            errs.append((name, repr(e)[:200]))
+            schema = spec.fn(spark, sf_dir).schema
+        except Exception as ex:  # surfaced separately — a broken query is not a type issue
+            bad.append((name, "<query raised>", str(ex)[:120]))
             continue
         for f in schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-                bad.append((name, f.name, f.dataType.simpleString(), spec.oracle is not None))
-    for name, col, typ, has_oracle in bad:
-        tag = "ORACLE" if has_oracle else "rows-only"
-        print(f"{tag:9s} {name:35s} {col:20s} {typ}")
-    if errs:
-        print("--- errors building plans ---")
-        for name, e in errs:
-            print(f"{name}: {e}")
-    print(f"--- {len(bad)} flagged columns, {len(errs)} plan errors ---")
-    spark.stop()
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+
+    if bad:
+        print("complex-typed output columns (driver hash is scalar-only):")
+        for name, col, dt in bad:
+            print(f"  {name:40} {col:25} {dt}")
+        return 1
+    print(f"clean: {len(load_all())} queries, all output columns scalar")
     return 0
 
 
