@@ -464,6 +464,30 @@ class Catalog:
         self._writer(df, partition_cols, max_records_per_file).parquet(d)
         txn.commit_append(target, d)
 
+    def compact_index(self, name: str, target_files: int | None = None) -> None:
+        """Compact an index's data into ``target_files`` files (default:
+        session shuffle parallelism).  On a transactional index this is
+        just a REPLACE commit whose build coalesces the union — concurrent
+        appends that land mid-compaction win the race and the compaction
+        retries over the enlarged snapshot, so nothing is lost.  The
+        100 TB housekeeping op: manifest length and small-file count reset
+        to O(1) without blocking writers."""
+        names = self.resolve_pattern(name)
+        if len(names) != 1:
+            raise ValueError(f"compact_index takes a single index, got {names}")
+        n = target_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self._commit_build(names[0], [], lambda df: df.coalesce(n))
+
+    def vacuum_index(self, name: str) -> list[str]:
+        """Sweep data directories no manifest references (losing writers,
+        superseded replace snapshots).  No-op on non-transactional indices."""
+        names = self.resolve_pattern(name)
+        out: list[str] = []
+        for idx in names:
+            if txn.is_transactional(self.path(idx)):
+                out.extend(txn.vacuum(self.path(idx)))
+        return out
+
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 

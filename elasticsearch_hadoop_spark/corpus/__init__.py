@@ -140,6 +140,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         lateral_ops,
         multimodal,
+        packing,
         pushdown,
         sampling,
         scalar_functions,

@@ -132,6 +132,20 @@ def test_txn_upsert_and_delete_by_query(spark, cat):
     assert cat.count_index("t") == 7
 
 
+def test_txn_compact_and_vacuum(spark, cat):
+    for lo in range(0, 50, 10):
+        cat.write_index(_df(spark, lo, lo + 10, "a"), "t")  # 5 append commits
+    assert txn.latest(cat.path("t"))[0] == 5
+    cat.compact_index("t", target_files=2)
+    assert cat.count_index("t") == 50
+    # one live dir now; the 5 superseded append dirs become orphans
+    _, dirs = txn.latest(cat.path("t"))
+    assert len(dirs) == 1
+    removed = cat.vacuum_index("t")
+    assert len(removed) == 5
+    assert cat.count_index("t") == 50
+
+
 def test_txn_reader_never_sees_halfcommit(spark, cat):
     """A replace commit in flight must not change what a reader resolves
     until the manifest claim lands: read before/after interleaved with a
