@@ -34,6 +34,17 @@ HEADLINE = [
     "fn_json",
 ]
 
+# Round-3 extension operators, benched separately so the original 14-query
+# total stays directly comparable with BASELINE.md's re-recorded numbers
+# (their per-query baselines live in BASELINE.md's extension row).
+EXTENSION = [
+    "similarity_lsh_topk",
+    "sample_train_test_split",
+    "pack_sequences_by_lang",
+    "aggs_composite_page",
+    "writepath_sink_upsert",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,16 +60,21 @@ def main() -> None:
     # warmup: JVM, parquet footer cache, codegen
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = registry[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    def bench(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            spec = registry[name]
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+            print(f"# {name}: {out[name]}s", file=sys.stderr)
+        return out
+
+    timings = bench(HEADLINE)
+    ext = bench(EXTENSION)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -67,7 +83,8 @@ def main() -> None:
                 "metric": "headline_corpus_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **{f"ext:{k}": v for k, v in ext.items()}},
+                "extension_total": round(sum(ext.values()), 3),
                 "sf": sf,
             }
         )

@@ -31,13 +31,19 @@ Supported:
   over-representation of foreground — the frame after preceding
   filter/missing buckets — vs the background frame; terminal bucket),
   ``rare_terms`` (long-tail terms with doc_count <= max_doc_count,
-  rarest first; terminal bucket)
+  rarest first; terminal bucket), ``date_range`` (``range`` with
+  timestamp-literal bounds; no date-math), ``geotile_grid``
+  (Web-Mercator z/x/y slippy-tile keys at ``precision`` zoom over a
+  struct(lat, lon) geo_point column — pure codegen tile math)
 - metric aggs: ``avg sum min max value_count cardinality stats
-  percentiles`` — ``cardinality`` compiles to exact ``countDistinct`` by
+  extended_stats weighted_avg percentiles`` — ``cardinality`` compiles to
+  exact ``countDistinct`` by
   default (``"approximate": true`` opts into HLL++ ``approx_count_distinct``,
   which is what ES itself does); ``percentiles`` uses exact interpolated
   ``percentile`` (ES uses t-digest — same caveat, ``"approximate": true``
-  switches to ``percentile_approx``)
+  switches to ``percentile_approx``); ``extended_stats`` adds the one-pass
+  moments (sum_of_squares, population variance/std_deviation);
+  ``weighted_avg`` takes ES's ``{"value": {...}, "weight": {...}}`` shape
 - ``doc_count`` is always emitted per bucket, like ES
 - ``top_hits`` (must be the only metric at its level): per-bucket top-N
   rows — compiles to a row_number window over the bucket-key chain
@@ -67,6 +73,7 @@ TakeOrderedAndProject. No collect, no per-bucket queries.
 from __future__ import annotations
 
 import json
+import math
 import re
 from typing import Any
 
@@ -375,7 +382,8 @@ def _apply_pipelines(
 
 def _bucket_kind(body: dict) -> str | None:
     for kind in (
-        "terms", "histogram", "date_histogram", "range", "filter", "filters",
+        "terms", "histogram", "date_histogram", "range", "date_range",
+        "geotile_grid", "filter", "filters",
         "composite", "missing", "significant_terms", "rare_terms",
     ):
         if kind in body:
@@ -468,23 +476,58 @@ def _bucket_key(kind: str, b: dict) -> Column:
         secs = int(iv[:-1]) * _FIXED_SECONDS[iv[-1]]
         epoch = F.unix_timestamp(field)
         return F.timestamp_seconds(F.floor(epoch / secs) * secs)
-    if kind == "range":
+    if kind in ("range", "date_range"):
+        # date_range is range with from/to parsed as timestamps (ES also
+        # allows date-math like "now-1d" — not supported, literals only)
+        lit = (lambda v: F.to_timestamp(F.lit(v))) if kind == "date_range" else F.lit
         whens = None
         for r in b["ranges"]:
             lo, hi = r.get("from"), r.get("to")
             label = r.get("key") or f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
             cond = F.lit(True)
             if lo is not None:
-                cond = cond & (field >= F.lit(lo))
+                cond = cond & (field >= lit(lo))
             if hi is not None:
-                cond = cond & (field < F.lit(hi))
+                cond = cond & (field < lit(hi))
             whens = F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
         return whens  # docs outside every range -> NULL bucket, filtered by ES; we keep NULL
+    if kind == "geotile_grid":
+        # Web-Mercator slippy tile "z/x/y" at `precision` zoom (ES
+        # geotile_grid keys).  asinh(tan φ) written as ln(tan φ + sec φ)
+        # so Spark and the DuckDB oracle share the exact expression; lat
+        # clamped to the Mercator domain like ES.  `field` names a
+        # struct(lat, lon) geo_point column.  Pure codegen — at scale the
+        # tile key doubles as a partition/bucket column for geo locality.
+        z = int(b.get("precision", 7))
+        n = float(1 << z)
+        lat = F.col(f"{b['field']}.lat")
+        lon = F.col(f"{b['field']}.lon")
+        lat = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), lat))
+        rad = F.radians(lat)
+        merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+        x = F.floor((lon + 180.0) / 360.0 * n)
+        y = F.floor((1.0 - merc / F.lit(math.pi)) / 2.0 * n)
+        # edge clamp: lon=180 / lat at the clamp boundary land in the last tile
+        x = F.least(x, F.lit(int(n) - 1)).cast("long")
+        y = F.greatest(F.least(y, F.lit(int(n) - 1)), F.lit(0)).cast("long")
+        return F.concat_ws("/", F.lit(str(z)), x.cast("string"), y.cast("string"))
     raise AggsDslError(kind)
 
 
 def _metric(name: str, body: dict) -> list[Column]:
     (kind, spec), = body.items()
+    if kind == "weighted_avg":
+        # ES spells this {"value": {"field": v}, "weight": {"field": w}} —
+        # no top-level field.  sum(v*w)/sum(w), null weights drop the row
+        # (ES's default missing behavior).
+        try:
+            v = F.col(spec["value"]["field"])
+            w = F.col(spec["weight"]["field"])
+        except (KeyError, TypeError):
+            raise AggsDslError(
+                f"weighted_avg {name!r}: expected value.field + weight.field"
+            ) from None
+        return [(F.sum(v * w) / F.sum(w)).alias(name)]
     if not isinstance(spec, dict) or "field" not in spec:
         raise AggsDslError(f"metric {name!r}: expected {{'field': ...}}, got {spec!r}")
     field = spec["field"]
@@ -510,6 +553,19 @@ def _metric(name: str, body: dict) -> list[Column]:
             F.max(c).alias(f"{name}_max"),
             F.avg(c).alias(f"{name}_avg"),
             F.sum(c).alias(f"{name}_sum"),
+        ]
+    if kind == "extended_stats":
+        # stats + sum_of_squares / variance / std_deviation (population,
+        # ES's default); all single-pass partial-aggregatable.
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_avg"),
+            F.sum(c).alias(f"{name}_sum"),
+            F.sum(c * c).alias(f"{name}_sum_of_squares"),
+            F.var_pop(c).alias(f"{name}_variance"),
+            F.stddev_pop(c).alias(f"{name}_std_deviation"),
         ]
     if kind == "percentiles":
         pcts = [float(p) for p in spec.get("percents", (1, 5, 25, 50, 75, 95, 99))]

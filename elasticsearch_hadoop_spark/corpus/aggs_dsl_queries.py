@@ -549,3 +549,167 @@ def aggs_rare_terms(spark, sf_dir):
         },
     )
     return out
+
+
+@query(
+    "aggs_extended_stats",
+    oracle="""
+SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(l_quantity) AS BIGINT) AS s_count,
+       round(min(l_quantity), 2) AS s_min,
+       round(max(l_quantity), 2) AS s_max,
+       round(avg(l_quantity), 6) AS s_avg,
+       round(sum(l_quantity), 2) AS s_sum,
+       round(sum(l_quantity * l_quantity), 2) AS s_sum_of_squares,
+       round(var_pop(l_quantity), 4) AS s_variance,
+       round(stddev_pop(l_quantity), 4) AS s_std_deviation,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY doc_count DESC, flag
+""",
+)
+def aggs_extended_stats(spark, sf_dir):
+    """extended_stats + weighted_avg metrics under a terms bucket — the
+    one-pass moments (sum of squares / population variance / stddev) and
+    the {"value","weight"} spec shape.  All partial-aggregatable: one hash
+    aggregation, no second pass."""
+    li = tbl(spark, sf_dir, "lineitem")
+    out = compile_aggs(
+        li,
+        {
+            "aggs": {
+                "flag": {
+                    "terms": {"field": "l_returnflag", "size": 10},
+                    "aggs": {
+                        "s": {"extended_stats": {"field": "l_quantity"}},
+                        "wavg_price": {
+                            "weighted_avg": {
+                                "value": {"field": "l_extendedprice"},
+                                "weight": {"field": "l_quantity"},
+                            }
+                        },
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "flag",
+        "doc_count",
+        "s_count",
+        F.round("s_min", 2).alias("s_min"),
+        F.round("s_max", 2).alias("s_max"),
+        F.round("s_avg", 6).alias("s_avg"),
+        F.round("s_sum", 2).alias("s_sum"),
+        F.round("s_sum_of_squares", 2).alias("s_sum_of_squares"),
+        F.round("s_variance", 4).alias("s_variance"),
+        F.round("s_std_deviation", 4).alias("s_std_deviation"),
+        F.round("wavg_price", 4).alias("wavg_price"),
+    )
+
+
+@query(
+    "aggs_date_range",
+    oracle="""
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'early'
+            WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'mid'
+            ELSE 'late' END AS phase,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 4) AS total
+FROM events
+GROUP BY phase
+ORDER BY phase
+""",
+)
+def aggs_date_range(spark, sf_dir):
+    """date_range bucket agg: timestamp literals parsed into half-open
+    [from, to) buckets (ES semantics), a metric per bucket — compiles to
+    one CASE key + hash aggregation."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "phase": {
+                    "date_range": {
+                        "field": "ts",
+                        "ranges": [
+                            {"to": "2024-01-08 00:00:00", "key": "early"},
+                            {
+                                "from": "2024-01-08 00:00:00",
+                                "to": "2024-01-16 00:00:00",
+                                "key": "mid",
+                            },
+                            {"from": "2024-01-16 00:00:00", "key": "late"},
+                        ],
+                    },
+                    "aggs": {"total": {"sum": {"field": "value"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "phase", "doc_count", F.round("total", 4).alias("total")
+    ).orderBy("phase")
+
+
+_GEOTILE_Z = 3
+_GEOTILE_N = 1 << _GEOTILE_Z
+_MERC_SQL = "ln(tan(radians(glat)) + 1.0/cos(radians(glat)))"
+
+
+@query(
+    "aggs_geotile_grid",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_acctbal,
+         greatest(-85.05112878, least(85.05112878,
+             CAST((c_custkey % 180) - 89.5 AS DOUBLE))) AS glat,
+         CAST(((c_custkey * 7) % 360) - 179.5 AS DOUBLE) AS glon
+  FROM customer
+), tiled AS (
+  SELECT c_acctbal,
+         concat('{_GEOTILE_Z}', '/',
+                CAST(CAST(least(floor((glon + 180.0) / 360.0 * {_GEOTILE_N}),
+                                {_GEOTILE_N - 1}) AS BIGINT) AS VARCHAR), '/',
+                CAST(CAST(greatest(least(floor((1.0 - {_MERC_SQL} / pi()) / 2.0 * {_GEOTILE_N}),
+                                         {_GEOTILE_N - 1}), 0) AS BIGINT) AS VARCHAR)) AS tile
+  FROM pts
+)
+SELECT tile, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM tiled
+GROUP BY tile
+ORDER BY tile
+""",
+)
+def aggs_geotile_grid(spark, sf_dir):
+    """geotile_grid bucket agg: Web-Mercator z/x/y tile keys at zoom 3
+    over a geo_point struct column (lat/lon derived from c_custkey, the
+    geo-corpus convention) — pure codegen tile math + one hash
+    aggregation; at scale the tile key doubles as a geo-locality
+    partition column."""
+    c = tbl(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_acctbal",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+    )
+    out = compile_aggs(
+        pts,
+        {
+            "aggs": {
+                "tile": {
+                    "geotile_grid": {"field": "location", "precision": _GEOTILE_Z},
+                    "aggs": {"avg_bal": {"avg": {"field": "c_acctbal"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        F.col("tile"), "doc_count", F.round("avg_bal", 4).alias("avg_bal")
+    ).orderBy("tile")

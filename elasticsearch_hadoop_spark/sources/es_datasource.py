@@ -153,6 +153,10 @@ def _tokens(s: Any) -> set[str]:
     return {t for t in _TOKEN_RE.split(str(s).lower()) if t}
 
 
+def _token_seq(s: Any) -> list[str]:
+    return [t for t in _TOKEN_RE.split(str(s).lower()) if t]
+
+
 def _cmp_key(v: Any) -> Any:
     ts = _parse_ts(v) if isinstance(v, str) and re.match(r"\d{4}-\d{2}-\d{2}", v) else None
     return ts if ts is not None else v
@@ -241,7 +245,14 @@ def match_doc(doc: dict, query: dict) -> bool:
             return _tokens(value) <= _tokens(dv)
         return bool(_tokens(dv) & _tokens(value))
     if kind == "match_phrase":
-        return dv is not None and str(value).lower() in str(dv).lower()
+        # analyzed-phrase containment on TOKEN boundaries, mirroring
+        # query_dsl._match_phrase's space-padded token join — a raw
+        # substring test would wrongly match "brown fox" in "brown foxtrot"
+        if dv is None:
+            return False
+        needle = " " + " ".join(_token_seq(value)) + " "
+        hay = " " + " ".join(_token_seq(dv)) + " "
+        return needle in hay
     raise ValueError(f"unsupported query clause: {kind}")
 
 
@@ -392,7 +403,61 @@ class EsDocsReader(DataSourceReader):
             raise FileNotFoundError(f"esdocs: no .json/.ndjson files under {self.path}")
         return [_FilePartition(p) for p in files]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    # Types the Arrow fast path handles losslessly.  Timestamps (tz
+    # attachment differs between the pickled-row and Arrow channels),
+    # structs and maps (python-tuple/dict -> Arrow nested conversion) stay
+    # on the row path — correctness first, the hot bulk case is flat
+    # string/number/binary columns anyway.
+    _ARROW_OK = (
+        T.StringType, T.BinaryType, T.BooleanType, T.ByteType, T.ShortType,
+        T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+    )
+
+    def _arrow_capable(self) -> bool:
+        def ok(dt: T.DataType) -> bool:
+            if isinstance(dt, T.ArrayType):
+                return isinstance(dt.elementType, self._ARROW_OK)
+            return isinstance(dt, self._ARROW_OK)
+
+        return (
+            str(self.options.get("arrow", "true")).lower() == "true"
+            and not self.with_meta
+            and all(ok(f.dataType) for f in self.schema.fields)
+        )
+
+    def read(self, partition: _FilePartition):
+        """A1/A4: stream one bulk file.  When the projected schema is flat
+        (see _ARROW_OK) rows are shipped as Arrow RecordBatches — one
+        serialization per 4096 docs instead of one pickled tuple per doc
+        (the same Arrow-channel upgrade the pandas-UDF path gets); complex
+        schemas keep the per-row channel."""
+        rows = self._read_rows(partition)
+        if not self._arrow_capable():
+            yield from rows
+            return
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = to_arrow_schema(self.schema)
+        buf: list[tuple] = []
+
+        def flush():
+            cols = list(zip(*buf)) if buf else [[] for _ in schema]
+            arrays = [
+                pa.array(col, type=schema.field(i).type)
+                for i, col in enumerate(cols)
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+        for row in rows:
+            buf.append(row)
+            if len(buf) >= 4096:
+                yield flush()
+                buf.clear()
+        if buf:
+            yield flush()
+
+    def _read_rows(self, partition: _FilePartition) -> Iterator[tuple]:
         fields = [f for f in self.schema.fields if f.name != METADATA_COL]
         fname = os.path.basename(partition.path)
         # Bulk files alternate action header / source line.  Track that

@@ -213,3 +213,34 @@ def test_stream_write_exactly_once(registered, docs_dir, tmp_path):
     markers = [f for f in os.listdir(out) if f.startswith("_batch_")]
     assert len(markers) >= 1  # commit log written
     assert not any(f.endswith(".tmp") for f in os.listdir(out))
+
+
+def test_arrow_and_row_paths_agree(registered, docs_dir, tmp_path):
+    """The Arrow fast path (flat schemas -> RecordBatches) must return
+    exactly what the per-row channel returns, including pushed filters;
+    complex schemas (metadata map) silently stay on the row path."""
+    mapping = json.dumps(
+        {"properties": {"doc_id": {"type": "long"}, "name": {"type": "keyword"},
+                        "score": {"type": "double"}, "tags": {"type": "keyword"}}}
+    )
+
+    def load(**opts):
+        r = (
+            registered.read.format("esdocs")
+            .option("path", str(docs_dir))
+            .option("mapping", mapping)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    arrow = {tuple(r) for r in load().collect()}
+    rows = {tuple(r) for r in load(arrow="false").collect()}
+    assert arrow == rows and arrow
+    # filtered action agrees too (pushFilters runs before batching)
+    fa = {tuple(r) for r in load().filter("score >= 2").collect()}
+    fr = {tuple(r) for r in load(arrow="false").filter("score >= 2").collect()}
+    assert fa == fr and fa
+    # metadata map forces the row path and still works
+    meta = load(**{"read.metadata": "true"}).collect()
+    assert all(r["_metadata"]["_id"] for r in meta)

@@ -30,6 +30,9 @@ TEXTS = [
     "fox",
     "lazy quick brown",
     "dog fox quick",
+    # prefix-token collision: phrase "brown fox" / match "fox" must NOT hit
+    # "foxtrot" (token-boundary semantics, not substring)
+    "brown foxtrot dog",
 ]
 
 ROWS = [
