@@ -166,3 +166,63 @@ def text_fingerprint(spark, sf_dir):
     SQL-reproducible)."""
     d = spread(spark, tbl(spark, sf_dir, "documents"))
     return d.select("doc_id", doc_fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_DIGITS_SQL = "\\b\\d{8,}\\b"
+_AUG_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com from ',"
+    " '10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 acct ',"
+    " CAST(90000000 + doc_id AS VARCHAR))"
+)
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL_SQL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4_SQL}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4_SQL}', '<IP>', 'g'),
+           '{_PII_DIGITS_SQL}', '<NUM>', 'g')) AS redacted_md5
+FROM aug
+ORDER BY doc_id
+""",
+)
+def text_redact_pii(spark, sf_dir):
+    """PII redaction (pre-training privacy scrub): the fixture text is
+    deterministically augmented with an email, an IPv4, and a long account
+    number per doc (the corpus carries no real PII), then masked with
+    functions.text.redact_pii; the oracle re-runs the identical regex
+    chain in DuckDB and hashes the scrubbed text.  Pure codegen — three
+    chained regexp_replace in the scan stage, zero shuffle."""
+    from elasticsearch_hadoop_spark.functions.text import (
+        PII_EMAIL,
+        PII_IPV4,
+        redact_pii,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 acct "),
+        (F.col("doc_id") + 90000000).cast("string"),
+    )
+    return (
+        d.select("doc_id", aug.alias("t"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL), 0)).cast("bigint").alias("n_email"),
+            F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_IPV4), 0)).cast("bigint").alias("n_ip"),
+            F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -112,3 +112,21 @@ def md5_token_hash(token: Column) -> Column:
     (CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)), making MinHash /
     SimHash signatures oracle-checkable."""
     return F.conv(F.substring(F.md5(F.encode(token, "UTF-8")), 1, 15), 16, 10).cast("bigint")
+
+
+# PII patterns shared verbatim with the DuckDB oracle (both engines'
+# regex dialects — Java util.regex and RE2 — accept this subset).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONG_DIGITS = r"\b\d{8,}\b"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails, IPv4 addresses, and long digit runs (ids/cards/phones)
+    with typed placeholder tokens — the standard pre-training privacy
+    scrub.  Chained JVM regexp_replace, whole-stage codegen; order matters
+    (emails first so their digits never half-match the later patterns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4, "<IP>")
+    return F.regexp_replace(c, PII_LONG_DIGITS, "<NUM>")

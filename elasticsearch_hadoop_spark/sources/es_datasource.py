@@ -518,6 +518,9 @@ class EsDocsWriter(DataSourceWriter):
             raise ValueError(f"esdocs: bad write.operation {self.operation!r}")
         self.id_field = options.get("mapping.id")
         self.routing_field = options.get("mapping.routing")
+        # es.mapping.version parity (A6 header extractors): external
+        # versioning rides the bulk action line like id/routing
+        self.version_field = options.get("mapping.version")
 
     def write(self, rows: Iterator) -> _WriteDone:
         """A5/A6: serialize rows to bulk-format NDJSON. One output file per
@@ -533,6 +536,9 @@ class EsDocsWriter(DataSourceWriter):
                     action["_id"] = doc.get(self.id_field)
                 if self.routing_field is not None:
                     action["routing"] = doc.get(self.routing_field)
+                if self.version_field is not None:
+                    action["version"] = doc.get(self.version_field)
+                    action["version_type"] = "external"
                 out.write(json.dumps({self.operation: action}, default=str) + "\n")
                 if self.operation == "update":
                     out.write(json.dumps({"doc": doc}, default=str) + "\n")

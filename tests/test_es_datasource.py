@@ -244,3 +244,24 @@ def test_arrow_and_row_paths_agree(registered, docs_dir, tmp_path):
     # metadata map forces the row path and still works
     meta = load(**{"read.metadata": "true"}).collect()
     assert all(r["_metadata"]["_id"] for r in meta)
+
+
+def test_write_version_extractor(registered, docs_dir, tmp_path):
+    """es.mapping.version parity: the version rides the bulk action line
+    with version_type=external, like id/routing."""
+    out = str(tmp_path / "vout")
+    mapping = json.dumps({"properties": {"doc_id": {"type": "long"}}})
+    df = _read(registered, docs_dir)
+    df.select("doc_id").write.format("esdocs").option("path", out).option(
+        "mapping.id", "doc_id"
+    ).option("mapping.version", "doc_id").mode("append").save()
+    actions = []
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".ndjson"):
+            for line in open(os.path.join(out, f)):
+                d = json.loads(line)
+                if "index" in d and isinstance(d["index"], dict):
+                    actions.append(d["index"])
+    assert actions and all(
+        a["version"] == a["_id"] and a["version_type"] == "external" for a in actions
+    )

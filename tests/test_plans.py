@@ -181,3 +181,30 @@ def test_q20_no_nested_loop(spark, sf_dir):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
     assert "l_shipdate" in " ".join(pushed_filters(plan))
+
+
+def test_pack_sequences_is_one_window_shuffle(spark, sf_dir):
+    """Concat-and-chunk packing must stay a single window exchange (per
+    lang partition) + the presentation sort — no join, no extra shuffle."""
+    plan = plan_of(spark, sf_dir, "pack_sequences_by_lang")
+    assert count_nodes(plan, "Exchange") <= 2
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "BatchEvalPython") == 0  # no Python in hot path
+
+
+def test_geotile_grid_is_single_hash_agg(spark, sf_dir):
+    """Tile keys are codegen expressions feeding ONE hash aggregation —
+    partial/final agg exchange + presentation sort only."""
+    plan = plan_of(spark, sf_dir, "aggs_geotile_grid")
+    assert count_nodes(plan, "Exchange") <= 2
+    assert count_nodes(plan, "HashAggregate") >= 2  # partial + final
+    assert count_nodes(plan, "BatchEvalPython") == 0
+
+
+def test_redact_pii_is_scan_stage_codegen(spark, sf_dir):
+    """The PII scrub is chained regexp_replace in the scan stage: the only
+    exchange is the presentation sort, and no Python evaluator appears."""
+    plan = plan_of(spark, sf_dir, "text_redact_pii")
+    assert count_nodes(plan, "Exchange") <= 1
+    assert count_nodes(plan, "BatchEvalPython") == 0
+    assert count_nodes(plan, "SortMergeJoin") == 0
