@@ -518,8 +518,10 @@ def _metric(name: str, body: dict) -> list[Column]:
     (kind, spec), = body.items()
     if kind == "weighted_avg":
         # ES spells this {"value": {"field": v}, "weight": {"field": w}} —
-        # no top-level field.  sum(v*w)/sum(w), null weights drop the row
-        # (ES's default missing behavior).
+        # no top-level field.  A doc missing EITHER field is skipped
+        # entirely (ES's default missing behavior): both sums must gate on
+        # the pair, else a null-value doc's weight still inflates the
+        # denominator.
         try:
             v = F.col(spec["value"]["field"])
             w = F.col(spec["weight"]["field"])
@@ -527,7 +529,10 @@ def _metric(name: str, body: dict) -> list[Column]:
             raise AggsDslError(
                 f"weighted_avg {name!r}: expected value.field + weight.field"
             ) from None
-        return [(F.sum(v * w) / F.sum(w)).alias(name)]
+        both = v.isNotNull() & w.isNotNull()
+        num = F.sum(F.when(both, v * w))
+        den = F.sum(F.when(both, w))
+        return [(num / den).alias(name)]
     if not isinstance(spec, dict) or "field" not in spec:
         raise AggsDslError(f"metric {name!r}: expected {{'field': ...}}, got {spec!r}")
     field = spec["field"]

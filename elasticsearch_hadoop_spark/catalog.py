@@ -428,7 +428,7 @@ class Catalog:
             self._commit(build(existing), name, partition_cols, replace=True,
                          max_records_per_file=max_records_per_file)
             return
-        txn.init_log(target)
+        txn.adopt(target)  # pre-existing plain data becomes committed v1
         version, dirs = txn.latest(target)
 
         def produce(dirs_: list[str]) -> str:
@@ -459,7 +459,7 @@ class Catalog:
                 writer = writer.partitionBy(*partition_cols)
             writer.parquet(target)
             return
-        txn.init_log(target)
+        txn.adopt(target)  # pre-existing plain data becomes committed v1
         d = txn.new_data_dir(target)
         self._writer(df, partition_cols, max_records_per_file).parquet(d)
         txn.commit_append(target, d)
@@ -476,16 +476,27 @@ class Catalog:
         if len(names) != 1:
             raise ValueError(f"compact_index takes a single index, got {names}")
         n = target_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        self._commit_build(names[0], [], lambda df: df.coalesce(n))
+        # preserve dynamic-routing Hive layout: a routed index compacted
+        # flat would lose partition-pruned reads permanently
+        partition_cols = ["_index"] if self._read_meta(names[0]).get("index_pattern") else []
 
-    def vacuum_index(self, name: str) -> list[str]:
+        def build(df: DataFrame) -> DataFrame:
+            if df is None:
+                raise ValueError(f"index {names[0]!r} has no committed data to compact")
+            return df.coalesce(n)
+
+        self._commit_build(names[0], partition_cols, build)
+
+    def vacuum_index(self, name: str, min_age_seconds: float = 3600.0) -> list[str]:
         """Sweep data directories no manifest references (losing writers,
-        superseded replace snapshots).  No-op on non-transactional indices."""
+        superseded replace snapshots), skipping dirs younger than the
+        retention window — see txn.vacuum.  No-op on non-transactional
+        indices."""
         names = self.resolve_pattern(name)
         out: list[str] = []
         for idx in names:
             if txn.is_transactional(self.path(idx)):
-                out.extend(txn.vacuum(self.path(idx)))
+                out.extend(txn.vacuum(self.path(idx), min_age_seconds))
         return out
 
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
@@ -638,12 +649,24 @@ class Catalog:
         Transactional indices stream from the immutable data-dir pool:
         append data is fully written before its manifest claim and losing
         append writers retry the claim (never the data), so every file the
-        stream picks up is at most a few milliseconds ahead of its commit."""
+        stream picks up is at most a few milliseconds ahead of its commit.
+        That only holds for APPEND-ONLY logs — a REPLACE commit (overwrite,
+        merge ops, delete/update_by_query, compact_index) writes a full new
+        snapshot dir that a file stream would re-deliver as duplicates of
+        every already-streamed row, so a log with any replace commit is
+        refused (same rule as the non-transactional caveat above, enforced
+        instead of just documented)."""
         names = self.resolve_pattern(name)
         if len(names) != 1:
             raise ValueError(f"streaming read supports a single index, got {names}")
         path = self.path(names[0])
         if txn.is_transactional(path):
+            if txn.has_replace_commit(path):
+                raise ValueError(
+                    f"index {names[0]!r} has replace commits in its log; a file "
+                    "stream would re-deliver replaced snapshots as duplicates — "
+                    "use the esdocs streaming sink for merge-style pipelines"
+                )
             if schema is None:
                 schema = self._read_files(names[0]).schema
             stream_path = os.path.join(path, "_data", "*")

@@ -34,12 +34,16 @@ from elasticsearch_hadoop_spark.corpus._util import TS_FMT_DUCK, TS_FMT_SPARK, t
 
 
 def _workdir(sf_dir: str, name: str) -> str:
-    """Fresh scratch dir, stable per (query, fixture-scale) so concurrent
-    test/driver runs at different SFs never collide; wiped on entry so the
-    returned DataFrame always reads THIS run's output (the read is lazy —
-    the directory must outlive the query function)."""
+    """Fresh scratch dir, keyed by (query, fixture-scale, PID): the pid
+    isolates concurrent PROCESSES running the same query at the same SF
+    (e.g. bench and a driver sim side by side — without it one process's
+    wipe-on-entry would delete the directory under the other's still-lazy
+    read), while re-runs within one process reuse and wipe their own dir
+    so the returned DataFrame always reads THIS run's output."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), "ehs_writepath", f"{name}-{tag}")
+    d = os.path.join(
+        tempfile.gettempdir(), "ehs_writepath", f"{name}-{tag}-{os.getpid()}"
+    )
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d

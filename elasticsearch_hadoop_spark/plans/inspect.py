@@ -41,3 +41,19 @@ def read_schema_columns(plan: str) -> set[str]:
     if not m:
         return set()
     return {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
+
+
+def complex_output_cols(schema) -> list[str]:
+    """Columns whose type would hit the correctness driver's raw-array
+    serialization trap (round-1 agg_collect_set failure): the value hash is
+    only stable for scalar columns, so corpus queries must serialize
+    arrays/maps/structs (array_join / to_json) before returning.  Shared by
+    tests/oracle_harness.py and tools/sweep_output_types.py — one predicate,
+    one place."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]

@@ -244,7 +244,9 @@ def _bool(body, id_col):
         for sub in _as_list(body.get(key)):
             pred = pred & _compile_clause(sub, id_col)
     for sub in _as_list(body.get("must_not")):
-        pred = pred & ~_compile_clause(sub, id_col)
+        # ES: a must_not clause that cannot match (missing field -> SQL
+        # NULL) leaves the doc IN; bare ~NULL would be NULL and drop it
+        pred = pred & ~F.coalesce(_compile_clause(sub, id_col), F.lit(False))
     should = _as_list(body.get("should"))
     if should:
         # ES: should is optional when must/filter present UNLESS
@@ -253,6 +255,10 @@ def _bool(body, id_col):
         # should clauses" — counted with a sum of casts (stays in codegen).
         msm = body.get("minimum_should_match")
         n_required = _msm_count(msm, len(should), bool(body.get("must") or body.get("filter")))
+        if n_required > len(should):
+            # Lucene rewrites minimumNumberShouldMatch > optional-clause
+            # count to MatchNoDocsQuery — nothing can satisfy it
+            return F.lit(False)
         if n_required == 1:
             any_should = None
             for sub in should:
@@ -260,18 +266,23 @@ def _bool(body, id_col):
                 any_should = c if any_should is None else (any_should | c)
             pred = pred & any_should
         elif n_required > 1:
+            # NULL-evaluating clauses (SQL three-valued logic on missing
+            # fields) count as 0, like ES's non-matching clause — without
+            # the coalesce one NULL poisons the whole sum
             n_matched = None
             for sub in should:
-                c = _compile_clause(sub, id_col).cast("int")
+                c = F.coalesce(_compile_clause(sub, id_col).cast("int"), F.lit(0))
                 n_matched = c if n_matched is None else (n_matched + c)
             pred = pred & (n_matched >= n_required)
     return pred
 
 
 def _msm_count(msm, n_should: int, has_must_or_filter: bool) -> int:
-    """Resolve minimum_should_match to a required count (0 = optional).
-    Integers (and integer strings) only; ES's percentage/negative forms
-    are rejected rather than silently misread."""
+    """Resolve minimum_should_match to a required count (0 = optional; a
+    count above n_should is returned as-is — callers must treat it as
+    unsatisfiable, Lucene's MatchNoDocsQuery rewrite).  Integers (and
+    integer strings) only; ES's percentage/negative forms are rejected
+    rather than silently misread."""
     if msm is None:
         return 0 if has_must_or_filter else 1
     try:
@@ -280,7 +291,7 @@ def _msm_count(msm, n_should: int, has_must_or_filter: bool) -> int:
         raise QueryDslError(f"unsupported minimum_should_match: {msm!r}") from None
     if n < 0:
         raise QueryDslError(f"unsupported minimum_should_match: {msm!r}")
-    return min(n, n_should)
+    return n
 
 
 def _as_list(x) -> list:

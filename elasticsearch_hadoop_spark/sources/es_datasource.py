@@ -195,6 +195,8 @@ def match_doc(doc: dict, query: dict) -> bool:
                 len(should),
                 bool(body.get("must") or body.get("filter")),
             )
+            if n_required > len(should):
+                return False  # Lucene MatchNoDocsQuery rewrite
             if n_required:
                 ok = ok and sum(should) >= n_required
         return ok

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -50,10 +51,6 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
             T.StructField("props", T.StringType()),
         ]
     )
-
-
-# kept for callers that construct the legacy nanos-long shape explicitly
-EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def stream_events(

@@ -67,11 +67,38 @@ def init_log(index_path: str) -> None:
     os.makedirs(os.path.join(index_path, _DATA_DIR), exist_ok=True)
 
 
+def adopt(index_path: str) -> bool:
+    """Bring an index directory under the log, ADOPTING any pre-existing
+    plain (non-transactional) data: existing entries move into a uuid data
+    dir and become committed version 1, so earlier writes stay readable
+    instead of silently vanishing behind an empty manifest.  A no-op on an
+    already-transactional or fresh/missing directory.  Adoption is a
+    one-time migration step — run it without concurrent plain-mode readers
+    or writers (they would race the file moves)."""
+    if is_transactional(index_path) or not os.path.isdir(index_path):
+        init_log(index_path)
+        return False
+    entries = [
+        n
+        for n in os.listdir(index_path)
+        if n not in (_TXN_DIR, _DATA_DIR) and not n.startswith(".")
+    ]
+    init_log(index_path)
+    if not entries:
+        return False
+    d = new_data_dir(index_path)
+    for n in entries:
+        os.rename(os.path.join(index_path, n), os.path.join(d, n))
+    if not try_commit(index_path, 1, [d]):
+        raise CommitConflictError(f"adoption of {index_path} lost a version race")
+    return True
+
+
 def latest(index_path: str) -> tuple[int, list[str]]:
     """(version, data dirs) of the newest committed manifest; (0, []) for a
-    fresh log.  Partially-written manifest files cannot exist: the O_EXCL
-    claim writes through a temp file + rename within the claim (see
-    try_commit)."""
+    fresh log.  A version file appears atomically with its full body
+    (written to a private temp file, claimed via hard link — see
+    try_commit), so whatever this lists is complete."""
     tdir = _txn_path(index_path)
     try:
         names = [n for n in os.listdir(tdir) if n.startswith("v") and n.endswith(".json")]
@@ -86,6 +113,24 @@ def latest(index_path: str) -> tuple[int, list[str]]:
     return version, [os.path.join(index_path, _DATA_DIR, d) for d in manifest["dirs"]]
 
 
+def has_replace_commit(index_path: str) -> bool:
+    """True if any manifest in the log was a replace commit (overwrite,
+    merge rewrite, compaction) — the condition under which a file stream
+    over the data pool would deliver duplicates."""
+    tdir = _txn_path(index_path)
+    try:
+        names = [n for n in os.listdir(tdir) if n.startswith("v") and n.endswith(".json")]
+    except FileNotFoundError:
+        return False
+    for n in sorted(names):
+        if int(n[1:-5]) == 1:
+            continue  # v1 "replace" is just index creation — nothing is replaced
+        with open(os.path.join(tdir, n)) as fh:
+            if json.load(fh).get("replace"):
+                return True
+    return False
+
+
 def new_data_dir(index_path: str) -> str:
     """A fresh, uniquely-named directory for one commit's data files."""
     name = uuid.uuid4().hex
@@ -95,15 +140,15 @@ def new_data_dir(index_path: str) -> str:
 
 
 def try_commit(index_path: str, version: int, dirs: list[str], meta: dict | None = None) -> bool:
-    """Atomically claim ``version``; True iff this writer won.  The claim is
-    O_CREAT|O_EXCL on the version file; the manifest body is written through
-    the claimed fd, so a reader either sees no file or a complete one after
-    the final flush (single small write)."""
+    """Atomically claim ``version``; True iff this writer won.  The body is
+    fully written to a private temp file first, then published with
+    ``os.link`` — hard-linking is atomic and fails with FileExistsError if
+    another writer claimed the version, so a version file either does not
+    exist or is complete (no reader can observe a half-written manifest;
+    on an object store this maps onto put-if-absent)."""
     init_log(index_path)
     path = _version_file(index_path, version)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    if os.path.exists(path):  # cheap pre-check; the link below is the real claim
         return False
     body = {
         "version": version,
@@ -111,9 +156,18 @@ def try_commit(index_path: str, version: int, dirs: list[str], meta: dict | None
         "ts": time.time(),
         **(meta or {}),
     }
-    with os.fdopen(fd, "w") as fh:
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
         json.dump(body, fh)
-    return True
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def commit_append(index_path: str, data_dir: str, max_retries: int = 50) -> int:
@@ -154,17 +208,31 @@ def commit_replace(
     raise CommitConflictError(f"replace of {index_path} lost {max_retries} races")
 
 
-def vacuum(index_path: str) -> list[str]:
+def vacuum(index_path: str, min_age_seconds: float = 3600.0) -> list[str]:
     """Delete data directories not referenced by the LATEST manifest
-    (losing writers, crashed jobs, superseded replace snapshots).  Run only
-    when no reader may hold an older manifest (same contract as Delta
-    VACUUM retention=0 — a production build keeps a retention window)."""
+    (losing writers, crashed jobs, superseded replace snapshots).
+
+    ``min_age_seconds`` is the retention window (Delta VACUUM's): a dir
+    younger than it is skipped because it may belong to an IN-FLIGHT
+    writer that has created its uuid dir (or is still writing parquet
+    into it) but has not yet claimed a manifest version — deleting those
+    corrupts the pending commit.  The default (1 h) comfortably exceeds
+    any write+claim latency; pass 0 only when no writer can be active,
+    and never run vacuum while readers may hold an older manifest."""
     _, live = latest(index_path)
     live_names = {os.path.basename(d.rstrip("/")) for d in live}
     removed = []
+    now = time.time()
     data_root = os.path.join(index_path, _DATA_DIR)
     for name in os.listdir(data_root) if os.path.isdir(data_root) else []:
-        if name not in live_names:
-            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
-            removed.append(name)
+        if name in live_names:
+            continue
+        path = os.path.join(data_root, name)
+        try:
+            if now - os.path.getmtime(path) < min_age_seconds:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(name)
     return removed

@@ -38,21 +38,9 @@ def canon_rows(columns, rows, float_dp: int = 6):
     return sorted(out), [columns[i] for i in order]
 
 
-def complex_output_cols(schema) -> list[str]:
-    """Columns whose type would hit the driver's raw-array serialization
-    trap (round-1 agg_collect_set failure): the correctness hash is only
-    stable for scalar columns, so corpus queries must serialize arrays/
-    maps/structs (array_join / to_json) before returning."""
-    from pyspark.sql import types as T
-
-    return [
-        f.name
-        for f in schema.fields
-        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
-    ]
-
-
 def run_spark_query(spec, spark, sf_dir):
+    from elasticsearch_hadoop_spark.plans import complex_output_cols
+
     df = spec.fn(spark, sf_dir)
     bad = complex_output_cols(df.schema)
     assert not bad, (

@@ -391,3 +391,19 @@ def test_rare_terms_orders_rarest_first(spark):
         df, {"aggs": {"t": {"rare_terms": {"field": "t", "max_doc_count": 2}}}}
     )
     assert [(r["t"], r["doc_count"]) for r in out.collect()] == [("x", 1), ("y", 2)]
+
+
+def test_weighted_avg_skips_docs_missing_value(spark):
+    """ES weighted_avg skips a doc when the VALUE field is missing — its
+    weight must not inflate the denominator (the fixtures carry no NULLs,
+    so the corpus oracle cannot catch this)."""
+    df = spark.createDataFrame(
+        [(None, 5.0), (10.0, 1.0), (20.0, None), (30.0, 3.0)],
+        "v double, w double",
+    )
+    out = compile_aggs(
+        df, {"aggs": {"wa": {"weighted_avg": {"value": {"field": "v"},
+                                              "weight": {"field": "w"}}}}}
+    ).collect()[0]
+    # only (10,1) and (30,3) participate: (10*1 + 30*3) / (1+3) = 25.0
+    assert out["wa"] == 25.0

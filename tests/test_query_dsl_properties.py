@@ -5,9 +5,10 @@ Hypothesis generates random DSL trees (term/terms/range/prefix/wildcard/
 exists/ids/bool to depth 3); each is compiled to a Column and run on a fixed
 dense DataFrame, and the surviving _ids must equal those picked by an
 independent pure-Python evaluator implementing the documented semantics.
-The data is non-null except the `n` column (exercised only via `exists`) —
-SQL three-valued logic vs ES missing-field semantics is a documented
-difference, not a property to fuzz."""
+The data is non-null except the `n` column, which IS fuzzed (term clauses
+over `n`): the compiler must reproduce ES missing-field semantics — a
+NULL-evaluating clause counts as non-matching (0 in N-of should sums,
+satisfied must_not), never NULL-poisoning the combinator."""
 
 from __future__ import annotations
 
@@ -132,7 +133,9 @@ def ev(clause, row):
             if msm is None:
                 n_required = 0 if (body.get("must") or body.get("filter")) else 1
             else:
-                n_required = min(int(msm), len(should))
+                n_required = int(msm)
+            if n_required > len(should):
+                return False  # Lucene MatchNoDocsQuery rewrite
             if n_required and sum(ev(c, row) for c in should) < n_required:
                 return False
         return True
@@ -150,6 +153,9 @@ term_c = st.one_of(
     s_val.map(lambda v: {"term": {"s": v}}),
     i_val.map(lambda v: {"term": {"i": v}}),
     s_val.map(lambda v: {"term": {"s": {"value": v}}}),
+    # nullable column: NULL-evaluating clauses inside an N-of should sum
+    # must count as 0, not poison the count (SQL three-valued logic)
+    st.sampled_from([1, 4, 7, 10]).map(lambda v: {"term": {"n": v}}),
 )
 terms_c = st.one_of(
     st.lists(s_val, min_size=1, max_size=3).map(lambda vs: {"terms": {"s": vs}}),

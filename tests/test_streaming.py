@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.corpus._util import tbl
 from elasticsearch_hadoop_spark.streaming.pipeline import (
-    EVENTS_SCHEMA,
     dedup_stream,
     run_batches,
     running_user_totals,
@@ -183,9 +182,11 @@ def test_continuous_aggregate_maintains_rollup(spark, sf_dir, events_dir, tmp_pa
         r["event_type"]: (r["n"], round(r["total"], 6))
         for r in cat.read_index("rollup").collect()
     }
+    # plain batch read — ts is unused here, and forcing the legacy
+    # nanos-long EVENTS_SCHEMA onto the now-micros fixture would silently
+    # coerce timestamps to 1970-era values (see stream_events's probe)
     expect_df = (
-        spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        spark.read.parquet(events_dir)
         .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
     )
     expect = {r["event_type"]: (r["n"], round(r["total"], 6)) for r in expect_df.collect()}

@@ -72,17 +72,64 @@ def test_replace_recompute_sees_winner_snapshot(tmp_path):
     assert seen and seen[0] == [winner]
 
 
-def test_vacuum_sweeps_orphans(tmp_path):
+def test_vacuum_sweeps_orphans_respecting_retention(tmp_path):
     p = str(tmp_path / "t")
     txn.init_log(p)
     live = txn.new_data_dir(p)
     orphan = txn.new_data_dir(p)
     txn.commit_append(p, live)
-    removed = txn.vacuum(p)
+    # default retention window protects young dirs — an in-flight writer's
+    # not-yet-committed data dir must never be swept
+    assert txn.vacuum(p) == []
     import os
 
+    assert os.path.isdir(orphan)
+    removed = txn.vacuum(p, min_age_seconds=0)
     assert os.path.basename(orphan) in removed
     assert os.path.isdir(live)
+
+
+def test_adopt_preserves_plain_data(spark, tmp_path):
+    """Opening an existing NON-transactional index with
+    Catalog(transactional=True) must adopt its data as committed v1, not
+    hide it behind an empty manifest (silent data loss)."""
+    root = str(tmp_path / "idx")
+    plain = Catalog(spark, root)
+    plain.write_index(_df(spark, 0, 5, "old"), "t")
+    tcat = Catalog(spark, root, transactional=True)
+    tcat.write_index(_df(spark, 5, 8, "new"), "t")  # append under the log
+    got = {(r["k"], r["tag"]) for r in tcat.read_index("t").collect()}
+    assert got == {(i, "old") for i in range(5)} | {(i, "new") for i in range(5, 8)}
+    # and the plain-mode reader sees the same through the manifest
+    assert {(r["k"], r["tag"]) for r in plain.read_index("t").collect()} == got
+
+
+def test_manifest_files_never_half_written(tmp_path):
+    """latest() during a slow commit must never see an empty/partial
+    manifest: the body is fully written before the link-claim publishes
+    it."""
+    import os
+
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    d = txn.new_data_dir(p)
+    txn.commit_append(p, d)
+    tdir = os.path.join(p, "_txn")
+    for n in os.listdir(tdir):
+        body = open(os.path.join(tdir, n)).read()
+        assert body.strip().startswith("{") and body.strip().endswith("}")
+    # a leftover .tmp claim file must not confuse latest()
+    open(os.path.join(tdir, "v000000000002.json.tmp-dead"), "w").write("")
+    assert txn.latest(p)[0] == 1
+
+
+def test_stream_refused_after_replace_commit(spark, cat):
+    cat.write_index(_df(spark, 0, 5, "a"), "t")  # v1 creation
+    cat.write_index(_df(spark, 5, 8, "b"), "t")  # append — streaming OK
+    cat.read_index_stream("t")  # does not raise
+    cat.compact_index("t", target_files=1)  # replace commit
+    with pytest.raises(ValueError, match="replace commits"):
+        cat.read_index_stream("t")
 
 
 # ------------------------------------------------------------- catalog level
@@ -141,7 +188,7 @@ def test_txn_compact_and_vacuum(spark, cat):
     # one live dir now; the 5 superseded append dirs become orphans
     _, dirs = txn.latest(cat.path("t"))
     assert len(dirs) == 1
-    removed = cat.vacuum_index("t")
+    removed = cat.vacuum_index("t", min_age_seconds=0)
     assert len(removed) == 5
     assert cat.count_index("t") == 50
 

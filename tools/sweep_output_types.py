@@ -20,9 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    from pyspark.sql import types as T
-
     from elasticsearch_hadoop_spark.corpus import load_all
+    from elasticsearch_hadoop_spark.plans import complex_output_cols
     from elasticsearch_hadoop_spark.session import get_spark
 
     spark = get_spark(app_name="sweep_output_types", master="local[8]", shuffle_partitions=8)
@@ -35,9 +34,9 @@ def main() -> int:
         except Exception as ex:  # surfaced separately — a broken query is not a type issue
             bad.append((name, "<query raised>", str(ex)[:120]))
             continue
-        for f in schema.fields:
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
-                bad.append((name, f.name, f.dataType.simpleString()))
+        types = dict(zip([f.name for f in schema.fields], [f.dataType for f in schema.fields]))
+        for col in complex_output_cols(schema):
+            bad.append((name, col, types[col].simpleString()))
 
     if bad:
         print("complex-typed output columns (driver hash is scalar-only):")
