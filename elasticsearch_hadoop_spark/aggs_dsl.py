@@ -34,7 +34,9 @@ Supported:
   rarest first; terminal bucket), ``date_range`` (``range`` with
   timestamp-literal bounds; no date-math), ``geotile_grid``
   (Web-Mercator z/x/y slippy-tile keys at ``precision`` zoom over a
-  struct(lat, lon) geo_point column — pure codegen tile math)
+  struct(lat, lon) geo_point column — pure codegen tile math),
+  ``geohash_grid`` (classic base32 geohash cells at ``precision`` chars,
+  integer bit-interleave as Column math)
 - metric aggs: ``avg sum min max value_count cardinality stats
   extended_stats weighted_avg percentiles`` — ``cardinality`` compiles to
   exact ``countDistinct`` by
@@ -90,6 +92,8 @@ _CALENDAR = {
     "year": "year", "1y": "year",
 }
 _FIXED_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
 class AggsDslError(ValueError):
@@ -383,7 +387,7 @@ def _apply_pipelines(
 def _bucket_kind(body: dict) -> str | None:
     for kind in (
         "terms", "histogram", "date_histogram", "range", "date_range",
-        "geotile_grid", "filter", "filters",
+        "geotile_grid", "geohash_grid", "filter", "filters",
         "composite", "missing", "significant_terms", "rare_terms",
     ):
         if kind in body:
@@ -511,6 +515,41 @@ def _bucket_key(kind: str, b: dict) -> Column:
         x = F.least(x, F.lit(int(n) - 1)).cast("long")
         y = F.greatest(F.least(y, F.lit(int(n) - 1)), F.lit(0)).cast("long")
         return F.concat_ws("/", F.lit(str(z)), x.cast("string"), y.cast("string"))
+    if kind == "geohash_grid":
+        # classic base32 geohash at `precision` chars: equirectangular
+        # lat/lon quantization, bit-interleaved lon-first, 5 bits per
+        # char.  All integer Column math (shiftleft/bitwiseAND), so the
+        # DuckDB oracle reproduces it exactly; same partition-column
+        # scale story as geotile_grid.
+        p = int(b.get("precision", 5))
+        if not 1 <= p <= 12:
+            raise AggsDslError(f"geohash precision {p} out of range 1..12")
+        total_bits = 5 * p
+        lon_bits = (total_bits + 1) // 2
+        lat_bits = total_bits // 2
+        lat = F.col(f"{b['field']}.lat")
+        lon = F.col(f"{b['field']}.lon")
+        x = F.least(
+            F.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)),
+            F.lit((1 << lon_bits) - 1),
+        ).cast("long")
+        y = F.least(
+            F.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)),
+            F.lit((1 << lat_bits) - 1),
+        ).cast("long")
+        v = F.lit(0).cast("long")
+        for i in range(lon_bits):  # lon bit i (MSB first) -> even position
+            bit = (x.bitwiseAND(F.lit(1 << (lon_bits - 1 - i))) > 0).cast("long")
+            v = v + F.shiftleft(bit, total_bits - 1 - 2 * i)
+        for i in range(lat_bits):  # lat bit i -> odd position
+            bit = (y.bitwiseAND(F.lit(1 << (lat_bits - 1 - i))) > 0).cast("long")
+            v = v + F.shiftleft(bit, total_bits - 2 - 2 * i)
+        alphabet = F.lit(list(GEOHASH_BASE32))
+        chars = [
+            F.get(alphabet, F.shiftright(v, 5 * (p - 1 - k)).bitwiseAND(F.lit(31)).cast("int"))
+            for k in range(p)
+        ]
+        return F.concat(*chars)
     raise AggsDslError(kind)
 
 

@@ -487,6 +487,32 @@ class Catalog:
 
         self._commit_build(names[0], partition_cols, build)
 
+    def read_index_version(self, name: str, version: int) -> DataFrame:
+        """Time travel on a transactional index: the index exactly as of
+        committed ``version`` (the ES snapshot / point-in-time analogue —
+        a reader pins a manifest and is immune to concurrent rewrites).
+        Valid until vacuum_index sweeps the superseded data dirs; the
+        retention window (txn.vacuum) is therefore also the time-travel
+        horizon, exactly as in Delta."""
+        names = self.resolve_pattern(name)
+        if len(names) != 1:
+            raise ValueError(f"time travel takes a single index, got {names}")
+        path = self.path(names[0])
+        if not txn.is_transactional(path):
+            raise ValueError(f"index {names[0]!r} is not transactional")
+        dirs = txn.manifest_at(path, version)
+        if not dirs:
+            raise ValueError(f"version {version} of {names[0]!r} is empty")
+        return self._read_dirs(dirs)
+
+    def index_history(self, name: str) -> list[dict]:
+        """The commit log as data: one dict per committed version
+        (version, ts, replace?, #dirs) — DESCRIBE HISTORY parity."""
+        names = self.resolve_pattern(name)
+        if len(names) != 1:
+            raise ValueError(f"history takes a single index, got {names}")
+        return txn.history(self.path(names[0]))
+
     def vacuum_index(self, name: str, min_age_seconds: float = 3600.0) -> list[str]:
         """Sweep data directories no manifest references (losing writers,
         superseded replace snapshots), skipping dirs younger than the

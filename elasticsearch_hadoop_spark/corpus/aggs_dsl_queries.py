@@ -679,7 +679,7 @@ WITH pts AS (
   FROM pts
 )
 SELECT tile, CAST(count(*) AS BIGINT) AS doc_count,
-       round(avg(c_acctbal), 4) AS avg_bal
+       round(sum(c_acctbal), 2) AS sum_bal
 FROM tiled
 GROUP BY tile
 ORDER BY tile
@@ -705,11 +705,83 @@ def aggs_geotile_grid(spark, sf_dir):
             "aggs": {
                 "tile": {
                     "geotile_grid": {"field": "location", "precision": _GEOTILE_Z},
-                    "aggs": {"avg_bal": {"avg": {"field": "c_acctbal"}}},
+                    "aggs": {"sum_bal": {"sum": {"field": "c_acctbal"}}},
                 }
             }
         },
     )
+    # 2-dp sum of 2-dp values — same tie-free rounding rationale as the
+    # geohash query below
     return out.select(
-        F.col("tile"), "doc_count", F.round("avg_bal", 4).alias("avg_bal")
+        F.col("tile"), "doc_count", F.round("sum_bal", 2).alias("sum_bal")
     ).orderBy("tile")
+
+
+def _geohash_oracle_p2() -> str:
+    """DuckDB twin of the p=2 geohash bucket: same quantization, same
+    lon-first bit interleave, same base32 alphabet — generated from the
+    identical bit layout the Column implementation uses."""
+    lon_terms = " + ".join(
+        f"(CASE WHEN (gx & {1 << (4 - i)}) > 0 THEN {1 << (9 - 2 * i)} ELSE 0 END)"
+        for i in range(5)
+    )
+    lat_terms = " + ".join(
+        f"(CASE WHEN (gy & {1 << (4 - i)}) > 0 THEN {1 << (8 - 2 * i)} ELSE 0 END)"
+        for i in range(5)
+    )
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    return f"""
+WITH pts AS (
+  SELECT c_acctbal,
+         CAST((c_custkey % 180) - 89.5 AS DOUBLE) AS glat,
+         CAST(((c_custkey * 7) % 360) - 179.5 AS DOUBLE) AS glon
+  FROM customer
+), cells AS (
+  SELECT c_acctbal,
+         least(CAST(floor((glon + 180.0) / 360.0 * 32) AS BIGINT), 31) AS gx,
+         least(CAST(floor((glat + 90.0) / 180.0 * 32) AS BIGINT), 31) AS gy
+  FROM pts
+), vals AS (
+  SELECT c_acctbal, ({lon_terms} + {lat_terms}) AS v FROM cells
+)
+SELECT concat(substr('{alpha}', CAST((v >> 5) & 31 AS INT) + 1, 1),
+              substr('{alpha}', CAST(v & 31 AS INT) + 1, 1)) AS cell,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM vals
+GROUP BY cell
+ORDER BY cell
+"""
+
+
+@query("aggs_geohash_grid", oracle=_geohash_oracle_p2())
+def aggs_geohash_grid(spark, sf_dir):
+    """geohash_grid bucket agg: classic base32 geohash cells at precision 2
+    over the geo-corpus struct(lat, lon) points — integer bit-interleave as
+    pure Column math (verified against the canonical test vectors, e.g.
+    (57.64911, 10.40744) -> 'u4pruydqqvj'), one hash aggregation."""
+    c = tbl(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_acctbal",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+    )
+    out = compile_aggs(
+        pts,
+        {
+            "aggs": {
+                "cell": {
+                    "geohash_grid": {"field": "location", "precision": 2},
+                    "aggs": {"sum_bal": {"sum": {"field": "c_acctbal"}}},
+                }
+            }
+        },
+    )
+    # sum of 2-dp values rounded at 2 dp: no half-ulp rounding ties (an
+    # avg at 4 dp hit one at sf0.01 — 5383.13625 rounds differently per
+    # engine's summation order)
+    return out.select("cell", "doc_count", F.round("sum_bal", 2).alias("sum_bal")).orderBy(
+        "cell"
+    )

@@ -131,6 +131,19 @@ def has_replace_commit(index_path: str) -> bool:
     return False
 
 
+def manifest_at(index_path: str, version: int) -> list[str]:
+    """Data dirs of a SPECIFIC committed version (time travel — the Delta
+    `versionAsOf` / ES point-in-time analogue).  Works until vacuum sweeps
+    the superseded dirs; raises KeyError for an uncommitted version."""
+    path = _version_file(index_path, version)
+    try:
+        with open(path) as fh:
+            manifest = json.load(fh)
+    except FileNotFoundError:
+        raise KeyError(f"{index_path} has no committed version {version}") from None
+    return [os.path.join(index_path, _DATA_DIR, d) for d in manifest["dirs"]]
+
+
 def new_data_dir(index_path: str) -> str:
     """A fresh, uniquely-named directory for one commit's data files."""
     name = uuid.uuid4().hex
@@ -170,14 +183,19 @@ def try_commit(index_path: str, version: int, dirs: list[str], meta: dict | None
         os.unlink(tmp)
 
 
-def commit_append(index_path: str, data_dir: str, max_retries: int = 50) -> int:
+def commit_append(index_path: str, data_dir: str, max_retries: int = 500) -> int:
     """Publish ``data_dir`` as an append.  Lost races only re-read the
     manifest and re-claim — the data is already on disk, nothing recomputes.
-    Returns the committed version."""
-    for _ in range(max_retries):
+    Jittered backoff keeps a heavily-contended log fair (without it a
+    loser can starve: every retry pays a listdir while winners immediately
+    contend again).  Returns the committed version."""
+    import random
+
+    for attempt in range(max_retries):
         version, dirs = latest(index_path)
         if try_commit(index_path, version + 1, dirs + [data_dir]):
             return version + 1
+        time.sleep(random.random() * min(0.05, 0.001 * (attempt + 1)))
     raise CommitConflictError(f"append to {index_path} lost {max_retries} races")
 
 
@@ -206,6 +224,29 @@ def commit_replace(
         stale, data_dir = data_dir, recompute(dirs)
         shutil.rmtree(stale, ignore_errors=True)
     raise CommitConflictError(f"replace of {index_path} lost {max_retries} races")
+
+
+def history(index_path: str) -> list[dict]:
+    """Every committed version, newest first: version, commit ts, whether
+    it was a replace, and how many data dirs it references."""
+    tdir = _txn_path(index_path)
+    try:
+        names = [n for n in os.listdir(tdir) if n.startswith("v") and n.endswith(".json")]
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in sorted(names, reverse=True):
+        with open(os.path.join(tdir, n)) as fh:
+            m = json.load(fh)
+        out.append(
+            {
+                "version": m["version"],
+                "ts": m.get("ts"),
+                "replace": bool(m.get("replace")),
+                "n_dirs": len(m.get("dirs", [])),
+            }
+        )
+    return out
 
 
 def vacuum(index_path: str, min_age_seconds: float = 3600.0) -> list[str]:

@@ -7,6 +7,7 @@ import datetime
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
 
@@ -407,3 +408,14 @@ def test_weighted_avg_skips_docs_missing_value(spark):
     ).collect()[0]
     # only (10,1) and (30,3) participate: (10*1 + 30*3) / (1+3) = 25.0
     assert out["wa"] == 25.0
+
+
+def test_geohash_grid_matches_canonical_vectors(spark):
+    """The bit-interleave must reproduce the classic geohash test vectors."""
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (42.6, -5.6)], "lat double, lon double"
+    ).select(F.struct("lat", "lon").alias("location"))
+    out = compile_aggs(
+        df, {"aggs": {"gh": {"geohash_grid": {"field": "location", "precision": 5}}}}
+    )
+    assert {r["gh"] for r in out.collect()} == {"u4pru", "ezs42"}

@@ -213,3 +213,38 @@ def test_txn_reader_never_sees_halfcommit(spark, cat):
         assert n in (before, 50), n
     th.join()
     assert cat.count_index("t") == 50
+
+
+def test_txn_append_fuzz_threads(tmp_path):
+    """Log-level stress: 8 threads x 20 appends racing on one log. Every
+    append must land exactly once (manifest union), the final version must
+    equal the total commit count, and no thread may error."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    dirs = [txn.new_data_dir(p) for _ in range(160)]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(lambda d: txn.commit_append(p, d), dirs))
+
+    assert sorted(versions) == list(range(1, 161))  # every version claimed once
+    v, live = txn.latest(p)
+    assert v == 160
+    assert sorted(map(str, live)) == sorted(dirs)  # no append lost
+
+
+def test_time_travel_and_history(spark, cat):
+    """read_index_version pins a committed snapshot (ES point-in-time /
+    Delta versionAsOf analogue); index_history exposes the commit log."""
+    cat.write_index(_df(spark, 0, 5, "a"), "t", id_col="k")          # v1
+    cat.write_index(_df(spark, 0, 5, "b"), "t", operation="upsert", id_col="k")  # v2
+    cat.write_index(_df(spark, 5, 7, "c"), "t")                      # v3 append
+    assert {r["tag"] for r in cat.read_index_version("t", 1).collect()} == {"a"}
+    assert {r["tag"] for r in cat.read_index_version("t", 2).collect()} == {"b"}
+    assert cat.read_index_version("t", 3).count() == 7
+    hist = cat.index_history("t")
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert hist[0]["replace"] is False and hist[1]["replace"] is True
+    with pytest.raises(KeyError):
+        cat.read_index_version("t", 9)
