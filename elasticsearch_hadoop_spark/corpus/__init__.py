@@ -144,6 +144,7 @@ def load_all() -> dict[str, QuerySpec]:
         pushdown,
         sampling,
         scalar_functions,
+        search_surface,
         similarity,
         streaming_batch,
         streaming_live,

@@ -1,0 +1,122 @@
+"""ES runtime fields / script_fields — the painless-lite subset.
+
+ES lets a search request define computed fields without reindexing:
+
+    "runtime_mappings": {
+        "price_with_tax": {
+            "type": "double",
+            "script": {"source": "emit(doc['price'].value * 1.19)"}
+        }
+    }
+
+The reference connector passes such requests through to ES; here the same
+JSON compiles to ``withColumn`` expressions, so runtime fields stay inside
+whole-stage codegen and are visible to every downstream operator (filters
+on them prune like any derived column).
+
+Supported script subset (the same discipline as aggs_dsl's
+bucket_script): a single ``emit(<expr>)`` whose body is arithmetic /
+comparison / boolean logic plus a small whitelist of functions
+(``Math.abs/min/max/floor/ceil/round/sqrt/pow/log``, string
+``.length()``, ternary ``cond ? a : b``) over ``doc['field'].value``
+references and literals.  Anything else raises — no silent approximation
+of painless semantics.  Emitted types follow the declared ``type`` per
+the SURVEY.md §1.2 table (keyword/long/double/boolean/date).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DOC_REF = re.compile(r"doc\[(['\"])([A-Za-z0-9_.]+)\1\]\.value")
+_EMIT = re.compile(r"^\s*emit\s*\((.*)\)\s*;?\s*$", flags=re.S)
+# after doc-ref + function-name substitution the residue must be pure
+# expression characters (no quotes/semicolons/backticks/brackets)
+_EXPR_OK = re.compile(r"^[\w\s.+\-*/()%,<>=!&|?:]+$")
+
+_FUNCS = {
+    "Math.abs": "abs",
+    "Math.min": "least",
+    "Math.max": "greatest",
+    "Math.floor": "floor",
+    "Math.ceil": "ceil",
+    "Math.round": "round",
+    "Math.sqrt": "sqrt",
+    "Math.pow": "power",
+    "Math.log": "ln",
+}
+
+_ALLOWED_TOKENS = {
+    *[v.lower() for v in _FUNCS.values()],
+    "length", "if", "and", "or", "not", "true", "false",
+}
+
+_TYPES = {
+    "keyword": "string",
+    "text": "string",
+    "long": "bigint",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "timestamp",
+}
+
+
+class RuntimeFieldError(ValueError):
+    pass
+
+
+def compile_script(script: str | dict) -> Column:
+    """One painless-lite ``emit(expr)`` -> a Column expression."""
+    if isinstance(script, dict):
+        script = script.get("source", "")
+    m = _EMIT.match(str(script))
+    if not m:
+        raise RuntimeFieldError(f"script must be a single emit(...): {script!r}")
+    body = m.group(1)
+    # doc['field'].value -> backticked column reference
+    body = _DOC_REF.sub(lambda mm: f"`{mm.group(2)}`", body)
+    # .length() on a (column) expression -> length(expr): painless string len
+    body = re.sub(r"`([A-Za-z0-9_.]+)`\s*\.\s*length\s*\(\s*\)", r"length(`\1`)", body)
+    for painless, sql in _FUNCS.items():
+        body = body.replace(painless, sql)
+    # ternary cond ? a : b -> if(cond, a, b) (single, non-nested)
+    tern = re.split(r"\?|:", body)
+    if len(tern) == 3:
+        body = f"if({tern[0]}, {tern[1]}, {tern[2]})"
+    elif len(tern) != 1:
+        raise RuntimeFieldError(f"only a single non-nested ternary is supported: {script!r}")
+    residue = re.sub(r"`[A-Za-z0-9_.]+`", "", body)
+    if not _EXPR_OK.match(residue):
+        raise RuntimeFieldError(f"unsupported script syntax: {script!r}")
+    # every bare identifier left must be a whitelisted function/keyword —
+    # anything else (params.*, object construction, method calls) rejects
+    # rather than leaking into F.expr as a phantom column reference
+    stray = [
+        t
+        for t in re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", residue)
+        if t.lower() not in _ALLOWED_TOKENS
+    ]
+    if stray:
+        raise RuntimeFieldError(f"unsupported identifiers {stray} in script: {script!r}")
+    return F.expr(body)
+
+
+def apply_runtime_mappings(df: DataFrame, mappings: dict) -> DataFrame:
+    """Attach every runtime field in an ES ``runtime_mappings`` body.
+    Fields may reference previously-declared runtime fields (ES allows
+    this) — declaration order wins."""
+    out = df
+    for name, spec in mappings.items():
+        if not isinstance(spec, dict) or "type" not in spec:
+            raise RuntimeFieldError(f"runtime field {name!r} needs a type")
+        t = _TYPES.get(spec["type"])
+        if t is None:
+            raise RuntimeFieldError(f"unsupported runtime field type {spec['type']!r}")
+        col = compile_script(spec.get("script", "")).cast(t)
+        out = out.withColumn(name, col)
+    return out

@@ -1,0 +1,78 @@
+"""ES search-surface helpers beyond the query DSL: keyset pagination
+(``search_after``) and field collapsing (``collapse``) — the two
+non-scoring search-body features the reference's users lean on for deep
+pagination and per-key dedup of hits.
+
+Scale notes:
+- ``search_after`` is THE deep-pagination pattern at 100 TB: the
+  lexicographic cursor filter is sargable (pushes to parquet row-group
+  stats on the leading sort column), and LIMIT keeps it a
+  TakeOrderedAndProject — no global sort, no OFFSET scan-and-discard.
+- ``collapse`` compiles to the row_number window idiom; Spark plans it as
+  WindowGroupLimit, pruning to per-partition top-k before the single
+  shuffle on the collapse key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _direction(spec) -> tuple[str, bool]:
+    """ES sort entry -> (field, ascending).  Accepts "field",
+    {"field": "asc"|"desc"} or {"field": {"order": ...}}."""
+    if isinstance(spec, str):
+        return spec, True
+    ((field, v),) = spec.items()
+    order = v.get("order", "asc") if isinstance(v, dict) else v
+    return field, str(order).lower() != "desc"
+
+
+def search_after(
+    df: DataFrame,
+    sort: list,
+    after: list | tuple | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """Keyset pagination: rows strictly after the ``after`` cursor in the
+    given sort order, first ``size`` of them.  ``sort`` must end in a
+    unique tiebreak field (ES requires the same).  The cursor compiles to
+    the lexicographic tuple comparison ((k1 cmp a1) OR (k1 = a1 AND ...)),
+    honoring per-field direction."""
+    fields = [_direction(s) for s in sort]
+    out = df
+    if after is not None:
+        if len(after) != len(fields):
+            raise ValueError(f"after cursor needs {len(fields)} values, got {len(after)}")
+        cond: Column | None = None
+        eq_prefix: Column | None = None
+        for (field, asc), a in zip(fields, after):
+            col, lit = F.col(field), F.lit(a)
+            cmp = col > lit if asc else col < lit
+            term = cmp if eq_prefix is None else (eq_prefix & cmp)
+            cond = term if cond is None else (cond | term)
+            eq = col == lit
+            eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
+        out = out.filter(cond)
+    order = [F.col(f).asc() if asc else F.col(f).desc() for f, asc in fields]
+    return out.orderBy(*order).limit(size)
+
+
+def collapse(
+    df: DataFrame,
+    field: str,
+    sort: list,
+    inner_hits: int = 1,
+    rank_col: str = "hit_rank",
+) -> DataFrame:
+    """ES field collapsing: keep the top ``inner_hits`` rows per value of
+    ``field``, ranked by ``sort`` (which must break ties for determinism).
+    Emits ``rank_col`` (1-based) like the aggs-DSL top_hits rendering."""
+    fields = [_direction(s) for s in sort]
+    order = [F.col(f).asc() if asc else F.col(f).desc() for f, asc in fields]
+    w = Window.partitionBy(field).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= inner_hits)
+    )

@@ -1,0 +1,89 @@
+"""Runtime fields (painless-lite) and search helpers: the compile paths,
+the rejection guardrails (no silent approximation of painless), and
+keyset-pagination continuity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.runtime_fields import (
+    RuntimeFieldError,
+    apply_runtime_mappings,
+    compile_script,
+)
+from elasticsearch_hadoop_spark.search import collapse, search_after
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "ab"), (2, 20.0, "c"), (3, 30.0, "defg")],
+        "k long, price double, name string",
+    )
+
+
+def test_runtime_field_arithmetic_and_funcs(spark, df):
+    out = apply_runtime_mappings(
+        df,
+        {
+            "taxed": {"type": "double", "script": "emit(doc['price'].value * 1.5)"},
+            "cap": {
+                "type": "double",
+                "script": "emit(Math.min(doc['price'].value, 15.0))",
+            },
+            "name_len": {"type": "long", "script": "emit(doc['name'].value.length())"},
+            # runtime field referencing a runtime field (ES allows it)
+            "taxed2": {"type": "double", "script": "emit(doc['taxed'].value + 1)"},
+        },
+    )
+    r = {x["k"]: x for x in out.collect()}
+    assert r[1]["taxed"] == 15.0 and r[1]["cap"] == 10.0 and r[1]["name_len"] == 2
+    assert r[2]["cap"] == 15.0 and r[3]["name_len"] == 4
+    assert r[2]["taxed2"] == 31.0
+
+
+def test_runtime_field_ternary(spark, df):
+    out = apply_runtime_mappings(
+        df, {"bulk": {"type": "long", "script": "emit(doc['price'].value >= 20 ? 1 : 0)"}}
+    )
+    assert [r["bulk"] for r in out.orderBy("k").collect()] == [0, 1, 1]
+
+
+@pytest.mark.parametrize(
+    "script",
+    [
+        "doc['price'].value",  # no emit
+        "emit(doc['price'].value); emit(1)",  # two statements
+        "emit(params.x)",  # params unsupported
+        "emit(doc['price'].value + \"s\")",  # string literal -> quote residue
+        "emit(new Random().nextInt())",  # arbitrary painless
+        "emit(a ? b : c ? d : e)",  # nested ternary
+    ],
+)
+def test_runtime_field_rejects_unsupported(script):
+    with pytest.raises(RuntimeFieldError):
+        compile_script(script)
+
+
+def test_search_after_pages_are_continuous(spark, df2=None):
+    data = spark.range(100).select(
+        (F.col("id") % 7).alias("grp"), F.col("id").alias("k")
+    )
+    sort = [{"grp": "desc"}, {"k": "asc"}]
+    page1 = search_after(data, sort, after=None, size=30).collect()
+    cursor = (page1[-1]["grp"], page1[-1]["k"])
+    page2 = search_after(data, sort, after=cursor, size=30).collect()
+    # continuity: concatenation equals the first 60 of the full ordering
+    full = data.orderBy(F.col("grp").desc(), F.col("k").asc()).limit(60).collect()
+    assert [tuple(r) for r in page1 + page2] == [tuple(r) for r in full]
+
+
+def test_collapse_keeps_top_per_key(spark):
+    data = spark.createDataFrame(
+        [(1, 5), (1, 9), (1, 7), (2, 3)], "g long, v long"
+    )
+    out = collapse(data, "g", sort=[{"v": "desc"}], inner_hits=2).orderBy("g", "hit_rank")
+    assert [(r["g"], r["v"], r["hit_rank"]) for r in out.collect()] == [
+        (1, 9, 1), (1, 7, 2), (2, 3, 1)
+    ]
