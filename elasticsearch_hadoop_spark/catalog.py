@@ -260,6 +260,7 @@ class Catalog:
         on_match: dict[str, Column] | None = None,
         max_records_per_file: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """Write ``df`` into index ``name`` (saveToEs parity, SURVEY.md §3.2).
 
@@ -294,9 +295,19 @@ class Catalog:
         if existed and mode == "ignore":
             return
 
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         out = df
         if sort_by:
             out = out.sortWithinPartitions(*sort_by)
+        if zorder_by:
+            # multi-dimensional clustering: every output file covers a small
+            # hyper-rectangle of the zorder_by columns, so range filters on
+            # ANY of them skip whole files/row-groups (operators/zorder.py —
+            # the multi-column upgrade of sort_by's single-column stats)
+            from elasticsearch_hadoop_spark.operators.zorder import zorder
+
+            out = zorder(out, zorder_by)
         if id_col is not None:
             out = out.withColumn("_id", F.col(id_col).cast("string"))
         if routing_col is not None:
