@@ -447,20 +447,18 @@ def _rare_terms(df: DataFrame, name: str, spec: dict) -> DataFrame:
 
 
 def _after_key_gt(key_names: list[str], after: dict) -> Column:
-    """Lexicographic (k1..kn) > (a1..an): the composite `after` cursor.
-    Null after-values are not supported (ES encodes them specially)."""
-    cond = None
-    eq_prefix = None
-    for kn in key_names:
-        if kn not in after:
-            raise AggsDslError(f"composite after-key missing source {kn!r}")
-        a = F.lit(after[kn])
-        gt = F.col(kn) > a
-        term = gt if eq_prefix is None else (eq_prefix & gt)
-        cond = term if cond is None else (cond | term)
-        eq = F.col(kn) == a
-        eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
-    return cond
+    """Lexicographic (k1..kn) > (a1..an): the composite `after` cursor —
+    the ascending special case of search.lexicographic_after (one shared
+    implementation of the OR/AND-prefix construction).  Null after-values
+    are not supported (ES encodes them specially)."""
+    from elasticsearch_hadoop_spark.search import lexicographic_after
+
+    missing = [kn for kn in key_names if kn not in after]
+    if missing:
+        raise AggsDslError(f"composite after-key missing source {missing[0]!r}")
+    return lexicographic_after(
+        [(kn, True) for kn in key_names], [after[kn] for kn in key_names]
+    )
 
 
 def _bucket_key(kind: str, b: dict) -> Column:
@@ -529,13 +527,21 @@ def _bucket_key(kind: str, b: dict) -> Column:
         lat_bits = total_bits // 2
         lat = F.col(f"{b['field']}.lat")
         lon = F.col(f"{b['field']}.lon")
-        x = F.least(
-            F.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)),
-            F.lit((1 << lon_bits) - 1),
+        # clamp BOTH ends: out-of-domain coords (bad data) must land in an
+        # edge cell, not interleave a negative index's two's-complement bits
+        x = F.greatest(
+            F.least(
+                F.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)),
+                F.lit((1 << lon_bits) - 1),
+            ),
+            F.lit(0),
         ).cast("long")
-        y = F.least(
-            F.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)),
-            F.lit((1 << lat_bits) - 1),
+        y = F.greatest(
+            F.least(
+                F.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)),
+                F.lit((1 << lat_bits) - 1),
+            ),
+            F.lit(0),
         ).cast("long")
         v = F.lit(0).cast("long")
         for i in range(lon_bits):  # lon bit i (MSB first) -> even position

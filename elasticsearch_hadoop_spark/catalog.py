@@ -300,14 +300,19 @@ class Catalog:
         out = df
         if sort_by:
             out = out.sortWithinPartitions(*sort_by)
-        if zorder_by:
-            # multi-dimensional clustering: every output file covers a small
-            # hyper-rectangle of the zorder_by columns, so range filters on
-            # ANY of them skip whole files/row-groups (operators/zorder.py —
-            # the multi-column upgrade of sort_by's single-column stats)
+
+        # multi-dimensional clustering: every output file covers a small
+        # hyper-rectangle of the zorder_by columns, so range filters on
+        # ANY of them skip whole files/row-groups (operators/zorder.py —
+        # the multi-column upgrade of sort_by's single-column stats).
+        # Applied to the FINAL written frame: clustering the incoming
+        # batch before a merge would be destroyed by the merge's joins.
+        def cluster(frame: DataFrame) -> DataFrame:
+            if not zorder_by:
+                return frame
             from elasticsearch_hadoop_spark.operators.zorder import zorder
 
-            out = zorder(out, zorder_by)
+            return zorder(frame, zorder_by)
         if id_col is not None:
             out = out.withColumn("_id", F.col(id_col).cast("string"))
         if routing_col is not None:
@@ -320,7 +325,7 @@ class Catalog:
         if mode == "overwrite" or not existed:
             # truncate-then-write parity; also the create path
             self._commit_build(
-                name, partition_cols, lambda _existing: out,
+                name, partition_cols, lambda _existing: cluster(out),
                 max_records_per_file=max_records_per_file, needs_existing=False,
             )
         elif operation in ("index", "create", "update", "upsert", "delete"):
@@ -328,12 +333,14 @@ class Catalog:
                 # plain append, no identity: blind parquet append, no read.
                 # Transactional mode publishes via manifest-union retry —
                 # concurrent appends both land, no data rewrite on a race.
-                self._append_files(out, name, partition_cols, max_records_per_file)
+                self._append_files(cluster(out), name, partition_cols, max_records_per_file)
             else:
                 self._commit_build(
                     name,
                     partition_cols,
-                    lambda existing: self._merge(existing, out, operation, on_match),
+                    lambda existing: cluster(
+                        self._merge(existing, out, operation, on_match)
+                    ),
                     max_records_per_file=max_records_per_file,
                 )
 

@@ -38,18 +38,31 @@ def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, floa
     return {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
 
 
+def default_bits(k: int) -> int:
+    """Per-column resolution that keeps k columns inside a signed 64-bit
+    z-value (16 for 1-3 columns, degrading gracefully beyond)."""
+    return min(16, 63 // max(k, 1))
+
+
 def zvalue(
-    cols: list[str], bounds: dict[str, tuple[float, float]], bits: int = 16
+    cols: list[str], bounds: dict[str, tuple[float, float]], bits: int | None = None
 ) -> Column:
     """The Morton code Column for ``cols`` under ``bounds``.  NULLs map to
-    cell 0 (they cluster together at the curve's origin)."""
+    cell 0 (they cluster together at the curve's origin); a column whose
+    bounds are unknown (empty frame / all-null column) contributes a
+    constant 0 cell rather than crashing."""
     k = len(cols)
+    if bits is None:
+        bits = default_bits(k)
     if not 1 <= k * bits <= 63:
         raise ValueError(f"{k} cols x {bits} bits exceeds a signed 64-bit z-value")
     cells = []
     n = (1 << bits) - 1
     for c in cols:
         mn, mx = bounds[c]
+        if mn is None or mx is None:
+            cells.append(F.lit(0).cast("long"))
+            continue
         span = (mx - mn) or 1.0
         scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * n
         cell = F.least(F.greatest(F.round(scaled, 0), F.lit(0.0)), F.lit(float(n)))
@@ -62,7 +75,7 @@ def zvalue(
     return z
 
 
-def zorder(df: DataFrame, cols: list[str], bits: int = 16, num_partitions: int | None = None) -> DataFrame:
+def zorder(df: DataFrame, cols: list[str], bits: int | None = None, num_partitions: int | None = None) -> DataFrame:
     """Cluster ``df`` on the z-curve of ``cols``: one range shuffle +
     in-partition sort; the helper column is dropped before return."""
     b = column_bounds(df, cols)

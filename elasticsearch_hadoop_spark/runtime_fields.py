@@ -84,9 +84,18 @@ def compile_script(script: str | dict) -> Column:
     body = re.sub(r"`([A-Za-z0-9_.]+)`\s*\.\s*length\s*\(\s*\)", r"length(`\1`)", body)
     for painless, sql in _FUNCS.items():
         body = body.replace(painless, sql)
-    # ternary cond ? a : b -> if(cond, a, b) (single, non-nested)
+    # painless boolean operators: Spark SQL parses || as STRING CONCAT and
+    # rejects && outright — rewrite to AND/OR before anything else sees them
+    body = body.replace("&&", " AND ").replace("||", " OR ")
+    # ternary cond ? a : b -> if(cond, a, b).  Only a WHOLE-body ternary is
+    # supported: an embedded one would be blindly mangled into invalid SQL,
+    # so unbalanced parentheses in any of the three parts reject up front.
     tern = re.split(r"\?|:", body)
     if len(tern) == 3:
+        if any(p.count("(") != p.count(")") for p in tern):
+            raise RuntimeFieldError(
+                f"ternary must be the whole expression (wrap-free): {script!r}"
+            )
         body = f"if({tern[0]}, {tern[1]}, {tern[2]})"
     elif len(tern) != 1:
         raise RuntimeFieldError(f"only a single non-nested ternary is supported: {script!r}")

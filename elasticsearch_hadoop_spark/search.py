@@ -29,6 +29,25 @@ def _direction(spec) -> tuple[str, bool]:
     return field, str(order).lower() != "desc"
 
 
+def lexicographic_after(fields: list[tuple[str, bool]], values) -> Column:
+    """The keyset-cursor predicate: (k1,..,kn) strictly after (a1,..,an)
+    in lexicographic order, honoring per-field direction.  Shared by
+    ``search_after`` and the aggs-DSL composite ``after`` cursor — ONE
+    implementation of the subtle OR/AND-prefix construction."""
+    if len(values) != len(fields):
+        raise ValueError(f"after cursor needs {len(fields)} values, got {len(values)}")
+    cond: Column | None = None
+    eq_prefix: Column | None = None
+    for (field, asc), a in zip(fields, values):
+        col, lit = F.col(field), F.lit(a)
+        cmp = col > lit if asc else col < lit
+        term = cmp if eq_prefix is None else (eq_prefix & cmp)
+        cond = term if cond is None else (cond | term)
+        eq = col == lit
+        eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
+    return cond
+
+
 def search_after(
     df: DataFrame,
     sort: list,
@@ -37,24 +56,11 @@ def search_after(
 ) -> DataFrame:
     """Keyset pagination: rows strictly after the ``after`` cursor in the
     given sort order, first ``size`` of them.  ``sort`` must end in a
-    unique tiebreak field (ES requires the same).  The cursor compiles to
-    the lexicographic tuple comparison ((k1 cmp a1) OR (k1 = a1 AND ...)),
-    honoring per-field direction."""
+    unique tiebreak field (ES requires the same)."""
     fields = [_direction(s) for s in sort]
     out = df
     if after is not None:
-        if len(after) != len(fields):
-            raise ValueError(f"after cursor needs {len(fields)} values, got {len(after)}")
-        cond: Column | None = None
-        eq_prefix: Column | None = None
-        for (field, asc), a in zip(fields, after):
-            col, lit = F.col(field), F.lit(a)
-            cmp = col > lit if asc else col < lit
-            term = cmp if eq_prefix is None else (eq_prefix & cmp)
-            cond = term if cond is None else (cond | term)
-            eq = col == lit
-            eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
-        out = out.filter(cond)
+        out = out.filter(lexicographic_after(fields, list(after)))
     order = [F.col(f).asc() if asc else F.col(f).desc() for f, asc in fields]
     return out.orderBy(*order).limit(size)
 

@@ -253,13 +253,36 @@ def vacuum(index_path: str, min_age_seconds: float = 3600.0) -> list[str]:
     """Delete data directories not referenced by the LATEST manifest
     (losing writers, crashed jobs, superseded replace snapshots).
 
-    ``min_age_seconds`` is the retention window (Delta VACUUM's): a dir
-    younger than it is skipped because it may belong to an IN-FLIGHT
-    writer that has created its uuid dir (or is still writing parquet
-    into it) but has not yet claimed a manifest version — deleting those
-    corrupts the pending commit.  The default (1 h) comfortably exceeds
-    any write+claim latency; pass 0 only when no writer can be active,
-    and never run vacuum while readers may hold an older manifest."""
+    ``min_age_seconds`` is the retention window (Delta VACUUM's), counted
+    from the moment a dir became unreachable:
+
+    - a dir that WAS committed ages from the commit that superseded it
+      (the first manifest after the last one referencing it) — a
+      just-replaced snapshot stays readable for the full window even if
+      its files are old, so the window really is the time-travel horizon;
+    - a dir never referenced by any manifest (in-flight writer, crashed
+      job) ages from its own mtime — an active writer's dir is never
+      swept before it can claim a version.
+
+    Pass 0 only when no writer can be active and no reader may hold an
+    older manifest."""
+    tdir = _txn_path(index_path)
+    try:
+        names = sorted(
+            n for n in os.listdir(tdir) if n.startswith("v") and n.endswith(".json")
+        )
+    except FileNotFoundError:
+        names = []
+    last_ref: dict[str, int] = {}
+    manifest_mtime: dict[int, float] = {}
+    for n in names:
+        version = int(n[1:-5])
+        path = os.path.join(tdir, n)
+        manifest_mtime[version] = os.path.getmtime(path)
+        with open(path) as fh:
+            for d in json.load(fh).get("dirs", []):
+                last_ref[d] = version
+
     _, live = latest(index_path)
     live_names = {os.path.basename(d.rstrip("/")) for d in live}
     removed = []
@@ -270,7 +293,13 @@ def vacuum(index_path: str, min_age_seconds: float = 3600.0) -> list[str]:
             continue
         path = os.path.join(data_root, name)
         try:
-            if now - os.path.getmtime(path) < min_age_seconds:
+            if name in last_ref:
+                unreachable_since = manifest_mtime.get(
+                    last_ref[name] + 1, os.path.getmtime(path)
+                )
+            else:
+                unreachable_since = os.path.getmtime(path)
+            if now - unreachable_since < min_age_seconds:
                 continue
         except OSError:
             continue

@@ -66,7 +66,7 @@ def test_runtime_field_rejects_unsupported(script):
         compile_script(script)
 
 
-def test_search_after_pages_are_continuous(spark, df2=None):
+def test_search_after_pages_are_continuous(spark):
     data = spark.range(100).select(
         (F.col("id") % 7).alias("grp"), F.col("id").alias("k")
     )
@@ -87,3 +87,28 @@ def test_collapse_keeps_top_per_key(spark):
     assert [(r["g"], r["v"], r["hit_rank"]) for r in out.collect()] == [
         (1, 9, 1), (1, 7, 2), (2, 3, 1)
     ]
+
+
+def test_runtime_field_boolean_operators(spark, df):
+    """Painless && / || must compile to AND/OR — Spark would otherwise
+    parse || as string concat (silent garbage) and reject &&."""
+    out = apply_runtime_mappings(
+        df,
+        {
+            "both": {
+                "type": "boolean",
+                "script": "emit(doc['price'].value >= 20 && doc['k'].value > 2)",
+            },
+            "either": {
+                "type": "boolean",
+                "script": "emit(doc['price'].value >= 30 || doc['k'].value == 1)",
+            },
+        },
+    )
+    r = {x["k"]: (x["both"], x["either"]) for x in out.collect()}
+    assert r == {1: (False, True), 2: (False, False), 3: (True, True)}
+
+
+def test_runtime_field_rejects_embedded_ternary():
+    with pytest.raises(RuntimeFieldError):
+        compile_script("emit(1 + (doc['price'].value > 20 ? 3 : 4))")

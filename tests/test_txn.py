@@ -248,3 +248,28 @@ def test_time_travel_and_history(spark, cat):
     assert hist[0]["replace"] is False and hist[1]["replace"] is True
     with pytest.raises(KeyError):
         cat.read_index_version("t", 9)
+
+
+def test_vacuum_ages_from_supersession_not_creation(tmp_path):
+    """A snapshot superseded a moment ago must survive the retention
+    window even if its FILES are old (the time-travel horizon counts from
+    when the dir became unreachable, like Delta), and gets swept once the
+    superseding commit is older than the window."""
+    import os
+    import time as _t
+
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    d1 = txn.new_data_dir(p)
+    txn.commit_append(p, d1)  # v1
+    # make the data dir and the v1 manifest look hours old
+    old = _t.time() - 7200
+    os.utime(d1, (old, old))
+    os.utime(os.path.join(p, "_txn", "v000000000001.json"), (old, old))
+    d2 = txn.new_data_dir(p)
+    txn.commit_replace(p, 1, d2)  # v2 NOW supersedes d1
+    assert txn.vacuum(p, min_age_seconds=60) == []  # superseded 0s ago
+    assert os.path.isdir(d1)
+    # age the superseding commit past the window -> d1 becomes sweepable
+    os.utime(os.path.join(p, "_txn", "v000000000002.json"), (old, old))
+    assert os.path.basename(d1) in txn.vacuum(p, min_age_seconds=60)

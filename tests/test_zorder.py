@@ -59,3 +59,45 @@ def test_write_index_zorder_roundtrip(spark, tmp_path):
     assert cat.count_index("t") == 1000
     got = {r["k"] for r in cat.read_index("t").collect()}
     assert got == set(range(1000))
+
+
+def test_zorder_empty_and_allnull_inputs(spark, tmp_path):
+    """Empty frames and all-null clustering columns must not crash —
+    bounds degrade to constant cells (everything at the curve origin)."""
+    empty = spark.range(0).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    assert zorder(empty, ["x", "y"]).count() == 0
+    nulls = spark.range(10).select(
+        F.lit(None).cast("long").alias("x"), F.col("id").alias("y")
+    )
+    assert zorder(nulls, ["x", "y"]).count() == 10
+
+
+def test_zorder_four_columns_uses_adaptive_bits(spark):
+    df = spark.range(100).select(
+        *[((F.col("id") * m) % 10).alias(c) for c, m in zip("abcd", (1, 3, 7, 9))]
+    )
+    # default bits shrink to 63//4=15 -> no ValueError, data intact
+    assert zorder(df, ["a", "b", "c", "d"]).count() == 100
+
+
+def test_zorder_applies_to_merged_output(spark, tmp_path):
+    """zorder_by on a merge op must cluster the FINAL index contents, not
+    the pre-merge incoming batch: after an upsert, per-file spans on both
+    clustered columns stay far below the full value range."""
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    base = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 37) % 100).alias("y"),
+    )
+    cat.write_index(base, "t", mode="overwrite", id_col="k", zorder_by=["x", "y"])
+    batch = spark.range(500).select(
+        (F.col("id") + 50000).alias("k"), (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 11) % 100).alias("y"),
+    )
+    cat.write_index(batch, "t", operation="upsert", id_col="k", zorder_by=["x", "y"])
+    assert cat.count_index("t") == 20500
+    path = cat.path("t")
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    if n_files >= 4:  # span check only meaningful with multiple files
+        for idx in (1, 2):  # columns: k=0, x=1, y=2
+            assert _avg_file_span(path, idx) < 70
