@@ -13,8 +13,8 @@ bucket keys as columns, metric values as columns named `<agg_name>` (or
 Supported:
 
 - bucket aggs (one per nesting level, arbitrarily chained through
-  ``"aggs"``): ``terms`` (with ``size``, ordered by doc_count desc — ES
-  default), ``histogram`` (``interval``), ``date_histogram``
+  ``"aggs"``): ``terms`` (with ``size`` and ``order`` — ``_count``/``_key``/sub-metric,
+  doc_count desc by default; size truncates under the requested order), ``histogram`` (``interval``), ``date_histogram``
   (``calendar_interval``: minute/hour/day/week/month/quarter/year, or
   ``fixed_interval``: "<n>s/m/h/d"), ``range`` (``ranges`` with ES
   "from inclusive, to exclusive" semantics and auto "a-b" keys),
@@ -114,6 +114,7 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     keys: list[tuple[str, Column]] = []  # (output name, key expr)
     metrics: list[Column] = []
     terms_size: int | None = None
+    terms_order: tuple[dict | None, str] | None = None  # (order spec, key name)
     composite: tuple[int, dict | None] | None = None  # (size, after)
     top_hits: tuple[str, dict] | None = None
     # (name, kind, spec, level_index): applied over the finished buckets
@@ -194,8 +195,10 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             keys.append((name, F.col(tmp)))
         else:
             keys.append((name, _bucket_key(kind, body[kind])))
-        if depth == 0 and kind == "terms" and "size" in body[kind]:
-            terms_size = int(body[kind]["size"])
+        if depth == 0 and kind == "terms":
+            if "size" in body[kind]:
+                terms_size = int(body[kind]["size"])
+            terms_order = (body[kind].get("order"), name)
         level = body.get("aggs", body.get("aggregations"))
         depth += 1
 
@@ -216,11 +219,14 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             if after:
                 out = out.filter(_after_key_gt(key_names, after))
             return out.orderBy(*key_names).limit(size)
-        if terms_size is not None:
-            out = out.orderBy(F.col("doc_count").desc(), *key_names).limit(terms_size)
+        if terms_size is not None or terms_order is not None:
+            order_cols = _terms_order_cols(terms_order)
+            if terms_size is not None:
+                # the ES semantics: size truncates UNDER the bucket order
+                out = out.orderBy(*order_cols, *key_names).limit(terms_size)
+            out = _apply_pipelines(out, key_names, pipelines)
+            return out.orderBy(*order_cols, *key_names)
         out = _apply_pipelines(out, key_names, pipelines)
-        if terms_size is not None:
-            return out.orderBy(F.col("doc_count").desc(), *key_names)
         return out.orderBy(*key_names)
     if pipelines:
         raise AggsDslError("pipeline aggs need a bucket agg to run over")
@@ -382,6 +388,25 @@ def _apply_pipelines(
         else:
             raise AggsDslError(kind)
     return out
+
+
+def _terms_order_cols(terms_order: tuple[dict | None, str] | None) -> list[Column]:
+    """ES terms ``order``: ``{"_count": "desc"}`` (the default),
+    ``{"_key": "asc"}``, or ``{"<metric name>": ...}`` (sub-metric order —
+    multi-value paths like ``s.avg`` resolve to the flattened column)."""
+    if terms_order is None or terms_order[0] is None:
+        return [F.col("doc_count").desc()]
+    spec, key_name = terms_order
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise AggsDslError(f"terms order must be a single-entry map, got {spec!r}")
+    ((path, direction),) = spec.items()
+    if path == "_count":
+        col = F.col("doc_count")
+    elif path == "_key":
+        col = F.col(key_name)
+    else:
+        col = _path_col(path)
+    return [col.desc() if str(direction).lower() == "desc" else col.asc()]
 
 
 def _bucket_kind(body: dict) -> str | None:

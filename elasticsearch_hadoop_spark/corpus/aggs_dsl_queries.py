@@ -785,3 +785,40 @@ def aggs_geohash_grid(spark, sf_dir):
     return out.select("cell", "doc_count", F.round("sum_bal", 2).alias("sum_bal")).orderBy(
         "cell"
     )
+
+
+@query(
+    "aggs_terms_custom_order",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY sum(o_totalprice) ASC, o_orderpriority
+LIMIT 3
+""",
+)
+def aggs_terms_custom_order(spark, sf_dir):
+    """terms with a custom bucket order: the 3 priorities with the LOWEST
+    revenue (order by sub-metric asc — ES `"order": {"total": "asc"}`),
+    proving size-truncation happens under the requested order, not the
+    doc_count default."""
+    o = tbl(spark, sf_dir, "orders")
+    out = compile_aggs(
+        o,
+        {
+            "aggs": {
+                "o_orderpriority": {
+                    "terms": {
+                        "field": "o_orderpriority",
+                        "size": 3,
+                        "order": {"total": "asc"},
+                    },
+                    "aggs": {"total": {"sum": {"field": "o_totalprice"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "o_orderpriority", "doc_count", F.round("total", 2).alias("total")
+    )
