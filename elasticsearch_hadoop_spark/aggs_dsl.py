@@ -13,8 +13,9 @@ bucket keys as columns, metric values as columns named `<agg_name>` (or
 Supported:
 
 - bucket aggs (one per nesting level, arbitrarily chained through
-  ``"aggs"``): ``terms`` (with ``size`` and ``order`` — ``_count``/``_key``/sub-metric,
-  doc_count desc by default; size truncates under the requested order), ``histogram`` (``interval``), ``date_histogram``
+  ``"aggs"``): ``terms`` (with ``size``, ``order`` — ``_count``/``_key``/sub-metric,
+  doc_count desc by default, size truncating under the requested order —
+  plus ``missing`` default-key bucketing and ``min_doc_count``), ``histogram`` (``interval``), ``date_histogram``
   (``calendar_interval``: minute/hour/day/week/month/quarter/year, or
   ``fixed_interval``: "<n>s/m/h/d"), ``range`` (``ranges`` with ES
   "from inclusive, to exclusive" semantics and auto "a-b" keys),
@@ -115,6 +116,7 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     metrics: list[Column] = []
     terms_size: int | None = None
     terms_order: tuple[dict | None, str] | None = None  # (order spec, key name)
+    terms_min_doc_count = 1
     composite: tuple[int, dict | None] | None = None  # (size, after)
     top_hits: tuple[str, dict] | None = None
     # (name, kind, spec, level_index): applied over the finished buckets
@@ -199,6 +201,7 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             if "size" in body[kind]:
                 terms_size = int(body[kind]["size"])
             terms_order = (body[kind].get("order"), name)
+            terms_min_doc_count = int(body[kind].get("min_doc_count", 1))
         level = body.get("aggs", body.get("aggregations"))
         depth += 1
 
@@ -211,6 +214,10 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     if keys:
         out = df.groupBy(*[expr.alias(name) for name, expr in keys]).agg(*metrics)
         key_names = [name for name, _ in keys]
+        if terms_min_doc_count > 1:
+            # ES terms min_doc_count: buckets below the floor vanish
+            # BEFORE size truncation and pipelines see them
+            out = out.filter(F.col("doc_count") >= terms_min_doc_count)
         if composite is not None:
             # composite pagination: key-ascending order, resume strictly
             # after the `after` key tuple (lexicographic), one page of
@@ -489,6 +496,10 @@ def _after_key_gt(key_names: list[str], after: dict) -> Column:
 def _bucket_key(kind: str, b: dict) -> Column:
     field = F.col(b["field"])
     if kind == "terms":
+        # ES `missing`: docs without the field bucket under a default key
+        # instead of dropping into a NULL bucket
+        if "missing" in b:
+            return F.coalesce(field, F.lit(b["missing"]))
         return field
     if kind == "histogram":
         interval = float(b["interval"])

@@ -419,3 +419,19 @@ def test_geohash_grid_matches_canonical_vectors(spark):
         df, {"aggs": {"gh": {"geohash_grid": {"field": "location", "precision": 5}}}}
     )
     assert {r["gh"] for r in out.collect()} == {"u4pru", "ezs42"}
+
+
+def test_terms_missing_and_min_doc_count(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,), (None,), (None,)], "s string"
+    )
+    out = compile_aggs(
+        df, {"aggs": {"s": {"terms": {"field": "s", "missing": "N/A", "size": 10}}}}
+    ).collect()
+    assert {(r["s"], r["doc_count"]) for r in out} == {("N/A", 3), ("a", 2), ("b", 1)}
+    out2 = compile_aggs(
+        df,
+        {"aggs": {"s": {"terms": {"field": "s", "missing": "N/A",
+                                  "min_doc_count": 2, "size": 10}}}},
+    ).collect()
+    assert {(r["s"], r["doc_count"]) for r in out2} == {("N/A", 3), ("a", 2)}
