@@ -155,6 +155,32 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             )
         name, body = bucket_items[0]
         kind = _bucket_kind(body)
+        if kind == "terms" and ("order" in body[kind] or "min_doc_count" in body[kind]):
+            # Flat rendering groups by the FULL key chain, so doc_count and
+            # sub-metrics are per innermost cell — a custom order or a
+            # doc-count floor applied to those rows would diverge from
+            # ES's per-terms-bucket semantics whenever another keyed
+            # bucket exists above or below.  Refuse instead of silently
+            # approximating (filter/missing wrappers are fine: they narrow
+            # the frame without adding keys).
+            nested_buckets = any(
+                _bucket_kind(b)
+                for b in (body.get("aggs") or body.get("aggregations") or {}).values()
+                if isinstance(b, dict)
+            )
+            if keys or nested_buckets:
+                raise AggsDslError(
+                    "terms order/min_doc_count require terms to be the only "
+                    "keyed bucket level (per-terms totals are not re-aggregable "
+                    "from the flat innermost-cell rendering)"
+                )
+        if not keys and kind == "terms":
+            # captures top-level terms AND terms under keyless narrowing
+            # buckets (filter/missing) — both see the whole terms bucket set
+            if "size" in body[kind]:
+                terms_size = int(body[kind]["size"])
+            terms_order = (body[kind].get("order"), name)
+            terms_min_doc_count = int(body[kind].get("min_doc_count", 1))
         if kind == "significant_terms":
             if keys or metrics or body.get("aggs") or body.get("aggregations"):
                 raise AggsDslError(
@@ -197,11 +223,6 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             keys.append((name, F.col(tmp)))
         else:
             keys.append((name, _bucket_key(kind, body[kind])))
-        if depth == 0 and kind == "terms":
-            if "size" in body[kind]:
-                terms_size = int(body[kind]["size"])
-            terms_order = (body[kind].get("order"), name)
-            terms_min_doc_count = int(body[kind].get("min_doc_count", 1))
         level = body.get("aggs", body.get("aggregations"))
         depth += 1
 

@@ -435,3 +435,36 @@ def test_terms_missing_and_min_doc_count(spark):
                                   "min_doc_count": 2, "size": 10}}}},
     ).collect()
     assert {(r["s"], r["doc_count"]) for r in out2} == {("N/A", 3), ("a", 2)}
+
+
+def test_terms_order_under_filter_wrapper_and_nested_rejection(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 30), ("b", 4), ("c", 100)], "s string, v long"
+    )
+    # keyless narrowing bucket above terms: order/size/min_doc_count apply
+    spec = {
+        "aggs": {
+            "small": {
+                "filter": {"range": {"v": {"lt": 50}}},
+                "aggs": {
+                    "s": {
+                        "terms": {"field": "s", "size": 1, "order": {"total": "desc"}},
+                        "aggs": {"total": {"sum": {"field": "v"}}},
+                    }
+                },
+            }
+        }
+    }
+    out = compile_aggs(df, spec).collect()
+    assert [(r["s"], r["total"]) for r in out] == [("b", 34)]
+    # explicit order/min_doc_count with a nested KEYED bucket: flat rows
+    # cannot honor per-terms totals - must refuse, not approximate
+    for extra in ({"order": {"_count": "desc"}}, {"min_doc_count": 2}):
+        bad = {
+            "s": {
+                "terms": {"field": "s", **extra},
+                "aggs": {"h": {"histogram": {"field": "v", "interval": 10}}},
+            }
+        }
+        with pytest.raises(AggsDslError, match="keyed bucket level"):
+            compile_aggs(df, {"aggs": bad})
