@@ -173,6 +173,8 @@ class Catalog:
         counts: dict[str, int] = {}
 
         def build(df: DataFrame) -> DataFrame:
+            if df is None:
+                raise ValueError(f"index {idx!r} has no committed data")
             counts["before"] = df.count()
             return df.filter(~pred | pred.isNull())
 
@@ -214,6 +216,8 @@ class Catalog:
         counts: dict[str, int] = {}
 
         def build(df: DataFrame) -> DataFrame:
+            if df is None:
+                raise ValueError(f"index {idx!r} has no committed data")
             counts["matched"] = df.filter(pred).count()
             out = df
             for col_name, expr in set_exprs.items():
@@ -335,12 +339,22 @@ class Catalog:
                 # concurrent appends both land, no data rewrite on a race.
                 self._append_files(cluster(out), name, partition_cols, max_records_per_file)
             else:
+                final = out
+
+                def merge_build(existing: DataFrame | None) -> DataFrame:
+                    if existing is None:
+                        # index dir exists but holds no committed data (a
+                        # first write that crashed after init_log): merge
+                        # against an empty snapshot — upsert/index insert
+                        # everything, update raises DocumentMissingError,
+                        # delete is a no-op — instead of crashing on None.
+                        existing = self.spark.createDataFrame([], final.schema)
+                    return cluster(self._merge(existing, final, operation, on_match))
+
                 self._commit_build(
                     name,
                     partition_cols,
-                    lambda existing: cluster(
-                        self._merge(existing, out, operation, on_match)
-                    ),
+                    merge_build,
                     max_records_per_file=max_records_per_file,
                 )
 
@@ -690,10 +704,12 @@ class Catalog:
         Works with blind-append writes (write_index without id_col);
         merge-based operations rewrite files in place, which a file stream
         will not re-read — use the esdocs streaming sink for those.
-        Transactional indices stream from the immutable data-dir pool:
-        append data is fully written before its manifest claim and losing
-        append writers retry the claim (never the data), so every file the
-        stream picks up is at most a few milliseconds ahead of its commit.
+        Transactional indices stream from the ``_stream`` publish farm
+        (txn.enable_streaming): every commit hard-links its
+        manifest-referenced data dirs there, so the stream sees exactly the
+        committed set — never an in-flight writer's or crashed job's dir
+        from the raw ``_data`` pool (those are orphans vacuum deletes, and
+        rows delivered from them would silently diverge from batch reads).
         That only holds for APPEND-ONLY logs — a REPLACE commit (overwrite,
         merge ops, delete/update_by_query, compact_index) writes a full new
         snapshot dir that a file stream would re-deliver as duplicates of
@@ -713,7 +729,7 @@ class Catalog:
                 )
             if schema is None:
                 schema = self._read_files(names[0]).schema
-            stream_path = os.path.join(path, "_data", "*")
+            stream_path = os.path.join(txn.enable_streaming(path), "*")
         else:
             if schema is None:
                 schema = self.spark.read.parquet(path).schema

@@ -140,7 +140,10 @@ def _props_to_struct(
             depth = max(depth, 1)  # nested docs are always arrays (§1.2)
         for _ in range(depth):
             dt = T.ArrayType(dt)
-        fields.append(T.StructField(name, dt))
+        # geo_point is marked on the FIELD (not the type): the wire layer
+        # needs to know this struct accepts three JSON shapes (§1.2)
+        meta = {"es_type": "geo_point"} if spec.get("type") == "geo_point" else None
+        fields.append(T.StructField(name, dt, metadata=meta))
     return T.StructType(fields)
 
 
@@ -186,9 +189,20 @@ def _field_type(
 
 
 # --------------------------------------------------------------------- wire
-def _wire_type(dt: T.DataType) -> T.DataType:
+def _is_geo_field(f: T.StructField) -> bool:
+    return (f.metadata or {}).get("es_type") == "geo_point"
+
+
+def _wire_type(dt: T.DataType, geo: bool = False) -> T.DataType:
     """Schema used for the raw JSON parse: dates and binary come off the wire
-    as strings (ISO-8601/epoch-millis, base64) and are coerced afterwards."""
+    as strings (ISO-8601/epoch-millis, base64) and are coerced afterwards.
+    geo_point fields parse as raw STRING whatever their JSON shape — Spark's
+    JSON reader captures an object/array token verbatim when the schema says
+    string — so all three ES wire forms survive to the coercion layer."""
+    if geo:
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_wire_type(dt.elementType, True), dt.containsNull)
+        return T.StringType()
     if isinstance(dt, T.TimestampType):
         return T.StringType()
     if isinstance(dt, T.BinaryType):
@@ -199,16 +213,58 @@ def _wire_type(dt: T.DataType) -> T.DataType:
         return T.MapType(dt.keyType, _wire_type(dt.valueType), dt.valueContainsNull)
     if isinstance(dt, T.StructType):
         return T.StructType(
-            [T.StructField(f.name, _wire_type(f.dataType), f.nullable) for f in dt.fields]
+            [
+                T.StructField(
+                    f.name, _wire_type(f.dataType, _is_geo_field(f)), f.nullable, f.metadata
+                )
+                for f in dt.fields
+            ]
         )
     return dt
 
 
-def _coerce(col: Column, wire: T.DataType, target: T.DataType) -> Column:
+def _geo_point_coerce(col: Column) -> Column:
+    """Raw geo_point wire text -> struct(lat, lon), per document.
+
+    ES accepts three wire shapes for one geo_point field —
+    ``{"lat": 41.12, "lon": -71.34}``, ``[-71.34, 41.12]`` (GeoJSON order:
+    LON first), and ``"41.12,-71.34"`` (lat first) — and the reference picks
+    a parser by sampling one document (SURVEY.md §1.2).  Deciding per
+    document from the leading character is strictly more lenient (mixed-form
+    indices parse too) and stays whole-stage-codegen."""
+    s = F.trim(col)
+    arr = F.from_json(s, T.ArrayType(T.DoubleType()))
+    parts = F.split(s, ",")
+    return (
+        F.when(s.isNull(), F.lit(None).cast(GEO_POINT_STRUCT))
+        .when(s.startswith("{"), F.from_json(s, GEO_POINT_STRUCT))
+        .when(
+            s.startswith("["),
+            F.struct(
+                F.element_at(arr, 2).alias("lat"), F.element_at(arr, 1).alias("lon")
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.trim(parts.getItem(0)).cast("double").alias("lat"),
+                F.trim(parts.getItem(1)).cast("double").alias("lon"),
+            )
+        )
+    )
+
+
+def _coerce(col: Column, wire: T.DataType, target: T.DataType, geo: bool = False) -> Column:
     """Wire value -> target type, recursively (ScrollReader coercion parity).
 
     Dates: ISO-8601 string OR epoch-millis number, per document
-    (DateUtils.parseDate parity).  Binary: base64 decode."""
+    (DateUtils.parseDate parity).  Binary: base64 decode.  geo_point: the
+    three ES wire shapes, per document."""
+    if geo:
+        if isinstance(target, T.ArrayType):
+            return F.transform(
+                col, lambda x: _coerce(x, wire.elementType, target.elementType, True)
+            )
+        return _geo_point_coerce(col)
     if isinstance(target, T.TimestampType):
         # try ISO-8601 first, then epoch millis (a bare number parses via
         # try_cast to long); both NULL -> stays NULL
@@ -230,11 +286,17 @@ def _coerce(col: Column, wire: T.DataType, target: T.DataType) -> Column:
     if isinstance(target, T.StructType):
         return F.struct(
             *[
-                _coerce(col.getField(f.name), wf.dataType, f.dataType).alias(f.name)
+                _coerce(
+                    col.getField(f.name), wf.dataType, f.dataType, _is_geo_field(f)
+                ).alias(f.name)
                 for f, wf in zip(target.fields, wire.fields)
             ]
         )
     return col
+
+
+def _needs_coercion_field(f: T.StructField) -> bool:
+    return _is_geo_field(f) or _needs_coercion(f.dataType)
 
 
 def _needs_coercion(dt: T.DataType) -> bool:
@@ -245,7 +307,7 @@ def _needs_coercion(dt: T.DataType) -> bool:
     if isinstance(dt, T.MapType):
         return _needs_coercion(dt.valueType)
     if isinstance(dt, T.StructType):
-        return any(_needs_coercion(f.dataType) for f in dt.fields)
+        return any(_needs_coercion_field(f) for f in dt.fields)
     return False
 
 
@@ -292,8 +354,11 @@ def read_json_docs(
             reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
         df = reader.json(path)
         for f, wf in zip(target.fields, wire.fields):
-            if _needs_coercion(f.dataType):
-                df = df.withColumn(f.name, _coerce(F.col(f.name), wf.dataType, f.dataType))
+            if _needs_coercion_field(f):
+                df = df.withColumn(
+                    f.name,
+                    _coerce(F.col(f.name), wf.dataType, f.dataType, _is_geo_field(f)),
+                )
 
     if include_fields:
         keep = [c for c in include_fields if c in df.columns]

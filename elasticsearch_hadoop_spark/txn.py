@@ -44,6 +44,7 @@ import uuid
 
 _TXN_DIR = "_txn"
 _DATA_DIR = "_data"
+_STREAM_DIR = "_stream"
 
 
 class CommitConflictError(RuntimeError):
@@ -70,27 +71,49 @@ def init_log(index_path: str) -> None:
 def adopt(index_path: str) -> bool:
     """Bring an index directory under the log, ADOPTING any pre-existing
     plain (non-transactional) data: existing entries move into a uuid data
-    dir and become committed version 1, so earlier writes stay readable
-    instead of silently vanishing behind an empty manifest.  A no-op on an
-    already-transactional or fresh/missing directory.  Adoption is a
-    one-time migration step — run it without concurrent plain-mode readers
-    or writers (they would race the file moves)."""
-    if is_transactional(index_path) or not os.path.isdir(index_path):
+    dir and are published with an append-union commit, so earlier writes
+    stay readable instead of silently vanishing behind an empty manifest.
+    A no-op on an already-transactional or fresh/missing directory.
+
+    Concurrency: adoption races are survivable, not fatal.  If another
+    writer claims a version first (a concurrent adopter, or a first
+    transactional append that initialized the log mid-adoption), the
+    adopted dir lands via the same manifest-union retry every append uses —
+    the plain data is never orphaned behind someone else's v1.  Entries a
+    concurrent adopter already moved are skipped (the competitor's commit
+    carries them).  A crash between the renames and the commit leaves an
+    uncommitted uuid dir, which vacuum's retention window preserves long
+    enough for inspection; run adoption without concurrent PLAIN-mode
+    readers (they would observe files mid-move).
+
+    Runs on every transactional write (not just first conversion): stray
+    plain entries in the root of an already-transactional index — the
+    residue of a crashed adoption or a plain-mode writer racing the
+    conversion — are swept into the log the same way, so they become
+    readable instead of sitting invisible outside every manifest."""
+    if not os.path.isdir(index_path):
         init_log(index_path)
         return False
     entries = [
         n
         for n in os.listdir(index_path)
-        if n not in (_TXN_DIR, _DATA_DIR) and not n.startswith(".")
+        if n not in (_TXN_DIR, _DATA_DIR, _STREAM_DIR) and not n.startswith(".")
     ]
     init_log(index_path)
     if not entries:
         return False
     d = new_data_dir(index_path)
+    moved = 0
     for n in entries:
-        os.rename(os.path.join(index_path, n), os.path.join(d, n))
-    if not try_commit(index_path, 1, [d]):
-        raise CommitConflictError(f"adoption of {index_path} lost a version race")
+        try:
+            os.rename(os.path.join(index_path, n), os.path.join(d, n))
+            moved += 1
+        except FileNotFoundError:
+            continue  # a concurrent adopter moved it; their commit carries it
+    if not moved:
+        shutil.rmtree(d, ignore_errors=True)
+        return False
+    commit_append(index_path, d)
     return True
 
 
@@ -158,14 +181,30 @@ def try_commit(index_path: str, version: int, dirs: list[str], meta: dict | None
     ``os.link`` — hard-linking is atomic and fails with FileExistsError if
     another writer claimed the version, so a version file either does not
     exist or is complete (no reader can observe a half-written manifest;
-    on an object store this maps onto put-if-absent)."""
+    on an object store this maps onto put-if-absent).
+
+    Every named data dir must still exist on disk: a writer whose job
+    outlived the vacuum retention window must fail loudly here rather than
+    publish a manifest pointing at swept data (a corrupted snapshot).  The
+    check-then-link window is not airtight against a concurrent vacuum —
+    size the retention window above the longest write job, the check turns
+    a silent corruption into a crash for jobs that overrun it anyway."""
     init_log(index_path)
     path = _version_file(index_path, version)
     if os.path.exists(path):  # cheap pre-check; the link below is the real claim
         return False
+    names = [os.path.basename(d.rstrip("/")) for d in dirs]
+    swept = [
+        n for n in names if not os.path.isdir(os.path.join(index_path, _DATA_DIR, n))
+    ]
+    if swept:
+        raise CommitConflictError(
+            f"commit of {index_path} v{version} references data dirs that no "
+            f"longer exist (vacuumed mid-write?): {swept}"
+        )
     body = {
         "version": version,
-        "dirs": [os.path.basename(d.rstrip("/")) for d in dirs],
+        "dirs": names,
         "ts": time.time(),
         **(meta or {}),
     }
@@ -176,11 +215,68 @@ def try_commit(index_path: str, version: int, dirs: list[str], meta: dict | None
         os.fsync(fh.fileno())
     try:
         os.link(tmp, path)
-        return True
     except FileExistsError:
         return False
     finally:
         os.unlink(tmp)
+    if os.path.isdir(stream_root(index_path)):
+        _publish_stream_dirs(index_path, names)
+    return True
+
+
+def stream_root(index_path: str) -> str:
+    return os.path.join(index_path, _STREAM_DIR)
+
+
+def _publish_stream_dirs(index_path: str, dir_names: list[str]) -> None:
+    """Mirror committed data dirs into ``_stream/`` as hard-link farms.
+
+    A Structured Streaming file source over ``_data/*`` would deliver rows
+    from never-committed directories (in-flight writers, crashed jobs,
+    adoption losers) that no manifest references and vacuum will delete —
+    stream and batch reads would permanently diverge.  Instead, commits
+    publish each manifest-referenced dir here (hard links: atomic, free,
+    same-filesystem) and streams glob ``_stream/*`` — they see exactly the
+    committed set.  Publication is idempotent (existing dirs skipped, so a
+    long append-only log only ever walks its newest dir) and atomic
+    (built under a tmp name, renamed in; a racing publisher's rename loses
+    with ENOTEMPTY and cleans up)."""
+    sroot = stream_root(index_path)
+    os.makedirs(sroot, exist_ok=True)
+    for name in dir_names:
+        src = os.path.join(index_path, _DATA_DIR, name)
+        dst = os.path.join(sroot, name)
+        if os.path.exists(dst) or not os.path.isdir(src):
+            continue
+        tmp = os.path.join(sroot, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp)
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            os.makedirs(os.path.join(tmp, rel), exist_ok=True)
+            for f in files:
+                try:
+                    os.link(os.path.join(root, f), os.path.join(tmp, rel, f))
+                except FileExistsError:
+                    pass
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def enable_streaming(index_path: str) -> str:
+    """Create the ``_stream`` publish farm (making future commits publish
+    into it) and backfill it from the latest manifest.  Returns the farm
+    path.  The second pass catches a commit that raced the farm creation:
+    such a commit's ``isdir(_stream)`` check may have run before the mkdir,
+    but its manifest is visible to the re-read ``latest()``."""
+    os.makedirs(stream_root(index_path), exist_ok=True)
+    for _ in range(2):
+        _, dirs = latest(index_path)
+        _publish_stream_dirs(
+            index_path, [os.path.basename(d.rstrip("/")) for d in dirs]
+        )
+    return stream_root(index_path)
 
 
 def commit_append(index_path: str, data_dir: str, max_retries: int = 500) -> int:
@@ -261,8 +357,11 @@ def vacuum(index_path: str, min_age_seconds: float = 3600.0) -> list[str]:
       just-replaced snapshot stays readable for the full window even if
       its files are old, so the window really is the time-travel horizon;
     - a dir never referenced by any manifest (in-flight writer, crashed
-      job) ages from its own mtime — an active writer's dir is never
-      swept before it can claim a version.
+      job) ages from its own mtime — a writer whose job finishes inside
+      the window is safe; one that overruns it loses the dir and its
+      commit then FAILS LOUDLY (try_commit re-verifies every referenced
+      dir exists) instead of publishing a manifest over swept data.  Size
+      the window above the longest write job.
 
     Pass 0 only when no writer can be active and no reader may hold an
     older manifest."""
@@ -305,4 +404,9 @@ def vacuum(index_path: str, min_age_seconds: float = 3600.0) -> list[str]:
             continue
         shutil.rmtree(path, ignore_errors=True)
         removed.append(name)
+        # drop the _stream mirror too (hard links would otherwise keep the
+        # swept bytes alive and visible to streams)
+        spath = os.path.join(stream_root(index_path), name)
+        if os.path.isdir(spath):
+            shutil.rmtree(spath, ignore_errors=True)
     return removed

@@ -9,6 +9,7 @@ import datetime as dt
 import json
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import types as T
 
 from elasticsearch_hadoop_spark.sources.json_docs import (
@@ -157,3 +158,37 @@ def test_include_exclude_fields(spark, ndjson):
     assert df.columns == ["id", "name"]
     df = read_json_docs(spark, ndjson, mapping=MAPPING, exclude_fields=["blob", "items"])
     assert "blob" not in df.columns and "items" not in df.columns
+
+
+def test_geo_point_three_wire_forms(spark, tmp_path):
+    """§1.2 geo_point leniency: object {lat,lon}, GeoJSON array [lon,lat],
+    and "lat,lon" string must all land as struct(lat,lon) — decided per
+    document (the reference samples one doc; we are strictly more lenient)."""
+    import json as _json
+
+    d = tmp_path / "geo"
+    d.mkdir()
+    rows = [
+        {"id": 1, "loc": {"lat": 41.12, "lon": -71.34}},
+        {"id": 2, "loc": [-71.5, 40.5]},
+        {"id": 3, "loc": " 39.25 , -70.75 "},
+        {"id": 4, "loc": None},
+        {"id": 5, "locs": [[-71.5, 40.5], {"lat": 1.5, "lon": 2.5}]},
+    ]
+    with open(d / "a.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    m = {
+        "properties": {
+            "id": {"type": "long"},
+            "loc": {"type": "geo_point"},
+            "locs": {"type": "geo_point"},
+        }
+    }
+    df = read_json_docs(spark, str(d), mapping=m, array_include="locs")
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["loc"] == Row(lat=41.12, lon=-71.34)
+    assert got[2]["loc"] == Row(lat=40.5, lon=-71.5)
+    assert got[3]["loc"] == Row(lat=39.25, lon=-70.75)
+    assert got[4]["loc"] is None
+    assert got[5]["locs"] == [Row(lat=40.5, lon=-71.5), Row(lat=1.5, lon=2.5)]

@@ -273,3 +273,129 @@ def test_vacuum_ages_from_supersession_not_creation(tmp_path):
     # age the superseding commit past the window -> d1 becomes sweepable
     os.utime(os.path.join(p, "_txn", "v000000000002.json"), (old, old))
     assert os.path.basename(d1) in txn.vacuum(p, min_age_seconds=60)
+
+
+# ------------------------------------------------- round-4 ADVICE hardening
+
+
+def test_adopt_survives_lost_v1_race(tmp_path):
+    """ADVICE r3: a writer that claims v1 while adoption is mid-move must
+    not orphan the plain data — the adopted dir lands via append-union."""
+    p = str(tmp_path / "t")
+    import os
+
+    os.makedirs(p)
+    with open(os.path.join(p, "old.parquet"), "w") as fh:
+        fh.write("plain-era bytes")
+    # competitor initializes the log and claims v1 first
+    txn.init_log(p)
+    txn.commit_append(p, txn.new_data_dir(p))
+    assert txn.latest(p)[0] == 1
+    # adoption must still publish the plain file, at v2
+    assert txn.adopt(p) is False or True  # returns bool either way
+    version, dirs = txn.latest(p)
+    assert version == 2
+    published = [
+        f for d in dirs for _, _, fs in os.walk(d) for f in fs if f == "old.parquet"
+    ]
+    assert published, "plain-era file not reachable from the latest manifest"
+
+
+def test_concurrent_adopts_lose_nothing(tmp_path):
+    """Two threads adopting the same plain directory: every plain file must
+    be referenced by the final manifest exactly once."""
+    import os
+
+    p = str(tmp_path / "t")
+    os.makedirs(p)
+    for i in range(20):
+        with open(os.path.join(p, f"f{i:02d}.parquet"), "w") as fh:
+            fh.write(f"bytes-{i}")
+    errs = []
+
+    def run():
+        try:
+            txn.adopt(p)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    _, dirs = txn.latest(p)
+    seen = sorted(
+        f for d in dirs for _, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+    )
+    assert seen == [f"f{i:02d}.parquet" for i in range(20)]
+
+
+def test_commit_fails_loudly_on_swept_dirs(tmp_path):
+    """ADVICE r3: try_commit must refuse to publish a manifest naming data
+    dirs vacuum already deleted (writer overran the retention window)."""
+    import shutil
+
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    d = txn.new_data_dir(p)
+    shutil.rmtree(d)  # vacuum swept the in-flight writer's dir
+    with pytest.raises(txn.CommitConflictError, match="no longer exist"):
+        txn.try_commit(p, 1, [d])
+
+
+def test_stream_sees_only_committed_dirs(spark, cat):
+    """ADVICE r3: the streaming read must not deliver rows from a
+    never-committed _data dir (crashed writer / adoption loser)."""
+    import os
+
+    cat.write_index(_df(spark, 0, 50, "a"), "ev")
+    path = cat.path("ev")
+    # a crashed writer's dir: data present in the pool, never committed
+    orphan = txn.new_data_dir(path)
+    _df(spark, 1000, 1100, "orphan").write.mode("overwrite").parquet(orphan)
+    out = str(cat.root) + "/_stream_out"
+    q = (
+        cat.read_index_stream("ev")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.filter(F.col("tag") == "orphan").count() == 0
+    # a later commit IS picked up by the farm (publish-at-commit)
+    cat.write_index(_df(spark, 50, 80, "b"), "ev")
+    q = (
+        cat.read_index_stream("ev")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 80
+
+
+def test_merge_on_empty_committed_log(spark, cat):
+    """ADVICE r3: an initialized-but-empty log (first write crashed after
+    init_log) must give clean empty-index merge semantics, not an
+    AttributeError on None."""
+    txn.init_log(cat.path("fresh"))
+    cat.write_index(
+        _df(spark, 0, 10, "x"), "fresh", operation="upsert", id_col="k"
+    )
+    assert cat.read_index("fresh").count() == 10
+    from elasticsearch_hadoop_spark.catalog import DocumentMissingError
+
+    txn.init_log(cat.path("fresh2"))
+    with pytest.raises(DocumentMissingError):
+        cat.write_index(
+            _df(spark, 0, 5, "x"), "fresh2", operation="update", id_col="k"
+        )
+    txn.init_log(cat.path("fresh3"))
+    with pytest.raises(ValueError, match="no committed data"):
+        cat.delete_by_query("fresh3", {"term": {"tag": "x"}})
