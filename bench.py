@@ -43,6 +43,12 @@ EXTENSION = [
     "pack_sequences_by_lang",
     "aggs_composite_page",
     "writepath_sink_upsert",
+    # round-4 additions (appended per VERDICT r3 item 7 — headline list
+    # unchanged so the BASELINE.md comparison stays apples-to-apples)
+    "writepath_time_travel",
+    "writepath_zorder_read",
+    "writepath_stream_source",
+    "dedup_cluster_components",
 ]
 
 

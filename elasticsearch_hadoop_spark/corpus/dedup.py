@@ -323,3 +323,53 @@ def dedup_events_first(spark, sf_dir):
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+WITH RECURSIVE doc_ids AS (
+  SELECT doc_id FROM documents
+), cand AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM doc_ids
+  WHERE doc_id % 10 < 9 AND (doc_id // 10) % 3 = 0
+), edges AS (
+  SELECT c.u, c.v FROM cand c JOIN doc_ids d ON d.doc_id = c.v
+), bidir AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+), reach(node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM bidir
+  UNION
+  SELECT b.u AS node, r.lbl FROM bidir b JOIN reach r ON r.node = b.v
+), cc AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT node, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       node = cluster_id AS is_canonical
+FROM cc
+ORDER BY node
+""",
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Duplicate clustering: connected components over a candidate-pair
+    graph (operators/cc.py — the transitive-closure stage after LSH pair
+    generation; A~B, B~C => one cluster even though A~C never collided).
+    Edges here are deterministic consecutive-id chains (up to 10 nodes, so
+    min-label propagation genuinely iterates ~9 rounds — a single-hop star
+    would not exercise convergence); the oracle replays the exact fixpoint
+    with a recursive CTE.  Each round is one equi-join + groupBy-min on
+    node id with localCheckpoint lineage truncation — no cross product,
+    state is O(collided docs), not O(corpus)."""
+    from elasticsearch_hadoop_spark.operators.cc import duplicate_clusters
+
+    ids = tbl(spark, sf_dir, "documents").select("doc_id")
+    cand = ids.filter(
+        (F.col("doc_id") % 10 < 9) & (F.floor(F.col("doc_id") / 10) % 3 == 0)
+    ).select(F.col("doc_id").alias("u"), (F.col("doc_id") + 1).alias("v"))
+    edges = cand.join(ids.select(F.col("doc_id").alias("v")), "v", "inner")
+    return (
+        duplicate_clusters(edges, "u", "v")
+        .select("node", "cluster_id", "cluster_size", "is_canonical")
+        .orderBy("node")
+    )

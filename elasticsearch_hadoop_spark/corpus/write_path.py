@@ -365,3 +365,323 @@ def writepath_stream_sink(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------- round 4:
+# the §2 surfaces that still lacked a driver verdict (VERDICT r3 item 1):
+# transactional time travel, Z-order clustered writes, the streaming
+# SOURCE, the count fast path, bucketed zero-shuffle joins, CSV ingestion,
+# compaction+vacuum, and the geo_point wire-form ingestion corner.
+
+
+@query(
+    "writepath_time_travel",
+    oracle="""
+WITH v1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, round(sum(c_acctbal), 2) AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+), v2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, round(sum(c_acctbal), 2) AS bal
+  FROM customer
+), v3 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, round(sum(c_acctbal), 2) AS bal
+  FROM customer WHERE NOT (c_acctbal < 0)
+)
+SELECT 1 AS version, n, bal FROM v1
+UNION ALL SELECT 2 AS version, n, bal FROM v2
+UNION ALL SELECT 3 AS version, n, bal FROM v3
+UNION ALL SELECT 4 AS version, n, bal FROM v3
+ORDER BY version
+""",
+)
+def writepath_time_travel(spark, sf_dir):
+    """Transactional time travel round trip (txn.py manifest log +
+    catalog.read_index_version — the Delta versionAsOf / ES point-in-time
+    analogue): v1 = overwrite with even custkeys, v2 = blind append of the
+    odd ones (manifest-union commit), v3 = delete_by_query of negative
+    balances (REPLACE commit).  Reads every pinned version plus the latest
+    snapshot; a mis-unioned manifest, a replace that leaked old dirs, or a
+    version file pointing at the wrong snapshot all flip a row."""
+    root = _workdir(sf_dir, "time_travel")
+    cat = Catalog(spark, root, transactional=True)
+    cust = tbl(spark, sf_dir, "customer")
+    cat.write_index(cust.filter(F.col("c_custkey") % 2 == 0), "c", mode="overwrite")
+    cat.write_index(cust.filter(F.col("c_custkey") % 2 == 1), "c")
+    cat.delete_by_query("c", {"range": {"c_acctbal": {"lt": 0}}})
+
+    def snap(df, v):
+        return (
+            df.agg(
+                F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+            )
+            .withColumn("version", F.lit(v))
+            .select("version", "n", "bal")
+        )
+
+    parts = [snap(cat.read_index_version("c", v), v) for v in (1, 2, 3)]
+    parts.append(snap(cat.read_index("c"), 4))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
+
+
+@query(
+    "writepath_zorder_read",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+       l_extendedprice
+FROM lineitem
+WHERE l_partkey <= (SELECT max(l_partkey) / 10.0 FROM lineitem)
+  AND l_suppkey <= (SELECT max(l_suppkey) / 2.0 FROM lineitem)
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def writepath_zorder_read(spark, sf_dir):
+    """Z-order clustered write round trip (operators/zorder.py via
+    write_index(zorder_by=...)): cluster lineitem on (l_partkey, l_suppkey)
+    into many small files, then run the two-dimensional range read the
+    clustering exists for.  Correctness = the clustered copy returns exactly
+    the source rows (a lossy interleave/merge would drop or duplicate);
+    the file-skipping benefit itself is plan-pinned in tests/test_zorder.py.
+    Thresholds derive from max() on BOTH sides so the filter stays
+    non-vacuous at every fixture scale."""
+    root = _workdir(sf_dir, "zorder")
+    cat = Catalog(spark, root)
+    cols = [
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+    ]
+    li = tbl(spark, sf_dir, "lineitem").select(*cols)
+    cat.write_index(
+        li, "li", mode="overwrite",
+        zorder_by=["l_partkey", "l_suppkey"], max_records_per_file=2000,
+    )
+    bounds = li.agg(F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")).first()
+    return (
+        cat.read_index("li")
+        .filter(
+            (F.col("l_partkey") <= bounds["p"] / 10.0)
+            & (F.col("l_suppkey") <= bounds["s"] / 2.0)
+        )
+        .select(*cols)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "writepath_stream_source",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+WHERE value >= 0.5
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def writepath_stream_source(spark, sf_dir):
+    """Streaming SOURCE round trip (catalog.read_index_stream — the
+    readStream symmetry to the A9 sink, §2 item 8): two blind appends into
+    a transactional index, then stream the index through the committed-only
+    ``_stream`` publish farm (txn.enable_streaming) with a query-DSL
+    predicate, into a complete-mode aggregation.  A dropped commit, a
+    double-delivered dir, or a leaked uncommitted dir all flip the counts
+    against the batch oracle."""
+    import uuid as _uuid
+
+    root = _workdir(sf_dir, "stream_src")
+    cat = Catalog(spark, root, transactional=True)
+    ev = tbl(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    cat.write_index(ev.filter(F.col("event_id") % 2 == 0), "ev")
+    cat.write_index(ev.filter(F.col("event_id") % 2 == 1), "ev")
+
+    stream = cat.read_index_stream("ev", query={"range": {"value": {"gte": 0.5}}})
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    name = f"wp_stream_src_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_type", "n", "sum_value").orderBy("event_type")
+
+
+@query(
+    "writepath_count",
+    oracle="""
+SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_all,
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice >= 150000) AS BIGINT) AS n_hot,
+       CAST((SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS BIGINT) AS n_open
+""",
+)
+def writepath_count(spark, sf_dir):
+    """Count fast path round trip (catalog.count_index — ES ``_count``
+    parity, A10): unfiltered count (answered from parquet footer stats —
+    no row scan) plus two query-DSL filtered counts (range + term compile
+    to pushed parquet filters)."""
+    root = _workdir(sf_dir, "count")
+    cat = Catalog(spark, root)
+    cat.write_index(tbl(spark, sf_dir, "orders"), "ord", mode="overwrite")
+    n_all = cat.count_index("ord")
+    n_hot = cat.count_index("ord", query={"range": {"o_totalprice": {"gte": 150000}}})
+    n_open = cat.count_index("ord", query={"term": {"o_orderstatus": "O"}})
+    return spark.createDataFrame(
+        [(n_all, n_hot, n_open)], "n_all long, n_hot long, n_open long"
+    )
+
+
+@query(
+    "writepath_bucketed_join",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l.l_extendedprice), 2) AS sum_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice >= 100000
+""",
+)
+def writepath_bucketed_join(spark, sf_dir):
+    """Bucketed zero-shuffle co-located join round trip (§2 item 22,
+    catalog.write_bucketed/read_bucketed): both sides hash-bucketed on the
+    join key through the session catalog, joined WITHOUT an exchange (the
+    no-Exchange plan is pinned in tests/test_skew_bucket.py — this query
+    grades the data).  The 100 TB path: bucket once, join many times,
+    shuffle never."""
+    root = _workdir(sf_dir, "bucketed")
+    cat = Catalog(spark, root)
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    cat.write_bucketed(orders, "b_ord", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    cat.write_bucketed(li, "b_li", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    o = cat.read_bucketed("b_ord").filter(F.col("o_totalprice") >= 100000)
+    l = cat.read_bucketed("b_li")
+    return o.join(l, o["o_orderkey"] == l["l_orderkey"]).agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "writepath_csv_ingest",
+    oracle="""
+SELECT event_id, event_type, value, md5(props) AS props_md5
+FROM events
+ORDER BY event_id
+""",
+)
+def writepath_csv_ingest(spark, sf_dir):
+    """CSV scan round trip (§2 item 3 — native passthrough, SURVEY.md
+    sources note): write events as headered CSV (props is a JSON string
+    with embedded quotes and commas — the quoting/escaping path), read it
+    back with an explicit schema, and hash every row including an md5 of
+    the quoted column.  A mis-escaped quote or a double that loses
+    precision in text round-trip flips the hash."""
+    d = os.path.join(_workdir(sf_dir, "csv"), "csv")
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").option("header", True).csv(d)
+    back = spark.read.option("header", True).schema(
+        "event_id long, event_type string, value double, props string"
+    ).csv(d)
+    return back.select(
+        "event_id", "event_type", "value", F.md5("props").alias("props_md5")
+    ).orderBy("event_id")
+
+
+@query(
+    "writepath_compact_vacuum",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       3 AS dirs_swept
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def writepath_compact_vacuum(spark, sf_dir):
+    """Compaction + vacuum round trip (catalog.compact_index/vacuum_index
+    over the txn manifest log): three appends -> REPLACE-commit compaction
+    -> vacuum(0) must sweep exactly the three superseded dirs — and the
+    compacted index must still hash identical to the source.  The 100 TB
+    housekeeping loop: manifest length and small-file count reset without
+    losing a row."""
+    root = _workdir(sf_dir, "compact")
+    cat = Catalog(spark, root, transactional=True)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    for r in (0, 1, 2):
+        cat.write_index(docs.filter(F.col("doc_id") % 3 == r), "docs")
+    cat.compact_index("docs")
+    swept = cat.vacuum_index("docs", min_age_seconds=0.0)
+    return (
+        cat.read_index("docs")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("dirs_swept", F.lit(len(swept)))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "writepath_geo_ingest",
+    oracle="""
+SELECT c_custkey AS id,
+       CAST((c_custkey % 180) - 89.5 AS DOUBLE) AS lat,
+       CAST(((c_custkey * 7) % 360) - 179.5 AS DOUBLE) AS lon
+FROM customer
+ORDER BY id
+""",
+)
+def writepath_geo_ingest(spark, sf_dir):
+    """geo_point wire-form ingestion round trip (§1.2's last type-table
+    corner, sources/json_docs._geo_point_coerce): one NDJSON file carrying
+    all three ES wire shapes — object {lat,lon} for custkey%3=0, GeoJSON
+    [lon,lat] array for %3=1, "lat,lon" string for %3=2 — read back through
+    the mapping-typed reader and hash the parsed coordinates against the
+    same derivation the geo corpus uses (corpus/geo.py).  A swapped
+    lon/lat, a form misdetected, or a dropped document all flip the hash."""
+    d = _workdir(sf_dir, "geo_ingest")
+    pts = tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+        (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+    )
+    k = F.col("c_custkey")
+    loc_json = (
+        F.when(k % 3 == 0, F.to_json(F.struct(F.col("lat"), F.col("lon"))))
+        .when(k % 3 == 1, F.to_json(F.array(F.col("lon"), F.col("lat"))))
+        .otherwise(
+            F.concat(
+                F.lit('"'),
+                F.col("lat").cast("string"),
+                F.lit(","),
+                F.col("lon").cast("string"),
+                F.lit('"'),
+            )
+        )
+    )
+    line = F.concat(
+        F.lit('{"id":'), k.cast("string"), F.lit(',"loc":'), loc_json, F.lit("}")
+    )
+    pts.select(line.alias("value")).write.mode("overwrite").text(d)
+
+    from elasticsearch_hadoop_spark.sources.json_docs import read_json_docs
+
+    mapping = {"properties": {"id": {"type": "long"}, "loc": {"type": "geo_point"}}}
+    back = read_json_docs(spark, d, mapping=mapping)
+    return back.select(
+        "id", F.col("loc.lat").alias("lat"), F.col("loc.lon").alias("lon")
+    ).orderBy("id")

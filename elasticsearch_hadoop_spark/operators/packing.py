@@ -18,6 +18,8 @@ needs global sequence ids composes this with a per-partition base offset
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,16 @@ def pack_sequences(
     unique within a partition for determinism)."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    if partition_col is None:
+        # a global window funnels every row through ONE task's sort — fine
+        # for a demo, a stall at 100 TB.  Loud, not fatal: small inputs and
+        # oracle twins legitimately pack globally.
+        warnings.warn(
+            "pack_sequences(partition_col=None) uses a single global window "
+            "partition — pass partition_col (shard/lang/source) so each "
+            "partition packs independently at scale",
+            stacklevel=2,
+        )
     w = (
         Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
     ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)

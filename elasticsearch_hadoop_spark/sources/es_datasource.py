@@ -135,6 +135,34 @@ def _coerce(v: Any, dt: T.DataType) -> Any:
     return v
 
 
+def _arrow_converter(dt: T.DataType):
+    """Value re-shaper for the Arrow channel, or None when the pickled-row
+    encoding is already what ``pa.array`` accepts.  ``_coerce`` encodes
+    struct values as TUPLES (Spark's row convention); Arrow struct arrays
+    want dicts — convert at batch-build time, recursing through arrays."""
+    if isinstance(dt, T.StructType):
+        fields = [(f.name, _arrow_converter(f.dataType)) for f in dt.fields]
+
+        def conv_struct(v, fields=fields):
+            if v is None:
+                return None
+            return {n: (c(x) if c else x) for (n, c), x in zip(fields, v)}
+
+        return conv_struct
+    if isinstance(dt, T.ArrayType):
+        ec = _arrow_converter(dt.elementType)
+        if ec is None:
+            return None
+
+        def conv_array(v, ec=ec):
+            if v is None:
+                return None
+            return [ec(x) for x in v]
+
+        return conv_array
+    return None
+
+
 # --------------------------------------------------------------------------
 # doc-level query-DSL evaluation (A3 + es.query passthrough)
 # --------------------------------------------------------------------------
@@ -406,10 +434,13 @@ class EsDocsReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     # Types the Arrow fast path handles losslessly.  Timestamps (tz
-    # attachment differs between the pickled-row and Arrow channels),
-    # structs and maps (python-tuple/dict -> Arrow nested conversion) stay
-    # on the row path — correctness first, the hot bulk case is flat
-    # string/number/binary columns anyway.
+    # attachment differs between the pickled-row and Arrow channels) and
+    # maps (open key sets) stay on the row path — correctness first.
+    # Structs ride the Arrow channel since round 4: _coerce encodes them
+    # as tuples (the pickled-row convention) and _arrow_converter re-shapes
+    # tuple -> dict per batch, which pa.array accepts for struct types —
+    # nested objects are common in real ES mappings, so the hot path
+    # should not silently degrade to per-row pickling on them.
     _ARROW_OK = (
         T.StringType, T.BinaryType, T.BooleanType, T.ByteType, T.ShortType,
         T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
@@ -418,7 +449,9 @@ class EsDocsReader(DataSourceReader):
     def _arrow_capable(self) -> bool:
         def ok(dt: T.DataType) -> bool:
             if isinstance(dt, T.ArrayType):
-                return isinstance(dt.elementType, self._ARROW_OK)
+                return ok(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(ok(f.dataType) for f in dt.fields)
             return isinstance(dt, self._ARROW_OK)
 
         return (
@@ -441,13 +474,14 @@ class EsDocsReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         schema = to_arrow_schema(self.schema)
+        convs = [_arrow_converter(f.dataType) for f in self.schema.fields]
         buf: list[tuple] = []
 
         def flush():
             cols = list(zip(*buf)) if buf else [[] for _ in schema]
             arrays = [
-                pa.array(col, type=schema.field(i).type)
-                for i, col in enumerate(cols)
+                pa.array([c(v) for v in col] if c else col, type=schema.field(i).type)
+                for i, (c, col) in enumerate(zip(convs, cols))
             ]
             return pa.RecordBatch.from_arrays(arrays, schema=schema)
 

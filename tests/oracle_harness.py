@@ -54,7 +54,21 @@ def run_spark_query(spec, spark, sf_dir):
 def run_oracle(spec, duck):
     res = duck.execute(spec.oracle)
     cols = [d[0] for d in res.description]
-    return cols, res.fetchall()
+    rows = res.fetchall()
+    # The driver's canonicalizer float-formats Python floats but STRINGIFIES
+    # everything else — a DuckDB DECIMAL (e.g. BIGINT - 89.5) prints "-89.5"
+    # vs Spark's "-89.500000" and hash-mismatches even though canon_value
+    # here would mask it by converting to float.  Fail loudly instead:
+    # CAST(... AS DOUBLE) in the oracle (found the hard way by
+    # writepath_geo_ingest in round 4).
+    for row in rows[:50]:
+        for c, v in zip(cols, row):
+            assert not isinstance(v, Decimal), (
+                f"{spec.name}: oracle column {c!r} yields DECIMAL {v!r} — "
+                "the driver stringifies it as-is and the hash cannot match; "
+                "CAST(... AS DOUBLE) in the oracle SQL"
+            )
+    return cols, rows
 
 
 def compare(spec, spark, sf_dir, duck, float_dp: int = 6):

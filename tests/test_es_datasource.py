@@ -265,3 +265,55 @@ def test_write_version_extractor(registered, docs_dir, tmp_path):
     assert actions and all(
         a["version"] == a["_id"] and a["version_type"] == "external" for a in actions
     )
+
+
+def test_arrow_struct_path_agrees(registered, tmp_path):
+    """Round-4 hardening: struct (and array-of-struct) schemas ride the
+    Arrow channel too — tuple-encoded struct values are re-shaped to dicts
+    at batch build (_arrow_converter).  Both channels must agree exactly."""
+    d = tmp_path / "nested"
+    d.mkdir()
+    docs = [
+        {"doc_id": 1, "loc": {"lat": 1.5, "lon": -2.5},
+         "hops": [{"n": 1, "ok": True}, {"n": 2, "ok": False}]},
+        {"doc_id": 2, "loc": None, "hops": []},
+        {"doc_id": 3, "loc": {"lat": -3.25, "lon": 4.75}, "hops": None},
+    ]
+    with open(d / "a.ndjson", "w") as fh:
+        for x in docs:
+            fh.write(json.dumps(x) + "\n")
+    mapping = json.dumps(
+        {
+            "properties": {
+                "doc_id": {"type": "long"},
+                "loc": {
+                    "properties": {
+                        "lat": {"type": "double"}, "lon": {"type": "double"}
+                    }
+                },
+                "hops": {
+                    "properties": {
+                        "n": {"type": "integer"}, "ok": {"type": "boolean"}
+                    }
+                },
+            }
+        }
+    )
+
+    def load(**opts):
+        r = (
+            registered.read.format("esdocs")
+            .option("path", str(d))
+            .option("mapping", mapping)
+            .option("field.as.array.include", "hops")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    arrow = sorted(load().collect(), key=lambda r: r["doc_id"])
+    rows = sorted(load(arrow="false").collect(), key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in rows]
+    assert arrow[0]["loc"]["lat"] == 1.5
+    assert arrow[0]["hops"][1]["ok"] is False
+    assert arrow[1]["loc"] is None

