@@ -37,9 +37,13 @@ Supported:
   (Web-Mercator z/x/y slippy-tile keys at ``precision`` zoom over a
   struct(lat, lon) geo_point column — pure codegen tile math),
   ``geohash_grid`` (classic base32 geohash cells at ``precision`` chars,
-  integer bit-interleave as Column math)
+  integer bit-interleave as Column math), ``multi_terms`` (one bucket per
+  field-value tuple, "|"-joined key_as_string, terms-style size/order),
+  ``adjacency_matrix`` (named filters plus pairwise "a&b" intersections in
+  ONE scan via a label-array explode; empty cells omitted like ES)
 - metric aggs: ``avg sum min max value_count cardinality stats
-  extended_stats weighted_avg percentiles`` — ``cardinality`` compiles to
+  extended_stats weighted_avg percentiles percentile_ranks`` —
+  ``cardinality`` compiles to
   exact ``countDistinct`` by
   default (``"approximate": true`` opts into HLL++ ``approx_count_distinct``,
   which is what ES itself does); ``percentiles`` uses exact interpolated
@@ -155,7 +159,9 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             )
         name, body = bucket_items[0]
         kind = _bucket_kind(body)
-        if kind == "terms" and ("order" in body[kind] or "min_doc_count" in body[kind]):
+        if kind in ("terms", "multi_terms") and (
+            "order" in body[kind] or "min_doc_count" in body[kind]
+        ):
             # Flat rendering groups by the FULL key chain, so doc_count and
             # sub-metrics are per innermost cell — a custom order or a
             # doc-count floor applied to those rows would diverge from
@@ -174,7 +180,7 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
                     "keyed bucket level (per-terms totals are not re-aggregable "
                     "from the flat innermost-cell rendering)"
                 )
-        if not keys and kind == "terms":
+        if not keys and kind in ("terms", "multi_terms"):
             # captures top-level terms AND terms under keyless narrowing
             # buckets (filter/missing) — both see the whole terms bucket set
             if "size" in body[kind]:
@@ -219,6 +225,28 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             tmp = f"__bucket_{name}"
             df = df.withColumn(
                 tmp, F.explode(F.filter(names_arr, lambda x: x.isNotNull()))
+            )
+            keys.append((name, F.col(tmp)))
+        elif kind == "adjacency_matrix":
+            # one bucket per filter plus one per pairwise intersection
+            # ("a&b", ES's separator) — a single scan: each row contributes
+            # a label array (singles + matching pairs), exploded and
+            # grouped.  Empty intersections simply never appear, matching
+            # ES (it omits zero-doc cells).
+            specs = body["adjacency_matrix"]["filters"]
+            if not isinstance(specs, dict):
+                raise AggsDslError("adjacency_matrix.filters must map name -> query")
+            preds = {n: _compile_dsl(q) for n, q in specs.items()}
+            fnames = sorted(preds)
+            labels = [F.when(preds[n], F.lit(n)) for n in fnames]
+            labels += [
+                F.when(preds[a] & preds[b], F.lit(f"{a}&{b}"))
+                for i, a in enumerate(fnames)
+                for b in fnames[i + 1 :]
+            ]
+            tmp = f"__bucket_{name}"
+            df = df.withColumn(
+                tmp, F.explode(F.filter(F.array(*labels), lambda x: x.isNotNull()))
             )
             keys.append((name, F.col(tmp)))
         else:
@@ -302,7 +330,7 @@ def _top_hits(df: DataFrame, keys: list[tuple[str, Column]], name: str, spec: di
 
 _PARENT_PIPELINES = (
     "derivative", "cumulative_sum", "serial_diff", "moving_fn", "moving_avg",
-    "bucket_script", "bucket_selector",
+    "bucket_script", "bucket_selector", "bucket_sort",
 )
 _SIBLING_PIPELINES = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
 _MOVING_FNS = {
@@ -413,6 +441,36 @@ def _apply_pipelines(
             out = out.withColumn(name, _script_expr(spec))
         elif kind == "bucket_selector":
             out = out.filter(_script_expr(spec).cast("boolean"))
+        elif kind == "bucket_sort":
+            # truncate the bucket frame per parent partition under the
+            # given sort (row_number, a WindowGroupLimit — never a global
+            # sort of fact rows; this frame is already buckets).  The
+            # final presentation order stays the flat rendering's
+            # key-ascending, as with every other bucket output.
+            cols = []
+            for s in spec.get("sort", []):
+                if isinstance(s, str):
+                    cols.append(_path_col(s).asc())
+                else:
+                    ((cname, cbody),) = s.items()
+                    o = cbody.get("order", "asc") if isinstance(cbody, dict) else cbody
+                    col = _path_col(cname)
+                    cols.append(col.desc() if str(o) == "desc" else col.asc())
+            if not cols:
+                cols = [F.col(order).asc()]  # size-only: deterministic key order
+            wn = (
+                Window.partitionBy(*part).orderBy(*cols)
+                if part
+                else Window.orderBy(*cols)
+            )
+            out = out.withColumn("__bs_rn", F.row_number().over(wn))
+            size = spec.get("size")
+            frm = int(spec.get("from", 0))
+            if size is not None:
+                out = out.filter(F.col("__bs_rn") <= frm + int(size))
+            if frm:
+                out = out.filter(F.col("__bs_rn") > frm)
+            out = out.drop("__bs_rn")
         else:
             raise AggsDslError(kind)
     return out
@@ -439,9 +497,10 @@ def _terms_order_cols(terms_order: tuple[dict | None, str] | None) -> list[Colum
 
 def _bucket_kind(body: dict) -> str | None:
     for kind in (
-        "terms", "histogram", "date_histogram", "range", "date_range",
-        "geotile_grid", "geohash_grid", "filter", "filters",
-        "composite", "missing", "significant_terms", "rare_terms",
+        "terms", "multi_terms", "histogram", "date_histogram", "range",
+        "date_range", "geotile_grid", "geohash_grid", "filter", "filters",
+        "adjacency_matrix", "composite", "missing", "significant_terms",
+        "rare_terms",
     ):
         if kind in body:
             return kind
@@ -515,6 +574,13 @@ def _after_key_gt(key_names: list[str], after: dict) -> Column:
 
 
 def _bucket_key(kind: str, b: dict) -> Column:
+    if kind == "multi_terms":
+        # ES multi_terms: one bucket per distinct field-value TUPLE; the
+        # flat rendering uses the "|"-joined key_as_string ES itself emits.
+        fields = [t["field"] for t in b.get("terms", [])]
+        if len(fields) < 2:
+            raise AggsDslError("multi_terms needs >= 2 terms sources")
+        return F.concat_ws("|", *[F.col(f).cast("string") for f in fields])
     field = F.col(b["field"])
     if kind == "terms":
         # ES `missing`: docs without the field bucket under a default key
@@ -681,6 +747,20 @@ def _metric(name: str, body: dict) -> list[Column]:
         else:
             arr = F.percentile(c, F.array(*[F.lit(p / 100.0) for p in pcts]))
         return [arr[i].alias(f"{name}_{_pname(p)}") for i, p in enumerate(pcts)]
+    if kind == "percentile_ranks":
+        # inverse percentiles: % of non-null docs with value <= v (the
+        # exact CDF — ES's TDigest approximates the same quantity).  The
+        # two-armed when leaves nulls null so avg() skips them, exactly
+        # like every other metric's missing handling.
+        vals = [float(v) for v in spec.get("values", [])]
+        if not vals:
+            raise AggsDslError(f"percentile_ranks {name!r} needs values: [...]")
+        return [
+            (
+                F.avg(F.when(c <= F.lit(v), 1.0).when(c > F.lit(v), 0.0)) * 100
+            ).alias(f"{name}_{_pname(v)}")
+            for v in vals
+        ]
     raise AggsDslError(f"unsupported metric agg: {kind}")
 
 

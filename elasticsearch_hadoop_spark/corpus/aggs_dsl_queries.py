@@ -822,3 +822,214 @@ def aggs_terms_custom_order(spark, sf_dir):
     return out.select(
         "o_orderpriority", "doc_count", F.round("total", 2).alias("total")
     )
+
+
+# ------------------------------------------------------------- round 4:
+# the aggs-DSL surfaces added this round — percentile_ranks, multi_terms,
+# adjacency_matrix, serial_diff + bucket_sort (aggs_dsl.py round-4 block).
+
+
+@query(
+    "aggs_percentile_ranks",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(100.0 * avg(CASE WHEN value <= 0.25 THEN 1.0 ELSE 0.0 END), 6)
+           AS pr_0_25,
+       round(100.0 * avg(CASE WHEN value <= 0.5 THEN 1.0 ELSE 0.0 END), 6)
+           AS pr_0_5,
+       round(100.0 * avg(CASE WHEN value <= 0.9 THEN 1.0 ELSE 0.0 END), 6)
+           AS pr_0_9
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def aggs_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks (inverse percentiles): per event_type, the % of
+    docs with value <= each probe point — the exact CDF (ES's TDigest
+    approximates the same quantity; aggs_dsl._metric percentile_ranks).
+    Single-pass conditional averages, partial-aggregatable like any other
+    metric — no sort, no percentile state."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "event_type": {
+                    "terms": {"field": "event_type"},
+                    "aggs": {
+                        "pr": {
+                            "percentile_ranks": {
+                                "field": "value",
+                                "values": [0.25, 0.5, 0.9],
+                            }
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "event_type",
+        "doc_count",
+        F.round("pr_0_25", 6).alias("pr_0_25"),
+        F.round("pr_0_5", 6).alias("pr_0_5"),
+        F.round("pr_0_9", 6).alias("pr_0_9"),
+    ).orderBy("event_type")
+
+
+@query(
+    "aggs_multi_terms",
+    oracle="""
+SELECT concat(lang, '|', source) AS pair,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY pair
+ORDER BY doc_count DESC, pair
+LIMIT 15
+""",
+)
+def aggs_multi_terms(spark, sf_dir):
+    """ES multi_terms: one bucket per (lang, source) VALUE TUPLE with the
+    "|"-joined key_as_string ES emits, default doc_count-desc order, size
+    truncation under that order (aggs_dsl._bucket_key multi_terms).  One
+    hash aggregation + TakeOrderedAndProject — identical plan shape to
+    single-field terms."""
+    docs = tbl(spark, sf_dir, "documents")
+    out = compile_aggs(
+        docs,
+        {
+            "aggs": {
+                "pair": {
+                    "multi_terms": {
+                        "terms": [{"field": "lang"}, {"field": "source"}],
+                        "size": 15,
+                    },
+                    "aggs": {"chars": {"sum": {"field": "n_chars"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "pair", "doc_count", F.col("chars").cast("long").alias("chars")
+    ).orderBy(F.col("doc_count").desc(), "pair")
+
+
+@query(
+    "aggs_adjacency_matrix",
+    oracle="""
+WITH cells AS (
+  SELECT 'click' AS key, CAST(count(*) AS BIGINT) AS doc_count,
+         round(sum(value), 4) AS sum_value
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'err', CAST(count(*) AS BIGINT), round(sum(value), 4)
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'hi', CAST(count(*) AS BIGINT), round(sum(value), 4)
+  FROM events WHERE value >= 0.5
+  UNION ALL
+  SELECT 'click&err', CAST(count(*) AS BIGINT), round(sum(value), 4)
+  FROM events WHERE event_type = 'click' AND event_type = 'error'
+  UNION ALL
+  SELECT 'click&hi', CAST(count(*) AS BIGINT), round(sum(value), 4)
+  FROM events WHERE event_type = 'click' AND value >= 0.5
+  UNION ALL
+  SELECT 'err&hi', CAST(count(*) AS BIGINT), round(sum(value), 4)
+  FROM events WHERE event_type = 'error' AND value >= 0.5
+)
+SELECT key, doc_count, sum_value FROM cells
+WHERE doc_count > 0
+ORDER BY key
+""",
+)
+def aggs_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix: one bucket per named filter plus one per
+    pairwise intersection ("a&b"), empty cells omitted — compiled to a
+    SINGLE scan (per-row label array -> explode -> groupBy;
+    aggs_dsl compile_aggs adjacency_matrix branch), where ES runs K + K²/2
+    sub-aggregations.  The disjoint click/err pair proves empty
+    intersections vanish rather than rendering zero rows."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "key": {
+                    "adjacency_matrix": {
+                        "filters": {
+                            "click": {"term": {"event_type": "click"}},
+                            "err": {"term": {"event_type": "error"}},
+                            "hi": {"range": {"value": {"gte": 0.5}}},
+                        }
+                    },
+                    "aggs": {"sum_value": {"sum": {"field": "value"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "key", "doc_count", F.round("sum_value", 4).alias("sum_value")
+    ).orderBy("key")
+
+
+@query(
+    "aggs_serial_diff_bucket_sort",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('day', ts) AS day_ts,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         sum(value) AS rev
+  FROM events
+  GROUP BY 1
+), d AS (
+  SELECT *, rev - lag(rev, 7) OVER (ORDER BY day_ts) AS rev_wow FROM b
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY rev DESC, day_ts) AS rn FROM d
+)
+SELECT strftime(day_ts, '%Y-%m-%d %H:%M:%S') AS day,
+       doc_count,
+       round(rev, 6) AS rev,
+       round(rev_wow, 6) AS rev_wow
+FROM r WHERE rn <= 10
+ORDER BY day
+""",
+)
+def aggs_serial_diff_bucket_sort(spark, sf_dir):
+    """ES serial_diff (lag-7 week-over-week differencing over daily
+    buckets) + bucket_sort (top-10 revenue days, key-ascending
+    presentation).  serial_diff is a lag window over the FINISHED bucket
+    rows; bucket_sort is a row_number truncation of the same tiny frame —
+    a WindowGroupLimit over buckets, never a sort of fact rows.  The sort
+    carries the day key as tiebreak so the top-10 cut is deterministic."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "day": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                    "aggs": {
+                        "rev": {"sum": {"field": "value"}},
+                        "rev_wow": {
+                            "serial_diff": {"buckets_path": "rev", "lag": 7}
+                        },
+                        "top": {
+                            "bucket_sort": {
+                                "sort": [{"rev": {"order": "desc"}}, {"day": "asc"}],
+                                "size": 10,
+                            }
+                        },
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "doc_count",
+        F.round("rev", 6).alias("rev"),
+        F.round("rev_wow", 6).alias("rev_wow"),
+    ).orderBy("day")

@@ -102,12 +102,41 @@ def _parse_ts(v: Any) -> datetime | None:
     return None
 
 
-def _coerce(v: Any, dt: T.DataType) -> Any:
+def _geo_point_value(v: Any) -> tuple | None:
+    """The three ES geo_point wire shapes -> (lat, lon), per document —
+    the row-path twin of json_docs._geo_point_coerce (object {lat,lon},
+    GeoJSON [lon, lat], "lat,lon" string); anything else (geohash, WKT,
+    malformed) is null, matching the Column-side behavior."""
+    try:
+        if isinstance(v, dict):
+            lat, lon = v.get("lat"), v.get("lon")
+            return (
+                float(lat) if lat is not None else None,
+                float(lon) if lon is not None else None,
+            )
+        if isinstance(v, list):
+            return (float(v[1]), float(v[0])) if len(v) >= 2 else None
+        if isinstance(v, str):
+            parts = v.split(",")
+            if len(parts) == 2:
+                return (float(parts[0]), float(parts[1]))
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+def _field_is_geo(f: T.StructField) -> bool:
+    return (f.metadata or {}).get("es_type") == "geo_point"
+
+
+def _coerce(v: Any, dt: T.DataType, geo: bool = False) -> Any:
     if v is None:
         return None
+    if geo and not isinstance(dt, T.ArrayType):
+        return _geo_point_value(v)
     if isinstance(dt, T.ArrayType):
         vals = v if isinstance(v, list) else [v]  # scalar-or-array leniency
-        return [_coerce(x, dt.elementType) for x in vals]
+        return [_coerce(x, dt.elementType, geo) for x in vals]
     if isinstance(v, list):  # multi-value where mapping says scalar: first wins
         v = v[0] if v else None
         if v is None:
@@ -115,7 +144,9 @@ def _coerce(v: Any, dt: T.DataType) -> Any:
     if isinstance(dt, T.StructType):
         if not isinstance(v, dict):
             return None
-        return tuple(_coerce(v.get(f.name), f.dataType) for f in dt.fields)
+        return tuple(
+            _coerce(v.get(f.name), f.dataType, _field_is_geo(f)) for f in dt.fields
+        )
     if isinstance(dt, T.MapType):
         if not isinstance(v, dict):
             return None
@@ -524,7 +555,10 @@ class EsDocsReader(DataSourceReader):
                     continue
                 if not all(_filter_ok(doc, f) for f in self.pushed):
                     continue
-                row = tuple(_coerce(doc.get(f.name), f.dataType) for f in fields)
+                row = tuple(
+                    _coerce(doc.get(f.name), f.dataType, _field_is_geo(f))
+                    for f in fields
+                )
                 if self.with_meta:
                     meta = {
                         "_id": str(

@@ -235,6 +235,7 @@ def _geo_point_coerce(col: Column) -> Column:
     s = F.trim(col)
     arr = F.from_json(s, T.ArrayType(T.DoubleType()))
     parts = F.split(s, ",")
+    num_pair = r"^-?\d+(\.\d+)?\s*,\s*-?\d+(\.\d+)?$"
     return (
         F.when(s.isNull(), F.lit(None).cast(GEO_POINT_STRUCT))
         .when(s.startswith("{"), F.from_json(s, GEO_POINT_STRUCT))
@@ -244,12 +245,16 @@ def _geo_point_coerce(col: Column) -> Column:
                 F.element_at(arr, 2).alias("lat"), F.element_at(arr, 1).alias("lon")
             ),
         )
-        .otherwise(
+        .when(
+            s.rlike(num_pair),
             F.struct(
                 F.trim(parts.getItem(0)).cast("double").alias("lat"),
                 F.trim(parts.getItem(1)).cast("double").alias("lon"),
-            )
+            ),
         )
+        # geohash / WKT / malformed: null point, not struct(null, null) —
+        # loc.isNotNull() must not count documents with no parsed location
+        .otherwise(F.lit(None).cast(GEO_POINT_STRUCT))
     )
 
 

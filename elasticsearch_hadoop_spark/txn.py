@@ -219,8 +219,23 @@ def try_commit(index_path: str, version: int, dirs: list[str], meta: dict | None
         return False
     finally:
         os.unlink(tmp)
-    if os.path.isdir(stream_root(index_path)):
-        _publish_stream_dirs(index_path, names)
+    # Stream-farm publication is best-effort AFTER the durable claim: a
+    # publish failure must not make a committed write report as failed
+    # (the caller would retry and append duplicates).  A missed dir is
+    # retried by the next commit (publication is idempotent over ALL
+    # manifest dirs) and by enable_streaming's backfill.  Replace commits
+    # beyond v1 (compaction, merge rewrites) never publish: their snapshot
+    # would double-deliver every row to an already-running stream — new
+    # streams over such logs are refused anyway (has_replace_commit).
+    if (version == 1 or not (meta or {}).get("replace")) and os.path.isdir(
+        stream_root(index_path)
+    ):
+        try:
+            _publish_stream_dirs(index_path, names)
+        except OSError as ex:
+            import warnings
+
+            warnings.warn(f"stream publish for {index_path} v{version} failed: {ex}")
     return True
 
 
@@ -402,11 +417,21 @@ def vacuum(index_path: str, min_age_seconds: float = 3600.0) -> list[str]:
                 continue
         except OSError:
             continue
-        shutil.rmtree(path, ignore_errors=True)
-        removed.append(name)
-        # drop the _stream mirror too (hard links would otherwise keep the
-        # swept bytes alive and visible to streams)
+        # mirror FIRST: if the sweep dies between the two deletes, a later
+        # vacuum re-visits the name via the surviving _data dir — the other
+        # order leaves a mirror no listdir(_data) pass would ever revisit,
+        # permanently streaming rows no manifest references
         spath = os.path.join(stream_root(index_path), name)
         if os.path.isdir(spath):
             shutil.rmtree(spath, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(name)
+    # orphaned mirrors (their _data dir already gone — a crashed earlier
+    # sweep): hard links keep the swept bytes alive until this runs
+    sroot = stream_root(index_path)
+    if os.path.isdir(sroot):
+        data_names = set(os.listdir(data_root)) if os.path.isdir(data_root) else set()
+        for name in os.listdir(sroot):
+            if name not in data_names and not name.startswith("."):
+                shutil.rmtree(os.path.join(sroot, name), ignore_errors=True)
     return removed

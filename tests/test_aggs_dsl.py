@@ -468,3 +468,82 @@ def test_terms_order_under_filter_wrapper_and_nested_rejection(spark):
         }
         with pytest.raises(AggsDslError, match="keyed bucket level"):
             compile_aggs(df, {"aggs": bad})
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_percentile_ranks_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,)], "v double"
+    )
+    out = compile_aggs(
+        df, {"aggs": {"pr": {"percentile_ranks": {"field": "v", "values": [2]}}}}
+    ).collect()[0]
+    assert out["pr_2"] == pytest.approx(100 * 2 / 3)  # null excluded from CDF
+
+
+def test_percentile_ranks_requires_values(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(AggsDslError, match="values"):
+        compile_aggs(df, {"aggs": {"p": {"percentile_ranks": {"field": "v"}}}})
+
+
+def test_multi_terms_requires_two_sources(spark):
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    with pytest.raises(AggsDslError, match="multi_terms"):
+        compile_aggs(
+            df, {"aggs": {"k": {"multi_terms": {"terms": [{"field": "x"}]}}}}
+        )
+
+
+def test_adjacency_matrix_omits_empty_intersections(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "t string, v int"
+    )
+    out = compile_aggs(
+        df,
+        {
+            "aggs": {
+                "k": {
+                    "adjacency_matrix": {
+                        "filters": {
+                            "ta": {"term": {"t": "a"}},
+                            "tb": {"term": {"t": "b"}},
+                            "big": {"range": {"v": {"gte": 2}}},
+                        }
+                    }
+                }
+            }
+        },
+    )
+    got = {r["k"]: r["doc_count"] for r in out.collect()}
+    assert got == {"ta": 2, "tb": 1, "big": 2, "big&ta": 1, "big&tb": 1}
+    # ta&tb intersection is empty -> omitted, and pair keys sort a<b
+
+
+def test_bucket_sort_truncates_with_from(spark):
+    df = spark.createDataFrame(
+        [(k, float(k * 10)) for k in range(1, 7)], "k int, v double"
+    )
+    out = compile_aggs(
+        df,
+        {
+            "aggs": {
+                "k": {
+                    "terms": {"field": "k"},
+                    "aggs": {
+                        "s": {"sum": {"field": "v"}},
+                        "cut": {
+                            "bucket_sort": {
+                                "sort": [{"s": {"order": "desc"}}],
+                                "from": 1,
+                                "size": 2,
+                            }
+                        },
+                    },
+                }
+            }
+        },
+    )
+    assert [r["k"] for r in out.collect()] == [4, 5]  # top-3 minus the first

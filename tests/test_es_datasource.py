@@ -317,3 +317,39 @@ def test_arrow_struct_path_agrees(registered, tmp_path):
     assert arrow[0]["loc"]["lat"] == 1.5
     assert arrow[0]["hops"][1]["ok"] is False
     assert arrow[1]["loc"] is None
+
+
+def test_geo_point_wire_forms_row_path(registered, tmp_path):
+    """§1.2 geo_point leniency must hold on the esdocs row path too (the
+    json_docs Column path has its own test): object, GeoJSON array,
+    "lat,lon" string; geohash/garbage -> null."""
+    d = tmp_path / "geo"
+    d.mkdir()
+    docs = [
+        {"doc_id": 1, "loc": {"lat": 41.12, "lon": -71.34}},
+        {"doc_id": 2, "loc": [-71.5, 40.5]},
+        {"doc_id": 3, "loc": "39.25,-70.75"},
+        {"doc_id": 4, "loc": "drm3btev3e86"},
+        {"doc_id": 5, "loc": None},
+    ]
+    with open(d / "a.ndjson", "w") as fh:
+        for x in docs:
+            fh.write(json.dumps(x) + "\n")
+    mapping = json.dumps(
+        {"properties": {"doc_id": {"type": "long"}, "loc": {"type": "geo_point"}}}
+    )
+    got = {
+        r["doc_id"]: r["loc"]
+        for r in (
+            registered.read.format("esdocs")
+            .option("path", str(d))
+            .option("mapping", mapping)
+            .load()
+            .collect()
+        )
+    }
+    assert got[1] is not None and (got[1]["lat"], got[1]["lon"]) == (41.12, -71.34)
+    assert got[2] is not None and (got[2]["lat"], got[2]["lon"]) == (40.5, -71.5)
+    assert got[3] is not None and (got[3]["lat"], got[3]["lon"]) == (39.25, -70.75)
+    assert got[4] is None
+    assert got[5] is None

@@ -192,3 +192,27 @@ def test_geo_point_three_wire_forms(spark, tmp_path):
     assert got[3]["loc"] == Row(lat=39.25, lon=-70.75)
     assert got[4]["loc"] is None
     assert got[5]["locs"] == [Row(lat=40.5, lon=-71.5), Row(lat=1.5, lon=2.5)]
+
+
+def test_geo_point_unparseable_forms_are_null(spark, tmp_path):
+    """geohash / WKT / empty strings (forms ES accepts but this engine does
+    not decode) must yield a NULL point, never struct(null, null) — a
+    loc.isNotNull() filter must not count location-less documents."""
+    import json as _json
+
+    d = tmp_path / "geo2"
+    d.mkdir()
+    rows = [
+        {"id": 1, "loc": "drm3btev3e86"},
+        {"id": 2, "loc": "POINT (-71.34 41.12)"},
+        {"id": 3, "loc": ""},
+        {"id": 4, "loc": "41.12,-71.34"},
+    ]
+    with open(d / "a.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    m = {"properties": {"id": {"type": "long"}, "loc": {"type": "geo_point"}}}
+    df = read_json_docs(spark, str(d), mapping=m)
+    got = {r["id"]: r["loc"] for r in df.collect()}
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] == Row(lat=41.12, lon=-71.34)

@@ -292,7 +292,7 @@ def test_adopt_survives_lost_v1_race(tmp_path):
     txn.commit_append(p, txn.new_data_dir(p))
     assert txn.latest(p)[0] == 1
     # adoption must still publish the plain file, at v2
-    assert txn.adopt(p) is False or True  # returns bool either way
+    assert txn.adopt(p) is True
     version, dirs = txn.latest(p)
     assert version == 2
     published = [
@@ -399,3 +399,54 @@ def test_merge_on_empty_committed_log(spark, cat):
     txn.init_log(cat.path("fresh3"))
     with pytest.raises(ValueError, match="no committed data"):
         cat.delete_by_query("fresh3", {"term": {"tag": "x"}})
+
+
+def test_replace_commit_does_not_publish_to_stream_farm(tmp_path):
+    """A replace commit's snapshot must NOT land in _stream — a running
+    stream would ingest the whole snapshot as duplicate rows."""
+    import os
+
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    d1 = txn.new_data_dir(p)
+    with open(os.path.join(d1, "a.parquet"), "w") as fh:
+        fh.write("x")
+    txn.commit_append(p, d1)
+    txn.enable_streaming(p)
+    assert os.listdir(txn.stream_root(p)) == [os.path.basename(d1)]
+    # append publishes
+    d2 = txn.new_data_dir(p)
+    with open(os.path.join(d2, "b.parquet"), "w") as fh:
+        fh.write("y")
+    txn.commit_append(p, d2)
+    assert sorted(os.listdir(txn.stream_root(p))) == sorted(
+        [os.path.basename(d1), os.path.basename(d2)]
+    )
+    # replace does NOT
+    d3 = txn.new_data_dir(p)
+    with open(os.path.join(d3, "c.parquet"), "w") as fh:
+        fh.write("z")
+    base, _ = txn.latest(p)
+    txn.commit_replace(p, base, d3)
+    assert os.path.basename(d3) not in os.listdir(txn.stream_root(p))
+
+
+def test_vacuum_sweeps_orphaned_stream_mirrors(tmp_path):
+    """A mirror whose _data dir is already gone (crashed earlier sweep)
+    must be removed by the next vacuum, not live forever."""
+    import os, shutil
+
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    d1 = txn.new_data_dir(p)
+    with open(os.path.join(d1, "a.parquet"), "w") as fh:
+        fh.write("x")
+    txn.commit_append(p, d1)
+    txn.enable_streaming(p)
+    name = os.path.basename(d1)
+    # simulate the crashed half-sweep: _data gone, mirror left behind
+    orphan_mirror = os.path.join(txn.stream_root(p), "deadbeef" * 4)
+    shutil.copytree(os.path.join(txn.stream_root(p), name), orphan_mirror)
+    txn.vacuum(p, min_age_seconds=0.0)
+    assert not os.path.isdir(orphan_mirror)
+    assert os.path.isdir(os.path.join(txn.stream_root(p), name))  # live one stays
