@@ -39,16 +39,16 @@ def query(name: str, oracle: str | None = None):
 # The correctness driver grades a bounded prefix of the registration order
 # (the first 50 queries, observed every round).  Rounds 1-3 banked a green
 # verdict for 120 queries; the graded window is the scarce resource.
-# Round-4 policy (VERDICT.md round-3 items 1-2): ALL 37 never-graded
+# Round-4 policy (VERDICT.md round-3 items 1-2): ALL 38 never-graded
 # queries first — the 13 round-1-era variants + TPC-H from the round-3
 # rotation pool, the 11 late-round-3 additions (runtime fields,
 # search_after/collapse, 5 aggs-DSL compilers, packing, PII redaction),
-# and the 13 NEW round-4 queries (8 write-path round trips: time travel,
+# and the 14 NEW round-4 queries (8 write-path round trips: time travel,
 # zorder, streaming source, count, bucketed join, CSV, compact+vacuum,
 # geo ingestion; connected-components duplicate clustering; 4 aggs-DSL
 # additions: percentile_ranks, multi_terms, adjacency_matrix,
-# serial_diff+bucket_sort) —
-# then 13 drift-insurance RE-GRADES of the oldest banked greens: their
+# serial_diff+bucket_sort; benchmark decontamination) —
+# then 12 drift-insurance RE-GRADES of the oldest banked greens: their
 # r1/r2 verdicts predate the nanos->micros fixture regeneration, so the
 # most timestamp-sensitive of them get a fresh verdict on current data
 # (the local parity suite already re-validates all of them each run; this
@@ -86,6 +86,7 @@ PRIORITY: tuple[str, ...] = (
     "aggs_multi_terms",
     "aggs_adjacency_matrix",
     "aggs_serial_diff_bucket_sort",
+    "text_decontaminate",
     "writepath_time_travel",
     "writepath_zorder_read",
     "writepath_stream_source",
@@ -108,7 +109,6 @@ PRIORITY: tuple[str, ...] = (
     "q4_order_priority",
     "agg_percentiles",
     "dedup_minhash_lsh",
-    "sketch_hll_rollup_merge",
 )
 
 

@@ -226,3 +226,56 @@ def text_redact_pii(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1),
+                i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))
+              ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM tok
+), bench AS (
+  SELECT DISTINCT gram
+  FROM (SELECT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0)
+), grams AS (
+  SELECT doc_id, unnest(g) AS gram FROM sh
+), hits AS (
+  SELECT g2.doc_id, count(*) AS n_hit
+  FROM grams g2 JOIN bench USING (gram)
+  GROUP BY g2.doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.g) AS BIGINT) AS n_grams,
+       CAST(h.n_hit AS BIGINT) AS n_contaminated,
+       round(h.n_hit * 1.0 / len(s.g), 6) AS ratio
+FROM sh s JOIN hits h USING (doc_id)
+ORDER BY s.doc_id
+""",
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): flag
+    training documents sharing word-3-gram shingles with a benchmark set
+    (here the doc_id%97 slice stands in for an eval suite — its members
+    self-report ratio 1.0, near-duplicates report their true overlap).
+    The benchmark gram set broadcasts; the corpus-side explode is map-side
+    and the one shuffle is bounded by the MATCH mass, not the corpus gram
+    count — the GPT-3-style 13-gram overlap filter at 100 TB shape."""
+    from elasticsearch_hadoop_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    docs = spread(spark, tbl(spark, sf_dir, "documents")).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = contamination_report(docs, bench, n=3)
+    return out.select(
+        "doc_id", "n_grams", "n_contaminated", F.round("ratio", 6).alias("ratio")
+    ).orderBy("doc_id")
