@@ -112,3 +112,51 @@ def search_collapse(spark, sf_dir):
         F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
         F.col("hit_rank").cast("int").alias("hit_rank"),
     ).orderBy("user_id", "hit_rank")
+
+
+@query(
+    "search_highlight",
+    oracle=r"""
+SELECT doc_id,
+       md5(regexp_replace(text, '(?i)\b(hash|join)\b', '<em>\1</em>', 'g'))
+           AS hl_md5
+FROM documents
+WHERE regexp_matches(text, '(?i)\b(hash|join)\b')
+ORDER BY doc_id
+""",
+)
+def search_highlight(spark, sf_dir):
+    """ES highlight (number_of_fragments: 0): every case-insensitive
+    word-boundary occurrence of the analyzed query terms wrapped in
+    <em> tags, whole field returned, matching documents only
+    (search.highlight).  The (?i)+\\b pattern is RE2/Java-portable, so
+    the oracle replays the exact replacement; md5 keeps the hashed
+    payload small."""
+    from elasticsearch_hadoop_spark.search import highlight
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    out = highlight(docs, "text", "Hash JOIN")
+    return out.select(
+        "doc_id", F.md5("highlight").alias("hl_md5")
+    ).orderBy("doc_id")
+
+
+@query(
+    "search_terms_enum",
+    oracle="""
+SELECT term FROM (
+  SELECT DISTINCT source AS term FROM documents WHERE source LIKE 'src1%'
+)
+ORDER BY term
+LIMIT 10
+""",
+)
+def search_terms_enum(spark, sf_dir):
+    """ES _terms_enum: sorted distinct field values under a prefix, size
+    truncated (search.terms_enum) — the autocomplete endpoint.  The
+    src1* prefix matches 11 fixture sources, so the size-10 limit is
+    genuinely exercised."""
+    from elasticsearch_hadoop_spark.search import terms_enum
+
+    docs = tbl(spark, sf_dir, "documents")
+    return terms_enum(docs, "source", prefix="src1", size=10)

@@ -82,3 +82,60 @@ def collapse(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= inner_hits)
     )
+
+
+def highlight(
+    df: DataFrame,
+    field: str,
+    query_text: str,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    out_col: str = "highlight",
+    matched_only: bool = True,
+) -> DataFrame:
+    """ES highlighting, ``number_of_fragments: 0`` mode (the whole field
+    returned with every query-term occurrence wrapped in tags).  The query
+    text is analyzed with the same lowercase/alnum tokenizer as the match
+    query; occurrences match case-insensitively on word boundaries.  ES
+    emits highlight only for matching documents — ``matched_only`` keeps
+    that contract (rows with no occurrence are dropped).
+
+    One ``regexp_replace`` Column expression (whole-stage codegen); the
+    inline ``(?i)`` + ``\\b`` pattern is RE2/Java-portable, so a SQL
+    oracle can replay it verbatim."""
+    import re as _re
+
+    terms = [t for t in _re.split(r"[^a-z0-9]+", query_text.lower()) if t]
+    if not terms:
+        raise ValueError("highlight needs at least one query term")
+    pattern = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+    out = df
+    if matched_only:
+        out = out.filter(F.col(field).rlike(pattern))
+    return out.withColumn(
+        out_col, F.regexp_replace(F.col(field), pattern, pre_tag + "$1" + post_tag)
+    )
+
+
+def terms_enum(
+    df: DataFrame,
+    field: str,
+    prefix: str = "",
+    size: int = 10,
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """ES ``_terms_enum``: the sorted distinct values of ``field`` that
+    start with ``prefix``, first ``size`` of them — the index-backed
+    autocomplete endpoint.  Compiles to filter -> distinct -> ordered
+    limit: the prefix filter is sargable (parquet row-group stats on a
+    sorted/Z-ordered field skip non-matching groups), the distinct is one
+    hash shuffle over the (tiny) surviving term set, and the limit is a
+    TakeOrderedAndProject."""
+    c = F.col(field)
+    out = df.select(c.alias("term")).filter(c.isNotNull())
+    if prefix:
+        probe = F.lower(F.col("term")) if case_insensitive else F.col("term")
+        out = out.filter(
+            probe.startswith(prefix.lower() if case_insensitive else prefix)
+        )
+    return out.distinct().orderBy("term").limit(size)

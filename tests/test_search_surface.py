@@ -112,3 +112,39 @@ def test_runtime_field_boolean_operators(spark, df):
 def test_runtime_field_rejects_embedded_ternary():
     with pytest.raises(RuntimeFieldError):
         compile_script("emit(1 + (doc['price'].value > 20 ? 3 : 4))")
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_highlight_wraps_and_filters(spark):
+    from elasticsearch_hadoop_spark.search import highlight
+
+    df = spark.createDataFrame(
+        [(1, "a Hash join beats hashing"), (2, "no match here"), (3, None)],
+        "id int, text string",
+    )
+    out = {r["id"]: r["highlight"] for r in highlight(df, "text", "hash").collect()}
+    # word boundary: "hashing" untouched; case preserved in the wrap
+    assert out == {1: "a <em>Hash</em> join beats hashing"}
+    kept = highlight(df, "text", "hash", matched_only=False)
+    assert kept.count() == 3  # non-matching rows retained on request
+
+
+def test_highlight_multi_term_and_tags(spark):
+    from elasticsearch_hadoop_spark.search import highlight
+
+    df = spark.createDataFrame([(1, "sort or scan")], "id int, text string")
+    (row,) = highlight(df, "text", "Scan, SORT!", pre_tag="[", post_tag="]").collect()
+    assert row["highlight"] == "[sort] or [scan]"
+
+
+def test_terms_enum_prefix_size(spark):
+    from elasticsearch_hadoop_spark.search import terms_enum
+
+    df = spark.createDataFrame(
+        [(f"src{i}",) for i in range(20)] + [("src1",), (None,)], "source string"
+    )
+    got = [r["term"] for r in terms_enum(df, "source", prefix="src1", size=5).collect()]
+    assert got == ["src1", "src10", "src11", "src12", "src13"]  # sorted, deduped, cut
+    assert terms_enum(df, "source", prefix="SRC1", case_insensitive=True, size=3).count() == 3
