@@ -97,6 +97,10 @@ _CALENDAR = {
     "year": "year", "1y": "year",
 }
 _FIXED_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+# auto_date_histogram rounding ladder (fixed-interval rungs of ES's table;
+# the calendar rungs — months/years — are out of scope, documented).  The
+# chosen rung is the smallest whose bucket count fits the target.
+AUTO_DH_LADDER = (1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200, 86400, 604800)
 
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -227,6 +231,34 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
                 tmp, F.explode(F.filter(names_arr, lambda x: x.isNotNull()))
             )
             keys.append((name, F.col(tmp)))
+        elif kind == "auto_date_histogram":
+            # ES auto_date_histogram: choose the smallest ladder rung whose
+            # bucket count fits the target, then bucket like a
+            # fixed_interval date_histogram.  Needs the field's min/max —
+            # ONE two-scalar aggregate reaches the driver (the zorder-bounds
+            # pattern), nothing else leaves the cluster; an oracle replays
+            # the rung choice with the same epoch-floor arithmetic.
+            b = body["auto_date_histogram"]
+            fld, target = b["field"], int(b.get("buckets", 10))
+            row = df.agg(
+                F.min(F.unix_timestamp(F.col(fld))).alias("lo"),
+                F.max(F.unix_timestamp(F.col(fld))).alias("hi"),
+            ).first()
+            lo, hi = row["lo"], row["hi"]
+            secs = AUTO_DH_LADDER[-1]
+            if lo is not None:
+                for rung in AUTO_DH_LADDER:
+                    if hi // rung - lo // rung + 1 <= target:
+                        secs = rung
+                        break
+            keys.append(
+                (
+                    name,
+                    F.timestamp_seconds(
+                        F.floor(F.unix_timestamp(F.col(fld)) / secs) * secs
+                    ),
+                )
+            )
         elif kind == "adjacency_matrix":
             # one bucket per filter plus one per pairwise intersection
             # ("a&b", ES's separator) — a single scan: each row contributes
@@ -497,10 +529,10 @@ def _terms_order_cols(terms_order: tuple[dict | None, str] | None) -> list[Colum
 
 def _bucket_kind(body: dict) -> str | None:
     for kind in (
-        "terms", "multi_terms", "histogram", "date_histogram", "range",
-        "date_range", "geotile_grid", "geohash_grid", "filter", "filters",
-        "adjacency_matrix", "composite", "missing", "significant_terms",
-        "rare_terms",
+        "terms", "multi_terms", "histogram", "date_histogram",
+        "auto_date_histogram", "range", "date_range", "geotile_grid",
+        "geohash_grid", "filter", "filters", "adjacency_matrix",
+        "composite", "missing", "significant_terms", "rare_terms",
     ):
         if kind in body:
             return kind

@@ -39,17 +39,17 @@ def query(name: str, oracle: str | None = None):
 # The correctness driver grades a bounded prefix of the registration order
 # (the first 50 queries, observed every round).  Rounds 1-3 banked a green
 # verdict for 120 queries; the graded window is the scarce resource.
-# Round-4 policy (VERDICT.md round-3 items 1-2): ALL 40 never-graded
+# Round-4 policy (VERDICT.md round-3 items 1-2): ALL 41 never-graded
 # queries first — the 13 round-1-era variants + TPC-H from the round-3
 # rotation pool, the 11 late-round-3 additions (runtime fields,
 # search_after/collapse, 5 aggs-DSL compilers, packing, PII redaction),
-# and the 16 NEW round-4 queries (8 write-path round trips: time travel,
+# and the 17 NEW round-4 queries (8 write-path round trips: time travel,
 # zorder, streaming source, count, bucketed join, CSV, compact+vacuum,
-# geo ingestion; connected-components duplicate clustering; 4 aggs-DSL
+# geo ingestion; connected-components duplicate clustering; 5 aggs-DSL
 # additions: percentile_ranks, multi_terms, adjacency_matrix,
-# serial_diff+bucket_sort; benchmark decontamination; highlight;
-# terms_enum) —
-# then 10 drift-insurance RE-GRADES of the oldest banked greens: their
+# serial_diff+bucket_sort, auto_date_histogram; benchmark
+# decontamination; highlight; terms_enum) —
+# then 9 drift-insurance RE-GRADES of the oldest banked greens: their
 # r1/r2 verdicts predate the nanos->micros fixture regeneration, so the
 # most timestamp-sensitive of them get a fresh verdict on current data
 # (the local parity suite already re-validates all of them each run; this
@@ -90,6 +90,7 @@ PRIORITY: tuple[str, ...] = (
     "text_decontaminate",
     "search_highlight",
     "search_terms_enum",
+    "aggs_auto_date_histogram",
     "writepath_time_travel",
     "writepath_zorder_read",
     "writepath_stream_source",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_live_dedup",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
 )
 
 

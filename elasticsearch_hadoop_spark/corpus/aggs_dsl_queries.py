@@ -1033,3 +1033,58 @@ def aggs_serial_diff_bucket_sort(spark, sf_dir):
         F.round("rev", 6).alias("rev"),
         F.round("rev_wow", 6).alias("rev_wow"),
     ).orderBy("day")
+
+
+def _auto_dh_oracle(target: int) -> str:
+    from elasticsearch_hadoop_spark.aggs_dsl import AUTO_DH_LADDER
+
+    rungs = "\n    ".join(
+        f"WHEN hi//{r} - lo//{r} + 1 <= {target} THEN {r}" for r in AUTO_DH_LADDER
+    )
+    return f"""
+WITH span AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+  FROM events
+), iv AS (
+  SELECT CASE
+    {rungs}
+    ELSE {AUTO_DH_LADDER[-1]} END AS i
+  FROM span
+)
+SELECT strftime(epoch_ms(CAST(floor(epoch(ts) / i) AS BIGINT) * i * 1000),
+                '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 4) AS sum_value
+FROM events, iv
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("aggs_auto_date_histogram", oracle=_auto_dh_oracle(20))
+def aggs_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram: the engine picks the smallest
+    rounding-ladder interval whose bucket count fits the target (20 here),
+    then buckets like a fixed_interval date_histogram
+    (aggs_dsl AUTO_DH_LADDER — fixed rungs; calendar rungs documented out
+    of scope).  The min/max probe is ONE two-scalar aggregate; the oracle
+    replays the rung choice with identical epoch-floor arithmetic, so a
+    wrong rung — not just wrong counts — flips the hash."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "bucket": {
+                    "auto_date_histogram": {"field": "ts", "buckets": 20},
+                    "aggs": {"sum_value": {"sum": {"field": "value"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("bucket")

@@ -547,3 +547,29 @@ def test_bucket_sort_truncates_with_from(spark):
         },
     )
     assert [r["k"] for r in out.collect()] == [4, 5]  # top-3 minus the first
+
+
+def test_auto_date_histogram_picks_fitting_rung(spark):
+    import datetime as dt
+
+    rows = [(dt.datetime(2024, 1, 1, 0, 0, s),) for s in range(0, 50, 2)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    # span 48s: 1s rung -> 49 buckets > 12, 5s rung -> 10 buckets <= 12
+    out = compile_aggs(
+        df, {"aggs": {"b": {"auto_date_histogram": {"field": "ts", "buckets": 12}}}}
+    ).collect()
+    assert len(out) == 10
+    assert all(r["b"].second % 5 == 0 for r in out)
+    # tight target falls through to a coarser rung
+    out2 = compile_aggs(
+        df, {"aggs": {"b": {"auto_date_histogram": {"field": "ts", "buckets": 2}}}}
+    ).collect()
+    assert len(out2) == 2  # 30s rung: buckets at :00 and :30
+
+
+def test_auto_date_histogram_empty_input(spark):
+    df = spark.createDataFrame([], "ts timestamp")
+    out = compile_aggs(
+        df, {"aggs": {"b": {"auto_date_histogram": {"field": "ts", "buckets": 5}}}}
+    )
+    assert out.count() == 0  # no rows, no crash on null min/max
