@@ -147,6 +147,79 @@ def similarity_ivf_topk(spark, sf_dir):
     )
 
 
+_SQ_ORACLE = f"""
+WITH dims AS (
+  SELECT t.i AS i, min(embedding[t.i]::DOUBLE) AS mn, max(embedding[t.i]::DOUBLE) AS mx
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY t.i
+),
+vals AS (
+  SELECT vec_id, t.i AS i, embedding[t.i]::DOUBLE AS v
+  FROM embeddings, range(1, 65) t(i)
+),
+codes AS (
+  SELECT vec_id, vals.i,
+         CAST(CASE WHEN mx > mn
+              THEN least(255.0, greatest(0.0, floor((v - mn) / (mx - mn) * 256)))
+              ELSE 128.0 END AS BIGINT) - 128 AS c
+  FROM vals JOIN dims ON vals.i = dims.i
+),
+qvals AS (
+  SELECT t.i AS i, q.e[t.i]::DOUBLE AS v
+  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0) q,
+       range(1, 65) t(i)
+),
+qcodes AS (
+  SELECT qvals.i,
+         CAST(CASE WHEN mx > mn
+              THEN least(255.0, greatest(0.0, floor((v - mn) / (mx - mn) * 256)))
+              ELSE 128.0 END AS BIGINT) - 128 AS c
+  FROM qvals JOIN dims ON qvals.i = dims.i
+),
+scores AS (
+  SELECT codes.vec_id, sum(codes.c * qcodes.c) AS s
+  FROM codes JOIN qcodes ON codes.i = qcodes.i
+  GROUP BY codes.vec_id
+),
+cand AS (SELECT vec_id FROM scores ORDER BY s DESC, vec_id LIMIT 40)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], {_QVEC_SQL}), 6) AS cosine
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], {_QVEC_SQL}) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("similarity_sq_topk", oracle=_SQ_ORACLE)
+def similarity_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN top-10 — the memory-bound third leg beside
+    IVF and RP-LSH.  Per-dimension [min,max] bounds train distributed
+    (posexplode -> groupBy(dim) min/max, 2×64 doubles to the driver); codes
+    are floor-based affine int8 (array<tinyint>, 4× less IO/RAM than
+    float32); candidate generation is an integer dot product over codes
+    (codegen F.aggregate), top-40 by (int score, id); the exact double
+    cosine rescores just those 40.  Every step is deterministic — floor
+    codes, integer scores, id tie-breaks — so the DuckDB oracle replays
+    the whole pipeline and this is hash-checked end-to-end, no bounds
+    assertion needed.
+
+    Scale story: persist sq_code at ingest and scan ONLY the 1-byte codes
+    for candidate generation (both stages are TakeOrderedAndProject —
+    per-partition heaps, no global sort); the float column is read for the
+    rescore_k rows alone."""
+    from elasticsearch_hadoop_spark.operators.similarity import (
+        sq_encode,
+        sq_topk,
+        train_sq_bounds,
+    )
+
+    e = spread(spark, tbl(spark, sf_dir, "embeddings"))
+    mins, maxs = train_sq_bounds(e)
+    enc = sq_encode(e, mins, maxs)
+    out = sq_topk(enc, mins, maxs, _query_vec(spark, sf_dir), k=10, rescore_k=40)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def _lsh_bits_sql(vec_sql: str, planes) -> str:
     """The bit-packed sign-pattern bucket as DuckDB SQL — same frozen ±1
     plane literals the Spark side uses, so buckets agree bit-for-bit."""

@@ -245,6 +245,136 @@ def lsh_probe_buckets(
     return probes
 
 
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (the memory-bound ANN path)
+# ---------------------------------------------------------------------------
+
+
+def train_sq_bounds(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] bounds for int8 scalar quantization.
+
+    Distributed: posexplode -> groupBy(dim) -> min/max — one narrow
+    shuffle of (dim, value) pairs; only 2×dim doubles reach the driver
+    (same discipline as train_centroids).  At 100 TB: train on a sample —
+    the quantizer needs representative bounds, not every row."""
+    rows = (
+        embeddings.select(F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("pos")
+        .agg(F.min("col").alias("mn"), F.max("col").alias("mx"))
+        .collect()
+    )
+    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
+    dims = sorted(by_pos)
+    return [by_pos[d][0] for d in dims], [by_pos[d][1] for d in dims]
+
+
+def _sq_code_expr(v, mins: list[float], maxs: list[float]):
+    """Column: int8 codes for a double-array column under the given bounds.
+
+    code_d = least(255, greatest(0, floor((x - mn_d)/(mx_d - mn_d) * 256))) - 128
+
+    floor (not round) so there is no half-tie rounding-mode divergence
+    between engines; the double arithmetic itself is order-identical on
+    Spark / DuckDB / CPython, so codes agree bit-for-bit.  Degenerate
+    dimensions (mx == mn) quantize to code 0."""
+    mn_arr = F.lit([float(x) for x in mins])
+    mx_arr = F.lit([float(x) for x in maxs])
+    shifted = F.zip_with(v, mn_arr, lambda x, m: x - m)
+    rng = F.zip_with(mx_arr, mn_arr, lambda a, b: a - b)
+    return F.zip_with(
+        shifted,
+        rng,
+        lambda s, r: (
+            F.when(
+                r > 0,
+                F.least(F.lit(255.0), F.greatest(F.lit(0.0), F.floor(s / r * 256))),
+            ).otherwise(F.lit(128.0))
+            - 128
+        ).cast("int"),
+    )
+
+
+def sq_encode(
+    embeddings: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    vec_col: str = "embedding",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """Attach int8 scalar-quantized codes (stored array<tinyint> — 4× less
+    IO/RAM than float32).  At scale: persist the codes column at ingest and
+    scan ONLY it for candidate generation; the float column is touched just
+    for the rescore rows."""
+    codes = _sq_code_expr(F.col(vec_col).cast("array<double>"), mins, maxs)
+    return embeddings.withColumn(code_col, codes.cast("array<tinyint>"))
+
+
+def sq_quantize_query(
+    query_vec: list[float], mins: list[float], maxs: list[float]
+) -> list[int]:
+    """Driver-side int8 codes for the query vector — same formula, same
+    IEEE-double operation order as _sq_code_expr, so codes match what the
+    engine would compute."""
+    import math
+
+    out = []
+    for x, mn, mx in zip(query_vec, mins, maxs):
+        r = mx - mn
+        if r > 0:
+            c = min(255.0, max(0.0, math.floor((x - mn) / r * 256)))
+        else:
+            c = 128.0
+        out.append(int(c) - 128)
+    return out
+
+
+def sq_topk(
+    encoded: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    query_vec: list[float],
+    k: int = 10,
+    rescore_k: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """Approximate top-k via int8 codes + exact float rescore.
+
+    Candidate generation is an integer dot product over the 1-byte codes
+    (codegen F.aggregate — 4× less data moved than float32, integer ALU
+    ops); the top ``rescore_k`` candidates by (int score desc, id) get the
+    exact double cosine, and the final top ``k`` is exact over that set.
+    Both stages are TakeOrderedAndProject — per-partition heaps, k-row
+    driver merge, no global sort.  Deterministic end-to-end (floor-based
+    codes, integer scores, id tie-breaks), so the DuckDB oracle replays it
+    exactly — unlike IVF there is no float-tie argmax to blur."""
+    qcodes = F.lit(sq_quantize_query(query_vec, mins, maxs))
+    score = F.aggregate(
+        F.zip_with(
+            F.col(code_col), qcodes, lambda a, b: a.cast("long") * b.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        encoded.select(F.col(id_col), F.col(vec_col), score.alias("sq_score"))
+        .orderBy(F.col("sq_score").desc(), F.col(id_col))
+        .limit(rescore_k)
+    )
+    q = F.lit([float(x) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     embeddings_with_buckets: DataFrame,
     planes: list[list[float]],

@@ -206,3 +206,57 @@ def test_lsh_buckets_partition_prune_on_disk(emb, lsh_setup, spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lsh_bucket" in m.group(1), plan[:1200]
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sq_setup(emb):
+    from elasticsearch_hadoop_spark.operators.similarity import (
+        sq_encode,
+        train_sq_bounds,
+    )
+
+    mins, maxs = train_sq_bounds(emb)
+    return mins, maxs, sq_encode(emb, mins, maxs).cache()
+
+
+def test_sq_codes_in_int8_range(sq_setup):
+    mins, maxs, enc = sq_setup
+    row = enc.select(
+        F.min(F.array_min("sq_code")).alias("lo"),
+        F.max(F.array_max("sq_code")).alias("hi"),
+    ).collect()[0]
+    assert -128 <= row["lo"] <= row["hi"] <= 127
+    assert dict(enc.dtypes)["sq_code"] == "array<tinyint>"
+
+
+def test_sq_query_codes_match_engine(emb, sq_setup):
+    """The driver-side Python quantizer must agree bit-for-bit with the
+    engine's Column quantizer on the same vector."""
+    from elasticsearch_hadoop_spark.operators.similarity import sq_quantize_query
+
+    mins, maxs, enc = sq_setup
+    q = _qvec(emb, 0)
+    engine = enc.filter(F.col("vec_id") == 0).select("sq_code").first()[0]
+    assert [int(x) for x in engine] == sq_quantize_query(q, mins, maxs)
+
+
+def test_sq_recall_vs_brute_force(emb, sq_setup):
+    """recall@10 >= 0.9 averaged over 5 queries: int8 + rescore_k=40 should
+    beat the pure-bucketing paths (codes preserve global order closely)."""
+    from elasticsearch_hadoop_spark.operators.similarity import sq_topk
+
+    mins, maxs, enc = sq_setup
+    recalls = []
+    for qid in [0, 7, 42, 101, 250]:
+        q = _qvec(emb, qid)
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        approx = {
+            r["vec_id"] for r in sq_topk(enc, mins, maxs, q, k=10, rescore_k=40).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
