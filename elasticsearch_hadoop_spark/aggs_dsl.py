@@ -40,9 +40,15 @@ Supported:
   integer bit-interleave as Column math), ``multi_terms`` (one bucket per
   field-value tuple, "|"-joined key_as_string, terms-style size/order),
   ``adjacency_matrix`` (named filters plus pairwise "a&b" intersections in
-  ONE scan via a label-array explode; empty cells omitted like ES)
+  ONE scan via a label-array explode; empty cells omitted like ES),
+  ``sampler`` / ``diversified_sampler`` (narrowing buckets bounding the
+  doc set sub-aggs see; scoreless engine, so the documented deterministic
+  semantics are a hash-ordered sample on a required ``seed_field``, with
+  diversified's ``max_docs_per_value`` per-``field`` dedupe as a
+  WindowGroupLimit)
 - metric aggs: ``avg sum min max value_count cardinality stats
-  extended_stats weighted_avg percentiles percentile_ranks`` —
+  extended_stats weighted_avg percentiles percentile_ranks boxplot
+  median_absolute_deviation string_stats`` —
   ``cardinality`` compiles to
   exact ``countDistinct`` by
   default (``"approximate": true`` opts into HLL++ ``approx_count_distinct``,
@@ -50,7 +56,13 @@ Supported:
   ``percentile`` (ES uses t-digest — same caveat, ``"approximate": true``
   switches to ``percentile_approx``); ``extended_stats`` adds the one-pass
   moments (sum_of_squares, population variance/std_deviation);
-  ``weighted_avg`` takes ES's ``{"value": {...}, "weight": {...}}`` shape
+  ``weighted_avg`` takes ES's ``{"value": {...}, "weight": {...}}`` shape;
+  ``boxplot`` emits min/q1/q2/q3/max under the same exact-vs-approximate
+  convention; ``median_absolute_deviation`` is two-phase (bucket median
+  attached by a window over the SAME key chain the aggregation shuffles
+  on, so the exchange is reused); ``string_stats`` emits count + length
+  min/max/avg (entropy needs a per-bucket char distribution — documented
+  out of scope)
 - ``doc_count`` is always emitted per bucket, like ES
 - ``top_hits`` (must be the only metric at its level): per-bucket top-N
   rows — compiles to a row_number window over the bucket-key chain
@@ -129,6 +141,9 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     top_hits: tuple[str, dict] | None = None
     # (name, kind, spec, level_index): applied over the finished buckets
     pipelines: list[tuple[str, str, dict, int]] = []
+    # (name, field): median_absolute_deviation metrics — need the bucket
+    # median BEFORE the aggregation pass (window over the key chain)
+    mads: list[tuple[str, str]] = []
 
     # significant_terms background: the frame as handed in, BEFORE any
     # filter/missing bucket narrows the foreground
@@ -144,6 +159,9 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
                 if top_hits is not None or len(metric_items) > 1:
                     raise AggsDslError("top_hits must be the only metric at its level")
                 top_hits = (name, body["top_hits"])
+                continue
+            if "median_absolute_deviation" in body:
+                mads.append((name, body["median_absolute_deviation"]["field"]))
                 continue
             pkind = _pipeline_kind(body)
             if pkind:
@@ -231,6 +249,50 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
                 tmp, F.explode(F.filter(names_arr, lambda x: x.isNotNull()))
             )
             keys.append((name, F.col(tmp)))
+        elif kind == "sampler":
+            # ES sampler: bound the doc set sub-aggs run over.  ES keeps
+            # the shard-local top-`shard_size` by score; this engine has no
+            # scores (README non-goal), so the documented deterministic
+            # semantics are: the `shard_size` docs with the smallest
+            # (md5(seed_field), seed_field) — a stable pseudo-random sample
+            # (same discipline as operators/sampling.py) and a single
+            # TakeOrderedAndProject, never a full sort.
+            b = body["sampler"]
+            seed = b.get("seed_field")
+            if not seed:
+                raise AggsDslError(
+                    "sampler needs seed_field (deterministic engine: no _score)"
+                )
+            n = int(b.get("shard_size", 100))
+            df = df.orderBy(F.md5(F.col(seed).cast("string")), F.col(seed)).limit(n)
+        elif kind == "diversified_sampler":
+            # ES diversified_sampler: like sampler but at most
+            # `max_docs_per_value` docs per distinct `field` value (dedupe
+            # the sample).  Per-value truncation is a row_number window
+            # (WindowGroupLimit prunes map-side); the final cap is the same
+            # hash-ordered TakeOrderedAndProject as sampler.
+            b = body["diversified_sampler"]
+            seed = b.get("seed_field")
+            if not seed:
+                raise AggsDslError(
+                    "diversified_sampler needs seed_field (deterministic "
+                    "engine: no _score)"
+                )
+            n = int(b.get("shard_size", 100))
+            per_val = int(b.get("max_docs_per_value", 1))
+            fld = b["field"]
+            from pyspark.sql import Window
+
+            h = F.md5(F.col(seed).cast("string"))
+            wv = Window.partitionBy(fld).orderBy(h, F.col(seed))
+            tmp = f"__ds_rn_{name}"
+            df = (
+                df.withColumn(tmp, F.row_number().over(wv))
+                .filter(F.col(tmp) <= per_val)
+                .drop(tmp)
+                .orderBy(h, F.col(seed))
+                .limit(n)
+            )
         elif kind == "auto_date_histogram":
             # ES auto_date_histogram: choose the smallest ladder rung whose
             # bucket count fits the target, then bucket like a
@@ -290,6 +352,26 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
         if metrics:
             raise AggsDslError("top_hits must be the only metric at its level")
         return _top_hits(df, keys, *top_hits)
+
+    if mads:
+        # ES median_absolute_deviation = median(|x - median_bucket(x)|):
+        # inherently two-phase.  Phase 1 attaches the bucket median via a
+        # window over the SAME key chain the aggregation shuffles on, so
+        # the exchange is reused (one physical shuffle, window + agg back
+        # to back); phase 2 is a plain median aggregate of the deviations.
+        from pyspark.sql import Window
+
+        wkeys = (
+            Window.partitionBy(*[expr for _, expr in keys])
+            if keys
+            else Window.partitionBy()
+        )
+        for mname, mfield in mads:
+            med_col = f"__mad_med_{mname}"
+            df = df.withColumn(med_col, F.median(F.col(mfield)).over(wkeys))
+            metrics.append(
+                F.median(F.abs(F.col(mfield) - F.col(med_col))).alias(mname)
+            )
 
     metrics = [F.count(F.lit(1)).alias("doc_count")] + metrics
     if keys:
@@ -532,6 +614,7 @@ def _bucket_kind(body: dict) -> str | None:
         "terms", "multi_terms", "histogram", "date_histogram",
         "auto_date_histogram", "range", "date_range", "geotile_grid",
         "geohash_grid", "filter", "filters", "adjacency_matrix",
+        "sampler", "diversified_sampler",
         "composite", "missing", "significant_terms", "rare_terms",
     ):
         if kind in body:
@@ -779,6 +862,33 @@ def _metric(name: str, body: dict) -> list[Column]:
         else:
             arr = F.percentile(c, F.array(*[F.lit(p / 100.0) for p in pcts]))
         return [arr[i].alias(f"{name}_{_pname(p)}") for i, p in enumerate(pcts)]
+    if kind == "boxplot":
+        # ES boxplot: min/q1/q2/q3/max.  Exact interpolated percentile by
+        # default (one sort per group for all three quartiles — a single
+        # array-argument percentile); "approximate": true -> TDigest-like
+        # percentile_approx, matching the percentiles metric's convention.
+        if approx:
+            qs = F.percentile_approx(c, [0.25, 0.5, 0.75], 10000)
+        else:
+            qs = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        return [
+            F.min(c).alias(f"{name}_min"),
+            qs[0].alias(f"{name}_q1"),
+            qs[1].alias(f"{name}_q2"),
+            qs[2].alias(f"{name}_q3"),
+            F.max(c).alias(f"{name}_max"),
+        ]
+    if kind == "string_stats":
+        # ES string_stats: count + length min/max/avg.  (ES also returns a
+        # Shannon entropy; that needs a per-bucket character distribution —
+        # out of scope for the flat single-pass rendering, documented.)
+        ln = F.length(c)
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(ln).alias(f"{name}_min_length"),
+            F.max(ln).alias(f"{name}_max_length"),
+            F.avg(ln).alias(f"{name}_avg_length"),
+        ]
     if kind == "percentile_ranks":
         # inverse percentiles: % of non-null docs with value <= v (the
         # exact CDF — ES's TDigest approximates the same quantity).  The

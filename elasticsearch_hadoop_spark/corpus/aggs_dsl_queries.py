@@ -1088,3 +1088,163 @@ def aggs_auto_date_histogram(spark, sf_dir):
         "doc_count",
         F.round("sum_value", 4).alias("sum_value"),
     ).orderBy("bucket")
+
+
+@query(
+    "aggs_boxplot_mad",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag, median(l_extendedprice) AS m
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(min(l_quantity), 6) AS box_min,
+       round(quantile_cont(l_quantity, 0.25), 6) AS box_q1,
+       round(quantile_cont(l_quantity, 0.50), 6) AS box_q2,
+       round(quantile_cont(l_quantity, 0.75), 6) AS box_q3,
+       round(max(l_quantity), 6) AS box_max,
+       round(median(abs(l_extendedprice - med.m)), 6) AS mad
+FROM lineitem l JOIN med USING (l_returnflag)
+GROUP BY l.l_returnflag, med.m
+ORDER BY l.l_returnflag
+""",
+)
+def aggs_boxplot_mad(spark, sf_dir):
+    """ES boxplot + median_absolute_deviation metrics under a terms
+    bucket.  boxplot's three quartiles share ONE array-argument exact
+    percentile (one sort per group); MAD is two-phase — the bucket median
+    attaches via a window over the SAME key the aggregation shuffles on,
+    so Catalyst reuses the exchange (one physical shuffle end to end)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    out = compile_aggs(
+        li,
+        {
+            "aggs": {
+                "l_returnflag": {
+                    "terms": {"field": "l_returnflag", "order": {"_key": "asc"}},
+                    "aggs": {
+                        "box": {"boxplot": {"field": "l_quantity"}},
+                        "mad": {
+                            "median_absolute_deviation": {"field": "l_extendedprice"}
+                        },
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "doc_count",
+        F.round("box_min", 6).alias("box_min"),
+        F.round("box_q1", 6).alias("box_q1"),
+        F.round("box_q2", 6).alias("box_q2"),
+        F.round("box_q3", 6).alias("box_q3"),
+        F.round("box_max", 6).alias("box_max"),
+        F.round("mad", 6).alias("mad"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "aggs_diversified_sampler",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+),
+samp AS (
+  SELECT event_type, value, event_id FROM ranked WHERE rn <= 40
+  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 150
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(value), 6) AS avg_value
+FROM samp
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def aggs_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler: sub-aggs over a deduped deterministic
+    sample — at most max_docs_per_value=40 events per event_type
+    (row_number over the value, a WindowGroupLimit), capped at
+    shard_size=150 under the md5(seed) hash order (TakeOrderedAndProject —
+    per-partition heaps, never a global sort).  The scoreless engine's
+    documented replacement for ES's per-shard top-by-score sampling."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "sample": {
+                    "diversified_sampler": {
+                        "field": "event_type",
+                        "max_docs_per_value": 40,
+                        "shard_size": 150,
+                        "seed_field": "event_id",
+                    },
+                    "aggs": {
+                        "event_type": {
+                            "terms": {"field": "event_type", "order": {"_key": "asc"}},
+                            "aggs": {"avg_value": {"avg": {"field": "value"}}},
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "event_type", "doc_count", F.round("avg_value", 6).alias("avg_value")
+    ).orderBy("event_type")
+
+
+@query(
+    "aggs_sampler_string_stats",
+    oracle="""
+WITH samp AS (
+  SELECT lang, text FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(text) AS BIGINT) AS ts_count,
+       CAST(min(length(text)) AS BIGINT) AS ts_min_length,
+       CAST(max(length(text)) AS BIGINT) AS ts_max_length,
+       round(avg(length(text)), 6) AS ts_avg_length
+FROM samp
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def aggs_sampler_string_stats(spark, sf_dir):
+    """ES sampler bucket (hash-ordered deterministic 200-doc sample, one
+    TakeOrderedAndProject) feeding a terms bucket with a string_stats
+    metric (count + length min/max/avg) — the cost-bounding pattern for
+    expensive sub-aggs over a huge corpus."""
+    docs = tbl(spark, sf_dir, "documents")
+    out = compile_aggs(
+        docs,
+        {
+            "aggs": {
+                "sample": {
+                    "sampler": {"shard_size": 200, "seed_field": "doc_id"},
+                    "aggs": {
+                        "lang": {
+                            "terms": {"field": "lang", "order": {"_key": "asc"}},
+                            "aggs": {"ts": {"string_stats": {"field": "text"}}},
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "lang",
+        "doc_count",
+        "ts_count",
+        F.col("ts_min_length").cast("bigint").alias("ts_min_length"),
+        F.col("ts_max_length").cast("bigint").alias("ts_max_length"),
+        F.round("ts_avg_length", 6).alias("ts_avg_length"),
+    ).orderBy("lang")

@@ -64,7 +64,7 @@ def test_sibling_buckets_rejected(ev):
 
 def test_unknown_metric_rejected(ev):
     with pytest.raises(AggsDslError, match="unsupported metric"):
-        compile_aggs(ev, {"x": {"median_absolute_deviation": {"field": "v"}}})
+        compile_aggs(ev, {"x": {"geo_centroid": {"field": "v"}}})
 
 
 def test_json_string_and_wrapped_body(ev):
@@ -573,3 +573,79 @@ def test_auto_date_histogram_empty_input(spark):
         df, {"aggs": {"b": {"auto_date_histogram": {"field": "ts", "buckets": 5}}}}
     )
     assert out.count() == 0  # no rows, no crash on null min/max
+
+
+def test_boxplot_exact_quartiles(spark):
+    df = spark.createDataFrame([Row(g="a", v=float(x)) for x in range(1, 6)])
+    out = compile_aggs(
+        df, {"g": {"terms": {"field": "g"}, "aggs": {"b": {"boxplot": {"field": "v"}}}}}
+    ).collect()[0]
+    assert (out.b_min, out.b_q1, out.b_q2, out.b_q3, out.b_max) == (1.0, 2.0, 3.0, 4.0, 5.0)
+
+
+def test_median_absolute_deviation_per_bucket(spark):
+    # bucket a: values 1..5 -> median 3, deviations [2,1,0,1,2] -> MAD 1
+    # bucket b: values [10, 10, 40] -> median 10, deviations [0,0,30] -> MAD 0
+    rows = [Row(g="a", v=float(x)) for x in range(1, 6)]
+    rows += [Row(g="b", v=10.0), Row(g="b", v=10.0), Row(g="b", v=40.0)]
+    out = {
+        r.g: r.mad
+        for r in compile_aggs(
+            spark.createDataFrame(rows),
+            {
+                "g": {
+                    "terms": {"field": "g"},
+                    "aggs": {"mad": {"median_absolute_deviation": {"field": "v"}}},
+                }
+            },
+        ).collect()
+    }
+    assert out == {"a": 1.0, "b": 0.0}
+
+
+def test_string_stats_lengths(spark):
+    df = spark.createDataFrame([Row(s="ab"), Row(s="abcd"), Row(s=None)])
+    out = compile_aggs(df, {"ss": {"string_stats": {"field": "s"}}}).collect()[0]
+    assert (out.ss_count, out.ss_min_length, out.ss_max_length) == (2, 2, 4)
+    assert out.ss_avg_length == pytest.approx(3.0)
+
+
+def test_sampler_deterministic_and_bounded(spark):
+    df = spark.createDataFrame([Row(i=i, g="ab"[i % 2]) for i in range(50)])
+    spec = {
+        "s": {
+            "sampler": {"shard_size": 10, "seed_field": "i"},
+            "aggs": {"n": {"value_count": {"field": "i"}}},
+        }
+    }
+    a = compile_aggs(df, spec).collect()[0]
+    b = compile_aggs(df.repartition(7), spec).collect()[0]
+    assert a.doc_count == 10 and b.doc_count == 10
+    assert a.n == b.n  # partitioning-invariant sample
+
+
+def test_sampler_requires_seed_field(spark):
+    df = spark.createDataFrame([Row(i=1)])
+    with pytest.raises(AggsDslError, match="seed_field"):
+        compile_aggs(df, {"s": {"sampler": {"shard_size": 5}}})
+
+
+def test_diversified_sampler_caps_per_value(spark):
+    df = spark.createDataFrame(
+        [Row(i=i, g="a" if i < 40 else "b") for i in range(50)]
+    )
+    out = compile_aggs(
+        df,
+        {
+            "s": {
+                "diversified_sampler": {
+                    "field": "g",
+                    "max_docs_per_value": 3,
+                    "shard_size": 100,
+                    "seed_field": "i",
+                },
+                "aggs": {"g": {"terms": {"field": "g"}}},
+            }
+        },
+    ).collect()
+    assert {r.g: r.doc_count for r in out} == {"a": 3, "b": 3}
