@@ -160,3 +160,146 @@ def search_terms_enum(spark, sf_dir):
 
     docs = tbl(spark, sf_dir, "documents")
     return terms_enum(docs, "source", prefix="src1", size=10)
+
+
+@query(
+    "search_suggest_term",
+    oracle="""
+WITH vocab AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0)) AS term
+    FROM documents
+  ) t
+  GROUP BY t.term
+),
+req(input) AS (VALUES ('querry'), ('tabel'), ('streem')),
+cand AS (
+  SELECT req.input, vocab.term,
+         CAST(levenshtein(req.input, vocab.term) AS INT) AS distance, vocab.freq
+  FROM vocab, req
+  WHERE levenshtein(req.input, vocab.term) BETWEEN 1 AND 2
+),
+ranked AS (
+  SELECT input, term, distance, freq,
+         CAST(row_number() OVER (
+             PARTITION BY input ORDER BY distance, freq DESC, term
+         ) AS INT) AS suggest_rank
+  FROM cand
+)
+SELECT input, term, distance, freq, suggest_rank
+FROM ranked WHERE suggest_rank <= 3
+ORDER BY input, suggest_rank
+""",
+)
+def search_suggest_term(spark, sf_dir):
+    """ES term suggester: spell-correct three misspelled inputs against
+    the corpus vocabulary — candidates within Levenshtein distance 2,
+    ranked (distance, freq desc, term), top 3 per input.  The vocabulary
+    is one explode + hash agg; the inputs broadcast against it; ranking
+    is a WindowGroupLimit (search.suggest_terms)."""
+    from elasticsearch_hadoop_spark.search import suggest_terms
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = suggest_terms(
+        docs, "text", ["querry", "tabel", "streem"], max_edits=2, size=3
+    )
+    return out.select(
+        "input",
+        "term",
+        F.col("distance").cast("int").alias("distance"),
+        "freq",
+        "suggest_rank",
+    ).orderBy("input", "suggest_rank")
+
+
+@query(
+    "search_mget",
+    oracle="""
+WITH req(req_ord, o_orderkey) AS (VALUES (0, 7), (1, 999999999), (2, 1), (3, 32))
+SELECT req.req_ord, req.o_orderkey,
+       o.o_orderkey IS NOT NULL AS found,
+       o.o_orderstatus,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM req LEFT JOIN orders o ON req.o_orderkey = o.o_orderkey
+ORDER BY req.req_ord
+""",
+)
+def search_mget(spark, sf_dir):
+    """ES _mget: four ids (one deliberately absent) in request order with
+    found flags; the id set compiles to a sargable isin that prunes
+    parquet row groups before the tiny request-frame join
+    (search.mget)."""
+    from elasticsearch_hadoop_spark.search import mget
+
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    out = mget(o, [7, 999999999, 1, 32], id_col="o_orderkey")
+    return out.select(
+        "req_ord", "o_orderkey", "found", "o_orderstatus", "o_totalprice"
+    ).orderBy("req_ord")
+
+
+@query(
+    "search_msearch",
+    oracle=f"""
+SELECT * FROM (
+  SELECT 0 AS request, event_id, event_type, round(value, 6) AS value
+  FROM events WHERE event_type = 'click'
+  ORDER BY value DESC, event_id LIMIT 5
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 1 AS request, event_id, event_type, round(value, 6) AS value
+  FROM events WHERE value >= 4.0 AND value < 4.5
+  ORDER BY value DESC, event_id LIMIT 5
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 2 AS request, event_id, event_type, round(value, 6) AS value
+  FROM events WHERE event_type IN ('view', 'purchase') AND value < 0.5
+  ORDER BY value DESC, event_id LIMIT 5
+)
+ORDER BY request, event_id
+""",
+)
+def search_msearch(spark, sf_dir):
+    """ES _msearch: three bodies (term, range, bool/terms+range) over one
+    index in one call — per-request pushdown-compiled filters, each with
+    its own sort+size (TakeOrderedAndProject), union tagged with the
+    request ordinal (search.msearch)."""
+    from elasticsearch_hadoop_spark.search import msearch
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    out = msearch(
+        ev,
+        [
+            {
+                "query": {"term": {"event_type": "click"}},
+                "sort": [{"value": "desc"}, {"event_id": "asc"}],
+                "size": 5,
+            },
+            {
+                "query": {"range": {"value": {"gte": 4.0, "lt": 4.5}}},
+                "sort": [{"value": "desc"}, {"event_id": "asc"}],
+                "size": 5,
+            },
+            {
+                "query": {
+                    "bool": {
+                        "filter": [
+                            {"terms": {"event_type": ["view", "purchase"]}},
+                            {"range": {"value": {"lt": 0.5}}},
+                        ]
+                    }
+                },
+                "sort": [{"value": "desc"}, {"event_id": "asc"}],
+                "size": 5,
+            },
+        ],
+    )
+    return out.orderBy("request", "event_id")

@@ -1,7 +1,8 @@
 """ES search-surface helpers beyond the query DSL: keyset pagination
-(``search_after``) and field collapsing (``collapse``) — the two
-non-scoring search-body features the reference's users lean on for deep
-pagination and per-key dedup of hits.
+(``search_after``), field collapsing (``collapse``), highlighting,
+``_terms_enum``, the term suggester (``suggest_terms``), ``_mget`` and
+``_msearch`` — the non-scoring search-body/endpoint features the
+reference's users lean on.
 
 Scale notes:
 - ``search_after`` is THE deep-pagination pattern at 100 TB: the
@@ -115,6 +116,117 @@ def highlight(
     return out.withColumn(
         out_col, F.regexp_replace(F.col(field), pattern, pre_tag + "$1" + post_tag)
     )
+
+
+def suggest_terms(
+    df: DataFrame,
+    field: str,
+    inputs: list[str],
+    max_edits: int = 2,
+    size: int = 3,
+    min_freq: int = 1,
+) -> DataFrame:
+    """ES term suggester: for each input token, corpus terms within
+    ``max_edits`` Levenshtein distance, ranked the way ES ranks candidates
+    (distance asc, then term frequency desc, then term asc), top ``size``
+    per input.  Exact matches (distance 0) are not suggestions and are
+    excluded, like ES candidate generation.
+
+    Shape: the vocabulary is ONE explode + hash aggregation over the
+    analyzed field (term, freq); the handful of suggest inputs broadcast
+    against it (BroadcastNestedLoopJoin — vocab × inputs, and a vocabulary
+    is orders of magnitude smaller than its corpus); ranking is a
+    WindowGroupLimit per input.  No all-pairs anything."""
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+
+    if not inputs:
+        raise ValueError("suggest_terms needs at least one input token")
+    vocab = (
+        df.select(F.explode(standard_analyze(F.col(field))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    spark = df.sparkSession
+    req = spark.createDataFrame([(t,) for t in inputs], "input string")
+    d = F.levenshtein(F.col("input"), F.col("term"))
+    cand = (
+        vocab.crossJoin(F.broadcast(req))
+        .withColumn("distance", d)
+        .filter((F.col("distance") >= 1) & (F.col("distance") <= max_edits))
+    )
+    w = Window.partitionBy("input").orderBy(
+        F.col("distance").asc(), F.col("freq").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("suggest_rank", F.row_number().over(w))
+        .filter(F.col("suggest_rank") <= size)
+        .select("input", "term", "distance", "freq", "suggest_rank")
+    )
+
+
+def mget(
+    df: DataFrame, ids: list, id_col: str, req_ord_col: str = "req_ord"
+) -> DataFrame:
+    """ES ``_mget``: fetch documents by id, one output row per requested id
+    in request order, with a ``found`` flag (missing ids keep their row,
+    doc columns null — exactly the ES response shape, flattened).
+
+    Shape for 100 TB: the ``isin`` filter is sargable — it pushes to
+    parquet row-group stats (and prunes partitions on a partitioned id),
+    so the scan touches only files that can contain the requested ids; the
+    surviving hits (≤ len(ids) rows) then LEFT-join the tiny request frame
+    driver-side-free.  Never a full-table join."""
+    ids = list(ids)
+    if not ids:
+        raise ValueError("mget needs at least one id")
+    hits = df.filter(F.col(id_col).isin(ids)).withColumn("__found", F.lit(True))
+    spark = df.sparkSession
+    req = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ids)], [req_ord_col, id_col]
+    )
+    out = req.join(hits, on=id_col, how="left")
+    return (
+        out.withColumn("found", F.coalesce(F.col("__found"), F.lit(False)))
+        .drop("__found")
+        .orderBy(req_ord_col)
+    )
+
+
+def msearch(df: DataFrame, requests: list[dict]) -> DataFrame:
+    """ES ``_msearch``: run several search bodies over the same index in
+    one call; the flat rendering is the union of each request's hits
+    tagged with a ``request`` ordinal (ES returns a responses array in
+    request order).  Each body supports ``query`` (compiled by
+    query_dsl.compile_query, so per-request predicates keep their
+    pushdown), plus optional ``sort`` + ``size`` (a per-request
+    TakeOrderedAndProject).
+
+    One logical scan per request; Catalyst's exchange/scan reuse collapses
+    identical subtrees, and each request's filter pushes down
+    independently — the union is of already-small hit sets."""
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    if not requests:
+        raise ValueError("msearch needs at least one request body")
+    outs = []
+    for i, body in enumerate(requests):
+        sub = df
+        q = body.get("query")
+        if q:
+            sub = sub.filter(compile_query(q))
+        sort = body.get("sort")
+        if sort:
+            fields = [_direction(s) for s in sort]
+            order = [F.col(f).asc() if asc else F.col(f).desc() for f, asc in fields]
+            sub = sub.orderBy(*order)
+        if "size" in body:
+            sub = sub.limit(int(body["size"]))
+        outs.append(sub.withColumn("request", F.lit(i)))
+    out = outs[0]
+    for sub in outs[1:]:
+        out = out.unionByName(sub)
+    return out
 
 
 def terms_enum(

@@ -5,6 +5,7 @@ keyset-pagination continuity."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.runtime_fields import (
@@ -148,3 +149,66 @@ def test_terms_enum_prefix_size(spark):
     got = [r["term"] for r in terms_enum(df, "source", prefix="src1", size=5).collect()]
     assert got == ["src1", "src10", "src11", "src12", "src13"]  # sorted, deduped, cut
     assert terms_enum(df, "source", prefix="SRC1", case_insensitive=True, size=3).count() == 3
+
+
+def test_suggest_terms_ranks_distance_then_freq(spark):
+    from elasticsearch_hadoop_spark.search import suggest_terms
+
+    df = spark.createDataFrame(
+        [Row(t="table table table chair"), Row(t="cable table")]
+    )
+    out = suggest_terms(df, "t", ["tabel"], max_edits=2, size=3).collect()
+    # 'table' (freq 4, distance 2) and 'cable' (freq 1, distance 2)... but
+    # distance('tabel','table')=2, ('tabel','cable')=3 -> only 'table'? rely on result
+    assert out[0]["term"] == "table"
+    assert all(1 <= r["distance"] <= 2 for r in out)
+    ranks = [r["suggest_rank"] for r in out]
+    assert ranks == sorted(ranks)
+
+
+def test_suggest_terms_excludes_exact_match(spark):
+    from elasticsearch_hadoop_spark.search import suggest_terms
+
+    df = spark.createDataFrame([Row(t="table cable")])
+    out = suggest_terms(df, "t", ["table"], max_edits=2, size=5).collect()
+    assert "table" not in [r["term"] for r in out]
+    assert "cable" in [r["term"] for r in out]
+
+
+def test_mget_preserves_request_order_and_found(spark):
+    from elasticsearch_hadoop_spark.search import mget
+
+    df = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    out = mget(df, [2, 99, 1], id_col="id").collect()
+    assert [r["req_ord"] for r in out] == [0, 1, 2]
+    assert [r["id"] for r in out] == [2, 99, 1]
+    assert [r["found"] for r in out] == [True, False, True]
+    assert out[1]["v"] is None
+
+
+def test_mget_empty_ids_rejected(spark):
+    from elasticsearch_hadoop_spark.search import mget
+
+    df = spark.createDataFrame([Row(id=1)])
+    with pytest.raises(ValueError, match="at least one id"):
+        mget(df, [], id_col="id")
+
+
+def test_msearch_tags_and_limits(spark):
+    from elasticsearch_hadoop_spark.search import msearch
+
+    df = spark.createDataFrame([Row(id=i, k="ab"[i % 2]) for i in range(10)])
+    out = msearch(
+        df,
+        [
+            {"query": {"term": {"k": "a"}}, "sort": [{"id": "asc"}], "size": 2},
+            {"query": {"term": {"k": "b"}}, "sort": [{"id": "desc"}], "size": 1},
+            {"query": {"match_all": {}}},
+        ],
+    ).collect()
+    by_req = {}
+    for r in out:
+        by_req.setdefault(r["request"], []).append(r["id"])
+    assert sorted(by_req[0]) == [0, 2]
+    assert by_req[1] == [9]
+    assert len(by_req[2]) == 10
