@@ -281,3 +281,97 @@ def query_dsl_nested(spark, sf_dir):
         .select("l_orderkey", F.size("items").alias("n_items"))
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "query_dsl_more_like_this",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> length(x) > 0)) AS toks
+  FROM documents
+)
+SELECT doc_id, lang, CAST(len(list_intersect(toks, ['hash', 'join', 'query'])) AS INT)
+           AS n_shared
+FROM an
+WHERE len(list_intersect(toks, ['hash', 'join', 'query'])) >= 2
+ORDER BY doc_id
+""",
+)
+def query_dsl_more_like_this(spark, sf_dir):
+    """`more_like_this` (deterministic scoreless subset): query terms =
+    like-text tokens with tf >= min_term_freq (hash/join/query here,
+    each twice), match = sharing >= minimum_should_match of them.  Term
+    selection is compile-time; the predicate is one array_intersect size
+    test over the analyzed field — codegen, no joins."""
+    docs = tbl(spark, sf_dir, "documents")
+    dsl = {
+        "more_like_this": {
+            "fields": ["text"],
+            "like": "hash join hash join query query scan",
+            "min_term_freq": 2,
+            "minimum_should_match": 2,
+        }
+    }
+    from elasticsearch_hadoop_spark.functions.text import analyze_tokens
+
+    shared = F.size(
+        F.array_intersect(
+            F.array_distinct(analyze_tokens(F.col("text"))),
+            F.array(F.lit("hash"), F.lit("join"), F.lit("query")),
+        )
+    )
+    return (
+        docs.filter(compile_query(dsl))
+        .select("doc_id", "lang", shared.alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "query_dsl_function_score",
+    oracle="""
+WITH scored AS (
+  SELECT o_orderkey,
+         log10(o_totalprice * 0.001 + 1)
+         + CASE WHEN o_orderpriority = '1-URGENT' THEN 5.0 ELSE 0.0 END AS s
+  FROM orders
+)
+SELECT o_orderkey, round(s, 6) AS score
+FROM scored
+WHERE s >= 7.0
+ORDER BY s DESC, o_orderkey
+LIMIT 15
+""",
+)
+def query_dsl_function_score(spark, sf_dir):
+    """`function_score` with deterministic functions: field_value_factor
+    (log1p modifier — base-10 per ES) summed with a filter-gated weight,
+    min_score gate, top-15 by (score desc, key).  Scoring is one codegen
+    projection over the scan; the ranked page is a
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    from elasticsearch_hadoop_spark.query_dsl import function_score
+
+    o = tbl(spark, sf_dir, "orders")
+    body = {
+        "query": {"match_all": {}},
+        "functions": [
+            {
+                "field_value_factor": {
+                    "field": "o_totalprice",
+                    "factor": 0.001,
+                    "modifier": "log1p",
+                }
+            },
+            {"weight": 5.0, "filter": {"term": {"o_orderpriority": "1-URGENT"}}},
+        ],
+        "score_mode": "sum",
+        "min_score": 7.0,
+    }
+    scored = function_score(o, body)
+    return (
+        scored.orderBy(F.col("score").desc(), "o_orderkey")
+        .limit(15)
+        .select("o_orderkey", F.round("score", 6).alias("score"))
+    )

@@ -18,8 +18,11 @@ Supported clauses (the reference's §2.B algebra + the common ES core):
   analyzed text), match_all, bool (must/filter/should/must_not,
   minimum_should_match=1), fuzzy (levenshtein, AUTO rule), constant_score
   (scoring wrapper -> inner filter), nested (same-element match over
-  array-of-struct via higher-order exists), and the ``?q=field:value``
-  URI-lite subset.
+  array-of-struct via higher-order exists), more_like_this (token-overlap
+  subset, compile-time term selection), function_score (deterministic
+  field_value_factor / script_score / weight functions — the predicate
+  form matches the base query + min_score; ``function_score(df, body)``
+  attaches the score column), and the ``?q=field:value`` URI-lite subset.
 
 Semantics notes (SURVEY.md §2.C "one real semantic gap"):
 - ``term`` is exact equality (reference `strict` mode).
@@ -403,6 +406,155 @@ def _geo_polygon(body, id_col):
     return geo_polygon_filter(F.col(f"{field}.lat"), F.col(f"{field}.lon"), pts)
 
 
+def _more_like_this(body, id_col):
+    """ES `more_like_this`, the deterministic scoreless subset: query terms
+    are the `like` text's analyzed tokens with like-text term frequency >=
+    `min_term_freq` (ES default 2), capped at `max_query_terms` (default
+    25) in first-appearance order (ES ranks candidate terms by tf-idf —
+    a corpus statistic unavailable at compile time; the cap order is the
+    documented divergence).  A doc matches when it shares at least
+    `minimum_should_match` of those terms (default "30%", ES's default;
+    integer or "N%" forms).  Term selection happens compile-time in
+    Python; the match itself is one array_intersect size test over the
+    analyzed field — pure codegen, no joins."""
+    import re as _re
+
+    fields = body.get("fields")
+    like = body.get("like")
+    if not fields or like is None:
+        raise QueryDslError("more_like_this requires fields and like")
+    if isinstance(like, list):
+        like = " ".join(str(x) for x in like)
+    min_tf = int(body.get("min_term_freq", 2))
+    max_terms = int(body.get("max_query_terms", 25))
+    toks = [t for t in _re.split(r"[^a-z0-9]+", str(like).lower()) if t]
+    freq: dict[str, int] = {}
+    order: list[str] = []
+    for t in toks:
+        if t not in freq:
+            order.append(t)
+        freq[t] = freq.get(t, 0) + 1
+    terms = [t for t in order if freq[t] >= min_tf][:max_terms]
+    if not terms:
+        return F.lit(False)
+    msm = body.get("minimum_should_match", "30%")
+    if isinstance(msm, str) and msm.endswith("%"):
+        n_required = max(1, int(len(terms) * int(msm[:-1]) / 100))
+    else:
+        n_required = int(msm)
+    q_arr = F.array(*[F.lit(t) for t in terms])
+    pred = None
+    for f in fields:
+        ftokens = F.array_distinct(analyze_tokens(_resolve(f)))
+        c = F.size(F.array_intersect(ftokens, q_arr)) >= n_required
+        pred = c if pred is None else (pred | c)
+    return pred
+
+
+# --- function_score -------------------------------------------------------
+
+_FVF_MODIFIERS = {
+    # ES field_value_factor modifiers; log* are base-10 (ES semantics),
+    # ln* natural.
+    "none": lambda c: c,
+    "log": F.log10,
+    "log1p": lambda c: F.log10(c + 1),
+    "log2p": lambda c: F.log10(c + 2),
+    "ln": lambda c: F.log(c),
+    "ln1p": F.log1p,
+    "ln2p": lambda c: F.log(c + 2),
+    "square": lambda c: c * c,
+    "sqrt": F.sqrt,
+    "reciprocal": lambda c: F.lit(1.0) / c,
+}
+
+
+def _field_value_factor(spec: dict) -> Column:
+    field = spec.get("field")
+    if not field:
+        raise QueryDslError("field_value_factor requires field")
+    factor = float(spec.get("factor", 1.0))
+    modifier = str(spec.get("modifier", "none"))
+    mod = _FVF_MODIFIERS.get(modifier)
+    if mod is None:
+        raise QueryDslError(f"unsupported field_value_factor modifier {modifier!r}")
+    c = _resolve(field).cast("double")
+    if "missing" in spec:
+        c = F.coalesce(c, F.lit(float(spec["missing"])))
+    return mod(c * factor)
+
+
+def compile_function_score(body: dict) -> tuple[Column, Column]:
+    """ES `function_score` -> (match predicate, deterministic score
+    Column).  The scoreless engine's documented semantics: the base query
+    contributes matching only (its `_score` is the constant-filter 1.0),
+    so `boost_mode` reduces to "the combined function value IS the score".
+
+    Functions supported: `field_value_factor` (modifiers per ES, `log*`
+    base-10), `script_score` (painless-lite, the runtime-fields compiler
+    — `emit(...)` wrapping optional), and bare `weight`; each may carry a
+    `filter` (query-DSL).  `score_mode` sum (default) or multiply — a
+    filtered-out function contributes the neutral element (0 / 1), the
+    flat rendering of ES excluding it from the combination.  Everything
+    is a Column expression: scoring N billion rows is one codegen
+    projection, and top-k by score a TakeOrderedAndProject."""
+    inner = body.get("query", {"match_all": {}})
+    pred = _compile_clause(inner, "_id")
+    functions = body.get("functions")
+    if functions is None:
+        shorthand = {
+            k: body[k] for k in ("field_value_factor", "script_score", "weight")
+            if k in body
+        }
+        if not shorthand:
+            raise QueryDslError("function_score needs functions or a function")
+        functions = [shorthand]
+    score_mode = str(body.get("score_mode", "sum")).lower()
+    if score_mode not in ("sum", "multiply"):
+        raise QueryDslError(f"unsupported score_mode {score_mode!r}")
+    neutral = 0.0 if score_mode == "sum" else 1.0
+    combined: Column | None = None
+    for fn in functions:
+        if "field_value_factor" in fn:
+            s = _field_value_factor(fn["field_value_factor"])
+        elif "script_score" in fn:
+            from elasticsearch_hadoop_spark.runtime_fields import compile_script
+
+            script = fn["script_score"].get("script", "")
+            if isinstance(script, dict):
+                script = script.get("source", "")
+            script = str(script).strip()
+            if not script.startswith("emit("):
+                script = f"emit({script})"
+            s = compile_script(script).cast("double")
+        else:
+            s = F.lit(1.0)
+        if "weight" in fn:
+            s = s * F.lit(float(fn["weight"]))
+        if "filter" in fn:
+            s = F.when(_compile_clause(fn["filter"], "_id"), s).otherwise(
+                F.lit(neutral)
+            )
+        if combined is None:
+            combined = s
+        elif score_mode == "sum":
+            combined = combined + s
+        else:
+            combined = combined * s
+    if "min_score" in body:
+        pred = pred & (combined >= F.lit(float(body["min_score"])))
+    return pred, combined
+
+
+def function_score(df, body: dict, score_col: str = "score"):
+    """Apply a `function_score` body to a DataFrame: filter to the base
+    query (+ min_score) and attach the deterministic score column —
+    callers rank with orderBy(score desc, <tiebreak>).limit(k), which
+    plans as a TakeOrderedAndProject."""
+    pred, score = compile_function_score(body)
+    return df.filter(pred).withColumn(score_col, score)
+
+
 _HANDLERS = {
     "geo_distance": _geo_distance,
     "geo_bounding_box": _geo_bounding_box,
@@ -422,4 +574,8 @@ _HANDLERS = {
     "fuzzy": _fuzzy,
     "constant_score": _constant_score,
     "nested": _nested,
+    "more_like_this": _more_like_this,
+    # as a bare predicate, function_score matches its base query (+
+    # min_score gate); use query_dsl.function_score for the score column
+    "function_score": lambda body, id_col: compile_function_score(body)[0],
 }
