@@ -279,3 +279,106 @@ def text_decontaminate(spark, sf_dir):
     return out.select(
         "doc_id", "n_grams", "n_contaminated", F.round("ratio", 6).alias("ratio")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+WITH an AS (
+  SELECT doc_id, {_ANALYZE_SQL.format(c='text')} AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(2, len(toks)),
+                                  i -> toks[i-1] || ' ' || toks[i])
+              ELSE []::VARCHAR[] END AS bi,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(3, len(toks)),
+                                  i -> toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])
+              ELSE []::VARCHAR[] END AS tri
+  FROM an
+),
+bc AS (
+  SELECT doc_id, max(cnt) AS top_bigram FROM (
+    SELECT doc_id, u.bg, count(*) AS cnt
+    FROM base, unnest(bi) AS u(bg)
+    GROUP BY doc_id, u.bg
+  ) GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, g.i AS ord, toks[g.i] AS term
+  FROM base, unnest(generate_series(1, n)) AS g(i)
+),
+isl AS (
+  SELECT doc_id, term,
+         ord - row_number() OVER (PARTITION BY doc_id, term ORDER BY ord) AS grp
+  FROM tok
+),
+runs AS (
+  SELECT doc_id, max(cnt) AS max_run FROM (
+    SELECT doc_id, term, grp, count(*) AS cnt FROM isl GROUP BY doc_id, term, grp
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS INT) AS n_tokens,
+       round(CASE WHEN b.n > 0 THEN (b.n - b.nd)::DOUBLE / b.n ELSE 0.0 END, 6)
+           AS dup_token_frac,
+       CAST(coalesce(bc.top_bigram, 0) AS INT) AS top_bigram_count,
+       round(CASE WHEN len(b.tri) > 0
+                  THEN (len(b.tri) - len(list_distinct(b.tri)))::DOUBLE / len(b.tri)
+                  ELSE 0.0 END, 6) AS dup_trigram_frac,
+       CAST(coalesce(runs.max_run, 0) AS INT) AS max_token_run
+FROM base b
+LEFT JOIN bc USING (doc_id)
+LEFT JOIN runs USING (doc_id)
+ORDER BY b.doc_id
+""",
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021's repetition filters, the deterministic token-based rendering):
+    duplicate-token fraction, the highest bigram multiplicity, the
+    duplicate-trigram fraction, and the longest same-token run.  Every
+    signal is per-row Column math — n-grams via one index-sequence
+    transform, multiplicities via sort + longest-equal-adjacent-run fold
+    (O(k log k) per doc, no explode/groupBy/join) — so the whole thing is
+    a single codegen projection over the corpus scan at any scale."""
+    from elasticsearch_hadoop_spark.functions.text import (
+        max_consecutive_run,
+        max_multiplicity,
+        ngram_array,
+    )
+
+    d = spread(spark, tbl(spark, sf_dir, "documents"))
+    toks = standard_analyze(F.col("text"))
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+    ).select(
+        "doc_id",
+        "n",
+        "nd",
+        ngram_array(F.col("toks"), 2).alias("bi"),
+        ngram_array(F.col("toks"), 3).alias("tri"),
+        max_consecutive_run(F.col("toks")).alias("max_run"),
+    )
+    n, nd = F.col("n"), F.col("nd")
+    n_tri = F.size("tri")
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 6
+        ).alias("dup_token_frac"),
+        max_multiplicity(F.col("bi")).alias("top_bigram_count"),
+        F.round(
+            F.when(
+                n_tri > 0, (n_tri - F.size(F.array_distinct("tri"))) / n_tri
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_trigram_frac"),
+        F.col("max_run").alias("max_token_run"),
+    ).orderBy("doc_id")

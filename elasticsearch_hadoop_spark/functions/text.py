@@ -130,3 +130,42 @@ def redact_pii(col: Column | str) -> Column:
     c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
     c = F.regexp_replace(c, PII_IPV4, "<IP>")
     return F.regexp_replace(c, PII_LONG_DIGITS, "<NUM>")
+
+
+def ngram_array(tokens: Column, n: int) -> Column:
+    """Array of space-joined token n-grams (empty when the doc has fewer
+    than n tokens).  One transform over an index sequence — per-row Column
+    math, embarrassingly parallel at any corpus size."""
+    sz = F.size(tokens)
+    grams = F.transform(
+        F.sequence(F.lit(n), sz),
+        lambda i: F.concat_ws(" ", *[F.get(tokens, i - n + j) for j in range(n)]),
+    )
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def max_consecutive_run(arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements (0 for empty).
+    A single F.aggregate fold carrying (best, current, previous) — codegen,
+    no explode.  Tokens are never '' (the analyzer drops empties), so ''
+    is a safe initial sentinel."""
+    init = F.struct(
+        F.lit(0).alias("best"), F.lit(0).alias("cur"), F.lit("").alias("prev")
+    )
+
+    def step(acc, t):
+        cur = F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            F.greatest(acc["best"], cur).alias("best"),
+            cur.alias("cur"),
+            t.alias("prev"),
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element (0 for empty): sort, then the
+    longest equal-adjacent run.  O(k log k) per row — no per-distinct
+    rescan, no explode/groupBy."""
+    return max_consecutive_run(F.array_sort(arr))
