@@ -375,3 +375,44 @@ def query_dsl_function_score(spark, sf_dir):
         .limit(15)
         .select("o_orderkey", F.round("score", 6).alias("score"))
     )
+
+
+@query(
+    "query_dsl_decay_score",
+    oracle="""
+WITH scored AS (
+  SELECT event_id, event_type, round(value, 6) AS value,
+         exp(-(greatest(abs(value - 2.5) - 0.25, 0.0)
+               * greatest(abs(value - 2.5) - 0.25, 0.0))
+             / 3.2460638420001677) AS s
+  FROM events
+)
+SELECT event_id, event_type, value, round(s, 6) AS score
+FROM scored
+WHERE s >= 0.6
+ORDER BY event_id
+""",
+)
+def query_dsl_decay_score(spark, sf_dir):
+    """`function_score` gauss decay (ES closed form: exp(-d^2/(2*sigma^2)),
+    sigma^2 = -scale^2/(2*ln(decay))) over a numeric field, min_score
+    gating the hits.  One codegen projection + a sargable-free filter;
+    deterministic, so the oracle replays the exact arithmetic (the
+    2*sigma^2 literal is the same IEEE double both sides)."""
+    from elasticsearch_hadoop_spark.query_dsl import function_score
+
+    ev = tbl(spark, sf_dir, "events")
+    body = {
+        "query": {"match_all": {}},
+        "gauss": {
+            "value": {"origin": 2.5, "scale": 1.5, "offset": 0.25, "decay": 0.5}
+        },
+        "min_score": 0.6,
+    }
+    scored = function_score(ev, body)
+    return scored.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("event_id")

@@ -35,6 +35,7 @@ Semantics notes (SURVEY.md §2.C "one real semantic gap"):
 from __future__ import annotations
 
 import json
+import math
 from contextvars import ContextVar
 from typing import Any
 
@@ -484,6 +485,39 @@ def _field_value_factor(spec: dict) -> Column:
     return mod(c * factor)
 
 
+def _decay_function(kind: str, spec: dict) -> Column:
+    """ES decay functions over a numeric field: score falls off with
+    distance from `origin`.  ES's exact closed forms:
+
+      gauss:  exp(-d^2 / (2*sigma^2)),  sigma^2 = -scale^2 / (2*ln(decay))
+      exp:    exp(lambda * d),          lambda  = ln(decay) / scale
+      linear: max(0, (s - d) / s),      s       = scale / (1 - decay)
+
+    where d = max(0, |value - origin| - offset).  All pure Column math —
+    deterministic, oracle-replayable (exp/ln agree across engines to well
+    under the 6-dp rounding).  Numeric fields only (ES also takes
+    dates/geo-points; a date field can be scored by passing epoch values
+    through a runtime field)."""
+    ((field, p),) = spec.items()
+    origin = float(p["origin"])
+    scale = float(p["scale"])
+    offset = float(p.get("offset", 0.0))
+    decay = float(p.get("decay", 0.5))
+    if scale <= 0 or not (0 < decay < 1):
+        raise QueryDslError(f"decay {kind}: need scale > 0 and 0 < decay < 1")
+    v = _resolve(field).cast("double")
+    d = F.greatest(F.abs(v - F.lit(origin)) - F.lit(offset), F.lit(0.0))
+    if kind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        return F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    if kind == "exp":
+        lam = math.log(decay) / scale
+        return F.exp(d * F.lit(lam))
+    # linear
+    s = scale / (1.0 - decay)
+    return F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+
+
 def compile_function_score(body: dict) -> tuple[Column, Column]:
     """ES `function_score` -> (match predicate, deterministic score
     Column).  The scoreless engine's documented semantics: the base query
@@ -503,7 +537,11 @@ def compile_function_score(body: dict) -> tuple[Column, Column]:
     functions = body.get("functions")
     if functions is None:
         shorthand = {
-            k: body[k] for k in ("field_value_factor", "script_score", "weight")
+            k: body[k]
+            for k in (
+                "field_value_factor", "script_score", "weight",
+                "gauss", "exp", "linear",
+            )
             if k in body
         }
         if not shorthand:
@@ -517,6 +555,9 @@ def compile_function_score(body: dict) -> tuple[Column, Column]:
     for fn in functions:
         if "field_value_factor" in fn:
             s = _field_value_factor(fn["field_value_factor"])
+        elif "gauss" in fn or "exp" in fn or "linear" in fn:
+            kind = "gauss" if "gauss" in fn else ("exp" if "exp" in fn else "linear")
+            s = _decay_function(kind, fn[kind])
         elif "script_score" in fn:
             from elasticsearch_hadoop_spark.runtime_fields import compile_script
 

@@ -137,3 +137,27 @@ def test_unsupported_score_mode_rejected():
         compile_function_score(
             {"functions": [{"weight": 1.0}], "score_mode": "avg"}
         )
+
+
+def test_decay_functions_match_closed_forms(spark):
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(6)])
+    for kind, expect_at_scale in (("gauss", 0.5), ("exp", 0.5), ("linear", 0.5)):
+        body = {kind: {"v": {"origin": 0.0, "scale": 2.0, "decay": 0.5}}}
+        got = {r["k"]: r["score"] for r in function_score(df, body).collect()}
+        assert got[0] == pytest.approx(1.0)  # at the origin
+        assert got[2] == pytest.approx(expect_at_scale)  # at distance=scale
+        assert got[4] < got[2] < got[0]  # monotone falloff
+
+
+def test_decay_offset_is_flat_zone(spark):
+    df = spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=3.0)])
+    body = {"gauss": {"v": {"origin": 0.0, "scale": 2.0, "offset": 1.0}}}
+    got = {r["k"]: r["score"] for r in function_score(df, body).collect()}
+    assert got[1] == pytest.approx(1.0)  # inside the offset: no decay
+
+
+def test_decay_rejects_bad_params(spark):
+    with pytest.raises(QueryDslError, match="decay"):
+        compile_function_score(
+            {"functions": [{"gauss": {"v": {"origin": 0, "scale": 0, "decay": 0.5}}}]}
+        )
