@@ -416,3 +416,37 @@ def query_dsl_decay_score(spark, sf_dir):
         F.round("value", 6).alias("value"),
         F.round("score", 6).alias("score"),
     ).orderBy("event_id")
+
+
+@query(
+    "query_dsl_phrase_slop",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lang,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'hash') AS p1,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'join') AS p2
+  FROM an
+)
+SELECT doc_id, lang
+FROM pos
+WHERE len(list_filter(p1,
+        a -> len(list_filter(p2, b -> b > a AND b - a - 1 <= 2)) > 0)) > 0
+ORDER BY doc_id
+""",
+)
+def query_dsl_phrase_slop(spark, sf_dir):
+    """`match_phrase` with slop=2 (the documented in-order subset:
+    "hash" then "join" within a 2-token gap).  Per-term position arrays +
+    a nested exists over them — pure codegen Column math, no explode; the
+    slop=0 fast path stays the containment test."""
+    docs = tbl(spark, sf_dir, "documents")
+    dsl = {"match_phrase": {"text": {"query": "hash join", "slop": 2}}}
+    return (
+        docs.filter(compile_query(dsl)).select("doc_id", "lang").orderBy("doc_id")
+    )

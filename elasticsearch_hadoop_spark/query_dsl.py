@@ -169,12 +169,66 @@ def _match(body, id_col):
 
 def _match_phrase(body, id_col):
     field, value = _field_value(body)
-    if isinstance(value, dict):
+    slop = 0
+    if isinstance(body[next(iter(body))], dict):
+        spec = body[next(iter(body))]
+        value = spec.get("query", value)
+        slop = int(spec.get("slop", 0))
+    elif isinstance(value, dict):
         value = value.get("query")
-    # analyzed-phrase containment: token-joined needle in token-joined haystack
+    if slop > 0:
+        return _sloppy_phrase(_resolve(field), str(value), slop)
+    # slop=0: analyzed-phrase containment — token-joined needle in
+    # token-joined haystack
     needle = F.concat_ws(" ", analyze_tokens(F.lit(str(value))))
     hay = F.concat_ws(" ", analyze_tokens(_resolve(field)))
     return F.concat(F.lit(" "), hay, F.lit(" ")).contains(F.concat(F.lit(" "), needle, F.lit(" ")))
+
+
+def _sloppy_phrase(col: Column, phrase: str, slop: int) -> Column:
+    """`match_phrase` with slop — the documented in-order subset: the
+    query tokens must appear in order with total gap (span length minus
+    token count) <= slop.  (Lucene's sloppy phrase also allows
+    transpositions at edit-cost 2; out of scope, documented.)
+
+    Pure Column math: per-term position arrays (one filter over an index
+    sequence each), then a nested `exists` chain asserting p1<..<pn and
+    pn-p1-(n-1) <= slop.  Query phrases are a handful of tokens and
+    per-term occurrence lists short, so the nesting is cheap — and it all
+    stays inside codegen, no explode."""
+    import re as _re
+
+    terms = [t for t in _re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    if not terms:
+        raise QueryDslError("match_phrase needs at least one query token")
+    toks = analyze_tokens(col)
+    sz = F.size(toks)
+    def _positions(term: str):
+        # NB: a `lambda i, t=t:` default-arg closure would change the
+        # lambda's arity to 2, which PySpark reads as an (element, index)
+        # higher-order function — binding the term to the array index.
+        return F.filter(
+            F.sequence(F.lit(0), sz - 1), lambda i: F.get(toks, i) == F.lit(term)
+        )
+
+    positions = [_positions(t) for t in terms]
+    if len(terms) == 1:
+        return F.size(positions[0]) > 0
+
+    def chain(level: int, prev, first):
+        # exists p_level in positions[level]: p_level > prev, and at the
+        # last level the whole span fits the slop budget
+        if level == len(terms) - 1:
+            return F.exists(
+                positions[level],
+                lambda p: (p > prev) & (p - first - (len(terms) - 1) <= slop),
+            )
+        return F.exists(
+            positions[level], lambda p: (p > prev) & chain(level + 1, p, first)
+        )
+
+    matched = F.exists(positions[0], lambda p: chain(1, p, p))
+    return F.coalesce(matched, F.lit(False)) & (sz >= len(terms))
 
 
 def _match_all(body, id_col):

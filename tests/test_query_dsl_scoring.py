@@ -161,3 +161,40 @@ def test_decay_rejects_bad_params(spark):
         compile_function_score(
             {"functions": [{"gauss": {"v": {"origin": 0, "scale": 0, "decay": 0.5}}}]}
         )
+
+
+def test_phrase_slop_in_order_gaps(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="quick brown fox"),          # adjacent
+            Row(id=2, text="quick red brown fox"),       # gap 1 before fox? (quick..fox gap 2)
+            Row(id=3, text="fox quick"),                 # out of order
+            Row(id=4, text="quick a b c fox"),           # gap 3
+        ]
+    )
+
+    def hits(slop):
+        dsl = {"match_phrase": {"text": {"query": "quick fox", "slop": slop}}}
+        return sorted(r["id"] for r in df.filter(compile_query(dsl)).collect())
+
+    assert hits(0) == []
+    assert hits(2) == [2]
+    assert hits(3) == [2, 4]
+
+
+def test_phrase_slop_three_terms(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="a x b y c"),  # total gap 2
+            Row(id=2, text="a b c"),      # gap 0
+            Row(id=3, text="c b a"),      # reversed
+        ]
+    )
+    dsl = {"match_phrase": {"text": {"query": "a b c", "slop": 2}}}
+    assert sorted(r["id"] for r in df.filter(compile_query(dsl)).collect()) == [1, 2]
+
+
+def test_phrase_slop_zero_equals_containment(spark):
+    df = spark.createDataFrame([Row(id=1, text="alpha beta gamma")])
+    dsl0 = {"match_phrase": {"text": {"query": "alpha beta", "slop": 0}}}
+    assert df.filter(compile_query(dsl0)).count() == 1
