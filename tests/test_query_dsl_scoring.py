@@ -166,10 +166,10 @@ def test_decay_rejects_bad_params(spark):
 def test_phrase_slop_in_order_gaps(spark):
     df = spark.createDataFrame(
         [
-            Row(id=1, text="quick brown fox"),          # adjacent
-            Row(id=2, text="quick red brown fox"),       # gap 1 before fox? (quick..fox gap 2)
-            Row(id=3, text="fox quick"),                 # out of order
-            Row(id=4, text="quick a b c fox"),           # gap 3
+            Row(id=1, text="quick brown fox"),      # quick..fox gap 1
+            Row(id=2, text="quick red brown fox"),  # gap 2
+            Row(id=3, text="fox quick"),            # out of order
+            Row(id=4, text="quick a b c fox"),      # gap 3
         ]
     )
 
@@ -178,8 +178,9 @@ def test_phrase_slop_in_order_gaps(spark):
         return sorted(r["id"] for r in df.filter(compile_query(dsl)).collect())
 
     assert hits(0) == []
-    assert hits(2) == [2]
-    assert hits(3) == [2, 4]
+    assert hits(1) == [1]
+    assert hits(2) == [1, 2]
+    assert hits(3) == [1, 2, 4]
 
 
 def test_phrase_slop_three_terms(spark):
