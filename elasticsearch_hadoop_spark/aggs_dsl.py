@@ -144,6 +144,9 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     # (name, field): median_absolute_deviation metrics — need the bucket
     # median BEFORE the aggregation pass (window over the key chain)
     mads: list[tuple[str, str]] = []
+    # histogram/date_histogram with min_doc_count=0: emit empty buckets
+    # across [data range ∪ extended_bounds] after the aggregation
+    densify: tuple[str, dict, str] | None = None
 
     # significant_terms background: the frame as handed in, BEFORE any
     # filter/missing bucket narrows the foreground
@@ -344,7 +347,34 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             )
             keys.append((name, F.col(tmp)))
         else:
-            keys.append((name, _bucket_key(kind, body[kind])))
+            b = body[kind]
+            if (
+                kind in ("histogram", "date_histogram")
+                and int(b.get("min_doc_count", 1)) == 0
+            ):
+                # ES min_doc_count=0: zero-doc buckets appear across the
+                # observed key range, widened by extended_bounds.  The flat
+                # rendering supports it for a single keyed level (same
+                # restriction as terms order — per-parent ladders are not
+                # re-aggregable from innermost cells) and, for
+                # date_histogram, fixed_interval only (a calendar ladder
+                # has no integer index space).
+                nested_buckets = any(
+                    _bucket_kind(x)
+                    for x in (body.get("aggs") or body.get("aggregations") or {}).values()
+                    if isinstance(x, dict)
+                )
+                if keys or nested_buckets:
+                    raise AggsDslError(
+                        "min_doc_count=0 needs the histogram to be the only "
+                        "keyed bucket level"
+                    )
+                if kind == "date_histogram" and "fixed_interval" not in b:
+                    raise AggsDslError(
+                        "min_doc_count=0 date_histogram supports fixed_interval only"
+                    )
+                densify = (kind, b, name)
+            keys.append((name, _bucket_key(kind, b)))
         level = body.get("aggs", body.get("aggregations"))
         depth += 1
 
@@ -396,6 +426,8 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
                 out = out.orderBy(*order_cols, *key_names).limit(terms_size)
             out = _apply_pipelines(out, key_names, pipelines)
             return out.orderBy(*order_cols, *key_names)
+        if densify is not None:
+            out = _densify(df, out, densify)
         out = _apply_pipelines(out, key_names, pipelines)
         return out.orderBy(*key_names)
     if pipelines:
@@ -588,6 +620,82 @@ def _apply_pipelines(
         else:
             raise AggsDslError(kind)
     return out
+
+
+def _densify(df: DataFrame, out: DataFrame, densify) -> DataFrame:
+    """Emit zero-doc buckets (ES min_doc_count=0): a spark.range ladder
+    over the integer bucket-index space, LEFT-joined with the aggregated
+    buckets.  The ladder key is `index * interval` — the SAME arithmetic
+    the bucket key uses (floor(v/interval) * interval with floor yielding
+    a long), so the join equality is bit-exact on doubles.  Bounds =
+    observed data range ∪ extended_bounds (ES semantics: extended_bounds
+    only widens); ONE two-scalar aggregate reaches the driver (the
+    auto_date_histogram pattern).  Empty buckets carry doc_count 0 and
+    null metrics (ES renders most empty-bucket metrics null too);
+    pipelines run AFTER densification — the point of min_doc_count=0 for
+    derivatives."""
+    kind, b, name = densify
+    field = b["field"]
+    eb = b.get("extended_bounds") or {}
+    spark = df.sparkSession
+    if kind == "histogram":
+        interval = float(b["interval"])
+        row = df.agg(
+            F.min(F.col(field)).alias("lo"), F.max(F.col(field)).alias("hi")
+        ).first()
+        cand_lo = [float(row["lo"])] if row["lo"] is not None else []
+        cand_hi = [float(row["hi"])] if row["hi"] is not None else []
+        if "min" in eb:
+            cand_lo.append(float(eb["min"]))
+        if "max" in eb:
+            cand_hi.append(float(eb["max"]))
+        if not cand_lo or not cand_hi:
+            return out
+        lo_idx = min(math.floor(v / interval) for v in cand_lo)
+        hi_idx = max(math.floor(v / interval) for v in cand_hi)
+        key = (F.col("id") * F.lit(interval)).cast("double")
+    else:  # date_histogram, fixed_interval (validated at parse time)
+        iv = str(b["fixed_interval"]).strip()
+        secs = int(iv[:-1]) * _FIXED_SECONDS[iv[-1]]
+        row = df.agg(
+            F.min(F.unix_timestamp(F.col(field))).alias("lo"),
+            F.max(F.unix_timestamp(F.col(field))).alias("hi"),
+        ).first()
+        cand_lo = [int(row["lo"])] if row["lo"] is not None else []
+        cand_hi = [int(row["hi"])] if row["hi"] is not None else []
+        for k, cand in (("min", cand_lo), ("max", cand_hi)):
+            if k in eb:
+                cand.append(_epoch_seconds(eb[k]))
+        if not cand_lo or not cand_hi:
+            return out
+        lo_idx = min(v // secs for v in cand_lo)
+        hi_idx = max(v // secs for v in cand_hi)
+        key = F.timestamp_seconds(F.col("id") * F.lit(secs))
+    n_buckets = hi_idx - lo_idx + 1
+    if n_buckets > 100_000:
+        raise AggsDslError(
+            f"min_doc_count=0 would densify {n_buckets} buckets (cap 100k); "
+            "widen the interval or drop extended_bounds"
+        )
+    ladder = spark.range(lo_idx, hi_idx + 1).select(key.alias(name))
+    dense = ladder.join(out, on=name, how="left")
+    return dense.withColumn(
+        "doc_count", F.coalesce(F.col("doc_count"), F.lit(0).cast("long"))
+    )
+
+
+def _epoch_seconds(v) -> int:
+    """extended_bounds date literal -> epoch seconds: int/float epoch
+    seconds, or an ISO 'yyyy-MM-dd[ HH:MM:SS]' string read as UTC (the
+    engine pins session tz UTC — corpus/_util.tbl)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(str(v))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp())
 
 
 def _terms_order_cols(terms_order: tuple[dict | None, str] | None) -> list[Column]:

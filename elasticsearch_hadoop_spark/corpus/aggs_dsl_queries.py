@@ -1248,3 +1248,69 @@ def aggs_sampler_string_stats(spark, sf_dir):
         F.col("ts_max_length").cast("bigint").alias("ts_max_length"),
         F.round("ts_avg_length", 6).alias("ts_avg_length"),
     ).orderBy("lang")
+
+
+@query(
+    "aggs_histogram_empty_buckets",
+    oracle="""
+WITH buckets AS (
+  SELECT floor(value / 25.0::DOUBLE) AS idx,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         avg(value) AS avg_v
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT least(floor(min(value) / 25.0::DOUBLE), floor(-50.0::DOUBLE / 25.0::DOUBLE)) AS lo,
+         greatest(floor(max(value) / 25.0::DOUBLE), floor(700.0::DOUBLE / 25.0::DOUBLE)) AS hi
+  FROM events
+),
+ladder AS (
+  SELECT unnest(generate_series(CAST(lo AS BIGINT), CAST(hi AS BIGINT))) AS idx
+  FROM bounds
+),
+dense AS (
+  SELECT l.idx, coalesce(b.doc_count, 0) AS doc_count, b.avg_v
+  FROM ladder l LEFT JOIN buckets b USING (idx)
+)
+SELECT round((idx * 25.0::DOUBLE)::DOUBLE, 6) AS val_bucket,
+       doc_count,
+       round(avg_v, 6) AS avg_v,
+       CAST(doc_count - lag(doc_count) OVER (ORDER BY idx) AS BIGINT) AS dd
+FROM dense
+ORDER BY val_bucket
+""",
+)
+def aggs_histogram_empty_buckets(spark, sf_dir):
+    """histogram with min_doc_count=0 + extended_bounds (-50..700): the
+    zero-doc buckets materialize from a spark.range ladder over the
+    integer bucket-index space LEFT-joined to the aggregated buckets —
+    bit-exact key equality (same index*interval arithmetic both sides),
+    bounds = data range ∪ extended_bounds via one two-scalar aggregate.
+    The derivative pipeline then runs over the DENSIFIED frame (the point
+    of min_doc_count=0: gaps would otherwise corrupt the lag)."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "val_bucket": {
+                    "histogram": {
+                        "field": "value",
+                        "interval": 25.0,
+                        "min_doc_count": 0,
+                        "extended_bounds": {"min": -50.0, "max": 700.0},
+                    },
+                    "aggs": {
+                        "avg_v": {"avg": {"field": "value"}},
+                        "dd": {"derivative": {"buckets_path": "_count"}},
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "val_bucket",
+        "doc_count",
+        F.round("avg_v", 6).alias("avg_v"),
+        F.col("dd").cast("bigint").alias("dd"),
+    ).orderBy("val_bucket")

@@ -649,3 +649,65 @@ def test_diversified_sampler_caps_per_value(spark):
         },
     ).collect()
     assert {r.g: r.doc_count for r in out} == {"a": 3, "b": 3}
+
+
+def test_histogram_min_doc_count_zero_densifies(spark):
+    df = spark.createDataFrame([Row(v=0.5), Row(v=0.7), Row(v=4.2)])
+    out = compile_aggs(
+        df,
+        {
+            "h": {
+                "histogram": {
+                    "field": "v",
+                    "interval": 1.0,
+                    "min_doc_count": 0,
+                    "extended_bounds": {"min": -1.0, "max": 5.0},
+                }
+            }
+        },
+    ).collect()
+    assert [r.h for r in out] == [-1.0, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    assert [r.doc_count for r in out] == [0, 2, 0, 0, 0, 1, 0]
+
+
+def test_date_histogram_min_doc_count_zero_fixed_interval(spark):
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(ts=base), Row(ts=base + datetime.timedelta(hours=3))]
+    )
+    out = compile_aggs(
+        df,
+        {"h": {"date_histogram": {"field": "ts", "fixed_interval": "1h",
+                                   "min_doc_count": 0}}},
+    ).collect()
+    assert len(out) == 4  # 00,01,02,03 — gaps filled
+    assert [r.doc_count for r in out] == [1, 0, 0, 1]
+
+
+def test_densify_rejects_nested_and_calendar(spark):
+    df = spark.createDataFrame([Row(v=1.0, g="a")])
+    with pytest.raises(AggsDslError, match="only.*keyed"):
+        compile_aggs(
+            df,
+            {
+                "h": {
+                    "histogram": {"field": "v", "interval": 1.0, "min_doc_count": 0},
+                    "aggs": {"g": {"terms": {"field": "g"}}},
+                }
+            },
+        )
+    with pytest.raises(AggsDslError, match="fixed_interval"):
+        compile_aggs(
+            df,
+            {"h": {"date_histogram": {"field": "v", "calendar_interval": "day",
+                                       "min_doc_count": 0}}},
+        )
+
+
+def test_densify_bucket_cap(spark):
+    df = spark.createDataFrame([Row(v=0.0), Row(v=1e9)])
+    with pytest.raises(AggsDslError, match="cap 100k"):
+        compile_aggs(
+            df,
+            {"h": {"histogram": {"field": "v", "interval": 1.0, "min_doc_count": 0}}},
+        ).collect()
