@@ -49,6 +49,10 @@ EXTENSION = [
     "writepath_zorder_read",
     "writepath_stream_source",
     "dedup_cluster_components",
+    "similarity_sq_topk",
+    "text_repetition_signals",
+    "aggs_histogram_empty_buckets",
+    "search_suggest_term",
 ]
 
 

@@ -93,15 +93,23 @@ def test_window_has_no_rows_only_slots():
     assert not missing, f"rows-only queries inside the graded window: {missing}"
 
 
-def test_every_never_graded_query_is_windowed():
-    """Round-4 policy: every query without a banked driver green MUST be
-    inside the graded window — a never-graded query left outside while a
-    banked green occupies a slot wastes the scarce verdict."""
+def test_never_graded_overflow_only_when_window_saturated():
+    """Round-4 policy (amended late in the round): never-graded queries
+    fill the window first.  When they OUTNUMBER the slots, overflow to
+    the next round is allowed — but only once banked-green slots are
+    trimmed to the drift-insurance minimum (3, VERDICT r3 item 2).  A
+    never-graded query outside the window while a 4th banked green holds
+    a slot wastes the scarce verdict."""
     banked = _banked_green()
     reg = load_all()
-    window = set(list(reg)[:GRADED_WINDOW])
-    left_out = [n for n in reg if n not in banked and n not in window]
-    assert not left_out, f"never-graded queries outside the window: {left_out}"
+    window = list(reg)[:GRADED_WINDOW]
+    left_out = [n for n in reg if n not in banked and n not in set(window)]
+    banked_in_window = [n for n in window if n in banked]
+    if left_out:
+        assert len(banked_in_window) <= 3, (
+            f"never-graded {left_out} outside the window while "
+            f"{len(banked_in_window)} banked greens occupy slots"
+        )
 
 
 def test_never_graded_sort_before_regrades():
