@@ -450,3 +450,56 @@ def query_dsl_phrase_slop(spark, sf_dir):
     return (
         docs.filter(compile_query(dsl)).select("doc_id", "lang").orderBy("doc_id")
     )
+
+
+@query(
+    "query_dsl_distance_feature",
+    oracle="""
+SELECT event_id,
+       round(value, 6) AS value,
+       round(3600.0::DOUBLE / (3600.0::DOUBLE
+                 + abs(floor(epoch(ts)) - 1704153600))
+             + CASE WHEN value > 0 THEN value / (value + 2.0::DOUBLE)
+                    ELSE 0.0 END, 6) AS score
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 22:00:00'
+  AND ts < TIMESTAMP '2024-01-02 02:00:00'
+ORDER BY event_id
+""",
+)
+def query_dsl_distance_feature(spark, sf_dir):
+    """`distance_feature` (date proximity: boost*pivot/(pivot+dist), pivot
+    "1h") summed with a `rank_feature` saturation (x/(x+pivot)) via
+    function_score, over a sargable time-window base query.  Proximity
+    ranking as one codegen projection — epoch distances are integer-exact,
+    so the oracle replays the arithmetic."""
+    from elasticsearch_hadoop_spark.query_dsl import function_score
+
+    ev = tbl(spark, sf_dir, "events")
+    body = {
+        "query": {
+            "range": {
+                "ts": {
+                    "gte": "2024-01-01 22:00:00",
+                    "lt": "2024-01-02 02:00:00",
+                }
+            }
+        },
+        "functions": [
+            {
+                "distance_feature": {
+                    "field": "ts",
+                    "origin": "2024-01-02 00:00:00",
+                    "pivot": "1h",
+                }
+            },
+            {"rank_feature": {"field": "value", "saturation": {"pivot": 2.0}}},
+        ],
+        "score_mode": "sum",
+    }
+    scored = function_score(ev, body)
+    return scored.select(
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("event_id")

@@ -572,6 +572,72 @@ def _decay_function(kind: str, spec: dict) -> Column:
     return F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
 
 
+# time-unit suffixes for distance_feature date pivots (same table the
+# aggs-DSL fixed_interval parser uses)
+_FIXED_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _rank_feature_score(body: dict) -> Column:
+    """ES `rank_feature` scoring functions over a numeric feature field:
+
+      saturation: x / (x + pivot)            (default; ES derives pivot
+                                              from index stats — here it
+                                              must be given explicitly)
+      log:        ln(scaling_factor + x)
+      sigmoid:    x^exp / (x^exp + pivot^exp)
+
+    multiplied by `boost` (default 1).  Negative/null features score 0,
+    like ES treating the feature as absent."""
+    field = body.get("field")
+    if not field:
+        raise QueryDslError("rank_feature requires field")
+    boost = float(body.get("boost", 1.0))
+    x = _resolve(field).cast("double")
+    if "log" in body:
+        sf = float(body["log"].get("scaling_factor", 1.0))
+        s = F.log(F.lit(sf) + x)
+    elif "sigmoid" in body:
+        pivot = float(body["sigmoid"]["pivot"])
+        ex = float(body["sigmoid"]["exponent"])
+        xp = F.pow(x, F.lit(ex))
+        s = xp / (xp + F.lit(pivot**ex))
+    else:
+        sat = body.get("saturation") or {}
+        if "pivot" not in sat:
+            raise QueryDslError(
+                "rank_feature saturation needs an explicit pivot (the "
+                "engine has no per-index feature stats to derive one)"
+            )
+        pivot = float(sat["pivot"])
+        s = x / (x + F.lit(pivot))
+    s = F.when(x.isNotNull() & (x > 0), s * F.lit(boost)).otherwise(F.lit(0.0))
+    return s
+
+
+def _distance_feature_score(body: dict) -> Column:
+    """ES `distance_feature`: score = boost * pivot / (pivot + dist) —
+    proximity ranking around an origin.  Numeric and date fields (dates
+    score by absolute epoch-second distance; `pivot` then takes "<n>s/m/
+    h/d" like fixed_interval).  Geo origins would go through the haversine
+    in functions/geo.py — not wired, documented."""
+    field = body.get("field")
+    origin = body.get("origin")
+    pivot = body.get("pivot")
+    if field is None or origin is None or pivot is None:
+        raise QueryDslError("distance_feature requires field, origin, pivot")
+    boost = float(body.get("boost", 1.0))
+    if isinstance(pivot, str) and pivot[-1:] in _FIXED_SECONDS:
+        pivot_v = float(pivot[:-1]) * _FIXED_SECONDS[pivot[-1]]
+        dist = F.abs(
+            F.unix_timestamp(_resolve(field))
+            - F.unix_timestamp(F.to_timestamp(F.lit(str(origin))))
+        ).cast("double")
+    else:
+        pivot_v = float(pivot)
+        dist = F.abs(_resolve(field).cast("double") - F.lit(float(origin)))
+    return F.lit(boost) * F.lit(pivot_v) / (F.lit(pivot_v) + dist)
+
+
 def compile_function_score(body: dict) -> tuple[Column, Column]:
     """ES `function_score` -> (match predicate, deterministic score
     Column).  The scoreless engine's documented semantics: the base query
@@ -594,7 +660,7 @@ def compile_function_score(body: dict) -> tuple[Column, Column]:
             k: body[k]
             for k in (
                 "field_value_factor", "script_score", "weight",
-                "gauss", "exp", "linear",
+                "gauss", "exp", "linear", "rank_feature", "distance_feature",
             )
             if k in body
         }
@@ -609,6 +675,10 @@ def compile_function_score(body: dict) -> tuple[Column, Column]:
     for fn in functions:
         if "field_value_factor" in fn:
             s = _field_value_factor(fn["field_value_factor"])
+        elif "rank_feature" in fn:
+            s = _rank_feature_score(fn["rank_feature"])
+        elif "distance_feature" in fn:
+            s = _distance_feature_score(fn["distance_feature"])
         elif "gauss" in fn or "exp" in fn or "linear" in fn:
             kind = "gauss" if "gauss" in fn else ("exp" if "exp" in fn else "linear")
             s = _decay_function(kind, fn[kind])
@@ -670,6 +740,15 @@ _HANDLERS = {
     "constant_score": _constant_score,
     "nested": _nested,
     "more_like_this": _more_like_this,
+    # scoring queries: as bare predicates they match docs carrying the
+    # feature (rank_feature: positive feature, like ES; distance_feature:
+    # non-null field); use them inside function_score functions for the
+    # score column
+    "rank_feature": lambda body, id_col: (
+        _resolve(body["field"]).isNotNull()
+        & (_resolve(body["field"]).cast("double") > 0)
+    ),
+    "distance_feature": lambda body, id_col: _resolve(body["field"]).isNotNull(),
     # as a bare predicate, function_score matches its base query (+
     # min_score gate); use query_dsl.function_score for the score column
     "function_score": lambda body, id_col: compile_function_score(body)[0],

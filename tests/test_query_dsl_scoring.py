@@ -199,3 +199,42 @@ def test_phrase_slop_zero_equals_containment(spark):
     df = spark.createDataFrame([Row(id=1, text="alpha beta gamma")])
     dsl0 = {"match_phrase": {"text": {"query": "alpha beta", "slop": 0}}}
     assert df.filter(compile_query(dsl0)).count() == 1
+
+
+def test_rank_feature_saturation_log_sigmoid(spark):
+    df = spark.createDataFrame([Row(k=1, f=2.0), Row(k=2, f=0.0), Row(k=3, f=None)])
+    sat = {"functions": [{"rank_feature": {"field": "f", "saturation": {"pivot": 2.0}}}]}
+    got = {r["k"]: r["score"] for r in function_score(df, sat).collect()}
+    assert got[1] == pytest.approx(0.5)  # 2/(2+2)
+    assert got[2] == 0.0 and got[3] == 0.0  # non-positive/missing -> 0
+
+    lg = {"functions": [{"rank_feature": {"field": "f", "log": {"scaling_factor": 1.0}}}]}
+    got = {r["k"]: r["score"] for r in function_score(df, lg).collect()}
+    assert got[1] == pytest.approx(math.log(3.0))
+
+    sg = {
+        "functions": [
+            {"rank_feature": {"field": "f", "sigmoid": {"pivot": 2.0, "exponent": 2.0}}}
+        ]
+    }
+    got = {r["k"]: r["score"] for r in function_score(df, sg).collect()}
+    assert got[1] == pytest.approx(4.0 / (4.0 + 4.0))
+
+
+def test_rank_feature_saturation_requires_pivot(spark):
+    with pytest.raises(QueryDslError, match="pivot"):
+        compile_function_score(
+            {"functions": [{"rank_feature": {"field": "f", "saturation": {}}}]}
+        )
+
+
+def test_distance_feature_numeric_and_predicate(spark):
+    df = spark.createDataFrame([Row(k=1, f=10.0), Row(k=2, f=30.0), Row(k=3, f=None)])
+    body = {
+        "query": {"distance_feature": {"field": "f", "origin": 10.0, "pivot": 5.0}},
+        "distance_feature": {"field": "f", "origin": 10.0, "pivot": 5.0},
+    }
+    got = {r["k"]: r["score"] for r in function_score(df, body).collect()}
+    assert set(got) == {1, 2}  # predicate drops the null-field row
+    assert got[1] == pytest.approx(1.0)  # at the origin
+    assert got[2] == pytest.approx(5.0 / 25.0)
