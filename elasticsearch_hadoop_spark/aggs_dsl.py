@@ -478,7 +478,10 @@ _PARENT_PIPELINES = (
     "derivative", "cumulative_sum", "serial_diff", "moving_fn", "moving_avg",
     "bucket_script", "bucket_selector", "bucket_sort",
 )
-_SIBLING_PIPELINES = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+_SIBLING_PIPELINES = (
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+    "stats_bucket", "percentiles_bucket",
+)
 _MOVING_FNS = {
     "unweightedAvg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
     "stdDev": F.stddev_samp,
@@ -547,9 +550,31 @@ def _apply_pipelines(
                 )
             part = key_names[:k]
             v = _path_col(spec["buckets_path"])
+            ws = Window.partitionBy(*part) if part else Window.partitionBy()
+            if kind == "stats_bucket":
+                # multi-value sibling: count/min/max/avg/sum of the metric
+                # across the sibling buckets, flattened to <name>_<stat>
+                # columns repeated on every row of the scope
+                for stat, fn in (
+                    ("count", F.count), ("min", F.min), ("max", F.max),
+                    ("avg", F.avg), ("sum", F.sum),
+                ):
+                    out = out.withColumn(f"{name}_{stat}", fn(v).over(ws))
+                continue
+            if kind == "percentiles_bucket":
+                # exact interpolated percentiles of the metric across the
+                # sibling buckets (ES interpolates over the bucket values
+                # too); <name>_<p> columns, percents like the percentiles
+                # metric
+                pcts = [float(p) for p in spec.get("percents", (1, 5, 25, 50, 75, 95, 99))]
+                for p in pcts:
+                    out = out.withColumn(
+                        f"{name}_{_pname(p)}",
+                        F.percentile(v, F.lit(p / 100.0)).over(ws),
+                    )
+                continue
             agg = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                    "min_bucket": F.min, "max_bucket": F.max}[kind]
-            ws = Window.partitionBy(*part) if part else Window.partitionBy()
             out = out.withColumn(name, agg(v).over(ws))
             continue
         if k == 0 or k != len(key_names):

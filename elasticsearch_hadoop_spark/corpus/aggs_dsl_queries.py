@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
 from elasticsearch_hadoop_spark.corpus import query
-from elasticsearch_hadoop_spark.corpus._util import tbl
+from elasticsearch_hadoop_spark.corpus._util import TS_FMT_SPARK, tbl
 
 
 @query(
@@ -1314,3 +1314,63 @@ def aggs_histogram_empty_buckets(spark, sf_dir):
         F.round("avg_v", 6).alias("avg_v"),
         F.col("dd").cast("bigint").alias("dd"),
     ).orderBy("val_bucket")
+
+
+@query(
+    "aggs_stats_bucket",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         sum(value) AS total
+  FROM events GROUP BY 1
+)
+SELECT day, doc_count, round(total, 6) AS total,
+       CAST(count(total) OVER () AS BIGINT) AS st_count,
+       round(min(total) OVER (), 6) AS st_min,
+       round(max(total) OVER (), 6) AS st_max,
+       round(avg(total) OVER (), 6) AS st_avg,
+       round(sum(total) OVER (), 6) AS st_sum,
+       round(quantile_cont(total, 0.50) OVER (), 6) AS pb_50,
+       round(quantile_cont(total, 0.95) OVER (), 6) AS pb_95
+FROM daily
+ORDER BY day
+""",
+)
+def aggs_stats_bucket(spark, sf_dir):
+    """Sibling pipelines stats_bucket + percentiles_bucket: cross-bucket
+    count/min/max/avg/sum and exact interpolated percentiles of a daily
+    sum, flattened onto every bucket row (the flat rendering of ES's
+    sibling output).  The windows run over the POST-AGGREGATION bucket
+    frame — a handful of rows — never the fact table."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "day": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                    "aggs": {"total": {"sum": {"field": "value"}}},
+                },
+                "st": {"stats_bucket": {"buckets_path": "day>total"}},
+                "pb": {
+                    "percentiles_bucket": {
+                        "buckets_path": "day>total",
+                        "percents": [50, 95],
+                    }
+                },
+            }
+        },
+    )
+    return out.select(
+        F.date_format("day", TS_FMT_SPARK).alias("day"),
+        "doc_count",
+        F.round("total", 6).alias("total"),
+        "st_count",
+        F.round("st_min", 6).alias("st_min"),
+        F.round("st_max", 6).alias("st_max"),
+        F.round("st_avg", 6).alias("st_avg"),
+        F.round("st_sum", 6).alias("st_sum"),
+        F.round("pb_50", 6).alias("pb_50"),
+        F.round("pb_95", 6).alias("pb_95"),
+    ).orderBy("day")

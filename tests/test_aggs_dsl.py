@@ -711,3 +711,28 @@ def test_densify_bucket_cap(spark):
             df,
             {"h": {"histogram": {"field": "v", "interval": 1.0, "min_doc_count": 0}}},
         ).collect()
+
+
+def test_stats_bucket_and_percentiles_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 40.0), (3, 5.0)], "k int, v double"
+    )
+    out = compile_aggs(
+        df,
+        {
+            "aggs": {
+                "k": {
+                    "terms": {"field": "k"},
+                    "aggs": {"s": {"sum": {"field": "v"}}},
+                },
+                "st": {"stats_bucket": {"buckets_path": "k>s"}},
+                "pb": {"percentiles_bucket": {"buckets_path": "k>s", "percents": [50]}},
+            }
+        },
+    ).collect()
+    r = out[0]
+    # bucket sums: 30, 40, 5 -> count 3, min 5, max 40, sum 75, median 30
+    assert (r.st_count, r.st_min, r.st_max, r.st_sum) == (3, 5.0, 40.0, 75.0)
+    assert r.st_avg == pytest.approx(25.0)
+    assert r.pb_50 == pytest.approx(30.0)
+    assert all((x.st_count, x.pb_50) == (3, 30.0) for x in out)  # repeated per row
