@@ -348,6 +348,21 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
             keys.append((name, F.col(tmp)))
         else:
             b = body[kind]
+            if kind == "terms" and ("include" in b or "exclude" in b):
+                # ES terms include/exclude: a fully-anchored regex string
+                # or an exact-value array, applied to the bucket key BEFORE
+                # counting.  Compiles to a plain filter on the key
+                # expression — it pushes down with everything else.
+                key_for_filter = _bucket_key(kind, b).cast("string")
+                inc, exc = b.get("include"), b.get("exclude")
+                if inc is not None:
+                    df = df.filter(_terms_key_match(key_for_filter, inc))
+                if exc is not None:
+                    df = df.filter(
+                        ~F.coalesce(
+                            _terms_key_match(key_for_filter, exc), F.lit(False)
+                        )
+                    )
             if (
                 kind in ("histogram", "date_histogram")
                 and int(b.get("min_doc_count", 1)) == 0
@@ -740,6 +755,14 @@ def _terms_order_cols(terms_order: tuple[dict | None, str] | None) -> list[Colum
     else:
         col = _path_col(path)
     return [col.desc() if str(direction).lower() == "desc" else col.asc()]
+
+
+def _terms_key_match(key: Column, spec) -> Column:
+    """terms include/exclude matcher: regex string (fully anchored, like
+    ES) or exact-value list."""
+    if isinstance(spec, str):
+        return key.rlike(f"^(?:{spec})$")
+    return key.isin([str(v) for v in spec])
 
 
 def _bucket_kind(body: dict) -> str | None:

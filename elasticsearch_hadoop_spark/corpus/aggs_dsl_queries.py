@@ -1374,3 +1374,41 @@ def aggs_stats_bucket(spark, sf_dir):
         F.round("pb_50", 6).alias("pb_50"),
         F.round("pb_95", 6).alias("pb_95"),
     ).orderBy("day")
+
+
+@query(
+    "aggs_terms_include_exclude",
+    oracle="""
+SELECT source, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+WHERE regexp_matches(source, '^(?:src1.*)$')
+  AND source NOT IN ('src12', 'src15')
+GROUP BY source
+ORDER BY doc_count DESC, source
+""",
+)
+def aggs_terms_include_exclude(spark, sf_dir):
+    """terms include (anchored regex, like ES) + exclude (exact-value
+    list): both compile to plain filters on the key expression BEFORE
+    counting, so they push down with the scan — no post-aggregation
+    bucket pruning."""
+    docs = tbl(spark, sf_dir, "documents")
+    out = compile_aggs(
+        docs,
+        {
+            "aggs": {
+                "source": {
+                    "terms": {
+                        "field": "source",
+                        "include": "src1.*",
+                        "exclude": ["src12", "src15"],
+                    },
+                    "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "source", "doc_count", F.round("avg_chars", 6).alias("avg_chars")
+    ).orderBy(F.col("doc_count").desc(), "source")

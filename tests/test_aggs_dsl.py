@@ -736,3 +736,18 @@ def test_stats_bucket_and_percentiles_bucket(spark):
     assert r.st_avg == pytest.approx(25.0)
     assert r.pb_50 == pytest.approx(30.0)
     assert all((x.st_count, x.pb_50) == (3, 30.0) for x in out)  # repeated per row
+
+
+def test_terms_include_exclude(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in ["aa", "ab", "ba", "ab", None]], "s string"
+    )
+    out = compile_aggs(
+        df, {"s": {"terms": {"field": "s", "include": "a.*", "exclude": ["ab"]}}}
+    ).collect()
+    assert {r.s: r.doc_count for r in out} == {"aa": 1}
+    # value-list include keeps exactly the named keys
+    out2 = compile_aggs(
+        df, {"s": {"terms": {"field": "s", "include": ["ab", "ba"]}}}
+    ).collect()
+    assert {r.s: r.doc_count for r in out2} == {"ab": 2, "ba": 1}
