@@ -229,6 +229,44 @@ def msearch(df: DataFrame, requests: list[dict]) -> DataFrame:
     return out
 
 
+def scroll(df: DataFrame, sort: list, size: int = 1000):
+    """ES scroll / point-in-time export, the stateless keyset rendering: a
+    generator of row pages driven by ``search_after`` cursors.  ``sort``
+    must end in a unique tiebreak (same contract as search_after).
+
+    Each page is its own TakeOrderedAndProject job with a sargable cursor
+    filter — the driver holds ONE row of state (the cursor), never data.
+    This is the client-iteration shape; a full-table export at 100 TB
+    should be ``df.write`` (one distributed job), not a scroll loop — the
+    docstring is the warning."""
+    fields = [_direction(s) for s in sort]
+    after = None
+    while True:
+        rows = search_after(df, sort, after=after, size=size).collect()
+        if not rows:
+            return
+        yield rows
+        if len(rows) < size:
+            return
+        after = tuple(rows[-1][f] for f, _ in fields)
+
+
+def field_caps(df: DataFrame) -> DataFrame:
+    """ES ``_field_caps``: one row per field with its type and capability
+    flags — pure schema introspection, no data pass.  ``aggregatable``
+    mirrors ES: scalars yes, text-ish/complex no (here: complex Spark
+    types are not aggregation keys)."""
+    spark = df.sparkSession
+    rows = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        complex_t = t.startswith(("array", "map", "struct", "binary"))
+        rows.append((f.name, t, True, not complex_t))
+    return spark.createDataFrame(
+        rows, "field string, type string, searchable boolean, aggregatable boolean"
+    ).orderBy("field")
+
+
 def terms_enum(
     df: DataFrame,
     field: str,

@@ -212,3 +212,36 @@ def test_msearch_tags_and_limits(spark):
     assert sorted(by_req[0]) == [0, 2]
     assert by_req[1] == [9]
     assert len(by_req[2]) == 10
+
+
+def test_scroll_pages_cover_everything_once(spark):
+    from elasticsearch_hadoop_spark.search import scroll
+
+    df = spark.createDataFrame([Row(id=i, v=i % 3) for i in range(25)])
+    pages = list(scroll(df, sort=[{"v": "asc"}, {"id": "asc"}], size=10))
+    assert [len(p) for p in pages] == [10, 10, 5]
+    seen = [r["id"] for p in pages for r in p]
+    assert sorted(seen) == list(range(25))
+    # pages are globally ordered under the sort
+    keys = [(r["v"], r["id"]) for p in pages for r in p]
+    assert keys == sorted(keys)
+
+
+def test_scroll_exact_multiple_terminates(spark):
+    from elasticsearch_hadoop_spark.search import scroll
+
+    df = spark.createDataFrame([Row(id=i) for i in range(10)])
+    pages = list(scroll(df, sort=[{"id": "asc"}], size=5))
+    assert [len(p) for p in pages] == [5, 5]
+
+
+def test_field_caps_types_and_aggregatable(spark):
+    from elasticsearch_hadoop_spark.search import field_caps
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x", c=[1, 2])]
+    )
+    caps = {r["field"]: (r["type"], r["aggregatable"]) for r in field_caps(df).collect()}
+    assert caps["a"] == ("bigint", True)
+    assert caps["b"] == ("string", True)
+    assert caps["c"][0].startswith("array") and caps["c"][1] is False
