@@ -503,3 +503,192 @@ def query_dsl_distance_feature(spark, sf_dir):
         F.round("value", 6).alias("value"),
         F.round("score", 6).alias("score"),
     ).orderBy("event_id")
+
+
+@query(
+    "query_dsl_multi_match",
+    oracle="""
+WITH analyzed AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS ttoks,
+         list_filter(string_split_regex(lower(lang), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS ltoks,
+         list_filter(string_split_regex(lower(source), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS stoks
+  FROM documents
+)
+SELECT doc_id,
+       (list_has_any(ttoks, ['vector', 'dup'])
+        OR list_has_any(stoks, ['vector', 'dup'])) AS best_any,
+       (len(list_filter(['en', 'merge'],
+                        q -> list_contains(ttoks || ltoks, q))) = 2) AS cross_and,
+       (strpos(concat(' ', array_to_string(ttoks, ' '), ' '), ' fast key ') > 0)
+         AS phrase_any
+FROM analyzed
+ORDER BY doc_id
+""",
+)
+def query_dsl_multi_match(spark, sf_dir):
+    """ES `multi_match` in its three predicate shapes: best_fields (OR of
+    per-field match), cross_fields operator=and (term-centric — every
+    query token in at least one field, the first/last-name pattern), and
+    phrase (OR of per-field match_phrase).  All compile to token-array
+    Column math in codegen (query_dsl._multi_match)."""
+    d = tbl(spark, sf_dir, "documents")
+    best = compile_query(
+        {"multi_match": {"query": "vector dup", "fields": ["text", "source^2"]}}
+    )
+    cross = compile_query(
+        {
+            "multi_match": {
+                "query": "en merge",
+                "fields": ["text", "lang"],
+                "type": "cross_fields",
+                "operator": "and",
+            }
+        }
+    )
+    phrase = compile_query(
+        {"multi_match": {"query": "fast key", "fields": ["text"], "type": "phrase"}}
+    )
+    return d.select(
+        "doc_id",
+        best.alias("best_any"),
+        cross.alias("cross_and"),
+        phrase.alias("phrase_any"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "query_dsl_dis_max_boosting",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       (c_acctbal >= 0) AS positive_balance
+FROM customer
+WHERE c_mktsegment LIKE 'BUIL%' OR c_mktsegment = 'MACHINERY'
+ORDER BY c_custkey
+""",
+)
+def query_dsl_dis_max_boosting(spark, sf_dir):
+    """`dis_max` (predicate = disjunction of sub-queries; max-score /
+    tie_breaker are score-only) as the row filter, plus a `boosting`
+    clause as a boolean column (positive query is the predicate; negative
+    only demotes scores and never excludes — documented subset)."""
+    c = tbl(spark, sf_dir, "customer")
+    dis = compile_query(
+        {
+            "dis_max": {
+                "queries": [
+                    {"prefix": {"c_mktsegment": "BUIL"}},
+                    {"term": {"c_mktsegment": "MACHINERY"}},
+                ],
+                "tie_breaker": 0.3,
+            }
+        }
+    )
+    boost = compile_query(
+        {
+            "boosting": {
+                "positive": {"range": {"c_acctbal": {"gte": 0}}},
+                "negative": {"term": {"c_nationkey": 3}},
+                "negative_boost": 0.2,
+            }
+        }
+    )
+    return (
+        c.filter(dis)
+        .select("c_custkey", "c_mktsegment", boost.alias("positive_balance"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "query_dsl_terms_set",
+    oracle="""
+WITH docs AS (
+  SELECT l_orderkey,
+         list_distinct(list(l_returnflag)) AS flags,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+), thresh AS (
+  SELECT *, CASE WHEN n_lines > 3 THEN 2 ELSE 1 END AS required FROM docs
+)
+SELECT l_orderkey, required, n_lines
+FROM thresh
+WHERE len(list_filter(['R', 'A'], q -> list_contains(flags, q))) >= required
+ORDER BY l_orderkey
+""",
+)
+def query_dsl_terms_set(spark, sf_dir):
+    """`terms_set` with the ES-native per-document threshold
+    (`minimum_should_match_field`): per-order docs carry an array of
+    distinct return flags plus their own required-match count; the clause
+    counts distinct supplied terms present via array_intersect — one
+    hash-agg shuffle to build the docs, then pure codegen."""
+    li = tbl(spark, sf_dir, "lineitem")
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_distinct(F.collect_list("l_returnflag")).alias("flags"),
+            F.count("*").alias("n_lines"),
+        )
+        .withColumn(
+            "required", F.when(F.col("n_lines") > 3, F.lit(2)).otherwise(F.lit(1))
+        )
+    )
+    pred = compile_query(
+        {
+            "terms_set": {
+                "flags": {
+                    "terms": ["R", "A"],
+                    "minimum_should_match_field": "required",
+                }
+            }
+        }
+    )
+    return (
+        docs.filter(pred)
+        .select("l_orderkey", "required", "n_lines")
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "query_dsl_sqs_phrase_prefix",
+    oracle="""
+WITH analyzed AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       (len(list_filter(range(1, len(toks)),
+                        i -> toks[i] = 'table'
+                             AND starts_with(toks[i + 1], 'sc'))) > 0) AS mpp,
+       ((strpos(concat(' ', array_to_string(toks, ' '), ' '), ' hash scan ') > 0
+         OR len(list_filter(toks, t -> starts_with(t, 'merg'))) > 0)
+        AND NOT list_contains(toks, 'window')) AS sqs
+FROM analyzed
+ORDER BY doc_id
+""",
+)
+def query_dsl_sqs_phrase_prefix(spark, sf_dir):
+    """`match_phrase_prefix` ("table sc" matches "table scan": in-order
+    adjacency with the last token as a prefix — positional F.get exists,
+    no explode) and `simple_query_string` ('"hash scan" | merg* -window',
+    default_operator=and: quoted phrase, OR connector, trailing-* prefix,
+    - negation)."""
+    d = tbl(spark, sf_dir, "documents")
+    mpp = compile_query({"match_phrase_prefix": {"text": "table sc"}})
+    sqs = compile_query(
+        {
+            "simple_query_string": {
+                "query": '"hash scan" | merg* -window',
+                "fields": ["text"],
+                "default_operator": "and",
+            }
+        }
+    )
+    return d.select("doc_id", mpp.alias("mpp"), sqs.alias("sqs")).orderBy("doc_id")

@@ -19,7 +19,12 @@ Supported clauses (the reference's §2.B algebra + the common ES core):
   minimum_should_match=1), fuzzy (levenshtein, AUTO rule), constant_score
   (scoring wrapper -> inner filter), nested (same-element match over
   array-of-struct via higher-order exists), more_like_this (token-overlap
-  subset, compile-time term selection), function_score (deterministic
+  subset, compile-time term selection), multi_match (best_fields /
+  most_fields / phrase / cross_fields predicate forms), dis_max, boosting
+  (positive-predicate; negative is score-only), terms_set (per-doc
+  minimum_should_match_field), match_phrase_prefix, match_none,
+  simple_query_string (the - | + "" * operator subset),
+  function_score (deterministic
   field_value_factor / script_score / weight functions — the predicate
   form matches the base query + min_score; ``function_score(df, body)``
   attaches the score column), and the ``?q=field:value`` URI-lite subset.
@@ -720,6 +725,201 @@ def function_score(df, body: dict, score_col: str = "score"):
     return df.filter(pred).withColumn(score_col, score)
 
 
+def _or_chain(preds: list[Column]) -> Column:
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def _multi_match(body, id_col):
+    """ES `multi_match`: one query string over several fields.
+
+    Predicate subset (documented — scores are out of scope repo-wide):
+    - ``best_fields`` / ``most_fields``: OR over the per-field ``match``
+      predicate.  The two types differ only in how per-field scores
+      combine (max vs sum), so their *predicate* semantics are identical.
+    - ``phrase``: OR over the per-field ``match_phrase`` predicate.
+    - ``cross_fields``: term-centric — the fields act as one combined
+      field.  With ``operator=and`` every query token must appear in at
+      least ONE of the fields (ES's blended-term AND); with ``or``, any
+      token in any field matches.
+    Boost suffixes (``"text^3"``) parse and are ignored (score-only).
+    """
+    fields = [str(f).split("^")[0] for f in _as_list(body.get("fields"))]
+    if not fields:
+        raise QueryDslError("multi_match requires a non-empty fields list")
+    value = str(body.get("query", ""))
+    qtype = body.get("type", "best_fields")
+    operator = str(body.get("operator", "or")).lower()
+    if qtype == "phrase":
+        return _or_chain([_match_phrase({f: value}, id_col) for f in fields])
+    if qtype == "cross_fields":
+        qtokens = F.array_distinct(analyze_tokens(F.lit(value)))
+        per_field = [
+            F.coalesce(analyze_tokens(_resolve(f)), F.array().cast("array<string>"))
+            for f in fields
+        ]
+        union = F.flatten(F.array(*per_field))
+        if operator == "and":
+            return F.size(F.array_except(qtokens, union)) == 0
+        return F.arrays_overlap(union, qtokens)
+    if qtype not in ("best_fields", "most_fields"):
+        raise QueryDslError(f"unsupported multi_match type: {qtype!r}")
+    return _or_chain(
+        [_match({f: {"query": value, "operator": operator}}, id_col) for f in fields]
+    )
+
+
+def _dis_max(body, id_col):
+    """ES `dis_max`: a doc matches if ANY sub-query matches (the max-score
+    combination is score-only; the predicate is the disjunction).
+    ``tie_breaker`` parses and is ignored (score-only)."""
+    queries = _as_list(body.get("queries"))
+    if not queries:
+        raise QueryDslError("dis_max requires a non-empty queries list")
+    return _or_chain([_compile_clause(q, id_col) for q in queries])
+
+
+def _boosting(body, id_col):
+    """ES `boosting`: matches exactly the `positive` query; `negative` +
+    `negative_boost` only DEMOTE the score of docs also matching the
+    negative query — they never exclude.  Scores are out of scope, so the
+    predicate is the positive clause verbatim (negative is compiled for
+    validation, then discarded)."""
+    positive = body.get("positive")
+    if positive is None:
+        raise QueryDslError("boosting requires a positive clause")
+    if body.get("negative") is not None:
+        _compile_clause(body["negative"], id_col)  # validate; score-only
+    return _compile_clause(positive, id_col)
+
+
+def _terms_set(body, id_col):
+    """ES `terms_set` over an array column: matches when the number of
+    DISTINCT supplied terms present in the field meets a per-document
+    minimum, read from ``minimum_should_match_field`` (the ES-native form:
+    each doc carries its own threshold) or a constant
+    ``minimum_should_match``.  Pure Column math — array_intersect
+    de-duplicates exactly like ES's unique-term counting."""
+    (field, spec), = body.items()
+    terms = _as_list(spec.get("terms"))
+    if not terms:
+        raise QueryDslError("terms_set requires a non-empty terms list")
+    arr = _resolve(field)
+    n_matched = F.size(F.array_intersect(arr, F.lit(terms)))
+    if "minimum_should_match_field" in spec:
+        required = _resolve(spec["minimum_should_match_field"]).cast("int")
+    elif "minimum_should_match" in spec:
+        required = F.lit(int(spec["minimum_should_match"]))
+    else:
+        raise QueryDslError(
+            "terms_set requires minimum_should_match_field or minimum_should_match"
+        )
+    return n_matched >= required
+
+
+def _match_phrase_prefix(body, id_col):
+    """ES `match_phrase_prefix`: the analyzed query tokens must appear
+    consecutively in order, with the LAST token matched as a prefix of the
+    document token at that position.  Compiles to a higher-order `exists`
+    over candidate start offsets with positional F.get equality — no
+    explode, stays in codegen.  (max_expansions is a Lucene rewrite cap
+    with no analogue here: the prefix test is exact, so we are strictly
+    more complete; parsed and ignored.)"""
+    import re as _re
+
+    field, value = _field_value(body)
+    spec = body[next(iter(body))]
+    if isinstance(spec, dict):
+        value = spec.get("query", value)
+    terms = [t for t in _re.split(r"[^a-z0-9]+", str(value).lower()) if t]
+    if not terms:
+        raise QueryDslError("match_phrase_prefix needs at least one query token")
+    toks = analyze_tokens(_resolve(field))
+    sz = F.size(toks)
+    n = len(terms)
+
+    def _at(i):
+        conds = [F.get(toks, i + j) == F.lit(terms[j]) for j in range(n - 1)]
+        conds.append(F.get(toks, i + (n - 1)).startswith(terms[-1]))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    # sequence(a, b) DESCENDS when a > b, so gate on sz >= n first
+    matched = F.when(
+        sz >= n, F.exists(F.sequence(F.lit(0), sz - n), _at)
+    ).otherwise(F.lit(False))
+    return F.coalesce(matched, F.lit(False))
+
+
+def _simple_query_string(body, id_col):
+    """ES `simple_query_string` — the documented operator subset:
+    whitespace-separated terms, ``"quoted phrases"``, ``-`` negation,
+    ``|`` OR, ``+`` AND, a trailing ``*`` prefix wildcard, over one or
+    more fields (a unit matches if it matches ANY field).  ``(`` ``)``
+    grouping and ``~N`` fuzziness are rejected, not misparsed.  Terms are
+    analyzed with the standard analyzer on both sides, like `match`."""
+    import re as _re
+
+    query = str(body.get("query", ""))
+    fields = [str(f).split("^")[0] for f in _as_list(body.get("fields"))]
+    if not fields:
+        raise QueryDslError("simple_query_string requires a fields list")
+    default_op = str(body.get("default_operator", "or")).lower()
+    if any(ch in query for ch in "()~"):
+        raise QueryDslError("simple_query_string: (), ~N not supported")
+
+    # lex: quoted phrase | bare token | lone '|' / '+' connector
+    units = _re.findall(r'-?"[^"]*"|\S+', query)
+    pred, pending_op = None, default_op
+
+    def _unit_pred(u: str) -> Column:
+        negate = u.startswith("-")
+        if negate:
+            u = u[1:]
+        if u.startswith('"') and u.endswith('"') and len(u) >= 2:
+            per_field = [_match_phrase({f: u[1:-1]}, id_col) for f in fields]
+        elif "|" in u or "+" in u:
+            # unspaced operator forms ("foo|bar") would silently analyze
+            # to a multi-token term — reject instead of misparse
+            raise QueryDslError(f"simple_query_string: use spaced operators, got {u!r}")
+        elif u.endswith("*"):
+            stem = u[:-1].lower()
+            per_field = [
+                F.exists(analyze_tokens(_resolve(f)), lambda t: t.startswith(stem))
+                for f in fields
+            ]
+        else:
+            term = u.lower()
+            per_field = [
+                F.array_contains(analyze_tokens(_resolve(f)), term) for f in fields
+            ]
+        p = F.coalesce(_or_chain(per_field), F.lit(False))
+        return ~p if negate else p
+
+    for u in units:
+        if u == "|":
+            pending_op = "or"
+            continue
+        if u == "+":
+            pending_op = "and"
+            continue
+        p = _unit_pred(u)
+        if pred is None:
+            pred = p
+        elif pending_op == "or":
+            pred = pred | p
+        else:
+            pred = pred & p
+        pending_op = default_op
+    if pred is None:
+        raise QueryDslError("simple_query_string: empty query")
+    return pred
+
+
 _HANDLERS = {
     "geo_distance": _geo_distance,
     "geo_bounding_box": _geo_bounding_box,
@@ -734,7 +934,14 @@ _HANDLERS = {
     "ids": _ids,
     "match": _match,
     "match_phrase": _match_phrase,
+    "match_phrase_prefix": _match_phrase_prefix,
     "match_all": _match_all,
+    "match_none": lambda body, id_col: F.lit(False),
+    "multi_match": _multi_match,
+    "dis_max": _dis_max,
+    "boosting": _boosting,
+    "terms_set": _terms_set,
+    "simple_query_string": _simple_query_string,
     "bool": _bool,
     "fuzzy": _fuzzy,
     "constant_score": _constant_score,
