@@ -53,6 +53,10 @@ EXTENSION = [
     "text_repetition_signals",
     "aggs_histogram_empty_buckets",
     "search_suggest_term",
+    # round-4 late additions (this session)
+    "query_dsl_multi_match",
+    "aggs_ip_range",
+    "aggs_matrix_stats",
 ]
 
 

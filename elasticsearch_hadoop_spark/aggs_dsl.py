@@ -45,10 +45,25 @@ Supported:
   doc set sub-aggs see; scoreless engine, so the documented deterministic
   semantics are a hash-ordered sample on a required ``seed_field``, with
   diversified's ``max_docs_per_value`` per-``field`` dedupe as a
-  WindowGroupLimit)
+  WindowGroupLimit), ``ip_range`` (IPv4 from/to + CIDR masks; overlapping
+  ranges land a doc in every matching bucket via the filters-style label
+  explode; addresses parse to 32-bit ints in codegen; IPv6 unsupported),
+  ``nested`` (sub-aggs over the array elements of ``path`` — explode
+  rebinds the path to the element, doc_count = nested-doc count;
+  reverse_nested unsupported), ``global`` (escapes the search query to the
+  ``base_df`` frame the caller passes to compile_aggs; an error without it)
 - metric aggs: ``avg sum min max value_count cardinality stats
   extended_stats weighted_avg percentiles percentile_ranks boxplot
-  median_absolute_deviation string_stats`` —
+  median_absolute_deviation string_stats top_metrics t_test matrix_stats
+  geo_bounds geo_centroid rate`` —
+  ``top_metrics`` (size=1) is a max_by/min_by over a (sort, metric)
+  struct with the metric as deterministic tie-break; ``t_test`` emits the
+  t statistic for paired/heteroscedastic/homoscedastic (ES's p-value
+  needs the Student-t CDF — documented deviation); ``matrix_stats`` is
+  row-wise-complete mean/variance/covariance/correlation;
+  ``geo_bounds``/``geo_centroid`` read struct(lat, lon) geo_points;
+  ``rate`` scales a fixed_interval date_histogram bucket total to a
+  per-unit rate —
   ``cardinality`` compiles to
   exact ``countDistinct`` by
   default (``"approximate": true`` opts into HLL++ ``approx_count_distinct``,
@@ -109,6 +124,9 @@ _CALENDAR = {
     "year": "year", "1y": "year",
 }
 _FIXED_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+_RATE_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
 # auto_date_histogram rounding ladder (fixed-interval rungs of ES's table;
 # the calendar rungs — months/years — are out of scope, documented).  The
 # chosen rung is the smallest whose bucket count fits the target.
@@ -121,13 +139,20 @@ class AggsDslError(ValueError):
     pass
 
 
-def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
+def compile_aggs(
+    df: DataFrame, spec: str | dict[str, Any], base_df: DataFrame | None = None
+) -> DataFrame:
     """Compile an ES aggs body (dict or JSON string) against ``df``.
 
     Accepts ``{"aggs": {...}}``, ``{"aggregations": {...}}`` or the bare
     agg map. Returns one row per innermost bucket (a single global row if
     only metrics are given), ordered by doc_count desc then keys for a
-    top-level ``terms`` (ES default order), else by bucket keys."""
+    top-level ``terms`` (ES default order), else by bucket keys.
+
+    ``base_df``: the pre-query frame a ``global`` bucket escapes to (ES
+    semantics: global ignores the search query).  Callers that filtered
+    ``df`` with a query pass the unfiltered frame here; a ``global``
+    bucket without it is an error, never a silent no-op."""
     if isinstance(spec, str):
         spec = json.loads(spec)
     spec = spec.get("aggs", spec.get("aggregations", spec))
@@ -147,6 +172,9 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
     # histogram/date_histogram with min_doc_count=0: emit empty buckets
     # across [data range ∪ extended_bounds] after the aggregation
     densify: tuple[str, dict, str] | None = None
+    # seconds-per-bucket of the innermost fixed_interval date_histogram —
+    # the denominator a `rate` metric scales by
+    dh_secs: int | None = None
 
     # significant_terms background: the frame as handed in, BEFORE any
     # filter/missing bucket narrows the foreground
@@ -165,6 +193,27 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
                 continue
             if "median_absolute_deviation" in body:
                 mads.append((name, body["median_absolute_deviation"]["field"]))
+                continue
+            if "rate" in body:
+                # ES rate metric: sum(field) (or doc_count) per `unit` of
+                # time, inside a fixed_interval date_histogram — the
+                # bucket total scaled by unit_seconds / interval_seconds.
+                # Calendar intervals have no constant width; rejected.
+                rspec = body["rate"]
+                if dh_secs is None:
+                    raise AggsDslError(
+                        f"rate {name!r} needs an enclosing fixed_interval "
+                        "date_histogram"
+                    )
+                unit_secs = _RATE_UNIT_SECONDS.get(rspec.get("unit", "second"))
+                if unit_secs is None:
+                    raise AggsDslError(f"rate {name!r}: unknown unit {rspec.get('unit')!r}")
+                base = (
+                    F.sum(F.col(rspec["field"]))
+                    if "field" in rspec
+                    else F.count(F.lit(1))
+                )
+                metrics.append((base * (unit_secs / dh_secs)).alias(name))
                 continue
             pkind = _pipeline_kind(body)
             if pkind:
@@ -296,6 +345,61 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
                 .orderBy(h, F.col(seed))
                 .limit(n)
             )
+        elif kind == "ip_range":
+            # ES ip_range: from-inclusive / to-exclusive IPv4 ranges or
+            # CIDR masks.  Ranges may OVERLAP — a doc lands in every
+            # matching bucket, so the key is a matching-labels array
+            # exploded like `filters` (one scan, one shuffle).  The
+            # address becomes a 32-bit integer with split/cast Column
+            # math (codegen; the DuckDB oracle replays the same
+            # arithmetic).  IPv6 is unsupported (documented).
+            b = body["ip_range"]
+            ipnum = _ipv4_to_long(F.col(b["field"]))
+            labels = []
+            for r in b.get("ranges", []):
+                if "mask" in r:
+                    lo_i, hi_i = _cidr_bounds(str(r["mask"]))
+                    label = r.get("key", str(r["mask"]))
+                    cond = (ipnum >= F.lit(lo_i)) & (ipnum < F.lit(hi_i))
+                else:
+                    lo, hi = r.get("from"), r.get("to")
+                    label = r.get("key") or (
+                        f"{lo if lo is not None else '*'}-"
+                        f"{hi if hi is not None else '*'}"
+                    )
+                    cond = F.lit(True)
+                    if lo is not None:
+                        cond = cond & (ipnum >= F.lit(_ipv4_str_to_int(str(lo))))
+                    if hi is not None:
+                        cond = cond & (ipnum < F.lit(_ipv4_str_to_int(str(hi))))
+                labels.append(F.when(cond, F.lit(label)))
+            if not labels:
+                raise AggsDslError("ip_range needs a non-empty ranges list")
+            tmp = f"__bucket_{name}"
+            df = df.withColumn(
+                tmp, F.explode(F.filter(F.array(*labels), lambda x: x.isNotNull()))
+            )
+            keys.append((name, F.col(tmp)))
+        elif kind == "nested":
+            # ES `nested` agg: sub-aggs run over the nested docs — one row
+            # per ARRAY ELEMENT, so doc_count is the nested-doc count,
+            # exactly like ES.  The explode rebinds the path column to the
+            # element; `path.subfield` references below resolve naturally.
+            # (reverse_nested is unsupported in the flat rendering —
+            # re-widening to parent docs is not expressible per-row.)
+            path = body["nested"]["path"]
+            df = df.withColumn(path, F.explode(F.col(path)))
+        elif kind == "global":
+            # ES `global`: escape the search query — sub-aggs see the
+            # whole index.  Needs the caller to hand the pre-query frame
+            # in (base_df); without it this is an error, never a silent
+            # no-op over the filtered frame.
+            if base_df is None:
+                raise AggsDslError(
+                    "global bucket requires compile_aggs(..., base_df=<pre-query frame>)"
+                )
+            df = base_df
+            df_background = base_df
         elif kind == "auto_date_histogram":
             # ES auto_date_histogram: choose the smallest ladder rung whose
             # bucket count fits the target, then bucket like a
@@ -389,6 +493,9 @@ def compile_aggs(df: DataFrame, spec: str | dict[str, Any]) -> DataFrame:
                         "min_doc_count=0 date_histogram supports fixed_interval only"
                     )
                 densify = (kind, b, name)
+            if kind == "date_histogram" and "fixed_interval" in b:
+                iv = str(b["fixed_interval"]).strip()
+                dh_secs = int(iv[:-1]) * _FIXED_SECONDS[iv[-1]]
             keys.append((name, _bucket_key(kind, b)))
         level = body.get("aggs", body.get("aggregations"))
         depth += 1
@@ -491,8 +598,11 @@ def _top_hits(df: DataFrame, keys: list[tuple[str, Column]], name: str, spec: di
 
 _PARENT_PIPELINES = (
     "derivative", "cumulative_sum", "serial_diff", "moving_fn", "moving_avg",
-    "bucket_script", "bucket_selector", "bucket_sort",
+    "bucket_script", "bucket_selector", "bucket_sort", "normalize",
 )
+# (pipeline docs: `normalize` rescales a metric across its level's buckets
+# — percent_of_sum / rescale_0_1 / rescale_0_100 / mean / z-score (population
+# stddev) / softmax — as an unordered window over the bucket frame)
 _SIBLING_PIPELINES = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
     "stats_bucket", "percentiles_bucket",
@@ -623,6 +733,33 @@ def _apply_pipelines(
                 raise AggsDslError(f"unsupported moving function {fn_name!r}")
             wf = w.rowsBetween(-(n - 1), Window.currentRow)
             out = out.withColumn(name, fn(v).over(wf))
+        elif kind == "normalize":
+            # ES normalize pipeline: rescale the metric across the sibling
+            # buckets of its level (unordered full-partition window — the
+            # same bucket frame, no fact rows touched).  z-score uses the
+            # POPULATION stddev of the bucket values (the bucket set is
+            # the whole population, not a sample).
+            v = _path_col(spec["buckets_path"])
+            method = str(spec.get("method", ""))
+            wp = Window.partitionBy(*part) if part else Window.partitionBy()
+            if method == "percent_of_sum":
+                expr = v / F.sum(v).over(wp)
+            elif method == "rescale_0_1":
+                lo, hi = F.min(v).over(wp), F.max(v).over(wp)
+                expr = (v - lo) / (hi - lo)
+            elif method == "rescale_0_100":
+                lo, hi = F.min(v).over(wp), F.max(v).over(wp)
+                expr = (v - lo) / (hi - lo) * 100
+            elif method == "mean":
+                lo, hi = F.min(v).over(wp), F.max(v).over(wp)
+                expr = (v - F.avg(v).over(wp)) / (hi - lo)
+            elif method == "z-score":
+                expr = (v - F.avg(v).over(wp)) / F.stddev_pop(v).over(wp)
+            elif method == "softmax":
+                expr = F.exp(v) / F.sum(F.exp(v)).over(wp)
+            else:
+                raise AggsDslError(f"normalize {name!r}: unknown method {method!r}")
+            out = out.withColumn(name, expr)
         elif kind == "bucket_script":
             out = out.withColumn(name, _script_expr(spec))
         elif kind == "bucket_selector":
@@ -765,12 +902,44 @@ def _terms_key_match(key: Column, spec) -> Column:
     return key.isin([str(v) for v in spec])
 
 
+def _ipv4_to_long(c: Column) -> Column:
+    """Dotted-quad string -> 32-bit integer, pure Column math (codegen)."""
+    p = F.split(c, r"\.")
+    return (
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long")
+    )
+
+
+def _ipv4_str_to_int(s: str) -> int:
+    parts = s.split(".")
+    if len(parts) != 4:
+        raise AggsDslError(f"not an IPv4 address: {s!r}")
+    return sum(int(p) << (8 * (3 - i)) for i, p in enumerate(parts))
+
+
+def _cidr_bounds(mask: str) -> tuple[int, int]:
+    """CIDR "a.b.c.d/n" -> [lo, hi) integer bounds (network-aligned)."""
+    try:
+        base, bits_s = mask.split("/")
+        bits = int(bits_s)
+    except ValueError:
+        raise AggsDslError(f"not a CIDR mask: {mask!r}") from None
+    if not 0 <= bits <= 32:
+        raise AggsDslError(f"CIDR prefix out of range: {mask!r}")
+    span = 1 << (32 - bits)
+    lo = (_ipv4_str_to_int(base) // span) * span
+    return lo, lo + span
+
+
 def _bucket_kind(body: dict) -> str | None:
     for kind in (
         "terms", "multi_terms", "histogram", "date_histogram",
         "auto_date_histogram", "range", "date_range", "geotile_grid",
         "geohash_grid", "filter", "filters", "adjacency_matrix",
-        "sampler", "diversified_sampler",
+        "sampler", "diversified_sampler", "ip_range", "nested", "global",
         "composite", "missing", "significant_terms", "rare_terms",
     ):
         if kind in body:
@@ -972,6 +1141,92 @@ def _metric(name: str, body: dict) -> list[Column]:
         num = F.sum(F.when(both, v * w))
         den = F.sum(F.when(both, w))
         return [(num / den).alias(name)]
+    if kind == "top_metrics":
+        # ES top_metrics: metric values read off the single doc ranked
+        # first by `sort`.  size=1 only (the flat rendering has one row
+        # per bucket).  Ties on the sort field break by the metric value
+        # itself (max for desc, min for asc) — deterministic, where ES's
+        # tie is shard-order.  Compiles to max_by/min_by over a
+        # (sort, metric) struct: single-pass, partial-aggregatable.
+        sort = spec.get("sort")
+        if not isinstance(sort, dict) or len(sort) != 1:
+            raise AggsDslError(f"top_metrics {name!r}: sort must be {{field: dir}}")
+        if int(spec.get("size", 1)) != 1:
+            raise AggsDslError(f"top_metrics {name!r}: only size=1 is supported")
+        (sfield, sdir), = sort.items()
+        desc = str(sdir).lower() == "desc"
+        s = F.col(sfield)
+        mlist = spec.get("metrics")
+        if isinstance(mlist, dict):
+            mlist = [mlist]
+        if not mlist:
+            raise AggsDslError(f"top_metrics {name!r}: needs metrics: [{{field}}]")
+        pick = F.max_by if desc else F.min_by
+        cols = [
+            pick(F.col(m["field"]), F.struct(s, F.col(m["field"]))).alias(
+                f"{name}_{m['field']}"
+            )
+            for m in mlist
+        ]
+        cols.append((F.max(s) if desc else F.min(s)).alias(f"{name}_sort"))
+        return cols
+    if kind == "t_test":
+        # ES t_test in its three types.  Deviation (documented): emits the
+        # t STATISTIC, not ES's p-value — the Student-t CDF is not Column
+        # math; the statistic is the deterministic, partially-aggregatable
+        # part and converts to a p-value client-side with n_a/n_b in hand.
+        try:
+            a = F.col(spec["a"]["field"])
+            b = F.col(spec["b"]["field"])
+        except (KeyError, TypeError):
+            raise AggsDslError(
+                f"t_test {name!r}: expected a.field + b.field"
+            ) from None
+        ttype = spec.get("type", "heteroscedastic")
+        if ttype == "paired":
+            both = a.isNotNull() & b.isNotNull()
+            d = F.when(both, a - b)
+            t = F.avg(d) / (F.stddev_samp(d) / F.sqrt(F.count(d)))
+            return [t.alias(name)]
+        na, nb = F.count(a), F.count(b)
+        ma, mb = F.avg(a), F.avg(b)
+        va, vb = F.var_samp(a), F.var_samp(b)
+        if ttype == "heteroscedastic":  # Welch, the ES default
+            t = (ma - mb) / F.sqrt(va / na + vb / nb)
+        elif ttype == "homoscedastic":  # pooled variance
+            sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+            t = (ma - mb) / F.sqrt(sp2 * (F.lit(1.0) / na + F.lit(1.0) / nb))
+        else:
+            raise AggsDslError(f"t_test {name!r}: unknown type {ttype!r}")
+        return [t.alias(name)]
+    if kind == "matrix_stats":
+        # ES matrix_stats over >= 2 numeric fields: doc count, per-field
+        # mean/variance, pairwise covariance/correlation.  ES drops docs
+        # missing ANY of the fields (row-wise complete observations) — the
+        # `complete` gate mirrors that exactly.  Skewness/kurtosis omitted
+        # (sample-correction conventions differ per engine; documented).
+        fields = spec.get("fields")
+        if not isinstance(fields, list) or len(fields) < 2:
+            raise AggsDslError(f"matrix_stats {name!r}: needs fields: [f1, f2, ...]")
+        complete = F.lit(True)
+        for f in fields:
+            complete = complete & F.col(f).isNotNull()
+        gated = {f: F.when(complete, F.col(f)) for f in fields}
+        cols = [F.count(F.when(complete, F.lit(1))).alias(f"{name}_count")]
+        for f in fields:
+            cols.append(F.avg(gated[f]).alias(f"{name}_{f}_mean"))
+            cols.append(F.var_samp(gated[f]).alias(f"{name}_{f}_variance"))
+        for i, fa in enumerate(fields):
+            for fb in fields[i + 1 :]:
+                cols.append(
+                    F.covar_samp(gated[fa], gated[fb]).alias(
+                        f"{name}_{fa}_{fb}_covariance"
+                    )
+                )
+                cols.append(
+                    F.corr(gated[fa], gated[fb]).alias(f"{name}_{fa}_{fb}_correlation")
+                )
+        return cols
     if not isinstance(spec, dict) or "field" not in spec:
         raise AggsDslError(f"metric {name!r}: expected {{'field': ...}}, got {spec!r}")
     field = spec["field"]
@@ -1044,6 +1299,27 @@ def _metric(name: str, body: dict) -> list[Column]:
             F.min(ln).alias(f"{name}_min_length"),
             F.max(ln).alias(f"{name}_max_length"),
             F.avg(ln).alias(f"{name}_avg_length"),
+        ]
+    if kind == "geo_bounds":
+        # ES geo_bounds over a struct(lat, lon) geo_point column: the
+        # tightest box containing all points.  wrap_longitude (antimeridian
+        # crossing) is unsupported — bounds are plain min/max (documented).
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        return [
+            F.max(lat).alias(f"{name}_top"),
+            F.min(lat).alias(f"{name}_bottom"),
+            F.min(lon).alias(f"{name}_left"),
+            F.max(lon).alias(f"{name}_right"),
+        ]
+    if kind == "geo_centroid":
+        # ES geo_centroid: arithmetic mean of coordinates + point count,
+        # skipping docs missing either coordinate.
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        both = lat.isNotNull() & lon.isNotNull()
+        return [
+            F.avg(F.when(both, lat)).alias(f"{name}_lat"),
+            F.avg(F.when(both, lon)).alias(f"{name}_lon"),
+            F.count(F.when(both, F.lit(1))).alias(f"{name}_count"),
         ]
     if kind == "percentile_ranks":
         # inverse percentiles: % of non-null docs with value <= v (the

@@ -1412,3 +1412,533 @@ def aggs_terms_include_exclude(spark, sf_dir):
     return out.select(
         "source", "doc_count", F.round("avg_chars", 6).alias("avg_chars")
     ).orderBy(F.col("doc_count").desc(), "source")
+
+
+@query(
+    "aggs_ip_range",
+    oracle="""
+WITH ips AS (
+  SELECT concat_ws('.', '10',
+                   CAST(user_id % 4 AS VARCHAR),
+                   CAST(event_id % 256 AS VARCHAR),
+                   CAST(user_id % 256 AS VARCHAR)) AS ip,
+         value
+  FROM events
+), nums AS (
+  SELECT CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipnum,
+         value
+  FROM ips
+), b AS (
+  SELECT unnest(list_filter([
+           CASE WHEN ipnum < 167837696 THEN 'low' END,
+           CASE WHEN ipnum >= 167837696 AND ipnum < 167968768 THEN 'mid' END,
+           CASE WHEN ipnum >= 167903232 AND ipnum < 168034304
+                THEN '10.2.0.0/15' END
+         ], x -> x IS NOT NULL)) AS bucket,
+         value
+  FROM nums
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS total
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def aggs_ip_range(spark, sf_dir):
+    """`ip_range` bucket agg: from/to ranges + a CIDR mask over a derived
+    IPv4 column.  The mask (10.2.0.0/15) OVERLAPS the mid range — docs in
+    the overlap land in BOTH buckets (the filters-style label explode);
+    the address parses to a 32-bit int entirely in codegen
+    (aggs_dsl._ipv4_to_long), mirrored digit-for-digit by the oracle."""
+    ev = tbl(spark, sf_dir, "events")
+    with_ip = ev.withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("user_id") % 4).cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+            (F.col("user_id") % 256).cast("string"),
+        ),
+    )
+    out = compile_aggs(
+        with_ip,
+        {
+            "aggs": {
+                "bucket": {
+                    "ip_range": {
+                        "field": "ip",
+                        "ranges": [
+                            {"key": "low", "to": "10.1.0.0"},
+                            {"key": "mid", "from": "10.1.0.0", "to": "10.3.0.0"},
+                            {"mask": "10.2.0.0/15"},
+                        ],
+                    },
+                    "aggs": {"total": {"sum": {"field": "value"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "bucket", "doc_count", F.round("total", 6).alias("total")
+    ).orderBy("bucket")
+
+
+@query(
+    "aggs_top_metrics",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value, ts,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, value DESC) AS rn
+  FROM events
+), counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_sort
+  FROM events GROUP BY event_type
+)
+SELECT c.event_type, c.doc_count,
+       round(r.value, 6) AS latest_value, c.latest_sort
+FROM counts c JOIN ranked r
+  ON r.event_type = c.event_type AND r.rn = 1
+ORDER BY c.doc_count DESC, c.event_type
+""",
+)
+def aggs_top_metrics(spark, sf_dir):
+    """`top_metrics` (size=1): per event_type, the value carried by the
+    most recent event.  Compiles to max_by over a (sort, metric) struct —
+    single-pass, partial-aggregatable, deterministic tie-break on the
+    metric itself (documented; ES's tie is shard-order).  The oracle
+    replays the pick as a row_number window with the same tie-break."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "event_type": {
+                    "terms": {"field": "event_type"},
+                    "aggs": {
+                        "latest": {
+                            "top_metrics": {
+                                "metrics": [{"field": "value"}],
+                                "sort": {"ts": "desc"},
+                            }
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "event_type",
+        "doc_count",
+        F.round("latest_value", 6).alias("latest_value"),
+        F.date_format("latest_sort", TS_FMT_SPARK).alias("latest_sort"),
+    )
+
+
+@query(
+    "aggs_t_test",
+    oracle="""
+SELECT
+  round((avg(l_quantity) - avg(l_extendedprice))
+        / sqrt(var_samp(l_quantity) / count(l_quantity)
+               + var_samp(l_extendedprice) / count(l_extendedprice)), 4)
+    AS welch_t,
+  round(avg(l_quantity - l_extendedprice)
+        / (stddev_samp(l_quantity - l_extendedprice) / sqrt(count(*))), 4)
+    AS paired_t,
+  round((avg(l_quantity) - avg(l_extendedprice))
+        / sqrt((((count(l_quantity) - 1) * var_samp(l_quantity)
+                 + (count(l_extendedprice) - 1) * var_samp(l_extendedprice))
+                / (count(l_quantity) + count(l_extendedprice) - 2))
+               * (1.0 / count(l_quantity) + 1.0 / count(l_extendedprice))), 4)
+    AS pooled_t,
+  CAST(count(*) AS BIGINT) AS doc_count
+FROM lineitem
+""",
+)
+def aggs_t_test(spark, sf_dir):
+    """`t_test` metric in all three types (heteroscedastic/Welch — the ES
+    default — paired, homoscedastic/pooled).  Emits the t STATISTIC (ES
+    returns a p-value; the Student-t CDF is not Column math — documented
+    deviation, the statistic is the mergeable part).  Single-pass moment
+    aggregates, no shuffle beyond the one global agg."""
+    li = tbl(spark, sf_dir, "lineitem")
+    out = compile_aggs(
+        li,
+        {
+            "aggs": {
+                "welch_t": {
+                    "t_test": {
+                        "a": {"field": "l_quantity"},
+                        "b": {"field": "l_extendedprice"},
+                    }
+                },
+                "paired_t": {
+                    "t_test": {
+                        "a": {"field": "l_quantity"},
+                        "b": {"field": "l_extendedprice"},
+                        "type": "paired",
+                    }
+                },
+                "pooled_t": {
+                    "t_test": {
+                        "a": {"field": "l_quantity"},
+                        "b": {"field": "l_extendedprice"},
+                        "type": "homoscedastic",
+                    }
+                },
+            }
+        },
+    )
+    return out.select(
+        F.round("welch_t", 4).alias("welch_t"),
+        F.round("paired_t", 4).alias("paired_t"),
+        F.round("pooled_t", 4).alias("pooled_t"),
+        "doc_count",
+    )
+
+
+@query(
+    "aggs_matrix_stats",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS ms_count,
+       round(avg(l_quantity), 6) AS ms_l_quantity_mean,
+       round(var_samp(l_quantity), 6) AS ms_l_quantity_variance,
+       round(avg(l_discount), 6) AS ms_l_discount_mean,
+       round(var_samp(l_discount), 6) AS ms_l_discount_variance,
+       round(avg(l_tax), 6) AS ms_l_tax_mean,
+       round(var_samp(l_tax), 6) AS ms_l_tax_variance,
+       round(covar_samp(l_quantity, l_discount), 6)
+         AS ms_l_quantity_l_discount_covariance,
+       round(corr(l_quantity, l_discount), 6)
+         AS ms_l_quantity_l_discount_correlation,
+       round(covar_samp(l_quantity, l_tax), 6)
+         AS ms_l_quantity_l_tax_covariance,
+       round(corr(l_quantity, l_tax), 6) AS ms_l_quantity_l_tax_correlation,
+       round(covar_samp(l_discount, l_tax), 6)
+         AS ms_l_discount_l_tax_covariance,
+       round(corr(l_discount, l_tax), 6) AS ms_l_discount_l_tax_correlation,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM lineitem
+""",
+)
+def aggs_matrix_stats(spark, sf_dir):
+    """`matrix_stats` over three numeric fields: per-field mean/variance +
+    pairwise covariance/correlation, row-wise complete observations (ES
+    drops docs missing any field — mirrored by the complete-gate).  All
+    one-pass partial-aggregatable moments."""
+    li = tbl(spark, sf_dir, "lineitem")
+    out = compile_aggs(
+        li,
+        {
+            "aggs": {
+                "ms": {
+                    "matrix_stats": {
+                        "fields": ["l_quantity", "l_discount", "l_tax"]
+                    }
+                }
+            }
+        },
+    )
+    rounded = [
+        F.round(c, 6).alias(c) if c != "ms_count" else F.col(c)
+        for c in out.columns
+        if c != "doc_count"
+    ]
+    return out.select(*rounded, "doc_count")
+
+
+@query(
+    "aggs_geo_bounds_centroid",
+    oracle="""
+WITH pts AS (
+  SELECT c_mktsegment,
+         (c_custkey % 180) - 89.5::DOUBLE AS lat,
+         ((c_custkey * 7) % 360) - 179.5::DOUBLE AS lon
+  FROM customer
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS doc_count,
+       round(max(lat), 6) AS box_top, round(min(lat), 6) AS box_bottom,
+       round(min(lon), 6) AS box_left, round(max(lon), 6) AS box_right,
+       round(avg(lat), 6) AS cen_lat, round(avg(lon), 6) AS cen_lon,
+       CAST(count(*) AS BIGINT) AS cen_count
+FROM pts
+GROUP BY c_mktsegment
+ORDER BY doc_count DESC, c_mktsegment
+""",
+)
+def aggs_geo_bounds_centroid(spark, sf_dir):
+    """`geo_bounds` (tightest box; wrap_longitude unsupported — plain
+    min/max, documented) + `geo_centroid` (coordinate mean + point count)
+    over a struct(lat, lon) geo_point column, per market segment."""
+    c = tbl(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_mktsegment",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("loc"),
+    )
+    out = compile_aggs(
+        pts,
+        {
+            "aggs": {
+                "c_mktsegment": {
+                    "terms": {"field": "c_mktsegment"},
+                    "aggs": {
+                        "box": {"geo_bounds": {"field": "loc"}},
+                        "cen": {"geo_centroid": {"field": "loc"}},
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "c_mktsegment",
+        "doc_count",
+        F.round("box_top", 6).alias("box_top"),
+        F.round("box_bottom", 6).alias("box_bottom"),
+        F.round("box_left", 6).alias("box_left"),
+        F.round("box_right", 6).alias("box_right"),
+        F.round("cen_lat", 6).alias("cen_lat"),
+        F.round("cen_lon", 6).alias("cen_lon"),
+        "cen_count",
+    )
+
+
+@query(
+    "aggs_nested_items",
+    oracle="""
+SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(l_quantity), 6) AS qty_avg
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY doc_count DESC, flag
+""",
+)
+def aggs_nested_items(spark, sf_dir):
+    """`nested` bucket agg: sub-aggs run over the array ELEMENTS of the
+    path (per-order item docs rolled up from lineitem — the ES nested-doc
+    shape), so doc_count is the nested-doc count, exactly like ES.  The
+    explode rebinds the path column to the element; `items.flag` resolves
+    against it."""
+    li = tbl(spark, sf_dir, "lineitem")
+    docs = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_returnflag").alias("flag"),
+                F.col("l_quantity").alias("qty"),
+            )
+        ).alias("items")
+    )
+    out = compile_aggs(
+        docs,
+        {
+            "aggs": {
+                "items_docs": {
+                    "nested": {"path": "items"},
+                    "aggs": {
+                        "flag": {
+                            "terms": {"field": "items.flag"},
+                            "aggs": {"qty_avg": {"avg": {"field": "items.qty"}}},
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "flag", "doc_count", F.round("qty_avg", 6).alias("qty_avg")
+    )
+
+
+@query(
+    "aggs_global_escape",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(value), 6) AS avg_all
+FROM events
+""",
+)
+def aggs_global_escape(spark, sf_dir):
+    """`global` bucket: sub-aggs escape the search query and see the whole
+    index.  The caller hands the pre-query frame in as base_df (explicit,
+    never a silent no-op): the outer frame is filtered to clicks, but
+    doc_count/avg_all cover ALL events."""
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = compile_aggs(
+        clicks,
+        {
+            "aggs": {
+                "all_docs": {
+                    "global": {},
+                    "aggs": {"avg_all": {"avg": {"field": "value"}}},
+                }
+            }
+        },
+        base_df=ev,
+    )
+    return out.select("doc_count", F.round("avg_all", 6).alias("avg_all"))
+
+
+@query(
+    "aggs_normalize",
+    oracle="""
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         sum(value) AS total
+  FROM events GROUP BY 1
+)
+SELECT day, doc_count,
+       round(total, 6) AS total,
+       round(total / sum(total) OVER (), 6) AS pct,
+       round((total - avg(total) OVER ()) / stddev_pop(total) OVER (), 6) AS z
+FROM buckets
+ORDER BY day
+""",
+)
+def aggs_normalize(spark, sf_dir):
+    """`normalize` pipeline agg: percent_of_sum and z-score of a bucket
+    metric across its sibling buckets — an unordered window over the
+    bucket frame (never the fact rows).  z-score uses the POPULATION
+    stddev: the bucket set is the whole population."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "day": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                    "aggs": {
+                        "total": {"sum": {"field": "value"}},
+                        "pct": {
+                            "normalize": {
+                                "buckets_path": "total",
+                                "method": "percent_of_sum",
+                            }
+                        },
+                        "z": {
+                            "normalize": {
+                                "buckets_path": "total",
+                                "method": "z-score",
+                            }
+                        },
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("day", TS_FMT_SPARK).alias("day"),
+        "doc_count",
+        F.round("total", 6).alias("total"),
+        F.round("pct", 6).alias("pct"),
+        F.round("z", 6).alias("z"),
+    ).orderBy("day")
+
+
+@query(
+    "aggs_rate",
+    oracle="""
+SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200),
+                '%Y-%m-%d %H:%M:%S') AS half_day,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value) * (86400.0 / 43200.0), 6) AS value_per_day,
+       round(count(*) * (3600.0 / 43200.0), 6) AS events_per_hour
+FROM events
+GROUP BY 1
+ORDER BY half_day
+""",
+)
+def aggs_rate(spark, sf_dir):
+    """`rate` metric inside a fixed_interval date_histogram: the bucket
+    total (sum of a field, or doc_count) scaled to a per-`unit` rate by
+    unit_seconds / interval_seconds.  Calendar intervals are rejected (no
+    constant width) — documented."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "half_day": {
+                    "date_histogram": {"field": "ts", "fixed_interval": "12h"},
+                    "aggs": {
+                        "value_per_day": {"rate": {"field": "value", "unit": "day"}},
+                        "events_per_hour": {"rate": {"unit": "hour"}},
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("half_day", TS_FMT_SPARK).alias("half_day"),
+        "doc_count",
+        F.round("value_per_day", 6).alias("value_per_day"),
+        F.round(F.col("events_per_hour").cast("double"), 6).alias("events_per_hour"),
+    ).orderBy("half_day")
+
+
+@query(
+    "aggs_composite_date_after",
+    oracle="""
+WITH buckets AS (
+  SELECT date_trunc('day', ts) AS day_ts, event_type,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         round(sum(value), 6) AS total
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT strftime(day_ts, '%Y-%m-%d %H:%M:%S') AS day, event_type, doc_count, total
+FROM buckets
+WHERE (day_ts > TIMESTAMP '2024-01-03 00:00:00')
+   OR (day_ts = TIMESTAMP '2024-01-03 00:00:00' AND event_type > 'error')
+ORDER BY day_ts, event_type
+LIMIT 7
+""",
+)
+def aggs_composite_date_after(spark, sf_dir):
+    """`composite` with a date_histogram source + `after` resume cursor
+    (the keyset-pagination shape ES uses for billions of buckets): key-
+    ascending order, strictly-after lexicographic tuple filter, one page —
+    a TakeOrderedAndProject, never a full bucket sort."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "page": {
+                    "composite": {
+                        "size": 7,
+                        "sources": [
+                            {
+                                "day": {
+                                    "date_histogram": {
+                                        "field": "ts",
+                                        "calendar_interval": "day",
+                                    }
+                                }
+                            },
+                            {"event_type": {"terms": {"field": "event_type"}}},
+                        ],
+                        "after": {
+                            "day": "2024-01-03 00:00:00",
+                            "event_type": "error",
+                        },
+                    },
+                    "aggs": {"total": {"sum": {"field": "value"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("day", TS_FMT_SPARK).alias("day"),
+        "event_type",
+        "doc_count",
+        F.round("total", 6).alias("total"),
+    ).orderBy("day", "event_type")

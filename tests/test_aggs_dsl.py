@@ -64,7 +64,7 @@ def test_sibling_buckets_rejected(ev):
 
 def test_unknown_metric_rejected(ev):
     with pytest.raises(AggsDslError, match="unsupported metric"):
-        compile_aggs(ev, {"x": {"geo_centroid": {"field": "v"}}})
+        compile_aggs(ev, {"x": {"scripted_metric": {"field": "v"}}})
 
 
 def test_json_string_and_wrapped_body(ev):

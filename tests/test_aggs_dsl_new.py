@@ -1,0 +1,225 @@
+"""Edge semantics of the round-4 late aggs-DSL additions: top_metrics,
+t_test, matrix_stats, geo_bounds/geo_centroid, ip_range, nested, global."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from elasticsearch_hadoop_spark.aggs_dsl import (
+    AggsDslError,
+    _cidr_bounds,
+    compile_aggs,
+)
+
+
+def test_cidr_bounds_alignment():
+    lo, hi = _cidr_bounds("10.2.0.0/15")
+    assert (lo, hi) == ((10 << 24) + (2 << 16), (10 << 24) + (4 << 16))
+    # unaligned base is floored to the network address
+    lo2, hi2 = _cidr_bounds("10.3.7.9/15")
+    assert (lo2, hi2) == (lo, hi)
+    with pytest.raises(AggsDslError):
+        _cidr_bounds("10.0.0.0/40")
+    with pytest.raises(AggsDslError):
+        _cidr_bounds("10.0.0.0")
+
+
+def test_ip_range_overlap_multibucket(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.1.2.3",), ("10.2.0.1",), ("11.0.0.0",)], "ip string"
+    )
+    out = compile_aggs(
+        df,
+        {
+            "b": {
+                "ip_range": {
+                    "field": "ip",
+                    "ranges": [
+                        {"key": "lo", "to": "10.2.0.0"},
+                        {"mask": "10.0.0.0/23"},  # 10.0.0.0 - 10.0.2.0
+                    ],
+                }
+            }
+        },
+    )
+    rows = {r["b"]: r["doc_count"] for r in out.collect()}
+    # 10.0.0.5 is in BOTH buckets; 10.2.0.1 misses `lo` (to is EXCLUSIVE);
+    # 11.0.0.0 lands nowhere
+    assert rows == {"lo": 2, "10.0.0.0/23": 1}
+
+
+def test_top_metrics_tie_and_size(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (1, 10.0, 7.0), (1, 9.0, 100.0)], "g int, s double, m double"
+    )
+    out = compile_aggs(
+        df,
+        {
+            "g": {
+                "terms": {"field": "g"},
+                "aggs": {
+                    "top": {
+                        "top_metrics": {
+                            "metrics": [{"field": "m"}],
+                            "sort": {"s": "desc"},
+                        }
+                    }
+                },
+            }
+        },
+    ).collect()
+    # ties on s=10.0 break by max metric (desc) -> 7.0, never 5.0 or 100.0
+    assert out[0]["top_m"] == 7.0
+    assert out[0]["top_sort"] == 10.0
+    with pytest.raises(AggsDslError):
+        compile_aggs(
+            df,
+            {
+                "t": {
+                    "top_metrics": {
+                        "metrics": [{"field": "m"}],
+                        "sort": {"s": "desc"},
+                        "size": 3,
+                    }
+                }
+            },
+        )
+
+
+def test_t_test_types_against_closed_form(spark):
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0, 8.0]
+    df = spark.createDataFrame(list(zip(a, b)), "a double, b double")
+    out = compile_aggs(
+        df,
+        {
+            "welch": {"t_test": {"a": {"field": "a"}, "b": {"field": "b"}}},
+            "paired": {
+                "t_test": {"a": {"field": "a"}, "b": {"field": "b"}, "type": "paired"}
+            },
+        },
+    ).collect()[0]
+    ma, mb = 2.5, 5.0
+    va, vb = 5.0 / 3, 20.0 / 3
+    welch = (ma - mb) / math.sqrt(va / 4 + vb / 4)
+    d = [x - y for x, y in zip(a, b)]
+    md = sum(d) / 4
+    sd = math.sqrt(sum((x - md) ** 2 for x in d) / 3)
+    paired = md / (sd / 2)
+    assert out["welch"] == pytest.approx(welch)
+    assert out["paired"] == pytest.approx(paired)
+
+
+def test_matrix_stats_complete_observations(spark):
+    # the row with a null in ANY field is dropped from EVERY statistic
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, None)], "x double, y double"
+    )
+    out = compile_aggs(
+        df, {"ms": {"matrix_stats": {"fields": ["x", "y"]}}}
+    ).collect()[0]
+    assert out["ms_count"] == 2
+    assert out["ms_x_mean"] == pytest.approx(1.5)
+    assert out["ms_x_y_correlation"] == pytest.approx(1.0)
+
+
+def test_nested_doc_count_is_element_count(spark):
+    df = spark.createDataFrame(
+        [(1, [(1.0,), (2.0,)]), (2, [(3.0,)])],
+        "id int, items array<struct<v double>>",
+    )
+    out = compile_aggs(
+        df,
+        {
+            "n": {
+                "nested": {"path": "items"},
+                "aggs": {"avg_v": {"avg": {"field": "items.v"}}},
+            }
+        },
+    ).collect()[0]
+    assert out["doc_count"] == 3  # nested docs, not parent docs
+    assert out["avg_v"] == pytest.approx(2.0)
+
+
+def test_global_requires_base_df(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(AggsDslError, match="base_df"):
+        compile_aggs(df, {"g": {"global": {}, "aggs": {"m": {"max": {"field": "x"}}}}})
+
+
+def test_geo_centroid_skips_partial_points(spark):
+    df = spark.createDataFrame(
+        [((1.0, 2.0),), ((3.0, 4.0),), ((None, 9.0),)],
+        "loc struct<lat double, lon double>",
+    )
+    out = compile_aggs(df, {"c": {"geo_centroid": {"field": "loc"}}}).collect()[0]
+    assert out["c_count"] == 2
+    assert out["c_lat"] == pytest.approx(2.0)
+    assert out["c_lon"] == pytest.approx(3.0)
+
+
+def test_normalize_methods(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 1.0), (2, 2.0), (3, 3.0)], "g int, v double"
+    )
+    out = compile_aggs(
+        df,
+        {
+            "g": {
+                "terms": {"field": "g"},
+                "aggs": {
+                    "s": {"sum": {"field": "v"}},
+                    "pct": {
+                        "normalize": {"buckets_path": "s", "method": "percent_of_sum"}
+                    },
+                    "r01": {
+                        "normalize": {"buckets_path": "s", "method": "rescale_0_1"}
+                    },
+                    "soft": {"normalize": {"buckets_path": "s", "method": "softmax"}},
+                },
+            }
+        },
+    )
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows[1]["pct"] == pytest.approx(2 / 7)
+    assert rows[2]["r01"] == pytest.approx(0.0)  # min bucket (s=2) -> 0
+    assert rows[3]["r01"] == pytest.approx(1.0)
+    total = sum(math.exp(s) for s in (2.0, 2.0, 3.0))
+    assert rows[3]["soft"] == pytest.approx(math.exp(3.0) / total)
+    with pytest.raises(AggsDslError, match="unknown method"):
+        compile_aggs(
+            df,
+            {
+                "g": {
+                    "terms": {"field": "g"},
+                    "aggs": {
+                        "s": {"sum": {"field": "v"}},
+                        "n": {"normalize": {"buckets_path": "s", "method": "nope"}},
+                    },
+                }
+            },
+        )
+
+
+def test_rate_requires_fixed_interval_parent(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, h), 10.0) for h in range(4)],
+        "ts timestamp, v double",
+    )
+    out = compile_aggs(
+        df,
+        {
+            "b": {
+                "date_histogram": {"field": "ts", "fixed_interval": "2h"},
+                "aggs": {"per_hour": {"rate": {"field": "v", "unit": "hour"}}},
+            }
+        },
+    ).collect()
+    # 2 docs x 10.0 per 2h bucket -> 10.0 per hour
+    assert all(r["per_hour"] == pytest.approx(10.0) for r in out)
+    with pytest.raises(AggsDslError, match="fixed_interval"):
+        compile_aggs(df, {"r": {"rate": {"field": "v", "unit": "hour"}}})
