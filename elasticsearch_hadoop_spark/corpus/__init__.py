@@ -129,6 +129,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggs_dsl_queries,
         dedup,
         geo,
+        ingest_queries,
         joins,
         lateral_ops,
         multimodal,
@@ -143,6 +144,7 @@ def load_all() -> dict[str, QuerySpec]:
         subqueries,
         text_analysis,
         tpch_full,
+        transform_eql,
         tpch_more,
         udf_surface,
         windows,

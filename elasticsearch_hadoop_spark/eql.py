@@ -1,0 +1,138 @@
+"""EQL sequences — ordered event funnels, shuffle-bounded.
+
+ES's Event Query Language matches ordered event sequences per entity:
+
+    sequence by user_id with maxspan=30m
+      [ any where event_type == "view" ]
+      [ any where event_type == "click" ]
+      [ any where event_type == "purchase" ]
+
+Each step's ``[ ... ]`` filter is a query-DSL clause here (compiled by
+``query_dsl.compile_query`` into a codegen Column predicate).
+
+Matching semantics (documented precisely because ES's engine has
+shard-order-dependent corners): **forward earliest-match** — for every
+step-1 event, the sequence binds the EARLIEST step-2 event strictly after
+it (per ``by`` key), then the earliest step-3 event strictly after that
+one, and so on; the whole sequence must fit inside ``maxspan`` measured
+from the step-1 timestamp.  A later-step event may serve multiple
+step-1 anchors (ES's engine consumes events greedily instead; with
+distinct per-step filters, as in every realistic rule, anchors rarely
+contend and both semantics find the same funnels).  Deterministic: ties
+on the timestamp never match (strictly-after), so results are stable
+under any shard order.
+
+Implementation — the union-tag window trick per transition, NOT a range
+join: union(anchor rows, step-k rows) partitioned by the ``by`` key,
+ordered by timestamp DESCENDING with anchors first at equal ts, then
+``last(payload, ignoreNulls=True)`` carries the earliest strictly-later
+step-k event onto each anchor.  Each of the N-1 transitions is one
+shuffle on the entity key + a per-partition sort — O(n log n) total, no
+candidate-pair blowup, so a 3-step funnel over 100 TB of events costs
+the same shape as two as-of joins (`operators/asof.py` is the backward
+twin of this forward carry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+
+class EqlError(ValueError):
+    pass
+
+
+def _forward_earliest(
+    anchors: DataFrame,
+    events: DataFrame,
+    step_pred,
+    by: list[str],
+    ts: str,
+    anchor_ts: str,
+    out_prefix: str,
+    payload: list[str],
+) -> DataFrame:
+    """For each anchor row, attach the earliest event matching step_pred
+    with event.ts strictly greater than anchor[anchor_ts]."""
+    rhs = (
+        events.filter(step_pred)
+        .select(
+            *by,
+            F.col(ts).alias("__ts"),
+            F.struct(
+                F.col(ts).alias("__step_ts"),
+                *[F.col(c) for c in payload],
+            ).alias("__payload"),
+        )
+        .withColumn("__is_anchor", F.lit(0))
+    )
+    lhs = (
+        anchors.withColumn("__ts", F.col(anchor_ts))
+        .withColumn("__is_anchor", F.lit(1))
+        .withColumn("__payload", F.lit(None).cast(rhs.schema["__payload"].dataType))
+    )
+    for c in lhs.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
+    unioned = lhs.unionByName(rhs.select(*lhs.columns))
+    # DESC by ts: predecessors have ts >= current; `last` non-null payload
+    # = the step event with the SMALLEST such ts.  Anchors sort before
+    # step rows at equal ts (__is_anchor DESC), so an equal-ts step event
+    # is not yet visible -> strictly-after semantics.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__ts").desc(), F.col("__is_anchor").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "__carried", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_anchor") == 1)
+    cols = [F.col("__carried.__step_ts").alias(f"{out_prefix}_{ts}")]
+    cols += [F.col(f"__carried.{c}").alias(f"{out_prefix}_{c}") for c in payload]
+    return out.select(
+        *[c for c in anchors.columns if not c.startswith("__")], *cols
+    ).filter(F.col(f"{out_prefix}_{ts}").isNotNull())
+
+
+def eql_sequence(
+    df: DataFrame,
+    by: list[str] | str,
+    ts: str,
+    steps: list[dict],
+    maxspan: str | None = None,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Match an N-step EQL sequence; returns one row per matched sequence
+    with ``step{i}_<ts>`` (+ ``step{i}_<payload>``) columns.
+
+    steps: query-DSL clause per step (``{"term": {...}}`` etc.).
+    maxspan: SQL interval string (e.g. ``"30 minutes"``) bounding
+    last-step ts - first-step ts.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if len(steps) < 2:
+        raise EqlError("a sequence needs at least 2 steps")
+    payload = list(payload or [])
+    preds = [compile_query(s) for s in steps]
+
+    anchors = df.filter(preds[0]).select(
+        *by,
+        F.col(ts).alias(f"step1_{ts}"),
+        *[F.col(c).alias(f"step1_{c}") for c in payload],
+    )
+    cur = anchors
+    prev_ts = f"step1_{ts}"
+    for i, pred in enumerate(preds[1:], start=2):
+        cur = _forward_earliest(
+            cur, df, pred, by, ts, prev_ts, f"step{i}", payload
+        )
+        prev_ts = f"step{i}_{ts}"
+    if maxspan is not None:
+        cur = cur.filter(
+            F.col(prev_ts) <= F.col(f"step1_{ts}") + F.expr(f"INTERVAL {maxspan}")
+        )
+    return cur

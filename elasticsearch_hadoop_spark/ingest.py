@@ -1,0 +1,363 @@
+"""ES ingest pipelines — processor chains compiled to Column expressions.
+
+ES ingest nodes run a JSON-declared processor pipeline over every document
+before indexing:
+
+    PUT _ingest/pipeline/my-pipeline
+    {"processors": [
+        {"lowercase": {"field": "source"}},
+        {"convert":   {"field": "n", "type": "double"}},
+        {"date":      {"field": "raw_ts", "formats": ["yyyy-MM-dd"]}},
+        {"drop":      {"if": "ctx.status == 'spam'"}}
+    ]}
+
+The reference connector (SURVEY.md §2.A A5: `es.ingest.pipeline`) only
+*names* a server-side pipeline on its bulk requests; the server does the
+work.  Here there is no server, so the same pipeline JSON compiles to a
+``DataFrame -> DataFrame`` transform in which every processor is a
+whole-stage-codegen Column expression — documents never leave the JVM, and
+the pipeline composes with any downstream operator or sink.
+
+Supported processors (each accepts the standard ``if`` conditional, a
+painless-lite predicate over ``ctx.field`` references, except where noted):
+
+- ``set`` — literal ``value`` (with ``{{field}}`` mustache templates),
+  ``copy_from`` (dotted paths traverse structs/maps), ``override: false``
+  honors existing non-null values
+- ``rename`` / ``remove`` (no ``if``: schema edits are unconditional)
+- ``convert`` — integer/long/float/double/string/boolean
+- ``date`` — first-match-wins ``formats`` list parsed to ``target_field``
+  (default ``@timestamp``)
+- ``split`` / ``join`` / ``gsub`` / ``lowercase`` / ``uppercase`` /
+  ``trim`` / ``append``
+- ``dissect`` — ``%{key}`` patterns become one regexp with capture groups
+- ``kv`` — ``field_split``/``value_split`` to a ``map<string,string>``
+- ``json`` — parse a JSON-string field to ``map<string,string>``
+- ``fingerprint`` — md5/sha-1/sha-256 over ``fields`` (NUL-joined, the
+  ES concatenation contract)
+- ``script`` — ``ctx.target = <painless-lite expr>`` (same whitelist as
+  runtime fields)
+- ``uri_parts`` — scheme/domain/path/query struct via JVM ``parse_url``
+- ``drop`` — ``if`` predicate removes the document (a filter, so it
+  prunes downstream work instead of tombstoning)
+
+Anything else raises ``IngestError`` — no silent skips.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elasticsearch_hadoop_spark.runtime_fields import RuntimeFieldError, compile_script
+
+_CTX_REF = re.compile(r"ctx\.([A-Za-z_][A-Za-z0-9_.]*)")
+_MUSTACHE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\}\}")
+_SCRIPT_ASSIGN = re.compile(
+    r"^\s*ctx\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*;?\s*$", flags=re.S
+)
+_DISSECT_KEY = re.compile(r"%\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+_CONVERT_TYPES = {
+    "integer": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+class IngestError(ValueError):
+    pass
+
+
+def _ctx_to_doc(expr: str) -> str:
+    """Rewrite ingest-script ``ctx.field`` refs to the runtime-field
+    ``doc['field'].value`` form so one painless-lite compiler serves both."""
+    return _CTX_REF.sub(lambda m: f"doc['{m.group(1)}'].value", expr)
+
+
+def compile_condition(cond: str) -> Column:
+    """An ingest-processor ``if`` predicate -> boolean Column."""
+    try:
+        return compile_script(f"emit({_ctx_to_doc(cond)})")
+    except RuntimeFieldError as e:
+        raise IngestError(f"unsupported if condition {cond!r}: {e}") from e
+
+
+def _path_col(path: str) -> Column:
+    """Dotted path -> Column, traversing struct fields / map keys."""
+    parts = path.split(".")
+    col = F.col(parts[0])
+    for p in parts[1:]:
+        col = col.getItem(p)
+    return col
+
+
+def _template_value(value) -> Column:
+    """A ``set`` value: ``{{field}}`` mustache templates interpolate
+    column values (ES's template snippets); plain scalars stay literal."""
+    if not isinstance(value, str) or not _MUSTACHE.search(value):
+        return F.lit(value)
+    pieces: list[Column] = []
+    pos = 0
+    for m in _MUSTACHE.finditer(value):
+        if m.start() > pos:
+            pieces.append(F.lit(value[pos : m.start()]))
+        pieces.append(_path_col(m.group(1)).cast("string"))
+        pos = m.end()
+    if pos < len(value):
+        pieces.append(F.lit(value[pos:]))
+    return F.concat(*pieces)
+
+
+def _guarded(df: DataFrame, field: str, new: Column, cond: str | None) -> DataFrame:
+    """Apply a column edit, honoring the processor's ``if`` (rows failing
+    the predicate keep their old value — or null for a brand-new field)."""
+    if cond is None:
+        return df.withColumn(field, new)
+    c = compile_condition(cond)
+    old = F.col(field) if field in df.columns else F.lit(None)
+    return df.withColumn(field, F.when(c, new).otherwise(old))
+
+
+def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
+    """``%{a}-%{b}`` -> anchored regex with one capture group per key; the
+    literal separators between keys are regex-escaped."""
+    keys = _DISSECT_KEY.findall(pattern)
+    if not keys:
+        raise IngestError(f"dissect pattern has no %{{key}} captures: {pattern!r}")
+    if len(set(keys)) != len(keys):
+        raise IngestError(f"duplicate dissect keys in {pattern!r}")
+    parts = _DISSECT_KEY.split(pattern)
+    # parts = [lit0, key1, lit1, key2, lit2, ...]
+    rx = "^" + re.escape(parts[0])
+    for i, lit in zip(range(1, len(parts), 2), parts[2::2]):
+        # non-greedy unless this is the trailing key with no separator after
+        rx += "(.*)" if lit == "" and i == len(parts) - 2 else "(.*?)"
+        rx += re.escape(lit)
+    return rx + "$", keys
+
+
+def _apply_one(df: DataFrame, kind: str, cfg: dict) -> DataFrame:
+    cond = cfg.get("if")
+    field = cfg.get("field")
+    target = cfg.get("target_field", field)
+
+    if kind == "set":
+        tgt = cfg["field"]
+        if "copy_from" in cfg:
+            new = _path_col(cfg["copy_from"])
+        elif "value" in cfg:
+            new = _template_value(cfg["value"])
+        else:
+            raise IngestError("set needs value or copy_from")
+        if not cfg.get("override", True) and tgt in df.columns:
+            new = F.coalesce(F.col(tgt), new)
+        return _guarded(df, tgt, new, cond)
+
+    if kind == "rename":
+        if cond is not None:
+            raise IngestError("rename is a schema edit; per-row if unsupported")
+        if field not in df.columns:
+            raise IngestError(f"rename: no column {field!r}")
+        return df.withColumnRenamed(field, cfg["target_field"])
+
+    if kind == "remove":
+        if cond is not None:
+            raise IngestError("remove is a schema edit; per-row if unsupported")
+        fields = field if isinstance(field, list) else [field]
+        return df.drop(*fields)
+
+    if kind == "convert":
+        t = _CONVERT_TYPES.get(cfg.get("type"))
+        if t is None:
+            raise IngestError(f"convert: unsupported type {cfg.get('type')!r}")
+        return _guarded(df, target, F.col(field).cast(t), cond)
+
+    if kind == "date":
+        formats = cfg.get("formats") or ["ISO8601"]
+        tgt = cfg.get("target_field", "@timestamp")
+        attempts = []
+        for fmt in formats:
+            if fmt == "ISO8601":
+                attempts.append(F.to_timestamp(F.col(field)))
+            elif fmt == "UNIX":
+                attempts.append(F.timestamp_seconds(F.col(field).cast("double")))
+            elif fmt == "UNIX_MS":
+                attempts.append(F.timestamp_millis(F.col(field).cast("bigint")))
+            else:
+                attempts.append(F.try_to_timestamp(F.col(field), F.lit(fmt)))
+        return _guarded(df, tgt, F.coalesce(*attempts), cond)
+
+    if kind == "split":
+        return _guarded(df, target, F.split(F.col(field), cfg["separator"]), cond)
+
+    if kind == "join":
+        return _guarded(
+            df, target, F.array_join(F.col(field), cfg["separator"]), cond
+        )
+
+    if kind == "gsub":
+        new = F.regexp_replace(F.col(field), cfg["pattern"], cfg["replacement"])
+        return _guarded(df, target, new, cond)
+
+    if kind in ("lowercase", "uppercase", "trim"):
+        fn = {"lowercase": F.lower, "uppercase": F.upper, "trim": F.trim}[kind]
+        return _guarded(df, target, fn(F.col(field)), cond)
+
+    if kind == "append":
+        base = (
+            F.col(field)
+            if field in df.columns
+            else F.lit(None).cast(T.ArrayType(T.StringType()))
+        )
+        addition = F.array(_template_value(cfg["value"]))
+        new = F.when(base.isNull(), addition).otherwise(F.concat(base, addition))
+        return _guarded(df, field, new, cond)
+
+    if kind == "dissect":
+        rx, keys = _dissect_regex(cfg["pattern"])
+        out = df
+        for i, k in enumerate(keys, start=1):
+            out = _guarded(out, k, F.regexp_extract(F.col(field), rx, i), cond)
+        return out
+
+    if kind == "kv":
+        new = F.str_to_map(
+            F.col(field), F.lit(cfg["field_split"]), F.lit(cfg["value_split"])
+        )
+        return _guarded(df, target, new, cond)
+
+    if kind == "json":
+        new = F.from_json(F.col(field), "map<string,string>")
+        return _guarded(df, target, new, cond)
+
+    if kind == "fingerprint":
+        fields = cfg["fields"]
+        tgt = cfg.get("target_field", "fingerprint")
+        # ES joins field values with NUL separators before hashing
+        joined = F.concat_ws("\x00", *[F.col(f).cast("string") for f in fields])
+        method = cfg.get("method", "SHA-1").lower()
+        if method == "md5":
+            new = F.md5(joined)
+        elif method in ("sha-1", "sha1"):
+            new = F.sha1(joined)
+        elif method in ("sha-256", "sha256"):
+            new = F.sha2(joined, 256)
+        else:
+            raise IngestError(f"fingerprint: unsupported method {cfg['method']!r}")
+        return _guarded(df, tgt, new, cond)
+
+    if kind == "script":
+        src = cfg.get("source") or (cfg.get("script") or {}).get("source", "")
+        m = _SCRIPT_ASSIGN.match(str(src))
+        if not m:
+            raise IngestError(
+                f"script must be a single 'ctx.field = expr': {src!r}"
+            )
+        tgt, expr = m.group(1), m.group(2)
+        try:
+            new = compile_script(f"emit({_ctx_to_doc(expr)})")
+        except RuntimeFieldError as e:
+            raise IngestError(f"unsupported script {src!r}: {e}") from e
+        return _guarded(df, tgt, new, cond)
+
+    if kind == "uri_parts":
+        tgt = cfg.get("target_field", "url")
+        u = F.col(field)
+        new = F.struct(
+            F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)).alias(
+                "scheme"
+            ),
+            F.parse_url(u, F.lit("HOST")).alias("domain"),
+            F.parse_url(u, F.lit("PATH")).alias("path"),
+            F.parse_url(u, F.lit("QUERY")).alias("query"),
+        )
+        return _guarded(df, tgt, new, cond)
+
+    if kind == "drop":
+        if cond is None:
+            raise IngestError("drop without an if would delete every document")
+        return df.filter(~compile_condition(cond))
+
+    raise IngestError(f"unsupported processor {kind!r}")
+
+
+_SUPPORTED = {
+    "set", "rename", "remove", "convert", "date", "split", "join", "gsub",
+    "lowercase", "uppercase", "trim", "append", "dissect", "kv", "json",
+    "fingerprint", "script", "uri_parts", "drop",
+}
+
+
+def _precheck(kind: str, cfg: dict) -> None:
+    """Compile-time validation so a bad pipeline fails at declaration, not
+    mid-job on the first micro-batch."""
+    if kind not in _SUPPORTED:
+        raise IngestError(f"unsupported processor {kind!r}")
+    if "if" in cfg:
+        if kind in ("rename", "remove"):
+            raise IngestError(f"{kind} is a schema edit; per-row if unsupported")
+        compile_condition(cfg["if"])
+    if kind == "drop" and "if" not in cfg:
+        raise IngestError("drop without an if would delete every document")
+    if kind == "set" and "value" not in cfg and "copy_from" not in cfg:
+        raise IngestError("set needs value or copy_from")
+    if kind == "convert" and cfg.get("type") not in _CONVERT_TYPES:
+        raise IngestError(f"convert: unsupported type {cfg.get('type')!r}")
+    if kind == "fingerprint" and cfg.get("method", "SHA-1").lower() not in (
+        "md5", "sha-1", "sha1", "sha-256", "sha256"
+    ):
+        raise IngestError(f"fingerprint: unsupported method {cfg['method']!r}")
+    if kind == "dissect":
+        _dissect_regex(cfg.get("pattern", ""))
+    if kind == "script":
+        src = cfg.get("source") or (cfg.get("script") or {}).get("source", "")
+        m = _SCRIPT_ASSIGN.match(str(src))
+        if not m:
+            raise IngestError(f"script must be a single 'ctx.field = expr': {src!r}")
+        try:
+            compile_script(f"emit({_ctx_to_doc(m.group(2))})")
+        except RuntimeFieldError as e:
+            raise IngestError(f"unsupported script {src!r}: {e}") from e
+
+
+def compile_pipeline(pipeline: dict | list):
+    """Pipeline JSON (or a bare processor list) -> ``DataFrame -> DataFrame``.
+
+    Processors apply in declaration order; later processors see earlier
+    processors' fields, exactly the ES contract.
+    """
+    processors = (
+        pipeline.get("processors", []) if isinstance(pipeline, dict) else pipeline
+    )
+    if not isinstance(processors, list) or not processors:
+        raise IngestError("pipeline needs a non-empty processors list")
+    steps: list[tuple[str, dict]] = []
+    for p in processors:
+        if not isinstance(p, dict) or len(p) != 1:
+            raise IngestError(f"each processor must be a single-key object: {p!r}")
+        (kind, cfg), = p.items()
+        if not isinstance(cfg, dict):
+            raise IngestError(f"processor {kind!r} config must be an object")
+        _precheck(kind, cfg)
+        steps.append((kind, cfg))
+
+    def run(df: DataFrame) -> DataFrame:
+        out = df
+        for kind, cfg in steps:
+            out = _apply_one(out, kind, cfg)
+        return out
+
+    return run
+
+
+def simulate(spark, pipeline: dict | list, docs: list[dict]) -> DataFrame:
+    """``_ingest/pipeline/_simulate``: run the pipeline over inline docs."""
+    df = spark.createDataFrame(docs)  # type: ignore[arg-type]
+    return compile_pipeline(pipeline)(df)

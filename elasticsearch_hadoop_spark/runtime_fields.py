@@ -99,7 +99,10 @@ def compile_script(script: str | dict) -> Column:
         body = f"if({tern[0]}, {tern[1]}, {tern[2]})"
     elif len(tern) != 1:
         raise RuntimeFieldError(f"only a single non-nested ternary is supported: {script!r}")
-    residue = re.sub(r"`[A-Za-z0-9_.]+`", "", body)
+    # single-quoted string literals (no embedded quotes/escapes) are legal
+    # painless AND legal Spark SQL — mask them before the character/token
+    # whitelists so string comparisons (ctx.lang == 'en') compile
+    residue = re.sub(r"'[^'\\]*'", "0", re.sub(r"`[A-Za-z0-9_.]+`", "", body))
     if not _EXPR_OK.match(residue):
         raise RuntimeFieldError(f"unsupported script syntax: {script!r}")
     # every bare identifier left must be a whitelisted function/keyword —

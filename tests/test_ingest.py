@@ -1,0 +1,167 @@
+"""Ingest-pipeline unit tests: processor semantics, conditionals, and the
+reject-don't-approximate error contract (ingest.py)."""
+
+import pytest
+
+from elasticsearch_hadoop_spark.ingest import (
+    IngestError,
+    _dissect_regex,
+    compile_condition,
+    compile_pipeline,
+    simulate,
+)
+
+
+def rows(df):
+    return [r.asDict(recursive=True) for r in df.orderBy(df.columns[0]).collect()]
+
+
+def test_set_template_and_override(spark):
+    docs = [{"id": 1, "name": "a", "tag": None}, {"id": 2, "name": "b", "tag": "keep"}]
+    out = simulate(
+        spark,
+        [
+            {"set": {"field": "greeting", "value": "hi {{name}}!"}},
+            {"set": {"field": "tag", "value": "default", "override": False}},
+        ],
+        docs,
+    )
+    r = rows(out)
+    assert [x["greeting"] for x in r] == ["hi a!", "hi b!"]
+    assert [x["tag"] for x in r] == ["default", "keep"]
+
+
+def test_conditional_set_and_drop(spark):
+    docs = [{"id": 1, "lang": "en"}, {"id": 2, "lang": "fr"}, {"id": 3, "lang": "es"}]
+    out = simulate(
+        spark,
+        [
+            {"set": {"field": "flag", "value": "anglo", "if": "ctx.lang == 'en'"}},
+            {"drop": {"if": "ctx.lang == 'es'"}},
+        ],
+        docs,
+    )
+    r = rows(out)
+    assert [(x["id"], x["flag"]) for x in r] == [(1, "anglo"), (2, None)]
+
+
+def test_rename_remove_convert_roundtrip(spark):
+    docs = [{"id": 1, "n": "42"}]
+    out = simulate(
+        spark,
+        [
+            {"convert": {"field": "n", "type": "long", "target_field": "n_long"}},
+            {"rename": {"field": "n", "target_field": "n_raw"}},
+            {"remove": {"field": "n_raw"}},
+        ],
+        docs,
+    )
+    r = rows(out)
+    assert r == [{"id": 1, "n_long": 42}]
+
+
+def test_date_formats_first_match_wins(spark):
+    docs = [{"id": 1, "when": "2024-03-01 10:00:00"}, {"id": 2, "when": "03/02/2024"}]
+    out = simulate(
+        spark,
+        [{"date": {"field": "when", "formats": ["MM/dd/yyyy", "yyyy-MM-dd HH:mm:ss"]}}],
+        docs,
+    )
+    r = rows(out)
+    assert str(r[0]["@timestamp"]).startswith("2024-03-01 10:00:00")
+    assert str(r[1]["@timestamp"]).startswith("2024-03-02")
+
+
+def test_split_join_gsub_append(spark):
+    docs = [{"id": 1, "csv": "a,b,c"}]
+    out = simulate(
+        spark,
+        [
+            {"split": {"field": "csv", "separator": ",", "target_field": "parts"}},
+            {"append": {"field": "parts", "value": "d"}},
+            {"join": {"field": "parts", "separator": "-", "target_field": "dashed"}},
+            {"gsub": {"field": "dashed", "pattern": "-", "replacement": "+"}},
+        ],
+        docs,
+    )
+    assert rows(out)[0]["dashed"] == "a+b+c+d"
+
+
+def test_dissect_kv_json_fingerprint(spark):
+    docs = [{"id": 1, "line": "GET /x 200", "kvs": "a=1;b=2", "js": '{"z": 9}'}]
+    out = simulate(
+        spark,
+        [
+            {"dissect": {"field": "line", "pattern": "%{verb} %{path} %{code}"}},
+            {"kv": {"field": "kvs", "field_split": ";", "value_split": "="}},
+            {"json": {"field": "js", "target_field": "jm"}},
+            {"set": {"field": "b_val", "copy_from": "kvs.b"}},
+            {"set": {"field": "z_val", "copy_from": "jm.z"}},
+            {"fingerprint": {"fields": ["verb", "code"], "method": "MD5", "target_field": "fp"}},
+        ],
+        docs,
+    )
+    r = rows(out)[0]
+    assert (r["verb"], r["path"], r["code"]) == ("GET", "/x", "200")
+    assert r["b_val"] == "2" and r["z_val"] == "9"
+    import hashlib
+
+    assert r["fp"] == hashlib.md5(b"GET\x00200").hexdigest()
+
+
+def test_dissect_regex_shape():
+    rx, keys = _dissect_regex("%{a}-%{b}.%{c}")
+    assert keys == ["a", "b", "c"]
+    import re
+
+    m = re.match(rx, "x-y.z")
+    assert m.groups() == ("x", "y", "z")
+    with pytest.raises(IngestError):
+        _dissect_regex("no captures")
+    with pytest.raises(IngestError):
+        _dissect_regex("%{a}-%{a}")
+
+
+def test_script_and_uri_parts(spark):
+    docs = [{"id": 1, "n": 7, "u": "https://h.example.com/p/q?x=1"}]
+    out = simulate(
+        spark,
+        [
+            {"script": {"source": "ctx.n2 = ctx.n * ctx.n"}},
+            {"uri_parts": {"field": "u", "target_field": "url"}},
+        ],
+        docs,
+    )
+    r = rows(out)[0]
+    assert r["n2"] == 49
+    assert r["url"]["scheme"] == "https"
+    assert r["url"]["domain"] == "h.example.com"
+    assert r["url"]["path"] == "/p/q"
+    assert r["url"]["query"] == "x=1"
+
+
+def test_error_contract(spark):
+    with pytest.raises(IngestError):
+        compile_pipeline([])
+    with pytest.raises(IngestError):
+        compile_pipeline([{"set": {"field": "x", "value": 1}, "extra": {}}])
+    with pytest.raises(IngestError):
+        compile_pipeline([{"geoip": {"field": "ip"}}])  # unsupported processor
+    with pytest.raises(IngestError):
+        compile_pipeline([{"drop": {}}])  # drop without if
+    with pytest.raises(IngestError):
+        compile_pipeline([{"convert": {"field": "x", "type": "ip"}}])
+    with pytest.raises(IngestError):
+        # rename cannot be per-row conditional
+        simulate(spark, [{"rename": {"field": "a", "target_field": "b", "if": "ctx.a == 1"}}], [{"a": 1}])
+    with pytest.raises(IngestError):
+        compile_condition("ctx.a == params.x")  # non-whitelisted identifier
+
+
+def test_condition_string_literals_masked():
+    # string literals must pass the painless-lite whitelist without opening
+    # an injection hole: quotes inside the literal are the literal's problem
+    c = compile_condition("ctx.lang == 'en' || ctx.lang == 'fr'")
+    assert c is not None
+    with pytest.raises(IngestError):
+        compile_condition("ctx.lang == 'a'; drop table --'")

@@ -1,0 +1,135 @@
+"""Unit tests for ES transforms (transform.py) and EQL sequences (eql.py)."""
+
+import datetime as dt
+
+import pytest
+
+from elasticsearch_hadoop_spark.eql import EqlError, eql_sequence
+from elasticsearch_hadoop_spark.transform import (
+    TransformError,
+    run_transform,
+    transform_latest,
+    transform_pivot,
+)
+
+
+def test_pivot_terms_histogram(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 14.0)], "k string, v double"
+    )
+    out = transform_pivot(
+        df,
+        {
+            "group_by": {
+                "k": {"terms": {"field": "k"}},
+                "bucket": {"histogram": {"field": "v", "interval": 10.0}},
+            },
+            "aggregations": {"total": {"sum": {"field": "v"}}},
+        },
+    )
+    got = {(r["k"], r["bucket"]): r["total"] for r in out.collect()}
+    assert got == {("a", 0.0): 4.0, ("b", 10.0): 24.0}
+
+
+def test_pivot_rejects_bad_shapes(spark):
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(TransformError):
+        transform_pivot(df, {"group_by": {}, "aggregations": {"s": {"sum": {"field": "v"}}}})
+    with pytest.raises(TransformError):
+        transform_pivot(df, {"group_by": {"k": {"terms": {"field": "k"}}}, "aggregations": {}})
+    with pytest.raises(TransformError):
+        # range is a bucket agg but NOT a legal pivot source
+        transform_pivot(
+            df,
+            {
+                "group_by": {"k": {"range": {"field": "v", "ranges": [{"to": 1}]}}},
+                "aggregations": {"s": {"sum": {"field": "v"}}},
+            },
+        )
+
+
+def test_latest_tiebreaker(spark):
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, t, 10, "old"), (1, t, 11, "new"), (2, t, 5, "only")],
+        "uid int, ts timestamp, eid int, tag string",
+    )
+    out = transform_latest(df, "uid", "ts", tiebreaker="eid")
+    got = {r["uid"]: r["tag"] for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_run_transform_dispatch(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    assert run_transform(
+        df,
+        {
+            "pivot": {
+                "group_by": {"k": {"terms": {"field": "k"}}},
+                "aggregations": {"s": {"sum": {"field": "v"}}},
+            }
+        },
+    ).count() == 1
+    with pytest.raises(TransformError):
+        run_transform(df, {"settings": {}})
+
+
+def _events(spark):
+    rows = [
+        # uid 1: view -> click -> purchase inside 1h (match)
+        (1, dt.datetime(2024, 1, 1, 10, 0), "view"),
+        (1, dt.datetime(2024, 1, 1, 10, 10), "click"),
+        (1, dt.datetime(2024, 1, 1, 10, 20), "purchase"),
+        # uid 2: click precedes view, purchase never follows (no match)
+        (2, dt.datetime(2024, 1, 1, 9, 0), "click"),
+        (2, dt.datetime(2024, 1, 1, 9, 30), "view"),
+        # uid 3: full funnel but the purchase is 3 days later (maxspan kills)
+        (3, dt.datetime(2024, 1, 1, 8, 0), "view"),
+        (3, dt.datetime(2024, 1, 1, 8, 5), "click"),
+        (3, dt.datetime(2024, 1, 4, 8, 0), "purchase"),
+        # uid 4: equal-ts click must NOT satisfy strictly-after
+        (4, dt.datetime(2024, 1, 1, 7, 0), "view"),
+        (4, dt.datetime(2024, 1, 1, 7, 0), "click"),
+        (4, dt.datetime(2024, 1, 1, 7, 30), "purchase"),
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+
+
+def test_eql_sequence_semantics(spark):
+    df = _events(spark)
+    steps = [
+        {"term": {"event_type": "view"}},
+        {"term": {"event_type": "click"}},
+        {"term": {"event_type": "purchase"}},
+    ]
+    got = eql_sequence(df, by="user_id", ts="ts", steps=steps, maxspan="1 hour").collect()
+    assert [r["user_id"] for r in got] == [1]
+    r = got[0]
+    assert r["step2_ts"] == dt.datetime(2024, 1, 1, 10, 10)
+    assert r["step3_ts"] == dt.datetime(2024, 1, 1, 10, 20)
+    # without maxspan, uid 3 also completes; uid 4 still blocked (equal ts)
+    no_span = eql_sequence(df, by="user_id", ts="ts", steps=steps)
+    assert sorted(r["user_id"] for r in no_span.collect()) == [1, 3]
+
+
+def test_eql_earliest_match_binds_first_candidate(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), "view"),
+        (1, dt.datetime(2024, 1, 1, 10, 5), "click"),
+        (1, dt.datetime(2024, 1, 1, 10, 9), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = eql_sequence(
+        df,
+        by="user_id",
+        ts="ts",
+        steps=[{"term": {"event_type": "view"}}, {"term": {"event_type": "click"}}],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["step2_ts"] == dt.datetime(2024, 1, 1, 10, 5)
+
+
+def test_eql_needs_two_steps(spark):
+    df = _events(spark)
+    with pytest.raises(EqlError):
+        eql_sequence(df, by="user_id", ts="ts", steps=[{"term": {"event_type": "view"}}])
