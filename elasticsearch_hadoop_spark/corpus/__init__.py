@@ -131,6 +131,7 @@ def load_all() -> dict[str, QuerySpec]:
         geo,
         ingest_queries,
         joins,
+        knn_search_queries,
         lateral_ops,
         multimodal,
         packing,

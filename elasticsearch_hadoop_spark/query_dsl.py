@@ -920,7 +920,53 @@ def _simple_query_string(body, id_col):
     return pred
 
 
+def _script_query(body, id_col):
+    """ES `script` query: a painless-lite boolean over doc[...] refs runs
+    as a codegen predicate — {"script": {"script": {"source": ...}}} (or
+    either shorter form)."""
+    from elasticsearch_hadoop_spark.runtime_fields import compile_script
+
+    script = body.get("script", body)
+    if isinstance(script, dict):
+        script = script.get("source", script.get("script", ""))
+    if isinstance(script, dict):
+        script = script.get("source", "")
+    script = str(script).strip()
+    if not script.startswith("emit("):
+        script = f"emit({script})"
+    return compile_script(script).cast("boolean")
+
+
+def _wrapper(body, id_col):
+    """ES `wrapper` query: base64-encoded JSON, decoded and recursed —
+    the connector passes these through opaquely; here the inner query
+    compiles like any other clause."""
+    import base64
+    import json
+
+    try:
+        raw = base64.b64decode(str(body.get("query", "")), validate=True)
+        inner = json.loads(raw.decode("utf-8"))
+    except Exception as e:
+        raise QueryDslError(f"wrapper: invalid base64/JSON payload: {e}") from e
+    return _compile_clause(inner, id_col)
+
+
+def _pinned(body, id_col):
+    """ES `pinned` query, filter semantics: promoted ids OR the organic
+    query.  The promoted-first ORDERING is presentation — rank with
+    search.pinned_order (pinned docs above organic, organic order kept)."""
+    ids = list(body.get("ids", []))
+    organic = _compile_clause(body.get("organic", {"match_all": {}}), id_col)
+    if not ids:
+        return organic
+    return F.col(id_col).isin(ids) | organic
+
+
 _HANDLERS = {
+    "script": _script_query,
+    "wrapper": _wrapper,
+    "pinned": _pinned,
     "geo_distance": _geo_distance,
     "geo_bounding_box": _geo_bounding_box,
     "geo_polygon": _geo_polygon,

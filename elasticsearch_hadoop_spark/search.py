@@ -289,3 +289,148 @@ def terms_enum(
             probe.startswith(prefix.lower() if case_insensitive else prefix)
         )
     return out.distinct().orderBy("term").limit(size)
+
+
+def knn_search(
+    df: DataFrame,
+    knn: dict,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """ES ``knn`` search block (the `_search` top-level ``"knn"`` body /
+    legacy ``_knn_search`` endpoint): exact-scored top-k over a vector
+    column, with the optional pre-``filter``.
+
+        {"field": "embedding", "query_vector": [...], "k": 10,
+         "num_candidates": 100, "filter": {...}, "similarity": "cosine"}
+
+    ``similarity``: cosine (default), dot_product, or l2_norm — scored
+    with ES's published score transforms ((1+cos)/2, (1+dot)/2,
+    1/(1+d²)) so scores land in ES's ranges.  The ``filter`` compiles
+    through the query DSL and applies BEFORE ranking, exactly ES's
+    pre-filter semantics.
+
+    This is the exact path: one scan, score in codegen, top-k as a
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge).
+    ``num_candidates`` is accepted for API parity; the approximate path
+    at scale is `operators/similarity` (IVF / RP-LSH partition-pruned
+    probing), which this endpoint's caller composes when the exact scan
+    is too hot."""
+    from elasticsearch_hadoop_spark.functions.similarity import (
+        cosine_similarity,
+        dot,
+    )
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    field = knn["field"]
+    qv = [float(x) for x in knn["query_vector"]]
+    k = int(knn.get("k", 10))
+    sim = str(knn.get("similarity", "cosine")).lower()
+    out = df
+    if knn.get("filter"):
+        out = out.filter(compile_query(knn["filter"]))
+    a = F.col(field).cast("array<double>")
+    b = F.lit(qv)
+    if sim == "cosine":
+        score = (F.lit(1.0) + cosine_similarity(a, b)) / F.lit(2.0)
+    elif sim == "dot_product":
+        score = (F.lit(1.0) + dot(a, b)) / F.lit(2.0)
+    elif sim == "l2_norm":
+        d2 = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        score = F.lit(1.0) / (F.lit(1.0) + d2)
+    else:
+        raise ValueError(f"knn: unsupported similarity {sim!r}")
+    out = out.withColumn("_score", score)
+    order = [F.col("_score").desc()]
+    if tiebreaker is not None:
+        order.append(F.col(tiebreaker).asc())
+    return out.orderBy(*order).limit(k)
+
+
+def rescore(
+    df: DataFrame,
+    score_col: str,
+    body: dict,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """ES ``rescore``: re-rank the top ``window_size`` hits with a second,
+    costlier query.
+
+        {"window_size": 50,
+         "query": {"rescore_query": {...}, "query_weight": 1.0,
+                   "rescore_query_weight": 2.0, "score_mode": "total"}}
+
+    The rescore_query contributes a score if it is a ``function_score``
+    (compiled to its deterministic score column); any other clause
+    contributes constant 1.0 on match / 0.0 otherwise (filter-as-score).
+    score_mode: total (default) / multiply / avg / max / min.
+
+    Returns the re-ranked WINDOW (ES appends the un-rescored tail; at
+    100 TB the tail is exactly what you don't materialize).  Cost: one
+    TakeOrderedAndProject for the window (window_size rows), then the
+    secondary scoring runs on window_size rows only — the entire point
+    of rescoring."""
+    from elasticsearch_hadoop_spark.query_dsl import (
+        compile_function_score,
+        compile_query,
+    )
+
+    window_size = int(body.get("window_size", 10))
+    q = body.get("query", {})
+    rq = q.get("rescore_query")
+    if rq is None:
+        raise ValueError("rescore needs query.rescore_query")
+    qw = float(q.get("query_weight", 1.0))
+    rw = float(q.get("rescore_query_weight", 1.0))
+    mode = str(q.get("score_mode", "total")).lower()
+
+    order = [F.col(score_col).desc()]
+    if tiebreaker is not None:
+        order.append(F.col(tiebreaker).asc())
+    window = df.orderBy(*order).limit(window_size)
+
+    if isinstance(rq, dict) and "function_score" in rq:
+        pred, sec = compile_function_score(rq["function_score"])
+        sec = F.when(pred, sec).otherwise(F.lit(0.0))
+    else:
+        sec = F.when(compile_query(rq), F.lit(1.0)).otherwise(F.lit(0.0))
+    first = F.col(score_col) * F.lit(qw)
+    second = sec.cast("double") * F.lit(rw)
+    if mode == "total":
+        combined = first + second
+    elif mode == "multiply":
+        combined = first * second
+    elif mode == "avg":
+        combined = (first + second) / F.lit(2.0)
+    elif mode == "max":
+        combined = F.greatest(first, second)
+    elif mode == "min":
+        combined = F.least(first, second)
+    else:
+        raise ValueError(f"rescore: unsupported score_mode {mode!r}")
+    out = window.withColumn(score_col, combined)
+    return out.orderBy(*order)
+
+
+def pinned_order(
+    df: DataFrame, ids: list, organic_sort: list, id_col: str = "_id", size: int | None = None
+) -> DataFrame:
+    """The ordering half of the ``pinned`` query: promoted ids first (in
+    their declared order), then organic hits under ``organic_sort``.
+    One projection + TakeOrderedAndProject — the pin rank is a CASE over
+    a few literals, not a join."""
+    rank = F.lit(len(ids))
+    for i, v in enumerate(reversed(ids)):
+        rank = F.when(F.col(id_col) == F.lit(v), F.lit(len(ids) - 1 - i)).otherwise(rank)
+    out = df.withColumn("__pin", rank)
+    order = [F.col("__pin").asc()]
+    for spec in organic_sort:
+        f, asc = _direction(spec)
+        order.append(F.col(f).asc() if asc else F.col(f).desc())
+    out = out.orderBy(*order)
+    if size is not None:
+        out = out.limit(size)
+    return out.drop("__pin")
