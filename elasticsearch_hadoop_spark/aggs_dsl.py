@@ -169,6 +169,9 @@ def compile_aggs(
     # (name, field): median_absolute_deviation metrics — need the bucket
     # median BEFORE the aggregation pass (window over the key chain)
     mads: list[tuple[str, str]] = []
+    # (name, field): cumulative_cardinality pipelines — need the raw frame
+    # (first-occurrence trick), not just the finished buckets
+    ccs: list[tuple[str, str]] = []
     # histogram/date_histogram with min_doc_count=0: emit empty buckets
     # across [data range ∪ extended_bounds] after the aggregation
     densify: tuple[str, dict, str] | None = None
@@ -214,6 +217,19 @@ def compile_aggs(
                     else F.count(F.lit(1))
                 )
                 metrics.append((base * (unit_secs / dh_secs)).alias(name))
+                continue
+            if "cumulative_cardinality" in body:
+                # needs the raw rows (not re-aggregable from bucket
+                # cardinalities) — resolved against the sibling
+                # cardinality agg's field, applied after the bucket pass
+                path = body["cumulative_cardinality"].get("buckets_path", "")
+                sib = level.get(path)
+                if not isinstance(sib, dict) or "cardinality" not in sib:
+                    raise AggsDslError(
+                        f"cumulative_cardinality {name!r}: buckets_path must "
+                        "name a sibling cardinality agg"
+                    )
+                ccs.append((name, sib["cardinality"]["field"]))
                 continue
             pkind = _pipeline_kind(body)
             if pkind:
@@ -267,10 +283,22 @@ def compile_aggs(
                     "significant_terms must be the only, terminal bucket agg"
                 )
             return _significant_terms(df, df_background, name, body[kind])
+        if kind == "significant_text":
+            if keys or metrics or body.get("aggs") or body.get("aggregations"):
+                raise AggsDslError(
+                    "significant_text must be the only, terminal bucket agg"
+                )
+            return _significant_text(df, df_background, name, body[kind])
         if kind == "rare_terms":
             if keys or metrics or body.get("aggs") or body.get("aggregations"):
                 raise AggsDslError("rare_terms must be the only, terminal bucket agg")
             return _rare_terms(df, name, body[kind])
+        if kind == "variable_width_histogram":
+            if keys or metrics or body.get("aggs") or body.get("aggregations"):
+                raise AggsDslError(
+                    "variable_width_histogram must be the only, terminal bucket agg"
+                )
+            return _variable_width_histogram(df, name, body[kind])
         if kind == "composite":
             if keys or composite is not None:
                 raise AggsDslError("composite must be the only/top-level bucket agg")
@@ -537,10 +565,20 @@ def compile_aggs(
             # composite pagination: key-ascending order, resume strictly
             # after the `after` key tuple (lexicographic), one page of
             # `size` buckets — a TakeOrderedAndProject, never a full sort
+            if ccs:
+                raise AggsDslError(
+                    "cumulative_cardinality needs a plain histogram/"
+                    "date_histogram bucket (no composite paging)"
+                )
             size, after = composite
             if after:
                 out = out.filter(_after_key_gt(key_names, after))
             return out.orderBy(*key_names).limit(size)
+        if (terms_size is not None or terms_order is not None) and ccs:
+            raise AggsDslError(
+                "cumulative_cardinality needs a plain histogram/date_histogram "
+                "bucket (no composite paging or terms ordering)"
+            )
         if terms_size is not None or terms_order is not None:
             order_cols = _terms_order_cols(terms_order)
             if terms_size is not None:
@@ -550,9 +588,11 @@ def compile_aggs(
             return out.orderBy(*order_cols, *key_names)
         if densify is not None:
             out = _densify(df, out, densify)
+        if ccs:
+            out = _apply_cumulative_cardinality(df, out, keys, ccs)
         out = _apply_pipelines(out, key_names, pipelines)
         return out.orderBy(*key_names)
-    if pipelines:
+    if pipelines or ccs:
         raise AggsDslError("pipeline aggs need a bucket agg to run over")
     return df.agg(*metrics)
 
@@ -940,7 +980,8 @@ def _bucket_kind(body: dict) -> str | None:
         "auto_date_histogram", "range", "date_range", "geotile_grid",
         "geohash_grid", "filter", "filters", "adjacency_matrix",
         "sampler", "diversified_sampler", "ip_range", "nested", "global",
-        "composite", "missing", "significant_terms", "rare_terms",
+        "composite", "missing", "significant_terms", "significant_text",
+        "rare_terms", "variable_width_histogram",
     ):
         if kind in body:
             return kind
@@ -979,6 +1020,133 @@ def _significant_terms(
         .select(name, "doc_count", "bg_count", "score")
         .orderBy(F.col("score").desc(), name)
         .limit(size)
+    )
+
+
+def _apply_cumulative_cardinality(
+    df: DataFrame,
+    out: DataFrame,
+    keys: list[tuple[str, Column]],
+    ccs: list[tuple[str, str]],
+) -> DataFrame:
+    """ES cumulative_cardinality: distinct values of the field seen in
+    this bucket OR ANY EARLIER one.  Not re-aggregable from per-bucket
+    cardinalities, so it runs on the raw frame via the first-occurrence
+    trick: each value's first bucket (one shuffle on the value), count of
+    first-appearances per bucket (one tiny shuffle on the bucket key),
+    then a cumulative sum over the finished bucket rows.  Exact, and two
+    map-combined shuffles — never N distinct-counts over growing
+    prefixes.  (ES's own is approximate HLL-merge; this is the exact
+    twin, same shape `operators/sketches.py` covers approximately.)"""
+    from pyspark.sql import Window
+
+    if len(keys) != 1:
+        raise AggsDslError(
+            "cumulative_cardinality needs the histogram/date_histogram to be "
+            "the only keyed bucket level"
+        )
+    key_name, key_expr = keys[0]
+    for name, field in ccs:
+        firsts = (
+            df.filter(F.col(field).isNotNull())
+            .groupBy(F.col(field).alias("__ccv"))
+            .agg(F.min(key_expr).alias(key_name))
+        )
+        news = firsts.groupBy(key_name).agg(F.count(F.lit(1)).alias("__new"))
+        w = Window.orderBy(key_name).rowsBetween(Window.unboundedPreceding, 0)
+        out = (
+            out.join(news, key_name, "left")
+            .withColumn(
+                name, F.sum(F.coalesce(F.col("__new"), F.lit(0))).over(w)
+            )
+            .drop("__new")
+        )
+    return out
+
+
+def _significant_text(
+    fg: DataFrame, bg: DataFrame, name: str, spec: dict
+) -> DataFrame:
+    """ES significant_text: significant_terms over the ANALYZED tokens of
+    a text field.  Per ES, a document counts once per distinct term it
+    contains (``filter_duplicate_text``-adjacent: array_distinct per doc),
+    and the totals are DOCUMENT counts, not token counts — so the totals
+    come from two scalar aggregates broadcast-cross-joined onto the tiny
+    per-term stat frames, never a window over token rows.  JLH score like
+    significant_terms."""
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+
+    field, size = spec["field"], int(spec.get("size", 10))
+
+    def per_term(d: DataFrame, cnt: str) -> DataFrame:
+        toks = d.select(
+            F.explode(F.array_distinct(standard_analyze(F.col(field)))).alias(name)
+        )
+        return toks.groupBy(name).agg(F.count(F.lit(1)).alias(cnt))
+
+    fgs = per_term(fg, "doc_count").crossJoin(
+        F.broadcast(fg.agg(F.count(F.lit(1)).alias("__fg_total")))
+    )
+    bgs = per_term(bg, "bg_count").crossJoin(
+        F.broadcast(bg.agg(F.count(F.lit(1)).alias("__bg_total")))
+    )
+    fgp = F.col("doc_count") / F.col("__fg_total")
+    bgp = F.col("bg_count") / F.col("__bg_total")
+    return (
+        fgs.join(bgs, name)
+        .withColumn("score", (fgp - bgp) * (fgp / bgp))
+        .filter(F.col("score") > 0)
+        .select(name, "doc_count", "bg_count", "score")
+        .orderBy(F.col("score").desc(), name)
+        .limit(size)
+    )
+
+
+def _variable_width_histogram(df: DataFrame, name: str, spec: dict) -> DataFrame:
+    """ES variable_width_histogram: ``buckets`` data-adaptive clusters of a
+    numeric field, each reported as min/max/centroid + doc_count.
+
+    Documented deviation: ES streams approximate 1D clusters whose
+    boundaries depend on shard/collection order; this engine substitutes
+    the deterministic twin — equal-frequency clustering at exact
+    interpolated quantile boundaries.  Same output shape, stable under
+    any partitioning.
+
+    Scale shape: one distributed percentile aggregate (a 1-row frame,
+    broadcast), then bucket assignment is a fold over the boundary array
+    in codegen and one hash aggregation — never a global sort (an NTILE
+    window would single-partition the data; boundaries + assignment keep
+    it shuffle-light)."""
+    field = spec["field"]
+    n = int(spec.get("buckets", 10))
+    if n < 2:
+        raise AggsDslError("variable_width_histogram needs buckets >= 2")
+    c = F.col(field).cast("double")
+    qs = [i / n for i in range(1, n)]
+    bounds = df.filter(c.isNotNull()).agg(
+        F.percentile(c, F.array(*[F.lit(q) for q in qs])).alias("__bounds")
+    )
+    assigned = (
+        df.filter(c.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bucket",
+            F.aggregate(
+                F.col("__bounds"),
+                F.lit(0),
+                lambda acc, b: acc + F.when(c > b, 1).otherwise(0),
+            ),
+        )
+    )
+    return (
+        assigned.groupBy(F.col("__bucket").alias(f"{name}_bucket"))
+        .agg(
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_centroid"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+        .orderBy(f"{name}_bucket")
     )
 
 

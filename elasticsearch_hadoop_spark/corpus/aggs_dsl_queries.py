@@ -1942,3 +1942,157 @@ def aggs_composite_date_after(spark, sf_dir):
         "doc_count",
         F.round("total", 6).alias("total"),
     ).orderBy("day", "event_type")
+
+
+@query(
+    "aggs_significant_text",
+    oracle="""
+WITH toks AS (
+    SELECT DISTINCT doc_id, tok
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+),
+fg_docs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+fg AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS doc_count
+    FROM toks WHERE doc_id IN (SELECT doc_id FROM fg_docs) GROUP BY tok
+),
+bg AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS bg_count FROM toks GROUP BY tok
+),
+fgt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM fg_docs),
+bgt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents)
+SELECT tok, doc_count, bg_count,
+       round((doc_count / fgt.t - bg_count / bgt.t)
+             * ((doc_count / fgt.t) / (bg_count / bgt.t)), 6) AS score
+FROM fg JOIN bg USING (tok), fgt, bgt
+WHERE (doc_count / fgt.t - bg_count / bgt.t)
+      * ((doc_count / fgt.t) / (bg_count / bgt.t)) > 0
+ORDER BY score DESC, tok
+LIMIT 10
+""",
+)
+def aggs_significant_text(spark, sf_dir):
+    """significant_text: JLH-scored tokens over-represented in English
+    docs vs the whole corpus.  Per ES, each doc counts once per distinct
+    term (array_distinct before explode) and totals are DOCUMENT counts —
+    broadcast scalar frames, never a window over token rows."""
+    d = tbl(spark, sf_dir, "documents")
+    out = compile_aggs(
+        d,
+        {
+            "aggs": {
+                "english": {
+                    "filter": {"term": {"lang": "en"}},
+                    "aggs": {
+                        "tok": {"significant_text": {"field": "text", "size": 10}}
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "tok", "doc_count", "bg_count", F.round("score", 6).alias("score")
+    )
+
+
+@query(
+    "aggs_cumulative_cardinality",
+    oracle="""
+WITH b AS (
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq
+    FROM events GROUP BY 1
+),
+f AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1
+),
+n AS (SELECT day, count(*) AS nw FROM f GROUP BY 1)
+SELECT strftime(b.day, '%Y-%m-%d') AS day, b.doc_count, b.uniq,
+       CAST(sum(coalesce(n.nw, 0)) OVER (
+            ORDER BY b.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM b LEFT JOIN n USING (day)
+ORDER BY day
+""",
+)
+def aggs_cumulative_cardinality(spark, sf_dir):
+    """cumulative_cardinality over a daily date_histogram: distinct users
+    seen so far.  Exact first-occurrence implementation — each user's
+    first day (one shuffle on user), first-appearances per day (tiny
+    shuffle), cumulative sum over bucket rows — never a distinct-count
+    per growing prefix.  ES's HLL-merge is the approximate twin
+    (operators/sketches.py)."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "daily": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                    "aggs": {
+                        "uniq": {"cardinality": {"field": "user_id"}},
+                        "cum_users": {
+                            "cumulative_cardinality": {"buckets_path": "uniq"}
+                        },
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("daily", "yyyy-MM-dd").alias("day"),
+        "doc_count",
+        "uniq",
+        "cum_users",
+    ).orderBy("day")
+
+
+@query(
+    "aggs_variable_width_histogram",
+    oracle="""
+WITH bnds AS (
+    SELECT quantile_cont(o_totalprice,
+        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+    FROM orders
+)
+SELECT len(list_filter(bs, b -> o_totalprice > b)) AS price_bucket,
+       round(min(o_totalprice), 2) AS price_min,
+       round(max(o_totalprice), 2) AS price_max,
+       round(avg(o_totalprice), 6) AS price_centroid,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM orders, bnds
+GROUP BY 1
+ORDER BY price_bucket
+""",
+)
+def aggs_variable_width_histogram(spark, sf_dir):
+    """variable_width_histogram (deterministic twin: equal-frequency
+    clusters at exact quantile boundaries — ES's streaming clusters are
+    shard-order dependent, documented deviation).  One distributed
+    percentile aggregate broadcast as a 1-row frame, bucket assignment a
+    codegen fold over the boundary array, one hash agg — never an NTILE
+    global sort."""
+    o = tbl(spark, sf_dir, "orders")
+    out = compile_aggs(
+        o,
+        {
+            "aggs": {
+                "price": {
+                    "variable_width_histogram": {
+                        "field": "o_totalprice",
+                        "buckets": 8,
+                    }
+                }
+            }
+        },
+    )
+    return out.select(
+        "price_bucket",
+        F.round("price_min", 2).alias("price_min"),
+        F.round("price_max", 2).alias("price_max"),
+        F.round("price_centroid", 6).alias("price_centroid"),
+        "doc_count",
+    ).orderBy("price_bucket")

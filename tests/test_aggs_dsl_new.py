@@ -223,3 +223,66 @@ def test_rate_requires_fixed_interval_parent(spark):
     assert all(r["per_hour"] == pytest.approx(10.0) for r in out)
     with pytest.raises(AggsDslError, match="fixed_interval"):
         compile_aggs(df, {"r": {"rate": {"field": "v", "unit": "hour"}}})
+
+
+class TestSignificantTextVwhCumCard:
+    def test_significant_text_terminal_only(self, spark):
+        import pytest
+        from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+        df = spark.createDataFrame([("a b", "x")], "text string, k string")
+        with pytest.raises(AggsDslError):
+            compile_aggs(
+                df,
+                {"aggs": {"k": {"terms": {"field": "k"},
+                                "aggs": {"t": {"significant_text": {"field": "text"}}}}}},
+            )
+
+    def test_variable_width_histogram_buckets(self, spark):
+        from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        out = compile_aggs(
+            df, {"aggs": {"b": {"variable_width_histogram": {"field": "v", "buckets": 4}}}}
+        ).collect()
+        assert len(out) == 4
+        assert [r["doc_count"] for r in out] == [25, 25, 25, 25]
+        assert out[0]["b_min"] == 0.0 and out[3]["b_max"] == 99.0
+        # buckets tile the domain without overlap
+        for lo, hi in zip(out, out[1:]):
+            assert lo["b_max"] < hi["b_min"]
+
+    def test_cumulative_cardinality_first_occurrence(self, spark):
+        import datetime as dt
+
+        from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+        rows = [
+            (dt.datetime(2024, 1, 1, 5), "u1"),
+            (dt.datetime(2024, 1, 1, 6), "u2"),
+            (dt.datetime(2024, 1, 2, 5), "u1"),  # returning user: no growth
+            (dt.datetime(2024, 1, 3, 5), "u3"),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, uid string")
+        out = compile_aggs(
+            df,
+            {"aggs": {"d": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"u": {"cardinality": {"field": "uid"}},
+                         "cum": {"cumulative_cardinality": {"buckets_path": "u"}}}}}},
+        ).collect()
+        assert [(r["u"], r["cum"]) for r in out] == [(2, 2), (1, 2), (1, 3)]
+
+    def test_cumulative_cardinality_needs_sibling_cardinality(self, spark):
+        import pytest
+        from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+        df = spark.createDataFrame([(1.0, "u")], "v double, uid string")
+        with pytest.raises(AggsDslError):
+            compile_aggs(
+                df,
+                {"aggs": {"h": {
+                    "histogram": {"field": "v", "interval": 1.0},
+                    "aggs": {"s": {"sum": {"field": "v"}},
+                             "cum": {"cumulative_cardinality": {"buckets_path": "s"}}}}}},
+            )
