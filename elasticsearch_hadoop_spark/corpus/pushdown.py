@@ -692,3 +692,100 @@ def query_dsl_sqs_phrase_prefix(spark, sf_dir):
         }
     )
     return d.select("doc_id", mpp.alias("mpp"), sqs.alias("sqs")).orderBy("doc_id")
+
+
+@query(
+    "query_dsl_query_string",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE lang IN ('en', 'fr')
+  AND contains(
+        ' ' || array_to_string(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> length(x) > 0), ' ') || ' ',
+        ' hash join ')
+  AND n_chars >= 300 AND n_chars < 900
+  AND source <> 'src7'
+ORDER BY doc_id
+""",
+)
+def query_dsl_query_string(spark, sf_dir):
+    """Full Lucene `query_string` syntax in one clause: field-scoped
+    group, quoted phrase, mixed-bound range [300 TO 900}, AND/NOT — the
+    parser compiles every leaf through the existing typed handlers, so
+    range bounds stay sargable and the phrase uses the analyzed
+    containment fast path."""
+    docs = tbl(spark, sf_dir, "documents")
+    dsl = {
+        "query_string": {
+            "query": '(lang:en OR lang:fr) AND text:"hash join" '
+            "AND n_chars:[300 TO 900} AND NOT source:src7"
+        }
+    }
+    return (
+        docs.filter(compile_query(dsl))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "query_dsl_intervals",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lang,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'table') AS p1,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'scan') AS p2,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'merge') AS p3
+  FROM an
+)
+SELECT doc_id, lang
+FROM pos
+WHERE len(list_filter(p1,
+        a -> len(list_filter(p2, b -> b > a AND b - a - 1 <= 2)) > 0)) > 0
+   OR len(p3) >= 3
+ORDER BY doc_id
+""",
+)
+def query_dsl_intervals(spark, sf_dir):
+    """`intervals`: any_of( all_of(ordered "table" -> "scan", max_gaps 2),
+    match "merge merge merge" unordered ) — positional interval algebra
+    as per-term position arrays + nested exists, the same codegen shape
+    as sloppy phrases (multiplicity: three 'merge' tokens need positions
+    >= 3 only when distinct -- unordered match requires each term
+    present; repeated terms share one position array, so the oracle
+    counts occurrences)."""
+    docs = tbl(spark, sf_dir, "documents")
+    dsl = {
+        "intervals": {
+            "text": {
+                "any_of": {
+                    "intervals": [
+                        {
+                            "all_of": {
+                                "ordered": True,
+                                "max_gaps": 2,
+                                "intervals": [
+                                    {"match": {"query": "table"}},
+                                    {"match": {"query": "scan"}},
+                                ],
+                            }
+                        },
+                        {"match": {"query": "merge merge merge"}},
+                    ]
+                }
+            }
+        }
+    }
+    return (
+        docs.filter(compile_query(dsl))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

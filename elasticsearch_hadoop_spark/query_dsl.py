@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import math
+import re
 from contextvars import ContextVar
 from typing import Any
 
@@ -920,6 +921,328 @@ def _simple_query_string(body, id_col):
     return pred
 
 
+# ---------------------------------------------------------------------------
+# query_string: the full Lucene-syntax parser (the `?q=` veneer above stays
+# the minimal fast path; this handler covers the search-body `query_string`
+# clause).  Supported syntax: field:term, field:"phrase" (+ ~N slop),
+# field:wild*card, field:/regex/, inclusive/exclusive/mixed ranges
+# [a TO b] {a TO b*}, comparison shorthands (field:>5), _exists_:field,
+# AND/OR/&&/||/NOT/!, +must / -must_not prefixes, parentheses, and
+# field-scoped groups field:(a OR b).  Boost suffixes (^2) parse and are
+# ignored (scoreless engine, README non-goal); term~N compiles to `fuzzy`.
+# Bare terms need default_field / fields (no _all column in a columnar
+# store — same rule as the URI veneer); with a fields LIST a bare term is
+# the OR across them, ES's multi-field expansion.
+
+_QS_TOKEN = re.compile(
+    r"""\s+
+      | \(|\)
+      | "(?:[^"\\]|\\.)*"(?:~\d+)?
+      | /(?:[^/\\]|\\.)*/
+      | [\[\{][^\]\}]*[\]\}]
+      | \|\||&&|!
+      | [^\s()!\[\]{}"/]+
+      | \S
+    """,
+    re.X,
+)
+
+
+class _QsParser:
+    def __init__(self, query: str, default_fields: list[str], default_op: str, id_col: str):
+        self.toks = [t for t in _QS_TOKEN.findall(query) if t.strip()]
+        self.pos = 0
+        self.fields = default_fields
+        self.default_op = default_op
+        self.id_col = id_col
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    # grammar: or_expr := and_expr ((OR||) and_expr)*
+    #          and_expr := unary ((AND&&) unary | unary)*   (adjacency -> default_op)
+    #          unary := (NOT|!|-|+)* primary
+    #          primary := '(' or_expr ')' | leaf
+    def parse(self) -> Column:
+        out = self.or_expr(None)
+        if self.peek() is not None:
+            raise QueryDslError(f"query_string: unexpected {self.peek()!r}")
+        return out
+
+    def or_expr(self, scope: str | None) -> Column:
+        left = self.and_expr(scope)
+        while self.peek() in ("OR", "||"):
+            self.next()
+            left = left | self.and_expr(scope)
+        return left
+
+    def and_expr(self, scope: str | None) -> Column:
+        left = self.unary(scope)
+        while True:
+            t = self.peek()
+            if t in ("AND", "&&"):
+                self.next()
+                left = left & self.unary(scope)
+            elif t is not None and t not in ("OR", "||", ")"):
+                nxt = self.unary(scope)
+                left = (left & nxt) if self.default_op == "and" else (left | nxt)
+            else:
+                return left
+
+    def unary(self, scope: str | None) -> Column:
+        t = self.peek()
+        if t in ("NOT", "!"):
+            self.next()
+            return ~self.unary(scope)
+        if t is not None and t not in ("(",) and t.startswith("-") and len(t) > 1:
+            self.toks[self.pos] = t[1:]
+            return ~self.unary(scope)
+        if t is not None and t.startswith("+") and len(t) > 1:
+            self.toks[self.pos] = t[1:]
+            return self.unary(scope)
+        return self.primary(scope)
+
+    def primary(self, scope: str | None) -> Column:
+        t = self.next()
+        if t is None:
+            raise QueryDslError("query_string: unexpected end of input")
+        if t == "(":
+            inner = self.or_expr(scope)
+            if self.next() != ")":
+                raise QueryDslError("query_string: missing )")
+            return inner
+        # field prefix?  split at the first ':' of a WORD token (quoted /
+        # range / regex tokens never carry one)
+        if not (t.startswith('"') or t.startswith("/") or t[0] in "[{") and ":" in t:
+            field, rest = t.split(":", 1)
+            if field == "_exists_":
+                return _resolve(rest).isNotNull()
+            if rest == "":
+                nxt = self.peek()
+                if nxt == "(":  # field-scoped group: field:(a OR b)
+                    self.next()
+                    inner = self.or_expr(field)
+                    if self.next() != ")":
+                        raise QueryDslError("query_string: missing )")
+                    return inner
+                rest = self.next()
+                if rest is None:
+                    raise QueryDslError(f"query_string: dangling field {field!r}:")
+            return self.leaf(field, rest)
+        if scope is not None:
+            return self.leaf(scope, t)
+        if not self.fields:
+            raise QueryDslError(
+                f"query_string: bare term {t!r} needs default_field/fields "
+                "(no _all field in a columnar store)"
+            )
+        preds = [self.leaf(f, t) for f in self.fields]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
+    def leaf(self, field: str, tok: str) -> Column:
+        # strip an ignored boost suffix (^2 / ^0.5)
+        m = re.match(r"^(.*?)\^\d+(?:\.\d+)?$", tok)
+        if m and not tok.startswith('"'):
+            tok = m.group(1)
+        if tok.startswith('"'):
+            pm = re.match(r'^"((?:[^"\\]|\\.)*)"(?:~(\d+))?$', tok)
+            if not pm:
+                raise QueryDslError(f"query_string: bad phrase {tok!r}")
+            phrase, slop = pm.group(1), pm.group(2)
+            body = {"query": phrase}
+            if slop:
+                body["slop"] = int(slop)
+            return _compile_clause({"match_phrase": {field: body}}, self.id_col)
+        if tok.startswith("/") and tok.endswith("/") and len(tok) > 1:
+            return _compile_clause({"regexp": {field: tok[1:-1]}}, self.id_col)
+        if tok[0] in "[{" and tok[-1] in "]}":
+            rm = re.match(r"^([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])$", tok)
+            if not rm:
+                raise QueryDslError(f"query_string: bad range {tok!r}")
+            lo_op = "gte" if rm.group(1) == "[" else "gt"
+            hi_op = "lte" if rm.group(4) == "]" else "lt"
+            bounds: dict = {}
+            if rm.group(2) != "*":
+                bounds[lo_op] = _qs_literal(rm.group(2))
+            if rm.group(3) != "*":
+                bounds[hi_op] = _qs_literal(rm.group(3))
+            if not bounds:
+                return _resolve(field).isNotNull()
+            return _compile_clause({"range": {field: bounds}}, self.id_col)
+        cm = re.match(r"^(>=|<=|>|<)(.+)$", tok)
+        if cm:
+            op = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}[cm.group(1)]
+            return _compile_clause(
+                {"range": {field: {op: _qs_literal(cm.group(2))}}}, self.id_col
+            )
+        fm = re.match(r"^(.+?)~(\d*)$", tok)
+        if fm:
+            body = {"value": fm.group(1)}
+            if fm.group(2):
+                body["fuzziness"] = int(fm.group(2))
+            return _compile_clause({"fuzzy": {field: body}}, self.id_col)
+        if "*" in tok or "?" in tok:
+            return _compile_clause({"wildcard": {field: tok}}, self.id_col)
+        lit = _qs_literal(tok)
+        if isinstance(lit, (int, float)):
+            return _resolve(field) == F.lit(lit)
+        return _compile_clause({"match": {field: tok}}, self.id_col)
+
+
+def _qs_literal(s: str):
+    """Numeric-looking literals compare as numbers (ES numeric fields);
+    everything else stays a string."""
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+
+def _intervals(body, id_col):
+    """ES `intervals` query — the documented deterministic subset over
+    analyzed token positions:
+
+    - leaf ``match``: single term -> presence; multi-term with
+      ``ordered: true`` -> increasing position chain with total gap
+      (span - n + 1... span-(n-1)) <= ``max_gaps`` when >= 0 (ES default
+      -1 = unlimited); unordered -> all terms present (unordered WITH a
+      max_gaps budget is Lucene minimal-interval territory — rejected,
+      not approximated);
+    - ``all_of``: ``ordered: true`` chains its (single-term ``match``)
+      sub-intervals with the same gap budget; unordered = conjunction;
+    - ``any_of``: disjunction of sub-rules.
+
+    Everything is per-term position arrays + nested ``exists`` — the
+    same codegen shape as match_phrase slop; no explode, no UDF."""
+    (field, rule), = body.items()
+    toks = analyze_tokens(_resolve(field))
+    sz = F.size(toks)
+
+    def positions(term: str):
+        return F.filter(
+            F.sequence(F.lit(0), sz - 1), lambda i: F.get(toks, i) == F.lit(term)
+        )
+
+    def terms_of(q) -> list[str]:
+        ts = [t for t in re.split(r"[^a-z0-9]+", str(q).lower()) if t]
+        if not ts:
+            raise QueryDslError("intervals: empty match query")
+        return ts
+
+    def chain_exists(pos, max_gaps: int) -> Column:
+        n = len(pos)
+        if n == 1:
+            return F.size(pos[0]) > 0
+
+        def chain(level: int, prev, first):
+            if level == n - 1:
+                return F.exists(
+                    pos[level],
+                    lambda p: (p > prev)
+                    & (
+                        F.lit(True)
+                        if max_gaps < 0
+                        else (p - first - (n - 1) <= max_gaps)
+                    ),
+                )
+            return F.exists(
+                pos[level], lambda p: (p > prev) & chain(level + 1, p, first)
+            )
+
+        return F.coalesce(F.exists(pos[0], lambda p: chain(1, p, p)), F.lit(False))
+
+    def compile_rule(rule: dict) -> Column:
+        if not isinstance(rule, dict) or len(rule) != 1:
+            raise QueryDslError(f"intervals: expected a single-key rule, got {rule!r}")
+        (kind, spec), = rule.items()
+        if kind == "match":
+            ts = terms_of(spec.get("query"))
+            mg = int(spec.get("max_gaps", -1))
+            pos = [positions(t) for t in ts]
+            if len(ts) == 1:
+                return F.size(pos[0]) > 0
+            if bool(spec.get("ordered", False)):
+                return chain_exists(pos, mg)
+            if mg >= 0:
+                raise QueryDslError(
+                    "intervals: unordered match with max_gaps is not supported "
+                    "(documented subset)"
+                )
+            # unordered: every term present, repeated terms needing as many
+            # distinct positions as their multiplicity
+            from collections import Counter
+
+            out = None
+            for t, mult in Counter(ts).items():
+                cond = F.size(positions(t)) >= mult
+                out = cond if out is None else out & cond
+            return out
+        if kind == "any_of":
+            subs = [compile_rule(r) for r in spec.get("intervals", [])]
+            if not subs:
+                raise QueryDslError("intervals: any_of needs intervals")
+            out = subs[0]
+            for s in subs[1:]:
+                out = out | s
+            return out
+        if kind == "all_of":
+            rules = spec.get("intervals", [])
+            if not rules:
+                raise QueryDslError("intervals: all_of needs intervals")
+            mg = int(spec.get("max_gaps", -1))
+            if bool(spec.get("ordered", False)):
+                pos = []
+                for r in rules:
+                    (k2, s2), = r.items()
+                    ts = terms_of(s2.get("query")) if k2 == "match" else None
+                    if k2 != "match" or len(ts) != 1:
+                        raise QueryDslError(
+                            "intervals: ordered all_of supports single-term "
+                            "match sub-intervals (documented subset)"
+                        )
+                    pos.append(positions(ts[0]))
+                return chain_exists(pos, mg)
+            if mg >= 0:
+                raise QueryDslError(
+                    "intervals: unordered all_of with max_gaps is not supported "
+                    "(documented subset)"
+                )
+            out = compile_rule(rules[0])
+            for r in rules[1:]:
+                out = out & compile_rule(r)
+            return out
+        raise QueryDslError(f"intervals: unsupported rule {kind!r}")
+
+    return compile_rule(rule)
+
+
+def _query_string(body, id_col):
+    if isinstance(body, str):
+        body = {"query": body}
+    q = body.get("query")
+    if not q:
+        raise QueryDslError("query_string needs a query")
+    fields = body.get("fields")
+    if fields is None:
+        df_field = body.get("default_field")
+        fields = [df_field] if df_field else []
+    default_op = str(body.get("default_operator", "or")).lower()
+    if default_op not in ("or", "and"):
+        raise QueryDslError(f"query_string: bad default_operator {default_op!r}")
+    return _QsParser(str(q), list(fields), default_op, id_col).parse()
+
+
 def _script_query(body, id_col):
     """ES `script` query: a painless-lite boolean over doc[...] refs runs
     as a codegen predicate — {"script": {"script": {"source": ...}}} (or
@@ -964,6 +1287,8 @@ def _pinned(body, id_col):
 
 
 _HANDLERS = {
+    "query_string": _query_string,
+    "intervals": _intervals,
     "script": _script_query,
     "wrapper": _wrapper,
     "pinned": _pinned,

@@ -139,3 +139,104 @@ def test_simple_query_string_rejects_unspaced_ops(docs):
 def test_multi_match_requires_fields():
     with pytest.raises(QueryDslError):
         compile_query({"multi_match": {"query": "x", "fields": []}})
+
+
+class TestQueryString:
+    @staticmethod
+    def _df(spark):
+        return spark.createDataFrame(
+            [(1, "the quick brown fox", 5.0, "2024-01-05"),
+             (2, "lazy dog sleeps", 12.0, "2024-02-01"),
+             (3, "quick dog runs fast", 7.5, "2024-03-01")],
+            "id int, text string, v double, d string",
+        )
+
+    def _ids(self, spark, q, **extra):
+        from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+        dsl = {"query_string": {"query": q, **extra}}
+        return sorted(r["id"] for r in self._df(spark).filter(compile_query(dsl)).collect())
+
+    def test_boolean_and_groups(self, spark):
+        assert self._ids(spark, "text:quick AND text:dog") == [3]
+        assert self._ids(spark, "(text:lazy OR text:fast) AND v:>7") == [2, 3]
+        assert self._ids(spark, "NOT text:dog AND v:<10") == [1]
+
+    def test_default_fields_and_operator(self, spark):
+        assert self._ids(spark, "quick dog", default_field="text") == [1, 2, 3]
+        assert self._ids(spark, "quick dog", default_field="text",
+                         default_operator="and") == [3]
+        assert self._ids(spark, "quick -fast", fields=["text"],
+                         default_operator="and") == [1]
+
+    def test_ranges_comparisons_exists(self, spark):
+        assert self._ids(spark, "v:[5 TO 10]") == [1, 3]
+        assert self._ids(spark, "v:{5 TO 10]") == [3]
+        assert self._ids(spark, "v:[6 TO *]") == [2, 3]
+        assert self._ids(spark, "v:>=12") == [2]
+        assert self._ids(spark, "_exists_:text AND id:2") == [2]
+        assert self._ids(spark, "d:[2024-01-01 TO 2024-01-31]") == [1]
+
+    def test_wildcard_regex_phrase_fuzzy_boost(self, spark):
+        assert self._ids(spark, "text:*quick*") == [1, 3]
+        assert self._ids(spark, "text:/.*q[a-z]+ck.*/") == [1, 3]
+        assert self._ids(spark, 'text:"quick brown"') == [1]
+        assert self._ids(spark, "d:2024-01-06~1") == [1]
+        assert self._ids(spark, "text:quick^2 OR id:2") == [1, 2, 3]
+
+    def test_field_scoped_group(self, spark):
+        assert self._ids(spark, "text:(lazy OR fast)") == [2, 3]
+
+    def test_errors(self, spark):
+        import pytest
+        from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
+
+        with pytest.raises(QueryDslError):
+            compile_query({"query_string": {"query": "bare terms"}})  # no default_field
+        with pytest.raises(QueryDslError):
+            compile_query({"query_string": {"query": "(a OR b", "default_field": "text"}})
+        with pytest.raises(QueryDslError):
+            compile_query({"query_string": {"query": ""}})
+
+
+class TestIntervals:
+    @staticmethod
+    def _df(spark):
+        return spark.createDataFrame(
+            [(1, "the quick brown fox jumps"),
+             (2, "fox then later quick"),
+             (3, "quick fox runs"),
+             (4, "nothing here")],
+            "id int, text string",
+        )
+
+    def _ids(self, spark, rule):
+        from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+        dsl = {"intervals": {"text": rule}}
+        return sorted(r["id"] for r in self._df(spark).filter(compile_query(dsl)).collect())
+
+    def test_match_ordered_gaps(self, spark):
+        assert self._ids(spark, {"match": {"query": "quick fox", "ordered": True,
+                                           "max_gaps": 1}}) == [1, 3]
+        assert self._ids(spark, {"match": {"query": "quick fox",
+                                           "ordered": True}}) == [1, 3]
+        assert self._ids(spark, {"match": {"query": "quick fox"}}) == [1, 2, 3]
+
+    def test_all_of_any_of(self, spark):
+        assert self._ids(spark, {"all_of": {"ordered": True, "max_gaps": 0,
+            "intervals": [{"match": {"query": "quick"}},
+                          {"match": {"query": "fox"}}]}}) == [3]
+        assert self._ids(spark, {"any_of": {"intervals": [
+            {"match": {"query": "nothing"}}, {"match": {"query": "jumps"}}]}}) == [1, 4]
+
+    def test_unordered_multiplicity(self, spark):
+        # "fox fox" needs TWO fox positions — no doc has them
+        assert self._ids(spark, {"match": {"query": "fox fox"}}) == []
+
+    def test_rejects_unordered_gap_budget(self, spark):
+        import pytest
+        from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
+
+        with pytest.raises(QueryDslError):
+            compile_query({"intervals": {"text": {"match": {"query": "a b", "max_gaps": 1}}}})
