@@ -251,6 +251,73 @@ class Catalog:
         self.write_index(df, dest, mode=mode, id_col=id_col)
         return self.count_index(dest)
 
+    # -------------------------------------------------------------- rollover
+    def rollover(
+        self,
+        alias: str,
+        max_docs: int | None = None,
+        max_age_seconds: float | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """ES `_rollover`: when the alias's WRITE index (its last target)
+        meets any condition, create the next generation (``name-000002``
+        style) and atomically extend the alias.  Reads through the alias
+        keep seeing every generation (alias union); writes via
+        ``write_alias`` land in the newest.  The doc-count condition uses
+        the parquet-footer count fast path — no scan; age comes from index
+        meta (creation-stamped here) with dir-ctime fallback.
+
+        This is the time-partitioning idiom at 100 TB: generations bound
+        per-index size so compaction/vacuum/Z-order work on bounded
+        units, and pattern reads prune whole generations."""
+        aliases = self._read_aliases()
+        targets = aliases.get(alias)
+        if not targets:
+            raise ValueError(f"rollover: alias {alias!r} does not exist")
+        current = targets[-1]
+        m = re.match(r"^(.*)-(\d{6})$", current)
+        if not m:
+            raise ValueError(
+                f"rollover: write index {current!r} must end in -NNNNNN"
+            )
+        conditions: dict[str, bool] = {}
+        docs = self.count_index(current)
+        if max_docs is not None:
+            conditions["max_docs"] = docs >= max_docs
+        if max_age_seconds is not None:
+            meta = self._read_meta(current)
+            created = meta.get("created_at") or os.path.getctime(self.path(current))
+            conditions["max_age"] = (time.time() - created) >= max_age_seconds
+        if not conditions:
+            raise ValueError("rollover needs max_docs and/or max_age_seconds")
+        rolled = any(conditions.values())
+        new_index = f"{m.group(1)}-{int(m.group(2)) + 1:06d}"
+        if rolled and not dry_run:
+            schema = self.read_index(current).schema
+            self.write_index(self.spark.createDataFrame([], schema), new_index)
+            meta = self._read_meta(new_index)
+            meta["created_at"] = time.time()
+            self._write_meta(new_index, meta)
+            aliases[alias] = [*targets, new_index]
+            with open(self._aliases_path(), "w") as f:
+                json.dump(aliases, f)
+        return {
+            "rolled_over": rolled and not dry_run,
+            "dry_run": dry_run,
+            "old_index": current,
+            "new_index": new_index if rolled else None,
+            "conditions": conditions,
+            "docs": docs,
+        }
+
+    def write_alias(self, df: DataFrame, alias: str, **kwargs) -> None:
+        """Write through a rollover alias: documents land in the alias's
+        WRITE index (its newest target)."""
+        targets = self._read_aliases().get(alias)
+        if not targets:
+            raise ValueError(f"write_alias: alias {alias!r} does not exist")
+        self.write_index(df, targets[-1], **kwargs)
+
     # ---------------------------------------------------------------- write
     def write_index(
         self,

@@ -107,3 +107,46 @@ def sample_topn_per_stratum(spark, sf_dir):
         .select("lang", "doc_id", F.col("rn").cast("int").alias("rn"))
         .orderBy("lang", "rn")
     )
+
+
+_MIX_WEIGHTS = {"en": 500_000, "fr": 300_000, "zh": 200_000}
+_MIX_W_CASE = " ".join(
+    f"WHEN '{d}' THEN {w}" for d, w in _MIX_WEIGHTS.items()
+)
+
+
+@query(
+    "sample_to_mixture",
+    oracle=f"""
+WITH c AS (
+    SELECT lang, count(*) AS n,
+           CASE lang {_MIX_W_CASE} END AS w
+    FROM documents WHERE lang IN ('en', 'fr', 'zh') GROUP BY lang
+),
+t AS (SELECT min((n * 1000000) // w) AS tt FROM c),
+th AS (
+    SELECT lang,
+           least(CAST({HASH_SPACE} AS HUGEINT),
+                 (CAST(w AS HUGEINT) * tt * {HASH_SPACE})
+                 // (CAST(1000000 AS HUGEINT) * n)) AS thr
+    FROM c, t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th USING (lang)
+WHERE {_H} < thr
+ORDER BY d.doc_id
+""",
+)
+def sample_to_mixture_query(spark, sf_dir):
+    """Domain-mixture resampling (training-data mixing: en 50% / fr 30% /
+    zh 20%): the limiting domain caps the achievable total, every other
+    domain thins by an exact integer hash threshold — one k-row
+    count aggregate, then the keep decision rides the scan (no shuffle).
+    Thresholds are 128-bit-exact on both engines."""
+    from elasticsearch_hadoop_spark.operators.sampling import sample_to_mixture
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = sample_to_mixture(
+        docs, "lang", _MIX_WEIGHTS, id_col="doc_id", seed=_SEED
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")

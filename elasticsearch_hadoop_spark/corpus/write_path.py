@@ -685,3 +685,57 @@ def writepath_geo_ingest(spark, sf_dir):
     return back.select(
         "id", F.col("loc.lat").alias("lat"), F.col("loc.lon").alias("lon")
     ).orderBy("id")
+
+
+@query(
+    "writepath_rollover",
+    oracle="""
+SELECT CASE WHEN o_orderkey < 500 THEN 'gen-000001' ELSE 'gen-000002' END AS gen,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey < 1000
+GROUP BY 1
+ORDER BY gen
+""",
+)
+def writepath_rollover(spark, sf_dir):
+    """_rollover round trip: batch 1 into gen-000001 behind alias 'gen',
+    rollover(max_docs=1) creates gen-000002 and re-points the write
+    index, batch 2 lands there via write_alias; a read THROUGH the alias
+    unions both generations while per-generation reads stay partition-
+    isolated — the count condition uses the footer-stats fast path, and
+    the output labels every doc with the generation that actually stored
+    it (a mis-rolled write shows up as a wrong gen label, not just a
+    wrong total)."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+
+    d = _workdir(sf_dir, "rollover")
+    cat = Catalog(spark, d)
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    b1 = orders.filter(F.col("o_orderkey") < 500)
+    b2 = orders.filter(F.col("o_orderkey") >= 500)
+
+    cat.write_index(b1, "gen-000001")
+    cat.put_alias("gen", "gen-000001")
+    noop = cat.rollover("gen", max_docs=10**12)  # condition unmet: no roll
+    assert not noop["rolled_over"], noop
+    res = cat.rollover("gen", max_docs=1)
+    assert res["rolled_over"] and res["new_index"] == "gen-000002", res
+    cat.write_alias(b2, "gen")
+
+    # alias read must union the generations; per-gen reads must stay split
+    both = cat.read_index("gen")
+    tagged = None
+    for gen in ("gen-000001", "gen-000002"):
+        part = cat.read_index(gen).withColumn("gen", F.lit(gen))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    assert both.count() == tagged.count()
+    return (
+        tagged.groupBy("gen")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("gen")
+    )

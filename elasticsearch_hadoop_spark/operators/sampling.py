@@ -113,3 +113,66 @@ def topn_per_stratum(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= n
     )
+
+
+# parts-per-million weight scale for the mixture sampler: integer weights
+# keep every threshold exactly reproducible in any engine with 128-bit
+# integer math (no float-rounding parity risk between Spark and an oracle)
+MIX_SCALE = 1_000_000
+
+
+def mixture_thresholds(
+    counts: dict[str, int], weights_ppm: dict[str, int]
+) -> dict[str, int]:
+    """Exact integer hash thresholds realizing a target domain mixture
+    WITHOUT upsampling.  The achievable total is capped by the limiting
+    domain: T = min_d floor(n_d * SCALE / w_d); each domain then keeps
+    rate_d = w_d * T / (SCALE * n_d) of its rows (the limiting domain
+    ~1.0).  All arithmetic is arbitrary-precision integer — the DuckDB
+    twin computes the identical thresholds with HUGEINT."""
+    bad = [d for d in weights_ppm if counts.get(d, 0) <= 0]
+    if bad:
+        raise ValueError(f"mixture domains absent from the data: {bad}")
+    if any(w <= 0 for w in weights_ppm.values()):
+        raise ValueError("mixture weights must be positive")
+    t = min((counts[d] * MIX_SCALE) // w for d, w in weights_ppm.items())
+    return {
+        d: min(HASH_SPACE, (w * t * HASH_SPACE) // (MIX_SCALE * counts[d]))
+        for d, w in weights_ppm.items()
+    }
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float] | dict[str, int],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Resample a corpus to target domain proportions (training-data
+    mixing: '50% web, 30% code, 20% books').  Weights are fractions (or
+    ppm integers); domains not listed are dropped.  Downsampling only —
+    the limiting domain survives whole, everything else thins to match.
+
+    Cost at 100 TB: one tiny groupBy-count (k domain rows to the driver,
+    bounded like IVF centroids), then the keep decision is a pure Column
+    hash threshold riding the scan — no shuffle, no RNG state, and the
+    identical rows survive on any cluster layout."""
+    if all(isinstance(w, int) for w in weights.values()):
+        ppm = dict(weights)  # already parts-per-million
+    else:
+        total = float(sum(weights.values()))
+        ppm = {d: int(round(w / total * MIX_SCALE)) for d, w in weights.items()}
+    domains = list(ppm)
+    scoped = df.filter(F.col(domain_col).isin(domains))
+    counts = {
+        r[0]: r[1] for r in scoped.groupBy(domain_col).count().collect()
+    }
+    th = mixture_thresholds(counts, ppm)
+    h = split_hash(F.col(id_col), seed)
+    expr = None
+    for d in domains:
+        cond = F.col(domain_col) == d
+        lit = F.lit(th[d])
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    return scoped.filter(h < expr.otherwise(F.lit(0)))

@@ -372,3 +372,55 @@ def test_stats_index(spark, cat):
     assert stats["st-a"]["doc_count"] == 3 and stats["st-b"]["doc_count"] == 1
     assert stats["st-a"]["store_bytes"] > 0
     assert set(stats["st-a"]["fields"]) == {"k", "v", "n"}
+
+
+class TestRollover:
+    def test_rollover_flow(self, spark, tmp_path):
+        from elasticsearch_hadoop_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path))
+        df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id int, v string")
+        cat.write_index(df, "logs-000001")
+        cat.put_alias("logs", "logs-000001")
+
+        dry = cat.rollover("logs", max_docs=5, dry_run=True)
+        assert dry["dry_run"] and not dry["rolled_over"] and dry["conditions"]["max_docs"]
+        assert not cat.exists("logs-000002")
+
+        res = cat.rollover("logs", max_docs=5)
+        assert res["rolled_over"] and res["new_index"] == "logs-000002"
+        assert cat.exists("logs-000002")
+
+        cat.write_alias(spark.createDataFrame([(99, "new")], "id int, v string"), "logs")
+        assert cat.read_index("logs-000002").count() == 1
+        assert cat.read_index("logs").count() == 11  # alias unions generations
+
+        unmet = cat.rollover("logs", max_docs=100)
+        assert not unmet["rolled_over"]
+
+    def test_rollover_age_condition(self, spark, tmp_path):
+        from elasticsearch_hadoop_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path))
+        df = spark.createDataFrame([(1,)], "id int")
+        cat.write_index(df, "t-000001")
+        cat.put_alias("t", "t-000001")
+        assert not cat.rollover("t", max_age_seconds=3600)["rolled_over"]
+        assert cat.rollover("t", max_age_seconds=0.0)["rolled_over"]
+
+    def test_rollover_errors(self, spark, tmp_path):
+        import pytest
+        from elasticsearch_hadoop_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path))
+        df = spark.createDataFrame([(1,)], "id int")
+        with pytest.raises(ValueError):
+            cat.rollover("nope", max_docs=1)
+        cat.write_index(df, "unsuffixed")
+        cat.put_alias("u", "unsuffixed")
+        with pytest.raises(ValueError):
+            cat.rollover("u", max_docs=1)
+        cat.write_index(df, "ok-000001")
+        cat.put_alias("ok", "ok-000001")
+        with pytest.raises(ValueError):
+            cat.rollover("ok")  # no conditions

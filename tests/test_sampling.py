@@ -93,3 +93,40 @@ def test_topn_plans_as_window_group_limit(docs):
     out = topn_per_stratum(docs, "lang", 3, "doc_id")
     plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "WindowGroupLimit" in plan
+
+
+class TestMixture:
+    def test_thresholds_exact(self):
+        from elasticsearch_hadoop_spark.operators.sampling import (
+            HASH_SPACE,
+            mixture_thresholds,
+        )
+
+        # en is limiting: 100/0.5=200 < 900/0.3=3000 < 800/0.2=4000
+        th = mixture_thresholds(
+            {"en": 100, "fr": 900, "zh": 800},
+            {"en": 500_000, "fr": 300_000, "zh": 200_000},
+        )
+        assert th["en"] == HASH_SPACE  # limiting domain kept whole
+        # fr keeps 300000*200/ (1e6*900) = 60/900 of its rows
+        assert abs(th["fr"] / HASH_SPACE - 60 / 900) < 1e-9
+        assert abs(th["zh"] / HASH_SPACE - 40 / 800) < 1e-9
+
+    def test_mixture_proportions(self, spark):
+        from elasticsearch_hadoop_spark.operators.sampling import sample_to_mixture
+
+        rows = [(i, "a" if i % 10 < 8 else "b") for i in range(5000)]
+        df = spark.createDataFrame(rows, "id int, d string")
+        out = sample_to_mixture(df, "d", {"a": 0.5, "b": 0.5}, id_col="id")
+        got = {r["d"]: r["count"] for r in out.groupBy("d").count().collect()}
+        # b (1000 rows) limits: expect ~1000 of each
+        assert got["b"] == 1000
+        assert abs(got["a"] - 1000) < 100
+
+    def test_mixture_missing_domain_raises(self, spark):
+        import pytest
+        from elasticsearch_hadoop_spark.operators.sampling import sample_to_mixture
+
+        df = spark.createDataFrame([(1, "a")], "id int, d string")
+        with pytest.raises(ValueError):
+            sample_to_mixture(df, "d", {"a": 0.5, "zz": 0.5}, id_col="id")
