@@ -57,6 +57,14 @@ EXTENSION = [
     "query_dsl_multi_match",
     "aggs_ip_range",
     "aggs_matrix_stats",
+    # round-4 final block: ingest pipelines, transforms/EQL, knn/rescore,
+    # query_string parser, mixture sampling
+    "ingest_pipeline_events",
+    "transform_pivot_monthly",
+    "eql_funnel_sequence",
+    "search_knn_filtered",
+    "query_dsl_query_string",
+    "sample_to_mixture",
 ]
 
 

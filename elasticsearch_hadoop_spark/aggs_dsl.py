@@ -318,12 +318,21 @@ def compile_aggs(
             # narrowing bucket in flat form
             df = df.filter(F.col(body["missing"]["field"]).isNull())
         elif kind == "filters":
-            specs = body["filters"]["filters"]
+            fbody = body["filters"]
+            specs = fbody["filters"]
             if not isinstance(specs, dict):
                 raise AggsDslError("filters.filters must map bucket name -> query")
-            names_arr = F.array(
-                *[F.when(_compile_dsl(q), F.lit(n)) for n, q in specs.items()]
-            )
+            preds = {n: _compile_dsl(q) for n, q in specs.items()}
+            whens = [F.when(p, F.lit(n)) for n, p in preds.items()]
+            if fbody.get("other_bucket") or fbody.get("other_bucket_key"):
+                # ES other_bucket: docs matching NONE of the filters land
+                # in a catch-all bucket (default key "_other_")
+                other_key = str(fbody.get("other_bucket_key", "_other_"))
+                none_match = F.lit(True)
+                for p in preds.values():
+                    none_match = none_match & ~F.coalesce(p, F.lit(False))
+                whens.append(F.when(none_match, F.lit(other_key)))
+            names_arr = F.array(*whens)
             tmp = f"__bucket_{name}"
             df = df.withColumn(
                 tmp, F.explode(F.filter(names_arr, lambda x: x.isNotNull()))
@@ -1198,17 +1207,33 @@ def _bucket_key(kind: str, b: dict) -> Column:
         return field
     if kind == "histogram":
         interval = float(b["interval"])
-        return (F.floor(field / F.lit(interval)) * F.lit(interval)).cast("double")
+        # ES `offset`: shift bucket boundaries by a constant before
+        # flooring (floor((v - offset)/i)*i + offset)
+        off = float(b.get("offset", 0.0))
+        return (
+            F.floor((field - F.lit(off)) / F.lit(interval)) * F.lit(interval)
+            + F.lit(off)
+        ).cast("double")
     if kind == "date_histogram":
         if "calendar_interval" in b:
+            if "offset" in b:
+                raise AggsDslError(
+                    "date_histogram offset supports fixed_interval only"
+                )
             unit = _CALENDAR.get(b["calendar_interval"])
             if unit is None:
                 raise AggsDslError(f"calendar_interval {b['calendar_interval']!r}")
             return F.date_trunc(unit, field)
         iv = str(b["fixed_interval"]).strip()
         secs = int(iv[:-1]) * _FIXED_SECONDS[iv[-1]]
-        epoch = F.unix_timestamp(field)
-        return F.timestamp_seconds(F.floor(epoch / secs) * secs)
+        off_secs = 0
+        if "offset" in b:
+            ov = str(b["offset"]).strip()
+            sign = -1 if ov.startswith("-") else 1
+            ov = ov.lstrip("+-")
+            off_secs = sign * int(ov[:-1]) * _FIXED_SECONDS[ov[-1]]
+        epoch = F.unix_timestamp(field) - off_secs
+        return F.timestamp_seconds(F.floor(epoch / secs) * secs + off_secs)
     if kind in ("range", "date_range"):
         # date_range is range with from/to parsed as timestamps (ES also
         # allows date-math like "now-1d" — not supported, literals only)

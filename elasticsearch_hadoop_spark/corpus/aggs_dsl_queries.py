@@ -2096,3 +2096,83 @@ def aggs_variable_width_histogram(spark, sf_dir):
         F.round("price_centroid", 6).alias("price_centroid"),
         "doc_count",
     ).orderBy("price_bucket")
+
+
+@query(
+    "aggs_filters_other_bucket",
+    oracle="""
+SELECT CASE WHEN event_type = 'click' THEN 'clicks'
+            WHEN event_type = 'purchase' THEN 'purchases'
+            ELSE 'rest' END AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def aggs_filters_other_bucket(spark, sf_dir):
+    """`filters` with other_bucket_key: docs matching no named filter land
+    in the catch-all bucket — the none-matched predicate folds into the
+    same single-scan explode as the named buckets (no second pass)."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "bucket": {
+                    "filters": {
+                        "filters": {
+                            "clicks": {"term": {"event_type": "click"}},
+                            "purchases": {"term": {"event_type": "purchase"}},
+                        },
+                        "other_bucket_key": "rest",
+                    },
+                    "aggs": {"avg_value": {"avg": {"field": "value"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "bucket", "doc_count", F.round("avg_value", 6).alias("avg_value")
+    ).orderBy("bucket")
+
+
+@query(
+    "aggs_date_histogram_offset",
+    oracle="""
+SELECT strftime(to_timestamp(
+         ((CAST(floor(date_part('epoch', ts)) AS BIGINT) - 10800) // 21600)
+         * 21600 + 10800), '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS total
+FROM events
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def aggs_date_histogram_offset(spark, sf_dir):
+    """date_histogram fixed_interval 6h with offset +3h: boundaries at
+    03/09/15/21 — the offset is constant epoch arithmetic inside the same
+    codegen bucket key, one hash aggregate as ever."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "bucket": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "fixed_interval": "6h",
+                        "offset": "+3h",
+                    },
+                    "aggs": {"total": {"sum": {"field": "value"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "doc_count",
+        F.round("total", 6).alias("total"),
+    ).orderBy("bucket")

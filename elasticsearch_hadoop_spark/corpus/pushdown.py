@@ -789,3 +789,40 @@ def query_dsl_intervals(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "query_dsl_combined_fields",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM an
+WHERE (list_contains(toks, 'hash') OR lang = 'hash')
+  AND (list_contains(toks, 'join') OR lang = 'join')
+  AND (list_contains(toks, 'en') OR lang = 'en')
+ORDER BY doc_id
+""",
+)
+def query_dsl_combined_fields(spark, sf_dir):
+    """`combined_fields` (operator and): term-centric — every query token
+    must appear in at least ONE of the combined fields; 'en' is satisfied
+    by the lang field, 'hash'/'join' by the text tokens.  Predicate-wise
+    the cross_fields blend, one codegen pass, no joins."""
+    docs = tbl(spark, sf_dir, "documents")
+    dsl = {
+        "combined_fields": {
+            "query": "hash join en",
+            "fields": ["text", "lang"],
+            "operator": "and",
+        }
+    }
+    return (
+        docs.filter(compile_query(dsl))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -303,3 +303,45 @@ def search_msearch(spark, sf_dir):
         ],
     )
     return out.orderBy("request", "event_id")
+
+
+@query(
+    "search_template_page",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice >= 250000.0
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def search_template_page(spark, sf_dir):
+    """ES search template: {{#toJson}} list splice, an inline {{var}}
+    substitution, and a {{size}}{{^size}}20{{/size}} default render into
+    a JSON body that compiles like any hand-written query — templating is
+    a text-level concern, the plan underneath is unchanged (sargable
+    range + TakeOrderedAndProject page)."""
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+    from elasticsearch_hadoop_spark.search import render_search_template
+
+    o = tbl(spark, sf_dir, "orders")
+    template = (
+        '{"query": {"bool": {"must": ['
+        '{"terms": {"o_orderpriority": {{#toJson}}prios{{/toJson}}}},'
+        '{"range": {"o_totalprice": {"gte": "{{min_price}}"}}}'
+        ']}}, "size": "{{size}}{{^size}}20{{/size}}"}'
+    )
+    body = render_search_template(
+        template, {"prios": ["1-URGENT", "2-HIGH"], "min_price": 250000.0}
+    )
+    size = int(body["size"])
+    return (
+        o.filter(compile_query(body["query"]))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(size)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )

@@ -1289,6 +1289,18 @@ def _pinned(body, id_col):
 _HANDLERS = {
     "query_string": _query_string,
     "intervals": _intervals,
+    # ES combined_fields: term-centric match over several fields treated
+    # as one (BM25F-combined scoring upstream); predicate-wise identical
+    # to multi_match cross_fields, so it delegates
+    "combined_fields": lambda body, id_col: _multi_match(
+        {
+            "fields": body.get("fields"),
+            "query": body.get("query"),
+            "type": "cross_fields",
+            "operator": body.get("operator", "or"),
+        },
+        id_col,
+    ),
     "script": _script_query,
     "wrapper": _wrapper,
     "pinned": _pinned,

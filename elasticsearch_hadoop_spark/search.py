@@ -434,3 +434,66 @@ def pinned_order(
     if size is not None:
         out = out.limit(size)
     return out.drop("__pin")
+
+
+def render_search_template(template: str | dict, params: dict) -> dict:
+    """ES search templates (`_render/template`): mustache-lite
+    substitution into a JSON search body.
+
+    Supported (the deterministic subset users actually template):
+    - ``{{var}}`` — scalar substitution; when the template value is
+      EXACTLY ``"{{var}}"`` and the param is a number/bool/list/object,
+      the quotes dissolve (ES's coercion), otherwise the value splices
+      into the surrounding string;
+    - ``{{#toJson}}var{{/toJson}}`` — JSON-encode a list/object param;
+    - ``{{var}}{{^var}}default{{/var}}`` — default when the param is
+      absent.
+
+    Rendering happens on the JSON TEXT then parses once — exactly the
+    server's model, so a malformed render fails loudly at json.loads."""
+    import json as _json
+    import re as _re
+
+    text = template if isinstance(template, str) else _json.dumps(template)
+
+    def _enc_str(v) -> str:
+        # splice into a string context: JSON-escape minus the outer quotes
+        return _json.dumps(str(v))[1:-1]
+
+    # {{#toJson}}var{{/toJson}} (quoted or bare)
+    def to_json(m):
+        name = m.group(1).strip()
+        if name not in params:
+            raise KeyError(f"search template: missing param {name!r}")
+        return _json.dumps(params[name])
+
+    text = _re.sub(r'"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}"', to_json, text)
+    text = _re.sub(r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}", to_json, text)
+
+    # {{var}}{{^var}}default{{/var}} — inverted-section default
+    def with_default(m):
+        name, default = m.group(1), m.group(3)
+        v = params.get(name)
+        return _enc_str(v) if v not in (None, "") else default
+
+    text = _re.sub(r"\{\{(\w+)\}\}\{\{\^(\w+)\}\}(.*?)\{\{/\2\}\}", with_default, text)
+
+    # "{{var}}" as the WHOLE value with a non-string param -> unquoted
+    def whole(m):
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"search template: missing param {name!r}")
+        v = params[name]
+        return _json.dumps(v) if not isinstance(v, str) else _json.dumps(v)
+
+    text = _re.sub(r'"\{\{(\w+)\}\}"', whole, text)
+
+    # residual inline {{var}} inside strings
+    def inline(m):
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"search template: missing param {name!r}")
+        return _enc_str(params[name])
+
+    text = _re.sub(r"\{\{(\w+)\}\}", inline, text)
+    return _json.loads(text)

@@ -286,3 +286,43 @@ class TestSignificantTextVwhCumCard:
                     "aggs": {"s": {"sum": {"field": "v"}},
                              "cum": {"cumulative_cardinality": {"buckets_path": "s"}}}}}},
             )
+
+
+class TestFiltersOtherBucketAndOffset:
+    def test_other_bucket(self, spark):
+        from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",), ("c",)], "k string"
+        )
+        out = compile_aggs(
+            df,
+            {"aggs": {"f": {"filters": {
+                "filters": {"as": {"term": {"k": "a"}}},
+                "other_bucket": True}}}},
+        ).collect()
+        got = {r["f"]: r["doc_count"] for r in out}
+        assert got == {"as": 2, "_other_": 2}
+
+    def test_histogram_offset(self, spark):
+        from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+        df = spark.createDataFrame([(4.0,), (5.0,), (14.0,), (15.0,)], "v double")
+        out = compile_aggs(
+            df,
+            {"aggs": {"h": {"histogram": {"field": "v", "interval": 10.0,
+                                          "offset": 5.0}}}},
+        ).collect()
+        assert {r["h"]: r["doc_count"] for r in out} == {-5.0: 1, 5.0: 2, 15.0: 1}
+
+    def test_date_histogram_offset_rejects_calendar(self, spark):
+        import pytest
+        from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+        df = spark.createDataFrame([("2024-01-01 00:00:00",)], "s string")
+        with pytest.raises(AggsDslError):
+            compile_aggs(
+                df.selectExpr("CAST(s AS TIMESTAMP) AS ts"),
+                {"aggs": {"d": {"date_histogram": {
+                    "field": "ts", "calendar_interval": "day", "offset": "+3h"}}}},
+            )

@@ -208,3 +208,51 @@ def test_redact_pii_is_scan_stage_codegen(spark, sf_dir):
     assert count_nodes(plan, "Exchange") <= 1
     assert count_nodes(plan, "BatchEvalPython") == 0
     assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_knn_search_is_take_ordered_with_pushed_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "search_knn_filtered")
+    # the knn page is per-partition heaps + k-row merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # the pre-filter reaches the parquet scan
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan, flags=re.S)
+    assert pushed and "label" in pushed.group(1)
+
+
+def test_eql_sequence_no_cartesian_bounded_shuffles(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "eql_funnel_sequence")
+    # forward earliest-match = union-tag windows: NO pairwise range join
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    # 3 steps = 2 transitions; each is one shuffle on the entity key
+    # (+ the final presentation sort)
+    assert count_nodes(plan, "Exchange") <= 4
+
+
+def test_mixture_sample_rides_the_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sample_to_mixture")
+    # the keep decision is a hash-threshold filter: no joins, and the only
+    # exchange is the final ORDER BY presentation sort
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
+    assert count_nodes(plan, "Exchange") <= 1
+
+
+def test_transform_latest_uses_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "transform_latest_events")
+    # latest-per-key is rn=1: WindowGroupLimit prunes map-side
+    assert "WindowGroupLimit" in plan
+
+
+def test_ingest_pipeline_stays_whole_stage_codegen(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ingest_pipeline_events")
+    # every processor is Column math: no BatchEvalPython / ArrowEvalPython
+    assert "EvalPython" not in plan
+    assert count_nodes(plan, "Exchange") <= 1  # presentation sort only
+
+
+def test_variable_width_histogram_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "aggs_variable_width_histogram")
+    # quantile boundaries broadcast; assignment + agg — no NTILE window
+    assert "Window" not in plan
+    assert count_nodes(plan, "CartesianProduct") <= 1  # 1-row bounds frame

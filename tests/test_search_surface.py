@@ -245,3 +245,31 @@ def test_field_caps_types_and_aggregatable(spark):
     assert caps["a"] == ("bigint", True)
     assert caps["b"] == ("string", True)
     assert caps["c"][0].startswith("array") and caps["c"][1] is False
+
+
+class TestSearchTemplate:
+    def test_render_scalars_and_tojson(self):
+        from elasticsearch_hadoop_spark.search import render_search_template
+
+        t = ('{"query": {"terms": {"k": {{#toJson}}vals{{/toJson}}}}, '
+             '"size": "{{size}}", "tag": "pre-{{name}}-post"}')
+        body = render_search_template(t, {"vals": [1, 2], "size": 5, "name": "x"})
+        assert body["query"]["terms"]["k"] == [1, 2]
+        assert body["size"] == 5  # quotes dissolved for the numeric param
+        assert body["tag"] == "pre-x-post"
+
+    def test_render_default_and_missing(self):
+        import pytest
+        from elasticsearch_hadoop_spark.search import render_search_template
+
+        t = '{"size": "{{size}}{{^size}}20{{/size}}"}'
+        assert render_search_template(t, {})["size"] == "20"
+        assert render_search_template(t, {"size": 7})["size"] == "7"
+        with pytest.raises(KeyError):
+            render_search_template('{"a": "{{missing}}"}', {})
+
+    def test_render_string_param_stays_quoted(self):
+        from elasticsearch_hadoop_spark.search import render_search_template
+
+        body = render_search_template('{"f": "{{v}}"}', {"v": 'he said "hi"'})
+        assert body["f"] == 'he said "hi"'
