@@ -48,6 +48,8 @@ Supported:
   WindowGroupLimit), ``ip_range`` (IPv4 from/to + CIDR masks; overlapping
   ranges land a doc in every matching bucket via the filters-style label
   explode; addresses parse to 32-bit ints in codegen; IPv6 unsupported),
+  ``ip_prefix`` (bucket by the /n network address — shiftright/shiftleft
+  mask in codegen, IPv4 only, ``append_prefix_length`` supported),
   ``nested`` (sub-aggs over the array elements of ``path`` — explode
   rebinds the path to the element, doc_count = nested-doc count;
   reverse_nested unsupported), ``global`` (escapes the search query to the
@@ -62,6 +64,11 @@ Supported:
   needs the Student-t CDF — documented deviation); ``matrix_stats`` is
   row-wise-complete mean/variance/covariance/correlation;
   ``geo_bounds``/``geo_centroid`` read struct(lat, lon) geo_points;
+  ``geo_line`` renders the bucket's points as a sort-ordered GeoJSON-style
+  [lon, lat] path (array_sort over collected structs — deterministic);
+  ``scripted_metric`` supports the distributable accumulate subset (one
+  state var, ``state.v += <painless-lite expr>`` map, summing reduce —
+  compiles to a plain partial-aggregatable SUM);
   ``rate`` scales a fixed_interval date_histogram bucket total to a
   per-unit rate —
   ``cardinality`` compiles to
@@ -90,7 +97,9 @@ Supported:
   omits), ``cumulative_sum``, ``serial_diff`` (``lag`` param),
   ``moving_fn``/``moving_avg`` (``window`` trailing buckets INCLUDING the
   current one; scripts ``MovingFunctions.unweightedAvg/sum/min/max/
-  stdDev``), ``bucket_script`` (arithmetic over ``params``-mapped sibling
+  stdDev``), ``moving_percentiles`` (same trailing window, exact
+  interpolated percentiles, ``<name>_<p>`` columns),
+  ``bucket_script`` (arithmetic over ``params``-mapped sibling
   metrics), ``bucket_selector`` (same expression language, filters
   buckets); sibling ``avg_bucket``/``sum_bucket``/``min_bucket``/
   ``max_bucket`` emit the cross-bucket value as a column repeated on every
@@ -647,7 +656,8 @@ def _top_hits(df: DataFrame, keys: list[tuple[str, Column]], name: str, spec: di
 
 _PARENT_PIPELINES = (
     "derivative", "cumulative_sum", "serial_diff", "moving_fn", "moving_avg",
-    "bucket_script", "bucket_selector", "bucket_sort", "normalize",
+    "moving_percentiles", "bucket_script", "bucket_selector", "bucket_sort",
+    "normalize",
 )
 # (pipeline docs: `normalize` rescales a metric across its level's buckets
 # — percent_of_sum / rescale_0_1 / rescale_0_100 / mean / z-score (population
@@ -782,6 +792,22 @@ def _apply_pipelines(
                 raise AggsDslError(f"unsupported moving function {fn_name!r}")
             wf = w.rowsBetween(-(n - 1), Window.currentRow)
             out = out.withColumn(name, fn(v).over(wf))
+        elif kind == "moving_percentiles":
+            # ES moving_percentiles: percentiles of a sibling metric over a
+            # sliding window of buckets.  Same trailing-window convention
+            # as moving_fn above (window buckets INCLUDING the current
+            # one); exact interpolated percentiles over the handful of
+            # in-window bucket values (ES uses t-digest, which is exact at
+            # these cardinalities anyway).  <name>_<p> columns like the
+            # percentiles metric.
+            v = _path_col(spec["buckets_path"])
+            n = int(spec.get("window", 5))
+            wf = w.rowsBetween(-(n - 1), Window.currentRow)
+            for p in [float(x) for x in spec.get("percents", (1, 5, 25, 50, 75, 95, 99))]:
+                out = out.withColumn(
+                    f"{name}_{_pname(p)}",
+                    F.percentile(v, F.lit(p / 100.0)).over(wf),
+                )
         elif kind == "normalize":
             # ES normalize pipeline: rescale the metric across the sibling
             # buckets of its level (unordered full-partition window — the
@@ -988,7 +1014,8 @@ def _bucket_kind(body: dict) -> str | None:
         "terms", "multi_terms", "histogram", "date_histogram",
         "auto_date_histogram", "range", "date_range", "geotile_grid",
         "geohash_grid", "filter", "filters", "adjacency_matrix",
-        "sampler", "diversified_sampler", "ip_range", "nested", "global",
+        "sampler", "diversified_sampler", "ip_range", "ip_prefix",
+        "nested", "global",
         "composite", "missing", "significant_terms", "significant_text",
         "rare_terms", "variable_width_histogram",
     ):
@@ -1249,6 +1276,28 @@ def _bucket_key(kind: str, b: dict) -> Column:
                 cond = cond & (field < lit(hi))
             whens = F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
         return whens  # docs outside every range -> NULL bucket, filtered by ES; we keep NULL
+    if kind == "ip_prefix":
+        # ES ip_prefix: bucket by the network address at `prefix_length`
+        # bits.  IPv4 only (same limit as ip_range); the address parses to
+        # a 32-bit int and masks with shiftright/shiftleft — all codegen,
+        # and the network key doubles as a partition column at scale.
+        # `append_prefix_length` suffixes "/n" like ES.
+        if b.get("is_ipv6"):
+            raise AggsDslError("ip_prefix: IPv6 unsupported")
+        n_bits = int(b["prefix_length"])
+        if not 0 <= n_bits <= 32:
+            raise AggsDslError(f"ip_prefix prefix_length {n_bits} out of range 0..32")
+        net = F.shiftleft(F.shiftright(_ipv4_to_long(field), 32 - n_bits), 32 - n_bits)
+        quad = F.concat_ws(
+            ".",
+            *[
+                F.shiftright(net, s).bitwiseAND(F.lit(255)).cast("string")
+                for s in (24, 16, 8, 0)
+            ],
+        )
+        if b.get("append_prefix_length"):
+            quad = F.concat(quad, F.lit(f"/{n_bits}"))
+        return quad
     if kind == "geotile_grid":
         # Web-Mercator slippy tile "z/x/y" at `precision` zoom (ES
         # geotile_grid keys).  asinh(tan φ) written as ln(tan φ + sec φ)
@@ -1420,6 +1469,79 @@ def _metric(name: str, body: dict) -> list[Column]:
                     F.corr(gated[fa], gated[fb]).alias(f"{name}_{fa}_{fb}_correlation")
                 )
         return cols
+    if kind == "geo_line":
+        # ES geo_line: the bucket's points as a path ordered by `sort`,
+        # truncated to `size` — the GeoJSON LineString coordinates array
+        # as array<array<double>> ([lon, lat] pairs, GeoJSON order).
+        # collect_list is order-nondeterministic, so the sort happens
+        # AFTER collection: array_sort over (sort, lon, lat) structs is
+        # total (lon/lat break sort ties), making the result deterministic
+        # across retries/partitionings.  One aggregation, no window.
+        try:
+            point_f = spec["point"]["field"]
+            sort_f = spec["sort"]["field"]
+        except (KeyError, TypeError):
+            raise AggsDslError(
+                f"geo_line {name!r}: expected point.field + sort.field"
+            ) from None
+        size = int(spec.get("size", 10000))
+        order = str(spec.get("sort_order", "ASC")).upper()
+        lat, lon = F.col(f"{point_f}.lat"), F.col(f"{point_f}.lon")
+        ok = F.col(sort_f).isNotNull() & lat.isNotNull() & lon.isNotNull()
+        item = F.when(
+            ok,
+            F.struct(
+                F.col(sort_f).alias("s"), lon.alias("x"), lat.alias("y")
+            ),
+        )
+        arr = F.array_sort(F.collect_list(item))
+        if order == "DESC":
+            arr = F.reverse(arr)
+        elif order != "ASC":
+            raise AggsDslError(f"geo_line {name!r}: sort_order {order!r}")
+        line = F.slice(
+            F.transform(arr, lambda e: F.array(e["x"], e["y"])), 1, size
+        )
+        return [line.alias(name)]
+    if kind == "scripted_metric":
+        # ES scripted_metric, the distributable accumulate subset: ONE
+        # state variable, `init` sets it to 0, `map` does
+        # `state.<v> += <expr>` (expr in the painless-lite expression
+        # language runtime_fields.compile_script accepts), `combine`
+        # returns the state, `reduce` sums the per-shard states.  That
+        # contract IS a partial-aggregatable SUM, so it compiles to
+        # F.sum(expr) — map-side combine, one shuffle, like every other
+        # metric.  Scripts outside the subset raise (no silent
+        # approximation of arbitrary painless state machines — ES itself
+        # warns scripted_metric does not scale; the subset is the part
+        # that does).
+        from .runtime_fields import compile_script
+
+        init = str(spec.get("init_script", "")).strip()
+        map_s = str(spec.get("map_script", "")).strip()
+        combine = str(spec.get("combine_script", "")).strip()
+        reduce_s = str(spec.get("reduce_script", "")).strip()
+        mi = re.match(r"^state\.(\w+)\s*=\s*0(?:\.0)?\s*;?$", init)
+        mm = re.match(r"^state\.(\w+)\s*\+=\s*(.+?)\s*;?$", map_s, flags=re.S)
+        if not mi or not mm or mi.group(1) != mm.group(1):
+            raise AggsDslError(
+                f"scripted_metric {name!r}: supported form is init "
+                "'state.v = 0' + map 'state.v += <expr>'"
+            )
+        var = mi.group(1)
+        if combine and not re.match(
+            rf"^(?:return\s+)?state\.{var}\s*;?$", combine
+        ):
+            raise AggsDslError(
+                f"scripted_metric {name!r}: combine must return state.{var}"
+            )
+        if reduce_s and "sum" not in reduce_s and "+=" not in reduce_s:
+            raise AggsDslError(
+                f"scripted_metric {name!r}: reduce must sum the states "
+                "(states.stream()...sum() or an accumulation loop)"
+            )
+        expr = compile_script(f"emit({mm.group(2)})")
+        return [F.sum(expr).alias(name)]
     if not isinstance(spec, dict) or "field" not in spec:
         raise AggsDslError(f"metric {name!r}: expected {{'field': ...}}, got {spec!r}")
     field = spec["field"]

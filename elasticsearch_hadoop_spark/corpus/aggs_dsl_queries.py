@@ -2176,3 +2176,233 @@ def aggs_date_histogram_offset(spark, sf_dir):
         "doc_count",
         F.round("total", 6).alias("total"),
     ).orderBy("bucket")
+
+
+@query(
+    "aggs_ip_prefix",
+    oracle="""
+WITH ips AS (
+  SELECT concat_ws('.', '10',
+                   CAST(user_id % 4 AS VARCHAR),
+                   CAST(event_id % 256 AS VARCHAR),
+                   CAST(user_id % 256 AS VARCHAR)) AS ip,
+         value
+  FROM events
+), nums AS (
+  SELECT CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipnum,
+         value
+  FROM ips
+), masked AS (
+  SELECT ((ipnum >> 10) << 10) AS net, value FROM nums
+)
+SELECT concat(CAST((net >> 24) & 255 AS VARCHAR), '.',
+              CAST((net >> 16) & 255 AS VARCHAR), '.',
+              CAST((net >> 8) & 255 AS VARCHAR), '.',
+              CAST(net & 255 AS VARCHAR), '/22') AS subnet,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS total
+FROM masked
+GROUP BY net
+ORDER BY subnet
+""",
+)
+def aggs_ip_prefix(spark, sf_dir):
+    """`ip_prefix` bucket agg: /22 network buckets over the derived IPv4
+    column (the ip_range fixture convention) with append_prefix_length —
+    the mask is shiftright/shiftleft codegen, mirrored bit-for-bit by the
+    oracle's >>/<< arithmetic."""
+    ev = tbl(spark, sf_dir, "events")
+    with_ip = ev.withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("user_id") % 4).cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+            (F.col("user_id") % 256).cast("string"),
+        ),
+    )
+    out = compile_aggs(
+        with_ip,
+        {
+            "aggs": {
+                "subnet": {
+                    "ip_prefix": {
+                        "field": "ip",
+                        "prefix_length": 22,
+                        "append_prefix_length": True,
+                    },
+                    "aggs": {"total": {"sum": {"field": "value"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "subnet", "doc_count", F.round("total", 6).alias("total")
+    ).orderBy("subnet")
+
+
+@query(
+    "aggs_moving_percentiles",
+    oracle="""
+WITH buckets AS (
+  SELECT date_trunc('day', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         sum(value) AS total
+  FROM events
+  GROUP BY 1
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, doc_count,
+       round(total, 6) AS total,
+       round(quantile_cont(total, 0.5) OVER w, 6) AS mp_50,
+       round(quantile_cont(total, 0.9) OVER w, 6) AS mp_90
+FROM buckets
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY bucket
+""",
+)
+def aggs_moving_percentiles(spark, sf_dir):
+    """`moving_percentiles` pipeline agg: p50/p90 of the daily sum over a
+    3-bucket trailing window (same INCLUDING-current convention as
+    moving_fn, documented) — a window over the finished bucket frame,
+    never the fact rows."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "bucket": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                    "aggs": {
+                        "total": {"sum": {"field": "value"}},
+                        "mp": {
+                            "moving_percentiles": {
+                                "buckets_path": "total",
+                                "window": 3,
+                                "percents": [50, 90],
+                            }
+                        },
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        F.date_format("bucket", TS_FMT_SPARK).alias("bucket"),
+        "doc_count",
+        F.round("total", 6).alias("total"),
+        F.round("mp_50", 6).alias("mp_50"),
+        F.round("mp_90", 6).alias("mp_90"),
+    ).orderBy("bucket")
+
+
+@query(
+    "aggs_geo_line",
+    oracle="""
+WITH pts AS (
+  SELECT c_mktsegment,
+         c_custkey,
+         CAST((c_custkey % 180) - 89.5 AS DOUBLE) AS glat,
+         CAST(((c_custkey * 7) % 360) - 179.5 AS DOUBLE) AS glon
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       to_json(list_slice(list([glon, glat] ORDER BY c_custkey, glon, glat),
+                          1, 5)) AS track
+FROM pts
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def aggs_geo_line(spark, sf_dir):
+    """`geo_line` metric agg: per-segment GeoJSON-style [lon, lat] path of
+    the first 5 points ordered by c_custkey (the sort field) — array_sort
+    over collected (sort, lon, lat) structs, so the result is
+    deterministic despite collect_list's partition-order
+    nondeterminism."""
+    c = tbl(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+    )
+    out = compile_aggs(
+        pts,
+        {
+            "aggs": {
+                "c_mktsegment": {
+                    "terms": {"field": "c_mktsegment"},
+                    "aggs": {
+                        "track": {
+                            "geo_line": {
+                                "point": {"field": "location"},
+                                "sort": {"field": "c_custkey"},
+                                "size": 5,
+                            }
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "c_mktsegment", "doc_count", F.to_json("track").alias("track")
+    ).orderBy("c_mktsegment")
+
+
+@query(
+    "aggs_scripted_metric",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(o_totalprice * 0.1 + 1), 6) AS scripted_revenue
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def aggs_scripted_metric(spark, sf_dir):
+    """`scripted_metric` in the distributable accumulate subset: init
+    'state.t = 0', map 'state.t += doc[o_totalprice].value * 0.1 + 1',
+    summing combine/reduce — compiles to a partial-aggregatable SUM (one
+    shuffle, map-side combine), the part of scripted_metric that
+    actually scales."""
+    o = tbl(spark, sf_dir, "orders")
+    out = compile_aggs(
+        o,
+        {
+            "aggs": {
+                "o_orderpriority": {
+                    "terms": {"field": "o_orderpriority"},
+                    "aggs": {
+                        "scripted_revenue": {
+                            "scripted_metric": {
+                                "init_script": "state.t = 0",
+                                "map_script": (
+                                    "state.t += doc['o_totalprice'].value"
+                                    " * 0.1 + 1"
+                                ),
+                                "combine_script": "return state.t",
+                                "reduce_script": (
+                                    "double s = 0; for (t in states)"
+                                    " { s += t } return s"
+                                ),
+                            }
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        "o_orderpriority",
+        "doc_count",
+        F.round("scripted_revenue", 6).alias("scripted_revenue"),
+    ).orderBy("o_orderpriority")

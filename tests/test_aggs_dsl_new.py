@@ -326,3 +326,141 @@ class TestFiltersOtherBucketAndOffset:
                 {"aggs": {"d": {"date_histogram": {
                     "field": "ts", "calendar_interval": "day", "offset": "+3h"}}}},
             )
+
+
+def test_ip_prefix_masks_and_appends(spark):
+    df = spark.createDataFrame(
+        [("10.0.1.5",), ("10.0.2.200",), ("10.0.130.9",), ("192.168.1.1",)],
+        ["ip"],
+    )
+    out = compile_aggs(
+        df,
+        {"aggs": {"net": {"ip_prefix": {
+            "field": "ip", "prefix_length": 25, "append_prefix_length": True,
+        }}}},
+    ).collect()
+    got = {r["net"]: r["doc_count"] for r in out}
+    assert got == {
+        "10.0.1.0/25": 1,
+        "10.0.2.128/25": 1,
+        "10.0.130.0/25": 1,
+        "192.168.1.0/25": 1,
+    }
+    # /0 collapses everything into one bucket
+    one = compile_aggs(
+        df, {"aggs": {"net": {"ip_prefix": {"field": "ip", "prefix_length": 0}}}}
+    ).collect()
+    assert len(one) == 1 and one[0]["net"] == "0.0.0.0"
+
+
+def test_ip_prefix_rejects_ipv6_and_bad_length(spark):
+    df = spark.createDataFrame([("10.0.0.1",)], ["ip"])
+    with pytest.raises(AggsDslError):
+        compile_aggs(
+            df,
+            {"aggs": {"n": {"ip_prefix": {
+                "field": "ip", "prefix_length": 64, "is_ipv6": True,
+            }}}},
+        )
+    with pytest.raises(AggsDslError):
+        compile_aggs(
+            df, {"aggs": {"n": {"ip_prefix": {"field": "ip", "prefix_length": 33}}}}
+        )
+
+
+def test_moving_percentiles_trailing_window(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 60.0), (4, 40.0)], ["k", "v"]
+    )
+    out = compile_aggs(
+        df,
+        {"aggs": {"b": {
+            "histogram": {"field": "k", "interval": 1.0},
+            "aggs": {
+                "total": {"sum": {"field": "v"}},
+                "mp": {"moving_percentiles": {
+                    "buckets_path": "total", "window": 3, "percents": [50],
+                }},
+            },
+        }}},
+    ).orderBy("b").collect()
+    # trailing 3-bucket window INCLUDING current (documented convention)
+    assert [r["mp_50"] for r in out] == [10.0, 15.0, 20.0, 40.0]
+
+
+def test_geo_line_sorts_and_truncates(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 3, {"lat": 3.5, "lon": 30.5}),
+            ("a", 1, {"lat": 1.5, "lon": 10.5}),
+            ("a", 2, {"lat": 2.5, "lon": 20.5}),
+            ("b", 1, {"lat": 9.5, "lon": 90.5}),
+        ],
+        "g string, t int, p struct<lat:double,lon:double>",
+    )
+    out = compile_aggs(
+        df,
+        {"aggs": {"g": {
+            "terms": {"field": "g"},
+            "aggs": {"line": {"geo_line": {
+                "point": {"field": "p"}, "sort": {"field": "t"}, "size": 2,
+            }}},
+        }}},
+    ).orderBy("g").collect()
+    assert out[0]["line"] == [[10.5, 1.5], [20.5, 2.5]]  # sorted by t, size=2
+    assert out[1]["line"] == [[90.5, 9.5]]
+
+
+def test_geo_line_desc_and_skips_null_points(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, {"lat": 1.5, "lon": 10.5}),
+            ("a", 2, None),
+            ("a", 3, {"lat": 3.5, "lon": 30.5}),
+        ],
+        "g string, t int, p struct<lat:double,lon:double>",
+    )
+    out = compile_aggs(
+        df,
+        {"aggs": {"g": {
+            "terms": {"field": "g"},
+            "aggs": {"line": {"geo_line": {
+                "point": {"field": "p"}, "sort": {"field": "t"},
+                "sort_order": "desc",
+            }}},
+        }}},
+    ).collect()
+    assert out[0]["line"] == [[30.5, 3.5], [10.5, 1.5]]
+
+
+def test_scripted_metric_sum_subset(spark):
+    df = spark.createDataFrame([("x", 2.0), ("x", 3.0), ("y", 5.0)], ["g", "v"])
+    out = compile_aggs(
+        df,
+        {"aggs": {"g": {
+            "terms": {"field": "g"},
+            "aggs": {"t": {"scripted_metric": {
+                "init_script": "state.t = 0",
+                "map_script": "state.t += doc['v'].value * 2",
+                "combine_script": "return state.t",
+                "reduce_script": "return states.stream().mapToDouble(d -> d).sum()",
+            }}},
+        }}},
+    ).orderBy("g").collect()
+    assert [(r["g"], r["t"]) for r in out] == [("x", 10.0), ("y", 10.0)]
+
+
+def test_scripted_metric_rejects_non_sum_shapes(spark):
+    df = spark.createDataFrame([("x", 1.0)], ["g", "v"])
+    for bad in (
+        {"init_script": "state.t = []", "map_script": "state.t += doc['v'].value"},
+        {"init_script": "state.t = 0", "map_script": "state.t = doc['v'].value"},
+        {"init_script": "state.a = 0", "map_script": "state.b += doc['v'].value"},
+        {
+            "init_script": "state.t = 0",
+            "map_script": "state.t += doc['v'].value",
+            "reduce_script": "return states.stream().max()",
+        },
+    ):
+        with pytest.raises(AggsDslError):
+            compile_aggs(df, {"aggs": {"m": {"scripted_metric": bad}}})
