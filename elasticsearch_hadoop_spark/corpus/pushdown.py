@@ -826,3 +826,135 @@ def query_dsl_combined_fields(spark, sf_dir):
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "query_dsl_span_near",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lang,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'batch') AS p1,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'stream') AS p2,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'spark') AS p3,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'window') AS p4
+  FROM an
+)
+SELECT doc_id, lang,
+       len(list_filter(p1,
+           a -> len(list_filter(p2, b -> b > a AND b - a - 1 <= 2)) > 0)) > 0
+         AS near_ordered,
+       len(list_filter(p3,
+           a -> len(list_filter(p4,
+                b -> b != a AND abs(b - a) - 1 <= 3)) > 0)) > 0
+         AS near_unordered
+FROM pos
+WHERE len(list_filter(p1,
+           a -> len(list_filter(p2, b -> b > a AND b - a - 1 <= 2)) > 0)) > 0
+   OR len(list_filter(p3,
+           a -> len(list_filter(p4,
+                b -> b != a AND abs(b - a) - 1 <= 3)) > 0)) > 0
+ORDER BY doc_id
+""",
+)
+def query_dsl_span_near(spark, sf_dir):
+    """Lucene `span_near` over analyzed token positions: in_order
+    ("batch" then "stream", total gap <= 2) and unordered (the 2-clause
+    subset: "spark" and "window" within 3 either way).  Spans are
+    array<struct<s,e>> built by index-filter Column math — the whole
+    family stays in codegen (no explode); the oracle replays the same
+    position arithmetic 1-based."""
+    docs = tbl(spark, sf_dir, "documents")
+    ordered = compile_query({"span_near": {
+        "clauses": [
+            {"span_term": {"text": "batch"}},
+            {"span_term": {"text": "stream"}},
+        ],
+        "slop": 2, "in_order": True,
+    }})
+    unordered = compile_query({"span_near": {
+        "clauses": [
+            {"span_term": {"text": "spark"}},
+            {"span_term": {"text": "window"}},
+        ],
+        "slop": 3, "in_order": False,
+    }})
+    return (
+        docs.select(
+            "doc_id", "lang",
+            ordered.alias("near_ordered"),
+            unordered.alias("near_unordered"),
+        )
+        .filter(F.col("near_ordered") | F.col("near_unordered"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "query_dsl_span_first_not_or",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lang,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'the') AS pthe,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'join') AS pj,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'merge') AS pm,
+         list_filter(generate_series(1, len(toks)),
+                     i -> toks[i] = 'vector' OR toks[i] = 'hash') AS por
+  FROM an
+)
+SELECT doc_id, lang,
+       len(list_filter(pthe, a -> a <= 3)) > 0 AS the_early,
+       len(list_filter(pj,
+           a -> len(list_filter(pm, b -> b > a - 2 AND b < a + 2)) = 0)) > 0
+         AS join_clear,
+       len(por) > 0 AS has_either
+FROM pos
+WHERE len(pthe) > 0 OR len(pj) > 0 OR len(por) > 0
+ORDER BY doc_id
+""",
+)
+def query_dsl_span_first_not_or(spark, sf_dir):
+    """`span_first` ("the" ending within the first 3 positions),
+    `span_not` ("join" with no "merge" within 1 position either side,
+    pre/post windows) and `span_or` ("vector" | "hash") as boolean
+    columns over the same position machinery."""
+    docs = tbl(spark, sf_dir, "documents")
+    the_early = compile_query({"span_first": {
+        "match": {"span_term": {"text": "the"}}, "end": 3,
+    }})
+    join_clear = compile_query({"span_not": {
+        "include": {"span_term": {"text": "join"}},
+        "exclude": {"span_term": {"text": "merge"}},
+        "pre": 1, "post": 1,
+    }})
+    has_either = compile_query({"span_or": {"clauses": [
+        {"span_term": {"text": "vector"}},
+        {"span_term": {"text": "hash"}},
+    ]}})
+    any_term = compile_query({"span_or": {"clauses": [
+        {"span_term": {"text": "the"}},
+        {"span_term": {"text": "join"}},
+        {"span_term": {"text": "vector"}},
+        {"span_term": {"text": "hash"}},
+    ]}})
+    return (
+        docs.select(
+            "doc_id", "lang",
+            the_early.alias("the_early"),
+            join_clear.alias("join_clear"),
+            has_either.alias("has_either"),
+        )
+        .filter(any_term)
+        .orderBy("doc_id")
+    )

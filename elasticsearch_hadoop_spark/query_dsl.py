@@ -27,7 +27,13 @@ Supported clauses (the reference's §2.B algebra + the common ES core):
   function_score (deterministic
   field_value_factor / script_score / weight functions — the predicate
   form matches the base query + min_score; ``function_score(df, body)``
-  attaches the score column), and the ``?q=field:value`` URI-lite subset.
+  attaches the score column), the ``?q=field:value`` URI-lite subset, and
+  the Lucene span family (span_term, span_multi over
+  prefix/wildcard/regexp/fuzzy, span_or, span_first, span_not with
+  pre/post, span_near ordered n-way + unordered 2-clause,
+  span_containing, span_within, field_masking_span) — position-aware
+  predicates compiled to array<struct<s,e>> span sets over analyzed token
+  positions, all inside codegen.
 
 Semantics notes (SURVEY.md §2.C "one real semantic gap"):
 - ``term`` is exact equality (reference `strict` mode).
@@ -1286,6 +1292,192 @@ def _pinned(body, id_col):
     return F.col(id_col).isin(ids) | organic
 
 
+# ---------------------------------------------------------------------------
+# Span queries (Lucene SpanQuery family) — position-aware matching as pure
+# Column math.  Every span clause compiles to array<struct<s:int,e:int>>
+# over the field's analyzed token positions (start inclusive, end
+# exclusive, like Lucene Spans); the top-level predicate is
+# size(spans) > 0.  The arrays are per-document positions of a handful of
+# query terms, so the nested transforms stay tiny and everything remains
+# inside whole-stage codegen — no explode, no UDF.
+#
+# Documented subset: span_near with in_order=false supports exactly two
+# clauses (the both-orders case; Lucene's n-way unordered interleaving is
+# out of scope), and span gaps follow Lucene's "intervening unmatched
+# positions" accounting.  All clauses in one span tree must target the
+# same field (ES rejects mixed fields too — field_masking_span exists
+# precisely to bypass that check, and here simply delegates inward).
+
+
+def _span_positions(toks: Column, pred) -> Column:
+    """Positions i where pred(token_i) holds — same index-filter trick as
+    _sloppy_phrase (empty arrays degrade safely: F.get returns NULL)."""
+    return F.filter(F.sequence(F.lit(0), F.size(toks) - 1), lambda i: pred(F.get(toks, i)))
+
+
+def _spans_of_positions(pos: Column) -> Column:
+    return F.transform(pos, lambda p: F.struct(p.alias("s"), (p + 1).alias("e")))
+
+
+def _span_compile(clause: dict) -> Column:
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise QueryDslError(f"expected a single-key span clause, got: {clause!r}")
+    (kind, body), = clause.items()
+    if kind == "span_term":
+        field, value = _field_value(body)
+        toks = analyze_tokens(_resolve(field))
+        term = str(value).lower()  # index side is analyzed (lowercased)
+
+        def _eq(t):
+            return t == F.lit(term)
+
+        return _spans_of_positions(_span_positions(toks, _eq))
+    if kind == "field_masking_span":
+        # field masking exists to defeat the same-field check upstream;
+        # positions here are per-column anyway, so it delegates inward
+        return _span_compile(body["query"])
+    if kind == "span_multi":
+        (ikind, ibody), = body["match"].items()
+        field, value = _field_value(ibody)
+        toks = analyze_tokens(_resolve(field))
+        v = str(value).lower()
+        if ikind == "prefix":
+            pred = lambda t: t.startswith(v)
+        elif ikind == "wildcard":
+            pat = "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch) for ch in v
+            )
+            pred = lambda t: t.rlike(f"^{pat}$")
+        elif ikind == "regexp":
+            pred = lambda t: t.rlike(f"^(?:{v})$")
+        elif ikind == "fuzzy":
+            spec = ibody[next(iter(ibody))] if isinstance(ibody, dict) else None
+            fz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) else "AUTO"
+            if isinstance(fz, str):
+                if fz.upper() != "AUTO":
+                    raise QueryDslError(f"unsupported fuzziness: {fz!r}")
+                fz = 0 if len(v) < 3 else (1 if len(v) < 6 else 2)
+            maxed = int(fz)
+            pred = lambda t: F.levenshtein(t, F.lit(v)) <= F.lit(maxed)
+        else:
+            raise QueryDslError(f"span_multi: unsupported inner query {ikind!r}")
+        return _spans_of_positions(_span_positions(toks, pred))
+    if kind == "span_or":
+        arrs = [_span_compile(c) for c in body["clauses"]]
+        if not arrs:
+            raise QueryDslError("span_or needs clauses")
+        return F.array_distinct(F.concat(*arrs)) if len(arrs) > 1 else arrs[0]
+    if kind == "span_first":
+        inner = _span_compile(body["match"])
+        end = int(body["end"])
+        return F.filter(inner, lambda sp: sp["e"] <= F.lit(end))
+    if kind == "span_not":
+        inc = _span_compile(body["include"])
+        exc = _span_compile(body["exclude"])
+        dist = int(body.get("dist", 0))
+        pre = int(body.get("pre", dist))
+        post = int(body.get("post", dist))
+
+        def _clear(sp):
+            return ~F.coalesce(
+                F.exists(
+                    exc,
+                    lambda x: (x["s"] < sp["e"] + post) & (x["e"] > sp["s"] - pre),
+                ),
+                F.lit(False),
+            )
+
+        return F.filter(inc, _clear)
+    if kind in ("span_containing", "span_within"):
+        big = _span_compile(body["big"])
+        little = _span_compile(body["little"])
+        if kind == "span_containing":
+            return F.filter(
+                big,
+                lambda b: F.exists(
+                    little, lambda l: (l["s"] >= b["s"]) & (l["e"] <= b["e"])
+                ),
+            )
+        return F.filter(
+            little,
+            lambda l: F.exists(big, lambda b: (l["s"] >= b["s"]) & (l["e"] <= b["e"])),
+        )
+    if kind == "span_near":
+        sub = [_span_compile(c) for c in body.get("clauses", [])]
+        if len(sub) < 2:
+            raise QueryDslError("span_near needs >= 2 clauses")
+        slop = int(body.get("slop", 0))
+        in_order = bool(body.get("in_order", False))
+        strip = lambda arr: F.transform(
+            arr, lambda a: F.struct(a["s"].alias("s"), a["e"].alias("e"))
+        )
+        if in_order:
+            # left fold with accumulated gap g (total intervening
+            # positions so far); the slop budget prunes at every step, so
+            # candidate arrays shrink monotonically
+            acc = F.transform(
+                sub[0],
+                lambda sp: F.struct(
+                    sp["s"].alias("s"), sp["e"].alias("e"), F.lit(0).alias("g")
+                ),
+            )
+            for nxt in sub[1:]:
+                def _extend(a, _n=nxt):
+                    # _n binds the loop's clause at def time; the lambda
+                    # handed to PySpark below stays arity-1 (the
+                    # _sloppy_phrase arity gotcha)
+                    return F.transform(
+                        F.filter(
+                            _n,
+                            lambda b: (b["s"] >= a["e"])
+                            & (a["g"] + b["s"] - a["e"] <= F.lit(slop)),
+                        ),
+                        lambda b: F.struct(
+                            a["s"].alias("s"),
+                            b["e"].alias("e"),
+                            (a["g"] + b["s"] - a["e"]).alias("g"),
+                        ),
+                    )
+
+                acc = F.flatten(F.transform(acc, lambda a: _extend(a)))
+            return F.array_distinct(strip(acc))
+        if len(sub) != 2:
+            raise QueryDslError(
+                "span_near in_order=false supports exactly 2 clauses "
+                "(documented subset)"
+            )
+        s1, s2 = sub
+        combos = F.flatten(
+            F.transform(
+                s1,
+                lambda a: F.transform(
+                    F.filter(s2, lambda b: (b["s"] >= a["e"]) | (b["e"] <= a["s"])),
+                    lambda b: F.struct(
+                        F.least(a["s"], b["s"]).alias("s"),
+                        F.greatest(a["e"], b["e"]).alias("e"),
+                        (
+                            F.greatest(a["e"], b["e"])
+                            - F.least(a["s"], b["s"])
+                            - (a["e"] - a["s"])
+                            - (b["e"] - b["s"])
+                        ).alias("g"),
+                    ),
+                ),
+            )
+        )
+        kept = F.filter(combos, lambda c: c["g"] <= F.lit(slop))
+        return F.array_distinct(strip(kept))
+    raise QueryDslError(f"unsupported span clause: {kind}")
+
+
+def _span_predicate(kind):
+    def handler(body, id_col):
+        spans = _span_compile({kind: body})
+        return F.coalesce(F.size(spans) > 0, F.lit(False))
+
+    return handler
+
+
 _HANDLERS = {
     "query_string": _query_string,
     "intervals": _intervals,
@@ -1342,4 +1534,33 @@ _HANDLERS = {
     # as a bare predicate, function_score matches its base query (+
     # min_score gate); use query_dsl.function_score for the score column
     "function_score": lambda body, id_col: compile_function_score(body)[0],
+    # Lucene span family: position-aware predicates over analyzed token
+    # positions (see _span_compile above)
+    "span_term": _span_predicate("span_term"),
+    "span_multi": _span_predicate("span_multi"),
+    "span_or": _span_predicate("span_or"),
+    "span_first": _span_predicate("span_first"),
+    "span_not": _span_predicate("span_not"),
+    "span_near": _span_predicate("span_near"),
+    "span_containing": _span_predicate("span_containing"),
+    "span_within": _span_predicate("span_within"),
+    "field_masking_span": _span_predicate("field_masking_span"),
 }
+
+
+def _needs_frame(kind: str):
+    def handler(body, id_col):
+        raise QueryDslError(
+            f"{kind} relates rows to other rows and cannot compile to a "
+            "Column predicate; use operators.parent_child."
+            f"{'search_join_index' if kind != 'parent_id' else 'parent_id'} "
+            "over a join-field frame"
+        )
+
+    return handler
+
+
+# parent-child (`join` field) clauses need frame-level semi-joins —
+# handled by operators/parent_child.py, rejected here with a pointer
+for _k in ("has_child", "has_parent", "parent_id"):
+    _HANDLERS[_k] = _needs_frame(_k)

@@ -1,0 +1,141 @@
+"""Lucene span-query family: position-aware matching as Column math over
+analyzed token positions (query_dsl._span_compile)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
+
+
+def _match(spark, texts, query):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    rows = df.filter(compile_query(query)).select("i").collect()
+    return sorted(r["i"] for r in rows)
+
+
+def test_span_term_and_first(spark):
+    texts = ["alpha beta gamma", "beta alpha", "gamma delta"]
+    assert _match(spark, texts, {"span_term": {"text": "beta"}}) == [0, 1]
+    # span_first: span must END within the first `end` positions
+    q = {"span_first": {"match": {"span_term": {"text": "beta"}}, "end": 1}}
+    assert _match(spark, texts, q) == [1]
+
+
+def test_span_near_in_order_slop(spark):
+    texts = [
+        "quick brown fox",          # quick..fox gap 1
+        "quick fox",                # gap 0
+        "fox quick",                # wrong order
+        "quick red sly brown fox",  # gap 3
+    ]
+    def q(slop):
+        return {"span_near": {
+            "clauses": [
+                {"span_term": {"text": "quick"}},
+                {"span_term": {"text": "fox"}},
+            ],
+            "slop": slop, "in_order": True,
+        }}
+    assert _match(spark, texts, q(0)) == [1]
+    assert _match(spark, texts, q(1)) == [0, 1]
+    assert _match(spark, texts, q(3)) == [0, 1, 3]
+
+
+def test_span_near_three_clause_gap_is_total(spark):
+    texts = ["a x b y c", "a b c", "a x x b c"]
+    def q(slop):
+        return {"span_near": {
+            "clauses": [
+                {"span_term": {"text": "a"}},
+                {"span_term": {"text": "b"}},
+                {"span_term": {"text": "c"}},
+            ],
+            "slop": slop, "in_order": True,
+        }}
+    assert _match(spark, texts, q(0)) == [1]
+    assert _match(spark, texts, q(2)) == [0, 1, 2]  # total intervening <= 2
+
+
+def test_span_near_unordered_two_clauses(spark):
+    texts = ["alpha beta", "beta alpha", "beta gap gap alpha", "alpha"]
+    def q(slop, in_order=False):
+        return {"span_near": {
+            "clauses": [
+                {"span_term": {"text": "alpha"}},
+                {"span_term": {"text": "beta"}},
+            ],
+            "slop": slop, "in_order": in_order,
+        }}
+    assert _match(spark, texts, q(0)) == [0, 1]
+    assert _match(spark, texts, q(2)) == [0, 1, 2]
+    with pytest.raises(QueryDslError):
+        compile_query({"span_near": {
+            "clauses": [
+                {"span_term": {"text": "a"}},
+                {"span_term": {"text": "b"}},
+                {"span_term": {"text": "c"}},
+            ],
+            "in_order": False,
+        }})
+
+
+def test_span_or_and_not(spark):
+    texts = ["alpha beta", "gamma beta", "alpha", "delta"]
+    q_or = {"span_or": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"text": "gamma"}},
+    ]}}
+    assert _match(spark, texts, q_or) == [0, 1, 2]
+    # alpha NOT adjacent-followed by beta: exclude alpha spans overlapping
+    # a window extended `post` past the span end
+    q_not = {"span_not": {
+        "include": {"span_term": {"text": "alpha"}},
+        "exclude": {"span_term": {"text": "beta"}},
+        "post": 1,
+    }}
+    assert _match(spark, texts, q_not) == [2]
+
+
+def test_span_containing_within(spark):
+    texts = ["big alpha end", "big end alpha", "alpha big end"]
+    near = {"span_near": {"clauses": [
+        {"span_term": {"text": "big"}},
+        {"span_term": {"text": "end"}},
+    ], "slop": 1, "in_order": True}}
+    q_cont = {"span_containing": {"big": near, "little": {"span_term": {"text": "alpha"}}}}
+    # only texts[0]'s (big..end) span (0,3) contains an alpha span; in
+    # texts[1] alpha@(2,3) sits past the (0,2) near span, in texts[2]
+    # before it
+    assert _match(spark, texts, q_cont) == [0]
+    q_within = {"span_within": {"big": near, "little": {"span_term": {"text": "alpha"}}}}
+    assert _match(spark, texts, q_within) == [0]
+
+
+def test_span_multi_prefix_and_fuzzy(spark):
+    texts = ["prefix match", "pretend nothing", "other"]
+    q = {"span_multi": {"match": {"prefix": {"text": "pre"}}}}
+    assert _match(spark, texts, q) == [0, 1]
+    qf = {"span_near": {"clauses": [
+        {"span_multi": {"match": {"fuzzy": {"text": {"value": "matxh"}}}}},
+    ], "slop": 0, "in_order": True}}
+    with pytest.raises(QueryDslError):
+        compile_query(qf)  # span_near needs >= 2 clauses
+    qf2 = {"span_multi": {"match": {"fuzzy": {"text": {"value": "matxh"}}}}}
+    assert _match(spark, texts, qf2) == [0]
+
+
+def test_span_field_masking_delegates(spark):
+    texts = ["alpha beta"]
+    q = {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"field_masking_span": {"query": {"span_term": {"text": "beta"}}, "field": "text"}},
+    ], "slop": 0, "in_order": True}}
+    assert _match(spark, texts, q) == [0]
+
+
+def test_span_null_text_is_false(spark):
+    df = spark.createDataFrame([(0, None), (1, "alpha")], "i int, text string")
+    rows = df.filter(compile_query({"span_term": {"text": "alpha"}})).collect()
+    assert [r["i"] for r in rows] == [1]
