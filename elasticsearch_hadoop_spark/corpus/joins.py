@@ -319,3 +319,122 @@ def join_asof(spark, sf_dir):
         F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_click_ts"),
         F.round("click_value", 6).alias("last_click_value"),
     ).orderBy("event_id")
+
+
+def _join_field_frame(spark, sf_dir):
+    """The ES join-field data model built from orders (parents) +
+    lineitem (children): one frame, `_id` + join_field struct + the
+    payload columns either side carries (nulls on the other).  At scale
+    the union is two parquet scans — no shuffle until a join-family
+    query demands one."""
+    o = tbl(spark, sf_dir, "orders").select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.struct(
+            F.lit("order").alias("name"),
+            F.lit(None).cast("string").alias("parent"),
+        ).alias("join_field"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.lit(None).cast("double").alias("quantity"),
+    )
+    l = tbl(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.lit("l"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("_id"),
+        F.struct(
+            F.lit("line").alias("name"),
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("parent"),
+        ).alias("join_field"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.lit(None).cast("string").alias("priority"),
+        F.lit(None).cast("double").alias("totalprice"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    return o.unionByName(l)
+
+
+@query(
+    "join_has_child",
+    oracle="""
+SELECT o.o_orderkey AS orderkey, o.o_orderpriority AS priority,
+       round(o.o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE (SELECT count(*) FROM lineitem l
+       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45) >= 3
+ORDER BY orderkey
+""",
+)
+def join_has_child(spark, sf_dir):
+    """ES `has_child` with min_children: parent docs (orders) having >= 3
+    `line` children with quantity >= 45 — child filter pushes to the
+    scan, child counts aggregate per parent key (partial agg), then a
+    LEFT SEMI join against the parents (operators/parent_child.py).  The
+    matching-key set is small post-filter, so AQE broadcasts it."""
+    from elasticsearch_hadoop_spark.operators.parent_child import has_child
+
+    df = _join_field_frame(spark, sf_dir)
+    out = has_child(
+        df, "line", {"range": {"quantity": {"gte": 45}}}, min_children=3
+    )
+    return out.select(
+        "orderkey", "priority", F.round("totalprice", 2).alias("totalprice")
+    ).orderBy("orderkey")
+
+
+@query(
+    "join_has_parent_parent_id",
+    oracle="""
+WITH urgent AS (
+  SELECT l.l_orderkey AS orderkey, l.l_quantity
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+)
+SELECT orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_quantity), 2) AS sum_qty,
+       (orderkey = (SELECT min(o_orderkey) FROM orders
+                    WHERE o_orderpriority = '1-URGENT')) AS of_first_parent
+FROM urgent
+GROUP BY orderkey
+ORDER BY orderkey
+""",
+)
+def join_has_parent_parent_id(spark, sf_dir):
+    """ES `has_parent` (children of 1-URGENT orders; the filtered parent
+    key set broadcasts into the semi join) aggregated per parent, plus
+    `parent_id` membership for the first urgent order as a boolean — the
+    parent_id path is a plain sargable filter (no join); its key set
+    joins back on the unique post-agg orderkey."""
+    from elasticsearch_hadoop_spark.operators.parent_child import (
+        has_parent,
+        parent_id,
+    )
+
+    df = _join_field_frame(spark, sf_dir)
+    kids = has_parent(df, "order", {"term": {"priority": "1-URGENT"}})
+    agg = kids.groupBy("orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("quantity"), 2).alias("sum_qty"),
+    )
+    first = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    pid_keys = (
+        parent_id(df, "line", f"o{first}")
+        .select(F.col("orderkey").alias("__k"))
+        .distinct()
+    )
+    out = agg.join(pid_keys, agg["orderkey"] == pid_keys["__k"], "left").select(
+        "orderkey",
+        "n_lines",
+        "sum_qty",
+        F.col("__k").isNotNull().alias("of_first_parent"),
+    )
+    return out.orderBy("orderkey")
