@@ -691,6 +691,7 @@ class Catalog:
         shuffle."""
         df = self._read_resolved(name)
         if query is not None:
+            query = self._resolve_terms_lookups(query)
             df = df.filter(compile_query(query))
         meta_cols = [c for c in ("_id", "_index", "_routing") if c in df.columns]
         if metadata and meta_cols:
@@ -754,9 +755,92 @@ class Catalog:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    # ES terms-lookup caps the fetched list (index.max_terms_count);
+    # enforced here too so a fat lookup doc cannot balloon the compiled
+    # isin predicate
+    MAX_TERMS_COUNT = 65536
+
+    def terms_lookup(self, index: str, doc_id: str, path: str) -> list:
+        """Fetch the term list for a terms-lookup query (`terms` with
+        {"index", "id", "path"}): the ``path`` array of ONE document.
+        A one-row collect bounded by MAX_TERMS_COUNT — the list then
+        compiles to an isin predicate that pushes down to the scan, which
+        is exactly how ES executes the lookup (fetch once, rewrite to a
+        plain terms query)."""
+        df = self.read_index(index, metadata=True)
+        if "_id" not in df.columns:
+            raise ValueError(f"terms lookup index {index!r} has no _id column")
+        rows = (
+            df.filter(F.col("_id").cast("string") == str(doc_id))
+            .select(path)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise DocumentMissingError(f"terms lookup doc {doc_id!r} in {index!r}")
+        val = rows[0][0]
+        terms = [v for v in (val if isinstance(val, list) else [val]) if v is not None]
+        if len(terms) > self.MAX_TERMS_COUNT:
+            raise ValueError(
+                f"terms lookup {index!r}/{doc_id!r}.{path} has {len(terms)} "
+                f"terms (> max_terms_count {self.MAX_TERMS_COUNT})"
+            )
+        return terms
+
+    def _resolve_terms_lookups(self, q):
+        """Pre-pass over an ES query body: replace every terms-lookup
+        clause ({"terms": {field: {"index","id","path"}}}) with the
+        fetched term list, anywhere in the clause tree (bool arms,
+        nested, constant_score...).  Plain clauses pass through
+        untouched, so compile_query never needs catalog access."""
+        if isinstance(q, str):
+            s = q.strip()
+            if not s.startswith("{"):
+                return q
+            q = json.loads(s)
+        if not isinstance(q, dict):
+            return q
+        out = {}
+        for k, v in q.items():
+            if k == "terms" and isinstance(v, dict):
+                new_v = {}
+                for fld, spec in v.items():
+                    if isinstance(spec, dict) and {"index", "id", "path"} <= set(spec):
+                        new_v[fld] = self.terms_lookup(
+                            spec["index"], spec["id"], spec["path"]
+                        )
+                    else:
+                        new_v[fld] = spec
+                out[k] = new_v
+            elif isinstance(v, dict):
+                out[k] = self._resolve_terms_lookups(v)
+            elif isinstance(v, list):
+                out[k] = [
+                    self._resolve_terms_lookups(x) if isinstance(x, dict) else x
+                    for x in v
+                ]
+            else:
+                out[k] = v
+        return out
+
     def count_index(self, name: str, query: str | dict | None = None) -> int:
         """_count parity (A10)."""
         return self.read_index(name, query=query).count()
+
+    def sql_query(self, sql: str, pattern: str = "*") -> DataFrame:
+        """ES SQL (`_sql` endpoint) veneer: every managed index matching
+        ``pattern`` registers as a temp view (dots/dashes mapped to
+        underscores — reference the mapped name, or backtick the
+        original), then the statement runs through Spark SQL.  ES SQL's
+        grammar is an ANSI subset, so the statement itself passes
+        through; Catalyst plans it with the same pushdown/pruning as the
+        DataFrame API — there is no second engine.  (ES doubles quotes
+        for identifiers; Spark uses backticks — the one documented
+        dialect difference.)"""
+        for n in self.resolve_pattern(pattern):
+            view = re.sub(r"[^A-Za-z0-9_]", "_", n)
+            self.read_index(n).createOrReplaceTempView(view)
+        return self.spark.sql(sql)
 
     def read_index_stream(
         self, name: str, query: str | dict | None = None, schema=None

@@ -739,3 +739,80 @@ def writepath_rollover(spark, sf_dir):
         )
         .orderBy("gen")
     )
+
+
+@query(
+    "writepath_terms_lookup",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE lang IN ('en', 'fr') AND n_chars >= 150
+ORDER BY doc_id
+""",
+)
+def writepath_terms_lookup(spark, sf_dir):
+    """ES terms-lookup round trip: the allowed-lang list lives in a
+    lookup INDEX document ({"index","id","path"} form); read_index's
+    pre-pass fetches it (one bounded collect, ES's max_terms_count cap)
+    and rewrites the clause to a plain isin that pushes to the parquet
+    scan — exactly ES's fetch-once-then-rewrite execution."""
+    root = _workdir(sf_dir, "terms_lookup")
+    cat = Catalog(spark, root)
+    docs = tbl(spark, sf_dir, "documents")
+    cat.write_index(docs, "docs", mode="overwrite", id_col="doc_id")
+    lookup = spark.createDataFrame(
+        [(1, ["en", "fr"])], "lk_id int, langs array<string>"
+    )
+    cat.write_index(lookup, "lang_filter", mode="overwrite", id_col="lk_id")
+    out = cat.read_index(
+        "docs",
+        query={"bool": {"filter": [
+            {"terms": {"lang": {
+                "index": "lang_filter", "id": "1", "path": "langs",
+            }}},
+            {"range": {"n_chars": {"gte": 150}}},
+        ]}},
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "writepath_es_sql",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+WHERE n_chars >= 100
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def writepath_es_sql(spark, sf_dir):
+    """ES `_sql` endpoint veneer round trip: write the documents table
+    into a managed index, then run the SQL statement through
+    catalog.sql_query — the index registers as a temp view and Catalyst
+    plans the statement with the same pushdown as the DataFrame API (no
+    second engine; ES SQL's ANSI-subset grammar passes through)."""
+    root = _workdir(sf_dir, "es_sql")
+    cat = Catalog(spark, root)
+    docs = tbl(spark, sf_dir, "documents")
+    cat.write_index(docs, "sql-docs", mode="overwrite", id_col="doc_id")
+    out = cat.sql_query(
+        """
+        SELECT lang, count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               avg(n_chars) AS avg_chars
+        FROM sql_docs
+        WHERE n_chars >= 100
+        GROUP BY lang
+        ORDER BY lang
+        """,
+        pattern="sql-docs",
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round("avg_chars", 6).alias("avg_chars"),
+    ).orderBy("lang")

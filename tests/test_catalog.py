@@ -424,3 +424,76 @@ class TestRollover:
         cat.put_alias("ok", "ok-000001")
         with pytest.raises(ValueError):
             cat.rollover("ok")  # no conditions
+
+
+def test_terms_lookup_rewrites_and_filters(spark, cat):
+    cat.write_index(docs(spark, BASE), "data", id_col="k")
+    lookup = spark.createDataFrame(
+        [Row(k=1, allowed=["a", "c"]), Row(k=2, allowed=["b"])]
+    )
+    cat.write_index(lookup, "lk", id_col="k")
+    got = as_dicts(
+        cat.read_index(
+            "data",
+            query={"terms": {"v": {"index": "lk", "id": "1", "path": "allowed"}}},
+        )
+    )
+    assert [d["k"] for d in got] == [1, 3]
+    # nested inside bool arms too
+    got2 = as_dicts(
+        cat.read_index(
+            "data",
+            query={"bool": {
+                "must": [
+                    {"terms": {"v": {"index": "lk", "id": "1", "path": "allowed"}}},
+                ],
+                "must_not": [{"term": {"n": 30}}],
+            }},
+        )
+    )
+    assert [d["k"] for d in got2] == [1]
+
+
+def test_terms_lookup_missing_doc_and_cap(spark, cat):
+    cat.write_index(docs(spark, BASE), "data2", id_col="k")
+    lookup = spark.createDataFrame([Row(k=1, allowed=["a"])])
+    cat.write_index(lookup, "lk2", id_col="k")
+    with pytest.raises(DocumentMissingError):
+        cat.read_index(
+            "data2",
+            query={"terms": {"v": {"index": "lk2", "id": "99", "path": "allowed"}}},
+        )
+    cat.MAX_TERMS_COUNT = 0
+    try:
+        with pytest.raises(ValueError):
+            cat.read_index(
+                "data2",
+                query={"terms": {"v": {"index": "lk2", "id": "1", "path": "allowed"}}},
+            )
+    finally:
+        cat.MAX_TERMS_COUNT = Catalog.MAX_TERMS_COUNT
+
+
+def test_terms_lookup_scalar_path_and_plain_terms_untouched(spark, cat):
+    cat.write_index(docs(spark, BASE), "data3", id_col="k")
+    lookup = spark.createDataFrame([Row(k=1, one="b")])
+    cat.write_index(lookup, "lk3", id_col="k")
+    got = as_dicts(
+        cat.read_index(
+            "data3",
+            query={"terms": {"v": {"index": "lk3", "id": "1", "path": "one"}}},
+        )
+    )
+    assert [d["k"] for d in got] == [2]
+    # a plain terms list is untouched by the pre-pass
+    got2 = as_dicts(cat.read_index("data3", query={"terms": {"v": ["a"]}}))
+    assert [d["k"] for d in got2] == [1]
+
+
+def test_sql_query_veneer(spark, cat):
+    cat.write_index(docs(spark, BASE), "sql-data", id_col="k")
+    out = cat.sql_query(
+        "SELECT v, sum(n) AS total FROM sql_data GROUP BY v ORDER BY v",
+        pattern="sql-data",
+    ).collect()
+    assert [(r["v"], r["total"]) for r in out] == [("a", 10), ("b", 20), ("c", 30)]
