@@ -345,3 +345,308 @@ def search_template_page(spark, sf_dir):
             F.round("o_totalprice", 2).alias("o_totalprice"),
         )
     )
+
+
+@query(
+    "search_suggest_completion",
+    oracle="""
+WITH hits AS (
+  SELECT p_name AS text, CAST(count(*) AS BIGINT) AS weight,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM part
+  WHERE lower(p_name) LIKE 's%'
+  GROUP BY p_name
+),
+fuzzy AS (
+  SELECT p_name AS text, CAST(count(*) AS BIGINT) AS doc_count
+  FROM part
+  WHERE levenshtein(substr(lower(p_name), 1, 5), 'smoll') <= 1
+  GROUP BY p_name
+),
+ranked AS (
+  SELECT text, weight, doc_count,
+         CAST(row_number() OVER (ORDER BY weight DESC, text) AS INT)
+           AS suggest_rank
+  FROM hits
+)
+SELECT r.text, r.weight, r.doc_count, r.suggest_rank,
+       f.text IS NOT NULL AS fuzzy_smoll
+FROM ranked r LEFT JOIN fuzzy f ON r.text = f.text
+WHERE r.suggest_rank <= 5
+ORDER BY r.suggest_rank
+""",
+)
+def search_suggest_completion(spark, sf_dir):
+    """ES completion suggester: part names starting with "s", ranked by
+    doc-frequency weight then text, top 5 (exact-prefix arm is a sargable
+    startswith + one hash agg + TakeOrderedAndProject), with a fuzzy-arm
+    boolean ("smoll"~1 inside the 5-char prefix) joined on."""
+    from elasticsearch_hadoop_spark.search import suggest_completion
+
+    part = tbl(spark, sf_dir, "part")
+    out = suggest_completion(part, "p_name", "s", size=5)
+    fz = (
+        suggest_completion(part, "p_name", "smoll", size=1000, fuzzy=True,
+                           max_edits=1)
+        .select(F.col("text").alias("__ft"))
+    )
+    return (
+        out.join(fz, out["text"] == fz["__ft"], "left")
+        .select(
+            "text", "weight", "doc_count", "suggest_rank",
+            F.col("__ft").isNotNull().alias("fuzzy_smoll"),
+        )
+        .orderBy("suggest_rank")
+    )
+
+
+@query(
+    "search_suggest_phrase",
+    oracle="""
+WITH vocab AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0)) AS term
+    FROM documents
+  ) t
+  GROUP BY t.term
+),
+tot AS (SELECT sum(freq) AS total FROM vocab),
+req(pos, token) AS (VALUES (0, 'mrege'), (1, 'sort'), (2, 'windw')),
+cand AS (
+  SELECT req.pos, req.token, vocab.term, vocab.freq,
+         levenshtein(req.token, vocab.term) AS distance
+  FROM vocab, req
+  WHERE levenshtein(req.token, vocab.term) <= 2
+),
+best AS (
+  SELECT pos, token, term, freq
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY pos ORDER BY distance, freq DESC, term
+    ) AS rn FROM cand
+  ) WHERE rn = 1
+),
+chosen AS (
+  SELECT req.pos, req.token,
+         coalesce(best.term, req.token) AS chosen,
+         coalesce(CAST(best.freq AS DOUBLE), 0.5) AS p_count
+  FROM req LEFT JOIN best ON req.pos = best.pos AND req.token = best.token
+)
+SELECT string_agg(chosen, ' ' ORDER BY pos) AS suggestion,
+       round(sum(log10(p_count / (SELECT total FROM tot))), 6) AS score,
+       CAST(sum(CASE WHEN chosen <> token THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrections
+FROM chosen
+""",
+)
+def search_suggest_phrase(spark, sf_dir):
+    """ES phrase suggester (deterministic unigram subset): per-token best
+    candidate within 2 edits (distance, freq desc, term) over ONE
+    vocabulary aggregation, reassembled by position with a unigram
+    log10-probability score and OOV 0.5-count smoothing."""
+    from elasticsearch_hadoop_spark.search import suggest_phrase
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = suggest_phrase(docs, "text", "mrege sort windw", max_edits=2)
+    return out.select(
+        "suggestion",
+        F.round("score", 6).alias("score"),
+        F.col("n_corrections").cast("long").alias("n_corrections"),
+    )
+
+
+@query(
+    "search_scroll_sliced",
+    oracle="""
+WITH sliced AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 4 AS slice_id,
+         o_totalprice
+  FROM orders
+)
+SELECT CAST(slice_id AS INT) AS slice_id,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(o_totalprice), 2) AS total
+FROM sliced
+GROUP BY slice_id
+ORDER BY slice_id
+""",
+)
+def search_scroll_sliced(spark, sf_dir):
+    """ES sliced scroll: the 4 disjoint hash slices the reference uses
+    for partition-parallel scans (one sliced scroll per Spark partition,
+    A1) — each slice is a pure md5-hash Column predicate; the per-slice
+    counts/sums prove disjoint full coverage."""
+    from elasticsearch_hadoop_spark.search import scroll_slice
+
+    o = tbl(spark, sf_dir, "orders")
+    parts = [
+        o.filter(scroll_slice(o, s, 4, "o_orderkey")).select(
+            F.lit(s).alias("slice_id"), "o_totalprice"
+        )
+        for s in range(4)
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return (
+        un.groupBy("slice_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("slice_id")
+    )
+
+
+@query(
+    "search_analyze_api",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 20
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> length(t) > 0)) AS token,
+         generate_subscripts(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             t -> length(t) > 0), 1) - 1 AS position
+  FROM docs
+)
+SELECT doc_id, CAST(position AS INT) AS position, token
+FROM toks
+WHERE position < 5
+ORDER BY doc_id, position
+""",
+)
+def search_analyze_api(spark, sf_dir):
+    """ES `_analyze` endpoint: token + stream position per doc through
+    the standard analyzer (posexplode over the analyzed array — one
+    narrow projection, the response shape of POST /_analyze)."""
+    from elasticsearch_hadoop_spark.functions.text import analyze_api
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", "text"
+    )
+    out = analyze_api(docs, "text", "standard")
+    return (
+        out.filter(F.col("position") < 5)
+        .select("doc_id", "position", "token")
+        .orderBy("doc_id", "position")
+    )
+
+
+@query(
+    "search_rank_eval",
+    oracle="""
+WITH an AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+reqs(request, t1, t2) AS (VALUES ('q_merge', 'merge', 'window'),
+                                 ('q_hash', 'hash', 'join')),
+scored AS (
+  SELECT r.request, a.doc_id,
+         (CASE WHEN list_contains(a.toks, r.t1) THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(a.toks, r.t2) THEN 1 ELSE 0 END) AS overlap
+  FROM an a CROSS JOIN reqs r
+),
+ranked AS (
+  SELECT request, doc_id, overlap,
+         row_number() OVER (PARTITION BY request
+                            ORDER BY overlap DESC, doc_id) AS rnk
+  FROM scored QUALIFY rnk <= 10
+),
+ratings AS (
+  SELECT request, doc_id, overlap AS rating
+  FROM scored WHERE doc_id < 100 AND overlap > 0
+),
+joined AS (
+  SELECT rk.request, rk.rnk,
+         coalesce(rt.rating, 0) AS r
+  FROM ranked rk LEFT JOIN ratings rt
+    ON rk.request = rt.request AND rk.doc_id = rt.doc_id
+),
+per_req AS (
+  SELECT request,
+         sum(CASE WHEN r >= 1 THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE) AS precision_k,
+         sum(CASE WHEN r >= 1 THEN 1 ELSE 0 END) AS n_rel_ret,
+         coalesce(1.0 / min(CASE WHEN r >= 1 THEN rnk END), 0.0) AS mrr,
+         sum((pow(2.0, r) - 1) / log2(rnk + 1.0)) AS dcg
+  FROM joined GROUP BY request
+),
+ideal AS (
+  SELECT request,
+         sum((pow(2.0, rating) - 1) / log2(irank + 1.0)) AS idcg
+  FROM (
+    SELECT request, rating,
+           row_number() OVER (PARTITION BY request
+                              ORDER BY rating DESC, doc_id) AS irank
+    FROM ratings QUALIFY irank <= 10
+  ) GROUP BY request
+),
+tot AS (
+  SELECT request, CAST(count(*) AS BIGINT) AS n_rel
+  FROM ratings WHERE rating >= 1 GROUP BY request
+)
+SELECT p.request,
+       round(p.precision_k, 6) AS precision_k,
+       round(CASE WHEN t.n_rel > 0 THEN p.n_rel_ret / CAST(t.n_rel AS DOUBLE)
+                  ELSE 0.0 END, 6) AS recall_k,
+       round(p.mrr, 6) AS mrr,
+       round(p.dcg, 6) AS dcg,
+       round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM per_req p
+LEFT JOIN ideal i ON p.request = i.request
+LEFT JOIN tot t ON p.request = t.request
+ORDER BY p.request
+""",
+)
+def search_rank_eval(spark, sf_dir):
+    """ES `_rank_eval`: two requests ranked by query-term overlap, judged
+    by a doc_id<100 pool with graded (0..2) relevance — precision@10,
+    recall@10, MRR, DCG and NDCG per request (search.rank_eval; the
+    metric math never rescans the corpus)."""
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+    from elasticsearch_hadoop_spark.search import rank_eval
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", standard_analyze(F.col("text")).alias("toks")
+    )
+    reqs = [("q_merge", "merge", "window"), ("q_hash", "hash", "join")]
+    req_df = spark.createDataFrame(reqs, "request string, t1 string, t2 string")
+    scored = docs.crossJoin(F.broadcast(req_df)).select(
+        "request",
+        "doc_id",
+        (
+            F.array_contains("toks", F.col("t1")).cast("int")
+            + F.array_contains("toks", F.col("t2")).cast("int")
+        ).alias("overlap"),
+    )
+    w = Window.partitionBy("request").orderBy(
+        F.col("overlap").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("request", F.col("doc_id").alias("_id"), "rank")
+    )
+    ratings = scored.filter(
+        (F.col("doc_id") < 100) & (F.col("overlap") > 0)
+    ).select("request", F.col("doc_id").alias("_id"), F.col("overlap").alias("rating"))
+    out = rank_eval(ranked, ratings, k=10)
+    return out.select(
+        "request",
+        F.round("precision_k", 6).alias("precision_k"),
+        F.round("recall_k", 6).alias("recall_k"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+    ).orderBy("request")

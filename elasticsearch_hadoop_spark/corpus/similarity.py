@@ -289,3 +289,76 @@ def similarity_lsh_topk(spark, sf_dir):
     wb = assign_lsh_buckets(e, planes)
     out = lsh_topk(wb, planes, _query_vec(spark, sf_dir), k=10, hamming_radius=1)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "search_rrf_hybrid",
+    oracle=f"""
+WITH q0 AS {_QVEC_SQL.replace('vec_id = 0', 'vec_id = 0')},
+ra AS (
+  SELECT vec_id, row_number() OVER (
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
+               vec_id) AS rnk
+  FROM embeddings
+  QUALIFY rnk <= 20
+),
+rb AS (
+  SELECT vec_id, row_number() OVER (
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1)) DESC,
+               vec_id) AS rnk
+  FROM embeddings
+  QUALIFY rnk <= 20
+),
+un AS (
+  SELECT vec_id, 1.0 / (60 + rnk) AS c FROM ra
+  UNION ALL
+  SELECT vec_id, 1.0 / (60 + rnk) AS c FROM rb
+),
+fused AS (
+  SELECT vec_id, round(sum(c), 6) AS rrf_score,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM un GROUP BY vec_id
+)
+SELECT vec_id, rrf_score, n_lists,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, vec_id) AS INT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+ORDER BY fused_rank
+""",
+)
+def search_rrf_hybrid(spark, sf_dir):
+    """ES RRF retriever (hybrid search): reciprocal-rank fusion of two
+    top-20 cosine rankings (query vectors = embeddings 0 and 1) with
+    rank_constant 60 — per-list contributions union (no join), one hash
+    agg on the doc id, TakeOrderedAndProject for the fused page
+    (search.rrf_fuse).  The fusion cost is O(lists x k), independent of
+    corpus size."""
+    from pyspark.sql import Window
+
+    from elasticsearch_hadoop_spark.functions.similarity import cosine_similarity
+    from elasticsearch_hadoop_spark.search import rrf_fuse
+
+    e = tbl(spark, sf_dir, "embeddings")
+
+    def ranked(qv):
+        q = F.array(*[F.lit(x) for x in qv]).cast("array<double>")
+        cos = cosine_similarity(F.col("embedding").cast("array<double>"), q)
+        w = Window.orderBy(cos.desc(), F.col("vec_id").asc())
+        return (
+            e.select("vec_id", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= 20)
+        )
+
+    qv0 = _query_vec(spark, sf_dir)
+    row1 = e.filter(F.col("vec_id") == 1).select("embedding").first()
+    qv1 = [float(x) for x in row1[0]]
+    out = rrf_fuse([ranked(qv0), ranked(qv1)], "vec_id", k=60, size=10)
+    return out.select(
+        "vec_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "n_lists",
+        "fused_rank",
+    ).orderBy("fused_rank")

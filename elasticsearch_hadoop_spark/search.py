@@ -16,8 +16,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_TOKEN_RX = re.compile(r"[^a-z0-9]+")
 
 
 def _direction(spec) -> tuple[str, bool]:
@@ -165,6 +169,136 @@ def suggest_terms(
     )
 
 
+def suggest_completion(
+    df: DataFrame,
+    field: str,
+    prefix: str,
+    size: int = 5,
+    weight_col: str | None = None,
+    fuzzy: bool = False,
+    max_edits: int = 1,
+) -> DataFrame:
+    """ES completion suggester: field values starting with ``prefix``,
+    ranked by weight (``weight_col``'s max, else doc frequency) desc then
+    value asc, top ``size`` — the scoreless flat rendering of
+    suggest.completion options (text, weight, doc_count, rank).
+
+    ``fuzzy=True`` allows ``max_edits`` Levenshtein edits INSIDE the
+    prefix (ES's fuzzy completion), so "smal"~1 still finds "small ...".
+
+    Shape: the prefix filter is sargable when exact (startswith pushes as
+    a string range to parquet stats); one hash aggregation groups the
+    surviving values; TakeOrderedAndProject returns the page.  ES backs
+    this with an in-memory FST per shard — the analogue here is that only
+    prefix-survivors reach the aggregation, never the corpus."""
+    c = F.col(field)
+    p = prefix.lower()
+    if fuzzy:
+        pred = (
+            F.levenshtein(F.substring(F.lower(c), 1, len(p)), F.lit(p))
+            <= int(max_edits)
+        )
+    else:
+        pred = F.lower(c).startswith(p)
+    hits = df.filter(c.isNotNull() & pred)
+    weight = (
+        F.max(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).alias("weight")
+    out = hits.groupBy(c.alias("text")).agg(
+        weight, F.count(F.lit(1)).alias("doc_count")
+    )
+    w = Window.orderBy(F.col("weight").desc(), F.col("text").asc())
+    return (
+        out.withColumn("suggest_rank", F.row_number().over(w))
+        .filter(F.col("suggest_rank") <= size)
+        .select("text", "weight", "doc_count", "suggest_rank")
+    )
+
+
+def suggest_phrase(
+    df: DataFrame,
+    field: str,
+    text: str,
+    max_edits: int = 2,
+    min_freq: int = 1,
+) -> DataFrame:
+    """ES phrase suggester, the deterministic unigram subset: each input
+    token is replaced by its best vocabulary candidate within
+    ``max_edits`` (ranked distance asc, then freq desc, then term asc —
+    distance 0 keeps the original), and the corrected phrase is scored by
+    the unigram language model sum(log10(freq/total)); out-of-vocabulary
+    tokens with no candidate stay verbatim at a 0.5-count smoothed
+    probability.  (ES's Laplace-smoothed bigram model + candidate
+    generators is a superset; this is the reproducible core, documented.)
+
+    Output: one row — suggestion, score, n_corrections.
+
+    Shape: ONE vocabulary aggregation (explode + hash agg, the
+    suggest_terms vocab), the handful of query tokens broadcast against
+    it, a per-position WindowGroupLimit picks winners, and a single-group
+    aggregation reassembles the phrase.  Nothing driver-side but the
+    query string itself."""
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+
+    toks = [t for t in _TOKEN_RX.split(text.lower()) if t]
+    if not toks:
+        raise ValueError("suggest_phrase needs at least one input token")
+    spark = df.sparkSession
+    req = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "pos int, token string"
+    )
+    vocab = (
+        df.select(F.explode(standard_analyze(F.col(field))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+        .withColumn("total", F.sum("freq").over(Window.partitionBy()))
+    )
+    cand = (
+        vocab.crossJoin(F.broadcast(req))
+        .withColumn("distance", F.levenshtein(F.col("token"), F.col("term")))
+        .filter(F.col("distance") <= max_edits)
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.col("distance").asc(), F.col("freq").desc(), F.col("term").asc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pos", F.col("term").alias("best"), "freq", "total")
+    )
+    joined = req.join(best, "pos", "left")
+    # OOV fallback: keep the token, 0.5-count smoothing against the vocab
+    # total (window-computed; re-attached via a cross join of the 1-row
+    # total frame would be another shuffle — max() over the join result
+    # is free because total is constant on every matched row)
+    total_lit = F.max("total").over(Window.partitionBy())
+    joined = joined.select(
+        "pos",
+        "token",
+        F.coalesce(F.col("best"), F.col("token")).alias("chosen"),
+        F.coalesce(F.col("freq").cast("double"), F.lit(0.5)).alias("p_count"),
+        total_lit.alias("total_all"),
+    )
+    return joined.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("chosen")))
+                ),
+                lambda s: s["chosen"],
+            ),
+            " ",
+        ).alias("suggestion"),
+        F.sum(
+            F.log10(F.col("p_count") / F.coalesce(F.col("total_all"), F.lit(1.0)))
+        ).alias("score"),
+        F.sum((F.col("chosen") != F.col("token")).cast("int")).alias(
+            "n_corrections"
+        ),
+    )
+
+
 def mget(
     df: DataFrame, ids: list, id_col: str, req_ord_col: str = "req_ord"
 ) -> DataFrame:
@@ -249,6 +383,159 @@ def scroll(df: DataFrame, sort: list, size: int = 1000):
         if len(rows) < size:
             return
         after = tuple(rows[-1][f] for f, _ in fields)
+
+
+def scroll_slice(df: DataFrame, slice_id: int, max_slices: int, id_col: str) -> Column:
+    """ES sliced scroll: the predicate selecting slice ``slice_id`` of
+    ``max_slices`` — deterministic hash partitioning of the id space,
+    which is exactly how the reference parallelizes a scan (one sliced
+    scroll per Spark partition, SURVEY.md §2.A A1).  Here each slice is a
+    Column filter over md5 of the id, so N concurrent readers (or one
+    ``msearch``-style tagged union) cover the index disjointly; at scale
+    you'd rather read the parquet directly (Spark's own splits), but the
+    slice predicate gives API parity for migrating scroll-based jobs."""
+    if not 0 <= slice_id < max_slices:
+        raise ValueError(f"slice id {slice_id} out of range 0..{max_slices - 1}")
+    from elasticsearch_hadoop_spark.functions.text import md5_token_hash
+
+    return md5_token_hash(F.col(id_col).cast("string")) % max_slices == slice_id
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 60,
+    size: int = 10,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """ES RRF retriever (hybrid search): reciprocal-rank fusion of N
+    ranked lists — score(d) = Σ_lists 1/(k + rank_d), ES 8.x's
+    ``retriever.rrf`` with its ``rank_constant`` k.  Each input frame
+    carries ``rank_col`` (1-based, e.g. a row_number over its own
+    ordering, or knn_search's rank output).
+
+    Shape: per-list contributions union (no join — missing docs simply
+    contribute nothing, exactly RRF's semantics), ONE hash aggregation on
+    the doc id, and a TakeOrderedAndProject for the fused page.  The
+    ranked inputs are top-k lists (small); the fusion never touches the
+    corpus again."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked input")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "__contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = un.groupBy(id_col).agg(
+        F.sum("__contrib").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= size)
+    )
+
+
+def rank_eval(
+    ranked: DataFrame,
+    ratings: DataFrame,
+    *,
+    request_col: str = "request",
+    id_col: str = "_id",
+    rank_col: str = "rank",
+    rating_col: str = "rating",
+    k: int = 10,
+    relevant_threshold: int = 1,
+) -> DataFrame:
+    """ES ``_rank_eval``: score ranked search results against relevance
+    judgments — one row per request with the full metric set ES offers:
+    ``precision_k`` (relevant retrieved / retrieved in top k),
+    ``recall_k`` (relevant retrieved / total relevant), ``mrr``
+    (1 / first relevant rank, 0 when none), ``dcg``
+    (Σ (2^rating - 1) / log2(rank + 1) over the top k) and ``ndcg``
+    (dcg / ideal dcg from the judgment pool).
+
+    Inputs: ``ranked`` = (request, id, rank) result lists (1-based
+    ranks), ``ratings`` = (request, id, rating) judgments; unjudged
+    results rate 0, exactly like ES.
+
+    Shape: one LEFT join of the top-k lists against the judgments (both
+    frames are per-request top-k / judgment pools — tiny next to the
+    corpus), two hash aggregations on the request key (metrics and ideal
+    DCG), one join of the two per-request rows.  Corpus-free: rank_eval
+    never rescans the index."""
+    top = ranked.filter(F.col(rank_col) <= k)
+    j = top.join(
+        ratings.select(
+            F.col(request_col).alias("__rq"),
+            F.col(id_col).alias("__rid"),
+            F.col(rating_col).alias("__rating"),
+        ),
+        on=(F.col(request_col) == F.col("__rq"))
+        & (F.col(id_col).cast("string") == F.col("__rid").cast("string")),
+        how="left",
+    ).select(
+        request_col,
+        F.col(rank_col).alias("__rank"),
+        F.coalesce(F.col("__rating"), F.lit(0)).alias("__r"),
+    )
+    rel = F.col("__r") >= relevant_threshold
+    gains = (F.pow(F.lit(2.0), F.col("__r")) - 1.0) / F.log2(F.col("__rank") + 1.0)
+    per_req = j.groupBy(request_col).agg(
+        (F.sum(rel.cast("int")) / F.count(F.lit(1))).alias("precision_k"),
+        F.sum(rel.cast("int")).alias("__n_rel_ret"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(rel, F.col("__rank"))), F.lit(0.0)
+        ).alias("mrr"),
+        F.sum(gains).alias("dcg"),
+    )
+    # ideal DCG + total-relevant from the judgment pool (per request)
+    wi = Window.partitionBy(request_col).orderBy(
+        F.col(rating_col).desc(), F.col(id_col).asc()
+    )
+    ideal = (
+        ratings.withColumn("__irank", F.row_number().over(wi))
+        .filter(F.col("__irank") <= k)
+        .groupBy(F.col(request_col).alias("__irq"))
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col(rating_col)) - 1.0)
+                / F.log2(F.col("__irank") + 1.0)
+            ).alias("__idcg"),
+        )
+    )
+    totals = (
+        ratings.filter(F.col(rating_col) >= relevant_threshold)
+        .groupBy(F.col(request_col).alias("__trq"))
+        .agg(F.count(F.lit(1)).alias("__n_rel"))
+    )
+    out = (
+        per_req.join(ideal, per_req[request_col] == ideal["__irq"], "left")
+        .join(totals, per_req[request_col] == totals["__trq"], "left")
+        .select(
+            request_col,
+            "precision_k",
+            F.when(
+                F.col("__n_rel") > 0, F.col("__n_rel_ret") / F.col("__n_rel")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_k"),
+            "mrr",
+            "dcg",
+            F.when(F.col("__idcg") > 0, F.col("dcg") / F.col("__idcg"))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )
+    return out
 
 
 def field_caps(df: DataFrame) -> DataFrame:

@@ -273,3 +273,102 @@ class TestSearchTemplate:
 
         body = render_search_template('{"f": "{{v}}"}', {"v": 'he said "hi"'})
         assert body["f"] == 'he said "hi"'
+
+
+def test_suggest_completion_prefix_weight_rank(spark):
+    df = spark.createDataFrame(
+        [("small widget", 3), ("small bolt", 9), ("smart cap", 1),
+         ("large bolt", 5), ("small widget", 7)],
+        ["name", "w"],
+    )
+    from elasticsearch_hadoop_spark.search import suggest_completion
+
+    out = suggest_completion(df, "name", "small", size=2, weight_col="w").collect()
+    assert [(r["text"], r["weight"], r["doc_count"], r["suggest_rank"]) for r in out] == [
+        ("small bolt", 9, 1, 1),
+        ("small widget", 7, 2, 2),
+    ]
+    # default weight = doc frequency
+    out2 = suggest_completion(df, "name", "small", size=1).collect()
+    assert out2[0]["text"] == "small widget" and out2[0]["weight"] == 2
+
+
+def test_suggest_completion_fuzzy_prefix(spark):
+    df = spark.createDataFrame([("small widget",), ("large bolt",)], ["name"])
+    from elasticsearch_hadoop_spark.search import suggest_completion
+
+    strict = suggest_completion(df, "name", "smal", size=5).collect()
+    assert len(strict) == 1
+    fuzzy = suggest_completion(
+        df, "name", "smoll", size=5, fuzzy=True, max_edits=1
+    ).collect()
+    assert [r["text"] for r in fuzzy] == ["small widget"]
+    none = suggest_completion(df, "name", "smoll", size=5).collect()
+    assert none == []
+
+
+def test_suggest_phrase_corrects_and_scores(spark):
+    df = spark.createDataFrame(
+        [("merge sort merge window",), ("merge window scan",)], ["text"]
+    )
+    from elasticsearch_hadoop_spark.search import suggest_phrase
+
+    row = suggest_phrase(df, "text", "mrege sort windw").collect()[0]
+    assert row["suggestion"] == "merge sort window"
+    assert row["n_corrections"] == 2
+    assert row["score"] < 0  # log-prob sum
+    # OOV token with no candidate within max_edits stays verbatim
+    row2 = suggest_phrase(df, "text", "zzzzzzz sort").collect()[0]
+    assert row2["suggestion"] == "zzzzzzz sort"
+    assert row2["n_corrections"] == 0
+
+
+def test_rrf_fuse_scores_and_ranks(spark):
+    from elasticsearch_hadoop_spark.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)], ["id", "rank"])
+    out = rrf_fuse([a, b], "id", k=60, size=10).orderBy("fused_rank").collect()
+    scores = {r["id"]: (round(r["rrf_score"], 6), r["n_lists"]) for r in out}
+    assert scores[1] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert scores[3] == (round(1 / 63 + 1 / 61, 6), 2)
+    assert scores[2] == (round(1 / 62, 6), 1)
+    assert scores[4] == (round(1 / 63, 6), 1)
+    # doc 1 (1st + 2nd) outranks doc 3 (3rd + 1st)
+    assert [r["id"] for r in out[:2]] == [1, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], "id")
+
+
+def test_rank_eval_metrics(spark):
+    from elasticsearch_hadoop_spark.search import rank_eval
+
+    ranked = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2)],
+        ["request", "_id", "rank"],
+    )
+    ratings = spark.createDataFrame(
+        [("q1", "a", 3), ("q1", "c", 1), ("q1", "d", 2),
+         ("q2", "z", 1)],
+        ["request", "_id", "rating"],
+    )
+    out = {r["request"]: r for r in rank_eval(ranked, ratings, k=3).collect()}
+    q1 = out["q1"]
+    # top-3 ratings: a=3, b=0, c=1 -> 2 relevant of 3 retrieved
+    assert abs(q1["precision_k"] - 2 / 3) < 1e-9
+    # 3 total relevant judged (a, c, d) -> recall 2/3
+    assert abs(q1["recall_k"] - 2 / 3) < 1e-9
+    assert q1["mrr"] == 1.0  # first relevant at rank 1
+    import math
+
+    dcg = (2**3 - 1) / math.log2(2) + 0.0 + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    assert abs(q1["dcg"] - dcg) < 1e-9
+    assert abs(q1["ndcg"] - dcg / idcg) < 1e-9
+    q2 = out["q2"]
+    # nothing relevant retrieved
+    assert q2["precision_k"] == 0.0 and q2["mrr"] == 0.0 and q2["ndcg"] == 0.0
+    assert q2["recall_k"] == 0.0
