@@ -308,6 +308,12 @@ def compile_aggs(
                     "variable_width_histogram must be the only, terminal bucket agg"
                 )
             return _variable_width_histogram(df, name, body[kind])
+        if kind == "frequent_item_sets":
+            if keys or metrics or body.get("aggs") or body.get("aggregations"):
+                raise AggsDslError(
+                    "frequent_item_sets must be the only, terminal bucket agg"
+                )
+            return _frequent_item_sets(df, name, body[kind])
         if kind == "composite":
             if keys or composite is not None:
                 raise AggsDslError("composite must be the only/top-level bucket agg")
@@ -664,7 +670,7 @@ _PARENT_PIPELINES = (
 # stddev) / softmax — as an unordered window over the bucket frame)
 _SIBLING_PIPELINES = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-    "stats_bucket", "percentiles_bucket",
+    "stats_bucket", "percentiles_bucket", "bucket_correlation",
 )
 _MOVING_FNS = {
     "unweightedAvg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
@@ -756,6 +762,35 @@ def _apply_pipelines(
                         f"{name}_{_pname(p)}",
                         F.percentile(v, F.lit(p / 100.0)).over(ws),
                     )
+                continue
+            if kind == "bucket_correlation":
+                # ES bucket_correlation (count_correlation function):
+                # Pearson correlation between the sibling buckets' metric
+                # series and the caller's indicator expectations, zipped
+                # by the level's bucket order.  The join with the literal
+                # expectations array is element_at by row_number — still a
+                # window over the finished bucket frame, no fact rows.
+                fn = spec.get("function", {})
+                ind = (fn.get("count_correlation") or {}).get("indicator", {})
+                exps = [float(x) for x in ind.get("expectations", [])]
+                if not exps:
+                    raise AggsDslError(
+                        f"bucket_correlation {name!r} needs "
+                        "function.count_correlation.indicator.expectations"
+                    )
+                worder = (
+                    Window.partitionBy(*part).orderBy(key_names[k])
+                    if part
+                    else Window.orderBy(key_names[k])
+                )
+                rn = F.row_number().over(worder)
+                # F.get (not element_at): a bucket count exceeding the
+                # expectations list yields NULL (corr skips the pair)
+                # instead of an ANSI out-of-bounds error
+                exp_v = F.get(F.lit(exps), rn - 1)
+                out = out.withColumn("__bc_exp", exp_v).withColumn(
+                    name, F.corr(v, F.col("__bc_exp")).over(ws)
+                ).drop("__bc_exp")
                 continue
             agg = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                    "min_bucket": F.min, "max_bucket": F.max}[kind]
@@ -1017,7 +1052,7 @@ def _bucket_kind(body: dict) -> str | None:
         "sampler", "diversified_sampler", "ip_range", "ip_prefix",
         "nested", "global",
         "composite", "missing", "significant_terms", "significant_text",
-        "rare_terms", "variable_width_histogram",
+        "rare_terms", "variable_width_histogram", "frequent_item_sets",
     ):
         if kind in body:
             return kind
@@ -1183,6 +1218,69 @@ def _variable_width_histogram(df: DataFrame, name: str, spec: dict) -> DataFrame
             F.count(F.lit(1)).alias("doc_count"),
         )
         .orderBy(f"{name}_bucket")
+    )
+
+
+def _frequent_item_sets(df: DataFrame, name: str, spec: dict) -> DataFrame:
+    """ES frequent_item_sets, the size-<=2 subset: itemsets of one array
+    field with doc_count and support (doc_count / total docs), ranked
+    support desc.  Singles come from one explode + hash agg; pairs are
+    generated PER DOCUMENT in Column math (nested transform over the
+    sorted distinct item array — C(k,2) arrays, no self-join on doc id)
+    and share the same single exploded aggregation.  ES's Eclat miner
+    handles arbitrary set sizes and multiple fields; sizes beyond 2 are
+    rejected, not approximated (at 100 TB per-doc combination blowup is
+    the thing to refuse — cap the field's cardinality upstream like ES's
+    field_value limit).  One driver-side scalar (the doc count) computes
+    support, the significant_terms/auto_date_histogram pattern."""
+    fields = spec.get("fields")
+    if not isinstance(fields, list) or len(fields) != 1:
+        raise AggsDslError(
+            "frequent_item_sets: exactly one {'field': ...} entry is supported"
+        )
+    field = fields[0]["field"]
+    min_set = int(spec.get("minimum_set_size", 1))
+    min_support = float(spec.get("minimum_support", 0.1))
+    size = int(spec.get("size", 10))
+    max_set = int(spec.get("maximum_set_size", 2))
+    if max_set > 2 or min_set > max_set or min_set < 1:
+        raise AggsDslError(
+            "frequent_item_sets: set sizes 1..2 are supported "
+            f"(got {min_set}..{max_set})"
+        )
+    total = df.count()
+    if total == 0:
+        raise AggsDslError("frequent_item_sets over an empty frame")
+    items = F.array_sort(F.array_distinct(F.col(field)))
+    sets = []
+    if min_set <= 1:
+        sets.append(F.transform(items, lambda x: F.array(x)))
+    if max_set >= 2:
+        sets.append(
+            F.flatten(
+                F.transform(
+                    items,
+                    lambda x, i: F.transform(
+                        F.slice(items, i + 2, F.greatest(F.size(items), F.lit(1))),
+                        lambda y: F.array(x, y),
+                    ),
+                )
+            )
+        )
+    exploded = df.select(
+        F.explode(F.concat(*sets) if len(sets) > 1 else sets[0]).alias("__set")
+    )
+    out = (
+        exploded.groupBy(F.col("__set").alias(name))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumn("support", F.col("doc_count") / F.lit(float(total)))
+        .filter(F.col("support") >= min_support)
+        .withColumn("set_size", F.size(F.col(name)))
+    )
+    return (
+        out.select(name, "set_size", "doc_count", "support")
+        .orderBy(F.col("doc_count").desc(), F.col(name).asc())
+        .limit(size)
     )
 
 

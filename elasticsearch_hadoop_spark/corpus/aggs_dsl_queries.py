@@ -2406,3 +2406,121 @@ def aggs_scripted_metric(spark, sf_dir):
         "doc_count",
         F.round("scripted_revenue", 6).alias("scripted_revenue"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "aggs_frequent_item_sets",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0),
+             t -> t IN ('merge', 'sort', 'window', 'join', 'hash')
+         ))) AS items
+  FROM documents
+),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+singles AS (
+  SELECT doc_id, [item] AS iset
+  FROM (SELECT doc_id, unnest(items) AS item FROM docs)
+),
+pos AS (SELECT doc_id, unnest(items) AS item FROM docs),
+pairs AS (
+  SELECT a.doc_id, [a.item, b.item] AS iset
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND a.item < b.item
+),
+sets AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs),
+agg AS (
+  SELECT array_to_string(iset, '|') AS sets, CAST(len(iset) AS INT) AS set_size,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         round(count(*) / (SELECT n FROM total), 6) AS support
+  FROM sets GROUP BY iset
+)
+SELECT sets, set_size, doc_count, support
+FROM agg
+WHERE support >= 0.3
+ORDER BY doc_count DESC, sets
+LIMIT 10
+""",
+)
+def aggs_frequent_item_sets(spark, sf_dir):
+    """ES `frequent_item_sets` (size-<=2 subset): co-occurring query-shape
+    tags mined from the documents corpus — per-doc pair generation in
+    nested-transform Column math (no self-join on doc id), one exploded
+    hash aggregation, support from a single driver-side scalar."""
+    docs = tbl(spark, sf_dir, "documents")
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+
+    tagged = docs.select(
+        F.array_intersect(
+            F.array_sort(F.array_distinct(standard_analyze(F.col("text")))),
+            F.lit(["hash", "join", "merge", "sort", "window"]),
+        ).alias("items")
+    )
+    out = compile_aggs(
+        tagged,
+        {"aggs": {"sets": {"frequent_item_sets": {
+            "fields": [{"field": "items"}],
+            "minimum_support": 0.3,
+            "size": 10,
+        }}}},
+    )
+    return out.select(
+        F.array_join("sets", "|").alias("sets"),
+        "set_size",
+        "doc_count",
+        F.round("support", 6).alias("support"),
+    ).orderBy(F.col("doc_count").desc(), F.col("sets").asc())
+
+
+@query(
+    "aggs_bucket_correlation",
+    oracle="""
+WITH b AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
+         sum(value) AS total
+  FROM events GROUP BY event_type
+),
+exp_map AS (
+  SELECT event_type, total,
+         CASE row_number() OVER (ORDER BY event_type)
+           WHEN 1 THEN 10.0 WHEN 2 THEN 50.0 WHEN 3 THEN 20.0
+           WHEN 4 THEN 40.0 WHEN 5 THEN 30.0 END AS expv
+  FROM b
+),
+c AS (SELECT corr(total, expv) AS corr_v FROM exp_map)
+SELECT b.event_type, b.doc_count, round(b.total, 6) AS total,
+       round((SELECT corr_v FROM c), 6) AS corr
+FROM b
+ORDER BY b.event_type
+""",
+)
+def aggs_bucket_correlation(spark, sf_dir):
+    """`bucket_correlation` sibling pipeline: Pearson correlation between
+    the per-event-type totals and a caller-provided indicator series
+    (zipped by bucket order), repeated on every bucket row — a window
+    over the finished 5-bucket frame, never the fact rows."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {"aggs": {
+            "event_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {"total": {"sum": {"field": "value"}}},
+            },
+            "corr": {"bucket_correlation": {
+                "buckets_path": "event_type>total",
+                "function": {"count_correlation": {"indicator": {
+                    "expectations": [10.0, 50.0, 20.0, 40.0, 30.0],
+                    "doc_count": 5,
+                }}},
+            }},
+        }},
+    )
+    return out.select(
+        "event_type",
+        "doc_count",
+        F.round("total", 6).alias("total"),
+        F.round("corr", 6).alias("corr"),
+    ).orderBy("event_type")

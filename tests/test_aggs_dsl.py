@@ -63,8 +63,10 @@ def test_sibling_buckets_rejected(ev):
 
 
 def test_unknown_metric_rejected(ev):
+    # (scripted_metric used to be the example here — it gained a real
+    # compiler in round 4, so an actually-unknown kind stands in)
     with pytest.raises(AggsDslError, match="unsupported metric"):
-        compile_aggs(ev, {"x": {"scripted_metric": {"field": "v"}}})
+        compile_aggs(ev, {"x": {"geo_frobnicate": {"field": "v"}}})
 
 
 def test_json_string_and_wrapped_body(ev):

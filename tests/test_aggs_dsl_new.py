@@ -464,3 +464,86 @@ def test_scripted_metric_rejects_non_sum_shapes(spark):
     ):
         with pytest.raises(AggsDslError):
             compile_aggs(df, {"aggs": {"m": {"scripted_metric": bad}}})
+
+
+def test_frequent_item_sets_pairs_and_support(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"],), (["a", "b"],), (["b", "a"],), (["c"],), (None,)],
+        "items array<string>",
+    )
+    out = compile_aggs(
+        df,
+        {"aggs": {"sets": {"frequent_item_sets": {
+            "fields": [{"field": "items"}],
+            "minimum_support": 0.4,
+            "size": 10,
+        }}}},
+    ).collect()
+    got = {tuple(r["sets"]): (r["set_size"], r["doc_count"], round(r["support"], 3))
+           for r in out}
+    # 5 docs total (the null-array doc counts toward support's denominator)
+    assert got == {
+        ("a",): (1, 3, 0.6),
+        ("b",): (1, 3, 0.6),
+        ("a", "b"): (2, 3, 0.6),
+        ("c",): (1, 2, 0.4),
+    }
+
+
+def test_frequent_item_sets_min_set_size_and_rejects(spark):
+    df = spark.createDataFrame([(["a", "b"],)], "items array<string>")
+    out = compile_aggs(
+        df,
+        {"aggs": {"s": {"frequent_item_sets": {
+            "fields": [{"field": "items"}],
+            "minimum_set_size": 2, "minimum_support": 0.5,
+        }}}},
+    ).collect()
+    assert [tuple(r["s"]) for r in out] == [("a", "b")]
+    with pytest.raises(AggsDslError):
+        compile_aggs(
+            df,
+            {"aggs": {"s": {"frequent_item_sets": {
+                "fields": [{"field": "items"}], "maximum_set_size": 3,
+            }}}},
+        )
+    with pytest.raises(AggsDslError):
+        compile_aggs(
+            df,
+            {"aggs": {"s": {"frequent_item_sets": {
+                "fields": [{"field": "items"}, {"field": "other"}],
+            }}}},
+        )
+
+
+def test_bucket_correlation_pearson(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (2, 20.0), (2, 20.0), (2, 20.0), (3, 30.0)],
+        ["k", "v"],
+    )
+    out = compile_aggs(
+        df,
+        {"aggs": {
+            "b": {
+                "histogram": {"field": "k", "interval": 1.0},
+                "aggs": {"total": {"sum": {"field": "v"}}},
+            },
+            "corr": {"bucket_correlation": {
+                "buckets_path": "b>total",
+                "function": {"count_correlation": {"indicator": {
+                    "expectations": [20.0, 60.0, 30.0],
+                    "doc_count": 6,
+                }}},
+            }},
+        }},
+    ).orderBy("b").collect()
+    # totals are [20, 60, 30] -> perfect correlation with expectations
+    assert all(abs(r["corr"] - 1.0) < 1e-9 for r in out)
+    with pytest.raises(AggsDslError):
+        compile_aggs(
+            df,
+            {"aggs": {
+                "b": {"histogram": {"field": "k", "interval": 1.0}},
+                "c": {"bucket_correlation": {"buckets_path": "b>_count"}},
+            }},
+        )
