@@ -382,3 +382,100 @@ def text_repetition_signals(spark, sf_dir):
         ).alias("dup_trigram_frac"),
         F.col("max_run").alias("max_token_run"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_c4_filters",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> length(t) > 0) AS words,
+         text
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                            s -> length(trim(s)) > 0)) AS INT) AS n_sentences,
+       round(CASE WHEN len(words) > 0
+             THEN list_sum(list_transform(words, w -> length(w)))
+                  / CAST(len(words) AS DOUBLE)
+             ELSE 0.0 END, 6) AS mean_word_len,
+       contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(text, '{') AS has_curly_brace,
+       (CASE WHEN len(words) >= 5 AND len(words) > 0
+             THEN list_sum(list_transform(words, w -> length(w)))
+                  / CAST(len(words) AS DOUBLE) BETWEEN 3 AND 10
+             ELSE FALSE END) AS c4_keep
+FROM toks
+ORDER BY doc_id
+""",
+)
+def text_c4_filters(spark, sf_dir):
+    """C4-style quality filtering (Raffel et al. 2020): per-doc signal
+    struct (sentences, mean word length, lorem-ipsum / code markers) and
+    a keep verdict from the 3..10 mean-word-length band + minimum length
+    — all one codegen projection, the training-data page filter the
+    repetition signals complement."""
+    from elasticsearch_hadoop_spark.functions.text import (
+        c4_quality_signals,
+        token_count_whitespace,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        c4_quality_signals("text").alias("s"),
+        token_count_whitespace("text").alias("n_words"),
+    )
+    return sig.select(
+        "doc_id",
+        "lang",
+        F.col("s.n_sentences").alias("n_sentences"),
+        F.round("s.mean_word_len", 6).alias("mean_word_len"),
+        F.col("s.has_lorem_ipsum").alias("has_lorem_ipsum"),
+        F.col("s.has_curly_brace").alias("has_curly_brace"),
+        (
+            (F.col("n_words") >= 5)
+            & F.col("s.mean_word_len").between(3.0, 10.0)
+        ).alias("c4_keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> length(t) > 0)) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS freq FROM toks GROUP BY term
+),
+tot AS (SELECT sum(freq) AS total FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         log10(v.freq / (SELECT total FROM tot)) AS lp
+  FROM toks t JOIN vocab v ON t.term = v.term
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 6) AS mean_logprob
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring (the KenLM-perplexity proxy of
+    CCNet-style pipelines): per-doc mean log10 token probability under
+    the corpus's own unigram model — vocabulary agg + term join + per-doc
+    re-agg, Zipf-bounded vocab frame, no driver-side model."""
+    from elasticsearch_hadoop_spark.functions.text import unigram_logprob
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = unigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    ).orderBy("doc_id")

@@ -169,3 +169,136 @@ def max_multiplicity(arr: Column) -> Column:
     longest equal-adjacent run.  O(k log k) per row — no per-distinct
     rescan, no explode/groupBy."""
     return max_consecutive_run(F.array_sort(arr))
+
+
+# ES _analyze endpoint analyzers: name -> tokens-Column builder.  keyword
+# emits the whole input as one token; simple lowercases and splits on
+# non-LETTER runs (digits separate, unlike standard); stop = standard
+# minus English stopwords.
+_ANALYZERS = {
+    "standard": standard_analyze,
+    "whitespace": lambda c: F.filter(
+        F.split(c, r"\s+"), lambda t: F.length(t) > 0
+    ),
+    "keyword": lambda c: F.array(c),
+    "simple": lambda c: F.filter(
+        F.split(F.lower(c), r"[^a-z]+"), lambda t: F.length(t) > 0
+    ),
+    "stop": lambda c: F.filter(
+        standard_analyze(c),
+        lambda t: ~t.isin(*ENGLISH_STOPWORDS),
+    ),
+}
+
+
+def analyze_api(df, field: str, analyzer: str = "standard"):
+    """ES ``_analyze`` endpoint over a column: one row per token with its
+    ``position`` (the token-stream position ES reports).  Character
+    offsets need the analyzer to track source spans — out of scope for
+    the split-based analyzers, documented.  posexplode keeps it one
+    narrow projection; run it over a 1-row frame for the classic
+    "analyze this string" call."""
+    fn = _ANALYZERS.get(analyzer)
+    if fn is None:
+        raise ValueError(
+            f"unknown analyzer {analyzer!r}; supported: {sorted(_ANALYZERS)}"
+        )
+    c = F.col(field)
+    return df.select(
+        "*", F.posexplode(fn(c)).alias("position", "token")
+    ).drop(field)
+
+
+def c4_quality_signals(text: Column | str) -> Column:
+    """C4-style page-quality signals (Raffel et al. 2020 §2.2's filter
+    family) as ONE struct column of pure codegen math:
+
+    - ``n_sentences``: terminal-punctuation splits (C4 drops pages with
+      < 3 sentences)
+    - ``mean_word_len``: mean whitespace-token length (C4's 3..10 band)
+    - ``has_lorem_ipsum`` / ``has_curly_brace``: the page-level contains
+      filters (placeholder text, code)
+    - ``ends_terminal``: last non-space char is . ! ? or "
+    - ``frac_lines_end_punct``: fraction of newline-split lines ending in
+      terminal punctuation (C4 keeps only such lines; single-line docs
+      get 0 or 1)
+
+    Downstream policy (keep/drop thresholds) stays with the caller — the
+    signals are the reusable part."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: F.length(t) > 0)
+    sentences = F.filter(
+        F.split(c, r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0
+    )
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    line_ok = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike('[.!?"]$'))
+    )
+    return F.struct(
+        F.size(sentences).alias("n_sentences"),
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(toks).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.lower(c).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        c.contains("{").alias("has_curly_brace"),
+        F.trim(c).rlike('[.!?"]$').alias("ends_terminal"),
+        F.when(
+            F.size(lines) > 0, line_ok / F.size(lines).cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("frac_lines_end_punct"),
+    )
+
+
+def unigram_logprob(df, field: str, id_col: str, min_freq: int = 1):
+    """Per-document mean unigram log10-probability under the corpus's OWN
+    unigram language model — the deterministic proxy for the
+    KenLM-perplexity quality filter every large training-data pipeline
+    runs (CCNet/RedPajama-style): fluent text re-uses common tokens,
+    gibberish and boilerplate sit in the tail, so a low mean logprob (=
+    high perplexity) flags junk.
+
+    Two aggregations: (1) the vocabulary (explode + hash agg; the total
+    attaches via one unordered window over the tiny vocab frame), (2) the
+    per-doc re-aggregation after an equi-join of exploded tokens with the
+    vocab on the term.  At 100 TB the vocab frame is Zipf-bounded (far
+    smaller than the corpus) — Spark broadcast-joins it when it fits,
+    else it's one hash-partitioned join on the term key; either way no
+    driver-side model object, unlike an actual KenLM binary.
+
+    Returns (id_col, n_tokens, mean_logprob) — policy thresholds stay
+    with the caller."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(standard_analyze(F.col(field))).alias("__term"),
+    )
+    vocab = (
+        toks.groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .filter(F.col("__freq") >= min_freq)
+        .withColumn("__total", F.sum("__freq").over(Window.partitionBy()))
+    )
+    joined = toks.join(vocab, "__term", "left")
+    lp = F.log10(
+        F.coalesce(F.col("__freq").cast("double"), F.lit(0.5))
+        / F.coalesce(
+            F.max(F.col("__total")).over(Window.partitionBy()).cast("double"),
+            F.lit(1.0),
+        )
+    )
+    return (
+        joined.select(F.col(id_col), lp.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("__lp").alias("mean_logprob"),
+        )
+    )

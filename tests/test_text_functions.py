@@ -37,3 +37,75 @@ def test_max_consecutive_run_and_multiplicity(spark):
     assert (out[0]["run"], out[0]["mult"]) == (3, 4)  # x appears 4 times total
     assert (out[1]["run"], out[1]["mult"]) == (1, 3)
     assert (out[2]["run"], out[2]["mult"]) == (0, 0)
+
+
+def test_analyze_api_analyzers(spark):
+    from elasticsearch_hadoop_spark.functions.text import analyze_api
+
+    df = spark.createDataFrame([("The Quick-Fox 42 runs the",)], ["text"])
+    std = analyze_api(df, "text", "standard").collect()
+    assert [(r["position"], r["token"]) for r in std] == [
+        (0, "the"), (1, "quick"), (2, "fox"), (3, "42"), (4, "runs"), (5, "the"),
+    ]
+    ws = analyze_api(df, "text", "whitespace").collect()
+    assert [r["token"] for r in ws] == ["The", "Quick-Fox", "42", "runs", "the"]
+    kw = analyze_api(df, "text", "keyword").collect()
+    assert [r["token"] for r in kw] == ["The Quick-Fox 42 runs the"]
+    simple = analyze_api(df, "text", "simple").collect()
+    assert [r["token"] for r in simple] == ["the", "quick", "fox", "runs", "the"]
+    stop = analyze_api(df, "text", "stop").collect()
+    assert [r["token"] for r in stop] == ["quick", "fox", "42", "runs"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        analyze_api(df, "text", "icu")
+
+
+def test_c4_quality_signals(spark):
+    from elasticsearch_hadoop_spark.functions.text import c4_quality_signals
+
+    df = spark.createDataFrame(
+        [
+            ("Good line one.\nAnother fine line!\nno punct ending",),
+            ("Lorem ipsum dolor { code }",),
+            ("",),
+        ],
+        ["text"],
+    )
+    rows = df.select(c4_quality_signals("text").alias("s")).collect()
+    s0 = rows[0]["s"]
+    assert s0["n_sentences"] == 3
+    assert abs(s0["frac_lines_end_punct"] - 2 / 3) < 1e-9
+    assert not s0["has_lorem_ipsum"] and not s0["has_curly_brace"]
+    assert not s0["ends_terminal"]
+    s1 = rows[1]["s"]
+    assert s1["has_lorem_ipsum"] and s1["has_curly_brace"]
+    s2 = rows[2]["s"]
+    assert s2["n_sentences"] == 0 and s2["mean_word_len"] == 0.0
+
+
+def test_scroll_slice_partitions_disjoint(spark):
+    from elasticsearch_hadoop_spark.search import scroll_slice
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    parts = [df.filter(scroll_slice(df, s, 4, "id")).count() for s in range(4)]
+    assert sum(parts) == 100
+    assert all(p > 0 for p in parts)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scroll_slice(df, 4, 4, "id")
+
+
+def test_unigram_logprob_ranks_common_text_higher(spark):
+    from elasticsearch_hadoop_spark.functions.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "the cat"), (3, "zx qw vv")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in unigram_logprob(df, "text", "id").collect()}
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 2
+    # doc 1 repeats the most common token -> highest mean logprob;
+    # doc 3 is all hapaxes -> lowest
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"] > out[3]["mean_logprob"]
