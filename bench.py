@@ -65,6 +65,15 @@ EXTENSION = [
     "search_knn_filtered",
     "query_dsl_query_string",
     "sample_to_mixture",
+    # round-4 extra-session block: spans, parent-child, item-set mining,
+    # suggesters, C4 filters, terms lookup, ES SQL
+    "query_dsl_span_near",
+    "join_has_child",
+    "aggs_frequent_item_sets",
+    "search_suggest_phrase",
+    "text_c4_filters",
+    "writepath_terms_lookup",
+    "writepath_es_sql",
 ]
 
 
