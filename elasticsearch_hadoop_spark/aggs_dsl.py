@@ -671,6 +671,7 @@ _PARENT_PIPELINES = (
 _SIBLING_PIPELINES = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
     "stats_bucket", "percentiles_bucket", "bucket_correlation",
+    "change_point",
 )
 _MOVING_FNS = {
     "unweightedAvg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
@@ -762,6 +763,67 @@ def _apply_pipelines(
                         f"{name}_{_pname(p)}",
                         F.percentile(v, F.lit(p / 100.0)).over(ws),
                     )
+                continue
+            if kind == "change_point":
+                # ES change_point, the step_change detector subset: every
+                # split of the ordered bucket series is scored by the
+                # two-sample t-statistic between before/after means
+                # (Welch, population variances); the winning split's key
+                # and |t| repeat on every row (<name>_key /
+                # <name>_score, the sibling flat rendering).  ES's ML
+                # change_point also classifies dip/spike/trend_change
+                # with real p-values — the deterministic step detector is
+                # the reproducible core, documented.  All window math
+                # over the finished bucket frame: prefix sums give every
+                # split in ONE pass, no per-split rescan.
+                v = _path_col(spec["buckets_path"]).cast("double")
+                worder = (
+                    Window.partitionBy(*part).orderBy(key_names[k])
+                    if part
+                    else Window.orderBy(key_names[k])
+                )
+                run = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                whole = (
+                    Window.partitionBy(*part) if part else Window.partitionBy()
+                )
+                rn = F.row_number().over(worder)
+                n = F.count(F.lit(1)).over(whole)
+                ps = F.sum(v).over(run)
+                pss = F.sum(v * v).over(run)
+                ts_ = F.sum(v).over(whole)
+                tss = F.sum(v * v).over(whole)
+                n1 = rn.cast("double")
+                n2 = (n - rn).cast("double")
+                m1 = ps / n1
+                m2 = (ts_ - ps) / n2
+                var1 = F.greatest(pss / n1 - m1 * m1, F.lit(0.0))
+                var2 = F.greatest((tss - pss) / n2 - m2 * m2, F.lit(0.0))
+                denom = F.sqrt(var1 / n1 + var2 / n2)
+                t = F.when(
+                    (rn < n) & (denom > 0), F.abs(m1 - m2) / denom
+                ).otherwise(F.lit(None))
+                out = out.withColumn("__cp_t", t)
+                # winner = argmax |t|; the change point is the FIRST
+                # bucket of the after-segment (key at rn_winner + 1),
+                # which lead() reads without a second pass
+                nxt_key = F.lead(F.col(key_names[k])).over(worder)
+                wbest = (
+                    Window.partitionBy(*part).orderBy(
+                        F.col("__cp_t").desc_nulls_last(), F.col(key_names[k])
+                    )
+                    if part
+                    else Window.orderBy(
+                        F.col("__cp_t").desc_nulls_last(), F.col(key_names[k])
+                    )
+                ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                out = out.withColumn("__cp_next", nxt_key)
+                out = (
+                    out.withColumn(
+                        f"{name}_key", F.first("__cp_next").over(wbest)
+                    )
+                    .withColumn(f"{name}_score", F.first("__cp_t").over(wbest))
+                    .drop("__cp_t", "__cp_next")
+                )
                 continue
             if kind == "bucket_correlation":
                 # ES bucket_correlation (count_correlation function):

@@ -827,6 +827,69 @@ class Catalog:
         """_count parity (A10)."""
         return self.read_index(name, query=query).count()
 
+    def snapshot_index(self, name: str, repo: str, snapshot: str) -> dict:
+        """ES ``_snapshot``: a point-in-time copy of the index into a
+        repository directory.  The committed row set materializes as
+        parquet under ``repo/<snapshot>/<name>/data`` (for a
+        transactional index that is exactly the latest committed
+        version — in-flight writers are invisible by construction), and
+        the index ``_meta`` travels with it.  Returns the snapshot
+        manifest.  Restore is ``restore_index``; snapshots are immutable
+        once taken (re-snapshotting the same name raises, like ES's
+        unique snapshot names)."""
+        dest = os.path.join(repo, snapshot, name)
+        if os.path.exists(dest):
+            raise IndexExistsError(f"snapshot {snapshot!r} of {name!r} exists")
+        df = self._read_resolved(name)
+        df.write.parquet(os.path.join(dest, "data"))
+        meta = self._read_meta(name)
+        manifest = {"index": name, "snapshot": snapshot, "meta": meta}
+        os.makedirs(dest, exist_ok=True)
+        with open(os.path.join(dest, "_snapshot.json"), "w") as fh:
+            json.dump(manifest, fh)
+        return manifest
+
+    def restore_index(
+        self, repo: str, snapshot: str, name: str, rename_to: str | None = None
+    ) -> None:
+        """ES ``_restore``: materialize a snapshot as a (new) index.  The
+        target must not exist — ES likewise refuses to restore over an
+        open index; pass ``rename_to`` for the rename-on-restore pattern.
+        The restored index is a plain commit; a transactional catalog
+        adopts it into the manifest log on its next transactional write
+        (txn.adopt's append-union publication)."""
+        src = os.path.join(repo, snapshot, name)
+        if not os.path.exists(os.path.join(src, "_snapshot.json")):
+            raise ValueError(f"no snapshot {snapshot!r} of {name!r} in {repo!r}")
+        target = rename_to or name
+        if self.exists(target):
+            raise IndexExistsError(
+                f"index {target!r} exists — restore with rename_to, like ES"
+            )
+        df = self.spark.read.parquet(os.path.join(src, "data"))
+        df.write.parquet(self.path(target))
+        with open(os.path.join(src, "_snapshot.json")) as fh:
+            manifest = json.load(fh)
+        if manifest.get("meta"):
+            self._write_meta(target, manifest["meta"])
+
+    def list_snapshots(self, repo: str) -> list[dict]:
+        """ES GET _snapshot/<repo>/_all: the repository's snapshot
+        manifests."""
+        out = []
+        if not os.path.isdir(repo):
+            return out
+        for snap in sorted(os.listdir(repo)):
+            sdir = os.path.join(repo, snap)
+            if not os.path.isdir(sdir):
+                continue
+            for idx in sorted(os.listdir(sdir)):
+                mpath = os.path.join(sdir, idx, "_snapshot.json")
+                if os.path.exists(mpath):
+                    with open(mpath) as fh:
+                        out.append(json.load(fh))
+        return out
+
     def sql_query(self, sql: str, pattern: str = "*") -> DataFrame:
         """ES SQL (`_sql` endpoint) veneer: every managed index matching
         ``pattern`` registers as a temp view (dots/dashes mapped to

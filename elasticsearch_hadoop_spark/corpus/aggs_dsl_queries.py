@@ -2524,3 +2524,77 @@ def aggs_bucket_correlation(spark, sf_dir):
         F.round("total", 6).alias("total"),
         F.round("corr", 6).alias("corr"),
     ).orderBy("event_type")
+
+
+@query(
+    "aggs_change_point",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket,
+         sum(value + CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 50.0::DOUBLE ELSE 0.0::DOUBLE END) AS total
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT bucket, total,
+         row_number() OVER w AS rn,
+         sum(total) OVER w AS ps,
+         sum(total * total) OVER w AS pss,
+         count(*) OVER () AS n,
+         sum(total) OVER () AS ts_,
+         sum(total * total) OVER () AS tss,
+         lead(bucket) OVER w AS nxt
+  FROM b WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+),
+t AS (
+  SELECT *,
+         CASE WHEN rn < n THEN
+           abs(ps / rn - (ts_ - ps) / (n - rn))
+           / nullif(sqrt(greatest(pss / rn - (ps / rn) * (ps / rn), 0) / rn
+                  + greatest((tss - pss) / (n - rn)
+                             - ((ts_ - ps) / (n - rn)) * ((ts_ - ps) / (n - rn)),
+                             0) / (n - rn)), 0)
+         END AS tt
+  FROM s
+),
+w AS (
+  SELECT nxt, tt FROM t ORDER BY tt DESC NULLS LAST, bucket LIMIT 1
+)
+SELECT strftime(b.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(b.total, 6) AS total,
+       strftime((SELECT nxt FROM w), '%Y-%m-%d %H:%M:%S') AS cp_key,
+       round((SELECT tt FROM w), 6) AS cp_score
+FROM b ORDER BY bucket
+""",
+)
+def aggs_change_point(spark, sf_dir):
+    """`change_point` sibling pipeline (step_change detector subset): the
+    daily revenue series carries an injected +50/event level shift from
+    Jan 16; every split of the ordered bucket series is scored by the
+    Welch t-statistic via prefix sums (ONE window pass, no per-split
+    rescan) and the winning split's first-after bucket + |t| repeat on
+    each row."""
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "value",
+        F.col("value")
+        + F.when(
+            F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"), 50.0
+        ).otherwise(0.0),
+    )
+    out = compile_aggs(
+        ev,
+        {"aggs": {
+            "bucket": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"total": {"sum": {"field": "value"}}},
+            },
+            "cp": {"change_point": {"buckets_path": "bucket>total"}},
+        }},
+    )
+    return out.select(
+        F.date_format("bucket", TS_FMT_SPARK).alias("bucket"),
+        F.round("total", 6).alias("total"),
+        F.date_format("cp_key", TS_FMT_SPARK).alias("cp_key"),
+        F.round("cp_score", 6).alias("cp_score"),
+    ).orderBy("bucket")

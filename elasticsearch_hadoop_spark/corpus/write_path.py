@@ -816,3 +816,84 @@ def writepath_es_sql(spark, sf_dir):
         "total_chars",
         F.round("avg_chars", 6).alias("avg_chars"),
     ).orderBy("lang")
+
+
+@query(
+    "writepath_percolate",
+    oracle="""
+WITH matches AS (
+  SELECT event_id, 'q_purchase' AS matched_query
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id, 'q_big_value' FROM events WHERE value >= 8.0
+  UNION ALL
+  SELECT event_id, 'q_error_user'
+  FROM events WHERE event_type = 'error' AND user_id < 50
+)
+SELECT event_id, matched_query FROM matches
+ORDER BY event_id, matched_query
+""",
+)
+def writepath_percolate(spark, sf_dir):
+    """ES percolator round trip: three alert queries stored as query-DSL
+    documents in an index, then the event stream percolates against them
+    — the stored set collects once (driver-bounded like ES's per-shard
+    percolator memory), all predicates evaluate in ONE codegen
+    projection over the docs (operators/percolate.py)."""
+    import json as _json
+
+    from elasticsearch_hadoop_spark.operators.percolate import percolate
+
+    root = _workdir(sf_dir, "percolate")
+    cat = Catalog(spark, root)
+    stored = spark.createDataFrame(
+        [
+            ("q_purchase", _json.dumps({"term": {"event_type": "purchase"}})),
+            ("q_big_value", _json.dumps({"range": {"value": {"gte": 8.0}}})),
+            ("q_error_user", _json.dumps({"bool": {"must": [
+                {"term": {"event_type": "error"}},
+                {"range": {"user_id": {"lt": 50}}},
+            ]}})),
+        ],
+        "qid string, query string",
+    )
+    cat.write_index(stored, "alerts", mode="overwrite", id_col="qid")
+    queries = cat.read_index("alerts", metadata=True).select(
+        F.col("_id"), "query"
+    )
+    ev = tbl(spark, sf_dir, "events")
+    out = percolate(ev, queries, keep_cols=["event_id"])
+    return out.select("event_id", "matched_query").orderBy(
+        "event_id", "matched_query"
+    )
+
+
+@query(
+    "writepath_snapshot_restore",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS acctbal
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def writepath_snapshot_restore(spark, sf_dir):
+    """ES snapshot/restore round trip: snapshot the customer index, then
+    corrupt the live index with an upsert wave, then restore-with-rename
+    and read the point-in-time copy back — byte-identical to the
+    pre-mutation state (catalog.snapshot_index / restore_index)."""
+    root = _workdir(sf_dir, "snapshot_restore")
+    repo = os.path.join(root, "_repo")
+    cat = Catalog(spark, root)
+    cust = tbl(spark, sf_dir, "customer")
+    cat.write_index(cust, "cust", mode="overwrite", id_col="c_custkey")
+    cat.snapshot_index("cust", repo, "pre-mutation")
+    mutated = cust.withColumn("c_acctbal", F.col("c_acctbal") + 999.0)
+    cat.write_index(mutated, "cust", operation="upsert", id_col="c_custkey")
+    cat.restore_index(repo, "pre-mutation", "cust", rename_to="cust-restored")
+    out = cat.read_index("cust-restored")
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    ).orderBy("c_custkey")

@@ -547,3 +547,22 @@ def test_bucket_correlation_pearson(spark):
                 "c": {"bucket_correlation": {"buckets_path": "b>_count"}},
             }},
         )
+
+
+def test_change_point_step_detector(spark):
+    # flat at 10 for k=1..4, jumps to 50 at k=5..8 -> change point key 5
+    rows = [(float(k), 10.0 + (40.0 if k >= 5 else 0.0) + (k % 2) * 0.5)
+            for k in range(1, 9)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = compile_aggs(
+        df,
+        {"aggs": {
+            "b": {
+                "histogram": {"field": "k", "interval": 1.0},
+                "aggs": {"m": {"avg": {"field": "v"}}},
+            },
+            "cp": {"change_point": {"buckets_path": "b>m"}},
+        }},
+    ).collect()
+    assert all(r["cp_key"] == 5.0 for r in out)
+    assert all(r["cp_score"] > 5 for r in out)

@@ -497,3 +497,27 @@ def test_sql_query_veneer(spark, cat):
         pattern="sql-data",
     ).collect()
     assert [(r["v"], r["total"]) for r in out] == [("a", 10), ("b", 20), ("c", 30)]
+
+
+def test_snapshot_restore_roundtrip(spark, cat, tmp_path):
+    repo = str(tmp_path / "snap-repo")
+    cat.write_index(docs(spark, BASE), "snappy", id_col="k")
+    manifest = cat.snapshot_index("snappy", repo, "s1")
+    assert manifest["index"] == "snappy" and manifest["snapshot"] == "s1"
+    # mutate the live index AFTER the snapshot
+    cat.write_index(
+        docs(spark, [{"k": 9, "v": "z", "n": 90}]), "snappy", id_col="k"
+    )
+    assert cat.read_index("snappy").count() == 4
+    # restore-with-rename brings back the point-in-time state
+    cat.restore_index(repo, "s1", "snappy", rename_to="snappy-restored")
+    assert as_dicts(cat.read_index("snappy-restored")) == BASE
+    # guards: duplicate snapshot, restore over existing
+    with pytest.raises(IndexExistsError):
+        cat.snapshot_index("snappy", repo, "s1")
+    with pytest.raises(IndexExistsError):
+        cat.restore_index(repo, "s1", "snappy")
+    with pytest.raises(ValueError):
+        cat.restore_index(repo, "nope", "snappy", rename_to="x")
+    snaps = cat.list_snapshots(repo)
+    assert len(snaps) == 1 and snaps[0]["snapshot"] == "s1"

@@ -30,7 +30,11 @@ def test_knn_similarities(spark):
     l2 = knn_search(df, {**body, "similarity": "l2_norm", "k": 1}).collect()
     assert l2[0]["vec_id"] == 1 and l2[0]["_score"] == pytest.approx(1.0)
 
-    dp = knn_search(df, {**body, "similarity": "dot_product", "k": 1}).collect()
+    # vecs 1 and 3 both dot to 1.0 against [1,0] — the tiebreaker makes
+    # the expectation deterministic (the flake showed up under local[4])
+    dp = knn_search(
+        df, {**body, "similarity": "dot_product", "k": 1}, tiebreaker="vec_id"
+    ).collect()
     assert dp[0]["vec_id"] == 1 and dp[0]["_score"] == pytest.approx(1.0)
 
     with pytest.raises(ValueError):
