@@ -157,3 +157,43 @@ def ingest_pipeline_events(spark, sf_dir):
         .select("event_id", "k", "value_bucket", "tags", "vb_echo")
         .orderBy("event_id")
     )
+
+
+@query(
+    "ingest_enrich_events",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment AS segment,
+       round(c.c_acctbal, 2) AS acctbal
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+""",
+)
+def ingest_enrich_events(spark, sf_dir):
+    """ES enrich processor: the event stream enriched against a
+    customer-profile policy frame (the .enrich-* system-index analogue)
+    — a broadcast left join keyed on the match field, matched doc under
+    target_field (ingest.compile_pipeline enrich_policies)."""
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    ev = tbl(spark, sf_dir, "events")
+    policy = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    run = compile_pipeline(
+        [{"enrich": {
+            "policy_name": "cust_profile",
+            "field": "user_id",
+            "match_field": "c_custkey",
+            "target_field": "profile",
+        }}],
+        enrich_policies={"cust_profile": policy},
+    )
+    out = run(ev)
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("profile.c_mktsegment").alias("segment"),
+        F.round(F.col("profile.c_acctbal"), 2).alias("acctbal"),
+    ).orderBy("event_id")

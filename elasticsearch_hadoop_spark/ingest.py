@@ -143,10 +143,45 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
     return rx + "$", keys
 
 
-def _apply_one(df: DataFrame, kind: str, cfg: dict) -> DataFrame:
+def _apply_one(
+    df: DataFrame, kind: str, cfg: dict, enrich_policies: dict | None = None
+) -> DataFrame:
     cond = cfg.get("if")
     field = cfg.get("field")
     target = cfg.get("target_field", field)
+
+    if kind == "enrich":
+        # ES enrich processor: look the document's match value up in an
+        # enrich POLICY's source frame and attach the matched doc(s)
+        # under target_field.  The policy frame is the small side (ES
+        # materializes it as a system .enrich-* index) — broadcast it;
+        # max_matches=1 dedupes deterministically (min struct per key),
+        # >1 attaches a sorted, sliced array exactly like ES's
+        # max_matches list.
+        frame = (enrich_policies or {}).get(cfg["policy_name"])
+        if frame is None:
+            raise IngestError(
+                f"enrich: unknown policy {cfg['policy_name']!r} — pass it in "
+                "compile_pipeline(..., enrich_policies={name: frame})"
+            )
+        match_field = cfg.get("match_field", field)
+        max_matches = int(cfg.get("max_matches", 1))
+        doc = F.struct(*[F.col(c) for c in frame.columns])
+        key = F.col(match_field).alias("__enrich_key")
+        if max_matches == 1:
+            lookup = frame.groupBy(key).agg(F.min(doc).alias(str(target)))
+        else:
+            lookup = frame.groupBy(key).agg(
+                F.slice(F.array_sort(F.collect_list(doc)), 1, max_matches).alias(
+                    str(target)
+                )
+            )
+        joined = df.join(
+            F.broadcast(lookup),
+            df[field] == lookup["__enrich_key"],
+            "left",
+        ).drop("__enrich_key")
+        return joined
 
     if kind == "set":
         tgt = cfg["field"]
@@ -291,7 +326,7 @@ def _apply_one(df: DataFrame, kind: str, cfg: dict) -> DataFrame:
 _SUPPORTED = {
     "set", "rename", "remove", "convert", "date", "split", "join", "gsub",
     "lowercase", "uppercase", "trim", "append", "dissect", "kv", "json",
-    "fingerprint", "script", "uri_parts", "drop",
+    "fingerprint", "script", "uri_parts", "drop", "enrich",
 }
 
 
@@ -325,14 +360,21 @@ def _precheck(kind: str, cfg: dict) -> None:
             compile_script(f"emit({_ctx_to_doc(m.group(2))})")
         except RuntimeFieldError as e:
             raise IngestError(f"unsupported script {src!r}: {e}") from e
+    if kind == "enrich":
+        for req in ("policy_name", "field", "target_field"):
+            if req not in cfg:
+                raise IngestError(f"enrich needs {req}")
+        if "if" in cfg:
+            raise IngestError("enrich: per-row if unsupported (it is a join)")
 
 
-def compile_pipeline(pipeline: dict | list):
+def compile_pipeline(pipeline: dict | list, enrich_policies: dict | None = None):
     """Pipeline JSON (or a bare processor list) -> ``DataFrame -> DataFrame``.
 
     Processors apply in declaration order; later processors see earlier
-    processors' fields, exactly the ES contract.
-    """
+    processors' fields, exactly the ES contract.  ``enrich_policies``
+    maps policy name -> lookup DataFrame for ``enrich`` processors (the
+    analogue of ES's materialized .enrich-* system indices)."""
     processors = (
         pipeline.get("processors", []) if isinstance(pipeline, dict) else pipeline
     )
@@ -346,12 +388,17 @@ def compile_pipeline(pipeline: dict | list):
         if not isinstance(cfg, dict):
             raise IngestError(f"processor {kind!r} config must be an object")
         _precheck(kind, cfg)
+        if kind == "enrich" and (enrich_policies or {}).get(cfg["policy_name"]) is None:
+            raise IngestError(
+                f"enrich: unknown policy {cfg['policy_name']!r} — pass "
+                "enrich_policies={name: frame}"
+            )
         steps.append((kind, cfg))
 
     def run(df: DataFrame) -> DataFrame:
         out = df
         for kind, cfg in steps:
-            out = _apply_one(out, kind, cfg)
+            out = _apply_one(out, kind, cfg, enrich_policies)
         return out
 
     return run

@@ -165,3 +165,48 @@ def test_condition_string_literals_masked():
     assert c is not None
     with pytest.raises(IngestError):
         compile_condition("ctx.lang == 'a'; drop table --'")
+
+
+def test_enrich_processor_attaches_policy_doc(spark):
+    from elasticsearch_hadoop_spark.ingest import IngestError, compile_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "us"), (2, "de"), (3, "xx")], ["id", "country"]
+    )
+    policy = spark.createDataFrame(
+        [("us", "United States", "NA"), ("de", "Germany", "EU"),
+         ("us", "USA dup", "NA")],
+        ["code", "name", "region"],
+    )
+    run = compile_pipeline(
+        [{"enrich": {"policy_name": "geo", "field": "country",
+                     "match_field": "code", "target_field": "geo"}}],
+        enrich_policies={"geo": policy},
+    )
+    out = {r["id"]: r["geo"] for r in run(docs).collect()}
+    # max_matches=1 dedupes deterministically (min struct)
+    assert out[1]["name"] == "USA dup" or out[1]["name"] == "United States"
+    assert out[1]["code"] == "us" and out[1]["region"] == "NA"
+    assert out[2]["name"] == "Germany"
+    assert out[3] is None  # no match -> null target, doc kept (ES default)
+    # max_matches > 1 -> sorted array
+    run2 = compile_pipeline(
+        [{"enrich": {"policy_name": "geo", "field": "country",
+                     "match_field": "code", "target_field": "geos",
+                     "max_matches": 2}}],
+        enrich_policies={"geo": policy},
+    )
+    out2 = {r["id"]: r["geos"] for r in run2(docs).collect()}
+    assert [d["name"] for d in out2[1]] == ["USA dup", "United States"]
+    import pytest as _pytest
+
+    with _pytest.raises(IngestError, match="unknown policy"):
+        compile_pipeline(
+            [{"enrich": {"policy_name": "nope", "field": "country",
+                         "target_field": "x"}}]
+        )
+    with _pytest.raises(IngestError, match="needs target_field"):
+        compile_pipeline(
+            [{"enrich": {"policy_name": "geo", "field": "country"}}],
+            enrich_policies={"geo": policy},
+        )
