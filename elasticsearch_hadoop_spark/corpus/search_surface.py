@@ -650,3 +650,154 @@ def search_rank_eval(spark, sf_dir):
         F.round("dcg", 6).alias("dcg"),
         F.round("ndcg", 6).alias("ndcg"),
     ).orderBy("request")
+
+
+@query(
+    "search_sparse_vector",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, t -> t = 'merge')) * 2.0::DOUBLE
+         + len(list_filter(toks, t -> t = 'sort')) * 1.0::DOUBLE
+         + len(list_filter(toks, t -> t = 'window')) * 1.5::DOUBLE AS score
+  FROM an
+)
+SELECT doc_id, lang, round(score, 6) AS score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+)
+def search_sparse_vector(spark, sf_dir):
+    """ES `sparse_vector` (ELSER-style learned sparse retrieval): each
+    doc carries a map<string,double> token-weight field (here its term
+    frequencies); the query expansion {merge:2, sort:1, window:1.5}
+    scores docs by the sparse dot product — a fixed unrolled codegen sum
+    over the query's tokens, predicate = any-token-overlap
+    (query_dsl sparse_vector + functions.similarity.sparse_dot)."""
+    from elasticsearch_hadoop_spark.functions.similarity import sparse_dot
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = standard_analyze(F.col("text"))
+
+    def _tf(t):
+        return F.size(F.filter(toks, lambda x: x == t))
+
+    tw = F.map_from_entries(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.struct(
+                t.alias("key"),
+                F.size(F.filter(toks, lambda x: x == t))
+                .cast("double")
+                .alias("value"),
+            ),
+        )
+    )
+    qw = {"merge": 2.0, "sort": 1.0, "window": 1.5}
+    with_tw = docs.select("doc_id", "lang", tw.alias("tw"))
+    pred = compile_query(
+        {"sparse_vector": {"field": "tw", "query_vector": qw}}
+    )
+    out = (
+        with_tw.filter(pred)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(sparse_dot(F.col("tw"), qw), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return out
+
+
+@query(
+    "search_linear_fuse",
+    oracle="""
+WITH sa AS (
+  SELECT vec_id,
+         list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+           AS s,
+         row_number() OVER (ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
+             vec_id) AS rnk
+  FROM embeddings QUALIFY rnk <= 20
+),
+sb AS (
+  SELECT vec_id,
+         list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1))
+           AS s,
+         row_number() OVER (ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1)) DESC,
+             vec_id) AS rnk
+  FROM embeddings QUALIFY rnk <= 20
+),
+na AS (
+  SELECT vec_id,
+         CASE WHEN max(s) OVER () > min(s) OVER ()
+              THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+              ELSE 1.0 END * 1.0 AS c
+  FROM sa
+),
+nb AS (
+  SELECT vec_id,
+         CASE WHEN max(s) OVER () > min(s) OVER ()
+              THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+              ELSE 1.0 END * 2.0 AS c
+  FROM sb
+),
+un AS (SELECT * FROM na UNION ALL SELECT * FROM nb),
+fused AS (
+  SELECT vec_id, round(sum(c), 6) AS linear_score,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM un GROUP BY vec_id
+)
+SELECT vec_id, linear_score, n_lists,
+       CAST(row_number() OVER (ORDER BY linear_score DESC, vec_id) AS INT)
+         AS fused_rank
+FROM fused QUALIFY fused_rank <= 10
+ORDER BY fused_rank
+""",
+)
+def search_linear_fuse(spark, sf_dir):
+    """ES linear retriever: weighted (1x, 2x) sum of min-max-normalized
+    scores across two top-20 cosine rankings — per-list normalization is
+    one window over the tiny ranked frame; contributions union, one
+    hash agg, TakeOrderedAndProject (search.linear_fuse)."""
+    from pyspark.sql import Window
+
+    from elasticsearch_hadoop_spark.functions.similarity import cosine_similarity
+    from elasticsearch_hadoop_spark.search import linear_fuse
+
+    e = tbl(spark, sf_dir, "embeddings")
+
+    def ranked(vid):
+        row = e.filter(F.col("vec_id") == vid).select("embedding").first()
+        q = F.array(*[F.lit(float(x)) for x in row[0]]).cast("array<double>")
+        cos = cosine_similarity(F.col("embedding").cast("array<double>"), q)
+        w = Window.orderBy(F.col("_score").desc(), F.col("vec_id").asc())
+        return (
+            e.select("vec_id", cos.alias("_score"))
+            .withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= 20)
+            .drop("__rnk")
+        )
+
+    out = linear_fuse([ranked(0), ranked(1)], "vec_id", weights=[1.0, 2.0])
+    return out.select(
+        "vec_id",
+        F.round("linear_score", 6).alias("linear_score"),
+        "n_lists",
+        "fused_rank",
+    ).orderBy("fused_rank")

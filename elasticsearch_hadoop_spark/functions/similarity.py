@@ -32,3 +32,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = norm(a), norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def sparse_dot(weights_col: Column, query_weights: dict) -> Column:
+    """ES ``sparse_vector`` / ELSER-style scoring: the dot product of a
+    ``map<string,double>`` token-weight column with the query expansion's
+    token->weight map — Σ doc_w[t] * query_w[t] over the QUERY's tokens
+    (the query side is a handful of terms, so the sum unrolls to a fixed
+    codegen expression; missing doc tokens contribute 0, and
+    map_contains_key guards ANSI's missing-key error)."""
+    if not query_weights:
+        raise ValueError("sparse_dot needs a non-empty query weight map")
+    total = F.lit(0.0)
+    for tok, w in query_weights.items():
+        total = total + F.when(
+            F.map_contains_key(weights_col, F.lit(tok)),
+            weights_col[F.lit(tok)].cast("double") * float(w),
+        ).otherwise(F.lit(0.0))
+    return total

@@ -1564,3 +1564,20 @@ def _needs_frame(kind: str):
 # handled by operators/parent_child.py, rejected here with a pointer
 for _k in ("has_child", "has_parent", "parent_id"):
     _HANDLERS[_k] = _needs_frame(_k)
+
+
+def _sparse_vector(body, id_col):
+    """ES ``sparse_vector`` (ELSER) as a predicate: the doc's
+    map<string,double> token-weight field shares at least one token with
+    the query expansion (ES matches any overlap; ranking uses
+    functions.similarity.sparse_dot for the score column)."""
+    field = body["field"]
+    qw = body.get("query_vector") or body.get("tokens")
+    if not isinstance(qw, dict) or not qw:
+        raise QueryDslError("sparse_vector needs query_vector: {token: weight}")
+    return _or_chain(
+        [F.map_contains_key(_resolve(field), F.lit(t)) for t in qw]
+    )
+
+
+_HANDLERS["sparse_vector"] = _sparse_vector

@@ -538,6 +538,49 @@ def rank_eval(
     return out
 
 
+def linear_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    weights: list[float] | None = None,
+    score_col: str = "_score",
+    size: int = 10,
+) -> DataFrame:
+    """ES linear retriever: weighted sum of min-max-normalized scores
+    across sub-retrievers (the ``normalizer: minmax`` form — ES's only
+    deterministic one).  A doc missing from a list contributes 0, like
+    RRF's union semantics.
+
+    Shape mirrors rrf_fuse: per-list normalization is ONE unordered
+    window over that list's (top-k, tiny) frame; contributions union,
+    one hash agg, TakeOrderedAndProject."""
+    if not rankings:
+        raise ValueError("linear_fuse needs at least one ranked input")
+    ws = weights or [1.0] * len(rankings)
+    if len(ws) != len(rankings):
+        raise ValueError(f"got {len(ws)} weights for {len(rankings)} rankings")
+    parts = []
+    for r, w in zip(rankings, ws):
+        whole = Window.partitionBy()
+        s = F.col(score_col)
+        lo, hi = F.min(s).over(whole), F.max(s).over(whole)
+        norm = F.when(hi > lo, (s - lo) / (hi - lo)).otherwise(F.lit(1.0))
+        parts.append(
+            r.select(F.col(id_col), (norm * float(w)).alias("__contrib"))
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = un.groupBy(id_col).agg(
+        F.sum("__contrib").alias("linear_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w_out = Window.orderBy(F.col("linear_score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_out))
+        .filter(F.col("fused_rank") <= size)
+    )
+
+
 def field_caps(df: DataFrame) -> DataFrame:
     """ES ``_field_caps``: one row per field with its type and capability
     flags — pure schema introspection, no data pass.  ``aggregatable``

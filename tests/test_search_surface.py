@@ -372,3 +372,37 @@ def test_rank_eval_metrics(spark):
     # nothing relevant retrieved
     assert q2["precision_k"] == 0.0 and q2["mrr"] == 0.0 and q2["ndcg"] == 0.0
     assert q2["recall_k"] == 0.0
+
+
+def test_linear_fuse_minmax_weighted(spark):
+    from elasticsearch_hadoop_spark.search import linear_fuse
+
+    a = spark.createDataFrame([(1, 10.0), (2, 5.0), (3, 0.0)], ["id", "_score"])
+    b = spark.createDataFrame([(3, 2.0), (2, 1.0)], ["id", "_score"])
+    out = {r["id"]: r for r in
+           linear_fuse([a, b], "id", weights=[1.0, 2.0]).collect()}
+    assert out[1]["linear_score"] == pytest.approx(1.0)       # 1*1.0 + 0
+    assert out[2]["linear_score"] == pytest.approx(0.5)       # 1*0.5 + 2*0
+    assert out[3]["linear_score"] == pytest.approx(2.0)       # 0 + 2*1.0
+    assert out[3]["fused_rank"] == 1
+    with pytest.raises(ValueError, match="weights"):
+        linear_fuse([a, b], "id", weights=[1.0])
+
+
+def test_sparse_vector_query_and_score(spark):
+    from elasticsearch_hadoop_spark.functions.similarity import sparse_dot
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    df = spark.createDataFrame(
+        [(1, {"ml": 2.0, "data": 1.0}), (2, {"cook": 3.0}), (3, None)],
+        "id int, tw map<string,double>",
+    )
+    q = {"sparse_vector": {"field": "tw", "query_vector": {"ml": 0.5, "ai": 1.0}}}
+    got = [r["id"] for r in df.filter(compile_query(q)).collect()]
+    assert got == [1]
+    scored = df.select(
+        "id", sparse_dot(F.col("tw"), {"ml": 0.5, "data": 2.0}).alias("s")
+    ).collect()
+    s = {r["id"]: r["s"] for r in scored}
+    assert s[1] == pytest.approx(2.0 * 0.5 + 1.0 * 2.0)
+    assert s[2] == 0.0
