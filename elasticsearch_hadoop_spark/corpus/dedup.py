@@ -373,3 +373,84 @@ def dedup_cluster_components(spark, sf_dir):
         .select("node", "cluster_id", "cluster_size", "is_canonical")
         .orderBy("node")
     )
+
+
+@query(
+    "dedup_segments_global",
+    oracle="""
+WITH an AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id,
+         list_transform(
+             generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+             i -> array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+         ) AS segs
+  FROM an
+),
+segs AS (
+  SELECT doc_id, unnest(segs) AS seg,
+         generate_subscripts(segs, 1) - 1 AS pos
+  FROM chunked
+),
+winners AS (
+  SELECT seg, doc_id, pos
+  FROM (
+    SELECT seg, doc_id, pos,
+           row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+    FROM segs
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT s.doc_id, s.pos, s.seg
+  FROM segs s JOIN winners w
+    ON s.seg = w.seg AND s.doc_id = w.doc_id AND s.pos = w.pos
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(seg, chr(10) ORDER BY pos)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(p.n_kept, 0) AS n_kept,
+       CAST(len(c.segs) AS BIGINT) - coalesce(p.n_kept, 0) AS n_dropped,
+       p.kept_md5
+FROM chunked c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+ORDER BY c.doc_id
+""",
+)
+def dedup_segments_global(spark, sf_dir):
+    """C4-style GLOBAL segment dedup (Raffel et al. 2020 keep-one-of-
+    every-span): documents chunk into 10-token segments; across the
+    whole corpus only each segment's first (doc_id, pos) occurrence
+    survives.  One posexplode + a min-(id,pos) hash aggregation per
+    segment (partial-aggregatable, no corpus-wide window) + the
+    winners equi-join + per-doc reassembly (operators/dedup.py
+    dedup_segments_global)."""
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+    from elasticsearch_hadoop_spark.operators import dedup as dd
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = standard_analyze(F.col("text"))
+    segs = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1
+        ),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    chunked = docs.select("doc_id", segs.alias("segs"))
+    out = dd.dedup_segments_global(chunked, "segs", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.when(
+            F.col("n_kept") > 0,
+            F.md5(F.encode(F.array_join("kept_segments", "\n"), "UTF-8")),
+        ).alias("kept_md5"),
+    ).orderBy("doc_id")

@@ -191,3 +191,71 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
+
+
+def dedup_segments_global(
+    df: DataFrame, segments_col: str, id_col: str
+) -> DataFrame:
+    """C4-style GLOBAL segment dedup: across the whole corpus, keep only
+    the FIRST occurrence of every exact segment (C4 §2.2 does this with
+    three-sentence spans; the caller chooses the segmentation — lines,
+    sentences, fixed token chunks — and passes it as an array<string>
+    column).  Returns (id_col, kept_segments, n_kept, n_dropped) with
+    kept segments in their original in-document order.
+
+    Shape: posexplode -> ONE hash aggregation per segment value taking
+    min(struct(id, pos)) as the winner (partial-aggregatable — no window
+    over the full corpus), an equi-join back on (segment, id, pos) that
+    keeps only winners, and a per-doc re-aggregation.  Three shuffles,
+    each keyed well (segment hash, then doc id); this is the inherent
+    cost of EXACT global dedup — the approximate alternative is the
+    MinHash pipeline above."""
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(segments_col)).alias("__pos", "__seg"),
+    )
+    winners = (
+        segs.groupBy("__seg")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
+            ).alias("__w")
+        )
+        # derived-from-segs lineage would make the join self-ambiguous;
+        # re-aliasing breaks the shared attribute ids
+        .select(
+            F.col("__seg").alias("__wseg"),
+            F.col("__w.i").alias("__wi"),
+            F.col("__w.p").alias("__wp"),
+        )
+    )
+    kept = segs.join(
+        winners,
+        (segs["__seg"] == winners["__wseg"])
+        & (segs[id_col] == winners["__wi"])
+        & (segs["__pos"] == winners["__wp"]),
+        "inner",
+    ).select(segs[id_col], segs["__pos"], segs["__seg"])
+    per_doc = kept.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__seg")))
+            ),
+            lambda s: s["__seg"],
+        ).alias("kept_segments"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.col(segments_col)).alias("__total")
+    )
+    return (
+        totals.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_segments", F.array().cast("array<string>")).alias(
+                "kept_segments"
+            ),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__total") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )

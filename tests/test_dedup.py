@@ -79,3 +79,25 @@ def test_simhash_locality(spark):
     ham_far = bin(sigs[0] ^ sigs[2]).count("1")
     assert ham_near < ham_far
     assert ham_near <= 8  # near-dups within 8 of 32 bits
+
+
+def test_dedup_segments_global_keeps_first_occurrence(spark):
+    from elasticsearch_hadoop_spark.operators.dedup import dedup_segments_global
+
+    df = spark.createDataFrame(
+        [
+            (1, ["alpha", "beta", "alpha"]),   # in-doc dup of alpha too
+            (2, ["beta", "gamma"]),            # beta already seen in doc 1
+            (3, ["gamma", "delta"]),
+        ],
+        "id int, segs array<string>",
+    )
+    out = {r["id"]: r for r in dedup_segments_global(df, "segs", "id").collect()}
+    assert out[1]["kept_segments"] == ["alpha", "beta"]
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["kept_segments"] == ["gamma"]
+    assert out[3]["kept_segments"] == ["delta"]
+    # empty docs survive with zero counts
+    df2 = spark.createDataFrame([(9, [])], "id int, segs array<string>")
+    row = dedup_segments_global(df2, "segs", "id").collect()[0]
+    assert row["kept_segments"] == [] and row["n_kept"] == 0 and row["n_dropped"] == 0
