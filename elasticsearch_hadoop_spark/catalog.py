@@ -138,20 +138,40 @@ class Catalog:
         except FileNotFoundError:
             return {}
 
-    def put_alias(self, alias: str, *indices: str) -> None:
+    def put_alias(
+        self, alias: str, *indices: str, filter: str | dict | None = None
+    ) -> None:
         """ES alias parity: an alias names one or more indices; reads
         through the alias union them (exactly like a comma-list resource).
         Re-pointing an alias is atomic (single JSON rewrite), which is the
-        ES blue/green reindex idiom (`_aliases` swap)."""
+        ES blue/green reindex idiom (`_aliases` swap).
+
+        ``filter``: ES FILTERED alias — a query-DSL body applied to every
+        read through the alias (the tenant-view idiom); it compiles to a
+        Column predicate at read time, so it pushes down into each target
+        scan like any query."""
         if not indices:
             raise ValueError("alias needs at least one index")
         for n in indices:
             if not self.exists(n):
                 raise ValueError(f"alias target {n!r} does not exist")
         aliases = self._read_aliases()
-        aliases[alias] = list(indices)
+        if filter is not None:
+            if isinstance(filter, str):
+                filter = json.loads(filter)
+            compile_query(filter)  # fail at declaration, not first read
+            aliases[alias] = {"indices": list(indices), "filter": filter}
+        else:
+            aliases[alias] = list(indices)
         with open(self._aliases_path(), "w") as f:
             json.dump(aliases, f)
+
+    @staticmethod
+    def _alias_entry(aliases: dict, part: str) -> tuple[list[str], dict | None]:
+        v = aliases[part]
+        if isinstance(v, dict):
+            return list(v.get("indices", [])), v.get("filter")
+        return list(v), None
 
     def delete_alias(self, alias: str) -> None:
         aliases = self._read_aliases()
@@ -714,23 +734,38 @@ class Catalog:
         """Expand the comma/wildcard resource syntax to managed index names.
         An exact part naming an alias expands to the alias's target
         indices (ES resolves aliases the same way)."""
+        return [n for n, _ in self._resolve_parts(name)]
+
+    def _resolve_parts(self, name: str) -> list[tuple[str, dict | None]]:
+        """The resolution core: (index, alias_filter) pairs.  A filtered
+        alias carries its query-DSL body to every target it expands to;
+        plain names/wildcards carry None."""
         import fnmatch
 
         aliases = self._read_aliases()
-        out: list[str] = []
+        out: list[tuple[str, dict | None]] = []
+        seen: set[str] = set()
         for part in (p.strip() for p in name.split(",")):
             if not part:
                 continue
             if part in aliases:
-                out.extend(t for t in aliases[part] if t not in out)
+                targets, flt = self._alias_entry(aliases, part)
+                for t in targets:
+                    if t not in seen:
+                        seen.add(t)
+                        out.append((t, flt))
             elif "*" in part or "?" in part:
                 matches = sorted(fnmatch.filter(self.list_indices(), part))
-                out.extend(m for m in matches if m not in out)
+                for m in matches:
+                    if m not in seen:
+                        seen.add(m)
+                        out.append((m, None))
             elif not self.exists(part):
                 # ES answers 404 for an unknown exact index/alias name
                 raise ValueError(f"no such index or alias: {part!r}")
-            elif part not in out:
-                out.append(part)
+            elif part not in seen:
+                seen.add(part)
+                out.append((part, None))
         if not out:
             raise ValueError(f"no index matches resource {name!r}")
         return out
@@ -741,12 +776,18 @@ class Catalog:
         # dependent: the new column can silently vanish). Cost is one footer
         # read per file at planning; an index with millions of files should
         # persist its schema in _meta and pass it explicitly instead.
-        names = self.resolve_pattern(name)
-        if len(names) == 1:
-            return self._read_files(names[0])
-        parts = []
-        for n in names:
+        pairs = self._resolve_parts(name)
+        if len(pairs) == 1:
+            n, flt = pairs[0]
             df = self._read_files(n)
+            # filtered alias: the stored query-DSL body compiles per read
+            # and pushes into the target's scan like any predicate
+            return df.filter(compile_query(flt)) if flt is not None else df
+        parts = []
+        for n, flt in pairs:
+            df = self._read_files(n)
+            if flt is not None:
+                df = df.filter(compile_query(flt))
             if "_index" not in df.columns:
                 df = df.withColumn("_index", F.lit(n))
             parts.append(df)
@@ -888,6 +929,22 @@ class Catalog:
                 if os.path.exists(mpath):
                     with open(mpath) as fh:
                         out.append(json.load(fh))
+        return out
+
+    def cat_indices(self) -> list[dict]:
+        """ES ``GET _cat/indices``: one row per managed index — name,
+        docs.count, store.size (bytes on disk) — from footer stats and a
+        directory walk, no data scan."""
+        out = []
+        for n in self.list_indices():
+            size = 0
+            for root, _dirs, files in os.walk(self.path(n)):
+                size += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+            out.append(
+                {"index": n, "docs_count": self.count_index(n), "store_bytes": size}
+            )
         return out
 
     def sql_query(self, sql: str, pattern: str = "*") -> DataFrame:

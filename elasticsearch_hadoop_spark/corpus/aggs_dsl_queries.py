@@ -2598,3 +2598,55 @@ def aggs_change_point(spark, sf_dir):
         F.date_format("cp_key", TS_FMT_SPARK).alias("cp_key"),
         F.round("cp_score", 6).alias("cp_score"),
     ).orderBy("bucket")
+
+
+@query(
+    "aggs_composite_date_page",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         round(sum(value), 6) AS total
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS day, event_type,
+       doc_count, total
+FROM b
+WHERE (day, event_type) > (TIMESTAMP '2024-01-03 00:00:00', 'purchase')
+ORDER BY day, event_type
+LIMIT 8
+""",
+)
+def aggs_composite_date_page(spark, sf_dir):
+    """`composite` paging with a date_histogram source (the STATUS.md
+    gap): (day, event_type) buckets resumed strictly after the
+    ('2024-01-03', 'purchase') cursor, one 8-bucket page — the after
+    tuple compiles to the lexicographic keyset filter and the page is a
+    TakeOrderedAndProject, never a full sort."""
+    ev = tbl(spark, sf_dir, "events")
+    out = compile_aggs(
+        ev,
+        {"aggs": {
+            "page": {
+                "composite": {
+                    "size": 8,
+                    "sources": [
+                        {"day": {"date_histogram": {
+                            "field": "ts", "calendar_interval": "day",
+                        }}},
+                        {"event_type": {"terms": {"field": "event_type"}}},
+                    ],
+                    "after": {"day": "2024-01-03 00:00:00",
+                              "event_type": "purchase"},
+                },
+                "aggs": {"total": {"sum": {"field": "value"}}},
+            }
+        }},
+    )
+    return out.select(
+        F.date_format("day", TS_FMT_SPARK).alias("day"),
+        "event_type",
+        "doc_count",
+        F.round("total", 6).alias("total"),
+    ).orderBy("day", "event_type")

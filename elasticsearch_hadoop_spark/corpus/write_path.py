@@ -897,3 +897,26 @@ def writepath_snapshot_restore(spark, sf_dir):
         "c_mktsegment",
         F.round("c_acctbal", 2).alias("acctbal"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "writepath_filtered_alias",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE lang = 'en' AND n_chars >= 120
+ORDER BY doc_id
+""",
+)
+def writepath_filtered_alias(spark, sf_dir):
+    """ES FILTERED alias round trip (the tenant-view idiom): an alias
+    carrying a query-DSL filter body; every read through it compiles the
+    filter to a pushdown predicate and composes conjunctively with the
+    read-time query."""
+    root = _workdir(sf_dir, "filtered_alias")
+    cat = Catalog(spark, root)
+    docs = tbl(spark, sf_dir, "documents")
+    cat.write_index(docs, "docs", mode="overwrite", id_col="doc_id")
+    cat.put_alias("english", "docs", filter={"term": {"lang": "en"}})
+    out = cat.read_index("english", query={"range": {"n_chars": {"gte": 120}}})
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")

@@ -521,3 +521,35 @@ def test_snapshot_restore_roundtrip(spark, cat, tmp_path):
         cat.restore_index(repo, "nope", "snappy", rename_to="x")
     snaps = cat.list_snapshots(repo)
     assert len(snaps) == 1 and snaps[0]["snapshot"] == "s1"
+
+
+def test_filtered_alias_applies_query(spark, cat):
+    cat.write_index(docs(spark, BASE), "fa-data", id_col="k")
+    cat.put_alias("big-only", "fa-data", filter={"range": {"n": {"gte": 20}}})
+    got = as_dicts(cat.read_index("big-only"))
+    assert [d["k"] for d in got] == [2, 3]
+    # alias filter composes with a read-time query (conjunction)
+    got2 = as_dicts(cat.read_index("big-only", query={"term": {"v": "b"}}))
+    assert [d["k"] for d in got2] == [2]
+    # plain aliases still work; bad filter rejects at declaration
+    cat.put_alias("plain", "fa-data")
+    assert len(as_dicts(cat.read_index("plain"))) == 3
+    with pytest.raises(Exception):
+        cat.put_alias("bad", "fa-data", filter={"frobnicate": {}})
+
+
+def test_filtered_alias_multi_target_union(spark, cat):
+    cat.write_index(docs(spark, BASE), "fa1", id_col="k")
+    cat.write_index(docs(spark, [{"k": 7, "v": "a", "n": 70}]), "fa2", id_col="k")
+    cat.put_alias("both-a", "fa1", "fa2", filter={"term": {"v": "a"}})
+    got = sorted(r["k"] for r in cat.read_index("both-a").collect())
+    assert got == [1, 7]
+
+
+def test_cat_indices(spark, cat):
+    cat.write_index(docs(spark, BASE), "cat-a", id_col="k")
+    cat.write_index(docs(spark, BASE[:1]), "cat-b", id_col="k")
+    rows = {r["index"]: r for r in cat.cat_indices()}
+    assert rows["cat-a"]["docs_count"] == 3
+    assert rows["cat-b"]["docs_count"] == 1
+    assert rows["cat-a"]["store_bytes"] > 0
