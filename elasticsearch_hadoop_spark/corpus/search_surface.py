@@ -801,3 +801,81 @@ def search_linear_fuse(spark, sf_dir):
         "n_lists",
         "fused_rank",
     ).orderBy("fused_rank")
+
+
+@query(
+    "esql_stats_by",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+WHERE value > 1.0
+GROUP BY event_type
+ORDER BY total DESC, event_type
+""",
+)
+def esql_stats_by(spark, sf_dir):
+    """ES|QL: WHERE | STATS ... BY | SORT compiled to the DataFrame
+    algebra (esql.py) — the filter pushes to the scan, STATS is one
+    partial+final hash aggregation, exactly the plan the same SQL gets
+    (there is no second engine; Catalyst is ES|QL's executor here)."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    ev = tbl(spark, sf_dir, "events")
+    out = esql(
+        """
+        FROM events
+        | WHERE value > 1.0
+        | STATS n = COUNT(*), total = SUM(value), p90 = PERCENTILE(value, 90),
+                users = COUNT_DISTINCT(user_id) BY event_type
+        | SORT total DESC, event_type
+        """,
+        tables={"events": ev},
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 6).alias("total"),
+        F.round("p90", 6).alias("p90"),
+        "users",
+    )
+
+
+@query(
+    "esql_eval_pipeline",
+    oracle="""
+SELECT doc_id,
+       upper(lang) AS lang_up,
+       round(n_chars / 1024.0, 6) AS kb,
+       CASE WHEN n_chars >= 200 THEN 'long' ELSE 'short' END AS bucket
+FROM documents
+WHERE lang <> 'de'
+ORDER BY n_chars DESC, doc_id
+LIMIT 25
+""",
+)
+def esql_eval_pipeline(spark, sf_dir):
+    """ES|QL: EVAL chains (later names see earlier ones), CASE
+    expressions, KEEP projection, SORT+LIMIT fusing to
+    TakeOrderedAndProject."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = esql(
+        """
+        FROM documents
+        | WHERE lang != "de"
+        | EVAL lang_up = TO_UPPER(lang), kb = n_chars / 1024.0,
+               bucket = CASE WHEN n_chars >= 200 THEN "long" ELSE "short" END
+        | KEEP doc_id, lang_up, kb, bucket, n_chars
+        | SORT n_chars DESC, doc_id
+        | LIMIT 25
+        """,
+        tables={"documents": docs},
+    )
+    return out.select(
+        "doc_id", "lang_up", F.round("kb", 6).alias("kb"), "bucket"
+    )

@@ -1,0 +1,347 @@
+"""ES|QL — the piped query language (ES 8.11+) compiled to DataFrame ops.
+
+ES|QL is Elastic's from-scratch query language: a source command followed
+by a pipe chain of processing commands,
+
+    FROM logs-*
+    | WHERE status == "error" AND bytes > 100
+    | EVAL mb = bytes / 1048576.0
+    | STATS n = COUNT(*), total = SUM(mb) BY host, day
+    | SORT total DESC
+    | LIMIT 10
+
+executed by Elastic's own block-at-a-time compute engine.  Here the same
+text compiles to the DataFrame algebra and Catalyst runs it — WHERE
+pushes to the scan, STATS is one partial+final hash aggregation,
+SORT+LIMIT fuses to TakeOrderedAndProject.  There is no second engine to
+maintain, which IS the Spark-first answer to ES|QL's executor.
+
+Supported commands (the documented core; anything else raises):
+
+- ``FROM index[, index2...]`` — resolves through the ``tables`` dict or
+  a ``Catalog`` (wildcards/aliases included); ``ROW a = 1, b = "x"``
+  builds a literal single-row source.
+- ``WHERE <expr>``
+- ``EVAL name = <expr>[, name2 = <expr2>...]`` — later names see earlier
+  ones, like ES|QL.
+- ``STATS [name =] AGG(expr)[, ...] [BY k1[, k2...]]`` — COUNT(*),
+  COUNT, COUNT_DISTINCT, SUM, AVG, MIN, MAX, MEDIAN,
+  PERCENTILE(x, p); BY keys may be EVAL-style ``name = expr``.
+- ``SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST][, ...]``
+- ``LIMIT n``
+- ``KEEP c1, c2`` / ``DROP c1, c2`` (``*`` wildcards per ES|QL)
+- ``RENAME old AS new[, ...]``
+- ``MV_EXPAND col`` — one row per array element (explode).
+- ``DISSECT col "%{a} %{b}"`` — reuses the ingest processor's pattern
+  compiler (one regexp, capture groups to columns).
+
+Expression language: ES|QL scalar expressions are close enough to Spark
+SQL that a guarded translation suffices — ``==``/``!=`` map to
+``=``/``<>``, double-quoted strings to single-quoted, function names
+must sit in the whitelist below, and the residue must match the same
+arithmetic-only character class aggs_dsl's bucket_script enforces (no
+semicolons, backticks, comments).  Unknown functions raise — no silent
+passthrough to arbitrary SQL.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class EsqlError(ValueError):
+    pass
+
+
+# scalar functions an expression may call (ES|QL name -> Spark SQL name)
+_FUNCS = {
+    "round": "round", "abs": "abs", "ceil": "ceil", "floor": "floor",
+    "sqrt": "sqrt", "pow": "power", "log10": "log10",
+    "concat": "concat", "length": "length", "substring": "substring",
+    "to_lower": "lower", "to_upper": "upper", "trim": "trim",
+    "starts_with": "startswith", "ends_with": "endswith",
+    "to_string": "string", "to_long": "bigint", "to_double": "double",
+    "to_integer": "int",
+    "date_trunc": "date_trunc", "date_extract": "extract",
+    "coalesce": "coalesce", "greatest": "greatest", "least": "least",
+    "case": "case", "cidr_match": None,  # rejected explicitly below
+    "mv_count": "size", "mv_min": "array_min", "mv_max": "array_max",
+    "split": "split",
+}
+_CASTS = {"to_string", "to_long", "to_double", "to_integer"}
+
+_AGGS = {
+    "count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min,
+    "max": F.max, "median": F.median, "count_distinct": F.countDistinct,
+}
+
+_EXPR_OK = re.compile(r"^[\w\s.+\-*/%(),<>=!'\"|&:\[\]]+$")
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
+_KEYWORDS = {
+    "and", "or", "not", "is", "null", "true", "false", "like", "rlike",
+    "in", "case", "when", "then", "else", "end", "as", "by", "asc",
+    "desc", "nulls", "first", "last", "year", "month", "day", "hour",
+    "minute", "second", "week", "quarter", "from",
+}
+
+
+def _translate_expr(e: str) -> str:
+    """ES|QL expression text -> guarded Spark SQL text."""
+    e = e.strip()
+    if not e:
+        raise EsqlError("empty expression")
+    # double-quoted ES|QL strings -> single-quoted SQL (no embedded quotes)
+    e = re.sub(r'"([^"\\]*)"', lambda m: "'" + m.group(1) + "'", e)
+    e = e.replace("==", " = ").replace("!=", " <> ")
+    masked = re.sub(r"'[^'\\]*'", "0", e)
+    if not _EXPR_OK.match(masked):
+        raise EsqlError(f"unsupported expression syntax: {e!r}")
+    if ";" in masked or "--" in masked or "/*" in masked:
+        raise EsqlError(f"unsupported expression syntax: {e!r}")
+    # every identifier followed by '(' must be a whitelisted function
+    out = []
+    pos = 0
+    for m in _IDENT.finditer(masked):
+        rest = masked[m.end():].lstrip()
+        if rest.startswith("("):
+            name = m.group(0).lower()
+            if name in _KEYWORDS:
+                continue
+            fn = _FUNCS.get(name)
+            if name == "cidr_match" or (fn is None and name not in _CASTS):
+                raise EsqlError(f"unsupported function {m.group(0)!r} in {e!r}")
+    # apply function-name mapping on the REAL text (word-boundary, case-
+    # insensitive), casts become CAST(x AS t)
+    def _map_funcs(text: str) -> str:
+        for name, sql in _FUNCS.items():
+            if sql is None:
+                continue
+            if name in _CASTS:
+                # TO_LONG(x) -> CAST((x) AS BIGINT)
+                pat = re.compile(rf"\b{name}\s*\(", flags=re.I)
+                while True:
+                    mm = pat.search(text)
+                    if not mm:
+                        break
+                    depth, i = 1, mm.end()
+                    while i < len(text) and depth:
+                        depth += text[i] == "("
+                        depth -= text[i] == ")"
+                        i += 1
+                    inner = text[mm.end(): i - 1]
+                    text = text[: mm.start()] + f"CAST(({inner}) AS {sql})" + text[i:]
+            elif name != sql:
+                text = re.sub(rf"\b{name}\s*\(", sql + "(", text, flags=re.I)
+        return text
+
+    return _map_funcs(e)
+
+
+def _expr(e: str) -> Column:
+    return F.expr(_translate_expr(e))
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on sep outside parentheses and quotes."""
+    parts, depth, buf, q = [], 0, [], None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _expand_cols(df: DataFrame, names: list[str]) -> list[str]:
+    out: list[str] = []
+    for n in names:
+        if "*" in n:
+            import fnmatch
+
+            hits = [c for c in df.columns if fnmatch.fnmatch(c, n)]
+            if not hits:
+                raise EsqlError(f"no columns match {n!r}")
+            out.extend(h for h in hits if h not in out)
+        elif n not in df.columns:
+            raise EsqlError(f"unknown column {n!r}")
+        elif n not in out:
+            out.append(n)
+    return out
+
+
+def _stats(df: DataFrame, body: str) -> DataFrame:
+    by_m = re.search(r"\bBY\b", body, flags=re.I)
+    agg_part = body[: by_m.start()] if by_m else body
+    keys: list[tuple[str, Column]] = []
+    if by_m:
+        for k in _split_top(body[by_m.end():]):
+            if "=" in k and "==" not in k:
+                name, expr = k.split("=", 1)
+                keys.append((name.strip(), _expr(expr)))
+            else:
+                keys.append((k.strip(), F.col(k.strip())))
+    aggs: list[Column] = []
+    for item in _split_top(agg_part):
+        name = None
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", item, flags=re.S)
+        if m and "==" not in item.split("=", 1)[0]:
+            name, item = m.group(1), m.group(2).strip()
+        fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)$", item, flags=re.S)
+        if not fm:
+            raise EsqlError(f"STATS needs AGG(expr) items, got {item!r}")
+        fname, inner = fm.group(1).lower(), fm.group(2).strip()
+        if fname == "percentile":
+            args = _split_top(inner)
+            if len(args) != 2:
+                raise EsqlError(f"PERCENTILE needs (expr, p): {item!r}")
+            col = F.percentile(_expr(args[0]), F.lit(float(args[1]) / 100.0))
+        elif fname == "count" and inner in ("*", ""):
+            col = F.count(F.lit(1))
+        elif fname in _AGGS:
+            col = _AGGS[fname](_expr(inner))
+        else:
+            raise EsqlError(f"unsupported aggregate {fname!r}")
+        aggs.append(col.alias(name or item.lower()))
+    if keys:
+        return df.groupBy(*[e.alias(n) for n, e in keys]).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def esql(
+    query: str,
+    tables: dict[str, DataFrame] | None = None,
+    catalog=None,
+) -> DataFrame:
+    """Compile and run an ES|QL query.  ``FROM x`` resolves ``x`` in
+    ``tables`` first, then through ``catalog.read_index`` (wildcards and
+    aliases included)."""
+    stages = _split_top(query.strip(), "|")
+    if not stages:
+        raise EsqlError("empty query")
+    head = stages[0].strip()
+    hm = re.match(r"^(FROM|ROW)\b(.*)$", head, flags=re.I | re.S)
+    if not hm:
+        raise EsqlError("query must start with FROM or ROW")
+    if hm.group(1).upper() == "ROW":
+        cols = []
+        for item in _split_top(hm.group(2)):
+            name, expr = item.split("=", 1)
+            cols.append(_expr(expr).alias(name.strip()))
+        if catalog is not None:
+            spark = catalog.spark
+        elif tables:
+            spark = next(iter(tables.values())).sparkSession
+        else:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise EsqlError("ROW needs an active SparkSession")
+        df = spark.range(1).select(*cols)
+    else:
+        sources = [s.strip() for s in _split_top(hm.group(2))]
+        frames = []
+        for s in sources:
+            if tables and s in tables:
+                frames.append(tables[s])
+            elif catalog is not None:
+                frames.append(catalog.read_index(s))
+            else:
+                raise EsqlError(f"unknown source {s!r} (no catalog given)")
+        df = frames[0]
+        for f2 in frames[1:]:
+            df = df.unionByName(f2, allowMissingColumns=True)
+
+    for stage in stages[1:]:
+        stage = stage.strip()
+        cm = re.match(r"^([A-Za-z_]+)\b(.*)$", stage, flags=re.S)
+        if not cm:
+            raise EsqlError(f"bad command: {stage!r}")
+        cmd, body = cm.group(1).upper(), cm.group(2).strip()
+        if cmd == "WHERE":
+            df = df.filter(_expr(body))
+        elif cmd == "EVAL":
+            for item in _split_top(body):
+                name, expr = item.split("=", 1)
+                df = df.withColumn(name.strip(), _expr(expr))
+        elif cmd == "STATS":
+            df = _stats(df, body)
+        elif cmd == "SORT":
+            order = []
+            for item in _split_top(body):
+                im = re.match(
+                    r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
+                    item.strip(),
+                    flags=re.I | re.S,
+                )
+                col = _expr(im.group(1))
+                desc = (im.group(2) or "").upper() == "DESC"
+                nulls = (im.group(3) or "").upper()
+                if desc:
+                    col = (
+                        col.desc_nulls_first()
+                        if nulls == "FIRST"
+                        else col.desc_nulls_last()
+                        if nulls == "LAST"
+                        else col.desc()
+                    )
+                else:
+                    col = (
+                        col.asc_nulls_first()
+                        if nulls == "FIRST"
+                        else col.asc_nulls_last()
+                        if nulls == "LAST"
+                        else col.asc()
+                    )
+                order.append(col)
+            df = df.orderBy(*order)
+        elif cmd == "LIMIT":
+            df = df.limit(int(body))
+        elif cmd == "KEEP":
+            df = df.select(*_expand_cols(df, [c.strip() for c in _split_top(body)]))
+        elif cmd == "DROP":
+            df = df.drop(*_expand_cols(df, [c.strip() for c in _split_top(body)]))
+        elif cmd == "RENAME":
+            for item in _split_top(body):
+                rm = re.match(r"^(\S+)\s+AS\s+(\S+)$", item.strip(), flags=re.I)
+                if not rm:
+                    raise EsqlError(f"RENAME needs 'old AS new': {item!r}")
+                df = df.withColumnRenamed(rm.group(1), rm.group(2))
+        elif cmd == "MV_EXPAND":
+            col = body.strip()
+            if col not in df.columns:
+                raise EsqlError(f"unknown column {col!r}")
+            df = df.withColumn(col, F.explode(F.col(col)))
+        elif cmd == "DISSECT":
+            dm = re.match(r"^(\S+)\s+\"(.*)\"\s*$", body, flags=re.S)
+            if not dm:
+                raise EsqlError(f"DISSECT needs: col \"pattern\" — got {body!r}")
+            from elasticsearch_hadoop_spark.ingest import _dissect_regex
+
+            rx, keys = _dissect_regex(dm.group(2))
+            src = F.col(dm.group(1))
+            for i, k in enumerate(keys, start=1):
+                df = df.withColumn(k, F.regexp_extract(src, rx, i))
+        else:
+            raise EsqlError(f"unsupported command {cmd!r}")
+    return df

@@ -1,0 +1,113 @@
+"""ES|QL-lite compiler: the pipe chain to DataFrame algebra
+(elasticsearch_hadoop_spark/esql.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_hadoop_spark.esql import EsqlError, esql
+
+
+@pytest.fixture()
+def logs(spark):
+    return {
+        "logs": spark.createDataFrame(
+            [
+                ("h1", "error", 2048, ["a", "b"]),
+                ("h1", "ok", 100, ["c"]),
+                ("h2", "error", 4096, []),
+                ("h2", "error", 10, None),
+            ],
+            "host string, status string, bytes long, tags array<string>",
+        )
+    }
+
+
+def test_where_eval_stats_sort_limit(spark, logs):
+    out = esql(
+        """
+        FROM logs
+        | WHERE status == "error" AND bytes > 100
+        | EVAL kb = bytes / 1024.0
+        | STATS n = COUNT(*), total_kb = SUM(kb) BY host
+        | SORT total_kb DESC
+        | LIMIT 1
+        """,
+        tables=logs,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["host"] == "h2" and out[0]["n"] == 1
+    assert out[0]["total_kb"] == pytest.approx(4.0)
+
+
+def test_keep_drop_rename_wildcards(spark, logs):
+    out = esql(
+        "FROM logs | KEEP host, b* | RENAME bytes AS sz | LIMIT 1", tables=logs
+    )
+    assert out.columns == ["host", "sz"]
+    out2 = esql("FROM logs | DROP tags, status", tables=logs)
+    assert out2.columns == ["host", "bytes"]
+    with pytest.raises(EsqlError, match="no columns match"):
+        esql("FROM logs | KEEP z*", tables=logs)
+
+
+def test_mv_expand_and_row(spark, logs):
+    out = esql("FROM logs | MV_EXPAND tags | KEEP host, tags", tables=logs).collect()
+    assert sorted((r["host"], r["tags"]) for r in out) == [
+        ("h1", "a"), ("h1", "b"), ("h1", "c")
+    ]
+    row = esql('ROW a = 1 + 2, b = "x"', tables=logs).collect()[0]
+    assert row["a"] == 3 and row["b"] == "x"
+
+
+def test_stats_global_median_percentile(spark, logs):
+    out = esql(
+        "FROM logs | STATS m = MEDIAN(bytes), p90 = PERCENTILE(bytes, 90),"
+        " d = COUNT_DISTINCT(host)",
+        tables=logs,
+    ).collect()[0]
+    assert out["m"] == pytest.approx(1074.0)
+    assert out["d"] == 2
+    assert out["p90"] >= out["m"]
+
+
+def test_dissect_reuses_ingest_pattern(spark):
+    df = spark.createDataFrame([("GET /idx/1 200",)], "line string")
+    out = esql(
+        'FROM t | DISSECT line "%{method} %{path} %{code}" | KEEP method, code',
+        tables={"t": df},
+    ).collect()[0]
+    assert out["method"] == "GET" and out["code"] == "200"
+
+
+def test_functions_and_guards(spark, logs):
+    out = esql(
+        "FROM logs | EVAL up = TO_UPPER(status), l = LENGTH(host),"
+        " b2 = TO_LONG(bytes / 2) | KEEP up, l, b2 | SORT b2 DESC | LIMIT 1",
+        tables=logs,
+    ).collect()[0]
+    assert out["up"] == "ERROR" and out["l"] == 2 and out["b2"] == 2048
+    for bad in (
+        "FROM logs | WHERE java_method(1)",
+        "FROM logs | FROBNICATE x",
+        "FROM logs | WHERE bytes > 1; DROP TABLE x",
+        "FROM nope | LIMIT 1",
+    ):
+        with pytest.raises(EsqlError):
+            esql(bad, tables=logs)
+
+
+def test_from_catalog_and_multi_index(spark, tmp_path):
+    from elasticsearch_hadoop_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    cat.write_index(
+        spark.createDataFrame([(1, "a")], "k int, v string"), "e1", id_col="k"
+    )
+    cat.write_index(
+        spark.createDataFrame([(2, "b")], "k int, v string"), "e2", id_col="k"
+    )
+    out = esql("FROM e1, e2 | STATS n = COUNT(*)", catalog=cat).collect()[0]
+    assert out["n"] == 2
+    out2 = esql("FROM e* | SORT k | KEEP k", catalog=cat).collect()
+    assert [r["k"] for r in out2] == [1, 2]
