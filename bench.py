@@ -74,6 +74,15 @@ EXTENSION = [
     "text_c4_filters",
     "writepath_terms_lookup",
     "writepath_es_sql",
+    # round-4 extra-session block 2: ES|QL, hybrid/sparse retrieval,
+    # percolator, change detection, global dedup, unigram LM
+    "esql_stats_by",
+    "search_rrf_hybrid",
+    "search_sparse_vector",
+    "writepath_percolate",
+    "aggs_change_point",
+    "dedup_segments_global",
+    "text_unigram_logprob",
 ]
 
 
