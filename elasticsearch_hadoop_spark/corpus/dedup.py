@@ -432,17 +432,25 @@ def dedup_segments_global(spark, sf_dir):
     segment (partial-aggregatable, no corpus-wide window) + the
     winners equi-join + per-doc reassembly (operators/dedup.py
     dedup_segments_global)."""
-    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+    from elasticsearch_hadoop_spark.functions.text import (
+        let_bind,
+        standard_analyze,
+    )
     from elasticsearch_hadoop_spark.operators import dedup as dd
 
     docs = tbl(spark, sf_dir, "documents")
-    toks = standard_analyze(F.col("text"))
-    segs = F.transform(
-        F.sequence(
-            F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1
-        ),
-        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
-    )
+
+    # let-bind the analyzed array: per-chunk slices read the variable,
+    # not a re-inlined regex split per chunk
+    def _chunks(toks):
+        return F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1
+            ),
+            lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+        )
+
+    segs = let_bind(standard_analyze(F.col("text")), _chunks)
     chunked = docs.select("doc_id", segs.alias("segs"))
     out = dd.dedup_segments_global(chunked, "segs", "doc_id")
     return out.select(

@@ -682,26 +682,30 @@ def search_sparse_vector(spark, sf_dir):
     over the query's tokens, predicate = any-token-overlap
     (query_dsl sparse_vector + functions.similarity.sparse_dot)."""
     from elasticsearch_hadoop_spark.functions.similarity import sparse_dot
-    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+    from elasticsearch_hadoop_spark.functions.text import (
+        let_bind,
+        standard_analyze,
+    )
     from elasticsearch_hadoop_spark.query_dsl import compile_query
 
     docs = tbl(spark, sf_dir, "documents")
-    toks = standard_analyze(F.col("text"))
 
-    def _tf(t):
-        return F.size(F.filter(toks, lambda x: x == t))
-
-    tw = F.map_from_entries(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.struct(
-                t.alias("key"),
-                F.size(F.filter(toks, lambda x: x == t))
-                .cast("double")
-                .alias("value"),
-            ),
+    # let-bind the analyzed array: the per-distinct-token frequency scan
+    # below reads the lambda variable, not a re-inlined regex split
+    def _tf_map(toks):
+        return F.map_from_entries(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.struct(
+                    t.alias("key"),
+                    F.size(F.filter(toks, lambda x: x == t))
+                    .cast("double")
+                    .alias("value"),
+                ),
+            )
         )
-    )
+
+    tw = let_bind(standard_analyze(F.col("text")), _tf_map)
     qw = {"merge": 2.0, "sort": 1.0, "window": 1.5}
     with_tw = docs.select("doc_id", "lang", tw.alias("tw"))
     pred = compile_query(

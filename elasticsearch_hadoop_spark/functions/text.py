@@ -302,3 +302,13 @@ def unigram_logprob(df, field: str, id_col: str, min_freq: int = 1):
             F.avg("__lp").alias("mean_logprob"),
         )
     )
+
+
+def let_bind(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` once per row
+    and reuse it through a lambda variable — the defense against
+    Catalyst's CollapseProject re-inlining an expensive producer (an
+    analyzer split, an md5 map) into every consumer.  Shared by the
+    MinHash signatures, the span compiler, and any corpus query that
+    probes one analyzed array many times."""
+    return F.transform(F.array(value), body).getItem(0)

@@ -213,34 +213,41 @@ def _sloppy_phrase(col: Column, phrase: str, slop: int) -> Column:
     terms = [t for t in _re.split(r"[^a-z0-9]+", phrase.lower()) if t]
     if not terms:
         raise QueryDslError("match_phrase needs at least one query token")
-    toks = analyze_tokens(col)
-    sz = F.size(toks)
-    def _positions(term: str):
-        # NB: a `lambda i, t=t:` default-arg closure would change the
-        # lambda's arity to 2, which PySpark reads as an (element, index)
-        # higher-order function — binding the term to the array index.
-        return F.filter(
-            F.sequence(F.lit(0), sz - 1), lambda i: F.get(toks, i) == F.lit(term)
-        )
 
-    positions = [_positions(t) for t in terms]
-    if len(terms) == 1:
-        return F.size(positions[0]) > 0
+    def _body(toks):
+        # toks is a LET-BOUND lambda variable (see _let): the analyzer's
+        # regex split runs once per row, and every position probe below
+        # reads the variable instead of re-inlining the split
+        sz = F.size(toks)
 
-    def chain(level: int, prev, first):
-        # exists p_level in positions[level]: p_level > prev, and at the
-        # last level the whole span fits the slop budget
-        if level == len(terms) - 1:
-            return F.exists(
-                positions[level],
-                lambda p: (p > prev) & (p - first - (len(terms) - 1) <= slop),
+        def _positions(term: str):
+            # NB: a `lambda i, t=t:` default-arg closure would change the
+            # lambda's arity to 2, which PySpark reads as an (element, index)
+            # higher-order function — binding the term to the array index.
+            return F.filter(
+                F.sequence(F.lit(0), sz - 1), lambda i: F.get(toks, i) == F.lit(term)
             )
-        return F.exists(
-            positions[level], lambda p: (p > prev) & chain(level + 1, p, first)
-        )
 
-    matched = F.exists(positions[0], lambda p: chain(1, p, p))
-    return F.coalesce(matched, F.lit(False)) & (sz >= len(terms))
+        positions = [_positions(t) for t in terms]
+        if len(terms) == 1:
+            return F.size(positions[0]) > 0
+
+        def chain(level: int, prev, first):
+            # exists p_level in positions[level]: p_level > prev, and at the
+            # last level the whole span fits the slop budget
+            if level == len(terms) - 1:
+                return F.exists(
+                    positions[level],
+                    lambda p: (p > prev) & (p - first - (len(terms) - 1) <= slop),
+                )
+            return F.exists(
+                positions[level], lambda p: (p > prev) & chain(level + 1, p, first)
+            )
+
+        matched = F.exists(positions[0], lambda p: chain(1, p, p))
+        return F.coalesce(matched, F.lit(False)) & (sz >= len(terms))
+
+    return _let(analyze_tokens(col), _body)
 
 
 def _match_all(body, id_col):
@@ -1309,6 +1316,16 @@ def _pinned(body, id_col):
 # precisely to bypass that check, and here simply delegates inward).
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per row
+    and reuse it through a lambda variable.  Without it Catalyst re-inlines
+    the producing expression (here: the analyzer's regex split) into every
+    consumer — position probes over an n-token doc would re-split the text
+    O(n) times per span leaf (measured: the span_near bench query dropped
+    85s -> ~1s at sf0.1 with the binding)."""
+    return F.transform(F.array(value), body).getItem(0)
+
+
 def _span_positions(toks: Column, pred) -> Column:
     """Positions i where pred(token_i) holds — same index-filter trick as
     _sloppy_phrase (empty arrays degrade safely: F.get returns NULL)."""
@@ -1319,13 +1336,40 @@ def _spans_of_positions(pos: Column) -> Column:
     return F.transform(pos, lambda p: F.struct(p.alias("s"), (p + 1).alias("e")))
 
 
-def _span_compile(clause: dict) -> Column:
+def _span_fields(clause: dict, acc: set) -> None:
+    """Collect the field(s) a span tree targets (for the one-field check
+    and the per-tree token let-binding)."""
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise QueryDslError(f"expected a single-key span clause, got: {clause!r}")
+    (kind, body), = clause.items()
+    if kind == "span_term":
+        acc.add(_field_value(body)[0])
+    elif kind == "span_multi":
+        (_, ibody), = body["match"].items()
+        acc.add(_field_value(ibody)[0])
+    elif kind == "field_masking_span":
+        _span_fields(body["query"], acc)
+    elif kind in ("span_or", "span_near"):
+        for c in body.get("clauses", []):
+            _span_fields(c, acc)
+    elif kind == "span_first":
+        _span_fields(body["match"], acc)
+    elif kind == "span_not":
+        _span_fields(body["include"], acc)
+        _span_fields(body["exclude"], acc)
+    elif kind in ("span_containing", "span_within"):
+        _span_fields(body["big"], acc)
+        _span_fields(body["little"], acc)
+
+
+def _span_compile(clause: dict, toks: Column | None = None) -> Column:
     if not isinstance(clause, dict) or len(clause) != 1:
         raise QueryDslError(f"expected a single-key span clause, got: {clause!r}")
     (kind, body), = clause.items()
     if kind == "span_term":
         field, value = _field_value(body)
-        toks = analyze_tokens(_resolve(field))
+        if toks is None:
+            toks = analyze_tokens(_resolve(field))
         term = str(value).lower()  # index side is analyzed (lowercased)
 
         def _eq(t):
@@ -1335,11 +1379,12 @@ def _span_compile(clause: dict) -> Column:
     if kind == "field_masking_span":
         # field masking exists to defeat the same-field check upstream;
         # positions here are per-column anyway, so it delegates inward
-        return _span_compile(body["query"])
+        return _span_compile(body["query"], toks)
     if kind == "span_multi":
         (ikind, ibody), = body["match"].items()
         field, value = _field_value(ibody)
-        toks = analyze_tokens(_resolve(field))
+        if toks is None:
+            toks = analyze_tokens(_resolve(field))
         v = str(value).lower()
         if ikind == "prefix":
             pred = lambda t: t.startswith(v)
@@ -1363,17 +1408,17 @@ def _span_compile(clause: dict) -> Column:
             raise QueryDslError(f"span_multi: unsupported inner query {ikind!r}")
         return _spans_of_positions(_span_positions(toks, pred))
     if kind == "span_or":
-        arrs = [_span_compile(c) for c in body["clauses"]]
+        arrs = [_span_compile(c, toks) for c in body["clauses"]]
         if not arrs:
             raise QueryDslError("span_or needs clauses")
         return F.array_distinct(F.concat(*arrs)) if len(arrs) > 1 else arrs[0]
     if kind == "span_first":
-        inner = _span_compile(body["match"])
+        inner = _span_compile(body["match"], toks)
         end = int(body["end"])
         return F.filter(inner, lambda sp: sp["e"] <= F.lit(end))
     if kind == "span_not":
-        inc = _span_compile(body["include"])
-        exc = _span_compile(body["exclude"])
+        inc = _span_compile(body["include"], toks)
+        exc = _span_compile(body["exclude"], toks)
         dist = int(body.get("dist", 0))
         pre = int(body.get("pre", dist))
         post = int(body.get("post", dist))
@@ -1389,8 +1434,8 @@ def _span_compile(clause: dict) -> Column:
 
         return F.filter(inc, _clear)
     if kind in ("span_containing", "span_within"):
-        big = _span_compile(body["big"])
-        little = _span_compile(body["little"])
+        big = _span_compile(body["big"], toks)
+        little = _span_compile(body["little"], toks)
         if kind == "span_containing":
             return F.filter(
                 big,
@@ -1403,7 +1448,7 @@ def _span_compile(clause: dict) -> Column:
             lambda l: F.exists(big, lambda b: (l["s"] >= b["s"]) & (l["e"] <= b["e"])),
         )
     if kind == "span_near":
-        sub = [_span_compile(c) for c in body.get("clauses", [])]
+        sub = [_span_compile(c, toks) for c in body.get("clauses", [])]
         if len(sub) < 2:
             raise QueryDslError("span_near needs >= 2 clauses")
         slop = int(body.get("slop", 0))
@@ -1472,8 +1517,22 @@ def _span_compile(clause: dict) -> Column:
 
 def _span_predicate(kind):
     def handler(body, id_col):
-        spans = _span_compile({kind: body})
-        return F.coalesce(F.size(spans) > 0, F.lit(False))
+        clause = {kind: body}
+        fields: set = set()
+        _span_fields(clause, fields)
+        if len(fields) != 1:
+            raise QueryDslError(
+                f"a span tree must target exactly one field, got {sorted(fields)}"
+            )
+        (field,) = fields
+        # bind the analyzed token array ONCE per row: every position probe
+        # then reads the lambda variable instead of re-running the
+        # analyzer's regex split (the O(n^2)-splits trap)
+        def _build(t):
+            spans = _span_compile(clause, toks=t)
+            return F.coalesce(F.size(spans) > 0, F.lit(False))
+
+        return _let(analyze_tokens(_resolve(field)), _build)
 
     return handler
 
