@@ -677,6 +677,39 @@ _MOVING_FNS = {
     "unweightedAvg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
     "stdDev": F.stddev_samp,
 }
+# position-weighted MovingFunctions: need the in-window VALUE SEQUENCE,
+# not a plain aggregate — collect_list over the frame (a handful of
+# bucket values), then a fold.  linearWeightedAvg weights oldest..newest
+# 1..n; ewma is the ES default alpha=0.3 exponential decay.
+
+
+def _moving_weighted(kind: str, v, wf):
+    arr = F.collect_list(v).over(wf)
+    n = F.size(arr)
+    if kind == "linearWeightedAvg":
+        num = F.aggregate(
+            F.zip_with(
+                arr,
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda x, i: x * i.cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        den = (n * (n + 1) / 2).cast("double")
+        return F.when(n > 0, num / den)
+    if kind == "ewma":
+        alpha = 0.3
+        # fold oldest -> newest: s = alpha*x + (1-alpha)*s
+        return F.when(
+            n > 0,
+            F.aggregate(
+                F.slice(arr, 2, F.greatest(n, F.lit(1))),
+                F.get(arr, 0).cast("double"),
+                lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+            ),
+        )
+    raise AggsDslError(kind)
 # arithmetic + comparisons/boolean connectives (bucket_selector); no
 # quotes/semicolons/backticks — the expression can only reference the
 # params-substituted bucket columns and literals
@@ -884,11 +917,14 @@ def _apply_pipelines(
             script = str(spec.get("script", "MovingFunctions.unweightedAvg(values)"))
             m = re.search(r"MovingFunctions\.(\w+)", script)
             fn_name = m.group(1) if m else "unweightedAvg"
-            fn = _MOVING_FNS.get(fn_name)
-            if fn is None:
-                raise AggsDslError(f"unsupported moving function {fn_name!r}")
             wf = w.rowsBetween(-(n - 1), Window.currentRow)
-            out = out.withColumn(name, fn(v).over(wf))
+            if fn_name in ("linearWeightedAvg", "ewma"):
+                out = out.withColumn(name, _moving_weighted(fn_name, v, wf))
+            else:
+                fn = _MOVING_FNS.get(fn_name)
+                if fn is None:
+                    raise AggsDslError(f"unsupported moving function {fn_name!r}")
+                out = out.withColumn(name, fn(v).over(wf))
         elif kind == "moving_percentiles":
             # ES moving_percentiles: percentiles of a sibling metric over a
             # sliding window of buckets.  Same trailing-window convention

@@ -34,6 +34,14 @@ Supported commands (the documented core; anything else raises):
 - ``MV_EXPAND col`` — one row per array element (explode).
 - ``DISSECT col "%{a} %{b}"`` — reuses the ingest processor's pattern
   compiler (one regexp, capture groups to columns).
+- ``GROK col "%{WORD:method} %{NUMBER:code:int}"`` — the grok-lite
+  subset: WORD/NOTSPACE/NUMBER/INT/IP/DATA/GREEDYDATA patterns with
+  optional ``:int``/``:long``/``:float``/``:double`` type suffixes, all
+  compiled to ONE regexp_extract chain.
+- ``ENRICH policy ON match_col [WITH f1, f2]`` — the policy frame comes
+  from ``esql(..., enrich_policies={name: frame})`` (first column = the
+  policy's match field, like an enrich policy declaration); broadcast
+  left join, WITH defaults to every non-key column.
 
 Expression language: ES|QL scalar expressions are close enough to Spark
 SQL that a guarded translation suffices — ``==``/``!=`` map to
@@ -227,10 +235,49 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
     return df.agg(*aggs)
 
 
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "INT": r"[+-]?\d+",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+}
+_GROK_REF = re.compile(r"%\{(\w+):(\w+)(?::(\w+))?\}")
+_GROK_TYPES = {"int": "int", "long": "bigint", "float": "float", "double": "double"}
+
+
+def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    keys: list[tuple[str, str | None]] = []
+
+    def sub(m):
+        pat = _GROK_PATTERNS.get(m.group(1))
+        if pat is None:
+            raise EsqlError(f"unsupported grok pattern %{{{m.group(1)}}}")
+        t = m.group(3)
+        if t is not None and t not in _GROK_TYPES:
+            raise EsqlError(f"unsupported grok type suffix :{t}")
+        keys.append((m.group(2), _GROK_TYPES.get(t) if t else None))
+        return f"({pat})"
+
+    parts = []
+    pos = 0
+    for m in _GROK_REF.finditer(pattern):
+        parts.append(re.escape(pattern[pos: m.start()]))
+        parts.append(sub(m))
+        pos = m.end()
+    parts.append(re.escape(pattern[pos:]))
+    if not keys:
+        raise EsqlError(f"grok pattern extracts nothing: {pattern!r}")
+    return "".join(parts), keys
+
+
 def esql(
     query: str,
     tables: dict[str, DataFrame] | None = None,
     catalog=None,
+    enrich_policies: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Compile and run an ES|QL query.  ``FROM x`` resolves ``x`` in
     ``tables`` first, then through ``catalog.read_index`` (wildcards and
@@ -332,6 +379,50 @@ def esql(
             if col not in df.columns:
                 raise EsqlError(f"unknown column {col!r}")
             df = df.withColumn(col, F.explode(F.col(col)))
+        elif cmd == "GROK":
+            gm = re.match(r"^(\S+)\s+\"(.*)\"\s*$", body, flags=re.S)
+            if not gm:
+                raise EsqlError(f"GROK needs: col \"pattern\" — got {body!r}")
+            rx, keys = _grok_regex(gm.group(2))
+            src = F.col(gm.group(1))
+            for i, (k, cast_t) in enumerate(keys, start=1):
+                col = F.regexp_extract(src, rx, i)
+                if cast_t:
+                    col = col.cast(cast_t)
+                df = df.withColumn(k, col)
+        elif cmd == "ENRICH":
+            em = re.match(
+                r"^(\S+)\s+ON\s+(\S+)(?:\s+WITH\s+(.*))?$", body, flags=re.I | re.S
+            )
+            if not em:
+                raise EsqlError(f"ENRICH needs: policy ON col [WITH ...]: {body!r}")
+            policy, on, with_part = em.group(1), em.group(2), em.group(3)
+            frame = (enrich_policies or {}).get(policy)
+            if frame is None:
+                raise EsqlError(
+                    f"unknown enrich policy {policy!r} — pass "
+                    "enrich_policies={name: frame}"
+                )
+            key_col = frame.columns[0]
+            with_cols = (
+                [c.strip() for c in _split_top(with_part)]
+                if with_part
+                else [c for c in frame.columns if c != key_col]
+            )
+            for c in with_cols:
+                if c not in frame.columns:
+                    raise EsqlError(f"enrich policy {policy!r} has no column {c!r}")
+            # one row per key (min struct = deterministic pick), broadcast side
+            lookup = (
+                frame.groupBy(F.col(key_col).alias("__ek"))
+                .agg(
+                    F.min(F.struct(*[F.col(c) for c in with_cols])).alias("__ed")
+                )
+                .select("__ek", *[F.col(f"__ed.{c}").alias(c) for c in with_cols])
+            )
+            df = df.join(
+                F.broadcast(lookup), df[on] == lookup["__ek"], "left"
+            ).drop("__ek")
         elif cmd == "DISSECT":
             dm = re.match(r"^(\S+)\s+\"(.*)\"\s*$", body, flags=re.S)
             if not dm:

@@ -566,3 +566,33 @@ def test_change_point_step_detector(spark):
     ).collect()
     assert all(r["cp_key"] == 5.0 for r in out)
     assert all(r["cp_score"] > 5 for r in out)
+
+
+def test_moving_fn_weighted_variants(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"]
+    )
+    out = compile_aggs(
+        df,
+        {"aggs": {"b": {
+            "histogram": {"field": "k", "interval": 1.0},
+            "aggs": {
+                "t": {"sum": {"field": "v"}},
+                "lw": {"moving_fn": {
+                    "buckets_path": "t", "window": 3,
+                    "script": "MovingFunctions.linearWeightedAvg(values)",
+                }},
+                "ew": {"moving_fn": {
+                    "buckets_path": "t", "window": 3,
+                    "script": "MovingFunctions.ewma(values)",
+                }},
+            },
+        }}},
+    ).orderBy("b").collect()
+    # bucket 3 window = [10, 20, 30]:
+    # linear weighted = (10*1 + 20*2 + 30*3) / 6 = 23.333...
+    assert out[2]["lw"] == pytest.approx(140.0 / 6.0)
+    # ewma fold (alpha=.3): s=10 -> .3*20+.7*10=13 -> .3*30+.7*13=18.1
+    assert out[2]["ew"] == pytest.approx(18.1)
+    assert out[0]["lw"] == pytest.approx(10.0)
+    assert out[0]["ew"] == pytest.approx(10.0)

@@ -111,3 +111,33 @@ def test_from_catalog_and_multi_index(spark, tmp_path):
     assert out["n"] == 2
     out2 = esql("FROM e* | SORT k | KEEP k", catalog=cat).collect()
     assert [r["k"] for r in out2] == [1, 2]
+
+
+def test_grok_extracts_and_casts(spark):
+    df = spark.createDataFrame(
+        [("GET /x 200 1.5",), ("POST /y 404 0.25",)], "line string"
+    )
+    out = esql(
+        'FROM t | GROK line "%{WORD:method} %{NOTSPACE:path} '
+        '%{NUMBER:code:int} %{NUMBER:dur:double}" | KEEP method, code, dur',
+        tables={"t": df},
+    ).collect()
+    got = {r["method"]: (r["code"], r["dur"]) for r in out}
+    assert got == {"GET": (200, 1.5), "POST": (404, 0.25)}
+    with pytest.raises(EsqlError, match="grok pattern"):
+        esql('FROM t | GROK line "%{FANCY:x}"', tables={"t": df})
+
+
+def test_enrich_command(spark):
+    docs = spark.createDataFrame([("us", 1), ("xx", 2)], "cc string, id int")
+    policy = spark.createDataFrame(
+        [("us", "United States", "NA")], "code string, name string, region string"
+    )
+    out = esql(
+        "FROM d | ENRICH geo ON cc WITH name | SORT id | KEEP id, name",
+        tables={"d": docs},
+        enrich_policies={"geo": policy},
+    ).collect()
+    assert [(r["id"], r["name"]) for r in out] == [(1, "United States"), (2, None)]
+    with pytest.raises(EsqlError, match="unknown enrich policy"):
+        esql("FROM d | ENRICH nope ON cc", tables={"d": docs})
