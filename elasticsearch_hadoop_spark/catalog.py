@@ -294,6 +294,9 @@ class Catalog:
         targets = aliases.get(alias)
         if not targets:
             raise ValueError(f"rollover: alias {alias!r} does not exist")
+        if isinstance(targets, dict):
+            # ES likewise refuses: a write/rollover alias must be plain
+            raise ValueError(f"rollover: alias {alias!r} is filtered; rollover needs a plain alias")
         current = targets[-1]
         m = re.match(r"^(.*)-(\d{6})$", current)
         if not m:
@@ -336,6 +339,10 @@ class Catalog:
         targets = self._read_aliases().get(alias)
         if not targets:
             raise ValueError(f"write_alias: alias {alias!r} does not exist")
+        if isinstance(targets, dict):
+            raise ValueError(
+                f"write_alias: alias {alias!r} is filtered; writes need a plain alias"
+            )
         self.write_index(df, targets[-1], **kwargs)
 
     # ---------------------------------------------------------------- write
@@ -931,6 +938,86 @@ class Catalog:
                         out.append(json.load(fh))
         return out
 
+    # ---------------------------------------------------------------- data streams
+    def _data_streams_path(self) -> str:
+        return os.path.join(self.root, "_data_streams.json")
+
+    def _read_data_streams(self) -> dict:
+        try:
+            with open(self._data_streams_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def create_data_stream(self, name: str) -> None:
+        """ES data stream: an append-only, timestamp-bearing stream backed
+        by ``.ds-<name>-NNNNNN`` generation indices behind an alias named
+        like the stream.  The first write creates generation 000001 (ES
+        creates backing indices lazily from the template too); rollover
+        bounds per-generation size so vacuum/compact/Z-order work on
+        bounded units and pattern reads prune whole generations."""
+        streams = self._read_data_streams()
+        if name in streams:
+            raise IndexExistsError(f"data stream {name!r} exists")
+        if self.exists(name) or name in self._read_aliases():
+            raise IndexExistsError(f"{name!r} is already an index/alias")
+        streams[name] = {"created_at": time.time()}
+        with open(self._data_streams_path(), "w") as f:
+            json.dump(streams, f)
+
+    def write_data_stream(
+        self, df: DataFrame, name: str, max_docs_per_generation: int | None = None
+    ) -> dict:
+        """Append a batch to a data stream (ES only allows op_type=create
+        on streams — no updates/deletes, hence no id/operation kwargs
+        here).  ``@timestamp`` is required, like ES.  When
+        ``max_docs_per_generation`` is set, a rollover check runs after
+        the write (the ILM hot-phase analogue)."""
+        if name not in self._read_data_streams():
+            raise ValueError(f"no such data stream: {name!r}")
+        if "@timestamp" not in df.columns:
+            raise ValueError("data stream writes require an @timestamp column")
+        aliases = self._read_aliases()
+        if name not in aliases:
+            backing = f".ds-{name}-000001"
+            self.write_index(df, backing)
+            meta = self._read_meta(backing)
+            meta["created_at"] = time.time()
+            self._write_meta(backing, meta)
+            self.put_alias(name, backing)
+        else:
+            self.write_alias(df, name)
+        if max_docs_per_generation is not None:
+            return self.rollover(name, max_docs=max_docs_per_generation)
+        return {"rolled_over": False}
+
+    def data_stream_stats(self, name: str) -> dict:
+        """GET _data_stream/<name>/_stats: generations + per-backing doc
+        counts (footer-stats counts, no scan)."""
+        if name not in self._read_data_streams():
+            raise ValueError(f"no such data stream: {name!r}")
+        targets = self._read_aliases().get(name, [])
+        return {
+            "data_stream": name,
+            "generations": len(targets),
+            "backing_indices": [
+                {"index": t, "docs_count": self.count_index(t)} for t in targets
+            ],
+        }
+
+    def delete_data_stream(self, name: str) -> None:
+        """DELETE _data_stream/<name>: removes the backing indices too,
+        exactly like ES."""
+        streams = self._read_data_streams()
+        if name not in streams:
+            raise ValueError(f"no such data stream: {name!r}")
+        for t in self._read_aliases().get(name, []):
+            self.drop_index(t)
+        self.delete_alias(name)
+        streams.pop(name)
+        with open(self._data_streams_path(), "w") as f:
+            json.dump(streams, f)
+
     def cat_indices(self) -> list[dict]:
         """ES ``GET _cat/indices``: one row per managed index — name,
         docs.count, store.size (bytes on disk) — from footer stats and a
@@ -1050,6 +1137,43 @@ class Catalog:
         import re as _re
 
         return "esidx_" + _re.sub(r"[^A-Za-z0-9_]", "_", name)
+
+
+def ccs_read(
+    clusters: dict[str, Catalog],
+    resource: str,
+    query: str | dict | None = None,
+) -> DataFrame:
+    """ES cross-cluster search: ``cluster:index`` resource parts resolved
+    against a map of named catalogs (the remote-cluster registry
+    analogue).  A part without a cluster prefix resolves in the
+    ``"local"`` catalog, like ES.  Per-cluster reads stay independent
+    scans (pushdown per branch, exactly the multi-index union story) and
+    union by name with a ``_cluster`` column — which is how ES tags CCS
+    hits (``_index`` = ``cluster:index``)."""
+    if not clusters:
+        raise ValueError("ccs_read needs at least one cluster")
+    parts: list[tuple[str, str]] = []
+    for p in (x.strip() for x in resource.split(",")):
+        if not p:
+            continue
+        if ":" in p:
+            cluster, pattern = p.split(":", 1)
+        else:
+            cluster, pattern = "local", p
+        if cluster not in clusters:
+            raise ValueError(f"unknown cluster {cluster!r} in {p!r}")
+        parts.append((cluster, pattern))
+    if not parts:
+        raise ValueError(f"no resource parts in {resource!r}")
+    frames = []
+    for cluster, pattern in parts:
+        df = clusters[cluster].read_index(pattern, query=query)
+        frames.append(df.withColumn("_cluster", F.lit(cluster)))
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2, allowMissingColumns=True)
+    return out
 
 
 def dedupe_last(df: DataFrame, key: str) -> DataFrame:

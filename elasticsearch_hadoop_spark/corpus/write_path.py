@@ -920,3 +920,96 @@ def writepath_filtered_alias(spark, sf_dir):
     cat.put_alias("english", "docs", filter={"term": {"lang": "en"}})
     out = cat.read_index("english", query={"range": {"n_chars": {"gte": 120}}})
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "writepath_data_stream",
+    oracle="""
+WITH tagged AS (
+  SELECT value,
+         CASE WHEN ts < TIMESTAMP '2024-01-11' THEN '.ds-evstream-000001'
+              WHEN ts < TIMESTAMP '2024-01-21' THEN '.ds-evstream-000002'
+              ELSE '.ds-evstream-000003' END AS backing
+  FROM events
+)
+SELECT backing, CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS total
+FROM tagged
+GROUP BY backing
+ORDER BY backing
+""",
+)
+def writepath_data_stream(spark, sf_dir):
+    """ES data stream round trip: three daily-window batches appended
+    through the stream (append-only, @timestamp required), each write
+    followed by a rollover (max_docs=1 forces a generation per batch) —
+    generations are .ds-evstream-NNNNNN backing indices behind the
+    stream alias; the read unions every generation and tags rows with
+    the backing _index, which the oracle reproduces from the batch
+    windows."""
+    root = _workdir(sf_dir, "data_stream")
+    cat = Catalog(spark, root)
+    ev = tbl(spark, sf_dir, "events").withColumnRenamed("ts", "@timestamp")
+    cat.create_data_stream("evstream")
+    bounds = [
+        (None, "2024-01-11"),
+        ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", None),
+    ]
+    for lo, hi in bounds:
+        b = ev
+        if lo:
+            b = b.filter(F.col("@timestamp") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            b = b.filter(F.col("@timestamp") < F.lit(hi).cast("timestamp"))
+        cat.write_data_stream(b, "evstream", max_docs_per_generation=1)
+    out = cat.read_index("evstream", metadata=True)
+    return (
+        out.groupBy(F.col("_index").alias("backing"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .orderBy("backing")
+    )
+
+
+@query(
+    "writepath_ccs",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'east' ELSE 'west' END AS cluster,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY 1
+ORDER BY cluster
+""",
+)
+def writepath_ccs(spark, sf_dir):
+    """ES cross-cluster search round trip: orders sharded across two
+    catalogs ('east' = even keys, 'west' = odd), read back with
+    cluster:index resource syntax + a pushdown query — per-cluster scans
+    stay independent (filter pushes into each branch) and hits carry the
+    _cluster tag like ES CCS responses."""
+    from elasticsearch_hadoop_spark.catalog import ccs_read
+
+    root = _workdir(sf_dir, "ccs")
+    east = Catalog(spark, os.path.join(root, "east"))
+    west = Catalog(spark, os.path.join(root, "west"))
+    o = tbl(spark, sf_dir, "orders")
+    east.write_index(o.filter(F.col("o_orderkey") % 2 == 0), "orders")
+    west.write_index(o.filter(F.col("o_orderkey") % 2 == 1), "orders")
+    out = ccs_read(
+        {"east": east, "west": west},
+        "east:orders, west:orders",
+        query={"term": {"o_orderstatus": "O"}},
+    )
+    return (
+        out.groupBy(F.col("_cluster").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("cluster")
+    )

@@ -42,6 +42,10 @@ Supported commands (the documented core; anything else raises):
   from ``esql(..., enrich_policies={name: frame})`` (first column = the
   policy's match field, like an enrich policy declaration); broadcast
   left join, WITH defaults to every non-key column.
+- ``LOOKUP JOIN idx ON col`` (8.18+) — left join against a lookup index
+  (resolved like FROM) on the equal-named column; ES requires lookup
+  indices to be single-shard — the analogue here is that the lookup side
+  broadcasts.
 
 Expression language: ES|QL scalar expressions are close enough to Spark
 SQL that a guarded translation suffices — ``==``/``!=`` map to
@@ -379,6 +383,20 @@ def esql(
             if col not in df.columns:
                 raise EsqlError(f"unknown column {col!r}")
             df = df.withColumn(col, F.explode(F.col(col)))
+        elif cmd == "LOOKUP":
+            lm = re.match(r"^JOIN\s+(\S+)\s+ON\s+(\S+)\s*$", body, flags=re.I)
+            if not lm:
+                raise EsqlError(f"LOOKUP needs: JOIN idx ON col — got {body!r}")
+            src, on = lm.group(1), lm.group(2)
+            if tables and src in tables:
+                lk = tables[src]
+            elif catalog is not None:
+                lk = catalog.read_index(src)
+            else:
+                raise EsqlError(f"unknown lookup index {src!r}")
+            if on not in df.columns or on not in lk.columns:
+                raise EsqlError(f"LOOKUP JOIN column {on!r} must exist on both sides")
+            df = df.join(F.broadcast(lk), on, "left")
         elif cmd == "GROK":
             gm = re.match(r"^(\S+)\s+\"(.*)\"\s*$", body, flags=re.S)
             if not gm:

@@ -50,3 +50,21 @@ def sparse_dot(weights_col: Column, query_weights: dict) -> Column:
             weights_col[F.lit(tok)].cast("double") * float(w),
         ).otherwise(F.lit(0.0))
     return total
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize an embedding (array<double>): v / ||v||.  The
+    ingestion-side transform ES requires before dot_product similarity;
+    zero vectors pass through unchanged rather than dividing by zero."""
+    n = norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def truncate_dims(a: Column, dims: int) -> Column:
+    """Matryoshka truncation: keep the first ``dims`` dimensions (MRL
+    embeddings are trained so prefixes stay meaningful) — the cheap
+    storage/recall dial for a 100 TB vector corpus; re-normalize with
+    l2_normalize after truncating if cosine/dot scoring follows."""
+    if dims < 1:
+        raise ValueError(f"truncate_dims needs dims >= 1, got {dims}")
+    return F.slice(a, 1, dims)

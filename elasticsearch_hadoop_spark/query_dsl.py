@@ -1640,3 +1640,35 @@ def _sparse_vector(body, id_col):
 
 
 _HANDLERS["sparse_vector"] = _sparse_vector
+
+
+def explain_query(df, query: str | dict, id_col: str = "_id"):
+    """ES ``_explain``, the boolean-evidence subset: per-clause verdict
+    columns plus the final ``matched`` — which arm of a ``bool`` did or
+    didn't hold for each document.  (ES's response also carries BM25
+    score breakdowns; this engine is scoreless by design — the
+    clause-verdict half is the part that answers "why did/didn't this
+    doc match".)  One projection, every verdict in codegen."""
+    if isinstance(query, str):
+        query = json.loads(query)
+    if "query" in query and set(query) == {"query"}:
+        query = query["query"]
+    (kind, body), = query.items()
+    cols = []
+    if kind == "bool":
+        for arm in ("must", "filter", "should", "must_not"):
+            for i, clause in enumerate(_as_list(body.get(arm))):
+                verdict = F.coalesce(
+                    _compile_clause(clause, id_col), F.lit(False)
+                )
+                if arm == "must_not":
+                    verdict = ~verdict
+                cols.append(verdict.alias(f"{arm}_{i}"))
+    else:
+        cols.append(
+            F.coalesce(_compile_clause(query, id_col), F.lit(False)).alias(
+                f"{kind}_0"
+            )
+        )
+    matched = F.coalesce(compile_query({kind: body}, id_col=id_col), F.lit(False))
+    return df.select("*", *cols, matched.alias("matched"))

@@ -553,3 +553,53 @@ def test_cat_indices(spark, cat):
     assert rows["cat-a"]["docs_count"] == 3
     assert rows["cat-b"]["docs_count"] == 1
     assert rows["cat-a"]["store_bytes"] > 0
+
+
+def test_data_stream_lifecycle(spark, cat):
+    import datetime
+
+    cat.create_data_stream("logs")
+    with pytest.raises(IndexExistsError):
+        cat.create_data_stream("logs")
+
+    def batch(n, base):
+        return spark.createDataFrame(
+            [(base + i, datetime.datetime(2024, 1, 1 + i)) for i in range(n)],
+            "k long, `@timestamp` timestamp",
+        )
+
+    with pytest.raises(ValueError, match="@timestamp"):
+        cat.write_data_stream(docs(spark, BASE), "logs")
+    cat.write_data_stream(batch(3, 0), "logs", max_docs_per_generation=3)
+    # generation 1 hit max_docs -> rolled to generation 2
+    st = cat.data_stream_stats("logs")
+    assert st["generations"] == 2
+    assert st["backing_indices"][0]["index"] == ".ds-logs-000001"
+    cat.write_data_stream(batch(2, 10), "logs", max_docs_per_generation=3)
+    st2 = cat.data_stream_stats("logs")
+    assert st2["generations"] == 2  # 2 docs < 3: no roll
+    assert st2["backing_indices"][1]["docs_count"] == 2
+    # reads through the stream alias union every generation
+    assert cat.read_index("logs").count() == 5
+    cat.delete_data_stream("logs")
+    with pytest.raises(ValueError):
+        cat.data_stream_stats("logs")
+    assert not cat.exists(".ds-logs-000001")
+
+
+def test_ccs_read_unions_clusters(spark, tmp_path):
+    from elasticsearch_hadoop_spark.catalog import Catalog, ccs_read
+
+    c1 = Catalog(spark, str(tmp_path / "c1"))
+    c2 = Catalog(spark, str(tmp_path / "c2"))
+    c1.write_index(docs(spark, BASE), "t", id_col="k")
+    c2.write_index(docs(spark, [{"k": 9, "v": "z", "n": 90}]), "t", id_col="k")
+    out = ccs_read({"local": c1, "west": c2}, "t, west:t").collect()
+    got = sorted((r["_cluster"], r["k"]) for r in out)
+    assert got == [("local", 1), ("local", 2), ("local", 3), ("west", 9)]
+    filtered = ccs_read(
+        {"local": c1, "west": c2}, "t, west:t", query={"range": {"n": {"gte": 30}}}
+    ).collect()
+    assert sorted(r["k"] for r in filtered) == [3, 9]
+    with pytest.raises(ValueError, match="unknown cluster"):
+        ccs_read({"local": c1}, "east:t")

@@ -141,3 +141,15 @@ def test_enrich_command(spark):
     assert [(r["id"], r["name"]) for r in out] == [(1, "United States"), (2, None)]
     with pytest.raises(EsqlError, match="unknown enrich policy"):
         esql("FROM d | ENRICH nope ON cc", tables={"d": docs})
+
+
+def test_lookup_join(spark):
+    d = spark.createDataFrame([(1, "us"), (2, "xx")], "id int, cc string")
+    lk = spark.createDataFrame([("us", "United States")], "cc string, name string")
+    out = esql(
+        "FROM d | LOOKUP JOIN geo ON cc | SORT id | KEEP id, name",
+        tables={"d": d, "geo": lk},
+    ).collect()
+    assert [(r["id"], r["name"]) for r in out] == [(1, "United States"), (2, None)]
+    with pytest.raises(EsqlError, match="must exist on both sides"):
+        esql("FROM d | LOOKUP JOIN geo ON zz", tables={"d": d, "geo": lk})

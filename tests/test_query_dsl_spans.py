@@ -139,3 +139,27 @@ def test_span_null_text_is_false(spark):
     df = spark.createDataFrame([(0, None), (1, "alpha")], "i int, text string")
     rows = df.filter(compile_query({"span_term": {"text": "alpha"}})).collect()
     assert [r["i"] for r in rows] == [1]
+
+
+def test_explain_query_bool_verdicts(spark):
+    from elasticsearch_hadoop_spark.query_dsl import explain_query
+
+    df = spark.createDataFrame(
+        [(1, "error fatal", 9.0), (2, "ok", 1.0)], "id int, msg string, sev double"
+    )
+    out = {r["id"]: r for r in explain_query(
+        df,
+        {"bool": {
+            "must": [{"match": {"msg": "error"}}],
+            "filter": [{"range": {"sev": {"gte": 5}}}],
+            "must_not": [{"term": {"msg": "ok"}}],
+        }},
+    ).collect()}
+    r1 = out[1]
+    assert r1["must_0"] and r1["filter_0"] and r1["must_not_0"] and r1["matched"]
+    r2 = out[2]
+    assert not r2["must_0"] and not r2["filter_0"] and not r2["must_not_0"]
+    assert not r2["matched"]
+    # non-bool: single clause verdict
+    single = explain_query(df, {"term": {"id": 1}}).collect()
+    assert {r["id"]: r["term_0"] for r in single} == {1: True, 2: False}

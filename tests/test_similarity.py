@@ -260,3 +260,30 @@ def test_sq_recall_vs_brute_force(emb, sq_setup):
         }
         recalls.append(len(exact & approx) / 10)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_l2_normalize_and_truncate(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_hadoop_spark.functions.similarity import (
+        l2_normalize,
+        norm,
+        truncate_dims,
+    )
+
+    df = spark.createDataFrame(
+        [([3.0, 4.0, 0.0, 0.0],), ([0.0, 0.0, 0.0, 0.0],)], "v array<double>"
+    )
+    rows = df.select(
+        l2_normalize(F.col("v")).alias("u"),
+        truncate_dims(F.col("v"), 2).alias("t"),
+        norm(l2_normalize(F.col("v"))).alias("n"),
+    ).collect()
+    assert rows[0]["u"] == [0.6, 0.8, 0.0, 0.0]
+    assert rows[0]["t"] == [3.0, 4.0]
+    assert abs(rows[0]["n"] - 1.0) < 1e-12
+    assert rows[1]["u"] == [0.0, 0.0, 0.0, 0.0]  # zero vector untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        truncate_dims(F.col("v"), 0)
