@@ -1007,6 +1007,49 @@ def _apply_pipelines(
     return out
 
 
+def change_point_stats(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    out_key: str = "cp_key",
+    out_score: str = "cp_score",
+) -> DataFrame:
+    """The step_change detector as a standalone frame transform (shared
+    with ES|QL's CHANGE_POINT command): order rows by ``key_col``, score
+    every split with the Welch t-statistic via prefix sums (ONE window
+    pass), and repeat the winning split's first-after key + |t| on every
+    row.  Same documented subset as the change_point sibling pipeline."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    worder = Window.orderBy(key_col)
+    run = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.partitionBy()
+    rn = F.row_number().over(worder)
+    n = F.count(F.lit(1)).over(whole)
+    ps = F.sum(v).over(run)
+    pss = F.sum(v * v).over(run)
+    ts_ = F.sum(v).over(whole)
+    tss = F.sum(v * v).over(whole)
+    n1, n2 = rn.cast("double"), (n - rn).cast("double")
+    m1, m2 = ps / n1, (ts_ - ps) / n2
+    var1 = F.greatest(pss / n1 - m1 * m1, F.lit(0.0))
+    var2 = F.greatest((tss - pss) / n2 - m2 * m2, F.lit(0.0))
+    denom = F.sqrt(var1 / n1 + var2 / n2)
+    t = F.when((rn < n) & (denom > 0), F.abs(m1 - m2) / denom)
+    out = df.withColumn("__cp_t", t).withColumn(
+        "__cp_next", F.lead(F.col(key_col)).over(worder)
+    )
+    wbest = Window.orderBy(
+        F.col("__cp_t").desc_nulls_last(), F.col(key_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        out.withColumn(out_key, F.first("__cp_next").over(wbest))
+        .withColumn(out_score, F.first("__cp_t").over(wbest))
+        .drop("__cp_t", "__cp_next")
+    )
+
+
 def _densify(df: DataFrame, out: DataFrame, densify) -> DataFrame:
     """Emit zero-doc buckets (ES min_doc_count=0): a spark.range ladder
     over the integer bucket-index space, LEFT-joined with the aggregated

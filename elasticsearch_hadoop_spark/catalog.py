@@ -393,6 +393,31 @@ class Catalog:
         if existed and mode == "ignore":
             return
 
+        # index templates (ES _index_template): a NEW index picks up the
+        # highest-priority matching template — its default_pipeline runs
+        # over the batch (the ingest-node behavior), its index.sort
+        # becomes the write sort unless the caller set one, and its
+        # mappings persist to _meta for get_mapping
+        tpl_mappings = None
+        if not existed:
+            tpl = self._match_template(name)
+            if tpl is not None:
+                t = tpl.get("template") or {}
+                settings = t.get("settings") or {}
+                pname = settings.get("index.default_pipeline") or settings.get(
+                    "default_pipeline"
+                )
+                if pname:
+                    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+                    df = compile_pipeline(self.get_pipeline(pname))(df)
+                s_field = settings.get("index.sort.field") or settings.get(
+                    "sort.field"
+                )
+                if s_field and not sort_by and not zorder_by:
+                    sort_by = s_field if isinstance(s_field, list) else [s_field]
+                tpl_mappings = t.get("mappings")
+
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         out = df
@@ -452,15 +477,20 @@ class Catalog:
                     max_records_per_file=max_records_per_file,
                 )
 
-        self._write_meta(
-            name,
+        # merge (not replace) the meta: created_at (rollover/data-stream
+        # age) and template mappings must survive later writes
+        meta = self._read_meta(name)
+        meta.update(
             {
                 "id_col": id_col,
                 "routing_col": routing_col,
                 "index_pattern": index_pattern,
                 "updated_at": time.time(),
-            },
+            }
         )
+        if tpl_mappings is not None and "mappings" not in meta:
+            meta["mappings"] = tpl_mappings
+        self._write_meta(name, meta)
 
     def _merge(
         self,
@@ -937,6 +967,113 @@ class Catalog:
                     with open(mpath) as fh:
                         out.append(json.load(fh))
         return out
+
+    # ----------------------------------------------------------- templates
+    def _templates_path(self) -> str:
+        return os.path.join(self.root, "_index_templates.json")
+
+    def _read_templates(self) -> dict:
+        try:
+            with open(self._templates_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_index_template(self, name: str, body: dict) -> None:
+        """ES ``_index_template``: index_patterns + priority + a template
+        of settings/mappings.  Applied when write_index CREATES a
+        matching index: ``index.default_pipeline`` runs the registered
+        ingest pipeline over every batch, ``index.sort.field`` becomes
+        the write sort (row-group-stats clustering), and ``mappings``
+        persist for ``get_mapping``."""
+        if not isinstance(body, dict) or not body.get("index_patterns"):
+            raise ValueError("index template needs index_patterns: [...]")
+        settings = (body.get("template") or {}).get("settings") or {}
+        pname = settings.get("index.default_pipeline") or settings.get(
+            "default_pipeline"
+        )
+        if pname:
+            self.get_pipeline(pname)  # fail at declaration if unregistered
+        templates = self._read_templates()
+        templates[name] = body
+        with open(self._templates_path(), "w") as f:
+            json.dump(templates, f)
+
+    def delete_index_template(self, name: str) -> None:
+        templates = self._read_templates()
+        templates.pop(name, None)
+        with open(self._templates_path(), "w") as f:
+            json.dump(templates, f)
+
+    def _match_template(self, index_name: str) -> dict | None:
+        import fnmatch
+
+        best, best_prio, best_name = None, None, None
+        for tname, body in self._read_templates().items():
+            for pat in body.get("index_patterns", []):
+                if fnmatch.fnmatch(index_name, pat):
+                    prio = int(body.get("priority", 0))
+                    # ES picks the highest priority; ties break by name
+                    # for determinism (ES rejects ambiguous ties)
+                    if (
+                        best_prio is None
+                        or prio > best_prio
+                        or (prio == best_prio and str(tname) < str(best_name))
+                    ):
+                        best, best_prio, best_name = body, prio, tname
+                    break
+        return best
+
+    def get_mapping(self, name: str) -> dict:
+        """GET <index>/_mapping: the template-applied (or put) mapping, else
+        a mapping inferred from the parquet schema (dynamic-mapping
+        analogue)."""
+        meta = self._read_meta(name)
+        if meta.get("mappings"):
+            return meta["mappings"]
+        schema = self._read_files(name).schema
+        type_map = {
+            "string": "keyword", "bigint": "long", "int": "integer",
+            "double": "double", "float": "float", "boolean": "boolean",
+            "timestamp": "date", "binary": "binary",
+        }
+        return {
+            "properties": {
+                f.name: {"type": type_map.get(f.dataType.simpleString(), "object")}
+                for f in schema.fields
+            }
+        }
+
+    # ----------------------------------------------------------- pipelines
+    def _pipelines_path(self) -> str:
+        return os.path.join(self.root, "_pipelines.json")
+
+    def put_pipeline(self, name: str, body: dict | list) -> None:
+        """PUT _ingest/pipeline/<name>: register a pipeline for
+        default_pipeline template settings (and ad-hoc reuse).  Compiled
+        once at declaration so a bad pipeline fails here, not on the
+        first write through a template."""
+        from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+        compile_pipeline(body)
+        try:
+            with open(self._pipelines_path()) as f:
+                pipelines = json.load(f)
+        except FileNotFoundError:
+            pipelines = {}
+        pipelines[name] = body
+        with open(self._pipelines_path(), "w") as f:
+            json.dump(pipelines, f)
+
+    def get_pipeline(self, name: str) -> dict | list:
+        try:
+            with open(self._pipelines_path()) as f:
+                pipelines = json.load(f)
+        except FileNotFoundError:
+            pipelines = {}
+        if name not in pipelines:
+            raise ValueError(f"no such ingest pipeline: {name!r}")
+        return pipelines[name]
 
     # ---------------------------------------------------------------- data streams
     def _data_streams_path(self) -> str:

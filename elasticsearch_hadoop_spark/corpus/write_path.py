@@ -1013,3 +1013,59 @@ def writepath_ccs(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "writepath_index_template",
+    oracle="""
+SELECT doc_id, upper(lang) AS lang, n_chars,
+       'docs-pipeline' AS ingested_by,
+       CAST(n_chars >= 200 AS BIGINT) AS is_long
+FROM documents
+ORDER BY doc_id
+""",
+)
+def writepath_index_template(spark, sf_dir):
+    """ES index templates + pipeline registry round trip: a template
+    matching docs-* carries index.default_pipeline (uppercase lang, set
+    provenance, script-computed is_long), index.sort.field (row-group
+    clustering on doc_id) and mappings; writing a matching NEW index
+    runs the pipeline exactly like an ES ingest node, and get_mapping
+    serves the template's mappings."""
+    root = _workdir(sf_dir, "index_template")
+    cat = Catalog(spark, root)
+    cat.put_pipeline(
+        "docs-pipeline",
+        [
+            {"uppercase": {"field": "lang"}},
+            {"set": {"field": "ingested_by", "value": "docs-pipeline"}},
+            {"script": {"source": "ctx.is_long = doc['n_chars'].value >= 200 ? 1 : 0"}},
+        ],
+    )
+    cat.put_index_template(
+        "docs-template",
+        {
+            "index_patterns": ["docs-*"],
+            "priority": 100,
+            "template": {
+                "settings": {
+                    "index.default_pipeline": "docs-pipeline",
+                    "index.sort.field": "doc_id",
+                },
+                "mappings": {"properties": {"lang": {"type": "keyword"}}},
+            },
+        },
+    )
+    docs = tbl(spark, sf_dir, "documents")
+    cat.write_index(docs, "docs-main", mode="overwrite", id_col="doc_id")
+    assert cat.get_mapping("docs-main") == {
+        "properties": {"lang": {"type": "keyword"}}
+    }
+    out = cat.read_index("docs-main")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "ingested_by",
+        F.col("is_long").cast("long").alias("is_long"),
+    ).orderBy("doc_id")

@@ -46,6 +46,8 @@ Supported commands (the documented core; anything else raises):
   (resolved like FROM) on the equal-named column; ES requires lookup
   indices to be single-shard — the analogue here is that the lookup side
   broadcasts.
+- ``CHANGE_POINT value ON key`` (8.16+) — the Welch-t step detector
+  (aggs_dsl.change_point_stats) appending cp_key / cp_score columns.
 
 Expression language: ES|QL scalar expressions are close enough to Spark
 SQL that a guarded translation suffices — ``==``/``!=`` map to
@@ -383,6 +385,13 @@ def esql(
             if col not in df.columns:
                 raise EsqlError(f"unknown column {col!r}")
             df = df.withColumn(col, F.explode(F.col(col)))
+        elif cmd == "CHANGE_POINT":
+            cpm = re.match(r"^(\S+)\s+ON\s+(\S+)\s*$", body, flags=re.I)
+            if not cpm:
+                raise EsqlError(f"CHANGE_POINT needs: value ON key — got {body!r}")
+            from elasticsearch_hadoop_spark.aggs_dsl import change_point_stats
+
+            df = change_point_stats(df, cpm.group(1), cpm.group(2))
         elif cmd == "LOOKUP":
             lm = re.match(r"^JOIN\s+(\S+)\s+ON\s+(\S+)\s*$", body, flags=re.I)
             if not lm:

@@ -603,3 +603,63 @@ def test_ccs_read_unions_clusters(spark, tmp_path):
     assert sorted(r["k"] for r in filtered) == [3, 9]
     with pytest.raises(ValueError, match="unknown cluster"):
         ccs_read({"local": c1}, "east:t")
+
+
+def test_index_template_applies_on_create(spark, cat):
+    cat.put_pipeline(
+        "norm", [{"lowercase": {"field": "v"}},
+                 {"set": {"field": "src", "value": "tpl"}}]
+    )
+    cat.put_index_template(
+        "t-logs",
+        {"index_patterns": ["logs-*"], "priority": 10,
+         "template": {
+             "settings": {"index.default_pipeline": "norm",
+                          "index.sort.field": "k"},
+             "mappings": {"properties": {"v": {"type": "keyword"}}},
+         }},
+    )
+    up = [{"k": 2, "v": "B"}, {"k": 1, "v": "A"}]
+    cat.write_index(docs(spark, up), "logs-app", id_col="k")
+    got = as_dicts(cat.read_index("logs-app"))
+    assert [d["v"] for d in got] == ["a", "b"]       # pipeline ran
+    assert all(d["src"] == "tpl" for d in got)
+    assert cat.get_mapping("logs-app") == {
+        "properties": {"v": {"type": "keyword"}}
+    }
+    # non-matching index: untouched, schema-inferred mapping
+    cat.write_index(docs(spark, BASE), "other", id_col="k")
+    got2 = as_dicts(cat.read_index("other"))
+    assert got2 == BASE
+    inferred = cat.get_mapping("other")
+    assert inferred["properties"]["v"]["type"] == "keyword"
+    assert inferred["properties"]["n"]["type"] == "long"
+
+
+def test_index_template_priority_and_guards(spark, cat):
+    cat.put_index_template(
+        "low", {"index_patterns": ["p-*"], "priority": 1,
+                "template": {"mappings": {"properties": {"a": {"type": "long"}}}}}
+    )
+    cat.put_index_template(
+        "high", {"index_patterns": ["p-x*"], "priority": 5,
+                 "template": {"mappings": {"properties": {"b": {"type": "long"}}}}}
+    )
+    cat.write_index(docs(spark, BASE), "p-xyz", id_col="k")
+    assert "b" in cat.get_mapping("p-xyz")["properties"]
+    with pytest.raises(ValueError, match="index_patterns"):
+        cat.put_index_template("bad", {"template": {}})
+    with pytest.raises(ValueError, match="no such ingest pipeline"):
+        cat.put_index_template(
+            "badp", {"index_patterns": ["q-*"],
+                     "template": {"settings": {"index.default_pipeline": "nope"}}}
+        )
+
+
+def test_meta_merge_preserves_created_at(spark, cat):
+    cat.write_index(docs(spark, BASE), "keepme", id_col="k")
+    meta = cat._read_meta("keepme")
+    meta["created_at"] = 123.0
+    cat._write_meta("keepme", meta)
+    cat.write_index(docs(spark, [{"k": 9, "v": "z", "n": 90}]), "keepme", id_col="k")
+    assert cat._read_meta("keepme")["created_at"] == 123.0

@@ -153,3 +153,15 @@ def test_lookup_join(spark):
     assert [(r["id"], r["name"]) for r in out] == [(1, "United States"), (2, None)]
     with pytest.raises(EsqlError, match="must exist on both sides"):
         esql("FROM d | LOOKUP JOIN geo ON zz", tables={"d": d, "geo": lk})
+
+
+def test_change_point_command(spark):
+    rows = [(float(k), 10.0 + (40.0 if k >= 5 else 0.0) + (k % 2) * 0.5)
+            for k in range(1, 9)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = esql(
+        "FROM t | CHANGE_POINT v ON k | KEEP k, cp_key, cp_score | SORT k",
+        tables={"t": df},
+    ).collect()
+    assert all(r["cp_key"] == 5.0 for r in out)
+    assert out[0]["cp_score"] > 5
