@@ -883,3 +883,41 @@ def esql_eval_pipeline(spark, sf_dir):
     return out.select(
         "doc_id", "lang_up", F.round("kb", 6).alias("kb"), "bucket"
     )
+
+
+@query(
+    "search_termvectors",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS term,
+         generate_subscripts(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0), 1) - 1 AS position
+  FROM documents WHERE doc_id < 10
+)
+SELECT doc_id, term,
+       CAST(count(*) AS BIGINT) AS term_freq,
+       array_to_string(list_sort(list(position)), ',') AS positions
+FROM toks
+GROUP BY doc_id, term
+ORDER BY doc_id, term
+""",
+)
+def search_termvectors(spark, sf_dir):
+    """ES `_termvectors`: per-doc term statistics (term_freq + sorted
+    position list) over the analyzed field — one posexplode + a hash
+    aggregation on (doc, term), the GET _termvectors response shape."""
+    from elasticsearch_hadoop_spark.search import termvectors
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    out = termvectors(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "term",
+        "term_freq",
+        F.array_join(F.col("positions").cast("array<string>"), ",").alias(
+            "positions"
+        ),
+    ).orderBy("doc_id", "term")

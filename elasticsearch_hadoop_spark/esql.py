@@ -116,8 +116,6 @@ def _translate_expr(e: str) -> str:
     if ";" in masked or "--" in masked or "/*" in masked:
         raise EsqlError(f"unsupported expression syntax: {e!r}")
     # every identifier followed by '(' must be a whitelisted function
-    out = []
-    pos = 0
     for m in _IDENT.finditer(masked):
         rest = masked[m.end():].lstrip()
         if rest.startswith("("):

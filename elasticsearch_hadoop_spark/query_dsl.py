@@ -1672,3 +1672,14 @@ def explain_query(df, query: str | dict, id_col: str = "_id"):
         )
     matched = F.coalesce(compile_query({kind: body}, id_col=id_col), F.lit(False))
     return df.select("*", *cols, matched.alias("matched"))
+
+
+def validate_query(query: str | dict, id_col: str = "_id") -> dict:
+    """ES ``_validate/query``: compile without running — ``{"valid": bool,
+    "error": str | None}`` (with explain=true ES also returns the rewritten
+    query; the compiled Column's string form serves that role here)."""
+    try:
+        col = compile_query(query, id_col=id_col)
+        return {"valid": True, "error": None, "explanation": str(col)}
+    except (QueryDslError, ValueError, KeyError, TypeError) as e:
+        return {"valid": False, "error": str(e), "explanation": None}

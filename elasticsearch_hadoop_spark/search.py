@@ -827,3 +827,23 @@ def render_search_template(template: str | dict, params: dict) -> dict:
 
     text = _re.sub(r"\{\{(\w+)\}\}", inline, text)
     return _json.loads(text)
+
+
+def termvectors(
+    df: DataFrame, field: str, id_col: str, positions: bool = True
+) -> DataFrame:
+    """ES ``_termvectors``: per-document term statistics over the analyzed
+    field — term_freq and (optionally) the position list, the response
+    shape of GET <index>/_termvectors/<id>.  One posexplode + a hash
+    aggregation on (doc, term); positions collect sorted so the output is
+    deterministic."""
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(standard_analyze(F.col(field))).alias("position", "term"),
+    )
+    aggs = [F.count(F.lit(1)).alias("term_freq")]
+    if positions:
+        aggs.append(F.array_sort(F.collect_list("position")).alias("positions"))
+    return toks.groupBy(id_col, "term").agg(*aggs)

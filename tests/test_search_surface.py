@@ -406,3 +406,24 @@ def test_sparse_vector_query_and_score(spark):
     s = {r["id"]: r["s"] for r in scored}
     assert s[1] == pytest.approx(2.0 * 0.5 + 1.0 * 2.0)
     assert s[2] == 0.0
+
+
+def test_termvectors_freq_and_positions(spark):
+    from elasticsearch_hadoop_spark.search import termvectors
+
+    df = spark.createDataFrame([(1, "the cat the hat")], ["id", "text"])
+    out = {r["term"]: (r["term_freq"], r["positions"])
+           for r in termvectors(df, "text", "id").collect()}
+    assert out["the"] == (2, [0, 2])
+    assert out["cat"] == (1, [1])
+    no_pos = termvectors(df, "text", "id", positions=False)
+    assert "positions" not in no_pos.columns
+
+
+def test_validate_query(spark):
+    from elasticsearch_hadoop_spark.query_dsl import validate_query
+
+    ok = validate_query({"term": {"f": "x"}})
+    assert ok["valid"] and ok["error"] is None and "f" in ok["explanation"]
+    bad = validate_query({"frobnicate": {}})
+    assert not bad["valid"] and "frobnicate" in bad["error"]
