@@ -51,9 +51,13 @@ Supported:
   ``ip_prefix`` (bucket by the /n network address — shiftright/shiftleft
   mask in codegen, IPv4 only, ``append_prefix_length`` supported),
   ``nested`` (sub-aggs over the array elements of ``path`` — explode
-  rebinds the path to the element, doc_count = nested-doc count;
-  reverse_nested unsupported), ``global`` (escapes the search query to the
-  ``base_df`` frame the caller passes to compile_aggs; an error without it)
+  rebinds the path to the element, doc_count = nested-doc count),
+  ``reverse_nested`` (re-widen to PARENT docs: dedupe on
+  (parent_id_col, keys-so-far), so element-level buckets count each
+  parent once — requires compile_aggs(..., parent_id_col=...);
+  top-level re-widening only), ``global`` (escapes the search query to
+  the ``base_df`` frame the caller passes to compile_aggs; an error
+  without it)
 - metric aggs: ``avg sum min max value_count cardinality stats
   extended_stats weighted_avg percentiles percentile_ranks boxplot
   median_absolute_deviation string_stats top_metrics t_test matrix_stats
@@ -149,7 +153,10 @@ class AggsDslError(ValueError):
 
 
 def compile_aggs(
-    df: DataFrame, spec: str | dict[str, Any], base_df: DataFrame | None = None
+    df: DataFrame,
+    spec: str | dict[str, Any],
+    base_df: DataFrame | None = None,
+    parent_id_col: str | None = None,
 ) -> DataFrame:
     """Compile an ES aggs body (dict or JSON string) against ``df``.
 
@@ -437,10 +444,37 @@ def compile_aggs(
             # per ARRAY ELEMENT, so doc_count is the nested-doc count,
             # exactly like ES.  The explode rebinds the path column to the
             # element; `path.subfield` references below resolve naturally.
-            # (reverse_nested is unsupported in the flat rendering —
-            # re-widening to parent docs is not expressible per-row.)
             path = body["nested"]["path"]
             df = df.withColumn(path, F.explode(F.col(path)))
+        elif kind == "reverse_nested":
+            # ES `reverse_nested` (the re-widening the flat rendering CAN
+            # express, given a parent identity): sub-aggs count PARENT
+            # docs again — dedupe the exploded frame back to one row per
+            # (parent, keys-so-far).  Keys above may be ELEMENT-level
+            # (a terms on the nested field), so they materialize as
+            # columns first and join the dedup key — a parent stays in
+            # every element bucket it belongs to, counted once per
+            # bucket, exactly ES's reverse_nested doc_count.  Requires
+            # compile_aggs(..., parent_id_col=<unique doc id>) — without
+            # an identity there is nothing to widen back to (error, never
+            # a silent approximation).
+            if parent_id_col is None:
+                raise AggsDslError(
+                    "reverse_nested requires compile_aggs(..., "
+                    "parent_id_col=<unique parent id column>)"
+                )
+            if body["reverse_nested"]:
+                raise AggsDslError(
+                    "reverse_nested to an intermediate path is unsupported "
+                    "(top-level re-widening only)"
+                )
+            mat = []
+            for i, (kname, kexpr) in enumerate(keys):
+                col = f"__rn_key_{i}"
+                df = df.withColumn(col, kexpr)
+                mat.append((kname, col))
+            df = df.dropDuplicates([parent_id_col] + [c for _, c in mat])
+            keys = [(kname, F.col(col)) for kname, col in mat]
         elif kind == "global":
             # ES `global`: escape the search query — sub-aggs see the
             # whole index.  Needs the caller to hand the pre-query frame
@@ -1191,7 +1225,7 @@ def _bucket_kind(body: dict) -> str | None:
         "auto_date_histogram", "range", "date_range", "geotile_grid",
         "geohash_grid", "filter", "filters", "adjacency_matrix",
         "sampler", "diversified_sampler", "ip_range", "ip_prefix",
-        "nested", "global",
+        "nested", "reverse_nested", "global",
         "composite", "missing", "significant_terms", "significant_text",
         "rare_terms", "variable_width_histogram", "frequent_item_sets",
     ):

@@ -2650,3 +2650,39 @@ def aggs_composite_date_page(spark, sf_dir):
         "doc_count",
         F.round("total", 6).alias("total"),
     ).orderBy("day", "event_type")
+
+
+@query(
+    "aggs_reverse_nested",
+    oracle="""
+SELECT l_returnflag AS flag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS doc_count
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+""",
+)
+def aggs_reverse_nested(spark, sf_dir):
+    """`reverse_nested`: nested line-item docs bucket by their flag, then
+    re-widen to PARENT orders — how many ORDERS carry each flag (each
+    parent counted once per element bucket, ES's comments-per-tag shape).
+    The dedup key is (parent id, materialized element-bucket key);
+    requires the parent_id_col contract."""
+    li = tbl(spark, sf_dir, "lineitem")
+    docs = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_returnflag").alias("flag"))
+        ).alias("items")
+    )
+    out = compile_aggs(
+        docs,
+        {"aggs": {"items_docs": {
+            "nested": {"path": "items"},
+            "aggs": {"flag": {
+                "terms": {"field": "items.flag"},
+                "aggs": {"orders": {"reverse_nested": {}, "aggs": {}}},
+            }},
+        }}},
+        parent_id_col="l_orderkey",
+    )
+    return out.select("flag", "doc_count").orderBy("flag")

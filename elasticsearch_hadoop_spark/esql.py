@@ -80,6 +80,8 @@ _FUNCS = {
     "to_string": "string", "to_long": "bigint", "to_double": "double",
     "to_integer": "int",
     "date_trunc": "date_trunc", "date_extract": "extract",
+    # BUCKET() rewrites emit these (also safe to call directly)
+    "timestamp_seconds": "timestamp_seconds", "unix_timestamp": "unix_timestamp",
     "coalesce": "coalesce", "greatest": "greatest", "least": "least",
     "case": "case", "cidr_match": None,  # rejected explicitly below
     "mv_count": "size", "mv_min": "array_min", "mv_max": "array_max",
@@ -102,11 +104,66 @@ _KEYWORDS = {
 }
 
 
+_BUCKET_UNITS = {
+    "second", "minute", "hour", "day", "week", "month", "quarter", "year",
+}
+
+
+def _rewrite_bucket(e: str) -> str:
+    """ES|QL ``BUCKET(expr, span)``: a calendar span ("1 day") becomes
+    date_trunc; a numeric span becomes floor-to-multiple.  (ES|QL's
+    target-bucket-count overload needs the field's min/max — use an
+    explicit span here, documented.)"""
+    pat = re.compile(r"\bBUCKET\s*\(", flags=re.I)
+    while True:
+        m = pat.search(e)
+        if not m:
+            return e
+        depth, i = 1, m.end()
+        while i < len(e) and depth:
+            depth += e[i] == "("
+            depth -= e[i] == ")"
+            i += 1
+        inner = e[m.end(): i - 1]
+        args = _split_top(inner)
+        if len(args) != 2:
+            raise EsqlError(f"BUCKET needs (expr, span), got ({inner})")
+        expr, span = args[0].strip(), args[1].strip()
+        dm = re.match(r'^"\s*(\d+)\s+(\w+)s?\s*"$', span) or re.match(
+            r"^'\s*(\d+)\s+(\w+)s?\s*'$", span
+        )
+        if dm:
+            n, unit = int(dm.group(1)), dm.group(2).lower().rstrip("s")
+            if unit not in _BUCKET_UNITS:
+                raise EsqlError(f"BUCKET: unknown calendar unit {unit!r}")
+            if n == 1:
+                rep = f"date_trunc('{unit}', {expr})"
+            else:
+                # n-unit fixed spans: epoch-floor arithmetic (seconds-based
+                # units only — multi-month spans have no fixed width)
+                secs = {
+                    "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                    "week": 604800,
+                }.get(unit)
+                if secs is None:
+                    raise EsqlError(
+                        f"BUCKET: multi-{unit} spans have no fixed width"
+                    )
+                rep = (
+                    f"timestamp_seconds(floor(unix_timestamp({expr}) / "
+                    f"{n * secs}) * {n * secs})"
+                )
+        else:
+            rep = f"(floor(({expr}) / ({span})) * ({span}))"
+        e = e[: m.start()] + rep + e[i:]
+
+
 def _translate_expr(e: str) -> str:
     """ES|QL expression text -> guarded Spark SQL text."""
     e = e.strip()
     if not e:
         raise EsqlError("empty expression")
+    e = _rewrite_bucket(e)
     # double-quoted ES|QL strings -> single-quoted SQL (no embedded quotes)
     e = re.sub(r'"([^"\\]*)"', lambda m: "'" + m.group(1) + "'", e)
     e = e.replace("==", " = ").replace("!=", " <> ")

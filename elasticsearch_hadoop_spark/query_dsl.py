@@ -850,23 +850,28 @@ def _match_phrase_prefix(body, id_col):
     terms = [t for t in _re.split(r"[^a-z0-9]+", str(value).lower()) if t]
     if not terms:
         raise QueryDslError("match_phrase_prefix needs at least one query token")
-    toks = analyze_tokens(_resolve(field))
-    sz = F.size(toks)
     n = len(terms)
 
-    def _at(i):
-        conds = [F.get(toks, i + j) == F.lit(terms[j]) for j in range(n - 1)]
-        conds.append(F.get(toks, i + (n - 1)).startswith(terms[-1]))
-        out = conds[0]
-        for c in conds[1:]:
-            out = out & c
-        return out
+    def _body(toks):
+        # let-bound (see _let): each offset probe reads the variable, not
+        # a re-inlined analyzer split
+        sz = F.size(toks)
 
-    # sequence(a, b) DESCENDS when a > b, so gate on sz >= n first
-    matched = F.when(
-        sz >= n, F.exists(F.sequence(F.lit(0), sz - n), _at)
-    ).otherwise(F.lit(False))
-    return F.coalesce(matched, F.lit(False))
+        def _at(i):
+            conds = [F.get(toks, i + j) == F.lit(terms[j]) for j in range(n - 1)]
+            conds.append(F.get(toks, i + (n - 1)).startswith(terms[-1]))
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+
+        # sequence(a, b) DESCENDS when a > b, so gate on sz >= n first
+        matched = F.when(
+            sz >= n, F.exists(F.sequence(F.lit(0), sz - n), _at)
+        ).otherwise(F.lit(False))
+        return F.coalesce(matched, F.lit(False))
+
+    return _let(analyze_tokens(_resolve(field)), _body)
 
 
 def _simple_query_string(body, id_col):
@@ -1139,12 +1144,16 @@ def _intervals(body, id_col):
     Everything is per-term position arrays + nested ``exists`` — the
     same codegen shape as match_phrase slop; no explode, no UDF."""
     (field, rule), = body.items()
-    toks = analyze_tokens(_resolve(field))
-    sz = F.size(toks)
+    # toks is LET-BOUND below (_let): every positions() probe reads the
+    # lambda variable instead of a re-inlined analyzer split (the same
+    # O(n^2)-splits trap the span compiler guards against)
+    _toks_box: list = [None]
 
     def positions(term: str):
+        toks = _toks_box[0]
         return F.filter(
-            F.sequence(F.lit(0), sz - 1), lambda i: F.get(toks, i) == F.lit(term)
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: F.get(toks, i) == F.lit(term),
         )
 
     def terms_of(q) -> list[str]:
@@ -1237,7 +1246,11 @@ def _intervals(body, id_col):
             return out
         raise QueryDslError(f"intervals: unsupported rule {kind!r}")
 
-    return compile_rule(rule)
+    def _body(toks):
+        _toks_box[0] = toks
+        return compile_rule(rule)
+
+    return _let(analyze_tokens(_resolve(field)), _body)
 
 
 def _query_string(body, id_col):

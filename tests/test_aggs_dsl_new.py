@@ -596,3 +596,41 @@ def test_moving_fn_weighted_variants(spark):
     assert out[2]["ew"] == pytest.approx(18.1)
     assert out[0]["lw"] == pytest.approx(10.0)
     assert out[0]["ew"] == pytest.approx(10.0)
+
+
+def test_reverse_nested_counts_parents(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "us", [("red",), ("red",), ("blue",)]),
+            (2, "us", [("red",)]),
+            (3, "de", [("blue",), ("blue",)]),
+        ],
+        "id int, country string, items array<struct<color string>>",
+    )
+    # nested -> terms on the element field -> reverse_nested: how many
+    # PARENT docs carry each color (ES's classic comments-per-tag shape)
+    out = compile_aggs(
+        df,
+        {"aggs": {"n": {
+            "nested": {"path": "items"},
+            "aggs": {"color": {
+                "terms": {"field": "items.color"},
+                "aggs": {"parents": {
+                    "reverse_nested": {},
+                    "aggs": {},
+                }},
+            }},
+        }}},
+        parent_id_col="id",
+    ).orderBy("color").collect()
+    got = {r["color"]: r["doc_count"] for r in out}
+    # red appears in docs 1 (twice) and 2 -> 2 parents; blue in 1 and 3
+    assert got == {"blue": 2, "red": 2}
+    with pytest.raises(AggsDslError, match="parent_id_col"):
+        compile_aggs(
+            df,
+            {"aggs": {"n": {
+                "nested": {"path": "items"},
+                "aggs": {"p": {"reverse_nested": {}}},
+            }}},
+        )

@@ -165,3 +165,33 @@ def test_change_point_command(spark):
     ).collect()
     assert all(r["cp_key"] == 5.0 for r in out)
     assert out[0]["cp_score"] > 5
+
+
+def test_bucket_function(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 5, 30), 10.0),
+         (datetime.datetime(2024, 1, 1, 13, 0), 20.0),
+         (datetime.datetime(2024, 1, 2, 1, 0), 30.0)],
+        "ts timestamp, v double",
+    )
+    out = esql(
+        'FROM t | STATS total = SUM(v) BY day = BUCKET(ts, "1 day") | SORT day',
+        tables={"t": df},
+    ).collect()
+    assert [(str(r["day"]), r["total"]) for r in out] == [
+        ("2024-01-01 00:00:00", 30.0), ("2024-01-02 00:00:00", 30.0),
+    ]
+    # 12-hour fixed span + numeric span
+    out2 = esql(
+        'FROM t | STATS n = COUNT(*) BY b = BUCKET(ts, "12 hours") | SORT b',
+        tables={"t": df},
+    ).collect()
+    assert [r["n"] for r in out2] == [1, 1, 1]
+    out3 = esql(
+        "FROM t | EVAL vb = BUCKET(v, 15) | KEEP vb | SORT vb", tables={"t": df}
+    ).collect()
+    assert [r["vb"] for r in out3] == [0.0, 15.0, 30.0]
+    with pytest.raises(EsqlError, match="no fixed width"):
+        esql('FROM t | EVAL b = BUCKET(ts, "2 months")', tables={"t": df})

@@ -256,3 +256,38 @@ def test_variable_width_histogram_no_global_sort(spark, sf_dir):
     # quantile boundaries broadcast; assignment + agg — no NTILE window
     assert "Window" not in plan
     assert count_nodes(plan, "CartesianProduct") <= 1  # 1-row bounds frame
+
+
+def test_esql_where_pushes_and_single_agg_exchange(spark, sf_dir):
+    """ES|QL's claim that Catalyst is its executor, verified: the WHERE
+    reaches the parquet scan as a pushed filter and STATS..BY plans as
+    ONE partial+final hash aggregation (a single exchange on the keys)."""
+    from elasticsearch_hadoop_spark.esql import esql
+    from elasticsearch_hadoop_spark.plans import count_nodes, formatted_plan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = esql(
+        """
+        FROM events
+        | WHERE value > 1.0
+        | STATS n = COUNT(*), total = SUM(value) BY event_type
+        """,
+        tables={"events": ev},
+    )
+    plan = formatted_plan(df)
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan, flags=re.S).group(1)
+    assert "value" in pushed
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_esql_sort_limit_fuses_to_topk(spark, sf_dir):
+    from elasticsearch_hadoop_spark.esql import esql
+    from elasticsearch_hadoop_spark.plans import formatted_plan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = esql(
+        "FROM events | SORT value DESC | LIMIT 5 | KEEP event_id, value",
+        tables={"events": ev},
+    )
+    assert "TakeOrderedAndProject" in formatted_plan(df)
