@@ -24,9 +24,11 @@ Supported commands (the documented core; anything else raises):
 - ``WHERE <expr>``
 - ``EVAL name = <expr>[, name2 = <expr2>...]`` — later names see earlier
   ones, like ES|QL.
-- ``STATS [name =] AGG(expr)[, ...] [BY k1[, k2...]]`` — COUNT(*),
-  COUNT, COUNT_DISTINCT, SUM, AVG, MIN, MAX, MEDIAN,
-  PERCENTILE(x, p); BY keys may be EVAL-style ``name = expr``.
+- ``STATS [name =] AGG(expr) [WHERE cond][, ...] [BY k1[, k2...]]`` —
+  COUNT(*), COUNT, COUNT_DISTINCT, SUM, AVG, MIN, MAX, MEDIAN,
+  PERCENTILE(x, p); per-aggregate WHERE (8.16+) compiles to
+  agg(when(cond, x)) inside the same single hash aggregation; BY keys
+  may be EVAL-style ``name = expr`` (``BUCKET(x, span)`` included).
 - ``SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST][, ...]``
 - ``LIMIT n``
 - ``KEEP c1, c2`` / ``DROP c1, c2`` (``*`` wildcards per ES|QL)
@@ -275,19 +277,31 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
         m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", item, flags=re.S)
         if m and "==" not in item.split("=", 1)[0]:
             name, item = m.group(1), m.group(2).strip()
+        # per-aggregate WHERE (8.16+): AGG(expr) WHERE cond — the filtered
+        # aggregate; compiles to agg(when(cond, expr)) so it stays inside
+        # the same single hash aggregation
+        cond = None
+        wm = re.search(r"\)\s+WHERE\s+(.+)$", item, flags=re.I | re.S)
+        if wm:
+            cond = _expr(wm.group(1))
+            item = item[: wm.start() + 1].strip()
         fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)$", item, flags=re.S)
         if not fm:
             raise EsqlError(f"STATS needs AGG(expr) items, got {item!r}")
         fname, inner = fm.group(1).lower(), fm.group(2).strip()
+
+        def _gate(c: Column) -> Column:
+            return F.when(cond, c) if cond is not None else c
+
         if fname == "percentile":
             args = _split_top(inner)
             if len(args) != 2:
                 raise EsqlError(f"PERCENTILE needs (expr, p): {item!r}")
-            col = F.percentile(_expr(args[0]), F.lit(float(args[1]) / 100.0))
+            col = F.percentile(_gate(_expr(args[0])), F.lit(float(args[1]) / 100.0))
         elif fname == "count" and inner in ("*", ""):
-            col = F.count(F.lit(1))
+            col = F.count(_gate(F.lit(1)))
         elif fname in _AGGS:
-            col = _AGGS[fname](_expr(inner))
+            col = _AGGS[fname](_gate(_expr(inner)))
         else:
             raise EsqlError(f"unsupported aggregate {fname!r}")
         aggs.append(col.alias(name or item.lower()))

@@ -195,3 +195,20 @@ def test_bucket_function(spark):
     assert [r["vb"] for r in out3] == [0.0, 15.0, 30.0]
     with pytest.raises(EsqlError, match="no fixed width"):
         esql('FROM t | EVAL b = BUCKET(ts, "2 months")', tables={"t": df})
+
+
+def test_stats_per_agg_where(spark, logs):
+    out = esql(
+        """
+        FROM logs
+        | STATS n_err = COUNT(*) WHERE status == "error",
+                big = SUM(bytes) WHERE bytes > 1000,
+                total = SUM(bytes)
+          BY host
+        | SORT host
+        """,
+        tables=logs,
+    ).collect()
+    got = {r["host"]: (r["n_err"], r["big"], r["total"]) for r in out}
+    assert got["h1"] == (1, 2048, 2148)
+    assert got["h2"] == (2, 4096, 4106)
