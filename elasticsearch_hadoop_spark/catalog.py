@@ -780,32 +780,40 @@ class Catalog:
         import fnmatch
 
         aliases = self._read_aliases()
-        out: list[tuple[str, dict | None]] = []
-        seen: set[str] = set()
+        # per-index resolved filter: None = unfiltered.  An index reached
+        # BOTH unfiltered (direct name/wildcard, or a plain alias) and
+        # through a filtered alias stays unfiltered — the direct request
+        # already returns every doc, and ES's union of shard results never
+        # narrows it.  Two DIFFERENT filtered aliases over one index keep
+        # the first (documented: split such reads into separate calls).
+        resolved: dict[str, dict | None] = {}
+        order: list[str] = []
+
+        def _add(idx: str, flt: dict | None) -> None:
+            if idx not in resolved:
+                resolved[idx] = flt
+                order.append(idx)
+            elif flt is None:
+                resolved[idx] = None
+
         for part in (p.strip() for p in name.split(",")):
             if not part:
                 continue
             if part in aliases:
                 targets, flt = self._alias_entry(aliases, part)
                 for t in targets:
-                    if t not in seen:
-                        seen.add(t)
-                        out.append((t, flt))
+                    _add(t, flt)
             elif "*" in part or "?" in part:
-                matches = sorted(fnmatch.filter(self.list_indices(), part))
-                for m in matches:
-                    if m not in seen:
-                        seen.add(m)
-                        out.append((m, None))
+                for m in sorted(fnmatch.filter(self.list_indices(), part)):
+                    _add(m, None)
             elif not self.exists(part):
                 # ES answers 404 for an unknown exact index/alias name
                 raise ValueError(f"no such index or alias: {part!r}")
-            elif part not in seen:
-                seen.add(part)
-                out.append((part, None))
-        if not out:
+            else:
+                _add(part, None)
+        if not order:
             raise ValueError(f"no index matches resource {name!r}")
-        return out
+        return [(idx, resolved[idx]) for idx in order]
 
     def _read_resolved(self, name: str) -> DataFrame:
         # mergeSchema: ES dynamic-mapping parity — a blind append may add

@@ -266,11 +266,16 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
     keys: list[tuple[str, Column]] = []
     if by_m:
         for k in _split_top(body[by_m.end():]):
+            k = k.strip()
             if "=" in k and "==" not in k:
                 name, expr = k.split("=", 1)
                 keys.append((name.strip(), _expr(expr)))
+            elif "(" in k:
+                # bare computed key (ES|QL allows e.g. BY BUCKET(ts, "1 day"));
+                # auto-named by its text, like ES|QL's column naming
+                keys.append((k, _expr(k)))
             else:
-                keys.append((k.strip(), F.col(k.strip())))
+                keys.append((k, F.col(k)))
     aggs: list[Column] = []
     for item in _split_top(agg_part):
         name = None

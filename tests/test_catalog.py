@@ -663,3 +663,16 @@ def test_meta_merge_preserves_created_at(spark, cat):
     cat._write_meta("keepme", meta)
     cat.write_index(docs(spark, [{"k": 9, "v": "z", "n": 90}]), "keepme", id_col="k")
     assert cat._read_meta("keepme")["created_at"] == 123.0
+
+
+def test_filtered_alias_plus_direct_read_stays_unfiltered(spark, cat):
+    cat.write_index(docs(spark, BASE), "fd", id_col="k")
+    cat.put_alias("fd-big", "fd", filter={"range": {"n": {"gte": 30}}})
+    # the direct request already returns everything; the filtered alias
+    # must not narrow it (ES union semantics)
+    got = sorted(r["k"] for r in cat.read_index("fd-big, fd").collect())
+    assert got == [1, 2, 3]
+    got2 = sorted(r["k"] for r in cat.read_index("fd, fd-big").collect())
+    assert got2 == [1, 2, 3]
+    # alone, the filter applies
+    assert sorted(r["k"] for r in cat.read_index("fd-big").collect()) == [3]

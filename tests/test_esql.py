@@ -212,3 +212,13 @@ def test_stats_per_agg_where(spark, logs):
     got = {r["host"]: (r["n_err"], r["big"], r["total"]) for r in out}
     assert got["h1"] == (1, 2048, 2148)
     assert got["h2"] == (2, 4096, 4106)
+
+
+def test_stats_by_bare_computed_key(spark, logs):
+    out = esql(
+        "FROM logs | STATS n = COUNT(*) BY TO_UPPER(status) | SORT n DESC",
+        tables=logs,
+    )
+    assert out.columns == ["TO_UPPER(status)", "n"]
+    got = {r["TO_UPPER(status)"]: r["n"] for r in out.collect()}
+    assert got == {"ERROR": 3, "OK": 1}
