@@ -402,7 +402,7 @@ class Catalog:
         if not existed:
             tpl = self._match_template(name)
             if tpl is not None:
-                t = tpl.get("template") or {}
+                t = self._resolve_template(tpl)  # composed_of merged in
                 settings = t.get("settings") or {}
                 pname = settings.get("index.default_pipeline") or settings.get(
                     "default_pipeline"
@@ -987,16 +987,64 @@ class Catalog:
         except FileNotFoundError:
             return {}
 
+    def _component_templates_path(self) -> str:
+        return os.path.join(self.root, "_component_templates.json")
+
+    def _read_component_templates(self) -> dict:
+        try:
+            with open(self._component_templates_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def put_component_template(self, name: str, body: dict) -> None:
+        """ES ``_component_template``: a reusable settings/mappings block
+        an index template composes via ``composed_of``.  Resolution
+        follows ES: components merge in ``composed_of`` order, the index
+        template's own ``template`` wins last."""
+        if not isinstance(body, dict) or "template" not in body:
+            raise ValueError("component template needs a template: {...} block")
+        comps = self._read_component_templates()
+        comps[name] = body
+        with open(self._component_templates_path(), "w") as f:
+            json.dump(comps, f)
+
+    def _resolve_template(self, body: dict) -> dict:
+        """Merge composed_of component templates under the index
+        template's own block (settings shallow-merge, mappings.properties
+        shallow-merge — later wins, exactly ES's composition order)."""
+        merged_settings: dict = {}
+        merged_props: dict = {}
+        comps = self._read_component_templates()
+        for cname in body.get("composed_of", []):
+            if cname not in comps:
+                raise ValueError(f"unknown component template {cname!r}")
+            t = comps[cname].get("template") or {}
+            merged_settings.update(t.get("settings") or {})
+            merged_props.update((t.get("mappings") or {}).get("properties") or {})
+        own = body.get("template") or {}
+        merged_settings.update(own.get("settings") or {})
+        merged_props.update((own.get("mappings") or {}).get("properties") or {})
+        out: dict = {}
+        if merged_settings:
+            out["settings"] = merged_settings
+        if merged_props:
+            out["mappings"] = {"properties": merged_props}
+        return out
+
     def put_index_template(self, name: str, body: dict) -> None:
         """ES ``_index_template``: index_patterns + priority + a template
-        of settings/mappings.  Applied when write_index CREATES a
-        matching index: ``index.default_pipeline`` runs the registered
-        ingest pipeline over every batch, ``index.sort.field`` becomes
-        the write sort (row-group-stats clustering), and ``mappings``
-        persist for ``get_mapping``."""
+        of settings/mappings, optionally ``composed_of`` component
+        templates (merged in order, the template's own block last).
+        Applied when write_index CREATES a matching index:
+        ``index.default_pipeline`` runs the registered ingest pipeline
+        over every batch, ``index.sort.field`` becomes the write sort
+        (row-group-stats clustering), and ``mappings`` persist for
+        ``get_mapping``."""
         if not isinstance(body, dict) or not body.get("index_patterns"):
             raise ValueError("index template needs index_patterns: [...]")
-        settings = (body.get("template") or {}).get("settings") or {}
+        resolved = self._resolve_template(body)  # validates composed_of
+        settings = resolved.get("settings") or {}
         pname = settings.get("index.default_pipeline") or settings.get(
             "default_pipeline"
         )

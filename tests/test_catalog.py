@@ -676,3 +676,33 @@ def test_filtered_alias_plus_direct_read_stays_unfiltered(spark, cat):
     assert got2 == [1, 2, 3]
     # alone, the filter applies
     assert sorted(r["k"] for r in cat.read_index("fd-big").collect()) == [3]
+
+
+def test_component_template_composition(spark, cat):
+    cat.put_component_template(
+        "base-settings",
+        {"template": {"settings": {"index.sort.field": "k"},
+                      "mappings": {"properties": {"a": {"type": "long"}}}}},
+    )
+    cat.put_component_template(
+        "base-mappings",
+        {"template": {"mappings": {"properties": {"b": {"type": "keyword"},
+                                                  "a": {"type": "integer"}}}}},
+    )
+    cat.put_index_template(
+        "ct-logs",
+        {"index_patterns": ["ct-*"], "priority": 3,
+         "composed_of": ["base-settings", "base-mappings"],
+         "template": {"mappings": {"properties": {"c": {"type": "double"}}}}},
+    )
+    cat.write_index(docs(spark, BASE), "ct-app", id_col="k")
+    props = cat.get_mapping("ct-app")["properties"]
+    # later component wins (a: integer over long); own block adds c
+    assert props == {"a": {"type": "integer"}, "b": {"type": "keyword"},
+                     "c": {"type": "double"}}
+    with pytest.raises(ValueError, match="unknown component template"):
+        cat.put_index_template(
+            "bad", {"index_patterns": ["x-*"], "composed_of": ["nope"]}
+        )
+    with pytest.raises(ValueError, match="template"):
+        cat.put_component_template("empty", {})
