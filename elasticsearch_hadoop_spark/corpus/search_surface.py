@@ -921,3 +921,43 @@ def search_termvectors(spark, sf_dir):
             "positions"
         ),
     ).orderBy("doc_id", "term")
+
+
+@query(
+    "esql_bucket_filtered_stats",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS purchases,
+       round(sum(CASE WHEN value > 5.0 THEN value END), 6) AS big_total
+FROM events
+GROUP BY 1
+ORDER BY day
+""",
+)
+def esql_bucket_filtered_stats(spark, sf_dir):
+    """ES|QL BUCKET() date grouping + per-aggregate WHERE filters (8.16):
+    daily buckets with a filtered purchase count and a filtered sum —
+    every filtered aggregate compiles to agg(when(cond, x)) inside the
+    SAME single partial+final hash aggregation (no extra scans)."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    ev = tbl(spark, sf_dir, "events")
+    out = esql(
+        """
+        FROM events
+        | STATS n = COUNT(*),
+                purchases = COUNT(*) WHERE event_type == "purchase",
+                big_total = SUM(value) WHERE value > 5.0
+          BY day = BUCKET(ts, "1 day")
+        | SORT day
+        """,
+        tables={"events": ev},
+    )
+    return out.select(
+        F.date_format("day", TS_FMT_SPARK).alias("day"),
+        "n",
+        "purchases",
+        F.round("big_total", 6).alias("big_total"),
+    ).orderBy("day")

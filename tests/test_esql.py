@@ -222,3 +222,26 @@ def test_stats_by_bare_computed_key(spark, logs):
     assert out.columns == ["TO_UPPER(status)", "n"]
     got = {r["TO_UPPER(status)"]: r["n"] for r in out.collect()}
     assert got == {"ERROR": 3, "OK": 1}
+
+
+def test_expr_translation_matches_python_semantics(spark):
+    """Property-ish check: random arithmetic/comparison expressions over
+    two columns translate to the same values Python computes."""
+    import random
+
+    random.seed(42)
+    df = spark.createDataFrame([(3.0, 7.0), (10.0, -2.0), (0.5, 0.25)], ["a", "b"])
+    rows = [(r["a"], r["b"]) for r in df.collect()]
+    ops = ["+", "-", "*"]
+    for _ in range(25):
+        x, y, z = random.randint(1, 9), random.choice(ops), random.choice(ops)
+        expr = f"a {y} b {z} {x}"
+        out = esql(f"FROM t | EVAL r = {expr} | KEEP r", tables={"t": df}).collect()
+        for (a, b), row in zip(rows, out):
+            expected = eval(expr, {}, {"a": a, "b": b})  # trusted literals only
+            assert row["r"] == pytest.approx(expected), expr
+    # comparisons round-trip through ==/!= mapping
+    got = esql(
+        'FROM t | WHERE a != 0.5 AND b > 0 | STATS n = COUNT(*)', tables={"t": df}
+    ).collect()[0]["n"]
+    assert got == 1
