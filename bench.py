@@ -83,6 +83,13 @@ EXTENSION = [
     "aggs_change_point",
     "dedup_segments_global",
     "text_unigram_logprob",
+    # round-4 extra-session block 3: data streams, CCS, templates,
+    # reverse_nested, ES|QL BUCKET/filtered stats
+    "writepath_data_stream",
+    "writepath_ccs",
+    "writepath_index_template",
+    "aggs_reverse_nested",
+    "esql_bucket_filtered_stats",
 ]
 
 
