@@ -479,3 +479,104 @@ def text_unigram_logprob(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_funnel",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS tk,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> length(t) > 0) AS words
+  FROM documents
+),
+vocab AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS freq
+  FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY term
+),
+tot AS (SELECT sum(freq) AS total FROM vocab),
+lm AS (
+  SELECT t.doc_id, avg(log10(v.freq / (SELECT total FROM tot))) AS lp
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) t
+  JOIN vocab v ON t.term = v.term
+  GROUP BY t.doc_id
+),
+sig AS (
+  SELECT toks.doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, w -> length(w)))
+                   / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS mwl,
+         lm.lp
+  FROM toks JOIN lm ON toks.doc_id = lm.doc_id
+),
+funnel AS (
+  SELECT 1 AS stage_ord, 'total' AS stage, count(*) AS docs FROM sig
+  UNION ALL
+  SELECT 2, 'len_ok', count(*) FROM sig WHERE n_words >= 10
+  UNION ALL
+  SELECT 3, 'c4_word_len_ok', count(*) FROM sig
+  WHERE n_words >= 10 AND mwl BETWEEN 3 AND 10
+  UNION ALL
+  SELECT 4, 'lm_ok', count(*) FROM sig
+  WHERE n_words >= 10 AND mwl BETWEEN 3 AND 10 AND lp >= -3.0
+)
+SELECT stage_ord, stage, CAST(docs AS BIGINT) AS docs
+FROM funnel ORDER BY stage_ord
+""",
+)
+def text_quality_funnel(spark, sf_dir):
+    """The training-data quality FUNNEL: compose the session's filter
+    primitives — minimum length, C4's 3..10 mean-word-length band, and a
+    unigram-LM (KenLM-proxy) log-probability floor — into staged
+    keep-counts, the shape every corpus-cleaning report ships.  One
+    signal projection + the LM join feed four conjunctive counts; no
+    re-scans per stage (the funnel unions COUNTs over the same cached
+    signal frame)."""
+    from elasticsearch_hadoop_spark.functions.text import (
+        c4_quality_signals,
+        token_count_whitespace,
+        unigram_logprob,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    lm = unigram_logprob(docs, "text", "doc_id").select(
+        "doc_id", F.col("mean_logprob").alias("lp")
+    )
+    sig = (
+        docs.select(
+            "doc_id",
+            token_count_whitespace("text").alias("n_words"),
+            c4_quality_signals("text")["mean_word_len"].alias("mwl"),
+        )
+        .join(lm, "doc_id")
+    )
+    len_ok = F.col("n_words") >= 10
+    c4_ok = len_ok & F.col("mwl").between(3.0, 10.0)
+    lm_ok = c4_ok & (F.col("lp") >= -3.0)
+    out = sig.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(len_ok.cast("long")).alias("len_ok"),
+        F.sum(c4_ok.cast("long")).alias("c4_word_len_ok"),
+        F.sum(lm_ok.cast("long")).alias("lm_ok"),
+    )
+    stages = ["total", "len_ok", "c4_word_len_ok", "lm_ok"]
+    spark_rows = out.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("stage_ord"),
+                        F.lit(s).alias("stage"),
+                        F.col(s).alias("docs"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("f")
+    )
+    return spark_rows.select("f.stage_ord", "f.stage", "f.docs").orderBy(
+        "stage_ord"
+    )
