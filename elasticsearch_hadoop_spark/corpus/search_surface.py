@@ -961,3 +961,66 @@ def esql_bucket_filtered_stats(spark, sf_dir):
         "purchases",
         F.round("big_total", 6).alias("big_total"),
     ).orderBy("day")
+
+
+@query(
+    "esql_grok_dissect",
+    oracle="""
+WITH lines AS (
+  SELECT event_id,
+         concat(upper(event_type), ' /api/u',
+                CAST(user_id AS VARCHAR), ' ',
+                CAST(event_id % 5 AS VARCHAR), ' ',
+                CAST(round(value, 2) AS VARCHAR)) AS line
+  FROM events
+),
+parsed AS (
+  SELECT event_id,
+         regexp_extract(line, '(\\w+) (\\S+) ([+-]?\\d+) ([+-]?\\d+(?:\\.\\d+)?)', 1) AS verb,
+         regexp_extract(line, '(\\w+) (\\S+) ([+-]?\\d+) ([+-]?\\d+(?:\\.\\d+)?)', 2) AS path,
+         CAST(regexp_extract(line, '(\\w+) (\\S+) ([+-]?\\d+) ([+-]?\\d+(?:\\.\\d+)?)', 3) AS INT) AS code,
+         CAST(regexp_extract(line, '(\\w+) (\\S+) ([+-]?\\d+) ([+-]?\\d+(?:\\.\\d+)?)', 4) AS DOUBLE) AS dur
+  FROM lines
+)
+SELECT verb, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN code >= 3 THEN 1 END) AS BIGINT) AS errors,
+       round(sum(dur), 6) AS total_dur
+FROM parsed
+GROUP BY verb
+ORDER BY verb
+""",
+)
+def esql_grok_dissect(spark, sf_dir):
+    """ES|QL GROK end-to-end: synthesized access-log lines parsed with
+    %{WORD}/%{NOTSPACE}/%{INT:...:int}/%{NUMBER:...:double} (one
+    regexp_extract chain, typed casts), then filtered-stats by verb —
+    the log-wrangling pipeline ES|QL exists for, planned by Catalyst."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.upper("event_type"),
+            F.lit(" /api/u"),
+            F.col("user_id").cast("string"),
+            F.lit(" "),
+            (F.col("event_id") % 5).cast("string"),
+            F.lit(" "),
+            F.round("value", 2).cast("string"),
+        ).alias("line"),
+    )
+    out = esql(
+        """
+        FROM logs
+        | GROK line "%{WORD:verb} %{NOTSPACE:path} %{INT:code:int} %{NUMBER:dur:double}"
+        | STATS n = COUNT(*),
+                errors = COUNT(*) WHERE code >= 3,
+                total_dur = SUM(dur)
+          BY verb
+        | SORT verb
+        """,
+        tables={"logs": ev},
+    )
+    return out.select(
+        "verb", "n", "errors", F.round("total_dur", 6).alias("total_dur")
+    ).orderBy("verb")

@@ -1069,3 +1069,56 @@ def writepath_index_template(spark, sf_dir):
         "ingested_by",
         F.col("is_long").cast("long").alias("is_long"),
     ).orderBy("doc_id")
+
+
+@query(
+    "writepath_component_template",
+    oracle="""
+SELECT doc_id, lang, 'composed' AS origin, upper(source) AS source_up
+FROM documents
+WHERE lang IN ('en', 'fr')
+ORDER BY doc_id
+""",
+)
+def writepath_component_template(spark, sf_dir):
+    """ES component templates round trip: two components (a provenance
+    set-processor pipeline block + an uppercase-source pipeline block)
+    composed by an index template via composed_of — the RESOLVED
+    template's default_pipeline runs both processors on write, in ES's
+    composition order."""
+    root = _workdir(sf_dir, "component_template")
+    cat = Catalog(spark, root)
+    cat.put_pipeline(
+        "comp-pipe",
+        [
+            {"set": {"field": "origin", "value": "composed"}},
+            {"uppercase": {"field": "source"}},
+        ],
+    )
+    cat.put_component_template(
+        "base-pipe",
+        {"template": {"settings": {"index.default_pipeline": "comp-pipe"}}},
+    )
+    cat.put_component_template(
+        "base-map",
+        {"template": {"mappings": {"properties": {"lang": {"type": "keyword"}}}}},
+    )
+    cat.put_index_template(
+        "composed-docs",
+        {
+            "index_patterns": ["cdocs-*"],
+            "priority": 7,
+            "composed_of": ["base-pipe", "base-map"],
+        },
+    )
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "fr")
+    )
+    cat.write_index(docs, "cdocs-main", mode="overwrite", id_col="doc_id")
+    assert cat.get_mapping("cdocs-main") == {
+        "properties": {"lang": {"type": "keyword"}}
+    }
+    out = cat.read_index("cdocs-main")
+    return out.select(
+        "doc_id", "lang", "origin", F.col("source").alias("source_up")
+    ).orderBy("doc_id")
