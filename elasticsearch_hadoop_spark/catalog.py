@@ -393,30 +393,34 @@ class Catalog:
         if existed and mode == "ignore":
             return
 
-        # index templates (ES _index_template): a NEW index picks up the
-        # highest-priority matching template — its default_pipeline runs
-        # over the batch (the ingest-node behavior), its index.sort
-        # becomes the write sort unless the caller set one, and its
-        # mappings persist to _meta for get_mapping
+        # index templates (ES _index_template): a NEW index resolves the
+        # highest-priority matching template at creation and PERSISTS the
+        # resolved index.default_pipeline / index.sort into its _meta;
+        # every later write re-reads them from _meta and applies them
+        # again — in ES, index.default_pipeline runs on EVERY indexing
+        # request to the index, not just the first batch (ADVICE r4).
         tpl_mappings = None
+        prior_meta = self._read_meta(name) if existed else {}
+        pipeline_name = prior_meta.get("default_pipeline")
+        sort_field = prior_meta.get("index_sort")
         if not existed:
             tpl = self._match_template(name)
             if tpl is not None:
                 t = self._resolve_template(tpl)  # composed_of merged in
                 settings = t.get("settings") or {}
-                pname = settings.get("index.default_pipeline") or settings.get(
-                    "default_pipeline"
-                )
-                if pname:
-                    from elasticsearch_hadoop_spark.ingest import compile_pipeline
-
-                    df = compile_pipeline(self.get_pipeline(pname))(df)
-                s_field = settings.get("index.sort.field") or settings.get(
+                pipeline_name = settings.get(
+                    "index.default_pipeline"
+                ) or settings.get("default_pipeline")
+                sort_field = settings.get("index.sort.field") or settings.get(
                     "sort.field"
                 )
-                if s_field and not sort_by and not zorder_by:
-                    sort_by = s_field if isinstance(s_field, list) else [s_field]
                 tpl_mappings = t.get("mappings")
+        if pipeline_name:
+            from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+            df = compile_pipeline(self.get_pipeline(pipeline_name))(df)
+        if sort_field and not sort_by and not zorder_by:
+            sort_by = sort_field if isinstance(sort_field, list) else [sort_field]
 
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
@@ -490,6 +494,10 @@ class Catalog:
         )
         if tpl_mappings is not None and "mappings" not in meta:
             meta["mappings"] = tpl_mappings
+        if pipeline_name:
+            meta["default_pipeline"] = pipeline_name
+        if sort_field:
+            meta["index_sort"] = sort_field
         self._write_meta(name, meta)
 
     def _merge(
@@ -1036,11 +1044,12 @@ class Catalog:
         """ES ``_index_template``: index_patterns + priority + a template
         of settings/mappings, optionally ``composed_of`` component
         templates (merged in order, the template's own block last).
-        Applied when write_index CREATES a matching index:
-        ``index.default_pipeline`` runs the registered ingest pipeline
-        over every batch, ``index.sort.field`` becomes the write sort
-        (row-group-stats clustering), and ``mappings`` persist for
-        ``get_mapping``."""
+        Resolved when write_index CREATES a matching index and persisted
+        into the index ``_meta``; from then on ``index.default_pipeline``
+        runs the registered ingest pipeline over EVERY batch written to
+        that index (ES applies it per indexing request, not per index
+        creation), ``index.sort.field`` stays the write sort (row-group-
+        stats clustering), and ``mappings`` persist for ``get_mapping``."""
         if not isinstance(body, dict) or not body.get("index_patterns"):
             raise ValueError("index template needs index_patterns: [...]")
         resolved = self._resolve_template(body)  # validates composed_of

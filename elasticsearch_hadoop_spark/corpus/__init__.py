@@ -37,86 +37,86 @@ def query(name: str, oracle: str | None = None):
 
 
 # The correctness driver grades a bounded prefix of the registration order
-# (the first 50 queries, observed every round).  Rounds 1-3 banked a green
-# verdict for 120 queries; the graded window is the scarce resource.
-# Round-4 policy (VERDICT.md round-3 items 1-2): ALL 41 never-graded
-# queries first — the 13 round-1-era variants + TPC-H from the round-3
-# rotation pool, the 11 late-round-3 additions (runtime fields,
-# search_after/collapse, 5 aggs-DSL compilers, packing, PII redaction),
-# and the 17 NEW round-4 queries (8 write-path round trips: time travel,
-# zorder, streaming source, count, bucketed join, CSV, compact+vacuum,
-# geo ingestion; connected-components duplicate clustering; 5 aggs-DSL
-# additions: percentile_ranks, multi_terms, adjacency_matrix,
-# serial_diff+bucket_sort, auto_date_histogram; benchmark
-# decontamination; highlight; terms_enum) —
-# then 9 drift-insurance RE-GRADES of the oldest banked greens: their
-# r1/r2 verdicts predate the nanos->micros fixture regeneration, so the
-# most timestamp-sensitive of them get a fresh verdict on current data
-# (the local parity suite already re-validates all of them each run; this
-# makes the hard signal say it too).
+# (the first 50 queries, observed every round).  Rounds 1-4 banked a green
+# verdict for 167 queries; the graded window is the scarce resource.
+# Round-5 policy (VERDICT.md round-4 item 1): 85 never-graded queries
+# exceed the window for the first time, so ALL 50 slots go to
+# never-graded surfaces, highest-risk families first in the verdict's
+# stated order — the 10 multi-commit write-path catalog surfaces, the
+# ES|QL compiler (zero hard signal), parent-child joins, ingest/enrich
+# pipelines, transforms/EQL, the span family + query-string parser (the
+# let-binding rewrite changed their evaluation paths), the
+# suggest/fusion/rank_eval search surfaces, the text/LLM quality family
+# (unigram_logprob's total-attachment was rewritten this round — these
+# four double as drift insurance for that change), and one late aggs-DSL
+# representative (that compiler already holds 13 greens from r4).
+# Overflow to round 6 (35): 27 late aggs_* compilers, decay_score,
+# phrase_slop, mget, msearch, template_page, analyze_api, termvectors,
+# sample_to_mixture — all re-validated against their oracles every run
+# by tests/test_oracle_parity.py in the meantime.  No banked-green
+# re-grades this round: VERDICT r4 item 7 allots them "leftover slots"
+# only, and there are none.
 PRIORITY: tuple[str, ...] = (
-    # round-3 rotation pool (never graded)
-    "similarity_range_search",
-    "similarity_topk_per_label",
-    "aggs_pipeline_sibling",
-    "query_dsl_fuzzy",
-    "fn_conditional",
-    "stream_sliding_window",
-    "udf_row_scalar",
-    "window_range_frame",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_by_flag",
-    "q14_promo_revenue",
-    "q19_disjunctive_filter",
-    # late round-3 additions (never graded)
-    "aggs_extended_stats",
-    "aggs_date_range",
-    "aggs_terms_custom_order",
-    "aggs_geotile_grid",
-    "aggs_geohash_grid",
-    "pack_sequences_by_lang",
-    "pack_utilization",
-    "runtime_fields_script",
-    "search_after_page",
-    "search_collapse",
-    "text_redact_pii",
-    # round-4 additions (new)
-    "dedup_cluster_components",
-    "aggs_percentile_ranks",
-    "aggs_multi_terms",
-    "aggs_adjacency_matrix",
-    "aggs_serial_diff_bucket_sort",
-    "text_decontaminate",
-    "search_highlight",
-    "search_terms_enum",
-    "aggs_auto_date_histogram",
-    "writepath_time_travel",
-    "writepath_zorder_read",
-    "writepath_stream_source",
-    "writepath_count",
-    "writepath_bucketed_join",
-    "writepath_csv_ingest",
-    "writepath_compact_vacuum",
-    "writepath_geo_ingest",
-    # round-4 late additions (never graded): 54 never-graded now exceed
-    # the 50-slot window, so the 6 most family-diverse of the 13 new
-    # surfaces take the slots freed by trimming re-grades to the
-    # verdict-mandated minimum of 3; the other 7 (diversified_sampler,
-    # sampler+string_stats, mget, msearch, more_like_this, decay,
-    # phrase_slop) overflow to the round-5 pool
-    "similarity_sq_topk",
-    "text_repetition_signals",
-    "aggs_histogram_empty_buckets",
-    "aggs_boxplot_mad",
-    "query_dsl_function_score",
-    "search_suggest_term",
-    # drift-insurance re-grades (VERDICT r3 item 2, >=3 required):
-    # r1/r2 greens graded on pre-regeneration fixtures, the most
-    # timestamp-sensitive shapes
-    "aggs_date_histogram_nested",
-    "join_asof",
-    "stream_session_window",
+    # write-path catalog surfaces: multi-commit paths, most moving parts
+    "writepath_data_stream",
+    "writepath_ccs",
+    "writepath_index_template",
+    "writepath_component_template",
+    "writepath_percolate",
+    "writepath_snapshot_restore",
+    "writepath_rollover",
+    "writepath_filtered_alias",
+    "writepath_terms_lookup",
+    "writepath_es_sql",
+    # ES|QL compiler (a whole compiler with zero hard signal)
+    "esql_stats_by",
+    "esql_eval_pipeline",
+    "esql_bucket_filtered_stats",
+    "esql_grok_dissect",
+    # parent-child joins
+    "join_has_child",
+    "join_has_parent_parent_id",
+    # ingest pipelines + enrich
+    "ingest_pipeline_docs",
+    "ingest_pipeline_dissect",
+    "ingest_pipeline_events",
+    "ingest_enrich_events",
+    # transforms + EQL
+    "transform_pivot_monthly",
+    "transform_latest_events",
+    "eql_funnel_sequence",
+    # query DSL: span family first (let-binding rewrite), then the
+    # full-text parser surfaces
+    "query_dsl_span_near",
+    "query_dsl_span_first_not_or",
+    "query_dsl_query_string",
+    "query_dsl_intervals",
+    "query_dsl_combined_fields",
+    "query_dsl_multi_match",
+    "query_dsl_dis_max_boosting",
+    "query_dsl_terms_set",
+    "query_dsl_sqs_phrase_prefix",
+    "query_dsl_pinned_wrapper",
+    "query_dsl_script_filter",
+    "query_dsl_distance_feature",
+    "query_dsl_more_like_this",
+    # search surfaces: suggesters, fusion, rank_eval, knn, paging
+    "search_suggest_completion",
+    "search_suggest_phrase",
+    "search_rank_eval",
+    "search_sparse_vector",
+    "search_rrf_hybrid",
+    "search_linear_fuse",
+    "search_knn_filtered",
+    "search_rescore_window",
+    "search_scroll_sliced",
+    # text/LLM quality family (unigram_logprob path changed this round)
+    "text_unigram_logprob",
+    "text_quality_funnel",
+    "text_c4_filters",
+    "dedup_segments_global",
+    # late aggs-DSL representative
+    "aggs_change_point",
 )
 
 

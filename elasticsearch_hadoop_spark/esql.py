@@ -51,6 +51,16 @@ Supported commands (the documented core; anything else raises):
 - ``CHANGE_POINT value ON key`` (8.16+) — the Welch-t step detector
   (aggs_dsl.change_point_stats) appending cp_key / cp_score columns.
 
+Explicit non-goals (raise "unsupported command", by design):
+
+- ``SAMPLE p`` — needs a random source; every query here is checked
+  against a deterministic DuckDB oracle, and nondeterministic row
+  selection can't hash-match one.  Use ``operators.sampling`` (seeded,
+  hash-threshold, reproducible) for the same capability.
+- ``RERANK`` — calls an inference endpoint (a deployed reranking model);
+  there is no model runtime in this engine.  Score fusion without a
+  model is covered by ``search.rrf_fuse`` / ``search.linear_fuse``.
+
 Expression language: ES|QL scalar expressions are close enough to Spark
 SQL that a guarded translation suffices — ``==``/``!=`` map to
 ``=``/``<>``, double-quoted strings to single-quoted, function names
@@ -160,23 +170,69 @@ def _rewrite_bucket(e: str) -> str:
         e = e[: m.start()] + rep + e[i:]
 
 
+_STR_LIT = re.compile(r'"[^"\\]*"|\'[^\'\\]*\'')
+_PLACEHOLDER = re.compile(r"\x00(\d+)\x00")
+
+
+def _mask_literals(e: str) -> tuple[str, list[str]]:
+    """Replace every string literal with a \\x00{i}\\x00 placeholder so the
+    operator/function rewrites below can never touch literal CONTENT (a
+    WHERE msg == "a==b" must compare against the literal 'a==b', not
+    'a = b').  Double-quoted ES|QL literals normalize to single-quoted
+    SQL; embedded single quotes are backslash-escaped for Spark's
+    parser."""
+    lits: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        inner = m.group(0)[1:-1].replace("'", "\\'")
+        lits.append("'" + inner + "'")
+        return f"\x00{len(lits) - 1}\x00"
+
+    return _STR_LIT.sub(sub, e), lits
+
+
+def _like_to_sql(lit: str) -> str:
+    """ES|QL LIKE wildcards (* any-run, ? any-one, Lucene style) -> SQL
+    LIKE (% / _), escaping literal %/_ so they keep matching themselves.
+    ``lit`` arrives single-quoted; literals can't contain backslashes
+    (the mask regex excludes them), so the only escapes we emit are our
+    own."""
+    out = []
+    for ch in lit[1:-1]:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_"):
+            out.append("\\\\" + ch)  # SQL text \\% -> literal \% -> escaped
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
 def _translate_expr(e: str) -> str:
-    """ES|QL expression text -> guarded Spark SQL text."""
+    """ES|QL expression text -> guarded Spark SQL text.
+
+    String literals are masked out FIRST, so the ``==``/``!=`` operator
+    rewrite and the function-name mapping only ever apply to code, never
+    to quoted content; LIKE patterns get the ES|QL ``*``/``?`` -> SQL
+    ``%``/``_`` translation and RLIKE patterns are fully anchored
+    (Lucene regexps match the whole string; Spark's rlike is a
+    substring search)."""
     e = e.strip()
     if not e:
         raise EsqlError("empty expression")
     e = _rewrite_bucket(e)
-    # double-quoted ES|QL strings -> single-quoted SQL (no embedded quotes)
-    e = re.sub(r'"([^"\\]*)"', lambda m: "'" + m.group(1) + "'", e)
-    e = e.replace("==", " = ").replace("!=", " <> ")
-    masked = re.sub(r"'[^'\\]*'", "0", e)
-    if not _EXPR_OK.match(masked):
+    masked, lits = _mask_literals(e)
+    masked = masked.replace("==", " = ").replace("!=", " <> ")
+    probe = _PLACEHOLDER.sub("0", masked)
+    if not _EXPR_OK.match(probe):
         raise EsqlError(f"unsupported expression syntax: {e!r}")
-    if ";" in masked or "--" in masked or "/*" in masked:
+    if ";" in probe or "--" in probe or "/*" in probe:
         raise EsqlError(f"unsupported expression syntax: {e!r}")
     # every identifier followed by '(' must be a whitelisted function
-    for m in _IDENT.finditer(masked):
-        rest = masked[m.end():].lstrip()
+    for m in _IDENT.finditer(probe):
+        rest = probe[m.end():].lstrip()
         if rest.startswith("("):
             name = m.group(0).lower()
             if name in _KEYWORDS:
@@ -184,8 +240,9 @@ def _translate_expr(e: str) -> str:
             fn = _FUNCS.get(name)
             if name == "cidr_match" or (fn is None and name not in _CASTS):
                 raise EsqlError(f"unsupported function {m.group(0)!r} in {e!r}")
-    # apply function-name mapping on the REAL text (word-boundary, case-
-    # insensitive), casts become CAST(x AS t)
+    # apply function-name mapping on the masked text (word-boundary, case-
+    # insensitive — placeholders contain no word chars), casts become
+    # CAST(x AS t)
     def _map_funcs(text: str) -> str:
         for name, sql in _FUNCS.items():
             if sql is None:
@@ -208,7 +265,29 @@ def _translate_expr(e: str) -> str:
                 text = re.sub(rf"\b{name}\s*\(", sql + "(", text, flags=re.I)
         return text
 
-    return _map_funcs(e)
+    masked = _map_funcs(masked)
+
+    # LIKE "pat" — translate the pattern literal's wildcards; RLIKE "re"
+    # — anchor the regex to whole-string like Lucene.  Only literal
+    # right-hand sides get this (a non-literal RHS has no ES|QL wildcard
+    # semantics to preserve).
+    masked = re.sub(
+        r"(^|[^\w])(like|rlike)(\s*)\x00(\d+)\x00",
+        lambda mm: mm.group(1) + mm.group(2) + mm.group(3)
+        + _pattern_placeholder(mm, lits),
+        masked,
+        flags=re.I,
+    )
+    return _PLACEHOLDER.sub(lambda m: lits[int(m.group(1))], masked)
+
+
+def _pattern_placeholder(mm: re.Match, lits: list[str]) -> str:
+    idx = int(mm.group(4))
+    if mm.group(2).lower() == "like":
+        lits[idx] = _like_to_sql(lits[idx])
+    else:
+        lits[idx] = "'^(?:" + lits[idx][1:-1] + ")$'"
+    return f"\x00{idx}\x00"
 
 
 def _expr(e: str) -> Column:
@@ -479,7 +558,11 @@ def esql(
                 raise EsqlError(f"unknown lookup index {src!r}")
             if on not in df.columns or on not in lk.columns:
                 raise EsqlError(f"LOOKUP JOIN column {on!r} must exist on both sides")
-            df = df.join(F.broadcast(lk), on, "left")
+            # ES|QL LOOKUP JOIN overwrites same-named input columns with
+            # the lookup side's values — drop the input's copies first so
+            # the join never produces ambiguous duplicates
+            clobber = [c for c in lk.columns if c != on and c in df.columns]
+            df = df.drop(*clobber).join(F.broadcast(lk), on, "left")
         elif cmd == "GROK":
             gm = re.match(r"^(\S+)\s+\"(.*)\"\s*$", body, flags=re.S)
             if not gm:
@@ -513,6 +596,11 @@ def esql(
             for c in with_cols:
                 if c not in frame.columns:
                     raise EsqlError(f"enrich policy {policy!r} has no column {c!r}")
+                if c == on:
+                    raise EsqlError(
+                        f"ENRICH WITH column {c!r} collides with the ON "
+                        "match column — rename one side"
+                    )
             # one row per key (min struct = deterministic pick), broadcast side
             lookup = (
                 frame.groupBy(F.col(key_col).alias("__ek"))
@@ -521,9 +609,15 @@ def esql(
                 )
                 .select("__ek", *[F.col(f"__ed.{c}").alias(c) for c in with_cols])
             )
-            df = df.join(
-                F.broadcast(lookup), df[on] == lookup["__ek"], "left"
-            ).drop("__ek")
+            # ES|QL ENRICH overwrites existing columns with the policy's
+            # values — drop the input's same-named columns (never the
+            # match column itself) before attaching
+            clobber = [c for c in with_cols if c != on and c in df.columns]
+            df = (
+                df.drop(*clobber)
+                .join(F.broadcast(lookup), F.col(on) == lookup["__ek"], "left")
+                .drop("__ek")
+            )
         elif cmd == "DISSECT":
             dm = re.match(r"^(\S+)\s+\"(.*)\"\s*$", body, flags=re.S)
             if not dm:

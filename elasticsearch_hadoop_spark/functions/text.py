@@ -264,18 +264,20 @@ def unigram_logprob(df, field: str, id_col: str, min_freq: int = 1):
     gibberish and boilerplate sit in the tail, so a low mean logprob (=
     high perplexity) flags junk.
 
-    Two aggregations: (1) the vocabulary (explode + hash agg; the total
-    attaches via one unordered window over the tiny vocab frame), (2) the
-    per-doc re-aggregation after an equi-join of exploded tokens with the
-    vocab on the term.  At 100 TB the vocab frame is Zipf-bounded (far
-    smaller than the corpus) — Spark broadcast-joins it when it fits,
-    else it's one hash-partitioned join on the term key; either way no
-    driver-side model object, unlike an actual KenLM binary.
+    Two aggregations: (1) the vocabulary (explode + hash agg), whose
+    corpus-wide token total reduces to ONE row and re-attaches via a
+    broadcast cross join — never an unpartitioned window over the
+    exploded corpus, which would funnel every token through a single
+    partition at exactly the scale this filter targets (ADVICE r4);
+    (2) the per-doc re-aggregation after an equi-join of exploded tokens
+    with the vocab on the term.  At 100 TB the vocab frame is
+    Zipf-bounded (far smaller than the corpus) — Spark broadcast-joins
+    it when it fits, else it's one hash-partitioned join on the term
+    key; either way no driver-side model object, unlike an actual KenLM
+    binary.
 
     Returns (id_col, n_tokens, mean_logprob) — policy thresholds stay
     with the caller."""
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col),
         F.explode(standard_analyze(F.col(field))).alias("__term"),
@@ -284,15 +286,16 @@ def unigram_logprob(df, field: str, id_col: str, min_freq: int = 1):
         toks.groupBy("__term")
         .agg(F.count(F.lit(1)).alias("__freq"))
         .filter(F.col("__freq") >= min_freq)
-        .withColumn("__total", F.sum("__freq").over(Window.partitionBy()))
     )
-    joined = toks.join(vocab, "__term", "left")
+    # one-row total, broadcast to every token row (keeps the 0.5/total
+    # smoothing for OOV tokens that a plain per-row coalesce would lose)
+    total = vocab.agg(
+        F.coalesce(F.sum("__freq").cast("double"), F.lit(1.0)).alias("__total")
+    )
+    joined = toks.join(vocab, "__term", "left").crossJoin(F.broadcast(total))
     lp = F.log10(
         F.coalesce(F.col("__freq").cast("double"), F.lit(0.5))
-        / F.coalesce(
-            F.max(F.col("__total")).over(Window.partitionBy()).cast("double"),
-            F.lit(1.0),
-        )
+        / F.col("__total")
     )
     return (
         joined.select(F.col(id_col), lp.alias("__lp"))

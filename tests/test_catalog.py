@@ -636,6 +636,27 @@ def test_index_template_applies_on_create(spark, cat):
     assert inferred["properties"]["n"]["type"] == "long"
 
 
+def test_default_pipeline_applies_to_every_write(spark, cat):
+    """index.default_pipeline is per indexing REQUEST in ES, not per
+    index creation — a second append must run the pipeline too (ADVICE
+    r4: later batches used to land untransformed)."""
+    cat.put_pipeline("norm", [{"lowercase": {"field": "v"}}])
+    cat.put_index_template(
+        "t-logs2",
+        {"index_patterns": ["logs2-*"], "priority": 10,
+         "template": {"settings": {"index.default_pipeline": "norm"}}},
+    )
+    cat.write_index(docs(spark, [{"k": 1, "v": "A", "n": 1}]),
+                    "logs2-app", id_col="k")
+    # second batch, same index — already exists, template not re-matched,
+    # pipeline must come from the persisted _meta
+    cat.write_index(docs(spark, [{"k": 2, "v": "B", "n": 2}]),
+                    "logs2-app", id_col="k")
+    got = {d["k"]: d["v"] for d in as_dicts(cat.read_index("logs2-app"))}
+    assert got == {1: "a", 2: "b"}
+    assert cat._read_meta("logs2-app")["default_pipeline"] == "norm"
+
+
 def test_index_template_priority_and_guards(spark, cat):
     cat.put_index_template(
         "low", {"index_patterns": ["p-*"], "priority": 1,

@@ -245,3 +245,83 @@ def test_expr_translation_matches_python_semantics(spark):
         'FROM t | WHERE a != 0.5 AND b > 0 | STATS n = COUNT(*)', tables={"t": df}
     ).collect()[0]["n"]
     assert got == 1
+
+
+def test_string_literal_content_not_rewritten(spark):
+    """A string literal containing ==, !=, or a whitelisted function name
+    must survive translation verbatim (ADVICE r4: the operator rewrite
+    used to corrupt 'a==b' to 'a = b')."""
+    df = spark.createDataFrame(
+        [("a==b",), ("a = b",), ("x!=y",), ("round(",)], "msg string"
+    )
+    n = esql('FROM t | WHERE msg == "a==b" | STATS n = COUNT(*)',
+             tables={"t": df}).collect()[0]["n"]
+    assert n == 1
+    n = esql('FROM t | WHERE msg == "x!=y" | STATS n = COUNT(*)',
+             tables={"t": df}).collect()[0]["n"]
+    assert n == 1
+    # function-name mapping must not touch literals either
+    n = esql('FROM t | WHERE msg == "round(" | STATS n = COUNT(*)',
+             tables={"t": df}).collect()[0]["n"]
+    assert n == 1
+    # embedded single quote in a double-quoted ES|QL literal
+    df2 = spark.createDataFrame([("it's",), ("its",)], "msg string")
+    n = esql('FROM t | WHERE msg == "it\'s" | STATS n = COUNT(*)',
+             tables={"t": df2}).collect()[0]["n"]
+    assert n == 1
+
+
+def test_like_wildcards_are_lucene_style(spark):
+    """ES|QL LIKE uses * / ? (Lucene), not % / _ (ADVICE r4)."""
+    df = spark.createDataFrame(
+        [("foobar",), ("foo*",), ("f_o",), ("fxo",), ("100%",)], "s string"
+    )
+    got = lambda q: sorted(
+        r["s"] for r in esql(q, tables={"t": df}).collect()
+    )
+    assert got('FROM t | WHERE s LIKE "foo*" | KEEP s') == ["foo*", "foobar"]
+    assert got('FROM t | WHERE s LIKE "f?o" | KEEP s') == ["f_o", "fxo"]
+    # literal % and _ in the pattern match only themselves
+    assert got('FROM t | WHERE s LIKE "100%" | KEEP s') == ["100%"]
+    assert got('FROM t | WHERE s LIKE "f_o" | KEEP s') == ["f_o"]
+
+
+def test_rlike_is_fully_anchored(spark):
+    """Lucene regexps match the whole string; Spark rlike is substring —
+    the compiler must anchor."""
+    df = spark.createDataFrame([("error",), ("my-error-log",)], "s string")
+    out = esql('FROM t | WHERE s RLIKE "err.*" | KEEP s',
+               tables={"t": df}).collect()
+    assert [r["s"] for r in out] == ["error"]
+
+
+def test_enrich_overwrites_existing_column(spark):
+    """ES|QL ENRICH overwrites same-named input columns (ADVICE r4: the
+    join used to produce an ambiguous duplicate)."""
+    docs = spark.createDataFrame(
+        [("us", "stale", 1), ("xx", "stale", 2)],
+        "cc string, name string, id int",
+    )
+    policy = spark.createDataFrame(
+        [("us", "United States")], "code string, name string"
+    )
+    out = esql(
+        "FROM d | ENRICH geo ON cc WITH name | SORT id | KEEP id, name",
+        tables={"d": docs},
+        enrich_policies={"geo": policy},
+    ).collect()
+    assert [(r["id"], r["name"]) for r in out] == [
+        (1, "United States"), (2, None)
+    ]
+
+
+def test_lookup_join_overwrites_existing_column(spark):
+    d = spark.createDataFrame(
+        [(1, "us", "stale")], "id int, cc string, name string"
+    )
+    lk = spark.createDataFrame([("us", "fresh")], "cc string, name string")
+    out = esql(
+        "FROM d | LOOKUP JOIN geo ON cc | KEEP id, name",
+        tables={"d": d, "geo": lk},
+    ).collect()
+    assert [(r["id"], r["name"]) for r in out] == [(1, "fresh")]
