@@ -1375,6 +1375,67 @@ def _span_fields(clause: dict, acc: set) -> None:
         _span_fields(body["little"], acc)
 
 
+def _span_required_terms(clause: dict):
+    """Two-phase match, Lucene-style: a conservative NECESSARY condition
+    for the span tree as a boolean formula over literal substrings of
+    ``lower(text)``.  A span_term match on token t implies lower(text)
+    contains t (the analyzer only splits + lowercases); prefix likewise.
+    Returns a nested or/and structure of term strings, or None = "no
+    cheap guard" (wildcard/regexp/fuzzy leaves).  The compiled guard is
+    pure codegen'd substring math, so the expensive position HOFs only
+    evaluate on candidate documents — the same approximation/verify
+    split as Lucene's TwoPhaseIterator."""
+    (kind, body), = clause.items()
+    if kind == "span_term":
+        return ("term", str(_field_value(body)[1]).lower())
+    if kind == "span_multi":
+        (ikind, ibody), = body["match"].items()
+        if ikind == "prefix":
+            return ("term", str(_field_value(ibody)[1]).lower())
+        return None  # wildcard/regexp/fuzzy: no substring is implied
+    if kind == "field_masking_span":
+        return _span_required_terms(body["query"])
+    if kind == "span_or":
+        subs = [_span_required_terms(c) for c in body.get("clauses", [])]
+        if any(s is None for s in subs) or not subs:
+            return None  # one unguardable alternative voids the guard
+        return ("or", subs)
+    if kind in ("span_near", "span_containing", "span_within"):
+        if kind == "span_near":
+            subs = [_span_required_terms(c) for c in body.get("clauses", [])]
+        else:
+            subs = [_span_required_terms(body["big"]),
+                    _span_required_terms(body["little"])]
+        subs = [s for s in subs if s is not None]  # AND: drop unknowns
+        if not subs:
+            return None
+        return ("and", subs)
+    if kind == "span_first":
+        return _span_required_terms(body["match"])
+    if kind == "span_not":
+        return _span_required_terms(body["include"])  # exclude can't require
+    return None
+
+
+def _span_guard_col(req, lowered: Column) -> Column:
+    op = req[0]
+    if op == "term":
+        return lowered.contains(req[1])
+    cols = [_span_guard_col(s, lowered) for s in req[1]]
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out & c) if op == "and" else (out | c)
+    return out
+
+
+# Driver-side plan-size guard: each ordered span_near clause adds one
+# nested transform/filter level to the fold, so expression size (and the
+# one-time Catalyst/eval-path cost) grows linearly but steeply with the
+# clause count.  Lucene queries in the wild are a handful of terms; cap
+# the expansion before someone compiles a pathological tree.
+_SPAN_NEAR_MAX_CLAUSES = 16
+
+
 def _span_compile(clause: dict, toks: Column | None = None) -> Column:
     if not isinstance(clause, dict) or len(clause) != 1:
         raise QueryDslError(f"expected a single-key span clause, got: {clause!r}")
@@ -1461,7 +1522,14 @@ def _span_compile(clause: dict, toks: Column | None = None) -> Column:
             lambda l: F.exists(big, lambda b: (l["s"] >= b["s"]) & (l["e"] <= b["e"])),
         )
     if kind == "span_near":
-        sub = [_span_compile(c, toks) for c in body.get("clauses", [])]
+        clauses = body.get("clauses", [])
+        if len(clauses) > _SPAN_NEAR_MAX_CLAUSES:
+            raise QueryDslError(
+                f"span_near with {len(clauses)} clauses exceeds the "
+                f"supported maximum of {_SPAN_NEAR_MAX_CLAUSES} (the ordered "
+                "fold grows one nested transform level per clause)"
+            )
+        sub = [_span_compile(c, toks) for c in clauses]
         if len(sub) < 2:
             raise QueryDslError("span_near needs >= 2 clauses")
         slop = int(body.get("slop", 0))
@@ -1545,7 +1613,19 @@ def _span_predicate(kind):
             spans = _span_compile(clause, toks=t)
             return F.coalesce(F.size(spans) > 0, F.lit(False))
 
-        return _let(analyze_tokens(_resolve(field)), _build)
+        pred = _let(analyze_tokens(_resolve(field)), _build)
+        # two-phase match: prepend the cheap substring guard when the
+        # tree implies one — And short-circuits in both codegen and
+        # interpreted eval, so non-candidate documents never pay for the
+        # tokenize + position HOFs (guard is a strict superset of the
+        # exact predicate, so the conjunction is semantics-preserving)
+        req = _span_required_terms(clause)
+        if req is not None:
+            guard = _let(
+                F.lower(_resolve(field)), lambda lt: _span_guard_col(req, lt)
+            )
+            pred = F.coalesce(guard, F.lit(False)) & pred
+        return pred
 
     return handler
 

@@ -237,7 +237,16 @@ def suggest_phrase(
     suggest_terms vocab), the handful of query tokens broadcast against
     it, a per-position WindowGroupLimit picks winners, and a single-group
     aggregation reassembles the phrase.  Nothing driver-side but the
-    query string itself."""
+    query string itself.
+
+    Scale bound: every join and window past the vocabulary aggregation is
+    over the VOCAB frame (Zipf-bounded — ~1e5-1e7 distinct terms at any
+    corpus size) or the query-token frame (a handful of rows), never the
+    corpus.  The SortMergeJoin the plan may show for vocab-side assembly
+    is therefore bounded by vocabulary size, not by the 100 TB input; the
+    only corpus-wide work is the single explode + hash agg that builds
+    the vocab, and the unpartitioned total window runs on that same
+    bounded vocab frame."""
     from elasticsearch_hadoop_spark.functions.text import standard_analyze
 
     toks = [t for t in _TOKEN_RX.split(text.lower()) if t]

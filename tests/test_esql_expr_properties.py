@@ -1,0 +1,120 @@
+"""Property-based differential test of the ES|QL expression translator
+(`esql._translate_expr` via the full pipeline): hypothesis generates
+string literals — including ones containing ``==``, ``!=``, whitelisted
+function names, and wildcard metacharacters — plus LIKE/RLIKE patterns,
+and checks the compiled WHERE against a Python reference implementing
+the documented semantics (exact equality on literal CONTENT; Lucene-style
+``*``/``?`` LIKE wildcards with ``%``/``_`` literal; fully-anchored
+RLIKE).  This pins the round-5 literal-masking rewrite: no operator or
+function-name rewrite may ever touch quoted content."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_hadoop_spark.esql import esql
+
+# characters the mask regex admits inside literals (no quotes of either
+# kind — the masker normalizes double->single and can't hold embedded
+# doubles — no backslashes, no NULs) plus the hazard substrings the old
+# translator corrupted
+_CHARS = st.text(
+    alphabet="abcxyz019 =!<>*?%_().,-+/",
+    min_size=0,
+    max_size=12,
+).filter(lambda s: "\\" not in s and '"' not in s and "'" not in s)
+_HAZARDS = st.sampled_from(
+    ["a==b", "x!=y", "round(", "like", "concat(x)", "a = b", "*", "?",
+     "100%", "_x_", "<= 5", "it is"]
+)
+_LIT = st.one_of(_CHARS, _HAZARDS)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """One column of candidate strings the generated predicates run over —
+    a fixed pool guaranteeing collisions with generated literals."""
+    pool = [
+        "a==b", "a = b", "x!=y", "round(", "like", "100%", "_x_", "*",
+        "?", "ab", "abc", "abcd", "a?c", "a*c", "", "it is", "<= 5",
+        "foo", "foobar", "f_o", "fxo",
+    ]
+    df = spark.createDataFrame([(s,) for s in pool], "s string")
+    df.cache().count()
+    return df, pool
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(lit=_LIT)
+def test_equality_matches_literal_content(corpus, lit):
+    df, pool = corpus
+    got = esql(
+        f'FROM t | WHERE s == "{lit}" | STATS n = COUNT(*)', tables={"t": df}
+    ).collect()[0]["n"]
+    assert got == sum(1 for s in pool if s == lit), f"lit={lit!r}"
+    got_ne = esql(
+        f'FROM t | WHERE s != "{lit}" | STATS n = COUNT(*)', tables={"t": df}
+    ).collect()[0]["n"]
+    assert got_ne == sum(1 for s in pool if s != lit), f"lit={lit!r}"
+
+
+_PAT = st.text(alphabet="abfxoc*?%_ ", min_size=0, max_size=8).filter(
+    lambda s: "\\" not in s
+)
+
+
+def _esql_like_ref(pat: str, s: str) -> bool:
+    rx = "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pat
+    )
+    return re.fullmatch(rx, s) is not None
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pat=_PAT)
+def test_like_matches_lucene_wildcard_reference(corpus, pat):
+    df, pool = corpus
+    got = sorted(
+        r["s"]
+        for r in esql(
+            f'FROM t | WHERE s LIKE "{pat}" | KEEP s', tables={"t": df}
+        ).collect()
+    )
+    expect = sorted(s for s in pool if _esql_like_ref(pat, s))
+    assert got == expect, f"pat={pat!r}"
+
+
+_RX = st.text(alphabet="abfxoc.", min_size=1, max_size=6).map(
+    lambda s: s + (".*" if s.endswith(".") else "")
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rx=_RX)
+def test_rlike_is_whole_string_match(corpus, rx):
+    df, pool = corpus
+    got = sorted(
+        r["s"]
+        for r in esql(
+            f'FROM t | WHERE s RLIKE "{rx}" | KEEP s', tables={"t": df}
+        ).collect()
+    )
+    expect = sorted(s for s in pool if re.fullmatch(rx, s) is not None)
+    assert got == expect, f"rx={rx!r}"
