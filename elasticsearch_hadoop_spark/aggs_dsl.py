@@ -593,23 +593,39 @@ def compile_aggs(
 
     if mads:
         # ES median_absolute_deviation = median(|x - median_bucket(x)|):
-        # inherently two-phase.  Phase 1 attaches the bucket median via a
-        # window over the SAME key chain the aggregation shuffles on, so
-        # the exchange is reused (one physical shuffle, window + agg back
-        # to back); phase 2 is a plain median aggregate of the deviations.
-        from pyspark.sql import Window
+        # inherently two-phase.  Keyed: phase 1 attaches the bucket median
+        # via a window over the SAME key chain the aggregation shuffles
+        # on, so the exchange is reused (one physical shuffle, window +
+        # agg back to back).  Keyless: a global window would funnel the
+        # whole corpus through one partition — the global median is ONE
+        # row, so compute it with a plain aggregate and broadcast it back
+        # instead.  (Exact median still merges per-partition buffers at
+        # the final reducer — the documented oracle-twin trade; the scale
+        # path is percentile_approx/KLL, same as agg_percentiles.)
+        if keys:
+            from pyspark.sql import Window
 
-        wkeys = (
-            Window.partitionBy(*[expr for _, expr in keys])
-            if keys
-            else Window.partitionBy()
-        )
-        for mname, mfield in mads:
-            med_col = f"__mad_med_{mname}"
-            df = df.withColumn(med_col, F.median(F.col(mfield)).over(wkeys))
-            metrics.append(
-                F.median(F.abs(F.col(mfield) - F.col(med_col))).alias(mname)
+            wkeys = Window.partitionBy(*[expr for _, expr in keys])
+            for mname, mfield in mads:
+                med_col = f"__mad_med_{mname}"
+                df = df.withColumn(med_col, F.median(F.col(mfield)).over(wkeys))
+                metrics.append(
+                    F.median(F.abs(F.col(mfield) - F.col(med_col))).alias(mname)
+                )
+        else:
+            meds = df.agg(
+                *[
+                    F.median(F.col(mfield)).alias(f"__mad_med_{mname}")
+                    for mname, mfield in mads
+                ]
             )
+            df = df.crossJoin(F.broadcast(meds))
+            for mname, mfield in mads:
+                metrics.append(
+                    F.median(
+                        F.abs(F.col(mfield) - F.col(f"__mad_med_{mname}"))
+                    ).alias(mname)
+                )
 
     metrics = [F.count(F.lit(1)).alias("doc_count")] + metrics
     if keys:

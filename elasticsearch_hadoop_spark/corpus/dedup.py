@@ -236,26 +236,43 @@ ORDER BY id_a, id_b
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs with length blocking — the
-    brute-force correctness anchor for the LSH path (quadratic within
-    blocks; production uses dedup_minhash_lsh)."""
+    brute-force correctness anchor for the LSH path (quadratic WITHIN a
+    length band; production uses dedup_minhash_lsh).
+
+    The |len_a - len_b| <= 32 length block compiles to an EQUI-join on a
+    band key (band width 33 > 32, so a qualifying pair's bands differ by
+    at most 1): the left side explodes into its band ± 1, the right side
+    keeps its own band, and each qualifying pair meets on exactly one key
+    — a hash-partitionable shuffle instead of the BroadcastNestedLoopJoin
+    a raw theta-join plans, so the blocking itself scales; only the
+    within-band comparison stays quadratic, which is the point of the
+    anchor."""
     d = spread(spark, tbl(spark, sf_dir, "documents"))
     base = d.select("doc_id", "n_chars", shingles(F.col("text")).alias("s")).filter(
         F.size("s") > 0
     )
-    a, b = base.alias("a"), base.alias("b")
+    band = F.floor(F.col("n_chars") / 33)
+    a = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n_chars").alias("len_a"),
+        F.col("s").alias("s_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n_chars").alias("len_b"),
+        F.col("s").alias("s_b"),
+        band.alias("band"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 32),
+        a.join(b, "band")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 32)
         )
-        .withColumn("jaccard", jaccard(F.col("a.s"), F.col("b.s")))
+        .withColumn("jaccard", jaccard(F.col("s_a"), F.col("s_b")))
         .filter(F.col("jaccard") >= 0.8)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round("jaccard", 6).alias("jaccard"),
-        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 

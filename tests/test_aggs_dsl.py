@@ -605,6 +605,21 @@ def test_median_absolute_deviation_per_bucket(spark):
     assert out == {"a": 1.0, "b": 0.0}
 
 
+def test_median_absolute_deviation_keyless(spark):
+    """Top-level (bucket-less) MAD: the global median must attach via a
+    one-row broadcast aggregate, never an unpartitioned window over the
+    input (round-5 scale fix) — and the plan must show no Window at all."""
+    rows = [Row(v=float(x)) for x in range(1, 6)]  # median 3, MAD 1
+    out = compile_aggs(
+        spark.createDataFrame(rows),
+        {"mad": {"median_absolute_deviation": {"field": "v"}}},
+    )
+    assert out.collect()[0]["mad"] == 1.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_string_stats_lengths(spark):
     df = spark.createDataFrame([Row(s="ab"), Row(s="abcd"), Row(s=None)])
     out = compile_aggs(df, {"ss": {"string_stats": {"field": "s"}}}).collect()[0]
