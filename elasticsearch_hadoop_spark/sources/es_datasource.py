@@ -513,9 +513,10 @@ class EsDocsReader(DataSourceReader):
                 return ok(dt.keyType) and ok(dt.valueType)
             return isinstance(dt, self._ARROW_OK)
 
+        # read.metadata no longer forces the row path: _metadata is a
+        # map<string,string> column, and maps ride Arrow since round 5
         return (
             str(self.options.get("arrow", "true")).lower() == "true"
-            and not self.with_meta
             and all(ok(f.dataType) for f in self.schema.fields)
         )
 

@@ -409,3 +409,11 @@ def test_arrow_timestamp_and_map_path_agrees(registered, tmp_path):
     assert arrow[1]["created"] == datetime(2024, 3, 1, 12, 0, 0)
     assert arrow[0]["counters"] == {"a": 1, "b": 2}
     assert arrow[2]["created"] is None and arrow[2]["counters"] is None
+    # read.metadata=true also rides Arrow now (map<string,string> column);
+    # both channels must agree including the _metadata map
+    am = sorted(load(**{"read.metadata": "true"}).collect(),
+                key=lambda r: r["doc_id"])
+    rm = sorted(load(**{"read.metadata": "true", "arrow": "false"}).collect(),
+                key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in am] == [tuple(r) for r in rm]
+    assert am[0]["_metadata"]["_id"]
