@@ -121,11 +121,16 @@ _BUCKET_UNITS = {
 }
 
 
-def _rewrite_bucket(e: str) -> str:
+def _rewrite_bucket(e: str, lits: list[str] | None = None) -> str:
     """ES|QL ``BUCKET(expr, span)``: a calendar span ("1 day") becomes
     date_trunc; a numeric span becomes floor-to-multiple.  (ES|QL's
     target-bucket-count overload needs the field's min/max — use an
-    explicit span here, documented.)"""
+    explicit span here, documented.)
+
+    Runs on literal-MASKED text (``lits`` holds the extracted literals),
+    so a string literal that merely CONTAINS "bucket(" is never rewritten
+    — the calendar span, itself a literal, is resolved back through its
+    placeholder."""
     pat = re.compile(r"\bBUCKET\s*\(", flags=re.I)
     while True:
         m = pat.search(e)
@@ -141,6 +146,9 @@ def _rewrite_bucket(e: str) -> str:
         if len(args) != 2:
             raise EsqlError(f"BUCKET needs (expr, span), got ({inner})")
         expr, span = args[0].strip(), args[1].strip()
+        pm = _PLACEHOLDER.fullmatch(span)
+        if pm and lits is not None:
+            span = lits[int(pm.group(1))]
         dm = re.match(r'^"\s*(\d+)\s+(\w+)s?\s*"$', span) or re.match(
             r"^'\s*(\d+)\s+(\w+)s?\s*'$", span
         )
@@ -222,8 +230,8 @@ def _translate_expr(e: str) -> str:
     e = e.strip()
     if not e:
         raise EsqlError("empty expression")
-    e = _rewrite_bucket(e)
     masked, lits = _mask_literals(e)
+    masked = _rewrite_bucket(masked, lits)
     masked = masked.replace("==", " = ").replace("!=", " <> ")
     probe = _PLACEHOLDER.sub("0", masked)
     if not _EXPR_OK.match(probe):

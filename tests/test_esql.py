@@ -325,3 +325,25 @@ def test_lookup_join_overwrites_existing_column(spark):
         tables={"d": d, "geo": lk},
     ).collect()
     assert [(r["id"], r["name"]) for r in out] == [(1, "fresh")]
+
+
+def test_bucket_inside_literal_not_rewritten(spark):
+    """BUCKET() rewriting runs on masked text: a literal merely
+    CONTAINING 'bucket(' must survive verbatim, while a real BUCKET call
+    with a literal calendar span still compiles."""
+    df = spark.createDataFrame([("bucket(x, 7)",), ("other",)], "msg string")
+    n = esql('FROM t | WHERE msg == "bucket(x, 7)" | STATS n = COUNT(*)',
+             tables={"t": df}).collect()[0]["n"]
+    assert n == 1
+    from datetime import datetime
+
+    ts = spark.createDataFrame(
+        [(datetime(2024, 3, 1, 10, 30),), (datetime(2024, 3, 1, 11, 15),),
+         (datetime(2024, 3, 2, 9, 0),)],
+        "ts timestamp",
+    )
+    out = esql(
+        'FROM t | STATS n = COUNT(*) BY d = BUCKET(ts, "1 day") | SORT d',
+        tables={"t": ts},
+    ).collect()
+    assert [(r["d"].day, r["n"]) for r in out] == [(1, 2), (2, 1)]
