@@ -291,3 +291,29 @@ def test_esql_sort_limit_fuses_to_topk(spark, sf_dir):
         tables={"events": ev},
     )
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_no_cartesian_no_row_python_sweep(spark, sf_dir):
+    """Repo-wide plan invariant: NO corpus query may plan a
+    CartesianProduct, and none but the declared row-UDF surface may put
+    row-pickling Python (BatchEvalPython) in its plan.  Arrow surfaces
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
+    sanctioned Python boundary and stay allowed.  Write-path and live
+    streaming queries are excluded — their construction performs real
+    commits (the driver sim covers them end-to-end)."""
+    skip_prefixes = ("writepath_", "stream_live_")
+    row_python_ok = {"udf_row_scalar"}  # §2.C row-UDF coverage, deliberate
+    bad: list[str] = []
+    for name, q in REGISTRY.items():
+        if name.startswith(skip_prefixes):
+            continue
+        try:
+            plan = formatted_plan(q.fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - sweep diagnostics
+            bad.append(f"{name}: build failed: {e}")
+            continue
+        if count_nodes(plan, "CartesianProduct"):
+            bad.append(f"{name}: CartesianProduct in plan")
+        if name not in row_python_ok and count_nodes(plan, "BatchEvalPython"):
+            bad.append(f"{name}: row-Python (BatchEvalPython) in plan")
+    assert not bad, "\n".join(bad)
