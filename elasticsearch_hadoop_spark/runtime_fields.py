@@ -103,7 +103,9 @@ def compile_script(script: str | dict) -> Column:
     # painless AND legal Spark SQL — mask them before the character/token
     # whitelists so string comparisons (ctx.lang == 'en') compile
     residue = re.sub(r"'[^'\\]*'", "0", re.sub(r"`[A-Za-z0-9_.]+`", "", body))
-    if not _EXPR_OK.match(residue):
+    # an EMPTY residue is legal: emit(doc['f'].value) — the identity
+    # runtime field — leaves nothing once the doc ref is stripped
+    if residue and not _EXPR_OK.match(residue):
         raise RuntimeFieldError(f"unsupported script syntax: {script!r}")
     # every bare identifier left must be a whitelisted function/keyword —
     # anything else (params.*, object construction, method calls) rejects
