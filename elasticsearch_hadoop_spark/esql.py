@@ -577,10 +577,16 @@ def esql(
                 raise EsqlError(f"GROK needs: col \"pattern\" — got {body!r}")
             rx, keys = _grok_regex(gm.group(2))
             src = F.col(gm.group(1))
+            # ES|QL GROK semantics on a non-matching row: every extracted
+            # field is NULL (regexp_extract's "" would instead crash an
+            # ANSI cast for typed keys and misreport empty strings for
+            # text keys); a matched-but-unconvertible value is also NULL
+            # (ES emits null + a warning header) — hence try_cast
+            matched = F.coalesce(src.rlike(rx), F.lit(False))
             for i, (k, cast_t) in enumerate(keys, start=1):
-                col = F.regexp_extract(src, rx, i)
+                col = F.when(matched, F.regexp_extract(src, rx, i))
                 if cast_t:
-                    col = col.cast(cast_t)
+                    col = col.try_cast(cast_t)
                 df = df.withColumn(k, col)
         elif cmd == "ENRICH":
             em = re.match(
@@ -634,8 +640,12 @@ def esql(
 
             rx, keys = _dissect_regex(dm.group(2))
             src = F.col(dm.group(1))
+            # same non-match semantics as GROK above: null, not ""
+            matched = F.coalesce(src.rlike(rx), F.lit(False))
             for i, k in enumerate(keys, start=1):
-                df = df.withColumn(k, F.regexp_extract(src, rx, i))
+                df = df.withColumn(
+                    k, F.when(matched, F.regexp_extract(src, rx, i))
+                )
         else:
             raise EsqlError(f"unsupported command {cmd!r}")
     return df

@@ -258,8 +258,16 @@ def _apply_one(
     if kind == "dissect":
         rx, keys = _dissect_regex(cfg["pattern"])
         out = df
+        # a non-matching value extracts NULL for every key, never "" —
+        # regexp_extract's empty-string sentinel would both misreport
+        # text fields and crash a downstream ANSI cast (ES fails the doc
+        # instead; null + the caller's error handling is the engine's
+        # documented batch-friendly analogue)
+        matched = F.coalesce(F.col(field).rlike(rx), F.lit(False))
         for i, k in enumerate(keys, start=1):
-            out = _guarded(out, k, F.regexp_extract(F.col(field), rx, i), cond)
+            out = _guarded(
+                out, k, F.when(matched, F.regexp_extract(F.col(field), rx, i)), cond
+            )
         return out
 
     if kind == "kv":

@@ -347,3 +347,28 @@ def test_bucket_inside_literal_not_rewritten(spark):
         tables={"t": ts},
     ).collect()
     assert [(r["d"].day, r["n"]) for r in out] == [(1, 2), (2, 1)]
+
+
+def test_grok_dissect_nonmatching_rows_are_null(spark):
+    """ES|QL GROK/DISSECT on a non-matching row: every extracted field is
+    NULL — regexp_extract's "" sentinel used to crash the ANSI cast for
+    typed keys and misreport empty text fields (round-5 fix)."""
+    df = spark.createDataFrame(
+        [(1, "GET 200"), (2, "nomatch-here"), (3, None)],
+        "id int, msg string",
+    )
+    out = {r["id"]: r for r in esql(
+        'FROM t | GROK msg "%{WORD:method} %{NUMBER:code:int}" '
+        "| KEEP id, method, code",
+        tables={"t": df},
+    ).collect()}
+    assert (out[1]["method"], out[1]["code"]) == ("GET", 200)
+    assert out[2]["method"] is None and out[2]["code"] is None
+    assert out[3]["method"] is None and out[3]["code"] is None
+    out = {r["id"]: r for r in esql(
+        'FROM t | DISSECT msg "%{a} %{b}" | KEEP id, a, b',
+        tables={"t": df},
+    ).collect()}
+    assert (out[1]["a"], out[1]["b"]) == ("GET", "200")
+    assert out[2]["a"] is None and out[2]["b"] is None
+    assert out[3]["a"] is None and out[3]["b"] is None
