@@ -768,3 +768,48 @@ def test_terms_include_exclude(spark):
         df, {"s": {"terms": {"field": "s", "include": ["ab", "ba"]}}}
     ).collect()
     assert {r.s: r.doc_count for r in out2} == {"ab": 2, "ba": 1}
+
+
+def test_pipeline_degenerate_series(spark):
+    """Degenerate bucket series must stay deterministic, never crash:
+    a single bucket nulls derivative/serial_diff (no predecessor) while
+    moving_fn still averages its own window; an all-null metric carries
+    null through cumulative_sum; a constant series has no change point
+    (null score — cp_key is meaningless when the score is null) and a
+    single-bucket series nulls both."""
+    one = spark.createDataFrame([Row(g=1.0, v=2.0)])
+    row = compile_aggs(one, {
+        "g": {"histogram": {"field": "g", "interval": 1.0},
+              "aggs": {"s": {"sum": {"field": "v"}},
+                       "d": {"derivative": {"buckets_path": "s"}},
+                       "sd": {"serial_diff": {"buckets_path": "s", "lag": 2}},
+                       "mf": {"moving_fn": {
+                           "buckets_path": "s", "window": 3,
+                           "script": "MovingFunctions.unweightedAvg(values)"}}}},
+    }).collect()[0]
+    assert (row.s, row.d, row.sd, row.mf) == (2.0, None, None, 2.0)
+
+    nulls = spark.createDataFrame(
+        [Row(g=1.0, v=None), Row(g=2.0, v=None)], "g double, v double"
+    )
+    out = compile_aggs(nulls, {
+        "g": {"histogram": {"field": "g", "interval": 1.0},
+              "aggs": {"a": {"avg": {"field": "v"}},
+                       "c": {"cumulative_sum": {"buckets_path": "a"}}}},
+    }).collect()
+    assert all(r.a is None and r.c is None for r in out)
+
+    const = spark.createDataFrame([Row(g=float(i), v=5.0) for i in range(6)])
+    out = compile_aggs(const, {
+        "g": {"histogram": {"field": "g", "interval": 1.0},
+              "aggs": {"s": {"sum": {"field": "v"}}}},
+        "cp": {"change_point": {"buckets_path": "g>s"}},
+    }).collect()
+    assert all(r.cp_score is None for r in out)
+
+    single = compile_aggs(one, {
+        "g": {"histogram": {"field": "g", "interval": 1.0},
+              "aggs": {"s": {"sum": {"field": "v"}}}},
+        "cp": {"change_point": {"buckets_path": "g>s"}},
+    }).collect()[0]
+    assert single.cp_key is None and single.cp_score is None
