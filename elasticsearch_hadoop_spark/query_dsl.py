@@ -880,7 +880,11 @@ def _simple_query_string(body, id_col):
     ``|`` OR, ``+`` AND, a trailing ``*`` prefix wildcard, over one or
     more fields (a unit matches if it matches ANY field).  ``(`` ``)``
     grouping and ``~N`` fuzziness are rejected, not misparsed.  Terms are
-    analyzed with the standard analyzer on both sides, like `match`."""
+    analyzed with the standard analyzer on both sides, like `match`.
+    Negated units are MUST_NOT clauses (Lucene SimpleQueryParser): the
+    positive units combine under or/and, then every ``-`` unit excludes —
+    even under ``default_operator=or``, ``beta -alpha`` never matches an
+    alpha document; a query of only negations matches nothing."""
     import re as _re
 
     query = str(body.get("query", ""))
@@ -894,11 +898,9 @@ def _simple_query_string(body, id_col):
     # lex: quoted phrase | bare token | lone '|' / '+' connector
     units = _re.findall(r'-?"[^"]*"|\S+', query)
     pred, pending_op = None, default_op
+    neg = None
 
-    def _unit_pred(u: str) -> Column:
-        negate = u.startswith("-")
-        if negate:
-            u = u[1:]
+    def _unit_pred(u: str) -> Column | None:
         if u.startswith('"') and u.endswith('"') and len(u) >= 2:
             per_field = [_match_phrase({f: u[1:-1]}, id_col) for f in fields]
         elif "|" in u or "+" in u:
@@ -911,13 +913,14 @@ def _simple_query_string(body, id_col):
                 F.exists(analyze_tokens(_resolve(f)), lambda t: t.startswith(stem))
                 for f in fields
             ]
+        elif not u:
+            return None  # a lone '-' analyzes to nothing; drop the unit
         else:
             term = u.lower()
             per_field = [
                 F.array_contains(analyze_tokens(_resolve(f)), term) for f in fields
             ]
-        p = F.coalesce(_or_chain(per_field), F.lit(False))
-        return ~p if negate else p
+        return F.coalesce(_or_chain(per_field), F.lit(False))
 
     for u in units:
         if u == "|":
@@ -926,7 +929,19 @@ def _simple_query_string(body, id_col):
         if u == "+":
             pending_op = "and"
             continue
+        if u.startswith("-"):
+            # Lucene SimpleQueryParser: a '-' unit is MUST_NOT at the
+            # boolean level, NOT an operand of the pending or/and — with
+            # default_operator=or, "beta -alpha" still EXCLUDES alpha
+            # docs (ES semantics), it does not or-in their complement
+            p = _unit_pred(u[1:])
+            if p is not None:
+                neg = p if neg is None else (neg | p)
+            pending_op = default_op
+            continue
         p = _unit_pred(u)
+        if p is None:
+            continue
         if pred is None:
             pred = p
         elif pending_op == "or":
@@ -935,8 +950,10 @@ def _simple_query_string(body, id_col):
             pred = pred & p
         pending_op = default_op
     if pred is None:
+        if neg is not None:
+            return F.lit(False)  # pure-negative boolean matches nothing
         raise QueryDslError("simple_query_string: empty query")
-    return pred
+    return pred if neg is None else pred & ~neg
 
 
 # ---------------------------------------------------------------------------

@@ -224,3 +224,30 @@ def test_span_plan_size_bounded(spark):
     # the analyzer split appears once per tree per operator (2 trees in
     # the pushed filter + 2 in the project), never per span leaf
     assert plan.count("a-z0-9") <= 8, plan.count("a-z0-9")
+
+
+def test_sqs_negation_is_must_not(spark):
+    """Round-5 semantics fix: a '-' unit is MUST_NOT at the boolean level
+    (Lucene SimpleQueryParser) — under default_operator=or, "beta -alpha"
+    still excludes alpha docs instead of or-ing in their complement; a
+    pure-negative query matches nothing; a lone '-' is dropped."""
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta only"), (3, "alphabet soup"),
+         (4, None)],
+        "id int, text string",
+    )
+
+    def got(q, op="or"):
+        return sorted(r["id"] for r in df.filter(compile_query(
+            {"simple_query_string": {
+                "query": q, "fields": ["text"], "default_operator": op}}
+        )).collect())
+
+    assert got("beta -alpha") == [2]
+    assert got("beta -alpha", op="and") == [2]
+    assert got("beta | soup -alpha") == [2, 3]  # (beta|soup) AND NOT alpha
+    assert got("-alpha") == []                 # pure negative: no match
+    assert got("beta -") == [1, 2]             # lone '-' dropped
+    assert got('beta -"alpha beta"') == [2]    # negated phrase
