@@ -355,20 +355,30 @@ def _bool(body, id_col):
 
 
 def _msm_count(msm, n_should: int, has_must_or_filter: bool) -> int:
-    """Resolve minimum_should_match to a required count (0 = optional; a
-    count above n_should is returned as-is — callers must treat it as
-    unsatisfiable, Lucene's MatchNoDocsQuery rewrite).  Integers (and
-    integer strings) only; ES's percentage/negative forms are rejected
-    rather than silently misread."""
+    """Resolve minimum_should_match to a required count (<=0 = optional;
+    a count above n_should is returned as-is — callers must treat it as
+    unsatisfiable, Lucene's MatchNoDocsQuery rewrite).  The four ES
+    simple forms, computed exactly as Lucene's calculateMinShouldMatch:
+    ``N`` (required count), ``-N`` (n_should − N required), ``"P%"``
+    (trunc(P% of n_should) required — Java integer division truncates
+    toward zero), ``"-P%"`` (n_should − trunc(P% of n_should)).  The
+    conditional ``N<P%`` combination form is rejected, not misread."""
     if msm is None:
         return 0 if has_must_or_filter else 1
+    s = str(msm).strip()
     try:
-        n = int(str(msm))
+        if s.endswith("%"):
+            percent = int(s[:-1])
+            fcalc = n_should * percent / 100.0
+            # Lucene branches on the FLOAT sign, then truncates toward
+            # zero: "-25%" of 3 is 3 + trunc(-0.75) = 3, not 0
+            calc = n_should + int(fcalc) if fcalc < 0 else int(fcalc)
+        else:
+            calc = int(s)
+            calc = n_should + calc if calc < 0 else calc
     except ValueError:
         raise QueryDslError(f"unsupported minimum_should_match: {msm!r}") from None
-    if n < 0:
-        raise QueryDslError(f"unsupported minimum_should_match: {msm!r}")
-    return n
+    return max(0, calc)
 
 
 def _as_list(x) -> list:

@@ -251,3 +251,37 @@ def test_sqs_negation_is_must_not(spark):
     assert got("-alpha") == []                 # pure negative: no match
     assert got("beta -") == [1, 2]             # lone '-' dropped
     assert got('beta -"alpha beta"') == [2]    # negated phrase
+
+
+def test_msm_percentage_and_negative_forms(spark):
+    """minimum_should_match simple forms, computed exactly as Lucene's
+    calculateMinShouldMatch: "66%" of 3 clauses -> trunc(1.98) = 1
+    required; "-25%" -> 3 + trunc(-0.75) = 3 required; -1 -> 2 required;
+    100% -> all 3."""
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "a x y"), (4, "x y z")],
+        "id int, t string",
+    )
+
+    def got(msm):
+        q = {"bool": {"should": [{"match": {"t": "a"}}, {"match": {"t": "b"}},
+                                 {"match": {"t": "c"}}],
+                      "minimum_should_match": msm}}
+        return sorted(r["id"] for r in df.filter(compile_query(q)).collect())
+
+    assert got("66%") == [1, 2, 3]     # 1 of 3 required
+    assert got("100%") == [1]          # all 3
+    assert got("-25%") == [1]          # 3 + trunc(-0.75) = 3 required
+    assert got(-1) == [1, 2]           # 3 - 1 = 2 required
+    assert got("-100%") == [1, 2, 3, 4]  # 0 required: optional
+    # the doc evaluator shares _msm_count — spot-check agreement
+    from elasticsearch_hadoop_spark.sources.es_datasource import match_doc
+
+    docs = [{"id": 1, "t": "a b c"}, {"id": 3, "t": "a x y"},
+            {"id": 4, "t": "x y z"}]
+    q = {"bool": {"should": [{"match": {"t": "a"}}, {"match": {"t": "b"}},
+                             {"match": {"t": "c"}}],
+                  "minimum_should_match": "66%"}}
+    assert [d["id"] for d in docs if match_doc(d, q)] == [1, 3]
