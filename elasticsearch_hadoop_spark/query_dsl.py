@@ -168,14 +168,28 @@ def _ids(body, id_col):
 def _match(body, id_col):
     field, value = _field_value(body)
     operator = "or"
+    msm = None
     if isinstance(body[next(iter(body))], dict):
         spec = body[next(iter(body))]
         value = spec.get("query", value)
         operator = spec.get("operator", "or").lower()
+        msm = spec.get("minimum_should_match")
     qtokens = F.array_distinct(analyze_tokens(F.lit(str(value))))
     ftokens = analyze_tokens(_resolve(field))
     if operator == "and":
+        # ES ignores minimum_should_match under operator=and (all
+        # tokens are required anyway)
         return F.size(F.array_except(qtokens, ftokens)) == 0
+    if msm is not None:
+        # the query tokens are a literal — replicate the analyzer in
+        # Python to resolve msm to a count at compile time (same split +
+        # lowercase as functions.text.standard_analyze)
+        n_tok = len({t for t in re.split(r"[^a-z0-9]+", str(value).lower()) if t})
+        required = _msm_count(msm, n_tok, False)
+        if required > n_tok:
+            return F.lit(False)  # Lucene's MatchNoDocsQuery rewrite
+        if required > 1:
+            return F.size(F.array_intersect(ftokens, qtokens)) >= required
     return F.arrays_overlap(ftokens, qtokens)
 
 

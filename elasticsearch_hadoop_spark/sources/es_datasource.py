@@ -287,11 +287,13 @@ def match_doc(doc: dict, query: dict) -> bool:
         return str(doc.get("_id")) in {str(x) for x in body.get("values", [])}
     field, value = next(iter(body.items()))
     match_operator = "or"
+    match_msm = None
     if isinstance(value, dict):
         if kind in ("match", "match_phrase"):
             # full-text clauses spell the needle "query" (not "value") in
             # dict form, plus an optional operator — mirror query_dsl._match
             match_operator = str(value.get("operator", "or")).lower()
+            match_msm = value.get("minimum_should_match")
             value = value.get("query")
         elif "value" in value:
             value = value["value"]
@@ -327,7 +329,17 @@ def match_doc(doc: dict, query: dict) -> bool:
         if dv is None:
             return False
         if match_operator == "and":
+            # ES ignores minimum_should_match under operator=and
             return _tokens(value) <= _tokens(dv)
+        if match_msm is not None:
+            from elasticsearch_hadoop_spark.query_dsl import _msm_count
+
+            q = _tokens(value)
+            required = _msm_count(match_msm, len(q), False)
+            if required > len(q):
+                return False
+            if required > 1:
+                return len(_tokens(dv) & q) >= required
         return bool(_tokens(dv) & _tokens(value))
     if kind == "match_phrase":
         # analyzed-phrase containment on TOKEN boundaries, mirroring

@@ -87,12 +87,18 @@ wildcard_q = st.sampled_from(["al*", "*eta", "a?pha*", "*amma*"]).map(
 match_q = st.tuples(
     st.lists(_words, min_size=1, max_size=2), st.sampled_from(["or", "and"])
 ).map(lambda t: {"match": {"name": {"query": " ".join(t[0]), "operator": t[1]}}})
+match_msm_q = st.tuples(
+    st.lists(_words, min_size=1, max_size=3),
+    st.sampled_from([1, 2, 3, -1, "50%", "66%", "100%", "-25%"]),
+).map(lambda t: {"match": {"name": {"query": " ".join(t[0]),
+                                    "minimum_should_match": t[1]}}})
 phrase_q = st.sampled_from(
     ["alpha beta", "beta gamma", "gamma beta", "alpha"]
 ).map(lambda p: {"match_phrase": {"name": p}})
 
 leaf = st.one_of(
-    term_q, terms_q, range_q, exists_q, prefix_q, wildcard_q, match_q, phrase_q
+    term_q, terms_q, range_q, exists_q, prefix_q, wildcard_q, match_q,
+    match_msm_q, phrase_q
 )
 
 

@@ -285,3 +285,25 @@ def test_msm_percentage_and_negative_forms(spark):
                              {"match": {"t": "c"}}],
                   "minimum_should_match": "66%"}}
     assert [d["id"] for d in docs if match_doc(d, q)] == [1, 3]
+
+
+def test_match_minimum_should_match(spark):
+    """ES `match` minimum_should_match: at least k of the analyzed query
+    tokens must be present (OR mode); ignored under operator=and; a count
+    above the token count matches nothing (MatchNoDocsQuery)."""
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "a x y z"), (4, None)],
+        "id int, t string",
+    )
+
+    def got(spec):
+        return sorted(r["id"] for r in df.filter(
+            compile_query({"match": {"t": spec}})).collect())
+
+    assert got({"query": "a b c", "minimum_should_match": 2}) == [1, 2]
+    assert got({"query": "a b c", "minimum_should_match": "66%"}) == [1, 2, 3]
+    assert got({"query": "a b c", "minimum_should_match": 4}) == []
+    assert got({"query": "a b c", "minimum_should_match": 2,
+                "operator": "and"}) == [1]  # msm ignored under and
