@@ -790,6 +790,7 @@ def _multi_match(body, id_col):
     value = str(body.get("query", ""))
     qtype = body.get("type", "best_fields")
     operator = str(body.get("operator", "or")).lower()
+    msm = body.get("minimum_should_match")  # ES ignores it for phrase
     if qtype == "phrase":
         return _or_chain([_match_phrase({f: value}, id_col) for f in fields])
     if qtype == "cross_fields":
@@ -801,12 +802,20 @@ def _multi_match(body, id_col):
         union = F.flatten(F.array(*per_field))
         if operator == "and":
             return F.size(F.array_except(qtokens, union)) == 0
+        if msm is not None:
+            n_tok = len({t for t in re.split(r"[^a-z0-9]+", value.lower()) if t})
+            required = _msm_count(msm, n_tok, False)
+            if required > n_tok:
+                return F.lit(False)
+            if required > 1:
+                return F.size(F.array_intersect(union, qtokens)) >= required
         return F.arrays_overlap(union, qtokens)
     if qtype not in ("best_fields", "most_fields"):
         raise QueryDslError(f"unsupported multi_match type: {qtype!r}")
-    return _or_chain(
-        [_match({f: {"query": value, "operator": operator}}, id_col) for f in fields]
-    )
+    spec = {"query": value, "operator": operator}
+    if msm is not None:
+        spec["minimum_should_match"] = msm
+    return _or_chain([_match({f: dict(spec)}, id_col) for f in fields])
 
 
 def _dis_max(body, id_col):

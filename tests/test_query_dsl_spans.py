@@ -307,3 +307,26 @@ def test_match_minimum_should_match(spark):
     assert got({"query": "a b c", "minimum_should_match": 4}) == []
     assert got({"query": "a b c", "minimum_should_match": 2,
                 "operator": "and"}) == [1]  # msm ignored under and
+
+
+def test_multi_match_minimum_should_match(spark):
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    df = spark.createDataFrame(
+        [(1, "a b", "c d"), (2, "a x", "y z"), (3, "x y", "z w")],
+        "id int, f1 string, f2 string",
+    )
+
+    def got(body):
+        return sorted(r["id"] for r in df.filter(
+            compile_query({"multi_match": body})).collect())
+
+    # best_fields: msm applies per field — doc 1 has 2 of a,b,c in NO
+    # single field? f1='a b' holds a,b -> 2 >= 2 matches
+    base = {"query": "a b c", "fields": ["f1", "f2"]}
+    assert got({**base, "minimum_should_match": 2}) == [1]
+    # cross_fields: tokens blend across fields — doc 1 has a,b,c,d
+    cf = {**base, "type": "cross_fields"}
+    assert got({**cf, "minimum_should_match": 3}) == [1]
+    assert got({**cf, "minimum_should_match": 1}) == [1, 2]
+    assert got({**cf, "minimum_should_match": 4}) == []
