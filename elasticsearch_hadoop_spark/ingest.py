@@ -212,7 +212,18 @@ def _apply_one(
         t = _CONVERT_TYPES.get(cfg.get("type"))
         if t is None:
             raise IngestError(f"convert: unsupported type {cfg.get('type')!r}")
-        return _guarded(df, target, F.col(field).cast(t), cond)
+        # ES: a failed conversion fails the DOCUMENT; a strict cast here
+        # would fail the whole Spark job on one malformed value (ANSI).
+        # ES's per-processor ignore_failure maps to try_cast: the bad
+        # value lands null and the batch proceeds — without it the ANSI
+        # error surfaces the offending value, the batch-engine analogue
+        # of an unhandled per-doc failure.
+        new = (
+            F.col(field).try_cast(t)
+            if cfg.get("ignore_failure")
+            else F.col(field).cast(t)
+        )
+        return _guarded(df, target, new, cond)
 
     if kind == "date":
         formats = cfg.get("formats") or ["ISO8601"]

@@ -210,3 +210,21 @@ def test_enrich_processor_attaches_policy_doc(spark):
             [{"enrich": {"policy_name": "geo", "field": "country"}}],
             enrich_policies={"geo": policy},
         )
+
+
+def test_convert_ignore_failure(spark):
+    """ES per-processor ignore_failure on convert: a malformed value
+    lands NULL and the batch proceeds; without it the strict ANSI cast
+    surfaces the bad value as an error (the batch analogue of ES failing
+    the document)."""
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    df = spark.createDataFrame([("1", 1), ("oops", 2)], "n string, id int")
+    ok = compile_pipeline(
+        [{"convert": {"field": "n", "type": "long", "ignore_failure": True}}]
+    )(df)
+    got = {r["id"]: r["n"] for r in ok.collect()}
+    assert got == {1: 1, 2: None}
+    strict = compile_pipeline([{"convert": {"field": "n", "type": "long"}}])(df)
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        strict.collect()
