@@ -113,8 +113,17 @@ def _field_value(body: dict[str, Any]) -> tuple[str, Any]:
     return field, value
 
 
+def _case_insensitive(body: dict[str, Any]) -> bool:
+    """ES 7.10+ term-level option, long form only:
+    {"field": {"value": x, "case_insensitive": true}}."""
+    (_, spec), = body.items()
+    return bool(isinstance(spec, dict) and spec.get("case_insensitive"))
+
+
 def _term(body, id_col):
     field, value = _field_value(body)
+    if _case_insensitive(body):
+        return F.lower(_resolve(field)) == F.lit(str(value).lower())
     return _resolve(field) == F.lit(value)
 
 
@@ -142,6 +151,8 @@ def _exists(body, id_col):
 
 def _prefix(body, id_col):
     field, value = _field_value(body)
+    if _case_insensitive(body):
+        return F.lower(_resolve(field)).startswith(str(value).lower())
     return _resolve(field).startswith(str(value))
 
 
@@ -153,12 +164,15 @@ def _wildcard(body, id_col):
     pattern = "".join(
         ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch) for ch in str(value)
     )
+    if _case_insensitive(body):
+        pattern = "(?i)" + pattern
     return _resolve(field).rlike(f"^{pattern}$")
 
 
 def _regexp(body, id_col):
     field, value = _field_value(body)
-    return _resolve(field).rlike(f"^(?:{value})$")  # ES regexp is fully anchored
+    flag = "(?i)" if _case_insensitive(body) else ""
+    return _resolve(field).rlike(f"{flag}^(?:{value})$")  # fully anchored, like ES
 
 
 def _ids(body, id_col):

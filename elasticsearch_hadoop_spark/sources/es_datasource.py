@@ -288,6 +288,7 @@ def match_doc(doc: dict, query: dict) -> bool:
     field, value = next(iter(body.items()))
     match_operator = "or"
     match_msm = None
+    case_insensitive = False
     if isinstance(value, dict):
         if kind in ("match", "match_phrase"):
             # full-text clauses spell the needle "query" (not "value") in
@@ -296,8 +297,17 @@ def match_doc(doc: dict, query: dict) -> bool:
             match_msm = value.get("minimum_should_match")
             value = value.get("query")
         elif "value" in value:
+            case_insensitive = bool(value.get("case_insensitive"))
             value = value["value"]
     dv = _doc_get(doc, field)
+    if case_insensitive and kind in ("term", "prefix", "wildcard", "regexp"):
+        # ES 7.10+ term-level option (long form): fold both sides
+        if kind == "regexp":
+            return dv is not None and re.fullmatch(
+                str(value), str(dv), flags=re.IGNORECASE
+            ) is not None
+        dv = str(dv).lower() if dv is not None else None
+        value = str(value).lower()
     if kind == "term":
         return dv == value or str(dv) == str(value)
     if kind == "terms":

@@ -330,3 +330,30 @@ def test_multi_match_minimum_should_match(spark):
     assert got({**cf, "minimum_should_match": 3}) == [1]
     assert got({**cf, "minimum_should_match": 1}) == [1, 2]
     assert got({**cf, "minimum_should_match": 4}) == []
+
+
+def test_case_insensitive_term_level_option(spark):
+    """ES 7.10+ case_insensitive on term/prefix/wildcard/regexp (long
+    form) — previously silently ignored; both evaluators honor it now."""
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+    from elasticsearch_hadoop_spark.sources.es_datasource import match_doc
+
+    df = spark.createDataFrame(
+        [(1, "Alpha"), (2, "ALPHA"), (3, "beta")], "id int, s string"
+    )
+    queries = [
+        {"term": {"s": {"value": "alpha", "case_insensitive": True}}},
+        {"prefix": {"s": {"value": "aL", "case_insensitive": True}}},
+        {"wildcard": {"s": {"value": "al*a", "case_insensitive": True}}},
+        {"regexp": {"s": {"value": "alph.", "case_insensitive": True}}},
+    ]
+    docs = [{"id": 1, "s": "Alpha"}, {"id": 2, "s": "ALPHA"},
+            {"id": 3, "s": "beta"}]
+    for q in queries:
+        got = sorted(r["id"] for r in df.filter(compile_query(q)).collect())
+        assert got == [1, 2], q
+        assert [d["id"] for d in docs if match_doc(d, q)] == [1, 2], q
+    # without the flag the old exact semantics hold
+    strict = {"term": {"s": {"value": "alpha"}}}
+    assert df.filter(compile_query(strict)).count() == 0
+    assert not any(match_doc(d, strict) for d in docs)
