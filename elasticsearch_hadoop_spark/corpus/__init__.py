@@ -37,86 +37,78 @@ def query(name: str, oracle: str | None = None):
 
 
 # The correctness driver grades a bounded prefix of the registration order
-# (the first 50 queries, observed every round).  Rounds 1-4 banked a green
-# verdict for 167 queries; the graded window is the scarce resource.
-# Round-5 policy (VERDICT.md round-4 item 1): 85 never-graded queries
-# exceed the window for the first time, so ALL 50 slots go to
-# never-graded surfaces, highest-risk families first in the verdict's
-# stated order — the 10 multi-commit write-path catalog surfaces, the
-# ES|QL compiler (zero hard signal), parent-child joins, ingest/enrich
-# pipelines, transforms/EQL, the span family + query-string parser (the
-# let-binding rewrite changed their evaluation paths), the
-# suggest/fusion/rank_eval search surfaces, the text/LLM quality family
-# (unigram_logprob's total-attachment was rewritten this round — these
-# four double as drift insurance for that change), and one late aggs-DSL
-# representative (that compiler already holds 13 greens from r4).
-# Overflow to round 6 (35): 27 late aggs_* compilers, decay_score,
-# phrase_slop, mget, msearch, template_page, analyze_api, termvectors,
-# sample_to_mixture — all re-validated against their oracles every run
-# by tests/test_oracle_parity.py in the meantime.  No banked-green
-# re-grades this round: VERDICT r4 item 7 allots them "leftover slots"
-# only, and there are none.
+# (the first 50 queries, observed every round).  Rounds 1-5 banked a green
+# verdict for 215 of 252 queries; the graded window is the scarce
+# resource.  Round-6 policy (VERDICT.md round-5 items 1-2): the window
+# drains the backlog completely for the first time —
+#   * slots 1-2: the two r5 reds, re-graded after their comparator fixes
+#     (esql_eval_pipeline's oracle division cast ::DOUBLE;
+#     ingest_pipeline_docs' kchars rounded on both sides);
+#   * slots 3-37: ALL 35 never-graded queries (27 late aggs-DSL
+#     compilers, decay_score/phrase_slop, sample_to_mixture, and the
+#     mget/msearch/template/analyze/termvectors search surfaces);
+#   * slots 38-50: 13 drift-insurance re-grades of the oldest r1-era
+#     greens that have never been re-graded since (r4 policy), preferring
+#     queries whose code paths were since rewritten (dedup_ngram_jaccard's
+#     banded equi-join landed r5) or that anchor the bench headline.
+# After this round every registered query holds a driver verdict.
 PRIORITY: tuple[str, ...] = (
-    # write-path catalog surfaces: multi-commit paths, most moving parts
-    "writepath_data_stream",
-    "writepath_ccs",
-    "writepath_index_template",
-    "writepath_component_template",
-    "writepath_percolate",
-    "writepath_snapshot_restore",
-    "writepath_rollover",
-    "writepath_filtered_alias",
-    "writepath_terms_lookup",
-    "writepath_es_sql",
-    # ES|QL compiler (a whole compiler with zero hard signal)
-    "esql_stats_by",
+    # r5 reds, fixed this round — re-grade first so a short window still
+    # clears them
     "esql_eval_pipeline",
-    "esql_bucket_filtered_stats",
-    "esql_grok_dissect",
-    # parent-child joins
-    "join_has_child",
-    "join_has_parent_parent_id",
-    # ingest pipelines + enrich
     "ingest_pipeline_docs",
-    "ingest_pipeline_dissect",
-    "ingest_pipeline_events",
-    "ingest_enrich_events",
-    # transforms + EQL
-    "transform_pivot_monthly",
-    "transform_latest_events",
-    "eql_funnel_sequence",
-    # query DSL: span family first (let-binding rewrite), then the
-    # full-text parser surfaces
-    "query_dsl_span_near",
-    "query_dsl_span_first_not_or",
-    "query_dsl_query_string",
-    "query_dsl_intervals",
-    "query_dsl_combined_fields",
-    "query_dsl_multi_match",
-    "query_dsl_dis_max_boosting",
-    "query_dsl_terms_set",
-    "query_dsl_sqs_phrase_prefix",
-    "query_dsl_pinned_wrapper",
-    "query_dsl_script_filter",
-    "query_dsl_distance_feature",
-    "query_dsl_more_like_this",
-    # search surfaces: suggesters, fusion, rank_eval, knn, paging
-    "search_suggest_completion",
-    "search_suggest_phrase",
-    "search_rank_eval",
-    "search_sparse_vector",
-    "search_rrf_hybrid",
-    "search_linear_fuse",
-    "search_knn_filtered",
-    "search_rescore_window",
-    "search_scroll_sliced",
-    # text/LLM quality family (unigram_logprob path changed this round)
-    "text_unigram_logprob",
-    "text_quality_funnel",
-    "text_c4_filters",
-    "dedup_segments_global",
-    # late aggs-DSL representative
-    "aggs_change_point",
+    # late aggs-DSL compiler surfaces (27) — the last coverage of
+    # aggs_dsl.py with no hard signal
+    "aggs_diversified_sampler",
+    "aggs_sampler_string_stats",
+    "aggs_stats_bucket",
+    "aggs_terms_include_exclude",
+    "aggs_ip_range",
+    "aggs_top_metrics",
+    "aggs_t_test",
+    "aggs_matrix_stats",
+    "aggs_geo_bounds_centroid",
+    "aggs_nested_items",
+    "aggs_global_escape",
+    "aggs_normalize",
+    "aggs_rate",
+    "aggs_composite_date_after",
+    "aggs_significant_text",
+    "aggs_cumulative_cardinality",
+    "aggs_variable_width_histogram",
+    "aggs_filters_other_bucket",
+    "aggs_date_histogram_offset",
+    "aggs_ip_prefix",
+    "aggs_moving_percentiles",
+    "aggs_geo_line",
+    "aggs_scripted_metric",
+    "aggs_frequent_item_sets",
+    "aggs_bucket_correlation",
+    "aggs_composite_date_page",
+    "aggs_reverse_nested",
+    # remaining never-graded query-DSL + sampling + search surfaces (8)
+    "query_dsl_decay_score",
+    "query_dsl_phrase_slop",
+    "sample_to_mixture",
+    "search_mget",
+    "search_msearch",
+    "search_template_page",
+    "search_analyze_api",
+    "search_termvectors",
+    # drift-insurance re-grades: r1-only greens, never re-graded (13)
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_events_first",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "q5_local_supplier_volume",
+    "geo_bounding_box_search",
+    "lateral_explode_tokens",
+    "map_entries_events",
+    "agg_rollup",
+    "agg_cube",
+    "aggs_filters_top_hits",
+    "unpivot_stats",
 )
 
 

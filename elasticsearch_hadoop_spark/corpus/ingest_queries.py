@@ -22,7 +22,7 @@ SELECT doc_id,
        upper(lang) AS lang_uc,
        source || '.example.com' AS domain,
        '/docs/' || doc_id AS path,
-       n_chars / 1000.0::DOUBLE AS kchars,
+       round(n_chars / 1000.0::DOUBLE, 6) AS kchars,
        md5(source || chr(0) || lang) AS fp
 FROM documents
 WHERE n_chars >= 200
@@ -62,7 +62,14 @@ def ingest_pipeline_docs(spark, sf_dir):
     )
     return (
         pipe(docs)
-        .select("doc_id", "lang_uc", "domain", "path", "kchars", "fp")
+        .select(
+            "doc_id",
+            "lang_uc",
+            "domain",
+            "path",
+            F.round("kchars", 6).alias("kchars"),
+            "fp",
+        )
         .orderBy("doc_id")
     )
 

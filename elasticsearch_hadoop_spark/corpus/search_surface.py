@@ -853,7 +853,7 @@ def esql_stats_by(spark, sf_dir):
     oracle="""
 SELECT doc_id,
        upper(lang) AS lang_up,
-       round(n_chars / 1024.0, 6) AS kb,
+       round(n_chars / 1024.0::DOUBLE, 6) AS kb,
        CASE WHEN n_chars >= 200 THEN 'long' ELSE 'short' END AS bucket
 FROM documents
 WHERE lang <> 'de'

@@ -48,7 +48,21 @@ def run_spark_query(spec, spark, sf_dir):
         "(array_join/to_json) before returning, the driver hash is "
         "scalar-only"
     )
-    return df.columns, df.collect()
+    cols, rows = df.columns, df.collect()
+    # Corpus convention (made enforced after the r5 ingest_pipeline_docs
+    # red): every double output column carries an explicit F.round(_, 6),
+    # so the emitted double is the nearest one to a 6-decimal value and
+    # the driver's float canonicalization cannot diverge from the
+    # oracle's.  round(v, 6) == v iff that holds.
+    for row in rows[:2000]:
+        for c, v in zip(cols, row):
+            if not isinstance(v, float) or not math.isfinite(v):
+                continue
+            assert round(v, 6) == v, (
+                f"{spec.name}: column {c!r} emits unrounded double {v!r} — "
+                "wrap in F.round(_, 6) (and round(..., 6) in the oracle)"
+            )
+    return cols, rows
 
 
 def run_oracle(spec, duck):

@@ -1,10 +1,11 @@
 """The driver grades a bounded prefix of the registration order (the
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
-corpus/__init__.py under the round-5 window policy: never-graded queries
-outnumber the slots (85 vs 50), so the whole window is never-graded
-surfaces, riskiest families first; every windowed query carries a DuckDB
-oracle (no rows-only slots), and the union of banked green verdicts
-(CORRECTNESS_r01-r04) with the current window still covers every §2.C
+corpus/__init__.py under the round-6 window policy: the 2 r5 reds
+(re-graded after their comparator fixes) lead, the 35 remaining
+never-graded queries follow, and 13 drift-insurance re-grades of r1-era
+greens fill the tail; every windowed query carries a DuckDB oracle (no
+rows-only slots), and the union of banked green verdicts
+(CORRECTNESS_r01-r05) with the current window still covers every §2.C
 operator family."""
 
 from __future__ import annotations
@@ -62,6 +63,7 @@ def _banked_green() -> set[str]:
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",  # banked 48 of 50 (2 hash-mismatch reds)
     ):
         path = os.path.join(REPO, fname)
         if not os.path.exists(path):
@@ -138,30 +140,20 @@ def test_every_family_covered_by_union():
     assert not uncovered, f"families with no driver signal past or pending: {uncovered}"
 
 
-def test_round5_family_representatives_inside_graded_window():
-    """Every round-4 feature family with zero driver signal must get >=1
-    verdict this round (VERDICT r4 item 1's done-criterion), plus the
-    queries whose code paths changed this round (unigram_logprob's
-    total-attachment rewrite)."""
-    first = set(list(load_all())[:GRADED_WINDOW])
-    for name in (
-        "writepath_data_stream",      # data streams / rollover
-        "writepath_ccs",              # cross-cluster search
-        "writepath_index_template",   # template + default_pipeline path
-        "writepath_percolate",        # percolator
-        "esql_stats_by",              # ES|QL compiler
-        "join_has_child",             # parent-child
-        "ingest_pipeline_docs",       # ingest pipelines
-        "ingest_enrich_events",       # enrich
-        "transform_pivot_monthly",    # transforms
-        "eql_funnel_sequence",        # EQL
-        "query_dsl_span_near",        # span family
-        "query_dsl_query_string",     # query-string parser
-        "search_suggest_phrase",      # suggesters
-        "search_rrf_hybrid",          # fusion
-        "search_rank_eval",           # rank evaluation
-        "text_unigram_logprob",       # changed this round
-        "text_quality_funnel",        # composes unigram_logprob
-        "aggs_change_point",          # late aggs-DSL representative
-    ):
-        assert name in first, name
+def test_round6_window_drains_backlog():
+    """Round-6 policy (VERDICT r5 items 1-2): the 2 r5 reds re-grade
+    first, every never-graded query gets a slot, and after this round
+    every registered query holds a driver verdict."""
+    reg = load_all()
+    first = list(reg)[:GRADED_WINDOW]
+    assert first[0] == "esql_eval_pipeline"
+    assert first[1] == "ingest_pipeline_docs"
+    banked = _banked_green()
+    # nothing may remain ungraded after this window
+    ungraded_outside = [
+        n for n in reg if n not in banked and n not in set(first)
+    ]
+    assert not ungraded_outside, (
+        f"queries that would still lack a driver verdict after round 6: "
+        f"{ungraded_outside}"
+    )

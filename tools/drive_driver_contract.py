@@ -28,7 +28,7 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-def canon(rows, cols):
+def canon_lines(rows, cols):
     cols = sorted(cols)
     out = []
     for r in rows:
@@ -40,7 +40,25 @@ def canon(rows, cols):
             vals.append(str(v))
         out.append("|".join(vals))
     out.sort()
-    return hashlib.sha256("\n".join(out).encode()).hexdigest()[:12]
+    return out
+
+
+def canon(rows, cols):
+    return hashlib.sha256("\n".join(canon_lines(rows, cols)).encode()).hexdigest()[:12]
+
+
+# Comparator-parity probe (VERDICT r5 item 7): dump each graded-window
+# query's canonical strings (both sides) so a future driver/sim
+# divergence is diagnosable from the artifact diff instead of a re-run.
+CANON_DIR = os.environ.get("SPARK_GRAFT_CANON_DIR", "canon")
+os.makedirs(CANON_DIR, exist_ok=True)
+
+
+def dump_canon(name, side, rows, cols):
+    path = os.path.join(CANON_DIR, f"{name}.{side}.txt")
+    with open(path, "w") as f:
+        f.write("# cols: " + ",".join(sorted(cols)) + "\n")
+        f.write("\n".join(canon_lines(rows, cols)) + "\n")
 
 qs, oracles = e.queries(), e.oracle_sql()
 results = {}
@@ -58,6 +76,9 @@ for name, fn in qs.items():
             match = (len(srows) == len(orows)
                      and sorted(scols) == sorted(ocols)
                      and canon(srows, scols) == canon(orows, ocols))
+            if len(results) < 50:  # graded window only — bounded artifact
+                dump_canon(name, "spark", srows, scols)
+                dump_canon(name, "oracle", orows, ocols)
             results[name] = ("MATCH" if match else "MISMATCH",
                              len(srows), len(orows))
         else:
