@@ -24,12 +24,34 @@ ENGLISH_STOPWORDS = (
 ).split()
 
 
+# The ONE definition of the analyzer's token boundary.  standard_analyze
+# (Column, runtime) and py_standard_analyze (Python, compile time — the
+# query-DSL parsers tokenize query text while building Column plans) both
+# derive from it, so they cannot drift independently (ADVICE r5).
+TOKEN_SPLIT_REGEX = r"[^a-z0-9]+"
+
+_TOKEN_SPLIT_RE = None  # compiled lazily; re not imported at module top
+
+
+def py_standard_analyze(text: object) -> list[str]:
+    """Python replica of `standard_analyze` for compile-time query-text
+    tokenization: lowercase, split on TOKEN_SPLIT_REGEX, drop empties.
+    Must stay behaviorally identical to the Column version —
+    tests/test_text_functions.py pins the differential."""
+    global _TOKEN_SPLIT_RE
+    if _TOKEN_SPLIT_RE is None:
+        import re
+
+        _TOKEN_SPLIT_RE = re.compile(TOKEN_SPLIT_REGEX)
+    return [t for t in _TOKEN_SPLIT_RE.split(str(text).lower()) if t]
+
+
 def standard_analyze(col: Column | str) -> Column:
     """ES standard-analyzer analogue: lowercase, split on non-alphanumeric
     runs, drop empty tokens.  Returns array<string>."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(
-        F.split(F.lower(c), r"[^a-z0-9]+"),
+        F.split(F.lower(c), TOKEN_SPLIT_REGEX),
         lambda t: F.length(t) > 0,
     )
 

@@ -25,7 +25,14 @@ painless-lite predicate over ``ctx.field`` references, except where noted):
   ``copy_from`` (dotted paths traverse structs/maps), ``override: false``
   honors existing non-null values
 - ``rename`` / ``remove`` (no ``if``: schema edits are unconditional)
-- ``convert`` — integer/long/float/double/string/boolean
+- ``convert`` — integer/long/float/double/string/boolean.  DEVIATION
+  from ES: with ``ignore_failure``, a value that fails to convert lands
+  NULL in the (typed) output column, whereas an ES ingest node leaves
+  the document — and therefore the original value — unchanged.  A Spark
+  column holds exactly one type, so "keep the original string in an int
+  column" cannot be represented; write to a separate ``target_field``
+  (the source column then survives intact next to the NULL target) when
+  the original value must be preserved.
 - ``date`` — first-match-wins ``formats`` list parsed to ``target_field``
   (default ``@timestamp``)
 - ``split`` / ``join`` / ``gsub`` / ``lowercase`` / ``uppercase`` /

@@ -54,7 +54,7 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from elasticsearch_hadoop_spark.functions.text import analyze_tokens
+from elasticsearch_hadoop_spark.functions.text import analyze_tokens, py_standard_analyze
 
 
 class QueryDslError(ValueError):
@@ -195,10 +195,9 @@ def _match(body, id_col):
         # tokens are required anyway)
         return F.size(F.array_except(qtokens, ftokens)) == 0
     if msm is not None:
-        # the query tokens are a literal — replicate the analyzer in
-        # Python to resolve msm to a count at compile time (same split +
-        # lowercase as functions.text.standard_analyze)
-        n_tok = len({t for t in re.split(r"[^a-z0-9]+", str(value).lower()) if t})
+        # the query tokens are a literal — the shared Python replica of
+        # the analyzer resolves msm to a count at compile time
+        n_tok = len(set(py_standard_analyze(value)))
         required = _msm_count(msm, n_tok, False)
         if required > n_tok:
             return F.lit(False)  # Lucene's MatchNoDocsQuery rewrite
@@ -238,7 +237,7 @@ def _sloppy_phrase(col: Column, phrase: str, slop: int) -> Column:
     stays inside codegen, no explode."""
     import re as _re
 
-    terms = [t for t in _re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    terms = py_standard_analyze(phrase)
     if not terms:
         raise QueryDslError("match_phrase needs at least one query token")
 
@@ -539,7 +538,7 @@ def _more_like_this(body, id_col):
         like = " ".join(str(x) for x in like)
     min_tf = int(body.get("min_term_freq", 2))
     max_terms = int(body.get("max_query_terms", 25))
-    toks = [t for t in _re.split(r"[^a-z0-9]+", str(like).lower()) if t]
+    toks = py_standard_analyze(like)
     freq: dict[str, int] = {}
     order: list[str] = []
     for t in toks:
@@ -817,7 +816,7 @@ def _multi_match(body, id_col):
         if operator == "and":
             return F.size(F.array_except(qtokens, union)) == 0
         if msm is not None:
-            n_tok = len({t for t in re.split(r"[^a-z0-9]+", value.lower()) if t})
+            n_tok = len(set(py_standard_analyze(value)))
             required = _msm_count(msm, n_tok, False)
             if required > n_tok:
                 return F.lit(False)
@@ -894,7 +893,7 @@ def _match_phrase_prefix(body, id_col):
     spec = body[next(iter(body))]
     if isinstance(spec, dict):
         value = spec.get("query", value)
-    terms = [t for t in _re.split(r"[^a-z0-9]+", str(value).lower()) if t]
+    terms = py_standard_analyze(value)
     if not terms:
         raise QueryDslError("match_phrase_prefix needs at least one query token")
     n = len(terms)
@@ -1221,7 +1220,7 @@ def _intervals(body, id_col):
         )
 
     def terms_of(q) -> list[str]:
-        ts = [t for t in re.split(r"[^a-z0-9]+", str(q).lower()) if t]
+        ts = py_standard_analyze(q)
         if not ts:
             raise QueryDslError("intervals: empty match query")
         return ts
@@ -1496,8 +1495,37 @@ def _span_guard_col(req, lowered: Column) -> Column:
 # nested transform/filter level to the fold, so expression size (and the
 # one-time Catalyst/eval-path cost) grows linearly but steeply with the
 # clause count.  Lucene queries in the wild are a handful of terms; cap
-# the expansion before someone compiles a pathological tree.
-_SPAN_NEAR_MAX_CLAUSES = 16
+# the expansion before someone compiles a pathological tree.  ES's own
+# cap (indices.query.bool.max_clause_count) is far higher, so the limit
+# is configurable (ADVICE r5): set_span_near_max_clauses or the
+# SPARK_GRAFT_SPAN_NEAR_MAX_CLAUSES env var raise it for users who
+# accept the plan-size cost.
+_SPAN_NEAR_DEFAULT_MAX_CLAUSES = 64
+_span_near_max_clauses: int | None = None
+
+
+def set_span_near_max_clauses(n: int) -> None:
+    """Override the span_near clause cap for this process (>= 2)."""
+    global _span_near_max_clauses
+    if n < 2:
+        raise ValueError("span_near cap must be >= 2")
+    _span_near_max_clauses = n
+
+
+def get_span_near_max_clauses() -> int:
+    if _span_near_max_clauses is not None:
+        return _span_near_max_clauses
+    import os
+
+    try:
+        return int(
+            os.environ.get(
+                "SPARK_GRAFT_SPAN_NEAR_MAX_CLAUSES",
+                _SPAN_NEAR_DEFAULT_MAX_CLAUSES,
+            )
+        )
+    except ValueError:
+        return _SPAN_NEAR_DEFAULT_MAX_CLAUSES
 
 
 def _span_compile(clause: dict, toks: Column | None = None) -> Column:
@@ -1587,11 +1615,14 @@ def _span_compile(clause: dict, toks: Column | None = None) -> Column:
         )
     if kind == "span_near":
         clauses = body.get("clauses", [])
-        if len(clauses) > _SPAN_NEAR_MAX_CLAUSES:
+        cap = get_span_near_max_clauses()
+        if len(clauses) > cap:
             raise QueryDslError(
                 f"span_near with {len(clauses)} clauses exceeds the "
-                f"supported maximum of {_SPAN_NEAR_MAX_CLAUSES} (the ordered "
-                "fold grows one nested transform level per clause)"
+                f"configured maximum of {cap} (the ordered fold grows one "
+                "nested transform level per clause; raise it with "
+                "set_span_near_max_clauses or "
+                "SPARK_GRAFT_SPAN_NEAR_MAX_CLAUSES)"
             )
         sub = [_span_compile(c, toks) for c in clauses]
         if len(sub) < 2:

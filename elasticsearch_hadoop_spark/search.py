@@ -21,7 +21,9 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_TOKEN_RX = re.compile(r"[^a-z0-9]+")
+from elasticsearch_hadoop_spark.functions.text import TOKEN_SPLIT_REGEX
+
+_TOKEN_RX = re.compile(TOKEN_SPLIT_REGEX)
 
 
 def _direction(spec) -> tuple[str, bool]:
@@ -110,7 +112,9 @@ def highlight(
     oracle can replay it verbatim."""
     import re as _re
 
-    terms = [t for t in _re.split(r"[^a-z0-9]+", query_text.lower()) if t]
+    from elasticsearch_hadoop_spark.functions.text import py_standard_analyze
+
+    terms = py_standard_analyze(query_text)
     if not terms:
         raise ValueError("highlight needs at least one query term")
     pattern = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"

@@ -80,7 +80,9 @@ from pyspark.sql.datasource import (
 from elasticsearch_hadoop_spark.sources.json_docs import mapping_to_struct
 
 METADATA_COL = "_metadata"
-_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+from elasticsearch_hadoop_spark.functions.text import TOKEN_SPLIT_REGEX
+
+_TOKEN_RE = re.compile(TOKEN_SPLIT_REGEX)
 
 
 # --------------------------------------------------------------------------
@@ -150,7 +152,12 @@ def _coerce(v: Any, dt: T.DataType, geo: bool = False) -> Any:
     if isinstance(dt, T.MapType):
         if not isinstance(v, dict):
             return None
-        return {str(k): _coerce(x, dt.valueType) for k, x in v.items()}
+        # JSON object keys arrive as strings; coerce them to the declared
+        # keyType (a timestamp-keyed map parses its keys like any other
+        # timestamp field) so the Arrow key converter sees typed values
+        return {
+            _coerce(k, dt.keyType): _coerce(x, dt.valueType) for k, x in v.items()
+        }
     if isinstance(dt, T.TimestampType):
         return _parse_ts(v)
     if isinstance(dt, T.BinaryType):
@@ -197,14 +204,21 @@ def _arrow_converter(dt: T.DataType):
 
         return conv_array
     if isinstance(dt, T.MapType):
+        # keys need the same re-shaping as values (ADVICE r5): a
+        # timestamp-keyed map would otherwise ship naive-UTC datetime
+        # keys and fall back to pyarrow's naive-means-UTC default this
+        # converter exists to avoid
+        kc = _arrow_converter(dt.keyType)
         vc = _arrow_converter(dt.valueType)
-        if vc is None:
+        if kc is None and vc is None:
             return None  # pa.array accepts the dict encoding directly
 
-        def conv_map(v, vc=vc):
+        def conv_map(v, kc=kc, vc=vc):
             if v is None:
                 return None
-            return {k: vc(x) for k, x in v.items()}
+            return {
+                (kc(k) if kc else k): (vc(x) if vc else x) for k, x in v.items()
+            }
 
         return conv_map
     if isinstance(dt, T.TimestampType):

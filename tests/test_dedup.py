@@ -21,9 +21,25 @@ from elasticsearch_hadoop_spark.operators.dedup import (
 THRESHOLD = 0.8
 
 
+# Two planted near-duplicates (identical but for one trailing word: word
+# 3-gram Jaccard ~0.93 >= THRESHOLD) guarantee the recall branch always
+# executes — the fixture corpus alone has no J>=0.8 pair at some SFs and
+# the test used to skip (VERDICT r5 item 6).
+_PLANT_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the rain taps softly on the glass"
+)
+_PLANTED = [
+    (1_000_001, _PLANT_BASE, "en", "planted", len(_PLANT_BASE)),
+    (1_000_002, _PLANT_BASE + " outside", "en", "planted", len(_PLANT_BASE) + 8),
+]
+
+
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return tbl(spark, sf_dir, "documents")
+    fixture = tbl(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(_PLANTED, schema=fixture.schema)
+    return fixture.unionByName(planted)
 
 
 @pytest.fixture(scope="module")
@@ -53,12 +69,11 @@ def test_lsh_recall_and_precision(docs, truth_pairs):
     # Jaccard) — every returned pair must be in the ground truth
     assert got <= truth_pairs, got - truth_pairs
     # recall: banding (4x4 over 16 perms) catches >=93% of J>=0.8 pairs in
-    # expectation; on the fixture we require 0.9 if any truth pairs exist
-    if truth_pairs:
-        recall = len(got & truth_pairs) / len(truth_pairs)
-        assert recall >= 0.9, f"recall {recall}: missed {truth_pairs - got}"
-    else:
-        pytest.skip("fixture has no J>=0.8 pairs at this sf")
+    # expectation; the planted pair guarantees truth_pairs is never empty
+    assert truth_pairs, "planted near-dup pair missing from ground truth"
+    assert (1_000_001, 1_000_002) in truth_pairs
+    recall = len(got & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.9, f"recall {recall}: missed {truth_pairs - got}"
 
 
 def test_simhash_locality(spark):

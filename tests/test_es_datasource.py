@@ -417,3 +417,39 @@ def test_arrow_timestamp_and_map_path_agrees(registered, tmp_path):
                 key=lambda r: r["doc_id"])
     assert [tuple(r) for r in am] == [tuple(r) for r in rm]
     assert am[0]["_metadata"]["_id"]
+
+
+def test_arrow_map_key_converter_covers_temporal_keys():
+    """ADVICE r5: _arrow_converter's map branch must re-shape KEYS as well
+    as values — a timestamp-keyed map otherwise ships naive-UTC datetime
+    keys and silently relies on pyarrow's naive-means-UTC default.  And
+    _coerce must parse map keys per the declared keyType (JSON keys arrive
+    as strings) so the key converter sees typed values."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import types as T
+
+    from elasticsearch_hadoop_spark.sources.es_datasource import (
+        _arrow_converter,
+        _coerce,
+    )
+
+    mt = T.MapType(T.TimestampType(), T.TimestampType())
+    conv = _arrow_converter(mt)
+    assert conv is not None  # temporal keys demand a converter
+    naive = datetime(2024, 3, 1, 12, 0, 0)
+    out = conv({naive: naive})
+    (k, v), = out.items()
+    assert k.tzinfo == timezone.utc and v.tzinfo == timezone.utc
+    assert conv(None) is None
+
+    # string-keyed/valued maps still skip conversion entirely
+    assert _arrow_converter(T.MapType(T.StringType(), T.LongType())) is None
+
+    # _coerce parses keys per keyType: ISO string -> naive-UTC datetime
+    coerced = _coerce(
+        {"2024-03-01T12:00:00Z": 5}, T.MapType(T.TimestampType(), T.LongType())
+    )
+    assert coerced == {naive: 5}
+    # and string keyTypes keep their string identity
+    assert _coerce({"a": 1}, T.MapType(T.StringType(), T.LongType())) == {"a": 1}

@@ -201,13 +201,31 @@ def test_span_two_phase_guard_in_plan(spark):
 
 
 def test_span_near_clause_cap(spark):
-    from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
+    from elasticsearch_hadoop_spark.query_dsl import (
+        QueryDslError,
+        compile_query,
+        get_span_near_max_clauses,
+        set_span_near_max_clauses,
+    )
 
-    q = {"span_near": {"clauses": [{"span_term": {"text": f"t{i}"}}
-                                   for i in range(17)],
-                       "slop": 1, "in_order": True}}
-    with pytest.raises(QueryDslError, match="exceeds the supported maximum"):
-        compile_query(q)
+    def near(n):
+        return {"span_near": {"clauses": [{"span_term": {"text": f"t{i}"}}
+                                          for i in range(n)],
+                              "slop": 1, "in_order": True}}
+
+    cap = get_span_near_max_clauses()
+    # the cap is configurable (ADVICE r5): a low override rejects at the
+    # new bound, and restoring the default admits the same query
+    try:
+        set_span_near_max_clauses(4)
+        with pytest.raises(QueryDslError, match="exceeds the configured maximum"):
+            compile_query(near(5))
+        compile_query(near(4))  # at the cap: compiles without raising
+        with pytest.raises(ValueError):
+            set_span_near_max_clauses(1)
+    finally:
+        set_span_near_max_clauses(cap)
+    compile_query(near(5))  # default cap admits it again
 
 
 def test_span_plan_size_bounded(spark):

@@ -109,3 +109,31 @@ def test_unigram_logprob_ranks_common_text_higher(spark):
     # doc 1 repeats the most common token -> highest mean logprob;
     # doc 3 is all hapaxes -> lowest
     assert out[1]["mean_logprob"] > out[2]["mean_logprob"] > out[3]["mean_logprob"]
+
+
+def test_py_standard_analyze_matches_column_version(spark):
+    """py_standard_analyze (the compile-time replica the query-DSL parsers
+    use to tokenize query text) must agree token-for-token with the Column
+    standard_analyze — both derive from TOKEN_SPLIT_REGEX (ADVICE r5)."""
+    from elasticsearch_hadoop_spark.functions.text import (
+        py_standard_analyze,
+        standard_analyze,
+    )
+
+    samples = [
+        "The quick BROWN fox!",
+        "  a--b__c  42x 9  ",
+        "UPPER lower MiXeD",
+        "éclair naïve café",          # non-ASCII: dropped by both
+        "1a2b3c",
+        "",
+        "!!! ---",
+        "tab\tnewline\nmix",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "s"])
+    col_out = {
+        r["i"]: r["toks"]
+        for r in df.select("i", standard_analyze("s").alias("toks")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert py_standard_analyze(s) == col_out[i], (s, py_standard_analyze(s), col_out[i])
