@@ -40,7 +40,9 @@ Semantics notes (SURVEY.md §2.C "one real semantic gap"):
 - ``match`` tokenizes BOTH sides with the standard analyzer
   (functions/text.py) and tests token overlap (OR) / containment (AND) —
   an exact, documented subset of ES's scored match; no `_score` is ever
-  produced.
+  produced.  A query analyzing to ZERO tokens is Lucene's
+  MatchNoDocsQuery (``zero_terms_query: "all"`` flips it to match-all) on
+  match / match_phrase / match_phrase_prefix / multi_match.
 """
 
 from __future__ import annotations
@@ -128,7 +130,9 @@ def _term(body, id_col):
 
 
 def _terms(body, id_col):
-    (field, values), = body.items()
+    # ES allows a sibling "boost" key next to the field (score-only here)
+    entries = {k: v for k, v in body.items() if k != "boost"}
+    (field, values), = entries.items()
     return _resolve(field).isin(list(values))
 
 
@@ -183,11 +187,20 @@ def _match(body, id_col):
     field, value = _field_value(body)
     operator = "or"
     msm = None
+    ztq = "none"
     if isinstance(body[next(iter(body))], dict):
         spec = body[next(iter(body))]
         value = spec.get("query", value)
         operator = spec.get("operator", "or").lower()
         msm = spec.get("minimum_should_match")
+        ztq = str(spec.get("zero_terms_query", "none")).lower()
+    if not py_standard_analyze(value):
+        # Lucene: a query that analyzes to zero tokens is
+        # MatchNoDocsQuery regardless of operator — unless
+        # zero_terms_query=all asks for MatchAllDocsQuery.  (The
+        # operator=and containment test below would otherwise
+        # vacuously match EVERY document on an empty token set.)
+        return F.lit(ztq == "all")
     qtokens = F.array_distinct(analyze_tokens(F.lit(str(value))))
     ftokens = analyze_tokens(_resolve(field))
     if operator == "and":
@@ -209,12 +222,18 @@ def _match(body, id_col):
 def _match_phrase(body, id_col):
     field, value = _field_value(body)
     slop = 0
+    ztq = "none"
     if isinstance(body[next(iter(body))], dict):
         spec = body[next(iter(body))]
         value = spec.get("query", value)
         slop = int(spec.get("slop", 0))
+        ztq = str(spec.get("zero_terms_query", "none")).lower()
     elif isinstance(value, dict):
         value = value.get("query")
+    if not py_standard_analyze(value):
+        # zero analyzed tokens: MatchNoDocs (or MatchAll under
+        # zero_terms_query=all), same as `match` — not a compile error
+        return F.lit(ztq == "all")
     if slop > 0:
         return _sloppy_phrase(_resolve(field), str(value), slop)
     # slop=0: analyzed-phrase containment — token-joined needle in
@@ -287,7 +306,7 @@ def _fuzzy(body, id_col):
     applied to the QUERY term's length, computed at compile time).
     Levenshtein is a JVM-native Column function — stays in codegen."""
     field, value = _field_value(body)
-    fuzziness = 2
+    fuzziness = "AUTO"  # ES's default in both short and long forms
     spec = body[next(iter(body))]
     if isinstance(spec, dict):
         value = spec.get("value", value)
@@ -804,6 +823,12 @@ def _multi_match(body, id_col):
     qtype = body.get("type", "best_fields")
     operator = str(body.get("operator", "or")).lower()
     msm = body.get("minimum_should_match")  # ES ignores it for phrase
+    ztq = str(body.get("zero_terms_query", "none")).lower()
+    if not py_standard_analyze(value):
+        # zero analyzed tokens: MatchNoDocs / MatchAll, same as `match`
+        # (the cross_fields operator=and branch would otherwise
+        # vacuously match everything)
+        return F.lit(ztq == "all")
     if qtype == "phrase":
         return _or_chain([_match_phrase({f: value}, id_col) for f in fields])
     if qtype == "cross_fields":
@@ -895,7 +920,12 @@ def _match_phrase_prefix(body, id_col):
         value = spec.get("query", value)
     terms = py_standard_analyze(value)
     if not terms:
-        raise QueryDslError("match_phrase_prefix needs at least one query token")
+        # zero analyzed tokens: MatchNoDocs / MatchAll (zero_terms_query),
+        # like `match` — Lucene never errors on an all-punctuation query
+        ztq = "none"
+        if isinstance(spec, dict):
+            ztq = str(spec.get("zero_terms_query", "none")).lower()
+        return F.lit(ztq == "all")
     n = len(terms)
 
     def _body(toks):

@@ -302,6 +302,7 @@ def match_doc(doc: dict, query: dict) -> bool:
     field, value = next(iter(body.items()))
     match_operator = "or"
     match_msm = None
+    match_ztq = "none"
     case_insensitive = False
     if isinstance(value, dict):
         if kind in ("match", "match_phrase"):
@@ -309,6 +310,7 @@ def match_doc(doc: dict, query: dict) -> bool:
             # dict form, plus an optional operator — mirror query_dsl._match
             match_operator = str(value.get("operator", "or")).lower()
             match_msm = value.get("minimum_should_match")
+            match_ztq = str(value.get("zero_terms_query", "none")).lower()
             value = value.get("query")
         elif "value" in value:
             case_insensitive = bool(value.get("case_insensitive"))
@@ -350,6 +352,11 @@ def match_doc(doc: dict, query: dict) -> bool:
     if kind == "regexp":
         return dv is not None and re.fullmatch(str(value), str(dv)) is not None
     if kind == "match":
+        if not _tokens(value):
+            # Lucene MatchNoDocsQuery on a zero-token query (the AND
+            # containment below would vacuously match every doc) unless
+            # zero_terms_query=all — mirrors query_dsl._match
+            return match_ztq == "all"
         if dv is None:
             return False
         if match_operator == "and":
@@ -369,6 +376,8 @@ def match_doc(doc: dict, query: dict) -> bool:
         # analyzed-phrase containment on TOKEN boundaries, mirroring
         # query_dsl._match_phrase's space-padded token join — a raw
         # substring test would wrongly match "brown fox" in "brown foxtrot"
+        if not _token_seq(value):
+            return match_ztq == "all"  # zero-token phrase: MatchNoDocs
         if dv is None:
             return False
         needle = " " + " ".join(_token_seq(value)) + " "

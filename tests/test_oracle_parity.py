@@ -20,9 +20,14 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(name, spark, sf_dir):
-    df = REGISTRY[name].fn(spark, sf_dir)
-    rows = df.collect()
-    assert rows is not None
-    assert len(df.columns) > 0
+# Every registered query currently carries an oracle, so the rows-only
+# leg is empty — defining it anyway would log a perpetual parametrize
+# skip.  It reappears automatically if a rows-only query is ever added.
+if ROWS_ONLY:
+
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_runs(name, spark, sf_dir):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        rows = df.collect()
+        assert rows is not None
+        assert len(df.columns) > 0

@@ -240,3 +240,99 @@ class TestIntervals:
 
         with pytest.raises(QueryDslError):
             compile_query({"intervals": {"text": {"match": {"query": "a b", "max_gaps": 1}}}})
+
+
+class TestZeroTermsQuery:
+    """Lucene rewrites a query that analyzes to ZERO tokens to
+    MatchNoDocsQuery (or MatchAllDocsQuery under zero_terms_query=all) —
+    it never errors, and critically operator=and must NOT vacuously
+    match everything on an empty token set (the round-6 fix)."""
+
+    def _df(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([
+            Row(id=1, text="alpha beta"),
+            Row(id=2, text="gamma delta"),
+        ])
+
+    def _ids(self, spark, dsl):
+        from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+        return sorted(r["id"] for r in self._df(spark).filter(compile_query(dsl)).collect())
+
+    def test_match_zero_tokens_matches_nothing(self, spark):
+        assert self._ids(spark, {"match": {"text": "!!! ---"}}) == []
+        # the regression: operator=and used to match EVERY doc
+        assert self._ids(
+            spark, {"match": {"text": {"query": "...", "operator": "and"}}}
+        ) == []
+
+    def test_match_zero_terms_query_all(self, spark):
+        assert self._ids(
+            spark,
+            {"match": {"text": {"query": "???", "zero_terms_query": "all"}}},
+        ) == [1, 2]
+
+    def test_match_phrase_and_prefix_zero_tokens(self, spark):
+        assert self._ids(spark, {"match_phrase": {"text": {"query": "!!"}}}) == []
+        assert self._ids(
+            spark,
+            {"match_phrase": {"text": {"query": "!!", "zero_terms_query": "all"}}},
+        ) == [1, 2]
+        assert self._ids(
+            spark, {"match_phrase_prefix": {"text": {"query": "~~"}}}
+        ) == []
+
+    def test_multi_match_zero_tokens(self, spark):
+        assert self._ids(
+            spark,
+            {"multi_match": {"query": "...", "fields": ["text"],
+                             "type": "cross_fields", "operator": "and"}},
+        ) == []
+        assert self._ids(
+            spark,
+            {"multi_match": {"query": "...", "fields": ["text"],
+                             "zero_terms_query": "all"}},
+        ) == [1, 2]
+
+    def test_match_doc_agrees(self):
+        from elasticsearch_hadoop_spark.sources.es_datasource import match_doc
+
+        doc = {"text": "alpha beta"}
+        assert not match_doc(doc, {"match": {"text": "!!!"}})
+        assert not match_doc(
+            doc, {"match": {"text": {"query": "...", "operator": "and"}}}
+        )
+        assert match_doc(
+            doc, {"match": {"text": {"query": "...", "zero_terms_query": "all"}}}
+        )
+        assert not match_doc(doc, {"match_phrase": {"text": {"query": "!!"}}})
+        assert match_doc(
+            doc,
+            {"match_phrase": {"text": {"query": "!!", "zero_terms_query": "all"}}},
+        )
+
+
+def test_fuzzy_short_form_defaults_to_auto(spark):
+    """ES's fuzziness default is AUTO in BOTH forms: the short form
+    {"fuzzy": {"f": "term"}} used to hardcode 2 edits, admitting matches
+    AUTO rejects for terms shorter than 6 chars (round-6 fix)."""
+    from pyspark.sql import Row
+
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    df = spark.createDataFrame([Row(id=1, w="cat"), Row(id=2, w="cta"),
+                                Row(id=3, w="dog")])
+    # query "cat": len 3 -> AUTO allows 1 edit; "cta" is 2 edits away
+    short = sorted(r["id"] for r in df.filter(
+        compile_query({"fuzzy": {"w": "cat"}})).collect())
+    assert short == [1]
+    # long form with explicit fuzziness 2 admits the transposition-as-2-edits
+    long2 = sorted(r["id"] for r in df.filter(
+        compile_query({"fuzzy": {"w": {"value": "cat", "fuzziness": 2}}})).collect())
+    assert long2 == [1, 2]
+    # a sibling boost key on `terms` parses and is ignored (score-only)
+    tb = sorted(r["id"] for r in df.filter(
+        compile_query({"terms": {"w": ["cat", "dog"], "boost": 2.0}})).collect())
+    assert tb == [1, 3]
