@@ -95,10 +95,31 @@ match_msm_q = st.tuples(
 phrase_q = st.sampled_from(
     ["alpha beta", "beta gamma", "gamma beta", "alpha"]
 ).map(lambda p: {"match_phrase": {"name": p}})
+# zero-token and punctuation-laced query text: both evaluators must agree
+# on the MatchNoDocs / zero_terms_query=all rewrite (round-6 fix) and on
+# the analyzer's punctuation stripping
+match_zero_q = st.tuples(
+    st.sampled_from(["", "...", "!!! ---", "alpha!!!", "++beta++ gamma"]),
+    st.sampled_from(["or", "and"]),
+    st.sampled_from(["none", "all"]),
+).map(
+    lambda t: {
+        "match": {
+            "name": {
+                "query": t[0],
+                "operator": t[1],
+                "zero_terms_query": t[2],
+            }
+        }
+    }
+)
+phrase_zero_q = st.sampled_from(["", "??", "alpha!beta"]).map(
+    lambda p: {"match_phrase": {"name": {"query": p}}}
+)
 
 leaf = st.one_of(
     term_q, terms_q, range_q, exists_q, prefix_q, wildcard_q, match_q,
-    match_msm_q, phrase_q
+    match_msm_q, phrase_q, match_zero_q, phrase_zero_q
 )
 
 

@@ -137,3 +137,44 @@ def test_py_standard_analyze_matches_column_version(spark):
     }
     for i, s in enumerate(samples):
         assert py_standard_analyze(s) == col_out[i], (s, py_standard_analyze(s), col_out[i])
+
+
+def test_py_standard_analyze_differential_random(spark):
+    """Hypothesis differential: py_standard_analyze vs the Column
+    standard_analyze on random text (ASCII + punctuation + unicode),
+    batched into one DataFrame per example set to keep Spark round-trips
+    bounded."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from elasticsearch_hadoop_spark.functions.text import (
+        py_standard_analyze,
+        standard_analyze,
+    )
+
+    texts = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs", "Sm"),
+            max_codepoint=0x2FF,
+        ),
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(batch=st.lists(texts, min_size=1, max_size=12))
+    def check(batch):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(batch)], ["i", "s"]
+        )
+        got = {
+            r["i"]: r["toks"]
+            for r in df.select("i", standard_analyze("s").alias("toks")).collect()
+        }
+        for i, s in enumerate(batch):
+            assert py_standard_analyze(s) == got[i], (s, py_standard_analyze(s), got[i])
+
+    check()
