@@ -42,7 +42,8 @@ Semantics notes (SURVEY.md §2.C "one real semantic gap"):
   an exact, documented subset of ES's scored match; no `_score` is ever
   produced.  A query analyzing to ZERO tokens is Lucene's
   MatchNoDocsQuery (``zero_terms_query: "all"`` flips it to match-all) on
-  match / match_phrase / match_phrase_prefix / multi_match.
+  match / match_phrase / match_phrase_prefix / multi_match.  ``match``
+  honors ``fuzziness`` (per-token FuzzyQuery rewrite, AUTO length rule).
 """
 
 from __future__ import annotations
@@ -183,17 +184,34 @@ def _ids(body, id_col):
     return F.col(id_col).isin(list(body["values"]))
 
 
+def _auto_fuzz(term: str) -> int:
+    """Lucene's AUTO fuzziness: 0 edits for len<3, 1 for len<6, else 2."""
+    return 0 if len(term) < 3 else (1 if len(term) < 6 else 2)
+
+
+def _resolve_fuzziness(fuzziness, term: str) -> int:
+    if isinstance(fuzziness, str):
+        if fuzziness.upper() != "AUTO":
+            raise QueryDslError(f"unsupported fuzziness: {fuzziness!r}")
+        return _auto_fuzz(term)
+    return int(fuzziness)
+
+
 def _match(body, id_col):
     field, value = _field_value(body)
     operator = "or"
     msm = None
     ztq = "none"
+    fuzziness = None
     if isinstance(body[next(iter(body))], dict):
         spec = body[next(iter(body))]
         value = spec.get("query", value)
         operator = spec.get("operator", "or").lower()
         msm = spec.get("minimum_should_match")
         ztq = str(spec.get("zero_terms_query", "none")).lower()
+        fuzziness = spec.get("fuzziness")
+    if fuzziness is not None:
+        return _match_fuzzy(field, value, operator, msm, ztq, fuzziness)
     if not py_standard_analyze(value):
         # Lucene: a query that analyzes to zero tokens is
         # MatchNoDocsQuery regardless of operator — unless
@@ -217,6 +235,55 @@ def _match(body, id_col):
         if required > 1:
             return F.size(F.array_intersect(ftokens, qtokens)) >= required
     return F.arrays_overlap(ftokens, qtokens)
+
+
+def _match_fuzzy(field, value, operator, msm, ztq, fuzziness) -> Column:
+    """`match` with `fuzziness`: Lucene rewrites each query token to a
+    FuzzyQuery — a doc token within k edits satisfies that token, with k
+    resolved PER TOKEN under AUTO (0/1/2 by the token's length).  The
+    predicate is per-token existence over the analyzed field
+    (`exists(toks, t -> levenshtein(t, q) <= k)` — levenshtein is
+    JVM-native; the token array is let-bound so the analyzer runs once
+    per row no matter how many query tokens probe it)."""
+    qterms = sorted(set(py_standard_analyze(value)))
+    if not qterms:
+        return F.lit(ztq == "all")
+
+    def present(toks: Column, term: str) -> Column:
+        k = _resolve_fuzziness(fuzziness, term)
+        if k == 0:
+            return F.array_contains(toks, term)
+
+        def _within(term=term, k=k):
+            # closure factory: PySpark HOF lambdas dispatch on ARITY, so
+            # default-arg capture (lambda t, term=term) reads as a
+            # 2-arg (element, index) lambda
+            return lambda t: F.levenshtein(t, F.lit(term)) <= k
+
+        return F.exists(toks, _within())
+
+    def body_fn(toks: Column) -> Column:
+        hits = [present(toks, t) for t in qterms]
+        if operator == "and":
+            out = hits[0]
+            for h in hits[1:]:
+                out = out & h
+            return out
+        if msm is not None:
+            required = _msm_count(msm, len(qterms), False)
+            if required > len(qterms):
+                return F.lit(False)
+            if required > 1:
+                n = hits[0].cast("int")
+                for h in hits[1:]:
+                    n = n + h.cast("int")
+                return n >= required
+        out = hits[0]
+        for h in hits[1:]:
+            out = out | h
+        return out
+
+    return _let(analyze_tokens(_resolve(field)), body_fn)
 
 
 def _match_phrase(body, id_col):

@@ -246,6 +246,24 @@ def _doc_get(doc: dict, path: str) -> Any:
     return cur
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance — query tokens are short, and the doc-side
+    evaluator runs on already-pruned candidates, so O(len*len) is fine.
+    Must agree with Spark's F.levenshtein (unit edit costs, no
+    transposition discount) for the fuzzy-match differential to hold."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _tokens(s: Any) -> set[str]:
     return {t for t in _TOKEN_RE.split(str(s).lower()) if t}
 
@@ -303,6 +321,7 @@ def match_doc(doc: dict, query: dict) -> bool:
     match_operator = "or"
     match_msm = None
     match_ztq = "none"
+    match_fuzz = None
     case_insensitive = False
     if isinstance(value, dict):
         if kind in ("match", "match_phrase"):
@@ -311,6 +330,7 @@ def match_doc(doc: dict, query: dict) -> bool:
             match_operator = str(value.get("operator", "or")).lower()
             match_msm = value.get("minimum_should_match")
             match_ztq = str(value.get("zero_terms_query", "none")).lower()
+            match_fuzz = value.get("fuzziness")
             value = value.get("query")
         elif "value" in value:
             case_insensitive = bool(value.get("case_insensitive"))
@@ -359,6 +379,32 @@ def match_doc(doc: dict, query: dict) -> bool:
             return match_ztq == "all"
         if dv is None:
             return False
+        if match_fuzz is not None:
+            # fuzzy match: each query token satisfied by any doc token
+            # within its per-token edit budget — mirrors _match_fuzzy
+            from elasticsearch_hadoop_spark.query_dsl import (
+                _msm_count,
+                _resolve_fuzziness,
+            )
+
+            dts = _tokens(dv)
+
+            def _ok(q: str) -> bool:
+                k = _resolve_fuzziness(match_fuzz, q)
+                if k == 0:
+                    return q in dts
+                return any(_levenshtein(t, q) <= k for t in dts)
+
+            qs = sorted(_tokens(value))
+            if match_operator == "and":
+                return all(_ok(q) for q in qs)
+            if match_msm is not None:
+                required = _msm_count(match_msm, len(qs), False)
+                if required > len(qs):
+                    return False
+                if required > 1:
+                    return sum(_ok(q) for q in qs) >= required
+            return any(_ok(q) for q in qs)
         if match_operator == "and":
             # ES ignores minimum_should_match under operator=and
             return _tokens(value) <= _tokens(dv)

@@ -116,10 +116,28 @@ match_zero_q = st.tuples(
 phrase_zero_q = st.sampled_from(["", "??", "alpha!beta"]).map(
     lambda p: {"match_phrase": {"name": {"query": p}}}
 )
+# fuzzy match: per-token edit budgets (AUTO or fixed) — "zeta" is 1 edit
+# from "beta", "alpha" 2 from "alXXa", so the pool exercises real hits
+match_fuzzy_q = st.tuples(
+    st.lists(st.sampled_from(["alpha", "beta", "zeta", "bta", "alpa"]),
+             min_size=1, max_size=2),
+    st.sampled_from(["AUTO", 0, 1, 2]),
+    st.sampled_from(["or", "and"]),
+).map(
+    lambda t: {
+        "match": {
+            "name": {
+                "query": " ".join(t[0]),
+                "fuzziness": t[1],
+                "operator": t[2],
+            }
+        }
+    }
+)
 
 leaf = st.one_of(
     term_q, terms_q, range_q, exists_q, prefix_q, wildcard_q, match_q,
-    match_msm_q, phrase_q, match_zero_q, phrase_zero_q
+    match_msm_q, phrase_q, match_zero_q, phrase_zero_q, match_fuzzy_q
 )
 
 

@@ -336,3 +336,79 @@ def test_fuzzy_short_form_defaults_to_auto(spark):
     tb = sorted(r["id"] for r in df.filter(
         compile_query({"terms": {"w": ["cat", "dog"], "boost": 2.0}})).collect())
     assert tb == [1, 3]
+
+
+class TestMatchFuzziness:
+    """`match` with `fuzziness`: Lucene rewrites each query token to a
+    FuzzyQuery (per-token AUTO edit budgets).  Previously the option was
+    silently ignored — a typo'd token simply failed to match."""
+
+    def _df(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([
+            Row(id=1, text="the quick brown fox"),
+            Row(id=2, text="the quack brown box"),
+            Row(id=3, text="completely unrelated words"),
+        ])
+
+    def _ids(self, spark, dsl):
+        from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+        return sorted(r["id"] for r in self._df(spark).filter(compile_query(dsl)).collect())
+
+    def test_or_fuzzy(self, spark):
+        # "quick" (len 5 -> AUTO=1 edit) reaches "quack"; exact match misses it
+        assert self._ids(spark, {"match": {"text": {"query": "quick"}}}) == [1]
+        assert self._ids(
+            spark, {"match": {"text": {"query": "quick", "fuzziness": "AUTO"}}}
+        ) == [1, 2]
+        # fixed fuzziness 0 is the exact match
+        assert self._ids(
+            spark, {"match": {"text": {"query": "quick", "fuzziness": 0}}}
+        ) == [1]
+
+    def test_and_fuzzy_and_msm(self, spark):
+        assert self._ids(
+            spark,
+            {"match": {"text": {"query": "quick fox", "operator": "and",
+                                "fuzziness": 1}}},
+        ) == [1, 2]  # quack/box are 1 edit away
+        assert self._ids(
+            spark,
+            {"match": {"text": {"query": "quick fox zebra",
+                                "minimum_should_match": 2, "fuzziness": 1}}},
+        ) == [1, 2]
+
+    def test_auto_is_per_token(self, spark):
+        # "ox" (len 2 -> AUTO=0 edits) must NOT fuzzy-reach "fox"/"box";
+        # "brown" (len 5 -> 1 edit) in the same query still matches
+        assert self._ids(
+            spark, {"match": {"text": {"query": "ox", "fuzziness": "AUTO"}}}
+        ) == []
+        assert self._ids(
+            spark,
+            {"match": {"text": {"query": "ox browns", "operator": "or",
+                                "fuzziness": "AUTO"}}},
+        ) == [1, 2]
+
+    def test_match_doc_agrees(self):
+        from elasticsearch_hadoop_spark.sources.es_datasource import match_doc
+
+        docs = [
+            {"text": "the quick brown fox"},
+            {"text": "the quack brown box"},
+            {"text": "completely unrelated words"},
+        ]
+        for dsl, expect in [
+            ({"match": {"text": {"query": "quick", "fuzziness": "AUTO"}}},
+             [True, True, False]),
+            ({"match": {"text": {"query": "quick fox", "operator": "and",
+                                 "fuzziness": 1}}},
+             [True, True, False]),
+            ({"match": {"text": {"query": "ox", "fuzziness": "AUTO"}}},
+             [False, False, False]),
+            ({"match": {"text": {"query": "quick", "fuzziness": 0}}},
+             [True, False, False]),
+        ]:
+            assert [match_doc(d, dsl) for d in docs] == expect, dsl
