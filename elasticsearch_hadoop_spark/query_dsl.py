@@ -898,6 +898,17 @@ def _multi_match(body, id_col):
         return F.lit(ztq == "all")
     if qtype == "phrase":
         return _or_chain([_match_phrase({f: value}, id_col) for f in fields])
+    if qtype == "phrase_prefix":
+        return _or_chain(
+            [_match_phrase_prefix({f: {"query": value}}, id_col) for f in fields]
+        )
+    if qtype == "bool_prefix":
+        spec = {"query": value, "operator": operator}
+        if msm is not None:
+            spec["minimum_should_match"] = msm
+        return _or_chain(
+            [_match_bool_prefix({f: dict(spec)}, id_col) for f in fields]
+        )
     if qtype == "cross_fields":
         qtokens = F.array_distinct(analyze_tokens(F.lit(value)))
         per_field = [
@@ -969,6 +980,52 @@ def _terms_set(body, id_col):
             "terms_set requires minimum_should_match_field or minimum_should_match"
         )
     return n_matched >= required
+
+
+def _match_bool_prefix(body, id_col):
+    """ES `match_bool_prefix`: the analyzed tokens become a bool query —
+    every token but the LAST matches as a term anywhere in the field, the
+    last as a PREFIX of any doc token (no position constraint, unlike
+    match_phrase_prefix).  operator / minimum_should_match compose the
+    per-token clauses exactly like `match`."""
+    field, value = _field_value(body)
+    operator = "or"
+    msm = None
+    spec = body[next(iter(body))]
+    if isinstance(spec, dict):
+        value = spec.get("query", value)
+        operator = str(spec.get("operator", "or")).lower()
+        msm = spec.get("minimum_should_match")
+    terms = py_standard_analyze(value)
+    if not terms:
+        return F.lit(False)  # Lucene MatchNoDocs on zero tokens
+
+    def body_fn(toks: Column) -> Column:
+        def _pref(last=terms[-1]):
+            return lambda t: t.startswith(last)
+
+        hits = [F.array_contains(toks, t) for t in terms[:-1]]
+        hits.append(F.exists(toks, _pref()))
+        if operator == "and":
+            out = hits[0]
+            for h in hits[1:]:
+                out = out & h
+            return out
+        if msm is not None:
+            required = _msm_count(msm, len(hits), False)
+            if required > len(hits):
+                return F.lit(False)
+            if required > 1:
+                n = hits[0].cast("int")
+                for h in hits[1:]:
+                    n = n + h.cast("int")
+                return n >= required
+        out = hits[0]
+        for h in hits[1:]:
+            out = out | h
+        return out
+
+    return _let(analyze_tokens(_resolve(field)), body_fn)
 
 
 def _match_phrase_prefix(body, id_col):
@@ -1854,6 +1911,7 @@ _HANDLERS = {
     "match": _match,
     "match_phrase": _match_phrase,
     "match_phrase_prefix": _match_phrase_prefix,
+    "match_bool_prefix": _match_bool_prefix,
     "match_all": _match_all,
     "match_none": lambda body, id_col: F.lit(False),
     "multi_match": _multi_match,

@@ -412,3 +412,68 @@ class TestMatchFuzziness:
              [True, False, False]),
         ]:
             assert [match_doc(d, dsl) for d in docs] == expect, dsl
+
+
+class TestMatchBoolPrefix:
+    """`match_bool_prefix` (type-as-you-search): all tokens but the last
+    are unpositioned term matches, the last is a prefix of ANY doc token
+    — previously an unsupported-clause error."""
+
+    def _df(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([
+            Row(id=1, text="quick brown fox"),
+            Row(id=2, text="foxtrot dancing quickly"),
+            Row(id=3, text="brown bear"),
+        ])
+
+    def _ids(self, spark, dsl):
+        from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+        return sorted(r["id"] for r in self._df(spark).filter(compile_query(dsl)).collect())
+
+    def test_last_token_is_prefix(self, spark):
+        # "fo" prefixes fox AND foxtrot; "quick bro fo" with or matches all
+        assert self._ids(spark, {"match_bool_prefix": {"text": "fo"}}) == [1, 2]
+        assert self._ids(
+            spark,
+            {"match_bool_prefix": {"text": {"query": "brown fo",
+                                            "operator": "and"}}},
+        ) == [1]  # needs term "brown" AND prefix "fo" in the same doc
+        # unlike match_phrase_prefix there is no position constraint
+        assert self._ids(
+            spark,
+            {"match_bool_prefix": {"text": {"query": "dancing fox",
+                                            "operator": "and"}}},
+        ) == [2]  # "fox" prefixes "foxtrot"; order/adjacency irrelevant
+
+    def test_msm_and_multi_match_types(self, spark):
+        # doc1: quick+fox = 2 hits; doc2: only the "fo" prefix ("quickly"
+        # is not the term "quick"); doc3: only "bear" — msm=2 keeps doc1
+        assert self._ids(
+            spark,
+            {"match_bool_prefix": {"text": {"query": "quick bear fo",
+                                            "minimum_should_match": 2}}},
+        ) == [1]
+        assert self._ids(
+            spark,
+            {"match_bool_prefix": {"text": {"query": "quick bear fo",
+                                            "minimum_should_match": 1}}},
+        ) == [1, 2, 3]
+        assert self._ids(
+            spark,
+            {"multi_match": {"query": "brown fo", "fields": ["text"],
+                             "type": "bool_prefix", "operator": "and"}},
+        ) == [1]
+        # phrase_prefix demands adjacency: "brown fo" must appear in order
+        assert self._ids(
+            spark,
+            {"multi_match": {"query": "brown fo", "fields": ["text"],
+                             "type": "phrase_prefix"}},
+        ) == [1]
+        assert self._ids(
+            spark,
+            {"multi_match": {"query": "dancing qui", "fields": ["text"],
+                             "type": "phrase_prefix"}},
+        ) == [2]
