@@ -82,24 +82,47 @@ class EsqlError(ValueError):
     pass
 
 
-# scalar functions an expression may call (ES|QL name -> Spark SQL name)
+# scalar functions an expression may call (ES|QL name -> Spark SQL name).
+# Only names whose ARGUMENT ORDER matches Spark's may live here — the
+# translation is name substitution, it cannot reorder arguments (which is
+# why e.g. LOCATE, DATE_FORMAT, DATE_PARSE and DATE_DIFF — all
+# argument-swapped vs Spark — are deliberately absent and raise).
 _FUNCS = {
     "round": "round", "abs": "abs", "ceil": "ceil", "floor": "floor",
     "sqrt": "sqrt", "pow": "power", "log10": "log10",
+    # LOG matches in both arities: LOG(x) is natural log, LOG(base, x)
+    "log": "log", "exp": "exp", "cbrt": "cbrt", "signum": "signum",
+    "acos": "acos", "asin": "asin", "atan": "atan", "atan2": "atan2",
+    "cos": "cos", "cosh": "cosh", "sin": "sin", "sinh": "sinh",
+    "tan": "tan", "tanh": "tanh", "hypot": "hypot", "pi": "pi", "e": "e",
+    "to_degrees": "degrees", "to_radians": "radians",
     "concat": "concat", "length": "length", "substring": "substring",
     "to_lower": "lower", "to_upper": "upper", "trim": "trim",
+    "ltrim": "ltrim", "rtrim": "rtrim",
+    "left": "left", "right": "right", "reverse": "reverse",
+    "repeat": "repeat",
+    # ES|QL REPLACE(string, regex, new) is regex-based, like Spark's
+    # regexp_replace (same argument order); Spark's literal `replace`
+    # would silently change semantics
+    "replace": "regexp_replace",
     "starts_with": "startswith", "ends_with": "endswith",
+    "locate": None,  # argument order differs from Spark — rejected
+    "bit_length": "bit_length", "byte_length": "octet_length",
+    "to_base64": "base64", "md5": "md5", "sha1": "sha1",
     "to_string": "string", "to_long": "bigint", "to_double": "double",
-    "to_integer": "int",
+    "to_integer": "int", "to_boolean": "boolean", "to_datetime": "timestamp",
     "date_trunc": "date_trunc", "date_extract": "extract",
     # BUCKET() rewrites emit these (also safe to call directly)
     "timestamp_seconds": "timestamp_seconds", "unix_timestamp": "unix_timestamp",
     "coalesce": "coalesce", "greatest": "greatest", "least": "least",
     "case": "case", "cidr_match": None,  # rejected explicitly below
     "mv_count": "size", "mv_min": "array_min", "mv_max": "array_max",
+    "mv_concat": "array_join", "mv_dedupe": "array_distinct",
+    "mv_sort": "array_sort",
     "split": "split",
 }
-_CASTS = {"to_string", "to_long", "to_double", "to_integer"}
+_CASTS = {"to_string", "to_long", "to_double", "to_integer", "to_boolean",
+          "to_datetime"}
 
 _AGGS = {
     "count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min,

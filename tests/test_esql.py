@@ -372,3 +372,49 @@ def test_grok_dissect_nonmatching_rows_are_null(spark):
     assert (out[1]["a"], out[1]["b"]) == ("GET", "200")
     assert out[2]["a"] is None and out[2]["b"] is None
     assert out[3]["a"] is None and out[3]["b"] is None
+
+
+def test_expanded_scalar_function_whitelist(spark):
+    """Round-6 whitelist expansion: only functions whose argument order
+    matches Spark's are admitted; arg-swapped names (LOCATE) stay
+    rejected, and REPLACE maps to regexp_replace (ES|QL's replace is
+    regex-based)."""
+    import math
+
+    import pytest
+
+    from elasticsearch_hadoop_spark.esql import EsqlError
+
+    df = spark.createDataFrame([(1, "Hello World", 2.0, ["b", "a", "b"])],
+                               "id int, s string, x double, arr array<string>")
+    row = esql(
+        """
+        FROM t
+        | EVAL lft = LEFT(s, 5), rgt = RIGHT(s, 5), rev = REVERSE(s),
+               rep = REPLACE(s, "l+o", "LO"),
+               b64 = TO_BASE64(s), h = MD5(s),
+               deg = ROUND(TO_DEGREES(PI()), 4), lg = ROUND(LOG(2, 8.0), 4),
+               sn = ROUND(SIN(0.0), 4), hyp = ROUND(HYPOT(3.0, 4.0), 4),
+               mvd = MV_CONCAT(MV_DEDUPE(arr), ","),
+               flag = TO_BOOLEAN("true")
+        | KEEP lft, rgt, rev, rep, b64, h, deg, lg, sn, hyp, mvd, flag
+        """,
+        tables={"t": df},
+    ).collect()[0]
+    import base64
+    import hashlib
+
+    assert row["lft"] == "Hello" and row["rgt"] == "World"
+    assert row["rev"] == "dlroW olleH"
+    assert row["rep"] == "HeLO World"
+    assert row["b64"] == base64.b64encode(b"Hello World").decode()
+    assert row["h"] == hashlib.md5(b"Hello World").hexdigest()
+    assert row["deg"] == 180.0
+    assert row["lg"] == 3.0 and row["sn"] == 0.0 and row["hyp"] == 5.0
+    assert row["mvd"] in ("b,a", "a,b")  # array_distinct keeps first-seen order
+    assert row["flag"] is True
+    # argument-swapped and unknown functions still raise
+    with pytest.raises(EsqlError, match="unsupported function"):
+        esql('FROM t | EVAL p = LOCATE(s, "World")', tables={"t": df})
+    with pytest.raises(EsqlError, match="unsupported function"):
+        esql('FROM t | EVAL p = DATE_FORMAT("yyyy", x)', tables={"t": df})
