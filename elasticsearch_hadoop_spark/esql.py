@@ -26,9 +26,11 @@ Supported commands (the documented core; anything else raises):
   ones, like ES|QL.
 - ``STATS [name =] AGG(expr) [WHERE cond][, ...] [BY k1[, k2...]]`` —
   COUNT(*), COUNT, COUNT_DISTINCT, SUM, AVG, MIN, MAX, MEDIAN,
-  PERCENTILE(x, p); per-aggregate WHERE (8.16+) compiles to
-  agg(when(cond, x)) inside the same single hash aggregation; BY keys
-  may be EVAL-style ``name = expr`` (``BUCKET(x, span)`` included).
+  PERCENTILE(x, p), STD_DEV (population), VALUES (unordered distinct
+  set), WEIGHTED_AVG(x, w), TOP(x, limit, "asc"|"desc"); per-aggregate
+  WHERE (8.16+) compiles to agg(when(cond, x)) inside the same single
+  hash aggregation; BY keys may be EVAL-style ``name = expr``
+  (``BUCKET(x, span)`` included).
 - ``SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST][, ...]``
 - ``LIMIT n``
 - ``KEEP c1, c2`` / ``DROP c1, c2`` (``*`` wildcards per ES|QL)
@@ -127,6 +129,10 @@ _CASTS = {"to_string", "to_long", "to_double", "to_integer", "to_boolean",
 _AGGS = {
     "count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min,
     "max": F.max, "median": F.median, "count_distinct": F.countDistinct,
+    # round-6 additions: population std-dev (ES|QL STD_DEV matches ES's
+    # population semantics), VALUES (unordered distinct collection —
+    # collect_set, like ES|QL's unordered contract)
+    "std_dev": F.stddev_pop, "values": F.collect_set,
 }
 
 _EXPR_OK = re.compile(r"^[\w\s.+\-*/%(),<>=!'\"|&:\[\]]+$")
@@ -413,6 +419,27 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
             if len(args) != 2:
                 raise EsqlError(f"PERCENTILE needs (expr, p): {item!r}")
             col = F.percentile(_gate(_expr(args[0])), F.lit(float(args[1]) / 100.0))
+        elif fname == "weighted_avg":
+            args = _split_top(inner)
+            if len(args) != 2:
+                raise EsqlError(f"WEIGHTED_AVG needs (expr, weight): {item!r}")
+            v, w = _expr(args[0]), _expr(args[1])
+            col = F.sum(_gate(v * w)) / F.sum(_gate(w))
+        elif fname == "top":
+            # TOP(field, limit, "asc"|"desc"): the limit highest/lowest
+            # values as an array — one collect + sort + slice per group
+            args = _split_top(inner)
+            if len(args) != 3:
+                raise EsqlError(f"TOP needs (field, limit, order): {item!r}")
+            order = args[2].strip().strip("'\"").lower()
+            if order not in ("asc", "desc"):
+                raise EsqlError(f"TOP order must be asc|desc: {item!r}")
+            col = F.slice(
+                F.sort_array(F.collect_list(_gate(_expr(args[0]))),
+                             asc=(order == "asc")),
+                1,
+                int(args[1]),
+            )
         elif fname == "count" and inner in ("*", ""):
             col = F.count(_gate(F.lit(1)))
         elif fname in _AGGS:

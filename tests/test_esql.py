@@ -418,3 +418,31 @@ def test_expanded_scalar_function_whitelist(spark):
         esql('FROM t | EVAL p = LOCATE(s, "World")', tables={"t": df})
     with pytest.raises(EsqlError, match="unsupported function"):
         esql('FROM t | EVAL p = DATE_FORMAT("yyyy", x)', tables={"t": df})
+
+
+def test_stats_std_dev_values_weighted_avg_top(spark):
+    """Round-6 STATS additions: STD_DEV (population), VALUES (unordered
+    distinct set), WEIGHTED_AVG, TOP(field, limit, order)."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 3.0), ("a", 6.0, 1.0), ("b", 4.0, 2.0)],
+        "g string, v double, w double",
+    )
+    out = {r["g"]: r for r in esql(
+        """
+        FROM t
+        | STATS sd = STD_DEV(v), vals = VALUES(v),
+                wavg = WEIGHTED_AVG(v, w), top2 = TOP(v, 2, "desc"),
+                bot1 = TOP(v, 1, "asc") BY g
+        """,
+        tables={"t": df},
+    ).collect()}
+    import math
+
+    # population stddev of [1,2,6]: mean 3, var (4+1+9)/3
+    assert math.isclose(out["a"]["sd"], math.sqrt(14.0 / 3.0), rel_tol=1e-9)
+    assert sorted(out["a"]["vals"]) == [1.0, 2.0, 6.0]
+    # weighted avg: (1*1 + 2*3 + 6*1) / (1+3+1) = 13/5
+    assert math.isclose(out["a"]["wavg"], 13.0 / 5.0, rel_tol=1e-9)
+    assert out["a"]["top2"] == [6.0, 2.0]
+    assert out["a"]["bot1"] == [1.0]
+    assert out["b"]["sd"] == 0.0 and out["b"]["wavg"] == 4.0
