@@ -45,6 +45,14 @@ painless-lite predicate over ``ctx.field`` references, except where noted):
 - ``script`` — ``ctx.target = <painless-lite expr>`` (same whitelist as
   runtime fields)
 - ``uri_parts`` — scheme/domain/path/query struct via JVM ``parse_url``
+- ``grok`` — ``patterns`` tried in order, first match wins (same
+  ``%{SYNTAX:name:type}`` dialect and NULL-on-no-match semantics as the
+  ES|QL GROK command; shares its compiler)
+- ``html_strip`` — removes tags (documented subset: entities are not
+  decoded)
+- ``urldecode`` / ``bytes`` (``"1.5kb"`` -> 1536; malformed -> NULL) /
+  ``csv`` (plain separator split, no quote-escape handling) /
+  ``sort`` (array field, asc|desc)
 - ``drop`` — ``if`` predicate removes the document (a filter, so it
   prunes downstream work instead of tombstoning)
 
@@ -341,6 +349,92 @@ def _apply_one(
         )
         return _guarded(df, tgt, new, cond)
 
+    if kind == "grok":
+        # ES grok processor: patterns tried in order, FIRST matching
+        # pattern sets its keys (keys of later patterns stay NULL for
+        # that row); non-matching rows leave every key NULL.  Reuses the
+        # ES|QL GROK compiler (same %{SYNTAX:name:type} dialect, same
+        # NULL-on-no-match / try_cast-on-bad-value semantics).
+        from elasticsearch_hadoop_spark.esql import _grok_regex
+
+        pats = cfg.get("patterns") or ([cfg["pattern"]] if cfg.get("pattern") else [])
+        if not pats:
+            raise IngestError("grok needs a patterns list")
+        compiled = [_grok_regex(str(p)) for p in pats]
+        src = F.col(field)
+        matched = [F.coalesce(src.rlike(rx), F.lit(False)) for rx, _ in compiled]
+        all_keys: list[str] = []
+        for _, keys in compiled:
+            for k, _t in keys:
+                if k not in all_keys:
+                    all_keys.append(k)
+        out = df
+        for k in all_keys:
+            expr = F.lit(None).cast("string")
+            for (rx, keys), m in reversed(list(zip(compiled, matched))):
+                names = [kk for kk, _t in keys]
+                if k in names:
+                    col = F.regexp_extract(src, rx, names.index(k) + 1)
+                    cast_t = dict(keys).get(k)
+                    if cast_t:
+                        col = col.try_cast(cast_t)
+                else:
+                    col = F.lit(None)
+                expr = F.when(m, col).otherwise(expr)
+            out = out.withColumn(k, expr)
+        return out
+
+    if kind == "html_strip":
+        # documented subset of Lucene's HTMLStripCharFilter: removes tags;
+        # HTML entities are not decoded
+        new = F.regexp_replace(F.col(field), r"<[^>]*>", "")
+        return _guarded(df, target, new, cond)
+
+    if kind == "urldecode":
+        return _guarded(df, target, F.url_decode(F.col(field)), cond)
+
+    if kind == "bytes":
+        # "1kb" -> 1024; case-insensitive units b/kb/mb/gb/tb/pb, optional
+        # fraction ("1.5kb" -> 1536, like ES); malformed values yield NULL
+        c = F.trim(F.col(field).cast("string"))
+        rx = r"^(\d+(?:\.\d+)?)\s*([kKmMgGtTpP]?[bB])$"
+        num = F.regexp_extract(c, rx, 1).try_cast("double")
+        unit = F.lower(F.regexp_extract(c, rx, 2))
+        factor = (
+            F.when(unit == "b", F.lit(1))
+            .when(unit == "kb", F.lit(1024))
+            .when(unit == "mb", F.lit(1024**2))
+            .when(unit == "gb", F.lit(1024**3))
+            .when(unit == "tb", F.lit(1024**4))
+            .when(unit == "pb", F.lit(1024**5))
+        )
+        new = F.floor(num * factor).cast("bigint")
+        return _guarded(df, target, new, cond)
+
+    if kind == "csv":
+        # documented subset: plain separator split (no quote-escape
+        # handling); missing trailing columns land NULL, like ES's
+        # ignore_missing-style leniency
+        tgts = cfg.get("target_fields") or []
+        if not tgts:
+            raise IngestError("csv needs target_fields")
+        sep = str(cfg.get("separator", ","))
+        parts = F.split(F.col(field), re.escape(sep))
+        out = df
+        for i, t in enumerate(tgts):
+            piece = F.get(parts, i)
+            if cfg.get("trim"):
+                piece = F.trim(piece)
+            out = _guarded(out, t, piece, cond)
+        return out
+
+    if kind == "sort":
+        order = str(cfg.get("order", "asc")).lower()
+        if order not in ("asc", "desc"):
+            raise IngestError(f"sort order must be asc|desc: {order!r}")
+        new = F.sort_array(F.col(field), asc=(order == "asc"))
+        return _guarded(df, target, new, cond)
+
     if kind == "drop":
         if cond is None:
             raise IngestError("drop without an if would delete every document")
@@ -353,6 +447,7 @@ _SUPPORTED = {
     "set", "rename", "remove", "convert", "date", "split", "join", "gsub",
     "lowercase", "uppercase", "trim", "append", "dissect", "kv", "json",
     "fingerprint", "script", "uri_parts", "drop", "enrich",
+    "grok", "html_strip", "urldecode", "bytes", "csv", "sort",
 }
 
 
@@ -392,6 +487,23 @@ def _precheck(kind: str, cfg: dict) -> None:
                 raise IngestError(f"enrich needs {req}")
         if "if" in cfg:
             raise IngestError("enrich: per-row if unsupported (it is a join)")
+    if kind == "grok":
+        from elasticsearch_hadoop_spark.esql import EsqlError, _grok_regex
+
+        pats = cfg.get("patterns") or ([cfg["pattern"]] if cfg.get("pattern") else [])
+        if not pats:
+            raise IngestError("grok needs a patterns list")
+        try:
+            for p in pats:
+                _grok_regex(str(p))
+        except EsqlError as e:
+            raise IngestError(f"grok: {e}") from e
+        if "if" in cfg:
+            raise IngestError("grok: per-row if unsupported (multi-column)")
+    if kind == "csv" and not cfg.get("target_fields"):
+        raise IngestError("csv needs target_fields")
+    if kind == "sort" and str(cfg.get("order", "asc")).lower() not in ("asc", "desc"):
+        raise IngestError(f"sort order must be asc|desc: {cfg.get('order')!r}")
 
 
 def compile_pipeline(pipeline: dict | list, enrich_policies: dict | None = None):

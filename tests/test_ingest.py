@@ -228,3 +228,62 @@ def test_convert_ignore_failure(spark):
     strict = compile_pipeline([{"convert": {"field": "n", "type": "long"}}])(df)
     with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
         strict.collect()
+
+
+def test_grok_processor_first_match_wins(spark):
+    """Round-6 processor: grok with a patterns list — the FIRST matching
+    pattern sets its keys; keys of other patterns stay NULL; non-matching
+    rows are all-NULL (ES semantics, shared with the ES|QL GROK compiler)."""
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "GET /idx 200"), (2, "ERR timeout"), (3, "garbage")],
+        "id int, msg string",
+    )
+    pipe = compile_pipeline([
+        {"grok": {"field": "msg", "patterns": [
+            "%{WORD:verb} %{NOTSPACE:path} %{NUMBER:code:int}",
+            "ERR %{WORD:err}",
+        ]}},
+    ])
+    out = {r["id"]: r for r in pipe(df).collect()}
+    assert (out[1]["verb"], out[1]["path"], out[1]["code"]) == ("GET", "/idx", 200)
+    assert out[1]["err"] is None
+    assert out[2]["err"] == "timeout" and out[2]["verb"] is None
+    assert out[3]["verb"] is None and out[3]["err"] is None and out[3]["code"] is None
+
+
+def test_round6_processors(spark):
+    """html_strip / urldecode / bytes / csv / sort."""
+    from elasticsearch_hadoop_spark.ingest import IngestError, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "<b>bold</b> text", "a%20b%2Fc", "1.5kb", "x, y ,z", [3, 1, 2])],
+        "id int, html string, enc string, size string, line string, arr array<int>",
+    )
+    pipe = compile_pipeline([
+        {"html_strip": {"field": "html", "target_field": "plain"}},
+        {"urldecode": {"field": "enc", "target_field": "dec"}},
+        {"bytes": {"field": "size", "target_field": "nbytes"}},
+        {"csv": {"field": "line", "target_fields": ["c1", "c2", "c3"],
+                 "trim": True}},
+        {"sort": {"field": "arr", "order": "desc", "target_field": "sorted"}},
+    ])
+    row = pipe(df).collect()[0]
+    assert row["plain"] == "bold text"
+    assert row["dec"] == "a b/c"
+    assert row["nbytes"] == 1536
+    assert (row["c1"], row["c2"], row["c3"]) == ("x", "y", "z")
+    assert row["sorted"] == [3, 2, 1]
+    # malformed bytes value -> NULL, not a job failure
+    df2 = spark.createDataFrame([(1, "notasize")], "id int, size string")
+    row2 = compile_pipeline([{"bytes": {"field": "size"}}])(df2).collect()[0]
+    assert row2["size"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(IngestError):
+        compile_pipeline([{"csv": {"field": "line"}}])
+    with _pytest.raises(IngestError):
+        compile_pipeline([{"sort": {"field": "arr", "order": "sideways"}}])
+    with _pytest.raises(IngestError):
+        compile_pipeline([{"grok": {"field": "msg", "patterns": ["%{NOPE:x}"]}}])
