@@ -31,6 +31,11 @@ Supported commands (the documented core; anything else raises):
   WHERE (8.16+) compiles to agg(when(cond, x)) inside the same single
   hash aggregation; BY keys may be EVAL-style ``name = expr``
   (``BUCKET(x, span)`` included).
+- ``INLINESTATS agg [BY keys]`` — STATS joined back onto the source
+  rows (every row kept, aggregate columns attached; an aggregate named
+  like an existing column replaces it).  BY keys must be bare columns or
+  ``name = expr``; the join is null-safe (nulls group together) and the
+  no-BY one-row aggregate broadcasts.
 - ``SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST][, ...]``
 - ``LIMIT n``
 - ``KEEP c1, c2`` / ``DROP c1, c2`` (``*`` wildcards per ES|QL)
@@ -460,6 +465,8 @@ _GROK_PATTERNS = {
     "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
     "DATA": r".*?",
     "GREEDYDATA": r".*",
+    "EMAILADDRESS": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
 }
 _GROK_REF = re.compile(r"%\{(\w+):(\w+)(?::(\w+))?\}")
 _GROK_TYPES = {"int": "int", "long": "bigint", "float": "float", "double": "double"}
@@ -550,6 +557,43 @@ def esql(
                 df = df.withColumn(name.strip(), _expr(expr))
         elif cmd == "STATS":
             df = _stats(df, body)
+        elif cmd == "INLINESTATS":
+            # STATS joined back onto the source rows (every input row
+            # kept, aggregate columns attached).  Computed BY keys are
+            # materialized on the source first so the join key exists on
+            # both sides; the join is null-safe (ES|QL groups nulls
+            # together).  With no BY the one-row aggregate broadcasts.
+            by_m = re.search(r"\bBY\b", body, flags=re.I)
+            key_names: list[str] = []
+            if by_m:
+                for k in _split_top(body[by_m.end():]):
+                    k = k.strip()
+                    if "=" in k and "==" not in k:
+                        name, kexpr = k.split("=", 1)
+                        df = df.withColumn(name.strip(), _expr(kexpr))
+                        key_names.append(name.strip())
+                    elif "(" in k:
+                        raise EsqlError(
+                            "INLINESTATS BY expressions must be named: "
+                            f"write name = {k}"
+                        )
+                    else:
+                        key_names.append(k)
+                body = body[: by_m.start()] + " BY " + ", ".join(key_names)
+            agg = _stats(df, body)
+            # an aggregate named like an existing column replaces it
+            clobbered = [
+                c for c in agg.columns if c not in key_names and c in df.columns
+            ]
+            if not key_names:
+                df = df.drop(*clobbered).crossJoin(F.broadcast(agg))
+            else:
+                src = df.drop(*clobbered)
+                pred = None
+                for n in key_names:
+                    c = src[n].eqNullSafe(agg[n])
+                    pred = c if pred is None else (pred & c)
+                df = src.join(agg, pred, "left").drop(*[agg[n] for n in key_names])
         elif cmd == "SORT":
             order = []
             for item in _split_top(body):

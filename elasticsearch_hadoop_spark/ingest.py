@@ -55,6 +55,22 @@ painless-lite predicate over ``ctx.field`` references, except where noted):
   ``sort`` (array field, asc|desc)
 - ``drop`` — ``if`` predicate removes the document (a filter, so it
   prunes downstream work instead of tombstoning)
+- ``fail`` — matching rows raise with the configured message (the batch
+  analogue of ES failing the document; unconditional fail rejected)
+- ``foreach`` — elementwise inner processor over an array field via a
+  higher-order ``transform`` (inner field must be ``_ingest._value``;
+  supported inner kinds: lowercase/uppercase/trim/gsub/urldecode/bytes/
+  convert/html_strip)
+- ``pipeline`` — nested pipeline by name, inline-expanded at compile
+  time from the ``pipelines={name: json}`` registry (cycles rejected)
+- ``dot_expander`` — a literal dotted column ``a.b`` becomes nested
+  struct field ``a.b``, merging into an existing struct via ``withField``
+- ``date_index_name`` — emits the ``_index`` metadata column (prefix +
+  rounded/formatted event date), composing with dynamic index routing
+- ``redact`` — grok-named-capture masking (``%{IP:client}`` ->
+  ``<client>``); documented subset: each ref redacts independently
+- ``registered_domain`` — eTLD split with a documented built-in
+  two-level-suffix subset (no public-suffix database in the sandbox)
 
 Anything else raises ``IngestError`` — no silent skips.
 """
@@ -86,8 +102,90 @@ _CONVERT_TYPES = {
 }
 
 
+_DATE_ROUNDING = {
+    "y": "year", "M": "month", "w": "week", "d": "day",
+    "h": "hour", "m": "minute", "s": "second",
+}
+
+# documented subset of the public-suffix list: common two-level TLDs the
+# registered_domain processor recognizes without ES's bundled database
+_TLD2 = {
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "co.in", "com.cn", "com.br", "com.mx", "co.nz", "co.za",
+    "com.sg", "com.hk", "com.tw", "co.kr", "com.ar", "com.tr",
+}
+
+
 class IngestError(ValueError):
     pass
+
+
+def _bytes_col(c: Column) -> Column:
+    """``"1.5kb"`` -> 1536; case-insensitive b/kb/mb/gb/tb/pb units,
+    optional fraction; malformed values yield NULL (shared by the
+    ``bytes`` processor and its ``foreach`` elementwise form)."""
+    c = F.trim(c.cast("string"))
+    rx = r"^(\d+(?:\.\d+)?)\s*([kKmMgGtTpP]?[bB])$"
+    num = F.regexp_extract(c, rx, 1).try_cast("double")
+    unit = F.lower(F.regexp_extract(c, rx, 2))
+    factor = (
+        F.when(unit == "b", F.lit(1))
+        .when(unit == "kb", F.lit(1024))
+        .when(unit == "mb", F.lit(1024**2))
+        .when(unit == "gb", F.lit(1024**3))
+        .when(unit == "tb", F.lit(1024**4))
+        .when(unit == "pb", F.lit(1024**5))
+    )
+    return F.floor(num * factor).cast("bigint")
+
+
+# inner processors `foreach` can apply elementwise (each compiles to a
+# Column->Column fn usable inside F.transform); the inner processor's
+# `field` must be the ES element sentinel `_ingest._value`
+_FOREACH_INNER = {
+    "lowercase", "uppercase", "trim", "gsub", "urldecode", "bytes",
+    "convert", "html_strip",
+}
+
+
+def _element_fn(kind: str, cfg: dict):
+    if kind not in _FOREACH_INNER:
+        raise IngestError(
+            f"foreach: unsupported inner processor {kind!r} "
+            f"(supported: {sorted(_FOREACH_INNER)})"
+        )
+    inner_field = cfg.get("field", "_ingest._value")
+    if inner_field != "_ingest._value":
+        raise IngestError(
+            "foreach inner processor must address the element as "
+            f"_ingest._value, got {inner_field!r}"
+        )
+    # NOTE: every fn below must be strictly single-arg — F.transform
+    # dispatches on callable ARITY, so a bare F.trim (which takes an
+    # optional trim-string second arg) would be called as (element, index)
+    if kind == "lowercase":
+        return lambda c: F.lower(c)
+    if kind == "uppercase":
+        return lambda c: F.upper(c)
+    if kind == "trim":
+        return lambda c: F.trim(c)
+    if kind == "gsub":
+        pat, rep = cfg["pattern"], cfg["replacement"]
+        return lambda c: F.regexp_replace(c, pat, rep)
+    if kind == "urldecode":
+        return lambda c: F.url_decode(c)
+    if kind == "bytes":
+        return lambda c: _bytes_col(c)
+    if kind == "html_strip":
+        return lambda c: F.regexp_replace(c, r"<[^>]*>", "")
+    # convert
+    t = _CONVERT_TYPES.get(cfg.get("type"))
+    if t is None:
+        raise IngestError(f"convert: unsupported type {cfg.get('type')!r}")
+    if cfg.get("ignore_failure"):
+        return lambda c: c.try_cast(t)
+    return lambda c: c.cast(t)
 
 
 def _ctx_to_doc(expr: str) -> str:
@@ -394,22 +492,7 @@ def _apply_one(
         return _guarded(df, target, F.url_decode(F.col(field)), cond)
 
     if kind == "bytes":
-        # "1kb" -> 1024; case-insensitive units b/kb/mb/gb/tb/pb, optional
-        # fraction ("1.5kb" -> 1536, like ES); malformed values yield NULL
-        c = F.trim(F.col(field).cast("string"))
-        rx = r"^(\d+(?:\.\d+)?)\s*([kKmMgGtTpP]?[bB])$"
-        num = F.regexp_extract(c, rx, 1).try_cast("double")
-        unit = F.lower(F.regexp_extract(c, rx, 2))
-        factor = (
-            F.when(unit == "b", F.lit(1))
-            .when(unit == "kb", F.lit(1024))
-            .when(unit == "mb", F.lit(1024**2))
-            .when(unit == "gb", F.lit(1024**3))
-            .when(unit == "tb", F.lit(1024**4))
-            .when(unit == "pb", F.lit(1024**5))
-        )
-        new = F.floor(num * factor).cast("bigint")
-        return _guarded(df, target, new, cond)
+        return _guarded(df, target, _bytes_col(F.col(field)), cond)
 
     if kind == "csv":
         # documented subset: plain separator split (no quote-escape
@@ -440,6 +523,125 @@ def _apply_one(
             raise IngestError("drop without an if would delete every document")
         return df.filter(~compile_condition(cond))
 
+    if kind == "fail":
+        # ES fail: abort the document with a message.  Batch analogue of
+        # an unhandled per-doc failure (same stance as ANSI convert): the
+        # first matching row raises, surfacing the message and the batch
+        # stops.  Unconditional fail is rejected at compile time.
+        msg = str(cfg.get("message", "fail processor triggered"))
+        trap = F.raise_error(F.lit(f"ingest fail: {msg}")).cast("boolean")
+        gate = F.when(compile_condition(cond), trap).otherwise(F.lit(True))
+        return df.filter(gate)
+
+    if kind == "foreach":
+        # inner processor applied to every element of an array field via
+        # a higher-order transform — stays in codegen, no explode/groupBy
+        # round trip.  The inner processor addresses the element as
+        # `_ingest._value`, the ES contract.
+        (ikind, icfg), = cfg["processor"].items()
+        fn = _element_fn(ikind, icfg)
+        return _guarded(df, target, F.transform(F.col(field), fn), cond)
+
+    if kind == "dot_expander":
+        # a literal dotted column name "a.b" becomes nested struct field
+        # a.b (merging into an existing struct `a` via withField)
+        parts = field.split(".")
+        if len(parts) < 2:
+            raise IngestError(f"dot_expander: field {field!r} has no dot")
+        root = parts[0]
+        flat = F.col("`" + field + "`")
+        if root in df.columns:
+            if not isinstance(df.schema[root].dataType, T.StructType):
+                raise IngestError(
+                    f"dot_expander: column {root!r} exists and is not a struct"
+                )
+            new = F.col(root).withField(".".join(parts[1:]), flat)
+        else:
+            new = flat
+            for p in reversed(parts[1:]):
+                new = F.struct(new.alias(p))
+        return df.withColumn(root, new).drop(flat)
+
+    if kind == "date_index_name":
+        # computes the `_index` metadata column (composes with the sink's
+        # dynamic-routing `_index` contract): prefix + the event date
+        # rounded to date_rounding, rendered with index_name_format
+        trunc = _DATE_ROUNDING.get(cfg.get("date_rounding"))
+        if trunc is None:
+            raise IngestError(
+                f"date_index_name: date_rounding must be one of "
+                f"{sorted(_DATE_ROUNDING)}, got {cfg.get('date_rounding')!r}"
+            )
+        formats = cfg.get("date_formats") or ["ISO8601"]
+        attempts = []
+        for fmt in formats:
+            if fmt == "ISO8601":
+                attempts.append(F.to_timestamp(F.col(field).cast("string")))
+            elif fmt == "UNIX":
+                attempts.append(F.timestamp_seconds(F.col(field).cast("double")))
+            elif fmt == "UNIX_MS":
+                attempts.append(F.timestamp_millis(F.col(field).cast("bigint")))
+            else:
+                attempts.append(
+                    F.try_to_timestamp(F.col(field).cast("string"), F.lit(fmt))
+                )
+        ts = F.coalesce(*attempts)
+        rendered = F.date_format(
+            F.date_trunc(trunc, ts), cfg.get("index_name_format", "yyyy-MM-dd")
+        )
+        new = F.concat(F.lit(cfg.get("index_name_prefix", "")), rendered)
+        return _guarded(df, "_index", new, cond)
+
+    if kind == "redact":
+        # grok-named-capture masking: every %{SYNTAX:name} occurrence is
+        # replaced with <name> (prefix/suffix configurable).  Documented
+        # subset: each ref redacts independently by its SYNTAX regex;
+        # literal text between refs does not constrain the match.
+        from elasticsearch_hadoop_spark.esql import _GROK_PATTERNS, _GROK_REF
+
+        pre = str(cfg.get("prefix", "<"))
+        suf = str(cfg.get("suffix", ">"))
+        c = F.col(field)
+        refs = [m for p in cfg["patterns"] for m in _GROK_REF.finditer(str(p))]
+        if not refs:
+            raise IngestError("redact patterns carry no %{SYNTAX:name} refs")
+        for m in refs:
+            base = _GROK_PATTERNS.get(m.group(1))
+            if base is None:
+                raise IngestError(f"redact: unsupported grok pattern %{{{m.group(1)}}}")
+            c = F.regexp_replace(c, base, pre + m.group(2) + suf)
+        return _guarded(df, target, c, cond)
+
+    if kind == "registered_domain":
+        # eTLD split with a documented built-in two-level-suffix subset
+        # (the full public-suffix list needs ES's bundled database); a
+        # host whose last two labels are in _TLD2 keeps both as the TLD
+        labels = F.split(F.col(field), r"\.")
+        n = F.size(labels)
+        last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+        tldn = F.when((n >= 3) & last2.isin(*sorted(_TLD2)), F.lit(2)).otherwise(
+            F.lit(1)
+        )
+        tld = F.concat_ws(".", F.slice(labels, tldn * -1, tldn))
+        regn = tldn + F.lit(1)
+        registered = F.when(
+            n >= regn, F.concat_ws(".", F.slice(labels, regn * -1, regn))
+        )
+        subdomain = F.when(n > regn, F.concat_ws(".", F.slice(labels, 1, n - regn)))
+        parts_struct = F.struct(
+            F.col(field).alias("domain"),
+            registered.alias("registered_domain"),
+            tld.alias("top_level_domain"),
+            subdomain.alias("subdomain"),
+        )
+        tgt = cfg.get("target_field")
+        if tgt:
+            return _guarded(df, tgt, parts_struct, cond)
+        out = df
+        for sub in ("domain", "registered_domain", "top_level_domain", "subdomain"):
+            out = _guarded(out, sub, parts_struct.getField(sub), cond)
+        return out
+
     raise IngestError(f"unsupported processor {kind!r}")
 
 
@@ -448,6 +650,8 @@ _SUPPORTED = {
     "lowercase", "uppercase", "trim", "append", "dissect", "kv", "json",
     "fingerprint", "script", "uri_parts", "drop", "enrich",
     "grok", "html_strip", "urldecode", "bytes", "csv", "sort",
+    "fail", "foreach", "dot_expander", "date_index_name", "redact",
+    "registered_domain",
 }
 
 
@@ -504,34 +708,96 @@ def _precheck(kind: str, cfg: dict) -> None:
         raise IngestError("csv needs target_fields")
     if kind == "sort" and str(cfg.get("order", "asc")).lower() not in ("asc", "desc"):
         raise IngestError(f"sort order must be asc|desc: {cfg.get('order')!r}")
+    if kind == "fail" and "if" not in cfg:
+        raise IngestError("fail without an if would fail every document")
+    if kind == "foreach":
+        proc = cfg.get("processor")
+        if not isinstance(proc, dict) or len(proc) != 1:
+            raise IngestError("foreach needs a single-key processor object")
+        (ikind, icfg), = proc.items()
+        _element_fn(ikind, icfg)
+    if kind == "dot_expander" and "." not in str(cfg.get("field", "")):
+        raise IngestError(f"dot_expander: field {cfg.get('field')!r} has no dot")
+    if kind == "date_index_name" and cfg.get("date_rounding") not in _DATE_ROUNDING:
+        raise IngestError(
+            f"date_index_name: date_rounding must be one of "
+            f"{sorted(_DATE_ROUNDING)}, got {cfg.get('date_rounding')!r}"
+        )
+    if kind == "redact":
+        from elasticsearch_hadoop_spark.esql import _GROK_PATTERNS, _GROK_REF
+
+        pats = cfg.get("patterns")
+        if not pats:
+            raise IngestError("redact needs a patterns list")
+        refs = [m for p in pats for m in _GROK_REF.finditer(str(p))]
+        if not refs:
+            raise IngestError("redact patterns carry no %{SYNTAX:name} refs")
+        for m in refs:
+            if m.group(1) not in _GROK_PATTERNS:
+                raise IngestError(
+                    f"redact: unsupported grok pattern %{{{m.group(1)}}}"
+                )
 
 
-def compile_pipeline(pipeline: dict | list, enrich_policies: dict | None = None):
+def compile_pipeline(
+    pipeline: dict | list,
+    enrich_policies: dict | None = None,
+    pipelines: dict | None = None,
+):
     """Pipeline JSON (or a bare processor list) -> ``DataFrame -> DataFrame``.
 
     Processors apply in declaration order; later processors see earlier
     processors' fields, exactly the ES contract.  ``enrich_policies``
     maps policy name -> lookup DataFrame for ``enrich`` processors (the
-    analogue of ES's materialized .enrich-* system indices)."""
-    processors = (
-        pipeline.get("processors", []) if isinstance(pipeline, dict) else pipeline
-    )
-    if not isinstance(processors, list) or not processors:
-        raise IngestError("pipeline needs a non-empty processors list")
+    analogue of ES's materialized .enrich-* system indices).
+    ``pipelines`` maps pipeline name -> pipeline JSON for the nested
+    ``pipeline`` processor, which expands inline at compile time (cycles
+    rejected)."""
     steps: list[tuple[str, dict]] = []
-    for p in processors:
-        if not isinstance(p, dict) or len(p) != 1:
-            raise IngestError(f"each processor must be a single-key object: {p!r}")
-        (kind, cfg), = p.items()
-        if not isinstance(cfg, dict):
-            raise IngestError(f"processor {kind!r} config must be an object")
-        _precheck(kind, cfg)
-        if kind == "enrich" and (enrich_policies or {}).get(cfg["policy_name"]) is None:
-            raise IngestError(
-                f"enrich: unknown policy {cfg['policy_name']!r} — pass "
-                "enrich_policies={name: frame}"
-            )
-        steps.append((kind, cfg))
+
+    def expand(p, active: tuple[str, ...]) -> None:
+        processors = p.get("processors", []) if isinstance(p, dict) else p
+        if not isinstance(processors, list) or not processors:
+            raise IngestError("pipeline needs a non-empty processors list")
+        for proc in processors:
+            if not isinstance(proc, dict) or len(proc) != 1:
+                raise IngestError(
+                    f"each processor must be a single-key object: {proc!r}"
+                )
+            (kind, cfg), = proc.items()
+            if not isinstance(cfg, dict):
+                raise IngestError(f"processor {kind!r} config must be an object")
+            if kind == "pipeline":
+                name = cfg.get("name")
+                if "if" in cfg:
+                    raise IngestError(
+                        "pipeline: per-row if unsupported (inline expansion)"
+                    )
+                sub = (pipelines or {}).get(name)
+                if sub is None:
+                    raise IngestError(
+                        f"pipeline: unknown pipeline {name!r} — pass "
+                        "pipelines={name: pipeline_json}"
+                    )
+                if name in active:
+                    raise IngestError(
+                        f"pipeline: cycle through {name!r}: "
+                        f"{' -> '.join(active + (name,))}"
+                    )
+                expand(sub, active + (name,))
+                continue
+            _precheck(kind, cfg)
+            if (
+                kind == "enrich"
+                and (enrich_policies or {}).get(cfg["policy_name"]) is None
+            ):
+                raise IngestError(
+                    f"enrich: unknown policy {cfg['policy_name']!r} — pass "
+                    "enrich_policies={name: frame}"
+                )
+            steps.append((kind, cfg))
+
+    expand(pipeline, ())
 
     def run(df: DataFrame) -> DataFrame:
         out = df

