@@ -71,6 +71,10 @@ painless-lite predicate over ``ctx.field`` references, except where noted):
   ``<client>``); documented subset: each ref redacts independently
 - ``registered_domain`` — eTLD split with a documented built-in
   two-level-suffix subset (no public-suffix database in the sandbox)
+- ``community_id`` — Community ID v1 flow hash (seed + ordered
+  endpoints + proto, sha1, base64) as pure Column hex/hash math; IPv4
+- ``network_direction`` — inbound/outbound/internal/external from CIDR
+  membership (strings + ES named ranges like ``private``); IPv4
 
 Anything else raises ``IngestError`` — no silent skips.
 """
@@ -138,6 +142,57 @@ def _bytes_col(c: Column) -> Column:
         .when(unit == "pb", F.lit(1024**5))
     )
     return F.floor(num * factor).cast("bigint")
+
+
+def _ipv4_num(c: Column) -> Column:
+    """Dotted-quad string -> uint32 as bigint (NULL on malformed input)."""
+    ok = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    o = F.split(c, r"\.")
+    octs = [F.get(o, i).cast("bigint") for i in range(4)]
+    in_range = F.lit(True)
+    for x in octs:
+        in_range = in_range & (x <= 255)
+    num = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
+    return F.when(ok & in_range, num)
+
+
+def _ipv4_hex(num: Column) -> Column:
+    return F.lpad(F.hex(num), 8, "0")
+
+
+def _cidr_match(ipnum: Column, cidr: str) -> Column:
+    """Membership of an IPv4 address (as uint32) in a CIDR block, as pure
+    integer math (floor-divide both sides by the host-part size)."""
+    base, _, plen = cidr.partition("/")
+    prefix = int(plen) if plen else 32
+    if not 0 <= prefix <= 32:
+        raise IngestError(f"bad CIDR prefix in {cidr!r}")
+    parts = base.split(".")
+    if len(parts) != 4 or any(not p.isdigit() or int(p) > 255 for p in parts):
+        raise IngestError(f"bad CIDR base address in {cidr!r}")
+    net = (
+        int(parts[0]) * 16777216
+        + int(parts[1]) * 65536
+        + int(parts[2]) * 256
+        + int(parts[3])
+    )
+    host = 2 ** (32 - prefix)
+    return F.floor(ipnum / F.lit(host)) == net // host
+
+
+# ES network_direction named ranges (IPv4 members of each; the IPv6
+# halves need IPv6 parsing, out of scope for the documented subset)
+_NAMED_RANGES = {
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
+    "loopback": ["127.0.0.0/8"],
+    "link_local_unicast": ["169.254.0.0/16"],
+    "link_local_multicast": ["224.0.0.0/24"],
+    "multicast": ["224.0.0.0/4"],
+    "broadcast": ["255.255.255.255/32"],
+    "unspecified": ["0.0.0.0/32"],
+}
+
+_TRANSPORT_PROTO = {"icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47, "sctp": 132}
 
 
 # inner processors `foreach` can apply elementwise (each compiles to a
@@ -642,6 +697,88 @@ def _apply_one(
             out = _guarded(out, sub, parts_struct.getField(sub), cond)
         return out
 
+    if kind == "community_id":
+        # Community ID v1 (the public Corelight spec ES implements):
+        # sha1 over seed(2B BE) . min_endpoint_ip . max_endpoint_ip .
+        # proto(1B) . 0x00 . min_endpoint_port(2B BE) . max_endpoint_port,
+        # endpoints ordered by (ip, port); "1:" + base64(raw digest).
+        # Entirely Column math: dotted-quad -> hex, unhex -> sha1 ->
+        # base64 — no Python in the row path.  IPv4 subset (IPv6 needs a
+        # 16-byte parser; documented out of scope).
+        seed = int(cfg.get("seed", 0))
+        src_ip = _path_col(cfg.get("source_ip", "source.ip"))
+        dst_ip = _path_col(cfg.get("destination_ip", "destination.ip"))
+        sport = _path_col(cfg.get("source_port", "source.port")).cast("bigint")
+        dport = _path_col(cfg.get("destination_port", "destination.port")).cast(
+            "bigint"
+        )
+        if "iana_number" in cfg:
+            proto_num = _path_col(cfg["iana_number"]).cast("bigint")
+        else:
+            transport = F.lower(
+                _path_col(cfg.get("transport", "network.transport"))
+            )
+            proto_num = F.lit(None).cast("bigint")
+            for name, num in _TRANSPORT_PROTO.items():
+                proto_num = F.when(transport == name, F.lit(num)).otherwise(
+                    proto_num
+                )
+        s_num, d_num = _ipv4_num(src_ip), _ipv4_num(dst_ip)
+        ordered = (s_num < d_num) | ((s_num == d_num) & (sport <= dport))
+        ip1 = F.when(ordered, s_num).otherwise(d_num)
+        ip2 = F.when(ordered, d_num).otherwise(s_num)
+        p1 = F.when(ordered, sport).otherwise(dport)
+        p2 = F.when(ordered, dport).otherwise(sport)
+        msg_hex = F.concat(
+            F.lit(f"{seed:04x}"),
+            _ipv4_hex(ip1),
+            _ipv4_hex(ip2),
+            F.lpad(F.hex(proto_num), 2, "0"),
+            F.lit("00"),
+            F.lpad(F.hex(p1), 4, "0"),
+            F.lpad(F.hex(p2), 4, "0"),
+        )
+        digest = F.sha1(F.to_binary(msg_hex, F.lit("hex")))
+        cid = F.concat(F.lit("1:"), F.base64(F.to_binary(digest, F.lit("hex"))))
+        valid = (
+            s_num.isNotNull()
+            & d_num.isNotNull()
+            & proto_num.isNotNull()
+            & sport.isNotNull()
+            & dport.isNotNull()
+        )
+        tgt = cfg.get("target_field", "community_id")
+        return _guarded(df, tgt, F.when(valid, cid), cond)
+
+    if kind == "network_direction":
+        # inbound/outbound/internal/external from CIDR membership of the
+        # two endpoints in internal_networks (CIDR strings and ES named
+        # ranges); membership is integer floor-div math per block
+        nets: list[str] = []
+        for item in cfg.get("internal_networks") or []:
+            nets.extend(_NAMED_RANGES.get(item, [item]))
+        if not nets:
+            raise IngestError("network_direction needs internal_networks")
+        s_num = _ipv4_num(_path_col(cfg.get("source_ip", "source.ip")))
+        d_num = _ipv4_num(_path_col(cfg.get("destination_ip", "destination.ip")))
+
+        def _internal(ipnum: Column) -> Column:
+            m = F.lit(False)
+            for n in nets:
+                m = m | _cidr_match(ipnum, n)
+            return F.coalesce(m, F.lit(False))
+
+        si, di = _internal(s_num), _internal(d_num)
+        direction = (
+            F.when(si & di, F.lit("internal"))
+            .when(si, F.lit("outbound"))
+            .when(di, F.lit("inbound"))
+            .otherwise(F.lit("external"))
+        )
+        valid = s_num.isNotNull() & d_num.isNotNull()
+        tgt = cfg.get("target_field", "direction")
+        return _guarded(df, tgt, F.when(valid, direction), cond)
+
     raise IngestError(f"unsupported processor {kind!r}")
 
 
@@ -651,7 +788,7 @@ _SUPPORTED = {
     "fingerprint", "script", "uri_parts", "drop", "enrich",
     "grok", "html_strip", "urldecode", "bytes", "csv", "sort",
     "fail", "foreach", "dot_expander", "date_index_name", "redact",
-    "registered_domain",
+    "registered_domain", "community_id", "network_direction",
 }
 
 
@@ -723,6 +860,21 @@ def _precheck(kind: str, cfg: dict) -> None:
             f"date_index_name: date_rounding must be one of "
             f"{sorted(_DATE_ROUNDING)}, got {cfg.get('date_rounding')!r}"
         )
+    if kind == "community_id":
+        if "transport" not in cfg and "iana_number" not in cfg:
+            # defaults resolve at runtime against network.transport; only
+            # a malformed explicit config is a compile error
+            pass
+        if "seed" in cfg and not 0 <= int(cfg["seed"]) <= 0xFFFF:
+            raise IngestError("community_id seed must fit 16 bits")
+    if kind == "network_direction":
+        nets = []
+        for item in cfg.get("internal_networks") or []:
+            nets.extend(_NAMED_RANGES.get(item, [item]))
+        if not nets:
+            raise IngestError("network_direction needs internal_networks")
+        for n in nets:
+            _cidr_match(F.lit(0), n)
     if kind == "redact":
         from elasticsearch_hadoop_spark.esql import _GROK_PATTERNS, _GROK_REF
 

@@ -418,3 +418,82 @@ def test_registered_domain(spark):
     flat = compile_pipeline([{"registered_domain": {"field": "host"}}])
     row2 = {x["id"]: x for x in rows(flat(df))}
     assert row2[2]["top_level_domain"] == "com"
+
+
+def _community_id_ref(seed, sip, dip, sport, dport, proto):
+    """Reference implementation straight from the public Community ID v1
+    spec (seed BE16 . min_ep_ip . max_ep_ip . proto . 0x00 . ports)."""
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    s, d = socket.inet_aton(sip), socket.inet_aton(dip)
+    if (s, struct.pack("!H", sport)) > (d, struct.pack("!H", dport)):
+        s, d, sport, dport = d, s, dport, sport
+    msg = (
+        struct.pack("!H", seed) + s + d + struct.pack("BB", proto, 0)
+        + struct.pack("!HH", sport, dport)
+    )
+    return "1:" + base64.b64encode(hashlib.sha1(msg).digest()).decode()
+
+
+def test_community_id_matches_spec(spark):
+    flows = [
+        (1, "1.2.3.4", "5.6.7.8", 1122, 3344, "tcp", 6),
+        (2, "5.6.7.8", "1.2.3.4", 3344, 1122, "tcp", 6),   # reversed flow
+        (3, "10.0.0.1", "10.0.0.1", 80, 1024, "udp", 17),  # equal IPs
+        (4, "192.168.1.52", "8.8.8.8", 54585, 53, "udp", 17),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, d, sp, dp, tr) for i, s, d, sp, dp, tr, _ in flows],
+        "id int, sip string, dip string, sport int, dport int, transport string",
+    )
+    pipe = compile_pipeline([
+        {"community_id": {"source_ip": "sip", "destination_ip": "dip",
+                          "source_port": "sport", "destination_port": "dport",
+                          "transport": "transport"}},
+    ])
+    got = {r["id"]: r["community_id"] for r in pipe(df).collect()}
+    for i, s, d, sp, dp, _tr, proto in flows:
+        assert got[i] == _community_id_ref(0, s, d, sp, dp, proto), i
+    # a flow and its reverse share the ID
+    assert got[1] == got[2]
+    # seed participates
+    pipe2 = compile_pipeline([
+        {"community_id": {"source_ip": "sip", "destination_ip": "dip",
+                          "source_port": "sport", "destination_port": "dport",
+                          "transport": "transport", "seed": 7}},
+    ])
+    got2 = pipe2(df).collect()[0]["community_id"]
+    assert got2 == _community_id_ref(7, "1.2.3.4", "5.6.7.8", 1122, 3344, 6)
+    # malformed IP -> NULL
+    bad = spark.createDataFrame(
+        [(1, "999.2.3.4", "5.6.7.8", 1, 2, "tcp")],
+        "id int, sip string, dip string, sport int, dport int, transport string",
+    )
+    assert pipe(bad).collect()[0]["community_id"] is None
+
+
+def test_network_direction(spark):
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3", "10.4.5.6"), (2, "10.1.2.3", "8.8.8.8"),
+         (3, "8.8.8.8", "192.168.0.9"), (4, "8.8.8.8", "9.9.9.9"),
+         (5, "172.16.0.1", "172.31.255.254"), (6, "172.32.0.1", "10.0.0.1")],
+        "id int, sip string, dip string",
+    )
+    pipe = compile_pipeline([
+        {"network_direction": {"source_ip": "sip", "destination_ip": "dip",
+                               "internal_networks": ["private"]}},
+    ])
+    got = {r["id"]: r["direction"] for r in pipe(df).collect()}
+    assert got == {1: "internal", 2: "outbound", 3: "inbound", 4: "external",
+                   5: "internal", 6: "inbound"}
+    with pytest.raises(IngestError):
+        compile_pipeline([{"network_direction": {"source_ip": "sip",
+                                                 "destination_ip": "dip"}}])
+    with pytest.raises(IngestError):
+        compile_pipeline([
+            {"network_direction": {"source_ip": "sip", "destination_ip": "dip",
+                                   "internal_networks": ["10.0.0.0/40"]}},
+        ])
