@@ -126,6 +126,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _CALENDAR = {
     "minute": "minute", "1m": "minute",
@@ -1425,11 +1426,10 @@ def _frequent_item_sets(df: DataFrame, name: str, spec: dict) -> DataFrame:
     field_value limit).  One driver-side scalar (the doc count) computes
     support, the significant_terms/auto_date_histogram pattern."""
     fields = spec.get("fields")
-    if not isinstance(fields, list) or len(fields) != 1:
+    if not isinstance(fields, list) or not fields:
         raise AggsDslError(
-            "frequent_item_sets: exactly one {'field': ...} entry is supported"
+            "frequent_item_sets: needs a non-empty fields list"
         )
-    field = fields[0]["field"]
     min_set = int(spec.get("minimum_set_size", 1))
     min_support = float(spec.get("minimum_support", 0.1))
     size = int(spec.get("size", 10))
@@ -1442,7 +1442,38 @@ def _frequent_item_sets(df: DataFrame, name: str, spec: dict) -> DataFrame:
     total = df.count()
     if total == 0:
         raise AggsDslError("frequent_item_sets over an empty frame")
-    items = F.array_sort(F.array_distinct(F.col(field)))
+    if len(fields) == 1:
+        items = F.array_sort(F.array_distinct(F.col(fields[0]["field"])))
+    else:
+        # multiple fields: an item is the (field, value) pair — ES's
+        # multi-field Eclat domain — rendered "field=value" so itemsets
+        # stay one sortable array<string>; scalar fields contribute one
+        # item, array fields each element.  Still per-document Column
+        # math, same single exploded aggregation as the one-field path.
+        def _tagger(fname: str):
+            # closure factory, NOT a default-arg lambda: F.transform
+            # dispatches on callable arity, so a 2-param lambda would be
+            # called as (element, index)
+            return lambda x: F.concat(F.lit(fname + "="), x.cast("string"))
+
+        per_field = []
+        for fs in fields:
+            fname = fs["field"]
+            col = F.col(fname)
+            dt = df.schema[fname].dataType
+            as_arr = col if isinstance(dt, T.ArrayType) else F.array(col)
+            tagged = F.transform(
+                F.filter(as_arr, lambda x: x.isNotNull()), _tagger(fname)
+            )
+            # a NULL array column must contribute no items, not null the
+            # whole concat
+            per_field.append(
+                F.coalesce(tagged, F.array().cast("array<string>"))
+            )
+        combined = per_field[0]
+        for p in per_field[1:]:
+            combined = F.concat(combined, p)
+        items = F.array_sort(F.array_distinct(combined))
     sets = []
     if min_set <= 1:
         sets.append(F.transform(items, lambda x: F.array(x)))

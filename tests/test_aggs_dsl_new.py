@@ -510,10 +510,31 @@ def test_frequent_item_sets_min_set_size_and_rejects(spark):
     with pytest.raises(AggsDslError):
         compile_aggs(
             df,
-            {"aggs": {"s": {"frequent_item_sets": {
-                "fields": [{"field": "items"}, {"field": "other"}],
-            }}}},
+            {"aggs": {"s": {"frequent_item_sets": {"fields": []}}}},
         )
+
+
+def test_frequent_item_sets_multi_field(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"], "us"), (["a"], "us"), (["b"], "de"), (None, "us")],
+        "items array<string>, geo string",
+    )
+    out = compile_aggs(
+        df,
+        {"aggs": {"s": {"frequent_item_sets": {
+            "fields": [{"field": "items"}, {"field": "geo"}],
+            "minimum_support": 0.5, "size": 10,
+        }}}},
+    ).collect()
+    got = {tuple(r["s"]): (r["doc_count"], round(r["support"], 3)) for r in out}
+    # 4 docs; items=a appears in 2, geo=us in 3, the (items=a, geo=us)
+    # pair in 2 — cross-field itemsets are the point of multi-field mode
+    assert got == {
+        ("geo=us",): (3, 0.75),
+        ("items=a",): (2, 0.5),
+        ("items=b",): (2, 0.5),
+        ("geo=us", "items=a"): (2, 0.5),
+    }
 
 
 def test_bucket_correlation_pearson(spark):
