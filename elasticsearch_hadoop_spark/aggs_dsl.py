@@ -32,7 +32,10 @@ Supported:
   over-representation of foreground — the frame after preceding
   filter/missing buckets — vs the background frame; terminal bucket),
   ``rare_terms`` (long-tail terms with doc_count <= max_doc_count,
-  rarest first; terminal bucket), ``date_range`` (``range`` with
+  rarest first; terminal bucket), ``categorize_text`` (log-pattern
+  buckets keyed by the message's digit-free token sequence — the
+  deterministic subset of ES's Drain-style category merging; terminal
+  bucket), ``date_range`` (``range`` with
   timestamp-literal bounds; no date-math), ``geotile_grid``
   (Web-Mercator z/x/y slippy-tile keys at ``precision`` zoom over a
   struct(lat, lon) geo_point column — pure codegen tile math),
@@ -322,6 +325,12 @@ def compile_aggs(
                     "frequent_item_sets must be the only, terminal bucket agg"
                 )
             return _frequent_item_sets(df, name, body[kind])
+        if kind == "categorize_text":
+            if keys or metrics or body.get("aggs") or body.get("aggregations"):
+                raise AggsDslError(
+                    "categorize_text must be the only, terminal bucket agg"
+                )
+            return _categorize_text(df, name, body[kind])
         if kind == "composite":
             if keys or composite is not None:
                 raise AggsDslError("composite must be the only/top-level bucket agg")
@@ -1245,6 +1254,7 @@ def _bucket_kind(body: dict) -> str | None:
         "nested", "reverse_nested", "global",
         "composite", "missing", "significant_terms", "significant_text",
         "rare_terms", "variable_width_histogram", "frequent_item_sets",
+        "categorize_text",
     ):
         if kind in body:
             return kind
@@ -1501,6 +1511,41 @@ def _frequent_item_sets(df: DataFrame, name: str, spec: dict) -> DataFrame:
     )
     return (
         out.select(name, "set_size", "doc_count", "support")
+        .orderBy(F.col("doc_count").desc(), F.col(name).asc())
+        .limit(size)
+    )
+
+
+def _categorize_text(df: DataFrame, name: str, spec: dict) -> DataFrame:
+    """ES categorize_text — the deterministic subset: a message's
+    category is its sequence of variable-free tokens (tokens carrying a
+    digit are dropped, exactly the ml_standard tokenizer's "discard
+    variable parts" heuristic), space-joined; buckets count docs per
+    category, most-frequent first.  ES's full implementation merges
+    near-identical categories with a Drain-style similarity tree — a
+    heuristic, non-deterministic-across-shards step this engine replaces
+    with the exact token-sequence key (documented deviation: categories
+    that differ only in a rare stable token stay separate here).  One
+    codegen projection + one hash aggregation; no Python in the row
+    path.  ``max_matched_tokens`` caps the key's token count like ES
+    (default unlimited); ``size`` bounds the response."""
+    field = spec["field"]
+    size = int(spec.get("size", 10))
+    max_tokens = spec.get("max_matched_tokens")
+    # hyphens/dots stay inside tokens so "node-1"/"10.0.0.1" are single
+    # variable tokens that drop whole, like the ml_standard tokenizer
+    tokens = F.filter(
+        F.split(F.lower(F.col(field)), r"[^a-z0-9_.\-]+"),
+        lambda t: (t != "") & ~t.rlike(r"\d"),
+    )
+    if max_tokens is not None:
+        tokens = F.slice(tokens, 1, int(max_tokens))
+    key = F.concat_ws(" ", tokens)
+    return (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(key.alias(name))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col(name) != "")
         .orderBy(F.col("doc_count").desc(), F.col(name).asc())
         .limit(size)
     )

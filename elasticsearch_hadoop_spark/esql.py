@@ -57,6 +57,9 @@ Supported commands (the documented core; anything else raises):
   broadcasts.
 - ``CHANGE_POINT value ON key`` (8.16+) — the Welch-t step detector
   (aggs_dsl.change_point_stats) appending cp_key / cp_score columns.
+- ``FORK (branch) (branch)`` (8.18+) — each parenthesized branch
+  pipeline runs over the current frame; results union by name (missing
+  columns null-filled) with the ``_fork`` discriminator column.
 
 Explicit non-goals (raise "unsupported command", by design):
 
@@ -543,7 +546,52 @@ def esql(
         for f2 in frames[1:]:
             df = df.unionByName(f2, allowMissingColumns=True)
 
-    for stage in stages[1:]:
+    return _apply_stages(df, stages[1:], tables, catalog, enrich_policies)
+
+
+def _fork_branches(body: str) -> list[str]:
+    """FORK's top-level parenthesized branches -> their inner pipelines."""
+    branches, depth, buf, q = [], 0, [], None
+    for ch in body:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+            continue
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                buf = []
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                branches.append("".join(buf).strip())
+                buf = []
+                continue
+        if depth >= 1:
+            buf.append(ch)
+        elif ch.strip():
+            raise EsqlError(f"FORK branches must be parenthesized: {body!r}")
+    if depth != 0:
+        raise EsqlError(f"unbalanced parentheses in FORK: {body!r}")
+    if len(branches) < 2:
+        raise EsqlError("FORK needs at least two (branch) groups")
+    return branches
+
+
+def _apply_stages(
+    df: DataFrame,
+    stage_list,
+    tables,
+    catalog,
+    enrich_policies,
+) -> DataFrame:
+    for stage in stage_list:
         stage = stage.strip()
         cm = re.match(r"^([A-Za-z_]+)\b(.*)$", stage, flags=re.S)
         if not cm:
@@ -740,6 +788,21 @@ def esql(
                 df = df.withColumn(
                     k, F.when(matched, F.regexp_extract(src, rx, i))
                 )
+        elif cmd == "FORK":
+            # ES|QL FORK (8.18+): run each parenthesized branch pipeline
+            # over the CURRENT frame and union the results, tagging rows
+            # with the branch discriminator `_fork` ("fork1", "fork2"...).
+            # The input frame fans out without re-reading the source —
+            # Spark reuses the shared subplan; branches with different
+            # shapes union by name with missing columns null-filled.
+            outs = []
+            for i, br in enumerate(_fork_branches(body), start=1):
+                sub = [s.strip() for s in _split_top(br, "|") if s.strip()]
+                bdf = _apply_stages(df, sub, tables, catalog, enrich_policies)
+                outs.append(bdf.withColumn("_fork", F.lit(f"fork{i}")))
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o, allowMissingColumns=True)
         else:
             raise EsqlError(f"unsupported command {cmd!r}")
     return df

@@ -655,3 +655,34 @@ def test_reverse_nested_counts_parents(spark):
                 "aggs": {"p": {"reverse_nested": {}}},
             }}},
         )
+
+
+def test_categorize_text(spark):
+    df = spark.createDataFrame(
+        [("Node node-1 stopped",), ("Node node-2 stopped",),
+         ("Node node-7 stopped",), ("User bob logged in",),
+         ("User alice logged in",), (None,)],
+        "message string",
+    )
+    out = compile_aggs(
+        df, {"aggs": {"cats": {"categorize_text": {"field": "message"}}}}
+    ).collect()
+    got = [(r["cats"], r["doc_count"]) for r in out]
+    # node-1/node-2/node-7 are single variable tokens (digit-bearing)
+    # and drop whole; bob/alice are stable tokens so those two messages
+    # stay separate categories (the documented exact-key deviation from
+    # ES's similarity merging)
+    assert got == [("node stopped", 3), ("user alice logged in", 1),
+                   ("user bob logged in", 1)]
+    # max_matched_tokens caps the category key
+    out2 = compile_aggs(
+        df, {"aggs": {"c": {"categorize_text": {
+            "field": "message", "max_matched_tokens": 1}}}}
+    ).collect()
+    assert [(r["c"], r["doc_count"]) for r in out2] == [("node", 3), ("user", 2)]
+    with pytest.raises(AggsDslError):
+        compile_aggs(
+            df,
+            {"aggs": {"g": {"terms": {"field": "message"}, "aggs": {
+                "c": {"categorize_text": {"field": "message"}}}}}},
+        )

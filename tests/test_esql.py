@@ -490,3 +490,35 @@ def test_inlinestats_null_keys_group_together(spark):
         "FROM t | INLINESTATS s = SUM(v) BY k | SORT v", tables={"t": df}
     ).collect()
     assert [r["s"] for r in out] == [3, 3, 3]
+
+
+def test_fork_branches_union_with_discriminator(spark, logs):
+    out = esql(
+        "FROM logs | FORK (WHERE status == \"error\" | STATS n = COUNT(*) BY host)"
+        " (STATS n = COUNT(*) BY host)"
+        " | SORT _fork, host",
+        tables=logs,
+    ).collect()
+    got = [(r["_fork"], r["host"], r["n"]) for r in out]
+    assert got == [
+        ("fork1", "h1", 1), ("fork1", "h2", 2),
+        ("fork2", "h1", 2), ("fork2", "h2", 2),
+    ]
+
+
+def test_fork_mismatched_branch_shapes_null_fill(spark, logs):
+    out = esql(
+        "FROM logs | FORK (KEEP host | LIMIT 1) (STATS total = SUM(bytes))",
+        tables=logs,
+    )
+    assert set(out.columns) == {"host", "total", "_fork"}
+    rows = {r["_fork"]: r for r in out.collect()}
+    assert rows["fork1"]["total"] is None
+    assert rows["fork2"]["total"] == 6254 and rows["fork2"]["host"] is None
+
+
+def test_fork_error_contract(spark, logs):
+    with pytest.raises(EsqlError, match="at least two"):
+        esql("FROM logs | FORK (WHERE bytes > 0)", tables=logs)
+    with pytest.raises(EsqlError, match="parenthesized"):
+        esql("FROM logs | FORK WHERE bytes > 0", tables=logs)
