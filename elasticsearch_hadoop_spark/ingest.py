@@ -75,6 +75,11 @@ painless-lite predicate over ``ctx.field`` references, except where noted):
   endpoints + proto, sha1, base64) as pure Column hex/hash math; IPv4
 - ``network_direction`` — inbound/outbound/internal/external from CIDR
   membership (strings + ES named ranges like ``private``); IPv4
+- ``user_agent`` — uap-core major-family subset (Edge/Opera/Chrome/
+  Firefox/Safari/IE/Spider + OS/device classes) as when-chains
+- ``geoip`` — caller-provided CIDR database frame
+  (``compile_pipeline(..., geoip_db=frame)``); /16-prefix-bucketed
+  broadcast equi-join, longest-prefix wins — never a range theta join
 
 Anything else raises ``IngestError`` — no silent skips.
 """
@@ -195,6 +200,137 @@ _NAMED_RANGES = {
 _TRANSPORT_PROTO = {"icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47, "sctp": 132}
 
 
+def _user_agent(df: DataFrame, cfg: dict, cond) -> DataFrame:
+    """ES user_agent processor — a documented subset of the public
+    uap-core regex set (ES bundles the full regexes.yaml): the major
+    browser families in uap priority order (Edge before Chrome before
+    Safari, since Chrome UAs contain "Safari" and Edge UAs contain
+    both), OS families, and device classes.  One when-chain per output
+    field, all codegen."""
+    field = cfg["field"]
+    ua = F.col(field)
+    ver = lambda rx: F.regexp_extract(ua, rx, 1)  # noqa: E731
+    name = (
+        F.when(ua.rlike(r"(?i)(bot|crawler|spider|slurp)"), F.lit("Spider"))
+        .when(ua.rlike(r"Edge?[A-Za-z]*/\d"), F.lit("Edge"))
+        .when(ua.rlike(r"OPR/\d"), F.lit("Opera"))
+        .when(ua.rlike(r"Chrome/\d"), F.lit("Chrome"))
+        .when(ua.rlike(r"Firefox/\d"), F.lit("Firefox"))
+        .when(ua.rlike(r"Version/[\d.]+.*Safari"), F.lit("Safari"))
+        .when(ua.rlike(r"MSIE |Trident/"), F.lit("IE"))
+        .otherwise(F.lit("Other"))
+    )
+    version = (
+        F.when(name == "Edge", ver(r"Edge?[A-Za-z]*/([\d.]+)"))
+        .when(name == "Opera", ver(r"OPR/([\d.]+)"))
+        .when(name == "Chrome", ver(r"Chrome/([\d.]+)"))
+        .when(name == "Firefox", ver(r"Firefox/([\d.]+)"))
+        .when(name == "Safari", ver(r"Version/([\d.]+)"))
+        .when(name == "IE", F.coalesce(ver(r"MSIE ([\d.]+)"), ver(r"rv:([\d.]+)")))
+    )
+    version = F.when(version == "", F.lit(None)).otherwise(version)
+    os_name = (
+        F.when(ua.rlike(r"Windows NT"), F.lit("Windows"))
+        .when(ua.rlike(r"iPhone OS|iPad|iOS"), F.lit("iOS"))
+        .when(ua.rlike(r"Mac OS X"), F.lit("Mac OS X"))
+        .when(ua.rlike(r"Android"), F.lit("Android"))
+        .when(ua.rlike(r"Linux"), F.lit("Linux"))
+        .otherwise(F.lit("Other"))
+    )
+    device = (
+        F.when(name == "Spider", F.lit("Spider"))
+        .when(ua.rlike(r"iPhone"), F.lit("iPhone"))
+        .when(ua.rlike(r"iPad"), F.lit("iPad"))
+        .when(ua.rlike(r"Android.*Mobile"), F.lit("Generic Smartphone"))
+        .when(ua.rlike(r"Macintosh"), F.lit("Mac"))
+        .otherwise(F.lit("Other"))
+    )
+    out = F.struct(
+        name.alias("name"),
+        version.alias("version"),
+        os_name.alias("os"),
+        device.alias("device"),
+    )
+    tgt = cfg.get("target_field", "user_agent")
+    return _guarded(df, tgt, F.when(ua.isNotNull(), out), cond)
+
+
+def _geoip(df: DataFrame, cfg: dict, geoip_db: DataFrame | None) -> DataFrame:
+    """ES geoip processor.  ES bundles a GeoLite database; here the
+    caller provides it as a DataFrame (``compile_pipeline(...,
+    geoip_db=frame)``) with a ``network`` CIDR column plus any attribute
+    columns (country_iso_code, city_name, ...).
+
+    Scale shape: the database parses once to (start, end, prefix) int
+    ranges, explodes each range to its covering /16 prefixes (a /8 block
+    covers 256, typical /16+ blocks cover 1), and BROADCASTS; documents
+    equi-join on their address's /16 prefix — never a full range theta
+    join — then longest-prefix wins per row via one max_by aggregation.
+    IPv4 subset."""
+    if geoip_db is None:
+        raise IngestError(
+            "geoip needs a database frame — pass compile_pipeline(..., "
+            "geoip_db=frame) with a 'network' CIDR column"
+        )
+    if "network" not in geoip_db.columns:
+        raise IngestError("geoip_db needs a 'network' CIDR column")
+    field = cfg["field"]
+    tgt = cfg.get("target_field", "geoip")
+    attrs = [c for c in geoip_db.columns if c != "network"]
+    props = cfg.get("properties")
+    if props:
+        missing = [p for p in props if p not in attrs]
+        if missing:
+            raise IngestError(f"geoip_db has no columns {missing!r}")
+        attrs = [c for c in attrs if c in props]
+    base = F.split(F.col("network"), "/")
+    prefix = F.get(base, 1).cast("int")
+    addr = _ipv4_num(F.get(base, 0))
+    host = F.pow(F.lit(2.0), 32 - prefix).cast("bigint")
+    start = (addr - addr % host).alias("__start")
+    db = (
+        geoip_db.select(
+            start,
+            (addr - addr % host + host - 1).alias("__end"),
+            prefix.alias("__prefix"),
+            *attrs,
+        )
+        .withColumn(
+            "__p16",
+            F.explode(
+                F.sequence(
+                    (F.col("__start") / 65536).cast("bigint"),
+                    (F.col("__end") / 65536).cast("bigint"),
+                )
+            ),
+        )
+    )
+    ip = _ipv4_num(F.col(field))
+    src = df.withColumn("__ip", ip).withColumn(
+        "__p16", (F.col("__ip") / 65536).cast("bigint")
+    )
+    rid = F.monotonically_increasing_id().alias("__rid")
+    src = src.select(rid, "*")
+    joined = src.join(
+        F.broadcast(db),
+        (src["__p16"] == db["__p16"])
+        & (src["__ip"] >= db["__start"])
+        & (src["__ip"] <= db["__end"]),
+        "left",
+    )
+    doc_cols = [c for c in df.columns]
+    hit = F.struct(*[F.col(c) for c in attrs])
+    agg = joined.groupBy("__rid").agg(
+        *[F.first(src[c]).alias(c) for c in doc_cols],
+        F.max_by(hit, F.col("__prefix")).alias("__geo"),
+        F.max(F.col("__prefix")).alias("__matched"),
+    )
+    return agg.select(
+        *doc_cols,
+        F.when(F.col("__matched").isNotNull(), F.col("__geo")).alias(tgt),
+    )
+
+
 # inner processors `foreach` can apply elementwise (each compiles to a
 # Column->Column fn usable inside F.transform); the inner processor's
 # `field` must be the ES element sentinel `_ingest._value`
@@ -312,11 +448,21 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
 
 
 def _apply_one(
-    df: DataFrame, kind: str, cfg: dict, enrich_policies: dict | None = None
+    df: DataFrame,
+    kind: str,
+    cfg: dict,
+    enrich_policies: dict | None = None,
+    geoip_db: DataFrame | None = None,
 ) -> DataFrame:
     cond = cfg.get("if")
     field = cfg.get("field")
     target = cfg.get("target_field", field)
+
+    if kind == "geoip":
+        return _geoip(df, cfg, geoip_db)
+
+    if kind == "user_agent":
+        return _user_agent(df, cfg, cond)
 
     if kind == "enrich":
         # ES enrich processor: look the document's match value up in an
@@ -789,6 +935,7 @@ _SUPPORTED = {
     "grok", "html_strip", "urldecode", "bytes", "csv", "sort",
     "fail", "foreach", "dot_expander", "date_index_name", "redact",
     "registered_domain", "community_id", "network_direction",
+    "user_agent", "geoip",
 }
 
 
@@ -895,6 +1042,7 @@ def compile_pipeline(
     pipeline: dict | list,
     enrich_policies: dict | None = None,
     pipelines: dict | None = None,
+    geoip_db: DataFrame | None = None,
 ):
     """Pipeline JSON (or a bare processor list) -> ``DataFrame -> DataFrame``.
 
@@ -939,6 +1087,20 @@ def compile_pipeline(
                 expand(sub, active + (name,))
                 continue
             _precheck(kind, cfg)
+            if kind == "geoip":
+                if geoip_db is None:
+                    raise IngestError(
+                        "geoip needs a database frame — pass "
+                        "compile_pipeline(..., geoip_db=frame)"
+                    )
+                if "network" not in geoip_db.columns:
+                    raise IngestError("geoip_db needs a 'network' CIDR column")
+                bad = [
+                    p for p in (cfg.get("properties") or [])
+                    if p not in geoip_db.columns or p == "network"
+                ]
+                if bad:
+                    raise IngestError(f"geoip_db has no columns {bad!r}")
             if (
                 kind == "enrich"
                 and (enrich_policies or {}).get(cfg["policy_name"]) is None
@@ -954,7 +1116,7 @@ def compile_pipeline(
     def run(df: DataFrame) -> DataFrame:
         out = df
         for kind, cfg in steps:
-            out = _apply_one(out, kind, cfg, enrich_policies)
+            out = _apply_one(out, kind, cfg, enrich_policies, geoip_db)
         return out
 
     return run

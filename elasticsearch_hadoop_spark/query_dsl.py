@@ -27,7 +27,10 @@ Supported clauses (the reference's §2.B algebra + the common ES core):
   function_score (deterministic
   field_value_factor / script_score / weight functions — the predicate
   form matches the base query + min_score; ``function_score(df, body)``
-  attaches the score column), the ``?q=field:value`` URI-lite subset, and
+  attaches the score column), the ``?q=field:value`` URI-lite subset,
+  geo_distance / geo_bounding_box / geo_polygon / geo_shape (the
+  point-vs-envelope/polygon/point subset with intersects/within/disjoint
+  relations; indexed_shape lookups rejected), and
   the Lucene span family (span_term, span_multi over
   prefix/wildcard/regexp/fuzzy, span_or, span_first, span_not with
   pre/post, span_near ordered n-way + unordered 2-clause,
@@ -601,6 +604,59 @@ def _geo_polygon(body, id_col):
     (field, spec), = body.items()
     pts = [_latlon(p) for p in spec["points"]]
     return geo_polygon_filter(F.col(f"{field}.lat"), F.col(f"{field}.lon"), pts)
+
+
+def _geo_shape(body, id_col):
+    """ES ``geo_shape`` over geo_point fields — the point-vs-shape
+    subset: indexed docs here carry struct(lat, lon) POINTS (the engine's
+    geo type), so the only well-defined relations are ``intersects`` /
+    ``within`` (point inside shape, identical for points) and
+    ``disjoint`` (its negation).  Query shapes: ``envelope``
+    ([[minLon, maxLat], [maxLon, minLat]], GeoJSON-style lon-first like
+    ES), ``polygon`` (first ring; even-odd ray casting shared with
+    geo_polygon), ``point`` (exact equality).  Indexed-shape *fields*
+    (lines, stored polygons) are out of scope — reject, don't
+    approximate."""
+    from elasticsearch_hadoop_spark.functions.geo import (
+        geo_bounding_box_filter,
+        geo_polygon_filter,
+    )
+
+    (field, spec), = body.items()
+    shape = spec.get("shape") or spec.get("indexed_shape")
+    if shape is None or "indexed_shape" in spec:
+        raise QueryDslError(
+            "geo_shape needs an inline shape (indexed_shape lookups are "
+            "unsupported: the engine stores geo_points, not shape docs)"
+        )
+    relation = str(spec.get("relation", "intersects")).lower()
+    if relation not in ("intersects", "within", "disjoint"):
+        raise QueryDslError(
+            f"geo_shape: unsupported relation {relation!r} for point fields "
+            "(contains would need a shape-typed field)"
+        )
+    stype = str(shape.get("type", "")).lower()
+    lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+    if stype == "envelope":
+        (left, top), (right, bottom) = shape["coordinates"]
+        inside = geo_bounding_box_filter(
+            lat, lon, float(top), float(left), float(bottom), float(right)
+        )
+    elif stype == "polygon":
+        ring = shape["coordinates"][0]
+        pts = [(float(p[1]), float(p[0])) for p in ring]  # GeoJSON lon-first
+        inside = geo_polygon_filter(lat, lon, pts)
+    elif stype == "point":
+        plon, plat = shape["coordinates"]
+        inside = (lat == float(plat)) & (lon == float(plon))
+    else:
+        raise QueryDslError(
+            f"geo_shape: unsupported shape type {shape.get('type')!r} "
+            "(supported: envelope, polygon, point)"
+        )
+    if relation == "disjoint":
+        return lat.isNotNull() & lon.isNotNull() & ~inside
+    return inside
 
 
 def _more_like_this(body, id_col):
@@ -1900,6 +1956,7 @@ _HANDLERS = {
     "geo_distance": _geo_distance,
     "geo_bounding_box": _geo_bounding_box,
     "geo_polygon": _geo_polygon,
+    "geo_shape": _geo_shape,
     "term": _term,
     "terms": _terms,
     "range": _range,

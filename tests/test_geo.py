@@ -58,3 +58,53 @@ def test_polygon_dsl_clause_compiles(spark):
         {"geo_polygon": {"loc": {"points": [{"lat": la, "lon": lo} for la, lo in PENTAGON]}}}
     )
     assert df.filter(pred).count() == 1
+
+
+def test_geo_shape_point_subset(spark):
+    from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
+
+    df = spark.createDataFrame(
+        [(1, (10.0, 20.0)), (2, (40.0, 60.0)), (3, (None, None)), (4, None)],
+        "id int, loc struct<lat double, lon double>",
+    )
+
+    def ids(q):
+        return {r["id"] for r in df.filter(compile_query(q)).collect()}
+
+    # envelope: GeoJSON lon-first [[minLon, maxLat], [maxLon, minLat]]
+    env = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[15.0, 30.0], [70.0, 5.0]]}}}}
+    assert ids(env) == {1}
+    # within == intersects for points
+    env_within = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[15.0, 30.0], [70.0, 5.0]]},
+        "relation": "within"}}}
+    assert ids(env_within) == {1}
+    # disjoint matches docs with coordinates outside the shape (never
+    # the null-coordinate docs)
+    env_disjoint = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[15.0, 30.0], [70.0, 5.0]]},
+        "relation": "disjoint"}}}
+    assert ids(env_disjoint) == {2}
+    # polygon ring (lon-first), triangle around (40, 60)
+    poly = {"geo_shape": {"loc": {"shape": {
+        "type": "polygon",
+        "coordinates": [[[55.0, 35.0], [65.0, 35.0], [60.0, 45.0],
+                         [55.0, 35.0]]]}}}}
+    assert ids(poly) == {2}
+    # exact point
+    pt = {"geo_shape": {"loc": {"shape": {
+        "type": "point", "coordinates": [20.0, 10.0]}}}}
+    assert ids(pt) == {1}
+    import pytest as _pytest
+
+    with _pytest.raises(QueryDslError, match="indexed_shape"):
+        compile_query({"geo_shape": {"loc": {"indexed_shape": {
+            "index": "shapes", "id": "x"}}}})
+    with _pytest.raises(QueryDslError, match="unsupported relation"):
+        compile_query({"geo_shape": {"loc": {"shape": {
+            "type": "point", "coordinates": [0.0, 0.0]},
+            "relation": "contains"}}})
+    with _pytest.raises(QueryDslError, match="unsupported shape"):
+        compile_query({"geo_shape": {"loc": {"shape": {
+            "type": "linestring", "coordinates": [[0, 0], [1, 1]]}}}})

@@ -497,3 +497,72 @@ def test_network_direction(spark):
             {"network_direction": {"source_ip": "sip", "destination_ip": "dip",
                                    "internal_networks": ["10.0.0.0/40"]}},
         ])
+
+
+def test_user_agent_families(spark):
+    uas = [
+        (1, "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+            " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
+        (2, "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15"
+            " (KHTML, like Gecko) Version/17.1 Safari/605.1.15"),
+        (3, "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0"),
+        (4, "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko)"
+            " Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"),
+        (5, "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"),
+        (6, "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X)"
+            " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148"
+            " Safari/604.1"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(uas, "id int, ua string")
+    pipe = compile_pipeline([{"user_agent": {"field": "ua"}}])
+    got = {r["id"]: r["user_agent"] for r in rows(pipe(df))}
+    assert got[1]["name"] == "Chrome" and got[1]["version"].startswith("120.")
+    assert got[1]["os"] == "Windows"
+    assert got[2]["name"] == "Safari" and got[2]["version"] == "17.1"
+    assert got[2]["os"] == "Mac OS X" and got[2]["device"] == "Mac"
+    assert got[3]["name"] == "Firefox" and got[3]["os"] == "Linux"
+    # Edge UA contains Chrome AND Safari — priority order must pick Edge
+    assert got[4]["name"] == "Edge" and got[4]["version"].startswith("120.")
+    assert got[5]["name"] == "Spider" and got[5]["device"] == "Spider"
+    assert got[6]["name"] == "Safari" and got[6]["os"] == "iOS"
+    assert got[6]["device"] == "iPhone"
+    assert got[7] is None
+
+
+def test_geoip_longest_prefix_and_prefix_bucketing(spark):
+    db = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "ZZ", "wide"),
+            ("10.1.0.0/16", "AA", "narrow"),
+            ("192.168.4.0/24", "BB", "lan"),
+        ],
+        "network string, country_iso_code string, name string",
+    )
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "10.200.0.1"), (3, "192.168.4.77"),
+         (4, "8.8.8.8"), (5, "not-an-ip")],
+        "id int, ip string",
+    )
+    pipe = compile_pipeline([{"geoip": {"field": "ip"}}], geoip_db=db)
+    got = {r["id"]: r["geoip"] for r in rows(pipe(df))}
+    # 10.1.2.3 is inside BOTH 10/8 and 10.1/16 — longest prefix wins
+    assert got[1] == {"country_iso_code": "AA", "name": "narrow"}
+    assert got[2] == {"country_iso_code": "ZZ", "name": "wide"}
+    assert got[3] == {"country_iso_code": "BB", "name": "lan"}
+    assert got[4] is None and got[5] is None
+    # properties narrows the attribute set
+    pipe2 = compile_pipeline(
+        [{"geoip": {"field": "ip", "properties": ["country_iso_code"]}}],
+        geoip_db=db,
+    )
+    assert rows(pipe2(df))[0]["geoip"] == {"country_iso_code": "AA"}
+    with pytest.raises(IngestError, match="needs a database"):
+        compile_pipeline([{"geoip": {"field": "ip"}}])
+    with pytest.raises(IngestError, match="network"):
+        compile_pipeline([{"geoip": {"field": "ip"}}],
+                         geoip_db=df.select("ip"))
+    with pytest.raises(IngestError, match="no columns"):
+        compile_pipeline([{"geoip": {"field": "ip",
+                                     "properties": ["city_name"]}}],
+                         geoip_db=db)
