@@ -1,0 +1,356 @@
+"""Round-7 pending corpus: oracle-backed queries for the round-6 library
+surfaces (ES|QL INLINESTATS/FORK, categorize_text, multi-field
+frequent_item_sets, the new ingest processors, watcher bulk evaluation,
+ILM phase ticks).
+
+NOT imported by ``corpus.load_all`` — round 6's graded window is frozen
+to drain the never-graded backlog (VERDICT r5 items 2/4), so these
+register NOWHERE yet.  ``tests/test_round7_pending.py`` runs each one
+through the same oracle harness the driver uses, so round 7 can register
+them (add the import to ``load_all`` + names to ``PRIORITY`` + slots in
+``test_registration_order``) with parity already proven.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import tbl
+
+
+@query(
+    "esql_inlinestats",
+    oracle="""
+WITH w AS (
+    SELECT event_id, event_type, value,
+           AVG(value) OVER (PARTITION BY event_type) AS a
+    FROM events
+)
+SELECT event_id, event_type,
+       round(value, 6)::DOUBLE AS value,
+       round(a, 6)::DOUBLE AS avg_v,
+       round(value - a, 6)::DOUBLE AS delta
+FROM w
+ORDER BY round(value - a, 6) DESC, event_id
+LIMIT 50
+""",
+)
+def esql_inlinestats(spark, sf_dir):
+    """ES|QL INLINESTATS: the per-type average joined back onto every
+    event (null-safe key join, no window function in the user's query),
+    then the top deviations."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    return esql(
+        "FROM events"
+        " | INLINESTATS avg_v = AVG(value) BY event_type"
+        " | EVAL delta = ROUND(value - avg_v, 6),"
+        "        avg_v = ROUND(avg_v, 6), value = ROUND(value, 6)"
+        " | KEEP event_id, event_type, value, avg_v, delta"
+        " | SORT delta DESC, event_id"
+        " | LIMIT 50",
+        tables={"events": tbl(spark, sf_dir, "events")},
+    )
+
+
+@query(
+    "esql_fork",
+    oracle="""
+SELECT 'fork1' AS _fork, COUNT(*) AS n, round(SUM(value), 6)::DOUBLE AS v
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'fork2', COUNT(*), round(SUM(value), 6)::DOUBLE
+FROM events WHERE event_type = 'view'
+ORDER BY _fork
+""",
+)
+def esql_fork(spark, sf_dir):
+    """ES|QL FORK: two branch pipelines over one source scan, unioned
+    with the _fork discriminator."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    return esql(
+        "FROM events"
+        ' | FORK (WHERE event_type == "click"'
+        "         | STATS n = COUNT(*), v = SUM(value) | EVAL v = ROUND(v, 6))"
+        '        (WHERE event_type == "view"'
+        "         | STATS n = COUNT(*), v = SUM(value) | EVAL v = ROUND(v, 6))"
+        " | KEEP _fork, n, v | SORT _fork",
+        tables={"events": tbl(spark, sf_dir, "events")},
+    )
+
+
+@query(
+    "aggs_categorize_text",
+    oracle="""
+WITH k AS (
+    SELECT array_to_string(
+               list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9_.\\-]+'),
+                   x -> x <> '' AND NOT regexp_matches(x, '\\d')),
+               ' ') AS cats
+    FROM documents
+    WHERE text IS NOT NULL
+)
+SELECT cats, COUNT(*) AS doc_count
+FROM k
+WHERE cats <> ''
+GROUP BY cats
+ORDER BY doc_count DESC, cats
+LIMIT 15
+""",
+)
+def aggs_categorize_text(spark, sf_dir):
+    """categorize_text over document text: digit-free token-sequence
+    categories, most frequent first."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    docs = tbl(spark, sf_dir, "documents")
+    return compile_aggs(
+        docs,
+        {"aggs": {"cats": {"categorize_text": {"field": "text", "size": 15}}}},
+    )
+
+
+@query(
+    "aggs_fis_multi_field",
+    oracle="""
+WITH d AS (
+    SELECT 'lang=' || lang AS a, 'source=' || source AS b FROM documents
+),
+tot AS (SELECT COUNT(*)::DOUBLE AS t FROM documents),
+sets AS (
+    SELECT a AS key, 1 AS set_size FROM d
+    UNION ALL SELECT b, 1 FROM d
+    UNION ALL
+    SELECT CASE WHEN a < b THEN a || '|' || b ELSE b || '|' || a END, 2 FROM d
+)
+SELECT key AS item_set, set_size, COUNT(*) AS doc_count,
+       round(COUNT(*) / (SELECT t FROM tot), 6)::DOUBLE AS support
+FROM sets
+GROUP BY key, set_size
+HAVING COUNT(*) / (SELECT t FROM tot) >= 0.02
+ORDER BY doc_count DESC, item_set
+LIMIT 200
+""",
+)
+def aggs_fis_multi_field(spark, sf_dir):
+    """Multi-field frequent_item_sets over (lang, source): cross-field
+    "field=value" itemsets of size 1-2.  size=200 with min_support 0.02
+    keeps every qualifying bucket inside the limit so the compare is
+    order-free."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = compile_aggs(
+        docs,
+        {"aggs": {"s": {"frequent_item_sets": {
+            "fields": [{"field": "lang"}, {"field": "source"}],
+            "minimum_support": 0.02, "size": 200,
+        }}}},
+    )
+    return out.select(
+        F.array_join(F.col("s"), "|").alias("item_set"),
+        "set_size",
+        "doc_count",
+        F.round(F.col("support"), 6).alias("support"),
+    )
+
+
+@query(
+    "watcher_bulk_fire",
+    oracle="""
+WITH counts AS (
+    SELECT 'hot_clicks' AS watch_id, COUNT(*) AS hit_count, 25 AS min_hits
+    FROM events WHERE event_type = 'click' AND value > 50
+    UNION ALL
+    SELECT 'any_purchase', COUNT(*), 1 FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'big_values', COUNT(*), 10 FROM events WHERE value >= 95
+    UNION ALL
+    SELECT 'impossible', COUNT(*), 1 FROM events WHERE event_type = 'no-such-type'
+)
+SELECT watch_id, hit_count FROM counts
+WHERE hit_count >= min_hits
+""",
+)
+def watcher_bulk_fire(spark, sf_dir):
+    """run_watches: four stored alert queries evaluated in ONE percolator
+    pass over events + one hash-agg; per-watch min-hits thresholds."""
+    from elasticsearch_hadoop_spark.watcher import run_watches
+
+    events = tbl(spark, sf_dir, "events")
+    watches = spark.createDataFrame(
+        [
+            ("hot_clicks",
+             '{"bool": {"filter": [{"term": {"event_type": "click"}},'
+             ' {"range": {"value": {"gt": 50}}}]}}', 25),
+            ("any_purchase", '{"term": {"event_type": "purchase"}}', 1),
+            ("big_values", '{"range": {"value": {"gte": 95}}}', 10),
+            ("impossible", '{"term": {"event_type": "no-such-type"}}', 1),
+        ],
+        "_id string, query string, min_hits int",
+    )
+    return run_watches(events, watches, min_hits_col="min_hits")
+
+
+@query(
+    "ingest_round6_chain",
+    oracle="""
+SELECT doc_id,
+       source || '.example.co.uk' AS host,
+       'example.co.uk' AS registered,
+       'co.uk' AS tld,
+       source AS sub,
+       regexp_replace(text, '[+-]?\\d+(\\.\\d+)?', '<num>', 'g') AS masked,
+       CASE WHEN lang IN ('en', 'de') THEN lower(lang) ELSE 'other' END AS lang_bucket
+FROM documents
+WHERE n_chars < 600
+ORDER BY doc_id
+""",
+)
+def ingest_round6_chain(spark, sf_dir):
+    """The round-6 processors chained: mustache set -> registered_domain
+    (built-in two-level-suffix subset) -> dotted copy_from -> redact
+    (grok NUMBER masking) -> a nested `pipeline` expansion carrying the
+    conditional lang_bucket logic."""
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = {"processors": [
+        {"set": {"field": "lang_bucket", "value": "other"}},
+        {"script": {"source":
+                    "ctx.lang_bucket = ctx.lang == 'en' || ctx.lang == 'de'"
+                    " ? ctx.lang : 'other'"}},
+    ]}
+    pipe = compile_pipeline(
+        [
+            {"set": {"field": "host", "value": "{{source}}.example.co.uk"}},
+            {"registered_domain": {"field": "host", "target_field": "rd"}},
+            {"set": {"field": "registered", "copy_from": "rd.registered_domain"}},
+            {"set": {"field": "tld", "copy_from": "rd.top_level_domain"}},
+            {"set": {"field": "sub", "copy_from": "rd.subdomain"}},
+            {"redact": {"field": "text", "patterns": ["%{NUMBER:num}"],
+                        "target_field": "masked"}},
+            {"pipeline": {"name": "bucket"}},
+            {"drop": {"if": "ctx.n_chars >= 600"}},
+        ],
+        pipelines={"bucket": bucket},
+    )
+    return (
+        pipe(docs)
+        .select("doc_id", "host", "registered", "tld", "sub", "masked",
+                F.lower(F.col("lang_bucket")).alias("lang_bucket"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ingest_user_agent",
+    oracle="""
+WITH ua AS (
+    SELECT event_id,
+           CASE event_type
+               WHEN 'click' THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
+               WHEN 'view' THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15'
+               WHEN 'purchase' THEN 'Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91'
+               WHEN 'login' THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0'
+               ELSE 'Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)'
+           END AS agent
+    FROM events
+)
+SELECT event_id,
+       CASE WHEN agent LIKE '%Googlebot%' THEN 'Spider'
+            WHEN agent LIKE '%Edg/%' THEN 'Edge'
+            WHEN agent LIKE '%Chrome/%' THEN 'Chrome'
+            WHEN agent LIKE '%Firefox/%' THEN 'Firefox'
+            ELSE 'Safari' END AS browser,
+       CASE WHEN agent LIKE '%Googlebot%' THEN 'Other'
+            WHEN agent LIKE '%Windows NT%' THEN 'Windows'
+            WHEN agent LIKE '%Mac OS X%' THEN 'Mac OS X'
+            ELSE 'Linux' END AS os
+FROM ua
+ORDER BY event_id
+LIMIT 500
+""",
+)
+def ingest_user_agent(spark, sf_dir):
+    """user_agent processor over synthesized (deterministic per
+    event_type) UA strings; browser family priority order is the point —
+    the Edge UA contains Chrome AND Safari."""
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    events = tbl(spark, sf_dir, "events")
+    uas = {
+        "click": "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+                 " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        "view": "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
+                " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1"
+                " Safari/605.1.15",
+        "purchase": "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36"
+                    " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+                    " Edg/120.0.2210.91",
+        "login": "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101"
+                 " Firefox/119.0",
+    }
+    agent = F.lit("Mozilla/5.0 (compatible; Googlebot/2.1;"
+                  " +http://www.google.com/bot.html)")
+    for et, ua in sorted(uas.items()):
+        agent = F.when(F.col("event_type") == et, F.lit(ua)).otherwise(agent)
+    src = events.withColumn("agent", agent)
+    pipe = compile_pipeline([{"user_agent": {"field": "agent"}}])
+    return (
+        pipe(src)
+        .select(
+            "event_id",
+            F.col("user_agent.name").alias("browser"),
+            F.col("user_agent.os").alias("os"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@query(
+    "ingest_geoip",
+    oracle="""
+WITH ips AS (
+    SELECT event_id, user_id % 256 AS octet FROM events
+)
+SELECT event_id,
+       CASE WHEN octet = 7 THEN 'seven'
+            WHEN octet < 128 THEN 'low'
+            ELSE 'high' END AS region
+FROM ips
+ORDER BY event_id
+LIMIT 500
+""",
+)
+def ingest_geoip(spark, sf_dir):
+    """geoip with a caller-provided CIDR database: /16-prefix-bucketed
+    broadcast equi-join, longest prefix (the /16 'seven' block inside the
+    /9 'low' block) wins."""
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    events = tbl(spark, sf_dir, "events")
+    db = spark.createDataFrame(
+        [
+            ("10.0.0.0/9", "low"),
+            ("10.128.0.0/9", "high"),
+            ("10.7.0.0/16", "seven"),
+        ],
+        "network string, region string",
+    )
+    src = events.withColumn(
+        "ip",
+        F.concat(F.lit("10."), (F.col("user_id") % 256).cast("string"),
+                 F.lit(".0.5")),
+    )
+    pipe = compile_pipeline([{"geoip": {"field": "ip"}}], geoip_db=db)
+    return (
+        pipe(src)
+        .select("event_id", F.col("geoip.region").alias("region"))
+        .orderBy("event_id")
+        .limit(500)
+    )
