@@ -354,3 +354,94 @@ def ingest_geoip(spark, sf_dir):
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@query(
+    "writepath_ilm_tick",
+    oracle="""
+WITH gens AS (
+    SELECT 'ord-000001' AS idx, 'warm' AS phase,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS docs
+    UNION ALL
+    SELECT 'ord-000002', 'warm',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1)
+    UNION ALL
+    SELECT 'ord-000003', 'hot',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 2)
+)
+SELECT idx, phase, docs FROM gens
+ORDER BY idx
+""",
+)
+def writepath_ilm_tick(spark, sf_dir):
+    """ILM tick round trip: three rolled generations of orders slices at
+    controlled ages; one apply_lifecycle tick forcemerges the two
+    warm-age generations (delete's 60d horizon reached by neither), the
+    write index never transitions.  Output: per-index applied phase +
+    footer-stats doc count after the tick — compaction must not change a
+    single row."""
+    import time as _time
+
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+    from elasticsearch_hadoop_spark.ilm import apply_lifecycle
+
+    root = _workdir(sf_dir, "ilm_tick")
+    cat = Catalog(spark, root)
+    orders = tbl(spark, sf_dir, "orders")
+    now = _time.time()
+    ages = {1: 20 * 86400.0, 2: 12 * 86400.0, 3: 1 * 86400.0}
+    for gen in (1, 2, 3):
+        idx = f"ord-{gen:06d}"
+        cat.write_index(orders.filter(F.col("o_orderkey") % 3 == gen - 1), idx)
+        meta = cat._read_meta(idx)
+        meta["created_at"] = now - ages[gen]
+        cat._write_meta(idx, meta)
+    cat.put_alias("ord", "ord-000001", "ord-000002", "ord-000003")
+    policy = {"policy": {"phases": {
+        "hot": {"actions": {}},
+        "warm": {"min_age": "10d",
+                 "actions": {"forcemerge": {"max_num_segments": 1}}},
+        "delete": {"min_age": "60d", "actions": {"delete": {}}},
+    }}}
+    apply_lifecycle(cat, "ord", policy, now=now)
+    rows = [
+        (idx, cat._read_meta(idx).get("ilm_phase", "hot"), cat.count_index(idx))
+        for idx in cat._read_aliases()["ord"]
+    ]
+    return spark.createDataFrame(rows, "idx string, phase string, docs bigint").orderBy(
+        "idx"
+    )
+
+
+@query(
+    "search_async_roundtrip",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, round(SUM(value), 6)::DOUBLE AS total
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def search_async_roundtrip(spark, sf_dir):
+    """Async-search veneer: submit the aggregation, poll to completion
+    through get(), rebuild the response rows as a frame — byte-identical
+    to the synchronous query, which is the veneer's contract."""
+    from elasticsearch_hadoop_spark.async_search import AsyncSearch
+
+    events = tbl(spark, sf_dir, "events")
+    agg = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 6).alias("total"))
+        .orderBy("event_type")
+    )
+    a = AsyncSearch(spark)
+    rec = a.submit(agg, wait_for_completion_timeout=120.0)
+    rec = a.get(rec["id"], wait_for_completion_timeout=120.0)
+    assert not rec["is_running"], "async search did not complete"
+    rows = [(r["event_type"], r["n"], r["total"])
+            for r in rec["response"]["rows"]]
+    return spark.createDataFrame(
+        rows, "event_type string, n bigint, total double"
+    ).orderBy("event_type")

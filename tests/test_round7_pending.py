@@ -15,7 +15,8 @@ def _pending_specs():
     names = [
         "esql_inlinestats", "esql_fork", "aggs_categorize_text",
         "aggs_fis_multi_field", "watcher_bulk_fire", "ingest_round6_chain",
-        "ingest_user_agent", "ingest_geoip",
+        "ingest_user_agent", "ingest_geoip", "writepath_ilm_tick",
+        "search_async_roundtrip",
     ]
     return [REGISTRY[n] for n in names]
 
