@@ -445,3 +445,38 @@ def search_async_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, n bigint, total double"
     ).orderBy("event_type")
+
+
+@query(
+    "esql_cidr_match",
+    oracle="""
+WITH ips AS (
+    SELECT event_id, user_id % 256 AS octet,
+           value
+    FROM events
+)
+SELECT event_id, round(value, 6)::DOUBLE AS value
+FROM ips
+WHERE octet < 64 OR octet = 200
+ORDER BY event_id
+LIMIT 300
+""",
+)
+def esql_cidr_match(spark, sf_dir):
+    """ES|QL CIDR_MATCH: constant blocks compiled to integer floor-div
+    membership tests — 10.0.0.0/10 covers octets 0-63 of the second
+    byte, 10.200.0.0/16 pins exactly octet 200."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    events = tbl(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.concat(F.lit("10."), (F.col("user_id") % 256).cast("string"),
+                 F.lit(".0.1")),
+    )
+    return esql(
+        "FROM events"
+        ' | WHERE CIDR_MATCH(ip, "10.0.0.0/10", "10.200.0.0/16")'
+        " | EVAL value = ROUND(value, 6)"
+        " | KEEP event_id, value | SORT event_id | LIMIT 300",
+        tables={"events": events},
+    )

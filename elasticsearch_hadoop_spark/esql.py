@@ -125,7 +125,9 @@ _FUNCS = {
     # BUCKET() rewrites emit these (also safe to call directly)
     "timestamp_seconds": "timestamp_seconds", "unix_timestamp": "unix_timestamp",
     "coalesce": "coalesce", "greatest": "greatest", "least": "least",
-    "case": "case", "cidr_match": None,  # rejected explicitly below
+    "case": "case",
+    # rewritten to integer floor-div math by _rewrite_cidr_match
+    "cidr_match": None,
     "mv_count": "size", "mv_min": "array_min", "mv_max": "array_max",
     "mv_concat": "array_join", "mv_dedupe": "array_distinct",
     "mv_sort": "array_sort",
@@ -156,6 +158,74 @@ _KEYWORDS = {
 _BUCKET_UNITS = {
     "second", "minute", "hour", "day", "week", "month", "quarter", "year",
 }
+
+
+_IPV4_OCTET_RX = r"(25[0-5]|2[0-4]\\d|1?\\d?\\d)"
+
+
+def _ipv4_num_sql(ip: str, lits: list[str]) -> str:
+    """Dotted-quad -> uint32 as inline Spark SQL (NULL when malformed).
+    The validation regex and split pattern are registered in ``lits`` as
+    masked placeholders so the expression-syntax guard never sees their
+    content."""
+
+    def ph(lit_sql: str) -> str:
+        lits.append(lit_sql)
+        return f"\x00{len(lits) - 1}\x00"
+
+    rx = ph(f"'^{_IPV4_OCTET_RX}(\\\\.{_IPV4_OCTET_RX}){{3}}$'")
+    dot = ph("'\\\\.'")
+    oct_ = lambda i: f"cast(split({ip}, {dot})[{i}] as bigint)"  # noqa: E731
+    num = (
+        f"{oct_(0)}*16777216 + {oct_(1)}*65536 + {oct_(2)}*256 + {oct_(3)}"
+    )
+    return f"(CASE WHEN {ip} RLIKE {rx} THEN {num} END)"
+
+
+def _rewrite_cidr_match(e: str, lits: list[str]) -> str:
+    """ES|QL ``CIDR_MATCH(ip, "cidr", ...)``: compile-time CIDR constants
+    become integer floor-div membership tests (the same math as the
+    ingest network processors) — pure SQL, no UDF.  IPv4 subset; blocks
+    must be literals (ES|QL requires constant blocks too)."""
+    pat = re.compile(r"\bCIDR_MATCH\s*\(", flags=re.I)
+    while True:
+        m = pat.search(e)
+        if not m:
+            return e
+        depth, i = 1, m.end()
+        while i < len(e) and depth:
+            depth += e[i] == "("
+            depth -= e[i] == ")"
+            i += 1
+        args = _split_top(e[m.end(): i - 1])
+        if len(args) < 2:
+            raise EsqlError("CIDR_MATCH needs (ip, block, ...)")
+        ip = args[0].strip()
+        ipnum = _ipv4_num_sql(ip, lits)
+        tests = []
+        for a in args[1:]:
+            pm = _PLACEHOLDER.fullmatch(a.strip())
+            if not pm:
+                raise EsqlError(
+                    f"CIDR_MATCH blocks must be string literals: {a!r}"
+                )
+            cidr = lits[int(pm.group(1))][1:-1]
+            base, _, plen = cidr.partition("/")
+            prefix = int(plen) if plen else 32
+            parts = base.split(".")
+            if (
+                not 0 <= prefix <= 32
+                or len(parts) != 4
+                or any(not p.isdigit() or int(p) > 255 for p in parts)
+            ):
+                raise EsqlError(f"CIDR_MATCH: bad block {cidr!r}")
+            net = (
+                int(parts[0]) * 16777216 + int(parts[1]) * 65536
+                + int(parts[2]) * 256 + int(parts[3])
+            )
+            host = 2 ** (32 - prefix)
+            tests.append(f"floor({ipnum} / {host}) = {net // host}")
+        e = e[: m.start()] + "(" + " OR ".join(tests) + ")" + e[i:]
 
 
 def _rewrite_bucket(e: str, lits: list[str] | None = None) -> str:
@@ -280,10 +350,10 @@ def _translate_expr(e: str) -> str:
         rest = probe[m.end():].lstrip()
         if rest.startswith("("):
             name = m.group(0).lower()
-            if name in _KEYWORDS:
-                continue
+            if name in _KEYWORDS or name == "cidr_match":
+                continue  # cidr_match is consumed by its rewrite below
             fn = _FUNCS.get(name)
-            if name == "cidr_match" or (fn is None and name not in _CASTS):
+            if fn is None and name not in _CASTS:
                 raise EsqlError(f"unsupported function {m.group(0)!r} in {e!r}")
     # apply function-name mapping on the masked text (word-boundary, case-
     # insensitive — placeholders contain no word chars), casts become
@@ -310,6 +380,7 @@ def _translate_expr(e: str) -> str:
                 text = re.sub(rf"\b{name}\s*\(", sql + "(", text, flags=re.I)
         return text
 
+    masked = _rewrite_cidr_match(masked, lits)
     masked = _map_funcs(masked)
 
     # LIKE "pat" — translate the pattern literal's wildcards; RLIKE "re"

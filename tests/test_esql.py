@@ -522,3 +522,26 @@ def test_fork_error_contract(spark, logs):
         esql("FROM logs | FORK (WHERE bytes > 0)", tables=logs)
     with pytest.raises(EsqlError, match="parenthesized"):
         esql("FROM logs | FORK WHERE bytes > 0", tables=logs)
+
+
+def test_cidr_match(spark):
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "10.200.0.1"), (3, "192.168.7.9"),
+         (4, "8.8.8.8"), (5, "999.1.2.3"), (6, None)],
+        "id int, ip string",
+    )
+    out = esql(
+        'FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/9", "192.168.0.0/16")'
+        " | KEEP id | SORT id",
+        tables={"t": df},
+    ).collect()
+    assert [r["id"] for r in out] == [1, 3]
+    # /32 exact and prefixless (implicit /32)
+    out2 = esql(
+        'FROM t | WHERE CIDR_MATCH(ip, "8.8.8.8") | KEEP id', tables={"t": df}
+    ).collect()
+    assert [r["id"] for r in out2] == [4]
+    with pytest.raises(EsqlError, match="literals"):
+        esql("FROM t | WHERE CIDR_MATCH(ip, id)", tables={"t": df})
+    with pytest.raises(EsqlError, match="bad block"):
+        esql('FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/40")', tables={"t": df})

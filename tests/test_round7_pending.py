@@ -1,42 +1,62 @@
 """Round-7 pending corpus queries: each must already hash-match its
 DuckDB oracle through the driver-equivalent harness, so registering them
-in round 7 is a PRIORITY edit, not new risk.  Also pins that the module
-is NOT registered this round (the graded window is frozen)."""
+in round 7 is a PRIORITY edit, not new risk.  Also pins that load_all
+does NOT import the pending module (the round-6 graded window is
+frozen).
+
+Importing the pending module fills the shared REGISTRY, which other
+tests (registration order, spread gate) iterate — so this module
+imports it through a module-scoped fixture that REMOVES the pending
+entries again on teardown.  No importlib.reload: reloading the corpus
+package rebinds REGISTRY and breaks every later load_all() in the
+session (found the hard way — two spread-gate tests failed only in the
+full run)."""
+
+import sys
 
 import pytest
 
 import tests.oracle_harness as oh
 
+PENDING = [
+    "esql_inlinestats", "esql_fork", "aggs_categorize_text",
+    "aggs_fis_multi_field", "watcher_bulk_fire", "ingest_round6_chain",
+    "ingest_user_agent", "ingest_geoip", "writepath_ilm_tick",
+    "search_async_roundtrip", "esql_cidr_match",
+]
 
-def _pending_specs():
+_MOD = "elasticsearch_hadoop_spark.corpus.round7_pending"
+
+
+@pytest.fixture(scope="module")
+def pending_registry():
     from elasticsearch_hadoop_spark.corpus import REGISTRY
-    from elasticsearch_hadoop_spark.corpus import round7_pending  # noqa: F401
 
-    names = [
-        "esql_inlinestats", "esql_fork", "aggs_categorize_text",
-        "aggs_fis_multi_field", "watcher_bulk_fire", "ingest_round6_chain",
-        "ingest_user_agent", "ingest_geoip", "writepath_ilm_tick",
-        "search_async_roundtrip",
-    ]
-    return [REGISTRY[n] for n in names]
-
-
-def test_pending_module_not_registered_by_load_all():
-    # load_all must NOT pick these up while the round-6 freeze holds —
-    # an unregistered pending module is the whole point
-    import importlib
-
-    import elasticsearch_hadoop_spark.corpus as corpus
-
-    importlib.reload(corpus)  # fresh REGISTRY without the pending import
-    names = set(corpus.load_all())
-    assert "esql_inlinestats" not in names
-    assert "watcher_bulk_fire" not in names
-    # restore: re-import pending for the parametrized tests below
+    preexisting = set(REGISTRY)
     import elasticsearch_hadoop_spark.corpus.round7_pending  # noqa: F401
 
+    yield REGISTRY
+    # leave the session REGISTRY exactly as found
+    for n in set(REGISTRY) - preexisting:
+        REGISTRY.pop(n, None)
+    sys.modules.pop(_MOD, None)
 
-@pytest.mark.parametrize("spec", _pending_specs(), ids=lambda s: s.name)
-def test_pending_query_matches_oracle(spec, spark, sf_dir, duck):
-    ok, msg = oh.compare(spec, spark, sf_dir, duck)
-    assert ok, f"{spec.name}: {msg}"
+
+def test_pending_module_not_wired_into_load_all():
+    import inspect
+
+    from elasticsearch_hadoop_spark import corpus
+
+    src = inspect.getsource(corpus.load_all)
+    assert "round7_pending" not in src, (
+        "round7_pending reached load_all — if this is the round-7 "
+        "registration, move these queries into PRIORITY, give them graded "
+        "window slots, and delete this pending scaffolding"
+    )
+    assert all(n not in corpus.PRIORITY for n in PENDING)
+
+
+@pytest.mark.parametrize("name", PENDING)
+def test_pending_query_matches_oracle(name, pending_registry, spark, sf_dir, duck):
+    ok, msg = oh.compare(pending_registry[name], spark, sf_dir, duck)
+    assert ok, f"{name}: {msg}"
