@@ -18,9 +18,10 @@ maintain, which IS the Spark-first answer to ES|QL's executor.
 
 Supported commands (the documented core; anything else raises):
 
-- ``FROM index[, index2...]`` — resolves through the ``tables`` dict or
-  a ``Catalog`` (wildcards/aliases included); ``ROW a = 1, b = "x"``
-  builds a literal single-row source.
+- ``FROM index[, index2...] [METADATA _index, _id]`` — resolves through
+  the ``tables`` dict or a ``Catalog`` (wildcards/aliases included);
+  requested metadata columns survive as named columns.  ``ROW a = 1,
+  b = "x"`` builds a literal single-row source.
 - ``WHERE <expr>``
 - ``EVAL name = <expr>[, name2 = <expr2>...]`` — later names see earlier
   ones, like ES|QL.
@@ -604,13 +605,44 @@ def esql(
                 raise EsqlError("ROW needs an active SparkSession")
         df = spark.range(1).select(*cols)
     else:
-        sources = [s.strip() for s in _split_top(hm.group(2))]
+        body = hm.group(2)
+        # FROM idx[, idx2] [METADATA _index, _id]: requested metadata
+        # columns survive as named columns (ES|QL 8.11+ contract); the
+        # catalog read carries them, a `tables` frame must already have
+        # them
+        meta_cols: list[str] = []
+        mm = re.search(r"\bMETADATA\b(.*)$", body, flags=re.I | re.S)
+        if mm:
+            meta_cols = [c.strip() for c in _split_top(mm.group(1)) if c.strip()]
+            bad = [c for c in meta_cols if c not in ("_index", "_id", "_routing")]
+            if bad:
+                raise EsqlError(f"unsupported METADATA columns {bad!r}")
+            body = body[: mm.start()]
+        sources = [s.strip() for s in _split_top(body)]
         frames = []
         for s in sources:
             if tables and s in tables:
-                frames.append(tables[s])
+                f2 = tables[s]
+                missing = [c for c in meta_cols if c not in f2.columns]
+                if missing:
+                    raise EsqlError(
+                        f"source {s!r} has no metadata columns {missing!r}"
+                    )
+                frames.append(f2)
             elif catalog is not None:
-                frames.append(catalog.read_index(s))
+                f2 = catalog.read_index(s, metadata=bool(meta_cols))
+                if "_index" in meta_cols and "_index" not in f2.columns:
+                    # single-index reads carry no _index column — the
+                    # resolved source name IS the index
+                    f2 = f2.withColumn("_index", F.lit(s))
+                missing = [c for c in meta_cols if c not in f2.columns]
+                if missing:
+                    raise EsqlError(
+                        f"source {s!r} has no metadata columns {missing!r}"
+                    )
+                drop = [c for c in ("_id", "_index", "_routing", "_metadata")
+                        if c in f2.columns and c not in meta_cols]
+                frames.append(f2.drop(*drop))
             else:
                 raise EsqlError(f"unknown source {s!r} (no catalog given)")
         df = frames[0]

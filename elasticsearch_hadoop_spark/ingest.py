@@ -80,6 +80,10 @@ painless-lite predicate over ``ctx.field`` references, except where noted):
 - ``geoip`` — caller-provided CIDR database frame
   (``compile_pipeline(..., geoip_db=frame)``); /16-prefix-bucketed
   broadcast equi-join, longest-prefix wins — never a range theta join
+- ``terminate`` — stops the current pipeline for matching documents:
+  later processors' ``if`` gains the negated terminate condition at
+  compile time (an unconditional terminate truncates the pipeline;
+  schema-edit/join processors cannot follow a conditional one)
 
 Anything else raises ``IngestError`` — no silent skips.
 """
@@ -938,6 +942,16 @@ _SUPPORTED = {
     "user_agent", "geoip",
 }
 
+# processors that honor a per-row `if` — the set a conditional terminate
+# may gate; schema edits and join-shaped processors cannot follow one
+_GUARDABLE = {
+    "set", "convert", "date", "split", "join", "gsub", "lowercase",
+    "uppercase", "trim", "append", "dissect", "kv", "json", "fingerprint",
+    "script", "uri_parts", "html_strip", "urldecode", "bytes", "csv",
+    "sort", "drop", "fail", "foreach", "date_index_name", "redact",
+    "registered_domain", "community_id", "network_direction", "user_agent",
+}
+
 
 def _precheck(kind: str, cfg: dict) -> None:
     """Compile-time validation so a bad pipeline fails at declaration, not
@@ -1055,10 +1069,18 @@ def compile_pipeline(
     rejected)."""
     steps: list[tuple[str, dict]] = []
 
-    def expand(p, active: tuple[str, ...]) -> None:
+    def expand(
+        p, active: tuple[str, ...], inherited_terms: tuple[str, ...] = ()
+    ) -> None:
         processors = p.get("processors", []) if isinstance(p, dict) else p
         if not isinstance(processors, list) or not processors:
             raise IngestError("pipeline needs a non-empty processors list")
+        # ES terminate: stops the CURRENT pipeline for matching documents
+        # (a nested pipeline's terminate does not cancel its caller's
+        # remaining processors; the caller's conditions DO gate the
+        # child's, hence inherited_terms).  Compile-time rewrite: later
+        # processors' `if` gains `(terminate_cond) == false`.
+        term_conds: list[str] = list(inherited_terms)
         for proc in processors:
             if not isinstance(proc, dict) or len(proc) != 1:
                 raise IngestError(
@@ -1067,6 +1089,14 @@ def compile_pipeline(
             (kind, cfg), = proc.items()
             if not isinstance(cfg, dict):
                 raise IngestError(f"processor {kind!r} config must be an object")
+            if kind == "terminate":
+                c = cfg.get("if")
+                if c is None:
+                    # unconditional: nothing after this runs in this scope
+                    break
+                compile_condition(c)
+                term_conds.append(f"({c})")
+                continue
             if kind == "pipeline":
                 name = cfg.get("name")
                 if "if" in cfg:
@@ -1084,8 +1114,19 @@ def compile_pipeline(
                         f"pipeline: cycle through {name!r}: "
                         f"{' -> '.join(active + (name,))}"
                     )
-                expand(sub, active + (name,))
+                expand(sub, active + (name,), tuple(term_conds))
                 continue
+            if term_conds:
+                if kind not in _GUARDABLE:
+                    raise IngestError(
+                        f"{kind} cannot follow a conditional terminate "
+                        "(no per-row if support)"
+                    )
+                guard = f"(({' || '.join(term_conds)}) == false)"
+                cfg = dict(cfg)
+                cfg["if"] = (
+                    f"(({cfg['if']}) && {guard})" if "if" in cfg else guard
+                )
             _precheck(kind, cfg)
             if kind == "geoip":
                 if geoip_db is None:

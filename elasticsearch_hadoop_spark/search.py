@@ -594,6 +594,46 @@ def linear_fuse(
     )
 
 
+def profile(df: DataFrame, execute: bool = True) -> dict:
+    """ES ``_search?profile=true`` — the engine's honest analogue: the
+    query's compiled plan at each Catalyst stage plus scan-level pushdown
+    evidence.  ES profiles Lucene query rewrites and per-collector
+    timings; here the planner IS Catalyst, so the profile renders what
+    Catalyst decided — which filters reached the parquet scan
+    (PushedFilters), which columns survived pruning (ReadSchema), the
+    join strategies, and the whole-stage-codegen span count.
+
+    Like ES's profile, the query RUNS by default (``execute=True``, via
+    ``count()``) so AQE finalizes and the reported plan/codegen spans are
+    the ones that actually executed; ``execute=False`` profiles the
+    pre-execution plan (under AQE its codegen count reads 0 until run)."""
+    qe = df._jdf.queryExecution()
+    if execute:
+        # run THIS queryExecution (df.count() would plan a separate
+        # aggregate query and leave this one un-executed/non-final)
+        qe.executedPlan().execute().count()
+    explain = df._sc._jvm.PythonSQLUtils.explainString
+    physical = explain(qe, "formatted")
+    cg = re.search(r"Found (\d+) WholeStageCodegen", explain(qe, "codegen"))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", physical)
+    read_schema = re.findall(r"ReadSchema: (\S+)", physical)
+    joins = re.findall(
+        r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)\b",
+        physical,
+    )
+    return {
+        "parsed": qe.analyzed().toString(),
+        "optimized": qe.optimizedPlan().toString(),
+        "physical": physical,
+        "pushed_filters": [p for p in pushed if p],
+        "read_schemas": read_schema,
+        "join_strategies": sorted(set(joins)),
+        "codegen_stages": int(cg.group(1)) if cg else 0,
+        "exchanges": physical.count("Exchange"),
+    }
+
+
 def field_caps(df: DataFrame) -> DataFrame:
     """ES ``_field_caps``: one row per field with its type and capability
     flags — pure schema introspection, no data pass.  ``aggregatable``

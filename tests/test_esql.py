@@ -545,3 +545,35 @@ def test_cidr_match(spark):
         esql("FROM t | WHERE CIDR_MATCH(ip, id)", tables={"t": df})
     with pytest.raises(EsqlError, match="bad block"):
         esql('FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/40")', tables={"t": df})
+
+
+def test_from_metadata_columns(spark, tmp_path):
+    from elasticsearch_hadoop_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    cat.write_index(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        "logs-a", id_col="k",
+    )
+    out = esql("FROM logs-a METADATA _index | KEEP k, v, _index | SORT k",
+               catalog=cat).collect()
+    assert [(r["k"], r["_index"]) for r in out] == [(1, "logs-a"), (2, "logs-a")]
+    # without METADATA the meta columns stay hidden
+    out2 = esql("FROM logs-a | SORT k", catalog=cat)
+    assert "_index" not in out2.columns and "_id" not in out2.columns
+    with pytest.raises(EsqlError, match="unsupported METADATA"):
+        esql("FROM logs-a METADATA _shard", catalog=cat)
+
+
+def test_search_profile_veneer(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_hadoop_spark.search import profile
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    joined = df.join(F.broadcast(spark.range(10)), "id")
+    p = profile(joined.filter(F.col("id") > 0))
+    assert "BroadcastHashJoin" in p["join_strategies"]
+    assert p["codegen_stages"] >= 1
+    assert "physical" in p and "optimized" in p
+    assert p["exchanges"] >= 1  # the broadcast exchange

@@ -566,3 +566,47 @@ def test_geoip_longest_prefix_and_prefix_bucketing(spark):
         compile_pipeline([{"geoip": {"field": "ip",
                                      "properties": ["city_name"]}}],
                          geoip_db=db)
+
+
+def test_terminate_processor(spark):
+    df = spark.createDataFrame(
+        [(1, "keep", "a"), (2, "skip", "b")], "id int, status string, v string"
+    )
+    pipe = compile_pipeline([
+        {"uppercase": {"field": "v"}},
+        {"terminate": {"if": "ctx.status == 'skip'"}},
+        {"set": {"field": "tag", "value": "late"}},
+        {"lowercase": {"field": "v"}},
+    ])
+    got = {r["id"]: r for r in rows(pipe(df))}
+    # doc 1 runs the whole pipeline (upper then lower); doc 2 stops at
+    # terminate, keeping the uppercased value and no tag
+    assert got[1]["v"] == "a" and got[1]["tag"] == "late"
+    assert got[2]["v"] == "B" and got[2]["tag"] is None
+    # unconditional terminate truncates the pipeline at compile time
+    trunc = compile_pipeline([
+        {"uppercase": {"field": "v"}},
+        {"terminate": {}},
+        {"fail": {"if": "ctx.status == 'keep'", "message": "never"}},
+    ])
+    assert trunc(df).count() == 2
+    # schema edits cannot follow a conditional terminate
+    with pytest.raises(IngestError, match="cannot follow"):
+        compile_pipeline([
+            {"terminate": {"if": "ctx.status == 'skip'"}},
+            {"rename": {"field": "v", "target_field": "w"}},
+        ])
+    # a nested pipeline's terminate stops only the child; the caller
+    # continues (inherited conditions still gate the child's steps)
+    child = {"processors": [
+        {"terminate": {"if": "ctx.status == 'skip'"}},
+        {"set": {"field": "child_tag", "value": "c"}},
+    ]}
+    outer = compile_pipeline(
+        [{"pipeline": {"name": "k"}},
+         {"set": {"field": "outer_tag", "value": "o"}}],
+        pipelines={"k": child},
+    )
+    got2 = {r["id"]: r for r in rows(outer(df))}
+    assert got2[2]["child_tag"] is None and got2[2]["outer_tag"] == "o"
+    assert got2[1]["child_tag"] == "c" and got2[1]["outer_tag"] == "o"
