@@ -100,17 +100,92 @@ def transform_latest(
     )
 
 
-def run_transform(df: DataFrame, body: dict) -> DataFrame:
+def _age_seconds(v) -> float:
+    import re as _re
+
+    if isinstance(v, (int, float)):
+        return float(v)
+    m = _re.match(r"^(\d+(?:\.\d+)?)(ms|s|m|h|d)?$", str(v).strip())
+    if not m:
+        raise TransformError(f"bad duration {v!r}")
+    unit = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+            None: 1.0}[m.group(2)]
+    return float(m.group(1)) * unit
+
+
+def sync_window(
+    df: DataFrame, sync: dict, last_checkpoint=None, now: float | None = None
+) -> DataFrame:
+    """ES continuous-mode ``sync``: the incremental source window.  A
+    checkpointed transform processes source docs with
+    ``last_checkpoint < field <= now - delay`` — the delay absorbs
+    ingest lag, exactly ES's contract.  Batch analogue of the
+    checkpoint loop: the caller persists ``now - delay`` as the next
+    checkpoint and re-invokes.  Both bounds are sargable timestamp
+    predicates — they push to parquet row-group stats, so an old
+    checkpoint never rescans old data."""
+    t = sync.get("time")
+    if not t or "field" not in t:
+        raise TransformError("sync needs {'time': {'field': ...}}")
+    import time as _time
+
+    now = _time.time() if now is None else now
+    upper = now - _age_seconds(t.get("delay", "60s"))
+    col = F.col(t["field"])
+    out = df.filter(col <= F.timestamp_seconds(F.lit(upper)))
+    if last_checkpoint is not None:
+        lower = (
+            F.timestamp_seconds(F.lit(float(last_checkpoint)))
+            if isinstance(last_checkpoint, (int, float))
+            else F.lit(last_checkpoint).cast("timestamp")
+        )
+        out = out.filter(col > lower)
+    return out
+
+
+def apply_retention(
+    df: DataFrame, retention: dict, now: float | None = None
+) -> DataFrame:
+    """ES ``retention_policy``: drop result rows whose time field is
+    older than ``max_age`` (ES's background delete-by-query on the dest
+    index; here the dest is recomputed, so retention is a filter)."""
+    t = retention.get("time")
+    if not t or "field" not in t or "max_age" not in t:
+        raise TransformError(
+            "retention_policy needs {'time': {'field': ..., 'max_age': ...}}"
+        )
+    import time as _time
+
+    now = _time.time() if now is None else now
+    horizon = now - _age_seconds(t["max_age"])
+    return df.filter(F.col(t["field"]) >= F.timestamp_seconds(F.lit(horizon)))
+
+
+def run_transform(
+    df: DataFrame,
+    body: dict,
+    now: float | None = None,
+    last_checkpoint=None,
+) -> DataFrame:
     """Full ``_transform`` request body -> result frame (dest-index write
-    is the caller's composition with the catalog sink)."""
+    is the caller's composition with the catalog sink).  ``sync`` narrows
+    the source to the incremental window first (continuous mode);
+    ``retention_policy`` filters the result by age.  ``now`` is explicit
+    so checkpoint runs are deterministic and testable."""
+    if "sync" in body:
+        df = sync_window(df, body["sync"], last_checkpoint, now)
     if "pivot" in body:
-        return transform_pivot(df, body["pivot"])
-    if "latest" in body:
+        out = transform_pivot(df, body["pivot"])
+    elif "latest" in body:
         latest = body["latest"]
-        return transform_latest(
+        out = transform_latest(
             df,
             latest.get("unique_key", []),
             latest.get("sort"),
             tiebreaker=latest.get("tiebreaker"),
         )
-    raise TransformError("transform body needs pivot or latest")
+    else:
+        raise TransformError("transform body needs pivot or latest")
+    if "retention_policy" in body:
+        out = apply_retention(out, body["retention_policy"], now)
+    return out
