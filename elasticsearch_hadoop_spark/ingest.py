@@ -80,6 +80,8 @@ painless-lite predicate over ``ctx.field`` references, except where noted):
 - ``geoip`` — caller-provided CIDR database frame
   (``compile_pipeline(..., geoip_db=frame)``); /16-prefix-bucketed
   broadcast equi-join, longest-prefix wins — never a range theta join
+- ``reroute`` — ``destination`` (mustache templates allowed) lands in
+  the ``_index`` metadata column, consumed by dynamic index routing
 - ``terminate`` — stops the current pipeline for matching documents:
   later processors' ``if`` gains the negated terminate condition at
   compile time (an unconditional terminate truncates the pipeline;
@@ -767,6 +769,15 @@ def _apply_one(
                 new = F.struct(new.alias(p))
         return df.withColumn(root, new).drop(flat)
 
+    if kind == "reroute":
+        # ES reroute: send the document to another index/data stream —
+        # here the `_index` metadata column (mustache templates allowed),
+        # which the sink's dynamic-routing contract consumes
+        dest = cfg.get("destination")
+        if not dest:
+            raise IngestError("reroute needs destination")
+        return _guarded(df, "_index", _template_value(str(dest)), cond)
+
     if kind == "date_index_name":
         # computes the `_index` metadata column (composes with the sink's
         # dynamic-routing `_index` contract): prefix + the event date
@@ -939,7 +950,7 @@ _SUPPORTED = {
     "grok", "html_strip", "urldecode", "bytes", "csv", "sort",
     "fail", "foreach", "dot_expander", "date_index_name", "redact",
     "registered_domain", "community_id", "network_direction",
-    "user_agent", "geoip",
+    "user_agent", "geoip", "reroute",
 }
 
 # processors that honor a per-row `if` — the set a conditional terminate
@@ -950,6 +961,7 @@ _GUARDABLE = {
     "script", "uri_parts", "html_strip", "urldecode", "bytes", "csv",
     "sort", "drop", "fail", "foreach", "date_index_name", "redact",
     "registered_domain", "community_id", "network_direction", "user_agent",
+    "reroute",
 }
 
 
@@ -1008,6 +1020,8 @@ def _precheck(kind: str, cfg: dict) -> None:
         raise IngestError(f"sort order must be asc|desc: {cfg.get('order')!r}")
     if kind == "fail" and "if" not in cfg:
         raise IngestError("fail without an if would fail every document")
+    if kind == "reroute" and not cfg.get("destination"):
+        raise IngestError("reroute needs destination")
     if kind == "foreach":
         proc = cfg.get("processor")
         if not isinstance(proc, dict) or len(proc) != 1:

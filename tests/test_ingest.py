@@ -610,3 +610,17 @@ def test_terminate_processor(spark):
     got2 = {r["id"]: r for r in rows(outer(df))}
     assert got2[2]["child_tag"] is None and got2[2]["outer_tag"] == "o"
     assert got2[1]["child_tag"] == "c" and got2[1]["outer_tag"] == "o"
+
+
+def test_reroute_processor(spark):
+    df = spark.createDataFrame([(1, "de"), (2, "en")], "id int, lang string")
+    pipe = compile_pipeline([
+        {"reroute": {"destination": "logs-{{lang}}",
+                     "if": "ctx.lang == 'de'"}},
+        {"reroute": {"destination": "logs-default",
+                     "if": "ctx.lang != 'de'"}},
+    ])
+    got = {r["id"]: r["_index"] for r in rows(pipe(df))}
+    assert got == {1: "logs-de", 2: "logs-default"}
+    with pytest.raises(IngestError):
+        compile_pipeline([{"reroute": {}}])
