@@ -480,3 +480,116 @@ def esql_cidr_match(spark, sf_dir):
         " | KEEP event_id, value | SORT event_id | LIMIT 300",
         tables={"events": events},
     )
+
+
+@query(
+    "transform_sync_retention",
+    oracle="""
+WITH windowed AS (
+    SELECT user_id, ts, round(value, 6)::DOUBLE AS value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+)
+SELECT user_id, ts, value
+FROM windowed
+WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+ORDER BY user_id
+""",
+)
+def transform_sync_retention(spark, sf_dir):
+    """Continuous-mode transform tick: the sync window (checkpoint <
+    ts <= now - delay) narrows the source, latest picks the newest event
+    per user, retention_policy drops results older than max_age.  All
+    three bounds are fixed timestamps so the oracle replays them
+    exactly."""
+    import datetime
+
+    from elasticsearch_hadoop_spark.transform import run_transform
+
+    events = tbl(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value"), 6)
+    )
+    # now = 2024-01-25 00:01:00 UTC, delay 60s -> upper bound 01-25 00:00
+    now = datetime.datetime(
+        2024, 1, 25, 0, 1, 0, tzinfo=datetime.timezone.utc
+    ).timestamp()
+    body = {
+        "sync": {"time": {"field": "ts", "delay": "60s"}},
+        "latest": {"unique_key": ["user_id"], "sort": "ts",
+                   "tiebreaker": "event_id"},
+        "retention_policy": {"time": {"field": "ts", "max_age": "10d"}},
+    }
+    out = run_transform(
+        events, body, now=now,
+        last_checkpoint=datetime.datetime(2024, 1, 8, 0, 0, 0),
+    )
+    return out.select("user_id", "ts", "value").orderBy("user_id")
+
+
+@query(
+    "esql_from_metadata",
+    oracle="""
+WITH tagged AS (
+    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'ev-ui'
+                ELSE 'ev-backend' END AS _index,
+           value
+    FROM events
+)
+SELECT _index, COUNT(*) AS n, round(SUM(value), 6)::DOUBLE AS total
+FROM tagged
+GROUP BY _index
+ORDER BY _index
+""",
+)
+def esql_from_metadata(spark, sf_dir):
+    """FROM a, b METADATA _index: a catalog multi-index read whose
+    backing-index tag survives as a named column and feeds STATS BY."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+    from elasticsearch_hadoop_spark.esql import esql
+
+    root = _workdir(sf_dir, "esql_metadata")
+    cat = Catalog(spark, root)
+    events = tbl(spark, sf_dir, "events")
+    cat.write_index(
+        events.filter(F.col("event_type").isin("click", "view")), "ev-ui"
+    )
+    cat.write_index(
+        events.filter(~F.col("event_type").isin("click", "view")), "ev-backend"
+    )
+    return esql(
+        "FROM ev-backend, ev-ui METADATA _index"
+        " | STATS n = COUNT(*), total = SUM(value) BY _index"
+        " | EVAL total = ROUND(total, 6)"
+        " | KEEP _index, n, total | SORT _index",
+        catalog=cat,
+    )
+
+
+@query(
+    "ingest_terminate_reroute",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN lang = 'en' THEN 'docs-en' ELSE 'docs-intl' END AS _index,
+       CASE WHEN lang = 'en' THEN NULL ELSE 'routed' END AS tag
+FROM documents
+ORDER BY doc_id
+""",
+)
+def ingest_terminate_reroute(spark, sf_dir):
+    """terminate + reroute: English docs reroute to docs-en and stop the
+    pipeline there (the later set never runs for them); everything else
+    reroutes to docs-intl and picks up the tag."""
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    docs = tbl(spark, sf_dir, "documents")
+    pipe = compile_pipeline([
+        {"reroute": {"destination": "docs-en", "if": "ctx.lang == 'en'"}},
+        {"terminate": {"if": "ctx.lang == 'en'"}},
+        {"reroute": {"destination": "docs-intl"}},
+        {"set": {"field": "tag", "value": "routed"}},
+    ])
+    return pipe(docs).select("doc_id", "_index", "tag").orderBy("doc_id")

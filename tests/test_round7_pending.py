@@ -23,6 +23,7 @@ PENDING = [
     "aggs_fis_multi_field", "watcher_bulk_fire", "ingest_round6_chain",
     "ingest_user_agent", "ingest_geoip", "writepath_ilm_tick",
     "search_async_roundtrip", "esql_cidr_match",
+    "transform_sync_retention", "esql_from_metadata", "ingest_terminate_reroute",
 ]
 
 _MOD = "elasticsearch_hadoop_spark.corpus.round7_pending"
@@ -60,3 +61,16 @@ def test_pending_module_not_wired_into_load_all():
 def test_pending_query_matches_oracle(name, pending_registry, spark, sf_dir, duck):
     ok, msg = oh.compare(pending_registry[name], spark, sf_dir, duck)
     assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", PENDING)
+def test_pending_oracle_floats_rounded(name, pending_registry, duck):
+    # the same float lint test_oracle_lint applies to registered oracles:
+    # every float the oracle emits must already be round(_, 6)-stable
+    import math
+
+    res = duck.execute(pending_registry[name].oracle)
+    for row in res.fetchall()[:2000]:
+        for v in row:
+            if isinstance(v, float) and math.isfinite(v):
+                assert round(v, 6) == v, (name, v)
