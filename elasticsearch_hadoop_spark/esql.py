@@ -78,7 +78,12 @@ SQL that a guarded translation suffices — ``==``/``!=`` map to
 must sit in the whitelist below, and the residue must match the same
 arithmetic-only character class aggs_dsl's bucket_script enforces (no
 semicolons, backticks, comments).  Unknown functions raise — no silent
-passthrough to arbitrary SQL.
+passthrough to arbitrary SQL.  Three rewrite families extend the pure
+name map: ``CIDR_MATCH`` (constant blocks -> integer floor-div tests),
+the argument-swapped ``DATE_FORMAT``/``DATE_PARSE``/``LOCATE``/
+``DATE_DIFF`` (compile-time argument reorder), and
+``MV_FIRST``/``MV_LAST``/``MV_SUM``/``MV_AVG``/``MV_MEDIAN`` (SQL
+expression expansion over the array).
 """
 
 from __future__ import annotations
@@ -96,8 +101,8 @@ class EsqlError(ValueError):
 # scalar functions an expression may call (ES|QL name -> Spark SQL name).
 # Only names whose ARGUMENT ORDER matches Spark's may live here — the
 # translation is name substitution, it cannot reorder arguments (which is
-# why e.g. LOCATE, DATE_FORMAT, DATE_PARSE and DATE_DIFF — all
-# argument-swapped vs Spark — are deliberately absent and raise).
+# why the argument-swapped LOCATE / DATE_FORMAT / DATE_PARSE /
+# DATE_DIFF go through _rewrite_swapped_funcs instead).
 _FUNCS = {
     "round": "round", "abs": "abs", "ceil": "ceil", "floor": "floor",
     "sqrt": "sqrt", "pow": "power", "log10": "log10",
@@ -117,7 +122,9 @@ _FUNCS = {
     # would silently change semantics
     "replace": "regexp_replace",
     "starts_with": "startswith", "ends_with": "endswith",
-    "locate": None,  # argument order differs from Spark — rejected
+    # DATE_FORMAT/DATE_PARSE/LOCATE/DATE_DIFF are argument-swapped vs
+    # Spark — handled by _rewrite_swapped_funcs (argument reorder), not
+    # name substitution
     "bit_length": "bit_length", "byte_length": "octet_length",
     "to_base64": "base64", "md5": "md5", "sha1": "sha1",
     "to_string": "string", "to_long": "bigint", "to_double": "double",
@@ -131,7 +138,9 @@ _FUNCS = {
     "cidr_match": None,
     "mv_count": "size", "mv_min": "array_min", "mv_max": "array_max",
     "mv_concat": "array_join", "mv_dedupe": "array_distinct",
-    "mv_sort": "array_sort",
+    "mv_sort": "array_sort", "mv_append": "concat",
+    # MV_FIRST/MV_LAST/MV_SUM/MV_AVG/MV_MEDIAN expand to SQL expressions
+    # in _rewrite_mv_funcs
     "split": "split",
 }
 _CASTS = {"to_string", "to_long", "to_double", "to_integer", "to_boolean",
@@ -181,6 +190,132 @@ def _ipv4_num_sql(ip: str, lits: list[str]) -> str:
         f"{oct_(0)}*16777216 + {oct_(1)}*65536 + {oct_(2)}*256 + {oct_(3)}"
     )
     return f"(CASE WHEN {ip} RLIKE {rx} THEN {num} END)"
+
+
+def _rewrite_mv_funcs(e: str) -> str:
+    """ES|QL multivalue functions with no single Spark function twin —
+    each expands to a SQL expression over the array argument:
+
+    - ``MV_FIRST(x)`` / ``MV_LAST(x)`` -> try_element_at(x, 1 / -1)
+    - ``MV_SUM(x)``    -> higher-order aggregate fold (double)
+    - ``MV_AVG(x)``    -> the fold / size, NULL on empty (like ES|QL)
+    - ``MV_MEDIAN(x)`` -> sorted middle element (odd) or the mean of the
+      two middles (even), NULL on empty
+
+    The argument is inlined several times in MV_AVG/MV_MEDIAN — fine for
+    a column reference; pre-EVAL a temp column before calling these on
+    an expensive computed array."""
+    for name in ("mv_first", "mv_last", "mv_sum", "mv_avg", "mv_median"):
+        pat = re.compile(rf"\b{name}\s*\(", flags=re.I)
+        pos = 0
+        while True:
+            m = pat.search(e, pos)
+            if not m:
+                break
+            depth, i = 1, m.end()
+            while i < len(e) and depth:
+                depth += e[i] == "("
+                depth -= e[i] == ")"
+                i += 1
+            args = [a.strip() for a in _split_top(e[m.end(): i - 1])]
+            if len(args) != 1:
+                raise EsqlError(f"{name.upper()} takes exactly one argument")
+            x = f"({args[0]})"
+            fold = (
+                f"aggregate({x}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            if name == "mv_first":
+                rep = f"try_element_at({x}, 1)"
+            elif name == "mv_last":
+                rep = f"try_element_at({x}, -1)"
+            elif name == "mv_sum":
+                rep = f"(CASE WHEN size({x}) > 0 THEN {fold} END)"
+            elif name == "mv_avg":
+                rep = f"(CASE WHEN size({x}) > 0 THEN {fold} / size({x}) END)"
+            else:  # mv_median
+                srt = f"array_sort({x})"
+                n = f"size({x})"
+                mid_hi = (f"CAST(try_element_at({srt}, CAST({n} div 2 + 1 AS INT)) AS DOUBLE)")
+                mid_lo = (f"CAST(try_element_at({srt}, CAST({n} div 2 AS INT)) AS DOUBLE)")
+                rep = (
+                    f"(CASE WHEN {n} = 0 THEN NULL"
+                    f" WHEN {n} % 2 = 1 THEN {mid_hi}"
+                    f" ELSE ({mid_lo} + {mid_hi}) / 2.0 END)"
+                )
+            e = e[: m.start()] + rep + e[i:]
+            pos = m.start() + 1
+    return e
+
+
+_DATE_DIFF_UNITS = {
+    "year": "YEAR", "years": "YEAR", "yy": "YEAR", "yyyy": "YEAR",
+    "quarter": "QUARTER", "quarters": "QUARTER", "qq": "QUARTER",
+    "month": "MONTH", "months": "MONTH", "mm": "MONTH",
+    "week": "WEEK", "weeks": "WEEK", "wk": "WEEK",
+    "day": "DAY", "days": "DAY", "dd": "DAY",
+    "hour": "HOUR", "hours": "HOUR", "hh": "HOUR",
+    "minute": "MINUTE", "minutes": "MINUTE", "mi": "MINUTE",
+    "second": "SECOND", "seconds": "SECOND", "ss": "SECOND",
+}
+
+
+def _rewrite_swapped_funcs(e: str, lits: list[str]) -> str:
+    """The ES|QL functions whose argument order differs from Spark's —
+    un-mappable by name substitution, so each gets a compile-time
+    argument REORDER instead of a rejection:
+
+    - ``DATE_FORMAT(fmt, date)``   -> ``date_format(date, fmt)``
+    - ``DATE_PARSE(fmt, str)``     -> ``to_timestamp(str, fmt)``
+    - ``LOCATE(str, substr[, p])`` -> ``locate(substr, str[, p])``
+    - ``DATE_DIFF(unit, a, b)``    -> ``timestampdiff(UNIT, a, b)``
+      (the unit must be a literal; ES|QL's unit aliases resolve to
+      Spark's keyword)
+    """
+    for name in ("date_format", "date_parse", "locate", "date_diff"):
+        pat = re.compile(rf"\b{name}\s*\(", flags=re.I)
+        # search resumes AFTER each replacement: date_format/locate
+        # rewrite to the same-named Spark call and would re-match forever
+        pos = 0
+        while True:
+            m = pat.search(e, pos)
+            if not m:
+                break
+            depth, i = 1, m.end()
+            while i < len(e) and depth:
+                depth += e[i] == "("
+                depth -= e[i] == ")"
+                i += 1
+            args = [a.strip() for a in _split_top(e[m.end(): i - 1])]
+            if name == "date_format":
+                if len(args) != 2:
+                    raise EsqlError("DATE_FORMAT needs (format, date)")
+                rep = f"date_format({args[1]}, {args[0]})"
+            elif name == "date_parse":
+                if len(args) != 2:
+                    raise EsqlError("DATE_PARSE needs (format, string)")
+                rep = f"to_timestamp({args[1]}, {args[0]})"
+            elif name == "locate":
+                if len(args) not in (2, 3):
+                    raise EsqlError("LOCATE needs (string, substring[, start])")
+                tail = f", {args[2]}" if len(args) == 3 else ""
+                rep = f"locate({args[1]}, {args[0]}{tail})"
+            else:  # date_diff
+                if len(args) != 3:
+                    raise EsqlError("DATE_DIFF needs (unit, start, end)")
+                pm = _PLACEHOLDER.fullmatch(args[0])
+                if not pm:
+                    raise EsqlError("DATE_DIFF unit must be a string literal")
+                unit = lits[int(pm.group(1))][1:-1].lower()
+                sql_unit = _DATE_DIFF_UNITS.get(unit)
+                if sql_unit is None:
+                    raise EsqlError(f"DATE_DIFF: unknown unit {unit!r}")
+                rep = f"timestampdiff({sql_unit}, {args[1]}, {args[2]})"
+            e = e[: m.start()] + rep + e[i:]
+            # resume just past the match start: the rewritten outer call
+            # cannot re-match (same-name rewrites would loop forever),
+            # while nested same-name calls inside the args still do
+            pos = m.start() + 1
+    return e
 
 
 def _rewrite_cidr_match(e: str, lits: list[str]) -> str:
@@ -351,8 +486,12 @@ def _translate_expr(e: str) -> str:
         rest = probe[m.end():].lstrip()
         if rest.startswith("("):
             name = m.group(0).lower()
-            if name in _KEYWORDS or name == "cidr_match":
-                continue  # cidr_match is consumed by its rewrite below
+            if name in _KEYWORDS or name in (
+                "cidr_match", "date_format", "date_parse", "locate",
+                "date_diff", "mv_first", "mv_last", "mv_sum", "mv_avg",
+                "mv_median",
+            ):
+                continue  # consumed by the expression rewrites below
             fn = _FUNCS.get(name)
             if fn is None and name not in _CASTS:
                 raise EsqlError(f"unsupported function {m.group(0)!r} in {e!r}")
@@ -382,6 +521,8 @@ def _translate_expr(e: str) -> str:
         return text
 
     masked = _rewrite_cidr_match(masked, lits)
+    masked = _rewrite_swapped_funcs(masked, lits)
+    masked = _rewrite_mv_funcs(masked)
     masked = _map_funcs(masked)
 
     # LIKE "pat" — translate the pattern literal's wildcards; RLIKE "re"

@@ -413,11 +413,10 @@ def test_expanded_scalar_function_whitelist(spark):
     assert row["lg"] == 3.0 and row["sn"] == 0.0 and row["hyp"] == 5.0
     assert row["mvd"] in ("b,a", "a,b")  # array_distinct keeps first-seen order
     assert row["flag"] is True
-    # argument-swapped and unknown functions still raise
+    # unknown functions still raise (the formerly-rejected
+    # argument-swapped ones now reorder via _rewrite_swapped_funcs)
     with pytest.raises(EsqlError, match="unsupported function"):
-        esql('FROM t | EVAL p = LOCATE(s, "World")', tables={"t": df})
-    with pytest.raises(EsqlError, match="unsupported function"):
-        esql('FROM t | EVAL p = DATE_FORMAT("yyyy", x)', tables={"t": df})
+        esql("FROM t | EVAL p = FANCY_FN(s)", tables={"t": df})
 
 
 def test_stats_std_dev_values_weighted_avg_top(spark):
@@ -577,3 +576,49 @@ def test_search_profile_veneer(spark):
     assert p["codegen_stages"] >= 1
     assert "physical" in p and "optimized" in p
     assert p["exchanges"] >= 1  # the broadcast exchange
+
+
+def test_arg_swapped_date_and_locate_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-03-05 10:30:00", "hello world")], "id int, raw string, s string"
+    )
+    out = esql(
+        "FROM t"
+        ' | EVAL ts = DATE_PARSE("yyyy-MM-dd HH:mm:ss", raw),'
+        '        day = DATE_FORMAT("yyyy/MM/dd", ts),'
+        '        pos = LOCATE(s, "world"),'
+        '        hrs = DATE_DIFF("hours", ts, TO_DATETIME("2024-03-05 13:30:00"))'
+        " | KEEP id, day, pos, hrs",
+        tables={"t": df},
+    ).collect()[0]
+    assert out["day"] == "2024/03/05"
+    assert out["pos"] == 7
+    assert out["hrs"] == 3
+    with pytest.raises(EsqlError, match="unknown unit"):
+        esql('FROM t | EVAL x = DATE_DIFF("fortnights", raw, raw)', tables={"t": df})
+    with pytest.raises(EsqlError, match="unit must be a string literal"):
+        esql("FROM t | EVAL x = DATE_DIFF(s, raw, raw)", tables={"t": df})
+
+
+def test_mv_function_expansion(spark):
+    df = spark.createDataFrame(
+        [(1, [3, 1, 2]), (2, [5, 7]), (3, []), (4, None)],
+        "id int, xs array<int>",
+    )
+    out = esql(
+        "FROM t"
+        " | EVAL fst = MV_FIRST(xs), lst = MV_LAST(xs), s = MV_SUM(xs),"
+        "        a = MV_AVG(xs), med = MV_MEDIAN(xs),"
+        "        app = MV_APPEND(xs, xs)"
+        " | KEEP id, fst, lst, s, a, med, app | SORT id",
+        tables={"t": df},
+    ).collect()
+    r = {x["id"]: x for x in out}
+    assert (r[1]["fst"], r[1]["lst"], r[1]["s"], r[1]["a"]) == (3, 2, 6.0, 2.0)
+    assert r[1]["med"] == 2.0          # odd count: middle of sorted [1,2,3]
+    assert r[2]["med"] == 6.0          # even count: mean of 5 and 7
+    assert r[1]["app"] == [3, 1, 2, 3, 1, 2]
+    assert r[3]["s"] is None and r[3]["a"] is None and r[3]["med"] is None
+    assert r[4]["fst"] is None
+    with pytest.raises(EsqlError, match="exactly one"):
+        esql("FROM t | EVAL x = MV_SUM(xs, xs)", tables={"t": df})
