@@ -593,3 +593,39 @@ def ingest_terminate_reroute(spark, sf_dir):
         {"set": {"field": "tag", "value": "routed"}},
     ])
     return pipe(docs).select("doc_id", "_index", "tag").orderBy("doc_id")
+
+
+@query(
+    "esql_date_mv_functions",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS day,
+       date_diff('day', date_trunc('day', ts),
+                 TIMESTAMP '2024-02-01 00:00:00') AS days_to_feb,
+       (user_id + event_id)::DOUBLE AS s,
+       user_id::VARCHAR AS first_part
+FROM events
+ORDER BY event_id
+LIMIT 400
+""",
+)
+def esql_date_mv_functions(spark, sf_dir):
+    """The rewrite families end-to-end: DATE_FORMAT/DATE_DIFF (argument
+    reorder — day-boundary-aligned operands so Spark's timestampdiff and
+    DuckDB's boundary-crossing date_diff agree), and MV_SUM/MV_FIRST
+    (expression expansion) over a split-built array whose numeric-string
+    fold must equal user_id + event_id."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    return esql(
+        "FROM events"
+        ' | EVAL day = DATE_FORMAT("yyyy-MM-dd", ts),'
+        '        days_to_feb = DATE_DIFF("days", DATE_TRUNC("day", ts),'
+        '                                TO_DATETIME("2024-02-01 00:00:00")),'
+        '        xs = SPLIT(CONCAT(TO_STRING(user_id), ",",'
+        '                          TO_STRING(event_id)), ","),'
+        "        s = MV_SUM(xs), first_part = MV_FIRST(xs)"
+        " | KEEP event_id, day, days_to_feb, s, first_part"
+        " | SORT event_id | LIMIT 400",
+        tables={"events": tbl(spark, sf_dir, "events")},
+    )
