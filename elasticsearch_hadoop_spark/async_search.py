@@ -19,9 +19,11 @@ Faithful subset:
   collect lands.  Partial *results* (per-shard progressive aggs) are not
   simulated — while running, the response carries no rows (documented
   deviation; ES itself only guarantees partials for some query shapes).
-- ``keep_on_completion=False`` drops the stored response as soon as a
-  ``get`` has observed completion, like ES's default expiry behavior
-  (time-based expiry is the caller's cron: ``expire(older_than, now)``).
+- ``keep_on_completion=False`` stores nothing once the complete
+  response has been handed out — whether that happens inside submit's
+  wait window or at the first ``get`` that observes completion (ES's
+  contract; time-based expiry is the caller's cron:
+  ``expire(older_than, now)``).
 
 Results are capped at ``max_rows`` (default 10k, the ES hit-window
 spirit): an async *search* returns a page, not an unbounded collect —
@@ -102,7 +104,13 @@ class AsyncSearch:
         entry["future"] = self._pool.submit(run)
         if wait_for_completion_timeout > 0:
             entry["done"].wait(wait_for_completion_timeout)
-        return self._render(entry)
+        out = self._render(entry)
+        if entry["done"].is_set() and not keep_on_completion:
+            # the complete response is being returned right now; ES's
+            # keep_on_completion=false stores nothing past this point
+            with self._lock:
+                self._searches.pop(sid, None)
+        return out
 
     # ------------------------------------------------------------- reads
     def _entry(self, sid: str) -> dict:
@@ -153,10 +161,14 @@ class AsyncSearch:
 
     # ----------------------------------------------------------- cancel
     def delete(self, sid: str) -> dict:
-        """``DELETE _async_search/<id>``: cancel the job group (stops
-        running stages) and drop the stored response."""
+        """``DELETE _async_search/<id>``: cancel the search and drop the
+        stored response.  A QUEUED search (pool busy, worker thread not
+        started) is cancelled at the future, where cancelJobGroup cannot
+        reach it yet; a RUNNING one is cancelled at the job group, which
+        interrupts its stages."""
         e = self._entry(sid)
         if not e["done"].is_set():
+            e["future"].cancel()
             self._spark.sparkContext.cancelJobGroup(sid)
         with self._lock:
             self._searches.pop(sid, None)

@@ -278,6 +278,7 @@ class Catalog:
         max_docs: int | None = None,
         max_age_seconds: float | None = None,
         dry_run: bool = False,
+        now: float | None = None,
     ) -> dict:
         """ES `_rollover`: when the alias's WRITE index (its last target)
         meets any condition, create the next generation (``name-000002``
@@ -310,7 +311,9 @@ class Catalog:
         if max_age_seconds is not None:
             meta = self._read_meta(current)
             created = meta.get("created_at") or os.path.getctime(self.path(current))
-            conditions["max_age"] = (time.time() - created) >= max_age_seconds
+            # `now` makes age checks deterministic for testable ILM ticks
+            ref = time.time() if now is None else now
+            conditions["max_age"] = (ref - created) >= max_age_seconds
         if not conditions:
             raise ValueError("rollover needs max_docs and/or max_age_seconds")
         rolled = any(conditions.values())

@@ -495,7 +495,7 @@ WITH windowed AS (
 )
 SELECT user_id, ts, value
 FROM windowed
-WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-15 00:01:00'
 ORDER BY user_id
 """,
 )
@@ -512,7 +512,9 @@ def transform_sync_retention(spark, sf_dir):
     events = tbl(spark, sf_dir, "events").withColumn(
         "value", F.round(F.col("value"), 6)
     )
-    # now = 2024-01-25 00:01:00 UTC, delay 60s -> upper bound 01-25 00:00
+    # now = 2024-01-25 00:01:00 UTC: sync upper = now - 60s delay =
+    # 01-25 00:00:00; retention horizon = now - 10d = 01-15 00:01:00 —
+    # BOTH bounds appear verbatim in the oracle
     now = datetime.datetime(
         2024, 1, 25, 0, 1, 0, tzinfo=datetime.timezone.utc
     ).timestamp()
@@ -524,7 +526,11 @@ def transform_sync_retention(spark, sf_dir):
     }
     out = run_transform(
         events, body, now=now,
-        last_checkpoint=datetime.datetime(2024, 1, 8, 0, 0, 0),
+        # epoch-float checkpoint: a tz-NAIVE datetime literal would
+        # convert through the OS timezone, not the UTC session tz
+        last_checkpoint=datetime.datetime(
+            2024, 1, 8, 0, 0, 0, tzinfo=datetime.timezone.utc
+        ).timestamp(),
     )
     return out.select("user_id", "ts", "value").orderBy("user_id")
 
@@ -580,17 +586,17 @@ ORDER BY doc_id
 """,
 )
 def ingest_terminate_reroute(spark, sf_dir):
-    """terminate + reroute: English docs reroute to docs-en and stop the
-    pipeline there (the later set never runs for them); everything else
-    reroutes to docs-intl and picks up the tag."""
+    """reroute's ES skip semantics end-to-end: English docs reroute to
+    docs-en and the REST OF THE PIPELINE is skipped for them (reroute
+    doubles as a terminate, like ES) — the tag set runs only for the
+    others, which then reroute to docs-intl."""
     from elasticsearch_hadoop_spark.ingest import compile_pipeline
 
     docs = tbl(spark, sf_dir, "documents")
     pipe = compile_pipeline([
         {"reroute": {"destination": "docs-en", "if": "ctx.lang == 'en'"}},
-        {"terminate": {"if": "ctx.lang == 'en'"}},
-        {"reroute": {"destination": "docs-intl"}},
         {"set": {"field": "tag", "value": "routed"}},
+        {"reroute": {"destination": "docs-intl"}},
     ])
     return pipe(docs).select("doc_id", "_index", "tag").orderBy("doc_id")
 

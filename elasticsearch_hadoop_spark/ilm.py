@@ -47,13 +47,9 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import time
 
 _PHASE_ORDER = ["hot", "warm", "cold", "frozen", "delete"]
-
-_AGE_RX = re.compile(r"^(\d+(?:\.\d+)?)(ms|s|m|h|d)?$")
-_AGE_UNIT = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0, None: 1.0}
 
 
 class IlmError(ValueError):
@@ -63,12 +59,9 @@ class IlmError(ValueError):
 def parse_age(v) -> float:
     """ES duration string -> seconds (``"7d"``, ``"30m"``, ``"500ms"``,
     or a bare number of seconds)."""
-    if isinstance(v, (int, float)):
-        return float(v)
-    m = _AGE_RX.match(str(v).strip())
-    if not m:
-        raise IlmError(f"bad duration {v!r}")
-    return float(m.group(1)) * _AGE_UNIT[m.group(2)]
+    from elasticsearch_hadoop_spark.durations import parse_duration
+
+    return parse_duration(v, IlmError)
 
 
 _SUPPORTED_ACTIONS = {
@@ -98,6 +91,11 @@ def validate_policy(policy: dict) -> dict:
                 )
         if ph != "hot" and "min_age" in spec:
             parse_age(spec["min_age"])
+        if ph == "delete" and "delete" not in (spec.get("actions") or {}):
+            raise IlmError(
+                "delete phase must declare the delete action — an empty "
+                "delete phase would otherwise be a silent index drop"
+            )
         if ph == "cold" or ph == "frozen":
             ss = (spec.get("actions") or {}).get("searchable_snapshot")
             if ss is not None and "snapshot_repository" not in ss:
@@ -209,7 +207,7 @@ def apply_lifecycle(catalog, target: str, policy, now: float | None = None):
             kwargs["max_age_seconds"] = parse_age(roll["max_age"])
         if not kwargs:
             raise IlmError("hot.rollover needs max_docs and/or max_age")
-        res = catalog.rollover(target, **kwargs)
+        res = catalog.rollover(target, now=now, **kwargs)
         if res["rolled_over"]:
             actions.append(
                 {"index": res["old_index"], "phase": "hot", "action": "rollover",
@@ -222,42 +220,62 @@ def apply_lifecycle(catalog, target: str, policy, now: float | None = None):
         if idx == write_index:
             continue  # only rolled-away generations move phases, like ES
         age = _index_age(catalog, idx, now)
-        phase = _phase_for_age(phases, age)
+        target_phase = _phase_for_age(phases, age)
         meta = catalog._read_meta(idx)
         applied = meta.get("ilm_phase", "hot")
-        if _PHASE_ORDER.index(phase) <= _PHASE_ORDER.index(applied):
+        if _PHASE_ORDER.index(target_phase) <= _PHASE_ORDER.index(applied):
             continue
-        spec_actions = phases[phase].get("actions") or {}
-        if phase == "delete":
-            aliases = catalog._read_aliases()
-            aliases[target] = [t for t in aliases[target] if t != idx]
-            with open(catalog._aliases_path(), "w") as f:
-                json.dump(aliases, f)
-            catalog.drop_index(idx)
-            actions.append({"index": idx, "phase": "delete", "action": "delete"})
+        # walk EVERY declared phase between the applied one and the
+        # target, in order — ES moves sequentially, so a generation whose
+        # age jumped past warm (e.g. the tick cron was down) still
+        # forcemerges before its cold snapshot
+        deleted = False
+        for phase in _PHASE_ORDER[
+            _PHASE_ORDER.index(applied) + 1: _PHASE_ORDER.index(target_phase) + 1
+        ]:
+            if phase not in phases:
+                continue
+            spec_actions = phases[phase].get("actions") or {}
+            if phase == "delete":
+                if "delete" not in spec_actions:
+                    continue  # validate_policy rejects this, belt-and-braces
+                aliases = catalog._read_aliases()
+                aliases[target] = [t for t in aliases[target] if t != idx]
+                with open(catalog._aliases_path(), "w") as f:
+                    json.dump(aliases, f)
+                catalog.drop_index(idx)
+                actions.append(
+                    {"index": idx, "phase": "delete", "action": "delete"}
+                )
+                deleted = True
+                break
+            if "forcemerge" in spec_actions:
+                n = int(spec_actions["forcemerge"].get("max_num_segments", 1))
+                catalog.compact_index(idx, target_files=n)
+                actions.append(
+                    {"index": idx, "phase": phase, "action": "forcemerge",
+                     "target_files": n}
+                )
+            if "searchable_snapshot" in spec_actions:
+                repo = spec_actions["searchable_snapshot"]["snapshot_repository"]
+                snap = f"ilm-{phase}-{idx}"
+                catalog.snapshot_index(idx, repo, snap)
+                actions.append(
+                    {"index": idx, "phase": phase,
+                     "action": "searchable_snapshot",
+                     "repository": repo, "snapshot": snap}
+                )
+            if "readonly" in spec_actions:
+                actions.append(
+                    {"index": idx, "phase": phase, "action": "readonly"}
+                )
+            # record the transition (meta may have been rewritten by
+            # compact — re-read before stamping)
+            meta = catalog._read_meta(idx)
+            meta["ilm_phase"] = phase
+            if "readonly" in spec_actions:
+                meta["readonly"] = True
+            catalog._write_meta(idx, meta)
+        if deleted:
             continue
-        if "forcemerge" in spec_actions:
-            n = int(spec_actions["forcemerge"].get("max_num_segments", 1))
-            catalog.compact_index(idx, target_files=n)
-            actions.append(
-                {"index": idx, "phase": phase, "action": "forcemerge",
-                 "target_files": n}
-            )
-        if "searchable_snapshot" in spec_actions:
-            repo = spec_actions["searchable_snapshot"]["snapshot_repository"]
-            snap = f"ilm-{phase}-{idx}"
-            catalog.snapshot_index(idx, repo, snap)
-            actions.append(
-                {"index": idx, "phase": phase, "action": "searchable_snapshot",
-                 "repository": repo, "snapshot": snap}
-            )
-        if "readonly" in spec_actions:
-            actions.append({"index": idx, "phase": phase, "action": "readonly"})
-        # record the transition (meta may have been rewritten by compact —
-        # re-read before stamping)
-        meta = catalog._read_meta(idx)
-        meta["ilm_phase"] = phase
-        if "readonly" in spec_actions:
-            meta["readonly"] = True
-        catalog._write_meta(idx, meta)
     return actions

@@ -81,7 +81,8 @@ painless-lite predicate over ``ctx.field`` references, except where noted):
   (``compile_pipeline(..., geoip_db=frame)``); /16-prefix-bucketed
   broadcast equi-join, longest-prefix wins — never a range theta join
 - ``reroute`` — ``destination`` (mustache templates allowed) lands in
-  the ``_index`` metadata column, consumed by dynamic index routing
+  the ``_index`` metadata column, consumed by dynamic index routing;
+  like ES, the remaining processors are skipped for rerouted documents
 - ``terminate`` — stops the current pipeline for matching documents:
   later processors' ``if`` gains the negated terminate condition at
   compile time (an unconditional terminate truncates the pipeline;
@@ -1130,6 +1131,7 @@ def compile_pipeline(
                     )
                 expand(sub, active + (name,), tuple(term_conds))
                 continue
+            orig_if = cfg.get("if")
             if term_conds:
                 if kind not in _GUARDABLE:
                     raise IngestError(
@@ -1165,6 +1167,13 @@ def compile_pipeline(
                     "enrich_policies={name: frame}"
                 )
             steps.append((kind, cfg))
+            if kind == "reroute":
+                # ES reroute SKIPS the remaining processors for the
+                # rerouted documents (including the final pipeline) —
+                # the destination assignment doubles as a terminate
+                if orig_if is None:
+                    break
+                term_conds.append(f"({orig_if})")
 
     expand(pipeline, ())
 

@@ -101,16 +101,9 @@ def transform_latest(
 
 
 def _age_seconds(v) -> float:
-    import re as _re
+    from elasticsearch_hadoop_spark.durations import parse_duration
 
-    if isinstance(v, (int, float)):
-        return float(v)
-    m = _re.match(r"^(\d+(?:\.\d+)?)(ms|s|m|h|d)?$", str(v).strip())
-    if not m:
-        raise TransformError(f"bad duration {v!r}")
-    unit = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
-            None: 1.0}[m.group(2)]
-    return float(m.group(1)) * unit
+    return parse_duration(v, TransformError)
 
 
 def sync_window(
@@ -134,11 +127,22 @@ def sync_window(
     col = F.col(t["field"])
     out = df.filter(col <= F.timestamp_seconds(F.lit(upper)))
     if last_checkpoint is not None:
-        lower = (
-            F.timestamp_seconds(F.lit(float(last_checkpoint)))
-            if isinstance(last_checkpoint, (int, float))
-            else F.lit(last_checkpoint).cast("timestamp")
-        )
+        import calendar
+        import datetime as _dt
+
+        if isinstance(last_checkpoint, (int, float)):
+            lower = F.timestamp_seconds(F.lit(float(last_checkpoint)))
+        elif isinstance(last_checkpoint, _dt.datetime):
+            # a tz-NAIVE datetime literal would convert through the OS
+            # timezone (not the UTC session tz) — pin naive to UTC
+            if last_checkpoint.tzinfo is None:
+                epoch = calendar.timegm(last_checkpoint.timetuple())
+                epoch += last_checkpoint.microsecond / 1e6
+            else:
+                epoch = last_checkpoint.timestamp()
+            lower = F.timestamp_seconds(F.lit(float(epoch)))
+        else:
+            lower = F.lit(last_checkpoint).cast("timestamp")
         out = out.filter(col > lower)
     return out
 

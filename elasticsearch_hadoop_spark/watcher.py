@@ -32,9 +32,12 @@ a last-fire-time map) so a caller's cron can ask "which watches are due
 at t?" — the engine never sleeps or spawns threads itself.  ``now`` is an
 explicit parameter everywhere; ticks are deterministic and testable.
 
-Throttling: a fired action records its fire time in the state map;
-``throttle_period`` suppresses re-fires inside the window, like ES's
-per-action throttling.
+Throttling: pass ``state`` (a mutable dict the caller persists) to
+``execute_watch`` — a fired action records its fire time under
+``(watch_id, action_name)`` and an action carrying ``throttle_period``
+is suppressed (recorded as ``"throttled": True``, not executed) inside
+the window, exactly ES's per-action throttling.  ``due_watches`` shares
+the same caller-persisted-state idiom for schedules.
 """
 
 from __future__ import annotations
@@ -55,18 +58,10 @@ class WatcherError(ValueError):
     pass
 
 
-_INTERVAL_RX = re.compile(r"^(\d+(?:\.\d+)?)(ms|s|m|h|d)?$")
-_INTERVAL_UNIT = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
-                  None: 1.0}
-
-
 def parse_interval(v) -> float:
-    if isinstance(v, (int, float)):
-        return float(v)
-    m = _INTERVAL_RX.match(str(v).strip())
-    if not m:
-        raise WatcherError(f"bad interval {v!r}")
-    return float(m.group(1)) * _INTERVAL_UNIT[m.group(2)]
+    from elasticsearch_hadoop_spark.durations import parse_duration
+
+    return parse_duration(v, WatcherError)
 
 
 def due_watches(watches: dict[str, dict], state: dict[str, float],
@@ -134,6 +129,7 @@ def execute_watch(
     *,
     max_hits: int = 10,
     now: float | None = None,
+    state: dict | None = None,
 ) -> dict:
     """``POST _watcher/watch/_execute``: run the input search, evaluate
     the condition, and (when met) run actions.  Returns the execution
@@ -150,7 +146,9 @@ def execute_watch(
     Actions (subset): ``index`` appends one alert document per firing to
     the named catalog index (requires ``catalog``); ``logging`` renders
     its text with ``{{ctx.payload.*}}`` templates and returns it.  Both
-    are returned in the record; unknown actions raise."""
+    are returned in the record; unknown actions raise.  ``state`` (a
+    caller-persisted dict) + a per-action ``throttle_period`` suppress
+    re-fires inside the window and stamp fire times at ``now``."""
     req = ((watch.get("input") or {}).get("search") or {}).get("request")
     if not req:
         raise WatcherError("watch needs input.search.request")
@@ -188,8 +186,29 @@ def execute_watch(
                               "actions": []}
     if not met:
         return record
+    import time as _time
+
+    now = _time.time() if now is None else now
+    watch_id = str(watch.get("id", ""))
     for name, action in (watch.get("actions") or {}).items():
+        action = dict(action)
+        # per-action meta keys sit NEXT TO the action type in ES bodies
+        throttle = action.pop("throttle_period", None)
+        action.pop("condition", None)  # per-action conditions unsupported
+        if len(action) != 1:
+            raise WatcherError(
+                f"action {name!r} must carry exactly one action type, "
+                f"got {sorted(action)}"
+            )
         (akind, acfg), = action.items()
+        if throttle is not None and state is not None:
+            key = f"{watch_id}/{name}"
+            last = state.get(key)
+            if last is not None and now - last < parse_interval(throttle):
+                record["actions"].append(
+                    {"name": name, "type": akind, "throttled": True}
+                )
+                continue
         if akind == "index":
             if catalog is None:
                 raise WatcherError(f"action {name!r}: index action needs a catalog")
@@ -210,6 +229,8 @@ def execute_watch(
             record["actions"].append(
                 {"name": name, "type": "index", "index": acfg["index"]}
             )
+            if state is not None:
+                state[f"{watch_id}/{name}"] = now
         elif akind == "logging":
             text = str(acfg.get("text", ""))
             rendered = re.sub(
@@ -220,6 +241,8 @@ def execute_watch(
             record["actions"].append(
                 {"name": name, "type": "logging", "text": rendered}
             )
+            if state is not None:
+                state[f"{watch_id}/{name}"] = now
         else:
             raise WatcherError(f"unsupported action type {akind!r}")
     return record

@@ -38,16 +38,28 @@ def test_slow_query_is_running_then_completes(spark):
     assert got["response"]["total"] == 5
 
 
-def test_keep_on_completion_false_drops_after_get(spark):
+def test_keep_on_completion_false_not_stored(spark):
     a = AsyncSearch(spark)
     rec = a.submit(spark.range(3), wait_for_completion_timeout=30.0,
                    keep_on_completion=False)
-    # the submit-time render observed completion; the first explicit get
-    # consumes the stored response
-    got = a.get(rec["id"])
-    assert got["response"]["total"] == 3
+    # the complete response came back on submit; like ES, nothing is
+    # stored past that point
+    assert rec["response"]["total"] == 3
     with pytest.raises(AsyncSearchError):
         a.get(rec["id"])
+
+    # slow path: completion observed by get(), which then consumes it
+    import time as _t
+
+    def build():
+        _t.sleep(0.5)
+        return spark.range(4)
+
+    rec2 = a.submit(build, keep_on_completion=False)
+    got = a.get(rec2["id"], wait_for_completion_timeout=30.0)
+    assert got["response"]["total"] == 4
+    with pytest.raises(AsyncSearchError):
+        a.get(rec2["id"])
 
 
 def test_error_surfaces_in_response(spark):
@@ -74,6 +86,28 @@ def test_delete_cancels_and_forgets(spark):
         a.status(rec["id"])
     with pytest.raises(AsyncSearchError):
         a.delete("as-ghost")
+
+
+def test_delete_cancels_queued_search(spark):
+    # fill the single worker so the second search is QUEUED, then delete
+    # it — future.cancel() must stop it from ever running
+    ran = []
+    a = AsyncSearch(spark, max_workers=1)
+
+    def slow():
+        time.sleep(2.0)
+        return spark.range(1)
+
+    def should_never_run():
+        ran.append(True)
+        return spark.range(1)
+
+    first = a.submit(slow)
+    queued = a.submit(should_never_run)
+    a.delete(queued["id"])
+    a.get(first["id"], wait_for_completion_timeout=30.0)
+    time.sleep(0.5)  # give the pool a chance to (wrongly) start it
+    assert ran == []
 
 
 def test_expire_drops_old_completed(spark):

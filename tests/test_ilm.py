@@ -153,3 +153,45 @@ def test_write_index_protected_and_errors(cat, spark, policy):
     assert apply_lifecycle(cat, "solo", policy, now=1e9) == []
     with pytest.raises(IlmError):
         apply_lifecycle(cat, "missing-alias", policy, now=1e9)
+
+
+def test_empty_delete_phase_rejected():
+    with pytest.raises(IlmError, match="delete phase must declare"):
+        validate_policy({"policy": {"phases": {
+            "delete": {"min_age": "60d", "actions": {}}}}})
+    with pytest.raises(IlmError, match="delete phase must declare"):
+        validate_policy({"policy": {"phases": {"delete": {"min_age": "60d"}}}})
+
+
+def test_skipped_phase_actions_still_run(cat, spark, tmp_path):
+    # a generation first ticked at cold age must forcemerge (warm) BEFORE
+    # its searchable snapshot — ES walks phases sequentially
+    now = 1_000_000_000.0
+    _mk_gen(cat, spark, "jump-000001", 5, now - 35 * DAY)
+    _mk_gen(cat, spark, "jump-000002", 1, now - DAY)
+    cat.put_alias("jump", "jump-000001", "jump-000002")
+    policy = make_policy(str(tmp_path / "snaprepo"))
+    actions = apply_lifecycle(cat, "jump", policy, now=now)
+    kinds = [(a["phase"], a["action"]) for a in actions if a["index"] == "jump-000001"]
+    assert kinds.index(("warm", "forcemerge")) < kinds.index(
+        ("cold", "searchable_snapshot")
+    )
+    assert cat._read_meta("jump-000001")["ilm_phase"] == "cold"
+    # the snapshot is of the compacted index: one data file inside it
+    snaps = cat.list_snapshots(str(tmp_path / "snaprepo"))
+    assert any(s["snapshot"] == "ilm-cold-jump-000001" for s in snaps)
+
+
+def test_rollover_honors_synthetic_now(cat, spark):
+    now = 1_000_000_000.0
+    _mk_gen(cat, spark, "age-000001", 1, now - 8 * DAY)
+    cat.put_alias("age", "age-000001")
+    policy = {"policy": {"phases": {
+        "hot": {"actions": {"rollover": {"max_age": "7d"}}}}}}
+    acts = apply_lifecycle(cat, "age", policy, now=now)
+    assert acts and acts[0]["action"] == "rollover"
+    # at a synthetic now BEFORE the age threshold nothing rolls —
+    # deterministic regardless of the wall clock
+    _mk_gen(cat, spark, "young-000001", 1, now - DAY)
+    cat.put_alias("young", "young-000001")
+    assert apply_lifecycle(cat, "young", policy, now=now) == []

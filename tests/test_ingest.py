@@ -624,3 +624,17 @@ def test_reroute_processor(spark):
     assert got == {1: "logs-de", 2: "logs-default"}
     with pytest.raises(IngestError):
         compile_pipeline([{"reroute": {}}])
+    # ES semantics: rerouted documents skip the REST of the pipeline
+    skip = compile_pipeline([
+        {"reroute": {"destination": "early", "if": "ctx.lang == 'de'"}},
+        {"set": {"field": "tag", "value": "late"}},
+    ])
+    got2 = {r["id"]: r for r in rows(skip(df))}
+    assert got2[1]["_index"] == "early" and got2[1]["tag"] is None
+    assert got2[2]["tag"] == "late"
+    # unconditional reroute truncates the pipeline entirely
+    trunc = compile_pipeline([
+        {"reroute": {"destination": "all"}},
+        {"fail": {"if": "ctx.lang == 'de'", "message": "never"}},
+    ])
+    assert all(r["_index"] == "all" for r in rows(trunc(df)))

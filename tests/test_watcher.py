@@ -138,3 +138,34 @@ def test_watcher_error_contract(spark, logs):
             {**base, "actions": {"x": {"index": {"index": "alerts"}}}},
             frames={"logs": logs},
         )
+
+
+def test_action_throttling(spark, logs):
+    watch = {
+        "id": "w1",
+        "input": {"search": {"request": {
+            "indices": ["logs"],
+            "body": {"query": {"term": {"level": "error"}}},
+        }}},
+        "condition": {"always": {}},
+        "actions": {"note": {"throttle_period": "5m",
+                             "logging": {"text": "errors!"}}},
+    }
+    state: dict = {}
+    r1 = execute_watch(watch, frames={"logs": logs}, state=state, now=1000.0)
+    assert r1["actions"][0]["type"] == "logging"
+    assert state == {"w1/note": 1000.0}
+    # inside the 5m window: throttled, not executed, stamp unchanged
+    r2 = execute_watch(watch, frames={"logs": logs}, state=state, now=1200.0)
+    assert r2["actions"] == [{"name": "note", "type": "logging",
+                             "throttled": True}]
+    assert state == {"w1/note": 1000.0}
+    # window elapsed: fires again
+    r3 = execute_watch(watch, frames={"logs": logs}, state=state, now=1000.0 + 301)
+    assert r3["actions"][0].get("throttled") is None
+    assert state == {"w1/note": 1301.0}
+    # a malformed multi-type action raises WatcherError, not ValueError
+    bad = dict(watch)
+    bad["actions"] = {"x": {"logging": {"text": "a"}, "index": {"index": "i"}}}
+    with pytest.raises(WatcherError, match="exactly one action type"):
+        execute_watch(bad, frames={"logs": logs})
