@@ -133,7 +133,8 @@ _FUNCS = {
     # BUCKET() rewrites emit these (also safe to call directly)
     "timestamp_seconds": "timestamp_seconds", "unix_timestamp": "unix_timestamp",
     "coalesce": "coalesce", "greatest": "greatest", "least": "least",
-    "case": "case",
+    # CASE(cond, v, ..., default) function form -> nested if() chain via
+    # _rewrite_case_fn (the SQL CASE WHEN syntax passes as a keyword)
     # rewritten to integer floor-div math by _rewrite_cidr_match
     "cidr_match": None,
     "mv_count": "size", "mv_min": "array_min", "mv_max": "array_max",
@@ -190,6 +191,34 @@ def _ipv4_num_sql(ip: str, lits: list[str]) -> str:
         f"{oct_(0)}*16777216 + {oct_(1)}*65536 + {oct_(2)}*256 + {oct_(3)}"
     )
     return f"(CASE WHEN {ip} RLIKE {rx} THEN {num} END)"
+
+
+def _rewrite_case_fn(e: str) -> str:
+    """ES|QL ``CASE(c1, v1, c2, v2, ..., [default])`` — the FUNCTION
+    form (Spark has no ``case()`` function; its CASE is the WHEN syntax)
+    — rewrites to a nested ``if()`` chain.  A single-argument match is
+    left alone: it may be the SQL ``CASE (expr) WHEN`` operand form."""
+    pat = re.compile(r"\bCASE\s*\(", flags=re.I)
+    pos = 0
+    while True:
+        m = pat.search(e, pos)
+        if not m:
+            return e
+        depth, i = 1, m.end()
+        while i < len(e) and depth:
+            depth += e[i] == "("
+            depth -= e[i] == ")"
+            i += 1
+        args = [a.strip() for a in _split_top(e[m.end(): i - 1])]
+        if len(args) < 2:
+            pos = m.end()
+            continue
+        default = args.pop() if len(args) % 2 == 1 else "NULL"
+        rep = default
+        for cond, val in reversed(list(zip(args[0::2], args[1::2]))):
+            rep = f"if({cond}, {val}, {rep})"
+        e = e[: m.start()] + "(" + rep + ")" + e[i:]
+        pos = m.start() + 1
 
 
 def _rewrite_mv_funcs(e: str) -> str:
@@ -523,6 +552,7 @@ def _translate_expr(e: str) -> str:
     masked = _rewrite_cidr_match(masked, lits)
     masked = _rewrite_swapped_funcs(masked, lits)
     masked = _rewrite_mv_funcs(masked)
+    masked = _rewrite_case_fn(masked)
     masked = _map_funcs(masked)
 
     # LIKE "pat" — translate the pattern literal's wildcards; RLIKE "re"
@@ -597,8 +627,26 @@ def _expand_cols(df: DataFrame, names: list[str]) -> list[str]:
     return out
 
 
+def _blank_literals(s: str) -> str:
+    """Same-length copy with string-literal CONTENT spaced out, so regex
+    keyword searches (BY, WHERE) can run positionally without ever
+    matching inside a literal."""
+    out, q = [], None
+    for ch in s:
+        if q:
+            out.append(ch if ch == q else " ")
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            out.append(ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _stats(df: DataFrame, body: str) -> DataFrame:
-    by_m = re.search(r"\bBY\b", body, flags=re.I)
+    by_m = re.search(r"\bBY\b", _blank_literals(body), flags=re.I)
     agg_part = body[: by_m.start()] if by_m else body
     keys: list[tuple[str, Column]] = []
     if by_m:
@@ -623,9 +671,11 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
         # aggregate; compiles to agg(when(cond, expr)) so it stays inside
         # the same single hash aggregation
         cond = None
-        wm = re.search(r"\)\s+WHERE\s+(.+)$", item, flags=re.I | re.S)
+        wm = re.search(
+            r"\)\s+WHERE\s+(.+)$", _blank_literals(item), flags=re.I | re.S
+        )
         if wm:
-            cond = _expr(wm.group(1))
+            cond = _expr(item[wm.start(1):])
             item = item[: wm.start() + 1].strip()
         fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)$", item, flags=re.S)
         if not fm:
@@ -645,7 +695,9 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
             if len(args) != 2:
                 raise EsqlError(f"WEIGHTED_AVG needs (expr, weight): {item!r}")
             v, w = _expr(args[0]), _expr(args[1])
-            col = F.sum(_gate(v * w)) / F.sum(_gate(w))
+            # rows with a null VALUE are skipped entirely (ES|QL) — their
+            # weight must not deflate the denominator
+            col = F.sum(_gate(v * w)) / F.sum(_gate(F.when(v.isNotNull(), w)))
         elif fname == "top":
             # TOP(field, limit, "asc"|"desc"): the limit highest/lowest
             # values as an array — one collect + sort + slice per group
@@ -855,7 +907,7 @@ def _apply_stages(
             # materialized on the source first so the join key exists on
             # both sides; the join is null-safe (ES|QL groups nulls
             # together).  With no BY the one-row aggregate broadcasts.
-            by_m = re.search(r"\bBY\b", body, flags=re.I)
+            by_m = re.search(r"\bBY\b", _blank_literals(body), flags=re.I)
             key_names: list[str] = []
             if by_m:
                 for k in _split_top(body[by_m.end():]):
@@ -931,7 +983,9 @@ def _apply_stages(
             col = body.strip()
             if col not in df.columns:
                 raise EsqlError(f"unknown column {col!r}")
-            df = df.withColumn(col, F.explode(F.col(col)))
+            # ES|QL keeps rows whose array is null/empty (value null) —
+            # a plain explode would silently delete them
+            df = df.withColumn(col, F.explode_outer(F.col(col)))
         elif cmd == "CHANGE_POINT":
             cpm = re.match(r"^(\S+)\s+ON\s+(\S+)\s*$", body, flags=re.I)
             if not cpm:

@@ -216,7 +216,9 @@ def _user_agent(df: DataFrame, cfg: dict, cond) -> DataFrame:
     field, all codegen."""
     field = cfg["field"]
     ua = F.col(field)
-    ver = lambda rx: F.regexp_extract(ua, rx, 1)  # noqa: E731
+    # regexp_extract returns '' (never null) on no-match — nullif makes
+    # the IE rv: fallback in the coalesce below actually reachable
+    ver = lambda rx: F.nullif(F.regexp_extract(ua, rx, 1), F.lit(""))  # noqa: E731
     name = (
         F.when(ua.rlike(r"(?i)(bot|crawler|spider|slurp)"), F.lit("Spider"))
         .when(ua.rlike(r"Edge?[A-Za-z]*/\d"), F.lit("Edge"))
@@ -235,7 +237,7 @@ def _user_agent(df: DataFrame, cfg: dict, cond) -> DataFrame:
         .when(name == "Safari", ver(r"Version/([\d.]+)"))
         .when(name == "IE", F.coalesce(ver(r"MSIE ([\d.]+)"), ver(r"rv:([\d.]+)")))
     )
-    version = F.when(version == "", F.lit(None)).otherwise(version)
+
     os_name = (
         F.when(ua.rlike(r"Windows NT"), F.lit("Windows"))
         .when(ua.rlike(r"iPhone OS|iPad|iOS"), F.lit("iOS"))
@@ -326,7 +328,9 @@ def _geoip(df: DataFrame, cfg: dict, geoip_db: DataFrame | None) -> DataFrame:
         "left",
     )
     doc_cols = [c for c in df.columns]
-    hit = F.struct(*[F.col(c) for c in attrs])
+    # db-qualified refs: an attribute sharing a doc column's name would
+    # otherwise be AMBIGUOUS_REFERENCE after the join
+    hit = F.struct(*[db[c].alias(c) for c in attrs])
     agg = joined.groupBy("__rid").agg(
         *[F.first(src[c]).alias(c) for c in doc_cols],
         F.max_by(hit, F.col("__prefix")).alias("__geo"),
@@ -497,6 +501,10 @@ def _apply_one(
                     str(target)
                 )
             )
+        # ES overwrites an existing target field — a same-named doc
+        # column must go, or the join emits duplicate column names
+        if str(target) in df.columns and str(target) != field:
+            df = df.drop(str(target))
         joined = df.join(
             F.broadcast(lookup),
             df[field] == lookup["__enrich_key"],
@@ -549,14 +557,21 @@ def _apply_one(
     if kind == "date":
         formats = cfg.get("formats") or ["ISO8601"]
         tgt = cfg.get("target_field", "@timestamp")
+        # every attempt must be NON-THROWING (try_* variants): under ANSI
+        # a strict parse on attempt 1 would crash the job instead of
+        # falling through to the next format
         attempts = []
         for fmt in formats:
             if fmt == "ISO8601":
-                attempts.append(F.to_timestamp(F.col(field)))
+                attempts.append(F.try_to_timestamp(F.col(field)))
             elif fmt == "UNIX":
-                attempts.append(F.timestamp_seconds(F.col(field).cast("double")))
+                attempts.append(
+                    F.timestamp_seconds(F.col(field).try_cast("double"))
+                )
             elif fmt == "UNIX_MS":
-                attempts.append(F.timestamp_millis(F.col(field).cast("bigint")))
+                attempts.append(
+                    F.timestamp_millis(F.col(field).try_cast("bigint"))
+                )
             else:
                 attempts.append(F.try_to_timestamp(F.col(field), F.lit(fmt)))
         return _guarded(df, tgt, F.coalesce(*attempts), cond)
@@ -790,14 +805,19 @@ def _apply_one(
                 f"{sorted(_DATE_ROUNDING)}, got {cfg.get('date_rounding')!r}"
             )
         formats = cfg.get("date_formats") or ["ISO8601"]
+        # non-throwing attempts, same first-match-wins contract as `date`
         attempts = []
         for fmt in formats:
             if fmt == "ISO8601":
-                attempts.append(F.to_timestamp(F.col(field).cast("string")))
+                attempts.append(F.try_to_timestamp(F.col(field).cast("string")))
             elif fmt == "UNIX":
-                attempts.append(F.timestamp_seconds(F.col(field).cast("double")))
+                attempts.append(
+                    F.timestamp_seconds(F.col(field).try_cast("double"))
+                )
             elif fmt == "UNIX_MS":
-                attempts.append(F.timestamp_millis(F.col(field).cast("bigint")))
+                attempts.append(
+                    F.timestamp_millis(F.col(field).try_cast("bigint"))
+                )
             else:
                 attempts.append(
                     F.try_to_timestamp(F.col(field).cast("string"), F.lit(fmt))
@@ -1051,6 +1071,8 @@ def _precheck(kind: str, cfg: dict) -> None:
             raise IngestError("network_direction needs internal_networks")
         for n in nets:
             _cidr_match(F.lit(0), n)
+    if kind == "geoip" and "if" in cfg:
+        raise IngestError("geoip: per-row if unsupported (it is a join)")
     if kind == "redact":
         from elasticsearch_hadoop_spark.esql import _GROK_PATTERNS, _GROK_REF
 
@@ -1086,7 +1108,7 @@ def compile_pipeline(
 
     def expand(
         p, active: tuple[str, ...], inherited_terms: tuple[str, ...] = ()
-    ) -> None:
+    ) -> tuple[list[str], bool]:
         processors = p.get("processors", []) if isinstance(p, dict) else p
         if not isinstance(processors, list) or not processors:
             raise IngestError("pipeline needs a non-empty processors list")
@@ -1095,7 +1117,12 @@ def compile_pipeline(
         # remaining processors; the caller's conditions DO gate the
         # child's, hence inherited_terms).  Compile-time rewrite: later
         # processors' `if` gains `(terminate_cond) == false`.
+        # reroute is STRONGER: it skips the rest of the calling
+        # pipelines too, so its conditions PROPAGATE back to the caller
+        # via the return value ((conds, absolute) — absolute means an
+        # unconditional reroute ended everything downstream).
         term_conds: list[str] = list(inherited_terms)
+        propagated: list[str] = []
         for proc in processors:
             if not isinstance(proc, dict) or len(proc) != 1:
                 raise IngestError(
@@ -1107,8 +1134,10 @@ def compile_pipeline(
             if kind == "terminate":
                 c = cfg.get("if")
                 if c is None:
-                    # unconditional: nothing after this runs in this scope
-                    break
+                    # unconditional: nothing after this runs in THIS
+                    # scope (the caller's remaining processors still run
+                    # — ES terminate is pipeline-local, unlike reroute)
+                    return propagated, False
                 compile_condition(c)
                 term_conds.append(f"({c})")
                 continue
@@ -1129,7 +1158,13 @@ def compile_pipeline(
                         f"pipeline: cycle through {name!r}: "
                         f"{' -> '.join(active + (name,))}"
                     )
-                expand(sub, active + (name,), tuple(term_conds))
+                child_props, child_abs = expand(
+                    sub, active + (name,), tuple(term_conds)
+                )
+                if child_abs:
+                    return propagated, True
+                term_conds.extend(child_props)
+                propagated.extend(child_props)
                 continue
             orig_if = cfg.get("if")
             if term_conds:
@@ -1169,11 +1204,13 @@ def compile_pipeline(
             steps.append((kind, cfg))
             if kind == "reroute":
                 # ES reroute SKIPS the remaining processors for the
-                # rerouted documents (including the final pipeline) —
-                # the destination assignment doubles as a terminate
+                # rerouted documents — in the CALLING pipelines too —
+                # so the condition propagates up through the return
                 if orig_if is None:
-                    break
+                    return propagated, True
                 term_conds.append(f"({orig_if})")
+                propagated.append(f"({orig_if})")
+        return propagated, False
 
     expand(pipeline, ())
 

@@ -53,8 +53,11 @@ def test_keep_drop_rename_wildcards(spark, logs):
 
 def test_mv_expand_and_row(spark, logs):
     out = esql("FROM logs | MV_EXPAND tags | KEEP host, tags", tables=logs).collect()
-    assert sorted((r["host"], r["tags"]) for r in out) == [
-        ("h1", "a"), ("h1", "b"), ("h1", "c")
+    # rows with null/empty tag arrays SURVIVE with a null value (ES|QL;
+    # a plain explode would silently drop the two h2 rows)
+    assert sorted(((r["host"], r["tags"]) for r in out),
+                  key=lambda t: (t[0], t[1] or "")) == [
+        ("h1", "a"), ("h1", "b"), ("h1", "c"), ("h2", None), ("h2", None)
     ]
     row = esql('ROW a = 1 + 2, b = "x"', tables=logs).collect()[0]
     assert row["a"] == 3 and row["b"] == "x"
@@ -622,3 +625,32 @@ def test_mv_function_expansion(spark):
     assert r[4]["fst"] is None
     with pytest.raises(EsqlError, match="exactly one"):
         esql("FROM t | EVAL x = MV_SUM(xs, xs)", tables={"t": df})
+
+
+def test_review_fixes_mv_expand_weighted_avg_case_literals(spark):
+    # MV_EXPAND keeps null-array rows (value null), like ES|QL
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, None)],
+                               "id int, tags array<string>")
+    out = esql("FROM t | MV_EXPAND tags | SORT id, tags", tables={"t": df}).collect()
+    assert [(r["id"], r["tags"]) for r in out] == [(1, "a"), (1, "b"), (2, None)]
+
+    # WEIGHTED_AVG skips null-VALUE rows entirely (weight excluded too)
+    df2 = spark.createDataFrame([(1.0, 1.0), (None, 1.0)], "v double, w double")
+    row = esql("FROM t | STATS wa = WEIGHTED_AVG(v, w)", tables={"t": df2}).collect()[0]
+    assert row["wa"] == 1.0
+
+    # CASE function form compiles to an if() chain
+    df3 = spark.createDataFrame([(1,), (2,), (5,)], "x int")
+    out3 = esql(
+        'FROM t | EVAL c = CASE(x > 3, "big", x > 1, "mid", "small")'
+        " | KEEP x, c | SORT x",
+        tables={"t": df3},
+    ).collect()
+    assert [r["c"] for r in out3] == ["small", "mid", "big"]
+
+    # a literal containing the word 'by'/'where' no longer splits STATS
+    df4 = spark.createDataFrame([("a by b", 1), ("z", 2)], "note string, v int")
+    row4 = esql(
+        'FROM t | STATS n = COUNT(v) WHERE note == "a by b"', tables={"t": df4}
+    ).collect()[0]
+    assert row4["n"] == 1

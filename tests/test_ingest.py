@@ -638,3 +638,81 @@ def test_reroute_processor(spark):
         {"fail": {"if": "ctx.lang == 'de'", "message": "never"}},
     ])
     assert all(r["_index"] == "all" for r in rows(trunc(df)))
+
+
+def test_nested_reroute_skips_calling_pipeline(spark):
+    df = spark.createDataFrame([(1, "de"), (2, "en")], "id int, lang string")
+    child_cond = {"processors": [
+        {"reroute": {"destination": "child-dest", "if": "ctx.lang == 'en'"}},
+    ]}
+    outer = compile_pipeline(
+        [{"pipeline": {"name": "c"}},
+         {"set": {"field": "tag", "value": "late"}}],
+        pipelines={"c": child_cond},
+    )
+    got = {r["id"]: r for r in rows(outer(df))}
+    # the en doc rerouted inside the child: the PARENT's set is skipped too
+    assert got[2]["_index"] == "child-dest" and got[2]["tag"] is None
+    assert got[1]["tag"] == "late"
+    # unconditional child reroute truncates the parent as well
+    child_abs = {"processors": [{"reroute": {"destination": "all"}}]}
+    outer2 = compile_pipeline(
+        [{"pipeline": {"name": "c"}},
+         {"fail": {"if": "ctx.lang == 'de'", "message": "never"}}],
+        pipelines={"c": child_abs},
+    )
+    assert outer2(df).count() == 2
+
+
+def test_date_formats_ansi_safe_fallthrough(spark):
+    # value matching only the SECOND format must not crash attempt 1
+    df = spark.createDataFrame([(1, "25/12/2024"), (2, "2024-01-02")],
+                               "id int, ts string")
+    pipe = compile_pipeline([
+        {"date": {"field": "ts", "formats": ["ISO8601", "dd/MM/yyyy"]}},
+    ])
+    got = {r["id"]: r["@timestamp"] for r in rows(pipe(df))}
+    assert got[1].month == 12 and got[1].day == 25
+    assert got[2].month == 1
+    # UNIX format attempt on a non-numeric value also falls through
+    pipe2 = compile_pipeline([
+        {"date": {"field": "ts", "formats": ["UNIX", "dd/MM/yyyy"]}},
+    ])
+    assert rows(pipe2(df))[0]["@timestamp"].year == 2024
+
+
+def test_user_agent_ie11_version_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, "Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko")],
+        "id int, ua string",
+    )
+    row = compile_pipeline([{"user_agent": {"field": "ua"}}])(df).collect()[0]
+    assert row["user_agent"]["name"] == "IE"
+    assert row["user_agent"]["version"] == "11.0"
+
+
+def test_geoip_attr_name_collision_and_if_rejected(spark):
+    db = spark.createDataFrame([("10.0.0.0/8", "ZZ")],
+                               "network string, country string")
+    df = spark.createDataFrame([(1, "10.1.2.3", "old")],
+                               "id int, ip string, country string")
+    out = compile_pipeline([{"geoip": {"field": "ip"}}], geoip_db=db)(df)
+    r = rows(out)[0]
+    assert r["geoip"] == {"country": "ZZ"} and r["country"] == "old"
+    with pytest.raises(IngestError, match="per-row if"):
+        compile_pipeline([{"geoip": {"field": "ip", "if": "ctx.id == 1"}}],
+                         geoip_db=db)
+
+
+def test_enrich_overwrites_existing_target_column(spark):
+    policy = spark.createDataFrame([("us", "Ohio")], "cc string, region string")
+    df = spark.createDataFrame([(1, "us", "stale")],
+                               "id int, cc string, who string")
+    pipe = compile_pipeline(
+        [{"enrich": {"policy_name": "geo", "field": "cc",
+                     "target_field": "who"}}],
+        enrich_policies={"geo": policy},
+    )
+    out = pipe(df)
+    assert out.columns.count("who") == 1
+    assert rows(out)[0]["who"] == {"cc": "us", "region": "Ohio"}
