@@ -1434,7 +1434,13 @@ def _frequent_item_sets(df: DataFrame, name: str, spec: dict) -> DataFrame:
     rejected, not approximated (at 100 TB per-doc combination blowup is
     the thing to refuse — cap the field's cardinality upstream like ES's
     field_value limit).  One driver-side scalar (the doc count) computes
-    support, the significant_terms/auto_date_histogram pattern."""
+    support, the significant_terms/auto_date_histogram pattern.
+
+    Documented deviation: ES reports only CLOSED itemsets (a subset
+    sharing its superset's doc_count is omitted); this emits every
+    frequent itemset — deterministic and oracle-replayable, and the
+    closed subset is recoverable by post-filtering rows whose doc_count
+    equals a superset's."""
     fields = spec.get("fields")
     if not isinstance(fields, list) or not fields:
         raise AggsDslError(
@@ -1453,7 +1459,25 @@ def _frequent_item_sets(df: DataFrame, name: str, spec: dict) -> DataFrame:
     if total == 0:
         raise AggsDslError("frequent_item_sets over an empty frame")
     if len(fields) == 1:
-        items = F.array_sort(F.array_distinct(F.col(fields[0]["field"])))
+        fname = fields[0]["field"]
+        col = F.col(fname)
+        dt = df.schema[fname].dataType
+        as_arr = col if isinstance(dt, T.ArrayType) else F.array(col)
+        # null elements are not items (the multi-field path already
+        # filters them); a null ARRAY contributes no itemsets either
+        items = F.array_sort(
+            F.array_distinct(
+                F.coalesce(
+                    F.filter(as_arr, lambda x: x.isNotNull()),
+                    F.array().cast(
+                        "array<string>"
+                        if not isinstance(dt, T.ArrayType)
+                        or isinstance(dt.elementType, T.StringType)
+                        else f"array<{dt.elementType.simpleString()}>"
+                    ),
+                )
+            )
+        )
     else:
         # multiple fields: an item is the (field, value) pair — ES's
         # multi-field Eclat domain — rendered "field=value" so itemsets

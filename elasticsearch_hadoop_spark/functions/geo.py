@@ -54,10 +54,19 @@ def geo_distance_filter(
     dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
     cos_lat = max(math.cos(math.radians(center_lat)), 1e-9)
     dlon = min(180.0, math.degrees(radius_km / (EARTH_RADIUS_KM * cos_lat)))
-    box = (
-        lat.between(center_lat - dlat, center_lat + dlat)
-        & lon.between(center_lon - dlon, center_lon + dlon)
-    )
+    lo, hi = center_lon - dlon, center_lon + dlon
+    # the lon window must WRAP at the antimeridian — a radius reaching
+    # past ±180 otherwise silently excludes in-range points on the far
+    # side (the haversine is wrap-correct; the prefilter must be too)
+    if lo < -180.0 and hi <= 180.0:
+        lon_box = lon.between(lo + 360.0, 180.0) | lon.between(-180.0, hi)
+    elif hi > 180.0 and lo >= -180.0:
+        lon_box = lon.between(lo, 180.0) | lon.between(-180.0, hi - 360.0)
+    elif lo < -180.0 and hi > 180.0:
+        lon_box = lon.isNotNull()  # window spans the full circle
+    else:
+        lon_box = lon.between(lo, hi)
+    box = lat.between(center_lat - dlat, center_lat + dlat) & lon_box
     exact = haversine_km(lat, lon, F.lit(float(center_lat)), F.lit(float(center_lon))) <= F.lit(
         float(radius_km)
     )

@@ -536,11 +536,21 @@ _DISTANCE_UNITS_KM = {
     "kilometers": 1.0,
     "m": 0.001,
     "meters": 0.001,
+    "cm": 0.00001,
+    "centimeters": 0.00001,
+    "mm": 0.000001,
+    "millimeters": 0.000001,
     "mi": 1.609344,
     "miles": 1.609344,
     "nmi": 1.852,
+    "nm": 1.852,
+    "nauticalmiles": 1.852,
     "yd": 0.0009144,
+    "yards": 0.0009144,
     "ft": 0.0003048,
+    "feet": 0.0003048,
+    "in": 0.0000254,
+    "inch": 0.0000254,
 }
 
 
@@ -550,10 +560,13 @@ def _parse_distance_km(s: Any) -> float:
     if isinstance(s, (int, float)):
         return float(s) * 0.001
     txt = str(s).strip().lower()
-    for unit in sorted(_DISTANCE_UNITS_KM, key=len, reverse=True):
-        if txt.endswith(unit):
-            return float(txt[: -len(unit)]) * _DISTANCE_UNITS_KM[unit]
-    return float(txt) * 0.001
+    try:
+        for unit in sorted(_DISTANCE_UNITS_KM, key=len, reverse=True):
+            if txt.endswith(unit):
+                return float(txt[: -len(unit)]) * _DISTANCE_UNITS_KM[unit]
+        return float(txt) * 0.001
+    except ValueError as e:
+        raise QueryDslError(f"bad distance {s!r}") from e
 
 
 def _latlon(spec: Any) -> tuple[float, float]:
@@ -566,15 +579,33 @@ def _latlon(spec: Any) -> tuple[float, float]:
     return float(lat), float(lon)
 
 
+def _geo_field_spec(body: dict, kind: str):
+    """Strip the ES sibling option keys every geo clause may carry
+    (ignore_unmapped/validation_method/_name/boost — predicate-irrelevant
+    here) and return the single remaining (field, spec) pair."""
+    body = {
+        k: v
+        for k, v in body.items()
+        if k not in ("ignore_unmapped", "validation_method", "_name", "boost",
+                     "distance_type", "unit")
+    }
+    if len(body) != 1:
+        raise QueryDslError(
+            f"{kind} needs exactly one field entry, got {sorted(body)}"
+        )
+    return next(iter(body.items()))
+
+
 def _geo_distance(body, id_col):
     """{"geo_distance": {"distance": "200km", "<field>": {"lat":..,"lon":..}}}
     — field is geo_point → struct(lat,lon) per SURVEY.md §1.2."""
     from elasticsearch_hadoop_spark.functions.geo import geo_distance_filter
 
     body = dict(body)
+    if "distance" not in body:
+        raise QueryDslError("geo_distance needs a distance")
     radius_km = _parse_distance_km(body.pop("distance"))
-    body.pop("distance_type", None)
-    (field, center), = body.items()
+    field, center = _geo_field_spec(body, "geo_distance")
     lat, lon = _latlon(center)
     return geo_distance_filter(
         F.col(f"{field}.lat"), F.col(f"{field}.lon"), lat, lon, radius_km
@@ -584,7 +615,7 @@ def _geo_distance(body, id_col):
 def _geo_bounding_box(body, id_col):
     from elasticsearch_hadoop_spark.functions.geo import geo_bounding_box_filter
 
-    (field, box), = body.items()
+    field, box = _geo_field_spec(body, "geo_bounding_box")
     if "top_left" in box:
         top, left = _latlon(box["top_left"])
         bottom, right = _latlon(box["bottom_right"])
@@ -601,7 +632,7 @@ def _geo_polygon(body, id_col):
     ES geo-point literal form; even-odd ray casting, pure Column math."""
     from elasticsearch_hadoop_spark.functions.geo import geo_polygon_filter
 
-    (field, spec), = body.items()
+    field, spec = _geo_field_spec(body, "geo_polygon")
     pts = [_latlon(p) for p in spec["points"]]
     return geo_polygon_filter(F.col(f"{field}.lat"), F.col(f"{field}.lon"), pts)
 
@@ -622,7 +653,7 @@ def _geo_shape(body, id_col):
         geo_polygon_filter,
     )
 
-    (field, spec), = body.items()
+    field, spec = _geo_field_spec(body, "geo_shape")
     shape = spec.get("shape") or spec.get("indexed_shape")
     if shape is None or "indexed_shape" in spec:
         raise QueryDslError(
@@ -643,8 +674,14 @@ def _geo_shape(body, id_col):
             lat, lon, float(top), float(left), float(bottom), float(right)
         )
     elif stype == "polygon":
-        ring = shape["coordinates"][0]
-        pts = [(float(p[1]), float(p[0])) for p in ring]  # GeoJSON lon-first
+        rings = shape["coordinates"]
+        if len(rings) != 1:
+            raise QueryDslError(
+                "geo_shape: polygons with holes (multiple rings) are "
+                "unsupported — a hole-blind match would silently include "
+                "points ES excludes"
+            )
+        pts = [(float(p[1]), float(p[0])) for p in rings[0]]  # lon-first
         inside = geo_polygon_filter(lat, lon, pts)
     elif stype == "point":
         plon, plat = shape["coordinates"]

@@ -630,7 +630,13 @@ def profile(df: DataFrame, execute: bool = True) -> dict:
         "read_schemas": read_schema,
         "join_strategies": sorted(set(joins)),
         "codegen_stages": int(cg.group(1)) if cg else 0,
-        "exchanges": physical.count("Exchange"),
+        "exchanges": len(
+            re.findall(
+                r"^\(\d+\) (?:Broadcast|Shuffle)?Exchange",
+                physical,
+                flags=re.M,
+            )
+        ),
     }
 
 

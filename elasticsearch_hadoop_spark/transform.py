@@ -89,6 +89,8 @@ def transform_latest(
     keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
     if not keys:
         raise TransformError("latest needs at least one unique_key field")
+    if not isinstance(sort, str) or not sort:
+        raise TransformError("latest needs a sort field")
     order = [F.col(sort).desc()]
     if tiebreaker is not None:
         order.append(F.col(tiebreaker).desc())

@@ -686,3 +686,22 @@ def test_categorize_text(spark):
             {"aggs": {"g": {"terms": {"field": "message"}, "aggs": {
                 "c": {"categorize_text": {"field": "message"}}}}}},
         )
+
+
+def test_frequent_item_sets_single_scalar_field_and_nulls(spark):
+    # a scalar (non-array) single field works like the multi-field path
+    df = spark.createDataFrame([("us",), ("us",), ("de",), (None,)],
+                               "geo string")
+    out = compile_aggs(
+        df, {"aggs": {"s": {"frequent_item_sets": {
+            "fields": [{"field": "geo"}], "minimum_support": 0.4}}}}
+    ).collect()
+    assert [(tuple(r["s"]), r["doc_count"]) for r in out] == [(("us",), 2)]
+    # null ELEMENTS in arrays are not items
+    df2 = spark.createDataFrame([(["a", None],), (["a"],), (None,)],
+                                "items array<string>")
+    out2 = compile_aggs(
+        df2, {"aggs": {"s": {"frequent_item_sets": {
+            "fields": [{"field": "items"}], "minimum_support": 0.5}}}}
+    ).collect()
+    assert [(tuple(r["s"]), r["doc_count"]) for r in out2] == [(("a",), 2)]

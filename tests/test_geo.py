@@ -108,3 +108,52 @@ def test_geo_shape_point_subset(spark):
     with _pytest.raises(QueryDslError, match="unsupported shape"):
         compile_query({"geo_shape": {"loc": {"shape": {
             "type": "linestring", "coordinates": [[0, 0], [1, 1]]}}}})
+
+
+def test_review_round3_geo_fixes(spark):
+    from elasticsearch_hadoop_spark.query_dsl import (
+        QueryDslError,
+        _parse_distance_km,
+        compile_query,
+    )
+
+    # full ES unit table; malformed -> QueryDslError, not ValueError
+    assert _parse_distance_km("100cm") == pytest.approx(0.001)
+    assert _parse_distance_km("2000mm") == pytest.approx(0.002)
+    assert _parse_distance_km("1in") == pytest.approx(0.0000254)
+    assert _parse_distance_km("2NM") == pytest.approx(3.704)
+    assert _parse_distance_km("1nauticalmiles") == pytest.approx(1.852)
+    assert _parse_distance_km("3feet") == pytest.approx(0.0009144)
+    with pytest.raises(QueryDslError, match="bad distance"):
+        _parse_distance_km("a few blocks")
+
+    df = spark.createDataFrame(
+        [(1, (0.0, 179.95)), (2, (0.0, -179.95)), (3, (0.0, 170.0))],
+        "id int, loc struct<lat double, lon double>",
+    )
+
+    def ids(q):
+        return {r["id"] for r in df.filter(compile_query(q)).collect()}
+
+    # antimeridian wrap: a 200km radius at lon 179.9 must catch the
+    # point at -179.95 on the far side of the dateline
+    near_dateline = {"geo_distance": {"distance": "200km",
+                                      "loc": {"lat": 0.0, "lon": 179.9}}}
+    assert ids(near_dateline) == {1, 2}
+    # sibling option keys ES sends are tolerated, not an unpack crash
+    with_opts = {"geo_distance": {"distance": "200km", "ignore_unmapped": True,
+                                  "_name": "q1",
+                                  "loc": {"lat": 0.0, "lon": 179.9}}}
+    assert ids(with_opts) == {1, 2}
+    bbox_opts = {"geo_bounding_box": {"validation_method": "STRICT", "loc": {
+        "top_left": {"lat": 1.0, "lon": 169.0},
+        "bottom_right": {"lat": -1.0, "lon": 171.0}}}}
+    assert ids(bbox_opts) == {3}
+    with pytest.raises(QueryDslError, match="needs a distance"):
+        compile_query({"geo_distance": {"loc": {"lat": 0.0, "lon": 0.0}}})
+    # polygon holes: reject, don't silently match inside the hole
+    with pytest.raises(QueryDslError, match="holes"):
+        compile_query({"geo_shape": {"loc": {"shape": {
+            "type": "polygon",
+            "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                            [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]]]}}}})
