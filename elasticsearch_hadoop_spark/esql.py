@@ -230,11 +230,15 @@ def _rewrite_mv_funcs(e: str) -> str:
     - ``MV_AVG(x)``    -> the fold / size, NULL on empty (like ES|QL)
     - ``MV_MEDIAN(x)`` -> sorted middle element (odd) or the mean of the
       two middles (even), NULL on empty
+    - ``MV_SLICE(x, start[, end])`` -> slice (zero-based, end inclusive;
+      non-negative indices only — documented subset)
+    - ``MV_ZIP(a, b[, delim])`` -> pairwise concat_ws via zip_with
 
     The argument is inlined several times in MV_AVG/MV_MEDIAN — fine for
     a column reference; pre-EVAL a temp column before calling these on
     an expensive computed array."""
-    for name in ("mv_first", "mv_last", "mv_sum", "mv_avg", "mv_median"):
+    for name in ("mv_first", "mv_last", "mv_sum", "mv_avg", "mv_median",
+                 "mv_slice", "mv_zip"):
         pat = re.compile(rf"\b{name}\s*\(", flags=re.I)
         pos = 0
         while True:
@@ -247,6 +251,34 @@ def _rewrite_mv_funcs(e: str) -> str:
                 depth -= e[i] == ")"
                 i += 1
             args = [a.strip() for a in _split_top(e[m.end(): i - 1])]
+            if name == "mv_slice":
+                # ES|QL MV_SLICE(x, start[, end]) — ZERO-based, end
+                # INCLUSIVE; non-negative indices only (the documented
+                # subset; ES|QL's negative from-the-end forms are not
+                # supported here)
+                if len(args) not in (2, 3):
+                    raise EsqlError("MV_SLICE needs (array, start[, end])")
+                a0, start = args[0], args[1]
+                end = args[2] if len(args) == 3 else args[1]
+                rep = (
+                    f"slice(({a0}), CAST(({start}) + 1 AS INT),"
+                    f" CAST(({end}) - ({start}) + 1 AS INT))"
+                )
+                e = e[: m.start()] + rep + e[i:]
+                pos = m.start() + 1
+                continue
+            if name == "mv_zip":
+                # MV_ZIP(a, b[, delim]) — pairwise string join, default ","
+                if len(args) not in (2, 3):
+                    raise EsqlError("MV_ZIP needs (array1, array2[, delim])")
+                delim = args[2] if len(args) == 3 else "','"
+                rep = (
+                    f"zip_with(({args[0]}), ({args[1]}),"
+                    f" (l, r) -> concat_ws(({delim}), l, r))"
+                )
+                e = e[: m.start()] + rep + e[i:]
+                pos = m.start() + 1
+                continue
             if len(args) != 1:
                 raise EsqlError(f"{name.upper()} takes exactly one argument")
             x = f"({args[0]})"
@@ -518,7 +550,7 @@ def _translate_expr(e: str) -> str:
             if name in _KEYWORDS or name in (
                 "cidr_match", "date_format", "date_parse", "locate",
                 "date_diff", "mv_first", "mv_last", "mv_sum", "mv_avg",
-                "mv_median",
+                "mv_median", "mv_slice", "mv_zip",
             ):
                 continue  # consumed by the expression rewrites below
             fn = _FUNCS.get(name)

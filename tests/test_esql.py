@@ -654,3 +654,23 @@ def test_review_fixes_mv_expand_weighted_avg_case_literals(spark):
         'FROM t | STATS n = COUNT(v) WHERE note == "a by b"', tables={"t": df4}
     ).collect()[0]
     assert row4["n"] == 1
+
+
+def test_mv_slice_and_zip(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"], ["x", "y"])],
+        "id int, xs array<string>, ys array<string>",
+    )
+    out = esql(
+        "FROM t | EVAL sl = MV_SLICE(xs, 1, 2), one = MV_SLICE(xs, 0),"
+        '        z = MV_ZIP(xs, ys), zd = MV_ZIP(xs, ys, " - ")'
+        " | KEEP sl, one, z, zd",
+        tables={"t": df},
+    ).collect()[0]
+    assert out["sl"] == ["b", "c"]
+    assert out["one"] == ["a"]
+    # ES|QL mv_zip pairs up to the longer array, trailing singletons kept
+    assert out["z"] == ["a,x", "b,y", "c", "d"]
+    assert out["zd"] == ["a - x", "b - y", "c", "d"]
+    with pytest.raises(EsqlError, match="MV_SLICE needs"):
+        esql("FROM t | EVAL s = MV_SLICE(xs)", tables={"t": df})
