@@ -635,3 +635,48 @@ def esql_date_mv_functions(spark, sf_dir):
         " | SORT event_id | LIMIT 400",
         tables={"events": tbl(spark, sf_dir, "events")},
     )
+
+
+@query(
+    "query_dsl_geo_shape",
+    oracle="""
+WITH pts AS (
+    SELECT event_id,
+           (user_id % 120) - 60.0 AS lat,
+           (event_id % 340) - 170.0 AS lon
+    FROM events
+)
+SELECT event_id,
+       CASE WHEN lat BETWEEN 5.0 AND 30.0 AND lon BETWEEN 15.0 AND 70.0
+            THEN 'inside' ELSE 'outside' END AS rel
+FROM pts
+ORDER BY event_id
+LIMIT 500
+""",
+)
+def query_dsl_geo_shape(spark, sf_dir):
+    """geo_shape envelope (GeoJSON lon-first corners) vs synthesized
+    geo_points: intersects and its disjoint negation partition the frame
+    exactly like the oracle's box CASE."""
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    events = tbl(spark, sf_dir, "events")
+    pts = events.select(
+        "event_id",
+        F.struct(
+            ((F.col("user_id") % 120) - 60.0).alias("lat"),
+            ((F.col("event_id") % 340) - 170.0).alias("lon"),
+        ).alias("loc"),
+    )
+    env = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[15.0, 30.0], [70.0, 5.0]]}}}}
+    return (
+        pts.select(
+            "event_id",
+            F.when(compile_query(env), F.lit("inside"))
+            .otherwise(F.lit("outside"))
+            .alias("rel"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
