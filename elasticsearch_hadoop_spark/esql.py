@@ -139,7 +139,8 @@ _FUNCS = {
     "cidr_match": None,
     "mv_count": "size", "mv_min": "array_min", "mv_max": "array_max",
     "mv_concat": "array_join", "mv_dedupe": "array_distinct",
-    "mv_sort": "array_sort", "mv_append": "concat",
+    "mv_append": "concat",
+    # MV_SORT handles its optional order argument in _rewrite_mv_funcs
     # MV_FIRST/MV_LAST/MV_SUM/MV_AVG/MV_MEDIAN expand to SQL expressions
     # in _rewrite_mv_funcs
     "split": "split",
@@ -193,6 +194,21 @@ def _ipv4_num_sql(ip: str, lits: list[str]) -> str:
     return f"(CASE WHEN {ip} RLIKE {rx} THEN {num} END)"
 
 
+def _match_paren(e: str, open_end: int) -> int:
+    """Index just past the close paren matching the '(' that ends at
+    ``open_end``.  Raises instead of silently truncating: the old
+    inline scanners compiled a DIFFERENT expression on unbalanced input
+    (e.g. 'MV_SUM(xs' aggregated column 'x')."""
+    depth, i = 1, open_end
+    while i < len(e) and depth:
+        depth += e[i] == "("
+        depth -= e[i] == ")"
+        i += 1
+    if depth:
+        raise EsqlError(f"unbalanced parentheses in {e!r}")
+    return i
+
+
 def _rewrite_case_fn(e: str) -> str:
     """ES|QL ``CASE(c1, v1, c2, v2, ..., [default])`` — the FUNCTION
     form (Spark has no ``case()`` function; its CASE is the WHEN syntax)
@@ -204,11 +220,7 @@ def _rewrite_case_fn(e: str) -> str:
         m = pat.search(e, pos)
         if not m:
             return e
-        depth, i = 1, m.end()
-        while i < len(e) and depth:
-            depth += e[i] == "("
-            depth -= e[i] == ")"
-            i += 1
+        i = _match_paren(e, m.end())
         args = [a.strip() for a in _split_top(e[m.end(): i - 1])]
         if len(args) < 2:
             pos = m.end()
@@ -221,7 +233,7 @@ def _rewrite_case_fn(e: str) -> str:
         pos = m.start() + 1
 
 
-def _rewrite_mv_funcs(e: str) -> str:
+def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
     """ES|QL multivalue functions with no single Spark function twin —
     each expands to a SQL expression over the array argument:
 
@@ -233,24 +245,43 @@ def _rewrite_mv_funcs(e: str) -> str:
     - ``MV_SLICE(x, start[, end])`` -> slice (zero-based, end inclusive;
       non-negative indices only — documented subset)
     - ``MV_ZIP(a, b[, delim])`` -> pairwise concat_ws via zip_with
+    - ``MV_SORT(x[, order])`` -> array_sort / sort_array(x, asc_bool)
 
     The argument is inlined several times in MV_AVG/MV_MEDIAN — fine for
     a column reference; pre-EVAL a temp column before calling these on
     an expensive computed array."""
     for name in ("mv_first", "mv_last", "mv_sum", "mv_avg", "mv_median",
-                 "mv_slice", "mv_zip"):
+                 "mv_slice", "mv_zip", "mv_sort"):
         pat = re.compile(rf"\b{name}\s*\(", flags=re.I)
         pos = 0
         while True:
             m = pat.search(e, pos)
             if not m:
                 break
-            depth, i = 1, m.end()
-            while i < len(e) and depth:
-                depth += e[i] == "("
-                depth -= e[i] == ")"
-                i += 1
+            i = _match_paren(e, m.end())
             args = [a.strip() for a in _split_top(e[m.end(): i - 1])]
+            if name == "mv_sort":
+                # MV_SORT(x[, "ASC"|"DESC"]) — array_sort's optional 2nd
+                # arg is a comparator LAMBDA, so the order form must map
+                # to sort_array(x, asc_bool) instead
+                if len(args) not in (1, 2):
+                    raise EsqlError("MV_SORT needs (array[, order])")
+                if len(args) == 1:
+                    rep = f"array_sort(({args[0]}))"
+                else:
+                    om = _PLACEHOLDER.fullmatch(args[1])
+                    order = (
+                        lits[int(om.group(1))][1:-1] if om else args[1]
+                    ).strip().lower()
+                    if order not in ("asc", "desc"):
+                        raise EsqlError(
+                            f"MV_SORT order must be asc|desc, got {order!r}"
+                        )
+                    asc = "true" if order == "asc" else "false"
+                    rep = f"sort_array(({args[0]}), {asc})"
+                e = e[: m.start()] + rep + e[i:]
+                pos = m.start() + 1
+                continue
             if name == "mv_slice":
                 # ES|QL MV_SLICE(x, start[, end]) — ZERO-based, end
                 # INCLUSIVE; non-negative indices only (the documented
@@ -341,11 +372,7 @@ def _rewrite_swapped_funcs(e: str, lits: list[str]) -> str:
             m = pat.search(e, pos)
             if not m:
                 break
-            depth, i = 1, m.end()
-            while i < len(e) and depth:
-                depth += e[i] == "("
-                depth -= e[i] == ")"
-                i += 1
+            i = _match_paren(e, m.end())
             args = [a.strip() for a in _split_top(e[m.end(): i - 1])]
             if name == "date_format":
                 if len(args) != 2:
@@ -389,11 +416,7 @@ def _rewrite_cidr_match(e: str, lits: list[str]) -> str:
         m = pat.search(e)
         if not m:
             return e
-        depth, i = 1, m.end()
-        while i < len(e) and depth:
-            depth += e[i] == "("
-            depth -= e[i] == ")"
-            i += 1
+        i = _match_paren(e, m.end())
         args = _split_top(e[m.end(): i - 1])
         if len(args) < 2:
             raise EsqlError("CIDR_MATCH needs (ip, block, ...)")
@@ -407,7 +430,11 @@ def _rewrite_cidr_match(e: str, lits: list[str]) -> str:
                     f"CIDR_MATCH blocks must be string literals: {a!r}"
                 )
             cidr = lits[int(pm.group(1))][1:-1]
-            base, _, plen = cidr.partition("/")
+            base, slash, plen = cidr.partition("/")
+            if slash and not plen.isdigit():
+                # covers "10.0.0.0/" and "10.0.0.0/abc" with a typed
+                # error instead of a raw ValueError / silent /32
+                raise EsqlError(f"CIDR_MATCH: bad block {cidr!r}")
             prefix = int(plen) if plen else 32
             parts = base.split(".")
             if (
@@ -440,11 +467,7 @@ def _rewrite_bucket(e: str, lits: list[str] | None = None) -> str:
         m = pat.search(e)
         if not m:
             return e
-        depth, i = 1, m.end()
-        while i < len(e) and depth:
-            depth += e[i] == "("
-            depth -= e[i] == ")"
-            i += 1
+        i = _match_paren(e, m.end())
         inner = e[m.end(): i - 1]
         args = _split_top(inner)
         if len(args) != 2:
@@ -550,7 +573,7 @@ def _translate_expr(e: str) -> str:
             if name in _KEYWORDS or name in (
                 "cidr_match", "date_format", "date_parse", "locate",
                 "date_diff", "mv_first", "mv_last", "mv_sum", "mv_avg",
-                "mv_median", "mv_slice", "mv_zip",
+                "mv_median", "mv_slice", "mv_zip", "mv_sort",
             ):
                 continue  # consumed by the expression rewrites below
             fn = _FUNCS.get(name)
@@ -570,11 +593,7 @@ def _translate_expr(e: str) -> str:
                     mm = pat.search(text)
                     if not mm:
                         break
-                    depth, i = 1, mm.end()
-                    while i < len(text) and depth:
-                        depth += text[i] == "("
-                        depth -= text[i] == ")"
-                        i += 1
+                    i = _match_paren(text, mm.end())
                     inner = text[mm.end(): i - 1]
                     text = text[: mm.start()] + f"CAST(({inner}) AS {sql})" + text[i:]
             elif name != sql:
@@ -583,7 +602,7 @@ def _translate_expr(e: str) -> str:
 
     masked = _rewrite_cidr_match(masked, lits)
     masked = _rewrite_swapped_funcs(masked, lits)
-    masked = _rewrite_mv_funcs(masked)
+    masked = _rewrite_mv_funcs(masked, lits)
     masked = _rewrite_case_fn(masked)
     masked = _map_funcs(masked)
 
@@ -591,22 +610,28 @@ def _translate_expr(e: str) -> str:
     # — anchor the regex to whole-string like Lucene.  Only literal
     # right-hand sides get this (a non-literal RHS has no ES|QL wildcard
     # semantics to preserve).
+    seen_patterns: set[int] = set()
     masked = re.sub(
         r"(^|[^\w])(like|rlike)(\s*)\x00(\d+)\x00",
         lambda mm: mm.group(1) + mm.group(2) + mm.group(3)
-        + _pattern_placeholder(mm, lits),
+        + _pattern_placeholder(mm, lits, seen_patterns),
         masked,
         flags=re.I,
     )
     return _PLACEHOLDER.sub(lambda m: lits[int(m.group(1))], masked)
 
 
-def _pattern_placeholder(mm: re.Match, lits: list[str]) -> str:
+def _pattern_placeholder(mm: re.Match, lits: list[str], seen: set[int]) -> str:
+    # transform each literal index EXACTLY once: an MV/CIDR rewrite may
+    # duplicate a placeholder textually, and _like_to_sql is not
+    # idempotent — a twice-escaped pattern silently matches nothing
     idx = int(mm.group(4))
-    if mm.group(2).lower() == "like":
-        lits[idx] = _like_to_sql(lits[idx])
-    else:
-        lits[idx] = "'^(?:" + lits[idx][1:-1] + ")$'"
+    if idx not in seen:
+        seen.add(idx)
+        if mm.group(2).lower() == "like":
+            lits[idx] = _like_to_sql(lits[idx])
+        else:
+            lits[idx] = "'^(?:" + lits[idx][1:-1] + ")$'"
     return f"\x00{idx}\x00"
 
 

@@ -674,3 +674,35 @@ def test_mv_slice_and_zip(spark):
     assert out["zd"] == ["a - x", "b - y", "c", "d"]
     with pytest.raises(EsqlError, match="MV_SLICE needs"):
         esql("FROM t | EVAL s = MV_SLICE(xs)", tables={"t": df})
+
+
+def test_review_round4_rewrite_hardening(spark):
+    df = spark.createDataFrame(
+        [(1, "error: disk", [2.0, 4.0], [0.0]), (2, "fine", [9.0], [0.0])],
+        "id int, msg string, counts array<double>, zeros array<double>",
+    )
+    # a LIKE pattern inside an MV-duplicated placeholder must escape ONCE
+    out = esql(
+        'FROM t | EVAL a = MV_AVG(CASE(msg LIKE "err*", counts, zeros))'
+        " | KEEP id, a | SORT id",
+        tables={"t": df},
+    ).collect()
+    assert [r["a"] for r in out] == [3.0, 0.0]
+    # MV_SORT both forms
+    out2 = esql(
+        'FROM t | EVAL d = MV_SORT(counts, "DESC"), a = MV_SORT(counts)'
+        " | KEEP id, d, a | SORT id",
+        tables={"t": df},
+    ).collect()[0]
+    assert out2["d"] == [4.0, 2.0] and out2["a"] == [2.0, 4.0]
+    with pytest.raises(EsqlError, match="asc.desc"):
+        esql('FROM t | EVAL x = MV_SORT(counts, "sideways")', tables={"t": df})
+    # unbalanced parens raise instead of silently truncating the
+    # expression ('MV_SUM(counts' used to aggregate column 'count')
+    with pytest.raises(EsqlError, match="unbalanced"):
+        esql("FROM t | EVAL x = MV_SUM(counts", tables={"t": df})
+    # malformed CIDR blocks raise typed errors (trailing slash, non-int)
+    with pytest.raises(EsqlError, match="bad block"):
+        esql('FROM t | WHERE CIDR_MATCH(msg, "10.0.0.0/")', tables={"t": df})
+    with pytest.raises(EsqlError, match="bad block"):
+        esql('FROM t | WHERE CIDR_MATCH(msg, "10.0.0.0/abc")', tables={"t": df})
