@@ -680,3 +680,38 @@ def query_dsl_geo_shape(spark, sf_dir):
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@query(
+    "esql_mv_sort_slice",
+    oracle="""
+WITH arrs AS (
+    SELECT event_id,
+           string_split(event_type || ',' || (user_id % 10) || ',' ||
+                        (event_id % 7), ',') AS xs
+    FROM events
+)
+SELECT event_id,
+       array_to_string(list_sort(xs, 'DESC'), '|') AS sorted_desc,
+       array_to_string(list_slice(xs, 1, 2), '|') AS first_two
+FROM arrs
+ORDER BY event_id
+LIMIT 400
+""",
+)
+def esql_mv_sort_slice(spark, sf_dir):
+    """MV_SORT's order form (sort_array under the hood, not array_sort's
+    comparator-lambda trap) and MV_SLICE's zero-based inclusive window,
+    serialized with MV_CONCAT for the scalar-only driver hash."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    return esql(
+        "FROM events"
+        ' | EVAL xs = SPLIT(CONCAT(event_type, ",", TO_STRING(user_id % 10),'
+        '                          ",", TO_STRING(event_id % 7)), ","),'
+        '        sorted_desc = MV_CONCAT(MV_SORT(xs, "DESC"), "|"),'
+        '        first_two = MV_CONCAT(MV_SLICE(xs, 0, 1), "|")'
+        " | KEEP event_id, sorted_desc, first_two"
+        " | SORT event_id | LIMIT 400",
+        tables={"events": tbl(spark, sf_dir, "events")},
+    )

@@ -24,7 +24,7 @@ PENDING = [
     "ingest_user_agent", "ingest_geoip", "writepath_ilm_tick",
     "search_async_roundtrip", "esql_cidr_match",
     "transform_sync_retention", "esql_from_metadata", "ingest_terminate_reroute",
-    "esql_date_mv_functions", "query_dsl_geo_shape",
+    "esql_date_mv_functions", "query_dsl_geo_shape", "esql_mv_sort_slice",
 ]
 
 _MOD = "elasticsearch_hadoop_spark.corpus.round7_pending"
