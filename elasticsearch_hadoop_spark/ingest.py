@@ -153,7 +153,12 @@ def _bytes_col(c: Column) -> Column:
         .when(unit == "tb", F.lit(1024**4))
         .when(unit == "pb", F.lit(1024**5))
     )
-    return F.floor(num * factor).cast("bigint")
+    total = num * factor
+    # a value past Long.MAX would silently SATURATE under the double ->
+    # bigint cast (ES throws); NULL is this processor's failure value
+    return F.when(
+        total < F.lit(float(2**63)), F.floor(total).cast("bigint")
+    )
 
 
 def _ipv4_num(c: Column) -> Column:

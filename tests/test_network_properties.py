@@ -88,3 +88,93 @@ def test_cidr_match_agrees_with_ipaddress(spark, ips, net):
     got = {r["i"]: r["m"] for r in out}
     for i, ip in enumerate(ips):
         assert got[i] == (ipaddress.ip_address(ip) in network), (ip, cidr)
+
+
+def _ref_bytes(s: str):
+    import re as _re
+
+    m = _re.match(r"^(\d+(?:\.\d+)?)\s*([kKmMgGtTpP]?[bB])$", s.strip())
+    if not m:
+        return None
+    unit = m.group(2).lower()
+    factor = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3,
+              "tb": 1024**4, "pb": 1024**5}[unit]
+    import math
+
+    total = float(m.group(1)) * factor
+    if total >= 2**63:  # long overflow -> NULL, the failure value
+        return None
+    return math.floor(total)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.builds(
+                lambda n, frac, sp, u: f"{n}{frac}{sp}{u}",
+                st.integers(min_value=0, max_value=10**6),
+                st.sampled_from(["", ".5", ".25", ".125"]),
+                st.sampled_from(["", " ", "  "]),
+                st.sampled_from(["b", "B", "kb", "KB", "Kb", "mb", "MB",
+                                 "gb", "GB", "tb", "TB", "pb", "PB"]),
+            ),
+            st.sampled_from(["", "banana", "12", "kb", "1.2.3kb", "-5kb"]),
+        ),
+        min_size=1, max_size=10,
+    ),
+)
+def test_bytes_processor_matches_reference(spark, vals):
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i int, size string")
+    pipe = compile_pipeline([{"bytes": {"field": "size",
+                                        "target_field": "nbytes"}}])
+    got = {r["i"]: r["nbytes"] for r in pipe(df).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == _ref_bytes(v), (v, got[i], _ref_bytes(v))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            _ip,
+            st.sampled_from(["999.1.2.3", "1.2.3", "1.2.3.4.5", "",
+                             "a.b.c.d", "01.2.3.4", "256.1.1.1"]),
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+def test_ipv4_num_matches_inet_aton(spark, vals):
+    import socket
+    import struct
+
+    from elasticsearch_hadoop_spark.ingest import _ipv4_num
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i int, ip string")
+    got = {r["i"]: r["n"]
+           for r in df.select("i", _ipv4_num(F.col("ip")).alias("n")).collect()}
+    for i, v in enumerate(vals):
+        # reference: strict dotted-quad only (inet_aton is laxer — it
+        # accepts short forms our column math rejects, so gate on shape)
+        parts = v.split(".")
+        strict = (
+            len(parts) == 4
+            and all(p.isdigit() and int(p) <= 255 for p in parts)
+        )
+        if strict:
+            want = struct.unpack("!I", socket.inet_aton(v))[0]
+            assert got[i] == want, (v, got[i], want)
+        else:
+            assert got[i] is None, (v, got[i])

@@ -2,6 +2,7 @@
 percolator bulk path, scheduling bookkeeping, and error contract."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.catalog import Catalog
 from elasticsearch_hadoop_spark.watcher import (
@@ -169,3 +170,45 @@ def test_action_throttling(spark, logs):
     bad["actions"] = {"x": {"logging": {"text": "a"}, "index": {"index": "i"}}}
     with pytest.raises(WatcherError, match="exactly one action type"):
         execute_watch(bad, frames={"logs": logs})
+
+
+def test_watch_tick_per_streaming_microbatch(spark, tmp_path):
+    """The documented deployment shape: run_watches as a foreachBatch
+    tick — each micro-batch is percolated against the stored watches in
+    one pass and firings accumulate in a driver-side list (stand-in for
+    an alert sink)."""
+    import shutil
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                src / "part-000.parquet")
+    watches = spark.createDataFrame(
+        [("clicks", '{"term": {"event_type": "click"}}', 1),
+         ("ghost", '{"term": {"event_type": "no-such"}}', 1)],
+        "_id string, query string, min_hits int",
+    )
+    fired: list = []
+
+    def tick(batch_df, batch_id):
+        for r in run_watches(batch_df, watches,
+                             min_hits_col="min_hits").collect():
+            fired.append((batch_id, r["watch_id"], r["hit_count"]))
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        ).parquet(str(src))
+    )
+    q = stream.writeStream.foreachBatch(tick).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    # the batch oracle: the same percolation over the full frame
+    batch = spark.read.parquet(str(src))
+    want = {(r["watch_id"], r["hit_count"])
+            for r in run_watches(batch, watches,
+                                 min_hits_col="min_hits").collect()}
+    got = {(w, n) for _b, w, n in fired}
+    assert got == want and want == {("clicks", batch.filter(
+        F.col("event_type") == "click").count())}
