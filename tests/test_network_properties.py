@@ -178,3 +178,80 @@ def test_ipv4_num_matches_inet_aton(spark, vals):
             assert got[i] == want, (v, got[i], want)
         else:
             assert got[i] is None, (v, got[i])
+
+
+_label = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    hosts=st.lists(
+        st.builds(
+            lambda labels, tld2: ".".join(labels + ([tld2] if tld2 else [])),
+            st.lists(_label, min_size=1, max_size=4),
+            st.sampled_from(["co.uk", "com.au", "co.jp", "", "com", "de"]),
+        ),
+        min_size=1, max_size=10,
+    ),
+)
+def test_registered_domain_matches_reference(spark, hosts):
+    from elasticsearch_hadoop_spark.ingest import _TLD2, compile_pipeline
+
+    def ref(host):
+        labels = host.split(".")
+        n = len(labels)
+        tldn = 2 if n >= 3 and ".".join(labels[-2:]) in _TLD2 else 1
+        tld = ".".join(labels[-tldn:])
+        registered = ".".join(labels[-(tldn + 1):]) if n >= tldn + 1 else None
+        sub = ".".join(labels[: n - tldn - 1]) if n > tldn + 1 else None
+        return {"domain": host, "registered_domain": registered,
+                "top_level_domain": tld, "subdomain": sub}
+
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hosts)],
+                               "i int, host string")
+    pipe = compile_pipeline([
+        {"registered_domain": {"field": "host", "target_field": "rd"}}])
+    got = {r["i"]: r["rd"] for r in
+           (x.asDict(recursive=True) for x in pipe(df).collect())}
+    for i, h in enumerate(hosts):
+        assert got[i] == ref(h), (h, got[i], ref(h))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abc 0123456789.@-",
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=10,
+    ),
+)
+def test_redact_matches_python_re(spark, texts):
+    import re as _re
+
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    ip_rx = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    num_rx = r"[+-]?\d+(?:\.\d+)?"
+
+    def ref(t):
+        t = _re.sub(ip_rx, "<ip>", t)
+        return _re.sub(num_rx, "<n>", t)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, msg string")
+    pipe = compile_pipeline([
+        {"redact": {"field": "msg",
+                    "patterns": ["%{IP:ip}", "%{NUMBER:n}"]}}])
+    got = {r["i"]: r["msg"] for r in pipe(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (t, got[i], ref(t))
