@@ -45,18 +45,86 @@ def pack_media(payload: Column, media_type: str, uri: Column | None = None) -> C
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — STUB: pillow/opencv are not available here.
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode for the one container the standard library can
+    parse: uncompressed BMP (BITMAPINFOHEADER).  Returns width/height/
+    bits-per-pixel and mean pixel brightness (0..1) over the pixel
+    array.  Pure struct math — no media libraries."""
+    import struct
 
-    A production deployment plugs the real decoder into
-    ``extract_features`` below; nothing else changes (same schema, same
-    Arrow batching)."""
-    raise NotImplementedError("image decoding libraries are not available in this environment")
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    pixels = payload[data_offset:]
+    brightness = (sum(pixels) / len(pixels) / 255.0) if pixels else 0.0
+    return {
+        "width": int(width),
+        "height": abs(int(height)),  # negative height = top-down rows
+        "bits_per_pixel": int(bpp),
+        "brightness": float(brightness),
+    }
 
 
-def decode_audio(payload: bytes) -> "object":
-    """Real audio decode — STUB (see decode_image)."""
-    raise NotImplementedError("audio decoding libraries are not available in this environment")
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode via the stdlib ``wave`` module: channels, sample
+    width/rate, frame count, duration, and the RMS amplitude (0..1) of
+    16-bit PCM frames.  No media libraries."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        framerate = w.getframerate()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    rms = None
+    if sampwidth == 2 and frames:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+    return {
+        "channels": channels,
+        "sample_width": sampwidth,
+        "frame_rate": framerate,
+        "n_frames": n_frames,
+        "duration_seconds": n_frames / framerate if framerate else 0.0,
+        "rms": rms,
+    }
+
+
+def decode_image(payload: bytes) -> dict:
+    """Image decode: REAL for uncompressed BMP (stdlib struct parsing,
+    ``decode_bmp``); compressed formats (JPEG/PNG/...) genuinely need
+    pillow/opencv, which are not available here — a production
+    deployment plugs its decoder into ``extract_features`` below and
+    nothing else changes (same schema, same Arrow batching)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only BMP decodes without image libraries; plug a real decoder "
+        "into extract_features for JPEG/PNG"
+    )
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Audio decode: REAL for RIFF/WAVE PCM (stdlib ``wave``,
+    ``decode_wav``); compressed codecs (MP3/AAC/...) need external
+    libraries — see decode_image."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "only WAV decodes without audio libraries; plug a real decoder "
+        "into extract_features for compressed codecs"
+    )
 
 
 def fake_decode(payload: bytes) -> dict:

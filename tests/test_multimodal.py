@@ -97,3 +97,100 @@ def test_sample_frames_every_one_reconstructs(media):
         .collect()
     )
     assert b"".join(bytes(r["frame"]) for r in rows) == PAYLOADS[0].payload
+
+
+def _make_bmp(width, height, rgb):
+    """Minimal uncompressed 24bpp BMP built with struct (rows padded to 4)."""
+    import struct
+
+    row = bytes(rgb) * width
+    pad = (4 - (len(row) % 4)) % 4
+    pixels = (row + b"\x00" * pad) * height
+    data_offset = 54
+    size = data_offset + len(pixels)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def _make_wav(n_frames=800, rate=8000, amplitude=16384):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(amplitude * math.sin(2 * math.pi * 440 * i / rate)))
+            for i in range(n_frames)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_bmp_decode():
+    from elasticsearch_hadoop_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+    )
+
+    bmp = _make_bmp(4, 3, (255, 255, 255))  # all-white pixels
+    meta = decode_image(bmp)
+    assert meta["width"] == 4 and meta["height"] == 3
+    assert meta["bits_per_pixel"] == 24
+    assert meta["brightness"] == pytest.approx(1.0)
+    dark = decode_bmp(_make_bmp(2, 2, (0, 0, 0)))
+    assert dark["brightness"] == pytest.approx(0.0)
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"JFIF....")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n....")
+
+
+def test_real_wav_decode():
+    import math
+
+    from elasticsearch_hadoop_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav,
+    )
+
+    wav = _make_wav(n_frames=800, rate=8000, amplitude=16384)
+    meta = decode_audio(wav)
+    assert meta["channels"] == 1 and meta["sample_width"] == 2
+    assert meta["frame_rate"] == 8000 and meta["n_frames"] == 800
+    assert meta["duration_seconds"] == pytest.approx(0.1)
+    # a 440 Hz sine at half amplitude has RMS ~ 0.5 / sqrt(2)
+    assert meta["rms"] == pytest.approx(0.5 / math.sqrt(2), rel=0.05)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03....mp3ish")
+
+
+def test_real_decoders_through_arrow_pipeline(spark):
+    """The real BMP decoder running through the SAME mapInPandas plumbing
+    the fake decoder exercises — schema and batching unchanged."""
+    from elasticsearch_hadoop_spark.operators.multimodal import (
+        decode_bmp,
+        extract_features,
+    )
+
+    rows = [(1, _make_bmp(8, 2, (255, 255, 255))),
+            (2, _make_bmp(3, 5, (0, 0, 0)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def bmp_decoder(payload: bytes) -> dict:
+        m = decode_bmp(payload)
+        return {"width": m["width"], "height": m["height"],
+                "brightness": m["brightness"]}
+
+    out = {r["doc_id"]: r for r in
+           extract_features(df, decoder=bmp_decoder).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (8, 2)
+    assert out[1]["brightness"] == pytest.approx(1.0)
+    assert (out[2]["width"], out[2]["height"]) == (3, 5)
+    assert out[2]["brightness"] == pytest.approx(0.0)
