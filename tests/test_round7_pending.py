@@ -25,6 +25,7 @@ PENDING = [
     "search_async_roundtrip", "esql_cidr_match",
     "transform_sync_retention", "esql_from_metadata", "ingest_terminate_reroute",
     "esql_date_mv_functions", "query_dsl_geo_shape", "esql_mv_sort_slice",
+    "multimodal_bmp_decode",
 ]
 
 _MOD = "elasticsearch_hadoop_spark.corpus.round7_pending"
