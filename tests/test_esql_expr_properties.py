@@ -118,3 +118,30 @@ def test_rlike_is_whole_string_match(corpus, rx):
     )
     expect = sorted(s for s in pool if re.fullmatch(rx, s) is not None)
     assert got == expect, f"rx={rx!r}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    e=st.lists(
+        st.sampled_from(
+            list("abcxyz_0123456789 +-*/%(),.<>=!\"'|&:[]")
+            + ["CASE(", "MV_SUM(", "MV_SORT(", "CIDR_MATCH(", "DATE_DIFF(",
+               "LOCATE(", "BUCKET(", "LIKE ", "RLIKE ", '"a*b"', "'lit'",
+               "==", "!=", "xs", "ip"]
+        ),
+        min_size=1,
+        max_size=40,
+    ).map("".join)
+)
+def test_translate_expr_raises_only_typed_errors(e):
+    """The whole rewrite pipeline on arbitrary junk: either a string
+    comes back or EsqlError is raised — never a raw ValueError /
+    KeyError / IndexError leaking compiler internals (the unbalanced
+    paren scanners and CIDR parsing used to)."""
+    from elasticsearch_hadoop_spark.esql import EsqlError, _translate_expr
+
+    try:
+        out = _translate_expr(e)
+        assert isinstance(out, str)
+    except EsqlError:
+        pass
