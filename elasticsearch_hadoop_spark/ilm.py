@@ -91,6 +91,22 @@ def validate_policy(policy: dict) -> dict:
                 )
         if ph != "hot" and "min_age" in spec:
             parse_age(spec["min_age"])
+    # ES requires each phase's min_age >= every earlier phase's — an
+    # inverted policy would make the sequential walk run actions of a
+    # phase whose age threshold was never reached
+    prev_age = 0.0
+    for ph in _PHASE_ORDER[1:]:
+        if ph not in phases:
+            continue
+        age = parse_age(phases[ph].get("min_age", 0))
+        if age < prev_age:
+            raise IlmError(
+                f"phase {ph!r} min_age is below an earlier phase's — "
+                "min_age must be non-decreasing through "
+                f"{_PHASE_ORDER[1:]}"
+            )
+        prev_age = age
+    for ph, spec in phases.items():
         if ph == "delete" and "delete" not in (spec.get("actions") or {}):
             raise IlmError(
                 "delete phase must declare the delete action — an empty "

@@ -195,3 +195,20 @@ def test_rollover_honors_synthetic_now(cat, spark):
     _mk_gen(cat, spark, "young-000001", 1, now - DAY)
     cat.put_alias("young", "young-000001")
     assert apply_lifecycle(cat, "young", policy, now=now) == []
+
+
+def test_inverted_min_ages_rejected():
+    with pytest.raises(IlmError, match="non-decreasing"):
+        validate_policy({"policy": {"phases": {
+            "warm": {"min_age": "30d", "actions": {"forcemerge": {}}},
+            "cold": {"min_age": "10d",
+                     "actions": {"searchable_snapshot":
+                                 {"snapshot_repository": "r"}}},
+        }}})
+    # equal min_ages are legal (ES allows same-instant transitions)
+    validate_policy({"policy": {"phases": {
+        "warm": {"min_age": "10d", "actions": {"readonly": {}}},
+        "cold": {"min_age": "10d",
+                 "actions": {"searchable_snapshot":
+                             {"snapshot_repository": "r"}}},
+    }}})
