@@ -87,7 +87,10 @@ def esql_fork(spark, sf_dir):
 WITH k AS (
     SELECT array_to_string(
                list_filter(
-                   string_split_regex(lower(text), '[^a-z0-9_.\\-]+'),
+                   string_split_regex(
+                       lower(text || ' batch-' || doc_id || ' node' ||
+                             (doc_id % 7)),
+                       '[^a-z0-9_.\\-]+'),
                    x -> x <> '' AND NOT regexp_matches(x, '\\d')),
                ' ') AS cats
     FROM documents
@@ -106,7 +109,14 @@ def aggs_categorize_text(spark, sf_dir):
     categories, most frequent first."""
     from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
 
-    docs = tbl(spark, sf_dir, "documents")
+    docs = tbl(spark, sf_dir, "documents").withColumn(
+        "text",
+        # append digit-bearing variable tokens (fixture text has none):
+        # categorize_text must DROP them, so categories still collapse
+        # to the stable token sequence — the drop path is now observable
+        F.concat(F.col("text"), F.lit(" batch-"), F.col("doc_id"),
+                 F.lit(" node"), (F.col("doc_id") % 7)),
+    )
     return compile_aggs(
         docs,
         {"aggs": {"cats": {"categorize_text": {"field": "text", "size": 15}}}},
@@ -173,6 +183,7 @@ WITH counts AS (
 )
 SELECT watch_id, hit_count FROM counts
 WHERE hit_count >= min_hits
+ORDER BY watch_id
 """,
 )
 def watcher_bulk_fire(spark, sf_dir):
@@ -192,7 +203,9 @@ def watcher_bulk_fire(spark, sf_dir):
         ],
         "_id string, query string, min_hits int",
     )
-    return run_watches(events, watches, min_hits_col="min_hits")
+    return run_watches(events, watches, min_hits_col="min_hits").orderBy(
+        "watch_id"
+    )
 
 
 @query(
@@ -219,7 +232,6 @@ def ingest_round6_chain(spark, sf_dir):
 
     docs = tbl(spark, sf_dir, "documents")
     bucket = {"processors": [
-        {"set": {"field": "lang_bucket", "value": "other"}},
         {"script": {"source":
                     "ctx.lang_bucket = ctx.lang == 'en' || ctx.lang == 'de'"
                     " ? ctx.lang : 'other'"}},
@@ -255,7 +267,7 @@ WITH ua AS (
                WHEN 'click' THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
                WHEN 'view' THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15'
                WHEN 'purchase' THEN 'Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91'
-               WHEN 'login' THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0'
+               WHEN 'signup' THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0'
                ELSE 'Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)'
            END AS agent
     FROM events
@@ -291,8 +303,8 @@ def ingest_user_agent(spark, sf_dir):
         "purchase": "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36"
                     " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
                     " Edg/120.0.2210.91",
-        "login": "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101"
-                 " Firefox/119.0",
+        "signup": "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101"
+                  " Firefox/119.0",
     }
     agent = F.lit("Mozilla/5.0 (compatible; Googlebot/2.1;"
                   " +http://www.google.com/bot.html)")
@@ -437,11 +449,16 @@ def search_async_roundtrip(spark, sf_dir):
         .orderBy("event_type")
     )
     a = AsyncSearch(spark)
-    rec = a.submit(agg, wait_for_completion_timeout=120.0)
-    rec = a.get(rec["id"], wait_for_completion_timeout=120.0)
-    assert not rec["is_running"], "async search did not complete"
-    rows = [(r["event_type"], r["n"], r["total"])
-            for r in rec["response"]["rows"]]
+    try:
+        rec = a.submit(agg)
+        # poll like a real client — bounded only by the driver's own
+        # timeout, so a loaded host cannot flake this into a red
+        while rec["is_running"]:
+            rec = a.get(rec["id"], wait_for_completion_timeout=30.0)
+        rows = [(r["event_type"], r["n"], r["total"])
+                for r in rec["response"]["rows"]]
+    finally:
+        a._pool.shutdown(wait=False)
     return spark.createDataFrame(
         rows, "event_type string, n bigint, total double"
     ).orderBy("event_type")
@@ -451,7 +468,7 @@ def search_async_roundtrip(spark, sf_dir):
     "esql_cidr_match",
     oracle="""
 WITH ips AS (
-    SELECT event_id, user_id % 256 AS octet,
+    SELECT event_id, event_id % 256 AS octet,
            value
     FROM events
 )
@@ -470,7 +487,7 @@ def esql_cidr_match(spark, sf_dir):
 
     events = tbl(spark, sf_dir, "events").withColumn(
         "ip",
-        F.concat(F.lit("10."), (F.col("user_id") % 256).cast("string"),
+        F.concat(F.lit("10."), (F.col("event_id") % 256).cast("string"),
                  F.lit(".0.1")),
     )
     return esql(
@@ -493,7 +510,7 @@ WITH windowed AS (
     WHERE ts > TIMESTAMP '2024-01-08 00:00:00'
       AND ts <= TIMESTAMP '2024-01-25 00:00:00'
 )
-SELECT user_id, ts, value
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value
 FROM windowed
 WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-15 00:01:00'
 ORDER BY user_id
@@ -532,7 +549,13 @@ def transform_sync_retention(spark, sf_dir):
             2024, 1, 8, 0, 0, 0, tzinfo=datetime.timezone.utc
         ).timestamp(),
     )
-    return out.select("user_id", "ts", "value").orderBy("user_id")
+    from elasticsearch_hadoop_spark.corpus._util import TS_US_FMT_SPARK
+
+    return out.select(
+        "user_id",
+        F.date_format("ts", TS_US_FMT_SPARK).alias("ts"),
+        "value",
+    ).orderBy("user_id")
 
 
 @query(
