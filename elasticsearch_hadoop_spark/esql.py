@@ -93,6 +93,9 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# decimal-vs-double literal rule shared with the painless-lite compiler
+from elasticsearch_hadoop_spark.runtime_fields import _FLOAT_LIT
+
 
 class EsqlError(ValueError):
     pass
@@ -558,6 +561,10 @@ def _translate_expr(e: str) -> str:
     if not e:
         raise EsqlError("empty expression")
     masked, lits = _mask_literals(e)
+    # ES|QL float literals are DOUBLES; Spark SQL would parse `1024.0` as
+    # DECIMAL(5,1) and plan `n / 1024.0` as decimal(28,6) — suffix with D
+    # (string literals are already masked out, so only code is touched)
+    masked = _FLOAT_LIT.sub(r"\1D", masked)
     masked = _rewrite_bucket(masked, lits)
     masked = masked.replace("==", " = ").replace("!=", " <> ")
     probe = _PLACEHOLDER.sub("0", masked)

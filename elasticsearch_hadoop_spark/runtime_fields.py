@@ -32,6 +32,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _DOC_REF = re.compile(r"doc\[(['\"])([A-Za-z0-9_.]+)\1\]\.value")
+# Unsuffixed decimal literals: painless (and ES|QL) treat `1024.0` as a
+# DOUBLE, but Spark SQL parses it as DECIMAL(5,1) — so `n / 1024.0` plans
+# as decimal(28,6) and every downstream value diverges from engine
+# semantics (Decimal('0.406000') vs 0.406).  Rewrite to Spark's explicit
+# double form `1024.0D`.  Exponent forms (1.5e3) are already double in
+# Spark and the trailing `e` blocks the match; already-suffixed literals
+# (1.5D / 1.5f) are blocked by the \w lookahead.
+_FLOAT_LIT = re.compile(r"(?<![\w.])(\d+\.\d+)(?![\w.])")
+_STR_SEG = re.compile(r"('[^'\\]*')")
+
+
+def double_literals(text: str) -> str:
+    """Suffix every unsuffixed decimal literal with ``D`` so it plans as
+    DOUBLE (painless/ES|QL float-literal semantics), skipping any text
+    inside single-quoted string literals."""
+    return "".join(
+        p if p.startswith("'") else _FLOAT_LIT.sub(r"\1D", p)
+        for p in _STR_SEG.split(text)
+    )
 _EMIT = re.compile(r"^\s*emit\s*\((.*)\)\s*;?\s*$", flags=re.S)
 # after doc-ref + function-name substitution the residue must be pure
 # expression characters (no quotes/semicolons/backticks/brackets)
@@ -117,7 +136,9 @@ def compile_script(script: str | dict) -> Column:
     ]
     if stray:
         raise RuntimeFieldError(f"unsupported identifiers {stray} in script: {script!r}")
-    return F.expr(body)
+    # AFTER the token whitelist (the D suffix would read as a stray
+    # identifier there): painless float literals are doubles, not decimals
+    return F.expr(double_literals(body))
 
 
 def apply_runtime_mappings(df: DataFrame, mappings: dict) -> DataFrame:

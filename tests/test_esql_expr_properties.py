@@ -145,3 +145,44 @@ def test_translate_expr_raises_only_typed_errors(e):
         assert isinstance(out, str)
     except EsqlError:
         pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=10**6),
+    d=st.floats(min_value=0.1, max_value=10**4, allow_nan=False).map(
+        lambda f: round(f, 3)
+    ),
+)
+def test_float_literal_arithmetic_plans_as_double(spark, n, d):
+    """ES|QL float literals are doubles (r6 red-query root cause): any
+    unsuffixed decimal literal in arithmetic must yield a DOUBLE column,
+    never DECIMAL(p,s) — `bigint / 1024.0` used to plan as decimal(28,6)
+    and hash-diverge from the engine on every row."""
+    from elasticsearch_hadoop_spark.esql import _translate_expr
+
+    sql = _translate_expr(f"n / {d!r}")
+    dtype = (
+        spark.range(1)
+        .selectExpr(f"CAST(id + {n} AS BIGINT) AS n")
+        .selectExpr(f"({sql}) AS out")
+        .schema["out"]
+        .dataType.simpleString()
+    )
+    assert dtype == "double", f"{d!r}: {sql} planned as {dtype}"
+
+
+def test_compile_script_float_literal_is_double(spark):
+    """Same rule for painless-lite: the ingest `script` processor's
+    `ctx.kchars = ctx.n_chars / 1000.0` must produce a double."""
+    from elasticsearch_hadoop_spark.runtime_fields import compile_script
+
+    col = compile_script("emit(doc['n'].value / 1000.0)")
+    df = spark.range(3).selectExpr("CAST(id * 406 AS BIGINT) AS n")
+    out = df.select(col.alias("kchars"))
+    assert out.schema["kchars"].dataType.simpleString() == "double"
+    # and string literals are untouched by the rewrite
+    col2 = compile_script("emit(doc['s'].value == '1.5' ? 2.5 : 0.5)")
+    out2 = df.selectExpr("'1.5' AS s").select(col2.alias("x"))
+    assert out2.schema["x"].dataType.simpleString() == "double"
+    assert out2.collect()[0]["x"] == 2.5
