@@ -37,78 +37,81 @@ def query(name: str, oracle: str | None = None):
 
 
 # The correctness driver grades a bounded prefix of the registration order
-# (the first 50 queries, observed every round).  Rounds 1-5 banked a green
-# verdict for 215 of 252 queries; the graded window is the scarce
-# resource.  Round-6 policy (VERDICT.md round-5 items 1-2): the window
-# drains the backlog completely for the first time —
-#   * slots 1-2: the two r5 reds, re-graded after their comparator fixes
-#     (esql_eval_pipeline's oracle division cast ::DOUBLE;
-#     ingest_pipeline_docs' kchars rounded on both sides);
-#   * slots 3-37: ALL 35 never-graded queries (27 late aggs-DSL
-#     compilers, decay_score/phrase_slop, sample_to_mixture, and the
-#     mget/msearch/template/analyze/termvectors search surfaces);
-#   * slots 38-50: 13 drift-insurance re-grades of the oldest r1-era
-#     greens that have never been re-graded since (r4 policy), preferring
-#     queries whose code paths were since rewritten (dedup_ngram_jaccard's
-#     banded equi-join landed r5) or that anchor the bench headline.
-# After this round every registered query holds a driver verdict.
+# (the first 50 queries, observed every round).  Rounds 1-6 banked a green
+# verdict for 250 of 252 queries; the graded window is the scarce
+# resource.  Round-7 policy (VERDICT.md round-6 items 1-3):
+#   * slots 1-2: the two r6 reds, re-graded after the decimal-vs-double
+#     literal fix in esql._translate_expr / runtime_fields.compile_script
+#     (unsuffixed float literals now plan as DOUBLE, matching
+#     ES|QL/painless semantics);
+#   * slots 3-20: the 18 round-6 library surfaces held in
+#     corpus/round7_pending.py during the round-6 freeze (INLINESTATS,
+#     FORK, CIDR_MATCH, FROM-METADATA, categorize_text, multi-field
+#     frequent_item_sets, watcher bulk fire, ingest chains incl.
+#     user_agent/geoip/terminate/reroute, ILM tick, async search,
+#     transform sync+retention, geo_shape DSL, ES|QL date/MV functions,
+#     BMP decode) — oracle parity proven at sf0.001 AND sf0.01 in
+#     tests/test_round7_pending.py before registration;
+#   * slots 21-50: 30 drift-insurance re-grades of the oldest banked
+#     greens (the 8 remaining r1-era verdicts, then 22 r2-era ones,
+#     preferring bench-headline anchors and families whose library code
+#     round 6 touched) — after this round no banked verdict predates r3.
 PRIORITY: tuple[str, ...] = (
-    # r5 reds, fixed this round — re-grade first so a short window still
+    # r6 reds, fixed this round — re-grade first so a short window still
     # clears them
     "esql_eval_pipeline",
     "ingest_pipeline_docs",
-    # late aggs-DSL compiler surfaces (27) — the last coverage of
-    # aggs_dsl.py with no hard signal
-    "aggs_diversified_sampler",
-    "aggs_sampler_string_stats",
-    "aggs_stats_bucket",
-    "aggs_terms_include_exclude",
-    "aggs_ip_range",
-    "aggs_top_metrics",
-    "aggs_t_test",
-    "aggs_matrix_stats",
-    "aggs_geo_bounds_centroid",
-    "aggs_nested_items",
-    "aggs_global_escape",
-    "aggs_normalize",
-    "aggs_rate",
-    "aggs_composite_date_after",
-    "aggs_significant_text",
-    "aggs_cumulative_cardinality",
-    "aggs_variable_width_histogram",
-    "aggs_filters_other_bucket",
-    "aggs_date_histogram_offset",
-    "aggs_ip_prefix",
-    "aggs_moving_percentiles",
-    "aggs_geo_line",
-    "aggs_scripted_metric",
-    "aggs_frequent_item_sets",
-    "aggs_bucket_correlation",
-    "aggs_composite_date_page",
-    "aggs_reverse_nested",
-    # remaining never-graded query-DSL + sampling + search surfaces (8)
-    "query_dsl_decay_score",
-    "query_dsl_phrase_slop",
-    "sample_to_mixture",
-    "search_mget",
-    "search_msearch",
-    "search_template_page",
-    "search_analyze_api",
-    "search_termvectors",
-    # drift-insurance re-grades: r1-only greens, never re-graded (13)
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_events_first",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "q5_local_supplier_volume",
-    "geo_bounding_box_search",
-    "lateral_explode_tokens",
-    "map_entries_events",
-    "agg_rollup",
-    "agg_cube",
-    "aggs_filters_top_hits",
-    "unpivot_stats",
+    # the 18 round-6 surfaces, registered now that the freeze lifted
+    "esql_inlinestats",
+    "esql_fork",
+    "esql_cidr_match",
+    "esql_from_metadata",
+    "esql_date_mv_functions",
+    "esql_mv_sort_slice",
+    "aggs_categorize_text",
+    "aggs_fis_multi_field",
+    "watcher_bulk_fire",
+    "ingest_round6_chain",
+    "ingest_user_agent",
+    "ingest_geoip",
+    "ingest_terminate_reroute",
+    "writepath_ilm_tick",
+    "search_async_roundtrip",
+    "transform_sync_retention",
+    "query_dsl_geo_shape",
+    "multimodal_bmp_decode",
+    # drift-insurance re-grades: the 8 r1-era greens never re-graded
+    "aggs_filter_narrowed",
+    "aggs_filters_buckets",
+    "aggs_histogram_percentiles",
+    "aggs_range_stats",
+    "aggs_terms_metrics",
+    "join_left_outer",
+    "order_by_date_buckets",
+    "set_intersect_all",
+    # ... then 22 r2-era greens (bench anchors + touched families first)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "agg_distinct_counts",
+    "agg_percentiles",
+    "window_topk_per_group",
+    "pushdown_predicates",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "similarity_topk_brute",
+    "fn_json",
+    "query_dsl_bool",
+    "skew_salted_join",
+    "sketch_hll_rollup_merge",
+    "stream_live_dedup",
+    "subq_correlated_scalar",
+    "topk_global",
+    "udf_pandas_scalar",
+    "udtf_bigrams",
+    "window_ranking",
+    "join_full_outer",
+    "join_semi_anti",
 )
 
 
@@ -128,6 +131,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         packing,
         pushdown,
+        round7_pending,
         sampling,
         scalar_functions,
         search_surface,

@@ -1,12 +1,12 @@
 """The driver grades a bounded prefix of the registration order (the
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
-corpus/__init__.py under the round-6 window policy: the 2 r5 reds
-(re-graded after their comparator fixes) lead, the 35 remaining
-never-graded queries follow, and 13 drift-insurance re-grades of r1-era
-greens fill the tail; every windowed query carries a DuckDB oracle (no
-rows-only slots), and the union of banked green verdicts
-(CORRECTNESS_r01-r05) with the current window still covers every §2.C
-operator family."""
+corpus/__init__.py under the round-7 window policy: the 2 r6 reds
+(re-graded after the decimal-vs-double literal fix) lead, the 18
+round7_pending registrations follow, and 30 drift-insurance re-grades of
+the oldest (r1/r2-era) greens fill the tail; every windowed query
+carries a DuckDB oracle (no rows-only slots), and the union of banked
+green verdicts (CORRECTNESS_r01-r06) with the current window still
+covers every §2.C operator family."""
 
 from __future__ import annotations
 
@@ -64,6 +64,7 @@ def _banked_green() -> set[str]:
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",  # banked 48 of 50 (2 hash-mismatch reds)
+        "CORRECTNESS_r06.json",  # banked 48 of 50 (same 2 reds, refixed r7)
     ):
         path = os.path.join(REPO, fname)
         if not os.path.exists(path):
@@ -140,10 +141,11 @@ def test_every_family_covered_by_union():
     assert not uncovered, f"families with no driver signal past or pending: {uncovered}"
 
 
-def test_round6_window_drains_backlog():
-    """Round-6 policy (VERDICT r5 items 1-2): the 2 r5 reds re-grade
-    first, every never-graded query gets a slot, and after this round
-    every registered query holds a driver verdict."""
+def test_round7_window_drains_backlog():
+    """Round-7 policy (VERDICT r6 items 1-2): the 2 r6 reds re-grade
+    first, every never-graded query (the 18 round7_pending
+    registrations) gets a slot, and after this round every registered
+    query holds a driver verdict."""
     reg = load_all()
     first = list(reg)[:GRADED_WINDOW]
     assert first[0] == "esql_eval_pipeline"

@@ -1,22 +1,16 @@
-"""Round-7 pending corpus queries: each must already hash-match its
-DuckDB oracle through the driver-equivalent harness, so registering them
-in round 7 is a PRIORITY edit, not new risk.  Also pins that load_all
-does NOT import the pending module (the round-6 graded window is
-frozen).
+"""The 18 round-6 library surfaces registered in round 7 (they sat in
+corpus/round7_pending.py through the round-6 graded-window freeze).
+Now that the module is wired into load_all, these tests keep the
+pre-registration guarantee alive: every one of the 18 must hash-match
+its DuckDB oracle through the driver-equivalent harness, and every
+float its oracle emits must be round(_, 6)-stable."""
 
-Importing the pending module fills the shared REGISTRY, which other
-tests (registration order, spread gate) iterate — so this module
-imports it through a module-scoped fixture that REMOVES the pending
-entries again on teardown.  No importlib.reload: reloading the corpus
-package rebinds REGISTRY and breaks every later load_all() in the
-session (found the hard way — two spread-gate tests failed only in the
-full run)."""
-
-import sys
+import math
 
 import pytest
 
 import tests.oracle_harness as oh
+from elasticsearch_hadoop_spark.corpus import load_all
 
 PENDING = [
     "esql_inlinestats", "esql_fork", "aggs_categorize_text",
@@ -28,50 +22,22 @@ PENDING = [
     "multimodal_bmp_decode",
 ]
 
-_MOD = "elasticsearch_hadoop_spark.corpus.round7_pending"
 
-
-@pytest.fixture(scope="module")
-def pending_registry():
-    from elasticsearch_hadoop_spark.corpus import REGISTRY
-
-    preexisting = set(REGISTRY)
-    import elasticsearch_hadoop_spark.corpus.round7_pending  # noqa: F401
-
-    yield REGISTRY
-    # leave the session REGISTRY exactly as found
-    for n in set(REGISTRY) - preexisting:
-        REGISTRY.pop(n, None)
-    sys.modules.pop(_MOD, None)
-
-
-def test_pending_module_not_wired_into_load_all():
-    import inspect
-
-    from elasticsearch_hadoop_spark import corpus
-
-    src = inspect.getsource(corpus.load_all)
-    assert "round7_pending" not in src, (
-        "round7_pending reached load_all — if this is the round-7 "
-        "registration, move these queries into PRIORITY, give them graded "
-        "window slots, and delete this pending scaffolding"
-    )
-    assert all(n not in corpus.PRIORITY for n in PENDING)
+def test_all_registered_inside_graded_window():
+    ordered = list(load_all())
+    missing = [n for n in PENDING if n not in ordered[:50]]
+    assert not missing, f"round-7 registrations outside the graded window: {missing}"
 
 
 @pytest.mark.parametrize("name", PENDING)
-def test_pending_query_matches_oracle(name, pending_registry, spark, sf_dir, duck):
-    ok, msg = oh.compare(pending_registry[name], spark, sf_dir, duck)
+def test_pending_query_matches_oracle(name, spark, sf_dir, duck):
+    ok, msg = oh.compare(load_all()[name], spark, sf_dir, duck)
     assert ok, f"{name}: {msg}"
 
 
 @pytest.mark.parametrize("name", PENDING)
-def test_pending_oracle_floats_rounded(name, pending_registry, duck):
-    # the same float lint test_oracle_lint applies to registered oracles:
-    # every float the oracle emits must already be round(_, 6)-stable
-    import math
-
-    res = duck.execute(pending_registry[name].oracle)
+def test_pending_oracle_floats_rounded(name, duck):
+    res = duck.execute(load_all()[name].oracle)
     for row in res.fetchall()[:2000]:
         for v in row:
             if isinstance(v, float) and math.isfinite(v):
