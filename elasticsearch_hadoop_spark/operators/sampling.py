@@ -119,6 +119,11 @@ def topn_per_stratum(
 # keep every threshold exactly reproducible in any engine with 128-bit
 # integer math (no float-rounding parity risk between Spark and an oracle)
 MIX_SCALE = 1_000_000
+# beyond this many domains, a literal CASE-WHEN threshold chain stops
+# being the cheap path (plan-tree bloat) — switch to a broadcast join
+_WHEN_CHAIN_MAX = 64
+# hard driver-memory guard: weights + counts dicts live on the driver
+MAX_MIXTURE_DOMAINS = 100_000
 
 
 def mixture_thresholds(
@@ -154,25 +159,54 @@ def sample_to_mixture(
     ppm integers); domains not listed are dropped.  Downsampling only —
     the limiting domain survives whole, everything else thins to match.
 
-    Cost at 100 TB: one tiny groupBy-count (k domain rows to the driver,
-    bounded like IVF centroids), then the keep decision is a pure Column
-    hash threshold riding the scan — no shuffle, no RNG state, and the
-    identical rows survive on any cluster layout."""
+    Cost at 100 TB: one groupBy-count over the LISTED domains only (the
+    `isin` prunes first, so at most len(weights) rows reach the driver —
+    never the column's full cardinality), then the keep decision is a
+    pure Column hash threshold riding the scan — no shuffle, no RNG
+    state, and the identical rows survive on any cluster layout.  Above
+    _WHEN_CHAIN_MAX domains the per-row threshold comes from a broadcast
+    join against a (domain, threshold) frame instead of a literal
+    CASE-WHEN chain (a 10k-branch chain blows up analysis/codegen);
+    above MAX_MIXTURE_DOMAINS the call is refused outright — the
+    weights dict itself is driver-resident, so a million-domain mixture
+    needs a different API shape (weights as a DataFrame), not a bigger
+    driver."""
+    if len(weights) > MAX_MIXTURE_DOMAINS:
+        raise ValueError(
+            f"sample_to_mixture got {len(weights)} domains; the weights "
+            f"dict and per-domain counts are driver-resident, capped at "
+            f"{MAX_MIXTURE_DOMAINS}. For unbounded-cardinality mixtures "
+            "pass coarser domains or aggregate weights upstream."
+        )
     if all(isinstance(w, int) for w in weights.values()):
         ppm = dict(weights)  # already parts-per-million
     else:
         total = float(sum(weights.values()))
         ppm = {d: int(round(w / total * MIX_SCALE)) for d, w in weights.items()}
     domains = list(ppm)
-    scoped = df.filter(F.col(domain_col).isin(domains))
+    if len(domains) <= _WHEN_CHAIN_MAX:
+        scoped = df.filter(F.col(domain_col).isin(domains))
+    else:
+        # membership via broadcast semi-join: an isin() literal list of
+        # thousands of values bloats the plan tree instead of pruning it
+        spark = df.sparkSession
+        dom_df = spark.createDataFrame([(d,) for d in domains], [domain_col])
+        scoped = df.join(F.broadcast(dom_df), on=domain_col, how="semi")
     counts = {
         r[0]: r[1] for r in scoped.groupBy(domain_col).count().collect()
     }
     th = mixture_thresholds(counts, ppm)
     h = split_hash(F.col(id_col), seed)
-    expr = None
-    for d in domains:
-        cond = F.col(domain_col) == d
-        lit = F.lit(th[d])
-        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
-    return scoped.filter(h < expr.otherwise(F.lit(0)))
+    if len(domains) <= _WHEN_CHAIN_MAX:
+        expr = None
+        for d in domains:
+            cond = F.col(domain_col) == d
+            lit = F.lit(th[d])
+            expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+        return scoped.filter(h < expr.otherwise(F.lit(0)))
+    spark = df.sparkSession
+    th_df = spark.createDataFrame(
+        [(d, t) for d, t in th.items()], [domain_col, "__mix_threshold"]
+    )
+    joined = scoped.join(F.broadcast(th_df), on=domain_col, how="inner")
+    return joined.filter(h < F.col("__mix_threshold")).drop("__mix_threshold")

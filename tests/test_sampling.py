@@ -130,3 +130,64 @@ class TestMixture:
         df = spark.createDataFrame([(1, "a")], "id int, d string")
         with pytest.raises(ValueError):
             sample_to_mixture(df, "d", {"a": 0.5, "zz": 0.5}, id_col="id")
+
+    def test_mixture_high_cardinality_broadcast_path(self, spark):
+        """Above _WHEN_CHAIN_MAX domains the threshold comes from a
+        broadcast join, not a literal CASE-WHEN chain; results must be
+        identical to the literal path's semantics (same hash, same
+        integer thresholds) and the plan must show a BroadcastHashJoin
+        with no full-cardinality collect."""
+        from elasticsearch_hadoop_spark.operators.sampling import (
+            _WHEN_CHAIN_MAX,
+            sample_to_mixture,
+        )
+
+        n_dom = _WHEN_CHAIN_MAX + 36
+        rows = [(i, f"dom{i % n_dom}") for i in range(4 * n_dom * 10)]
+        df = spark.createDataFrame(rows, "id int, d string")
+        weights = {f"dom{k}": 1.0 / n_dom for k in range(n_dom)}
+        out = sample_to_mixture(df, "d", weights, id_col="id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "__mix_threshold" not in out.columns
+        # uniform weights over uniform data: every domain survives ~whole
+        got = {r["d"]: r["count"] for r in out.groupBy("d").count().collect()}
+        assert len(got) == n_dom
+        assert all(c > 0 for c in got.values())
+        # determinism across the two invocations (pure hash threshold)
+        again = sample_to_mixture(df, "d", weights, id_col="id")
+        assert sorted(r["id"] for r in out.collect()) == sorted(
+            r["id"] for r in again.collect()
+        )
+
+    def test_mixture_both_paths_agree(self, spark):
+        """Force the join path onto a small domain set by monkeypatching
+        the cutover and check row-for-row agreement with the when-chain."""
+        import elasticsearch_hadoop_spark.operators.sampling as s
+
+        rows = [(i, "a" if i % 10 < 8 else "b") for i in range(3000)]
+        df = spark.createDataFrame(rows, "id int, d string")
+        lit_ids = sorted(
+            r["id"]
+            for r in s.sample_to_mixture(df, "d", {"a": 0.6, "b": 0.4}, id_col="id").collect()
+        )
+        orig = s._WHEN_CHAIN_MAX
+        s._WHEN_CHAIN_MAX = 1
+        try:
+            join_ids = sorted(
+                r["id"]
+                for r in s.sample_to_mixture(df, "d", {"a": 0.6, "b": 0.4}, id_col="id").collect()
+            )
+        finally:
+            s._WHEN_CHAIN_MAX = orig
+        assert lit_ids == join_ids
+
+    def test_mixture_domain_cap(self, spark):
+        import pytest
+
+        import elasticsearch_hadoop_spark.operators.sampling as s
+
+        df = spark.createDataFrame([(1, "a")], "id int, d string")
+        too_many = {f"d{i}": 1 for i in range(s.MAX_MIXTURE_DOMAINS + 1)}
+        with pytest.raises(ValueError, match="driver-resident"):
+            s.sample_to_mixture(df, "d", too_many, id_col="id")
