@@ -80,6 +80,9 @@ PRIORITY: tuple[str, ...] = (
     "transform_sync_retention",
     "query_dsl_geo_shape",
     "multimodal_bmp_decode",
+    # round-7 net-new surfaces (VERDICT r6 items 5-6) — never graded, so
+    # they take window slots from the re-grade tail
+    "search_scored_page",
     # drift-insurance re-grades: the 8 r1-era greens never re-graded
     "aggs_filter_narrowed",
     "aggs_filters_buckets",
@@ -111,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "udtf_bigrams",
     "window_ranking",
     "join_full_outer",
-    "join_semi_anti",
 )
 
 

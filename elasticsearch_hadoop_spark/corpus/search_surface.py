@@ -1024,3 +1024,61 @@ def esql_grok_dissect(spark, sf_dir):
     return out.select(
         "verb", "n", "errors", F.round("total_dur", 6).alias("total_dur")
     ).orderBy("verb")
+
+
+@query(
+    "search_scored_page",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source,
+         log10(1 + n_chars * 0.001::DOUBLE)
+         + CASE WHEN source LIKE 'src1%' THEN 2.0::DOUBLE ELSE 0.0::DOUBLE END
+         + (n_chars % 7) * 0.1::DOUBLE AS s
+  FROM documents
+  WHERE lang = 'en'
+)
+SELECT doc_id, source, round(s, 6) AS score
+FROM scored
+WHERE s >= 0.5::DOUBLE
+ORDER BY s DESC, doc_id
+LIMIT 12 OFFSET 3
+""",
+)
+def search_scored_page(spark, sf_dir):
+    """`_search` with a MATERIALIZED `_score` column (the engine's
+    analogue of the reference's `_metadata._score` — ScrollReader.java†
+    attaches the hit score to row metadata): a `function_score` query
+    combining the deterministic trio (field_value_factor log1p,
+    filter-gated weight, painless-lite script_score), top-level
+    `min_score`, bare `"_score"` sort (DESC by ES default, id tiebreak
+    auto-appended), and a from+size page.  Scoring is one codegen
+    projection; the page plans as TakeOrderedAndProject of from+size
+    rows, row_number only over that tiny set."""
+    from elasticsearch_hadoop_spark.search import search
+
+    docs = tbl(spark, sf_dir, "documents")
+    body = {
+        "query": {
+            "function_score": {
+                "query": {"term": {"lang": "en"}},
+                "functions": [
+                    {
+                        "field_value_factor": {
+                            "field": "n_chars",
+                            "factor": 0.001,
+                            "modifier": "log1p",
+                        }
+                    },
+                    {"weight": 2.0, "filter": {"prefix": {"source": "src1"}}},
+                    {"script_score": {"script": "emit(doc['n_chars'].value % 7 * 0.1)"}},
+                ],
+                "score_mode": "sum",
+            }
+        },
+        "min_score": 0.5,
+        "sort": ["_score"],
+        "size": 12,
+        "from": 3,
+    }
+    hits = search(docs, body, id_col="doc_id")
+    return hits.select("doc_id", "source", F.round("_score", 6).alias("score"))

@@ -55,6 +55,83 @@ def lexicographic_after(fields: list[tuple[str, bool]], values) -> Column:
     return cond
 
 
+def search(
+    df: DataFrame,
+    body: dict,
+    id_col: str,
+    score_col: str = "_score",
+) -> DataFrame:
+    """ES ``_search`` top level with a materialized ``_score`` column —
+    the engine's analogue of the reference's ``_metadata._score``
+    (ScrollReader.java† attaches the hit score to row metadata; here the
+    score is a first-class column on the result).
+
+    Scoring is the EXACT DETERMINISTIC SUBSET, documented per the
+    query-DSL header's scoreless-engine rule:
+
+    - ``function_score`` → its compiled deterministic score
+      (field_value_factor / script_score / weight / decay /
+      rank_feature / distance_feature combinations);
+    - ``constant_score`` → the wrapper's ``boost`` (exactly ES);
+    - anything else matches in filter context with ``_score = 1.0``
+      (BM25 text relevance is out of scope — no fake tf/idf).
+
+    Body fields honored: ``query`` (default match_all), ``min_score``,
+    ``sort`` (entries ``"_score"``, ``"field"`` or
+    ``{"field": {"order": ...}}``; ``_score`` defaults DESC like ES;
+    default sort is ``_score`` desc with ``id_col`` asc tiebreak),
+    ``size`` (default 10) and ``from``.
+
+    Scale: the score is one codegen projection; sort+size plans as
+    TakeOrderedAndProject (per-partition heaps).  ``from`` pages by
+    limiting to from+size FIRST, then row_number over that tiny set —
+    never a global window over the corpus."""
+    from elasticsearch_hadoop_spark.query_dsl import (
+        compile_function_score,
+        compile_query,
+    )
+
+    q = body.get("query", {"match_all": {}})
+    if isinstance(q, dict) and set(q) == {"function_score"}:
+        pred, score = compile_function_score(q["function_score"])
+        score = score.cast("double")
+    elif isinstance(q, dict) and set(q) == {"constant_score"}:
+        pred = compile_query(q)
+        score = F.lit(float(q["constant_score"].get("boost", 1.0)))
+    else:
+        pred, score = compile_query(q), F.lit(1.0)
+    out = df.filter(pred).withColumn(score_col, score)
+    if "min_score" in body:
+        out = out.filter(F.col(score_col) >= F.lit(float(body["min_score"])))
+
+    order: list[Column] = []
+    explicit_tiebreak = False
+    for spec in body.get("sort", [{score_col: "desc"}]):
+        field, asc = _direction(spec)
+        if field == "_score":
+            field = score_col
+            # bare "_score" defaults to DESC in ES (unlike field sorts)
+            if isinstance(spec, str):
+                asc = False
+        if field == id_col:
+            explicit_tiebreak = True
+        order.append(F.col(field).asc() if asc else F.col(field).desc())
+    if not explicit_tiebreak:
+        order.append(F.col(id_col).asc())
+
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    page = out.orderBy(*order).limit(offset + size)
+    if offset:
+        w = Window.orderBy(*order)
+        page = (
+            page.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > offset)
+            .drop("__rn")
+        )
+    return page
+
+
 def search_after(
     df: DataFrame,
     sort: list,

@@ -427,3 +427,83 @@ def test_validate_query(spark):
     assert ok["valid"] and ok["error"] is None and "f" in ok["explanation"]
     bad = validate_query({"frobnicate": {}})
     assert not bad["valid"] and "frobnicate" in bad["error"]
+
+
+class TestSearchScore:
+    """search(): materialized `_score` for the deterministic subset
+    (the `_metadata._score` analogue), sort/size/from semantics."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, float(i * 10), "en" if i % 2 else "fr") for i in range(1, 9)]
+        return spark.createDataFrame(rows, "k long, price double, lang string")
+
+    def test_function_score_ranked(self, corpus):
+        from elasticsearch_hadoop_spark.search import search
+
+        body = {
+            "query": {
+                "function_score": {
+                    "query": {"term": {"lang": "en"}},
+                    "functions": [{"field_value_factor": {"field": "price"}}],
+                }
+            },
+            "size": 3,
+        }
+        hits = search(corpus, body, id_col="k").collect()
+        assert [r["k"] for r in hits] == [7, 5, 3]  # price desc
+        assert [r["_score"] for r in hits] == [70.0, 50.0, 30.0]
+
+    def test_constant_score_boost_and_filter_context(self, corpus):
+        from elasticsearch_hadoop_spark.search import search
+
+        hits = search(
+            corpus,
+            {"query": {"constant_score": {"filter": {"term": {"lang": "fr"}}, "boost": 3.5}}},
+            id_col="k",
+        ).collect()
+        assert hits and all(r["_score"] == 3.5 for r in hits)
+        # non-scoring clause: filter context, constant 1.0
+        hits = search(corpus, {"query": {"range": {"k": {"gte": 7}}}}, id_col="k").collect()
+        assert [r["k"] for r in hits] == [7, 8]
+        assert all(r["_score"] == 1.0 for r in hits)
+
+    def test_bare_score_sort_defaults_desc_and_id_tiebreak(self, corpus):
+        from elasticsearch_hadoop_spark.search import search
+
+        # constant score everywhere: ordering must fall back to k asc
+        body = {"query": {"match_all": {}}, "sort": ["_score"], "size": 4}
+        hits = search(corpus, body, id_col="k").collect()
+        assert [r["k"] for r in hits] == [1, 2, 3, 4]
+
+    def test_from_pages_without_overlap(self, corpus):
+        from elasticsearch_hadoop_spark.search import search
+
+        body = {
+            "query": {
+                "function_score": {"functions": [{"field_value_factor": {"field": "price"}}]}
+            },
+            "size": 3,
+        }
+        page1 = [r["k"] for r in search(corpus, body, id_col="k").collect()]
+        page2 = [
+            r["k"]
+            for r in search(corpus, {**body, "from": 3}, id_col="k").collect()
+        ]
+        assert page1 == [8, 7, 6] and page2 == [5, 4, 3]
+        assert "__rn" not in search(corpus, {**body, "from": 3}, id_col="k").columns
+
+    def test_min_score_and_field_sort(self, corpus):
+        from elasticsearch_hadoop_spark.search import search
+
+        body = {
+            "query": {
+                "function_score": {"functions": [{"field_value_factor": {"field": "price"}}]}
+            },
+            "min_score": 45.0,
+            "sort": [{"lang": {"order": "asc"}}, {"k": "desc"}],
+            "size": 10,
+        }
+        hits = search(corpus, body, id_col="k").collect()
+        # scores >= 45 -> k in {5..8}; sorted lang asc then k desc
+        assert [r["k"] for r in hits] == [7, 5, 8, 6]
