@@ -83,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     # round-7 net-new surfaces (VERDICT r6 items 5-6) — never graded, so
     # they take window slots from the re-grade tail
     "search_scored_page",
+    "query_dsl_geo_shape_relations",
     # drift-insurance re-grades: the 8 r1-era greens never re-graded
     "aggs_filter_narrowed",
     "aggs_filters_buckets",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "udf_pandas_scalar",
     "udtf_bigrams",
     "window_ranking",
-    "join_full_outer",
 )
 
 

@@ -166,3 +166,99 @@ def geo_polygon_search(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "query_dsl_geo_shape_relations",
+    oracle="""
+WITH shapes AS (
+  SELECT event_id,
+         ((event_id % 70) - 35) + 0.5::DOUBLE AS cx,
+         ((event_id % 50) - 25) + 0.5::DOUBLE AS cy,
+         0.5::DOUBLE + (event_id % 4) * 0.75::DOUBLE AS a
+  FROM events
+),
+classified AS (
+  SELECT event_id,
+         -- diamond {|p-c|_1 <= a} vs box [-10,-8]x[12,9]: exact L1 closed form
+         CASE
+           WHEN cx - a >= -10 AND cx + a <= 12
+            AND cy - a >= -8 AND cy + a <= 9 THEN 'within'
+           WHEN greatest(-10 - cx, cx - 12, 0.0::DOUBLE)
+              + greatest(-8 - cy, cy - 9, 0.0::DOUBLE) <= a THEN 'intersects'
+           ELSE 'disjoint'
+         END AS poly_rel,
+         -- diamond bbox [cx-a, cx+a]x[cy-a, cy+a] vs box [0,0]x[1,1]
+         CASE
+           WHEN cx - a <= 0 AND cx + a >= 1
+            AND cy - a <= 0 AND cy + a >= 1 THEN 'contains'
+           WHEN cx - a >= 0 AND cx + a <= 1
+            AND cy - a >= 0 AND cy + a <= 1 THEN 'within'
+           WHEN cx - a <= 1 AND cx + a >= 0
+            AND cy - a <= 1 AND cy + a >= 0 THEN 'intersects'
+           ELSE 'disjoint'
+         END AS env_rel
+  FROM shapes
+)
+SELECT poly_rel, env_rel, CAST(count(*) AS BIGINT) AS n
+FROM classified
+GROUP BY poly_rel, env_rel
+ORDER BY poly_rel, env_rel
+""",
+)
+def query_dsl_geo_shape_relations(spark, sf_dir):
+    """`geo_shape` over SHAPE-typed fields (round-7 extension past the
+    point-vs-shape subset): every event synthesizes a diamond polygon
+    (4-vertex ring, deliberately non-axis-aligned so the separating-axis
+    edge tests do real work) and its bounding-box envelope; the DSL then
+    classifies each doc's relation to two query envelopes —
+    within/intersects/disjoint for the polygon field, plus contains for
+    the envelope field.  Coordinates are dyadic fractions (k + 0.5,
+    steps of 0.75), so every comparison is IEEE-exact and the DuckDB
+    oracle replays the geometry in closed form (diamond = L1 ball: box
+    distance = clamped per-axis distances summed).  All pure codegen
+    Column math — no UDF, no shuffle before the final tiny groupBy."""
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    ev = tbl(spark, sf_dir, "events").select("event_id")
+    cx = ((F.col("event_id") % 70) - 35).cast("double") + F.lit(0.5)
+    cy = ((F.col("event_id") % 50) - 25).cast("double") + F.lit(0.5)
+    a = F.lit(0.5) + (F.col("event_id") % 4).cast("double") * F.lit(0.75)
+    vertex = lambda vx, vy: F.struct(vx.alias("lon"), vy.alias("lat"))
+    shapes = ev.select(
+        "event_id",
+        F.array(
+            vertex(cx + a, cy), vertex(cx, cy + a),
+            vertex(cx - a, cy), vertex(cx, cy - a),
+        ).alias("poly"),
+        F.struct(
+            (cx - a).alias("min_lon"), (cy - a).alias("min_lat"),
+            (cx + a).alias("max_lon"), (cy + a).alias("max_lat"),
+        ).alias("env"),
+    )
+    # envelope query shape: [[minLon, maxLat], [maxLon, minLat]]
+    big = {"type": "envelope", "coordinates": [[-10.0, 9.0], [12.0, -8.0]]}
+    small = {"type": "envelope", "coordinates": [[0.0, 1.0], [1.0, 0.0]]}
+
+    def rel(field, shape, r, ftype):
+        return compile_query(
+            {"geo_shape": {field: {"shape": shape, "relation": r, "field_type": ftype}}}
+        )
+
+    classified = shapes.select(
+        "event_id",
+        F.when(rel("poly", big, "within", "polygon"), "within")
+        .when(rel("poly", big, "intersects", "polygon"), "intersects")
+        .when(rel("poly", big, "disjoint", "polygon"), "disjoint")
+        .alias("poly_rel"),
+        F.when(rel("env", small, "contains", "envelope"), "contains")
+        .when(rel("env", small, "within", "envelope"), "within")
+        .when(rel("env", small, "intersects", "envelope"), "intersects")
+        .when(rel("env", small, "disjoint", "envelope"), "disjoint")
+        .alias("env_rel"),
+    )
+    return (
+        classified.groupBy("poly_rel", "env_rel")
+        .agg(F.count("*").alias("n"))
+        .orderBy("poly_rel", "env_rel")
+    )

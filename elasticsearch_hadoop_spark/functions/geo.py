@@ -115,3 +115,129 @@ def geo_polygon_filter(
         )
         inside = inside != crosses  # boolean != is XOR
     return inside
+
+
+# --- shape-vs-shape relations (geo_shape over shape-typed fields) ---------
+#
+# The engine's shape storage (SURVEY.md §1.2 extension; upstream keeps
+# shapes as opaque mapped docs and delegates the relation to the server):
+#   envelope field: struct<min_lon double, min_lat double,
+#                          max_lon double, max_lat double>
+#   polygon  field: array<struct<lon double, lat double>> — one ring,
+#                   open or closed (a closing duplicate vertex yields a
+#                   degenerate wrap edge that every test below ignores)
+# Query shape: an ES `envelope` [[minLon, maxLat], [maxLon, minLat]].
+# Everything is planar lon/lat Column math (same small-shape model the
+# point-vs-shape subset documents), whole-stage codegen, no UDF.
+
+
+def _poly_edges(vertices: Column) -> Column:
+    """Consecutive vertex pairs incl. the closing wrap edge:
+    array<struct<p, q>> over array<struct<lon, lat>>."""
+    n = F.size(vertices)
+    nxt = F.concat(F.slice(vertices, 2, n - 1), F.slice(vertices, 1, 1))
+    return F.zip_with(vertices, nxt, lambda a, b: F.struct(a.alias("p"), b.alias("q")))
+
+
+def point_in_polygon_column(px: Column, py: Column, vertices: Column) -> Column:
+    """Even-odd ray cast of one (px, py) against a COLUMN polygon (the
+    literal-vertex twin is geo_polygon_filter).  Horizontal and degenerate
+    edges contribute no crossing (the lat-straddle test is false before
+    the division can go IEEE-infinite)."""
+    return F.aggregate(
+        _poly_edges(vertices),
+        F.lit(False),
+        lambda acc, e: acc
+        != (
+            ((e["p"]["lat"] > py) != (e["q"]["lat"] > py))
+            & (
+                px
+                < (e["q"]["lon"] - e["p"]["lon"])
+                * (py - e["p"]["lat"])
+                / (e["q"]["lat"] - e["p"]["lat"])
+                + e["p"]["lon"]
+            )
+        ),
+    )
+
+
+def _edge_hits_envelope(e: Column, q: tuple[float, float, float, float]) -> Column:
+    """Closed segment vs closed axis-aligned rectangle, exactly, by the
+    separating-axis test (axes: x, y, and the segment normal — complete
+    for a segment/box pair).  Touching counts as a hit, like ES
+    `intersects`.  Pure multiply/compare — no division."""
+    qminx, qminy, qmaxx, qmaxy = (float(v) for v in q)
+    ax, ay = e["p"]["lon"], e["p"]["lat"]
+    bx, by = e["q"]["lon"], e["q"]["lat"]
+    overlap_x = (F.greatest(ax, bx) >= qminx) & (F.least(ax, bx) <= qmaxx)
+    overlap_y = (F.greatest(ay, by) >= qminy) & (F.least(ay, by) <= qmaxy)
+    dx, dy = bx - ax, by - ay
+    cross = [
+        dx * (F.lit(cy) - ay) - dy * (F.lit(cx) - ax)
+        for cx, cy in (
+            (qminx, qminy), (qminx, qmaxy), (qmaxx, qminy), (qmaxx, qmaxy),
+        )
+    ]
+    all_pos = cross[0] > 0
+    all_neg = cross[0] < 0
+    for c in cross[1:]:
+        all_pos = all_pos & (c > 0)
+        all_neg = all_neg & (c < 0)
+    return overlap_x & overlap_y & ~(all_pos | all_neg)
+
+
+def polygon_envelope_relation(
+    vertices: Column, q: tuple[float, float, float, float], relation: str
+) -> Column:
+    """Exact polygon-vs-envelope relations over a COLUMN polygon:
+
+    - ``intersects``: some polygon edge meets the box (SAT, covers every
+      partial overlap and polygon-inside-box) OR a box corner lies inside
+      the polygon (box strictly inside the polygon — no edge contact);
+    - ``within``: every vertex inside the box (exact: the box is convex);
+    - ``disjoint``: the negation of intersects (null-guarded).
+
+    ``contains`` (polygon ⊇ box) is NOT offered: the exact test needs
+    open-set edge/interior distinctions this closed-set algebra can't
+    express without approximating — reject, don't approximate."""
+    qminx, qminy, qmaxx, qmaxy = (float(v) for v in q)
+    if relation == "within":
+        return (F.size(vertices) >= 3) & F.forall(
+            vertices,
+            lambda v: v["lon"].between(qminx, qmaxx) & v["lat"].between(qminy, qmaxy),
+        )
+    intersects = F.exists(
+        _poly_edges(vertices), lambda e: _edge_hits_envelope(e, q)
+    ) | point_in_polygon_column(F.lit(qminx), F.lit(qminy), vertices)
+    if relation == "intersects":
+        return intersects
+    if relation == "disjoint":
+        return vertices.isNotNull() & (F.size(vertices) >= 1) & ~intersects
+    raise ValueError(
+        f"polygon_envelope_relation: unsupported relation {relation!r} "
+        "(supported: intersects, within, disjoint)"
+    )
+
+
+def envelope_envelope_relation(
+    env: Column, q: tuple[float, float, float, float], relation: str
+) -> Column:
+    """Exact envelope-vs-envelope relations (pure interval arithmetic):
+    intersects / within / contains / disjoint."""
+    qminx, qminy, qmaxx, qmaxy = (float(v) for v in q)
+    lo_x, lo_y = env["min_lon"], env["min_lat"]
+    hi_x, hi_y = env["max_lon"], env["max_lat"]
+    if relation == "intersects":
+        return (lo_x <= qmaxx) & (hi_x >= qminx) & (lo_y <= qmaxy) & (hi_y >= qminy)
+    if relation == "within":
+        return (lo_x >= qminx) & (hi_x <= qmaxx) & (lo_y >= qminy) & (hi_y <= qmaxy)
+    if relation == "contains":
+        return (lo_x <= qminx) & (hi_x >= qmaxx) & (lo_y <= qminy) & (hi_y >= qmaxy)
+    if relation == "disjoint":
+        return (
+            env.isNotNull()
+            & ~((lo_x <= qmaxx) & (hi_x >= qminx) & (lo_y <= qmaxy) & (hi_y >= qminy))
+        )
+    raise ValueError(
+        f"envelope_envelope_relation: unsupported relation {relation!r}"
+    )

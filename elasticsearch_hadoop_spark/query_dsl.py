@@ -638,19 +638,32 @@ def _geo_polygon(body, id_col):
 
 
 def _geo_shape(body, id_col):
-    """ES ``geo_shape`` over geo_point fields — the point-vs-shape
-    subset: indexed docs here carry struct(lat, lon) POINTS (the engine's
-    geo type), so the only well-defined relations are ``intersects`` /
-    ``within`` (point inside shape, identical for points) and
-    ``disjoint`` (its negation).  Query shapes: ``envelope``
-    ([[minLon, maxLat], [maxLon, minLat]], GeoJSON-style lon-first like
-    ES), ``polygon`` (first ring; even-odd ray casting shared with
-    geo_polygon), ``point`` (exact equality).  Indexed-shape *fields*
-    (lines, stored polygons) are out of scope — reject, don't
-    approximate."""
+    """ES ``geo_shape``.  In ES the indexed field's MAPPING decides the
+    doc-side geometry; this compiler is schema-less, so the field spec
+    takes a documented ``field_type`` hint (the mapping stand-in):
+
+    - ``"point"`` (default) — struct(lat, lon) docs, the point-vs-shape
+      subset: relations ``intersects``/``within`` (identical for points)
+      and ``disjoint``; query shapes ``envelope`` ([[minLon, maxLat],
+      [maxLon, minLat]], GeoJSON-style lon-first like ES), ``polygon``
+      (first ring; even-odd ray casting shared with geo_polygon),
+      ``point`` (exact equality).
+    - ``"polygon"`` — array<struct<lon, lat>> ring docs vs an
+      ``envelope`` query shape: exact ``intersects``/``within``/
+      ``disjoint`` (separating-axis edge tests + ray-cast corner
+      containment, functions/geo.py); ``contains`` rejects (needs
+      open-set interior tests — no approximation).
+    - ``"envelope"`` — struct(min_lon, min_lat, max_lon, max_lat) docs
+      vs an ``envelope`` query shape: exact ``intersects``/``within``/
+      ``contains``/``disjoint`` interval arithmetic.
+
+    Indexed-shape LOOKUPS (``indexed_shape``: fetch the query geometry
+    from another index) stay out of scope — reject, don't approximate."""
     from elasticsearch_hadoop_spark.functions.geo import (
+        envelope_envelope_relation,
         geo_bounding_box_filter,
         geo_polygon_filter,
+        polygon_envelope_relation,
     )
 
     field, spec = _geo_field_spec(body, "geo_shape")
@@ -661,6 +674,27 @@ def _geo_shape(body, id_col):
             "unsupported: the engine stores geo_points, not shape docs)"
         )
     relation = str(spec.get("relation", "intersects")).lower()
+    field_type = str(spec.get("field_type", "point")).lower()
+    if field_type in ("polygon", "envelope"):
+        if str(shape.get("type", "")).lower() != "envelope":
+            raise QueryDslError(
+                f"geo_shape over a {field_type} field supports an "
+                "`envelope` query shape only (shape-vs-shape beyond "
+                "box queries would need inexact predicates)"
+            )
+        (left, top), (right, bottom) = shape["coordinates"]
+        q = (float(left), float(bottom), float(right), float(top))
+        try:
+            if field_type == "polygon":
+                return polygon_envelope_relation(F.col(field), q, relation)
+            return envelope_envelope_relation(F.col(field), q, relation)
+        except ValueError as e:
+            raise QueryDslError(str(e)) from e
+    if field_type != "point":
+        raise QueryDslError(
+            f"geo_shape: unsupported field_type {field_type!r} "
+            "(supported: point, polygon, envelope)"
+        )
     if relation not in ("intersects", "within", "disjoint"):
         raise QueryDslError(
             f"geo_shape: unsupported relation {relation!r} for point fields "

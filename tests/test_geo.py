@@ -157,3 +157,146 @@ def test_review_round3_geo_fixes(spark):
             "type": "polygon",
             "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
                             [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]]]}}}})
+
+
+# --- shape-vs-shape relations (round 7) ------------------------------------
+
+def _seg_seg(a, b, c, d) -> bool:
+    """Closed segment intersection by orientations + on-segment tests —
+    deliberately a DIFFERENT formulation than the library's SAT."""
+    def o(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on(p, q, r):  # r collinear with pq: is r within the bbox of pq?
+        return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+
+    d1, d2 = o(c, d, a), o(c, d, b)
+    d3, d4 = o(a, b, c), o(a, b, d)
+    if d1 != d2 and d3 != d4:
+        return True
+    return ((d1 == 0 and on(c, d, a)) or (d2 == 0 and on(c, d, b))
+            or (d3 == 0 and on(a, b, c)) or (d4 == 0 and on(a, b, d)))
+
+
+def _pip_evenodd(px, py, poly) -> bool:
+    """Same even-odd convention as the library (strict `<` ray cast)."""
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        (xi, yi), (xj, yj) = poly[i], poly[(i + 1) % n]
+        if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi) + xi:
+            inside = not inside
+    return inside
+
+
+def _ref_poly_box(poly, box):
+    """Reference polygon-vs-box relations: seg-seg against the 4 box
+    edges + endpoint/corner containment (no SAT anywhere)."""
+    minx, miny, maxx, maxy = box
+    corners = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)]
+    box_edges = list(zip(corners, corners[1:] + corners[:1]))
+    in_box = lambda p: minx <= p[0] <= maxx and miny <= p[1] <= maxy
+    edges = list(zip(poly, poly[1:] + poly[:1]))
+    inter = (
+        any(in_box(p) for p in poly)
+        or any(_seg_seg(a, b, c, d) for a, b in edges for c, d in box_edges)
+        or _pip_evenodd(minx, miny, poly)
+    )
+    return {
+        "intersects": inter,
+        "within": all(in_box(p) for p in poly),
+        "disjoint": not inter,
+    }
+
+
+def _poly_df(spark, polys):
+    return spark.createDataFrame(
+        [(i, [{"lon": float(x), "lat": float(y)} for x, y in p])
+         for i, p in enumerate(polys)],
+        "id int, poly array<struct<lon double, lat double>>",
+    )
+
+
+def test_polygon_envelope_relations_vs_reference(spark):
+    """Differential over a deterministic grid of integer triangles and
+    quads (incl. degenerate/self-intersecting rings, boundary touches)
+    against the seg-seg reference."""
+    import itertools
+
+    from elasticsearch_hadoop_spark.functions.geo import polygon_envelope_relation
+
+    box = (0.0, 0.0, 3.0, 3.0)
+    coords = [-2, 0, 1, 3, 5]
+    polys = []
+    # triangles over a coarse grid (includes collinear/degenerate rings)
+    for pts in itertools.combinations(itertools.product(coords, coords), 3):
+        polys.append(list(pts))
+    polys = polys[::7][:220]  # every 7th: keep the matrix broad but bounded
+    # closed ring + axis-touching quad + self-intersecting bowtie
+    polys += [
+        [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)],
+        [(3, 0), (5, 0), (5, 2), (3, 2)],
+        [(-1, -1), (4, 4), (-1, 4), (4, -1)],
+    ]
+    df = _poly_df(spark, polys)
+    for rel in ("intersects", "within", "disjoint"):
+        got = {
+            r["id"]
+            for r in df.filter(polygon_envelope_relation(F.col("poly"), box, rel)).collect()
+        }
+        want = {i for i, p in enumerate(polys) if _ref_poly_box(p, box)[rel]}
+        assert got == want, f"{rel}: spark^ref disagree on {got ^ want}"
+
+
+def test_envelope_envelope_relations(spark):
+    from elasticsearch_hadoop_spark.functions.geo import envelope_envelope_relation
+
+    rows = [
+        (1, (0.0, 0.0, 2.0, 2.0)),    # within the query box
+        (2, (-1.0, -1.0, 5.0, 5.0)),  # contains it
+        (3, (2.5, 2.5, 6.0, 6.0)),    # overlaps corner
+        (4, (10.0, 10.0, 11.0, 11.0)),  # disjoint
+        (5, (3.0, 0.0, 7.0, 1.0)),    # touches the right edge
+    ]
+    df = spark.createDataFrame(
+        [(i, {"min_lon": a, "min_lat": b, "max_lon": c, "max_lat": d})
+         for i, (a, b, c, d) in rows],
+        "id int, env struct<min_lon double, min_lat double, max_lon double, max_lat double>",
+    )
+    q = (0.0, 0.0, 3.0, 3.0)
+    expect = {"intersects": {1, 2, 3, 5}, "within": {1}, "contains": {2},
+              "disjoint": {4}}
+    for rel, want in expect.items():
+        got = {r["id"] for r in
+               df.filter(envelope_envelope_relation(F.col("env"), q, rel)).collect()}
+        assert got == want, rel
+
+
+def test_geo_shape_shape_field_dsl(spark):
+    from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
+
+    env = {"type": "envelope", "coordinates": [[0.0, 3.0], [3.0, 0.0]]}
+    df = _poly_df(spark, [[(1, 1), (2, 1), (1.5, 2)], [(9, 9), (11, 9), (10, 11)]])
+    body = {"geo_shape": {"poly": {"shape": env, "relation": "within",
+                                   "field_type": "polygon"}}}
+    assert [r["id"] for r in df.filter(compile_query(body)).collect()] == [0]
+    # contains over polygon fields: reject, don't approximate
+    with pytest.raises(QueryDslError, match="open-set|unsupported relation"):
+        compile_query({"geo_shape": {"poly": {
+            "shape": env, "relation": "contains", "field_type": "polygon"}}})
+    # non-envelope query shape over a shape field: reject
+    with pytest.raises(QueryDslError, match="envelope"):
+        compile_query({"geo_shape": {"poly": {
+            "shape": {"type": "polygon", "coordinates": [[[0, 0], [1, 0], [0, 1]]]},
+            "relation": "intersects", "field_type": "polygon"}}})
+    with pytest.raises(QueryDslError, match="field_type"):
+        compile_query({"geo_shape": {"poly": {
+            "shape": env, "field_type": "multipolygon"}}})
+    # null polygons: never disjoint-matched (null-guard)
+    dfn = spark.createDataFrame(
+        [(0, None)], "id int, poly array<struct<lon double, lat double>>")
+    body_d = {"geo_shape": {"poly": {"shape": env, "relation": "disjoint",
+                                     "field_type": "polygon"}}}
+    assert dfn.filter(compile_query(body_d)).count() == 0
