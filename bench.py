@@ -120,8 +120,10 @@ def main() -> None:
             print(f"# {name}: {out[name]}s", file=sys.stderr)
         return out
 
+    load_before = os.getloadavg()
     timings = bench(HEADLINE)
     ext = bench(EXTENSION)
+    load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -133,6 +135,11 @@ def main() -> None:
                 "queries": {**timings, **{f"ext:{k}": v for k, v in ext.items()}},
                 "extension_total": round(sum(ext.values()), 3),
                 "sf": sf,
+                # BASELINE.md variance caveat: identical code has measured
+                # 12.7-17.2 s on this shared host depending on ambient
+                # load — interpret `value` against these 1-min loadavgs
+                "loadavg_before": round(load_before[0], 2),
+                "loadavg_after": round(load_after[0], 2),
             }
         )
     )
