@@ -760,6 +760,7 @@ class Catalog:
         df = self._read_resolved(name)
         if query is not None:
             query = self._resolve_terms_lookups(query)
+            query = self._resolve_indexed_shapes(query)
             df = df.filter(compile_query(query))
         meta_cols = [c for c in ("_id", "_index", "_routing") if c in df.columns]
         if metadata and meta_cols:
@@ -914,6 +915,82 @@ class Catalog:
             elif isinstance(v, list):
                 out[k] = [
                     self._resolve_terms_lookups(x) if isinstance(x, dict) else x
+                    for x in v
+                ]
+            else:
+                out[k] = v
+        return out
+
+    def indexed_shape(self, index: str, doc_id: str, path: str) -> dict:
+        """Fetch the query geometry for a ``geo_shape`` ``indexed_shape``
+        clause: the ``path`` field of ONE document in a shapes index —
+        stored either as a GeoJSON-ish string or a struct/map row.  Like
+        terms_lookup, this is a one-row bounded collect followed by a
+        rewrite to the inline-``shape`` form, which is exactly how ES
+        executes it (fetch the geometry once, then run a normal shape
+        query)."""
+        df = self.read_index(index, metadata=True)
+        if "_id" not in df.columns:
+            raise ValueError(f"indexed_shape index {index!r} has no _id column")
+        rows = (
+            df.filter(F.col("_id").cast("string") == str(doc_id))
+            .select(path)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise DocumentMissingError(
+                f"indexed_shape doc {doc_id!r} in {index!r}"
+            )
+        val = rows[0][0]
+        if isinstance(val, str):
+            val = json.loads(val)
+        elif hasattr(val, "asDict"):
+            val = val.asDict(recursive=True)
+        if not isinstance(val, dict) or "type" not in val:
+            raise ValueError(
+                f"indexed_shape {index!r}/{doc_id!r}.{path} is not a shape "
+                f"object (needs a 'type'): {type(val).__name__}"
+            )
+        return val
+
+    def _resolve_indexed_shapes(self, q):
+        """Pre-pass twin of _resolve_terms_lookups for ``geo_shape``
+        clauses carrying ``indexed_shape`` ({"index","id","path"}):
+        replace each with the fetched inline ``shape`` anywhere in the
+        clause tree, so compile_query never needs catalog access."""
+        if isinstance(q, str):
+            s = q.strip()
+            if not s.startswith("{"):
+                return q
+            q = json.loads(s)
+        if not isinstance(q, dict):
+            return q
+        out = {}
+        for k, v in q.items():
+            if k == "geo_shape" and isinstance(v, dict):
+                new_v = {}
+                for fld, spec in v.items():
+                    if isinstance(spec, dict) and isinstance(
+                        spec.get("indexed_shape"), dict
+                    ):
+                        ref = spec["indexed_shape"]
+                        shape = self.indexed_shape(
+                            ref["index"], ref["id"], ref["path"]
+                        )
+                        new_v[fld] = {
+                            **{kk: vv for kk, vv in spec.items()
+                               if kk != "indexed_shape"},
+                            "shape": shape,
+                        }
+                    else:
+                        new_v[fld] = spec
+                out[k] = new_v
+            elif isinstance(v, dict):
+                out[k] = self._resolve_indexed_shapes(v)
+            elif isinstance(v, list):
+                out[k] = [
+                    self._resolve_indexed_shapes(x) if isinstance(x, dict) else x
                     for x in v
                 ]
             else:

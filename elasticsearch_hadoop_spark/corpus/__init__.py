@@ -84,6 +84,7 @@ PRIORITY: tuple[str, ...] = (
     # they take window slots from the re-grade tail
     "search_scored_page",
     "query_dsl_geo_shape_relations",
+    "writepath_indexed_shape",
     # drift-insurance re-grades: the 8 r1-era greens never re-graded
     "aggs_filter_narrowed",
     "aggs_filters_buckets",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "topk_global",
     "udf_pandas_scalar",
     "udtf_bigrams",
-    "window_ranking",
 )
 
 

@@ -1122,3 +1122,78 @@ def writepath_component_template(spark, sf_dir):
     return out.select(
         "doc_id", "lang", "origin", F.col("source").alias("source_up")
     ).orderBy("doc_id")
+
+
+@query(
+    "writepath_indexed_shape",
+    oracle="""
+WITH shapes AS (
+  SELECT event_id,
+         ((event_id % 70) - 35) + 0.5::DOUBLE AS cx,
+         ((event_id % 50) - 25) + 0.5::DOUBLE AS cy,
+         0.5::DOUBLE + (event_id % 4) * 0.75::DOUBLE AS a
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN cx - a >= -10 AND cx + a <= 12
+             AND cy - a >= -8 AND cy + a <= 9
+            THEN true ELSE false END AS is_within
+FROM shapes
+WHERE greatest(-10 - cx, cx - 12, 0.0::DOUBLE)
+    + greatest(-8 - cy, cy - 9, 0.0::DOUBLE) <= a
+ORDER BY event_id
+""",
+)
+def writepath_indexed_shape(spark, sf_dir):
+    """ES `geo_shape` with an `indexed_shape` LOOKUP: the query envelope
+    lives in a shapes INDEX document (GeoJSON string field);
+    read_index's pre-pass fetches it once (one bounded one-row collect,
+    `Catalog.indexed_shape`) and rewrites the clause to the inline-shape
+    form — exactly ES's fetch-once-then-run execution.  Docs carry
+    diamond polygon rings (field_type=polygon, the round-7 shape-vs-shape
+    path), so the fetched envelope drives the exact SAT relation tests;
+    the oracle replays the diamond-vs-box L1 closed form."""
+    root = _workdir(sf_dir, "indexed_shape")
+    cat = Catalog(spark, root)
+    ev = tbl(spark, sf_dir, "events").select("event_id")
+    cx = ((F.col("event_id") % 70) - 35).cast("double") + F.lit(0.5)
+    cy = ((F.col("event_id") % 50) - 25).cast("double") + F.lit(0.5)
+    a = F.lit(0.5) + (F.col("event_id") % 4).cast("double") * F.lit(0.75)
+    vertex = lambda vx, vy: F.struct(vx.alias("lon"), vy.alias("lat"))
+    diamonds = ev.select(
+        "event_id",
+        F.array(
+            vertex(cx + a, cy), vertex(cx, cy + a),
+            vertex(cx - a, cy), vertex(cx, cy - a),
+        ).alias("poly"),
+    )
+    cat.write_index(diamonds, "diamonds", mode="overwrite", id_col="event_id")
+    shapes = spark.createDataFrame(
+        [(7, '{"type": "envelope", "coordinates": [[-10.0, 9.0], [12.0, -8.0]]}')],
+        "shape_id int, geometry string",
+    )
+    cat.write_index(shapes, "regions", mode="overwrite", id_col="shape_id")
+
+    def q(relation):
+        return {
+            "geo_shape": {
+                "poly": {
+                    "indexed_shape": {
+                        "index": "regions", "id": "7", "path": "geometry",
+                    },
+                    "relation": relation,
+                    "field_type": "polygon",
+                }
+            }
+        }
+
+    hits = cat.read_index("diamonds", query=q("intersects")).select("event_id")
+    within = (
+        cat.read_index("diamonds", query=q("within"))
+        .select("event_id", F.lit(True).alias("is_within"))
+    )
+    return (
+        hits.join(within, "event_id", "left")
+        .select("event_id", F.coalesce("is_within", F.lit(False)).alias("is_within"))
+        .orderBy("event_id")
+    )

@@ -670,8 +670,11 @@ def _geo_shape(body, id_col):
     shape = spec.get("shape") or spec.get("indexed_shape")
     if shape is None or "indexed_shape" in spec:
         raise QueryDslError(
-            "geo_shape needs an inline shape (indexed_shape lookups are "
-            "unsupported: the engine stores geo_points, not shape docs)"
+            "geo_shape needs an inline shape here: indexed_shape lookups "
+            "resolve in Catalog.read_index's pre-pass "
+            "(_resolve_indexed_shapes fetches the geometry once and "
+            "rewrites to the inline form, like terms lookups) — this "
+            "schema-less compiler has no catalog access"
         )
     relation = str(spec.get("relation", "intersects")).lower()
     field_type = str(spec.get("field_type", "point")).lower()

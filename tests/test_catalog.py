@@ -727,3 +727,55 @@ def test_component_template_composition(spark, cat):
         )
     with pytest.raises(ValueError, match="template"):
         cat.put_component_template("empty", {})
+
+
+def test_indexed_shape_lookup_resolves_and_guards(spark, cat):
+    """geo_shape indexed_shape: the read_index pre-pass fetches the
+    geometry once (JSON string OR struct storage) and rewrites to the
+    inline form, anywhere in the clause tree; missing docs and
+    shapeless values raise, they don't silently match-nothing."""
+    import pytest
+
+    from elasticsearch_hadoop_spark.catalog import DocumentMissingError
+
+    pts = docs(
+        spark,
+        [
+            {"pid": 1, "loc": {"lat": 1.0, "lon": 1.0}},
+            {"pid": 2, "loc": {"lat": 9.0, "lon": 9.0}},
+        ],
+    )
+    cat.write_index(pts, "pts", mode="overwrite", id_col="pid")
+    shapes = docs(
+        spark,
+        [
+            {"sid": 1, "geom": '{"type": "envelope", "coordinates": [[0.0, 3.0], [3.0, 0.0]]}'},
+            {"sid": 2, "geom": '{"coordinates": [[0.0, 3.0], [3.0, 0.0]]}'},
+        ],
+    )
+    cat.write_index(shapes, "regions", mode="overwrite", id_col="sid")
+
+    def body(doc_id, extra=None):
+        spec = {"indexed_shape": {"index": "regions", "id": doc_id, "path": "geom"}}
+        spec.update(extra or {})
+        return {"geo_shape": {"loc": spec}}
+
+    got = cat.read_index("pts", query=body("1")).select("pid").collect()
+    assert [r["pid"] for r in got] == [1]
+    # nested inside a bool arm too
+    nested = {"bool": {"filter": [body("1"), {"range": {"pid": {"gte": 0}}}]}}
+    assert cat.read_index("pts", query=nested).count() == 1
+    with pytest.raises(DocumentMissingError):
+        cat.read_index("pts", query=body("99")).count()
+    with pytest.raises(ValueError, match="type"):
+        cat.read_index("pts", query=body("2")).count()
+
+    # struct-stored geometry resolves the same way
+    struct_shapes = spark.createDataFrame(
+        [(5, ("envelope", [[0.0, 3.0], [3.0, 0.0]]))],
+        "sid int, geom struct<type string, coordinates array<array<double>>>",
+    )
+    cat.write_index(struct_shapes, "regions2", mode="overwrite", id_col="sid")
+    q = {"geo_shape": {"loc": {
+        "indexed_shape": {"index": "regions2", "id": "5", "path": "geom"}}}}
+    assert cat.read_index("pts", query=q).count() == 1
