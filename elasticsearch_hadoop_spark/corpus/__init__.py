@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "search_scored_page",
     "query_dsl_geo_shape_relations",
     "writepath_indexed_shape",
+    "query_dsl_span_near_nway",
     # drift-insurance re-grades: the 8 r1-era greens never re-graded
     "aggs_filter_narrowed",
     "aggs_filters_buckets",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "subq_correlated_scalar",
     "topk_global",
     "udf_pandas_scalar",
-    "udtf_bigrams",
 )
 
 

@@ -958,3 +958,48 @@ def query_dsl_span_first_not_or(spark, sf_dir):
         .filter(any_term)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "query_dsl_span_near_nway",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lang,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'merge') AS p1,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'hash') AS p2,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'vector') AS p3
+  FROM an
+)
+SELECT doc_id, lang
+FROM pos
+WHERE len(list_filter(p1, a ->
+        len(list_filter(p2, b -> b != a AND
+          len(list_filter(p3, c -> c != a AND c != b
+              AND greatest(a, b, c) - least(a, b, c) - 2 <= 6)) > 0)) > 0)) > 0
+ORDER BY doc_id
+""",
+)
+def query_dsl_span_near_nway(spark, sf_dir):
+    """Lucene `span_near` unordered THREE-way (the round-7
+    generalization past the 2-clause subset): 'merge', 'hash' and
+    'vector' at pairwise-distinct positions with the bounding window's
+    gap <= 6, any order.  The compiled fold carries the chosen spans so
+    later spans may fill holes inside the window (no premature slop
+    pruning); the oracle enumerates the same triple product with
+    1-based position lambdas."""
+    docs = tbl(spark, sf_dir, "documents")
+    pred = compile_query({"span_near": {
+        "clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_term": {"text": "hash"}},
+            {"span_term": {"text": "vector"}},
+        ],
+        "slop": 6, "in_order": False,
+    }})
+    return docs.filter(pred).select("doc_id", "lang").orderBy("doc_id")

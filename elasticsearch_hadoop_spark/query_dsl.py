@@ -28,12 +28,12 @@ Supported clauses (the reference's §2.B algebra + the common ES core):
   field_value_factor / script_score / weight functions — the predicate
   form matches the base query + min_score; ``function_score(df, body)``
   attaches the score column), the ``?q=field:value`` URI-lite subset,
-  geo_distance / geo_bounding_box / geo_polygon / geo_shape (the
-  point-vs-envelope/polygon/point subset with intersects/within/disjoint
-  relations; indexed_shape lookups rejected), and
+  geo_distance / geo_bounding_box / geo_polygon / geo_shape (point,
+  polygon and envelope field types — see _geo_shape; indexed_shape
+  lookups resolve in Catalog.read_index's pre-pass), and
   the Lucene span family (span_term, span_multi over
   prefix/wildcard/regexp/fuzzy, span_or, span_first, span_not with
-  pre/post, span_near ordered n-way + unordered 2-clause,
+  pre/post, span_near ordered n-way + unordered n-way (<= 8),
   span_containing, span_within, field_masking_span) — position-aware
   predicates compiled to array<struct<s,e>> span sets over analyzed token
   positions, all inside codegen.
@@ -1668,8 +1668,9 @@ def _pinned(body, id_col):
 # query terms, so the nested transforms stay tiny and everything remains
 # inside whole-stage codegen — no explode, no UDF.
 #
-# Documented subset: span_near with in_order=false supports exactly two
-# clauses (the both-orders case; Lucene's n-way unordered interleaving is
+# Documented subset: span_near with in_order=false matches n clauses
+# (<= 8) as pairwise non-overlapping spans whose bounding window fits the
+# slop budget (Lucene's NearSpansUnordered interleaving is
 # out of scope), and span gaps follow Lucene's "intervening unmatched
 # positions" accounting.  All clauses in one span tree must target the
 # same field (ES rejects mixed fields too — field_masking_span exists
@@ -1785,6 +1786,10 @@ def _span_guard_col(req, lowered: Column) -> Column:
 # SPARK_GRAFT_SPAN_NEAR_MAX_CLAUSES env var raise it for users who
 # accept the plan-size cost.
 _SPAN_NEAR_DEFAULT_MAX_CLAUSES = 64
+# unordered near enumerates the combination PRODUCT of per-clause span
+# sets (no sound mid-fold pruning) — cap much tighter than the ordered
+# fold's linear levels
+_SPAN_NEAR_UNORDERED_MAX_CLAUSES = 8
 _span_near_max_clauses: int | None = None
 
 
@@ -1946,31 +1951,56 @@ def _span_compile(clause: dict, toks: Column | None = None) -> Column:
 
                 acc = F.flatten(F.transform(acc, lambda a: _extend(a)))
             return F.array_distinct(strip(acc))
-        if len(sub) != 2:
+        # unordered n-way: pick one span per clause, pairwise
+        # NON-OVERLAPPING (the same rule the former 2-clause subset
+        # documented, now generalized); the window [min s, max e] must
+        # have gap = window length - sum of span lengths <= slop.  The
+        # fold carries the chosen spans (`sel`) because the bounding
+        # window alone cannot check pairwise overlap — a later span may
+        # legally sit in a gap INSIDE the current window, which also
+        # means the gap can shrink as spans fill holes, so no slop
+        # pruning is sound before the final filter.  Cost is the product
+        # of the clause span-set sizes — hence the tighter clause cap.
+        if len(sub) > _SPAN_NEAR_UNORDERED_MAX_CLAUSES:
             raise QueryDslError(
-                "span_near in_order=false supports exactly 2 clauses "
-                "(documented subset)"
+                f"span_near in_order=false with {len(sub)} clauses exceeds "
+                f"{_SPAN_NEAR_UNORDERED_MAX_CLAUSES}: the unordered match "
+                "enumerates the combination product of per-clause span "
+                "sets (no mid-fold slop pruning is sound)"
             )
-        s1, s2 = sub
-        combos = F.flatten(
-            F.transform(
-                s1,
-                lambda a: F.transform(
-                    F.filter(s2, lambda b: (b["s"] >= a["e"]) | (b["e"] <= a["s"])),
+        acc = F.transform(
+            sub[0],
+            lambda sp: F.struct(
+                sp["s"].alias("s"),
+                sp["e"].alias("e"),
+                (sp["e"] - sp["s"]).alias("len"),
+                F.array(F.struct(sp["s"].alias("s"), sp["e"].alias("e"))).alias("sel"),
+            ),
+        )
+        for nxt in sub[1:]:
+            def _extend_u(a, _n=nxt):
+                # _n binds at def time; every lambda stays arity-1
+                return F.transform(
+                    F.filter(
+                        _n,
+                        lambda b: F.forall(
+                            a["sel"],
+                            lambda sp: (b["s"] >= sp["e"]) | (b["e"] <= sp["s"]),
+                        ),
+                    ),
                     lambda b: F.struct(
                         F.least(a["s"], b["s"]).alias("s"),
                         F.greatest(a["e"], b["e"]).alias("e"),
-                        (
-                            F.greatest(a["e"], b["e"])
-                            - F.least(a["s"], b["s"])
-                            - (a["e"] - a["s"])
-                            - (b["e"] - b["s"])
-                        ).alias("g"),
+                        (a["len"] + (b["e"] - b["s"])).alias("len"),
+                        F.concat(
+                            a["sel"],
+                            F.array(F.struct(b["s"].alias("s"), b["e"].alias("e"))),
+                        ).alias("sel"),
                     ),
-                ),
-            )
-        )
-        kept = F.filter(combos, lambda c: c["g"] <= F.lit(slop))
+                )
+
+            acc = F.flatten(F.transform(acc, lambda a: _extend_u(a)))
+        kept = F.filter(acc, lambda c: (c["e"] - c["s"] - c["len"]) <= F.lit(slop))
         return F.array_distinct(strip(kept))
     raise QueryDslError(f"unsupported span clause: {kind}")
 

@@ -70,13 +70,53 @@ def test_span_near_unordered_two_clauses(spark):
         }}
     assert _match(spark, texts, q(0)) == [0, 1]
     assert _match(spark, texts, q(2)) == [0, 1, 2]
-    with pytest.raises(QueryDslError):
-        compile_query({"span_near": {
+
+
+def test_span_near_unordered_n_way(spark):
+    """Round-7 generalization past the 2-clause subset: n pairwise
+    non-overlapping spans whose bounding window's gap fits the slop."""
+    texts = [
+        "alpha beta gamma",          # any order, adjacent: gap 0
+        "gamma alpha beta",          # permuted: gap 0
+        "gamma x alpha y beta",      # window 5, lens 3 -> gap 2
+        "alpha beta",                # gamma missing
+        "alpha gamma",               # beta missing
+        "beta gamma x x x x alpha",  # gap 4
+    ]
+
+    def q(slop):
+        return {"span_near": {
             "clauses": [
-                {"span_term": {"text": "a"}},
-                {"span_term": {"text": "b"}},
-                {"span_term": {"text": "c"}},
+                {"span_term": {"text": "alpha"}},
+                {"span_term": {"text": "beta"}},
+                {"span_term": {"text": "gamma"}},
             ],
+            "slop": slop, "in_order": False,
+        }}
+
+    assert _match(spark, texts, q(0)) == [0, 1]
+    assert _match(spark, texts, q(2)) == [0, 1, 2]
+    assert _match(spark, texts, q(4)) == [0, 1, 2, 5]
+    # a repeated clause needs DISTINCT (non-overlapping) occurrences
+    rep = {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"text": "alpha"}},
+    ], "slop": 5, "in_order": False}}
+    assert _match(spark, ["alpha beta alpha", "alpha beta"], rep) == [0]
+    # a later span may legally sit INSIDE the current bounding window:
+    # the intermediate (a, z) pair has gap 3 > slop 2, but m fills a hole
+    # and the final window "a x m x z" has gap 2 — premature slop pruning
+    # after the second clause would wrongly drop this match
+    hole = {"span_near": {"clauses": [
+        {"span_term": {"text": "a"}},
+        {"span_term": {"text": "z"}},
+        {"span_term": {"text": "m"}},
+    ], "slop": 2, "in_order": False}}
+    assert _match(spark, ["a x m x z", "a m x x x z"], hole) == [0]
+    # combinatorial cap: > 8 unordered clauses reject loudly
+    with pytest.raises(QueryDslError, match="product"):
+        compile_query({"span_near": {
+            "clauses": [{"span_term": {"text": f"t{i}"}} for i in range(9)],
             "in_order": False,
         }})
 
