@@ -485,6 +485,35 @@ def compile_aggs(
                 mat.append((kname, col))
             df = df.dropDuplicates([parent_id_col] + [c for _, c in mat])
             keys = [(kname, F.col(col)) for kname, col in mat]
+        elif kind in ("children", "parent"):
+            # ES join-field context switches: `children` moves from the
+            # current (parent-doc) context to the child docs of the given
+            # type; `parent` moves from child docs to their parents.  ES
+            # resolves both through the join field's global ordinals over
+            # the whole index, so the far side comes from base_df (the
+            # pre-query frame — same requirement as `global`), keyed by a
+            # single semi-join: the bucket side is the small side after a
+            # real query, so AQE broadcasts it.  The join/id columns come
+            # from the ES MAPPING; this schema-less compiler takes them as
+            # documented spec hints, defaulting to the engine's join-frame
+            # convention (operators/parent_child.py: join_field/_id).
+            if base_df is None:
+                raise AggsDslError(
+                    f"{kind} bucket requires compile_aggs(..., "
+                    "base_df=<pre-query join-field frame>)"
+                )
+            b = body[kind]
+            typ = b["type"]
+            jcol = b.get("join_field", "join_field")
+            idc = b.get("id_field", "_id")
+            side = base_df.filter(F.col(f"{jcol}.name") == F.lit(typ))
+            if kind == "children":
+                cur = df.select(F.col(idc).alias("__pc_key"))
+                cond = F.col(f"{jcol}.parent") == cur["__pc_key"]
+            else:
+                cur = df.select(F.col(f"{jcol}.parent").alias("__pc_key"))
+                cond = side[idc] == cur["__pc_key"]
+            df = side.join(cur, on=cond, how="left_semi")
         elif kind == "global":
             # ES `global`: escape the search query — sub-aggs see the
             # whole index.  Needs the caller to hand the pre-query frame
@@ -1251,7 +1280,7 @@ def _bucket_kind(body: dict) -> str | None:
         "auto_date_histogram", "range", "date_range", "geotile_grid",
         "geohash_grid", "filter", "filters", "adjacency_matrix",
         "sampler", "diversified_sampler", "ip_range", "ip_prefix",
-        "nested", "reverse_nested", "global",
+        "nested", "reverse_nested", "global", "children", "parent",
         "composite", "missing", "significant_terms", "significant_text",
         "rare_terms", "variable_width_histogram", "frequent_item_sets",
         "categorize_text",

@@ -86,6 +86,8 @@ PRIORITY: tuple[str, ...] = (
     "query_dsl_geo_shape_relations",
     "writepath_indexed_shape",
     "query_dsl_span_near_nway",
+    "aggs_children_stats",
+    "aggs_parent_terms",
     # drift-insurance re-grades: the 8 r1-era greens never re-graded
     "aggs_filter_narrowed",
     "aggs_filters_buckets",
@@ -112,8 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "sketch_hll_rollup_merge",
     "stream_live_dedup",
     "subq_correlated_scalar",
-    "topk_global",
-    "udf_pandas_scalar",
 )
 
 

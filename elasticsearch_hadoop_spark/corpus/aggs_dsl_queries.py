@@ -2686,3 +2686,109 @@ def aggs_reverse_nested(spark, sf_dir):
         parent_id_col="l_orderkey",
     )
     return out.select("flag", "doc_count").orderBy("flag")
+
+
+def _pc_frame(spark, sf_dir):
+    """The join-field frame (orders parents + lineitem children) the
+    children/parent bucket aggs switch context over — same data model as
+    corpus/joins._join_field_frame, scoped here so the two corpora stay
+    independent."""
+    o = tbl(spark, sf_dir, "orders").select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.struct(
+            F.lit("order").alias("name"),
+            F.lit(None).cast("string").alias("parent"),
+        ).alias("join_field"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lit(None).cast("double").alias("quantity"),
+    )
+    l = tbl(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.lit("l"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("_id"),
+        F.struct(
+            F.lit("line").alias("name"),
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("parent"),
+        ).alias("join_field"),
+        F.lit(None).cast("string").alias("priority"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    return o.unionByName(l)
+
+
+@query(
+    "aggs_children_stats",
+    oracle="""
+SELECT CAST(floor(l.l_quantity / 10) * 10 AS DOUBLE) AS qty_bucket,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(l.l_quantity), 6) AS avg_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+ORDER BY qty_bucket
+""",
+)
+def aggs_children_stats(spark, sf_dir):
+    """`children` bucket agg (ES join field): from 1-URGENT parent
+    orders, switch context to their `line` children (one semi-join on
+    the join key — the filtered parent side broadcasts), then histogram
+    the child quantity with an avg metric.  The join/id columns are the
+    documented mapping-hint defaults."""
+    df = _pc_frame(spark, sf_dir)
+    urgent = df.filter(
+        (F.col("join_field.name") == "order") & (F.col("priority") == "1-URGENT")
+    )
+    out = compile_aggs(
+        urgent,
+        {"lines": {
+            "children": {"type": "line"},
+            "aggs": {"qty": {
+                "histogram": {"field": "quantity", "interval": 10},
+                "aggs": {"avg_qty": {"avg": {"field": "quantity"}}},
+            }},
+        }},
+        base_df=df,
+    )
+    return out.select(
+        F.col("qty").alias("qty_bucket"),
+        "doc_count",
+        F.round("avg_qty", 6).alias("avg_qty"),
+    ).orderBy("qty_bucket")
+
+
+@query(
+    "aggs_parent_terms",
+    oracle="""
+WITH heavy AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 49
+)
+SELECT o.o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS doc_count
+FROM orders o JOIN heavy h ON o.o_orderkey = h.l_orderkey
+GROUP BY 1
+ORDER BY doc_count DESC, priority
+""",
+)
+def aggs_parent_terms(spark, sf_dir):
+    """`parent` bucket agg: from heavy line children (quantity >= 49)
+    back to their parent orders (semi-join dedups multiple heavy lines
+    per order, like ES's one-parent-per-ordinal), then terms by
+    priority — ES default order (doc_count desc, key asc)."""
+    df = _pc_frame(spark, sf_dir)
+    heavy = df.filter(
+        (F.col("join_field.name") == "line") & (F.col("quantity") >= 49)
+    )
+    out = compile_aggs(
+        heavy,
+        {"orders": {
+            "parent": {"type": "order"},
+            "aggs": {"by_priority": {"terms": {"field": "priority"}}},
+        }},
+        base_df=df,
+    )
+    return out.select(
+        F.col("by_priority").alias("priority"), "doc_count"
+    ).orderBy(F.col("doc_count").desc(), "priority")

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.aggs_dsl import (
     AggsDslError,
@@ -705,3 +706,53 @@ def test_frequent_item_sets_single_scalar_field_and_nulls(spark):
             "fields": [{"field": "items"}], "minimum_support": 0.5}}}}
     ).collect()
     assert [(tuple(r["s"]), r["doc_count"]) for r in out2] == [(("a",), 2)]
+
+
+class TestChildrenParentAggs:
+    @pytest.fixture(scope="class")
+    def join_df(self, spark):
+        rows = [
+            ("q1", ("question", None), "how", None),
+            ("q2", ("question", None), "why", None),
+            ("a1", ("answer", "q1"), None, 5.0),
+            ("a2", ("answer", "q1"), None, 7.0),
+            ("a3", ("answer", "q2"), None, 1.0),
+            ("a4", ("answer", "q2"), None, 3.0),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "_id string, join_field struct<name string, parent string>, "
+            "title string, score double",
+        )
+
+    def test_children_switches_to_child_docs(self, spark, join_df):
+        parents = join_df.filter(
+            (F.col("join_field.name") == "question") & (F.col("title") == "how")
+        )
+        out = compile_aggs(
+            parents,
+            {"answers": {"children": {"type": "answer"},
+                         "aggs": {"avg_score": {"avg": {"field": "score"}}}}},
+            base_df=join_df,
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["doc_count"] == 2 and out[0]["avg_score"] == 6.0
+
+    def test_parent_dedups_to_one_parent_each(self, spark, join_df):
+        kids = join_df.filter(
+            (F.col("join_field.name") == "answer") & (F.col("score") >= 3.0)
+        )
+        # a1, a2 (q1) and a4 (q2) qualify -> 2 distinct parents
+        out = compile_aggs(
+            kids,
+            {"qs": {"parent": {"type": "question"},
+                    "aggs": {"n": {"value_count": {"field": "_id"}}}}},
+            base_df=join_df,
+        ).collect()
+        assert out[0]["doc_count"] == 2 and out[0]["n"] == 2
+
+    def test_requires_base_df(self, spark, join_df):
+        with pytest.raises(AggsDslError, match="base_df"):
+            compile_aggs(
+                join_df, {"x": {"children": {"type": "answer"}, "aggs": {}}}
+            )
