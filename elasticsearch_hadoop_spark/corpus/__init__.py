@@ -88,6 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "query_dsl_span_near_nway",
     "aggs_children_stats",
     "aggs_parent_terms",
+    "search_retriever_tree",
     # drift-insurance re-grades: the 8 r1-era greens never re-graded
     "aggs_filter_narrowed",
     "aggs_filters_buckets",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "skew_salted_join",
     "sketch_hll_rollup_merge",
     "stream_live_dedup",
-    "subq_correlated_scalar",
 )
 
 

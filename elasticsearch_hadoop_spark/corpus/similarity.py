@@ -362,3 +362,62 @@ def search_rrf_hybrid(spark, sf_dir):
         "n_lists",
         "fused_rank",
     ).orderBy("fused_rank")
+
+
+@query(
+    "search_retriever_tree",
+    oracle=f"""
+WITH ra AS (
+  SELECT vec_id, row_number() OVER (
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) DESC,
+               vec_id) AS rnk
+  FROM embeddings
+  QUALIFY rnk <= 20
+),
+rb AS (
+  SELECT vec_id, row_number() OVER (
+      ORDER BY (vec_id % 83) * 0.1::DOUBLE DESC, vec_id) AS rnk
+  FROM embeddings
+  QUALIFY rnk <= 20
+),
+un AS (
+  SELECT vec_id, 1.0 / (60 + rnk) AS c FROM ra
+  UNION ALL
+  SELECT vec_id, 1.0 / (60 + rnk) AS c FROM rb
+),
+fused AS (
+  SELECT vec_id, sum(c) AS s FROM un GROUP BY vec_id
+)
+SELECT vec_id, round(s, 6) AS fused_score,
+       CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INT) AS rank
+FROM fused
+ORDER BY s DESC, vec_id
+LIMIT 12
+""",
+)
+def search_retriever_tree(spark, sf_dir):
+    """ES 8.14+ `retriever` TREE (the modern request form): `rrf` fusing
+    a `knn` leaf (exact cosine top-20 toward vec 0) with a `standard`
+    leaf (deterministic script_score ranking), rank_constant 60, fused
+    window 12.  Exercises compile_retriever's composition contract —
+    every node normalizes to (id, _score, rank), so trees nest.  Leaves
+    are scan-level TakeOrderedAndProject top-ks; the fusion unions two
+    20-row lists."""
+    from elasticsearch_hadoop_spark.search import compile_retriever
+
+    e = spread(spark, tbl(spark, sf_dir, "embeddings"))
+    body = {"rrf": {
+        "rank_constant": 60,
+        "rank_window_size": 12,
+        "retrievers": [
+            {"knn": {"field": "embedding",
+                     "query_vector": _query_vec(spark, sf_dir), "k": 20}},
+            {"standard": {"query": {"function_score": {"functions": [
+                {"script_score": {"script": "emit(doc['vec_id'].value % 83 * 0.1)"}}
+            ]}}}},
+        ],
+    }}
+    out = compile_retriever(e, body, id_col="vec_id", size=20)
+    return out.select(
+        "vec_id", F.round("_score", 6).alias("fused_score"), "rank"
+    ).orderBy("rank")

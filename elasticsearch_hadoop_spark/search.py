@@ -881,6 +881,131 @@ def rescore(
     return out.orderBy(*order)
 
 
+def compile_retriever(
+    df: DataFrame,
+    body: dict,
+    id_col: str,
+    size: int = 10,
+) -> DataFrame:
+    """ES 8.14+ ``retriever`` trees — the modern search-request form that
+    composes ranked sources.  Returns a frame normalized to
+    ``(id_col, _score, rank)`` so every node is closed under composition:
+
+    - ``standard`` — a query (the deterministic `_score` subset via
+      ``search``); optional ``filter`` (query DSL, filter context).
+    - ``knn`` — exact vector top-k via ``knn_search``.
+    - ``rrf`` — reciprocal-rank fusion of sub-retrievers
+      (``rank_constant``, ``rank_window_size``) via ``rrf_fuse``.
+    - ``linear`` — weighted min-max-normalized fusion
+      (``normalizer: minmax``, ES's deterministic one) via ``linear_fuse``.
+    - ``pinned`` — promoted ids first, then the organic sub-retriever.
+
+    ``text_similarity_reranker`` / ``rule`` / ``rescorer`` reject: they
+    need a model endpoint or a rules store — no fake scores.
+
+    Scale: every leaf is a scan-level top-k (TakeOrderedAndProject);
+    fusion unions tiny ranked lists and re-aggregates on the id — the
+    corpus is never touched twice."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ValueError(f"retriever needs exactly one kind, got {sorted(body or {})}")
+    ((kind, spec),) = body.items()
+    w_rank = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+
+    def _ranked(scored: DataFrame) -> DataFrame:
+        return scored.select(
+            id_col, "_score", F.row_number().over(w_rank).alias("rank")
+        )
+
+    if kind == "standard":
+        from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+        base = df
+        if spec.get("filter"):
+            base = base.filter(compile_query(spec["filter"]))
+        hits = search(base, {"query": spec.get("query", {"match_all": {}}),
+                             "size": size}, id_col=id_col)
+        return _ranked(hits)
+    if kind == "knn":
+        hits = knn_search(df, {**spec, "k": int(spec.get("k", size))},
+                          tiebreaker=id_col)
+        return _ranked(hits)
+    if kind == "rrf":
+        subs = [
+            compile_retriever(df, r, id_col, size=size)
+            for r in spec.get("retrievers", [])
+        ]
+        if len(subs) < 2:
+            raise ValueError("rrf retriever needs >= 2 sub-retrievers")
+        fused = rrf_fuse(
+            subs,
+            id_col=id_col,
+            k=int(spec.get("rank_constant", 60)),
+            size=int(spec.get("rank_window_size", size)),
+        )
+        return fused.select(
+            id_col,
+            F.col("rrf_score").alias("_score"),
+            F.col("fused_rank").alias("rank"),
+        )
+    if kind == "linear":
+        entries = spec.get("retrievers", [])
+        if len(entries) < 2:
+            raise ValueError("linear retriever needs >= 2 sub-retrievers")
+        subs, weights = [], []
+        for e in entries:
+            norm = str(e.get("normalizer", "minmax")).lower()
+            if norm != "minmax":
+                raise ValueError(
+                    f"linear retriever: unsupported normalizer {norm!r} "
+                    "(minmax is the deterministic one)"
+                )
+            subs.append(compile_retriever(df, e["retriever"], id_col, size=size))
+            weights.append(float(e.get("weight", 1.0)))
+        fused = linear_fuse(
+            subs,
+            id_col=id_col,
+            weights=weights,
+            size=int(spec.get("rank_window_size", size)),
+        )
+        return fused.select(
+            id_col,
+            F.col("linear_score").alias("_score"),
+            F.col("fused_rank").alias("rank"),
+        )
+    if kind == "pinned":
+        organic = compile_retriever(df, spec["retriever"], id_col, size=size)
+        ids = list(spec.get("ids", []))
+        # ES pinned retrieves the promoted ids even when the organic
+        # window missed them — fetch the absentees by id (a sargable isin
+        # over a handful of literals) with no organic score
+        extra = (
+            df.filter(F.col(id_col).isin(ids))
+            .select(
+                id_col,
+                F.lit(None).cast("double").alias("_score"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+            .join(organic.select(id_col), on=id_col, how="left_anti")
+        )
+        merged = organic.unionByName(extra)
+        # promoted ids first in declared order, organic rank after — the
+        # pin position is a CASE over a few literals (pinned_order's rule)
+        pin = F.lit(len(ids))
+        for i, v in enumerate(reversed(ids)):
+            pin = F.when(F.col(id_col) == F.lit(v), F.lit(len(ids) - 1 - i)).otherwise(pin)
+        w = Window.orderBy(pin.asc(), F.col("rank").asc_nulls_last())
+        return (
+            merged.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= size)
+            .select(id_col, "_score", "rank")
+        )
+    raise ValueError(
+        f"unsupported retriever kind {kind!r} (supported: standard, knn, "
+        "rrf, linear, pinned; text_similarity_reranker/rule/rescorer need "
+        "a model or rules runtime)"
+    )
+
+
 def pinned_order(
     df: DataFrame, ids: list, organic_sort: list, id_col: str = "_id", size: int | None = None
 ) -> DataFrame:

@@ -507,3 +507,80 @@ class TestSearchScore:
         hits = search(corpus, body, id_col="k").collect()
         # scores >= 45 -> k in {5..8}; sorted lang asc then k desc
         assert [r["k"] for r in hits] == [7, 5, 8, 6]
+
+
+class TestRetrieverTree:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (i, float(i), [float(i), float(10 - i)]) for i in range(1, 9)
+        ]
+        return spark.createDataFrame(rows, "k long, price double, emb array<double>")
+
+    def test_standard_and_knn_leaves(self, corpus):
+        from elasticsearch_hadoop_spark.search import compile_retriever
+
+        std = compile_retriever(
+            corpus,
+            {"standard": {"query": {"function_score": {"functions": [
+                {"field_value_factor": {"field": "price"}}]}},
+                "filter": {"range": {"k": {"lte": 5}}}}},
+            id_col="k", size=3,
+        ).collect()
+        assert [r["k"] for r in std] == [5, 4, 3]
+        assert [r["rank"] for r in std] == [1, 2, 3]
+        knn = compile_retriever(
+            corpus,
+            {"knn": {"field": "emb", "query_vector": [1.0, 0.0], "k": 2}},
+            id_col="k",
+        ).collect()
+        # cosine toward (1, 0): maximized by the largest k/(10-k) ratio
+        assert [r["k"] for r in knn] == [8, 7]
+
+    def test_linear_fusion_and_weights(self, corpus):
+        from elasticsearch_hadoop_spark.search import compile_retriever
+
+        body = {"linear": {
+            "rank_window_size": 3,
+            "retrievers": [
+                {"retriever": {"standard": {"query": {"function_score": {
+                    "functions": [{"field_value_factor": {"field": "price"}}]}}}},
+                 "weight": 1.0},
+                {"retriever": {"knn": {"field": "emb",
+                                       "query_vector": [0.0, 1.0], "k": 4}},
+                 "weight": 3.0},
+            ],
+        }}
+        out = compile_retriever(corpus, body, id_col="k", size=8).collect()
+        assert len(out) == 3
+        # knn toward (0,1) favors SMALL k with weight 3 -> k=1 wins
+        assert out[0]["k"] == 1 and out[0]["rank"] == 1
+
+    def test_pinned_promotes_declared_order(self, corpus):
+        from elasticsearch_hadoop_spark.search import compile_retriever
+
+        body = {"pinned": {
+            "ids": [2, 6],
+            "retriever": {"standard": {"query": {"function_score": {
+                "functions": [{"field_value_factor": {"field": "price"}}]}}}},
+        }}
+        out = compile_retriever(corpus, body, id_col="k", size=5).collect()
+        assert [r["k"] for r in out[:2]] == [2, 6]
+        assert [r["k"] for r in out[2:]] == [8, 7, 5]  # organic, pins removed
+
+    def test_rejections(self, corpus):
+        import pytest as _pytest
+
+        from elasticsearch_hadoop_spark.search import compile_retriever
+
+        with _pytest.raises(ValueError, match="model or rules"):
+            compile_retriever(corpus, {"text_similarity_reranker": {}}, id_col="k")
+        with _pytest.raises(ValueError, match=">= 2"):
+            compile_retriever(corpus, {"rrf": {"retrievers": [
+                {"knn": {"field": "emb", "query_vector": [1.0, 0.0]}}]}}, id_col="k")
+        with _pytest.raises(ValueError, match="normalizer"):
+            compile_retriever(corpus, {"linear": {"retrievers": [
+                {"retriever": {"knn": {"field": "emb", "query_vector": [1.0, 0.0]}},
+                 "normalizer": "l2_norm"},
+                {"retriever": {"knn": {"field": "emb", "query_vector": [0.0, 1.0]}}},
+            ]}}, id_col="k")
