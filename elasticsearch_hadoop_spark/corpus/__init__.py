@@ -89,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "aggs_children_stats",
     "aggs_parent_terms",
     "search_retriever_tree",
+    "runtime_fields_string_methods",
     # drift-insurance re-grades: the 8 r1-era greens never re-graded
     "aggs_filter_narrowed",
     "aggs_filters_buckets",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "query_dsl_bool",
     "skew_salted_join",
     "sketch_hll_rollup_merge",
-    "stream_live_dedup",
 )
 
 

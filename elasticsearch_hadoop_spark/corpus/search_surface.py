@@ -1082,3 +1082,46 @@ def search_scored_page(spark, sf_dir):
     }
     hits = search(docs, body, id_col="doc_id")
     return hits.select("doc_id", "source", F.round("_score", 6).alias("score"))
+
+
+@query(
+    "runtime_fields_string_methods",
+    oracle="""
+WITH rt AS (
+  SELECT CAST(substr(source, 4) AS BIGINT) AS src_num,
+         CASE WHEN contains(lower(text), 'spark window') THEN 1 ELSE 0 END AS sparky
+  FROM documents
+  WHERE lang = 'en'
+)
+SELECT src_num, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sparky) AS BIGINT) AS n_sparky
+FROM rt
+GROUP BY src_num
+ORDER BY src_num
+""",
+)
+def runtime_fields_string_methods(spark, sf_dir):
+    """Runtime fields scripted with the round-7 painless String methods:
+    `substring` (0-based, translated exactly to SQL's 1-based substr)
+    parses the numeric tail of `source`, and a chained
+    `toLowerCase().contains(...)` flags phrase hits — both one codegen
+    projection riding the scan (runtime fields never materialize), then
+    an aggregate per parsed source number."""
+    from elasticsearch_hadoop_spark.runtime_fields import apply_runtime_mappings
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    rt = apply_runtime_mappings(docs, {
+        "src_num": {"type": "long",
+                    "script": "emit(doc['source'].value.substring(3))"},
+        "sparky": {"type": "boolean",
+                   "script": {"source":
+                       "emit(doc['text'].value.toLowerCase().contains('spark window'))"}},
+    })
+    return (
+        rt.groupBy("src_num")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("sparky").cast("long")).alias("n_sparky"),
+        )
+        .orderBy("src_num")
+    )

@@ -64,14 +64,83 @@ _FUNCS = {
     "Math.ceil": "ceil",
     "Math.round": "round",
     "Math.sqrt": "sqrt",
+    "Math.cbrt": "cbrt",
     "Math.pow": "power",
+    "Math.log10": "log10",
     "Math.log": "ln",
+    "Math.exp": "exp",
+    "Math.signum": "signum",
 }
 
 _ALLOWED_TOKENS = {
     *[v.lower() for v in _FUNCS.values()],
     "length", "if", "and", "or", "not", "true", "false",
+    # String-method rewrites (_rewrite_string_methods)
+    "contains", "startswith", "endswith", "lower", "upper", "trim",
+    "substr", "instr",
 }
+
+# painless String methods -> Spark SQL.  The receiver must be a
+# backticked column ref or an already-rewritten function call (paren
+# nesting tolerated to depth 4 so chains like
+# `s`.trim().toLowerCase().substring(1).contains(...) resolve
+# innermost-out across rewrite passes).
+_NESTED_ARGS = r"[^()]*"
+for _ in range(4):
+    _NESTED_ARGS = rf"(?:[^()]|\({_NESTED_ARGS}\))*"
+_STR_METHOD_RECEIVER = rf"((?:`[A-Za-z0-9_.]+`)|(?:\w+\({_NESTED_ARGS}\)))"
+# top-level comma: not inside a single-quoted string
+_ARG_COMMA = re.compile(r",(?=(?:[^']*'[^']*')*[^']*$)")
+
+
+def _rewrite_string_methods(body: str) -> str:
+    """Rewrite painless ``expr.method(args)`` String calls to their Spark
+    SQL function forms.  Index-taking methods translate painless 0-based
+    positions to SQL 1-based exactly (substring begin -> +1; indexOf's
+    missing -> instr 0 - 1 = painless -1)."""
+
+    def sub_one(m: re.Match) -> str:
+        recv, meth, args = m.group(1), m.group(2), m.group(3).strip()
+        parts = [a.strip() for a in _ARG_COMMA.split(args)] if args else []
+        if meth in ("contains", "startsWith", "endsWith"):
+            if len(parts) != 1:
+                raise RuntimeFieldError(f".{meth} takes one argument: {args!r}")
+            fn = {"contains": "contains", "startsWith": "startswith",
+                  "endsWith": "endswith"}[meth]
+            return f"{fn}({recv}, {parts[0]})"
+        if meth in ("toLowerCase", "toUpperCase", "trim"):
+            if parts:
+                raise RuntimeFieldError(f".{meth} takes no arguments: {args!r}")
+            fn = {"toLowerCase": "lower", "toUpperCase": "upper",
+                  "trim": "trim"}[meth]
+            return f"{fn}({recv})"
+        if meth == "substring":
+            if len(parts) == 1:
+                return f"substr({recv}, ({parts[0]}) + 1)"
+            if len(parts) == 2:
+                return f"substr({recv}, ({parts[0]}) + 1, ({parts[1]}) - ({parts[0]}))"
+            raise RuntimeFieldError(f".substring takes 1-2 arguments: {args!r}")
+        if meth == "indexOf":
+            if len(parts) != 1:
+                raise RuntimeFieldError(f".indexOf takes one argument: {args!r}")
+            return f"(instr({recv}, {parts[0]}) - 1)"
+        raise AssertionError(meth)
+
+    pat = re.compile(
+        _STR_METHOD_RECEIVER
+        + r"\s*\.\s*(contains|startsWith|endsWith|toLowerCase|toUpperCase|"
+        + r"trim|substring|indexOf)\s*\(([^()]*)\)"
+    )
+    # ONE substitution per pass: a single pass's scanner would continue
+    # PAST the first rewrite and misread a later still-painless method
+    # (`.toLowerCase()`) as an already-SQL receiver.  Loop to fixed point;
+    # 16 rewrites per script is far beyond any sane chain.
+    for _ in range(16):
+        new = pat.sub(sub_one, body, count=1)
+        if new == body:
+            return new
+        body = new
+    return body
 
 _TYPES = {
     "keyword": "string",
@@ -101,6 +170,7 @@ def compile_script(script: str | dict) -> Column:
     body = _DOC_REF.sub(lambda mm: f"`{mm.group(2)}`", body)
     # .length() on a (column) expression -> length(expr): painless string len
     body = re.sub(r"`([A-Za-z0-9_.]+)`\s*\.\s*length\s*\(\s*\)", r"length(`\1`)", body)
+    body = _rewrite_string_methods(body)
     for painless, sql in _FUNCS.items():
         body = body.replace(painless, sql)
     # painless boolean operators: Spark SQL parses || as STRING CONCAT and

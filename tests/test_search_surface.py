@@ -584,3 +584,42 @@ class TestRetrieverTree:
                  "normalizer": "l2_norm"},
                 {"retriever": {"knn": {"field": "emb", "query_vector": [0.0, 1.0]}}},
             ]}}, id_col="k")
+
+
+class TestPainlessStringMethods:
+    """Round-7 painless-lite String methods (compile_script): method
+    chains rewrite innermost-out to Spark SQL with exact 0-/1-based
+    index translation; unknown methods still reject."""
+
+    @pytest.fixture(scope="class")
+    def sdf(self, spark):
+        return spark.createDataFrame([(" Hello,World ", "He")], "s string, p string")
+
+    @pytest.mark.parametrize("script,want", [
+        ("emit(doc['s'].value.trim().toLowerCase())", "hello,world"),
+        ("emit(doc['s'].value.contains('World'))", True),
+        ("emit(doc['s'].value.trim().startsWith('Hel'))", True),
+        ("emit(doc['s'].value.trim().endsWith('rld'))", True),
+        ("emit(doc['s'].value.trim().substring(6))", "World"),
+        ("emit(doc['s'].value.trim().substring(0, 5))", "Hello"),
+        ("emit(doc['s'].value.indexOf('World'))", 7),
+        ("emit(doc['s'].value.indexOf('zzz'))", -1),
+        # chains resolve across passes; args with commas inside quotes
+        ("emit(doc['s'].value.trim().toLowerCase().contains('o,w'))", True),
+        ("emit(doc['s'].value.trim().toLowerCase().substring(1, 4).endsWith('ll'))", True),
+        # a column as an argument; two independent calls in one script
+        ("emit(doc['s'].value.trim().startsWith(doc['p'].value))", True),
+        ("emit(doc['s'].value.contains('a') AND doc['p'].value.contains('H'))", False),
+        # the Math surface additions
+        ("emit(Math.exp(0.0) + Math.log10(100.0) + Math.signum(-5.0))", 2.0),
+    ])
+    def test_methods(self, sdf, script, want):
+        assert sdf.select(compile_script(script).alias("x")).collect()[0]["x"] == want
+
+    def test_unknown_method_rejects(self, sdf):
+        from elasticsearch_hadoop_spark.runtime_fields import RuntimeFieldError
+
+        with pytest.raises(RuntimeFieldError, match="replace"):
+            compile_script("emit(doc['s'].value.replace('a','b'))")
+        with pytest.raises(RuntimeFieldError, match="argument"):
+            compile_script("emit(doc['s'].value.substring(1, 2, 3))")
