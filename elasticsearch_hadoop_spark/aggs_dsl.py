@@ -507,13 +507,41 @@ def compile_aggs(
             jcol = b.get("join_field", "join_field")
             idc = b.get("id_field", "_id")
             side = base_df.filter(F.col(f"{jcol}.name") == F.lit(typ))
-            if kind == "children":
-                cur = df.select(F.col(idc).alias("__pc_key"))
-                cond = F.col(f"{jcol}.parent") == cur["__pc_key"]
+            own_key = (
+                F.col(idc) if kind == "children" else F.col(f"{jcol}.parent")
+            )
+            if not keys:
+                # no enclosing bucket keys: a semi-join suffices
+                cur = df.select(own_key.alias("__pc_key"))
+                if kind == "children":
+                    cond = F.col(f"{jcol}.parent") == cur["__pc_key"]
+                else:
+                    cond = side[idc] == cur["__pc_key"]
+                df = side.join(cur, on=cond, how="left_semi")
             else:
-                cur = df.select(F.col(f"{jcol}.parent").alias("__pc_key"))
-                cond = side[idc] == cur["__pc_key"]
-            df = side.join(cur, on=cond, how="left_semi")
+                # nested under keyed buckets (ES: terms -> children):
+                # materialize the outer keys BEFORE the context switch
+                # (they reference columns of the CURRENT side, gone after
+                # the join) and carry them across — same discipline as
+                # reverse_nested.  distinct() bounds the carried frame to
+                # one row per (bucket keys, join key): a doc lands once
+                # per far-side key it relates to, which is exactly ES's
+                # per-bucket ordinal behavior.
+                mat = []
+                cur_src = df
+                for i, (kname, kexpr) in enumerate(keys):
+                    col = f"__pc_key_{i}"
+                    cur_src = cur_src.withColumn(col, kexpr)
+                    mat.append((kname, col))
+                cur = cur_src.select(
+                    *[c for _, c in mat], own_key.alias("__pc_key")
+                ).distinct()
+                if kind == "children":
+                    cond = F.col(f"{jcol}.parent") == cur["__pc_key"]
+                else:
+                    cond = side[idc] == cur["__pc_key"]
+                df = side.join(cur, on=cond, how="inner").drop("__pc_key")
+                keys = [(kname, F.col(col)) for kname, col in mat]
         elif kind == "global":
             # ES `global`: escape the search query — sub-aggs see the
             # whole index.  Needs the caller to hand the pre-query frame

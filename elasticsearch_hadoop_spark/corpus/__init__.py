@@ -52,10 +52,14 @@ def query(name: str, oracle: str | None = None):
 #     transform sync+retention, geo_shape DSL, ES|QL date/MV functions,
 #     BMP decode) — oracle parity proven at sf0.001 AND sf0.01 in
 #     tests/test_round7_pending.py before registration;
-#   * slots 21-50: 30 drift-insurance re-grades of the oldest banked
-#     greens (the 8 remaining r1-era verdicts, then 22 r2-era ones,
-#     preferring bench-headline anchors and families whose library code
-#     round 6 touched) — after this round no banked verdict predates r3.
+#   * next: the round-7 NET-NEW surfaces (never graded, so they outrank
+#     re-grades): scored search page, geo_shape shape-vs-shape,
+#     indexed_shape lookup, n-way unordered span_near, children/parent
+#     aggs, retriever tree, painless String methods;
+#   * the remaining slots: drift-insurance re-grades of the oldest
+#     banked greens (all 8 remaining r1-era verdicts, then r2-era ones,
+#     preferring bench-headline anchors) — each net-new query above took
+#     one slot from this tail.
 PRIORITY: tuple[str, ...] = (
     # r6 reds, fixed this round — re-grade first so a short window still
     # clears them
@@ -99,7 +103,8 @@ PRIORITY: tuple[str, ...] = (
     "join_left_outer",
     "order_by_date_buckets",
     "set_intersect_all",
-    # ... then 22 r2-era greens (bench anchors + touched families first)
+    # ... then r2-era greens (bench anchors + touched families first;
+    # the tail shrank one slot per net-new round-7 registration above)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "agg_distinct_counts",

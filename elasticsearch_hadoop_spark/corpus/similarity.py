@@ -398,8 +398,9 @@ LIMIT 12
 def search_retriever_tree(spark, sf_dir):
     """ES 8.14+ `retriever` TREE (the modern request form): `rrf` fusing
     a `knn` leaf (exact cosine top-20 toward vec 0) with a `standard`
-    leaf (deterministic script_score ranking), rank_constant 60, fused
-    window 12.  Exercises compile_retriever's composition contract —
+    leaf (deterministic script_score ranking), rank_constant 60,
+    sub-lists fused 20 deep (rank_window_size), request size 12.
+    Exercises compile_retriever's composition contract —
     every node normalizes to (id, _score, rank), so trees nest.  Leaves
     are scan-level TakeOrderedAndProject top-ks; the fusion unions two
     20-row lists."""
@@ -408,7 +409,7 @@ def search_retriever_tree(spark, sf_dir):
     e = spread(spark, tbl(spark, sf_dir, "embeddings"))
     body = {"rrf": {
         "rank_constant": 60,
-        "rank_window_size": 12,
+        "rank_window_size": 20,  # each sub-list fuses 20 deep (ES shape)
         "retrievers": [
             {"knn": {"field": "embedding",
                      "query_vector": _query_vec(spark, sf_dir), "k": 20}},
@@ -417,7 +418,7 @@ def search_retriever_tree(spark, sf_dir):
             ]}}}},
         ],
     }}
-    out = compile_retriever(e, body, id_col="vec_id", size=20)
+    out = compile_retriever(e, body, id_col="vec_id", size=12)
     return out.select(
         "vec_id", F.round("_score", 6).alias("fused_score"), "rank"
     ).orderBy("rank")

@@ -133,9 +133,14 @@ def geo_polygon_filter(
 
 def _poly_edges(vertices: Column) -> Column:
     """Consecutive vertex pairs incl. the closing wrap edge:
-    array<struct<p, q>> over array<struct<lon, lat>>."""
+    array<struct<p, q>> over array<struct<lon, lat>>.  An empty ring
+    yields an empty edge array (slice throws on a negative length, so
+    clamp) — every relation then simply evaluates false for the row
+    instead of aborting the job."""
     n = F.size(vertices)
-    nxt = F.concat(F.slice(vertices, 2, n - 1), F.slice(vertices, 1, 1))
+    nxt = F.concat(
+        F.slice(vertices, 2, F.greatest(n - 1, F.lit(0))), F.slice(vertices, 1, 1)
+    )
     return F.zip_with(vertices, nxt, lambda a, b: F.struct(a.alias("p"), b.alias("q")))
 
 

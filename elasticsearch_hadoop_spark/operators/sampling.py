@@ -189,9 +189,12 @@ def sample_to_mixture(
     else:
         # membership via broadcast semi-join: an isin() literal list of
         # thousands of values bloats the plan tree instead of pruning it
+        # (select restores schema order — join moves the key to front)
         spark = df.sparkSession
         dom_df = spark.createDataFrame([(d,) for d in domains], [domain_col])
-        scoped = df.join(F.broadcast(dom_df), on=domain_col, how="semi")
+        scoped = df.join(F.broadcast(dom_df), on=domain_col, how="semi").select(
+            *df.columns
+        )
     counts = {
         r[0]: r[1] for r in scoped.groupBy(domain_col).count().collect()
     }
@@ -209,4 +212,10 @@ def sample_to_mixture(
         [(d, t) for d, t in th.items()], [domain_col, "__mix_threshold"]
     )
     joined = scoped.join(F.broadcast(th_df), on=domain_col, how="inner")
-    return joined.filter(h < F.col("__mix_threshold")).drop("__mix_threshold")
+    # join(on=<key>) moves the key to position 0 — restore the input
+    # schema order so both paths are drop-in equivalent for positional
+    # consumers
+    return (
+        joined.filter(h < F.col("__mix_threshold"))
+        .select(*scoped.columns)
+    )

@@ -173,6 +173,18 @@ def compile_script(script: str | dict) -> Column:
     body = _rewrite_string_methods(body)
     for painless, sql in _FUNCS.items():
         body = body.replace(painless, sql)
+    # any method call still in dotted form is one the rewriters could not
+    # resolve (unknown method, or arguments too nested for the receiver
+    # grammar) — raise the module's typed error instead of letting it
+    # leak into F.expr as a phantom routine (string literals masked out)
+    residual_methods = re.search(
+        r"\.\s*[A-Za-z_]\w*\s*\(", re.sub(r"'[^'\\]*'", "''", body)
+    )
+    if residual_methods:
+        raise RuntimeFieldError(
+            f"unsupported or unresolvable method call at "
+            f"{residual_methods.group(0)!r} in script: {script!r}"
+        )
     # painless boolean operators: Spark SQL parses || as STRING CONCAT and
     # rejects && outright — rewrite to AND/OR before anything else sees them
     body = body.replace("&&", " AND ").replace("||", " OR ")

@@ -106,7 +106,10 @@ def search(
 
     order: list[Column] = []
     explicit_tiebreak = False
-    for spec in body.get("sort", [{score_col: "desc"}]):
+    sort = body.get("sort", [{score_col: "desc"}])
+    if isinstance(sort, (str, dict)):  # ES accepts "sort": "field" too
+        sort = [sort]
+    for spec in sort:
         field, asc = _direction(spec)
         if field == "_score":
             field = score_col
@@ -930,8 +933,13 @@ def compile_retriever(
                           tiebreaker=id_col)
         return _ranked(hits)
     if kind == "rrf":
+        # ES semantics: rank_window_size is how DEEP each sub-retriever's
+        # list goes INTO the fusion; the request `size` caps the fused
+        # output.  (Getting this backwards starves the fusion: a doc
+        # ranked window+1 in every list would never contribute.)
+        window = int(spec.get("rank_window_size", max(size, 10)))
         subs = [
-            compile_retriever(df, r, id_col, size=size)
+            compile_retriever(df, r, id_col, size=window)
             for r in spec.get("retrievers", [])
         ]
         if len(subs) < 2:
@@ -940,7 +948,7 @@ def compile_retriever(
             subs,
             id_col=id_col,
             k=int(spec.get("rank_constant", 60)),
-            size=int(spec.get("rank_window_size", size)),
+            size=size,
         )
         return fused.select(
             id_col,
@@ -951,6 +959,7 @@ def compile_retriever(
         entries = spec.get("retrievers", [])
         if len(entries) < 2:
             raise ValueError("linear retriever needs >= 2 sub-retrievers")
+        window = int(spec.get("rank_window_size", max(size, 10)))
         subs, weights = [], []
         for e in entries:
             norm = str(e.get("normalizer", "minmax")).lower()
@@ -959,13 +968,13 @@ def compile_retriever(
                     f"linear retriever: unsupported normalizer {norm!r} "
                     "(minmax is the deterministic one)"
                 )
-            subs.append(compile_retriever(df, e["retriever"], id_col, size=size))
+            subs.append(compile_retriever(df, e["retriever"], id_col, size=window))
             weights.append(float(e.get("weight", 1.0)))
         fused = linear_fuse(
             subs,
             id_col=id_col,
             weights=weights,
-            size=int(spec.get("rank_window_size", size)),
+            size=size,
         )
         return fused.select(
             id_col,

@@ -756,3 +756,20 @@ class TestChildrenParentAggs:
             compile_aggs(
                 join_df, {"x": {"children": {"type": "answer"}, "aggs": {}}}
             )
+
+    def test_children_under_terms_buckets_per_key(self, spark, join_df):
+        """ES supports terms -> children; the context switch must carry
+        the enclosing bucket keys (review r7 finding: they used to
+        collapse into one NULL-keyed bucket)."""
+        parents = join_df.filter(F.col("join_field.name") == "question")
+        out = {
+            r["by_title"]: (r["doc_count"], r["avg_score"])
+            for r in compile_aggs(
+                parents,
+                {"by_title": {"terms": {"field": "title"},
+                              "aggs": {"answers": {"children": {"type": "answer"},
+                                       "aggs": {"avg_score": {"avg": {"field": "score"}}}}}}},
+                base_df=join_df,
+            ).collect()
+        }
+        assert out == {"how": (2, 6.0), "why": (2, 2.0)}

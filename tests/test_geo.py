@@ -300,3 +300,19 @@ def test_geo_shape_shape_field_dsl(spark):
     body_d = {"geo_shape": {"poly": {"shape": env, "relation": "disjoint",
                                      "field_type": "polygon"}}}
     assert dfn.filter(compile_query(body_d)).count() == 0
+
+
+def test_polygon_empty_and_null_rings_never_crash(spark):
+    from elasticsearch_hadoop_spark.functions.geo import polygon_envelope_relation
+
+    df = spark.createDataFrame(
+        [(0, []), (1, None), (2, [(1.0, 1.0), (2.0, 1.0), (1.5, 2.0)])],
+        "id int, poly array<struct<lon double, lat double>>",
+    )
+    box = (0.0, 0.0, 3.0, 3.0)
+    got = {
+        rel: {r["id"] for r in
+              df.filter(polygon_envelope_relation(F.col("poly"), box, rel)).collect()}
+        for rel in ("intersects", "within", "disjoint")
+    }
+    assert got == {"intersects": {2}, "within": {2}, "disjoint": set()}

@@ -2,8 +2,9 @@
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
 corpus/__init__.py under the round-7 window policy: the 2 r6 reds
 (re-graded after the decimal-vs-double literal fix) lead, the 18
-round7_pending registrations follow, and 30 drift-insurance re-grades of
-the oldest (r1/r2-era) greens fill the tail; every windowed query
+round7_pending registrations follow, then the round-7 net-new surfaces,
+and drift-insurance re-grades of the oldest (r1/r2-era) greens fill the
+remaining tail (one fewer per net-new query); every windowed query
 carries a DuckDB oracle (no rows-only slots), and the union of banked
 green verdicts (CORRECTNESS_r01-r06) with the current window still
 covers every §2.C operator family."""

@@ -171,16 +171,18 @@ class TestMixture:
             r["id"]
             for r in s.sample_to_mixture(df, "d", {"a": 0.6, "b": 0.4}, id_col="id").collect()
         )
+        lit_schema = s.sample_to_mixture(df, "d", {"a": 0.6, "b": 0.4}, id_col="id").columns
         orig = s._WHEN_CHAIN_MAX
         s._WHEN_CHAIN_MAX = 1
         try:
-            join_ids = sorted(
-                r["id"]
-                for r in s.sample_to_mixture(df, "d", {"a": 0.6, "b": 0.4}, id_col="id").collect()
-            )
+            join_df = s.sample_to_mixture(df, "d", {"a": 0.6, "b": 0.4}, id_col="id")
+            join_ids = sorted(r["id"] for r in join_df.collect())
         finally:
             s._WHEN_CHAIN_MAX = orig
         assert lit_ids == join_ids
+        # drop-in equivalence includes SCHEMA ORDER (join moves the key
+        # to position 0 unless restored)
+        assert join_df.columns == lit_schema == df.columns
 
     def test_mixture_domain_cap(self, spark):
         import pytest

@@ -547,14 +547,18 @@ class TestRetrieverTree:
                     "functions": [{"field_value_factor": {"field": "price"}}]}}}},
                  "weight": 1.0},
                 {"retriever": {"knn": {"field": "emb",
-                                       "query_vector": [0.0, 1.0], "k": 4}},
+                                       "query_vector": [0.0, 1.0]}},
                  "weight": 3.0},
             ],
         }}
         out = compile_retriever(corpus, body, id_col="k", size=8).collect()
-        assert len(out) == 3
+        # ES semantics: rank_window_size is the per-sub-list DEPTH (3 from
+        # each side -> union of {1,2,3} and {8,7,6}); size caps the output
+        assert sorted(r["k"] for r in out) == [1, 2, 3, 6, 7, 8]
         # knn toward (0,1) favors SMALL k with weight 3 -> k=1 wins
         assert out[0]["k"] == 1 and out[0]["rank"] == 1
+        capped = compile_retriever(corpus, body, id_col="k", size=2).collect()
+        assert [r["k"] for r in capped] == [1, 2]
 
     def test_pinned_promotes_declared_order(self, corpus):
         from elasticsearch_hadoop_spark.search import compile_retriever
@@ -623,3 +627,21 @@ class TestPainlessStringMethods:
             compile_script("emit(doc['s'].value.replace('a','b'))")
         with pytest.raises(RuntimeFieldError, match="argument"):
             compile_script("emit(doc['s'].value.substring(1, 2, 3))")
+
+    def test_too_nested_args_reject_typed(self, sdf):
+        """A method whose arguments the receiver grammar can't resolve
+        must raise RuntimeFieldError, not leak into F.expr as a phantom
+        routine (review r7 finding)."""
+        from elasticsearch_hadoop_spark.runtime_fields import RuntimeFieldError
+
+        with pytest.raises(RuntimeFieldError, match="method"):
+            compile_script(
+                "emit(doc['s'].value.contains(doc['p'].value.substring(1)))"
+            )
+
+    def test_search_accepts_bare_string_sort(self, sdf, spark):
+        from elasticsearch_hadoop_spark.search import search
+
+        df = spark.createDataFrame([(2, 5.0), (1, 9.0)], "k long, price double")
+        out = search(df, {"query": {"match_all": {}}, "sort": "price"}, id_col="k")
+        assert [r["k"] for r in out.collect()] == [2, 1]
