@@ -1197,3 +1197,80 @@ def writepath_indexed_shape(spark, sf_dir):
         .select("event_id", F.coalesce("is_within", F.lit(False)).alias("is_within"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "writepath_watcher_ack_cycle",
+    oracle="""
+WITH h AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+           WHERE event_type = 'error')
+SELECT step, status, hits_total, alerts FROM (
+  SELECT 1 AS step, 'fired' AS status, n AS hits_total, CAST(1 AS BIGINT) AS alerts FROM h
+  UNION ALL SELECT 2, 'throttled', n, CAST(1 AS BIGINT) FROM h
+  UNION ALL SELECT 3, 'fired', n, CAST(2 AS BIGINT) FROM h
+  UNION ALL SELECT 4, 'acked', n, CAST(2 AS BIGINT) FROM h
+) t
+ORDER BY step
+""",
+)
+def writepath_watcher_ack_cycle(spark, sf_dir):
+    """Watcher lifecycle with DURABLE state (round-7): an index-action
+    watch over error events fires at t=0, throttles at t=100 (1h
+    throttle_period), the state round-trips through a catalog index (the
+    `.watcher` analogue, surviving a process restart), fires again past
+    the window at t=7200, then `_ack` suppresses the action at t=10000.
+    One alert row lands in the alerts index per real firing; the oracle
+    pins the four-step status ladder and cumulative alert count against the
+    events table."""
+    from elasticsearch_hadoop_spark.watcher import (
+        ack_watch,
+        execute_watch,
+        load_watcher_state,
+        save_watcher_state,
+    )
+
+    root = _workdir(sf_dir, "watcher_ack")
+    cat = Catalog(spark, root)
+    ev = tbl(spark, sf_dir, "events")
+    watch = {
+        "id": "errors",
+        "input": {"search": {"request": {
+            "indices": ["events"],
+            "body": {"query": {"term": {"event_type": "error"}}},
+        }}},
+        "condition": {"compare": {"ctx.payload.hits.total": {"gte": 1}}},
+        "actions": {"alert": {"throttle_period": "1h",
+                              "index": {"index": "alerts"}}},
+    }
+
+    def status(rec):
+        if not rec["actions"]:
+            return "silent"
+        a = rec["actions"][0]
+        if a.get("acked"):
+            return "acked"
+        if a.get("throttled"):
+            return "throttled"
+        return "fired"
+
+    steps = []
+    state: dict = {}
+    for step, now in ((1, 0.0), (2, 100.0)):
+        rec = execute_watch(watch, frames={"events": ev}, catalog=cat,
+                            state=state, now=now)
+        steps.append((step, status(rec), rec["payload"]["hits"]["total"],
+                      cat.count_index("alerts")))
+    save_watcher_state(cat, state)
+    state = load_watcher_state(cat)  # the "restart"
+    rec = execute_watch(watch, frames={"events": ev}, catalog=cat,
+                        state=state, now=7200.0)
+    steps.append((3, status(rec), rec["payload"]["hits"]["total"],
+                  cat.count_index("alerts")))
+    ack_watch(state, "errors", ["alert"])
+    rec = execute_watch(watch, frames={"events": ev}, catalog=cat,
+                        state=state, now=10000.0)
+    steps.append((4, status(rec), rec["payload"]["hits"]["total"],
+                  cat.count_index("alerts")))
+    return spark.createDataFrame(
+        steps, "step int, status string, hits_total long, alerts long"
+    ).orderBy("step")

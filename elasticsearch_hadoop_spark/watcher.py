@@ -38,6 +38,14 @@ Throttling: pass ``state`` (a mutable dict the caller persists) to
 is suppressed (recorded as ``"throttled": True``, not executed) inside
 the window, exactly ES's per-action throttling.  ``due_watches`` shares
 the same caller-persisted-state idiom for schedules.
+
+State durability (ES keeps watch status in the ``.watcher`` index):
+``load_watcher_state`` / ``save_watcher_state`` round-trip the state
+dict through a catalog index, so throttle windows and acks survive
+process restarts.  ``ack_watch`` implements ``_watcher/watch/_ack``:
+an acked action is suppressed (``"acked": True``) on every firing until
+the watch's condition evaluates FALSE, which resets the ack — ES's
+``awaits_successful_execution`` reset rule.
 """
 
 from __future__ import annotations
@@ -122,6 +130,58 @@ def _condition_met(condition: dict | None, payload: dict) -> bool:
     raise WatcherError(f"unsupported condition {sorted(condition)!r}")
 
 
+_ACK = "#ack"  # state-key suffix marking an acknowledged action
+
+
+def ack_watch(state: dict, watch_id: str, actions: list[str]) -> None:
+    """``PUT _watcher/watch/<id>/_ack/<actions>``: suppress the listed
+    actions on future firings until the watch condition next evaluates
+    false (execute_watch clears the ack then, per ES)."""
+    for a in actions:
+        state[f"{watch_id}/{a}{_ACK}"] = True
+
+
+def load_watcher_state(catalog, index: str = "watcher_state") -> dict:
+    """Load the caller-persisted watcher state from a catalog index
+    (columns ``key``/``last_fire``/``acked`` — the engine's ``.watcher``
+    analogue).  Missing index -> empty state (first run)."""
+    try:
+        rows = catalog.read_index(index).collect()
+    except Exception:
+        return {}
+    state: dict = {}
+    for r in rows:
+        if r["last_fire"] is not None:
+            state[r["key"]] = float(r["last_fire"])
+        if r["acked"]:
+            state[f"{r['key']}{_ACK}"] = True
+    return state
+
+
+def save_watcher_state(catalog, state: dict, index: str = "watcher_state") -> None:
+    """Persist the state dict (overwrite — the state is tiny: one row per
+    (watch, action))."""
+    base: dict[str, dict] = {}
+    for k, v in state.items():
+        if k.endswith(_ACK):
+            base.setdefault(k[: -len(_ACK)], {})["acked"] = True
+        else:
+            base.setdefault(k, {})["last"] = float(v)
+    rows = [
+        (k, spec.get("last"), bool(spec.get("acked", False)))
+        for k, spec in sorted(base.items())
+    ]
+    if not rows:
+        rows = []
+    spark = catalog.spark
+    catalog.write_index(
+        spark.createDataFrame(rows, "key string, last_fire double, acked boolean"),
+        index,
+        mode="overwrite",
+        id_col="key",
+    )
+
+
 def execute_watch(
     watch: dict,
     frames: dict[str, DataFrame] | None = None,
@@ -184,12 +244,19 @@ def execute_watch(
     met = _condition_met(watch.get("condition"), payload)
     record: dict[str, Any] = {"condition_met": met, "payload": payload,
                               "actions": []}
+    watch_id = str(watch.get("id", ""))
     if not met:
+        # ES resets action acks once the condition evaluates false
+        if state is not None:
+            for k in [
+                k for k in state
+                if k.startswith(f"{watch_id}/") and k.endswith(_ACK)
+            ]:
+                del state[k]
         return record
     import time as _time
 
     now = _time.time() if now is None else now
-    watch_id = str(watch.get("id", ""))
     for name, action in (watch.get("actions") or {}).items():
         action = dict(action)
         # per-action meta keys sit NEXT TO the action type in ES bodies
@@ -201,6 +268,11 @@ def execute_watch(
                 f"got {sorted(action)}"
             )
         (akind, acfg), = action.items()
+        if state is not None and state.get(f"{watch_id}/{name}{_ACK}"):
+            record["actions"].append(
+                {"name": name, "type": akind, "acked": True}
+            )
+            continue
         if throttle is not None and state is not None:
             key = f"{watch_id}/{name}"
             last = state.get(key)

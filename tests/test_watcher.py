@@ -212,3 +212,65 @@ def test_watch_tick_per_streaming_microbatch(spark, tmp_path):
     got = {(w, n) for _b, w, n in fired}
     assert got == want and want == {("clicks", batch.filter(
         F.col("event_type") == "click").count())}
+
+
+def test_ack_suppresses_until_condition_false(spark, logs):
+    from elasticsearch_hadoop_spark.watcher import ack_watch
+
+    watch = {
+        "id": "w1",
+        "input": {"search": {"request": {
+            "indices": ["logs"],
+            "body": {"query": {"term": {"level": "error"}}},
+        }}},
+        "condition": {"compare": {"ctx.payload.hits.total": {"gte": 3}}},
+        "actions": {"note": {"logging": {"text": "errors!"}}},
+    }
+    state: dict = {}
+    rec = execute_watch(watch, frames={"logs": logs}, state=state, now=0.0)
+    assert rec["actions"][0]["type"] == "logging"
+    ack_watch(state, "w1", ["note"])
+    rec2 = execute_watch(watch, frames={"logs": logs}, state=state, now=10.0)
+    assert rec2["actions"] == [{"name": "note", "type": "logging", "acked": True}]
+    # condition false -> ack resets (ES awaits_successful_execution)
+    calm = logs.filter("level = 'ok'")
+    rec3 = execute_watch(watch, frames={"logs": calm}, state=state, now=20.0)
+    assert rec3["condition_met"] is False
+    assert not any(k.endswith("#ack") for k in state)
+    rec4 = execute_watch(watch, frames={"logs": logs}, state=state, now=30.0)
+    assert rec4["actions"][0] == {"name": "note", "type": "logging",
+                                  "text": "errors!"}
+
+
+def test_state_roundtrip_through_catalog(spark, logs, tmp_path):
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.watcher import (
+        ack_watch,
+        load_watcher_state,
+        save_watcher_state,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    assert load_watcher_state(cat) == {}  # missing index -> first run
+    state = {"w1/note": 123.5}
+    ack_watch(state, "w1", ["mail"])
+    save_watcher_state(cat, state)
+    assert load_watcher_state(cat) == {"w1/note": 123.5, "w1/mail#ack": True}
+
+    # a persisted throttle window survives the "restart"
+    watch = {
+        "id": "w1",
+        "input": {"search": {"request": {
+            "indices": ["logs"],
+            "body": {"query": {"term": {"level": "error"}}},
+        }}},
+        "condition": {"compare": {"ctx.payload.hits.total": {"gte": 1}}},
+        "actions": {"note": {"throttle_period": "1h",
+                             "logging": {"text": "hi"}}},
+    }
+    reloaded = load_watcher_state(cat)
+    rec = execute_watch(watch, frames={"logs": logs}, state=reloaded, now=200.0)
+    assert rec["actions"] == [{"name": "note", "type": "logging",
+                               "throttled": True}]
+    rec2 = execute_watch(watch, frames={"logs": logs}, state=reloaded, now=7200.0)
+    assert rec2["actions"][0]["text"] == "hi"
