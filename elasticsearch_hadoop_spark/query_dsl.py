@@ -42,8 +42,10 @@ Semantics notes (SURVEY.md §2.C "one real semantic gap"):
 - ``term`` is exact equality (reference `strict` mode).
 - ``match`` tokenizes BOTH sides with the standard analyzer
   (functions/text.py) and tests token overlap (OR) / containment (AND) —
-  an exact, documented subset of ES's scored match; no `_score` is ever
-  produced.  A query analyzing to ZERO tokens is Lucene's
+  an exact, documented subset of ES's scored match; predicates here never
+  produce a `_score` (the deterministic scoring subset — function_score
+  family, constant_score boost — materializes one via `search.search`).
+  A query analyzing to ZERO tokens is Lucene's
   MatchNoDocsQuery (``zero_terms_query: "all"`` flips it to match-all) on
   match / match_phrase / match_phrase_prefix / multi_match.  ``match``
   honors ``fuzziness`` (per-token FuzzyQuery rewrite, AUTO length rule).
