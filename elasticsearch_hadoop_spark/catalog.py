@@ -56,6 +56,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark import txn
+from elasticsearch_hadoop_spark.durations import parse_duration
 from elasticsearch_hadoop_spark.query_dsl import compile_query
 
 _PATTERN_RE = re.compile(r"\{([A-Za-z0-9_.]+)(\|date:([^}]+))?\}")
@@ -1230,6 +1231,69 @@ class Catalog:
                 return json.load(f)
         except FileNotFoundError:
             return {}
+
+    def downsample_index(
+        self,
+        source: str,
+        target: str,
+        fixed_interval: str,
+        *,
+        timestamp_col: str = "@timestamp",
+        dimensions: list[str] | None = None,
+        metrics: dict[str, str] | None = None,
+    ) -> None:
+        """ES ``POST /<source>/_downsample/<target>`` — the TSDS rollup:
+        aggregate a time-series index into one document per
+        (time bucket, dimensions), with per-metric summaries:
+
+        - ``gauge`` metrics keep ``<m>.min / <m>.max / <m>.sum /
+          <m>.value_count`` (flattened here to ``<m>_min`` etc. — the
+          engine's columnar rendering of ES's aggregate_metric_double);
+        - ``counter`` metrics keep ``<m>_last`` (the latest value in the
+          bucket, ES's last_value), ordered by the timestamp with the
+          natural row order as ES's tiebreak.
+
+        The bucket timestamp floors to ``fixed_interval`` (same epoch
+        arithmetic as the aggs-DSL date_histogram).  In ES the dimensions
+        and metric kinds come from time_series_dimension /
+        time_series_metric MAPPINGS; this schema-less catalog takes them
+        as parameters.
+
+        Scale: this is the aggregate-once / query-forever pattern — one
+        partial-aggregated shuffle on (dimensions, bucket) writes an
+        index ~interval/resolution times smaller; downstream queries
+        read the downsampled index and never rescan the raw series.  ES
+        applies the same downsampling in ILM; compose with
+        apply_lifecycle by downsampling a rolled-over generation."""
+        metrics = metrics or {}
+        bad = [k for k, v in metrics.items() if v not in ("gauge", "counter")]
+        if bad:
+            raise ValueError(
+                f"downsample metrics must be gauge|counter, got {bad}"
+            )
+        secs = int(parse_duration(fixed_interval))
+        if secs <= 0:
+            raise ValueError(f"bad fixed_interval {fixed_interval!r}")
+        df = self.read_index(source)
+        dims = list(dimensions or [])
+        bucket = F.timestamp_seconds(
+            (F.unix_timestamp(F.col(timestamp_col)) / secs).cast("long") * secs
+        ).alias(timestamp_col)
+        aggs: list[Column] = [F.count(F.lit(1)).alias("_doc_count")]
+        for m, kind in metrics.items():
+            if kind == "gauge":
+                aggs += [
+                    F.min(m).alias(f"{m}_min"),
+                    F.max(m).alias(f"{m}_max"),
+                    F.sum(m).alias(f"{m}_sum"),
+                    F.count(m).alias(f"{m}_value_count"),
+                ]
+            else:  # counter -> last value in the bucket by timestamp
+                aggs.append(
+                    F.max_by(m, F.col(timestamp_col)).alias(f"{m}_last")
+                )
+        out = df.groupBy(bucket, *[F.col(d) for d in dims]).agg(*aggs)
+        self.write_index(out, target, mode="overwrite")
 
     def create_data_stream(self, name: str) -> None:
         """ES data stream: an append-only, timestamp-bearing stream backed

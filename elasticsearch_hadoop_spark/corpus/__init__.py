@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "search_retriever_tree",
     "runtime_fields_string_methods",
     "writepath_watcher_ack_cycle",
+    "writepath_downsample",
     # drift-insurance re-grades: the 8 r1-era greens never re-graded
     "aggs_filter_narrowed",
     "aggs_filters_buckets",
@@ -118,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "similarity_topk_brute",
     "fn_json",
     "query_dsl_bool",
-    "skew_salted_join",
 )
 
 

@@ -1274,3 +1274,57 @@ def writepath_watcher_ack_cycle(spark, sf_dir):
     return spark.createDataFrame(
         steps, "step int, status string, hits_total long, alerts long"
     ).orderBy("step")
+
+
+@query(
+    "writepath_downsample",
+    oracle=f"""
+SELECT strftime(to_timestamp((floor(epoch(ts) / 86400))::BIGINT * 86400),
+                '{TS_FMT_DUCK}') AS day_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS _doc_count,
+       round(min(value), 6) AS value_min,
+       round(max(value), 6) AS value_max,
+       round(sum(value), 6) AS value_sum,
+       CAST(count(value) AS BIGINT) AS value_value_count,
+       max(epoch_us(ts)) AS ts_us_last
+FROM events
+GROUP BY 1, 2
+ORDER BY day_s, event_type
+""",
+)
+def writepath_downsample(spark, sf_dir):
+    """ES `_downsample` (TSDS rollup): the events series rolls up to one
+    doc per (1d bucket, event_type dimension) with gauge summaries
+    (min/max/sum/value_count of `value`) and a counter's last value
+    (`ts_us` — monotone in the timestamp, so `max_by` is deterministic).
+    One partial-aggregated shuffle writes an index ~300x smaller than
+    the raw series — the aggregate-once / query-forever pattern ES runs
+    inside ILM.  The oracle replays the epoch-floor bucketing and every
+    summary."""
+    root = _workdir(sf_dir, "downsample")
+    cat = Catalog(spark, root)
+    ev = tbl(spark, sf_dir, "events").select(
+        "ts", "event_type", "value",
+        # unix_micros needs TIMESTAMP (ts is NTZ; session TZ is UTC, so
+        # the cast is an identity relabel)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    cat.write_index(ev, "metrics", mode="overwrite")
+    cat.downsample_index(
+        "metrics", "metrics_1d", "1d",
+        timestamp_col="ts",
+        dimensions=["event_type"],
+        metrics={"value": "gauge", "ts_us": "counter"},
+    )
+    out = cat.read_index("metrics_1d")
+    return out.select(
+        F.date_format("ts", TS_FMT_SPARK).alias("day_s"),
+        "event_type",
+        "_doc_count",
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+        F.round("value_sum", 6).alias("value_sum"),
+        "value_value_count",
+        F.col("ts_us_last"),
+    ).orderBy("day_s", "event_type")

@@ -779,3 +779,38 @@ def test_indexed_shape_lookup_resolves_and_guards(spark, cat):
     q = {"geo_shape": {"loc": {
         "indexed_shape": {"index": "regions2", "id": "5", "path": "geom"}}}}
     assert cat.read_index("pts", query=q).count() == 1
+
+
+def test_downsample_index_gauge_and_counter(spark, cat):
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, 0, 10), "a", 1.0, 100),
+        (datetime.datetime(2024, 1, 1, 0, 50), "a", 3.0, 200),
+        (datetime.datetime(2024, 1, 1, 1, 10), "a", 5.0, 300),
+        (datetime.datetime(2024, 1, 1, 0, 20), "b", 7.0, 400),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, dim string, g double, c long")
+    cat.write_index(df, "raw", mode="overwrite")
+    cat.downsample_index(
+        "raw", "raw_1h", "1h", timestamp_col="ts",
+        dimensions=["dim"], metrics={"g": "gauge", "c": "counter"},
+    )
+    out = {
+        (r["ts"].isoformat(), r["dim"]): r
+        for r in cat.read_index("raw_1h").collect()
+    }
+    a0 = out[("2024-01-01T00:00:00", "a")]
+    assert (a0["_doc_count"], a0["g_min"], a0["g_max"], a0["g_sum"],
+            a0["g_value_count"], a0["c_last"]) == (2, 1.0, 3.0, 4.0, 2, 200)
+    a1 = out[("2024-01-01T01:00:00", "a")]
+    assert a1["_doc_count"] == 1 and a1["c_last"] == 300
+    b0 = out[("2024-01-01T00:00:00", "b")]
+    assert b0["g_sum"] == 7.0 and b0["c_last"] == 400
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gauge"):
+        cat.downsample_index("raw", "x", "1h", timestamp_col="ts",
+                             metrics={"g": "histogram"})
+    with _pytest.raises(ValueError, match="fixed_interval|duration"):
+        cat.downsample_index("raw", "x", "0s", timestamp_col="ts")
