@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "runtime_fields_string_methods",
     "writepath_watcher_ack_cycle",
     "writepath_downsample",
+    "esql_fulltext_where",
     # drift-insurance re-grades: the 8 r1-era greens never re-graded
     "aggs_filter_narrowed",
     "aggs_filters_buckets",
@@ -118,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "similarity_topk_brute",
     "fn_json",
-    "query_dsl_bool",
 )
 
 

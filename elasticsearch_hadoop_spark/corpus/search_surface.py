@@ -1125,3 +1125,36 @@ def runtime_fields_string_methods(spark, sf_dir):
         )
         .orderBy("src_num")
     )
+
+
+@query(
+    "esql_fulltext_where",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+)
+SELECT doc_id, lang
+FROM an
+WHERE (list_contains(toks, 'vector') OR list_contains(toks, 'merge'))
+  AND (lang = 'en' OR n_chars < 150)
+ORDER BY doc_id
+""",
+)
+def esql_fulltext_where(spark, sf_dir):
+    """ES|QL full-text WHERE (8.17+): `MATCH(text, "vector merge")` —
+    compiled through the query-DSL's exact token-overlap match subset —
+    AND a QSTR query-string leaf, combined with ordinary expression
+    predicates by the boolean splitter.  Everything stays one codegen
+    predicate on the scan."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = esql(
+        'FROM d | WHERE MATCH(text, "vector merge") AND '
+        '(QSTR("lang:en") OR n_chars < 150) | SORT doc_id | KEEP doc_id, lang',
+        tables={"d": docs},
+    )
+    return out

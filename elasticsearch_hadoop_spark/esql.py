@@ -646,6 +646,104 @@ def _expr(e: str) -> Column:
     return F.expr(_translate_expr(e))
 
 
+# --- full-text functions in WHERE (ES|QL 8.17+: MATCH / QSTR) -------------
+
+_FT_PROBE = re.compile(r"\b(MATCH|QSTR)\s*\(", flags=re.I)
+
+
+def _split_bool_top(e: str, word: str) -> list[str]:
+    """Split on a top-level boolean keyword (AND/OR) outside parens and
+    quotes; returns [e] when the keyword never appears at depth 0."""
+    blanked = _blank_literals(e)
+    parts, depth, start = [], 0, 0
+    i, n = 0, len(e)
+    rx = re.compile(rf"\b{word}\b", flags=re.I)
+    while i < n:
+        ch = blanked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(blanked, i)
+            if m and (i == 0 or not blanked[i - 1].isalnum()):
+                parts.append(e[start:i])
+                start = m.end()
+                i = m.end()
+                continue
+        i += 1
+    parts.append(e[start:])
+    return parts if len(parts) > 1 else [e]
+
+
+def _balanced(s: str) -> bool:
+    blanked = _blank_literals(s)
+    depth = 0
+    for ch in blanked:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def _where_pred(body: str) -> Column:
+    """A WHERE clause predicate.  Plain expressions go through the
+    guarded SQL translator; clauses containing the full-text functions
+    ``MATCH(field, "text")`` / ``QSTR("query")`` (ES|QL 8.17+) compile
+    those leaves through the query-DSL (`match` clause semantics — the
+    documented exact token-overlap subset; QSTR is the ``?q=``
+    query-string subset) and combine them with the surrounding
+    AND/OR/NOT boolean structure."""
+    if not _FT_PROBE.search(_blank_literals(body)):
+        return _expr(body)
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    def pred(e: str) -> Column:
+        e = e.strip()
+        while (
+            e.startswith("(")
+            and e.endswith(")")
+            and _balanced(e[1:-1])
+        ):
+            e = e[1:-1].strip()
+        ors = _split_bool_top(e, "OR")
+        if len(ors) > 1:
+            out = pred(ors[0])
+            for p in ors[1:]:
+                out = out | pred(p)
+            return out
+        ands = _split_bool_top(e, "AND")
+        if len(ands) > 1:
+            out = pred(ands[0])
+            for p in ands[1:]:
+                out = out & pred(p)
+            return out
+        if re.match(r"^NOT\b", e, flags=re.I):
+            return ~pred(e[3:])
+        m = re.match(r"^(MATCH|QSTR)\s*\((.*)\)\s*$", e, flags=re.I | re.S)
+        if m and _balanced(m.group(2)):
+            fn, inner = m.group(1).upper(), m.group(2)
+            args = [a.strip() for a in _split_top(inner)]
+            if fn == "MATCH":
+                if len(args) != 2:
+                    raise EsqlError(
+                        f"MATCH takes (field, query), got {len(args)} args: {e!r}"
+                    )
+                field, q = args
+                if not re.match(r'^"[^"]*"$', q):
+                    raise EsqlError(f"MATCH query must be a string literal: {e!r}")
+                return compile_query({"match": {field: q[1:-1]}})
+            if len(args) != 1 or not re.match(r'^"[^"]*"$', args[0]):
+                raise EsqlError(f"QSTR takes one string literal, got: {e!r}")
+            return compile_query(args[0][1:-1])
+        return _expr(e)
+
+    return pred(body)
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on sep outside parentheses and quotes."""
     parts, depth, buf, q = [], 0, [], None
@@ -958,7 +1056,7 @@ def _apply_stages(
             raise EsqlError(f"bad command: {stage!r}")
         cmd, body = cm.group(1).upper(), cm.group(2).strip()
         if cmd == "WHERE":
-            df = df.filter(_expr(body))
+            df = df.filter(_where_pred(body))
         elif cmd == "EVAL":
             for item in _split_top(body):
                 name, expr = item.split("=", 1)

@@ -706,3 +706,39 @@ def test_review_round4_rewrite_hardening(spark):
         esql('FROM t | WHERE CIDR_MATCH(msg, "10.0.0.0/")', tables={"t": df})
     with pytest.raises(EsqlError, match="bad block"):
         esql('FROM t | WHERE CIDR_MATCH(msg, "10.0.0.0/abc")', tables={"t": df})
+
+
+class TestFullTextWhere:
+    """ES|QL 8.17+ MATCH/QSTR in WHERE: leaves compile through the
+    query-DSL match subset, combined with top-level AND/OR/NOT."""
+
+    @pytest.fixture(scope="class")
+    def t(self, spark):
+        return spark.createDataFrame(
+            [(1, "spark window joins", "en", 10), (2, "batch stream", "fr", 20),
+             (3, "window spark", "en", 30), (4, "nothing here", "en", 5)],
+            "id int, text string, lang string, n int",
+        )
+
+    def q(self, t, s):
+        return [r["id"] for r in esql(s, tables={"t": t}).collect()]
+
+    def test_match_or_overlap(self, t):
+        assert self.q(t, 'FROM t | WHERE MATCH(text, "spark window") | SORT id | KEEP id') == [1, 3]
+
+    def test_boolean_composition(self, t):
+        assert self.q(t, 'FROM t | WHERE MATCH(text, "spark") AND n >= 30 | KEEP id') == [3]
+        assert self.q(
+            t,
+            'FROM t | WHERE QSTR("lang:fr") OR (MATCH(text, "nothing") AND n < 10)'
+            " | SORT id | KEEP id",
+        ) == [2, 4]
+        assert self.q(t, 'FROM t | WHERE NOT MATCH(text, "spark") | SORT id | KEEP id') == [2, 4]
+
+    def test_rejections(self, t):
+        with pytest.raises(EsqlError, match="MATCH takes"):
+            self.q(t, 'FROM t | WHERE MATCH(text) | KEEP id')
+        with pytest.raises(EsqlError, match="string literal"):
+            self.q(t, 'FROM t | WHERE MATCH(text, n) | KEEP id')
+        with pytest.raises(EsqlError, match="QSTR"):
+            self.q(t, 'FROM t | WHERE QSTR(text) | KEEP id')
