@@ -1250,8 +1250,8 @@ class Catalog:
           <m>.value_count`` (flattened here to ``<m>_min`` etc. — the
           engine's columnar rendering of ES's aggregate_metric_double);
         - ``counter`` metrics keep ``<m>_last`` (the latest value in the
-          bucket, ES's last_value), ordered by the timestamp with the
-          natural row order as ES's tiebreak.
+          bucket, ES's last_value), ordered by the timestamp; timestamp
+          ties break by the metric value (max), deterministically.
 
         The bucket timestamp floors to ``fixed_interval`` (same epoch
         arithmetic as the aggs-DSL date_histogram).  In ES the dimensions
@@ -1276,8 +1276,11 @@ class Catalog:
             raise ValueError(f"bad fixed_interval {fixed_interval!r}")
         df = self.read_index(source)
         dims = list(dimensions or [])
+        # floor, not cast-truncation: a negative epoch (pre-1970 series)
+        # must bucket DOWN, matching the aggs-DSL date_histogram arithmetic
         bucket = F.timestamp_seconds(
-            (F.unix_timestamp(F.col(timestamp_col)) / secs).cast("long") * secs
+            F.floor(F.unix_timestamp(F.col(timestamp_col)) / secs).cast("long")
+            * secs
         ).alias(timestamp_col)
         aggs: list[Column] = [F.count(F.lit(1)).alias("_doc_count")]
         for m, kind in metrics.items():
@@ -1288,9 +1291,15 @@ class Catalog:
                     F.sum(m).alias(f"{m}_sum"),
                     F.count(m).alias(f"{m}_value_count"),
                 ]
-            else:  # counter -> last value in the bucket by timestamp
+            else:
+                # counter -> last value in the bucket by timestamp; ties
+                # on the timestamp break by the metric value itself (max),
+                # so the result is layout-independent — a bare max_by
+                # would flip between partition evaluation orders
                 aggs.append(
-                    F.max_by(m, F.col(timestamp_col)).alias(f"{m}_last")
+                    F.max_by(
+                        m, F.struct(F.col(timestamp_col), F.col(m))
+                    ).alias(f"{m}_last")
                 )
         out = df.groupBy(bucket, *[F.col(d) for d in dims]).agg(*aggs)
         self.write_index(out, target, mode="overwrite")

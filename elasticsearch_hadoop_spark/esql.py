@@ -653,11 +653,15 @@ _FT_PROBE = re.compile(r"\b(MATCH|QSTR)\s*\(", flags=re.I)
 
 def _split_bool_top(e: str, word: str) -> list[str]:
     """Split on a top-level boolean keyword (AND/OR) outside parens and
-    quotes; returns [e] when the keyword never appears at depth 0."""
+    quotes; returns [e] when the keyword never appears at depth 0.
+    The AND belonging to a depth-0 ``BETWEEN lo AND hi`` is part of the
+    predicate, not a conjunction — it is skipped (one per BETWEEN)."""
     blanked = _blank_literals(e)
     parts, depth, start = [], 0, 0
     i, n = 0, len(e)
     rx = re.compile(rf"\b{word}\b", flags=re.I)
+    between_rx = re.compile(r"\bBETWEEN\b", flags=re.I)
+    pending_between = 0
     while i < n:
         ch = blanked[i]
         if ch == "(":
@@ -665,8 +669,17 @@ def _split_bool_top(e: str, word: str) -> list[str]:
         elif ch == ")":
             depth -= 1
         elif depth == 0:
+            bm = between_rx.match(blanked, i)
+            if bm and (i == 0 or not blanked[i - 1].isalnum()):
+                pending_between += 1
+                i = bm.end()
+                continue
             m = rx.match(blanked, i)
             if m and (i == 0 or not blanked[i - 1].isalnum()):
+                if word.upper() == "AND" and pending_between:
+                    pending_between -= 1
+                    i = m.end()
+                    continue
                 parts.append(e[start:i])
                 start = m.end()
                 i = m.end()

@@ -108,11 +108,11 @@ def _rewrite_string_methods(body: str) -> str:
             fn = {"contains": "contains", "startsWith": "startswith",
                   "endsWith": "endswith"}[meth]
             return f"{fn}({recv}, {parts[0]})"
-        if meth in ("toLowerCase", "toUpperCase", "trim"):
+        if meth in ("toLowerCase", "toUpperCase", "trim", "length"):
             if parts:
                 raise RuntimeFieldError(f".{meth} takes no arguments: {args!r}")
             fn = {"toLowerCase": "lower", "toUpperCase": "upper",
-                  "trim": "trim"}[meth]
+                  "trim": "trim", "length": "length"}[meth]
             return f"{fn}({recv})"
         if meth == "substring":
             if len(parts) == 1:
@@ -129,7 +129,7 @@ def _rewrite_string_methods(body: str) -> str:
     pat = re.compile(
         _STR_METHOD_RECEIVER
         + r"\s*\.\s*(contains|startsWith|endsWith|toLowerCase|toUpperCase|"
-        + r"trim|substring|indexOf)\s*\(([^()]*)\)"
+        + r"trim|substring|indexOf|length)\s*\(([^()]*)\)"
     )
     # ONE substitution per pass: a single pass's scanner would continue
     # PAST the first rewrite and misread a later still-painless method
@@ -166,8 +166,23 @@ def compile_script(script: str | dict) -> Column:
     if not m:
         raise RuntimeFieldError(f"script must be a single emit(...): {script!r}")
     body = m.group(1)
-    # doc['field'].value -> backticked column reference
+    # doc['field'].value -> backticked column reference (BEFORE literal
+    # masking: the doc-ref quotes are syntax, not string data)
     body = _DOC_REF.sub(lambda mm: f"`{mm.group(2)}`", body)
+    # MASK the remaining string literals before anything else: every
+    # rewrite below (boolean operators, Math names, ternary split,
+    # method-argument grammar) is textual and would otherwise corrupt or
+    # misparse quoted content ('a&&b', 'key:value', '(paren)',
+    # 'Math.log') — review r7 finding.  The placeholder keeps its quotes
+    # (so quote-aware splitters still see a string) with digits-only
+    # content no rewrite can touch.
+    lits: list[str] = []
+
+    def _mask(mm: re.Match) -> str:
+        lits.append(mm.group(0))
+        return f"'\x00{len(lits) - 1}'"
+
+    body = re.sub(r"'[^'\\]*'", _mask, body)
     # .length() on a (column) expression -> length(expr): painless string len
     body = re.sub(r"`([A-Za-z0-9_.]+)`\s*\.\s*length\s*\(\s*\)", r"length(`\1`)", body)
     body = _rewrite_string_methods(body)
@@ -176,17 +191,15 @@ def compile_script(script: str | dict) -> Column:
     # any method call still in dotted form is one the rewriters could not
     # resolve (unknown method, or arguments too nested for the receiver
     # grammar) — raise the module's typed error instead of letting it
-    # leak into F.expr as a phantom routine (string literals masked out)
-    residual_methods = re.search(
-        r"\.\s*[A-Za-z_]\w*\s*\(", re.sub(r"'[^'\\]*'", "''", body)
-    )
+    # leak into F.expr as a phantom routine
+    residual_methods = re.search(r"\.\s*[A-Za-z_]\w*\s*\(", body)
     if residual_methods:
         raise RuntimeFieldError(
             f"unsupported or unresolvable method call at "
             f"{residual_methods.group(0)!r} in script: {script!r}"
         )
     # painless boolean operators: Spark SQL parses || as STRING CONCAT and
-    # rejects && outright — rewrite to AND/OR before anything else sees them
+    # rejects && outright — rewrite to AND/OR (literals are masked)
     body = body.replace("&&", " AND ").replace("||", " OR ")
     # ternary cond ? a : b -> if(cond, a, b).  Only a WHOLE-body ternary is
     # supported: an embedded one would be blindly mangled into invalid SQL,
@@ -200,10 +213,7 @@ def compile_script(script: str | dict) -> Column:
         body = f"if({tern[0]}, {tern[1]}, {tern[2]})"
     elif len(tern) != 1:
         raise RuntimeFieldError(f"only a single non-nested ternary is supported: {script!r}")
-    # single-quoted string literals (no embedded quotes/escapes) are legal
-    # painless AND legal Spark SQL — mask them before the character/token
-    # whitelists so string comparisons (ctx.lang == 'en') compile
-    residue = re.sub(r"'[^'\\]*'", "0", re.sub(r"`[A-Za-z0-9_.]+`", "", body))
+    residue = re.sub(r"'\x00\d+'", "0", re.sub(r"`[A-Za-z0-9_.]+`", "", body))
     # an EMPTY residue is legal: emit(doc['f'].value) — the identity
     # runtime field — leaves nothing once the doc ref is stripped
     if residue and not _EXPR_OK.match(residue):
@@ -218,9 +228,11 @@ def compile_script(script: str | dict) -> Column:
     ]
     if stray:
         raise RuntimeFieldError(f"unsupported identifiers {stray} in script: {script!r}")
-    # AFTER the token whitelist (the D suffix would read as a stray
-    # identifier there): painless float literals are doubles, not decimals
-    return F.expr(double_literals(body))
+    # double_literals BEFORE unmasking (no literal content in sight),
+    # token whitelist above for the same reason (the D suffix would read
+    # as a stray identifier): painless float literals are doubles
+    body = double_literals(body)
+    return F.expr(re.sub(r"'\x00(\d+)'", lambda mm: lits[int(mm.group(1))], body))
 
 
 def apply_runtime_mappings(df: DataFrame, mappings: dict) -> DataFrame:

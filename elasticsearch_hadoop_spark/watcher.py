@@ -144,11 +144,15 @@ def ack_watch(state: dict, watch_id: str, actions: list[str]) -> None:
 def load_watcher_state(catalog, index: str = "watcher_state") -> dict:
     """Load the caller-persisted watcher state from a catalog index
     (columns ``key``/``last_fire``/``acked`` — the engine's ``.watcher``
-    analogue).  Missing index -> empty state (first run)."""
+    analogue).  ONLY a missing index maps to empty state (first run);
+    any other read failure propagates — silently wiping the state would
+    re-fire every throttled/acked alert."""
     try:
         rows = catalog.read_index(index).collect()
-    except Exception:
-        return {}
+    except (FileNotFoundError, ValueError) as e:
+        if "no such index" in str(e) or isinstance(e, FileNotFoundError):
+            return {}
+        raise
     state: dict = {}
     for r in rows:
         if r["last_fire"] is not None:
@@ -171,8 +175,6 @@ def save_watcher_state(catalog, state: dict, index: str = "watcher_state") -> No
         (k, spec.get("last"), bool(spec.get("acked", False)))
         for k, spec in sorted(base.items())
     ]
-    if not rows:
-        rows = []
     spark = catalog.spark
     catalog.write_index(
         spark.createDataFrame(rows, "key string, last_fire double, acked boolean"),

@@ -814,3 +814,39 @@ def test_downsample_index_gauge_and_counter(spark, cat):
                              metrics={"g": "histogram"})
     with _pytest.raises(ValueError, match="fixed_interval|duration"):
         cat.downsample_index("raw", "x", "0s", timestamp_col="ts")
+
+
+def test_downsample_floor_and_counter_tiebreak(spark, cat):
+    import datetime
+
+    # pre-1970 timestamps bucket DOWN (floor, not cast-truncation) and
+    # counter ties on the timestamp break by max metric value
+    rows = [
+        (datetime.datetime(1969, 12, 31, 12, 0), "a", 1.0, 7),
+        (datetime.datetime(1969, 12, 31, 13, 0), "a", 2.0, 3),
+        (datetime.datetime(1969, 12, 31, 13, 0), "a", 2.0, 9),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, dim string, g double, c long")
+    cat.write_index(df, "neg", mode="overwrite")
+    cat.downsample_index("neg", "neg_1d", "1d", timestamp_col="ts",
+                         dimensions=["dim"], metrics={"c": "counter"})
+    out = cat.read_index("neg_1d").collect()
+    assert len(out) == 1
+    assert out[0]["ts"].date().isoformat() == "1969-12-31"
+    assert out[0]["c_last"] == 9
+
+
+def test_watcher_state_load_propagates_non_missing_errors(spark, tmp_path):
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.watcher import load_watcher_state
+
+    cat = Catalog(spark, str(tmp_path / "w"))
+    assert load_watcher_state(cat) == {}  # missing index only
+    # an index with the WRONG schema must raise, not wipe the state
+    cat.write_index(
+        spark.createDataFrame([(1,)], "x int"), "watcher_state", mode="overwrite"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        load_watcher_state(cat)

@@ -742,3 +742,13 @@ class TestFullTextWhere:
             self.q(t, 'FROM t | WHERE MATCH(text, n) | KEEP id')
         with pytest.raises(EsqlError, match="QSTR"):
             self.q(t, 'FROM t | WHERE QSTR(text) | KEEP id')
+
+    def test_between_and_is_not_a_conjunction(self, t):
+        assert self.q(
+            t, 'FROM t | WHERE MATCH(text, "spark") AND n BETWEEN 5 AND 15 | KEEP id'
+        ) == [1]
+        assert self.q(
+            t,
+            'FROM t | WHERE n BETWEEN 20 AND 30 AND MATCH(text, "spark window batch")'
+            " | SORT id | KEEP id",
+        ) == [2, 3]

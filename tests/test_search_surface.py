@@ -645,3 +645,19 @@ class TestPainlessStringMethods:
         df = spark.createDataFrame([(2, 5.0), (1, 9.0)], "k long, price double")
         out = search(df, {"query": {"match_all": {}}, "sort": "price"}, id_col="k")
         assert [r["k"] for r in out.collect()] == [2, 1]
+
+    @pytest.mark.parametrize("script,want", [
+        # string literals survive every textual rewrite (review r7-2):
+        # boolean operators, Math names, ternary chars, parens inside them
+        ("emit(doc['s'].value.contains('a&&b'))", False),
+        ("emit(doc['s'].value.contains('x||y'))", False),
+        ("emit(doc['s'].value.contains('a:b') OR doc['s'].value.contains('o,W'))", True),
+        ("emit(doc['s'].value.contains('x?y'))", False),
+        ("emit(doc['s'].value.contains('(a)'))", False),
+        ("emit(doc['s'].value.contains('Math.log'))", False),
+        # .length() composes with chains now
+        ("emit(doc['s'].value.trim().length())", 11),
+        ("emit(doc['s'].value.trim().substring(0, 5).length())", 5),
+    ])
+    def test_literal_masking_and_length_chain(self, sdf, script, want):
+        assert sdf.select(compile_script(script).alias("x")).collect()[0]["x"] == want
