@@ -649,6 +649,9 @@ def _expr(e: str) -> Column:
 # --- full-text functions in WHERE (ES|QL 8.17+: MATCH / QSTR) -------------
 
 _FT_PROBE = re.compile(r"\b(MATCH|QSTR)\s*\(", flags=re.I)
+# the ES|QL 8.17 match OPERATOR: `field : "query"` (a bare colon between
+# an identifier and a string literal at the top level of a leaf)
+_FT_COLON = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s*:\s*(\"[^\"]*\")\s*$")
 
 
 def _split_bool_top(e: str, word: str) -> list[str]:
@@ -710,7 +713,8 @@ def _where_pred(body: str) -> Column:
     documented exact token-overlap subset; QSTR is the ``?q=``
     query-string subset) and combine them with the surrounding
     AND/OR/NOT boolean structure."""
-    if not _FT_PROBE.search(_blank_literals(body)):
+    blanked = _blank_literals(body)
+    if not _FT_PROBE.search(blanked) and ":" not in blanked:
         return _expr(body)
     from elasticsearch_hadoop_spark.query_dsl import compile_query
 
@@ -736,6 +740,9 @@ def _where_pred(body: str) -> Column:
             return out
         if re.match(r"^NOT\b", e, flags=re.I):
             return ~pred(e[3:])
+        cm = _FT_COLON.match(e)
+        if cm:  # the match OPERATOR: field : "query text"
+            return compile_query({"match": {cm.group(1): cm.group(2)[1:-1]}})
         m = re.match(r"^(MATCH|QSTR)\s*\((.*)\)\s*$", e, flags=re.I | re.S)
         if m and _balanced(m.group(2)):
             fn, inner = m.group(1).upper(), m.group(2)

@@ -752,3 +752,12 @@ class TestFullTextWhere:
             'FROM t | WHERE n BETWEEN 20 AND 30 AND MATCH(text, "spark window batch")'
             " | SORT id | KEEP id",
         ) == [2, 3]
+
+    def test_colon_match_operator(self, t):
+        # ES|QL 8.17 match operator: field : "query"
+        assert self.q(t, 'FROM t | WHERE text : "spark window" | SORT id | KEEP id') == [1, 3]
+        assert self.q(
+            t, 'FROM t | WHERE text : "spark" AND lang : "en" AND n < 20 | KEEP id'
+        ) == [1]
+        # a colon inside a plain string literal is NOT the operator
+        assert self.q(t, 'FROM t | WHERE CONCAT(lang, ":x") == "fr:x" | KEEP id') == [2]

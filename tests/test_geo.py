@@ -316,3 +316,36 @@ def test_polygon_empty_and_null_rings_never_crash(spark):
         for rel in ("intersects", "within", "disjoint")
     }
     assert got == {"intersects": {2}, "within": {2}, "disjoint": set()}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    polys=st.lists(
+        st.lists(
+            st.tuples(st.integers(min_value=-4, max_value=7),
+                      st.integers(min_value=-4, max_value=7)),
+            min_size=3, max_size=6,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_polygon_envelope_relations_hypothesis(spark, polys):
+    """Random integer polygons (often degenerate or self-intersecting)
+    vs the seg-seg reference — complements the deterministic grid."""
+    from elasticsearch_hadoop_spark.functions.geo import polygon_envelope_relation
+
+    box = (0.0, 0.0, 3.0, 3.0)
+    df = _poly_df(spark, polys)
+    for rel in ("intersects", "within", "disjoint"):
+        got = {
+            r["id"]
+            for r in df.filter(
+                polygon_envelope_relation(F.col("poly"), box, rel)
+            ).collect()
+        }
+        want = {i for i, p in enumerate(polys) if _ref_poly_box(p, box)[rel]}
+        assert got == want, (rel, got ^ want)

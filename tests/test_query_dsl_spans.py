@@ -4,6 +4,8 @@ analyzed token positions (query_dsl._span_compile)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
@@ -415,3 +417,34 @@ def test_case_insensitive_term_level_option(spark):
     strict = {"term": {"s": {"value": "alpha"}}}
     assert df.filter(compile_query(strict)).count() == 0
     assert not any(match_doc(d, strict) for d in docs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    tokens=st.lists(st.sampled_from(list("abcx")), min_size=1, max_size=12),
+    slop=st.integers(min_value=0, max_value=4),
+    terms=st.lists(st.sampled_from(list("abc")), min_size=2, max_size=3),
+)
+def test_span_near_unordered_matches_bruteforce(spark, tokens, slop, terms):
+    """The n-way unordered fold vs a brute-force reference: enumerate
+    every way to pick one position per clause, require pairwise-distinct
+    positions (single-token spans -> non-overlap == distinct), window
+    gap = (max - min + 1) - n <= slop."""
+    import itertools
+
+    text = " ".join(tokens)
+    pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(terms)}
+    want = any(
+        len(set(combo)) == len(combo)
+        and (max(combo) - min(combo) + 1) - len(combo) <= slop
+        for combo in itertools.product(*(pos[t] for t in terms))
+    ) if all(pos[t] for t in set(terms)) else False
+    got = _match(
+        spark,
+        [text],
+        {"span_near": {
+            "clauses": [{"span_term": {"text": t}} for t in terms],
+            "slop": slop, "in_order": False,
+        }},
+    ) == [0]
+    assert got == want, (text, terms, slop)
