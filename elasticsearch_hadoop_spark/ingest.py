@@ -83,6 +83,13 @@ painless-lite predicate over ``ctx.field`` references, except where noted):
 - ``reroute`` — ``destination`` (mustache templates allowed) lands in
   the ``_index`` metadata column, consumed by dynamic index routing;
   like ES, the remaining processors are skipped for rerouted documents
+- ``circle`` — WKT ``CIRCLE (x y r)`` -> regular-polygon ring
+  (array<struct<lon, lat>>, closed) within ``error_distance`` (ES's
+  side-count formula); cartesian ``shape_type: shape`` only — geo_shape
+  circles need geodesic vertex placement (reject, don't approximate)
+- ``geo_grid`` — geotile ``z/x/y`` (closed-form Mercator unproject) or
+  geohash cell ids -> the cell's envelope
+  struct<min_lon, min_lat, max_lon, max_lat>; geohex rejects (needs H3)
 - ``terminate`` — stops the current pipeline for matching documents:
   later processors' ``if`` gains the negated terminate condition at
   compile time (an unconditional terminate truncates the pipeline;
@@ -966,7 +973,152 @@ def _apply_one(
         tgt = cfg.get("target_field", "direction")
         return _guarded(df, tgt, F.when(valid, direction), cond)
 
+    if kind == "circle":
+        # ES circle processor: approximate a circle as a regular polygon
+        # whose maximum deviation from the true circle stays within
+        # error_distance.  ES's side count: ceil(2π / acos(1 − err/r)),
+        # clamped to [4, 1000] (CircleUtils†).  Input is the WKT form
+        # ``CIRCLE (x y r)`` in a string field; output is the engine's
+        # polygon field layout — array<struct<lon, lat>>, ring closed —
+        # so the result feeds geo_shape field_type=polygon directly.
+        # Only shape_type=shape (cartesian) is offered: ES's geo_shape
+        # circles use geodesic vertex placement this planar math cannot
+        # reproduce exactly — reject, don't approximate.
+        import math as _math
+
+        if str(cfg.get("shape_type", "shape")).lower() != "shape":
+            raise IngestError(
+                "circle: only shape_type=shape (cartesian) is exact here; "
+                "geo_shape circles need geodesic vertex placement"
+            )
+        err = float(cfg.get("error_distance", 0) or 0)
+        if err <= 0:
+            raise IngestError("circle needs a positive error_distance")
+        c = _path_col(field).cast("string")
+        num = r"([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+        wkt = rf"^\s*CIRCLE\s*\(\s*{num}\s+{num}\s+{num}\s*\)\s*$"
+        cx = F.regexp_extract(c, wkt, 1).try_cast("double")
+        cy = F.regexp_extract(c, wkt, 2).try_cast("double")
+        r = F.regexp_extract(c, wkt, 3).try_cast("double")
+        n = F.least(
+            F.lit(1000),
+            F.greatest(
+                F.lit(4),
+                F.ceil(
+                    F.lit(2.0 * _math.pi)
+                    / F.acos(F.greatest(F.lit(-1.0), F.lit(1.0) - F.lit(err) / r))
+                ),
+            ),
+        ).cast("int")
+        step = F.lit(2.0 * _math.pi) / n.cast("double")
+        open_ring = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                (cx + r * F.cos(i.cast("double") * step)).alias("lon"),
+                (cy + r * F.sin(i.cast("double") * step)).alias("lat"),
+            ),
+        )
+        # close the ring by REPEATING the first vertex (cos(2π) != cos(0)
+        # in IEEE, so computing the closing vertex would not be equal)
+        ring = F.concat(open_ring, F.slice(open_ring, 1, 1))
+        valid = cx.isNotNull() & cy.isNotNull() & (r > 0)
+        return _guarded(df, target, F.when(valid, ring), cond)
+
+    if kind == "geo_grid":
+        # ES geo_grid processor: a grid-cell id -> the cell's geometry.
+        # Output is the engine's envelope field layout
+        # struct<min_lon, min_lat, max_lon, max_lat> (a grid cell IS a
+        # box; feeds geo_shape field_type=envelope).  geotile ids are
+        # "z/x/y" slippy-map cells (closed-form Mercator unproject);
+        # geohash ids decode by running the aggs-DSL encoder's
+        # bit-interleave backwards, one 5-bit char at a time with a
+        # carried bit-parity flag (x,y stay < 2^31 — no giant shifts).
+        # geohex needs the H3 library — reject.
+        tile_type = str(cfg.get("tile_type", "")).lower()
+        c = _path_col(field).cast("string")
+        if tile_type == "geotile":
+            part = F.split(c, "/")
+            z = F.get(part, 0).try_cast("int")
+            tx = F.get(part, 1).try_cast("double")
+            ty = F.get(part, 2).try_cast("double")
+            ncells = F.pow(F.lit(2.0), z.cast("double"))
+
+            def merc_lat(yy):
+                return F.degrees(
+                    F.atan(F.sinh(F.lit(_MATH_PI) * (1.0 - 2.0 * yy / ncells)))
+                )
+
+            env = F.struct(
+                (tx / ncells * 360.0 - 180.0).alias("min_lon"),
+                merc_lat(ty + 1.0).alias("min_lat"),
+                ((tx + 1.0) / ncells * 360.0 - 180.0).alias("max_lon"),
+                merc_lat(ty).alias("max_lat"),
+            )
+            valid = (
+                z.isNotNull() & tx.isNotNull() & ty.isNotNull()
+                & z.between(0, 29) & (F.size(part) == 3)
+            )
+            return _guarded(df, target, F.when(valid, env), cond)
+        if tile_type == "geohash":
+            from elasticsearch_hadoop_spark.aggs_dsl import GEOHASH_BASE32
+
+            idx_of = {ch: i for i, ch in enumerate(GEOHASH_BASE32)}
+            # per-char 5-bit values; unknown chars -> null (invalid hash)
+            vals = F.transform(
+                F.split(c, ""),
+                lambda ch: F.try_element_at(
+                    F.create_map(
+                        *[x for k, v in idx_of.items() for x in (F.lit(k), F.lit(v))]
+                    ),
+                    ch,
+                ),
+            )
+            zero = F.struct(
+                F.lit(0).cast("long").alias("x"),
+                F.lit(0).cast("long").alias("y"),
+                F.lit(True).alias("even"),
+                F.lit(True).alias("ok"),
+            )
+
+            def _step(acc, v):
+                bits = [
+                    F.shiftright(v, 4 - k).bitwiseAND(F.lit(1)).cast("long")
+                    for k in range(5)
+                ]
+                x_even = acc["x"] * 8 + bits[0] * 4 + bits[2] * 2 + bits[4]
+                y_even = acc["y"] * 4 + bits[1] * 2 + bits[3]
+                x_odd = acc["x"] * 4 + bits[1] * 2 + bits[3]
+                y_odd = acc["y"] * 8 + bits[0] * 4 + bits[2] * 2 + bits[4]
+                return F.struct(
+                    F.when(acc["even"], x_even).otherwise(x_odd).alias("x"),
+                    F.when(acc["even"], y_even).otherwise(y_odd).alias("y"),
+                    (~acc["even"]).alias("even"),
+                    (acc["ok"] & v.isNotNull()).alias("ok"),
+                )
+
+            dec = F.aggregate(vals, zero, _step)
+            p = F.length(c)
+            lon_bits = ((5 * p + 1) / 2).cast("int")
+            lat_bits = ((5 * p) / 2).cast("int")
+            lon_cells = F.pow(F.lit(2.0), lon_bits.cast("double"))
+            lat_cells = F.pow(F.lit(2.0), lat_bits.cast("double"))
+            env = F.struct(
+                (dec["x"] / lon_cells * 360.0 - 180.0).alias("min_lon"),
+                (dec["y"] / lat_cells * 180.0 - 90.0).alias("min_lat"),
+                ((dec["x"] + 1.0) / lon_cells * 360.0 - 180.0).alias("max_lon"),
+                ((dec["y"] + 1.0) / lat_cells * 180.0 - 90.0).alias("max_lat"),
+            )
+            valid = dec["ok"] & p.between(1, 12)
+            return _guarded(df, target, F.when(valid, env), cond)
+        raise IngestError(
+            f"geo_grid: unsupported tile_type {cfg.get('tile_type')!r} "
+            "(geotile and geohash decode in closed form; geohex needs H3)"
+        )
+
     raise IngestError(f"unsupported processor {kind!r}")
+
+
+_MATH_PI = 3.141592653589793
 
 
 _SUPPORTED = {
@@ -976,7 +1128,7 @@ _SUPPORTED = {
     "grok", "html_strip", "urldecode", "bytes", "csv", "sort",
     "fail", "foreach", "dot_expander", "date_index_name", "redact",
     "registered_domain", "community_id", "network_direction",
-    "user_agent", "geoip", "reroute",
+    "user_agent", "geoip", "reroute", "circle", "geo_grid",
 }
 
 # processors that honor a per-row `if` — the set a conditional terminate
@@ -987,7 +1139,7 @@ _GUARDABLE = {
     "script", "uri_parts", "html_strip", "urldecode", "bytes", "csv",
     "sort", "drop", "fail", "foreach", "date_index_name", "redact",
     "registered_domain", "community_id", "network_direction", "user_agent",
-    "reroute",
+    "reroute", "circle", "geo_grid",
 }
 
 
@@ -1027,6 +1179,21 @@ def _precheck(kind: str, cfg: dict) -> None:
                 raise IngestError(f"enrich needs {req}")
         if "if" in cfg:
             raise IngestError("enrich: per-row if unsupported (it is a join)")
+    if kind == "circle":
+        if str(cfg.get("shape_type", "shape")).lower() != "shape":
+            raise IngestError(
+                "circle: only shape_type=shape (cartesian) is exact here; "
+                "geo_shape circles need geodesic vertex placement"
+            )
+        if float(cfg.get("error_distance", 0) or 0) <= 0:
+            raise IngestError("circle needs a positive error_distance")
+    if kind == "geo_grid" and str(cfg.get("tile_type", "")).lower() not in (
+        "geotile", "geohash"
+    ):
+        raise IngestError(
+            f"geo_grid: unsupported tile_type {cfg.get('tile_type')!r} "
+            "(geotile and geohash decode in closed form; geohex needs H3)"
+        )
     if kind == "grok":
         from elasticsearch_hadoop_spark.esql import EsqlError, _grok_regex
 

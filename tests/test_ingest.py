@@ -716,3 +716,124 @@ def test_enrich_overwrites_existing_target_column(spark):
     out = pipe(df)
     assert out.columns.count("who") == 1
     assert rows(out)[0]["who"] == {"cc": "us", "region": "Ohio"}
+
+
+class TestCircleGeoGrid:
+    """Round-8 pending processors: circle (WKT -> error-bounded n-gon)
+    and geo_grid (geotile/geohash cell -> envelope)."""
+
+    def test_circle_sides_radius_and_garbage(self, spark):
+        import math
+
+        from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+        df = spark.createDataFrame(
+            [(1, "CIRCLE (10 20 2.0)"), (2, "garbage"), (3, "CIRCLE (-1.5 0 0.5)")],
+            "id int, shp string",
+        )
+        fn = compile_pipeline(
+            [{"circle": {"field": "shp", "target_field": "poly",
+                         "error_distance": 0.1}}]
+        )
+        rows = {r["id"]: r["poly"] for r in fn(df).collect()}
+        ring = rows[1]
+        want_n = max(4, min(1000, math.ceil(
+            2 * math.pi / math.acos(max(-1.0, 1 - 0.1 / 2.0)))))
+        assert len(ring) - 1 == want_n
+        assert ring[0] == ring[-1]  # closed by REPEATING vertex 0
+        assert all(
+            abs(math.hypot(v["lon"] - 10, v["lat"] - 20) - 2.0) < 1e-9
+            for v in ring
+        )
+        assert rows[2] is None  # unparseable WKT -> null, not a crash
+        # err >= r clamps to the 4-side minimum... here err=0.1 < r=0.5
+        assert len(rows[3]) - 1 == math.ceil(
+            2 * math.pi / math.acos(1 - 0.1 / 0.5))
+
+    def test_circle_rejections(self, spark):
+        from elasticsearch_hadoop_spark.ingest import IngestError, compile_pipeline
+
+        with pytest.raises(IngestError, match="geodesic"):
+            compile_pipeline([{"circle": {"field": "s", "shape_type": "geo_shape",
+                                          "error_distance": 1.0}}])
+        with pytest.raises(IngestError, match="error_distance"):
+            compile_pipeline([{"circle": {"field": "s"}}])
+
+    def test_geotile_decode_matches_slippy_formula(self, spark):
+        import math
+
+        from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+        def tile_bbox(z, x, y):
+            n = 2 ** z
+            return (
+                x / n * 360 - 180,
+                math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 1) / n)))),
+                (x + 1) / n * 360 - 180,
+                math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n)))),
+            )
+
+        cases = [(0, 0, 0), (3, 2, 5), (10, 511, 300), (29, 1, 1)]
+        df = spark.createDataFrame(
+            [(i, f"{z}/{x}/{y}") for i, (z, x, y) in enumerate(cases)],
+            "id int, cell string",
+        )
+        fn = compile_pipeline(
+            [{"geo_grid": {"field": "cell", "target_field": "env",
+                           "tile_type": "geotile"}}]
+        )
+        got = {r["id"]: r["env"] for r in fn(df).collect()}
+        for i, (z, x, y) in enumerate(cases):
+            w = tile_bbox(z, x, y)
+            g = got[i]
+            assert all(
+                abs(a - b) < 1e-9
+                for a, b in zip(
+                    (g["min_lon"], g["min_lat"], g["max_lon"], g["max_lat"]), w)
+            ), (z, x, y)
+
+    def test_geohash_decode_matches_reference(self, spark):
+        from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+        def gh_decode(h):
+            B = "0123456789bcdefghjkmnpqrstuvwxyz"
+            x = y = 0
+            even = True
+            for ch in h:
+                v = B.index(ch)
+                for k in range(5):
+                    b = (v >> (4 - k)) & 1
+                    if even:
+                        x = x * 2 + b
+                    else:
+                        y = y * 2 + b
+                    even = not even
+            lonb, latb = (5 * len(h) + 1) // 2, 5 * len(h) // 2
+            return (x / 2 ** lonb * 360 - 180, y / 2 ** latb * 180 - 90,
+                    (x + 1) / 2 ** lonb * 360 - 180, (y + 1) / 2 ** latb * 180 - 90)
+
+        hashes = ["u", "u4pruyd", "9q8yyk8", "ezs42", "u4pruydqqvj0"]
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hashes)] + [(99, "ab!")],
+            "id int, cell string",
+        )
+        fn = compile_pipeline(
+            [{"geo_grid": {"field": "cell", "target_field": "env",
+                           "tile_type": "geohash"}}]
+        )
+        got = {r["id"]: r["env"] for r in fn(df).collect()}
+        for i, h in enumerate(hashes):
+            w = gh_decode(h)
+            g = got[i]
+            assert all(
+                abs(a - b) < 1e-9
+                for a, b in zip(
+                    (g["min_lon"], g["min_lat"], g["max_lon"], g["max_lat"]), w)
+            ), h
+        assert got[99] is None  # invalid base32 char -> null
+
+    def test_geo_grid_rejects_geohex_at_compile(self, spark):
+        from elasticsearch_hadoop_spark.ingest import IngestError, compile_pipeline
+
+        with pytest.raises(IngestError, match="H3"):
+            compile_pipeline([{"geo_grid": {"field": "c", "tile_type": "geohex"}}])
