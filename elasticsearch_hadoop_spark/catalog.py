@@ -95,6 +95,8 @@ class Catalog:
         self.spark = spark
         self.root = root
         self.transactional = transactional
+        # open point-in-time ids -> expiry epoch (open_point_in_time)
+        self._pits: dict[str, float] = {}
         os.makedirs(root, exist_ok=True)
 
     # ---------------------------------------------------------------- paths
@@ -672,6 +674,67 @@ class Catalog:
         if not dirs:
             raise ValueError(f"version {version} of {names[0]!r} is empty")
         return self._read_dirs(dirs)
+
+    def open_point_in_time(
+        self, name: str, keep_alive: str = "5m", now: float | None = None
+    ) -> str:
+        """ES ``POST /<index>/_pit?keep_alive=...`` — pin the index's
+        CURRENT committed version so searches through the PIT see a
+        frozen snapshot regardless of concurrent writes.  Returns an
+        opaque id (base64 of index+version).  Requires a transactional
+        index: the manifest log IS the snapshot mechanism (default
+        single-swap indexes have no pinnable versions).  ``keep_alive``
+        bounds the id's life from ``now`` (explicit like the watcher's —
+        deterministic and testable); every ``pit_read`` with a
+        keep_alive EXTENDS it, exactly ES's touch-to-extend rule.  The
+        time-travel horizon caveat of read_index_version applies: a
+        vacuum inside the window invalidates the pinned dirs."""
+        import base64
+        import time as _time
+
+        names = self.resolve_pattern(name)
+        if len(names) != 1:
+            raise ValueError(f"a PIT pins a single index, got {names}")
+        path = self.path(names[0])
+        if not txn.is_transactional(path):
+            raise ValueError(f"index {names[0]!r} is not transactional")
+        version, _ = txn.latest(path)
+        now = _time.time() if now is None else now
+        pit_id = base64.b64encode(
+            json.dumps({"index": names[0], "version": version}).encode()
+        ).decode()
+        from elasticsearch_hadoop_spark.durations import parse_duration
+
+        self._pits[pit_id] = now + parse_duration(keep_alive)
+        return pit_id
+
+    def pit_read(
+        self,
+        pit_id: str,
+        keep_alive: str | None = None,
+        now: float | None = None,
+    ) -> DataFrame:
+        """Read the snapshot a PIT pins.  Expired or closed ids raise
+        (ES's search_context_missing); a ``keep_alive`` extends the id
+        from ``now``."""
+        import base64
+        import time as _time
+
+        now = _time.time() if now is None else now
+        expiry = self._pits.get(pit_id)
+        if expiry is None or now > expiry:
+            self._pits.pop(pit_id, None)
+            raise ValueError("point in time expired or closed (search_context_missing)")
+        if keep_alive is not None:
+            from elasticsearch_hadoop_spark.durations import parse_duration
+
+            self._pits[pit_id] = now + parse_duration(keep_alive)
+        ref = json.loads(base64.b64decode(pit_id))
+        return self.read_index_version(ref["index"], ref["version"])
+
+    def close_point_in_time(self, pit_id: str) -> bool:
+        """ES ``DELETE /_pit`` — returns whether the id was open."""
+        return self._pits.pop(pit_id, None) is not None
 
     def index_history(self, name: str) -> list[dict]:
         """The commit log as data: one dict per committed version

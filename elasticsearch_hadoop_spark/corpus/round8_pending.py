@@ -92,3 +92,62 @@ def ingest_circle_geogrid(spark, sf_dir):
         F.round(F.col("env.max_lon"), 6).alias("max_lon"),
         F.round(F.col("env.max_lat"), 6).alias("max_lat"),
     ).orderBy("event_id")
+
+
+@query(
+    "writepath_pit_search_after",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+  FROM v1
+)
+SELECT doc_id, lang, n_chars, CAST(ceil(rn / 40.0) AS BIGINT) AS page
+FROM ranked
+WHERE rn <= 120
+ORDER BY rn
+""",
+)
+def writepath_pit_search_after(spark, sf_dir):
+    """ES point-in-time + search_after deep pagination (the canonical
+    scroll replacement): write the even documents as v1 of a
+    transactional index, open a PIT, then APPEND the odd half — the
+    three keyset pages read through the PIT still see only v1's frozen
+    snapshot.  Each page is a sargable cursor filter +
+    TakeOrderedAndProject; the PIT pins a manifest, not a copy."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+    from elasticsearch_hadoop_spark.search import search_after
+
+    root = _workdir(sf_dir, "pit_sa")
+    cat = Catalog(spark, root, transactional=True)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    cat.write_index(
+        docs.filter(F.col("doc_id") % 2 == 0), "docs",
+        mode="overwrite", id_col="doc_id",
+    )
+    pit = cat.open_point_in_time("docs", keep_alive="5m", now=0.0)
+    cat.write_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "docs", mode="append"
+    )
+    sort = [{"n_chars": "desc"}, {"doc_id": "asc"}]
+    pages, cursor = [], None
+    for page_no in (1, 2, 3):
+        hits = search_after(
+            cat.pit_read(pit, keep_alive="5m", now=float(page_no)),
+            sort, after=cursor, size=40,
+        ).withColumn("page", F.lit(page_no).cast("long"))
+        rows = hits.collect()  # a 40-row page: the bounded driver fetch
+        if rows:
+            cursor = (rows[-1]["n_chars"], rows[-1]["doc_id"])
+        pages.append(hits)
+    cat.close_point_in_time(pit)
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out.select("doc_id", "lang", "n_chars", "page").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )

@@ -850,3 +850,37 @@ def test_watcher_state_load_propagates_non_missing_errors(spark, tmp_path):
 
     with _pytest.raises(Exception):
         load_watcher_state(cat)
+
+
+def test_point_in_time_lifecycle(spark, tmp_path):
+    from elasticsearch_hadoop_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "pit"), transactional=True)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    cat.write_index(df1, "docs", mode="overwrite", id_col="id")
+    pit = cat.open_point_in_time("docs", keep_alive="5m", now=1000.0)
+    # a concurrent append is INVISIBLE through the PIT
+    cat.write_index(
+        spark.createDataFrame([(3, "c")], "id int, v string"), "docs", mode="append"
+    )
+    assert cat.read_index("docs").count() == 3
+    assert cat.pit_read(pit, now=1100.0).count() == 2
+    # touch-to-extend: keep_alive refreshes the window from `now`
+    cat.pit_read(pit, keep_alive="5m", now=1290.0)
+    assert cat.pit_read(pit, now=1500.0).count() == 2  # would have expired
+    # expiry raises ES's search_context_missing analogue
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="search_context_missing"):
+        cat.pit_read(pit, now=99999.0)
+    # closed -> gone; double close reports False
+    pit2 = cat.open_point_in_time("docs", now=1.0)
+    assert cat.close_point_in_time(pit2) is True
+    assert cat.close_point_in_time(pit2) is False
+    with _pytest.raises(ValueError, match="search_context_missing"):
+        cat.pit_read(pit2, now=2.0)
+    # non-transactional index: reject (no pinnable versions)
+    cat2 = Catalog(spark, str(tmp_path / "plain"))
+    cat2.write_index(df1, "docs", mode="overwrite")
+    with _pytest.raises(ValueError, match="transactional"):
+        cat2.open_point_in_time("docs")
