@@ -151,3 +151,70 @@ def writepath_pit_search_after(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars", "page").orderBy(
         F.col("n_chars").desc(), "doc_id"
     )
+
+
+@query(
+    "ingest_geohash_decode",
+    oracle="""
+WITH h AS (
+  SELECT event_id,
+         substr('0123456789bcdefghjkmnpqrstuvwxyz', ((event_id + 7) % 32)::INT + 1, 1)
+         || substr('0123456789bcdefghjkmnpqrstuvwxyz', ((event_id + 14) % 32)::INT + 1, 1)
+         || substr('0123456789bcdefghjkmnpqrstuvwxyz', ((event_id + 21) % 32)::INT + 1, 1)
+         || substr('0123456789bcdefghjkmnpqrstuvwxyz', ((event_id + 28) % 32)::INT + 1, 1)
+         || substr('0123456789bcdefghjkmnpqrstuvwxyz', ((event_id + 35) % 32)::INT + 1, 1)
+           AS gh
+  FROM events
+),
+v5 AS (
+  SELECT event_id, gh,
+         (((CAST(strpos('0123456789bcdefghjkmnpqrstuvwxyz', substr(gh, 1, 1)) - 1 AS BIGINT) * 32
+            + (strpos('0123456789bcdefghjkmnpqrstuvwxyz', substr(gh, 2, 1)) - 1)) * 32
+            + (strpos('0123456789bcdefghjkmnpqrstuvwxyz', substr(gh, 3, 1)) - 1)) * 32
+            + (strpos('0123456789bcdefghjkmnpqrstuvwxyz', substr(gh, 4, 1)) - 1)) * 32
+            + (strpos('0123456789bcdefghjkmnpqrstuvwxyz', substr(gh, 5, 1)) - 1) AS v
+  FROM h
+),
+xy AS (
+  SELECT event_id, gh,
+         (((v >> 24) & 1) * 4096 + ((v >> 22) & 1) * 2048 + ((v >> 20) & 1) * 1024 + ((v >> 18) & 1) * 512 + ((v >> 16) & 1) * 256 + ((v >> 14) & 1) * 128 + ((v >> 12) & 1) * 64 + ((v >> 10) & 1) * 32 + ((v >> 8) & 1) * 16 + ((v >> 6) & 1) * 8 + ((v >> 4) & 1) * 4 + ((v >> 2) & 1) * 2 + ((v >> 0) & 1) * 1) AS x,
+         (((v >> 23) & 1) * 2048 + ((v >> 21) & 1) * 1024 + ((v >> 19) & 1) * 512 + ((v >> 17) & 1) * 256 + ((v >> 15) & 1) * 128 + ((v >> 13) & 1) * 64 + ((v >> 11) & 1) * 32 + ((v >> 9) & 1) * 16 + ((v >> 7) & 1) * 8 + ((v >> 5) & 1) * 4 + ((v >> 3) & 1) * 2 + ((v >> 1) & 1) * 1) AS y
+  FROM v5
+)
+SELECT event_id, gh,
+       round(x / 8192.0 * 360 - 180, 6) AS min_lon,
+       round(y / 4096.0 * 180 - 90, 6) AS min_lat,
+       round((x + 1) / 8192.0 * 360 - 180, 6) AS max_lon,
+       round((y + 1) / 4096.0 * 180 - 90, 6) AS max_lat
+FROM xy
+ORDER BY event_id
+""",
+)
+def ingest_geohash_decode(spark, sf_dir):
+    """Ingest `geo_grid` over GEOHASH cells: every event synthesizes a
+    5-char hash from the base32 alphabet, the processor de-interleaves
+    the 25 bits back to the cell envelope, and the oracle replays the
+    decode with explicit shift-and-mask integer arithmetic (13 lon bits,
+    12 lat bits at precision 5).  The per-char parity-carrying aggregate
+    is the scale path: pure Column math, one pass over the chars."""
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    B = "0123456789bcdefghjkmnpqrstuvwxyz"
+    ev = tbl(spark, sf_dir, "events").select("event_id")
+    alpha = F.lit(list(B))
+    ch = lambda k: F.get(alpha, ((F.col("event_id") + 7 * k) % 32).cast("int"))
+    wire = ev.select(
+        "event_id", F.concat(ch(1), ch(2), ch(3), ch(4), ch(5)).alias("gh")
+    )
+    fn = compile_pipeline([
+        {"geo_grid": {"field": "gh", "target_field": "env",
+                      "tile_type": "geohash"}},
+    ])
+    out = fn(wire)
+    return out.select(
+        "event_id", "gh",
+        F.round(F.col("env.min_lon"), 6).alias("min_lon"),
+        F.round(F.col("env.min_lat"), 6).alias("min_lat"),
+        F.round(F.col("env.max_lon"), 6).alias("max_lon"),
+        F.round(F.col("env.max_lat"), 6).alias("max_lat"),
+    ).orderBy("event_id")
