@@ -218,3 +218,35 @@ def ingest_geohash_decode(spark, sf_dir):
         F.round(F.col("env.max_lon"), 6).alias("max_lon"),
         F.round(F.col("env.max_lat"), 6).alias("max_lat"),
     ).orderBy("event_id")
+
+
+@query(
+    "esql_match_colon",
+    oracle="""
+WITH an AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n
+FROM an
+WHERE (list_contains(toks, 'hash') OR list_contains(toks, 'merge'))
+  AND lang <> 'fr'
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def esql_match_colon(spark, sf_dir):
+    """ES|QL 8.17 match OPERATOR (`field : "query"`): colon leaves in
+    WHERE compile through the query-DSL token-overlap match, composing
+    with NOT and STATS; a colon inside a string literal stays literal
+    (the boolean splitter blanks literals before probing)."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    docs = tbl(spark, sf_dir, "documents")
+    return esql(
+        'FROM d | WHERE text : "hash merge" AND NOT lang : "fr" '
+        "| STATS n = COUNT(*) BY lang | SORT lang",
+        tables={"d": docs},
+    )

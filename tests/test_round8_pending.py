@@ -15,7 +15,7 @@ import pytest
 import tests.oracle_harness as oh
 
 PENDING = ["ingest_circle_geogrid", "writepath_pit_search_after",
-           "ingest_geohash_decode"]
+           "ingest_geohash_decode", "esql_match_colon"]
 
 _MOD = "elasticsearch_hadoop_spark.corpus.round8_pending"
 
