@@ -700,8 +700,14 @@ class Catalog:
             raise ValueError(f"index {names[0]!r} is not transactional")
         version, _ = txn.latest(path)
         now = _time.time() if now is None else now
+        # a per-open nonce keeps every _pit open a DISTINCT context (ES
+        # semantics) — without it two PITs on the same snapshot would
+        # share one registry entry and close/extend each other
+        self._pit_seq = getattr(self, "_pit_seq", 0) + 1
         pit_id = base64.b64encode(
-            json.dumps({"index": names[0], "version": version}).encode()
+            json.dumps(
+                {"index": names[0], "version": version, "n": self._pit_seq}
+            ).encode()
         ).decode()
         from elasticsearch_hadoop_spark.durations import parse_duration
 

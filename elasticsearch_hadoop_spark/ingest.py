@@ -100,6 +100,7 @@ Anything else raises ``IngestError`` — no silent skips.
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -983,19 +984,12 @@ def _apply_one(
         # so the result feeds geo_shape field_type=polygon directly.
         # Only shape_type=shape (cartesian) is offered: ES's geo_shape
         # circles use geodesic vertex placement this planar math cannot
-        # reproduce exactly — reject, don't approximate.
-        import math as _math
-
-        if str(cfg.get("shape_type", "shape")).lower() != "shape":
-            raise IngestError(
-                "circle: only shape_type=shape (cartesian) is exact here; "
-                "geo_shape circles need geodesic vertex placement"
-            )
-        err = float(cfg.get("error_distance", 0) or 0)
-        if err <= 0:
-            raise IngestError("circle needs a positive error_distance")
+        # reproduce exactly — reject, don't approximate.  (shape_type and
+        # error_distance validate in _precheck — compile_pipeline's
+        # declaration-time gate, the only public path here.)
+        err = float(cfg["error_distance"])
         c = _path_col(field).cast("string")
-        num = r"([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+        num = r"([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
         wkt = rf"^\s*CIRCLE\s*\(\s*{num}\s+{num}\s+{num}\s*\)\s*$"
         cx = F.regexp_extract(c, wkt, 1).try_cast("double")
         cy = F.regexp_extract(c, wkt, 2).try_cast("double")
@@ -1005,12 +999,12 @@ def _apply_one(
             F.greatest(
                 F.lit(4),
                 F.ceil(
-                    F.lit(2.0 * _math.pi)
+                    F.lit(2.0 * math.pi)
                     / F.acos(F.greatest(F.lit(-1.0), F.lit(1.0) - F.lit(err) / r))
                 ),
             ),
         ).cast("int")
-        step = F.lit(2.0 * _math.pi) / n.cast("double")
+        step = F.lit(2.0 * math.pi) / n.cast("double")
         open_ring = F.transform(
             F.sequence(F.lit(0), n - 1),
             lambda i: F.struct(
@@ -1045,7 +1039,7 @@ def _apply_one(
 
             def merc_lat(yy):
                 return F.degrees(
-                    F.atan(F.sinh(F.lit(_MATH_PI) * (1.0 - 2.0 * yy / ncells)))
+                    F.atan(F.sinh(F.lit(math.pi) * (1.0 - 2.0 * yy / ncells)))
                 )
 
             env = F.struct(
@@ -1054,24 +1048,30 @@ def _apply_one(
                 ((tx + 1.0) / ncells * 360.0 - 180.0).alias("max_lon"),
                 merc_lat(ty).alias("max_lat"),
             )
+            # x/y must be INTEGERS inside [0, 2^z - 1] — ES's
+            # GeoTileUtils.parseHash rejects out-of-range and fractional
+            # coordinates; here the processor's invalid-input convention
+            # is a null envelope, never a garbage longitude like 270
             valid = (
                 z.isNotNull() & tx.isNotNull() & ty.isNotNull()
                 & z.between(0, 29) & (F.size(part) == 3)
+                & (tx == F.floor(tx)) & (ty == F.floor(ty))
+                & (tx >= 0) & (tx < ncells) & (ty >= 0) & (ty < ncells)
             )
             return _guarded(df, target, F.when(valid, env), cond)
         if tile_type == "geohash":
             from elasticsearch_hadoop_spark.aggs_dsl import GEOHASH_BASE32
 
-            idx_of = {ch: i for i, ch in enumerate(GEOHASH_BASE32)}
-            # per-char 5-bit values; unknown chars -> null (invalid hash)
+            # per-char 5-bit values via array_position on the SAME
+            # alphabet literal the encoder uses (aggs_dsl geohash_grid);
+            # position 0 = not found -> null (invalid hash)
+            alphabet = F.lit(list(GEOHASH_BASE32))
             vals = F.transform(
                 F.split(c, ""),
-                lambda ch: F.try_element_at(
-                    F.create_map(
-                        *[x for k, v in idx_of.items() for x in (F.lit(k), F.lit(v))]
-                    ),
-                    ch,
-                ),
+                lambda ch: F.when(
+                    F.array_position(alphabet, ch) > 0,
+                    F.array_position(alphabet, ch) - 1,
+                ).cast("int"),
             )
             zero = F.struct(
                 F.lit(0).cast("long").alias("x"),
@@ -1116,9 +1116,6 @@ def _apply_one(
         )
 
     raise IngestError(f"unsupported processor {kind!r}")
-
-
-_MATH_PI = 3.141592653589793
 
 
 _SUPPORTED = {

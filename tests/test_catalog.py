@@ -884,3 +884,17 @@ def test_point_in_time_lifecycle(spark, tmp_path):
     cat2.write_index(df1, "docs", mode="overwrite")
     with _pytest.raises(ValueError, match="transactional"):
         cat2.open_point_in_time("docs")
+
+
+def test_pits_on_same_snapshot_are_distinct_contexts(spark, tmp_path):
+    from elasticsearch_hadoop_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "pit2"), transactional=True)
+    cat.write_index(spark.createDataFrame([(1,)], "id int"), "d", mode="overwrite")
+    a = cat.open_point_in_time("d", keep_alive="1h", now=0.0)
+    b = cat.open_point_in_time("d", keep_alive="1m", now=0.0)
+    assert a != b  # every _pit open is its own context (ES semantics)
+    # b's short window must not shorten a's
+    assert cat.pit_read(a, now=120.0).count() == 1
+    assert cat.close_point_in_time(b) is True
+    assert cat.pit_read(a, now=130.0).count() == 1  # closing b spares a

@@ -837,3 +837,40 @@ class TestCircleGeoGrid:
 
         with pytest.raises(IngestError, match="H3"):
             compile_pipeline([{"geo_grid": {"field": "c", "tile_type": "geohex"}}])
+
+    def test_circle_accepts_bare_dot_decimals(self, spark):
+        import math
+
+        from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+        df = spark.createDataFrame(
+            [(1, "CIRCLE (.5 .5 .5)"), (2, "CIRCLE (5. 1. 1.e0)")],
+            "id int, shp string",
+        )
+        fn = compile_pipeline(
+            [{"circle": {"field": "shp", "target_field": "poly",
+                         "error_distance": 0.1}}]
+        )
+        rows = {r["id"]: r["poly"] for r in fn(df).collect()}
+        assert rows[1] is not None and rows[2] is not None
+        assert all(
+            abs(math.hypot(v["lon"] - 0.5, v["lat"] - 0.5) - 0.5) < 1e-9
+            for v in rows[1]
+        )
+
+    def test_geotile_rejects_out_of_range_and_fractional(self, spark):
+        from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+        df = spark.createDataFrame(
+            [(1, "4/20/5"), (2, "4/-1/5"), (3, "4/1.5/2"), (4, "4/15/11"),
+             (5, "4/1/2/3")],
+            "id int, cell string",
+        )
+        fn = compile_pipeline(
+            [{"geo_grid": {"field": "cell", "target_field": "env",
+                           "tile_type": "geotile"}}]
+        )
+        got = {r["id"]: r["env"] for r in fn(df).collect()}
+        assert got[1] is None and got[2] is None and got[3] is None
+        assert got[5] is None  # wrong arity
+        assert got[4] is not None and -180 <= got[4]["min_lon"] <= 180
