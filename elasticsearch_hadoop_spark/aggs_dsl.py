@@ -503,6 +503,8 @@ def compile_aggs(
                     "base_df=<pre-query join-field frame>)"
                 )
             b = body[kind]
+            if "type" not in b:
+                raise AggsDslError(f"{kind} bucket requires a 'type' key")
             typ = b["type"]
             jcol = b.get("join_field", "join_field")
             idc = b.get("id_field", "_id")

@@ -71,6 +71,13 @@ class IndexExistsError(RuntimeError):
     """mode="error" target already exists (SaveMode.ErrorIfExists parity)."""
 
 
+class IndexNotFoundError(ValueError):
+    """ES 404 index_not_found_exception: an exact index/alias name does
+    not exist.  Subclasses ValueError so pre-existing ``except
+    ValueError`` handlers keep working; catch THIS type (not the message
+    text) to branch on missing-index."""
+
+
 class DocumentConflictError(RuntimeError):
     """operation="create" hit existing _ids (ES 409 version_conflict parity)."""
 
@@ -95,9 +102,26 @@ class Catalog:
         self.spark = spark
         self.root = root
         self.transactional = transactional
-        # open point-in-time ids -> expiry epoch (open_point_in_time)
-        self._pits: dict[str, float] = {}
         os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------- PIT state
+    # The PIT registry is persisted under the root (like the alias map and
+    # the watcher state) so a pit_id opened through one Catalog instance is
+    # readable through ANY instance over the same root within keep_alive —
+    # ES's server-side PIT locality, not per-client state.
+    def _pits_path(self) -> str:
+        return os.path.join(self.root, "_pits.json")
+
+    def _read_pits(self) -> dict:
+        try:
+            with open(self._pits_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"seq": 0, "pits": {}}
+
+    def _write_pits(self, state: dict) -> None:
+        with open(self._pits_path(), "w") as f:
+            json.dump(state, f)
 
     # ---------------------------------------------------------------- paths
     def path(self, name: str) -> str:
@@ -703,15 +727,17 @@ class Catalog:
         # a per-open nonce keeps every _pit open a DISTINCT context (ES
         # semantics) — without it two PITs on the same snapshot would
         # share one registry entry and close/extend each other
-        self._pit_seq = getattr(self, "_pit_seq", 0) + 1
+        state = self._read_pits()
+        state["seq"] += 1
         pit_id = base64.b64encode(
             json.dumps(
-                {"index": names[0], "version": version, "n": self._pit_seq}
+                {"index": names[0], "version": version, "n": state["seq"]}
             ).encode()
         ).decode()
         from elasticsearch_hadoop_spark.durations import parse_duration
 
-        self._pits[pit_id] = now + parse_duration(keep_alive)
+        state["pits"][pit_id] = now + parse_duration(keep_alive)
+        self._write_pits(state)
         return pit_id
 
     def pit_read(
@@ -727,20 +753,27 @@ class Catalog:
         import time as _time
 
         now = _time.time() if now is None else now
-        expiry = self._pits.get(pit_id)
+        state = self._read_pits()
+        expiry = state["pits"].get(pit_id)
         if expiry is None or now > expiry:
-            self._pits.pop(pit_id, None)
+            if state["pits"].pop(pit_id, None) is not None:
+                self._write_pits(state)
             raise ValueError("point in time expired or closed (search_context_missing)")
         if keep_alive is not None:
             from elasticsearch_hadoop_spark.durations import parse_duration
 
-            self._pits[pit_id] = now + parse_duration(keep_alive)
+            state["pits"][pit_id] = now + parse_duration(keep_alive)
+            self._write_pits(state)
         ref = json.loads(base64.b64decode(pit_id))
         return self.read_index_version(ref["index"], ref["version"])
 
     def close_point_in_time(self, pit_id: str) -> bool:
         """ES ``DELETE /_pit`` — returns whether the id was open."""
-        return self._pits.pop(pit_id, None) is not None
+        state = self._read_pits()
+        was_open = state["pits"].pop(pit_id, None) is not None
+        if was_open:
+            self._write_pits(state)
+        return was_open
 
     def index_history(self, name: str) -> list[dict]:
         """The commit log as data: one dict per committed version
@@ -890,7 +923,7 @@ class Catalog:
                     _add(m, None)
             elif not self.exists(part):
                 # ES answers 404 for an unknown exact index/alias name
-                raise ValueError(f"no such index or alias: {part!r}")
+                raise IndexNotFoundError(f"no such index or alias: {part!r}")
             else:
                 _add(part, None)
         if not order:

@@ -97,7 +97,14 @@ def _rewrite_string_methods(body: str) -> str:
     """Rewrite painless ``expr.method(args)`` String calls to their Spark
     SQL function forms.  Index-taking methods translate painless 0-based
     positions to SQL 1-based exactly (substring begin -> +1; indexOf's
-    missing -> instr 0 - 1 = painless -1)."""
+    missing -> instr 0 - 1 = painless -1).
+
+    Documented divergence: ``substring(begin, end)`` with ``end < begin``
+    THROWS in painless (StringIndexOutOfBoundsException) but compiles here
+    to ``substr(recv, begin+1, end-begin)`` whose negative length yields
+    ``''`` — i.e. the malformed range is silently clamped to empty rather
+    than failing the document.  Data-dependent per-row raising has no
+    clean Column form; empty-string is the defined behavior."""
 
     def sub_one(m: re.Match) -> str:
         recv, meth, args = m.group(1), m.group(2), m.group(3).strip()

