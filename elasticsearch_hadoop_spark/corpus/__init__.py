@@ -37,88 +37,81 @@ def query(name: str, oracle: str | None = None):
 
 
 # The correctness driver grades a bounded prefix of the registration order
-# (the first 50 queries, observed every round).  Rounds 1-6 banked a green
-# verdict for 250 of 252 queries; the graded window is the scarce
-# resource.  Round-7 policy (VERDICT.md round-6 items 1-3):
-#   * slots 1-2: the two r6 reds, re-graded after the decimal-vs-double
-#     literal fix in esql._translate_expr / runtime_fields.compile_script
-#     (unsuffixed float literals now plan as DOUBLE, matching
-#     ES|QL/painless semantics);
-#   * slots 3-20: the 18 round-6 library surfaces held in
-#     corpus/round7_pending.py during the round-6 freeze (INLINESTATS,
-#     FORK, CIDR_MATCH, FROM-METADATA, categorize_text, multi-field
-#     frequent_item_sets, watcher bulk fire, ingest chains incl.
-#     user_agent/geoip/terminate/reroute, ILM tick, async search,
-#     transform sync+retention, geo_shape DSL, ES|QL date/MV functions,
-#     BMP decode) — oracle parity proven at sf0.001 AND sf0.01 in
-#     tests/test_round7_pending.py before registration;
-#   * next: the round-7 NET-NEW surfaces (never graded, so they outrank
-#     re-grades): scored search page, geo_shape shape-vs-shape,
-#     indexed_shape lookup, n-way unordered span_near, children/parent
-#     aggs, retriever tree, painless String methods;
-#   * the remaining slots: drift-insurance re-grades of the oldest
-#     banked greens (all 8 remaining r1-era verdicts, then r2-era ones,
-#     preferring bench-headline anchors) — each net-new query above took
-#     one slot from this tail.
+# (the first 50 queries, observed every round).  After round 7 every
+# registered query holds a banked GREEN verdict, so the graded window is
+# pure upside: never-graded new surface first, then drift-insurance
+# re-grades of the OLDEST banked verdicts.  Round-8 policy (VERDICT.md
+# round-7 "What's missing" items 1-2):
+#   * slots 1-4: the 4 round-7-built surfaces held in
+#     corpus/round8_pending.py through the round-7 freeze (circle-ingest +
+#     geotile grid, PIT + search_after paging over the manifest log,
+#     geohash decode, ES|QL colon match operator) — oracle parity proven
+#     at sf0.001 AND sf0.01 in tests/test_round8_pending.py;
+#   * next: any round-8 NET-NEW surfaces (never graded — each takes a
+#     slot from the re-grade tail below);
+#   * then ALL 35 r2-era banked greens — the verdicts VERDICT r7 item 2
+#     flags as 5 rounds stale while query_dsl/esql/aggs_dsl were
+#     rewritten underneath them;
+#   * the remaining slots: r3-era greens, bench anchors and
+#     rewritten-library families first.
 PRIORITY: tuple[str, ...] = (
-    # r6 reds, fixed this round — re-grade first so a short window still
-    # clears them
-    "esql_eval_pipeline",
-    "ingest_pipeline_docs",
-    # the 18 round-6 surfaces, registered now that the freeze lifted
-    "esql_inlinestats",
-    "esql_fork",
-    "esql_cidr_match",
-    "esql_from_metadata",
-    "esql_date_mv_functions",
-    "esql_mv_sort_slice",
-    "aggs_categorize_text",
-    "aggs_fis_multi_field",
-    "watcher_bulk_fire",
-    "ingest_round6_chain",
-    "ingest_user_agent",
-    "ingest_geoip",
-    "ingest_terminate_reroute",
-    "writepath_ilm_tick",
-    "search_async_roundtrip",
-    "transform_sync_retention",
-    "query_dsl_geo_shape",
-    "multimodal_bmp_decode",
-    # round-7 net-new surfaces (VERDICT r6 items 5-6) — never graded, so
-    # they take window slots from the re-grade tail
-    "search_scored_page",
-    "query_dsl_geo_shape_relations",
-    "writepath_indexed_shape",
-    "query_dsl_span_near_nway",
-    "aggs_children_stats",
-    "aggs_parent_terms",
-    "search_retriever_tree",
-    "runtime_fields_string_methods",
-    "writepath_watcher_ack_cycle",
-    "writepath_downsample",
-    "esql_fulltext_where",
-    # drift-insurance re-grades: the 8 r1-era greens never re-graded
-    "aggs_filter_narrowed",
-    "aggs_filters_buckets",
-    "aggs_histogram_percentiles",
-    "aggs_range_stats",
-    "aggs_terms_metrics",
-    "join_left_outer",
-    "order_by_date_buckets",
-    "set_intersect_all",
-    # ... then r2-era greens (bench anchors + touched families first;
-    # the tail shrank one slot per net-new round-7 registration above)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "agg_distinct_counts",
-    "agg_percentiles",
-    "window_topk_per_group",
-    "pushdown_predicates",
-    "text_quality",
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "similarity_topk_brute",
-    "fn_json",
+    # round-8 registrations (never graded) lead
+    "ingest_circle_geogrid",
+    "writepath_pit_search_after",
+    "ingest_geohash_decode",
+    "esql_match_colon",
+    # round-8 net-new surfaces get inserted here as they land (each
+    # displaces one r3-era fill slot at the tail, then an r2-era slot)
+    # the 35 r2-era drift re-grades (exact list computed from
+    # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
+    "agg_approx_distinct",
+    "agg_collect_set",
+    "agg_filtered_case",
+    "agg_grouping_sets",
+    "agg_percentile_approx",
+    "agg_stats",
+    "dedup_embedding_cosine",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "fn_array",
+    "geo_distance_search",
+    "join_cross",
+    "join_full_outer",
+    "join_range_bucketed",
+    "join_semi_anti",
+    "join_theta",
+    "lateral_posexplode",
+    "multimodal_resize",
+    "order_nulls_explicit",
+    "pivot_returnflag",
+    "pushdown_string_predicates",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q20_potential_promotion",
+    "q4_order_priority",
+    "query_dsl_bool",
+    "set_ops",
+    "sketch_hll_rollup_merge",
+    "skew_salted_join",
+    "stream_live_dedup",
+    "subq_correlated_scalar",
+    "topk_global",
+    "udf_pandas_scalar",
+    "udtf_bigrams",
+    "window_ranking",
+    # r3-era fill: bench anchors + families whose library was rewritten
+    # since r3 (query_dsl, fn_*, write path, similarity)
+    "aggs_composite_page",
+    "writepath_sink_upsert",
+    "writepath_esdocs_roundtrip",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "sample_train_test_split",
+    "stream_tumbling_window",
+    "query_dsl_match",
+    "fn_math",
+    "fn_string",
+    "fn_date",
 )
 
 
@@ -139,6 +132,7 @@ def load_all() -> dict[str, QuerySpec]:
         packing,
         pushdown,
         round7_pending,
+        round8_pending,
         sampling,
         scalar_functions,
         search_surface,

@@ -66,6 +66,7 @@ def _banked_green() -> set[str]:
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",  # banked 48 of 50 (2 hash-mismatch reds)
         "CORRECTNESS_r06.json",  # banked 48 of 50 (same 2 reds, refixed r7)
+        "CORRECTNESS_r07.json",  # banked 50/50 (registry fully green)
     ):
         path = os.path.join(REPO, fname)
         if not os.path.exists(path):
@@ -142,21 +143,41 @@ def test_every_family_covered_by_union():
     assert not uncovered, f"families with no driver signal past or pending: {uncovered}"
 
 
-def test_round7_window_drains_backlog():
-    """Round-7 policy (VERDICT r6 items 1-2): the 2 r6 reds re-grade
-    first, every never-graded query (the 18 round7_pending
-    registrations) gets a slot, and after this round every registered
-    query holds a driver verdict."""
+def test_round8_window_policy():
+    """Round-8 policy (VERDICT r7 'What's missing' items 1-2): the 4
+    round8_pending registrations lead, every never-graded query holds a
+    slot, and the re-grade tail drains the r2-era stale verdicts (the
+    oldest banked round represented in the window must be <= 3 — i.e.
+    the window prefers 5-round-old verdicts over fresher ones)."""
+    import itertools
+
     reg = load_all()
     first = list(reg)[:GRADED_WINDOW]
-    assert first[0] == "esql_eval_pipeline"
-    assert first[1] == "ingest_pipeline_docs"
+    for n in ("ingest_circle_geogrid", "writepath_pit_search_after",
+              "ingest_geohash_decode", "esql_match_colon"):
+        assert n in first[:18], f"round-8 registration {n} not leading the window"
     banked = _banked_green()
-    # nothing may remain ungraded after this window
-    ungraded_outside = [
-        n for n in reg if n not in banked and n not in set(first)
-    ]
+    ungraded_outside = [n for n in reg if n not in banked and n not in set(first)]
     assert not ungraded_outside, (
-        f"queries that would still lack a driver verdict after round 6: "
+        f"queries that would still lack a driver verdict after round 8: "
         f"{ungraded_outside}"
+    )
+    # the re-grade tail targets the stale end: compute each query's
+    # latest-graded round and require every r2-era name to be in the
+    # window (or displaced only by never-graded net-new surface)
+    last: dict[str, int] = {}
+    for i in itertools.count(1):
+        path = os.path.join(REPO, f"CORRECTNESS_r{i:02d}.json")
+        if not os.path.exists(path):
+            break
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                last[name] = i
+    stale_r2 = {n for n, r in last.items() if r == 2 and n in reg}
+    never_graded = [n for n in first if n not in banked]
+    left_out = sorted(stale_r2 - set(first))
+    # never-graded surface displaces r3-era fill first; r2-era re-grades
+    # spill to round 9 only once never-graded + stale exceed the window
+    assert len(left_out) <= max(0, len(stale_r2) + len(never_graded) - GRADED_WINDOW), (
+        f"r2-era stale verdicts pushed out of the window without cause: {left_out}"
     )
