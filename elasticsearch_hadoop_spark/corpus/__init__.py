@@ -62,6 +62,8 @@ PRIORITY: tuple[str, ...] = (
     "esql_match_colon",
     # round-8 net-new surfaces get inserted here as they land (each
     # displaces one r3-era fill slot at the tail, then an r2-era slot)
+    "query_dsl_geo_grid",
+    "esql_lookup_join_multikey",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",
@@ -132,6 +134,7 @@ def load_all() -> dict[str, QuerySpec]:
         packing,
         pushdown,
         round7_pending,
+        round8_new,
         round8_pending,
         sampling,
         scalar_functions,

@@ -1,0 +1,138 @@
+"""Round-8 net-new graded surface.
+
+Each query exercises library capability added (or first graded) in round
+8, with its DuckDB oracle adjacent.  Reference parity notes cite
+SURVEY.md §2's upstream paths; the library docstrings carry the
+file-level citations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import tbl
+from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+# geo-corpus convention (corpus/geo.py): points derived from c_custkey
+_PTS_SQL = """
+  SELECT c_custkey,
+         CAST((c_custkey % 180) - 89.5 AS DOUBLE) AS glat,
+         CAST(((c_custkey * 7) % 360) - 179.5 AS DOUBLE) AS glon
+  FROM customer
+"""
+_MERC = "ln(tan(radians(greatest(-85.05112878, least(85.05112878, glat)))) + 1.0/cos(radians(greatest(-85.05112878, least(85.05112878, glat)))))"
+# geotile z=2 (n=4) cell index pair
+_TILE_X = "CAST(least(floor((glon + 180.0) / 360.0 * 4), 3) AS BIGINT)"
+_TILE_Y = f"CAST(greatest(least(floor((1.0 - {_MERC} / pi()) / 2.0 * 4), 3), 0) AS BIGINT)"
+# geohash p=1: lon_bits=3, lat_bits=2; v interleaves lon-first (MSB) into
+# bit positions 4,2,0 and lat into 3,1 — identical to aggs_dsl's layout
+_GX = "CAST(greatest(least(floor((glon + 180.0) / 360.0 * 8), 7), 0) AS BIGINT)"
+_GY = "CAST(greatest(least(floor((glat + 90.0) / 180.0 * 4), 3), 0) AS BIGINT)"
+_GV = (
+    "((CASE WHEN (gx & 4) > 0 THEN 16 ELSE 0 END)"
+    " + (CASE WHEN (gx & 2) > 0 THEN 4 ELSE 0 END)"
+    " + (CASE WHEN (gx & 1) > 0 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN (gy & 2) > 0 THEN 8 ELSE 0 END)"
+    " + (CASE WHEN (gy & 1) > 0 THEN 2 ELSE 0 END))"
+)
+_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+@query(
+    "query_dsl_geo_grid",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}
+), cells AS (
+  SELECT c_custkey, {_TILE_X} AS tx, {_TILE_Y} AS ty, {_GX} AS gx, {_GY} AS gy
+  FROM pts
+), flags AS (
+  SELECT c_custkey,
+         (tx = 2 AND ty = 2) AS in_tile,
+         (substr('{_ALPHA}', CAST({_GV} AS INT) + 1, 1) = 'h') AS in_hash
+  FROM cells
+)
+SELECT c_custkey, in_tile, in_hash
+FROM flags
+WHERE in_tile OR in_hash
+ORDER BY c_custkey
+""",
+)
+def query_dsl_geo_grid(spark, sf_dir):
+    """ES 8.x ``geo_grid`` query (geotile + geohash cell membership,
+    query_dsl._geo_grid): match customers whose derived geo_point lands
+    in Web-Mercator tile 2/2/2 or base32 geohash cell 'h'.  The clause
+    compiles the SAME cell-key Column math the grid aggs use, so a
+    geo_grid query for a bucket key returns exactly that bucket — the
+    consistency contract ES documents between geo_grid and the grid
+    aggs.  The oracle re-derives both cell assignments arithmetically
+    (shared IEEE-double expression text, like the geotile/geohash agg
+    oracles)."""
+    c = tbl(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+    )
+    in_tile = compile_query({"geo_grid": {"location": {"geotile": "2/2/2"}}})
+    in_hash = compile_query({"geo_grid": {"location": {"geohash": "h"}}})
+    return (
+        pts.withColumn("in_tile", in_tile)
+        .withColumn("in_hash", in_hash)
+        .filter(F.col("in_tile") | F.col("in_hash"))
+        .select("c_custkey", "in_tile", "in_hash")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "esql_lookup_join_multikey",
+    oracle="""
+WITH rates AS (
+  SELECT n_nationkey % 5 AS region_bucket,
+         CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+         min(n_name) AS rep_nation
+  FROM nation
+  GROUP BY 1, 2
+), cust AS (
+  SELECT c_custkey,
+         c_nationkey % 5 AS region_bucket,
+         CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+  FROM customer
+  WHERE c_custkey <= 200
+)
+SELECT c.c_custkey, c.region_bucket, c.parity, r.rep_nation
+FROM cust c LEFT JOIN rates r
+  ON c.region_bucket = r.region_bucket AND c.parity = r.parity
+ORDER BY c.c_custkey
+""",
+)
+def esql_lookup_join_multikey(spark, sf_dir):
+    """ES|QL 8.19+ multi-key ``LOOKUP JOIN idx ON k1, k2`` (esql.py
+    LOOKUP command): every ON column equi-matches and the broadcast
+    lookup side overwrites same-named non-key columns.  The lookup frame
+    is aggregated one-row-per-key so the left join is row-preserving —
+    the same single-shard lookup-index shape ES requires."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    nation = tbl(spark, sf_dir, "nation")
+    cust = tbl(spark, sf_dir, "customer")
+    rates = (
+        nation.groupBy(
+            (F.col("n_nationkey") % 5).alias("region_bucket"),
+            F.when(F.col("n_nationkey") % 2 == 0, "even").otherwise("odd").alias("parity"),
+        )
+        .agg(F.min("n_name").alias("rep_nation"))
+    )
+    c = cust.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        (F.col("c_nationkey") % 5).alias("region_bucket"),
+        F.when(F.col("c_custkey") % 2 == 0, "even").otherwise("odd").alias("parity"),
+    )
+    return esql(
+        "FROM c | LOOKUP JOIN rates ON region_bucket, parity"
+        " | SORT c_custkey | KEEP c_custkey, region_bucket, parity, rep_nation",
+        tables={"c": c, "rates": rates},
+    )

@@ -52,10 +52,10 @@ Supported commands (the documented core; anything else raises):
   from ``esql(..., enrich_policies={name: frame})`` (first column = the
   policy's match field, like an enrich policy declaration); broadcast
   left join, WITH defaults to every non-key column.
-- ``LOOKUP JOIN idx ON col`` (8.18+) — left join against a lookup index
-  (resolved like FROM) on the equal-named column; ES requires lookup
-  indices to be single-shard — the analogue here is that the lookup side
-  broadcasts.
+- ``LOOKUP JOIN idx ON col[, col...]`` (8.18+; multi-key ON 8.19+) —
+  left join against a lookup index (resolved like FROM) on the
+  equal-named column(s); ES requires lookup indices to be single-shard —
+  the analogue here is that the lookup side broadcasts.
 - ``CHANGE_POINT value ON key`` (8.16+) — the Welch-t step detector
   (aggs_dsl.change_point_stats) appending cp_key / cp_score columns.
 - ``FORK (branch) (branch)`` (8.18+) — each parenthesized branch
@@ -1176,23 +1176,31 @@ def _apply_stages(
 
             df = change_point_stats(df, cpm.group(1), cpm.group(2))
         elif cmd == "LOOKUP":
-            lm = re.match(r"^JOIN\s+(\S+)\s+ON\s+(\S+)\s*$", body, flags=re.I)
+            lm = re.match(r"^JOIN\s+(\S+)\s+ON\s+(.+?)\s*$", body, flags=re.I | re.S)
             if not lm:
-                raise EsqlError(f"LOOKUP needs: JOIN idx ON col — got {body!r}")
-            src, on = lm.group(1), lm.group(2)
+                raise EsqlError(f"LOOKUP needs: JOIN idx ON col[, col...] — got {body!r}")
+            src, on_part = lm.group(1), lm.group(2)
+            # 8.19+: comma-separated multi-key ON — all keys must exist on
+            # both sides and every (key...) tuple equi-matches
+            on_keys = [c.strip() for c in on_part.split(",") if c.strip()]
+            if not on_keys:
+                raise EsqlError(f"LOOKUP JOIN needs at least one ON column: {body!r}")
             if tables and src in tables:
                 lk = tables[src]
             elif catalog is not None:
                 lk = catalog.read_index(src)
             else:
                 raise EsqlError(f"unknown lookup index {src!r}")
-            if on not in df.columns or on not in lk.columns:
-                raise EsqlError(f"LOOKUP JOIN column {on!r} must exist on both sides")
+            for on in on_keys:
+                if on not in df.columns or on not in lk.columns:
+                    raise EsqlError(
+                        f"LOOKUP JOIN column {on!r} must exist on both sides"
+                    )
             # ES|QL LOOKUP JOIN overwrites same-named input columns with
             # the lookup side's values — drop the input's copies first so
             # the join never produces ambiguous duplicates
-            clobber = [c for c in lk.columns if c != on and c in df.columns]
-            df = df.drop(*clobber).join(F.broadcast(lk), on, "left")
+            clobber = [c for c in lk.columns if c not in on_keys and c in df.columns]
+            df = df.drop(*clobber).join(F.broadcast(lk), on_keys, "left")
         elif cmd == "GROK":
             gm = re.match(r"^(\S+)\s+\"(.*)\"\s*$", body, flags=re.S)
             if not gm:

@@ -629,6 +629,49 @@ def _geo_bounding_box(body, id_col):
     )
 
 
+def _geo_grid(body, id_col):
+    """ES 8.x ``geo_grid`` query: match docs whose geo_point falls in the
+    named grid cell — ``{"geo_grid": {"<field>": {"geotile": "z/x/y"}}}``
+    or ``{"geohash": "<base32>"}``.  Compiles the SAME cell-key Column
+    math the geotile_grid / geohash_grid aggs use (aggs_dsl._bucket_key)
+    and compares with the literal key, so a geo_grid query for a bucket
+    key always matches exactly that bucket's docs — ES's own consistency
+    contract between the grid aggs and this query.  geohex needs the H3
+    library (absent) and is rejected like ES|QL RERANK."""
+    from elasticsearch_hadoop_spark.aggs_dsl import GEOHASH_BASE32, _bucket_key
+
+    field, spec = _geo_field_spec(body, "geo_grid")
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise QueryDslError(
+            f"geo_grid field spec needs exactly one of geotile/geohash, got {spec!r}"
+        )
+    (kind, key), = spec.items()
+    if kind == "geotile":
+        key = str(key)
+        parts = key.split("/")
+        if len(parts) != 3:
+            raise QueryDslError(f"geotile key must be 'z/x/y', got {key!r}")
+        z, x, y = (int(p) for p in parts)
+        if not 0 <= z <= 29:
+            raise QueryDslError(f"geotile zoom {z} out of range 0..29")
+        if not (0 <= x < (1 << z) and 0 <= y < (1 << z)):
+            raise QueryDslError(f"geotile x/y out of range for zoom {z}: {key!r}")
+        cell = _bucket_key("geotile_grid", {"field": field, "precision": z})
+        return cell == F.lit(f"{z}/{x}/{y}")
+    if kind == "geohash":
+        key = str(key).lower()
+        if not key or any(c not in GEOHASH_BASE32 for c in key):
+            raise QueryDslError(f"invalid geohash cell {key!r}")
+        cell = _bucket_key("geohash_grid", {"field": field, "precision": len(key)})
+        return cell == F.lit(key)
+    if kind == "geohex":
+        raise QueryDslError(
+            "geo_grid geohex needs the H3 library (not available); use "
+            "geotile or geohash cells"
+        )
+    raise QueryDslError(f"geo_grid cell kind {kind!r} (want geotile/geohash)")
+
+
 def _geo_polygon(body, id_col):
     """{"geo_polygon": {"<field>": {"points": [pt, ...]}}} — points in any
     ES geo-point literal form; even-odd ray casting, pure Column math."""
@@ -2062,6 +2105,7 @@ _HANDLERS = {
     "geo_distance": _geo_distance,
     "geo_bounding_box": _geo_bounding_box,
     "geo_polygon": _geo_polygon,
+    "geo_grid": _geo_grid,
     "geo_shape": _geo_shape,
     "term": _term,
     "terms": _terms,

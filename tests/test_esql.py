@@ -158,6 +158,28 @@ def test_lookup_join(spark):
         esql("FROM d | LOOKUP JOIN geo ON zz", tables={"d": d, "geo": lk})
 
 
+def test_lookup_join_multikey(spark):
+    """8.19+ multi-key ON: every key column equi-matches; the lookup side
+    still overwrites same-named non-key columns."""
+    d = spark.createDataFrame(
+        [(1, "us", "web", "old"), (2, "us", "app", "old"), (3, "xx", "web", "old")],
+        "id int, cc string, ch string, label string",
+    )
+    lk = spark.createDataFrame(
+        [("us", "web", "US-Web"), ("us", "app", "US-App")],
+        "cc string, ch string, label string",
+    )
+    out = esql(
+        "FROM d | LOOKUP JOIN geo ON cc, ch | SORT id | KEEP id, label",
+        tables={"d": d, "geo": lk},
+    ).collect()
+    assert [(r["id"], r["label"]) for r in out] == [
+        (1, "US-Web"), (2, "US-App"), (3, None)
+    ]
+    with pytest.raises(EsqlError, match="must exist on both sides"):
+        esql("FROM d | LOOKUP JOIN geo ON cc, nope", tables={"d": d, "geo": lk})
+
+
 def test_change_point_command(spark):
     rows = [(float(k), 10.0 + (40.0 if k >= 5 else 0.0) + (k % 2) * 0.5)
             for k in range(1, 9)]

@@ -349,3 +349,51 @@ def test_polygon_envelope_relations_hypothesis(spark, polys):
         }
         want = {i for i, p in enumerate(polys) if _ref_poly_box(p, box)[rel]}
         assert got == want, (rel, got ^ want)
+
+
+def test_geo_grid_query_matches_grid_agg_buckets(spark):
+    """The geo_grid QUERY for a bucket key must match exactly the docs the
+    corresponding grid AGG put in that bucket (ES's consistency contract
+    between the two) — geotile and geohash kinds."""
+    from elasticsearch_hadoop_spark.aggs_dsl import _bucket_key
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    rng = np.random.default_rng(7)
+    rows = [
+        Row(i=i, loc=Row(lat=float(rng.uniform(-80, 80)), lon=float(rng.uniform(-179, 179))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    for kind, agg_kind, prec in (("geotile", "geotile_grid", 5), ("geohash", "geohash_grid", 2)):
+        keyed = df.withColumn(
+            "cell", _bucket_key(agg_kind, {"field": "loc", "precision": prec})
+        )
+        # the largest bucket, then: query for that key == that bucket
+        top = (
+            keyed.groupBy("cell").count().orderBy(F.desc("count"), "cell").first()
+        )
+        want = {r["i"] for r in keyed.filter(F.col("cell") == top["cell"]).collect()}
+        got = {
+            r["i"]
+            for r in df.filter(
+                compile_query({"geo_grid": {"loc": {kind: top["cell"]}}})
+            ).collect()
+        }
+        assert got == want and len(got) == top["count"], (kind, top["cell"])
+
+
+def test_geo_grid_query_validation(spark):
+    from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
+
+    with pytest.raises(QueryDslError, match="z/x/y"):
+        compile_query({"geo_grid": {"loc": {"geotile": "nope"}}})
+    with pytest.raises(QueryDslError, match="out of range for zoom"):
+        compile_query({"geo_grid": {"loc": {"geotile": "2/9/1"}}})
+    with pytest.raises(QueryDslError, match="zoom"):
+        compile_query({"geo_grid": {"loc": {"geotile": "31/0/0"}}})
+    with pytest.raises(QueryDslError, match="invalid geohash"):
+        compile_query({"geo_grid": {"loc": {"geohash": "aio"}}})  # a,i,o not base32
+    with pytest.raises(QueryDslError, match="H3"):
+        compile_query({"geo_grid": {"loc": {"geohex": "8429a1fffffffff"}}})
+    with pytest.raises(QueryDslError, match="exactly one"):
+        compile_query({"geo_grid": {"loc": {"geotile": "1/0/0", "geohash": "u"}}})
