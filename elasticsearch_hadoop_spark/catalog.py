@@ -681,6 +681,93 @@ class Catalog:
 
         self._commit_build(names[0], partition_cols, build)
 
+    # ------------------------------------------------- shrink / split / clone
+    def _data_file_count(self, name: str) -> int:
+        """The index's parquet data-file count — the shard-count analogue
+        (ES _shrink/_split arithmetic runs on primary shard counts; here
+        a 'shard' is one parquet file, the parallel-read unit)."""
+        path = self.path(name)
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def _resize_index(
+        self, source: str, target: str, target_shards: int, kind: str
+    ) -> dict:
+        names = self.resolve_pattern(source)
+        if len(names) != 1:
+            raise ValueError(f"_{kind} takes a single source index, got {names}")
+        src = names[0]
+        if self.exists(target):
+            raise IndexExistsError(f"target index {target!r} already exists")
+        if target_shards < 1:
+            raise ValueError(f"target shards must be >= 1, got {target_shards}")
+        src_shards = max(1, self._data_file_count(src))
+        if kind == "shrink" and src_shards % target_shards != 0:
+            raise ValueError(
+                f"_shrink target shard count {target_shards} must be a factor "
+                f"of the source's {src_shards}"
+            )
+        if kind == "split" and target_shards % src_shards != 0:
+            raise ValueError(
+                f"_split target shard count {target_shards} must be a multiple "
+                f"of the source's {src_shards}"
+            )
+        df = self.read_index(src)
+        # shrink merges without a shuffle (ES hard-links segments into
+        # fewer shards); split re-hashes rows across more files
+        out = df.coalesce(target_shards) if kind == "shrink" else df.repartition(target_shards)
+        self.write_index(out, target, mode="error")
+        # ES copies index settings (minus shard count) to the target
+        meta = self._read_meta(src)
+        if meta:
+            tmeta = dict(meta)
+            tmeta["resized_from"] = src
+            self._write_meta(target, tmeta)
+        return {
+            "source": src,
+            "target": target,
+            "source_shards": src_shards,
+            "target_shards": target_shards,
+        }
+
+    def shrink_index(self, source: str, target: str, target_shards: int = 1) -> dict:
+        """ES ``POST /<src>/_shrink/<dst>``: rewrite into FEWER data files
+        (target must be a factor of the source's file count).  Uses
+        coalesce — a merge without a shuffle, the Spark analogue of ES's
+        hard-link segment move.  Settings/_meta copy over; returns the
+        shard arithmetic."""
+        return self._resize_index(source, target, target_shards, "shrink")
+
+    def split_index(self, source: str, target: str, target_shards: int) -> dict:
+        """ES ``POST /<src>/_split/<dst>``: rewrite into MORE data files
+        (target must be a multiple of the source's count) — a round-robin
+        repartition, the analogue of ES's hash-split of each shard."""
+        return self._resize_index(source, target, target_shards, "split")
+
+    def clone_index(self, source: str, target: str) -> dict:
+        """ES ``POST /<src>/_clone/<dst>``: byte-identical copy with the
+        same layout (ES clones via hard links; copytree is the portable
+        analogue — no rows are read or rewritten)."""
+        names = self.resolve_pattern(source)
+        if len(names) != 1:
+            raise ValueError(f"_clone takes a single source index, got {names}")
+        src = names[0]
+        if self.exists(target):
+            raise IndexExistsError(f"target index {target!r} already exists")
+        shutil.copytree(self.path(src), self.path(target))
+        meta = self._read_meta(src)
+        if meta:
+            self._write_meta(target, meta)
+        shards = self._data_file_count(src)
+        return {
+            "source": src,
+            "target": target,
+            "source_shards": shards,
+            "target_shards": shards,
+        }
+
     def read_index_version(self, name: str, version: int) -> DataFrame:
         """Time travel on a transactional index: the index exactly as of
         committed ``version`` (the ES snapshot / point-in-time analogue —
@@ -1291,6 +1378,45 @@ class Catalog:
                 for f in schema.fields
             }
         }
+
+    def field_caps(self, pattern: str) -> dict:
+        """ES ``GET <pattern>/_field_caps?fields=*``: per-field capability
+        map merged across every index the pattern resolves (wildcards,
+        comma lists, aliases — same resolver as read_index).  Shape
+        matches ES: ``{"indices": [...], "fields": {field: {type:
+        {"type", "searchable", "aggregatable"[, "indices"]}}}}`` — the
+        per-type ``indices`` list appears only on CONFLICTING fields
+        (ES omits it when all indices agree).  Types come from each
+        index's mapping (template-applied or schema-inferred via
+        get_mapping), so the answer needs no data read — a pure metadata
+        pass, O(#indices) not O(rows).  Everything here is searchable;
+        ES's text-fields-not-aggregatable rule is applied to ``text``
+        mappings."""
+        indices = sorted(
+            {idx for idx, _flt in self._resolve_parts(pattern)}
+        )
+        fields: dict[str, dict[str, dict]] = {}
+        per_type_indices: dict[tuple[str, str], list[str]] = {}
+        for idx in indices:
+            props = (self.get_mapping(idx) or {}).get("properties", {})
+            for fname, spec in props.items():
+                ftype = spec.get("type", "object")
+                caps = fields.setdefault(fname, {})
+                if ftype not in caps:
+                    caps[ftype] = {
+                        "type": ftype,
+                        "searchable": True,
+                        "aggregatable": ftype != "text",
+                    }
+                per_type_indices.setdefault((fname, ftype), []).append(idx)
+        # a field is conflicting when its types differ across indices OR
+        # it is absent from some index that has the field under another
+        # type; per ES, agreed fields carry no indices list
+        for fname, caps in fields.items():
+            if len(caps) > 1:
+                for ftype, cap in caps.items():
+                    cap["indices"] = per_type_indices[(fname, ftype)]
+        return {"indices": indices, "fields": fields}
 
     # ----------------------------------------------------------- pipelines
     def _pipelines_path(self) -> str:

@@ -64,6 +64,8 @@ PRIORITY: tuple[str, ...] = (
     # displaces one r3-era fill slot at the tail, then an r2-era slot)
     "query_dsl_geo_grid",
     "esql_lookup_join_multikey",
+    "writepath_shrink_split",
+    "writepath_field_caps_query",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

@@ -136,3 +136,106 @@ def esql_lookup_join_multikey(spark, sf_dir):
         " | SORT c_custkey | KEEP c_custkey, region_bucket, parity, rep_nation",
         tables={"c": c, "rates": rates},
     )
+
+
+@query(
+    "writepath_shrink_split",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(6 AS BIGINT) AS src_shards,
+       CAST(3 AS BIGINT) AS shrink_shards,
+       CAST(6 AS BIGINT) AS split_shards,
+       CAST(3 AS BIGINT) AS clone_shards
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def writepath_shrink_split(spark, sf_dir):
+    """ES ``_shrink`` / ``_split`` / ``_clone`` round trip
+    (catalog.shrink_index/split_index/clone_index): events written as a
+    6-file index, shrunk 6->3 (coalesce — merge without shuffle, ES's
+    hard-link analogue), split 3->6 (round-robin repartition, ES's
+    hash-split), cloned (byte copy).  The returned frame carries BOTH the
+    per-type doc counts read back from the final split target (row
+    preservation through every rewrite) and the observed data-file counts
+    (the shard-count arithmetic), so a lost row, a wrong factor check, or
+    a layout drift all hash-mismatch."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+
+    cat = Catalog(spark, _workdir(sf_dir, "shrink_split"))
+    ev = tbl(spark, sf_dir, "events").select("event_id", "event_type")
+    cat.write_index(ev.repartition(6), "ev", mode="overwrite")
+    shrink = cat.shrink_index("ev", "ev_small", 3)
+    cat.split_index("ev_small", "ev_wide", 6)
+    clone = cat.clone_index("ev_small", "ev_copy")
+    counts = (
+        cat.read_index("ev_wide")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.select(
+        "event_type",
+        "cnt",
+        F.lit(shrink["source_shards"]).cast("long").alias("src_shards"),
+        F.lit(cat._data_file_count("ev_small")).cast("long").alias("shrink_shards"),
+        F.lit(cat._data_file_count("ev_wide")).cast("long").alias("split_shards"),
+        F.lit(clone["target_shards"]).cast("long").alias("clone_shards"),
+    ).orderBy("event_type")
+
+
+@query(
+    "writepath_field_caps_query",
+    oracle="""
+SELECT * FROM (VALUES
+  ('event_id',   'long',    TRUE, TRUE, ''),
+  ('event_type', 'keyword', TRUE, TRUE, ''),
+  ('metric',     'double',  TRUE, TRUE, 'fc-orders'),
+  ('metric',     'long',    TRUE, TRUE, 'fc-events'),
+  ('user_id',    'long',    TRUE, TRUE, '')
+) AS t(field, es_type, searchable, aggregatable, conflict_indices)
+ORDER BY field, es_type
+""",
+)
+def writepath_field_caps_query(spark, sf_dir):
+    """ES ``_field_caps`` (catalog.field_caps): two indices written with
+    an agreeing field set plus one deliberate type conflict (``metric``
+    is long in fc-events, double in fc-orders); the capability map merges
+    across the ``fc-*`` pattern, conflicting fields carry their per-type
+    indices list and agreed fields omit it (ES's exact shape).  A pure
+    metadata pass — no rows are read to answer; the frame is the
+    flattened caps map (bounded: O(#fields), driver-side by design)."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+
+    cat = Catalog(spark, _workdir(sf_dir, "field_caps"))
+    ev = tbl(spark, sf_dir, "events")
+    orders = tbl(spark, sf_dir, "orders")
+    cat.write_index(
+        ev.select("event_id", "event_type", "user_id",
+                  F.col("event_id").alias("metric")).limit(100),
+        "fc-events", mode="overwrite",
+    )
+    cat.write_index(
+        orders.select(F.col("o_orderkey").alias("event_id"),
+                      F.lit("order").alias("event_type"),
+                      F.col("o_custkey").alias("user_id"),
+                      F.col("o_totalprice").cast("double").alias("metric")).limit(100),
+        "fc-orders", mode="overwrite",
+    )
+    caps = cat.field_caps("fc-*")
+    rows = [
+        (fname, ftype, cap["searchable"], cap["aggregatable"],
+         ",".join(cap.get("indices", [])))
+        for fname, types in caps["fields"].items()
+        for ftype, cap in types.items()
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "field string, es_type string, searchable boolean, "
+            "aggregatable boolean, conflict_indices string",
+        ).orderBy("field", "es_type")
+    )

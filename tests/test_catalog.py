@@ -942,3 +942,68 @@ def test_missing_index_raises_typed_error(spark, tmp_path):
     with _pytest.raises(IndexNotFoundError):
         cat.read_index("nope")
     assert issubclass(IndexNotFoundError, ValueError)
+
+
+def test_shrink_split_clone(spark, cat):
+    """ES _shrink/_split/_clone analogues: file-count arithmetic enforced
+    (factor / multiple), data preserved exactly, settings meta copied,
+    existing target rejected."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    cat.write_index(df.repartition(4), "src", mode="overwrite")
+    assert cat._data_file_count("src") == 4
+
+    r = cat.shrink_index("src", "small", 2)
+    assert (r["source_shards"], r["target_shards"]) == (4, 2)
+    assert cat._data_file_count("small") == 2
+    assert as_dicts_by(cat.read_index("small"), "k") == as_dicts_by(df, "k")
+
+    r = cat.split_index("src", "big", 8)
+    assert cat._data_file_count("big") == 8
+    assert as_dicts_by(cat.read_index("big"), "k") == as_dicts_by(df, "k")
+
+    r = cat.clone_index("src", "copy")
+    assert r["target_shards"] == 4
+    assert cat._data_file_count("copy") == 4
+    assert as_dicts_by(cat.read_index("copy"), "k") == as_dicts_by(df, "k")
+
+    with pytest.raises(ValueError, match="factor"):
+        cat.shrink_index("src", "bad", 3)
+    with pytest.raises(ValueError, match="multiple"):
+        cat.split_index("src", "bad", 6)
+    with pytest.raises(IndexExistsError):
+        cat.clone_index("src", "copy")
+    with pytest.raises(IndexExistsError):
+        cat.shrink_index("src", "small", 2)
+
+
+def as_dicts_by(df, key):
+    return sorted((r.asDict() for r in df.collect()), key=lambda d: d[key])
+
+
+def test_field_caps(spark, cat):
+    """_field_caps merges per-index mappings; conflicting fields list the
+    indices per type, agreed fields omit the list (ES shape)."""
+    cat.write_index(docs(spark, [{"k": 1, "v": "a", "n": 10}]), "logs-1")
+    cat.write_index(
+        spark.createDataFrame([(2, "b", 1.5)], "k long, v string, n double"),
+        "logs-2",
+    )
+    cat.write_index(docs(spark, [{"k": 9, "other": "x"}]), "metrics-1")
+    out = cat.field_caps("logs-*")
+    assert out["indices"] == ["logs-1", "logs-2"]
+    assert set(out["fields"]) == {"k", "v", "n"}
+    # agreed: single type, no indices key
+    assert out["fields"]["v"] == {
+        "keyword": {"type": "keyword", "searchable": True, "aggregatable": True}
+    }
+    # conflict: n is long in logs-1, double in logs-2
+    n = out["fields"]["n"]
+    assert set(n) == {"long", "double"}
+    assert n["long"]["indices"] == ["logs-1"] and n["double"]["indices"] == ["logs-2"]
+    # alias + comma resolution ride the same resolver
+    cat.put_alias("all-logs", "logs-1", "logs-2")
+    assert cat.field_caps("all-logs")["fields"].keys() == out["fields"].keys()
+    both = cat.field_caps("logs-1,metrics-1")
+    assert "other" in both["fields"] and both["indices"] == ["logs-1", "metrics-1"]
