@@ -1307,7 +1307,8 @@ def _cidr_bounds(mask: str) -> tuple[int, int]:
 def _bucket_kind(body: dict) -> str | None:
     for kind in (
         "terms", "multi_terms", "histogram", "date_histogram",
-        "auto_date_histogram", "range", "date_range", "geotile_grid",
+        "auto_date_histogram", "range", "date_range", "geo_distance",
+        "geotile_grid",
         "geohash_grid", "filter", "filters", "adjacency_matrix",
         "sampler", "diversified_sampler", "ip_range", "ip_prefix",
         "nested", "reverse_nested", "global", "children", "parent",
@@ -1709,6 +1710,44 @@ def _bucket_key(kind: str, b: dict) -> Column:
             off_secs = sign * int(ov[:-1]) * _FIXED_SECONDS[ov[-1]]
         epoch = F.unix_timestamp(field) - off_secs
         return F.timestamp_seconds(F.floor(epoch / secs) * secs + off_secs)
+    if kind == "geo_distance":
+        # ES geo_distance agg: distance-ring buckets from an origin point
+        # over a struct(lat, lon) geo_point field.  Arc (haversine)
+        # distance like ES's default; `unit` scales the ring bounds
+        # (default meters, ES's default).  The key label follows the
+        # range agg's "<from>-<to>" convention with the same '*' ends.
+        # Pure Column math — the distance expression is shared with the
+        # geo_distance query filter, and the ring key can double as a
+        # partition column at scale.
+        from elasticsearch_hadoop_spark.functions.geo import haversine_km
+
+        origin = b.get("origin")
+        if not isinstance(origin, dict) or "lat" not in origin or "lon" not in origin:
+            raise AggsDslError("geo_distance needs origin: {lat, lon}")
+        unit_km = {"m": 0.001, "km": 1.0, "mi": 1.609344}.get(b.get("unit", "m"))
+        if unit_km is None:
+            raise AggsDslError(f"geo_distance unit {b['unit']!r} (want m/km/mi)")
+        dist = haversine_km(
+            F.col(f"{b['field']}.lat"),
+            F.col(f"{b['field']}.lon"),
+            F.lit(float(origin["lat"])),
+            F.lit(float(origin["lon"])),
+        ) / F.lit(unit_km)
+        whens = None
+        for r in b["ranges"]:
+            lo, hi = r.get("from"), r.get("to")
+            label = r.get("key") or (
+                f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+            )
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (dist >= F.lit(float(lo)))
+            if hi is not None:
+                cond = cond & (dist < F.lit(float(hi)))
+            whens = (
+                F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
+            )
+        return whens
     if kind in ("range", "date_range"):
         # date_range is range with from/to parsed as timestamps (ES also
         # allows date-math like "now-1d" — not supported, literals only)

@@ -66,6 +66,8 @@ PRIORITY: tuple[str, ...] = (
     "esql_lookup_join_multikey",
     "writepath_shrink_split",
     "writepath_field_caps_query",
+    "similarity_hamming_bit",
+    "aggs_geo_distance_rings",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

@@ -239,3 +239,113 @@ def writepath_field_caps_query(spark, sf_dir):
             "aggregatable boolean, conflict_indices string",
         ).orderBy("field", "es_type")
     )
+
+
+def _bit_word_sql(lo: int) -> str:
+    """Unrolled 32-bit sign-bit pack of embedding[lo+1..lo+32] (DuckDB
+    1-based lists), bit value as a literal integer — the SQL twin of
+    operators.similarity.pack_sign_bits."""
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{lo + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@query(
+    "similarity_hamming_bit",
+    oracle=f"""
+WITH packed AS (
+  SELECT vec_id, {_bit_word_sql(0)} AS w0, {_bit_word_sql(32)} AS w1
+  FROM embeddings
+), q AS (
+  SELECT w0 AS qw0, w1 AS qw1 FROM packed WHERE vec_id = 0
+)
+SELECT p.vec_id,
+       CAST(bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1)) AS BIGINT) AS hamming
+FROM packed p CROSS JOIN q
+ORDER BY hamming, p.vec_id
+LIMIT 10
+""",
+)
+def similarity_hamming_bit(spark, sf_dir):
+    """ES 8.14+ bit-vector knn (dense_vector element_type "bit", hamming
+    similarity — operators.similarity.pack_sign_bits / hamming_topk):
+    sign-binarize the 64-d embeddings into two 32-bit words and take the
+    hamming top-10 to vec_id 0's bits via popcount(xor) — 32× less IO
+    than float32 and pure integer ALU work, the cheapest 100 TB
+    candidate stage.  Both stages are TakeOrderedAndProject; the oracle
+    replays the identical packing with unrolled integer bit values."""
+    from elasticsearch_hadoop_spark.operators.similarity import hamming_topk
+
+    e = tbl(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    return hamming_topk(e, qv, k=10)
+
+
+_RING_DIST = """2 * 6371.0088 * asin(sqrt(
+    pow(sin((radians(20.0) - radians(glat)) / 2), 2)
+    + cos(radians(glat)) * cos(radians(20.0))
+      * pow(sin((radians(30.0) - radians(glon)) / 2), 2)
+))""".strip()
+
+
+@query(
+    "aggs_geo_distance_rings",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}
+), d AS (
+  SELECT p.c_custkey, c.c_acctbal, {_RING_DIST} AS dist
+  FROM pts p JOIN customer c USING (c_custkey)
+)
+SELECT CASE WHEN dist < 3000.0 THEN 'near'
+            WHEN dist >= 3000.0 AND dist < 7000.0 THEN 'mid'
+            ELSE 'far' END AS rings,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM d
+GROUP BY 1
+ORDER BY rings
+""",
+)
+def aggs_geo_distance_rings(spark, sf_dir):
+    """ES ``geo_distance`` bucket agg (aggs_dsl._bucket_key kind
+    geo_distance): arc-distance rings from origin (20, 30) over the
+    geo-corpus customer points — haversine on the mean-radius sphere
+    (ES's arc distance), km unit, custom ring keys, sum metric per ring.
+    Pure Column math sharing the exact formula text with the DuckDB
+    oracle; the ring key doubles as a partition column at scale."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    c = tbl(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_acctbal",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+    )
+    out = compile_aggs(
+        pts,
+        {
+            "aggs": {
+                "rings": {
+                    "geo_distance": {
+                        "field": "location",
+                        "origin": {"lat": 20.0, "lon": 30.0},
+                        "unit": "km",
+                        "ranges": [
+                            {"to": 3000, "key": "near"},
+                            {"from": 3000, "to": 7000, "key": "mid"},
+                            {"from": 7000, "key": "far"},
+                        ],
+                    },
+                    "aggs": {"sum_bal": {"sum": {"field": "c_acctbal"}}},
+                }
+            }
+        },
+    )
+    return out.select(
+        "rings", "doc_count", F.round("sum_bal", 2).alias("sum_bal")
+    ).orderBy("rings")

@@ -401,3 +401,96 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------- bit vectors
+# ES 8.14+ dense_vector element_type "bit" with the hamming similarity:
+# vectors binarized to sign bits, compared by popcount(xor).  32× less IO
+# than float32 and pure integer ALU work — the cheapest candidate-
+# generation stage at 100 TB.  Word size is 32 bits: both Spark and the
+# DuckDB oracle raise/wrap differently on a 1<<63 sign-bit shift, so
+# packing stays within non-negative BIGINT territory on both engines.
+BIT_WORD = 32
+
+
+def pack_sign_bits(vec, dim: int):
+    """Pack ``vec``'s sign bits (x > 0) into an ``array<long>`` of
+    32-bit words, LSB = lowest dimension of the word.  Pure Column math
+    (slice/transform-with-index/aggregate) — the packed column is
+    precomputable and storable like sq_code."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    words = []
+    for j in range(0, dim, BIT_WORD):
+        width = min(BIT_WORD, dim - j)
+        # F.shiftleft takes a Python-int shift, so the per-index bit value
+        # is 2.0**i (exact in doubles through 2**31 — words are 32-bit for
+        # exactly this reason) cast back to long
+        word = F.aggregate(
+            F.transform(
+                F.slice(vec, j + 1, width),
+                lambda x, i: F.when(
+                    x > 0, F.pow(F.lit(2.0), i).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        )
+        words.append(word)
+    return F.array(*words)
+
+
+def _pack_sign_bits_py(vec: list[float]) -> list[int]:
+    out = []
+    for j in range(0, len(vec), BIT_WORD):
+        w = 0
+        for i, x in enumerate(vec[j : j + BIT_WORD]):
+            if x > 0:
+                w |= 1 << i
+        out.append(w)
+    return out
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore_k: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    packed_col: str | None = None,
+) -> DataFrame:
+    """Hamming top-k over binarized vectors: popcount(xor) per 32-bit
+    word, summed — smallest distance first, id tie-break.  With
+    ``rescore_k`` > 0, the top rescore_k hamming candidates get the exact
+    double cosine and the final k is exact over that set (ES's
+    quantized-then-rescore knn pattern).  ``packed_col`` names a
+    precomputed pack_sign_bits column (the stored-index path); absent,
+    bits pack on the fly from ``vec_col``.  Both stages are
+    TakeOrderedAndProject — no global sort, no shuffle beyond the k-row
+    driver merge.  Deterministic end-to-end, so a SQL oracle replays it
+    exactly."""
+    dim = len(query_vec)
+    qwords = F.lit(_pack_sign_bits_py([float(x) for x in query_vec]))
+    packed = F.col(packed_col) if packed_col else pack_sign_bits(F.col(vec_col), dim)
+    dist = F.aggregate(
+        F.zip_with(packed, qwords, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    scored = embeddings.select(
+        F.col(id_col), F.col(vec_col), dist.alias("hamming")
+    ).orderBy(F.col("hamming").asc(), F.col(id_col))
+    if not rescore_k:
+        return scored.select(id_col, "hamming").limit(k)
+    cand = scored.limit(rescore_k)
+    q = F.lit([float(x) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("hamming"),
+            cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

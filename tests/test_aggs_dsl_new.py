@@ -773,3 +773,70 @@ class TestChildrenParentAggs:
             ).collect()
         }
         assert out == {"how": (2, 6.0), "why": (2, 2.0)}
+
+
+def test_geo_distance_rings(spark):
+    """geo_distance bucket agg: arc-distance rings from an origin, unit
+    scaling, custom keys, range-style default labels, typed errors."""
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    rows = [
+        (1, 0.0, 0.0),      # at origin: 0 km
+        (2, 0.0, 10.0),     # ~1113 km
+        (3, 0.0, 40.0),     # ~4452 km
+        (4, 40.0, 80.0),    # far
+    ]
+    df = spark.createDataFrame(rows, "id int, lat double, lon double").select(
+        "id", F.struct("lat", "lon").alias("loc")
+    )
+    body = {
+        "aggs": {
+            "rings": {
+                "geo_distance": {
+                    "field": "loc",
+                    "origin": {"lat": 0.0, "lon": 0.0},
+                    "unit": "km",
+                    "ranges": [
+                        {"to": 2000, "key": "near"},
+                        {"from": 2000, "to": 5000, "key": "mid"},
+                        {"from": 5000, "key": "far"},
+                    ],
+                }
+            }
+        }
+    }
+    got = {r["rings"]: r["doc_count"] for r in compile_aggs(df, body).collect()}
+    assert got == {"near": 2, "mid": 1, "far": 1}
+    # meters default: same rows land in metre-scaled rings
+    body_m = {
+        "aggs": {
+            "rings": {
+                "geo_distance": {
+                    "field": "loc",
+                    "origin": {"lat": 0.0, "lon": 0.0},
+                    "ranges": [{"to": 2000000, "key": "near"}, {"from": 2000000, "key": "rest"}],
+                }
+            }
+        }
+    }
+    got_m = {r["rings"]: r["doc_count"] for r in compile_aggs(df, body_m).collect()}
+    assert got_m == {"near": 2, "rest": 2}
+    # default label follows the range agg's "<from>-<to>" convention
+    body_lbl = {
+        "aggs": {
+            "rings": {
+                "geo_distance": {
+                    "field": "loc", "origin": {"lat": 0.0, "lon": 0.0},
+                    "unit": "km", "ranges": [{"to": 2000}, {"from": 2000}],
+                }
+            }
+        }
+    }
+    keys = {r["rings"] for r in compile_aggs(df, body_lbl).collect()}
+    assert keys == {"*-2000", "2000-*"}
+    with pytest.raises(AggsDslError, match="origin"):
+        compile_aggs(df, {"aggs": {"r": {"geo_distance": {"field": "loc", "ranges": [{"to": 1}]}}}})
+    with pytest.raises(AggsDslError, match="unit"):
+        compile_aggs(df, {"aggs": {"r": {"geo_distance": {
+            "field": "loc", "origin": {"lat": 0, "lon": 0}, "unit": "furlongs",
+            "ranges": [{"to": 1}]}}}})

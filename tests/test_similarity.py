@@ -287,3 +287,47 @@ def test_l2_normalize_and_truncate(spark):
 
     with _pytest.raises(ValueError):
         truncate_dims(F.col("v"), 0)
+
+
+def test_hamming_topk_matches_python_reference(spark):
+    """pack_sign_bits + hamming_topk vs a pure-Python popcount reference
+    on 120 random 64-d vectors; rescore path returns exact cosine over
+    the hamming candidate set."""
+    import numpy as np
+
+    from elasticsearch_hadoop_spark.operators.similarity import (
+        _pack_sign_bits_py,
+        hamming_topk,
+        pack_sign_bits,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(120, 64)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = [float(x) for x in vecs[0]]
+
+    def ham(a, b):
+        return sum(
+            bin(x ^ y).count("1")
+            for x, y in zip(_pack_sign_bits_py(a), _pack_sign_bits_py(b))
+        )
+
+    want = sorted(((ham(qv, r[1]), r[0]) for r in rows))[:10]
+    got = [
+        (r["hamming"], r["vec_id"])
+        for r in hamming_topk(df, qv, k=10).collect()
+    ]
+    assert got == want
+    # packed-column path agrees with on-the-fly packing
+    packed = df.withColumn("bits", pack_sign_bits(F.col("embedding"), 64))
+    got2 = [
+        (r["hamming"], r["vec_id"])
+        for r in hamming_topk(packed, qv, k=10, packed_col="bits").collect()
+    ]
+    assert got2 == want
+    # rescore: exact cosine ordering over the hamming top-40
+    out = hamming_topk(df, qv, k=5, rescore_k=40).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["hamming"] == 0
+    cos = [r["cosine"] for r in out]
+    assert cos == sorted(cos, reverse=True)
