@@ -68,6 +68,10 @@ PRIORITY: tuple[str, ...] = (
     "writepath_field_caps_query",
     "similarity_hamming_bit",
     "aggs_geo_distance_rings",
+    "ingest_attachment",
+    "esql_enrich_stats",
+    "esql_mv_expand_tokens",
+    "aggs_missing_bucket",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

@@ -349,3 +349,149 @@ def aggs_geo_distance_rings(spark, sf_dir):
     return out.select(
         "rings", "doc_count", F.round("sum_bal", 2).alias("sum_bal")
     ).orderBy("rings")
+
+
+@query(
+    "ingest_attachment",
+    oracle="""
+SELECT doc_id,
+       'text/plain' AS content_type,
+       CAST(least(length(text), 120) AS BIGINT) AS content_length,
+       substr(text, 1, 40) AS content_head
+FROM documents
+WHERE doc_id % 4 = 0
+ORDER BY doc_id
+""",
+)
+def ingest_attachment(spark, sf_dir):
+    """ES ingest-attachment processor (ingest.py kind=attachment): the
+    documents' text base64-encoded (the wire form ES receives), decoded
+    and extracted by the processor — text/plain detection, content
+    truncated at indexed_chars=120, content_length = truncated length
+    (ES's truncated view), remove_binary drops the base64 source.  Tika
+    formats (PDF/ZIP) sniff content_type from magic bytes with NULL
+    content — exercised in unit tests; this corpus query proves the text
+    path end-to-end against the un-encoded source."""
+    from elasticsearch_hadoop_spark.ingest import compile_pipeline
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    staged = docs.select("doc_id", F.base64(F.col("text").cast("binary")).alias("data"))
+    fn = compile_pipeline(
+        [{"attachment": {"field": "data", "indexed_chars": 120, "remove_binary": True}}]
+    )
+    out = fn(staged)
+    return out.select(
+        "doc_id",
+        F.col("attachment.content_type").alias("content_type"),
+        F.col("attachment.content_length").alias("content_length"),
+        F.substring(F.col("attachment.content"), 1, 40).alias("content_head"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "esql_enrich_stats",
+    oracle="""
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(c.c_acctbal), 6) AS avg_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def esql_enrich_stats(spark, sf_dir):
+    """ES|QL ``ENRICH policy ON col WITH field`` (esql.py ENRICH
+    command): the nation policy frame (first column = match field, like
+    an enrich policy declaration) broadcast-joins onto customers, then
+    STATS ... BY the enriched column.  Every nation key is unique so the
+    min-struct dedupe is a no-op and the left join is row-preserving —
+    the oracle is the plain join+group."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    nation = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    out = esql(
+        "FROM c | ENRICH natpol ON c_nationkey WITH n_name"
+        " | STATS cnt = COUNT(*), avg_bal = AVG(c_acctbal) BY n_name"
+        " | SORT n_name",
+        tables={"c": cust},
+        enrich_policies={"natpol": nation},
+    )
+    return out.select("n_name", "cnt", F.round("avg_bal", 6).alias("avg_bal"))
+
+
+@query(
+    "esql_mv_expand_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM documents
+  WHERE doc_id % 10 = 3
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM toks
+WHERE length(tok) > 5
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 25
+""",
+)
+def esql_mv_expand_tokens(spark, sf_dir):
+    """ES|QL ``MV_EXPAND`` (esql.py MV_EXPAND command — one row per
+    multivalue element, Spark explode): SPLIT the document text into a
+    multivalue, expand, filter long tokens, STATS count BY token, top 25
+    by (count desc, token).  The oracle unnests the identical split."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    return esql(
+        "FROM d | EVAL tok = SPLIT(text, \" \") | MV_EXPAND tok"
+        " | WHERE LENGTH(tok) > 5 | STATS n = COUNT(*) BY tok"
+        " | SORT n DESC, tok | LIMIT 25 | KEEP tok, n",
+        tables={"d": docs},
+    )
+
+
+@query(
+    "aggs_missing_bucket",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 6) AS sum_value
+FROM events
+WHERE user_id % 7 = 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def aggs_missing_bucket(spark, sf_dir):
+    """ES ``missing`` bucket agg (aggs_dsl kind=missing): documents
+    WITHOUT the field bucket together, here with a nested terms ladder
+    and metrics inside — the null-audit idiom.  The input frame nullifies
+    user_id on a deterministic subset (the fixtures carry no nulls), so
+    the missing bucket is exactly that subset."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "user_id", F.when(F.col("user_id") % 7 != 0, F.col("user_id"))
+    )
+    out = compile_aggs(
+        ev,
+        {
+            "aggs": {
+                "no_user": {
+                    "missing": {"field": "user_id"},
+                    "aggs": {
+                        "by_type": {
+                            "terms": {"field": "event_type", "size": 10},
+                            "aggs": {"sum_value": {"sum": {"field": "value"}}},
+                        }
+                    },
+                }
+            }
+        },
+    )
+    return out.select(
+        F.col("by_type").alias("event_type"),
+        "doc_count",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("event_type")

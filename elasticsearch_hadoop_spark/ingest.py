@@ -482,6 +482,47 @@ def _apply_one(
     field = cfg.get("field")
     target = cfg.get("target_field", field)
 
+    if kind == "attachment":
+        # ES attachment processor (ingest-attachment plugin): base64 file
+        # content -> extracted {content, content_type, content_length}
+        # under target_field (default "attachment").  ES runs Apache Tika;
+        # no document-parsing library ships in this engine, so the HONEST
+        # subset is: text payloads extract for real (decode + truncate at
+        # indexed_chars), while recognizable binary formats get their
+        # content_type sniffed from magic bytes (%PDF -> application/pdf,
+        # PK\x03\x04 -> application/zip) with a NULL content — never a
+        # garbage extraction.  Binary detection = magic match, a NUL, or
+        # an invalid-UTF-8 replacement char after decode.  All Column
+        # math; `properties` picks the emitted subset like ES, and
+        # remove_binary drops the base64 source field.
+        tgt = cfg.get("target_field", "attachment")
+        props = cfg.get("properties", ["content", "content_type", "content_length"])
+        limit = int(cfg.get("indexed_chars", 100000))
+        s = F.unbase64(_path_col(field).cast("string")).cast("string")
+        is_pdf = s.startswith("%PDF")
+        is_zip = s.startswith("PK\x03\x04")
+        is_binary = is_pdf | is_zip | s.contains("\x00") | s.contains("�")
+        content = F.when(~is_binary, F.substring(s, 1, limit) if limit >= 0 else s)
+        available = {
+            "content": content.alias("content"),
+            "content_type": (
+                F.when(is_pdf, "application/pdf")
+                .when(is_zip, "application/zip")
+                .when(~is_binary, "text/plain")
+                .otherwise("application/octet-stream")
+                .alias("content_type")
+            ),
+            "content_length": F.length(content).cast("long").alias("content_length"),
+        }
+        out = F.when(
+            _path_col(field).isNotNull(),
+            F.struct(*[available[p] for p in props]),
+        )
+        df = _guarded(df, tgt, out, cond)
+        if cfg.get("remove_binary") and "." not in field:
+            df = df.drop(field)
+        return df
+
     if kind == "geoip":
         return _geoip(df, cfg, geoip_db)
 
@@ -1125,7 +1166,7 @@ _SUPPORTED = {
     "grok", "html_strip", "urldecode", "bytes", "csv", "sort",
     "fail", "foreach", "dot_expander", "date_index_name", "redact",
     "registered_domain", "community_id", "network_direction",
-    "user_agent", "geoip", "reroute", "circle", "geo_grid",
+    "user_agent", "geoip", "reroute", "circle", "geo_grid", "attachment",
 }
 
 # processors that honor a per-row `if` — the set a conditional terminate
@@ -1136,7 +1177,7 @@ _GUARDABLE = {
     "script", "uri_parts", "html_strip", "urldecode", "bytes", "csv",
     "sort", "drop", "fail", "foreach", "date_index_name", "redact",
     "registered_domain", "community_id", "network_direction", "user_agent",
-    "reroute", "circle", "geo_grid",
+    "reroute", "circle", "geo_grid", "attachment",
 }
 
 
@@ -1151,6 +1192,19 @@ def _precheck(kind: str, cfg: dict) -> None:
         compile_condition(cfg["if"])
     if kind == "drop" and "if" not in cfg:
         raise IngestError("drop without an if would delete every document")
+    if kind == "attachment":
+        if "field" not in cfg:
+            raise IngestError("attachment needs field")
+        bad = [
+            p
+            for p in cfg.get("properties", [])
+            if p not in ("content", "content_type", "content_length")
+        ]
+        if bad:
+            raise IngestError(
+                f"attachment: unsupported properties {bad} (no Tika runtime — "
+                "content/content_type/content_length only)"
+            )
     if kind == "set" and "value" not in cfg and "copy_from" not in cfg:
         raise IngestError("set needs value or copy_from")
     if kind == "convert" and cfg.get("type") not in _CONVERT_TYPES:

@@ -874,3 +874,46 @@ class TestCircleGeoGrid:
         assert got[1] is None and got[2] is None and got[3] is None
         assert got[5] is None  # wrong arity
         assert got[4] is not None and -180 <= got[4]["min_lon"] <= 180
+
+
+def test_attachment_processor(spark):
+    """attachment: text payloads extract (decode + indexed_chars
+    truncation), binary magic sniffs content_type with NULL content,
+    properties subset, remove_binary, typed validation."""
+    import base64
+
+    from elasticsearch_hadoop_spark.ingest import IngestError, compile_pipeline
+
+    rows = [
+        (1, base64.b64encode(b"hello attachment world").decode()),
+        (2, base64.b64encode(b"%PDF-1.7 stream...").decode()),
+        (3, base64.b64encode(b"PK\x03\x04zipdata").decode()),
+        (4, base64.b64encode(bytes([0, 159, 146, 150])).decode()),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, data string")
+    fn = compile_pipeline([{"attachment": {"field": "data"}}])
+    got = {r["id"]: r["attachment"] for r in fn(df).collect()}
+    assert got[1]["content"] == "hello attachment world"
+    assert got[1]["content_type"] == "text/plain"
+    assert got[1]["content_length"] == 22
+    assert got[2]["content"] is None and got[2]["content_type"] == "application/pdf"
+    assert got[3]["content_type"] == "application/zip"
+    assert got[4]["content_type"] == "application/octet-stream"
+    assert got[5] is None
+
+    # indexed_chars truncates content AND content_length (ES truncated view)
+    fn2 = compile_pipeline(
+        [{"attachment": {"field": "data", "indexed_chars": 5,
+                         "properties": ["content", "content_length"],
+                         "remove_binary": True}}]
+    )
+    out = fn2(df)
+    assert "data" not in out.columns
+    r1 = {r["id"]: r["attachment"] for r in out.collect()}[1]
+    assert r1.asDict() == {"content": "hello", "content_length": 5}
+
+    with pytest.raises(IngestError, match="unsupported properties"):
+        compile_pipeline([{"attachment": {"field": "data", "properties": ["language"]}}])
+    with pytest.raises(IngestError, match="needs field"):
+        compile_pipeline([{"attachment": {}}])
