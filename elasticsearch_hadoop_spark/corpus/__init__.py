@@ -72,6 +72,7 @@ PRIORITY: tuple[str, ...] = (
     "esql_enrich_stats",
     "esql_mv_expand_tokens",
     "aggs_missing_bucket",
+    "esql_change_point",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

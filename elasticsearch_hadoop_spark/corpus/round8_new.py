@@ -495,3 +495,80 @@ def aggs_missing_bucket(spark, sf_dir):
         "doc_count",
         F.round("sum_value", 6).alias("sum_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "esql_change_point",
+    oracle="""
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         sum(value + CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 50.0::DOUBLE ELSE 0.0::DOUBLE END) AS total
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT day, total,
+         row_number() OVER w AS rn,
+         sum(total) OVER w AS ps,
+         sum(total * total) OVER w AS pss,
+         count(*) OVER () AS n,
+         sum(total) OVER () AS ts_,
+         sum(total * total) OVER () AS tss,
+         lead(day) OVER w AS nxt
+  FROM b WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+),
+t AS (
+  SELECT *,
+         CASE WHEN rn < n THEN
+           abs(ps / rn - (ts_ - ps) / (n - rn))
+           / nullif(sqrt(greatest(pss / rn - (ps / rn) * (ps / rn), 0) / rn
+                  + greatest((tss - pss) / (n - rn)
+                             - ((ts_ - ps) / (n - rn)) * ((ts_ - ps) / (n - rn)),
+                             0) / (n - rn)), 0)
+         END AS tt
+  FROM s
+),
+w AS (
+  SELECT nxt, tt FROM t ORDER BY tt DESC NULLS LAST, day LIMIT 1
+)
+SELECT b.day, round(b.total, 6) AS total,
+       (SELECT nxt FROM w) AS cp_key,
+       round((SELECT tt FROM w), 6) AS cp_score
+FROM b ORDER BY day
+""",
+)
+def esql_change_point(spark, sf_dir):
+    """ES|QL ``CHANGE_POINT value ON key`` (esql.py CHANGE_POINT — the
+    Welch-t step detector shared with the change_point sibling agg,
+    aggs_dsl.change_point_stats): daily revenue with an injected +50/
+    event level shift from Jan 16, aggregated INSIDE the ES|QL pipeline
+    (STATS ... BY day) and scored by the command — the winning split's
+    first-after day + |t| repeat on every row, exactly the agg twin's
+    contract but through the query-language path."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .withColumn(
+            "value",
+            F.col("value")
+            + F.when(
+                F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"), 50.0
+            ).otherwise(0.0),
+        )
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .select("day", "value")
+    )
+    out = esql(
+        "FROM e | STATS total = SUM(value) BY day"
+        " | CHANGE_POINT total ON day | SORT day"
+        " | KEEP day, total, cp_key, cp_score",
+        tables={"e": ev},
+    )
+    return out.select(
+        "day",
+        F.round("total", 6).alias("total"),
+        "cp_key",
+        F.round("cp_score", 6).alias("cp_score"),
+    )
