@@ -1666,6 +1666,28 @@ def _after_key_gt(key_names: list[str], after: dict) -> Column:
     )
 
 
+def _range_whens(value: Column, ranges: list, lit) -> Column:
+    """Shared range-family bucketing: half-open [from, to) rings with
+    ES's "<from>-<to>" default labels ('*' for an open end) or explicit
+    ``key``s, rendered as one when-chain (first matching range wins —
+    ES ranges are disjoint by construction)."""
+    whens = None
+    for r in ranges:
+        lo, hi = r.get("from"), r.get("to")
+        label = r.get("key") or (
+            f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        )
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (value >= lit(lo))
+        if hi is not None:
+            cond = cond & (value < lit(hi))
+        whens = (
+            F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
+        )
+    return whens
+
+
 def _bucket_key(kind: str, b: dict) -> Column:
     if kind == "multi_terms":
         # ES multi_terms: one bucket per distinct field-value TUPLE; the
@@ -1710,6 +1732,8 @@ def _bucket_key(kind: str, b: dict) -> Column:
             off_secs = sign * int(ov[:-1]) * _FIXED_SECONDS[ov[-1]]
         epoch = F.unix_timestamp(field) - off_secs
         return F.timestamp_seconds(F.floor(epoch / secs) * secs + off_secs)
+    if kind in ("geo_distance", "range", "date_range") and not b.get("ranges"):
+        raise AggsDslError(f"{kind} needs a non-empty ranges: [...] list")
     if kind == "geo_distance":
         # ES geo_distance agg: distance-ring buckets from an origin point
         # over a struct(lat, lon) geo_point field.  Arc (haversine)
@@ -1733,36 +1757,13 @@ def _bucket_key(kind: str, b: dict) -> Column:
             F.lit(float(origin["lat"])),
             F.lit(float(origin["lon"])),
         ) / F.lit(unit_km)
-        whens = None
-        for r in b["ranges"]:
-            lo, hi = r.get("from"), r.get("to")
-            label = r.get("key") or (
-                f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
-            )
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (dist >= F.lit(float(lo)))
-            if hi is not None:
-                cond = cond & (dist < F.lit(float(hi)))
-            whens = (
-                F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
-            )
-        return whens
+        return _range_whens(dist, b["ranges"], lambda v: F.lit(float(v)))
     if kind in ("range", "date_range"):
         # date_range is range with from/to parsed as timestamps (ES also
         # allows date-math like "now-1d" — not supported, literals only)
         lit = (lambda v: F.to_timestamp(F.lit(v))) if kind == "date_range" else F.lit
-        whens = None
-        for r in b["ranges"]:
-            lo, hi = r.get("from"), r.get("to")
-            label = r.get("key") or f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (field >= lit(lo))
-            if hi is not None:
-                cond = cond & (field < lit(hi))
-            whens = F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
-        return whens  # docs outside every range -> NULL bucket, filtered by ES; we keep NULL
+        # docs outside every range -> NULL bucket, filtered by ES; we keep NULL
+        return _range_whens(field, b["ranges"], lit)
     if kind == "ip_prefix":
         # ES ip_prefix: bucket by the network address at `prefix_length`
         # bits.  IPv4 only (same limit as ip_range); the address parses to

@@ -120,8 +120,37 @@ class Catalog:
             return {"seq": 0, "pits": {}}
 
     def _write_pits(self, state: dict) -> None:
-        with open(self._pits_path(), "w") as f:
+        # atomic replace: a concurrent reader sees the old or the new
+        # registry, never a torn file
+        tmp = f"{self._pits_path()}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(state, f)
+        os.replace(tmp, self._pits_path())
+
+    def _mutate_pits(self, fn):
+        """Run ``fn(state) -> result`` under an O_EXCL lock file (the same
+        claim primitive the txn layer uses) so concurrent Catalog
+        instances can't mint duplicate seq nonces or lose each other's
+        open/extend/close updates; the write is atomic-replace."""
+        import time as _time
+
+        lock = f"{self._pits_path()}.lock"
+        for _ in range(500):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                _time.sleep(0.01)
+        else:
+            raise TimeoutError(f"could not acquire PIT registry lock {lock}")
+        try:
+            state = self._read_pits()
+            result = fn(state)
+            self._write_pits(state)
+            return result
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     # ---------------------------------------------------------------- paths
     def path(self, name: str) -> str:
@@ -683,13 +712,22 @@ class Catalog:
 
     # ------------------------------------------------- shrink / split / clone
     def _data_file_count(self, name: str) -> int:
-        """The index's parquet data-file count — the shard-count analogue
-        (ES _shrink/_split arithmetic runs on primary shard counts; here
-        a 'shard' is one parquet file, the parallel-read unit)."""
+        """The index's LIVE parquet data-file count — the shard-count
+        analogue (ES _shrink/_split arithmetic runs on primary shard
+        counts; here a 'shard' is one parquet file, the parallel-read
+        unit).  On a transactional index only the latest manifest's dirs
+        count: superseded versions retained for time travel are dead
+        weight, not shards."""
         path = self.path(name)
+        if txn.is_transactional(path):
+            _, dirs = txn.latest(path)
+            roots = dirs
+        else:
+            roots = [path]
         n = 0
-        for root, _dirs, files in os.walk(path):
-            n += sum(1 for f in files if f.endswith(".parquet"))
+        for r in roots:
+            for root, _dirs, files in os.walk(r):
+                n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
     def _resize_index(
@@ -714,13 +752,22 @@ class Catalog:
                 f"_split target shard count {target_shards} must be a multiple "
                 f"of the source's {src_shards}"
             )
-        df = self.read_index(src)
+        # read the RAW stored files (incl. materialized _id/_routing/
+        # _index metadata columns — read_index would strip them) and write
+        # the target directly: ES _shrink/_split copy segments verbatim,
+        # so neither index templates, default pipelines, nor id dedupe may
+        # touch the data (write_index would apply all three to a new
+        # index).  The target is a plain single-swap index either way; a
+        # transactional source contributes its LIVE manifest only.
+        df = self._read_files(src)
+        meta = self._read_meta(src)
         # shrink merges without a shuffle (ES hard-links segments into
         # fewer shards); split re-hashes rows across more files
         out = df.coalesce(target_shards) if kind == "shrink" else df.repartition(target_shards)
-        self.write_index(out, target, mode="error")
+        # preserve dynamic-routing Hive layout, like compact_index
+        partition_cols = ["_index"] if meta.get("index_pattern") else []
+        self._writer(out, partition_cols, None).parquet(self.path(target))
         # ES copies index settings (minus shard count) to the target
-        meta = self._read_meta(src)
         if meta:
             tmeta = dict(meta)
             tmeta["resized_from"] = src
@@ -814,18 +861,19 @@ class Catalog:
         # a per-open nonce keeps every _pit open a DISTINCT context (ES
         # semantics) — without it two PITs on the same snapshot would
         # share one registry entry and close/extend each other
-        state = self._read_pits()
-        state["seq"] += 1
-        pit_id = base64.b64encode(
-            json.dumps(
-                {"index": names[0], "version": version, "n": state["seq"]}
-            ).encode()
-        ).decode()
         from elasticsearch_hadoop_spark.durations import parse_duration
 
-        state["pits"][pit_id] = now + parse_duration(keep_alive)
-        self._write_pits(state)
-        return pit_id
+        def _open(state: dict) -> str:
+            state["seq"] += 1
+            pit_id = base64.b64encode(
+                json.dumps(
+                    {"index": names[0], "version": version, "n": state["seq"]}
+                ).encode()
+            ).decode()
+            state["pits"][pit_id] = now + parse_duration(keep_alive)
+            return pit_id
+
+        return self._mutate_pits(_open)
 
     def pit_read(
         self,
@@ -840,27 +888,28 @@ class Catalog:
         import time as _time
 
         now = _time.time() if now is None else now
-        state = self._read_pits()
-        expiry = state["pits"].get(pit_id)
-        if expiry is None or now > expiry:
-            if state["pits"].pop(pit_id, None) is not None:
-                self._write_pits(state)
-            raise ValueError("point in time expired or closed (search_context_missing)")
-        if keep_alive is not None:
-            from elasticsearch_hadoop_spark.durations import parse_duration
 
-            state["pits"][pit_id] = now + parse_duration(keep_alive)
-            self._write_pits(state)
+        def _touch(state: dict) -> bool:
+            expiry = state["pits"].get(pit_id)
+            if expiry is None or now > expiry:
+                state["pits"].pop(pit_id, None)  # reap; persisted below
+                return False
+            if keep_alive is not None:
+                from elasticsearch_hadoop_spark.durations import parse_duration
+
+                state["pits"][pit_id] = now + parse_duration(keep_alive)
+            return True
+
+        if not self._mutate_pits(_touch):
+            raise ValueError("point in time expired or closed (search_context_missing)")
         ref = json.loads(base64.b64decode(pit_id))
         return self.read_index_version(ref["index"], ref["version"])
 
     def close_point_in_time(self, pit_id: str) -> bool:
         """ES ``DELETE /_pit`` — returns whether the id was open."""
-        state = self._read_pits()
-        was_open = state["pits"].pop(pit_id, None) is not None
-        if was_open:
-            self._write_pits(state)
-        return was_open
+        return self._mutate_pits(
+            lambda state: state["pits"].pop(pit_id, None) is not None
+        )
 
     def index_history(self, name: str) -> list[dict]:
         """The commit log as data: one dict per committed version

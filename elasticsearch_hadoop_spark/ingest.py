@@ -519,7 +519,9 @@ def _apply_one(
             F.struct(*[available[p] for p in props]),
         )
         df = _guarded(df, tgt, out, cond)
-        if cfg.get("remove_binary") and "." not in field:
+        if cfg.get("remove_binary"):
+            # _precheck rejected per-row `if` and dotted fields for this
+            # combination, so the schema-level drop is safe here
             df = df.drop(field)
         return df
 
@@ -1195,6 +1197,19 @@ def _precheck(kind: str, cfg: dict) -> None:
     if kind == "attachment":
         if "field" not in cfg:
             raise IngestError("attachment needs field")
+        if cfg.get("remove_binary"):
+            # dropping the source column is a SCHEMA edit — the same
+            # hazard the remove processor rejects under a per-row if
+            # (rows the condition skips would lose their payload too)
+            if "if" in cfg:
+                raise IngestError(
+                    "attachment: remove_binary is a schema edit; per-row if "
+                    "unsupported — split into attachment + a separate remove"
+                )
+            if "." in cfg["field"]:
+                raise IngestError(
+                    "attachment: remove_binary supports top-level fields only"
+                )
         bad = [
             p
             for p in cfg.get("properties", [])

@@ -471,13 +471,26 @@ def hamming_topk(
     driver merge.  Deterministic end-to-end, so a SQL oracle replays it
     exactly."""
     dim = len(query_vec)
-    qwords = F.lit(_pack_sign_bits_py([float(x) for x in query_vec]))
+    qw = _pack_sign_bits_py([float(x) for x in query_vec])
+    qwords = F.lit(qw)
     packed = F.col(packed_col) if packed_col else pack_sign_bits(F.col(vec_col), dim)
+    # a packed column whose word count differs from the query's would
+    # zip_with NULL-pad into NULL distances that sort FIRST — silently
+    # wrong top-k.  Make the mismatch loud instead of plausible.
     dist = F.aggregate(
         F.zip_with(packed, qwords, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x.cast("long"),
     )
+    if packed_col:
+        dist = F.when(F.size(F.col(packed_col)) == len(qw), dist).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"hamming_topk: packed column {packed_col!r} width does not "
+                    f"match the {dim}-d query ({len(qw)} words expected)"
+                )
+            )
+        )
     scored = embeddings.select(
         F.col(id_col), F.col(vec_col), dist.alias("hamming")
     ).orderBy(F.col("hamming").asc(), F.col(id_col))

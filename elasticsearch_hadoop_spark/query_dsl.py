@@ -651,7 +651,10 @@ def _geo_grid(body, id_col):
         parts = key.split("/")
         if len(parts) != 3:
             raise QueryDslError(f"geotile key must be 'z/x/y', got {key!r}")
-        z, x, y = (int(p) for p in parts)
+        try:
+            z, x, y = (int(p) for p in parts)
+        except ValueError:
+            raise QueryDslError(f"geotile key must be 'z/x/y' integers, got {key!r}")
         if not 0 <= z <= 29:
             raise QueryDslError(f"geotile zoom {z} out of range 0..29")
         if not (0 <= x < (1 << z) and 0 <= y < (1 << z)):

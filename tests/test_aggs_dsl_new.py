@@ -840,3 +840,19 @@ def test_geo_distance_rings(spark):
         compile_aggs(df, {"aggs": {"r": {"geo_distance": {
             "field": "loc", "origin": {"lat": 0, "lon": 0}, "unit": "furlongs",
             "ranges": [{"to": 1}]}}}})
+
+
+def test_range_family_requires_nonempty_ranges(spark):
+    """Review r8: missing or empty ranges is a typed AggsDslError for
+    geo_distance, range, and date_range alike."""
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    for body in (
+        {"geo_distance": {"field": "loc", "origin": {"lat": 0, "lon": 0}}},
+        {"range": {"field": "v"}},
+        {"range": {"field": "v", "ranges": []}},
+        {"date_range": {"field": "v"}},
+    ):
+        with pytest.raises(AggsDslError, match="non-empty ranges"):
+            compile_aggs(df, {"aggs": {"r": body}})

@@ -1007,3 +1007,41 @@ def test_field_caps(spark, cat):
     assert cat.field_caps("all-logs")["fields"].keys() == out["fields"].keys()
     both = cat.field_caps("logs-1,metrics-1")
     assert "other" in both["fields"] and both["indices"] == ["logs-1", "metrics-1"]
+
+
+def test_resize_preserves_metadata_columns_and_skips_templates(spark, cat):
+    """Review r8: _shrink/_split copy data verbatim like ES — stored _id
+    survives (so upserts into the target still work), and a template
+    matching the target name must NOT run its pipeline over resized
+    data."""
+    cat.put_pipeline("boom", [{"set": {"field": "v", "value": "CLOBBERED"}}])
+    cat.put_index_template(
+        "t-ev", {"index_patterns": ["ev_*"], "priority": 5,
+                 "template": {"settings": {"index.default_pipeline": "boom"}}},
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string")
+    cat.write_index(df.repartition(2), "src", mode="overwrite", id_col="k")
+    cat.shrink_index("src", "ev_small", 1)
+    got = as_dicts_by(cat.read_index("ev_small"), "k")
+    assert [d["v"] for d in got] == ["a", "b", "c", "d"]  # pipeline did NOT run
+    # stored _id survived: an upsert joining on _id works on the target
+    cat.write_index(
+        spark.createDataFrame([(2, "B")], "k int, v string"),
+        "ev_small", operation="upsert", id_col="k",
+    )
+    got = as_dicts_by(cat.read_index("ev_small"), "k")
+    assert [d["v"] for d in got] == ["a", "B", "c", "d"]
+
+
+def test_resize_counts_live_files_only_on_transactional(spark, tmp_path):
+    """Review r8: superseded manifest versions retained for time travel
+    are not shards — the resize arithmetic uses the live manifest."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "txn"), transactional=True)
+    df = spark.range(20).select(F.col("id").alias("k"))
+    cat.write_index(df.repartition(4), "src", mode="overwrite")
+    cat.write_index(df.repartition(4), "src", mode="overwrite")  # v2; v1 retained
+    assert cat._data_file_count("src") == 4  # not 8
+    cat.shrink_index("src", "dst", 2)
+    assert cat.read_index("dst").count() == 20  # live version only, no dupes

@@ -397,3 +397,10 @@ def test_geo_grid_query_validation(spark):
         compile_query({"geo_grid": {"loc": {"geohex": "8429a1fffffffff"}}})
     with pytest.raises(QueryDslError, match="exactly one"):
         compile_query({"geo_grid": {"loc": {"geotile": "1/0/0", "geohash": "u"}}})
+
+
+def test_geo_grid_non_numeric_tile_is_typed_error(spark):
+    from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
+
+    with pytest.raises(QueryDslError, match="integers"):
+        compile_query({"geo_grid": {"loc": {"geotile": "2/a/0"}}})

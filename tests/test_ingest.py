@@ -917,3 +917,15 @@ def test_attachment_processor(spark):
         compile_pipeline([{"attachment": {"field": "data", "properties": ["language"]}}])
     with pytest.raises(IngestError, match="needs field"):
         compile_pipeline([{"attachment": {}}])
+
+
+def test_attachment_remove_binary_guards(spark):
+    """Review r8: remove_binary is a schema edit — per-row if and dotted
+    fields are rejected at declaration, not silently misapplied."""
+    from elasticsearch_hadoop_spark.ingest import IngestError, compile_pipeline
+
+    with pytest.raises(IngestError, match="schema edit"):
+        compile_pipeline([{"attachment": {"field": "data", "remove_binary": True,
+                                          "if": "ctx.kind == 'doc'"}}])
+    with pytest.raises(IngestError, match="top-level"):
+        compile_pipeline([{"attachment": {"field": "a.data", "remove_binary": True}}])

@@ -331,3 +331,20 @@ def test_hamming_topk_matches_python_reference(spark):
     assert out[0]["vec_id"] == 0 and out[0]["hamming"] == 0
     cos = [r["cosine"] for r in out]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_hamming_packed_width_mismatch_is_loud(spark):
+    """Review r8: a packed column narrower/wider than the query must
+    raise, not NULL-pad into a silently wrong top-k."""
+    from elasticsearch_hadoop_spark.operators.similarity import (
+        hamming_topk,
+        pack_sign_bits,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    ).withColumn("bits", pack_sign_bits(F.col("embedding"), 64))
+    qv32 = [1.0] * 32  # 1 word vs the packed 2
+    with pytest.raises(Exception, match="width does not match"):
+        hamming_topk(df, qv32, k=3, packed_col="bits").collect()
