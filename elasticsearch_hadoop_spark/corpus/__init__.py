@@ -73,6 +73,8 @@ PRIORITY: tuple[str, ...] = (
     "esql_mv_expand_tokens",
     "aggs_missing_bucket",
     "esql_change_point",
+    "esql_fuse_rrf",
+    "esql_fuse_linear_minmax",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

@@ -572,3 +572,121 @@ def esql_change_point(spark, sf_dir):
         "cp_key",
         F.round("cp_score", 6).alias("cp_score"),
     )
+
+
+@query(
+    "esql_fuse_rrf",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id AS _id, n_chars::DOUBLE AS s1,
+         (length(text) % 97)::DOUBLE AS s2, source
+  FROM documents WHERE text IS NOT NULL
+), b1 AS (
+  SELECT _id, s1 AS _score, source FROM docs ORDER BY s1 DESC, _id LIMIT 40
+), b2 AS (
+  SELECT _id, s2 AS _score, source FROM docs ORDER BY s2 DESC, _id LIMIT 40
+), forked AS (
+  SELECT 'fork1' AS _fork, * FROM b1
+  UNION ALL
+  SELECT 'fork2' AS _fork, * FROM b2
+), contrib AS (
+  SELECT _id, source,
+         1.0 / (10 + row_number()
+                OVER (PARTITION BY _fork ORDER BY _score DESC, _id)) AS c
+  FROM forked
+)
+SELECT _id, round(SUM(c), 6)::DOUBLE AS _score, max(source) AS source
+FROM contrib
+GROUP BY _id
+ORDER BY round(SUM(c), 6) DESC, _id
+LIMIT 25
+""",
+)
+def esql_fuse_rrf(spark, sf_dir):
+    """ES|QL 8.19+ ``FUSE rrf`` (esql._fuse): two FORK branches rank the
+    documents corpus by different relevance signals (char count vs a
+    text-length hash), each truncated to its own top-40, then reciprocal
+    -rank fusion (1/(rank_constant + rank) per branch, summed by _id)
+    produces one ranked list; the non-score ``source`` column survives
+    via the documented max-merge.  The oracle replays the same two
+    bounded top-k lists and the same per-branch ranking (score desc,
+    _id tiebreak) in SQL."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("_id"), "text", "n_chars", "source")
+    )
+    out = esql(
+        "FROM docs"
+        " | FORK (EVAL _score = TO_DOUBLE(n_chars)"
+        "         | SORT _score DESC, _id | LIMIT 40 | KEEP _id, _score, source)"
+        "        (EVAL _score = TO_DOUBLE(LENGTH(text) % 97)"
+        "         | SORT _score DESC, _id | LIMIT 40 | KEEP _id, _score, source)"
+        " | FUSE rrf WITH rank_constant=10"
+        " | EVAL _score = ROUND(_score, 6)"
+        " | SORT _score DESC, _id | LIMIT 25"
+        " | KEEP _id, _score, source",
+        tables={"docs": docs},
+    )
+    return out
+
+
+@query(
+    "esql_fuse_linear_minmax",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id AS _id, n_chars::DOUBLE AS s1,
+         (length(text) % 97)::DOUBLE AS s2
+  FROM documents WHERE text IS NOT NULL
+), b1 AS (
+  SELECT _id, s1 AS _score FROM docs ORDER BY s1 DESC, _id LIMIT 40
+), b2 AS (
+  SELECT _id, s2 AS _score FROM docs ORDER BY s2 DESC, _id LIMIT 40
+), forked AS (
+  SELECT 'fork1' AS _fork, * FROM b1
+  UNION ALL
+  SELECT 'fork2' AS _fork, * FROM b2
+), contrib AS (
+  SELECT _id,
+         CASE WHEN max(_score) OVER w > min(_score) OVER w
+              THEN (_score - min(_score) OVER w)
+                   / (max(_score) OVER w - min(_score) OVER w)
+              ELSE 1.0 END AS c
+  FROM forked WINDOW w AS (PARTITION BY _fork)
+)
+SELECT _id, round(SUM(c), 6)::DOUBLE AS _score
+FROM contrib
+GROUP BY _id
+ORDER BY round(SUM(c), 6) DESC, _id
+LIMIT 25
+""",
+)
+def esql_fuse_linear_minmax(spark, sf_dir):
+    """ES|QL ``FUSE linear WITH normalizer=minmax`` (esql._fuse): the
+    same two FORK top-40 branches, fused by summing each branch's
+    min-max-normalized score (constant branch -> 1.0, ES's convention)
+    instead of reciprocal ranks.  Exercises the normalizer option
+    parsing and the per-branch window min/max path; the oracle computes
+    the identical normalization with SQL window functions."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("_id"), "text", "n_chars")
+    )
+    out = esql(
+        "FROM docs"
+        " | FORK (EVAL _score = TO_DOUBLE(n_chars)"
+        "         | SORT _score DESC, _id | LIMIT 40 | KEEP _id, _score)"
+        "        (EVAL _score = TO_DOUBLE(LENGTH(text) % 97)"
+        "         | SORT _score DESC, _id | LIMIT 40 | KEEP _id, _score)"
+        " | FUSE linear WITH normalizer=minmax"
+        " | EVAL _score = ROUND(_score, 6)"
+        " | SORT _score DESC, _id | LIMIT 25"
+        " | KEEP _id, _score",
+        tables={"docs": docs},
+    )
+    return out

@@ -61,6 +61,16 @@ Supported commands (the documented core; anything else raises):
 - ``FORK (branch) (branch)`` (8.18+) — each parenthesized branch
   pipeline runs over the current frame; results union by name (missing
   columns null-filled) with the ``_fork`` discriminator column.
+- ``FUSE [rrf|linear] [WITH key=value, ...]`` (8.19+) — merge FORK
+  branches into one ranked list: group rows by ``_id`` (+ ``_index``
+  when present), fuse each branch's contribution into a new ``_score``,
+  drop ``_fork``.  ``rrf`` (default) contributes 1/(rank_constant +
+  rank) per branch, rank = position by that branch's ``_score``
+  descending (ties broken by the group key — deterministic, where ES
+  ranks by arrival order); ``linear`` sums raw scores (ES's default
+  ``normalizer: none``) or min-max-normalized ones WITH
+  ``normalizer=minmax``.  Non-score columns merge with ``max`` ignoring
+  nulls (deterministic; ES keeps the first non-null branch value).
 
 Explicit non-goals (raise "unsupported command", by design):
 
@@ -1027,6 +1037,82 @@ def esql(
     return _apply_stages(df, stages[1:], tables, catalog, enrich_policies)
 
 
+def _fuse(df: DataFrame, body: str) -> DataFrame:
+    """ES|QL ``FUSE`` (8.19+, upstream `FuseOperator` semantics per the
+    published docs): merge the ``_fork`` branches of the current frame
+    into one ranked list keyed by ``_id`` (+ ``_index`` when present).
+
+    Scale shape: FORK branches are top-k lists (each branch ends in its
+    own SORT/LIMIT), so the per-branch ranking window and the final hash
+    aggregation run over bounded frames — the corpus is never re-read.
+
+    Determinism notes (documented divergences from server behavior, both
+    required for an exact SQL oracle): per-branch rank orders by
+    ``_score`` descending with the group key as tiebreak (ES uses branch
+    arrival order, which a shuffled frame cannot reproduce); merged
+    non-score columns take ``max`` ignoring nulls (ES keeps the first
+    non-null branch value — identical whenever branches project the same
+    source fields, which is the common case)."""
+    from pyspark.sql.window import Window
+
+    m = re.match(
+        r"^(?:(rrf|linear)\b)?\s*(?:WITH\b(.*))?$", body.strip(), flags=re.I | re.S
+    )
+    if not m:
+        raise EsqlError(f"FUSE syntax: FUSE [rrf|linear] [WITH k=v, ...]: {body!r}")
+    method = (m.group(1) or "rrf").lower()
+    opts: dict[str, str] = {}
+    if m.group(2):
+        for item in _split_top(m.group(2)):
+            if "=" not in item:
+                raise EsqlError(f"FUSE WITH needs key=value items: {item!r}")
+            k, v = item.split("=", 1)
+            opts[k.strip().lower()] = v.strip().strip("\"'")
+    bad = set(opts) - {"rank_constant", "normalizer"}
+    if bad:
+        raise EsqlError(f"unsupported FUSE options {sorted(bad)!r}")
+    if "rank_constant" in opts and method != "rrf":
+        raise EsqlError("rank_constant applies to FUSE rrf only")
+    if "normalizer" in opts and method != "linear":
+        raise EsqlError("normalizer applies to FUSE linear only")
+    normalizer = opts.get("normalizer", "none")
+    if normalizer not in ("none", "minmax"):
+        raise EsqlError(f"FUSE linear normalizer must be none|minmax: {normalizer!r}")
+    missing = [c for c in ("_fork", "_id", "_score") if c not in df.columns]
+    if missing:
+        raise EsqlError(
+            f"FUSE needs columns {missing!r} — run it after FORK over a "
+            "FROM ... METADATA _id source whose branches set _score"
+        )
+    keys = ["_id"] + (["_index"] if "_index" in df.columns else [])
+    w = Window.partitionBy("_fork")
+    if method == "rrf":
+        k = float(opts.get("rank_constant", 60))
+        if k <= 0:
+            raise EsqlError(f"rank_constant must be positive: {k}")
+        rank = F.row_number().over(
+            w.orderBy(F.col("_score").desc(), *[F.col(c) for c in keys])
+        )
+        contrib = F.lit(1.0) / (F.lit(k) + rank.cast("double"))
+    elif normalizer == "minmax":
+        s = F.col("_score").cast("double")
+        lo, hi = F.min(s).over(w), F.max(s).over(w)
+        contrib = F.when(hi > lo, (s - lo) / (hi - lo)).otherwise(F.lit(1.0))
+    else:
+        contrib = F.col("_score").cast("double")
+    others = [c for c in df.columns if c not in (*keys, "_fork", "_score")]
+    fused = (
+        df.withColumn("__contrib", contrib)
+        .groupBy(*keys)
+        .agg(
+            F.sum("__contrib").alias("_score"),
+            *[F.max(c).alias(c) for c in others],
+        )
+    )
+    # original column order, minus the consumed _fork discriminator
+    return fused.select(*[c for c in df.columns if c != "_fork"])
+
+
 def _fork_branches(body: str) -> list[str]:
     """FORK's top-level parenthesized branches -> their inner pipelines."""
     branches, depth, buf, q = [], 0, [], None
@@ -1291,6 +1377,8 @@ def _apply_stages(
             df = outs[0]
             for o in outs[1:]:
                 df = df.unionByName(o, allowMissingColumns=True)
+        elif cmd == "FUSE":
+            df = _fuse(df, body)
         else:
             raise EsqlError(f"unsupported command {cmd!r}")
     return df

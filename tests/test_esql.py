@@ -783,3 +783,92 @@ class TestFullTextWhere:
         ) == [1]
         # a colon inside a plain string literal is NOT the operator
         assert self.q(t, 'FROM t | WHERE CONCAT(lang, ":x") == "fr:x" | KEEP id') == [2]
+
+
+# ---------------------------------------------------------------- FUSE
+
+
+@pytest.fixture()
+def forked(spark):
+    """A pre-scored two-branch frame: the shape FORK leaves behind."""
+    return {
+        "hits": spark.createDataFrame(
+            [
+                ("d1", 9.0, "s1"),
+                ("d2", 5.0, "s1"),
+                ("d3", 1.0, "s2"),
+            ],
+            "_id string, s1 double, src string",
+        )
+    }
+
+
+def test_fuse_rrf_sums_reciprocal_ranks(spark, forked):
+    out = esql(
+        "FROM hits"
+        " | FORK (EVAL _score = s1 | KEEP _id, _score, src)"
+        "        (EVAL _score = 10 - s1 | KEEP _id, _score, src)"
+        " | FUSE rrf WITH rank_constant=1"
+        " | SORT _id",
+        tables=forked,
+    ).collect()
+    # fork1 ranks d1,d2,d3 -> 1/2,1/3,1/4; fork2 ranks d3,d2,d1 -> 1/2,1/3,1/4
+    got = {r["_id"]: r["_score"] for r in out}
+    assert got["d1"] == pytest.approx(1 / 2 + 1 / 4)
+    assert got["d2"] == pytest.approx(1 / 3 + 1 / 3)
+    assert got["d3"] == pytest.approx(1 / 4 + 1 / 2)
+    # non-score columns survive the merge; _fork is consumed
+    row = [r for r in out if r["_id"] == "d1"][0]
+    assert row["src"] == "s1"
+    assert "_fork" not in row.asDict()
+
+
+def test_fuse_linear_minmax_normalizes_per_branch(spark, forked):
+    out = esql(
+        "FROM hits"
+        " | FORK (EVAL _score = s1 | KEEP _id, _score)"
+        "        (EVAL _score = 2.0 | KEEP _id, _score)"
+        " | FUSE linear WITH normalizer=minmax"
+        " | SORT _id",
+        tables=forked,
+    ).collect()
+    got = {r["_id"]: r["_score"] for r in out}
+    # branch1 minmax: d1=1, d2=0.5, d3=0; branch2 constant -> 1.0 each
+    assert got["d1"] == pytest.approx(2.0)
+    assert got["d2"] == pytest.approx(1.5)
+    assert got["d3"] == pytest.approx(1.0)
+
+
+def test_fuse_error_contract(spark, forked):
+    with pytest.raises(EsqlError, match="FUSE needs columns"):
+        esql("FROM hits | FUSE", tables=forked)  # no _fork/_score yet
+    with pytest.raises(EsqlError, match="unsupported FUSE options"):
+        esql(
+            "FROM hits | FORK (EVAL _score = s1) (EVAL _score = s1)"
+            " | FUSE rrf WITH depth=5",
+            tables=forked,
+        )
+    with pytest.raises(EsqlError, match="rank_constant applies"):
+        esql(
+            "FROM hits | FORK (EVAL _score = s1) (EVAL _score = s1)"
+            " | FUSE linear WITH rank_constant=5",
+            tables=forked,
+        )
+    with pytest.raises(EsqlError, match="normalizer applies"):
+        esql(
+            "FROM hits | FORK (EVAL _score = s1) (EVAL _score = s1)"
+            " | FUSE rrf WITH normalizer=minmax",
+            tables=forked,
+        )
+    with pytest.raises(EsqlError, match="must be none|minmax"):
+        esql(
+            "FROM hits | FORK (EVAL _score = s1) (EVAL _score = s1)"
+            " | FUSE linear WITH normalizer=zscore",
+            tables=forked,
+        )
+    with pytest.raises(EsqlError, match="rank_constant must be positive"):
+        esql(
+            "FROM hits | FORK (EVAL _score = s1) (EVAL _score = s1)"
+            " | FUSE rrf WITH rank_constant=0",
+            tables=forked,
+        )
