@@ -690,3 +690,134 @@ def esql_fuse_linear_minmax(spark, sf_dir):
         tables={"docs": docs},
     )
     return out
+
+
+@query(
+    "writepath_index_sorted_scan",
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 6)::DOUBLE AS value
+FROM events
+WHERE user_id BETWEEN 3 AND 5
+ORDER BY event_id
+""",
+)
+def writepath_index_sorted_scan(spark, sf_dir):
+    """ES ``index.sort.field`` on write (catalog.write_index — template
+    settings resolve to a sortWithinPartitions before the sink, the ES
+    per-segment sort analogue; no cross-partition shuffle, unlike
+    z-order): events land clustered by user_id, then a narrow user_id
+    range scan reads them back intact.  Scale: the sort key's parquet
+    row-group min/max spans shrink by ~the groups-per-file factor
+    (pinned in tests/test_zorder.py), so this exact scan prunes row
+    groups at 100 TB while the range predicate pushes to the scan."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+
+    root = _workdir(sf_dir, "index_sorted_scan")
+    cat = Catalog(spark, root)
+    cat.put_index_template(
+        "sorted-events",
+        {
+            "index_patterns": ["sorted-*"],
+            "priority": 10,
+            "template": {"settings": {"index.sort.field": "user_id"}},
+        },
+    )
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cat.write_index(ev.repartition(4), "sorted-ev", mode="overwrite")
+    out = cat.read_index("sorted-ev").filter(F.col("user_id").between(3, 5))
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    ).orderBy("event_id")
+
+
+# orders-derived geo points for the parent/child x geo_grid composition
+_OPTS_SQL = """
+  SELECT o_orderkey,
+         CAST((o_orderkey % 180) - 89.5 AS DOUBLE) AS glat,
+         CAST(((o_orderkey * 7) % 360) - 179.5 AS DOUBLE) AS glon
+  FROM orders
+"""
+
+
+@query(
+    "aggs_geotile_children",
+    oracle=f"""
+WITH opts AS ({_OPTS_SQL}
+), cells AS (
+  SELECT o_orderkey,
+         '2/' || CAST({_TILE_X} AS VARCHAR) || '/' || CAST({_TILE_Y} AS VARCHAR) AS cell
+  FROM opts
+), j AS (
+  SELECT c.cell, l.l_quantity
+  FROM cells c JOIN lineitem l ON l.l_orderkey = c.o_orderkey
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(l_quantity), 6)::DOUBLE AS sum_qty
+FROM j
+GROUP BY cell
+ORDER BY cell
+""",
+)
+def aggs_geotile_children(spark, sf_dir):
+    """geo_grid cells as the ENCLOSING key of a `children` context
+    switch (aggs_dsl geotile_grid + children): parent orders carry a
+    geo_point, bucket them by Web-Mercator tile at zoom 2, then switch
+    to their `line` children inside each cell and sum the child
+    quantity.  Exercises the keyed-bucket children path (outer keys
+    materialized BEFORE the join-field switch) with a computed geo cell
+    key rather than a stored column — ES's geotile_grid -> children
+    composition.  The oracle re-derives the tile arithmetic with the
+    shared IEEE-double expression text."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    o = tbl(spark, sf_dir, "orders").select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.struct(
+            F.lit("order").alias("name"),
+            F.lit(None).cast("string").alias("parent"),
+        ).alias("join_field"),
+        F.struct(
+            ((F.col("o_orderkey") % 180) - 89.5).alias("lat"),
+            (((F.col("o_orderkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+        F.lit(None).cast("double").alias("quantity"),
+    )
+    l = tbl(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.lit("l"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("_id"),
+        F.struct(
+            F.lit("line").alias("name"),
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("parent"),
+        ).alias("join_field"),
+        F.lit(None)
+        .cast("struct<lat:double,lon:double>")
+        .alias("location"),
+        F.col("l_quantity").cast("double").alias("quantity"),
+    )
+    df = o.unionByName(l)
+    out = compile_aggs(
+        df.filter(F.col("join_field.name") == "order"),
+        {"cells": {
+            "geotile_grid": {"field": "location", "precision": 2},
+            "aggs": {"lines": {
+                "children": {"type": "line"},
+                "aggs": {"sum_qty": {"sum": {"field": "quantity"}}},
+            }},
+        }},
+        base_df=df,
+    )
+    return out.select(
+        F.col("cells").alias("cell"),
+        "doc_count",
+        F.round("sum_qty", 6).alias("sum_qty"),
+    ).orderBy("cell")

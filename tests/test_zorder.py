@@ -101,3 +101,52 @@ def test_zorder_applies_to_merged_output(spark, tmp_path):
     if n_files >= 4:  # span check only meaningful with multiple files
         for idx in (1, 2):  # columns: k=0, x=1, y=2
             assert _avg_file_span(path, idx) < 70
+
+
+def _avg_rowgroup_span(path: str, col_idx: int) -> float:
+    spans = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col_idx).statistics
+            spans.append(st.max - st.min)
+    assert spans
+    return sum(spans) / len(spans)
+
+
+def test_index_sort_tightens_rowgroup_stats(spark, tmp_path):
+    """index.sort's mechanism (sortWithinPartitions before the sink —
+    the ES per-segment sort analogue; no cross-partition shuffle, unlike
+    zorder): with multiple row groups per file, the sort key's row-group
+    min/max spans shrink by ~the groups-per-file factor, which is what
+    lets a range scan skip row groups at scale."""
+    df = spark.range(200000).select(
+        ((F.col("id") * 2654435761) % 1000000).alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(2)
+    plain, srt = str(tmp_path / "plain"), str(tmp_path / "sorted")
+    opt = {"parquet.block.size": str(256 * 1024)}  # force several row groups/file
+    df.write.options(**opt).parquet(plain)
+    df.sortWithinPartitions("k").write.options(**opt).parquet(srt)
+    assert _avg_rowgroup_span(srt, 0) < 0.5 * _avg_rowgroup_span(plain, 0)
+
+
+def test_write_index_sort_by_reaches_the_files(spark, tmp_path):
+    """The catalog's sort_by (and index.sort.field via templates) must
+    actually order rows inside each written file — the property the
+    row-group narrowing above depends on."""
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    df = spark.range(5000).select(
+        ((F.col("id") * 37) % 1000).alias("k"), F.col("id").alias("v")
+    )
+    cat.write_index(df.repartition(3), "t", mode="overwrite", sort_by=["k"])
+    idx_dir = os.path.join(str(tmp_path / "idx"), "t")
+    files = []
+    for root, _dirs, names in os.walk(idx_dir):
+        files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f
