@@ -77,6 +77,8 @@ PRIORITY: tuple[str, ...] = (
     "esql_fuse_linear_minmax",
     "writepath_index_sorted_scan",
     "aggs_geotile_children",
+    "esql_ts_rate",
+    "esql_ts_over_time",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

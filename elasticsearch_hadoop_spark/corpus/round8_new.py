@@ -821,3 +821,109 @@ def aggs_geotile_children(spark, sf_dir):
         "doc_count",
         F.round("sum_qty", 6).alias("sum_qty"),
     ).orderBy("cell")
+
+
+@query(
+    "esql_ts_rate",
+    oracle="""
+WITH base AS (
+  SELECT user_id % 4 AS host, ts, value FROM events
+), lagged AS (
+  SELECT host, date_trunc('day', ts) AS tb, ts, value,
+         lag(value) OVER (PARTITION BY host, date_trunc('day', ts)
+                          ORDER BY ts, value) AS prev
+  FROM base
+), series AS (
+  SELECT host, tb,
+         sum(CASE WHEN prev IS NULL THEN NULL
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END) AS inc,
+         epoch(max(ts)) - epoch(min(ts)) AS span
+  FROM lagged
+  GROUP BY host, tb
+)
+SELECT strftime(tb, '%Y-%m-%d') AS day,
+       round(max(CASE WHEN span > 0 THEN inc / span END), 6)::DOUBLE AS max_rate,
+       round(avg(CASE WHEN span > 0 THEN inc / span END), 6)::DOUBLE AS avg_rate
+FROM series
+GROUP BY tb
+ORDER BY day
+""",
+)
+def esql_ts_rate(spark, sf_dir):
+    """ES|QL 9.x ``TS`` + ``RATE()`` (esql._stats_ts): treat events as a
+    4-series counter TSDS (host = user_id % 4 is the dimension), compute
+    the per-series per-day counter rate — sum of sample increases with
+    Prometheus/ES counter-reset handling (a drop contributes the
+    post-reset value), divided by the series' observed seconds — then
+    MAX and AVG across series per day.  The oracle replays the identical
+    lag-window arithmetic; fractional epoch seconds are kept on both
+    sides."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    ev = tbl(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("host"), "ts", "value"
+    )
+    out = esql(
+        "TS ev | STATS max_rate = MAX(RATE(value)),"
+        " avg_rate = AVG(RATE(value))"
+        ' BY tb = BUCKET(ts, "1 day")',
+        tables={"ev": ev},
+        time_series={"ev": {"dimensions": ["host"], "timestamp": "ts"}},
+    )
+    return out.select(
+        F.date_format("tb", "yyyy-MM-dd").alias("day"),
+        F.round("max_rate", 6).alias("max_rate"),
+        F.round("avg_rate", 6).alias("avg_rate"),
+    ).orderBy("day")
+
+
+@query(
+    "esql_ts_over_time",
+    oracle="""
+WITH s AS (
+  SELECT event_type, user_id, date_trunc('day', ts) AS tb,
+         max(value) AS mx, min(value) AS mn,
+         avg(value) AS av, count(value) AS c
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT strftime(tb, '%Y-%m-%d') AS day,
+       round(max(mx), 6)::DOUBLE AS hi,
+       round(min(mn), 6)::DOUBLE AS lo,
+       round(avg(av), 6)::DOUBLE AS mean_series,
+       CAST(sum(c) AS BIGINT) AS n
+FROM s
+GROUP BY tb
+ORDER BY day
+""",
+)
+def esql_ts_over_time(spark, sf_dir):
+    """ES|QL 9.x ``*_OVER_TIME`` gauge aggregations (esql._stats_ts):
+    (event_type, user_id) is the dimension tuple; per series and day the
+    inner max/min/avg/count evaluate, then the outer aggregate combines
+    series within the day — the two-stage shape that makes AVG(AVG_OVER_
+    TIME(v)) a mean of series means, NOT a row mean (the distinction the
+    TS command exists for).  One window-free double aggregation on both
+    sides."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id", "ts", "value")
+    out = esql(
+        "TS ev | STATS hi = MAX(MAX_OVER_TIME(value)),"
+        " lo = MIN(MIN_OVER_TIME(value)),"
+        " mean_series = AVG(AVG_OVER_TIME(value)),"
+        " n = SUM(COUNT_OVER_TIME(value))"
+        ' BY tb = BUCKET(ts, "1 day")',
+        tables={"ev": ev},
+        time_series={
+            "ev": {"dimensions": ["event_type", "user_id"], "timestamp": "ts"}
+        },
+    )
+    return out.select(
+        F.date_format("tb", "yyyy-MM-dd").alias("day"),
+        F.round("hi", 6).alias("hi"),
+        F.round("lo", 6).alias("lo"),
+        F.round("mean_series", 6).alias("mean_series"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("day")

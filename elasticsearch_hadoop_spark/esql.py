@@ -58,6 +58,14 @@ Supported commands (the documented core; anything else raises):
   the analogue here is that the lookup side broadcasts.
 - ``CHANGE_POINT value ON key`` (8.16+) — the Welch-t step detector
   (aggs_dsl.change_point_stats) appending cp_key / cp_score columns.
+- ``TS index`` (9.x time-series querying) — FROM for TSDS sources:
+  resolves identically but arms the next STATS to accept time-series
+  aggregation functions, each wrapped in an outer aggregate (ES's
+  rule): ``STATS max(rate(counter)), avg(avg_over_time(gauge)) BY
+  host, tb = BUCKET(@timestamp, 1 hour)``.  The inner function runs
+  once per time series (the ``dimensions`` tuple of the required
+  ``time_series`` spec) per group; the outer aggregate combines series.
+  rate / first/last/max/min/avg/sum/count/count_distinct ``_over_time``.
 - ``FORK (branch) (branch)`` (8.18+) — each parenthesized branch
   pipeline runs over the current frame; results union by name (missing
   columns null-filled) with the ``_fork`` discriminator column.
@@ -873,6 +881,11 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
         if not fm:
             raise EsqlError(f"STATS needs AGG(expr) items, got {item!r}")
         fname, inner = fm.group(1).lower(), fm.group(2).strip()
+        if fname in _TS_FNS or _TS_FN_RE.search(_blank_literals(inner)):
+            raise EsqlError(
+                "time-series aggregates (rate / *_over_time) need a TS "
+                "source with a time_series spec, not FROM"
+            )
 
         def _gate(c: Column) -> Column:
             return F.when(cond, c) if cond is not None else c
@@ -915,6 +928,152 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
     if keys:
         return df.groupBy(*[e.alias(n) for n, e in keys]).agg(*aggs)
     return df.agg(*aggs)
+
+
+# ES|QL 9.x time-series aggregation functions (usable only in a STATS
+# over a TS source, and only wrapped in an outer aggregate — ES's rule)
+_TS_FNS = {
+    "rate", "first_over_time", "last_over_time", "max_over_time",
+    "min_over_time", "avg_over_time", "sum_over_time", "count_over_time",
+    "count_distinct_over_time",
+}
+_TS_FN_RE = re.compile(
+    r"\b(" + "|".join(sorted(_TS_FNS)) + r")\s*\(", flags=re.I
+)
+
+
+def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
+    """ES|QL 9.x ``TS ... | STATS outer(ts_fn(field)) BY keys`` — the
+    two-stage time-series aggregation: the inner function evaluates once
+    per TIME SERIES (the dimension tuple) per group, the outer aggregate
+    combines series within each BY group.
+
+    ``rate(f)`` is the counter rate per (series, group): the sum of
+    sample-to-sample increases — a drop is a counter reset, contributing
+    the post-reset value, Prometheus/ES semantics — divided by the
+    series' observed seconds in the group (last - first sample
+    timestamp, fractional seconds kept); fewer than two samples or a
+    zero span yield NULL (no extrapolation — deterministic, where ES
+    9.x extrapolates to the bucket edges).  ``*_over_time`` are plain
+    per-series aggregates; first/last break timestamp ties by the value
+    (max_by/min_by on a (ts, value) struct — layout-independent, same
+    discipline as Catalog.downsample_index).
+
+    Scale shape: one window pass partitioned by (dimensions, BY keys)
+    only when a rate is requested, then two hash aggregations (series
+    then group) — the natural TSDS layout is already partitioned by
+    series, so the window and first aggregation are co-located.
+
+    Contract notes: every STATS item must be OUTER(TS_FN(expr)) — ES
+    rejects both a bare ts-function and a mix with row-level aggregates
+    in the same TS STATS; this engine does too."""
+    from pyspark.sql.window import Window
+
+    dims = list(spec.get("dimensions", []))
+    ts_col = spec.get("timestamp", "@timestamp")
+    by_m = re.search(r"\bBY\b", _blank_literals(body), flags=re.I)
+    agg_part = body[: by_m.start()] if by_m else body
+    keys: list[tuple[str, Column]] = []
+    if by_m:
+        for k in _split_top(body[by_m.end():]):
+            k = k.strip()
+            if "=" in k and "==" not in k:
+                name, expr = k.split("=", 1)
+                keys.append((name.strip(), _expr(expr)))
+            elif "(" in k:
+                keys.append((k, _expr(k)))
+            else:
+                keys.append((k, F.col(k)))
+
+    items: list[tuple[str, str, str, str]] = []  # (alias, outer, ts_fn, inner)
+    for item in _split_top(agg_part):
+        alias = None
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", item, flags=re.S)
+        if m and "==" not in item.split("=", 1)[0]:
+            alias, item = m.group(1), m.group(2).strip()
+        om = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)$", item, flags=re.S)
+        if not om:
+            raise EsqlError(f"STATS needs AGG(expr) items, got {item!r}")
+        outer, inner = om.group(1).lower(), om.group(2).strip()
+        if outer in _TS_FNS:
+            raise EsqlError(
+                f"time-series aggregate {outer!r} must be wrapped in an "
+                "outer aggregate (e.g. MAX(RATE(f))) — ES|QL TS rule"
+            )
+        im = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)$", inner, flags=re.S)
+        if not im or im.group(1).lower() not in _TS_FNS:
+            raise EsqlError(
+                "every aggregate in a TS STATS must wrap a time-series "
+                f"function (rate / *_over_time), got {item!r}"
+            )
+        if outer not in _AGGS or outer in ("values",):
+            raise EsqlError(f"unsupported outer aggregate {outer!r} in TS STATS")
+        items.append(
+            (alias or item.lower(), outer, im.group(1).lower(), im.group(2).strip())
+        )
+    if not items:
+        raise EsqlError("TS STATS needs at least one aggregate")
+
+    # materialize BY key expressions so the series window and both
+    # aggregations share the exact computed columns
+    cur = df
+    key_cols: list[str] = []
+    for i, (_, kexpr) in enumerate(keys):
+        col = f"__ts_k_{i}"
+        cur = cur.withColumn(col, kexpr)
+        key_cols.append(col)
+    ts_sec = F.col(ts_col).cast("timestamp").cast("double")
+
+    series_aggs: list[Column] = []
+    for i, (_, _outer, fn, inner) in enumerate(items):
+        v = _expr(inner)
+        out = f"__ts_v_{i}"
+        if fn == "rate":
+            w = Window.partitionBy(*dims, *key_cols).orderBy(
+                F.col(ts_col).asc(), v.asc()
+            )
+            prev = F.lag(v).over(w)
+            contrib = F.when(prev.isNull(), F.lit(None)).otherwise(
+                F.when(v >= prev, v - prev).otherwise(v)
+            )
+            cur = cur.withColumn(f"__ts_rc_{i}", contrib)
+            series_aggs += [
+                F.sum(f"__ts_rc_{i}").alias(f"__ts_inc_{i}"),
+                (F.max(ts_sec) - F.min(ts_sec)).alias(f"__ts_span_{i}"),
+            ]
+        elif fn == "first_over_time":
+            series_aggs.append(F.min_by(v, F.struct(F.col(ts_col), v)).alias(out))
+        elif fn == "last_over_time":
+            series_aggs.append(F.max_by(v, F.struct(F.col(ts_col), v)).alias(out))
+        elif fn == "count_over_time":
+            series_aggs.append(F.count(v).alias(out))
+        elif fn == "count_distinct_over_time":
+            series_aggs.append(F.countDistinct(v).alias(out))
+        else:  # max/min/avg/sum _over_time
+            series_aggs.append(
+                getattr(F, fn[: -len("_over_time")])(v).alias(out)
+            )
+    per_series = cur.groupBy(
+        *[F.col(d) for d in dims], *[F.col(c) for c in key_cols]
+    ).agg(*series_aggs)
+    # rate finalization: increase / span, NULL under 2 samples / zero span
+    for i, (_, _outer, fn, _inner) in enumerate(items):
+        if fn == "rate":
+            span = F.col(f"__ts_span_{i}")
+            per_series = per_series.withColumn(
+                f"__ts_v_{i}",
+                F.when(span > 0, F.col(f"__ts_inc_{i}") / span),
+            )
+
+    outer_aggs = [
+        _AGGS[outer](F.col(f"__ts_v_{i}")).alias(alias)
+        for i, (alias, outer, _fn, _inner) in enumerate(items)
+    ]
+    if keys:
+        return per_series.groupBy(
+            *[F.col(c).alias(n) for (n, _), c in zip(keys, key_cols)]
+        ).agg(*outer_aggs)
+    return per_series.agg(*outer_aggs)
 
 
 _GROK_PATTERNS = {
@@ -962,17 +1121,24 @@ def esql(
     tables: dict[str, DataFrame] | None = None,
     catalog=None,
     enrich_policies: dict[str, DataFrame] | None = None,
+    time_series: dict[str, dict] | None = None,
 ) -> DataFrame:
     """Compile and run an ES|QL query.  ``FROM x`` resolves ``x`` in
     ``tables`` first, then through ``catalog.read_index`` (wildcards and
-    aliases included)."""
+    aliases included).
+
+    ``TS x`` (9.x time-series querying) resolves sources the same way
+    but requires a ``time_series`` entry per source —
+    ``{"x": {"dimensions": [...], "timestamp": "col"}}`` — standing in
+    for the ``time_series_dimension`` mappings ES reads from the TSDS
+    index (same parameter convention as ``Catalog.downsample_index``)."""
     stages = _split_top(query.strip(), "|")
     if not stages:
         raise EsqlError("empty query")
     head = stages[0].strip()
-    hm = re.match(r"^(FROM|ROW)\b(.*)$", head, flags=re.I | re.S)
+    hm = re.match(r"^(FROM|ROW|TS)\b(.*)$", head, flags=re.I | re.S)
     if not hm:
-        raise EsqlError("query must start with FROM or ROW")
+        raise EsqlError("query must start with FROM, ROW, or TS")
     if hm.group(1).upper() == "ROW":
         cols = []
         for item in _split_top(hm.group(2)):
@@ -1034,7 +1200,30 @@ def esql(
         for f2 in frames[1:]:
             df = df.unionByName(f2, allowMissingColumns=True)
 
-    return _apply_stages(df, stages[1:], tables, catalog, enrich_policies)
+    ts_spec = None
+    if hm.group(1).upper() == "TS":
+        if not time_series:
+            raise EsqlError(
+                "TS needs time_series={source: {'dimensions': [...], "
+                "'timestamp': col}} — the engine's stand-in for ES's "
+                "time_series_dimension mappings"
+            )
+        missing = [s for s in sources if s not in time_series]
+        if missing:
+            raise EsqlError(f"TS sources missing time_series specs: {missing!r}")
+        specs = [time_series[s] for s in sources]
+        if any(sp != specs[0] for sp in specs[1:]):
+            raise EsqlError("TS sources must share one time_series spec")
+        ts_spec = specs[0]
+        bad = [c for c in [*ts_spec.get("dimensions", []),
+                           ts_spec.get("timestamp", "@timestamp")]
+               if c not in df.columns]
+        if bad:
+            raise EsqlError(f"time_series spec columns not in source: {bad!r}")
+
+    return _apply_stages(
+        df, stages[1:], tables, catalog, enrich_policies, ts_spec=ts_spec
+    )
 
 
 def _fuse(df: DataFrame, body: str) -> DataFrame:
@@ -1154,6 +1343,7 @@ def _apply_stages(
     tables,
     catalog,
     enrich_policies,
+    ts_spec: dict | None = None,
 ) -> DataFrame:
     for stage in stage_list:
         stage = stage.strip()
@@ -1168,7 +1358,13 @@ def _apply_stages(
                 name, expr = item.split("=", 1)
                 df = df.withColumn(name.strip(), _expr(expr))
         elif cmd == "STATS":
-            df = _stats(df, body)
+            if ts_spec is not None and _TS_FN_RE.search(_blank_literals(body)):
+                df = _stats_ts(df, body, ts_spec)
+            else:
+                df = _stats(df, body)
+            # aggregation collapses the per-document series rows — later
+            # STATS stages are ordinary aggregations over buckets
+            ts_spec = None
         elif cmd == "INLINESTATS":
             # STATS joined back onto the source rows (every input row
             # kept, aggregate columns attached).  Computed BY keys are

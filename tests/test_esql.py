@@ -872,3 +872,90 @@ def test_fuse_error_contract(spark, forked):
             " | FUSE rrf WITH rank_constant=0",
             tables=forked,
         )
+
+
+# ---------------------------------------------------------------- TS
+
+
+@pytest.fixture()
+def tsdata(spark):
+    """Two series (host a/b), two hourly buckets, hand-checkable values."""
+    rows = [
+        # host a, bucket 00: counter 10 -> 40 over 600s  => rate 0.05
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 00:05:00", 25.0),
+        ("a", "2024-01-01 00:10:00", 40.0),
+        # host b, bucket 00: reset in the middle: 100 -> 20 -> 50
+        # increases: (drop => +20) + 30 = 50 over 1200s => rate 50/1200
+        ("b", "2024-01-01 00:00:00", 100.0),
+        ("b", "2024-01-01 00:10:00", 20.0),
+        ("b", "2024-01-01 00:20:00", 50.0),
+        # host a, bucket 01: single sample => rate NULL
+        ("a", "2024-01-01 01:00:00", 99.0),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "host string, ts string, v double").select(
+        "host", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    return {"m": df}
+
+
+def test_ts_rate_per_series_and_outer_max(spark, tsdata):
+    out = esql(
+        "TS m | STATS mx = MAX(RATE(v)) BY tb = BUCKET(ts, \"1 hour\")"
+        " | SORT tb",
+        tables=tsdata,
+        time_series={"m": {"dimensions": ["host"], "timestamp": "ts"}},
+    ).collect()
+    assert len(out) == 2
+    b0, b1 = out
+    assert b0["mx"] == pytest.approx(max(30 / 600, 50 / 1200))
+    assert b1["mx"] is None  # single-sample series -> NULL rate, MAX skips
+
+
+def test_ts_over_time_two_stage(spark, tsdata):
+    out = esql(
+        "TS m | STATS a = AVG(AVG_OVER_TIME(v)), s = SUM(COUNT_OVER_TIME(v)),"
+        " l = MAX(LAST_OVER_TIME(v))"
+        " BY tb = BUCKET(ts, \"1 hour\") | SORT tb",
+        tables=tsdata,
+        time_series={"m": {"dimensions": ["host"], "timestamp": "ts"}},
+    ).collect()
+    b0 = out[0]
+    # per-series avgs: a=25, b=170/3; outer avg of those
+    assert b0["a"] == pytest.approx((25.0 + 170.0 / 3) / 2)
+    assert b0["s"] == 6
+    assert b0["l"] == pytest.approx(50.0)  # last of b=50, last of a=40
+    assert out[1]["a"] == pytest.approx(99.0)
+
+
+def test_ts_error_contract(spark, tsdata):
+    with pytest.raises(EsqlError, match="needs time_series"):
+        esql("TS m | STATS MAX(RATE(v))", tables=tsdata)
+    with pytest.raises(EsqlError, match="missing time_series specs"):
+        esql("TS m | STATS MAX(RATE(v))", tables=tsdata,
+             time_series={"other": {"dimensions": [], "timestamp": "ts"}})
+    with pytest.raises(EsqlError, match="not in source"):
+        esql("TS m | STATS MAX(RATE(v))", tables=tsdata,
+             time_series={"m": {"dimensions": ["nope"], "timestamp": "ts"}})
+    with pytest.raises(EsqlError, match="must be wrapped"):
+        esql("TS m | STATS RATE(v)", tables=tsdata,
+             time_series={"m": {"dimensions": ["host"], "timestamp": "ts"}})
+    with pytest.raises(EsqlError, match="must wrap a time-series"):
+        esql("TS m | STATS MAX(RATE(v)), COUNT(*)", tables=tsdata,
+             time_series={"m": {"dimensions": ["host"], "timestamp": "ts"}})
+    # ts functions without a TS source: pointed error, both shapes
+    with pytest.raises(EsqlError, match="need a TS source"):
+        esql("FROM m | STATS MAX(RATE(v))", tables=tsdata)
+    with pytest.raises(EsqlError, match="need a TS source"):
+        esql("FROM m | STATS RATE(v)", tables=tsdata)
+
+
+def test_ts_plain_stats_still_works(spark, tsdata):
+    out = esql(
+        "TS m | STATS n = COUNT(*) BY host | SORT host",
+        tables=tsdata,
+        time_series={"m": {"dimensions": ["host"], "timestamp": "ts"}},
+    ).collect()
+    assert [(r["host"], r["n"]) for r in out] == [("a", 4), ("b", 3)]
