@@ -48,7 +48,12 @@ Supported:
   doc set sub-aggs see; scoreless engine, so the documented deterministic
   semantics are a hash-ordered sample on a required ``seed_field``, with
   diversified's ``max_docs_per_value`` per-``field`` dedupe as a
-  WindowGroupLimit), ``ip_range`` (IPv4 from/to + CIDR masks; overlapping
+  WindowGroupLimit), ``random_sampler`` (8.2+ probability sampling: the
+  seeded 60-bit md5 threshold shared with operators/sampling over a
+  required ``seed_field``; doc_count and sum/value_count scale back up
+  by 1/probability, location metrics stay unscaled — ES's model; the
+  (0, 0.5] ∪ {1} probability constraint is ES's own),
+  ``ip_range`` (IPv4 from/to + CIDR masks; overlapping
   ranges land a doc in every matching bucket via the filters-style label
   explode; addresses parse to 32-bit ints in codegen; IPv6 unsupported),
   ``ip_prefix`` (bucket by the /n network address — shiftright/shiftleft
@@ -205,6 +210,7 @@ def compile_aggs(
 
     level = spec
     depth = 0
+    sample_scale: float | None = None  # set by random_sampler for deeper levels
     while level:
         bucket_items = [(n, b) for n, b in level.items() if _bucket_kind(b)]
         metric_items = [(n, b) for n, b in level.items() if not _bucket_kind(b)]
@@ -259,7 +265,7 @@ def compile_aggs(
                 # aggregates the buckets keyed at index k
                 pipelines.append((name, pkind, body[pkind], len(keys)))
                 continue
-            metrics.extend(_metric(name, body))
+            metrics.extend(_metric(name, body, sample_scale))
         if not bucket_items:
             break
         if len(bucket_items) > 1:
@@ -414,6 +420,45 @@ def compile_aggs(
                 .orderBy(h, F.col(seed))
                 .limit(n)
             )
+        elif kind == "random_sampler":
+            # ES random_sampler (8.2+): probability-sampled sub-aggs with
+            # count-like values scaled back up by 1/probability.  ES
+            # hashes internal doc ids with the seed; this schema-less
+            # engine takes the key column as `seed_field` (documented
+            # spec-hint convention, like children's id_field) and
+            # thresholds the SAME 60-bit md5 hash operators/sampling
+            # uses, so a DuckDB oracle replays the sample exactly and
+            # the sample is stable run-over-run.  Scaled: doc_count and
+            # sum/value_count (+ stats count/sum) at deeper levels;
+            # avg/min/max/percentiles are returned unscaled (they
+            # estimate the population directly — ES's model too;
+            # cardinality is unscaled with the same caveat ES documents).
+            # ES's probability constraint is enforced: (0, 0.5] or 1.
+            b = body["random_sampler"]
+            seed_field = b.get("seed_field")
+            if not seed_field:
+                raise AggsDslError(
+                    "random_sampler needs seed_field (deterministic "
+                    "engine: ES hashes internal doc ids)"
+                )
+            p = float(b.get("probability", 0))
+            if not (0 < p <= 0.5 or p == 1):
+                raise AggsDslError(
+                    f"random_sampler probability must be in (0, 0.5] or "
+                    f"exactly 1, got {p}"
+                )
+            from elasticsearch_hadoop_spark.operators.sampling import (
+                HASH_SPACE,
+                split_hash,
+            )
+
+            seed = int(b.get("seed", 0))
+            if p < 1:
+                df = df.filter(
+                    split_hash(F.col(seed_field), seed)
+                    < F.lit(int(p * HASH_SPACE))
+                )
+            sample_scale = 1.0 / p
         elif kind == "ip_range":
             # ES ip_range: from-inclusive / to-exclusive IPv4 ranges or
             # CIDR masks.  Ranges may OVERLAP — a doc lands in every
@@ -696,7 +741,11 @@ def compile_aggs(
                     ).alias(mname)
                 )
 
-    metrics = [F.count(F.lit(1)).alias("doc_count")] + metrics
+    doc_count = F.count(F.lit(1))
+    if sample_scale is not None and sample_scale != 1.0:
+        # ES rounds the scaled estimate to a long doc count
+        doc_count = F.round(doc_count * sample_scale, 0).cast("long")
+    metrics = [doc_count.alias("doc_count")] + metrics
     if keys:
         out = df.groupBy(*[expr.alias(name) for name, expr in keys]).agg(*metrics)
         key_names = [name for name, _ in keys]
@@ -1310,7 +1359,8 @@ def _bucket_kind(body: dict) -> str | None:
         "auto_date_histogram", "range", "date_range", "geo_distance",
         "geotile_grid",
         "geohash_grid", "filter", "filters", "adjacency_matrix",
-        "sampler", "diversified_sampler", "ip_range", "ip_prefix",
+        "sampler", "diversified_sampler", "random_sampler",
+        "ip_range", "ip_prefix",
         "nested", "reverse_nested", "global", "children", "parent",
         "composite", "missing", "significant_terms", "significant_text",
         "rare_terms", "variable_width_histogram", "frequent_item_sets",
@@ -1852,7 +1902,14 @@ def _bucket_key(kind: str, b: dict) -> Column:
     raise AggsDslError(kind)
 
 
-def _metric(name: str, body: dict) -> list[Column]:
+def _metric(
+    name: str, body: dict, sample_scale: float | None = None
+) -> list[Column]:
+    """One metric agg -> its output Column(s).  ``sample_scale`` is set
+    when an enclosing random_sampler sampled the frame: count-like values
+    (sum / value_count, stats count+sum) scale back up by 1/probability;
+    location metrics (avg/min/max/percentiles/cardinality) estimate the
+    population directly and stay unscaled — ES's scaling model."""
     (kind, spec), = body.items()
     if kind == "weighted_avg":
         # ES spells this {"value": {"field": v}, "weight": {"field": w}} —
@@ -2035,26 +2092,35 @@ def _metric(name: str, body: dict) -> list[Column]:
     field = spec["field"]
     approx = bool(spec.get("approximate", False))
     c = F.col(field)
+    scale = sample_scale if sample_scale not in (None, 1.0) else None
     if kind == "avg":
         return [F.avg(c).alias(name)]
     if kind == "sum":
-        return [F.sum(c).alias(name)]
+        s = F.sum(c)
+        return [(s * scale if scale else s).alias(name)]
     if kind == "min":
         return [F.min(c).alias(name)]
     if kind == "max":
         return [F.max(c).alias(name)]
     if kind == "value_count":
-        return [F.count(c).alias(name)]
+        n = F.count(c)
+        if scale:
+            n = F.round(n * scale, 0).cast("long")
+        return [n.alias(name)]
     if kind == "cardinality":
         agg = F.approx_count_distinct(c) if approx else F.countDistinct(c)
         return [agg.alias(name)]
     if kind == "stats":
+        cnt, total = F.count(c), F.sum(c)
+        if scale:
+            cnt = F.round(cnt * scale, 0).cast("long")
+            total = total * scale
         return [
-            F.count(c).alias(f"{name}_count"),
+            cnt.alias(f"{name}_count"),
             F.min(c).alias(f"{name}_min"),
             F.max(c).alias(f"{name}_max"),
             F.avg(c).alias(f"{name}_avg"),
-            F.sum(c).alias(f"{name}_sum"),
+            total.alias(f"{name}_sum"),
         ]
     if kind == "extended_stats":
         # stats + sum_of_squares / variance / std_deviation (population,

@@ -79,6 +79,8 @@ PRIORITY: tuple[str, ...] = (
     "aggs_geotile_children",
     "esql_ts_rate",
     "esql_ts_over_time",
+    "esql_fn_hash_ip",
+    "aggs_random_sampler",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

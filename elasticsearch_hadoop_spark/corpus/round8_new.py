@@ -927,3 +927,97 @@ def esql_ts_over_time(spark, sf_dir):
         F.round("mean_series", 6).alias("mean_series"),
         F.col("n").cast("long").alias("n"),
     ).orderBy("day")
+
+
+@query(
+    "esql_fn_hash_ip",
+    oracle="""
+WITH e AS (
+  SELECT '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+         CAST(CAST((event_id % 250) // 16 AS BIGINT) * 16 AS VARCHAR) ||
+         '.0' AS net
+  FROM events
+), g AS (
+  SELECT net, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY net
+)
+SELECT net, n, sha256(net) AS sig,
+       decode(from_base64(to_base64(encode(net)))) AS rt
+FROM g
+ORDER BY net
+""",
+)
+def esql_fn_hash_ip(spark, sf_dir):
+    """ES|QL 8.17+ scalar functions IP_PREFIX / HASH / SHA256 /
+    FROM_BASE64 / TO_BASE64 / SPACE (esql._rewrite_misc_funcs): derive a
+    synthetic IPv4 per event, roll events up by the /20 network address
+    (pure integer floor-div SQL — no UDF), then digest each network key
+    and round-trip it through base64.  The oracle computes the /20
+    arithmetic directly and uses DuckDB's own digest/base64 functions —
+    any drift in the rewrite's math or encoding hash-mismatches."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    ev = tbl(spark, sf_dir, "events").select("event_id", "user_id")
+    return esql(
+        "FROM ev"
+        ' | EVAL ip = CONCAT("10.", TO_STRING(user_id % 200), ".",'
+        '   TO_STRING(event_id % 250), ".9")'
+        " | EVAL net = IP_PREFIX(ip, 20, 64)"
+        " | STATS n = COUNT(*) BY net"
+        ' | EVAL sig = HASH("sha256", net), rt = FROM_BASE64(TO_BASE64(net))'
+        " | KEEP net, n, sig, rt"
+        " | SORT net",
+        tables={"ev": ev},
+    )
+
+
+@query(
+    "aggs_random_sampler",
+    oracle="""
+WITH s AS (
+  SELECT lang, n_chars FROM documents
+  WHERE CAST(concat('0x', substr(md5(concat('11:',
+          CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        < CAST(0.25 * 1152921504606846976 AS BIGINT)
+)
+SELECT lang,
+       CAST(round(count(*) * 4.0, 0) AS BIGINT) AS doc_count,
+       round(sum(n_chars) * 4.0, 6)::DOUBLE AS total_chars,
+       round(avg(n_chars), 6)::DOUBLE AS mean_chars
+FROM s
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def aggs_random_sampler(spark, sf_dir):
+    """ES ``random_sampler`` agg (8.2+, aggs_dsl): a seeded 25%
+    hash-threshold sample of the documents corpus (the md5 60-bit space
+    shared with operators/sampling — the oracle replays the exact
+    sample), terms by lang inside it; doc_count and the sum metric are
+    scaled back up by 1/probability while avg stays unscaled — ES's
+    scaling model for count-like vs location metrics.  At 100 TB the
+    sample predicate rides the scan: no shuffle, no RNG state, and the
+    sampled aggregation touches 1/4 of the rows."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = compile_aggs(
+        docs,
+        {"samp": {
+            "random_sampler": {
+                "probability": 0.25, "seed": 11, "seed_field": "doc_id",
+            },
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang", "size": 100},
+                "aggs": {
+                    "total_chars": {"sum": {"field": "n_chars"}},
+                    "mean_chars": {"avg": {"field": "n_chars"}},
+                },
+            }},
+        }},
+    )
+    return out.select(
+        F.col("by_lang").alias("lang"),
+        "doc_count",
+        F.round("total_chars", 6).alias("total_chars"),
+        F.round("mean_chars", 6).alias("mean_chars"),
+    ).orderBy("lang")

@@ -137,7 +137,7 @@ _FUNCS = {
     "to_lower": "lower", "to_upper": "upper", "trim": "trim",
     "ltrim": "ltrim", "rtrim": "rtrim",
     "left": "left", "right": "right", "reverse": "reverse",
-    "repeat": "repeat",
+    "repeat": "repeat", "space": "space",
     # ES|QL REPLACE(string, regex, new) is regex-based, like Spark's
     # regexp_replace (same argument order); Spark's literal `replace`
     # would silently change semantics
@@ -427,6 +427,86 @@ def _rewrite_swapped_funcs(e: str, lits: list[str]) -> str:
     return e
 
 
+def _rewrite_misc_funcs(e: str, lits: list[str]) -> str:
+    """ES|QL functions with no 1:1 Spark name mapping:
+
+    - ``FROM_BASE64(x)`` -> ``CAST(unbase64(x) AS STRING)`` (ES|QL
+      decodes to a keyword string; Spark's unbase64 yields binary)
+    - ``SHA256(x)`` -> ``sha2(x, 256)``
+    - ``HASH(alg, x)`` (8.17+) -> the named digest; ``alg`` must be a
+      string literal naming md5/sha1/sha224/sha256/sha384/sha512 (ES
+      resolves it against MessageDigest at plan time — same contract)
+    - ``IP_PREFIX(ip, v4len, v6len)`` -> the network address at
+      ``v4len`` bits as a dotted quad.  IPv4 subset (the engine-wide IP
+      limit, like ip_range/ip_prefix aggs and CIDR_MATCH); non-IPv4 or
+      malformed input yields NULL via the shared RLIKE guard; lengths
+      must be integer literals.  Pure integer floor-div SQL — the
+      repeated octet math collapses in codegen subexpression
+      elimination.
+    """
+    e = re.sub(
+        r"\bFROM_BASE64\s*\(", "__FROM_B64__(", e, flags=re.I
+    )
+    pat = re.compile(r"\b(__FROM_B64__|SHA256|HASH|IP_PREFIX)\s*\(", flags=re.I)
+    while True:
+        m = pat.search(e)
+        if not m:
+            return e
+        name = m.group(1).upper()
+        i = _match_paren(e, m.end())
+        args = _split_top(e[m.end(): i - 1])
+
+        def ph(lit_sql: str) -> str:
+            lits.append(lit_sql)
+            return f"\x00{len(lits) - 1}\x00"
+
+        if name == "__FROM_B64__":
+            if len(args) != 1:
+                raise EsqlError("FROM_BASE64 needs one argument")
+            rep = f"CAST(unbase64({args[0]}) AS STRING)"
+        elif name == "SHA256":
+            if len(args) != 1:
+                raise EsqlError("SHA256 needs one argument")
+            rep = f"sha2({args[0]}, 256)"
+        elif name == "HASH":
+            if len(args) != 2:
+                raise EsqlError("HASH needs (algorithm, input)")
+            pm = _PLACEHOLDER.fullmatch(args[0].strip())
+            if not pm:
+                raise EsqlError("HASH algorithm must be a string literal")
+            alg = lits[int(pm.group(1))][1:-1].lower()
+            if alg == "md5":
+                rep = f"md5({args[1]})"
+            elif alg == "sha1":
+                rep = f"sha1({args[1]})"
+            elif alg in ("sha224", "sha256", "sha384", "sha512"):
+                rep = f"sha2({args[1]}, {alg[3:]})"
+            else:
+                raise EsqlError(f"HASH: unsupported algorithm {alg!r}")
+        else:  # IP_PREFIX
+            if len(args) != 3:
+                raise EsqlError("IP_PREFIX needs (ip, prefix_v4, prefix_v6)")
+            p4 = args[1].strip()
+            if not p4.isdigit() or not 0 <= int(p4) <= 32:
+                raise EsqlError(
+                    f"IP_PREFIX v4 length must be a literal 0..32: {p4!r}"
+                )
+            if not args[2].strip().isdigit():
+                raise EsqlError("IP_PREFIX v6 length must be an integer literal")
+            host = 2 ** (32 - int(p4))
+            num = _ipv4_num_sql(f"({args[0]})", lits)
+            net = f"(floor({num} / {host}) * {host})"
+            dot = ph("'.'")
+            octets = f" , {dot}, ".join(
+                f"cast(cast(floor({net} / {1 << s}) as bigint) % 256 as string)"
+                for s in (24, 16, 8, 0)
+            )
+            # concat, not concat_ws: a NULL octet (malformed / non-IPv4
+            # input) must surface as NULL, not collapse to ""
+            rep = f"concat({octets})"
+        e = e[: m.start()] + "(" + rep + ")" + e[i:]
+
+
 def _rewrite_cidr_match(e: str, lits: list[str]) -> str:
     """ES|QL ``CIDR_MATCH(ip, "cidr", ...)``: compile-time CIDR constants
     become integer floor-div membership tests (the same math as the
@@ -599,6 +679,7 @@ def _translate_expr(e: str) -> str:
                 "cidr_match", "date_format", "date_parse", "locate",
                 "date_diff", "mv_first", "mv_last", "mv_sum", "mv_avg",
                 "mv_median", "mv_slice", "mv_zip", "mv_sort",
+                "from_base64", "sha256", "hash", "ip_prefix",
             ):
                 continue  # consumed by the expression rewrites below
             fn = _FUNCS.get(name)
@@ -626,6 +707,7 @@ def _translate_expr(e: str) -> str:
         return text
 
     masked = _rewrite_cidr_match(masked, lits)
+    masked = _rewrite_misc_funcs(masked, lits)
     masked = _rewrite_swapped_funcs(masked, lits)
     masked = _rewrite_mv_funcs(masked, lits)
     masked = _rewrite_case_fn(masked)

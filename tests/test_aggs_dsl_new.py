@@ -856,3 +856,56 @@ def test_range_family_requires_nonempty_ranges(spark):
     ):
         with pytest.raises(AggsDslError, match="non-empty ranges"):
             compile_aggs(df, {"aggs": {"r": body}})
+
+
+def test_random_sampler_deterministic_and_scaled(spark):
+    """random_sampler (8.2+): seeded hash-threshold sample; doc_count and
+    sum/value_count scale by 1/probability, avg/min/max do not."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+    from elasticsearch_hadoop_spark.operators.sampling import (
+        HASH_SPACE,
+        split_hash,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    body = {"samp": {
+        "random_sampler": {"probability": 0.25, "seed": 7, "seed_field": "k"},
+        "aggs": {
+            "total": {"sum": {"field": "v"}},
+            "n": {"value_count": {"field": "v"}},
+            "mean": {"avg": {"field": "v"}},
+        },
+    }}
+    out = compile_aggs(df, {"aggs": body}).collect()[0]
+    # replay the sample independently
+    sampled = df.filter(
+        split_hash(F.col("k"), 7) < F.lit(int(0.25 * HASH_SPACE))
+    )
+    srows = sampled.collect()
+    k = len(srows)
+    assert out["doc_count"] == round(k * 4.0)          # scaled
+    assert out["n"] == round(k * 4.0)                  # scaled
+    assert out["total"] == pytest.approx(sum(r["v"] for r in srows) * 4.0)
+    assert out["mean"] == pytest.approx(sum(r["v"] for r in srows) / k)
+    # determinism: second run identical
+    assert compile_aggs(df, {"aggs": body}).collect()[0] == out
+    # probability 1 short-circuits: no filter, no scaling
+    full = compile_aggs(df, {"aggs": {"samp": {
+        "random_sampler": {"probability": 1, "seed_field": "k"},
+        "aggs": {"n": {"value_count": {"field": "v"}}},
+    }}}).collect()[0]
+    assert full["doc_count"] == 2000 and full["n"] == 2000
+
+
+def test_random_sampler_error_contract(spark):
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    with pytest.raises(AggsDslError, match="seed_field"):
+        compile_aggs(df, {"aggs": {"s": {"random_sampler": {"probability": 0.5}}}})
+    for p in (0, 0.7, -0.1, 2):
+        with pytest.raises(AggsDslError, match="probability"):
+            compile_aggs(df, {"aggs": {"s": {"random_sampler": {
+                "probability": p, "seed_field": "k"}}}})

@@ -959,3 +959,42 @@ def test_ts_plain_stats_still_works(spark, tsdata):
         time_series={"m": {"dimensions": ["host"], "timestamp": "ts"}},
     ).collect()
     assert [(r["host"], r["n"]) for r in out] == [("a", 4), ("b", 3)]
+
+
+def test_misc_funcs_round8(spark):
+    """FROM_BASE64 / HASH / SHA256 / SPACE / IP_PREFIX (8.17+)."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("aGVsbG8=", "10.1.199.3", "abc")], "b64 string, ip string, s string"
+    )
+    out = esql(
+        'FROM t | EVAL d = FROM_BASE64(b64), h1 = HASH("md5", s),'
+        ' h2 = HASH("sha256", s), h3 = SHA256(s),'
+        ' sp = CONCAT("a", SPACE(3), "b"), net = IP_PREFIX(ip, 20, 64)',
+        tables={"t": df},
+    ).collect()[0]
+    assert out["d"] == "hello"
+    assert out["h1"] == hashlib.md5(b"abc").hexdigest()
+    assert out["h2"] == hashlib.sha256(b"abc").hexdigest() == out["h3"]
+    assert out["sp"] == "a   b"
+    assert out["net"] == "10.1.192.0"
+
+
+def test_misc_funcs_error_and_null_contract(spark):
+    df = spark.createDataFrame([("10.0.0.1",)], "ip string")
+    with pytest.raises(EsqlError, match="string literal"):
+        esql("FROM t | EVAL x = HASH(ip, ip)", tables={"t": df})
+    with pytest.raises(EsqlError, match="unsupported algorithm"):
+        esql('FROM t | EVAL x = HASH("crc32", ip)', tables={"t": df})
+    with pytest.raises(EsqlError, match="0..32"):
+        esql("FROM t | EVAL x = IP_PREFIX(ip, 40, 64)", tables={"t": df})
+    with pytest.raises(EsqlError, match="integer literal"):
+        esql("FROM t | EVAL x = IP_PREFIX(ip, 24, z)", tables={"t": df})
+    # malformed / non-IPv4 input -> NULL (shared RLIKE guard), never ""
+    out = esql(
+        'FROM t | EVAL a = IP_PREFIX("::1", 24, 64),'
+        ' b = IP_PREFIX("999.1.2.3", 24, 64)',
+        tables={"t": df},
+    ).collect()[0]
+    assert out["a"] is None and out["b"] is None
