@@ -242,6 +242,9 @@ def compile_aggs(
                     if "field" in rspec
                     else F.count(F.lit(1))
                 )
+                if sample_scale not in (None, 1.0):
+                    # rate is a count-like per-time total — scales like sum
+                    base = base * sample_scale
                 metrics.append((base * (unit_secs / dh_secs)).alias(name))
                 continue
             if "cumulative_cardinality" in body:
@@ -428,12 +431,24 @@ def compile_aggs(
             # spec-hint convention, like children's id_field) and
             # thresholds the SAME 60-bit md5 hash operators/sampling
             # uses, so a DuckDB oracle replays the sample exactly and
-            # the sample is stable run-over-run.  Scaled: doc_count and
-            # sum/value_count (+ stats count/sum) at deeper levels;
-            # avg/min/max/percentiles are returned unscaled (they
-            # estimate the population directly — ES's model too;
-            # cardinality is unscaled with the same caveat ES documents).
+            # the sample is stable run-over-run.  Scaled: doc_count, the
+            # rate metric, and sum/value_count (+ stats/extended_stats
+            # count/sum/sum_of_squares) at deeper levels;
+            # avg/min/max/percentiles/variance are returned unscaled
+            # (they estimate the population directly — ES's model too;
+            # cardinality is unscaled with the same caveat ES documents;
+            # scripted_metric is unscaled — arbitrary scripts have no
+            # auto-scaling semantics).
             # ES's probability constraint is enforced: (0, 0.5] or 1.
+            if depth != 0 or metric_items:
+                # ES's own top-level-only constraint — and structurally
+                # necessary here: sibling/ancestor metric Columns evaluate
+                # against the FINAL (sampled) frame, so a non-top-level
+                # sampler would silently sample them without scale-up
+                raise AggsDslError(
+                    "random_sampler must be the top-level and only "
+                    "aggregation at its level (ES constraint)"
+                )
             b = body["random_sampler"]
             seed_field = b.get("seed_field")
             if not seed_field:
@@ -2124,14 +2139,21 @@ def _metric(
         ]
     if kind == "extended_stats":
         # stats + sum_of_squares / variance / std_deviation (population,
-        # ES's default); all single-pass partial-aggregatable.
+        # ES's default); all single-pass partial-aggregatable.  Under
+        # random_sampler the count-like values (count/sum/sum_of_squares)
+        # scale like the stats sibling; variance/std are dispersion
+        # estimates and stay unscaled.
+        cnt, total, sq = F.count(c), F.sum(c), F.sum(c * c)
+        if scale:
+            cnt = F.round(cnt * scale, 0).cast("long")
+            total, sq = total * scale, sq * scale
         return [
-            F.count(c).alias(f"{name}_count"),
+            cnt.alias(f"{name}_count"),
             F.min(c).alias(f"{name}_min"),
             F.max(c).alias(f"{name}_max"),
             F.avg(c).alias(f"{name}_avg"),
-            F.sum(c).alias(f"{name}_sum"),
-            F.sum(c * c).alias(f"{name}_sum_of_squares"),
+            total.alias(f"{name}_sum"),
+            sq.alias(f"{name}_sum_of_squares"),
             F.var_pop(c).alias(f"{name}_variance"),
             F.stddev_pop(c).alias(f"{name}_std_deviation"),
         ]

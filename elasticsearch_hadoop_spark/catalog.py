@@ -128,10 +128,19 @@ class Catalog:
         os.replace(tmp, self._pits_path())
 
     def _mutate_pits(self, fn):
-        """Run ``fn(state) -> result`` under an O_EXCL lock file (the same
-        claim primitive the txn layer uses) so concurrent Catalog
-        instances can't mint duplicate seq nonces or lose each other's
-        open/extend/close updates; the write is atomic-replace."""
+        """Run ``fn(state) -> (result, dirty)`` under an O_EXCL lock file
+        so concurrent Catalog instances can't mint duplicate seq nonces or
+        lose each other's open/extend/close updates; the write happens
+        only when ``fn`` reports dirty, via atomic-replace.
+
+        Unlike the txn layer's claim files (one-shot version claims that
+        are never released), a mutex must recover from a dead holder: a
+        lock older than ~5 s is broken as stale — registry mutations are
+        milliseconds, so an old lock means its holder was killed
+        mid-operation.  The break has a narrow TOCTOU window (two
+        breakers racing a fresh re-acquire) accepted as a documented
+        tradeoff: the alternative is pid-liveness probing for a registry
+        whose entries are themselves keep-alive-expiring hints."""
         import time as _time
 
         lock = f"{self._pits_path()}.lock"
@@ -140,17 +149,27 @@ class Catalog:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                try:
+                    if _time.time() - os.path.getmtime(lock) > 5.0:
+                        os.unlink(lock)  # stale: holder died mid-operation
+                        continue
+                except FileNotFoundError:
+                    continue  # released (or another breaker won): retry now
                 _time.sleep(0.01)
         else:
             raise TimeoutError(f"could not acquire PIT registry lock {lock}")
         try:
             state = self._read_pits()
-            result = fn(state)
-            self._write_pits(state)
+            result, dirty = fn(state)
+            if dirty:
+                self._write_pits(state)
             return result
         finally:
             os.close(fd)
-            os.unlink(lock)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass  # broken as stale while we stalled >5 s holding it
 
     # ---------------------------------------------------------------- paths
     def path(self, name: str) -> str:
@@ -863,7 +882,7 @@ class Catalog:
         # share one registry entry and close/extend each other
         from elasticsearch_hadoop_spark.durations import parse_duration
 
-        def _open(state: dict) -> str:
+        def _open(state: dict):
             state["seq"] += 1
             pit_id = base64.b64encode(
                 json.dumps(
@@ -871,7 +890,7 @@ class Catalog:
                 ).encode()
             ).decode()
             state["pits"][pit_id] = now + parse_duration(keep_alive)
-            return pit_id
+            return pit_id, True
 
         return self._mutate_pits(_open)
 
@@ -889,16 +908,27 @@ class Catalog:
 
         now = _time.time() if now is None else now
 
-        def _touch(state: dict) -> bool:
+        if keep_alive is None:
+            # lock-free fast path: atomic-replace writes mean a plain read
+            # sees a consistent registry; a live, unexpired entry needs no
+            # reap and no extension, so N concurrent readers paging one
+            # PIT never serialize on the lock or rewrite the registry
+            expiry = self._read_pits()["pits"].get(pit_id)
+            if expiry is not None and now <= expiry:
+                ref = json.loads(base64.b64decode(pit_id))
+                return self.read_index_version(ref["index"], ref["version"])
+
+        def _touch(state: dict):
             expiry = state["pits"].get(pit_id)
             if expiry is None or now > expiry:
-                state["pits"].pop(pit_id, None)  # reap; persisted below
-                return False
+                # reap the expired entry; dirty only if there was one
+                return False, state["pits"].pop(pit_id, None) is not None
             if keep_alive is not None:
                 from elasticsearch_hadoop_spark.durations import parse_duration
 
                 state["pits"][pit_id] = now + parse_duration(keep_alive)
-            return True
+                return True, True
+            return True, False
 
         if not self._mutate_pits(_touch):
             raise ValueError("point in time expired or closed (search_context_missing)")
@@ -907,9 +937,12 @@ class Catalog:
 
     def close_point_in_time(self, pit_id: str) -> bool:
         """ES ``DELETE /_pit`` — returns whether the id was open."""
-        return self._mutate_pits(
-            lambda state: state["pits"].pop(pit_id, None) is not None
-        )
+
+        def _close(state: dict):
+            was_open = state["pits"].pop(pit_id, None) is not None
+            return was_open, was_open
+
+        return self._mutate_pits(_close)
 
     def index_history(self, name: str) -> list[dict]:
         """The commit log as data: one dict per committed version

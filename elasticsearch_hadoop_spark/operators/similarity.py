@@ -473,10 +473,16 @@ def hamming_topk(
     dim = len(query_vec)
     qw = _pack_sign_bits_py([float(x) for x in query_vec])
     qwords = F.lit(qw)
+    src_col = packed_col or vec_col
+    # docs without a vector are skipped, never scored — ES knn skips docs
+    # missing the dense_vector field (a NULL would otherwise sort FIRST
+    # under asc and poison the top-k)
+    embeddings = embeddings.filter(F.col(src_col).isNotNull())
     packed = F.col(packed_col) if packed_col else pack_sign_bits(F.col(vec_col), dim)
     # a packed column whose word count differs from the query's would
     # zip_with NULL-pad into NULL distances that sort FIRST — silently
-    # wrong top-k.  Make the mismatch loud instead of plausible.
+    # wrong top-k.  Make the mismatch loud instead of plausible (NULL
+    # vectors are already filtered, so size() here is never -1/NULL).
     dist = F.aggregate(
         F.zip_with(packed, qwords, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
         F.lit(0).cast("long"),

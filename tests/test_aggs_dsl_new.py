@@ -909,3 +909,45 @@ def test_random_sampler_error_contract(spark):
         with pytest.raises(AggsDslError, match="probability"):
             compile_aggs(df, {"aggs": {"s": {"random_sampler": {
                 "probability": p, "seed_field": "k"}}}})
+
+
+def test_random_sampler_top_level_only(spark):
+    """Review r8-2: sibling metrics would silently evaluate over the
+    sampled frame unscaled, and a nested sampler would under-scale —
+    both rejected, matching ES's own top-level-only constraint."""
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(10)], "k int, v double")
+    rs = {"random_sampler": {"probability": 0.5, "seed_field": "k"}}
+    with pytest.raises(AggsDslError, match="top-level"):
+        compile_aggs(df, {"aggs": {
+            "samp": {**rs, "aggs": {"n": {"value_count": {"field": "v"}}}},
+            "grand_total": {"sum": {"field": "v"}},
+        }})
+    with pytest.raises(AggsDslError, match="top-level"):
+        compile_aggs(df, {"aggs": {"outer": {**rs, "aggs": {"inner": {
+            **rs, "aggs": {"n": {"value_count": {"field": "v"}}}}}}}})
+
+
+def test_random_sampler_extended_stats_scales_like_stats(spark):
+    """Review r8-2: extended_stats count/sum/sum_of_squares must agree
+    with the stats sibling under the same sampler; variance unscaled."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("double").alias("v")
+    )
+    out = compile_aggs(df, {"aggs": {"samp": {
+        "random_sampler": {"probability": 0.25, "seed": 3, "seed_field": "k"},
+        "aggs": {
+            "st": {"stats": {"field": "v"}},
+            "es": {"extended_stats": {"field": "v"}},
+        },
+    }}}).collect()[0]
+    assert out["es_count"] == out["st_count"] == out["doc_count"]
+    assert out["es_sum"] == pytest.approx(out["st_sum"])
+    assert out["es_variance"] == pytest.approx(
+        out["es_sum_of_squares"] / 4.0 / (out["es_count"] / 4.0)
+        - (out["es_sum"] / out["es_count"]) ** 2,
+        rel=1e-6,
+    )

@@ -1045,3 +1045,33 @@ def test_resize_counts_live_files_only_on_transactional(spark, tmp_path):
     assert cat._data_file_count("src") == 4  # not 8
     cat.shrink_index("src", "dst", 2)
     assert cat.read_index("dst").count() == 20  # live version only, no dupes
+
+
+def test_pit_stale_lock_recovers_and_reads_are_lock_free(spark, tmp_path):
+    """Review r8-2: (a) an orphaned lock from a killed process is broken
+    after the staleness window instead of wedging every PIT op forever;
+    (b) a plain pit_read (no keep_alive, unexpired) neither takes the
+    lock nor rewrites the registry."""
+    import os
+    import time
+
+    from elasticsearch_hadoop_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "pit"), transactional=True)
+    cat.write_index(
+        spark.createDataFrame([(1, "a")], "k int, v string"), "pidx", id_col="k"
+    )
+    pit = cat.open_point_in_time("pidx", keep_alive="1h")
+    # (b) read-only: registry file untouched
+    reg = cat._pits_path()
+    before = os.path.getmtime(reg)
+    assert cat.pit_read(pit).count() == 1
+    assert os.path.getmtime(reg) == before
+    # (a) orphaned lock with an old mtime: ops recover, not TimeoutError
+    lock = f"{reg}.lock"
+    with open(lock, "w"):
+        pass
+    os.utime(lock, (time.time() - 60, time.time() - 60))
+    pit2 = cat.open_point_in_time("pidx", keep_alive="1h")
+    assert cat.close_point_in_time(pit2) is True
+    assert not os.path.exists(lock)

@@ -348,3 +348,31 @@ def test_hamming_packed_width_mismatch_is_loud(spark):
     qv32 = [1.0] * 32  # 1 word vs the packed 2
     with pytest.raises(Exception, match="width does not match"):
         hamming_topk(df, qv32, k=3, packed_col="bits").collect()
+
+
+def test_hamming_topk_skips_null_vectors(spark):
+    """Review r8-2: a doc without an embedding is skipped (ES knn skips
+    docs missing the dense_vector field) — neither aborting the query
+    via the width guard nor poisoning the top-k with a NULL distance."""
+    from elasticsearch_hadoop_spark.operators.similarity import (
+        hamming_topk,
+        pack_sign_bits,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)]) for i in range(5)]
+        + [(99, None)],
+        "vec_id long, embedding array<double>",
+    ).withColumn(
+        "bits",
+        F.when(
+            F.col("embedding").isNotNull(),
+            pack_sign_bits(F.col("embedding"), 64),
+        ),
+    )
+    qv = [1.0] * 64
+    out = hamming_topk(df, qv, k=10, packed_col="bits").collect()
+    assert [r["vec_id"] for r in out] != [] and 99 not in {r["vec_id"] for r in out}
+    # on-the-fly path skips NULL embeddings too
+    out2 = hamming_topk(df, qv, k=10).collect()
+    assert 99 not in {r["vec_id"] for r in out2}
