@@ -1394,10 +1394,16 @@ def _significant_terms(
     (the frame as given).  JLH score: (fg% - bg%) * (fg% / bg%), ES's
     default heuristic.  Two aggregations + a join of per-term stats —
     the term-stat frames are tiny, so the join broadcasts; totals come
-    from window sums over the stat rows, never a second pass over data."""
+    from window sums over the stat rows, never a second pass over data.
+    ``background_filter`` narrows the background set to its own query-DSL
+    clause (ES's option for comparing against a focused context instead
+    of the whole index) — a predicate on the background scan, no extra
+    pass."""
     from pyspark.sql import Window
 
     field, size = spec["field"], int(spec.get("size", 10))
+    if "background_filter" in spec:
+        bg = bg.filter(_compile_dsl(spec["background_filter"]))
     wall = Window.partitionBy()
     fgs = (
         fg.groupBy(F.col(field).alias(name))
@@ -1471,10 +1477,13 @@ def _significant_text(
     and the totals are DOCUMENT counts, not token counts — so the totals
     come from two scalar aggregates broadcast-cross-joined onto the tiny
     per-term stat frames, never a window over token rows.  JLH score like
-    significant_terms."""
+    significant_terms.  ``background_filter`` narrows the background set
+    like significant_terms' option."""
     from elasticsearch_hadoop_spark.functions.text import standard_analyze
 
     field, size = spec["field"], int(spec.get("size", 10))
+    if "background_filter" in spec:
+        bg = bg.filter(_compile_dsl(spec["background_filter"]))
 
     def per_term(d: DataFrame, cnt: str) -> DataFrame:
         toks = d.select(

@@ -136,3 +136,51 @@ def eql_funnel_sequence(spark, sf_dir):
         F.date_format("step2_ts", TS_US_FMT_SPARK).alias("click_ts"),
         F.date_format("step3_ts", TS_US_FMT_SPARK).alias("purchase_ts"),
     ).orderBy("user_id", "view_ts")
+
+
+@query(
+    "eql_sequence_until",
+    oracle=f"""
+WITH a AS (
+    SELECT e.user_id, e.ts AS ts1,
+           (SELECT min(c.ts) FROM events c
+            WHERE c.event_type = 'purchase' AND c.user_id = e.user_id
+              AND c.ts > e.ts) AS ts2,
+           (SELECT min(x.ts) FROM events x
+            WHERE x.event_type = 'error' AND x.user_id = e.user_id
+              AND x.ts > e.ts) AS tu
+    FROM events e WHERE e.event_type = 'view'
+)
+SELECT user_id,
+       strftime(ts1, '{TS_US_FMT_DUCK}') AS view_ts,
+       strftime(ts2, '{TS_US_FMT_DUCK}') AS purchase_ts
+FROM a
+WHERE ts2 IS NOT NULL AND (tu IS NULL OR tu >= ts2)
+ORDER BY user_id, view_ts
+""",
+)
+def eql_sequence_until(spark, sf_dir):
+    """EQL ``sequence by user_id [view] [purchase] until [error]``
+    (eql.eql_sequence until=): an error event landing strictly between
+    the view and its earliest following purchase expires the pending
+    sequence — one extra union-tag window carry per transition on the
+    same shuffle key, never a pairwise join.  The oracle restates the
+    semantics with correlated min() subqueries: earliest purchase after
+    the view, earliest error after the view, keep when no error precedes
+    the purchase (ties survive, the documented deterministic rule)."""
+    ev = tbl(spark, sf_dir, "events")
+    seq = eql_sequence(
+        ev,
+        by="user_id",
+        ts="ts",
+        steps=[
+            {"term": {"event_type": "view"}},
+            {"term": {"event_type": "purchase"}},
+        ],
+        until={"term": {"event_type": "error"}},
+    )
+    return seq.select(
+        "user_id",
+        F.date_format("step1_ts", TS_US_FMT_SPARK).alias("view_ts"),
+        F.date_format("step2_ts", TS_US_FMT_SPARK).alias("purchase_ts"),
+    ).orderBy("user_id", "view_ts")

@@ -54,9 +54,13 @@ def _forward_earliest(
     anchor_ts: str,
     out_prefix: str,
     payload: list[str],
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """For each anchor row, attach the earliest event matching step_pred
-    with event.ts strictly greater than anchor[anchor_ts]."""
+    with event.ts strictly greater than anchor[anchor_ts].  By default
+    anchors with no such event are dropped (a sequence step must match);
+    ``keep_unmatched`` keeps them with a NULL carried ts — the shape the
+    ``until`` expiry check needs (no until event = no expiry)."""
     rhs = (
         events.filter(step_pred)
         .select(
@@ -93,9 +97,12 @@ def _forward_earliest(
     out = carried.filter(F.col("__is_anchor") == 1)
     cols = [F.col("__carried.__step_ts").alias(f"{out_prefix}_{ts}")]
     cols += [F.col(f"__carried.{c}").alias(f"{out_prefix}_{c}") for c in payload]
-    return out.select(
+    out = out.select(
         *[c for c in anchors.columns if not c.startswith("__")], *cols
-    ).filter(F.col(f"{out_prefix}_{ts}").isNotNull())
+    )
+    if keep_unmatched:
+        return out
+    return out.filter(F.col(f"{out_prefix}_{ts}").isNotNull())
 
 
 def eql_sequence(
@@ -105,6 +112,7 @@ def eql_sequence(
     steps: list[dict],
     maxspan: str | None = None,
     payload: list[str] | None = None,
+    until: dict | None = None,
 ) -> DataFrame:
     """Match an N-step EQL sequence; returns one row per matched sequence
     with ``step{i}_<ts>`` (+ ``step{i}_<payload>``) columns.
@@ -112,12 +120,19 @@ def eql_sequence(
     steps: query-DSL clause per step (``{"term": {...}}`` etc.).
     maxspan: SQL interval string (e.g. ``"30 minutes"``) bounding
     last-step ts - first-step ts.
+    until: optional query-DSL clause — an until-event occurring BETWEEN
+    two steps expires the pending sequence (EQL ``until [ ... ]``):
+    per transition, the earliest until-event strictly after the previous
+    step must not precede the next step's event.  A tie (until at the
+    exact next-step timestamp) survives — deterministic, where ES's
+    equal-timestamp ordering is shard-dependent.
     """
     by = [by] if isinstance(by, str) else list(by)
     if len(steps) < 2:
         raise EqlError("a sequence needs at least 2 steps")
     payload = list(payload or [])
     preds = [compile_query(s) for s in steps]
+    until_pred = compile_query(until) if until is not None else None
 
     anchors = df.filter(preds[0]).select(
         *by,
@@ -130,6 +145,17 @@ def eql_sequence(
         cur = _forward_earliest(
             cur, df, pred, by, ts, prev_ts, f"step{i}", payload
         )
+        if until_pred is not None:
+            # one extra carry per transition (same shuffle key, so AQE
+            # coalesces the plan); NULL carried ts = no until event = live
+            ucol = f"__until{i}_{ts}"
+            cur = _forward_earliest(
+                cur, df, until_pred, by, ts, prev_ts, f"__until{i}", [],
+                keep_unmatched=True,
+            )
+            cur = cur.filter(
+                F.col(ucol).isNull() | (F.col(ucol) >= F.col(f"step{i}_{ts}"))
+            ).drop(ucol)
         prev_ts = f"step{i}_{ts}"
     if maxspan is not None:
         cur = cur.filter(

@@ -951,3 +951,32 @@ def test_random_sampler_extended_stats_scales_like_stats(spark):
         - (out["es_sum"] / out["es_count"]) ** 2,
         rel=1e-6,
     )
+
+
+def test_significant_terms_background_filter(spark):
+    """background_filter narrows the background set (ES option): the same
+    foreground scored against a focused background changes bg_count."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("b", "y")]
+    df = spark.createDataFrame(rows, "grp string, term string")
+
+    def run(spec):
+        return {
+            r["t"]: r["bg_count"]
+            for r in compile_aggs(
+                df,
+                {"aggs": {"flt": {"filter": {"term": {"grp": "a"}},
+                                  "aggs": {"t": {"significant_terms": spec}}}}},
+            ).collect()
+        }
+
+    bg_plain = run({"field": "term"})
+    bg_focused = run({
+        "field": "term",
+        "background_filter": {"term": {"grp": "b"}},
+    })
+    assert bg_plain.get("x", 0) == 3          # whole frame: 3 x rows
+    # focused background (grp=b): x appears once there, so fg x (2/3)
+    # vs bg x (1/3) is now over-represented with bg_count 1
+    assert bg_focused.get("x", 0) == 1

@@ -133,3 +133,41 @@ def test_eql_needs_two_steps(spark):
     df = _events(spark)
     with pytest.raises(EqlError):
         eql_sequence(df, by="user_id", ts="ts", steps=[{"term": {"event_type": "view"}}])
+
+
+def test_eql_sequence_until_expires_pending(spark):
+    """until [error]: an error BETWEEN two steps kills the pending
+    sequence; after the last step (or absent) it does not; an error AT
+    the next step's exact timestamp survives (documented tie rule)."""
+    rows = [
+        # uid 1: view, error, click  -> expired (error between steps)
+        (1, dt.datetime(2024, 1, 1, 9, 0), "view"),
+        (1, dt.datetime(2024, 1, 1, 9, 10), "error"),
+        (1, dt.datetime(2024, 1, 1, 9, 20), "click"),
+        # uid 2: view, click, error  -> survives (error after completion)
+        (2, dt.datetime(2024, 1, 1, 9, 0), "view"),
+        (2, dt.datetime(2024, 1, 1, 9, 10), "click"),
+        (2, dt.datetime(2024, 1, 1, 9, 20), "error"),
+        # uid 3: view, click (no error) -> survives
+        (3, dt.datetime(2024, 1, 1, 9, 0), "view"),
+        (3, dt.datetime(2024, 1, 1, 9, 5), "click"),
+        # uid 4: error at the click's exact ts -> survives (tie rule)
+        (4, dt.datetime(2024, 1, 1, 9, 0), "view"),
+        (4, dt.datetime(2024, 1, 1, 9, 10), "error"),
+        (4, dt.datetime(2024, 1, 1, 9, 10), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    steps = [
+        {"term": {"event_type": "view"}},
+        {"term": {"event_type": "click"}},
+    ]
+    got = eql_sequence(
+        df, by="user_id", ts="ts", steps=steps,
+        until={"term": {"event_type": "error"}},
+    )
+    assert sorted(r["user_id"] for r in got.collect()) == [2, 3, 4]
+    # without until, everyone completes
+    assert sorted(
+        r["user_id"]
+        for r in eql_sequence(df, by="user_id", ts="ts", steps=steps).collect()
+    ) == [1, 2, 3, 4]
