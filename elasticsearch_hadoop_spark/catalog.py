@@ -466,6 +466,11 @@ class Catalog:
 
         target = self.path(name)
         existed = self.exists(name)
+        if existed and "ccr_leader_root" in self._read_meta(name):
+            # ES: a follower index rejects writes until unfollowed
+            raise ValueError(
+                f"{name!r} is a CCR follower (read-only) — unfollow_index first"
+            )
         if existed and mode == "error":
             raise IndexExistsError(name)
         if existed and mode == "ignore":
@@ -1335,6 +1340,94 @@ class Catalog:
                     with open(mpath) as fh:
                         out.append(json.load(fh))
         return out
+
+    # ------------------------------------------------------------------ CCR
+    def follow_index(
+        self, leader: "Catalog", leader_index: str, follower_index: str | None = None
+    ) -> dict:
+        """ES CCR ``PUT /<follower>/_ccr/follow``: bootstrap a follower of
+        a transactional leader index and record the leader pointer in the
+        follower's _meta; ``ccr_poll`` pulls subsequent changes.
+
+        The unit of replication is the leader's manifest version: data
+        dirs are immutable once committed (txn.py), so a sync copies only
+        the dirs the follower doesn't have yet and commits a follower
+        manifest naming the leader's live set — the same shape as ES
+        CCR's file-based bootstrap + incremental op shipping, without a
+        row ever being rewritten.  Leader REPLACE commits (merges,
+        compactions) replicate as manifest swaps; superseded dirs on the
+        follower become vacuum-able, like on the leader.
+
+        Followers are read-only (ES: a follower index rejects writes) —
+        ``write_index`` refuses; ``unfollow_index`` converts one to a
+        regular index."""
+        follower_index = follower_index or leader_index
+        lpath = leader.path(leader_index)
+        if not txn.is_transactional(lpath):
+            raise ValueError(
+                "follow_index needs a transactional leader — the manifest "
+                "log IS the replication protocol"
+            )
+        if self.exists(follower_index):
+            raise IndexExistsError(follower_index)
+        os.makedirs(self.path(follower_index), exist_ok=True)
+        txn.init_log(self.path(follower_index))
+        meta = leader._read_meta(leader_index)
+        meta.update(
+            {
+                "ccr_leader_root": leader.root,
+                "ccr_leader_index": leader_index,
+                "ccr_leader_version": 0,
+            }
+        )
+        self._write_meta(follower_index, meta)
+        return self.ccr_poll(follower_index)
+
+    def ccr_poll(self, follower_index: str) -> dict:
+        """Sync the follower to the leader's latest committed version.
+        Idempotent; returns ``{"leader_version", "follower_version",
+        "synced"}`` where synced is False when already current."""
+        import shutil
+
+        meta = self._read_meta(follower_index)
+        if "ccr_leader_root" not in meta:
+            raise ValueError(f"{follower_index!r} is not a CCR follower")
+        lpath = os.path.join(meta["ccr_leader_root"], meta["ccr_leader_index"])
+        fpath = self.path(follower_index)
+        lv, ldirs = txn.latest(lpath)
+        if lv == meta["ccr_leader_version"]:
+            return {
+                "leader_version": lv,
+                "follower_version": txn.latest(fpath)[0],
+                "synced": False,
+            }
+        froot = txn.data_root(fpath)
+        os.makedirs(froot, exist_ok=True)
+        for d in ldirs:
+            tgt = os.path.join(froot, os.path.basename(d.rstrip("/")))
+            if not os.path.isdir(tgt):
+                # immutable-once-committed: a dir is copied at most once
+                # across the follower's lifetime, incremental by design
+                shutil.copytree(d, tgt)
+        fv = txn.latest(fpath)[0] + 1
+        if not txn.try_commit(
+            fpath, fv, ldirs, meta={"replace": True, "ccr_leader_version": lv}
+        ):
+            # a concurrent poll won; its manifest covers a >= leader state
+            fv = txn.latest(fpath)[0]
+        meta["ccr_leader_version"] = lv
+        self._write_meta(follower_index, meta)
+        return {"leader_version": lv, "follower_version": fv, "synced": True}
+
+    def unfollow_index(self, follower_index: str) -> None:
+        """ES ``POST /<index>/_ccr/unfollow``: convert the follower into a
+        regular (writable) index by dropping the leader pointer."""
+        meta = self._read_meta(follower_index)
+        if "ccr_leader_root" not in meta:
+            raise ValueError(f"{follower_index!r} is not a CCR follower")
+        for k in ("ccr_leader_root", "ccr_leader_index", "ccr_leader_version"):
+            meta.pop(k, None)
+        self._write_meta(follower_index, meta)
 
     # ----------------------------------------------------------- templates
     def _templates_path(self) -> str:

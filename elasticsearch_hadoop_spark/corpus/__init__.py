@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "esql_fn_hash_ip",
     "aggs_random_sampler",
     "eql_sequence_until",
+    "writepath_ccr_follow",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

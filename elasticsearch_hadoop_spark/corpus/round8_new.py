@@ -8,6 +8,8 @@ file-level citations.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.corpus import query
@@ -1021,3 +1023,53 @@ def aggs_random_sampler(spark, sf_dir):
         F.round("total_chars", 6).alias("total_chars"),
         F.round("mean_chars", 6).alias("mean_chars"),
     ).orderBy("lang")
+
+
+@query(
+    "writepath_ccr_follow",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(2 AS BIGINT) AS leader_version
+FROM events
+WHERE event_id <= 600
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def writepath_ccr_follow(spark, sf_dir):
+    """ES CCR follow/poll round trip (catalog.follow_index/ccr_poll over
+    the manifest log): a transactional leader gets a bootstrap batch
+    (event_id <= 400), a follower in a DIFFERENT catalog root follows it,
+    the leader appends a second batch (400 < id <= 600), one poll ships
+    only the new immutable data dirs (no row rewrite), and the follower
+    read returns the union.  The counts come from the FOLLOWER; the
+    leader version pins the two-commit history.  A missed dir, a double
+    copy, or a broken manifest swap all hash-mismatch."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+
+    root = _workdir(sf_dir, "ccr_follow")
+    leader = Catalog(spark, os.path.join(root, "leader"), transactional=True)
+    follower = Catalog(spark, os.path.join(root, "follower"), transactional=True)
+    ev = tbl(spark, sf_dir, "events").select("event_id", "event_type")
+    leader.write_index(
+        ev.filter(F.col("event_id") <= 400), "logs", mode="overwrite"
+    )
+    follower.follow_index(leader, "logs", "logs-copy")
+    leader.write_index(
+        ev.filter((F.col("event_id") > 400) & (F.col("event_id") <= 600)), "logs"
+    )
+    st = follower.ccr_poll("logs-copy")
+    assert st["synced"] is True
+    return (
+        follower.read_index("logs-copy")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "event_type",
+            "cnt",
+            F.lit(st["leader_version"]).cast("long").alias("leader_version"),
+        )
+        .orderBy("event_type")
+    )

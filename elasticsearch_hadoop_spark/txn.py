@@ -167,6 +167,11 @@ def manifest_at(index_path: str, version: int) -> list[str]:
     return [os.path.join(index_path, _DATA_DIR, d) for d in manifest["dirs"]]
 
 
+def data_root(index_path: str) -> str:
+    """The directory holding an index's immutable uuid data dirs."""
+    return os.path.join(index_path, _DATA_DIR)
+
+
 def new_data_dir(index_path: str) -> str:
     """A fresh, uniquely-named directory for one commit's data files."""
     name = uuid.uuid4().hex

@@ -1075,3 +1075,58 @@ def test_pit_stale_lock_recovers_and_reads_are_lock_free(spark, tmp_path):
     pit2 = cat.open_point_in_time("pidx", keep_alive="1h")
     assert cat.close_point_in_time(pit2) is True
     assert not os.path.exists(lock)
+
+
+def test_ccr_follow_poll_unfollow(spark, tmp_path):
+    """CCR follow over the manifest log: bootstrap copies the leader's
+    live dirs, polls ship only NEW immutable dirs, leader replace
+    commits replicate as manifest swaps, followers reject writes until
+    unfollowed."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+
+    leader = Catalog(spark, str(tmp_path / "cl1"), transactional=True)
+    follower_cat = Catalog(spark, str(tmp_path / "cl2"), transactional=True)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    leader.write_index(df, "logs", mode="overwrite", id_col="k")
+
+    st = follower_cat.follow_index(leader, "logs", "logs-copy")
+    assert st["synced"] is True
+    assert sorted(r["k"] for r in follower_cat.read_index("logs-copy").collect()) == [1, 2]
+
+    # idempotent: nothing new
+    assert follower_cat.ccr_poll("logs-copy")["synced"] is False
+
+    # leader append -> poll ships only the delta
+    leader.write_index(
+        spark.createDataFrame([(3, "c")], "k int, v string"), "logs",
+        id_col="k",
+    )
+    assert follower_cat.ccr_poll("logs-copy")["synced"] is True
+    assert sorted(r["k"] for r in follower_cat.read_index("logs-copy").collect()) == [1, 2, 3]
+
+    # leader upsert (replace commit) replicates as a manifest swap
+    leader.write_index(
+        spark.createDataFrame([(2, "B")], "k int, v string"), "logs",
+        operation="upsert", id_col="k",
+    )
+    follower_cat.ccr_poll("logs-copy")
+    got = {r["k"]: r["v"] for r in follower_cat.read_index("logs-copy").collect()}
+    assert got[2] == "B" and len(got) == 3
+
+    # follower is read-only until unfollowed
+    with pytest.raises(ValueError, match="read-only"):
+        follower_cat.write_index(df, "logs-copy", mode="overwrite")
+    follower_cat.unfollow_index("logs-copy")
+    follower_cat.write_index(
+        spark.createDataFrame([(9, "z")], "k int, v string"), "logs-copy",
+        mode="append",
+    )
+    assert follower_cat.count_index("logs-copy") == 4
+
+    # non-transactional leader refused; non-follower poll refused
+    plain = Catalog(spark, str(tmp_path / "cl3"))
+    plain.write_index(df, "p")
+    with pytest.raises(ValueError, match="transactional leader"):
+        follower_cat.follow_index(plain, "p")
+    with pytest.raises(ValueError, match="not a CCR follower"):
+        follower_cat.ccr_poll("logs-copy")
