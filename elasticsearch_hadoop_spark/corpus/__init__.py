@@ -83,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "aggs_random_sampler",
     "eql_sequence_until",
     "writepath_ccr_follow",
+    "esql_st_distance",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

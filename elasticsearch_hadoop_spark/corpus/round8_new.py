@@ -1073,3 +1073,55 @@ def writepath_ccr_follow(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# shared haversine-meter expression text (IUGG mean radius, 2R in meters)
+_HAV_M = (
+    "12742017.6 * asin(sqrt("
+    "pow(sin((radians({blat}) - radians(glat)) / 2), 2)"
+    " + cos(radians(glat)) * cos(radians({blat}))"
+    " * pow(sin((radians({blon}) - radians(glon)) / 2), 2)))"
+)
+
+
+@query(
+    "esql_st_distance",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}
+), d AS (
+  SELECT c_custkey,
+         {_HAV_M.format(blat="10.0", blon="20.0")} AS dist_m
+  FROM pts
+)
+SELECT c_custkey, round(dist_m, 6)::DOUBLE AS dist_m
+FROM d
+WHERE dist_m < 4000000.0
+ORDER BY c_custkey
+""",
+)
+def esql_st_distance(spark, sf_dir):
+    """ES|QL spatial functions (esql._rewrite_misc_funcs ST_DISTANCE /
+    TO_GEOPOINT): customers whose derived geo_point lies within 4,000 km
+    of an anchor point, with the haversine-meter distance returned.  The
+    rewrite emits the SAME IUGG mean-radius formula functions/geo.py
+    uses, and the oracle restates the identical expression text — shared
+    IEEE-double arithmetic, like every geo oracle in the corpus.  Pure
+    codegen: the distance predicate rides the scan at any corpus size."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+    )
+    return esql(
+        "FROM c"
+        ' | EVAL dist_m = ST_DISTANCE(location, TO_GEOPOINT("POINT(20.0 10.0)"))'
+        " | WHERE dist_m < 4000000.0"
+        " | EVAL dist_m = ROUND(dist_m, 6)"
+        " | KEEP c_custkey, dist_m"
+        " | SORT c_custkey",
+        tables={"c": c},
+    )

@@ -447,7 +447,11 @@ def _rewrite_misc_funcs(e: str, lits: list[str]) -> str:
     e = re.sub(
         r"\bFROM_BASE64\s*\(", "__FROM_B64__(", e, flags=re.I
     )
-    pat = re.compile(r"\b(__FROM_B64__|SHA256|HASH|IP_PREFIX)\s*\(", flags=re.I)
+    pat = re.compile(
+        r"\b(__FROM_B64__|SHA256|HASH|IP_PREFIX|TO_GEOPOINT|ST_DISTANCE"
+        r"|ST_X|ST_Y)\s*\(",
+        flags=re.I,
+    )
     while True:
         m = pat.search(e)
         if not m:
@@ -483,6 +487,47 @@ def _rewrite_misc_funcs(e: str, lits: list[str]) -> str:
                 rep = f"sha2({args[1]}, {alg[3:]})"
             else:
                 raise EsqlError(f"HASH: unsupported algorithm {alg!r}")
+        elif name == "TO_GEOPOINT":
+            # WKT "POINT(lon lat)" literal -> struct(lat, lon), the
+            # engine's geo_point rendering.  Literal-only, like ES|QL's
+            # own constant-folding path (a column-valued conversion would
+            # need a runtime WKT parser; functions/geo.py has the Column
+            # version for DataFrame callers).
+            if len(args) != 1:
+                raise EsqlError("TO_GEOPOINT needs one argument")
+            pm = _PLACEHOLDER.fullmatch(args[0].strip())
+            if not pm:
+                raise EsqlError("TO_GEOPOINT needs a WKT string literal")
+            wkt = lits[int(pm.group(1))][1:-1]
+            wm = re.fullmatch(
+                r"\s*POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*",
+                wkt,
+                flags=re.I,
+            )
+            if not wm:
+                raise EsqlError(f"TO_GEOPOINT: bad WKT point {wkt!r}")
+            lon, lat = float(wm.group(1)), float(wm.group(2))
+            nl = ph("'lat'")
+            no = ph("'lon'")
+            rep = f"named_struct({nl}, {lat!r}D, {no}, {lon!r}D)"
+        elif name in ("ST_X", "ST_Y"):
+            if len(args) != 1:
+                raise EsqlError(f"{name} needs one geo_point argument")
+            rep = f"({args[0]}).{'lon' if name == 'ST_X' else 'lat'}"
+        elif name == "ST_DISTANCE":
+            # haversine meters on the IUGG mean-radius sphere — the same
+            # model and constant as functions/geo.haversine_km (ES's arc
+            # distance), so ES|QL and the query/aggs DSLs agree
+            if len(args) != 2:
+                raise EsqlError("ST_DISTANCE needs two geo_point arguments")
+            a, b = f"({args[0]})", f"({args[1]})"
+            rep = (
+                f"(12742017.6 * asin(sqrt("
+                f"pow(sin((radians({b}.lat) - radians({a}.lat)) / 2), 2)"
+                f" + cos(radians({a}.lat)) * cos(radians({b}.lat))"
+                f" * pow(sin((radians({b}.lon) - radians({a}.lon)) / 2), 2)"
+                f")))"
+            )
         else:  # IP_PREFIX
             if len(args) != 3:
                 raise EsqlError("IP_PREFIX needs (ip, prefix_v4, prefix_v6)")
@@ -680,6 +725,7 @@ def _translate_expr(e: str) -> str:
                 "date_diff", "mv_first", "mv_last", "mv_sum", "mv_avg",
                 "mv_median", "mv_slice", "mv_zip", "mv_sort",
                 "from_base64", "sha256", "hash", "ip_prefix",
+                "to_geopoint", "st_distance", "st_x", "st_y",
             ):
                 continue  # consumed by the expression rewrites below
             fn = _FUNCS.get(name)

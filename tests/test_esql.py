@@ -998,3 +998,27 @@ def test_misc_funcs_error_and_null_contract(spark):
         tables={"t": df},
     ).collect()[0]
     assert out["a"] is None and out["b"] is None
+
+
+def test_spatial_funcs(spark):
+    """ST_DISTANCE / ST_X / ST_Y / TO_GEOPOINT (ES|QL 8.12+ spatial)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 48.8566, 2.3522)], "id int, lat double, lon double"
+    ).select("id", F.struct("lat", "lon").alias("loc"))
+    out = esql(
+        'FROM t | EVAL d = ST_DISTANCE(loc, TO_GEOPOINT("POINT(-0.1276 51.5072)")),'
+        " x = ST_X(loc), y = ST_Y(loc),"
+        ' p = TO_GEOPOINT("POINT(2.0 -3.5)")',
+        tables={"t": df},
+    ).collect()[0]
+    assert 340000 < out["d"] < 348000  # Paris -> London ~343.5 km
+    assert out["x"] == 2.3522 and out["y"] == 48.8566  # X=lon, Y=lat
+    assert out["p"]["lat"] == -3.5 and out["p"]["lon"] == 2.0
+    with pytest.raises(EsqlError, match="WKT string literal"):
+        esql("FROM t | EVAL z = TO_GEOPOINT(loc)", tables={"t": df})
+    with pytest.raises(EsqlError, match="bad WKT point"):
+        esql('FROM t | EVAL z = TO_GEOPOINT("LINESTRING(0 0, 1 1)")', tables={"t": df})
+    with pytest.raises(EsqlError, match="two geo_point"):
+        esql("FROM t | EVAL z = ST_DISTANCE(loc)", tables={"t": df})
