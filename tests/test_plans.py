@@ -317,3 +317,36 @@ def test_no_cartesian_no_row_python_sweep(spark, sf_dir):
         if name not in row_python_ok and count_nodes(plan, "BatchEvalPython"):
             bad.append(f"{name}: row-Python (BatchEvalPython) in plan")
     assert not bad, "\n".join(bad)
+
+
+def test_ts_rate_series_agg_reuses_window_partitioning(spark, sf_dir):
+    """TS STATS MAX(RATE(...)): the per-series hash aggregation must ride
+    the rate window's (dims, bucket) hash partitioning — exactly three
+    exchanges total (window shuffle, day regroup, final sort), never a
+    fourth between the window and the series aggregation."""
+    plan = plan_of(spark, sf_dir, "esql_ts_rate")
+    assert count_nodes(plan, "Exchange") <= 3
+    assert count_nodes(plan, "Window") == 1
+    assert "PythonUDF" not in plan
+
+
+def test_fuse_is_bounded_window_plus_hash_agg(spark, sf_dir):
+    """FUSE over FORK top-k branches: per-branch ranking windows over
+    bounded frames + one hash aggregation; no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "esql_fuse_rrf")
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+    # the string max-merge makes this a SortAggregate pair; either
+    # aggregate flavor is one partial/final aggregation, what matters is
+    # that fusion is an aggregation and not a join pyramid
+    assert (
+        count_nodes(plan, "HashAggregate") + count_nodes(plan, "SortAggregate") >= 1
+    )
+    assert "Join" not in plan
+
+
+def test_st_distance_predicate_stays_codegen(spark, sf_dir):
+    """ES|QL ST_DISTANCE filter: pure codegen scan-stage math — no
+    Python evaluator, no shuffle beyond the final sort."""
+    plan = plan_of(spark, sf_dir, "esql_st_distance")
+    assert "PythonUDF" not in plan
+    assert count_nodes(plan, "Exchange") <= 1
