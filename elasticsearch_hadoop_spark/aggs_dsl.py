@@ -347,7 +347,12 @@ def compile_aggs(
             for src in comp.get("sources", []):
                 ((sname, sbody),) = src.items()
                 skind = _bucket_kind(sbody)
-                if skind not in ("terms", "histogram", "date_histogram"):
+                # geotile_grid is a valid ES composite source (geo paging);
+                # its z/x/y string key orders lexicographically, which is
+                # what the composite after-cursor compares
+                if skind not in (
+                    "terms", "histogram", "date_histogram", "geotile_grid"
+                ):
                     raise AggsDslError(f"composite source {sname!r}: {skind}")
                 keys.append((sname, _bucket_key(skind, sbody[skind])))
             composite = (int(comp.get("size", 10)), comp.get("after"))

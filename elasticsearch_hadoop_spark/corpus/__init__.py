@@ -84,6 +84,8 @@ PRIORITY: tuple[str, ...] = (
     "eql_sequence_until",
     "writepath_ccr_follow",
     "esql_st_distance",
+    "search_mvt_hits",
+    "search_mvt_grid",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

@@ -1125,3 +1125,94 @@ def esql_st_distance(spark, sf_dir):
         " | SORT c_custkey",
         tables={"c": c},
     )
+
+
+# Web-Mercator tile fraction text for tile z=1,x=1,y=0 over the derived
+# customer points (same clamp + formula text as the geotile oracles)
+_FX_110 = "((glon + 180.0) / 360.0 * 2 - 1)"
+_FY_110 = f"((1.0 - {_MERC} / pi()) / 2.0 * 2 - 0)"
+
+
+@query(
+    "search_mvt_hits",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}
+), f AS (
+  SELECT c_custkey, {_FX_110} AS fx, {_FY_110} AS fy
+  FROM pts
+)
+SELECT c_custkey,
+       CAST(least(floor(fx * 4096), 4095) AS BIGINT) AS px,
+       CAST(least(floor(fy * 4096), 4095) AS BIGINT) AS py
+FROM f
+WHERE fx >= 0 AND fx < 1 AND fy >= 0 AND fy < 1
+ORDER BY c_custkey
+""",
+)
+def search_mvt_hits(spark, sf_dir):
+    """ES ``_mvt`` hits layer (mvt.mvt_hits): customers whose derived
+    geo_point falls inside slippy tile 1/1/0, re-projected to tile-local
+    integer pixels in [0, 4096) — the Web-Mercator forward projection
+    shifted to the tile origin, MVT's coordinate contract.  The envelope
+    filter and projection are one codegen pass; the oracle restates the
+    identical fraction/floor text (shared IEEE doubles, like the geotile
+    oracles)."""
+    from elasticsearch_hadoop_spark.mvt import mvt_hits
+
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+    )
+    return mvt_hits(c, "location", 1, 1, 0).orderBy("c_custkey")
+
+
+@query(
+    "search_mvt_grid",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}
+), f AS (
+  SELECT c_custkey, glat, glon, {_FX_110} AS fx, {_FY_110} AS fy
+  FROM pts
+), cells AS (
+  SELECT '4/' ||
+         CAST(CAST(least(floor(fx * 8), 7) AS BIGINT) + 8 AS VARCHAR) || '/' ||
+         CAST(CAST(least(floor(fy * 8), 7) AS BIGINT) AS VARCHAR) AS cell,
+         glat, glon
+  FROM f
+  WHERE fx >= 0 AND fx < 1 AND fy >= 0 AND fy < 1
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(glat), 6)::DOUBLE AS centroid_lat,
+       round(avg(glon), 6)::DOUBLE AS centroid_lon
+FROM cells
+GROUP BY cell
+ORDER BY cell
+""",
+)
+def search_mvt_grid(spark, sf_dir):
+    """ES ``_mvt`` aggs layer (mvt.mvt_grid): the geotile sub-grid of
+    tile 1/1/0 at grid_precision 3 (zoom 4 cells), per-cell doc_count +
+    centroid — ES's default grid layer.  Cell indices are the GLOBAL
+    geotile x/y at z+precision (tile offset + local cell), so the layer
+    agrees with a standalone geotile_grid agg at zoom 4 — the
+    consistency contract pinned in tests/test_mvt.py.  One envelope
+    filter + one hash aggregation."""
+    from elasticsearch_hadoop_spark.mvt import mvt_grid
+
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+    )
+    out = mvt_grid(c, "location", 1, 1, 0, grid_precision=3)
+    return out.select(
+        "cell",
+        "doc_count",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    ).orderBy("cell")

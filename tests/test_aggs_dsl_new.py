@@ -980,3 +980,26 @@ def test_significant_terms_background_filter(spark):
     # focused background (grp=b): x appears once there, so fg x (2/3)
     # vs bg x (1/3) is now over-represented with bg_count 1
     assert bg_focused.get("x", 0) == 1
+
+
+def test_composite_geotile_source_pages(spark):
+    """ES composite with a geotile_grid source: cell-key pages with the
+    lexicographic after-cursor, like any composite source."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 160) - 80.0, float((i * 91) % 360) - 180.0)
+         for i in range(200)],
+        "id int, lat double, lon double",
+    ).select("id", F.struct("lat", "lon").alias("loc"))
+    body = {"comp": {"composite": {
+        "size": 5,
+        "sources": [{"cell": {"geotile_grid": {"field": "loc", "precision": 2}}}],
+    }}}
+    page1 = compile_aggs(df, {"aggs": body}).collect()
+    assert len(page1) == 5
+    cells = [r["cell"] for r in page1]
+    assert cells == sorted(cells) and all(c.startswith("2/") for c in cells)
+    body["comp"]["composite"]["after"] = {"cell": cells[-1]}
+    page2 = compile_aggs(df, {"aggs": body}).collect()
+    assert all(r["cell"] > cells[-1] for r in page2)
