@@ -347,9 +347,13 @@ def compile_aggs(
             for src in comp.get("sources", []):
                 ((sname, sbody),) = src.items()
                 skind = _bucket_kind(sbody)
-                # geotile_grid is a valid ES composite source (geo paging);
-                # its z/x/y string key orders lexicographically, which is
-                # what the composite after-cursor compares
+                # geotile_grid is a valid ES composite source (geo
+                # paging).  DOCUMENTED DIVERGENCE: this engine's cursor
+                # orders the "z/x/y" key LEXICOGRAPHICALLY ("4/10/3"
+                # before "4/2/3"), where ES orders by the packed numeric
+                # tile value — paging here is internally consistent, but
+                # an after-cursor minted by an ES cluster must not be
+                # replayed against this engine (or vice versa)
                 if skind not in (
                     "terms", "histogram", "date_histogram", "geotile_grid"
                 ):
@@ -1872,18 +1876,14 @@ def _bucket_key(kind: str, b: dict) -> Column:
         # clamped to the Mercator domain like ES.  `field` names a
         # struct(lat, lon) geo_point column.  Pure codegen — at scale the
         # tile key doubles as a partition/bucket column for geo locality.
+        from elasticsearch_hadoop_spark.functions.geo import geotile_cell_xy
+
         z = int(b.get("precision", 7))
-        n = float(1 << z)
-        lat = F.col(f"{b['field']}.lat")
-        lon = F.col(f"{b['field']}.lon")
-        lat = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), lat))
-        rad = F.radians(lat)
-        merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
-        x = F.floor((lon + 180.0) / 360.0 * n)
-        y = F.floor((1.0 - merc / F.lit(math.pi)) / 2.0 * n)
-        # edge clamp: lon=180 / lat at the clamp boundary land in the last tile
-        x = F.least(x, F.lit(int(n) - 1)).cast("long")
-        y = F.greatest(F.least(y, F.lit(int(n) - 1)), F.lit(0)).cast("long")
+        # shared single-source tile arithmetic (edge clamps included) —
+        # keeps these buckets bit-identical to the _mvt grid layer
+        x, y = geotile_cell_xy(
+            F.col(f"{b['field']}.lat"), F.col(f"{b['field']}.lon"), z
+        )
         return F.concat_ws("/", F.lit(str(z)), x.cast("string"), y.cast("string"))
     if kind == "geohash_grid":
         # classic base32 geohash at `precision` chars: equirectangular

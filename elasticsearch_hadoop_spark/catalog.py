@@ -165,11 +165,17 @@ class Catalog:
                 self._write_pits(state)
             return result
         finally:
-            os.close(fd)
             try:
-                os.unlink(lock)
+                # unlink only OUR lock: if we stalled >5 s and a waiter
+                # broke it and re-created the path, the inode differs —
+                # removing the waiter's fresh lock would admit a third
+                # mutator mid-mutation
+                if os.fstat(fd).st_ino == os.stat(lock).st_ino:
+                    os.unlink(lock)
             except FileNotFoundError:
                 pass  # broken as stale while we stalled >5 s holding it
+            finally:
+                os.close(fd)
 
     # ---------------------------------------------------------------- paths
     def path(self, name: str) -> str:
@@ -466,11 +472,11 @@ class Catalog:
 
         target = self.path(name)
         existed = self.exists(name)
-        if existed and "ccr_leader_root" in self._read_meta(name):
-            # ES: a follower index rejects writes until unfollowed
-            raise ValueError(
-                f"{name!r} is a CCR follower (read-only) — unfollow_index first"
-            )
+        prior_meta = self._read_meta(name) if existed else {}
+        if existed:
+            # belt: the commit layer re-checks, but failing before the
+            # ingest pipeline / sort work is the better error surface
+            self._assert_not_follower(name, prior_meta)
         if existed and mode == "error":
             raise IndexExistsError(name)
         if existed and mode == "ignore":
@@ -483,7 +489,6 @@ class Catalog:
         # again — in ES, index.default_pipeline runs on EVERY indexing
         # request to the index, not just the first batch (ADVICE r4).
         tpl_mappings = None
-        prior_meta = self._read_meta(name) if existed else {}
         pipeline_name = prior_meta.get("default_pipeline")
         sort_field = prior_meta.get("index_sort")
         if not existed:
@@ -651,6 +656,18 @@ class Catalog:
             writer = writer.partitionBy(*partition_cols)
         return writer
 
+    def _assert_not_follower(self, name: str, meta: dict | None = None) -> None:
+        """ES: a CCR follower index rejects every write/rewrite until
+        unfollowed.  Enforced at the commit layer so delete_by_query /
+        update_by_query / compact_index and future callers can't mutate a
+        follower (their local rewrite would silently be discarded by the
+        next ccr_poll manifest swap anyway)."""
+        meta = self._read_meta(name) if meta is None else meta
+        if "ccr_leader_root" in meta:
+            raise ValueError(
+                f"{name!r} is a CCR follower (read-only) — unfollow_index first"
+            )
+
     def _commit_build(
         self,
         name: str,
@@ -667,6 +684,7 @@ class Catalog:
         an immutable uuid data dir and claim the next manifest version; if
         another writer won the race, re-run ``build`` against the winner's
         snapshot and try again (txn.commit_replace's optimistic loop)."""
+        self._assert_not_follower(name)
         target = self.path(name)
         if not self.transactional:
             existing = (
@@ -697,6 +715,7 @@ class Catalog:
         """Blind append.  Transactional mode writes a complete uuid data dir
         first, then publishes it with a manifest-union claim — a lost race
         retries only the (tiny) manifest write, never the data."""
+        self._assert_not_follower(name)
         target = self.path(name)
         if not self.transactional:
             writer = df.write.mode("append")
@@ -1407,15 +1426,33 @@ class Catalog:
             tgt = os.path.join(froot, os.path.basename(d.rstrip("/")))
             if not os.path.isdir(tgt):
                 # immutable-once-committed: a dir is copied at most once
-                # across the follower's lifetime, incremental by design
-                shutil.copytree(d, tgt)
+                # across the follower's lifetime, incremental by design.
+                # Copy to a private temp name and rename into place so a
+                # killed/concurrent poll never leaves a half-copied dir
+                # that a later poll would treat as complete — txn.py's
+                # "data dirs are complete before the manifest claim"
+                # invariant must hold on the follower too.
+                tmp = f"{tgt}.tmp.{uuid.uuid4().hex[:8]}"
+                shutil.copytree(d, tmp)
+                try:
+                    os.rename(tmp, tgt)
+                except OSError:
+                    # another poll renamed its copy first — identical
+                    # content (immutable source), drop ours
+                    shutil.rmtree(tmp, ignore_errors=True)
         fv = txn.latest(fpath)[0] + 1
-        if not txn.try_commit(
+        if txn.try_commit(
             fpath, fv, ldirs, meta={"replace": True, "ccr_leader_version": lv}
         ):
-            # a concurrent poll won; its manifest covers a >= leader state
+            meta["ccr_leader_version"] = lv
+        else:
+            # a concurrent poll won the claim — adopt the WINNER's leader
+            # version (it may be older or newer than ours; stamping our
+            # own lv could mark leader data as synced that the committed
+            # manifest does not contain)
             fv = txn.latest(fpath)[0]
-        meta["ccr_leader_version"] = lv
+            lv = txn.manifest_body(fpath, fv).get("ccr_leader_version", 0)
+            meta["ccr_leader_version"] = lv
         self._write_meta(follower_index, meta)
         return {"leader_version": lv, "follower_version": fv, "synced": True}
 

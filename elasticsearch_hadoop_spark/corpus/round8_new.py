@@ -41,6 +41,19 @@ _GV = (
 _ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
+def _cust_points(spark, sf_dir):
+    """customer frame with the geo-corpus derived struct(lat, lon) point
+    (the Spark twin of _PTS_SQL) — shared by every geo query here."""
+    return tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
+            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
+        ).alias("location"),
+    )
+
+
+
 @query(
     "query_dsl_geo_grid",
     oracle=f"""
@@ -70,14 +83,7 @@ def query_dsl_geo_grid(spark, sf_dir):
     aggs.  The oracle re-derives both cell assignments arithmetically
     (shared IEEE-double expression text, like the geotile/geohash agg
     oracles)."""
-    c = tbl(spark, sf_dir, "customer")
-    pts = c.select(
-        "c_custkey",
-        F.struct(
-            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
-            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
-        ).alias("location"),
-    )
+    pts = _cust_points(spark, sf_dir)
     in_tile = compile_query({"geo_grid": {"location": {"geotile": "2/2/2"}}})
     in_hash = compile_query({"geo_grid": {"location": {"geohash": "h"}}})
     return (
@@ -1109,13 +1115,7 @@ def esql_st_distance(spark, sf_dir):
     codegen: the distance predicate rides the scan at any corpus size."""
     from elasticsearch_hadoop_spark.esql import esql
 
-    c = tbl(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.struct(
-            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
-            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
-        ).alias("location"),
-    )
+    c = _cust_points(spark, sf_dir)
     return esql(
         "FROM c"
         ' | EVAL dist_m = ST_DISTANCE(location, TO_GEOPOINT("POINT(20.0 10.0)"))'
@@ -1131,6 +1131,12 @@ def esql_st_distance(spark, sf_dir):
 # customer points (same clamp + formula text as the geotile oracles)
 _FX_110 = "((glon + 180.0) / 360.0 * 2 - 1)"
 _FY_110 = f"((1.0 - {_MERC} / pi()) / 2.0 * 2 - 0)"
+# clamped global geotile indices (the shared geotile_cell_xy arithmetic):
+# membership in tile z/x/y is INDEX EQUALITY, like the geotile_grid agg
+_GTX1 = "CAST(least(floor((glon + 180.0) / 360.0 * 2), 1) AS BIGINT)"
+_GTY1 = f"CAST(greatest(least(floor((1.0 - {_MERC} / pi()) / 2.0 * 2), 1), 0) AS BIGINT)"
+_GTX4 = "CAST(least(floor((glon + 180.0) / 360.0 * 16), 15) AS BIGINT)"
+_GTY4 = f"CAST(greatest(least(floor((1.0 - {_MERC} / pi()) / 2.0 * 16), 15), 0) AS BIGINT)"
 
 
 @query(
@@ -1138,20 +1144,21 @@ _FY_110 = f"((1.0 - {_MERC} / pi()) / 2.0 * 2 - 0)"
     oracle=f"""
 WITH pts AS ({_PTS_SQL}
 ), f AS (
-  SELECT c_custkey, {_FX_110} AS fx, {_FY_110} AS fy
+  SELECT c_custkey, {_FX_110} AS fx, {_FY_110} AS fy,
+         {_GTX1} AS gx, {_GTY1} AS gy
   FROM pts
 )
 SELECT c_custkey,
-       CAST(least(floor(fx * 4096), 4095) AS BIGINT) AS px,
-       CAST(least(floor(fy * 4096), 4095) AS BIGINT) AS py
+       CAST(greatest(least(floor(fx * 4096), 4095), 0) AS BIGINT) AS px,
+       CAST(greatest(least(floor(fy * 4096), 4095), 0) AS BIGINT) AS py
 FROM f
-WHERE fx >= 0 AND fx < 1 AND fy >= 0 AND fy < 1
+WHERE gx = 1 AND gy = 0
 ORDER BY c_custkey
 """,
 )
 def search_mvt_hits(spark, sf_dir):
     """ES ``_mvt`` hits layer (mvt.mvt_hits): customers whose derived
-    geo_point falls inside slippy tile 1/1/0, re-projected to tile-local
+    geo_point falls inside slippy tile 1/1/0 (geotile cell equality — the agg's own\n    membership rule), re-projected to tile-local
     integer pixels in [0, 4096) — the Web-Mercator forward projection
     shifted to the tile origin, MVT's coordinate contract.  The envelope
     filter and projection are one codegen pass; the oracle restates the
@@ -1159,13 +1166,7 @@ def search_mvt_hits(spark, sf_dir):
     oracles)."""
     from elasticsearch_hadoop_spark.mvt import mvt_hits
 
-    c = tbl(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.struct(
-            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
-            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
-        ).alias("location"),
-    )
+    c = _cust_points(spark, sf_dir)
     return mvt_hits(c, "location", 1, 1, 0).orderBy("c_custkey")
 
 
@@ -1174,15 +1175,14 @@ def search_mvt_hits(spark, sf_dir):
     oracle=f"""
 WITH pts AS ({_PTS_SQL}
 ), f AS (
-  SELECT c_custkey, glat, glon, {_FX_110} AS fx, {_FY_110} AS fy
+  SELECT c_custkey, glat, glon,
+         {_GTX1} AS gx, {_GTY1} AS gy, {_GTX4} AS gx4, {_GTY4} AS gy4
   FROM pts
 ), cells AS (
-  SELECT '4/' ||
-         CAST(CAST(least(floor(fx * 8), 7) AS BIGINT) + 8 AS VARCHAR) || '/' ||
-         CAST(CAST(least(floor(fy * 8), 7) AS BIGINT) AS VARCHAR) AS cell,
+  SELECT '4/' || CAST(gx4 AS VARCHAR) || '/' || CAST(gy4 AS VARCHAR) AS cell,
          glat, glon
   FROM f
-  WHERE fx >= 0 AND fx < 1 AND fy >= 0 AND fy < 1
+  WHERE gx = 1 AND gy = 0
 )
 SELECT cell, CAST(count(*) AS BIGINT) AS doc_count,
        round(avg(glat), 6)::DOUBLE AS centroid_lat,
@@ -1202,13 +1202,7 @@ def search_mvt_grid(spark, sf_dir):
     filter + one hash aggregation."""
     from elasticsearch_hadoop_spark.mvt import mvt_grid
 
-    c = tbl(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.struct(
-            ((F.col("c_custkey") % 180) - 89.5).alias("lat"),
-            (((F.col("c_custkey") * 7) % 360) - 179.5).alias("lon"),
-        ).alias("location"),
-    )
+    c = _cust_points(spark, sf_dir)
     out = mvt_grid(c, "location", 1, 1, 0, grid_precision=3)
     return out.select(
         "cell",

@@ -42,6 +42,27 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
+def geotile_cell_xy(lat: Column, lon: Column, zoom: int):
+    """Global Web-Mercator (slippy) tile indices at ``zoom`` with ES's
+    edge clamps — lon 180 / out-of-domain latitudes land in the last
+    cell, never outside the grid.  THE single source of the geotile
+    arithmetic: the geotile_grid agg, the _mvt layers, and any future
+    tile consumer must share this exact expression tree so their cells
+    agree bit-for-bit (the consistency contract ES documents between
+    _mvt grids and geotile_grid buckets)."""
+    import math
+
+    n = float(1 << zoom)
+    lat = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), lat))
+    rad = F.radians(lat)
+    merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+    x = F.floor((lon + 180.0) / 360.0 * n)
+    y = F.floor((1.0 - merc / F.lit(math.pi)) / 2.0 * n)
+    x = F.least(x, F.lit(int(n) - 1)).cast("long")
+    y = F.greatest(F.least(y, F.lit(int(n) - 1)), F.lit(0)).cast("long")
+    return x, y
+
+
 def geo_distance_filter(
     lat: Column, lon: Column, center_lat: float, center_lon: float, radius_km: float
 ) -> Column:

@@ -11,16 +11,22 @@ sub-cells — and leaves the protobuf wire encoding out of scope (a pure
 serialization concern, like the JSON-vs-Arrow distinction elsewhere in
 the engine; document rendering belongs to the map client).
 
+Tile MEMBERSHIP is defined by geotile cell equality, not a raw fraction
+filter: a doc belongs to tile z/x/y iff its clamped global geotile index
+at zoom z equals (x, y) — functions/geo.geotile_cell_xy, the SAME
+expression the geotile_grid agg uses — so lon=180 and out-of-domain
+latitudes land in the world-edge tile exactly like the agg's edge cells
+instead of vanishing from every tile (and a doc is never double-counted
+into two adjacent tiles).
+
 Scale: both layers are one codegen projection + (for the grid) one hash
-aggregation over the rows inside the tile envelope — the envelope filter
-is ordinary min/max Column math that rides the scan, so a 100 TB corpus
+aggregation over the rows inside the tile — the membership predicate is
+ordinary min/max Column math that rides the scan, so a 100 TB corpus
 pays only for the tile's rows.  No UDF, no shuffle beyond the grid's
 groupBy.
 
 Upstream parity: semantics per the public _mvt API docs (extent 4096,
-grid_precision 8, geotile grid keys "z/x/y"); the clamp constants match
-aggs_dsl's geotile_grid so a tile's sub-cells agree with the standalone
-geotile_grid agg's buckets.
+grid_precision 8, geotile grid keys "z/x/y").
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_LAT_CLAMP = 85.05112878  # Web-Mercator domain, same constant as aggs_dsl
+from elasticsearch_hadoop_spark.functions.geo import geotile_cell_xy
 
 
 class MvtError(ValueError):
@@ -51,13 +57,21 @@ def tile_envelope(z: int, x: int, y: int) -> tuple[float, float, float, float]:
     return lon_min, lon_max, lat_min, lat_max
 
 
+def _member(field: str, z: int, x: int, y: int) -> Column:
+    """Tile membership = clamped geotile cell equality at zoom z."""
+    gx, gy = geotile_cell_xy(F.col(f"{field}.lat"), F.col(f"{field}.lon"), z)
+    return (gx == x) & (gy == y)
+
+
 def _fractions(field: str, z: int, x: int, y: int) -> tuple[Column, Column]:
-    """Tile-local (fx, fy) in [0, 1) for a struct(lat, lon) geo_point —
-    the Web-Mercator forward projection shifted to the tile origin."""
+    """Tile-local (fx, fy) for a struct(lat, lon) geo_point — the
+    Web-Mercator forward projection shifted to the tile origin.  May
+    stray marginally outside [0, 1) for members clamped in from the
+    world edge; consumers clamp the derived integer coordinate."""
     n = float(1 << z)
     lat = F.col(f"{field}.lat")
     lon = F.col(f"{field}.lon")
-    lat = F.greatest(F.lit(-_LAT_CLAMP), F.least(F.lit(_LAT_CLAMP), lat))
+    lat = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), lat))
     rad = F.radians(lat)
     merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
     fx = (lon + 180.0) / 360.0 * n - float(x)
@@ -74,22 +88,26 @@ def mvt_hits(
     extent: int = 4096,
     fields: list[str] | None = None,
 ) -> DataFrame:
-    """The ``hits`` layer: rows whose geo_point falls inside tile z/x/y,
-    with tile-local integer pixel columns ``px``/``py`` in [0, extent)
-    (y grows southward, MVT's convention).  ``fields`` selects the
-    property columns carried along (default: all non-geometry columns).
-    Callers page with their own orderBy/limit — ES's ``size`` is a
+    """The ``hits`` layer: rows whose geo_point falls inside tile z/x/y
+    (geotile cell equality — see module docstring), with tile-local
+    integer pixel columns ``px``/``py`` clamped to [0, extent) (y grows
+    southward, MVT's convention).  ``fields`` selects the property
+    columns carried along (default: all non-geometry columns).  Callers
+    page with their own orderBy/limit — ES's ``size`` is a
     TakeOrderedAndProject here, not an arbitrary-shard-order cut."""
     tile_envelope(z, x, y)  # validates z/x/y
     if extent <= 0:
         raise MvtError(f"extent must be positive: {extent}")
     fx, fy = _fractions(field, z, x, y)
     keep = fields if fields is not None else [c for c in df.columns if c != field]
-    px = F.least(F.floor(fx * extent), F.lit(extent - 1)).cast("long")
-    py = F.least(F.floor(fy * extent), F.lit(extent - 1)).cast("long")
-    return (
-        df.filter((fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1))
-        .select(*keep, px.alias("px"), py.alias("py"))
+    px = F.greatest(
+        F.least(F.floor(fx * extent), F.lit(extent - 1)), F.lit(0)
+    ).cast("long")
+    py = F.greatest(
+        F.least(F.floor(fy * extent), F.lit(extent - 1)), F.lit(0)
+    ).cast("long")
+    return df.filter(_member(field, z, x, y)).select(
+        *keep, px.alias("px"), py.alias("py")
     )
 
 
@@ -104,26 +122,24 @@ def mvt_grid(
     """The ``aggs`` layer: geotile cells at zoom ``z + grid_precision``
     inside tile z/x/y, keyed "z/x/y" like the geotile_grid agg, with
     ``doc_count`` and the cell centroid of the contained points — ES's
-    default grid layer.  grid_precision 0..8 (ES's own bound)."""
+    default grid layer.  Cell indices come from the SAME shared
+    geotile_cell_xy expression as the standalone agg, so a tile's
+    sub-cells ARE that agg's buckets at zoom z+grid_precision.
+    grid_precision 0..8 (ES's own bound)."""
     if not 0 <= grid_precision <= 8:
         raise MvtError(f"grid_precision {grid_precision} out of range 0..8")
     tile_envelope(z, x, y)
     z2 = z + grid_precision
     if z2 > 29:
         raise MvtError(f"z + grid_precision = {z2} exceeds the zoom ceiling 29")
-    fx, fy = _fractions(field, z, x, y)
-    cells = 1 << grid_precision  # sub-cells per tile axis
-    cx = F.least(F.floor(fx * cells), F.lit(cells - 1)).cast("long") + (
-        x * cells
-    )
-    cy = F.least(F.floor(fy * cells), F.lit(cells - 1)).cast("long") + (
-        y * cells
+    gx2, gy2 = geotile_cell_xy(
+        F.col(f"{field}.lat"), F.col(f"{field}.lon"), z2
     )
     key = F.concat_ws(
-        "/", F.lit(str(z2)), cx.cast("string"), cy.cast("string")
+        "/", F.lit(str(z2)), gx2.cast("string"), gy2.cast("string")
     )
     return (
-        df.filter((fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1))
+        df.filter(_member(field, z, x, y))
         .groupBy(key.alias("cell"))
         .agg(
             F.count(F.lit(1)).alias("doc_count"),

@@ -154,6 +154,18 @@ def has_replace_commit(index_path: str) -> bool:
     return False
 
 
+def manifest_body(index_path: str, version: int) -> dict:
+    """The raw manifest JSON of a committed version — includes any custom
+    meta keys the committer attached (e.g. CCR's ccr_leader_version).
+    Raises KeyError for an uncommitted version."""
+    path = _version_file(index_path, version)
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise KeyError(f"{index_path} has no committed version {version}") from None
+
+
 def manifest_at(index_path: str, version: int) -> list[str]:
     """Data dirs of a SPECIFIC committed version (time travel — the Delta
     `versionAsOf` / ES point-in-time analogue).  Works until vacuum sweeps

@@ -87,3 +87,32 @@ def test_grid_cells_match_global_geotile_keys(spark):
         mvt_grid(df, "loc", z, x, y, grid_precision=9)
     with pytest.raises(MvtError):
         mvt_grid(df, "loc", 25, 0, 0, grid_precision=8)
+
+
+def test_edge_docs_land_in_world_edge_tiles_like_the_agg(spark):
+    """Review r8-3: lon=180 / out-of-domain lat docs belong to the
+    world-edge tile (clamped index membership), matching the
+    geotile_grid agg's edge cells instead of vanishing — and a doc on an
+    interior tile boundary is never double-counted."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = _pts(spark, [(1, -86.0, 10.0), (2, 40.0, 180.0), (3, 40.0, 0.0)])
+    # doc 1 (lon=10 -> x=1): south world edge at z=1 -> tile 1/1/1;
+    # doc 2: east world edge -> tile 1/1/0
+    south = {r["id"] for r in mvt_hits(df, "loc", 1, 1, 1).collect()}
+    east = {r["id"] for r in mvt_hits(df, "loc", 1, 1, 0).collect()}
+    assert 1 in south and 2 in east
+    # doc 3 (lon=0 boundary) is in exactly ONE of the two adjacent tiles
+    west_n = {r["id"] for r in mvt_hits(df, "loc", 1, 0, 0).collect()}
+    assert (3 in west_n) != (3 in east)
+    # grid cells equal the standalone agg's buckets for the same docs
+    agg = {
+        r["cells"]
+        for r in compile_aggs(
+            df, {"cells": {"geotile_grid": {"field": "loc", "precision": 4}}}
+        ).collect()
+    }
+    tiles = set()
+    for tx, ty in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        tiles |= {r["cell"] for r in mvt_grid(df, "loc", 1, tx, ty, 3).collect()}
+    assert tiles == agg
