@@ -211,6 +211,7 @@ def compile_aggs(
     level = spec
     depth = 0
     sample_scale: float | None = None  # set by random_sampler for deeper levels
+    comp_null_orders: dict[str, str] = {}  # composite missing_bucket sort rules
     while level:
         bucket_items = [(n, b) for n, b in level.items() if _bucket_kind(b)]
         metric_items = [(n, b) for n, b in level.items() if not _bucket_kind(b)]
@@ -358,7 +359,22 @@ def compile_aggs(
                     "terms", "histogram", "date_histogram", "geotile_grid"
                 ):
                     raise AggsDslError(f"composite source {sname!r}: {skind}")
-                keys.append((sname, _bucket_key(skind, sbody[skind])))
+                b = sbody[skind]
+                kexpr = _bucket_key(skind, b)
+                keys.append((sname, kexpr))
+                # ES: docs with a null source key are DROPPED unless the
+                # source declares missing_bucket: true; the null bucket
+                # then sorts per missing_order ("first" default, "last")
+                if b.get("missing_bucket", False):
+                    order = b.get("missing_order", "first")
+                    if order not in ("first", "last"):
+                        raise AggsDslError(
+                            f"composite {sname!r}: missing_order must be "
+                            f"first|last, got {order!r}"
+                        )
+                    comp_null_orders[sname] = order
+                else:
+                    df = df.filter(kexpr.isNotNull())
             composite = (int(comp.get("size", 10)), comp.get("after"))
         elif kind == "filter":
             # narrowing bucket: no key, just a predicate over the subtree
@@ -789,7 +805,13 @@ def compile_aggs(
             size, after = composite
             if after:
                 out = out.filter(_after_key_gt(key_names, after))
-            return out.orderBy(*key_names).limit(size)
+            sort_cols = [
+                F.col(k).asc_nulls_last()
+                if comp_null_orders.get(k) == "last"
+                else F.col(k).asc_nulls_first()
+                for k in key_names
+            ]
+            return out.orderBy(*sort_cols).limit(size)
         if (terms_size is not None or terms_order is not None) and ccs:
             raise AggsDslError(
                 "cumulative_cardinality needs a plain histogram/date_histogram "

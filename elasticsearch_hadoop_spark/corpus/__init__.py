@@ -86,6 +86,7 @@ PRIORITY: tuple[str, ...] = (
     "esql_st_distance",
     "search_mvt_hits",
     "search_mvt_grid",
+    "aggs_composite_missing",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

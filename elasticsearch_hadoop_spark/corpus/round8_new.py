@@ -1210,3 +1210,52 @@ def search_mvt_grid(spark, sf_dir):
         F.round("centroid_lat", 6).alias("centroid_lat"),
         F.round("centroid_lon", 6).alias("centroid_lon"),
     ).orderBy("cell")
+
+
+@query(
+    "aggs_composite_missing",
+    oracle="""
+WITH g AS (
+  SELECT nullif(lang, 'en') AS k, CAST(count(*) AS BIGINT) AS doc_count
+  FROM documents GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 'first' AS page, k, doc_count
+  FROM (SELECT * FROM g ORDER BY k NULLS FIRST LIMIT 3)
+  UNION ALL
+  SELECT 'last', k, doc_count
+  FROM (SELECT * FROM g ORDER BY k NULLS LAST LIMIT 3)
+)
+ORDER BY page, k NULLS FIRST
+""",
+)
+def aggs_composite_missing(spark, sf_dir):
+    """ES composite ``missing_bucket`` + ``missing_order`` (aggs_dsl
+    composite sources): 'en' docs become a null key via NULLIF; with
+    missing_order=first the null bucket occupies the first page slot,
+    with last it falls off a 3-bucket page entirely — the page CONTENT
+    difference is what the option controls, and the oracle replays both
+    page cuts with SQL NULLS FIRST/LAST.  (Null keys DROP by default,
+    ES's missing_bucket=false — covered by unit test.)"""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        F.nullif(F.col("lang"), F.lit("en")).alias("k")
+    )
+
+    def page(order):
+        return compile_aggs(
+            docs,
+            {"c": {"composite": {
+                "size": 3,
+                "sources": [{"k": {"terms": {
+                    "field": "k",
+                    "missing_bucket": True,
+                    "missing_order": order,
+                }}}],
+            }}},
+        ).withColumn("page", F.lit(order))
+    out = page("first").unionByName(page("last"))
+    return out.select("page", "k", "doc_count").orderBy(
+        "page", F.col("k").asc_nulls_first()
+    )

@@ -1003,3 +1003,27 @@ def test_composite_geotile_source_pages(spark):
     body["comp"]["composite"]["after"] = {"cell": cells[-1]}
     page2 = compile_aggs(df, {"aggs": body}).collect()
     assert all(r["cell"] > cells[-1] for r in page2)
+
+
+def test_composite_missing_bucket_semantics(spark):
+    """ES composite: null source keys DROP by default; missing_bucket
+    keeps them, sorted per missing_order (first default, last)."""
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("b", 3.0)], "k string, v double"
+    )
+
+    def run(src):
+        return [r["k"] for r in compile_aggs(
+            df, {"aggs": {"c": {"composite": {
+                "size": 10, "sources": [{"k": src}]}}}}
+        ).collect()]
+
+    assert run({"terms": {"field": "k"}}) == ["a", "b"]  # default: dropped
+    assert run({"terms": {"field": "k", "missing_bucket": True}}) == [None, "a", "b"]
+    assert run({"terms": {"field": "k", "missing_bucket": True,
+                          "missing_order": "last"}}) == ["a", "b", None]
+    with pytest.raises(AggsDslError, match="missing_order"):
+        run({"terms": {"field": "k", "missing_bucket": True,
+                       "missing_order": "middle"}})
