@@ -87,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "search_mvt_hits",
     "search_mvt_grid",
     "aggs_composite_missing",
+    "esql_knn_where",
     # the 35 r2-era drift re-grades (exact list computed from
     # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
     "agg_approx_distinct",

@@ -1259,3 +1259,44 @@ def aggs_composite_missing(spark, sf_dir):
     return out.select("page", "k", "doc_count").orderBy(
         "page", F.col("k").asc_nulls_first()
     )
+
+
+@query(
+    "esql_knn_where",
+    oracle="""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)),
+             6)::DOUBLE AS _score
+FROM embeddings
+WHERE label = 1
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC,
+         vec_id
+LIMIT 12
+""",
+)
+def esql_knn_where(spark, sf_dir):
+    """ES|QL 9.x ``WHERE KNN(field, [v...], k)`` (esql._where_knn): the
+    label-1 pre-filter applies BEFORE the top-k cut (ES's composition
+    rule for AND'ed conjuncts), then the 12 most cosine-similar vectors
+    to embeddings[vec_id=0] survive with the similarity as _score.
+    Exact brute kNN as a TakeOrderedAndProject; the oracle replays the
+    same cut with DuckDB's list_cosine_similarity in doubles."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    vec_txt = ", ".join(repr(v) for v in qv)
+    out = esql(
+        f"FROM e | WHERE label == 1 AND KNN(embedding, [{vec_txt}], 12)"
+        " | EVAL _score = ROUND(_score, 6)"
+        " | KEEP vec_id, label, _score"
+        " | SORT _score DESC, vec_id",
+        tables={"e": emb},
+    )
+    return out

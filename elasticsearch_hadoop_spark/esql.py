@@ -22,7 +22,11 @@ Supported commands (the documented core; anything else raises):
   the ``tables`` dict or a ``Catalog`` (wildcards/aliases included);
   requested metadata columns survive as named columns.  ``ROW a = 1,
   b = "x"`` builds a literal single-row source.
-- ``WHERE <expr>``
+- ``WHERE <expr>`` — plus ``KNN(field, [v...], k)`` (9.x) as a
+  top-level conjunct: other AND'ed conjuncts pre-filter, then the k
+  most cosine-similar rows survive with the similarity materialized as
+  ``_score`` (exact brute kNN — a TakeOrderedAndProject; ties break by
+  ``_id`` when present, documented where ES's tie is shard-order).
 - ``EVAL name = <expr>[, name2 = <expr2>...]`` — later names see earlier
   ones, like ES|QL.
 - ``STATS [name =] AGG(expr) [WHERE cond][, ...] [BY k1[, k2...]]`` —
@@ -1430,6 +1434,98 @@ def _fuse(df: DataFrame, body: str) -> DataFrame:
     return fused.select(*[c for c in df.columns if c != "_fork"])
 
 
+_KNN_ARGS = re.compile(
+    r"^\s*([A-Za-z_][\w.]*)\s*,\s*\[([^\]]*)\]\s*,\s*(\d+)\s*$", flags=re.S
+)
+
+
+def _where_knn(df: DataFrame, body: str) -> DataFrame:
+    """ES|QL 9.x ``WHERE KNN(field, [v...], k)`` — approximate-kNN as a
+    query clause: keep the k rows whose vector is most cosine-similar to
+    the literal query vector, and materialize the similarity as
+    ``_score`` (overwriting any prior one, like ES's knn scoring).
+
+    Composition rule (ES's own): KNN must be a TOP-LEVEL conjunct —
+    other AND'ed conjuncts become the knn pre-filter, applied BEFORE the
+    top-k cut; KNN under OR/NOT is rejected.  Exactly one KNN per WHERE.
+
+    Determinism: ties on the similarity break by ``_id`` when the frame
+    carries one (FROM ... METADATA _id), else by the remaining columns
+    in order — documented, where ES's tie is shard-order.  Scale: score
+    is pure Column math and the cut is a TakeOrderedAndProject — brute
+    exact kNN, the semantics ES documents when k equals num_candidates;
+    operators/similarity has the IVF/LSH paths for when approximation is
+    wanted explicitly."""
+    from elasticsearch_hadoop_spark.functions.similarity import cosine_similarity
+
+    # split the ORIGINAL text at the blanked text's TOP-LEVEL AND spans
+    # (same offsets — _blank_literals is length-preserving; parenthesized
+    # groups stay whole)
+    blanked = _blank_literals(body)
+    parts, last = [], 0
+    for am_ in re.finditer(r"\bAND\b", blanked, flags=re.I):
+        depth = blanked.count("(", 0, am_.start()) - blanked.count(
+            ")", 0, am_.start()
+        )
+        if depth == 0:
+            parts.append(body[last: am_.start()])
+            last = am_.end()
+    parts.append(body[last:])
+    knn_terms = [p for p in parts if re.search(r"\bKNN\s*\(", _blank_literals(p), re.I)]
+    rest = [p for p in parts if p not in knn_terms]
+    if len(knn_terms) != 1:
+        raise EsqlError("exactly one KNN(...) conjunct per WHERE")
+    term = knn_terms[0].strip()
+    m = re.match(r"^KNN\s*\(", term, flags=re.I)
+    if not m or _match_paren(term, m.end()) != len(term):
+        raise EsqlError(
+            "KNN must be a top-level WHERE conjunct (not under OR/NOT "
+            "or inside an expression) — ES|QL's own rule"
+        )
+    am = _KNN_ARGS.match(term[m.end(): len(term) - 1])
+    if not am:
+        raise EsqlError(
+            "KNN needs (field, [v1, v2, ...], k) with a literal vector "
+            f"and integer k: {term!r}"
+        )
+    field, vec_txt, k = am.group(1), am.group(2), int(am.group(3))
+    if field not in df.columns:
+        raise EsqlError(f"KNN field {field!r} not in the frame")
+    if k <= 0:
+        raise EsqlError(f"KNN k must be positive: {k}")
+    try:
+        qv = [float(v) for v in vec_txt.split(",") if v.strip()]
+    except ValueError:
+        raise EsqlError(f"KNN vector must be numeric literals: [{vec_txt}]")
+    if not qv:
+        raise EsqlError("KNN vector must not be empty")
+    for p in rest:
+        if p.strip():
+            df = df.filter(_where_pred(p.strip()))
+    score = cosine_similarity(
+        F.col(field).cast("array<double>"), F.lit(qv)
+    )
+    # a stored vector whose width differs from the query would NULL out
+    # the similarity and quietly fall out of the top-k — raise instead
+    # (NULL vectors are skipped like ES knn skips docs missing the field)
+    score = F.when(F.size(F.col(field)) == len(qv), score).otherwise(
+        F.raise_error(
+            F.lit(
+                f"KNN: vector column {field!r} width does not match the "
+                f"{len(qv)}-d query vector"
+            )
+        )
+    )
+    df = df.filter(F.col(field).isNotNull())
+    tie = ["_id"] if "_id" in df.columns else [
+        c for c in df.columns if c != field
+    ]
+    out = df.withColumn("_score", score).orderBy(
+        F.col("_score").desc(), *[F.col(c) for c in tie]
+    )
+    return out.limit(k)
+
+
 def _fork_branches(body: str) -> list[str]:
     """FORK's top-level parenthesized branches -> their inner pipelines."""
     branches, depth, buf, q = [], 0, [], None
@@ -1480,7 +1576,10 @@ def _apply_stages(
             raise EsqlError(f"bad command: {stage!r}")
         cmd, body = cm.group(1).upper(), cm.group(2).strip()
         if cmd == "WHERE":
-            df = df.filter(_where_pred(body))
+            if re.search(r"\bKNN\s*\(", _blank_literals(body), flags=re.I):
+                df = _where_knn(df, body)
+            else:
+                df = df.filter(_where_pred(body))
         elif cmd == "EVAL":
             for item in _split_top(body):
                 name, expr = item.split("=", 1)

@@ -1022,3 +1022,56 @@ def test_spatial_funcs(spark):
         esql('FROM t | EVAL z = TO_GEOPOINT("LINESTRING(0 0, 1 1)")', tables={"t": df})
     with pytest.raises(EsqlError, match="two geo_point"):
         esql("FROM t | EVAL z = ST_DISTANCE(loc)", tables={"t": df})
+
+
+# ---------------------------------------------------------------- KNN
+
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [(i, "g" if i % 2 else "h", [float(i), float(10 - i)]) for i in range(10)]
+    return {"t": spark.createDataFrame(rows, "id int, grp string, emb array<double>")}
+
+
+def test_knn_where_topk_and_score(spark, vecs):
+    out = esql(
+        'FROM t | WHERE grp == "g" AND KNN(emb, [1.0, 0.0], 3)'
+        " | KEEP id, _score | SORT _score DESC, id",
+        tables=vecs,
+    ).collect()
+    assert [r["id"] for r in out] == [9, 7, 5]
+    assert out[0]["_score"] == pytest.approx(9 / (81 + 1) ** 0.5)
+    # parenthesized conjunct with an inner AND survives the split
+    out2 = esql(
+        "FROM t | WHERE (id > 1 AND id < 9) AND KNN(emb, [1.0, 0.0], 2) | KEEP id",
+        tables=vecs,
+    ).collect()
+    assert sorted(r["id"] for r in out2) == [7, 8]
+
+
+def test_knn_where_error_contract(spark, vecs):
+    for bad, msg in [
+        ("FROM t | WHERE KNN(emb, [1.0, 0.0], 2) OR id > 1", "top-level"),
+        ("FROM t | WHERE NOT KNN(emb, [1.0, 0.0], 2)", "top-level"),
+        ("FROM t | WHERE KNN(emb, [1.0, 2.0], 0)", "positive"),
+        ("FROM t | WHERE KNN(nope, [1.0], 2)", "not in the frame"),
+        ("FROM t | WHERE KNN(emb, [1.0, 0.0], 2) AND KNN(emb, [0.0, 1.0], 2)",
+         "exactly one"),
+        ("FROM t | WHERE KNN(emb, [], 2)", "not be empty"),
+    ]:
+        with pytest.raises(EsqlError, match=msg):
+            esql(bad, tables=vecs)
+    # width mismatch raises at runtime, never a silent NULL drop
+    with pytest.raises(Exception, match="width does not match"):
+        esql("FROM t | WHERE KNN(emb, [1.0], 2)", tables=vecs).collect()
+
+
+def test_knn_skips_null_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5, 0.5])],
+        "id int, emb array<double>",
+    )
+    out = esql(
+        "FROM t | WHERE KNN(emb, [1.0, 0.0], 5) | KEEP id", tables={"t": df}
+    ).collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
