@@ -803,6 +803,17 @@ def compile_aggs(
                     "date_histogram bucket (no composite paging)"
                 )
             size, after = composite
+            if after and comp_null_orders:
+                # the lexicographic cursor NULL-compares a null key —
+                # the null bucket would silently vanish from (or empty
+                # out) later pages.  Typed refusal over silent wrongness;
+                # page such sources without missing_bucket or with a
+                # size that covers the whole key set.
+                raise AggsDslError(
+                    "composite: after-cursor paging over missing_bucket "
+                    "sources is not supported (null keys break the "
+                    "lexicographic cursor)"
+                )
             if after:
                 out = out.filter(_after_key_gt(key_names, after))
             sort_cols = [

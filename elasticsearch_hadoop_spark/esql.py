@@ -1458,19 +1458,17 @@ def _where_knn(df: DataFrame, body: str) -> DataFrame:
     wanted explicitly."""
     from elasticsearch_hadoop_spark.functions.similarity import cosine_similarity
 
-    # split the ORIGINAL text at the blanked text's TOP-LEVEL AND spans
-    # (same offsets — _blank_literals is length-preserving; parenthesized
-    # groups stay whole)
-    blanked = _blank_literals(body)
-    parts, last = [], 0
-    for am_ in re.finditer(r"\bAND\b", blanked, flags=re.I):
-        depth = blanked.count("(", 0, am_.start()) - blanked.count(
-            ")", 0, am_.start()
+    # ES|QL precedence: OR binds looser than AND.  A top-level OR whose
+    # branch contains KNN means KNN sits under the OR ("a OR b AND
+    # KNN(...)" parses as a OR (b AND KNN)) — rejected, per the rule.
+    ors = _split_bool_top(body, "OR")
+    if len(ors) > 1:
+        raise EsqlError(
+            "KNN must be a top-level WHERE conjunct (not under OR/NOT "
+            "or inside an expression) — ES|QL's own rule"
         )
-        if depth == 0:
-            parts.append(body[last: am_.start()])
-            last = am_.end()
-    parts.append(body[last:])
+    # BETWEEN-aware top-level AND split (shared with _where_pred)
+    parts = _split_bool_top(body, "AND")
     knn_terms = [p for p in parts if re.search(r"\bKNN\s*\(", _blank_literals(p), re.I)]
     rest = [p for p in parts if p not in knn_terms]
     if len(knn_terms) != 1:
@@ -1493,8 +1491,11 @@ def _where_knn(df: DataFrame, body: str) -> DataFrame:
         raise EsqlError(f"KNN field {field!r} not in the frame")
     if k <= 0:
         raise EsqlError(f"KNN k must be positive: {k}")
+    vals = [v.strip() for v in vec_txt.split(",")]
+    if vals and vals[-1] == "":
+        vals = vals[:-1]  # tolerate one trailing comma
     try:
-        qv = [float(v) for v in vec_txt.split(",") if v.strip()]
+        qv = [float(v) for v in vals]  # interior empties raise here
     except ValueError:
         raise EsqlError(f"KNN vector must be numeric literals: [{vec_txt}]")
     if not qv:
@@ -1517,8 +1518,15 @@ def _where_knn(df: DataFrame, body: str) -> DataFrame:
         )
     )
     df = df.filter(F.col(field).isNotNull())
+    from pyspark.sql.types import MapType
+
+    # tie-break columns must be orderable: maps aren't sortable, the
+    # vector column and any pre-existing _score are pointless to compare
     tie = ["_id"] if "_id" in df.columns else [
-        c for c in df.columns if c != field
+        f.name
+        for f in df.schema.fields
+        if f.name not in (field, "_score")
+        and not isinstance(f.dataType, MapType)
     ]
     out = df.withColumn("_score", score).orderBy(
         F.col("_score").desc(), *[F.col(c) for c in tie]

@@ -1027,3 +1027,16 @@ def test_composite_missing_bucket_semantics(spark):
     with pytest.raises(AggsDslError, match="missing_order"):
         run({"terms": {"field": "k", "missing_bucket": True,
                        "missing_order": "middle"}})
+
+
+def test_composite_after_with_missing_bucket_refused(spark):
+    """Review r8-3: the lexicographic after-cursor NULL-compares a null
+    key — typed refusal instead of silently unreachable null buckets."""
+    from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+
+    df = spark.createDataFrame([("a", 1.0), (None, 2.0)], "k string, v double")
+    with pytest.raises(AggsDslError, match="missing_bucket"):
+        compile_aggs(df, {"aggs": {"c": {"composite": {
+            "size": 2, "after": {"k": "a"},
+            "sources": [{"k": {"terms": {"field": "k", "missing_bucket": True}}}],
+        }}}})

@@ -1075,3 +1075,36 @@ def test_knn_skips_null_vectors(spark):
         "FROM t | WHERE KNN(emb, [1.0, 0.0], 5) | KEEP id", tables={"t": df}
     ).collect()
     assert sorted(r["id"] for r in out) == [1, 3]
+
+
+def test_knn_precedence_and_between(spark, vecs):
+    """Review r8-3: OR binds looser than AND, so an unparenthesized
+    'a OR b AND KNN' puts KNN under the OR and must raise; BETWEEN's AND
+    must not be mistaken for a conjunction boundary."""
+    with pytest.raises(EsqlError, match="top-level"):
+        esql(
+            'FROM t | WHERE id == 0 OR grp == "g" AND KNN(emb, [1.0, 0.0], 3)',
+            tables=vecs,
+        )
+    out = esql(
+        "FROM t | WHERE id BETWEEN 2 AND 8 AND KNN(emb, [1.0, 0.0], 2) | KEEP id",
+        tables=vecs,
+    ).collect()
+    assert sorted(r["id"] for r in out) == [7, 8]
+    # interior empty vector slots raise; a single trailing comma is fine
+    with pytest.raises(EsqlError, match="numeric literals"):
+        esql("FROM t | WHERE KNN(emb, [1.0, , 0.0], 3)", tables=vecs)
+    assert esql(
+        "FROM t | WHERE KNN(emb, [1.0, 0.0,], 2) | KEEP id", tables=vecs
+    ).count() == 2
+
+
+def test_knn_tiebreak_skips_map_columns(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], {"a": 1.0}), (2, [0.9, 0.1], {"b": 2.0})],
+        "id int, emb array<double>, props map<string,double>",
+    )
+    out = esql(
+        "FROM t | WHERE KNN(emb, [1.0, 0.0], 1) | KEEP id", tables={"t": df}
+    ).collect()
+    assert [r["id"] for r in out] == [1]
