@@ -473,14 +473,16 @@ class Catalog:
         target = self.path(name)
         existed = self.exists(name)
         prior_meta = self._read_meta(name) if existed else {}
-        if existed:
-            # belt: the commit layer re-checks, but failing before the
-            # ingest pipeline / sort work is the better error surface
-            self._assert_not_follower(name, prior_meta)
         if existed and mode == "error":
             raise IndexExistsError(name)
         if existed and mode == "ignore":
             return
+        if existed:
+            # belt: the commit layer re-checks, but failing before the
+            # ingest pipeline / sort work is the better error surface.
+            # AFTER the mode=="ignore" return — SaveMode.Ignore against a
+            # CCR follower is the documented no-op, not an error (r8 advice)
+            self._assert_not_follower(name, prior_meta)
 
         # index templates (ES _index_template): a NEW index resolves the
         # highest-priority matching template at creation and PERSISTS the
@@ -810,9 +812,14 @@ class Catalog:
         # preserve dynamic-routing Hive layout, like compact_index
         partition_cols = ["_index"] if meta.get("index_pattern") else []
         self._writer(out, partition_cols, None).parquet(self.path(target))
-        # ES copies index settings (minus shard count) to the target
+        # ES copies index settings (minus shard count) to the target —
+        # but NOT follower identity: a resize target is a plain index, so
+        # the ccr_* keys are stripped (copying them would mint a target
+        # that refuses all writes and that ccr_poll tries to sync over
+        # non-transactional parquet; ES likewise requires unfollow before
+        # resizing a follower)
         if meta:
-            tmeta = dict(meta)
+            tmeta = {k: v for k, v in meta.items() if not k.startswith("ccr_")}
             tmeta["resized_from"] = src
             self._write_meta(target, tmeta)
         return {
@@ -849,7 +856,11 @@ class Catalog:
         shutil.copytree(self.path(src), self.path(target))
         meta = self._read_meta(src)
         if meta:
-            self._write_meta(target, meta)
+            # same follower-identity strip as _resize_index: the clone is a
+            # plain index (ES: unfollow before clone), not a second follower
+            self._write_meta(
+                target, {k: v for k, v in meta.items() if not k.startswith("ccr_")}
+            )
         shards = self._data_file_count(src)
         return {
             "source": src,
@@ -1843,6 +1854,147 @@ class Catalog:
             view = re.sub(r"[^A-Za-z0-9_]", "_", n)
             self.read_index(n).createOrReplaceTempView(view)
         return self.spark.sql(sql)
+
+    @staticmethod
+    def _sql_order_fields(sql: str) -> list[tuple[str, bool]]:
+        """Parse the statement's top-level ``ORDER BY`` into
+        ``[(column, ascending)]`` — the keyset a SQL cursor pages on.
+        Depth-0 scan only (an ORDER BY inside a subquery doesn't order
+        the result set); string literals are blanked first so quoted
+        content can't fake tokens.  LIMIT/OFFSET at the top level are
+        rejected: ``fetch_size`` owns the page size."""
+        blanked = re.sub(r"'[^']*'", lambda m: " " * len(m.group(0)), sql)
+        depth, pos, limited = 0, -1, False
+        for m in re.finditer(
+            r"\(|\)|\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b", blanked, flags=re.I
+        ):
+            t = m.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                if t.upper() in ("LIMIT", "OFFSET"):
+                    limited = True
+                else:
+                    pos = m.end()
+        if limited:
+            raise ValueError(
+                "cursor paging owns the page size — remove the top-level "
+                "LIMIT/OFFSET and use fetch_size"
+            )
+        if pos < 0:
+            raise ValueError(
+                "cursor paging needs a top-level ORDER BY ending in a "
+                "unique key (the ES SQL fetch_size contract: without a "
+                "total order, page boundaries are undefined)"
+            )
+        fields: list[tuple[str, bool]] = []
+        for item in sql[pos:].split(","):
+            im = re.match(
+                r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s*(ASC|DESC)?\s*$", item, flags=re.I
+            )
+            if not im:
+                raise ValueError(
+                    f"cursor paging needs plain `col [ASC|DESC]` sort items "
+                    f"(the keyset must be re-filterable), got {item.strip()!r}"
+                )
+            fields.append((im.group(1), (im.group(2) or "ASC").upper() != "DESC"))
+        return fields
+
+    def sql_page(
+        self,
+        sql: str | None = None,
+        *,
+        fetch_size: int = 1000,
+        cursor: str | None = None,
+        pattern: str = "*",
+    ) -> dict:
+        """ES SQL cursor paging: ``POST /_sql {"query":..., "fetch_size":N}``
+        then ``POST /_sql {"cursor": ...}`` continuations.  Returns
+        ``{"columns": [{name, type}], "rows": [[...]], "cursor": id|None}``
+        — ``cursor`` is None once the result set is exhausted (ES stops
+        returning one).
+
+        Where ES keeps a server-side scroll context per cursor, this
+        engine's cursor is STATELESS: an opaque token encoding the
+        statement, the ORDER BY keyset, and the last row's key values.
+        Each page re-plans as keyset filter + TakeOrderedAndProject — the
+        deep-pagination shape that stays O(page) at 100 TB, where ES's own
+        cursor degrades to context memory and OFFSET would re-sort the
+        prefix.  Consequences, both documented: the statement needs a
+        top-level ORDER BY ending in a unique key whose columns appear in
+        the projection, and pages see live data (pin a PIT /
+        read_index_version first for frozen paging — the same advice ES
+        gives for search_after without a PIT).
+
+        Cursor key values round-trip through JSON: keep keyset columns to
+        long/int/string/double/bool (dates serialize as strings and come
+        back as string literals — Spark's implicit cast compares them
+        correctly against timestamp columns, but prefer epoch numbers in
+        the keyset)."""
+        import base64
+
+        if cursor is not None:
+            if sql is not None:
+                raise ValueError("pass either sql or cursor, not both")
+            state = json.loads(base64.b64decode(cursor))
+            sql, pattern = state["sql"], state["pattern"]
+            fetch_size = state["fetch_size"]
+            fields = [(f, bool(a)) for f, a in state["fields"]]
+            after = state["after"]
+        else:
+            if sql is None:
+                raise ValueError("sql_page needs a statement or a cursor")
+            fields = self._sql_order_fields(sql)
+            after = None
+        fetch_size = int(fetch_size)
+        if fetch_size <= 0:
+            raise ValueError(f"fetch_size must be positive, got {fetch_size}")
+        df = self.sql_query(sql, pattern)
+        missing = [f for f, _ in fields if f not in df.columns]
+        if missing:
+            raise ValueError(
+                f"cursor keyset columns {missing} must appear in the "
+                "statement's projection (the next-page filter needs them)"
+            )
+        from elasticsearch_hadoop_spark.search import lexicographic_after
+
+        page = df
+        if after is not None:
+            page = page.filter(lexicographic_after(fields, after))
+        order = [F.col(f).asc() if asc else F.col(f).desc() for f, asc in fields]
+        rows = page.orderBy(*order).limit(fetch_size).collect()
+        next_cursor = None
+        if len(rows) == fetch_size:
+            state = {
+                "sql": sql,
+                "pattern": pattern,
+                "fetch_size": fetch_size,
+                "fields": [[f, asc] for f, asc in fields],
+                "after": [rows[-1][f] for f, _ in fields],
+            }
+            next_cursor = base64.b64encode(
+                json.dumps(state, default=str).encode()
+            ).decode()
+        return {
+            "columns": [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in df.schema.fields
+            ],
+            "rows": [list(r) for r in rows],
+            "cursor": next_cursor,
+        }
+
+    def sql_close_cursor(self, cursor: str) -> dict:
+        """ES ``POST /_sql/close``.  Cursors here are stateless tokens —
+        there is no server context to free — so close only validates the
+        token and reports success (API parity for callers that always
+        close)."""
+        import base64
+
+        json.loads(base64.b64decode(cursor))  # raises on a malformed token
+        return {"succeeded": True}
 
     def read_index_stream(
         self, name: str, query: str | dict | None = None, schema=None

@@ -37,79 +37,27 @@ def query(name: str, oracle: str | None = None):
 
 
 # The correctness driver grades a bounded prefix of the registration order
-# (the first 50 queries, observed every round).  After round 7 every
-# registered query holds a banked GREEN verdict, so the graded window is
-# pure upside: never-graded new surface first, then drift-insurance
-# re-grades of the OLDEST banked verdicts.  Round-8 policy (VERDICT.md
-# round-7 "What's missing" items 1-2):
-#   * slots 1-4: the 4 round-7-built surfaces held in
-#     corpus/round8_pending.py through the round-7 freeze (circle-ingest +
-#     geotile grid, PIT + search_after paging over the manifest log,
-#     geohash decode, ES|QL colon match operator) — oracle parity proven
-#     at sf0.001 AND sf0.01 in tests/test_round8_pending.py;
-#   * next: any round-8 NET-NEW surfaces (never graded — each takes a
-#     slot from the re-grade tail below);
-#   * then ALL 35 r2-era banked greens — the verdicts VERDICT r7 item 2
-#     flags as 5 rounds stale while query_dsl/esql/aggs_dsl were
-#     rewritten underneath them;
-#   * the remaining slots: r3-era greens, bench anchors and
-#     rewritten-library families first.
+# (the first 50 queries, observed every round).  Every registered query
+# holds a banked GREEN verdict, so the graded window is pure upside:
+# never-graded new surface first, then drift-insurance re-grades of the
+# OLDEST banked verdicts.  Round-9 policy (VERDICT.md round-8 "Next
+# round" items 1/4/5):
+#   * slots 1-3: the round-9 net-new surfaces (ES SQL cursor paging,
+#     _mvt with_labels, _mvt sub-agg sort) — never graded;
+#   * slots 4-18: the 15 r2-era banked greens the round-8 net-new surface
+#     displaced (VERDICT r8 "What's missing" #1 — 7 rounds stale while
+#     query_dsl/esql/aggs_dsl were rewritten underneath them);
+#   * the remaining 32 slots: the oldest r3-era greens, rewritten-library
+#     families (query_dsl, fn_*, write path, similarity, streaming) and
+#     bench anchors first.  The r3 names past slot 50 stay ordered here
+#     so round 10's window picks up exactly where this one stops.
 PRIORITY: tuple[str, ...] = (
-    # round-8 registrations (never graded) lead
-    "ingest_circle_geogrid",
-    "writepath_pit_search_after",
-    "ingest_geohash_decode",
-    "esql_match_colon",
-    # round-8 net-new surfaces get inserted here as they land (each
-    # displaces one r3-era fill slot at the tail, then an r2-era slot)
-    "query_dsl_geo_grid",
-    "esql_lookup_join_multikey",
-    "writepath_shrink_split",
-    "writepath_field_caps_query",
-    "similarity_hamming_bit",
-    "aggs_geo_distance_rings",
-    "ingest_attachment",
-    "esql_enrich_stats",
-    "esql_mv_expand_tokens",
-    "aggs_missing_bucket",
-    "esql_change_point",
-    "esql_fuse_rrf",
-    "esql_fuse_linear_minmax",
-    "writepath_index_sorted_scan",
-    "aggs_geotile_children",
-    "esql_ts_rate",
-    "esql_ts_over_time",
-    "esql_fn_hash_ip",
-    "aggs_random_sampler",
-    "eql_sequence_until",
-    "writepath_ccr_follow",
-    "esql_st_distance",
-    "search_mvt_hits",
-    "search_mvt_grid",
-    "aggs_composite_missing",
-    "esql_knn_where",
-    # the 35 r2-era drift re-grades (exact list computed from
-    # CORRECTNESS_r0{1..7}.json latest-verdict rounds)
-    "agg_approx_distinct",
-    "agg_collect_set",
-    "agg_filtered_case",
-    "agg_grouping_sets",
-    "agg_percentile_approx",
-    "agg_stats",
-    "dedup_embedding_cosine",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "fn_array",
-    "geo_distance_search",
-    "join_cross",
-    "join_full_outer",
-    "join_range_bucketed",
-    "join_semi_anti",
-    "join_theta",
-    "lateral_posexplode",
-    "multimodal_resize",
-    "order_nulls_explicit",
-    "pivot_returnflag",
+    # round-9 net-new (never graded) lead
+    "writepath_es_sql_cursor",
+    "search_mvt_labels",
+    "search_mvt_sorted",
+    # the 15 r2-era drift re-grades (latest verdict round 2 — computed
+    # from CORRECTNESS_r0{1..8}.json)
     "pushdown_string_predicates",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
@@ -125,19 +73,60 @@ PRIORITY: tuple[str, ...] = (
     "udf_pandas_scalar",
     "udtf_bigrams",
     "window_ranking",
-    # r3-era fill: bench anchors + families whose library was rewritten
-    # since r3 (query_dsl, fn_*, write path, similarity)
-    "aggs_composite_page",
-    "writepath_sink_upsert",
-    "writepath_esdocs_roundtrip",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "sample_train_test_split",
-    "stream_tumbling_window",
+    # r3-era re-grades (latest verdict round 3), rewritten-library
+    # families and bench anchors first; 32 fit the round-9 window
     "query_dsl_match",
+    "query_dsl_match_and_phrase",
+    "query_dsl_nested",
+    "query_dsl_uri",
+    "query_dsl_wildcard_prefix",
     "fn_math",
     "fn_string",
     "fn_date",
+    "writepath_sink_upsert",
+    "writepath_esdocs_roundtrip",
+    "writepath_json_ingest",
+    "writepath_dynamic_routing",
+    "writepath_reindex_alias",
+    "writepath_delete_update_by_query",
+    "writepath_stream_sink",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "aggs_composite_page",
+    "aggs_pipeline_derivative",
+    "aggs_rare_terms",
+    "aggs_significant_terms",
+    "sample_train_test_split",
+    "sample_stratified",
+    "sample_topn_per_stratum",
+    "stream_tumbling_window",
+    "stream_event_rates",
+    "stream_live_tumbling",
+    "subq_exists_priority",
+    "subq_in_big_orders",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    # --- round-9 window boundary (slot 50) — the tail below is the
+    # ordered round-10 re-grade queue (remaining r3-era names)
+    "q9_product_profit",
+    "q11_important_suppliers",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "geo_polygon_search",
+    "subq_not_in_inactive",
+    "subq_scalar_uncorrelated",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_tokenize",
+    "udaf_weighted_avg",
+    "udf_grouped_zscore",
+    "window_lag_lead",
+    "window_running_frames",
+    "multimodal_features",
 )
 
 
@@ -160,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
         round7_pending,
         round8_new,
         round8_pending,
+        round9_new,
         sampling,
         scalar_functions,
         search_surface,

@@ -1,0 +1,187 @@
+"""Round-9 net-new graded surface: ES SQL cursor paging (`POST /_sql`
+fetch_size/cursor continuations over catalog.sql_page) and the two `_mvt`
+endpoint options the round-8 tile layers documented as open —
+``with_labels`` (cell label positions) and sort-by-sub-agg cell ordering.
+
+Same contract as every corpus module: the Spark query and the DuckDB
+oracle sit side by side with identical aliases and rounding, so the
+driver's column-sorted value hash compares them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import tbl
+from elasticsearch_hadoop_spark.corpus.round8_new import _MERC, _PTS_SQL
+
+
+@query(
+    "writepath_es_sql_cursor",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total,
+       CAST(ceil(rn / 40.0) AS BIGINT) AS page
+FROM ranked
+WHERE rn <= 120
+ORDER BY rn
+""",
+)
+def writepath_es_sql_cursor(spark, sf_dir):
+    """ES SQL cursor paging (``POST /_sql {"query", "fetch_size"}`` then
+    ``{"cursor"}`` continuations — catalog.sql_page): write orders into a
+    managed index, page the statement three 40-row pages through opaque
+    cursors, and rebuild the union.  The cursor is stateless — statement
+    + ORDER BY keyset + last key values — so each page plans as keyset
+    filter + TakeOrderedAndProject (O(page) at any corpus size, where
+    OFFSET paging re-sorts the prefix); a broken lexicographic-after
+    predicate, a dropped boundary row, or an order-unstable page flips
+    the hash.  Pages are the bounded driver fetch (40 rows each), like
+    every paging query in the corpus."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+
+    root = _workdir(sf_dir, "es_sql_cursor")
+    cat = Catalog(spark, root)
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.write_index(orders, "ord", mode="overwrite")
+
+    stmt = (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM ord "
+        "ORDER BY o_totalprice DESC, o_orderkey"
+    )
+    pages: list[list] = []
+    resp = cat.sql_page(stmt, fetch_size=40)
+    pages.append(resp["rows"])
+    for _ in range(2):
+        assert resp["cursor"] is not None
+        resp = cat.sql_page(cursor=resp["cursor"])
+        pages.append(resp["rows"])
+    cat.sql_close_cursor(resp["cursor"]) if resp["cursor"] else None
+    rows = [
+        tuple(r) + (page_no,)
+        for page_no, page in enumerate(pages, start=1)
+        for r in page
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double, page long",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        "page",
+    ).orderBy(F.col("total").desc(), "o_orderkey")
+
+
+# Web-Mercator label projection for tile z=1,x=1,y=0 over the per-cell
+# centroid (clat/clon) — the same fraction/floor text as the hits layer,
+# applied to the aggregated centroid.  The centroid itself is EXACT:
+# glat/glon are halves (binary-exact), so their sums are order-independent
+# and avg is one deterministic division.
+_CMERC = _MERC.replace("glat", "clat")
+_LBL_FX = "((clon + 180.0) / 360.0 * 2 - 1)"
+_LBL_FY = f"((1.0 - {_CMERC} / pi()) / 2.0 * 2 - 0)"
+_GTX1 = "CAST(least(floor((glon + 180.0) / 360.0 * 2), 1) AS BIGINT)"
+_GTY1 = f"CAST(greatest(least(floor((1.0 - {_MERC} / pi()) / 2.0 * 2), 1), 0) AS BIGINT)"
+_GTX4 = "CAST(least(floor((glon + 180.0) / 360.0 * 16), 15) AS BIGINT)"
+_GTY4 = f"CAST(greatest(least(floor((1.0 - {_MERC} / pi()) / 2.0 * 16), 15), 0) AS BIGINT)"
+
+
+@query(
+    "search_mvt_labels",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}
+), f AS (
+  SELECT c_custkey, glat, glon,
+         {_GTX1} AS gx, {_GTY1} AS gy, {_GTX4} AS gx4, {_GTY4} AS gy4
+  FROM pts
+), cells AS (
+  SELECT '4/' || CAST(gx4 AS VARCHAR) || '/' || CAST(gy4 AS VARCHAR) AS cell,
+         glat, glon
+  FROM f
+  WHERE gx = 1 AND gy = 0
+), c AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS doc_count,
+         avg(glat) AS clat, avg(glon) AS clon
+  FROM cells GROUP BY cell
+)
+SELECT cell, doc_count,
+       CAST(greatest(least(floor({_LBL_FX} * 4096), 4095), 0) AS BIGINT) AS label_x,
+       CAST(greatest(least(floor({_LBL_FY} * 4096), 4095), 0) AS BIGINT) AS label_y
+FROM c
+ORDER BY cell
+""",
+)
+def search_mvt_labels(spark, sf_dir):
+    """ES ``_mvt`` ``with_labels`` (8.15+, mvt.mvt_grid): each grid cell
+    of tile 1/1/0 carries its label POSITION — the cell centroid
+    projected to tile-local integer pixels with the hits layer's exact
+    clamp/floor math — so a map client places cell labels without
+    re-projecting.  The label projection is a codegen post-projection
+    over the aggregated centroid: no second pass, no extra shuffle.  The
+    oracle replays centroid -> Mercator -> pixel with the same IEEE
+    expression text (the centroid is exact — see the _CMERC note)."""
+    from elasticsearch_hadoop_spark.corpus.round8_new import _cust_points
+    from elasticsearch_hadoop_spark.mvt import mvt_grid
+
+    c = _cust_points(spark, sf_dir)
+    out = mvt_grid(c, "location", 1, 1, 0, grid_precision=3, with_labels=True)
+    return out.select("cell", "doc_count", "label_x", "label_y").orderBy("cell")
+
+
+@query(
+    "search_mvt_sorted",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}
+), f AS (
+  SELECT p.c_custkey, c.c_acctbal, glat, glon,
+         {_GTX1} AS gx, {_GTY1} AS gy, {_GTX4} AS gx4, {_GTY4} AS gy4
+  FROM pts p JOIN customer c USING (c_custkey)
+), cells AS (
+  SELECT '4/' || CAST(gx4 AS VARCHAR) || '/' || CAST(gy4 AS VARCHAR) AS cell,
+         c_acctbal
+  FROM f
+  WHERE gx = 1 AND gy = 0
+), agg AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS doc_count,
+         sum(c_acctbal) AS bal_raw
+  FROM cells GROUP BY cell
+)
+SELECT cell, doc_count, round(bal_raw, 2) AS bal_sum
+FROM agg
+ORDER BY bal_raw DESC, cell
+LIMIT 5
+""",
+)
+def search_mvt_sorted(spark, sf_dir):
+    """ES ``_mvt`` sub-aggs + cell ordering (mvt.mvt_grid aggs/sort_by/
+    size): the 5 heaviest cells of tile 1/1/0 by a per-cell metric
+    sub-agg (sum of account balance), compiled through the SAME aggs_dsl
+    metric compiler as the standalone geotile_grid agg.  The cut is a
+    TakeOrderedAndProject over the aggregated cells — never a global
+    sort — and the sub-agg adds no extra pass over the rows.  Cell-key
+    tie-break keeps the cut deterministic."""
+    from elasticsearch_hadoop_spark.corpus.round8_new import _cust_points
+    from elasticsearch_hadoop_spark.mvt import mvt_grid
+
+    c = _cust_points(spark, sf_dir).join(
+        tbl(spark, sf_dir, "customer").select("c_custkey", "c_acctbal"),
+        "c_custkey",
+    )
+    out = mvt_grid(
+        c, "location", 1, 1, 0, grid_precision=3,
+        aggs={"bal_sum": {"sum": {"field": "c_acctbal"}}},
+        sort_by="bal_sum", size=5,
+    )
+    return out.select(
+        "cell", "doc_count", F.round("bal_sum", 2).alias("bal_sum")
+    )

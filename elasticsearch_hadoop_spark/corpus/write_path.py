@@ -432,8 +432,8 @@ def writepath_time_travel(spark, sf_dir):
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
        l_extendedprice
 FROM lineitem
-WHERE l_partkey <= (SELECT max(l_partkey) / 10.0 FROM lineitem)
-  AND l_suppkey <= (SELECT max(l_suppkey) / 2.0 FROM lineitem)
+WHERE l_partkey <= (SELECT max(l_partkey) // 10 FROM lineitem)
+  AND l_suppkey <= (SELECT max(l_suppkey) // 2 FROM lineitem)
 ORDER BY l_orderkey, l_linenumber
 """,
 )
@@ -445,7 +445,12 @@ def writepath_zorder_read(spark, sf_dir):
     the source rows (a lossy interleave/merge would drop or duplicate);
     the file-skipping benefit itself is plan-pinned in tests/test_zorder.py.
     Thresholds derive from max() on BOTH sides so the filter stays
-    non-vacuous at every fixture scale."""
+    non-vacuous at every fixture scale.  They are FLOORED TO INTS so the
+    comparison stays long-vs-long: a ``long <= double-literal`` predicate
+    pushes only IsNotNull to the parquet scan (r8 verdict finding #2),
+    which would defeat the row-group skipping this query exists to grade.
+    Flooring preserves the row set exactly (both columns are positive
+    integers, so x <= m/10.0 iff x <= floor(m/10))."""
     root = _workdir(sf_dir, "zorder")
     cat = Catalog(spark, root)
     cols = [
@@ -461,8 +466,8 @@ def writepath_zorder_read(spark, sf_dir):
     return (
         cat.read_index("li")
         .filter(
-            (F.col("l_partkey") <= bounds["p"] / 10.0)
-            & (F.col("l_suppkey") <= bounds["s"] / 2.0)
+            (F.col("l_partkey") <= int(bounds["p"] // 10))
+            & (F.col("l_suppkey") <= int(bounds["s"] // 2))
         )
         .select(*cols)
         .orderBy("l_orderkey", "l_linenumber")

@@ -66,7 +66,7 @@ Supported commands (the documented core; anything else raises):
   resolves identically but arms the next STATS to accept time-series
   aggregation functions, each wrapped in an outer aggregate (ES's
   rule): ``STATS max(rate(counter)), avg(avg_over_time(gauge)) BY
-  host, tb = BUCKET(@timestamp, 1 hour)``.  The inner function runs
+  host, tb = BUCKET(@timestamp, "1 hour")``.  The inner function runs
   once per time series (the ``dimensions`` tuple of the required
   ``time_series`` spec) per group; the outer aggregate combines series.
   rate / first/last/max/min/avg/sum/count/count_distinct ``_over_time``.
@@ -184,6 +184,10 @@ _AGGS = {
 
 _EXPR_OK = re.compile(r"^[\w\s.+\-*/%(),<>=!'\"|&:\[\]]+$")
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
+# TSDS column names start with '@' (the canonical `@timestamp`); they are
+# masked to placeholders resolving to backtick-quoted Spark identifiers so
+# the guarded character class never has to admit '@' or '`' as raw code
+_AT_IDENT = re.compile(r"@[A-Za-z_][A-Za-z0-9_.]*")
 _KEYWORDS = {
     "and", "or", "not", "is", "null", "true", "false", "like", "rlike",
     "in", "case", "when", "then", "else", "end", "as", "by", "asc",
@@ -708,6 +712,14 @@ def _translate_expr(e: str) -> str:
     if not e:
         raise EsqlError("empty expression")
     masked, lits = _mask_literals(e)
+    # `@`-prefixed identifiers (TSDS `@timestamp`) mask to placeholders
+    # that resolve back to backtick-quoted columns — before the float
+    # rewrite so a digit inside such a name can never be literal-suffixed
+    def _at_sub(m: re.Match) -> str:
+        lits.append("`" + m.group(0) + "`")
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = _AT_IDENT.sub(_at_sub, masked)
     # ES|QL float literals are DOUBLES; Spark SQL would parse `1024.0` as
     # DECIMAL(5,1) and plan `n / 1024.0` as decimal(28,6) — suffix with D
     # (string literals are already masked out, so only code is touched)
@@ -1418,7 +1430,15 @@ def _fuse(df: DataFrame, body: str) -> DataFrame:
     elif normalizer == "minmax":
         s = F.col("_score").cast("double")
         lo, hi = F.min(s).over(w), F.max(s).over(w)
-        contrib = F.when(hi > lo, (s - lo) / (hi - lo)).otherwise(F.lit(1.0))
+        # NULL scores contribute nothing (the none-normalizer and rrf
+        # branches already skip them via sum-ignores-NULL); without the
+        # isNotNull gate an all-NULL branch (hi > lo evaluates NULL) or a
+        # NULL row in a constant-score branch would fall into the
+        # otherwise(1.0) and hand every unscored row full weight (r8 advice)
+        contrib = F.when(
+            s.isNotNull(),
+            F.when(hi > lo, (s - lo) / (hi - lo)).otherwise(F.lit(1.0)),
+        )
     else:
         contrib = F.col("_score").cast("double")
     others = [c for c in df.columns if c not in (*keys, "_fork", "_score")]

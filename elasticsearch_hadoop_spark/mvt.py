@@ -63,20 +63,31 @@ def _member(field: str, z: int, x: int, y: int) -> Column:
     return (gx == x) & (gy == y)
 
 
-def _fractions(field: str, z: int, x: int, y: int) -> tuple[Column, Column]:
-    """Tile-local (fx, fy) for a struct(lat, lon) geo_point — the
-    Web-Mercator forward projection shifted to the tile origin.  May
-    stray marginally outside [0, 1) for members clamped in from the
-    world edge; consumers clamp the derived integer coordinate."""
+def _fractions_cols(
+    lat: Column, lon: Column, z: int, x: int, y: int
+) -> tuple[Column, Column]:
+    """Tile-local (fx, fy) for lat/lon Columns — the Web-Mercator forward
+    projection shifted to the tile origin.  May stray marginally outside
+    [0, 1) for members clamped in from the world edge; consumers clamp
+    the derived integer coordinate."""
     n = float(1 << z)
-    lat = F.col(f"{field}.lat")
-    lon = F.col(f"{field}.lon")
     lat = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), lat))
     rad = F.radians(lat)
     merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
     fx = (lon + 180.0) / 360.0 * n - float(x)
     fy = (F.lit(1.0) - merc / F.lit(math.pi)) / 2.0 * n - float(y)
     return fx, fy
+
+
+def _fractions(field: str, z: int, x: int, y: int) -> tuple[Column, Column]:
+    return _fractions_cols(F.col(f"{field}.lat"), F.col(f"{field}.lon"), z, x, y)
+
+
+def _pixel(frac: Column, extent: int) -> Column:
+    """Fraction -> tile-local integer pixel, clamped to [0, extent)."""
+    return F.greatest(
+        F.least(F.floor(frac * extent), F.lit(extent - 1)), F.lit(0)
+    ).cast("long")
 
 
 def mvt_hits(
@@ -100,14 +111,8 @@ def mvt_hits(
         raise MvtError(f"extent must be positive: {extent}")
     fx, fy = _fractions(field, z, x, y)
     keep = fields if fields is not None else [c for c in df.columns if c != field]
-    px = F.greatest(
-        F.least(F.floor(fx * extent), F.lit(extent - 1)), F.lit(0)
-    ).cast("long")
-    py = F.greatest(
-        F.least(F.floor(fy * extent), F.lit(extent - 1)), F.lit(0)
-    ).cast("long")
     return df.filter(_member(field, z, x, y)).select(
-        *keep, px.alias("px"), py.alias("py")
+        *keep, _pixel(fx, extent).alias("px"), _pixel(fy, extent).alias("py")
     )
 
 
@@ -118,6 +123,11 @@ def mvt_grid(
     x: int,
     y: int,
     grid_precision: int = 8,
+    extent: int = 4096,
+    with_labels: bool = False,
+    aggs: dict[str, dict] | None = None,
+    sort_by: str | None = None,
+    size: int | None = None,
 ) -> DataFrame:
     """The ``aggs`` layer: geotile cells at zoom ``z + grid_precision``
     inside tile z/x/y, keyed "z/x/y" like the geotile_grid agg, with
@@ -125,10 +135,32 @@ def mvt_grid(
     default grid layer.  Cell indices come from the SAME shared
     geotile_cell_xy expression as the standalone agg, so a tile's
     sub-cells ARE that agg's buckets at zoom z+grid_precision.
-    grid_precision 0..8 (ES's own bound)."""
+    grid_precision 0..8 (ES's own bound).
+
+    ``aggs`` attaches per-cell METRIC sub-aggregations in the standard
+    aggs-DSL metric spelling (``{"max_v": {"max": {"field": "v"}}}``) —
+    ES's _mvt accepts exactly the metric subset in a tile body; they
+    compile through the same aggs_dsl metric compiler as the standalone
+    agg, so every cell value matches the geotile_grid rendering.
+
+    ``with_labels`` (ES 8.15's endpoint option) adds the label POSITION
+    for each cell — the centroid projected to tile-local integer pixels
+    (``label_x``/``label_y``, clamped to [0, extent)), the same pixel
+    math as the hits layer so a map client can place cell labels without
+    re-projecting.
+
+    ``sort_by`` orders cells by one of the aggregate columns DESCENDING
+    (``"_count"`` = doc_count, or a key from ``aggs``), cell-key
+    tie-break, and ``size`` keeps the top cells — the densest/heaviest
+    cells of the tile as a TakeOrderedAndProject, never a global sort.
+
+    Everything stays one hash aggregation + codegen projections: labels
+    and sort add no extra shuffle or pass over the data."""
     if not 0 <= grid_precision <= 8:
         raise MvtError(f"grid_precision {grid_precision} out of range 0..8")
     tile_envelope(z, x, y)
+    if extent <= 0:
+        raise MvtError(f"extent must be positive: {extent}")
     z2 = z + grid_precision
     if z2 > 29:
         raise MvtError(f"z + grid_precision = {z2} exceeds the zoom ceiling 29")
@@ -138,12 +170,38 @@ def mvt_grid(
     key = F.concat_ws(
         "/", F.lit(str(z2)), gx2.cast("string"), gy2.cast("string")
     )
-    return (
-        df.filter(_member(field, z, x, y))
-        .groupBy(key.alias("cell"))
-        .agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            F.avg(F.col(f"{field}.lat")).alias("centroid_lat"),
-            F.avg(F.col(f"{field}.lon")).alias("centroid_lon"),
+    agg_cols = [
+        F.count(F.lit(1)).alias("doc_count"),
+        F.avg(F.col(f"{field}.lat")).alias("centroid_lat"),
+        F.avg(F.col(f"{field}.lon")).alias("centroid_lon"),
+    ]
+    if aggs:
+        from elasticsearch_hadoop_spark.aggs_dsl import _metric
+
+        reserved = {"cell", "doc_count", "centroid_lat", "centroid_lon",
+                    "label_x", "label_y"}
+        for name, body in aggs.items():
+            if name in reserved:
+                raise MvtError(f"sub-agg name {name!r} collides with a grid column")
+            agg_cols.extend(_metric(name, body))
+    out = df.filter(_member(field, z, x, y)).groupBy(key.alias("cell")).agg(*agg_cols)
+    if with_labels:
+        lfx, lfy = _fractions_cols(
+            F.col("centroid_lat"), F.col("centroid_lon"), z, x, y
         )
-    )
+        out = out.withColumn("label_x", _pixel(lfx, extent)).withColumn(
+            "label_y", _pixel(lfy, extent)
+        )
+    if sort_by is not None:
+        col = "doc_count" if sort_by == "_count" else sort_by
+        if col not in out.columns:
+            raise MvtError(
+                f"sort_by {sort_by!r} is not an aggregate of this tile "
+                f"(have {sorted(out.columns)})"
+            )
+        out = out.orderBy(F.col(col).desc(), F.col("cell").asc())
+        if size is not None:
+            out = out.limit(int(size))
+    elif size is not None:
+        raise MvtError("size without sort_by would cut cells in arbitrary order")
+    return out

@@ -497,6 +497,19 @@ def hamming_topk(
                 )
             )
         )
+    else:
+        # same loudness on the on-the-fly path: a vector whose length
+        # differs from the query would pack to a different word count and
+        # F.slice-pad missing dims as 0-bits — plausible-but-wrong
+        # distances instead of an error (r8 advice)
+        dist = F.when(F.size(F.col(vec_col)) == dim, dist).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"hamming_topk: vector column {vec_col!r} length does not "
+                    f"match the {dim}-d query"
+                )
+            )
+        )
     scored = embeddings.select(
         F.col(id_col), F.col(vec_col), dist.alias("hamming")
     ).orderBy(F.col("hamming").asc(), F.col(id_col))

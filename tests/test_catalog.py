@@ -1174,3 +1174,69 @@ def test_ccr_poll_crash_safe_copy(spark, tmp_path):
     froot = txn.data_root(fcat.path("x"))
     assert not [d for d in os.listdir(froot) if ".tmp." in d]
     assert fcat.read_index("x").count() == 50
+
+
+# --------------------------------------------------------- ES SQL cursors
+
+
+def test_sql_page_three_page_roundtrip(spark, cat):
+    rows = [{"k": i, "grp": "g" + str(i % 3), "n": (i * 37) % 100} for i in range(25)]
+    cat.write_index(docs(spark, rows), "pag", id_col="k")
+    stmt = "SELECT k, grp, n FROM pag ORDER BY n DESC, k"
+    got, resp = [], cat.sql_page(stmt, fetch_size=10)
+    assert [c["name"] for c in resp["columns"]] == ["k", "grp", "n"]
+    while True:
+        got.extend(resp["rows"])
+        if resp["cursor"] is None:
+            break
+        resp = cat.sql_page(cursor=resp["cursor"])
+    exp = sorted(rows, key=lambda d: (-d["n"], d["k"]))
+    assert [(r[0], r[1], r[2]) for r in got] == [(d["k"], d["grp"], d["n"]) for d in exp]
+    # exact-multiple exhaustion: a 25-row set at fetch_size 5 ends with
+    # one final empty page, never a lost or duplicated row
+    n_pages, resp = 0, cat.sql_page(stmt, fetch_size=5)
+    total = 0
+    while True:
+        n_pages += 1
+        total += len(resp["rows"])
+        if resp["cursor"] is None:
+            break
+        resp = cat.sql_page(cursor=resp["cursor"])
+    assert total == 25 and n_pages == 6 and resp["rows"] == []
+
+
+def test_sql_page_statement_validation(spark, cat):
+    cat.write_index(docs(spark, BASE), "val", id_col="k")
+    with pytest.raises(ValueError, match="ORDER BY"):
+        cat.sql_page("SELECT k FROM val", fetch_size=2)
+    with pytest.raises(ValueError, match="LIMIT"):
+        cat.sql_page("SELECT k FROM val ORDER BY k LIMIT 5", fetch_size=2)
+    with pytest.raises(ValueError, match="sort items"):
+        cat.sql_page("SELECT k FROM val ORDER BY k + 1", fetch_size=2)
+    with pytest.raises(ValueError, match="projection"):
+        cat.sql_page("SELECT v FROM val ORDER BY k", fetch_size=2)
+    with pytest.raises(ValueError, match="fetch_size"):
+        cat.sql_page("SELECT k FROM val ORDER BY k", fetch_size=0)
+    with pytest.raises(ValueError, match="not both"):
+        cat.sql_page("SELECT k FROM val ORDER BY k", cursor="x", fetch_size=2)
+    # a subquery's ORDER BY/LIMIT is depth>0 — allowed; the outer one pages
+    resp = cat.sql_page(
+        "SELECT k FROM (SELECT k FROM val ORDER BY k DESC LIMIT 2) ORDER BY k",
+        fetch_size=10,
+    )
+    assert [r[0] for r in resp["rows"]] == [2, 3]
+    # a quoted literal containing 'order by' or parens must not confuse it
+    resp = cat.sql_page(
+        "SELECT k, ' order by limit (' AS s FROM val ORDER BY k", fetch_size=10
+    )
+    assert [r[0] for r in resp["rows"]] == [1, 2, 3]
+
+
+def test_sql_close_cursor(spark, cat):
+    import pytest as _pytest
+
+    cat.write_index(docs(spark, BASE), "cls", id_col="k")
+    resp = cat.sql_page("SELECT k FROM cls ORDER BY k", fetch_size=1)
+    assert cat.sql_close_cursor(resp["cursor"]) == {"succeeded": True}
+    with _pytest.raises(Exception):
+        cat.sql_close_cursor("not-a-cursor")

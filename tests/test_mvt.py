@@ -116,3 +116,52 @@ def test_edge_docs_land_in_world_edge_tiles_like_the_agg(spark):
     for tx, ty in [(0, 0), (1, 0), (0, 1), (1, 1)]:
         tiles |= {r["cell"] for r in mvt_grid(df, "loc", 1, tx, ty, 3).collect()}
     assert tiles == agg
+
+
+def test_grid_with_labels_projects_centroid_pixels(spark):
+    """with_labels (ES 8.15 endpoint option): each cell carries its
+    centroid projected with the hits layer's exact pixel math."""
+    z, x, y = 1, 1, 0
+    rows = [(1, 40.0, 90.0), (2, 40.5, 92.0), (3, 10.0, 30.0)]
+    df = _pts(spark, rows)
+    out = {
+        r["cell"]: r
+        for r in mvt_grid(df, "loc", z, x, y, grid_precision=3, with_labels=True).collect()
+    }
+    for r in out.values():
+        exp_x = max(0, min(math.floor(_fx(r["centroid_lon"], z, x) * 4096), 4095))
+        exp_y = max(0, min(math.floor(_merc_fy(r["centroid_lat"], z, y) * 4096), 4095))
+        assert (r["label_x"], r["label_y"]) == (exp_x, exp_y), r
+    # docs 1+2 share a zoom-4 cell: label is the 2-point centroid
+    two = [r for r in out.values() if r["doc_count"] == 2]
+    assert len(two) == 1
+    assert two[0]["centroid_lat"] == pytest.approx(40.25)
+
+
+def test_grid_sub_aggs_and_sort_by(spark):
+    """Metric sub-aggs compile through aggs_dsl._metric; sort_by orders
+    cells by the aggregate desc (cell tie-break) and size cuts top-k."""
+    z, x, y = 1, 1, 0
+    df = spark.createDataFrame(
+        [(1, 40.0, 90.0, 5.0), (2, 40.5, 92.0, 7.0), (3, 10.0, 30.0, 100.0)],
+        "id int, lat double, lon double, v double",
+    ).select("id", "v", F.struct("lat", "lon").alias("loc"))
+    out = mvt_grid(
+        df, "loc", z, x, y, grid_precision=3,
+        aggs={"v_sum": {"sum": {"field": "v"}}, "v_max": {"max": {"field": "v"}}},
+        sort_by="v_sum", size=1,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["v_sum"] == pytest.approx(100.0)  # the single-doc heavy cell
+    assert out[0]["v_max"] == pytest.approx(100.0)
+    # _count sorts by doc_count: the 2-doc cell wins
+    top = mvt_grid(
+        df, "loc", z, x, y, grid_precision=3, sort_by="_count", size=1
+    ).collect()
+    assert top[0]["doc_count"] == 2
+    with pytest.raises(MvtError):
+        mvt_grid(df, "loc", z, x, y, sort_by="nope")
+    with pytest.raises(MvtError):
+        mvt_grid(df, "loc", z, x, y, size=3)  # size without sort_by
+    with pytest.raises(MvtError):
+        mvt_grid(df, "loc", z, x, y, aggs={"doc_count": {"sum": {"field": "v"}}})

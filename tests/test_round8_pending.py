@@ -16,10 +16,14 @@ PENDING = ["ingest_circle_geogrid", "writepath_pit_search_after",
            "ingest_geohash_decode", "esql_match_colon"]
 
 
-def test_all_registered_inside_graded_window():
-    ordered = list(load_all())
-    missing = [n for n in PENDING if n not in ordered[:50]]
-    assert not missing, f"round-8 registrations outside the graded window: {missing}"
+def test_all_still_registered():
+    """These four were graded green in round 8 (CORRECTNESS_r08) and left
+    the window; the oracle-parity tests below keep guarding the queries
+    themselves.  Window placement policy lives in
+    tests/test_registration_order.py."""
+    ordered = load_all()
+    missing = [n for n in PENDING if n not in ordered]
+    assert not missing, f"round-8 registrations dropped from the registry: {missing}"
 
 
 @pytest.mark.parametrize("name", PENDING)

@@ -133,6 +133,24 @@ def test_index_sort_tightens_rowgroup_stats(spark, tmp_path):
     assert _avg_rowgroup_span(srt, 0) < 0.5 * _avg_rowgroup_span(plain, 0)
 
 
+def test_zorder_read_range_filters_reach_the_scan(spark, sf_dir):
+    """writepath_zorder_read's WHOLE PURPOSE is 2-D data skipping over the
+    z-order clustered copy — so both range predicates must reach the
+    parquet scan as LessThanOrEqual, not evaluate post-scan.  Pinned after
+    the r8 verdict caught `long <= python-float` thresholds pushing only
+    IsNotNull (an unpruned full scan of the clustered index at 100×)."""
+    import re
+
+    from elasticsearch_hadoop_spark.corpus import load_all
+    from elasticsearch_hadoop_spark.plans import formatted_plan
+
+    df = load_all()["writepath_zorder_read"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan, flags=re.S).group(1)
+    assert "LessThanOrEqual(l_partkey" in pushed, pushed
+    assert "LessThanOrEqual(l_suppkey" in pushed, pushed
+
+
 def test_write_index_sort_by_reaches_the_files(spark, tmp_path):
     """The catalog's sort_by (and index.sort.field via templates) must
     actually order rows inside each written file — the property the
