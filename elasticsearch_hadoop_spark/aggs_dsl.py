@@ -212,6 +212,7 @@ def compile_aggs(
     depth = 0
     sample_scale: float | None = None  # set by random_sampler for deeper levels
     comp_null_orders: dict[str, str] = {}  # composite missing_bucket sort rules
+    comp_geotile: set[str] = set()  # geotile sources page in packed-numeric order
     while level:
         bucket_items = [(n, b) for n, b in level.items() if _bucket_kind(b)]
         metric_items = [(n, b) for n, b in level.items() if not _bucket_kind(b)]
@@ -349,12 +350,12 @@ def compile_aggs(
                 ((sname, sbody),) = src.items()
                 skind = _bucket_kind(sbody)
                 # geotile_grid is a valid ES composite source (geo
-                # paging).  DOCUMENTED DIVERGENCE: this engine's cursor
-                # orders the "z/x/y" key LEXICOGRAPHICALLY ("4/10/3"
-                # before "4/2/3"), where ES orders by the packed numeric
-                # tile value — paging here is internally consistent, but
-                # an after-cursor minted by an ES cluster must not be
-                # replayed against this engine (or vice versa)
+                # paging).  Its "z/x/y" keys page in ES's PACKED-NUMERIC
+                # tile order ((z<<58)|(x<<29)|y — "4/2/3" before
+                # "4/10/3"), not string order: the cursor sorts and
+                # resumes on a derived packed column (and the after value
+                # packs the same way), so an ES cluster's after-cursor
+                # replays here bucket-for-bucket.
                 if skind not in (
                     "terms", "histogram", "date_histogram", "geotile_grid"
                 ):
@@ -362,6 +363,8 @@ def compile_aggs(
                 b = sbody[skind]
                 kexpr = _bucket_key(skind, b)
                 keys.append((sname, kexpr))
+                if skind == "geotile_grid":
+                    comp_geotile.add(sname)
                 # ES: docs with a null source key are DROPPED unless the
                 # source declares missing_bucket: true; the null bucket
                 # then sorts per missing_order ("first" default, "last")
@@ -814,15 +817,44 @@ def compile_aggs(
                     "sources is not supported (null keys break the "
                     "lexicographic cursor)"
                 )
+            # geotile sources sort and cursor-resume on the PACKED tile
+            # value, not the rendered "z/x/y" string (ES's order): derive
+            # a packed column per geotile key, page on it, drop it after
+            # the cut.  Pure codegen — the TakeOrderedAndProject shape is
+            # unchanged.
+            ord_of = {
+                k: f"__comp_ord_{k}" if k in comp_geotile else k
+                for k in key_names
+            }
+            for k in key_names:
+                if k in comp_geotile:
+                    parts = F.split(F.col(k), "/")
+                    out = out.withColumn(
+                        ord_of[k],
+                        F.shiftleft(F.get(parts, 0).cast("long"), 58)
+                        + F.shiftleft(F.get(parts, 1).cast("long"), 29)
+                        + F.get(parts, 2).cast("long"),
+                    )
             if after:
-                out = out.filter(_after_key_gt(key_names, after))
+                conv = {
+                    k: (_pack_geotile_after(k, after[k])
+                        if k in comp_geotile and k in after else after.get(k))
+                    for k in key_names
+                }
+                out = out.filter(
+                    _after_key_gt(
+                        [ord_of[k] for k in key_names],
+                        {ord_of[k]: conv[k] for k in key_names if k in after},
+                    )
+                )
             sort_cols = [
-                F.col(k).asc_nulls_last()
+                F.col(ord_of[k]).asc_nulls_last()
                 if comp_null_orders.get(k) == "last"
-                else F.col(k).asc_nulls_first()
+                else F.col(ord_of[k]).asc_nulls_first()
                 for k in key_names
             ]
-            return out.orderBy(*sort_cols).limit(size)
+            out = out.orderBy(*sort_cols).limit(size)
+            return out.drop(*[c for c in ord_of.values() if c not in key_names])
         if (terms_size is not None or terms_order is not None) and ccs:
             raise AggsDslError(
                 "cumulative_cardinality needs a plain histogram/date_histogram "
@@ -1765,6 +1797,25 @@ def _rare_terms(df: DataFrame, name: str, spec: dict) -> DataFrame:
         .orderBy(F.col("doc_count").asc(), name)
         .limit(size)
     )
+
+
+def _pack_geotile_after(name: str, value) -> int:
+    """A geotile composite after-value "z/x/y" -> ES's packed long
+    ((z<<58)|(x<<29)|y) — the numeric the cursor actually resumes on.
+    Loud on malformed keys: a silently mis-parsed cursor would skip or
+    repeat buckets."""
+    try:
+        z, x, y = (int(p) for p in str(value).split("/"))
+    except ValueError:
+        raise AggsDslError(
+            f"composite {name!r}: geotile after value must be 'z/x/y', "
+            f"got {value!r}"
+        ) from None
+    if not (0 <= z <= 29 and 0 <= x < (1 << z) and 0 <= y < (1 << z)):
+        raise AggsDslError(
+            f"composite {name!r}: geotile after value {value!r} out of range"
+        )
+    return (z << 58) | (x << 29) | y
 
 
 def _after_key_gt(key_names: list[str], after: dict) -> Column:

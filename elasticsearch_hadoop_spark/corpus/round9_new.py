@@ -139,6 +139,62 @@ def search_mvt_labels(spark, sf_dir):
 
 
 @query(
+    "aggs_composite_geotile_page",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}
+), f AS (
+  SELECT {_GTX4} AS gx, {_GTY4} AS gy FROM pts
+), g AS (
+  SELECT '4/' || CAST(gx AS VARCHAR) || '/' || CAST(gy AS VARCHAR) AS cell,
+         gx * 536870912 + gy AS ord,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM f GROUP BY gx, gy
+), r AS (
+  SELECT cell, doc_count, row_number() OVER (ORDER BY ord) AS rn FROM g
+)
+SELECT CAST(CASE WHEN rn <= 5 THEN 1 ELSE 2 END AS BIGINT) AS page,
+       cell, doc_count
+FROM r
+WHERE rn <= 10
+ORDER BY rn
+""",
+)
+def aggs_composite_geotile_page(spark, sf_dir):
+    """ES composite agg with a ``geotile_grid`` source, paged two pages
+    through the after-cursor in ES's PACKED-NUMERIC tile order
+    ((z<<58)|(x<<29)|y — "4/2/y" before "4/10/y"; r8 verdict item 8
+    closed the former lexicographic divergence, aggs_dsl composite
+    branch).  The cursor resumes on the packed value of the rendered
+    "z/x/y" key, so an ES cluster's cursor replays bucket-for-bucket;
+    the oracle re-derives the packing as gx*2^29+gy (z constant within a
+    page).  Each page stays a TakeOrderedAndProject over the aggregated
+    cells."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+    from elasticsearch_hadoop_spark.corpus.round8_new import _cust_points
+
+    c = _cust_points(spark, sf_dir)
+
+    def body(after=None):
+        comp = {
+            "size": 5,
+            "sources": [
+                {"cell": {"geotile_grid": {"field": "location", "precision": 4}}}
+            ],
+        }
+        if after is not None:
+            comp["after"] = {"cell": after}
+        return {"aggs": {"page": {"composite": comp}}}
+
+    p1 = compile_aggs(c, body())
+    last = p1.collect()[-1]["cell"]  # 5-row page: the bounded driver fetch
+    p2 = compile_aggs(c, body(after=last))
+    out = p1.withColumn("page", F.lit(1).cast("long")).unionByName(
+        p2.withColumn("page", F.lit(2).cast("long"))
+    )
+    return out.select("page", "cell", "doc_count")
+
+
+@query(
     "search_mvt_sorted",
     oracle=f"""
 WITH pts AS ({_PTS_SQL}
