@@ -1748,6 +1748,24 @@ def _frequent_item_sets(df: DataFrame, name: str, spec: dict) -> DataFrame:
     )
 
 
+def categorize_key(col: Column, max_tokens: int | None = None) -> Column:
+    """THE category-key expression — a message's sequence of
+    variable-free tokens (tokens carrying a digit drop whole, the
+    ml_standard tokenizer's "discard variable parts" heuristic),
+    space-joined; NULL in -> NULL out.  Shared by the categorize_text
+    agg and ES|QL's ``STATS .. BY CATEGORIZE(field)`` so a category key
+    means the same thing on both surfaces.  Pure codegen."""
+    tokens = F.filter(
+        F.split(F.lower(col), r"[^a-z0-9_.\-]+"),
+        lambda t: (t != "") & ~t.rlike(r"\d"),
+    )
+    if max_tokens is not None:
+        tokens = F.slice(tokens, 1, int(max_tokens))
+    # concat_ws never returns NULL — gate explicitly so a NULL message
+    # stays a NULL category (ES groups them under null, not "")
+    return F.when(col.isNotNull(), F.concat_ws(" ", tokens))
+
+
 def _categorize_text(df: DataFrame, name: str, spec: dict) -> DataFrame:
     """ES categorize_text — the deterministic subset: a message's
     category is its sequence of variable-free tokens (tokens carrying a
@@ -1766,13 +1784,10 @@ def _categorize_text(df: DataFrame, name: str, spec: dict) -> DataFrame:
     max_tokens = spec.get("max_matched_tokens")
     # hyphens/dots stay inside tokens so "node-1"/"10.0.0.1" are single
     # variable tokens that drop whole, like the ml_standard tokenizer
-    tokens = F.filter(
-        F.split(F.lower(F.col(field)), r"[^a-z0-9_.\-]+"),
-        lambda t: (t != "") & ~t.rlike(r"\d"),
+    # (categorize_key, shared with ES|QL CATEGORIZE)
+    key = categorize_key(
+        F.col(field), int(max_tokens) if max_tokens is not None else None
     )
-    if max_tokens is not None:
-        tokens = F.slice(tokens, 1, int(max_tokens))
-    key = F.concat_ws(" ", tokens)
     return (
         df.filter(F.col(field).isNotNull())
         .groupBy(key.alias(name))

@@ -42,13 +42,14 @@ def query(name: str, oracle: str | None = None):
 # never-graded new surface first, then drift-insurance re-grades of the
 # OLDEST banked verdicts.  Round-9 policy (VERDICT.md round-8 "Next
 # round" items 1/4/5):
-#   * slots 1-4: the round-9 net-new surfaces (ES SQL cursor paging,
+#   * slots 1-6: the round-9 net-new surfaces (ES SQL cursor paging,
 #     _mvt with_labels, _mvt sub-agg sort, composite geotile
-#     packed-numeric cursor) — never graded;
-#   * slots 5-19: the 15 r2-era banked greens the round-8 net-new surface
+#     packed-numeric cursor, ES|QL CATEGORIZE, ES|QL BUCKET
+#     target-count) — never graded;
+#   * slots 7-21: the 15 r2-era banked greens the round-8 net-new surface
 #     displaced (VERDICT r8 "What's missing" #1 — 7 rounds stale while
 #     query_dsl/esql/aggs_dsl were rewritten underneath them);
-#   * the remaining 31 slots: the oldest r3-era greens, rewritten-library
+#   * the remaining 29 slots: the oldest r3-era greens, rewritten-library
 #     families (query_dsl, fn_*, write path, similarity, streaming) and
 #     bench anchors first.  The r3 names past slot 50 stay ordered here
 #     so round 10's window picks up exactly where this one stops.
@@ -58,6 +59,8 @@ PRIORITY: tuple[str, ...] = (
     "search_mvt_labels",
     "search_mvt_sorted",
     "aggs_composite_geotile_page",
+    "esql_stats_categorize",
+    "esql_bucket_auto",
     # the 15 r2-era drift re-grades (latest verdict round 2 — computed
     # from CORRECTNESS_r0{1..8}.json)
     "pushdown_string_predicates",
@@ -106,10 +109,10 @@ PRIORITY: tuple[str, ...] = (
     "stream_live_tumbling",
     "subq_exists_priority",
     "subq_in_big_orders",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
     # --- round-9 window boundary (slot 50) — the tail below is the
     # ordered round-10 re-grade queue (remaining r3-era names)
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
     "q11_important_suppliers",

@@ -139,6 +139,88 @@ def search_mvt_labels(spark, sf_dir):
 
 
 @query(
+    "esql_stats_categorize",
+    oracle="""
+WITH k AS (
+    SELECT CASE WHEN text IS NULL THEN NULL ELSE array_to_string(
+               list_filter(
+                   string_split_regex(
+                       lower(text || ' req-' || doc_id || ' shard' ||
+                             (doc_id % 5)),
+                       '[^a-z0-9_.\\-]+'),
+                   x -> x <> '' AND NOT regexp_matches(x, '\\d')),
+               ' ') END AS cat,
+           n_chars
+    FROM documents
+)
+SELECT cat, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM k
+GROUP BY cat
+ORDER BY n DESC, cat NULLS FIRST
+LIMIT 12
+""",
+)
+def esql_stats_categorize(spark, sf_dir):
+    """ES|QL ``STATS .. BY CATEGORIZE(msg)`` (8.16+, esql._stats): group
+    log-like messages by their ml category key — the deterministic
+    variable-free token sequence shared with the categorize_text agg
+    (aggs_dsl.categorize_key; digit-bearing tokens appended per doc must
+    drop whole, so categories collapse to the stable sequence).  One
+    codegen key projection + one hash aggregation + TakeOrderedAndProject
+    for the SORT/LIMIT — the same plan shape as any STATS BY."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    docs = tbl(spark, sf_dir, "documents").withColumn(
+        "msg",
+        F.concat(F.col("text"), F.lit(" req-"), F.col("doc_id"),
+                 F.lit(" shard"), (F.col("doc_id") % 5)),
+    )
+    return esql(
+        "FROM docs"
+        " | STATS n = COUNT(*), max_chars = MAX(n_chars) BY cat = CATEGORIZE(msg)"
+        " | SORT n DESC, cat NULLS FIRST"
+        " | LIMIT 12",
+        tables={"docs": docs},
+    )
+
+
+@query(
+    "esql_bucket_auto",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS m,
+       floor(o_totalprice / 25000.0) * 25000.0 AS pb,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS rev
+FROM orders
+GROUP BY 1, 2
+ORDER BY m, pb
+""",
+)
+def esql_bucket_auto(spark, sf_dir):
+    """ES|QL ``BUCKET`` target-bucket-count overload (esql._rewrite_bucket
+    4-arg path): date bounds spanning 1995-2002 at 100 buckets resolve to
+    the calendar-month rung (85 months fit, weeks don't), and numeric
+    bounds 1000..500000 at 20 buckets resolve to the nice span 25000
+    ({1,2.5,5,10}x10^k ladder — the ES docs' salary example arithmetic).
+    Span resolution happens at COMPILE time from the literal bounds, so
+    the runtime plan is the same floor/date_trunc codegen as the explicit
+    -span form; the oracle restates the resolved spans directly."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    return esql(
+        "FROM orders"
+        ' | STATS n = COUNT(*), rev = SUM(o_totalprice)'
+        ' BY mb = BUCKET(o_orderdate, 100, "1995-01-01T00:00:00", "2002-01-01T00:00:00"),'
+        " pb = BUCKET(o_totalprice, 20, 1000, 500000)"
+        ' | EVAL m = DATE_FORMAT("yyyy-MM-dd", mb), rev = ROUND(rev, 2)'
+        " | KEEP m, pb, n, rev"
+        " | SORT m, pb",
+        tables={"orders": tbl(spark, sf_dir, "orders")},
+    )
+
+
+@query(
     "aggs_composite_geotile_page",
     oracle=f"""
 WITH pts AS ({_PTS_SQL}

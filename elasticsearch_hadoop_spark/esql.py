@@ -40,7 +40,11 @@ Supported commands (the documented core; anything else raises):
   rows (every row kept, aggregate columns attached; an aggregate named
   like an existing column replaces it).  BY keys must be bare columns or
   ``name = expr``; the join is null-safe (nulls group together) and the
-  no-BY one-row aggregate broadcasts.
+  no-BY one-row aggregate broadcasts.  ``BY CATEGORIZE(field)`` (8.16+,
+  STATS only) groups by the ml category key — first BY key only, ES's
+  rule; the key is aggs_dsl.categorize_key's deterministic
+  variable-free token sequence (the categorize_text agg's documented
+  deviation from ES's Drain-style merge applies here too).
 - ``SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST][, ...]``
 - ``LIMIT n``
 - ``KEEP c1, c2`` / ``DROP c1, c2`` (``*`` wildcards per ES|QL)
@@ -606,11 +610,85 @@ def _rewrite_cidr_match(e: str, lits: list[str]) -> str:
         e = e[: m.start()] + "(" + " OR ".join(tests) + ")" + e[i:]
 
 
+def _bucket_pick_numeric_span(count: int, frm: float, to: float) -> float:
+    """ES|QL BUCKET target-count numeric mode: the "nice" span — the
+    smallest of {1, 2.5, 5, 10} x 10^floor(log10((to-from)/count)) that
+    covers the precise width (ES's own rounding ladder; the docs example
+    BUCKET(salary, 20, 25324, 74999) -> 2500 reproduces exactly)."""
+    import math
+
+    if count <= 0:
+        raise EsqlError(f"BUCKET: target bucket count must be positive, got {count}")
+    precise = (to - frm) / count
+    if precise <= 0:
+        raise EsqlError(f"BUCKET: range [{frm}, {to}] is empty")
+    p10 = 10.0 ** math.floor(math.log10(precise))
+    for mult in (1.0, 2.5, 5.0, 10.0):
+        if mult * p10 >= precise:
+            return mult * p10
+    return 10.0 * p10  # unreachable: 10*p10 > precise by construction
+
+
+def _bucket_pick_date_rung(count: int, frm, to):
+    """ES|QL BUCKET target-count date mode: the FINEST rung whose bucket
+    count over [from, to] fits the target — the fixed rungs of
+    aggs_dsl.AUTO_DH_LADDER (the auto_date_histogram table) plus the
+    calendar month/year rungs.  Returns ("fixed", seconds) or
+    ("calendar", unit)."""
+    import math
+
+    from elasticsearch_hadoop_spark.aggs_dsl import AUTO_DH_LADDER
+
+    if count <= 0:
+        raise EsqlError(f"BUCKET: target bucket count must be positive, got {count}")
+    lo, hi = frm.timestamp(), to.timestamp()
+    if hi < lo:
+        raise EsqlError("BUCKET: from is after to")
+    for rung in AUTO_DH_LADDER:
+        if math.floor(hi / rung) - math.floor(lo / rung) + 1 <= count:
+            return ("fixed", rung)
+    months = (to.year * 12 + to.month) - (frm.year * 12 + frm.month) + 1
+    if months <= count:
+        return ("calendar", "month")
+    return ("calendar", "year")  # the coarsest rung — always accepted
+
+
+def _parse_bucket_bound(name: str, text: str, lits: list[str] | None):
+    """A BUCKET from/to argument: a masked string literal -> datetime
+    (date mode), a bare numeric -> float (numeric mode)."""
+    from datetime import datetime
+
+    text = text.strip()
+    pm = _PLACEHOLDER.fullmatch(text)
+    if pm and lits is not None:
+        raw = lits[int(pm.group(1))].strip("'")
+        try:
+            return datetime.fromisoformat(raw.replace("Z", "+00:00"))
+        except ValueError:
+            raise EsqlError(
+                f"BUCKET: {name} bound {raw!r} is not an ISO date"
+            ) from None
+    try:
+        return float(text.rstrip("dDfF"))
+    except ValueError:
+        raise EsqlError(
+            f"BUCKET: {name} bound must be a numeric or date literal, "
+            f"got {text!r}"
+        ) from None
+
+
 def _rewrite_bucket(e: str, lits: list[str] | None = None) -> str:
     """ES|QL ``BUCKET(expr, span)``: a calendar span ("1 day") becomes
-    date_trunc; a numeric span becomes floor-to-multiple.  (ES|QL's
-    target-bucket-count overload needs the field's min/max — use an
-    explicit span here, documented.)
+    date_trunc; a numeric span becomes floor-to-multiple.
+
+    ``BUCKET(expr, target_count, from, to)`` — the target-bucket-count
+    overload — resolves the span AT COMPILE TIME from the literal
+    from/to bounds (ES evaluates them from constants too): numeric
+    bounds pick the nice {1, 2.5, 5, 10}x10^k span, date bounds pick the
+    finest auto_date_histogram rung (plus calendar month/year) whose
+    bucket count fits the target.  The un-bounded form (ES derives
+    min/max from the data when bounds are omitted) is not supported —
+    pass bounds or an explicit span, documented.
 
     Runs on literal-MASKED text (``lits`` holds the extracted literals),
     so a string literal that merely CONTAINS "bucket(" is never rewritten
@@ -624,8 +702,43 @@ def _rewrite_bucket(e: str, lits: list[str] | None = None) -> str:
         i = _match_paren(e, m.end())
         inner = e[m.end(): i - 1]
         args = _split_top(inner)
+        if len(args) == 4:
+            from datetime import datetime
+
+            expr = args[0].strip()
+            try:
+                count = int(args[1].strip())
+            except ValueError:
+                raise EsqlError(
+                    f"BUCKET: target bucket count must be an integer "
+                    f"literal, got {args[1].strip()!r}"
+                ) from None
+            frm = _parse_bucket_bound("from", args[2], lits)
+            to = _parse_bucket_bound("to", args[3], lits)
+            if isinstance(frm, datetime) != isinstance(to, datetime):
+                raise EsqlError("BUCKET: from/to bounds must both be "
+                                "dates or both numeric")
+            if isinstance(frm, datetime):
+                kind, rung = _bucket_pick_date_rung(count, frm, to)
+                if kind == "calendar":
+                    rep = f"date_trunc('{rung}', {expr})"
+                elif rung == 1:
+                    rep = f"date_trunc('second', {expr})"
+                else:
+                    rep = (
+                        f"timestamp_seconds(floor(unix_timestamp({expr}) / "
+                        f"{rung}) * {rung})"
+                    )
+            else:
+                span = _bucket_pick_numeric_span(count, frm, to)
+                rep = f"(floor(({expr}) / ({span!r}D)) * ({span!r}D))"
+            e = e[: m.start()] + rep + e[i:]
+            continue
         if len(args) != 2:
-            raise EsqlError(f"BUCKET needs (expr, span), got ({inner})")
+            raise EsqlError(
+                f"BUCKET needs (expr, span) or (expr, count, from, to), "
+                f"got ({inner})"
+            )
         expr, span = args[0].strip(), args[1].strip()
         pm = _PLACEHOLDER.fullmatch(span)
         if pm and lits is not None:
@@ -989,16 +1102,39 @@ def _blank_literals(s: str) -> str:
     return "".join(out)
 
 
+_CATEGORIZE_RE = re.compile(r"^CATEGORIZE\s*\((.+)\)\s*$", flags=re.I | re.S)
+
+
 def _stats(df: DataFrame, body: str) -> DataFrame:
     by_m = re.search(r"\bBY\b", _blank_literals(body), flags=re.I)
     agg_part = body[: by_m.start()] if by_m else body
     keys: list[tuple[str, Column]] = []
     if by_m:
-        for k in _split_top(body[by_m.end():]):
+        for i, k in enumerate(_split_top(body[by_m.end():])):
             k = k.strip()
-            if "=" in k and "==" not in k:
-                name, expr = k.split("=", 1)
-                keys.append((name.strip(), _expr(expr)))
+            named = "=" in k and "==" not in k
+            name, expr_txt = (
+                (s.strip() for s in k.split("=", 1)) if named else (k, k)
+            )
+            cm = _CATEGORIZE_RE.match(expr_txt)
+            if cm:
+                # ES|QL CATEGORIZE (8.16+): the ml category key as a
+                # grouping function — ES requires it to be the FIRST and
+                # ONLY CATEGORIZE among the BY keys; this engine's key is
+                # the deterministic variable-free token sequence
+                # (aggs_dsl.categorize_key, one shared expression with
+                # the categorize_text agg — same documented deviation
+                # from ES's Drain-style merge step)
+                if i != 0:
+                    raise EsqlError(
+                        "CATEGORIZE must be the first BY key (ES|QL rule)"
+                    )
+                from elasticsearch_hadoop_spark.aggs_dsl import categorize_key
+
+                keys.append((name, categorize_key(_expr(cm.group(1)))))
+                continue
+            if named:
+                keys.append((name, _expr(expr_txt)))
             elif "(" in k:
                 # bare computed key (ES|QL allows e.g. BY BUCKET(ts, "1 day"));
                 # auto-named by its text, like ES|QL's column naming

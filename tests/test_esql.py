@@ -1108,3 +1108,97 @@ def test_knn_tiebreak_skips_map_columns(spark):
         "FROM t | WHERE KNN(emb, [1.0, 0.0], 1) | KEEP id", tables={"t": df}
     ).collect()
     assert [r["id"] for r in out] == [1]
+
+
+def test_stats_by_categorize(spark):
+    """CATEGORIZE(msg) as the BY key: digit-bearing tokens drop whole,
+    NULL messages group under a NULL category, and the key agrees with
+    the categorize_text agg (one shared expression)."""
+    rows = [
+        (1, "Connection error on node-1 retry"),
+        (2, "Connection error on node-2 retry"),
+        (3, "User login ok"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, msg string")
+    out = {
+        r["cat"]: r["n"]
+        for r in esql(
+            "FROM t | STATS n = COUNT(*) BY cat = CATEGORIZE(msg)",
+            tables={"t": df},
+        ).collect()
+    }
+    assert out == {"connection error on retry": 2, "user login ok": 1, None: 1}
+    # bare form auto-names by its text
+    bare = esql("FROM t | STATS n = COUNT(*) BY CATEGORIZE(msg)", tables={"t": df})
+    assert bare.columns == ["CATEGORIZE(msg)", "n"]
+    # ES rule: CATEGORIZE must be the FIRST BY key
+    with pytest.raises(EsqlError, match="first BY key"):
+        esql("FROM t | STATS n = COUNT(*) BY id, cat = CATEGORIZE(msg)",
+             tables={"t": df})
+    # a second grouping AFTER it is fine (ES allows trailing keys)
+    two = esql(
+        "FROM t | STATS n = COUNT(*) BY cat = CATEGORIZE(msg), id",
+        tables={"t": df},
+    )
+    assert set(two.columns) == {"cat", "id", "n"}
+    # CATEGORIZE nested inside an expression stays rejected (not a
+    # whitelisted scalar function)
+    with pytest.raises(EsqlError):
+        esql("FROM t | STATS n = COUNT(*) BY k = CONCAT(CATEGORIZE(msg), \"x\")",
+             tables={"t": df})
+
+
+def test_bucket_target_count_numeric(spark):
+    """BUCKET(expr, count, from, to): the nice-span ladder reproduces the
+    ES docs example — BUCKET(salary, 20, 25324, 74999) buckets by 2500."""
+    df = spark.createDataFrame(
+        [(25324.0,), (26000.0,), (49817.0,), (74999.0,)], "salary double"
+    )
+    out = esql(
+        "FROM t | STATS n = COUNT(*) BY b = BUCKET(salary, 20, 25324, 74999)"
+        " | SORT b",
+        tables={"t": df},
+    ).collect()
+    assert [(r["b"], r["n"]) for r in out] == [
+        (25000.0, 2), (47500.0, 1), (72500.0, 1)
+    ]
+
+
+def test_bucket_target_count_dates(spark):
+    """Date bounds pick the finest auto_date_histogram rung that fits:
+    a year at 20 buckets -> calendar month; a day at 25 -> 1 hour."""
+    rows = [("2023-02-17 10:20:30",), ("2023-02-28 23:59:59",), ("2023-07-04 00:00:00",)]
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(rows, "ts string").select(
+        SF.col("ts").cast("timestamp").alias("ts")
+    )
+    out = esql(
+        'FROM t | STATS n = COUNT(*) BY b = BUCKET(ts, 20, "2023-01-01T00:00:00Z", "2024-01-01T00:00:00Z")'
+        " | SORT b",
+        tables={"t": df},
+    ).collect()
+    assert [str(r["b"]) for r in out] == ["2023-02-01 00:00:00", "2023-07-01 00:00:00"]
+    assert [r["n"] for r in out] == [2, 1]
+    hour = esql(
+        'FROM t | STATS n = COUNT(*) BY b = BUCKET(ts, 25, "2023-02-17T00:00:00", "2023-02-17T23:59:59")',
+        tables={"t": df},
+    ).collect()
+    assert "10:00:00" in {str(r["b"])[-8:] for r in hour}
+
+
+def test_bucket_target_count_errors(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(EsqlError, match="both"):
+        esql('FROM t | STATS n = COUNT(*) BY b = BUCKET(v, 10, 0, "2023-01-01")',
+             tables={"t": df})
+    with pytest.raises(EsqlError, match="positive"):
+        esql("FROM t | STATS n = COUNT(*) BY b = BUCKET(v, 0, 0, 100)",
+             tables={"t": df})
+    with pytest.raises(EsqlError, match="BUCKET needs"):
+        esql("FROM t | STATS n = COUNT(*) BY b = BUCKET(v, 10, 0)",
+             tables={"t": df})
+    with pytest.raises(EsqlError, match="ISO date"):
+        esql('FROM t | STATS n = COUNT(*) BY b = BUCKET(v, 10, "nope", "2023-01-01")',
+             tables={"t": df})
