@@ -1860,10 +1860,16 @@ class Catalog:
         """Parse the statement's top-level ``ORDER BY`` into
         ``[(column, ascending)]`` — the keyset a SQL cursor pages on.
         Depth-0 scan only (an ORDER BY inside a subquery doesn't order
-        the result set); string literals are blanked first so quoted
-        content can't fake tokens.  LIMIT/OFFSET at the top level are
-        rejected: ``fetch_size`` owns the page size."""
-        blanked = re.sub(r"'[^']*'", lambda m: " " * len(m.group(0)), sql)
+        the result set); string literals AND quoted identifiers
+        (double-quoted, backticked) are blanked first so quoted content
+        can't fake tokens or desynchronize the paren depth.  LIMIT/OFFSET
+        at the top level are rejected: ``fetch_size`` owns the page
+        size."""
+        blanked = re.sub(
+            r"'[^']*'|\"[^\"]*\"|`[^`]*`",
+            lambda m: " " * len(m.group(0)),
+            sql,
+        )
         depth, pos, limited = 0, -1, False
         for m in re.finditer(
             r"\(|\)|\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b", blanked, flags=re.I
@@ -1892,14 +1898,18 @@ class Catalog:
         fields: list[tuple[str, bool]] = []
         for item in sql[pos:].split(","):
             im = re.match(
-                r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s*(ASC|DESC)?\s*$", item, flags=re.I
+                r"^\s*(?:([A-Za-z_][A-Za-z0-9_.]*)|`([^`]+)`)\s*(ASC|DESC)?\s*$",
+                item,
+                flags=re.I,
             )
             if not im:
                 raise ValueError(
                     f"cursor paging needs plain `col [ASC|DESC]` sort items "
                     f"(the keyset must be re-filterable), got {item.strip()!r}"
                 )
-            fields.append((im.group(1), (im.group(2) or "ASC").upper() != "DESC"))
+            fields.append(
+                (im.group(1) or im.group(2), (im.group(3) or "ASC").upper() != "DESC")
+            )
         return fields
 
     def sql_page(
@@ -1952,17 +1962,25 @@ class Catalog:
         if fetch_size <= 0:
             raise ValueError(f"fetch_size must be positive, got {fetch_size}")
         df = self.sql_query(sql, pattern)
-        missing = [f for f, _ in fields if f not in df.columns]
+        # Spark resolves identifiers case-insensitively; the keyset
+        # bookkeeping must too (resolve each sort item to the actual
+        # output column name once, use it everywhere)
+        by_lower = {c.lower(): c for c in df.columns}
+        missing = [f for f, _ in fields if f.lower() not in by_lower]
         if missing:
             raise ValueError(
                 f"cursor keyset columns {missing} must appear in the "
                 "statement's projection (the next-page filter needs them)"
             )
+        fields = [(by_lower[f.lower()], asc) for f, asc in fields]
         from elasticsearch_hadoop_spark.search import lexicographic_after
 
         page = df
         if after is not None:
-            page = page.filter(lexicographic_after(fields, after))
+            # null_aware: NULL key values page at Spark's default sort
+            # position (asc first / desc last) instead of NULL-comparing
+            # out of every later page
+            page = page.filter(lexicographic_after(fields, after, null_aware=True))
         order = [F.col(f).asc() if asc else F.col(f).desc() for f, asc in fields]
         rows = page.orderBy(*order).limit(fetch_size).collect()
         next_cursor = None

@@ -79,7 +79,7 @@ PRIORITY: tuple[str, ...] = (
     "udtf_bigrams",
     "window_ranking",
     # r3-era re-grades (latest verdict round 3), rewritten-library
-    # families and bench anchors first; 32 fit the round-9 window
+    # families and bench anchors first; 29 fit the round-9 window
     "query_dsl_match",
     "query_dsl_match_and_phrase",
     "query_dsl_nested",

@@ -639,8 +639,17 @@ def _bucket_pick_date_rung(count: int, frm, to):
 
     from elasticsearch_hadoop_spark.aggs_dsl import AUTO_DH_LADDER
 
+    from datetime import timezone
+
     if count <= 0:
         raise EsqlError(f"BUCKET: target bucket count must be positive, got {count}")
+    # naive bounds are UTC (the engine's session timezone) — .timestamp()
+    # on a naive datetime would apply the HOST's local offset and make
+    # the rung choice machine-dependent near a boundary
+    if frm.tzinfo is None:
+        frm = frm.replace(tzinfo=timezone.utc)
+    if to.tzinfo is None:
+        to = to.replace(tzinfo=timezone.utc)
     lo, hi = frm.timestamp(), to.timestamp()
     if hi < lo:
         raise EsqlError("BUCKET: from is after to")
@@ -908,6 +917,12 @@ def _pattern_placeholder(mm: re.Match, lits: list[str], seen: set[int]) -> str:
     # duplicate a placeholder textually, and _like_to_sql is not
     # idempotent — a twice-escaped pattern silently matches nothing
     idx = int(mm.group(4))
+    if not lits[idx].startswith("'"):
+        # a masked `@ident` placeholder, not a string literal — ES|QL
+        # LIKE/RLIKE patterns must be literals; rewriting the backticked
+        # column into pattern text would silently compare against the
+        # column's NAME
+        raise EsqlError("LIKE/RLIKE pattern must be a string literal")
     if idx not in seen:
         seen.add(idx)
         if mm.group(2).lower() == "like":

@@ -36,21 +36,43 @@ def _direction(spec) -> tuple[str, bool]:
     return field, str(order).lower() != "desc"
 
 
-def lexicographic_after(fields: list[tuple[str, bool]], values) -> Column:
+def lexicographic_after(
+    fields: list[tuple[str, bool]], values, null_aware: bool = False
+) -> Column:
     """The keyset-cursor predicate: (k1,..,kn) strictly after (a1,..,an)
     in lexicographic order, honoring per-field direction.  Shared by
     ``search_after`` and the aggs-DSL composite ``after`` cursor — ONE
-    implementation of the subtle OR/AND-prefix construction."""
+    implementation of the subtle OR/AND-prefix construction.
+
+    ``null_aware=True`` (the ES SQL cursor path) additionally orders
+    NULL key values at Spark's default sort position — FIRST for asc,
+    LAST for desc — so rows with NULL keys neither vanish from later
+    pages nor dead-end the cursor: the per-field "after" and "equal"
+    tests become three-valued-logic-free (eqNullSafe + explicit
+    isNull/isNotNull arms).  The default (False) keeps the original
+    NULL-propagating comparisons for callers that pre-exclude NULL keys
+    (search_after's contract, the composite guard)."""
     if len(values) != len(fields):
         raise ValueError(f"after cursor needs {len(fields)} values, got {len(values)}")
     cond: Column | None = None
     eq_prefix: Column | None = None
     for (field, asc), a in zip(fields, values):
         col, lit = F.col(field), F.lit(a)
-        cmp = col > lit if asc else col < lit
+        if not null_aware:
+            cmp = col > lit if asc else col < lit
+            eq = col == lit
+        elif a is None:
+            # asc: NULLs sort first, so everything non-null is after the
+            # null cursor value; desc: NULLs sort last — nothing follows
+            cmp = col.isNotNull() if asc else F.lit(False)
+            eq = col.isNull()
+        else:
+            # asc (nulls first): a NULL key is BEFORE any non-null cursor;
+            # desc (nulls last): a NULL key is AFTER any non-null cursor
+            cmp = (col > lit) if asc else ((col < lit) | col.isNull())
+            eq = col.eqNullSafe(lit)
         term = cmp if eq_prefix is None else (eq_prefix & cmp)
         cond = term if cond is None else (cond | term)
-        eq = col == lit
         eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
     return cond
 

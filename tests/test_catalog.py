@@ -1240,3 +1240,46 @@ def test_sql_close_cursor(spark, cat):
     assert cat.sql_close_cursor(resp["cursor"]) == {"succeeded": True}
     with _pytest.raises(Exception):
         cat.sql_close_cursor("not-a-cursor")
+
+
+def test_sql_page_null_keyset_values_survive_paging(spark, cat):
+    """Review r9-1: NULL keyset values must neither vanish from later
+    pages nor dead-end the cursor — they page at Spark's default sort
+    position (asc first, desc last) via the null-aware keyset filter."""
+    rows = ([{"k": i, "n": None} for i in range(4)]
+            + [{"k": i, "n": (i * 7) % 50} for i in range(4, 20)])
+    cat.write_index(docs(spark, rows), "nk", id_col="k")
+
+    def drain(stmt):
+        got, resp = [], cat.sql_page(stmt, fetch_size=3)
+        while True:
+            got.extend(resp["rows"])
+            if resp["cursor"] is None:
+                return got
+            resp = cat.sql_page(cursor=resp["cursor"])
+
+    # asc: 4 NULLs lead (> fetch_size, so a page boundary falls INSIDE
+    # the null run and the minted cursor value is None)
+    got = drain("SELECT n, k FROM nk ORDER BY n, k")
+    assert len(got) == 20
+    assert [r[1] for r in got[:4]] == [0, 1, 2, 3] and all(r[0] is None for r in got[:4])
+    nn = [r[0] for r in got[4:]]
+    assert nn == sorted(nn)
+    # desc: NULLs trail; every row still delivered exactly once
+    got = drain("SELECT n, k FROM nk ORDER BY n DESC, k")
+    assert len(got) == 20 and sorted(r[1] for r in got) == list(range(20))
+    assert all(r[0] is None for r in got[-4:])
+
+
+def test_sql_page_quoted_identifiers_and_case(spark, cat):
+    """Review r9-4/5: quoted identifiers containing LIMIT/ORDER BY text
+    must not confuse the clause scan, and keyset resolution is
+    case-insensitive like Spark's."""
+    cat.write_index(docs(spark, BASE), "qi", id_col="k")
+    resp = cat.sql_page(
+        "SELECT k AS `page limit (order by` FROM qi ORDER BY `page limit (order by`",
+        fetch_size=10,
+    )
+    assert [r[0] for r in resp["rows"]] == [1, 2, 3]
+    resp = cat.sql_page("SELECT k FROM qi ORDER BY K DESC", fetch_size=10)
+    assert [r[0] for r in resp["rows"]] == [3, 2, 1]

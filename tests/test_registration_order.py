@@ -1,8 +1,9 @@
 """The driver grades a bounded prefix of the registration order (the
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
-corpus/__init__.py under the round-9 window policy: the 3 round-9 net-new
-surfaces lead, the 15 r2-era stale verdicts follow, and the oldest
-r3-era banked greens fill the tail; every windowed query carries a
+corpus/__init__.py under the round-9 window policy: the round-9 net-new
+surfaces lead (6 as of the final reorder), the 15 r2-era stale verdicts
+follow, and the oldest r3-era banked greens fill the tail; every
+windowed query carries a
 DuckDB oracle (no rows-only slots), and the union of banked green
 verdicts with the current window still covers every §2.C operator
 family.

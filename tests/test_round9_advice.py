@@ -161,3 +161,48 @@ def test_fuse_linear_minmax_constant_branch_null_row(spark):
     assert got[1] == pytest.approx(1.0)
     assert got[2] == pytest.approx(1.0)
     assert got[3] is None
+
+
+# ------------------------------------------- review-pass regressions (r9)
+
+
+def test_like_rlike_with_at_column_rhs_is_loud(spark):
+    """Review r9-3: `msg RLIKE @pat` must raise (pattern must be a
+    literal), never silently rewrite the @-column into pattern text."""
+    df = (
+        spark.createDataFrame([("abc", "a.*")], "msg string, p string")
+        .withColumnRenamed("p", "@pat")
+    )
+    with pytest.raises(EsqlError, match="string literal"):
+        esql("FROM t | WHERE msg RLIKE @pat", tables={"t": df})
+    with pytest.raises(EsqlError, match="string literal"):
+        esql("FROM t | WHERE msg LIKE @pat", tables={"t": df})
+    # @-column on the LHS with a literal pattern still works
+    out = esql('FROM t | WHERE @pat RLIKE "a.*" | KEEP msg', tables={"t": df})
+    assert out.count() == 1
+
+
+def test_bucket_date_rung_is_timezone_independent():
+    """Review r9-2: naive bounds are UTC — the rung choice must not vary
+    with the host timezone (TZ only affects .timestamp() on naive
+    datetimes)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from datetime import datetime\n"
+        "from elasticsearch_hadoop_spark.esql import _bucket_pick_date_rung\n"
+        "print(_bucket_pick_date_rung(8, datetime(2023, 2, 17, 0, 0, 0),"
+        " datetime(2023, 2, 17, 23, 59, 59)))\n"
+    )
+    outs = set()
+    for tz in ("UTC", "Asia/Kolkata", "America/New_York"):
+        env = dict(os.environ, TZ=tz, PYTHONPATH="/root/repo")
+        outs.add(
+            subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                env=env, check=True,
+            ).stdout.strip()
+        )
+    assert outs == {"('fixed', 10800)"}, outs
