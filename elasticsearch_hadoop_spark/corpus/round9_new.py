@@ -323,3 +323,102 @@ def search_mvt_sorted(spark, sf_dir):
     return out.select(
         "cell", "doc_count", F.round("bal_sum", 2).alias("bal_sum")
     )
+
+
+@query(
+    "eql_sample_join",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+)
+SELECT v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS step1_ts,
+       v.event_id AS step1_event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS step2_ts,
+       c.event_id AS step2_event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS step3_ts,
+       p.event_id AS step3_event_id
+FROM ranked v
+JOIN ranked c USING (user_id)
+JOIN ranked p USING (user_id)
+WHERE v.event_type = 'view' AND v.rn = 1
+  AND c.event_type = 'click' AND c.rn = 1
+  AND p.event_type = 'purchase' AND p.rn = 1
+ORDER BY v.user_id
+""",
+)
+def eql_sample_join(spark, sf_dir):
+    """EQL ``sample by user_id`` (8.6+, eql.eql_sample): users with at
+    least one view AND click AND purchase, one sample event per slot —
+    UNORDERED co-occurrence, unlike a sequence (no chronology, no
+    maxspan).  Deterministic slot pick = minimum (ts, event_id) tuple
+    per slot (documented deviation from ES's shard-order picks; the
+    unique event_id makes the order total).  ONE hash aggregation over
+    the join key — conditional struct-mins combine map-side, the single
+    shuffle carries a row per key, never the events.  The oracle replays
+    each slot as row_number()=1 over (ts, event_id)."""
+    from elasticsearch_hadoop_spark.corpus._util import TS_FMT_SPARK
+    from elasticsearch_hadoop_spark.eql import eql_sample
+
+    ev = tbl(spark, sf_dir, "events")
+    out = eql_sample(
+        ev, by="user_id", ts="ts",
+        filters=[
+            {"term": {"event_type": "view"}},
+            {"term": {"event_type": "click"}},
+            {"term": {"event_type": "purchase"}},
+        ],
+        payload=["event_id"],
+    )
+    cols = [F.col("user_id")]
+    for i in (1, 2, 3):
+        cols.append(
+            F.date_format(F.col(f"step{i}_ts"), TS_FMT_SPARK).alias(f"step{i}_ts")
+        )
+        cols.append(F.col(f"step{i}_event_id"))
+    return out.select(*cols).orderBy("user_id")
+
+
+@query(
+    "search_analyze_edge_ngram",
+    oracle="""
+WITH s AS (
+  SELECT substr(lower(text), 1, 12) AS s FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT substr(s, 1, 2) AS token FROM s WHERE length(s) >= 2
+  UNION ALL SELECT substr(s, 1, 3) FROM s WHERE length(s) >= 3
+  UNION ALL SELECT substr(s, 1, 4) FROM s WHERE length(s) >= 4
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM grams
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 30
+""",
+)
+def search_analyze_edge_ngram(spark, sf_dir):
+    """ES ``_analyze`` with the ``edge_ngram`` tokenizer (default
+    no-token_chars form, functions/text.analyze_api): 2..4-char edge
+    grams of each document's lowered 12-char prefix, aggregated to the
+    30 most frequent — the search-as-you-type index-building primitive.
+    The gram emission is one codegen array expression + posexplode; the
+    oracle replays each gram length as a substr arm."""
+    from elasticsearch_hadoop_spark.functions.text import analyze_api
+
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.substring(F.lower(F.col("text")), 1, 12).alias("s"))
+    )
+    toks = analyze_api(docs, "s", "edge_ngram", min_gram=2, max_gram=4)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(30)
+    )

@@ -162,3 +162,62 @@ def eql_sequence(
             F.col(prev_ts) <= F.col(f"step1_{ts}") + F.expr(f"INTERVAL {maxspan}")
         )
     return cur
+
+
+def eql_sample(
+    df: DataFrame,
+    by: list[str] | str,
+    ts: str,
+    filters: list[dict],
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """EQL ``sample`` (8.6+): for every ``by`` key that has at least one
+    event matching EVERY filter, return one sample — one event per
+    filter slot — with ``step{i}_<ts>`` / ``step{i}_<payload>`` columns
+    (the eql_sequence output shape).  Unlike a sequence, samples are
+    UNORDERED: the slots need not be chronological and no maxspan
+    applies — ES's "these things co-occurred for this entity" query.
+
+    Documented determinism deviation: ES returns up to ``size`` samples
+    per key with shard-order-dependent event picks; this engine returns
+    exactly ONE sample per key, each slot the minimum (ts, payload...)
+    tuple among that slot's matches — stable under any partitioning, so
+    a SQL oracle replays it exactly (pass a unique column, e.g. the
+    event id, first in ``payload`` to make the order total).
+
+    Scale shape: ONE aggregation over the join key — each slot is a
+    conditional struct-min, so the partial aggregate combines map-side
+    and the single shuffle carries one row per (key x slot), never the
+    matching events themselves.  No joins, no window.  (Struct
+    aggregation buffers aren't Tungsten-mutable, so Spark plans the
+    pair as partial+final SortAggregate rather than HashAggregate —
+    the per-partition sort is the price of the typed payload; the
+    shuffle volume is identical.  If that sort ever dominates at
+    scale, encode (ts, payload) as one fixed-width sortable string and
+    min() becomes hash-aggregatable.)"""
+    by = [by] if isinstance(by, str) else list(by)
+    if not filters:
+        raise EqlError("sample needs at least one filter")
+    payload = list(payload or [])
+    preds = [compile_query(f) for f in filters]
+    slots = [
+        F.min(
+            F.when(
+                p,
+                F.struct(F.col(ts).alias(ts), *[F.col(c).alias(c) for c in payload]),
+            )
+        ).alias(f"__s{i}")
+        for i, p in enumerate(preds, start=1)
+    ]
+    agg = df.groupBy(*by).agg(*slots)
+    cond = None
+    for i in range(1, len(preds) + 1):
+        c = F.col(f"__s{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    out_cols = [F.col(c) for c in by]
+    for i in range(1, len(preds) + 1):
+        out_cols.append(F.col(f"__s{i}.{ts}").alias(f"step{i}_{ts}"))
+        out_cols.extend(
+            F.col(f"__s{i}.{c}").alias(f"step{i}_{c}") for c in payload
+        )
+    return agg.filter(cond).select(*out_cols)

@@ -213,18 +213,77 @@ _ANALYZERS = {
 }
 
 
-def analyze_api(df, field: str, analyzer: str = "standard"):
+def analyze_api(
+    df,
+    field: str,
+    analyzer: str = "standard",
+    pattern: str = r"\W+",
+    lowercase: bool = True,
+    min_gram: int = 1,
+    max_gram: int = 2,
+):
     """ES ``_analyze`` endpoint over a column: one row per token with its
     ``position`` (the token-stream position ES reports).  Character
     offsets need the analyzer to track source spans — out of scope for
     the split-based analyzers, documented.  posexplode keeps it one
     narrow projection; run it over a 1-row frame for the classic
-    "analyze this string" call."""
-    fn = _ANALYZERS.get(analyzer)
-    if fn is None:
-        raise ValueError(
-            f"unknown analyzer {analyzer!r}; supported: {sorted(_ANALYZERS)}"
-        )
+    "analyze this string" call.
+
+    Beyond the fixed ``_ANALYZERS`` table: ``pattern`` (ES's pattern
+    analyzer — split on a Java regex, default ``\\W+``, lowercased
+    unless ``lowercase=False``) and the ``ngram`` / ``edge_ngram``
+    TOKENIZERS in their default no-token_chars form (character grams of
+    ``min_gram..max_gram`` over the raw string, ES's default 1..2 —
+    offset-major, length-minor emission order, exactly the stream ES
+    produces; edge grams anchor at offset 0).  All still one codegen
+    array expression per row."""
+    if analyzer == "pattern":
+        def fn(c):
+            base = F.lower(c) if lowercase else c
+            return F.filter(F.split(base, pattern), lambda t: F.length(t) > 0)
+    elif analyzer in ("ngram", "edge_ngram"):
+        if not (1 <= min_gram <= max_gram):
+            raise ValueError(
+                f"ngram needs 1 <= min_gram <= max_gram, got {min_gram}..{max_gram}"
+            )
+
+        def fn(c):
+            n = F.length(c)
+            sizes = list(range(min_gram, max_gram + 1))
+            if analyzer == "edge_ngram":
+                grams = F.array(
+                    *[
+                        F.when(n >= g, c.substr(F.lit(1), F.lit(g)))
+                        for g in sizes
+                    ]
+                )
+            else:
+                sliding = F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), n),
+                        lambda start: F.array(
+                            *[
+                                F.when(
+                                    start + g - 1 <= n, c.substr(start, F.lit(g))
+                                )
+                                for g in sizes
+                            ]
+                        ),
+                    )
+                )
+                # sequence(1, 0) would COUNT DOWN — an empty/short string
+                # must yield no grams, not substr probes at offset 0
+                grams = F.when(n >= 1, sliding).otherwise(
+                    F.array().cast("array<string>")
+                )
+            return F.filter(grams, lambda t: t.isNotNull())
+    else:
+        fn = _ANALYZERS.get(analyzer)
+        if fn is None:
+            raise ValueError(
+                f"unknown analyzer {analyzer!r}; supported: "
+                f"{sorted(_ANALYZERS) + ['pattern', 'ngram', 'edge_ngram']}"
+            )
     c = F.col(field)
     return df.select(
         "*", F.posexplode(fn(c)).alias("position", "token")

@@ -178,3 +178,49 @@ def test_py_standard_analyze_differential_random(spark):
             assert py_standard_analyze(s) == got[i], (s, py_standard_analyze(s), got[i])
 
     check()
+
+
+def test_analyze_api_pattern_analyzer(spark):
+    from elasticsearch_hadoop_spark.functions.text import analyze_api
+
+    df = spark.createDataFrame([("Foo-Bar_42, baz!",)], "text string")
+    toks = [r["token"] for r in analyze_api(df, "text", "pattern").collect()]
+    # default \W+ keeps underscores inside tokens (Java \w includes _)
+    assert toks == ["foo", "bar_42", "baz"]
+    toks = [
+        r["token"]
+        for r in analyze_api(
+            df, "text", "pattern", pattern="[^A-Za-z]+", lowercase=False
+        ).collect()
+    ]
+    assert toks == ["Foo", "Bar", "baz"]
+
+
+def test_analyze_api_ngram_default_stream(spark):
+    """ES ngram tokenizer default (min 1, max 2, no token_chars): the
+    docs' own example — "Quick Fo" emits offset-major, length-minor."""
+    from elasticsearch_hadoop_spark.functions.text import analyze_api
+
+    df = spark.createDataFrame([("Quick Fo",)], "text string")
+    got = [(r["position"], r["token"]) for r in analyze_api(df, "text", "ngram").collect()]
+    exp_tokens = ["Q", "Qu", "u", "ui", "i", "ic", "c", "ck", "k", "k ",
+                  " ", " F", "F", "Fo", "o"]
+    assert [t for _, t in got] == exp_tokens
+    assert [p for p, _ in got] == list(range(len(exp_tokens)))
+
+
+def test_analyze_api_edge_ngram_and_bounds(spark):
+    from elasticsearch_hadoop_spark.functions.text import analyze_api
+
+    df = spark.createDataFrame([("Quick",), ("",)], "text string")
+    rows = analyze_api(df, "text", "edge_ngram", min_gram=1, max_gram=3).collect()
+    assert [r["token"] for r in rows] == ["Q", "Qu", "Qui"]  # empty row: none
+    # a string shorter than max_gram stops at its length
+    short = spark.createDataFrame([("ab",)], "text string")
+    assert [r["token"] for r in
+            analyze_api(short, "text", "edge_ngram", max_gram=5).collect()] == ["a", "ab"]
+    import pytest as _p
+    with _p.raises(ValueError, match="min_gram"):
+        analyze_api(df, "text", "ngram", min_gram=3, max_gram=2)
+    with _p.raises(ValueError, match="unknown analyzer"):
+        analyze_api(df, "text", "nope")

@@ -3,6 +3,7 @@
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.eql import EqlError, eql_sequence
 from elasticsearch_hadoop_spark.transform import (
@@ -171,3 +172,60 @@ def test_eql_sequence_until_expires_pending(spark):
         r["user_id"]
         for r in eql_sequence(df, by="user_id", ts="ts", steps=steps).collect()
     ) == [1, 2, 3, 4]
+
+
+def test_eql_sample_basic(spark):
+    """sample by key: one row per key matching EVERY filter, slot =
+    min (ts, payload) tuple; unordered (slots need not be chronological)."""
+    from elasticsearch_hadoop_spark.eql import EqlError, eql_sample
+
+    rows = [
+        # u1: has both a and b — b happens BEFORE a (a sequence would drop it)
+        (1, "u1", "b", "2024-01-01 00:00:00"),
+        (2, "u1", "a", "2024-01-01 01:00:00"),
+        (3, "u1", "a", "2024-01-01 02:00:00"),  # later a: not the slot pick
+        # u2: only a — no sample
+        (4, "u2", "a", "2024-01-01 00:00:00"),
+        # u3: both, with an ts tie on a broken by event_id
+        (5, "u3", "a", "2024-01-01 03:00:00"),
+        (6, "u3", "a", "2024-01-01 03:00:00"),
+        (7, "u3", "b", "2024-01-01 04:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user string, typ string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {
+        r["user"]: r
+        for r in eql_sample(
+            df, by="user", ts="ts",
+            filters=[{"term": {"typ": "a"}}, {"term": {"typ": "b"}}],
+            payload=["event_id"],
+        ).collect()
+    }
+    assert set(out) == {"u1", "u3"}
+    assert out["u1"]["step1_event_id"] == 2 and out["u1"]["step2_event_id"] == 1
+    assert out["u3"]["step1_event_id"] == 5  # ts tie -> smaller event_id
+    with pytest.raises(EqlError, match="at least one"):
+        eql_sample(df, by="user", ts="ts", filters=[])
+
+
+def test_eql_sample_single_agg_plan(spark):
+    """Scale posture: ONE partial+final aggregation pair over the join
+    key (SortAggregate — struct buffers aren't Tungsten-mutable, the
+    documented fallback), ONE shuffle, no join, no window."""
+    from elasticsearch_hadoop_spark.eql import eql_sample
+    from elasticsearch_hadoop_spark.plans import count_nodes, formatted_plan
+
+    df = spark.createDataFrame(
+        [(1, "u", "a", "2024-01-01 00:00:00")],
+        "event_id long, user string, typ string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    plan = formatted_plan(
+        eql_sample(df, by="user", ts="ts",
+                   filters=[{"term": {"typ": "a"}}, {"term": {"typ": "b"}}],
+                   payload=["event_id"])
+    )
+    assert count_nodes(plan, "SortAggregate") + count_nodes(plan, "HashAggregate") == 2
+    assert count_nodes(plan, "Exchange") <= 1
+    for absent in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert count_nodes(plan, absent) == 0
