@@ -42,14 +42,15 @@ def query(name: str, oracle: str | None = None):
 # never-graded new surface first, then drift-insurance re-grades of the
 # OLDEST banked verdicts.  Round-9 policy (VERDICT.md round-8 "Next
 # round" items 1/4/5):
-#   * slots 1-8: the round-9 net-new surfaces (ES SQL cursor paging,
+#   * slots 1-9: the round-9 net-new surfaces (ES SQL cursor paging,
 #     _mvt with_labels, _mvt sub-agg sort, composite geotile
 #     packed-numeric cursor, ES|QL CATEGORIZE, ES|QL BUCKET
-#     target-count, EQL sample, _analyze edge_ngram) — never graded;
-#   * slots 9-23: the 15 r2-era banked greens the round-8 net-new surface
+#     target-count, EQL sample, _analyze edge_ngram, SLM cycle) — never
+#     graded;
+#   * slots 10-24: the 15 r2-era banked greens the round-8 net-new surface
 #     displaced (VERDICT r8 "What's missing" #1 — 7 rounds stale while
 #     query_dsl/esql/aggs_dsl were rewritten underneath them);
-#   * the remaining 27 slots: the oldest r3-era greens, rewritten-library
+#   * the remaining 26 slots: the oldest r3-era greens, rewritten-library
 #     families (query_dsl, fn_*, write path, similarity, streaming) and
 #     bench anchors first.  The r3 names past slot 50 stay ordered here
 #     so round 10's window picks up exactly where this one stops.
@@ -63,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "esql_bucket_auto",
     "eql_sample_join",
     "search_analyze_edge_ngram",
+    "writepath_slm_cycle",
     # the 15 r2-era drift re-grades (latest verdict round 2 — computed
     # from CORRECTNESS_r0{1..8}.json)
     "pushdown_string_predicates",
@@ -81,7 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "udtf_bigrams",
     "window_ranking",
     # r3-era re-grades (latest verdict round 3), rewritten-library
-    # families and bench anchors first; 27 fit the round-9 window
+    # families and bench anchors first; 26 fit the round-9 window
     "query_dsl_match",
     "query_dsl_match_and_phrase",
     "query_dsl_nested",
@@ -108,9 +110,9 @@ PRIORITY: tuple[str, ...] = (
     "sample_topn_per_stratum",
     "stream_tumbling_window",
     "stream_event_rates",
-    "stream_live_tumbling",
     # --- round-9 window boundary (slot 50) — the tail below is the
     # ordered round-10 re-grade queue (remaining r3-era names)
+    "stream_live_tumbling",
     "subq_exists_priority",
     "subq_in_big_orders",
     "q2_min_cost_supplier",

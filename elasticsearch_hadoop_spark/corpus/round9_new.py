@@ -422,3 +422,68 @@ def search_analyze_edge_ngram(spark, sf_dir):
         .orderBy(F.col("n").desc(), "token")
         .limit(30)
     )
+
+
+@query(
+    "writepath_slm_cycle",
+    oracle="""
+SELECT 'nightly-2024.01.02-1704153600' AS snapshot,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+FROM events WHERE event_id % 3 IN (0, 1)
+UNION ALL
+SELECT 'nightly-2024.01.03-1704240000',
+       CAST(count(*) AS BIGINT), round(sum(value), 4)
+FROM events
+ORDER BY snapshot
+""",
+)
+def writepath_slm_cycle(spark, sf_dir):
+    """SLM policy lifecycle (slm.py): three nightly executions snapshot a
+    growing index (1/3 -> 2/3 -> all of events), then the retention tick
+    with max_count=2 deletes the oldest snapshot — the surviving two
+    read back with exactly the row sets frozen at their execution times
+    (a snapshot that leaked later appends, a retention pass that dropped
+    the wrong generation, or a broken date-math name all flip the hash).
+    Explicit `now` stamps make every snapshot name and retention
+    decision deterministic.  Each execution copies only the committed
+    row set; retention deletes directories without reading a row."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+    from elasticsearch_hadoop_spark.slm import (
+        execute_slm_policy,
+        put_slm_policy,
+        slm_retention_tick,
+    )
+
+    T0, DAY = 1704067200.0, 86400.0  # 2024-01-01 00:00:00 UTC
+    root = _workdir(sf_dir, "slm_cycle")
+    repo = f"{root}/repo"
+    cat = Catalog(spark, f"{root}/idx")
+    ev = tbl(spark, sf_dir, "events").select("event_id", "value")
+    put_slm_policy(cat, "nightly", {
+        "schedule": "0 30 1 * * ?",
+        "name": "<nightly-{now/d}>",
+        "repository": repo,
+        "config": {"indices": "ev"},
+        "retention": {"max_count": 2},
+    })
+    cat.write_index(ev.filter(F.col("event_id") % 3 == 0), "ev", mode="overwrite")
+    execute_slm_policy(cat, "nightly", now=T0)
+    cat.write_index(ev.filter(F.col("event_id") % 3 == 1), "ev")
+    s2 = execute_slm_policy(cat, "nightly", now=T0 + DAY)["snapshot_name"]
+    cat.write_index(ev.filter(F.col("event_id") % 3 == 2), "ev")
+    s3 = execute_slm_policy(cat, "nightly", now=T0 + 2 * DAY)["snapshot_name"]
+    dropped = slm_retention_tick(cat, "nightly", now=T0 + 3 * DAY)
+    assert len(dropped) == 1, dropped
+
+    parts = []
+    for snap in (s2, s3):
+        df = spark.read.parquet(f"{repo}/{snap}/ev/data")
+        parts.append(
+            df.agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            ).withColumn("snapshot", F.lit(snap))
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.select("snapshot", "n", "sum_value").orderBy("snapshot")
