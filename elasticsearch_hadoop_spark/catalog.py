@@ -1975,13 +1975,23 @@ class Catalog:
         fields = [(by_lower[f.lower()], asc) for f, asc in fields]
         from elasticsearch_hadoop_spark.search import lexicographic_after
 
+        # F.col parses a dot as struct access — a quoted identifier like
+        # `a.b` must stay backtick-escaped when building Columns (the raw
+        # name is still what Row access and the cursor state use)
+        def q(f: str) -> str:
+            return f"`{f}`" if "." in f else f
+
         page = df
         if after is not None:
             # null_aware: NULL key values page at Spark's default sort
             # position (asc first / desc last) instead of NULL-comparing
             # out of every later page
-            page = page.filter(lexicographic_after(fields, after, null_aware=True))
-        order = [F.col(f).asc() if asc else F.col(f).desc() for f, asc in fields]
+            page = page.filter(
+                lexicographic_after(
+                    [(q(f), asc) for f, asc in fields], after, null_aware=True
+                )
+            )
+        order = [F.col(q(f)).asc() if asc else F.col(q(f)).desc() for f, asc in fields]
         rows = page.orderBy(*order).limit(fetch_size).collect()
         next_cursor = None
         if len(rows) == fetch_size:

@@ -203,7 +203,11 @@ def eql_sample(
     slots = [
         F.min(
             F.when(
-                p,
+                # NULL-ts events can't take a slot: struct ordering sorts
+                # NULL fields FIRST, so without the gate a ts-less event
+                # would win over every real timestamp (and diverge from
+                # the documented NULLS-LAST SQL replay)
+                p & F.col(ts).isNotNull(),
                 F.struct(F.col(ts).alias(ts), *[F.col(c).alias(c) for c in payload]),
             )
         ).alias(f"__s{i}")

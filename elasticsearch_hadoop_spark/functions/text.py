@@ -239,8 +239,12 @@ def analyze_api(
     array expression per row."""
     if analyzer == "pattern":
         def fn(c):
-            base = F.lower(c) if lowercase else c
-            return F.filter(F.split(base, pattern), lambda t: F.length(t) > 0)
+            # ES's pattern analyzer = pattern TOKENIZER + lowercase token
+            # FILTER: split the ORIGINAL text, lower the tokens after — a
+            # case-sensitive pattern (e.g. split on [A-Z]+) must see the
+            # original case
+            toks = F.filter(F.split(c, pattern), lambda t: F.length(t) > 0)
+            return F.transform(toks, F.lower) if lowercase else toks
     elif analyzer in ("ngram", "edge_ngram"):
         if not (1 <= min_gram <= max_gram):
             raise ValueError(

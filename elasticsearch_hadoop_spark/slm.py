@@ -79,6 +79,15 @@ def validate_slm_policy(policy: dict) -> dict:
     for key in ("name", "repository"):
         if key not in policy:
             raise SlmError(f"SLM policy needs {key!r}")
+    nm = policy["name"]
+    # reject-don't-approximate (the ilm.validate_policy discipline): a
+    # date-math name this engine can't resolve must fail at PUT time,
+    # not mint a literal '<nightly-{now/M}>' directory at execute time
+    if (nm.startswith("<") or nm.endswith(">")) and not _NAME_RE.match(nm):
+        raise SlmError(
+            f"unsupported date-math snapshot name {nm!r} — only the "
+            "<prefix-{now/d}-suffix> form is implemented"
+        )
     ret = policy.get("retention", {})
     unknown = set(ret) - {"expire_after", "min_count", "max_count"}
     if unknown:
@@ -139,10 +148,23 @@ def execute_slm_policy(catalog, name: str, now: float | None = None) -> dict:
     indices = catalog.resolve_pattern(pattern)
     if not indices:
         raise SlmError(f"policy {name!r}: no indices match {pattern!r}")
-    manifests = [
-        catalog.snapshot_index(idx, policy["repository"], snapshot)
-        for idx in indices
-    ]
+    # all-or-nothing across the matched indices: a half-written snapshot
+    # with no history entry would be invisible to retention AND block a
+    # same-name retry forever — clean up what this call created, re-raise
+    manifests, done = [], []
+    try:
+        for idx in indices:
+            manifests.append(
+                catalog.snapshot_index(idx, policy["repository"], snapshot)
+            )
+            done.append(idx)
+    except Exception:
+        for idx in done:
+            shutil.rmtree(
+                os.path.join(policy["repository"], snapshot, idx),
+                ignore_errors=True,
+            )
+        raise
     entry["snapshots"].append({"snapshot": snapshot, "taken_at": now})
     _save(catalog, state)
     return {"snapshot_name": snapshot, "indices": indices, "manifests": manifests}

@@ -1283,3 +1283,18 @@ def test_sql_page_quoted_identifiers_and_case(spark, cat):
     assert [r[0] for r in resp["rows"]] == [1, 2, 3]
     resp = cat.sql_page("SELECT k FROM qi ORDER BY K DESC", fetch_size=10)
     assert [r[0] for r in resp["rows"]] == [3, 2, 1]
+
+
+def test_sql_page_backticked_dotted_alias(spark, cat):
+    """Review r9b-4: a quoted keyset name containing a dot must not be
+    parsed as struct access by the order/filter Column construction."""
+    cat.write_index(docs(spark, BASE), "dotted", id_col="k")
+    got, resp = [], cat.sql_page(
+        "SELECT k AS `a.b` FROM dotted ORDER BY `a.b` DESC", fetch_size=2
+    )
+    while True:
+        got.extend(r[0] for r in resp["rows"])
+        if resp["cursor"] is None:
+            break
+        resp = cat.sql_page(cursor=resp["cursor"])
+    assert got == [3, 2, 1]

@@ -1,7 +1,8 @@
 """The driver grades a bounded prefix of the registration order (the
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
 corpus/__init__.py under the round-9 window policy: the round-9 net-new
-surfaces lead (6 as of the final reorder), the 15 r2-era stale verdicts
+surfaces lead (9 as of the final reorder — corpus/__init__.py's slot
+comment is the authoritative count), the 15 r2-era stale verdicts
 follow, and the oldest r3-era banked greens fill the tail; every
 windowed query carries a
 DuckDB oracle (no rows-only slots), and the union of banked green

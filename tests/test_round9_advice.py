@@ -196,9 +196,10 @@ def test_bucket_date_rung_is_timezone_independent():
         "print(_bucket_pick_date_rung(8, datetime(2023, 2, 17, 0, 0, 0),"
         " datetime(2023, 2, 17, 23, 59, 59)))\n"
     )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     outs = set()
     for tz in ("UTC", "Asia/Kolkata", "America/New_York"):
-        env = dict(os.environ, TZ=tz, PYTHONPATH="/root/repo")
+        env = dict(os.environ, TZ=tz, PYTHONPATH=repo)
         outs.add(
             subprocess.run(
                 [sys.executable, "-c", code], capture_output=True, text=True,

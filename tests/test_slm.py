@@ -77,14 +77,16 @@ def test_execute_snapshots_matched_indices(cat, tmp_path):
 
 def test_retention_expire_after_respects_min_count(cat, tmp_path):
     put_slm_policy(cat, "p", _policy(tmp_path, expire_after="2d", min_count=2))
-    for i in range(4):
-        execute_slm_policy(cat, "p", now=T0 + i * DAY)
-    # at T0+10d all four exceed 2d — min_count keeps the newest 2
+    names = [
+        execute_slm_policy(cat, "p", now=T0 + i * DAY)["snapshot_name"]
+        for i in range(4)
+    ]
+    # at T0+10d all four exceed 2d — min_count keeps the newest 2, so
+    # exactly the two OLDEST drop
     dropped = slm_retention_tick(cat, "p", now=T0 + 10 * DAY)
-    assert len(dropped) == 2
-    assert all("2024.01.01" in dropped[0] or "2024.01.0" in d for d in dropped)
+    assert dropped == names[:2]
     kept = [s["snapshot"] for s in get_slm_policy(cat, "p")["snapshots"]]
-    assert len(kept) == 2 and all("2024.01.03" in kept[0] or True for _ in kept)
+    assert kept == names[2:]
     # the dropped snapshot dirs are gone, kept ones remain
     repo = str(tmp_path / "repo")
     for d in dropped:
@@ -113,3 +115,35 @@ def test_restore_from_slm_snapshot_roundtrip(cat, tmp_path):
     cat.restore_index(str(tmp_path / "repo"), snap, "logs-a", rename_to="logs-restored")
     got = {(r["k"], r["v"]) for r in cat.read_index("logs-restored").collect()}
     assert got == {(i, i * 3) for i in range(10)}
+
+
+def test_unsupported_date_math_rejected_at_put(cat, tmp_path):
+    """Review r9b-3: a valid-ES-but-unimplemented date-math name must
+    fail at PUT time, never mint a literal '<...{now/M}>' directory."""
+    pol = _policy(tmp_path, max_count=2)
+    pol["name"] = "<nightly-{now/M}>"
+    with pytest.raises(SlmError, match="date-math"):
+        put_slm_policy(cat, "bad", pol)
+
+
+def test_execute_cleans_up_partial_snapshot(cat, tmp_path, spark):
+    """Review r9b-7: a failure mid-execution must remove the already-
+    written index dirs so the snapshot name is not wedged forever."""
+    df = spark.range(5).select(F.col("id").alias("k"))
+    cat.write_index(df, "logs-b", mode="overwrite")
+    pol = _policy(tmp_path, max_count=5)
+    put_slm_policy(cat, "p", pol)
+    repo = str(tmp_path / "repo")
+    # pre-create the second index's snapshot dir so snapshot_index raises
+    # for logs-b AFTER logs-a succeeded
+    snap = "nightly-2024.01.01-1704067200"
+    os.makedirs(os.path.join(repo, snap, "logs-b"))
+    with pytest.raises(Exception):
+        execute_slm_policy(cat, "p", now=T0)
+    # the partially-written logs-a dir was cleaned up; no history entry
+    assert not os.path.exists(os.path.join(repo, snap, "logs-a"))
+    assert get_slm_policy(cat, "p")["snapshots"] == []
+    # the same now retries cleanly once the obstruction is gone
+    os.rmdir(os.path.join(repo, snap, "logs-b"))
+    out = execute_slm_policy(cat, "p", now=T0)
+    assert sorted(out["indices"]) == ["logs-a", "logs-b"]

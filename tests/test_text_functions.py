@@ -224,3 +224,16 @@ def test_analyze_api_edge_ngram_and_bounds(spark):
         analyze_api(df, "text", "ngram", min_gram=3, max_gram=2)
     with _p.raises(ValueError, match="unknown analyzer"):
         analyze_api(df, "text", "nope")
+
+
+def test_analyze_api_pattern_tokenizes_before_lowercase(spark):
+    """Review r9b-1: ES's pattern analyzer splits the ORIGINAL text and
+    lowercases tokens after — a case-sensitive pattern must see case."""
+    from elasticsearch_hadoop_spark.functions.text import analyze_api
+
+    df = spark.createDataFrame([("aXbYc",)], "text string")
+    toks = [
+        r["token"]
+        for r in analyze_api(df, "text", "pattern", pattern="[A-Z]+").collect()
+    ]
+    assert toks == ["a", "b", "c"]

@@ -229,3 +229,31 @@ def test_eql_sample_single_agg_plan(spark):
     assert count_nodes(plan, "Exchange") <= 1
     for absent in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert count_nodes(plan, absent) == 0
+
+
+def test_eql_sample_null_ts_event_cannot_take_slot(spark):
+    """Review r9b-2: struct ordering sorts NULL fields first — a NULL-ts
+    matching event must not win the slot over real timestamps."""
+    from elasticsearch_hadoop_spark.eql import eql_sample
+
+    rows = [
+        (1, "u1", "a", "2024-01-01 01:00:00"),
+        (2, "u1", "a", None),  # NULL ts: must not be the pick
+        (3, "u1", "b", "2024-01-01 02:00:00"),
+        (4, "u2", "a", None),  # only a NULL-ts match: no sample for u2
+        (5, "u2", "b", "2024-01-01 02:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user string, typ string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {
+        r["user"]: r
+        for r in eql_sample(
+            df, by="user", ts="ts",
+            filters=[{"term": {"typ": "a"}}, {"term": {"typ": "b"}}],
+            payload=["event_id"],
+        ).collect()
+    }
+    assert set(out) == {"u1"}
+    assert out["u1"]["step1_event_id"] == 1
+    assert out["u1"]["step1_ts"] is not None
