@@ -1919,6 +1919,7 @@ class Catalog:
         fetch_size: int = 1000,
         cursor: str | None = None,
         pattern: str = "*",
+        columnar: bool = False,
     ) -> dict:
         """ES SQL cursor paging: ``POST /_sql {"query":..., "fetch_size":N}``
         then ``POST /_sql {"cursor": ...}`` continuations.  Returns
@@ -1942,7 +1943,12 @@ class Catalog:
         long/int/string/double/bool (dates serialize as strings and come
         back as string literals — Spark's implicit cast compares them
         correctly against timestamp columns, but prefer epoch numbers in
-        the keyset)."""
+        the keyset).
+
+        ``columnar=True`` (ES's ``"columnar": true``) renders each page
+        column-major — ``"values": [[col1...], [col2...]]`` instead of
+        ``"rows"`` — and the mode persists through the cursor like ES's
+        does.  A pure response-shape transpose: the plan is identical."""
         import base64
 
         if cursor is not None:
@@ -1953,6 +1959,7 @@ class Catalog:
             fetch_size = state["fetch_size"]
             fields = [(f, bool(a)) for f, a in state["fields"]]
             after = state["after"]
+            columnar = bool(state.get("columnar", False))
         else:
             if sql is None:
                 raise ValueError("sql_page needs a statement or a cursor")
@@ -2001,18 +2008,25 @@ class Catalog:
                 "fetch_size": fetch_size,
                 "fields": [[f, asc] for f, asc in fields],
                 "after": [rows[-1][f] for f, _ in fields],
+                "columnar": columnar,
             }
             next_cursor = base64.b64encode(
                 json.dumps(state, default=str).encode()
             ).decode()
-        return {
+        out = {
             "columns": [
                 {"name": f.name, "type": f.dataType.simpleString()}
                 for f in df.schema.fields
             ],
-            "rows": [list(r) for r in rows],
             "cursor": next_cursor,
         }
+        if columnar:
+            out["values"] = [
+                [r[i] for r in rows] for i in range(len(df.columns))
+            ]
+        else:
+            out["rows"] = [list(r) for r in rows]
+        return out
 
     def sql_close_cursor(self, cursor: str) -> dict:
         """ES ``POST /_sql/close``.  Cursors here are stateless tokens —

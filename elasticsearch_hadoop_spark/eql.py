@@ -170,58 +170,93 @@ def eql_sample(
     ts: str,
     filters: list[dict],
     payload: list[str] | None = None,
+    size: int = 1,
 ) -> DataFrame:
     """EQL ``sample`` (8.6+): for every ``by`` key that has at least one
-    event matching EVERY filter, return one sample — one event per
-    filter slot — with ``step{i}_<ts>`` / ``step{i}_<payload>`` columns
-    (the eql_sequence output shape).  Unlike a sequence, samples are
-    UNORDERED: the slots need not be chronological and no maxspan
-    applies — ES's "these things co-occurred for this entity" query.
+    event matching EVERY filter, return up to ``size`` samples — one
+    event per filter slot per sample — with ``sample_seq`` (1-based) and
+    ``step{i}_<ts>`` / ``step{i}_<payload>`` columns (the eql_sequence
+    output shape).  Unlike a sequence, samples are UNORDERED: the slots
+    need not be chronological and no maxspan applies — ES's "these
+    things co-occurred for this entity" query.
 
-    Documented determinism deviation: ES returns up to ``size`` samples
-    per key with shard-order-dependent event picks; this engine returns
-    exactly ONE sample per key, each slot the minimum (ts, payload...)
-    tuple among that slot's matches — stable under any partitioning, so
-    a SQL oracle replays it exactly (pass a unique column, e.g. the
-    event id, first in ``payload`` to make the order total).
+    Documented determinism deviation: ES picks shard-order-dependent
+    event combinations; this engine's sample j pairs each slot's j-th
+    smallest (ts, payload...) tuple, so a key yields
+    min(size, fewest slot matches) samples — stable under any
+    partitioning, and a SQL oracle replays it exactly (pass a unique
+    column, e.g. the event id, first in ``payload`` to make the order
+    total; ES caps size at 10 — enforced).
 
-    Scale shape: ONE aggregation over the join key — each slot is a
-    conditional struct-min, so the partial aggregate combines map-side
-    and the single shuffle carries one row per (key x slot), never the
-    matching events themselves.  No joins, no window.  (Struct
-    aggregation buffers aren't Tungsten-mutable, so Spark plans the
-    pair as partial+final SortAggregate rather than HashAggregate —
-    the per-partition sort is the price of the typed payload; the
-    shuffle volume is identical.  If that sort ever dominates at
-    scale, encode (ts, payload) as one fixed-width sortable string and
-    min() becomes hash-aggregatable.)"""
+    Scale shape: ONE aggregation over the join key, no joins, no window.
+    ``size=1`` (the default) aggregates a conditional struct-MIN — the
+    partial combines map-side, the shuffle carries one row per
+    (key x slot), never the events.  (Struct aggregation buffers aren't
+    Tungsten-mutable, so the pair plans as partial+final SortAggregate;
+    shuffle volume is identical to a hash agg.  If the per-partition
+    sort ever dominates, encode (ts, payload) as one fixed-width
+    sortable string and min() becomes hash-aggregatable.)  ``size>1``
+    collects each slot's matches before the per-key sort+slice — the
+    shuffle then carries the matching events of hot keys, which is why
+    ES bounds size at 10 and so does this."""
     by = [by] if isinstance(by, str) else list(by)
     if not filters:
         raise EqlError("sample needs at least one filter")
+    if not 1 <= int(size) <= 10:
+        raise EqlError(f"sample size must be 1..10 (ES's own cap), got {size}")
+    size = int(size)
     payload = list(payload or [])
     preds = [compile_query(f) for f in filters]
-    slots = [
-        F.min(
-            F.when(
-                # NULL-ts events can't take a slot: struct ordering sorts
-                # NULL fields FIRST, so without the gate a ts-less event
-                # would win over every real timestamp (and diverge from
-                # the documented NULLS-LAST SQL replay)
-                p & F.col(ts).isNotNull(),
-                F.struct(F.col(ts).alias(ts), *[F.col(c).alias(c) for c in payload]),
+
+    def slot_struct(p):
+        # NULL-ts events can't take a slot: struct ordering sorts NULL
+        # fields FIRST, so without the gate a ts-less event would win
+        # over every real timestamp (and diverge from the documented
+        # NULLS-LAST SQL replay)
+        return F.when(
+            p & F.col(ts).isNotNull(),
+            F.struct(F.col(ts).alias(ts), *[F.col(c).alias(c) for c in payload]),
+        )
+
+    if size == 1:
+        slots = [
+            F.min(slot_struct(p)).alias(f"__s{i}")
+            for i, p in enumerate(preds, start=1)
+        ]
+        agg = df.groupBy(*by).agg(*slots)
+        cond = None
+        for i in range(1, len(preds) + 1):
+            c = F.col(f"__s{i}").isNotNull()
+            cond = c if cond is None else (cond & c)
+        out_cols = [F.col(c) for c in by]
+        out_cols.append(F.lit(1).cast("int").alias("sample_seq"))
+        for i in range(1, len(preds) + 1):
+            out_cols.append(F.col(f"__s{i}.{ts}").alias(f"step{i}_{ts}"))
+            out_cols.extend(
+                F.col(f"__s{i}.{c}").alias(f"step{i}_{c}") for c in payload
             )
+        return agg.filter(cond).select(*out_cols)
+
+    # size > 1: per slot, the size smallest (ts, payload) tuples —
+    # collect_list skips the unmatched NULLs, sort_array orders the
+    # struct tuples, slice caps the carry at `size` per (key x slot)
+    slots = [
+        F.slice(
+            F.sort_array(F.collect_list(slot_struct(p))), 1, size
         ).alias(f"__s{i}")
         for i, p in enumerate(preds, start=1)
     ]
     agg = df.groupBy(*by).agg(*slots)
-    cond = None
+    n = F.least(
+        F.lit(size), *[F.size(f"__s{i}") for i in range(1, len(preds) + 1)]
+    )
+    agg = agg.withColumn("__n", n).filter(F.col("__n") >= 1)
+    agg = agg.withColumn(
+        "sample_seq", F.explode(F.sequence(F.lit(1), F.col("__n")))
+    )
+    out_cols = [F.col(c) for c in by] + [F.col("sample_seq")]
     for i in range(1, len(preds) + 1):
-        c = F.col(f"__s{i}").isNotNull()
-        cond = c if cond is None else (cond & c)
-    out_cols = [F.col(c) for c in by]
-    for i in range(1, len(preds) + 1):
-        out_cols.append(F.col(f"__s{i}.{ts}").alias(f"step{i}_{ts}"))
-        out_cols.extend(
-            F.col(f"__s{i}.{c}").alias(f"step{i}_{c}") for c in payload
-        )
-    return agg.filter(cond).select(*out_cols)
+        el = F.get(F.col(f"__s{i}"), F.col("sample_seq") - 1)
+        out_cols.append(el[ts].alias(f"step{i}_{ts}"))
+        out_cols.extend(el[c].alias(f"step{i}_{c}") for c in payload)
+    return agg.select(*out_cols)

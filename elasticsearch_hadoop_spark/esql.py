@@ -279,12 +279,29 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
       non-negative indices only — documented subset)
     - ``MV_ZIP(a, b[, delim])`` -> pairwise concat_ws via zip_with
     - ``MV_SORT(x[, order])`` -> array_sort / sort_array(x, asc_bool)
+    - ``MV_PERCENTILE(x, p)`` -> linear interpolation over the sorted
+      values at rank (n-1)*p/100 (the PERCENTILE agg's R-7 rule; ES
+      computes mv_percentile the same way)
+    - ``MV_MEDIAN_ABSOLUTE_DEVIATION(x)`` -> median(|v - median(x)|)
 
-    The argument is inlined several times in MV_AVG/MV_MEDIAN — fine for
-    a column reference; pre-EVAL a temp column before calling these on
-    an expensive computed array."""
-    for name in ("mv_first", "mv_last", "mv_sum", "mv_avg", "mv_median",
-                 "mv_slice", "mv_zip", "mv_sort"):
+    The argument is inlined several times in MV_AVG/MV_MEDIAN (and
+    heavily in MV_PERCENTILE/MV_MAD) — fine for a column reference;
+    pre-EVAL a temp column before calling these on an expensive
+    computed array."""
+
+    def median_sql(x: str) -> str:
+        srt = f"array_sort({x})"
+        n = f"size({x})"
+        hi = f"CAST(try_element_at({srt}, CAST({n} div 2 + 1 AS INT)) AS DOUBLE)"
+        lo = f"CAST(try_element_at({srt}, CAST({n} div 2 AS INT)) AS DOUBLE)"
+        return (
+            f"(CASE WHEN {n} = 0 THEN NULL"
+            f" WHEN {n} % 2 = 1 THEN {hi}"
+            f" ELSE ({lo} + {hi}) / 2.0 END)"
+        )
+
+    for name in ("mv_first", "mv_last", "mv_sum", "mv_avg", "mv_median_absolute_deviation",
+                 "mv_median", "mv_percentile", "mv_slice", "mv_zip", "mv_sort"):
         pat = re.compile(rf"\b{name}\s*\(", flags=re.I)
         pos = 0
         while True:
@@ -343,6 +360,40 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
                 e = e[: m.start()] + rep + e[i:]
                 pos = m.start() + 1
                 continue
+            if name == "mv_percentile":
+                # MV_PERCENTILE(x, p): R-7 linear interpolation at rank
+                # (n-1)*p/100 over the sorted values — the PERCENTILE
+                # agg's rule, which is also how ES computes it
+                if len(args) != 2:
+                    raise EsqlError("MV_PERCENTILE needs (array, percentile)")
+                x, p = f"({args[0]})", f"({args[1]})"
+                srt, n = f"array_sort({x})", f"size({x})"
+                idx = f"(({n} - 1) * CAST({p} AS DOUBLE) / 100.0D)"
+                lo_i = f"(CAST(floor({idx}) AS INT) + 1)"
+                loval = f"CAST(try_element_at({srt}, {lo_i}) AS DOUBLE)"
+                hival = f"CAST(try_element_at({srt}, {lo_i} + 1) AS DOUBLE)"
+                rep = (
+                    f"(CASE WHEN {n} = 0 OR {p} < 0 OR {p} > 100 THEN NULL"
+                    f" ELSE {loval} + (coalesce({hival}, {loval}) - {loval})"
+                    f" * ({idx} - floor({idx})) END)"
+                )
+                e = e[: m.start()] + rep + e[i:]
+                pos = m.start() + 1
+                continue
+            if name == "mv_median_absolute_deviation":
+                if len(args) != 1:
+                    raise EsqlError(
+                        "MV_MEDIAN_ABSOLUTE_DEVIATION takes exactly one argument"
+                    )
+                x = f"({args[0]})"
+                dev = (
+                    f"transform({x}, v -> abs(CAST(v AS DOUBLE)"
+                    f" - {median_sql(x)}))"
+                )
+                rep = median_sql(dev)
+                e = e[: m.start()] + rep + e[i:]
+                pos = m.start() + 1
+                continue
             if len(args) != 1:
                 raise EsqlError(f"{name.upper()} takes exactly one argument")
             x = f"({args[0]})"
@@ -358,15 +409,7 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
             elif name == "mv_avg":
                 rep = f"(CASE WHEN size({x}) > 0 THEN {fold} / size({x}) END)"
             else:  # mv_median
-                srt = f"array_sort({x})"
-                n = f"size({x})"
-                mid_hi = (f"CAST(try_element_at({srt}, CAST({n} div 2 + 1 AS INT)) AS DOUBLE)")
-                mid_lo = (f"CAST(try_element_at({srt}, CAST({n} div 2 AS INT)) AS DOUBLE)")
-                rep = (
-                    f"(CASE WHEN {n} = 0 THEN NULL"
-                    f" WHEN {n} % 2 = 1 THEN {mid_hi}"
-                    f" ELSE ({mid_lo} + {mid_hi}) / 2.0 END)"
-                )
+                rep = median_sql(x)
             e = e[: m.start()] + rep + e[i:]
             pos = m.start() + 1
     return e
@@ -861,7 +904,9 @@ def _translate_expr(e: str) -> str:
             if name in _KEYWORDS or name in (
                 "cidr_match", "date_format", "date_parse", "locate",
                 "date_diff", "mv_first", "mv_last", "mv_sum", "mv_avg",
-                "mv_median", "mv_slice", "mv_zip", "mv_sort",
+                "mv_median", "mv_percentile",
+                "mv_median_absolute_deviation", "mv_slice", "mv_zip",
+                "mv_sort",
                 "from_base64", "sha256", "hash", "ip_prefix",
                 "to_geopoint", "st_distance", "st_x", "st_y",
             ):

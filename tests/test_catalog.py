@@ -1298,3 +1298,17 @@ def test_sql_page_backticked_dotted_alias(spark, cat):
             break
         resp = cat.sql_page(cursor=resp["cursor"])
     assert got == [3, 2, 1]
+
+
+def test_sql_page_columnar_mode(spark, cat):
+    """ES `"columnar": true`: pages render column-major as `values`,
+    and the mode persists through the cursor like ES's does."""
+    cat.write_index(docs(spark, BASE), "colr", id_col="k")
+    resp = cat.sql_page(
+        "SELECT k, v FROM colr ORDER BY k", fetch_size=2, columnar=True
+    )
+    assert "rows" not in resp
+    assert resp["values"] == [[1, 2], ["a", "b"]]
+    resp = cat.sql_page(cursor=resp["cursor"])  # mode persists
+    assert resp["values"] == [[3], ["c"]]
+    assert resp["cursor"] is None

@@ -1202,3 +1202,34 @@ def test_bucket_target_count_errors(spark):
     with pytest.raises(EsqlError, match="ISO date"):
         esql('FROM t | STATS n = COUNT(*) BY b = BUCKET(v, 10, "nope", "2023-01-01")',
              tables={"t": df})
+
+
+def test_mv_percentile_and_mad(spark):
+    """MV_PERCENTILE: R-7 linear interpolation at rank (n-1)*p/100;
+    MV_MAD: median of absolute deviations from the median."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [5.0]), (3, []), (4, [1.0, 9.0])],
+        "id int, xs array<double>",
+    )
+    out = {
+        r["id"]: (r["p50"], r["p90"], r["mad"])
+        for r in esql(
+            "FROM t | EVAL p50 = MV_PERCENTILE(xs, 50),"
+            " p90 = MV_PERCENTILE(xs, 90),"
+            " mad = MV_MEDIAN_ABSOLUTE_DEVIATION(xs)"
+            " | KEEP id, p50, p90, mad",
+            tables={"t": df},
+        ).collect()
+    }
+    assert out[1][0] == pytest.approx(2.5)          # R-7 median of 1..4
+    assert out[1][1] == pytest.approx(3.7)          # (4-1)*0.9=2.7 -> 3 + .7*(4-3)
+    # deviations from median 2.5: [1.5, .5, .5, 1.5] -> MAD = 1.0
+    assert out[1][2] == pytest.approx(1.0)
+    assert out[2] == (5.0, 5.0, 0.0)                # singleton: all itself
+    assert out[3] == (None, None, None)             # empty: NULL
+    assert out[4][2] == pytest.approx(4.0)          # |1-5|,|9-5| -> median 4
+    # out-of-domain percentile is NULL, not an error
+    bad = esql(
+        "FROM t | EVAL p = MV_PERCENTILE(xs, 101) | KEEP id, p", tables={"t": df}
+    ).collect()
+    assert all(r["p"] is None for r in bad)

@@ -257,3 +257,46 @@ def test_eql_sample_null_ts_event_cannot_take_slot(spark):
     assert set(out) == {"u1"}
     assert out["u1"]["step1_event_id"] == 1
     assert out["u1"]["step1_ts"] is not None
+
+
+def test_eql_sample_size_n_pairs_jth_smallest(spark):
+    """size>1: sample j pairs each slot's j-th smallest (ts, payload)
+    tuple; a key yields min(size, fewest slot matches) samples."""
+    from elasticsearch_hadoop_spark.eql import EqlError, eql_sample
+
+    rows = [
+        (1, "u1", "a", "2024-01-01 01:00:00"),
+        (2, "u1", "a", "2024-01-01 02:00:00"),
+        (3, "u1", "a", "2024-01-01 03:00:00"),
+        (4, "u1", "b", "2024-01-01 00:30:00"),
+        (5, "u1", "b", "2024-01-01 00:40:00"),
+        # u2: only one b — one sample max regardless of size
+        (6, "u2", "a", "2024-01-01 01:00:00"),
+        (7, "u2", "a", "2024-01-01 02:00:00"),
+        (8, "u2", "b", "2024-01-01 03:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user string, typ string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = eql_sample(
+        df, by="user", ts="ts",
+        filters=[{"term": {"typ": "a"}}, {"term": {"typ": "b"}}],
+        payload=["event_id"], size=3,
+    ).collect()
+    got = {(r["user"], r["sample_seq"]): (r["step1_event_id"], r["step2_event_id"])
+           for r in out}
+    # u1: min(3, min(3 a-matches, 2 b-matches)) = 2 samples
+    assert got == {
+        ("u1", 1): (1, 4),
+        ("u1", 2): (2, 5),
+        ("u2", 1): (6, 8),
+    }
+    # size=1 carries sample_seq too (stable schema across sizes)
+    one = eql_sample(
+        df, by="user", ts="ts",
+        filters=[{"term": {"typ": "a"}}], payload=["event_id"],
+    )
+    assert "sample_seq" in one.columns
+    with pytest.raises(EqlError, match="1..10"):
+        eql_sample(df, by="user", ts="ts",
+                   filters=[{"term": {"typ": "a"}}], size=11)
