@@ -350,3 +350,54 @@ def test_st_distance_predicate_stays_codegen(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "esql_st_distance")
     assert "PythonUDF" not in plan
     assert count_nodes(plan, "Exchange") <= 1
+
+
+def test_mvt_sorted_is_single_agg_plus_topk(spark, sf_dir):
+    """_mvt sub-agg sort: metric sub-aggs ride the ONE grid hash
+    aggregation and the size cut is a TakeOrderedAndProject over the
+    aggregated cells — never a global sort, never a second pass."""
+    plan = plan_of(spark, sf_dir, "search_mvt_sorted")
+    assert count_nodes(plan, "HashAggregate") == 2  # partial + final
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan and "CartesianProduct" not in plan
+
+
+def test_mvt_labels_no_second_pass(spark, sf_dir):
+    """with_labels: the label projection is post-aggregation codegen —
+    one aggregation pair, no extra exchange beyond the groupBy's."""
+    plan = plan_of(spark, sf_dir, "search_mvt_labels")
+    assert count_nodes(plan, "HashAggregate") == 2
+    assert count_nodes(plan, "Exchange") <= 2  # agg shuffle + final sort
+    assert "PythonUDF" not in plan
+
+
+def test_composite_geotile_page_is_topk_over_cells(spark, sf_dir):
+    """The packed-numeric cursor page: ordering happens over the
+    AGGREGATED cells (TakeOrderedAndProject), the packed helper column
+    never reaches the output."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+    from elasticsearch_hadoop_spark.plans import formatted_plan
+
+    c = REGISTRY["aggs_composite_geotile_page"].fn(spark, sf_dir)
+    assert list(c.columns) == ["page", "cell", "doc_count"]
+
+
+def test_categorize_stats_is_plain_hash_agg(spark, sf_dir):
+    """STATS BY CATEGORIZE: the category key is one codegen projection
+    feeding an ordinary partial+final hash aggregation; SORT+LIMIT fuses
+    to TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "esql_stats_categorize")
+    assert count_nodes(plan, "HashAggregate") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_eql_sample_join_single_agg_no_join(spark, sf_dir):
+    """EQL sample: one aggregation pair over the join key (SortAggregate
+    for struct buffers — documented), one exchange, NO join of the
+    per-filter streams."""
+    plan = plan_of(spark, sf_dir, "eql_sample_join")
+    aggs = count_nodes(plan, "SortAggregate") + count_nodes(plan, "HashAggregate")
+    assert aggs == 2
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
