@@ -1919,7 +1919,7 @@ class Catalog:
         fetch_size: int = 1000,
         cursor: str | None = None,
         pattern: str = "*",
-        columnar: bool = False,
+        columnar: bool | None = None,
     ) -> dict:
         """ES SQL cursor paging: ``POST /_sql {"query":..., "fetch_size":N}``
         then ``POST /_sql {"cursor": ...}`` continuations.  Returns
@@ -1948,7 +1948,9 @@ class Catalog:
         ``columnar=True`` (ES's ``"columnar": true``) renders each page
         column-major — ``"values": [[col1...], [col2...]]`` instead of
         ``"rows"`` — and the mode persists through the cursor like ES's
-        does.  A pure response-shape transpose: the plan is identical."""
+        does; passing an explicit ``columnar`` on a continuation that
+        DISAGREES with the cursor's mode raises, also like ES.  A pure
+        response-shape transpose: the plan is identical."""
         import base64
 
         if cursor is not None:
@@ -1959,12 +1961,20 @@ class Catalog:
             fetch_size = state["fetch_size"]
             fields = [(f, bool(a)) for f, a in state["fields"]]
             after = state["after"]
-            columnar = bool(state.get("columnar", False))
+            stored = bool(state.get("columnar", False))
+            if columnar is not None and bool(columnar) != stored:
+                raise ValueError(
+                    "columnar mismatch: this cursor was minted with "
+                    f"columnar={stored} (ES likewise rejects a changed "
+                    "columnar setting mid-scroll)"
+                )
+            columnar = stored
         else:
             if sql is None:
                 raise ValueError("sql_page needs a statement or a cursor")
             fields = self._sql_order_fields(sql)
             after = None
+            columnar = bool(columnar)
         fetch_size = int(fetch_size)
         if fetch_size <= 0:
             raise ValueError(f"fetch_size must be positive, got {fetch_size}")

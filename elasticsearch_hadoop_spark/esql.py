@@ -290,6 +290,12 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
     computed array."""
 
     def median_sql(x: str) -> str:
+        # NULL elements are SKIPPED (ES arrays never carry nulls; Spark
+        # arrays routinely do, and array_sort would park them LAST where
+        # they'd skew size/rank arithmetic toward the high end).  The
+        # lambda var is deliberately not `v` — callers nest this inside
+        # their own v-lambdas (MV_MAD's transform)
+        x = f"filter({x}, __mv -> __mv is not null)"
         srt = f"array_sort({x})"
         n = f"size({x})"
         hi = f"CAST(try_element_at({srt}, CAST({n} div 2 + 1 AS INT)) AS DOUBLE)"
@@ -367,6 +373,9 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
                 if len(args) != 2:
                     raise EsqlError("MV_PERCENTILE needs (array, percentile)")
                 x, p = f"({args[0]})", f"({args[1]})"
+                # same NULL-skip as median_sql (rank arithmetic needs a
+                # null-free sorted array)
+                x = f"filter({x}, __mv -> __mv is not null)"
                 srt, n = f"array_sort({x})", f"size({x})"
                 idx = f"(({n} - 1) * CAST({p} AS DOUBLE) / 100.0D)"
                 lo_i = f"(CAST(floor({idx}) AS INT) + 1)"

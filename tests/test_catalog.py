@@ -1312,3 +1312,15 @@ def test_sql_page_columnar_mode(spark, cat):
     resp = cat.sql_page(cursor=resp["cursor"])  # mode persists
     assert resp["values"] == [[3], ["c"]]
     assert resp["cursor"] is None
+
+
+def test_sql_page_columnar_mismatch_on_continuation_raises(spark, cat):
+    """Review r9c-3: an explicit columnar flag on a continuation that
+    disagrees with the cursor's minted mode raises (ES rejects a changed
+    columnar setting mid-scroll); omitting it inherits."""
+    cat.write_index(docs(spark, BASE), "colm", id_col="k")
+    resp = cat.sql_page("SELECT k FROM colm ORDER BY k", fetch_size=1)
+    with pytest.raises(ValueError, match="columnar mismatch"):
+        cat.sql_page(cursor=resp["cursor"], columnar=True)
+    nxt = cat.sql_page(cursor=resp["cursor"], columnar=False)  # agrees: fine
+    assert nxt["rows"] == [[2]]

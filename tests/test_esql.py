@@ -1233,3 +1233,21 @@ def test_mv_percentile_and_mad(spark):
         "FROM t | EVAL p = MV_PERCENTILE(xs, 101) | KEEP id, p", tables={"t": df}
     ).collect()
     assert all(r["p"] is None for r in bad)
+
+
+def test_mv_median_family_skips_null_elements(spark):
+    """Review r9c-2: NULL array elements are SKIPPED by the median
+    family (array_sort parks them last, where they'd skew size/rank
+    arithmetic toward the high end)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 3.0])], "id int, xs array<double>"
+    )
+    row = esql(
+        "FROM t | EVAL med = MV_MEDIAN(xs), p50 = MV_PERCENTILE(xs, 50),"
+        " mad = MV_MEDIAN_ABSOLUTE_DEVIATION(xs)"
+        " | KEEP med, p50, mad",
+        tables={"t": df},
+    ).collect()[0]
+    assert row["med"] == pytest.approx(2.0)
+    assert row["p50"] == pytest.approx(2.0)
+    assert row["mad"] == pytest.approx(1.0)

@@ -373,13 +373,18 @@ def test_mvt_labels_no_second_pass(spark, sf_dir):
 
 def test_composite_geotile_page_is_topk_over_cells(spark, sf_dir):
     """The packed-numeric cursor page: ordering happens over the
-    AGGREGATED cells (TakeOrderedAndProject), the packed helper column
+    AGGREGATED cells (TakeOrderedAndProject after the hash aggregation,
+    never a global sort of corpus rows), and the packed helper column
     never reaches the output."""
-    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
-    from elasticsearch_hadoop_spark.plans import formatted_plan
-
-    c = REGISTRY["aggs_composite_geotile_page"].fn(spark, sf_dir)
-    assert list(c.columns) == ["page", "cell", "doc_count"]
+    df = REGISTRY["aggs_composite_geotile_page"].fn(spark, sf_dir)
+    assert list(df.columns) == ["page", "cell", "doc_count"]
+    plan = plan_of(spark, sf_dir, "aggs_composite_geotile_page")
+    # two pages union'd: each is partial+final HashAggregate then the
+    # packed-order limit as TakeOrderedAndProject — no global Sort node
+    assert count_nodes(plan, "TakeOrderedAndProject") == 2
+    assert count_nodes(plan, "HashAggregate") == 4
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert not re.search(r"\bSort\b(?!Agg)", plan), "unexpected global sort"
 
 
 def test_categorize_stats_is_plain_hash_agg(spark, sf_dir):
