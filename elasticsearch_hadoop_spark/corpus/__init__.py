@@ -42,15 +42,15 @@ def query(name: str, oracle: str | None = None):
 # never-graded new surface first, then drift-insurance re-grades of the
 # OLDEST banked verdicts.  Round-9 policy (VERDICT.md round-8 "Next
 # round" items 1/4/5):
-#   * slots 1-9: the round-9 net-new surfaces (ES SQL cursor paging,
+#   * slots 1-11: the round-9 net-new surfaces (ES SQL cursor paging,
 #     _mvt with_labels, _mvt sub-agg sort, composite geotile
 #     packed-numeric cursor, ES|QL CATEGORIZE, ES|QL BUCKET
-#     target-count, EQL sample, _analyze edge_ngram, SLM cycle) — never
-#     graded;
-#   * slots 10-24: the 15 r2-era banked greens the round-8 net-new surface
+#     target-count, EQL sample + size=2, _analyze edge_ngram, SLM cycle,
+#     ES|QL MV percentile/MAD) — never graded;
+#   * slots 12-26: the 15 r2-era banked greens the round-8 net-new surface
 #     displaced (VERDICT r8 "What's missing" #1 — 7 rounds stale while
 #     query_dsl/esql/aggs_dsl were rewritten underneath them);
-#   * the remaining 26 slots: the oldest r3-era greens, rewritten-library
+#   * the remaining 24 slots: the oldest r3-era greens, rewritten-library
 #     families (query_dsl, fn_*, write path, similarity, streaming) and
 #     bench anchors first.  The r3 names past slot 50 stay ordered here
 #     so round 10's window picks up exactly where this one stops.
@@ -65,6 +65,8 @@ PRIORITY: tuple[str, ...] = (
     "eql_sample_join",
     "search_analyze_edge_ngram",
     "writepath_slm_cycle",
+    "esql_mv_percentile",
+    "eql_sample_multi",
     # the 15 r2-era drift re-grades (latest verdict round 2 — computed
     # from CORRECTNESS_r0{1..8}.json)
     "pushdown_string_predicates",
@@ -83,7 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "udtf_bigrams",
     "window_ranking",
     # r3-era re-grades (latest verdict round 3), rewritten-library
-    # families and bench anchors first; 26 fit the round-9 window
+    # families and bench anchors first; 24 fit the round-9 window
     "query_dsl_match",
     "query_dsl_match_and_phrase",
     "query_dsl_nested",

@@ -487,3 +487,107 @@ def writepath_slm_cycle(spark, sf_dir):
         )
     out = parts[0].unionByName(parts[1])
     return out.select("snapshot", "n", "sum_value").orderBy("snapshot")
+
+
+@query(
+    "esql_mv_percentile",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, list_sort(embedding) AS xs, len(embedding) AS n
+  FROM embeddings
+), m AS (
+  SELECT vec_id, xs, n,
+         (CAST(xs[CAST(n/2 AS INT)] AS DOUBLE)
+          + CAST(xs[CAST(n/2 AS INT) + 1] AS DOUBLE)) / 2.0 AS med,
+         (n - 1) * 90.0 / 100.0 AS idx
+  FROM s
+), p AS (
+  SELECT vec_id, med,
+         CAST(xs[CAST(floor(idx) AS INT) + 1] AS DOUBLE)
+           + (coalesce(CAST(xs[CAST(floor(idx) AS INT) + 2] AS DOUBLE),
+                       CAST(xs[CAST(floor(idx) AS INT) + 1] AS DOUBLE))
+              - CAST(xs[CAST(floor(idx) AS INT) + 1] AS DOUBLE))
+             * (idx - floor(idx)) AS p90,
+         (SELECT (d[CAST(m.n/2 AS INT)] + d[CAST(m.n/2 AS INT) + 1]) / 2.0
+          FROM (SELECT list_sort(list_transform(m.xs,
+                        v -> abs(CAST(v AS DOUBLE) - m.med))) AS d)) AS mad
+  FROM m
+)
+SELECT vec_id, round(med, 6) AS med, round(p90, 6) AS p90,
+       round(mad, 6) AS mad
+FROM p
+ORDER BY vec_id
+""",
+)
+def esql_mv_percentile(spark, sf_dir):
+    """ES|QL ``MV_PERCENTILE`` / ``MV_MEDIAN`` / ``MV_MEDIAN_ABSOLUTE_
+    DEVIATION`` over the 64-d embedding arrays (esql._rewrite_mv_funcs):
+    per-row R-7 interpolation at rank (n-1)*90/100, the even-count
+    two-middle median, and the median of absolute deviations — all pure
+    array codegen (sort + element arithmetic), no explode, no shuffle.
+    The oracle replays the exact formula text per statistic (same
+    element casts, same interpolation arithmetic), so a drifting rank
+    rule or NULL-handling change flips the hash."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    return esql(
+        "FROM embeddings"
+        " | EVAL med = MV_MEDIAN(embedding),"
+        " p90 = MV_PERCENTILE(embedding, 90),"
+        " mad = MV_MEDIAN_ABSOLUTE_DEVIATION(embedding)"
+        " | EVAL med = ROUND(med, 6), p90 = ROUND(p90, 6), mad = ROUND(mad, 6)"
+        " | KEEP vec_id, med, p90, mad"
+        " | SORT vec_id",
+        tables={"embeddings": tbl(spark, sf_dir, "embeddings")},
+    )
+
+
+@query(
+    "eql_sample_multi",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+  WHERE event_type IN ('view', 'click')
+)
+SELECT v.user_id, CAST(v.rn AS INT) AS sample_seq,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS step1_ts,
+       v.event_id AS step1_event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS step2_ts,
+       c.event_id AS step2_event_id
+FROM ranked v
+JOIN ranked c ON v.user_id = c.user_id AND v.rn = c.rn
+WHERE v.event_type = 'view' AND c.event_type = 'click' AND v.rn <= 2
+ORDER BY v.user_id, sample_seq
+""",
+)
+def eql_sample_multi(spark, sf_dir):
+    """EQL ``sample`` with ``size=2`` (eql.eql_sample size>1 path):
+    sample j pairs each slot's j-th smallest (ts, event_id) tuple, so a
+    user yields min(2, fewest slot matches) samples tagged
+    ``sample_seq``.  The collect path caps the per-(key x slot) carry at
+    size before the per-key sort+slice (ES bounds size at 10 for the
+    same reason); the oracle replays sample j as the rn=j row of each
+    slot's (ts, event_id) ranking."""
+    from elasticsearch_hadoop_spark.corpus._util import TS_FMT_SPARK
+    from elasticsearch_hadoop_spark.eql import eql_sample
+
+    ev = tbl(spark, sf_dir, "events")
+    out = eql_sample(
+        ev, by="user_id", ts="ts",
+        filters=[
+            {"term": {"event_type": "view"}},
+            {"term": {"event_type": "click"}},
+        ],
+        payload=["event_id"], size=2,
+    )
+    cols = [F.col("user_id"), F.col("sample_seq")]
+    for i in (1, 2):
+        cols.append(
+            F.date_format(F.col(f"step{i}_ts"), TS_FMT_SPARK).alias(f"step{i}_ts")
+        )
+        cols.append(F.col(f"step{i}_event_id"))
+    return out.select(*cols).orderBy("user_id", "sample_seq")
