@@ -1895,8 +1895,18 @@ class Catalog:
                 "unique key (the ES SQL fetch_size contract: without a "
                 "total order, page boundaries are undefined)"
             )
+        # split the ORDER BY tail on the BLANKED text (quoted spans are
+        # spaces there) and slice the ORIGINAL sql by those offsets — a
+        # raw split would break a backtick-quoted sort column that
+        # contains a comma mid-identifier
+        items, start = [], pos
+        for i in range(pos, len(blanked)):
+            if blanked[i] == ",":
+                items.append(sql[start:i])
+                start = i + 1
+        items.append(sql[start:])
         fields: list[tuple[str, bool]] = []
-        for item in sql[pos:].split(","):
+        for item in items:
             im = re.match(
                 r"^\s*(?:([A-Za-z_][A-Za-z0-9_.]*)|`([^`]+)`)\s*(ASC|DESC)?\s*$",
                 item,

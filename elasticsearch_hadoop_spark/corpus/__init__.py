@@ -40,80 +40,36 @@ def query(name: str, oracle: str | None = None):
 # (the first 50 queries, observed every round).  Every registered query
 # holds a banked GREEN verdict, so the graded window is pure upside:
 # never-graded new surface first, then drift-insurance re-grades of the
-# OLDEST banked verdicts.  Round-9 policy (VERDICT.md round-8 "Next
-# round" items 1/4/5):
-#   * slots 1-11: the round-9 net-new surfaces (ES SQL cursor paging,
-#     _mvt with_labels, _mvt sub-agg sort, composite geotile
-#     packed-numeric cursor, ES|QL CATEGORIZE, ES|QL BUCKET
-#     target-count, EQL sample + size=2, _analyze edge_ngram, SLM cycle,
-#     ES|QL MV percentile/MAD) — never graded;
-#   * slots 12-26: the 15 r2-era banked greens the round-8 net-new surface
-#     displaced (VERDICT r8 "What's missing" #1 — 7 rounds stale while
-#     query_dsl/esql/aggs_dsl were rewritten underneath them);
-#   * the remaining 24 slots: the oldest r3-era greens, rewritten-library
-#     families (query_dsl, fn_*, write path, similarity, streaming) and
-#     bench anchors first.  The r3 names past slot 50 stay ordered here
-#     so round 10's window picks up exactly where this one stops.
+# OLDEST banked verdicts.  Round-10 policy (VERDICT.md round-9 "Next
+# round" items 1/2/4):
+#   * slots 1-2: the round-10 net-new surfaces (ES SQL columnar response
+#     mode, ES|QL INLINESTATS multi-agg argmax) — never graded;
+#   * slot 3: eql_sample_multi — banked r9 green, but its size>1
+#     implementation CHANGED this round (the bounded-carry rewrite, r9
+#     verdict item 1), so the verdict must be re-earned on the new code;
+#   * slots 4-29: ALL 26 remaining r3-era stale verdicts (VERDICT r9
+#     "What's missing" #1 — 7 rounds stale while query_dsl/esql/
+#     aggs_dsl/text were rewritten underneath them), draining the r3
+#     tail to zero;
+#   * slots 30-50: the 21 oldest r4-era greens, rewritten-library
+#     families and bench anchors first (all 14 aggs_* names — aggs_dsl
+#     was rewritten twice since round 4 — plus query_dsl scoring/fuzzy,
+#     join_asof, the r9-fixed writepath_zorder_read, the expensive
+#     dedup_cluster_components, similarity_sq_topk,
+#     stream_session_window).  The remaining 29 r4-era names stay
+#     ordered below the boundary so round 11's window picks up exactly
+#     where this one stops.
 PRIORITY: tuple[str, ...] = (
-    # round-9 net-new (never graded) lead
-    "writepath_es_sql_cursor",
-    "search_mvt_labels",
-    "search_mvt_sorted",
-    "aggs_composite_geotile_page",
-    "esql_stats_categorize",
-    "esql_bucket_auto",
-    "eql_sample_join",
-    "search_analyze_edge_ngram",
-    "writepath_slm_cycle",
-    "esql_mv_percentile",
+    # round-10 net-new (never graded) lead
+    "writepath_es_sql_columnar",
+    "esql_inlinestats_argmax",
+    # changed-implementation re-grade (r9 verdict item 1)
     "eql_sample_multi",
-    # the 15 r2-era drift re-grades (latest verdict round 2 — computed
-    # from CORRECTNESS_r0{1..8}.json)
-    "pushdown_string_predicates",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q20_potential_promotion",
-    "q4_order_priority",
-    "query_dsl_bool",
-    "set_ops",
-    "sketch_hll_rollup_merge",
-    "skew_salted_join",
-    "stream_live_dedup",
-    "subq_correlated_scalar",
-    "topk_global",
-    "udf_pandas_scalar",
-    "udtf_bigrams",
-    "window_ranking",
-    # r3-era re-grades (latest verdict round 3), rewritten-library
-    # families and bench anchors first; 24 fit the round-9 window
-    "query_dsl_match",
-    "query_dsl_match_and_phrase",
-    "query_dsl_nested",
-    "query_dsl_uri",
-    "query_dsl_wildcard_prefix",
-    "fn_math",
-    "fn_string",
-    "fn_date",
-    "writepath_sink_upsert",
-    "writepath_esdocs_roundtrip",
-    "writepath_json_ingest",
-    "writepath_dynamic_routing",
-    "writepath_reindex_alias",
-    "writepath_delete_update_by_query",
-    "writepath_stream_sink",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "aggs_composite_page",
-    "aggs_pipeline_derivative",
-    "aggs_rare_terms",
-    "aggs_significant_terms",
-    "sample_train_test_split",
-    "sample_stratified",
-    "sample_topn_per_stratum",
+    # the 26 r3-era drift re-grades (latest verdict round 3 — computed
+    # from CORRECTNESS_r0{1..9}.json); the two names the driver cut at
+    # slot 50 last round go first
     "stream_tumbling_window",
     "stream_event_rates",
-    # --- round-9 window boundary (slot 50) — the tail below is the
-    # ordered round-10 re-grade queue (remaining r3-era names)
     "stream_live_tumbling",
     "subq_exists_priority",
     "subq_in_big_orders",
@@ -138,6 +94,59 @@ PRIORITY: tuple[str, ...] = (
     "window_lag_lead",
     "window_running_frames",
     "multimodal_features",
+    # the 21 oldest r4-era re-grades (latest verdict round 4)
+    "aggs_adjacency_matrix",
+    "aggs_auto_date_histogram",
+    "aggs_boxplot_mad",
+    "aggs_date_histogram_nested",
+    "aggs_date_range",
+    "aggs_extended_stats",
+    "aggs_geohash_grid",
+    "aggs_geotile_grid",
+    "aggs_histogram_empty_buckets",
+    "aggs_multi_terms",
+    "aggs_percentile_ranks",
+    "aggs_pipeline_sibling",
+    "aggs_serial_diff_bucket_sort",
+    "aggs_terms_custom_order",
+    "query_dsl_function_score",
+    "query_dsl_fuzzy",
+    "join_asof",
+    "writepath_zorder_read",
+    "dedup_cluster_components",
+    "similarity_sq_topk",
+    "stream_session_window",
+    # --- round-10 window boundary (slot 50) — the tail below is the
+    # ordered round-11 re-grade queue (remaining r4-era names)
+    "fn_conditional",
+    "pack_sequences_by_lang",
+    "pack_utilization",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_by_flag",
+    "q14_promo_revenue",
+    "q19_disjunctive_filter",
+    "runtime_fields_script",
+    "search_after_page",
+    "search_collapse",
+    "search_highlight",
+    "search_suggest_term",
+    "search_terms_enum",
+    "similarity_range_search",
+    "similarity_topk_per_label",
+    "stream_sliding_window",
+    "text_decontaminate",
+    "text_redact_pii",
+    "text_repetition_signals",
+    "udf_row_scalar",
+    "window_range_frame",
+    "writepath_bucketed_join",
+    "writepath_compact_vacuum",
+    "writepath_count",
+    "writepath_csv_ingest",
+    "writepath_geo_ingest",
+    "writepath_stream_source",
+    "writepath_time_travel",
 )
 
 
@@ -161,6 +170,7 @@ def load_all() -> dict[str, QuerySpec]:
         round8_new,
         round8_pending,
         round9_new,
+        round10_new,
         sampling,
         scalar_functions,
         search_surface,

@@ -1,0 +1,135 @@
+"""Round-10 net-new graded surface: ES SQL columnar response mode
+(``POST /_sql {"columnar": true}`` pages over catalog.sql_page, the mode
+persisting through the cursor) and ES|QL ``INLINESTATS`` (the STATS
+joined-back-onto-source command, 8.11+).
+
+Same contract as every corpus module: the Spark query and the DuckDB
+oracle sit side by side with identical aliases and rounding, so the
+driver's column-sorted value hash compares them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.corpus import query
+from elasticsearch_hadoop_spark.corpus._util import tbl
+
+
+@query(
+    "writepath_es_sql_columnar",
+    oracle="""
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         row_number() OVER (
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity, 2) AS qty,
+       round(l_extendedprice, 2) AS price,
+       CAST(ceil(rn / 30.0) AS BIGINT) AS page
+FROM ranked
+WHERE rn <= 90
+ORDER BY rn
+""",
+)
+def writepath_es_sql_columnar(spark, sf_dir):
+    """ES SQL COLUMNAR response mode (``POST /_sql {"query", "fetch_size",
+    "columnar": true}`` — catalog.sql_page): write lineitem into a managed
+    index, page the statement three 30-row pages with each page rendered
+    column-major (``values`` = one array per projected column, ES's exact
+    response shape), the mode persisting through the opaque cursor, and
+    rebuild the row set by transposing every page.  Exercises what the
+    row-mode cursor query can't: the per-page transpose must keep columns
+    parallel (a values array off by one row, a page that re-orders
+    columns, or a cursor that forgets the minted mode flips the hash).
+    The PLAN is identical to row mode — keyset filter +
+    TakeOrderedAndProject per page, O(page) at any corpus size — because
+    columnar is a response-shape concern, not an execution one (the same
+    reason ES documents it as a transport option)."""
+    from elasticsearch_hadoop_spark.catalog import Catalog
+    from elasticsearch_hadoop_spark.corpus.write_path import _workdir
+
+    root = _workdir(sf_dir, "es_sql_columnar")
+    cat = Catalog(spark, root)
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    cat.write_index(li, "li", mode="overwrite")
+
+    stmt = (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM li "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber"
+    )
+    pages: list[list[tuple]] = []
+    resp = cat.sql_page(stmt, fetch_size=30, columnar=True)
+    pages.append(list(zip(*resp["values"])))
+    for _ in range(2):
+        assert resp["cursor"] is not None
+        assert "rows" not in resp  # columnar pages carry values only
+        resp = cat.sql_page(cursor=resp["cursor"])  # mode persists
+        pages.append(list(zip(*resp["values"])))
+    if resp["cursor"]:
+        cat.sql_close_cursor(resp["cursor"])
+    rows = [
+        tuple(r) + (page_no,)
+        for page_no, page in enumerate(pages, start=1)
+        for r in page
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, page long",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("qty"),
+        F.round("l_extendedprice", 2).alias("price"),
+        "page",
+    ).orderBy(F.col("price").desc(), "l_orderkey", "l_linenumber")
+
+
+@query(
+    "esql_inlinestats_argmax",
+    oracle="""
+WITH w AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS max_price,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n_orders
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey,
+       round(max_price, 2) AS top,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM w
+WHERE o_totalprice = max_price
+ORDER BY o_orderpriority, o_orderkey
+""",
+)
+def esql_inlinestats_argmax(spark, sf_dir):
+    """ES|QL ``INLINESTATS`` (8.11+, esql's joined-back STATS): attach
+    each priority group's MAX(o_totalprice) and COUNT(*) to every order
+    row, then keep the rows that ARE their group's maximum — the argmax
+    idiom INLINESTATS exists for (a plain STATS loses the matching row).
+    The filter compares o_totalprice == max_price — an exact selection
+    of an existing value, never arithmetic, so the float equality is
+    deterministic on both engines.  Scale shape: ONE hash aggregation
+    over the 5 priority keys, then the 5-row aggregate joins back
+    broadcast (AQE sees the tiny build side); the source never shuffles.
+    The oracle replays the join-back as analytic window functions — the
+    same semantics by construction."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    return esql(
+        "FROM orders"
+        " | INLINESTATS max_price = MAX(o_totalprice),"
+        " n_orders = COUNT(*) BY o_orderpriority"
+        " | WHERE o_totalprice == max_price"
+        " | EVAL top = ROUND(max_price, 2)"
+        " | KEEP o_orderpriority, o_orderkey, top, n_orders"
+        " | SORT o_orderpriority, o_orderkey",
+        tables={"orders": tbl(spark, sf_dir, "orders")},
+    )

@@ -189,7 +189,7 @@ def esql_stats_categorize(spark, sf_dir):
     "esql_bucket_auto",
     oracle="""
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS m,
-       floor(o_totalprice / 25000.0) * 25000.0 AS pb,
+       floor(o_totalprice / 50000.0) * 50000.0 AS pb,
        CAST(count(*) AS BIGINT) AS n,
        round(sum(o_totalprice), 2) AS rev
 FROM orders
@@ -201,8 +201,10 @@ def esql_bucket_auto(spark, sf_dir):
     """ES|QL ``BUCKET`` target-bucket-count overload (esql._rewrite_bucket
     4-arg path): date bounds spanning 1995-2002 at 100 buckets resolve to
     the calendar-month rung (85 months fit, weeks don't), and numeric
-    bounds 1000..500000 at 20 buckets resolve to the nice span 25000
-    ({1,2.5,5,10}x10^k ladder — the ES docs' salary example arithmetic).
+    bounds 1000..500000 at 20 buckets resolve to span 50000 (upstream
+    Bucket.pickRounding: precise 24950 -> nextPowerOfTen 100000,
+    halfPower 50000 — only {5,10}x10^k spans, the ES docs' salary
+    example arithmetic).
     Span resolution happens at COMPILE time from the literal bounds, so
     the runtime plan is the same floor/date_trunc codegen as the explicit
     -span form; the oracle restates the resolved spans directly."""
@@ -568,10 +570,13 @@ def eql_sample_multi(spark, sf_dir):
     """EQL ``sample`` with ``size=2`` (eql.eql_sample size>1 path):
     sample j pairs each slot's j-th smallest (ts, event_id) tuple, so a
     user yields min(2, fewest slot matches) samples tagged
-    ``sample_seq``.  The collect path caps the per-(key x slot) carry at
-    size before the per-key sort+slice (ES bounds size at 10 for the
-    same reason); the oracle replays sample j as the rn=j row of each
-    slot's (ts, event_id) ranking."""
+    ``sample_seq``.  The carry is pre-bounded BEFORE the groupBy with
+    ``row_number() OVER (PARTITION BY user_id, slot ORDER BY ts,
+    event_id) <= size`` (r9 verdict item 1 — no aggregation buffer ever
+    holds more than size structs per key x slot; a hot key spills a
+    sort instead of OOMing an executor); the oracle replays sample j as
+    the rn=j row of each slot's (ts, event_id) ranking — the very same
+    window."""
     from elasticsearch_hadoop_spark.corpus._util import TS_FMT_SPARK
     from elasticsearch_hadoop_spark.eql import eql_sample
 

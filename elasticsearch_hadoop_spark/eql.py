@@ -196,9 +196,13 @@ def eql_sample(
     shuffle volume is identical to a hash agg.  If the per-partition
     sort ever dominates, encode (ts, payload) as one fixed-width
     sortable string and min() becomes hash-aggregatable.)  ``size>1``
-    collects each slot's matches before the per-key sort+slice — the
-    shuffle then carries the matching events of hot keys, which is why
-    ES bounds size at 10 and so does this."""
+    pre-bounds the carry with ``row_number() OVER (PARTITION BY by, slot
+    ORDER BY ts, payload...) <= size`` BEFORE the groupBy, so no
+    aggregation buffer ever holds more than ``size`` structs per
+    (key x slot) — a hot key costs a spillable per-partition sort, never
+    executor memory.  Two shuffles ((by, slot) window + by agg) instead
+    of one, the price of the bound; ES caps size at 10 and so does
+    this."""
     by = [by] if isinstance(by, str) else list(by)
     if not filters:
         raise EqlError("sample needs at least one filter")
@@ -237,16 +241,47 @@ def eql_sample(
             )
         return agg.filter(cond).select(*out_cols)
 
-    # size > 1: per slot, the size smallest (ts, payload) tuples —
-    # collect_list skips the unmatched NULLs, sort_array orders the
-    # struct tuples, slice caps the carry at `size` per (key x slot)
+    # size > 1: bound the carry BEFORE any aggregation buffer exists
+    # (r9 verdict item 1 — a slice AFTER collect_list still accumulates
+    # every hot-key match in one executor buffer: an OOM at scale, not a
+    # slowdown).  A row may match several slots, so tag each row with
+    # its matching slot ids (array -> drop NULLs -> explode), keep only
+    # each (key x slot)'s `size` smallest (ts, payload...) tuples with a
+    # row_number window — the per-partition sort spills to disk, an
+    # aggregation buffer does not — and only THEN collect.  No buffer
+    # ever holds more than `size` structs per (key x slot); a hot key
+    # (one bot user with millions of matching events) costs a
+    # disk-backed sort, never executor memory.  Spark plans the cap as
+    # WindowGroupLimit Partial+Final (pinned in tests), so each map task
+    # locally drops past-`size` rows BEFORE the exchange — the hot key's
+    # millions of events never even shuffle.
+    matched = F.array(
+        *[
+            F.when(p & F.col(ts).isNotNull(), F.lit(i))
+            for i, p in enumerate(preds, start=1)
+        ]
+    )
+    ev = df.select(
+        *by,
+        F.col(ts),
+        *[F.col(c) for c in payload],
+        F.explode(F.filter(matched, lambda x: x.isNotNull())).alias("__slot"),
+    )
+    w = Window.partitionBy(*by, "__slot").orderBy(
+        F.col(ts), *[F.col(c) for c in payload]
+    )
+    ev = ev.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= size)
+    # the window's (ts, payload...) order and the struct sort below are
+    # the same lexicographic order (NULL payload fields first in both),
+    # so the surviving <= size tuples ARE each slot's j-th smallest
+    tup = F.struct(F.col(ts).alias(ts), *[F.col(c).alias(c) for c in payload])
     slots = [
-        F.slice(
-            F.sort_array(F.collect_list(slot_struct(p))), 1, size
-        ).alias(f"__s{i}")
-        for i, p in enumerate(preds, start=1)
+        F.sort_array(F.collect_list(F.when(F.col("__slot") == i, tup))).alias(
+            f"__s{i}"
+        )
+        for i in range(1, len(preds) + 1)
     ]
-    agg = df.groupBy(*by).agg(*slots)
+    agg = ev.groupBy(*by).agg(*slots)
     n = F.least(
         F.lit(size), *[F.size(f"__s{i}") for i in range(1, len(preds) + 1)]
     )

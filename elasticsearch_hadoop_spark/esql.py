@@ -663,10 +663,14 @@ def _rewrite_cidr_match(e: str, lits: list[str]) -> str:
 
 
 def _bucket_pick_numeric_span(count: int, frm: float, to: float) -> float:
-    """ES|QL BUCKET target-count numeric mode: the "nice" span — the
-    smallest of {1, 2.5, 5, 10} x 10^floor(log10((to-from)/count)) that
-    covers the precise width (ES's own rounding ladder; the docs example
-    BUCKET(salary, 20, 25324, 74999) -> 2500 reproduces exactly)."""
+    """ES|QL BUCKET target-count numeric mode, upstream
+    ``Bucket.pickRounding`` exactly: ``precise = (to - from) / count``,
+    ``nextPowerOfTen = 10^ceil(log10(precise))``, ``halfPower =
+    nextPowerOfTen / 2`` — return halfPower when precise < halfPower,
+    else nextPowerOfTen.  Only {5, 10} x 10^k spans exist upstream (NOT
+    a {1, 2.5, 5, 10} ladder); the docs example BUCKET(salary, 20,
+    25324, 74999) yields 5000-wide buckets (keys 25000, 30000, ...,
+    70000) and so does this."""
     import math
 
     if count <= 0:
@@ -674,11 +678,9 @@ def _bucket_pick_numeric_span(count: int, frm: float, to: float) -> float:
     precise = (to - frm) / count
     if precise <= 0:
         raise EsqlError(f"BUCKET: range [{frm}, {to}] is empty")
-    p10 = 10.0 ** math.floor(math.log10(precise))
-    for mult in (1.0, 2.5, 5.0, 10.0):
-        if mult * p10 >= precise:
-            return mult * p10
-    return 10.0 * p10  # unreachable: 10*p10 > precise by construction
+    next_p10 = 10.0 ** math.ceil(math.log10(precise))
+    half = next_p10 / 2.0
+    return half if precise < half else next_p10
 
 
 def _bucket_pick_date_rung(count: int, frm, to):
@@ -745,7 +747,7 @@ def _rewrite_bucket(e: str, lits: list[str] | None = None) -> str:
     ``BUCKET(expr, target_count, from, to)`` — the target-bucket-count
     overload — resolves the span AT COMPILE TIME from the literal
     from/to bounds (ES evaluates them from constants too): numeric
-    bounds pick the nice {1, 2.5, 5, 10}x10^k span, date bounds pick the
+    bounds pick the upstream {5, 10}x10^k span, date bounds pick the
     finest auto_date_histogram rung (plus calendar month/year) whose
     bucket count fits the target.  The un-bounded form (ES derives
     min/max from the data when bounds are omitted) is not supported —

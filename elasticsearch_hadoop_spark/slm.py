@@ -150,10 +150,20 @@ def execute_slm_policy(catalog, name: str, now: float | None = None) -> dict:
         raise SlmError(f"policy {name!r}: no indices match {pattern!r}")
     # all-or-nothing across the matched indices: a half-written snapshot
     # with no history entry would be invisible to retention AND block a
-    # same-name retry forever — clean up what this call created, re-raise
+    # same-name retry forever — clean up what this call created, re-raise.
+    # The cleanup must include the IN-FLIGHT index, not just `done`: the
+    # parquet write creates repo/<snapshot>/<idx>/ before it finishes, so
+    # a raise mid-write leaves a partial directory that would make a
+    # same-`now` retry (the advertised idempotent-tick pattern) hit
+    # IndexExistsError forever.  But ONLY when that directory did not
+    # exist before the call — an obstruction created by someone else
+    # (snapshot_index's own exists-check raise) is not ours to delete.
     manifests, done = [], []
+    in_flight, pre_existing = None, False
     try:
         for idx in indices:
+            in_flight = os.path.join(policy["repository"], snapshot, idx)
+            pre_existing = os.path.exists(in_flight)
             manifests.append(
                 catalog.snapshot_index(idx, policy["repository"], snapshot)
             )
@@ -164,6 +174,8 @@ def execute_slm_policy(catalog, name: str, now: float | None = None) -> dict:
                 os.path.join(policy["repository"], snapshot, idx),
                 ignore_errors=True,
             )
+        if in_flight is not None and not pre_existing:
+            shutil.rmtree(in_flight, ignore_errors=True)
         raise
     entry["snapshots"].append({"snapshot": snapshot, "taken_at": now})
     _save(catalog, state)

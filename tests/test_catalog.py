@@ -1300,6 +1300,22 @@ def test_sql_page_backticked_dotted_alias(spark, cat):
     assert got == [3, 2, 1]
 
 
+def test_sql_page_backticked_comma_alias(spark, cat):
+    """ADVICE r9-3: a backtick-quoted sort column CONTAINING A COMMA must
+    not be split mid-identifier by the ORDER BY item scan — sort items
+    split on the blanked text, where quoted spans are spaces."""
+    cat.write_index(docs(spark, BASE), "commas", id_col="k")
+    got, resp = [], cat.sql_page(
+        "SELECT k AS `a,b` FROM commas ORDER BY `a,b` DESC", fetch_size=2
+    )
+    while True:
+        got.extend(r[0] for r in resp["rows"])
+        if resp["cursor"] is None:
+            break
+        resp = cat.sql_page(cursor=resp["cursor"])
+    assert got == [3, 2, 1]
+
+
 def test_sql_page_columnar_mode(spark, cat):
     """ES `"columnar": true`: pages render column-major as `values`,
     and the mode persists through the cursor like ES's does."""

@@ -1150,8 +1150,10 @@ def test_stats_by_categorize(spark):
 
 
 def test_bucket_target_count_numeric(spark):
-    """BUCKET(expr, count, from, to): the nice-span ladder reproduces the
-    ES docs example — BUCKET(salary, 20, 25324, 74999) buckets by 2500."""
+    """BUCKET(expr, count, from, to): upstream Bucket.pickRounding
+    reproduces the ES docs example — BUCKET(salary, 20, 25324, 74999)
+    buckets by 5000 (precise 2483.75 -> nextPowerOfTen 10000, halfPower
+    5000, precise < half -> 5000)."""
     df = spark.createDataFrame(
         [(25324.0,), (26000.0,), (49817.0,), (74999.0,)], "salary double"
     )
@@ -1161,7 +1163,7 @@ def test_bucket_target_count_numeric(spark):
         tables={"t": df},
     ).collect()
     assert [(r["b"], r["n"]) for r in out] == [
-        (25000.0, 2), (47500.0, 1), (72500.0, 1)
+        (25000.0, 2), (45000.0, 1), (70000.0, 1)
     ]
 
 

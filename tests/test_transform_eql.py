@@ -300,3 +300,34 @@ def test_eql_sample_size_n_pairs_jth_smallest(spark):
     with pytest.raises(EqlError, match="1..10"):
         eql_sample(df, by="user", ts="ts",
                    filters=[{"term": {"typ": "a"}}], size=11)
+
+
+def test_eql_sample_size_n_bounded_carry_plan(spark):
+    """r9 verdict item 1: size>1 pre-bounds the per-(key x slot) carry
+    BEFORE the groupBy — the plan must show the row_number cap as
+    WindowGroupLimit Partial+Final (map tasks drop past-size rows before
+    the exchange; a hot key's events never shuffle), the __rn filter
+    upstream of the collect aggregation, and still no join."""
+    from elasticsearch_hadoop_spark.eql import eql_sample
+    from elasticsearch_hadoop_spark.plans import count_nodes, formatted_plan
+
+    df = spark.createDataFrame(
+        [(1, "u", "a", "2024-01-01 00:00:00")],
+        "event_id long, user string, typ string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    plan = formatted_plan(
+        eql_sample(df, by="user", ts="ts",
+                   filters=[{"term": {"typ": "a"}}, {"term": {"typ": "b"}}],
+                   payload=["event_id"], size=2)
+    )
+    # map-side Partial + reduce-side Final cap at size=2
+    assert count_nodes(plan, "WindowGroupLimit") == 2
+    assert "row_number()" in plan and ", 2, Partial" in plan
+    assert "__rn" in plan  # the <= size filter survives into the plan
+    for absent in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert count_nodes(plan, absent) == 0
+    # the collect aggregation pair still runs (over <= size rows/slot)
+    aggs = (count_nodes(plan, "ObjectHashAggregate")
+            + count_nodes(plan, "SortAggregate")
+            + count_nodes(plan, "HashAggregate"))
+    assert aggs == 2

@@ -61,6 +61,15 @@ def dump_canon(name, side, rows, cols):
         f.write("\n".join(canon_lines(rows, cols)) + "\n")
 
 qs, oracles = e.queries(), e.oracle_sql()
+# SPARK_GRAFT_ONLY=a,b,c restricts the sweep to named queries (iteration
+# aid; the round's acceptance runs stay full-corpus)
+_only = os.environ.get("SPARK_GRAFT_ONLY")
+if _only:
+    _keep = {n.strip() for n in _only.split(",") if n.strip()}
+    _missing = _keep - set(qs)
+    if _missing:
+        sys.exit(f"SPARK_GRAFT_ONLY names not registered: {sorted(_missing)}")
+    qs = {n: f for n, f in qs.items() if n in _keep}
 results = {}
 timings = {}
 for name, fn in qs.items():
