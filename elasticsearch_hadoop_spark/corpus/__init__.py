@@ -42,27 +42,29 @@ def query(name: str, oracle: str | None = None):
 # never-graded new surface first, then drift-insurance re-grades of the
 # OLDEST banked verdicts.  Round-10 policy (VERDICT.md round-9 "Next
 # round" items 1/2/4):
-#   * slots 1-2: the round-10 net-new surfaces (ES SQL columnar response
-#     mode, ES|QL INLINESTATS multi-agg argmax) — never graded;
-#   * slot 3: eql_sample_multi — banked r9 green, but its size>1
+#   * slots 1-3: the round-10 net-new surfaces (ES SQL columnar response
+#     mode, ES|QL INLINESTATS multi-agg argmax, MV_PSERIES_WEIGHTED_SUM
+#     + null-skip MV_COUNT) — never graded;
+#   * slot 4: eql_sample_multi — banked r9 green, but its size>1
 #     implementation CHANGED this round (the bounded-carry rewrite, r9
 #     verdict item 1), so the verdict must be re-earned on the new code;
-#   * slots 4-29: ALL 26 remaining r3-era stale verdicts (VERDICT r9
+#   * slots 5-30: ALL 26 remaining r3-era stale verdicts (VERDICT r9
 #     "What's missing" #1 — 7 rounds stale while query_dsl/esql/
 #     aggs_dsl/text were rewritten underneath them), draining the r3
 #     tail to zero;
-#   * slots 30-50: the 21 oldest r4-era greens, rewritten-library
-#     families and bench anchors first (all 14 aggs_* names — aggs_dsl
+#   * slots 31-50: the 20 oldest r4-era greens, rewritten-library
+#     families and bench anchors first (the 14 aggs_* names — aggs_dsl
 #     was rewritten twice since round 4 — plus query_dsl scoring/fuzzy,
 #     join_asof, the r9-fixed writepath_zorder_read, the expensive
-#     dedup_cluster_components, similarity_sq_topk,
-#     stream_session_window).  The remaining 29 r4-era names stay
+#     dedup_cluster_components, similarity_sq_topk).  The remaining 30
+#     r4-era names stay
 #     ordered below the boundary so round 11's window picks up exactly
 #     where this one stops.
 PRIORITY: tuple[str, ...] = (
     # round-10 net-new (never graded) lead
     "writepath_es_sql_columnar",
     "esql_inlinestats_argmax",
+    "esql_mv_pseries",
     # changed-implementation re-grade (r9 verdict item 1)
     "eql_sample_multi",
     # the 26 r3-era drift re-grades (latest verdict round 3 — computed
@@ -115,9 +117,9 @@ PRIORITY: tuple[str, ...] = (
     "writepath_zorder_read",
     "dedup_cluster_components",
     "similarity_sq_topk",
-    "stream_session_window",
     # --- round-10 window boundary (slot 50) — the tail below is the
     # ordered round-11 re-grade queue (remaining r4-era names)
+    "stream_session_window",
     "fn_conditional",
     "pack_sequences_by_lang",
     "pack_utilization",

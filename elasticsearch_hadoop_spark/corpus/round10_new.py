@@ -133,3 +133,49 @@ def esql_inlinestats_argmax(spark, sf_dir):
         " | SORT o_orderpriority, o_orderkey",
         tables={"orders": tbl(spark, sf_dir, "orders")},
     )
+
+
+@query(
+    "esql_mv_pseries",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_sort(embedding, 'DESC') AS xs,
+         len(embedding) AS n,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+  FROM embeddings
+)
+SELECT vec_id, CAST(n AS INT) AS n, round(mx, 6) AS hi,
+       round(list_reduce(
+               list_transform(xs, (v, i) ->
+                 CAST(v AS DOUBLE) / power(CAST(i AS DOUBLE), 2.0)),
+               (a, b) -> a + b), 6) AS ps
+FROM s
+ORDER BY vec_id
+""",
+)
+def esql_mv_pseries(spark, sf_dir):
+    """ES|QL ``MV_PSERIES_WEIGHTED_SUM`` (esql._rewrite_mv_funcs, new
+    round 10) + ``MV_COUNT`` (null-skip form) + ``MV_SORT``/``MV_MAX``
+    over the 64-d embeddings: each vector's descending-order p-series
+    score sum(v_i / i^2) — the relevance-weighted rollup ES built the
+    function for.  Pure array codegen (one sort + one zip_with + one
+    sequential fold per row), no explode, no shuffle before the final
+    sort.  The oracle replays the exact fold: list_transform with
+    DuckDB's 1-based lambda index mirrors the 1-based position sequence,
+    and list_reduce's left fold mirrors Spark's aggregate (0 + t1 = t1
+    exactly, so the partial-sum rounding sequence is identical); the max
+    is double-cast BEFORE rounding on both sides so the float32 element
+    never rounds in two different precisions."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    return esql(
+        "FROM embeddings"
+        ' | EVAL s = MV_SORT(embedding, "desc"),'
+        " n = MV_COUNT(embedding),"
+        " hi = ROUND(TO_DOUBLE(MV_MAX(embedding)), 6),"
+        " ps = ROUND(MV_PSERIES_WEIGHTED_SUM(s, 2.0), 6)"
+        " | KEEP vec_id, n, hi, ps"
+        " | SORT vec_id",
+        tables={"embeddings": tbl(spark, sf_dir, "embeddings")},
+    )

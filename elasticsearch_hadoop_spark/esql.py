@@ -108,8 +108,9 @@ passthrough to arbitrary SQL.  Three rewrite families extend the pure
 name map: ``CIDR_MATCH`` (constant blocks -> integer floor-div tests),
 the argument-swapped ``DATE_FORMAT``/``DATE_PARSE``/``LOCATE``/
 ``DATE_DIFF`` (compile-time argument reorder), and
-``MV_FIRST``/``MV_LAST``/``MV_SUM``/``MV_AVG``/``MV_MEDIAN`` (SQL
-expression expansion over the array).
+the ``MV_*`` multivalue family (FIRST/LAST/SUM/AVG/MEDIAN/MIN/MAX/
+COUNT/DEDUPE/APPEND/CONCAT/SORT/SLICE/ZIP/PERCENTILE/MAD/
+PSERIES_WEIGHTED_SUM — SQL expression expansion over the array).
 """
 
 from __future__ import annotations
@@ -166,12 +167,14 @@ _FUNCS = {
     # _rewrite_case_fn (the SQL CASE WHEN syntax passes as a keyword)
     # rewritten to integer floor-div math by _rewrite_cidr_match
     "cidr_match": None,
-    "mv_count": "size", "mv_min": "array_min", "mv_max": "array_max",
+    "mv_min": "array_min", "mv_max": "array_max",  # both skip NULL elements
     "mv_concat": "array_join", "mv_dedupe": "array_distinct",
     "mv_append": "concat",
     # MV_SORT handles its optional order argument in _rewrite_mv_funcs
-    # MV_FIRST/MV_LAST/MV_SUM/MV_AVG/MV_MEDIAN expand to SQL expressions
-    # in _rewrite_mv_funcs
+    # MV_FIRST/MV_LAST/MV_SUM/MV_AVG/MV_MEDIAN (and MV_COUNT, whose
+    # null-element skip `size` alone can't express, plus
+    # MV_PSERIES_WEIGHTED_SUM) expand to SQL expressions in
+    # _rewrite_mv_funcs
     "split": "split",
 }
 _CASTS = {"to_string", "to_long", "to_double", "to_integer", "to_boolean",
@@ -283,6 +286,13 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
       values at rank (n-1)*p/100 (the PERCENTILE agg's R-7 rule; ES
       computes mv_percentile the same way)
     - ``MV_MEDIAN_ABSOLUTE_DEVIATION(x)`` -> median(|v - median(x)|)
+    - ``MV_COUNT(x)`` -> size of the null-filtered array (the bare
+      ``size`` name-map form would count null elements)
+    - ``MV_PSERIES_WEIGHTED_SUM(x, p)`` -> sum of v_i / i^p over 1-based
+      positions in the array's own order (ES does not sort the input)
+
+    (MV_MIN/MV_MAX/MV_DEDUPE/MV_APPEND/MV_CONCAT live in the pure name
+    map — array_min/array_max already skip NULL elements natively.)
 
     The argument is inlined several times in MV_AVG/MV_MEDIAN (and
     heavily in MV_PERCENTILE/MV_MAD) — fine for a column reference;
@@ -307,7 +317,8 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
         )
 
     for name in ("mv_first", "mv_last", "mv_sum", "mv_avg", "mv_median_absolute_deviation",
-                 "mv_median", "mv_percentile", "mv_slice", "mv_zip", "mv_sort"):
+                 "mv_median", "mv_percentile", "mv_slice", "mv_zip", "mv_sort",
+                 "mv_count", "mv_pseries_weighted_sum"):
         pat = re.compile(rf"\b{name}\s*\(", flags=re.I)
         pos = 0
         while True:
@@ -366,6 +377,31 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
                 e = e[: m.start()] + rep + e[i:]
                 pos = m.start() + 1
                 continue
+            if name == "mv_pseries_weighted_sum":
+                # MV_PSERIES_WEIGHTED_SUM(x, p): sum of v_i / i^p over the
+                # 1-based positions i, in the array's own order (ES does
+                # not sort — callers pass relevance-ordered values).
+                # sequence(1, 0) counts DOWN in Spark, so the empty case
+                # must short-circuit before the zip.
+                if len(args) != 2:
+                    raise EsqlError(
+                        "MV_PSERIES_WEIGHTED_SUM needs (array, p)"
+                    )
+                x, p = f"({args[0]})", f"({args[1]})"
+                x = f"filter({x}, __mv -> __mv is not null)"
+                terms = (
+                    f"zip_with({x}, sequence(1, size({x})),"
+                    f" (v, i) -> CAST(v AS DOUBLE)"
+                    f" / power(CAST(i AS DOUBLE), CAST({p} AS DOUBLE)))"
+                )
+                rep = (
+                    f"(CASE WHEN size({x}) > 0 THEN"
+                    f" aggregate({terms}, CAST(0 AS DOUBLE),"
+                    f" (acc, v) -> acc + v) END)"
+                )
+                e = e[: m.start()] + rep + e[i:]
+                pos = m.start() + 1
+                continue
             if name == "mv_percentile":
                 # MV_PERCENTILE(x, p): R-7 linear interpolation at rank
                 # (n-1)*p/100 over the sorted values — the PERCENTILE
@@ -413,6 +449,11 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
                 rep = f"try_element_at({x}, 1)"
             elif name == "mv_last":
                 rep = f"try_element_at({x}, -1)"
+            elif name == "mv_count":
+                # count of non-NULL values (the family's null-skip rule —
+                # a bare `size` would count null elements); NULL in ->
+                # NULL out
+                rep = f"size(filter({x}, __mv -> __mv is not null))"
             elif name == "mv_sum":
                 rep = f"(CASE WHEN size({x}) > 0 THEN {fold} END)"
             elif name == "mv_avg":
@@ -917,7 +958,7 @@ def _translate_expr(e: str) -> str:
                 "date_diff", "mv_first", "mv_last", "mv_sum", "mv_avg",
                 "mv_median", "mv_percentile",
                 "mv_median_absolute_deviation", "mv_slice", "mv_zip",
-                "mv_sort",
+                "mv_sort", "mv_count", "mv_pseries_weighted_sum",
                 "from_base64", "sha256", "hash", "ip_prefix",
                 "to_geopoint", "st_distance", "st_x", "st_y",
             ):

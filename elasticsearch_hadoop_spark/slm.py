@@ -168,6 +168,14 @@ def execute_slm_policy(catalog, name: str, now: float | None = None) -> dict:
                 catalog.snapshot_index(idx, policy["repository"], snapshot)
             )
             done.append(idx)
+        # the history append is INSIDE the guarded region: a _save
+        # failure after every snapshot succeeded would otherwise leave
+        # dirs with no history entry — invisible to retention AND
+        # blocking a same-name retry, the exact wedged state the cleanup
+        # exists to prevent (the in-memory `entry` mutation is harmless:
+        # state reloads from disk on every call)
+        entry["snapshots"].append({"snapshot": snapshot, "taken_at": now})
+        _save(catalog, state)
     except Exception:
         for idx in done:
             shutil.rmtree(
@@ -176,9 +184,15 @@ def execute_slm_policy(catalog, name: str, now: float | None = None) -> dict:
             )
         if in_flight is not None and not pre_existing:
             shutil.rmtree(in_flight, ignore_errors=True)
+        # drop the snapshot-named parent too if the cleanup emptied it —
+        # a failed tick that is never retried with the same `now` must
+        # not accumulate junk dirs in the repository (rmdir refuses a
+        # non-empty dir, so foreign content is safe)
+        try:
+            os.rmdir(os.path.join(policy["repository"], snapshot))
+        except OSError:
+            pass
         raise
-    entry["snapshots"].append({"snapshot": snapshot, "taken_at": now})
-    _save(catalog, state)
     return {"snapshot_name": snapshot, "indices": indices, "manifests": manifests}
 
 

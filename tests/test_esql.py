@@ -1253,3 +1253,30 @@ def test_mv_median_family_skips_null_elements(spark):
     assert row["med"] == pytest.approx(2.0)
     assert row["p50"] == pytest.approx(2.0)
     assert row["mad"] == pytest.approx(1.0)
+
+
+def test_mv_count_skips_null_elements_and_pseries(spark):
+    """Round-10: MV_COUNT follows the family's null-skip rule (a bare
+    size() would count null elements) and MV_PSERIES_WEIGHTED_SUM is
+    sum(v_i / i^p) over 1-based positions in the array's OWN order."""
+    df = spark.createDataFrame(
+        [(1, [4.0, None, 2.0]), (2, [1.0, 1.0, 1.0, 1.0]), (3, []), (4, None)],
+        "id int, xs array<double>",
+    )
+    out = esql(
+        "FROM t"
+        " | EVAL n = MV_COUNT(xs), ps = MV_PSERIES_WEIGHTED_SUM(xs, 2.0),"
+        "        flat = MV_PSERIES_WEIGHTED_SUM(xs, 0)"
+        " | KEEP id, n, ps, flat | SORT id",
+        tables={"t": df},
+    ).collect()
+    r = {x["id"]: x for x in out}
+    assert r[1]["n"] == 2                      # null element skipped
+    # nulls skipped BEFORE positions assigned: [4.0, 2.0] -> 4/1 + 2/4
+    assert r[1]["ps"] == pytest.approx(4.0 + 2.0 / 4.0)
+    assert r[2]["ps"] == pytest.approx(1 + 1 / 4 + 1 / 9 + 1 / 16)
+    assert r[1]["flat"] == pytest.approx(6.0)  # p=0: plain sum
+    assert r[3]["n"] == 0 and r[3]["ps"] is None   # empty: count 0, sum NULL
+    assert r[4]["n"] is None and r[4]["ps"] is None
+    with pytest.raises(EsqlError, match="needs"):
+        esql("FROM t | EVAL x = MV_PSERIES_WEIGHTED_SUM(xs)", tables={"t": df})

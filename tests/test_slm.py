@@ -8,7 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from elasticsearch_hadoop_spark.catalog import Catalog
+from elasticsearch_hadoop_spark.catalog import Catalog, IndexExistsError
 from elasticsearch_hadoop_spark.slm import (
     SlmError,
     execute_slm_policy,
@@ -195,6 +195,40 @@ def test_execute_failure_keeps_foreign_obstruction(cat, tmp_path):
     os.makedirs(foreign)
     with open(os.path.join(foreign, "keep.txt"), "w") as fh:
         fh.write("not yours")
-    with pytest.raises(Exception):
+    # the exact exception matters: a vacuous earlier failure (bad policy,
+    # empty pattern) would skip the cleanup path this test pins
+    with pytest.raises(IndexExistsError):
         execute_slm_policy(cat, "p", now=T0)
     assert os.path.exists(os.path.join(foreign, "keep.txt"))
+
+
+def test_execute_cleans_up_on_save_failure(cat, tmp_path, monkeypatch):
+    """Review r10a-1: a history-write (_save) failure AFTER every
+    snapshot succeeded must also trigger the cleanup — completed dirs
+    with no history entry are the wedged state (invisible to retention,
+    same-now retry blocked) the all-or-nothing guard exists to prevent.
+    The emptied snapshot parent dir goes too (r10a-4)."""
+    import elasticsearch_hadoop_spark.slm as slm_mod
+
+    put_slm_policy(cat, "p", _policy(tmp_path, max_count=5))
+    repo = str(tmp_path / "repo")
+    snap = "nightly-2024.01.01-1704067200"
+
+    real_save = slm_mod._save
+    calls = {"n": 0}
+
+    def failing_save(catalog, state):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the execute's save; later saves work
+            raise OSError("disk full writing _slm.json")
+        return real_save(catalog, state)
+
+    monkeypatch.setattr(slm_mod, "_save", failing_save)
+    with pytest.raises(OSError, match="disk full"):
+        execute_slm_policy(cat, "p", now=T0)
+    # dirs cleaned AND the snapshot-named parent removed
+    assert not os.path.exists(os.path.join(repo, snap))
+    assert get_slm_policy(cat, "p")["snapshots"] == []
+    # same explicit now retries cleanly once saving works again
+    out = execute_slm_policy(cat, "p", now=T0)
+    assert out["snapshot_name"] == snap
