@@ -45,28 +45,31 @@ def query(name: str, oracle: str | None = None):
 #   * slots 1-3: the round-10 net-new surfaces (ES SQL columnar response
 #     mode, ES|QL INLINESTATS multi-agg argmax, MV_PSERIES_WEIGHTED_SUM
 #     + null-skip MV_COUNT) — never graded;
-#   * slot 4: eql_sample_multi — banked r9 green, but its size>1
-#     implementation CHANGED this round (the bounded-carry rewrite, r9
-#     verdict item 1), so the verdict must be re-earned on the new code;
-#   * slots 5-30: ALL 26 remaining r3-era stale verdicts (VERDICT r9
+#   * slots 4-6: eql_sample_multi, esql_mv_percentile and
+#     ingest_circle_geogrid — banked greens whose implementations
+#     CHANGED this round (the bounded-carry rewrite, r9 verdict item 1;
+#     the MV and circle-processor bind-once rewrites), so the verdicts
+#     must be re-earned on the new code;
+#   * slots 7-32: ALL 26 remaining r3-era stale verdicts (VERDICT r9
 #     "What's missing" #1 — 7 rounds stale while query_dsl/esql/
 #     aggs_dsl/text were rewritten underneath them), draining the r3
 #     tail to zero;
-#   * slots 31-50: the 20 oldest r4-era greens, rewritten-library
+#   * slots 33-50: the 18 oldest r4-era greens, rewritten-library
 #     families and bench anchors first (the 14 aggs_* names — aggs_dsl
 #     was rewritten twice since round 4 — plus query_dsl scoring/fuzzy,
-#     join_asof, the r9-fixed writepath_zorder_read, the expensive
-#     dedup_cluster_components, similarity_sq_topk).  The remaining 30
-#     r4-era names stay
-#     ordered below the boundary so round 11's window picks up exactly
-#     where this one stops.
+#     join_asof, the r9-fixed writepath_zorder_read).  The remaining 32
+#     r4-era names stay ordered below the boundary so round 11's window
+#     picks up exactly where this one stops.
 PRIORITY: tuple[str, ...] = (
     # round-10 net-new (never graded) lead
     "writepath_es_sql_columnar",
     "esql_inlinestats_argmax",
     "esql_mv_pseries",
-    # changed-implementation re-grade (r9 verdict item 1)
+    # changed-implementation re-grades (r9 verdict item 1; the round-10
+    # MV bind-once rewrite)
     "eql_sample_multi",
+    "esql_mv_percentile",
+    "ingest_circle_geogrid",
     # the 26 r3-era drift re-grades (latest verdict round 3 — computed
     # from CORRECTNESS_r0{1..9}.json); the two names the driver cut at
     # slot 50 last round go first
@@ -115,10 +118,10 @@ PRIORITY: tuple[str, ...] = (
     "query_dsl_fuzzy",
     "join_asof",
     "writepath_zorder_read",
-    "dedup_cluster_components",
-    "similarity_sq_topk",
     # --- round-10 window boundary (slot 50) — the tail below is the
     # ordered round-11 re-grade queue (remaining r4-era names)
+    "dedup_cluster_components",
+    "similarity_sq_topk",
     "stream_session_window",
     "fn_conditional",
     "pack_sequences_by_lang",

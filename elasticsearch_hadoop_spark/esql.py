@@ -294,27 +294,44 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
     (MV_MIN/MV_MAX/MV_DEDUPE/MV_APPEND/MV_CONCAT live in the pure name
     map — array_min/array_max already skip NULL elements natively.)
 
-    The argument is inlined several times in MV_AVG/MV_MEDIAN (and
-    heavily in MV_PERCENTILE/MV_MAD) — fine for a column reference;
-    pre-EVAL a temp column before calling these on an expensive
-    computed array."""
+    SQL expressions have no let-binding, so the rank-based forms
+    (MEDIAN/PERCENTILE/MAD) evaluate their expensive intermediate (the
+    sorted array, the median scalar) ONCE via the single-element
+    transform trick — ``try_element_at(transform(array(<once>), __v ->
+    <body using __v>), 1)``.  Without it the sorted array is re-built
+    for every reference and, fatally, MV_MAD's deviation lambda re-sorts
+    the source array PER ELEMENT (64 sorts per row on a 64-d embedding
+    — measured 25x slower at sf0.01).  Fresh lambda-variable names per
+    expansion keep nested binds legal (Spark rejects shadowed lambda
+    variables)."""
+    import itertools
+
+    fresh = itertools.count()
+
+    def bind_once(value: str, body_of) -> str:
+        # evaluate `value` once, expose it to body_of(var) as `var`
+        var = f"__b{next(fresh)}"
+        return f"try_element_at(transform(array({value}), {var} -> {body_of(var)}), 1)"
 
     def median_sql(x: str) -> str:
         # NULL elements are SKIPPED (ES arrays never carry nulls; Spark
         # arrays routinely do, and array_sort would park them LAST where
         # they'd skew size/rank arithmetic toward the high end).  The
-        # lambda var is deliberately not `v` — callers nest this inside
-        # their own v-lambdas (MV_MAD's transform)
+        # filter lambda var is deliberately not `v` — callers nest this
+        # inside their own v-lambdas (MV_MAD's transform)
         x = f"filter({x}, __mv -> __mv is not null)"
-        srt = f"array_sort({x})"
-        n = f"size({x})"
-        hi = f"CAST(try_element_at({srt}, CAST({n} div 2 + 1 AS INT)) AS DOUBLE)"
-        lo = f"CAST(try_element_at({srt}, CAST({n} div 2 AS INT)) AS DOUBLE)"
-        return (
-            f"(CASE WHEN {n} = 0 THEN NULL"
-            f" WHEN {n} % 2 = 1 THEN {hi}"
-            f" ELSE ({lo} + {hi}) / 2.0 END)"
-        )
+
+        def body(s: str) -> str:
+            n = f"size({s})"
+            hi = f"CAST(try_element_at({s}, CAST({n} div 2 + 1 AS INT)) AS DOUBLE)"
+            lo = f"CAST(try_element_at({s}, CAST({n} div 2 AS INT)) AS DOUBLE)"
+            return (
+                f"(CASE WHEN {n} = 0 THEN NULL"
+                f" WHEN {n} % 2 = 1 THEN {hi}"
+                f" ELSE ({lo} + {hi}) / 2.0 END)"
+            )
+
+        return bind_once(f"array_sort({x})", body)
 
     for name in ("mv_first", "mv_last", "mv_sum", "mv_avg", "mv_median_absolute_deviation",
                  "mv_median", "mv_percentile", "mv_slice", "mv_zip", "mv_sort",
@@ -410,18 +427,22 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
                     raise EsqlError("MV_PERCENTILE needs (array, percentile)")
                 x, p = f"({args[0]})", f"({args[1]})"
                 # same NULL-skip as median_sql (rank arithmetic needs a
-                # null-free sorted array)
+                # null-free sorted array); the sorted array binds ONCE
                 x = f"filter({x}, __mv -> __mv is not null)"
-                srt, n = f"array_sort({x})", f"size({x})"
-                idx = f"(({n} - 1) * CAST({p} AS DOUBLE) / 100.0D)"
-                lo_i = f"(CAST(floor({idx}) AS INT) + 1)"
-                loval = f"CAST(try_element_at({srt}, {lo_i}) AS DOUBLE)"
-                hival = f"CAST(try_element_at({srt}, {lo_i} + 1) AS DOUBLE)"
-                rep = (
-                    f"(CASE WHEN {n} = 0 OR {p} < 0 OR {p} > 100 THEN NULL"
-                    f" ELSE {loval} + (coalesce({hival}, {loval}) - {loval})"
-                    f" * ({idx} - floor({idx})) END)"
-                )
+
+                def pct_body(s: str, p: str = p) -> str:
+                    n = f"size({s})"
+                    idx = f"(({n} - 1) * CAST({p} AS DOUBLE) / 100.0D)"
+                    lo_i = f"(CAST(floor({idx}) AS INT) + 1)"
+                    loval = f"CAST(try_element_at({s}, {lo_i}) AS DOUBLE)"
+                    hival = f"CAST(try_element_at({s}, {lo_i} + 1) AS DOUBLE)"
+                    return (
+                        f"(CASE WHEN {n} = 0 OR {p} < 0 OR {p} > 100 THEN NULL"
+                        f" ELSE {loval} + (coalesce({hival}, {loval}) - {loval})"
+                        f" * ({idx} - floor({idx})) END)"
+                    )
+
+                rep = bind_once(f"array_sort({x})", pct_body)
                 e = e[: m.start()] + rep + e[i:]
                 pos = m.start() + 1
                 continue
@@ -431,11 +452,14 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
                         "MV_MEDIAN_ABSOLUTE_DEVIATION takes exactly one argument"
                     )
                 x = f"({args[0]})"
-                dev = (
-                    f"transform({x}, v -> abs(CAST(v AS DOUBLE)"
-                    f" - {median_sql(x)}))"
+                # the median binds ONCE — inlining it in the deviation
+                # lambda would re-sort the source array per element
+                rep = bind_once(
+                    median_sql(x),
+                    lambda med: median_sql(
+                        f"transform({x}, v -> abs(CAST(v AS DOUBLE) - {med}))"
+                    ),
                 )
-                rep = median_sql(dev)
                 e = e[: m.start()] + rep + e[i:]
                 pos = m.start() + 1
                 continue

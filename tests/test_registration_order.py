@@ -34,7 +34,11 @@ BANKED_ROUNDS = ("01", "02", "03", "04", "05", "06", "07", "08", "09")
 # banked-green names whose IMPLEMENTATION changed since their latest
 # verdict — they hold early re-grade slots ahead of staler names because
 # the banked verdict graded code that no longer exists
-CHANGED_IMPL = {"eql_sample_multi"}  # r9 verdict item 1: bounded size>1 carry
+CHANGED_IMPL = {
+    "eql_sample_multi",       # r9 verdict item 1: bounded size>1 carry
+    "esql_mv_percentile",     # r10: MV median/percentile/MAD bind-once rewrite
+    "ingest_circle_geogrid",  # r10: circle-processor params bind-once rewrite
+}
 
 # family -> regex over query names; each must match >=1 query with a driver
 # verdict banked OR in the current graded window
