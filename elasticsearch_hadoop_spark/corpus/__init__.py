@@ -99,7 +99,7 @@ PRIORITY: tuple[str, ...] = (
     "window_lag_lead",
     "window_running_frames",
     "multimodal_features",
-    # the 21 oldest r4-era re-grades (latest verdict round 4)
+    # the 18 oldest r4-era re-grades (latest verdict round 4)
     "aggs_adjacency_matrix",
     "aggs_auto_date_histogram",
     "aggs_boxplot_mad",

@@ -406,16 +406,22 @@ def _rewrite_mv_funcs(e: str, lits: list[str]) -> str:
                     )
                 x, p = f"({args[0]})", f"({args[1]})"
                 x = f"filter({x}, __mv -> __mv is not null)"
-                terms = (
-                    f"zip_with({x}, sequence(1, size({x})),"
-                    f" (v, i) -> CAST(v AS DOUBLE)"
-                    f" / power(CAST(i AS DOUBLE), CAST({p} AS DOUBLE)))"
-                )
-                rep = (
-                    f"(CASE WHEN size({x}) > 0 THEN"
-                    f" aggregate({terms}, CAST(0 AS DOUBLE),"
-                    f" (acc, v) -> acc + v) END)"
-                )
+
+                def ps_body(xs: str, p: str = p) -> str:
+                    terms = (
+                        f"zip_with({xs}, sequence(1, size({xs})),"
+                        f" (v, i) -> CAST(v AS DOUBLE)"
+                        f" / power(CAST(i AS DOUBLE), CAST({p} AS DOUBLE)))"
+                    )
+                    return (
+                        f"(CASE WHEN size({xs}) > 0 THEN"
+                        f" aggregate({terms}, CAST(0 AS DOUBLE),"
+                        f" (acc, v) -> acc + v) END)"
+                    )
+
+                # the filtered array binds ONCE (it is referenced three
+                # times: zip_with, the position sequence, the empty guard)
+                rep = bind_once(x, ps_body)
                 e = e[: m.start()] + rep + e[i:]
                 pos = m.start() + 1
                 continue
