@@ -449,6 +449,19 @@ def vacuum(index_path: str, min_age_seconds: float = 3600.0) -> list[str]:
     if os.path.isdir(sroot):
         data_names = set(os.listdir(data_root)) if os.path.isdir(data_root) else set()
         for name in os.listdir(sroot):
-            if name not in data_names and not name.startswith("."):
+            if name.startswith("."):
+                # a crashed publisher's half-built ".tmp-*" link farm:
+                # streams never read dotfiles, but the hard links keep
+                # swept bytes alive forever — sweep farms that outlived
+                # the retention window (an IN-FLIGHT publisher's farm is
+                # younger than the window by construction: publication
+                # happens inside a single commit call)
+                p = os.path.join(sroot, name)
+                try:
+                    if now - os.path.getmtime(p) >= min_age_seconds:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+            elif name not in data_names:
                 shutil.rmtree(os.path.join(sroot, name), ignore_errors=True)
     return removed

@@ -450,3 +450,32 @@ def test_vacuum_sweeps_orphaned_stream_mirrors(tmp_path):
     txn.vacuum(p, min_age_seconds=0.0)
     assert not os.path.isdir(orphan_mirror)
     assert os.path.isdir(os.path.join(txn.stream_root(p), name))  # live one stays
+
+
+def test_vacuum_sweeps_aged_publisher_tmp_farms(tmp_path):
+    """Review r10c: a crashed publisher's half-built '.tmp-*' link farm in
+    _stream/ must be swept once it outlives the retention window (hard
+    links would otherwise keep vacuumed bytes alive forever); a young farm
+    — an in-flight publisher — survives."""
+    import os
+    import shutil
+
+    p = str(tmp_path / "t")
+    txn.init_log(p)
+    os.makedirs(txn.stream_root(p), exist_ok=True)
+    d1 = txn.new_data_dir(p)
+    with open(os.path.join(d1, "a.parquet"), "w") as fh:
+        fh.write("x")
+    txn.commit_append(p, d1)
+    old_farm = os.path.join(txn.stream_root(p), ".tmp-deadbeef-1234")
+    os.makedirs(old_farm)
+    with open(os.path.join(old_farm, "a.parquet"), "w") as fh:
+        fh.write("stale")
+    os.utime(old_farm, (1, 1))  # ancient
+    young_farm = os.path.join(txn.stream_root(p), ".tmp-cafebabe-5678")
+    os.makedirs(young_farm)  # mtime = now: an in-flight publisher
+    txn.vacuum(p, min_age_seconds=3600.0)
+    assert not os.path.isdir(old_farm)
+    assert os.path.isdir(young_farm)
+    # the committed mirror is untouched
+    assert os.path.basename(d1) in os.listdir(txn.stream_root(p))
