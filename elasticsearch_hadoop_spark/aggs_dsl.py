@@ -194,6 +194,10 @@ def compile_aggs(
     # (name, field): median_absolute_deviation metrics — need the bucket
     # median BEFORE the aggregation pass (window over the key chain)
     mads: list[tuple[str, str]] = []
+    # (name, spec): geo_line metrics — need a bounded-carry row_number
+    # BEFORE the aggregation pass (window over the key chain), so the
+    # collect buffer never exceeds `size` points per bucket
+    geo_lines: list[tuple[str, dict]] = []
     # (name, field): cumulative_cardinality pipelines — need the raw frame
     # (first-occurrence trick), not just the finished buckets
     ccs: list[tuple[str, str]] = []
@@ -224,6 +228,9 @@ def compile_aggs(
                 continue
             if "median_absolute_deviation" in body:
                 mads.append((name, body["median_absolute_deviation"]["field"]))
+                continue
+            if "geo_line" in body:
+                geo_lines.append((name, body["geo_line"]))
                 continue
             if "rate" in body:
                 # ES rate metric: sum(field) (or doc_count) per `unit` of
@@ -783,6 +790,55 @@ def compile_aggs(
                         F.abs(F.col(mfield) - F.col(f"__mad_med_{mname}"))
                     ).alias(mname)
                 )
+
+    if geo_lines:
+        # ES geo_line: the bucket's points as a path ordered by `sort`,
+        # truncated to `size` — the GeoJSON LineString coordinates array
+        # as array<array<double>> ([lon, lat] pairs).  The carry is
+        # pre-bounded (round 10): a row_number window over the SAME key
+        # chain the aggregation shuffles on (exchange reused, like the
+        # MAD pre-pass) ranks points in the line's own (s, x, y) order,
+        # and the collect gates on rn <= size — so the aggregation
+        # buffer never holds more than `size` structs per bucket (ES's
+        # own geo_line streams a bounded buffer; collect-then-slice
+        # would OOM a hot bucket).  Rows are NOT filtered — sibling
+        # metrics and doc_count still see every row.  array_sort after
+        # the bounded collect keeps the result deterministic across
+        # partitionings ((s, x, y) structs order totally).  Keyless:
+        # a single global window partition — bounded buffer either way.
+        from pyspark.sql import Window
+
+        for gname, gspec in geo_lines:
+            try:
+                point_f = gspec["point"]["field"]
+                sort_f = gspec["sort"]["field"]
+            except (KeyError, TypeError):
+                raise AggsDslError(
+                    f"geo_line {gname!r}: expected point.field + sort.field"
+                ) from None
+            size = int(gspec.get("size", 10000))
+            order = str(gspec.get("sort_order", "ASC")).upper()
+            if order not in ("ASC", "DESC"):
+                raise AggsDslError(f"geo_line {gname!r}: sort_order {order!r}")
+            lat, lon = F.col(f"{point_f}.lat"), F.col(f"{point_f}.lon")
+            ok = F.col(sort_f).isNotNull() & lat.isNotNull() & lon.isNotNull()
+            item = F.when(
+                ok,
+                F.struct(F.col(sort_f).alias("s"), lon.alias("x"), lat.alias("y")),
+            )
+            rn_col = f"__gl_rn_{gname}"
+            ordc = item.asc_nulls_last() if order == "ASC" else item.desc_nulls_last()
+            w = Window.partitionBy(*[expr for _, expr in keys]).orderBy(ordc)
+            df = df.withColumn(rn_col, F.row_number().over(w))
+            arr = F.array_sort(
+                F.collect_list(F.when(F.col(rn_col) <= size, item))
+            )
+            if order == "DESC":
+                arr = F.reverse(arr)
+            line = F.slice(
+                F.transform(arr, lambda e: F.array(e["x"], e["y"])), 1, size
+            )
+            metrics.append(line.alias(gname))
 
     doc_count = F.count(F.lit(1))
     if sample_scale is not None and sample_scale != 1.0:
@@ -2142,40 +2198,9 @@ def _metric(
                     F.corr(gated[fa], gated[fb]).alias(f"{name}_{fa}_{fb}_correlation")
                 )
         return cols
-    if kind == "geo_line":
-        # ES geo_line: the bucket's points as a path ordered by `sort`,
-        # truncated to `size` — the GeoJSON LineString coordinates array
-        # as array<array<double>> ([lon, lat] pairs, GeoJSON order).
-        # collect_list is order-nondeterministic, so the sort happens
-        # AFTER collection: array_sort over (sort, lon, lat) structs is
-        # total (lon/lat break sort ties), making the result deterministic
-        # across retries/partitionings.  One aggregation, no window.
-        try:
-            point_f = spec["point"]["field"]
-            sort_f = spec["sort"]["field"]
-        except (KeyError, TypeError):
-            raise AggsDslError(
-                f"geo_line {name!r}: expected point.field + sort.field"
-            ) from None
-        size = int(spec.get("size", 10000))
-        order = str(spec.get("sort_order", "ASC")).upper()
-        lat, lon = F.col(f"{point_f}.lat"), F.col(f"{point_f}.lon")
-        ok = F.col(sort_f).isNotNull() & lat.isNotNull() & lon.isNotNull()
-        item = F.when(
-            ok,
-            F.struct(
-                F.col(sort_f).alias("s"), lon.alias("x"), lat.alias("y")
-            ),
-        )
-        arr = F.array_sort(F.collect_list(item))
-        if order == "DESC":
-            arr = F.reverse(arr)
-        elif order != "ASC":
-            raise AggsDslError(f"geo_line {name!r}: sort_order {order!r}")
-        line = F.slice(
-            F.transform(arr, lambda e: F.array(e["x"], e["y"])), 1, size
-        )
-        return [line.alias(name)]
+    # (geo_line is intercepted in compile_aggs' level walk — it needs the
+    # bounded-carry window pre-pass over the key chain, not a plain
+    # metric column; see the geo_lines block there)
     if kind == "scripted_metric":
         # ES scripted_metric, the distributable accumulate subset: ONE
         # state variable, `init` sets it to 0, `map` does

@@ -42,34 +42,37 @@ def query(name: str, oracle: str | None = None):
 # never-graded new surface first, then drift-insurance re-grades of the
 # OLDEST banked verdicts.  Round-10 policy (VERDICT.md round-9 "Next
 # round" items 1/2/4):
-#   * slots 1-3: the round-10 net-new surfaces (ES SQL columnar response
+#   * slots 1-4: the round-10 net-new surfaces (ES SQL columnar response
 #     mode, ES|QL INLINESTATS multi-agg argmax, MV_PSERIES_WEIGHTED_SUM
-#     + null-skip MV_COUNT) — never graded;
-#   * slots 4-6: eql_sample_multi, esql_mv_percentile and
-#     ingest_circle_geogrid — banked greens whose implementations
-#     CHANGED this round (the bounded-carry rewrite, r9 verdict item 1;
-#     the MV and circle-processor bind-once rewrites), so the verdicts
-#     must be re-earned on the new code;
-#   * slots 7-32: ALL 26 remaining r3-era stale verdicts (VERDICT r9
+#     + null-skip MV_COUNT, bounded ES|QL TOP) — never graded;
+#   * slots 5-8: eql_sample_multi, esql_mv_percentile,
+#     ingest_circle_geogrid and aggs_geo_line — banked greens whose
+#     implementations CHANGED this round (the bounded-carry rewrites:
+#     eql_sample size>1, ES|QL TOP, geo_line; the MV and
+#     circle-processor bind-once rewrites), so the verdicts must be
+#     re-earned on the new code;
+#   * slots 9-34: ALL 26 remaining r3-era stale verdicts (VERDICT r9
 #     "What's missing" #1 — 7 rounds stale while query_dsl/esql/
 #     aggs_dsl/text were rewritten underneath them), draining the r3
 #     tail to zero;
-#   * slots 33-50: the 18 oldest r4-era greens, rewritten-library
+#   * slots 35-50: the 16 oldest r4-era greens, rewritten-library
 #     families and bench anchors first (the 14 aggs_* names — aggs_dsl
 #     was rewritten twice since round 4 — plus query_dsl scoring/fuzzy,
-#     join_asof, the r9-fixed writepath_zorder_read).  The remaining 32
-#     r4-era names stay ordered below the boundary so round 11's window
-#     picks up exactly where this one stops.
+#     query_dsl scoring/fuzzy).  The remaining 34 r4-era names stay
+#     ordered below the boundary so round 11's window picks up exactly
+#     where this one stops.
 PRIORITY: tuple[str, ...] = (
     # round-10 net-new (never graded) lead
     "writepath_es_sql_columnar",
     "esql_inlinestats_argmax",
     "esql_mv_pseries",
+    "esql_stats_top",
     # changed-implementation re-grades (r9 verdict item 1; the round-10
-    # MV bind-once rewrite)
+    # bounded-carry and bind-once rewrites)
     "eql_sample_multi",
     "esql_mv_percentile",
     "ingest_circle_geogrid",
+    "aggs_geo_line",
     # the 26 r3-era drift re-grades (latest verdict round 3 — computed
     # from CORRECTNESS_r0{1..9}.json); the two names the driver cut at
     # slot 50 last round go first
@@ -99,7 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "window_lag_lead",
     "window_running_frames",
     "multimodal_features",
-    # the 18 oldest r4-era re-grades (latest verdict round 4)
+    # the 16 oldest r4-era re-grades (latest verdict round 4)
     "aggs_adjacency_matrix",
     "aggs_auto_date_histogram",
     "aggs_boxplot_mad",
@@ -116,10 +119,10 @@ PRIORITY: tuple[str, ...] = (
     "aggs_terms_custom_order",
     "query_dsl_function_score",
     "query_dsl_fuzzy",
-    "join_asof",
-    "writepath_zorder_read",
     # --- round-10 window boundary (slot 50) — the tail below is the
     # ordered round-11 re-grade queue (remaining r4-era names)
+    "join_asof",
+    "writepath_zorder_read",
     "dedup_cluster_components",
     "similarity_sq_topk",
     "stream_session_window",

@@ -1,7 +1,9 @@
 """Round-10 net-new graded surface: ES SQL columnar response mode
 (``POST /_sql {"columnar": true}`` pages over catalog.sql_page, the mode
-persisting through the cursor) and ES|QL ``INLINESTATS`` (the STATS
-joined-back-onto-source command, 8.11+).
+persisting through the cursor), ES|QL ``INLINESTATS`` (the STATS
+joined-back-onto-source command, 8.11+) in its multi-aggregate argmax
+shape, ``MV_PSERIES_WEIGHTED_SUM`` + the null-skip ``MV_COUNT``, and
+``TOP`` after the bounded-carry rewrite.
 
 Same contract as every corpus module: the Spark query and the DuckDB
 oracle sit side by side with identical aliases and rounding, so the
@@ -178,4 +180,43 @@ def esql_mv_pseries(spark, sf_dir):
         " | KEEP vec_id, n, hi, ps"
         " | SORT vec_id",
         tables={"embeddings": tbl(spark, sf_dir, "embeddings")},
+    )
+
+
+@query(
+    "esql_stats_top",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey DESC)[1:3], '|') AS hi,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey ASC)[1:3], '|') AS lo
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def esql_stats_top(spark, sf_dir):
+    """ES|QL ``TOP(field, limit, order)`` after the round-10 bounded-carry
+    rewrite: each priority group's 3 highest and 3 lowest order keys next
+    to a COUNT(*) — the mixed-aggregate shape that exercises the full
+    split (bounded TOP aggregation joined back onto the unfiltered
+    COUNT).  The plan shows WindowGroupLimit Partial+Final per TOP: a hot
+    group's past-limit rows drop map-side and never reach an aggregation
+    buffer (ES's TopList agg holds a bounded heap; collect-then-slice
+    would buffer every group value).  Arrays join to '|' strings on both
+    sides (integer rendering is engine-identical; the driver's hash needs
+    scalar columns)."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    out = esql(
+        "FROM orders"
+        ' | STATS n = COUNT(*), hi = TOP(o_orderkey, 3, "desc"),'
+        ' lo = TOP(o_orderkey, 3, "asc") BY o_orderpriority'
+        " | SORT o_orderpriority",
+        tables={"orders": tbl(spark, sf_dir, "orders")},
+    )
+    def joined(c):
+        return F.array_join(F.transform(F.col(c), lambda x: x.cast("string")), "|")
+    return out.select(
+        "o_orderpriority", "n", joined("hi").alias("hi"), joined("lo").alias("lo")
     )

@@ -117,7 +117,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # decimal-vs-double literal rule shared with the painless-lite compiler
@@ -1284,6 +1284,10 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
             else:
                 keys.append((k, F.col(k)))
     aggs: list[Column] = []
+    agg_names: list[str] = []
+    # (slot, alias, gated value expr, limit, asc) per TOP aggregate —
+    # compiled after the loop via the bounded-carry pre-stage
+    top_specs: list[tuple[int, str, Column, int, bool]] = []
     for item in _split_top(agg_part):
         name = None
         m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", item, flags=re.S)
@@ -1327,19 +1331,32 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
             col = F.sum(_gate(v * w)) / F.sum(_gate(F.when(v.isNotNull(), w)))
         elif fname == "top":
             # TOP(field, limit, "asc"|"desc"): the limit highest/lowest
-            # values as an array — one collect + sort + slice per group
+            # values as an array.  NOT compiled as collect-then-slice —
+            # that buffers every group value before capping (the hot-key
+            # OOM class, same as the r9 eql_sample finding; ES's TopList
+            # agg holds a bounded heap).  Instead the spec is recorded
+            # and _stats pre-bounds the carry with a row_number window
+            # BEFORE the aggregation (WindowGroupLimit drops past-limit
+            # rows map-side); other aggregates still see every row via
+            # the split-and-join below.
             args = _split_top(inner)
             if len(args) != 3:
                 raise EsqlError(f"TOP needs (field, limit, order): {item!r}")
             order = args[2].strip().strip("'\"").lower()
             if order not in ("asc", "desc"):
                 raise EsqlError(f"TOP order must be asc|desc: {item!r}")
-            col = F.slice(
-                F.sort_array(F.collect_list(_gate(_expr(args[0]))),
-                             asc=(order == "asc")),
-                1,
-                int(args[1]),
+            top_specs.append(
+                (
+                    len(aggs),
+                    name or item.lower(),
+                    _gate(_expr(args[0])),
+                    int(args[1]),
+                    order == "asc",
+                )
             )
+            agg_names.append(name or item.lower())
+            aggs.append(None)  # placeholder keeps declared order
+            continue
         elif fname == "count" and inner in ("*", ""):
             col = F.count(_gate(F.lit(1)))
         elif fname in _AGGS:
@@ -1347,9 +1364,79 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
         else:
             raise EsqlError(f"unsupported aggregate {fname!r}")
         aggs.append(col.alias(name or item.lower()))
-    if keys:
-        return df.groupBy(*[e.alias(n) for n, e in keys]).agg(*aggs)
-    return df.agg(*aggs)
+        agg_names.append(name or item.lower())
+
+    if not top_specs:
+        if keys:
+            return df.groupBy(*[e.alias(n) for n, e in keys]).agg(*aggs)
+        return df.agg(*aggs)
+
+    # ---- bounded TOP path ----------------------------------------------
+    # 1. materialize the BY keys once (windows and groupBys must agree on
+    #    the exact grouping values), 2. per TOP: row_number over
+    #    (keys, gated value) with nulls LAST, 3. keep only rows inside
+    #    ANY top's limit — Spark plans the caps as WindowGroupLimit, so a
+    #    hot group's past-limit rows drop map-side and never shuffle —
+    #    4. collect each top from its own surviving rows, 5. non-TOP
+    #    aggregates run over the UNFILTERED rows and join back on the
+    #    keys (null-safe: groupBy groups nulls, the join must too).
+    #    row_number tie-breaks are partition-order-dependent, but ties
+    #    are EQUAL VALUES — the top-k multiset is deterministic either
+    #    way.  Each aggregation buffer now holds <= limit values.
+    tmp = df
+    key_cols = []
+    for i, (_, e) in enumerate(keys):
+        tmp = tmp.withColumn(f"__sk{i}", e)
+        key_cols.append(f"__sk{i}")
+    part = [F.col(c) for c in key_cols]
+    keep = None
+    for j, (_, _, gexpr, limit, asc) in enumerate(top_specs):
+        tmp = tmp.withColumn(f"__tv{j}", gexpr)
+        order_col = (
+            F.col(f"__tv{j}").asc_nulls_last()
+            if asc
+            else F.col(f"__tv{j}").desc_nulls_last()
+        )
+        w = Window.partitionBy(*part).orderBy(order_col)
+        tmp = tmp.withColumn(f"__tr{j}", F.row_number().over(w))
+        c = F.col(f"__tr{j}") <= limit
+        keep = c if keep is None else (keep | c)
+    top_cols = []
+    for j, (_, alias, _, limit, asc) in enumerate(top_specs):
+        arr = F.sort_array(
+            F.collect_list(
+                F.when(
+                    (F.col(f"__tr{j}") <= limit) & F.col(f"__tv{j}").isNotNull(),
+                    F.col(f"__tv{j}"),
+                )
+            ),
+            asc=asc,
+        )
+        top_cols.append(F.slice(arr, 1, limit).alias(alias))
+    gb = [F.col(c).alias(n) for c, (n, _) in zip(key_cols, keys)]
+    bounded = tmp.filter(keep)
+    topdf = bounded.groupBy(*gb).agg(*top_cols) if gb else bounded.agg(*top_cols)
+    other = [a for a in aggs if a is not None]
+    if not other:
+        return topdf
+    maindf = tmp.groupBy(*gb).agg(*other) if gb else tmp.agg(*other)
+    top_names = {alias for _, alias, _, _, _ in top_specs}
+    # column references go through frame indexing (exact-name lookup) —
+    # auto-named aggregates like `top(v, 2, "desc")` contain characters
+    # F.col would misparse
+    if not gb:
+        joined = maindf.crossJoin(F.broadcast(topdf))
+        return joined.select(*[joined[n] for n in agg_names])
+    m, t = maindf.alias("__stats_m"), topdf.alias("__stats_t")
+    pred = None
+    for n, _ in keys:
+        c = m[n].eqNullSafe(t[n])
+        pred = c if pred is None else (pred & c)
+    joined = m.join(t, pred, "left")
+    # restore the declared column order: keys, then aggregates as written
+    sel = [m[n] for n, _ in keys]
+    sel.extend(t[n] if n in top_names else m[n] for n in agg_names)
+    return joined.select(*sel)
 
 
 # ES|QL 9.x time-series aggregation functions (usable only in a STATS

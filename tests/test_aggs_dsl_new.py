@@ -1071,3 +1071,36 @@ def test_composite_after_with_missing_bucket_refused(spark):
             "size": 2, "after": {"k": "a"},
             "sources": [{"k": {"terms": {"field": "k", "missing_bucket": True}}}],
         }}}})
+
+
+def test_geo_line_bounded_carry_plan(spark):
+    """Round-10: geo_line pre-bounds its collect with a row_number window
+    over the bucket keys — the plan must show a Window feeding the
+    aggregation (the collect gates on rn <= size, so no bucket buffers
+    more than size points) while sibling metrics still see every row."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+    from elasticsearch_hadoop_spark.plans import count_nodes, formatted_plan
+
+    df = spark.createDataFrame(
+        [("a", 1.0, {"lat": 1.0, "lon": 2.0})],
+        "g string, t double, p struct<lat: double, lon: double>",
+    )
+    out = compile_aggs(df, {
+        "by_g": {
+            "terms": {"field": "g"},
+            "aggs": {
+                "path": {"geo_line": {
+                    "point": {"field": "p"}, "sort": {"field": "t"},
+                    "size": 5,
+                }},
+                "avg_t": {"avg": {"field": "t"}},
+            },
+        },
+    })
+    plan = formatted_plan(out)
+    assert count_nodes(plan, "Window") >= 1
+    assert "row_number" in plan
+    # no row filter: the avg over every row lives in the SAME aggregation
+    assert count_nodes(plan, "ObjectHashAggregate") + count_nodes(plan, "SortAggregate") + count_nodes(plan, "HashAggregate") >= 2
+    row = out.collect()[0]
+    assert row["path"] == [[2.0, 1.0]] and row["avg_t"] == 1.0

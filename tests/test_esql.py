@@ -1280,3 +1280,59 @@ def test_mv_count_skips_null_elements_and_pseries(spark):
     assert r[4]["n"] is None and r[4]["ps"] is None
     with pytest.raises(EsqlError, match="needs"):
         esql("FROM t | EVAL x = MV_PSERIES_WEIGHTED_SUM(xs)", tables={"t": df})
+
+
+def test_stats_top_bounded_carry_plan(spark):
+    """Round-10: TOP compiles through the bounded-carry pre-stage — the
+    plan must show WindowGroupLimit (map-side cap before the shuffle, the
+    same shape as eql_sample size>1) instead of an unbounded
+    collect-then-slice, and the mixed-aggregate split joins back on the
+    group keys."""
+    from elasticsearch_hadoop_spark.plans import count_nodes, formatted_plan
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    plan = formatted_plan(esql(
+        'FROM t | STATS top2 = TOP(v, 2, "desc") BY g', tables={"t": df}
+    ))
+    assert count_nodes(plan, "WindowGroupLimit") == 2  # Partial + Final
+    assert ", 2, Partial" in plan
+    # TOP-only: no join — one bounded aggregation
+    assert count_nodes(plan, "SortMergeJoin") + count_nodes(plan, "BroadcastHashJoin") == 0
+    mixed = formatted_plan(esql(
+        'FROM t | STATS n = COUNT(*), top2 = TOP(v, 2, "desc") BY g',
+        tables={"t": df},
+    ))
+    # mixed aggregates: the unfiltered COUNT joins the bounded TOP
+    assert count_nodes(mixed, "WindowGroupLimit") == 2
+    assert (count_nodes(mixed, "SortMergeJoin")
+            + count_nodes(mixed, "BroadcastHashJoin")) == 1
+
+
+def test_stats_top_null_and_where_semantics(spark):
+    """TOP skips NULL values (they sort past the cap AND the collect
+    gates on notnull), honors per-aggregate WHERE, keeps groups whose
+    TOP is empty when mixed with other aggregates, and global (no-BY)
+    TOP still works."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 5.0), ("b", None), ("c", 2.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in esql(
+        "FROM t | STATS n = COUNT(*),"
+        ' t2 = TOP(v, 2, "desc"),'
+        ' small = TOP(v, 1, "asc") WHERE v < 2 BY g',
+        tables={"t": df},
+    ).collect()}
+    assert out["a"]["n"] == 3 and out["a"]["t2"] == [5.0, 1.0]
+    assert out["a"]["small"] == [1.0]
+    # group b: only a NULL value — COUNT still 1 (count(*)), TOP empty
+    assert out["b"]["n"] == 1 and out["b"]["t2"] == []
+    assert out["c"]["t2"] == [2.0] and out["c"]["small"] == []
+    g = esql('FROM t | STATS big = TOP(v, 2, "desc")', tables={"t": df}).collect()[0]
+    assert g["big"] == [5.0, 2.0]
+    g2 = esql(
+        'FROM t | STATS n = COUNT(*), big = TOP(v, 10, "asc")', tables={"t": df}
+    ).collect()[0]
+    assert g2["n"] == 5 and g2["big"] == [1.0, 2.0, 5.0]

@@ -38,6 +38,7 @@ CHANGED_IMPL = {
     "eql_sample_multi",       # r9 verdict item 1: bounded size>1 carry
     "esql_mv_percentile",     # r10: MV median/percentile/MAD bind-once rewrite
     "ingest_circle_geogrid",  # r10: circle-processor params bind-once rewrite
+    "aggs_geo_line",          # r10: bounded-carry window pre-pass
 }
 
 # family -> regex over query names; each must match >=1 query with a driver
