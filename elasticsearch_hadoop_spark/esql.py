@@ -1345,14 +1345,13 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
             order = args[2].strip().strip("'\"").lower()
             if order not in ("asc", "desc"):
                 raise EsqlError(f"TOP order must be asc|desc: {item!r}")
+            limit = int(args[1])
+            if limit < 1:
+                # ES|QL rejects non-positive limits at validation time;
+                # silently compiling one would drop whole groups here
+                raise EsqlError(f"TOP limit must be >= 1, got {limit}")
             top_specs.append(
-                (
-                    len(aggs),
-                    name or item.lower(),
-                    _gate(_expr(args[0])),
-                    int(args[1]),
-                    order == "asc",
-                )
+                (name or item.lower(), _gate(_expr(args[0])), limit, order == "asc")
             )
             agg_names.append(name or item.lower())
             aggs.append(None)  # placeholder keeps declared order
@@ -1372,70 +1371,86 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
         return df.agg(*aggs)
 
     # ---- bounded TOP path ----------------------------------------------
-    # 1. materialize the BY keys once (windows and groupBys must agree on
-    #    the exact grouping values), 2. per TOP: row_number over
-    #    (keys, gated value) with nulls LAST, 3. keep only rows inside
-    #    ANY top's limit — Spark plans the caps as WindowGroupLimit, so a
-    #    hot group's past-limit rows drop map-side and never shuffle —
-    #    4. collect each top from its own surviving rows, 5. non-TOP
-    #    aggregates run over the UNFILTERED rows and join back on the
-    #    keys (null-safe: groupBy groups nulls, the join must too).
-    #    row_number tie-breaks are partition-order-dependent, but ties
-    #    are EQUAL VALUES — the top-k multiset is deterministic either
-    #    way.  Each aggregation buffer now holds <= limit values.
+    # Each TOP gets its OWN bounded frame: row_number over (keys, gated
+    # value) with nulls LAST, then a CONJUNCTIVE `rn <= limit` filter —
+    # the shape InferWindowGroupLimit recognizes, so Spark plans
+    # WindowGroupLimit Partial+Final and a hot group's past-limit rows
+    # drop map-side before the exchange.  (A single shared frame with an
+    # OR over several tops' ranks defeats the optimization — review
+    # r10d-1 — and would full-sort every hot-group row through every
+    # window.)  Every group survives its frame: row_number assigns 1 to
+    # some row even when all values are NULL, and the collect's notnull
+    # gate then yields []. Non-TOP aggregates run over the UNFILTERED
+    # rows; all frames join back null-safely on the materialized keys
+    # (groupBy groups nulls, the join must too), declared column order
+    # restored at the end.  row_number tie-breaks are partition-order-
+    # dependent, but ties are EQUAL VALUES — the top-k multiset is
+    # deterministic either way.  Each aggregation buffer holds <= limit
+    # values; each TOP costs one bounded window pass + one tiny agg.
     tmp = df
     key_cols = []
     for i, (_, e) in enumerate(keys):
         tmp = tmp.withColumn(f"__sk{i}", e)
         key_cols.append(f"__sk{i}")
     part = [F.col(c) for c in key_cols]
-    keep = None
-    for j, (_, _, gexpr, limit, asc) in enumerate(top_specs):
-        tmp = tmp.withColumn(f"__tv{j}", gexpr)
+    gb = [F.col(c).alias(n) for c, (n, _) in zip(key_cols, keys)]
+
+    def top_frame(j: int, alias: str, gexpr: Column, limit: int, asc: bool):
+        t = tmp.withColumn(f"__tv{j}", gexpr)
         order_col = (
             F.col(f"__tv{j}").asc_nulls_last()
             if asc
             else F.col(f"__tv{j}").desc_nulls_last()
         )
         w = Window.partitionBy(*part).orderBy(order_col)
-        tmp = tmp.withColumn(f"__tr{j}", F.row_number().over(w))
-        c = F.col(f"__tr{j}") <= limit
-        keep = c if keep is None else (keep | c)
-    top_cols = []
-    for j, (_, alias, _, limit, asc) in enumerate(top_specs):
+        t = t.withColumn(f"__tr{j}", F.row_number().over(w)).filter(
+            F.col(f"__tr{j}") <= limit
+        )
         arr = F.sort_array(
             F.collect_list(
-                F.when(
-                    (F.col(f"__tr{j}") <= limit) & F.col(f"__tv{j}").isNotNull(),
-                    F.col(f"__tv{j}"),
-                )
+                F.when(F.col(f"__tv{j}").isNotNull(), F.col(f"__tv{j}"))
             ),
             asc=asc,
         )
-        top_cols.append(F.slice(arr, 1, limit).alias(alias))
-    gb = [F.col(c).alias(n) for c, (n, _) in zip(key_cols, keys)]
-    bounded = tmp.filter(keep)
-    topdf = bounded.groupBy(*gb).agg(*top_cols) if gb else bounded.agg(*top_cols)
+        col = F.slice(arr, 1, limit).alias(alias)
+        return t.groupBy(*gb).agg(col) if gb else t.agg(col)
+
+    frames = [
+        (alias, top_frame(j, alias, gexpr, limit, asc))
+        for j, (alias, gexpr, limit, asc) in enumerate(top_specs)
+    ]
     other = [a for a in aggs if a is not None]
-    if not other:
-        return topdf
-    maindf = tmp.groupBy(*gb).agg(*other) if gb else tmp.agg(*other)
-    top_names = {alias for _, alias, _, _, _ in top_specs}
+    top_names = {alias for alias, _ in frames}
+    if other:
+        base = tmp.groupBy(*gb).agg(*other) if gb else tmp.agg(*other)
+        joins = frames
+    else:
+        base, joins = frames[0][1], frames[1:]
     # column references go through frame indexing (exact-name lookup) —
     # auto-named aggregates like `top(v, 2, "desc")` contain characters
     # F.col would misparse
+    base = base.alias("__stats_m")
     if not gb:
-        joined = maindf.crossJoin(F.broadcast(topdf))
+        joined = base
+        for _, fr in joins:
+            joined = joined.crossJoin(F.broadcast(fr))
         return joined.select(*[joined[n] for n in agg_names])
-    m, t = maindf.alias("__stats_m"), topdf.alias("__stats_t")
-    pred = None
-    for n, _ in keys:
-        c = m[n].eqNullSafe(t[n])
-        pred = c if pred is None else (pred & c)
-    joined = m.join(t, pred, "left")
+    col_of = {n: base[n] for n, _ in keys}
+    col_of.update((n, base[n]) for n in agg_names if n not in top_names)
+    if not other:
+        col_of[frames[0][0]] = base[frames[0][0]]
+    joined = base
+    for k, (alias, fr) in enumerate(joins):
+        fr = fr.alias(f"__stats_t{k}")
+        pred = None
+        for n, _ in keys:
+            c = base[n].eqNullSafe(fr[n])
+            pred = c if pred is None else (pred & c)
+        joined = joined.join(fr, pred, "left")
+        col_of[alias] = fr[alias]
     # restore the declared column order: keys, then aggregates as written
-    sel = [m[n] for n, _ in keys]
-    sel.extend(t[n] if n in top_names else m[n] for n in agg_names)
+    sel = [col_of[n] for n, _ in keys]
+    sel.extend(col_of[n] for n in agg_names)
     return joined.select(*sel)
 
 

@@ -1308,6 +1308,19 @@ def test_stats_top_bounded_carry_plan(spark):
     assert count_nodes(mixed, "WindowGroupLimit") == 2
     assert (count_nodes(mixed, "SortMergeJoin")
             + count_nodes(mixed, "BroadcastHashJoin")) == 1
+    # review r10d-1: MULTI-TOP must keep the cap per TOP — each top gets
+    # its own conjunctively-filtered frame (a shared OR-filtered frame
+    # defeats InferWindowGroupLimit and no cap is planned at all)
+    multi = formatted_plan(esql(
+        'FROM t | STATS n = COUNT(*), hi = TOP(v, 2, "desc"),'
+        ' lo = TOP(v, 2, "asc") BY g',
+        tables={"t": df},
+    ))
+    assert count_nodes(multi, "WindowGroupLimit") == 4  # Partial+Final x 2
+    assert (count_nodes(multi, "SortMergeJoin")
+            + count_nodes(multi, "BroadcastHashJoin")) == 2
+    with pytest.raises(EsqlError, match="TOP limit"):
+        esql('FROM t | STATS z = TOP(v, 0, "desc") BY g', tables={"t": df})
 
 
 def test_stats_top_null_and_where_semantics(spark):
