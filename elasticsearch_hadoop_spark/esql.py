@@ -1285,9 +1285,9 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
                 keys.append((k, F.col(k)))
     aggs: list[Column] = []
     agg_names: list[str] = []
-    # (slot, alias, gated value expr, limit, asc) per TOP aggregate —
+    # (alias, gated value expr, limit, asc) per TOP aggregate —
     # compiled after the loop via the bounded-carry pre-stage
-    top_specs: list[tuple[int, str, Column, int, bool]] = []
+    top_specs: list[tuple[str, Column, int, bool]] = []
     for item in _split_top(agg_part):
         name = None
         m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", item, flags=re.S)
@@ -1345,7 +1345,12 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
             order = args[2].strip().strip("'\"").lower()
             if order not in ("asc", "desc"):
                 raise EsqlError(f"TOP order must be asc|desc: {item!r}")
-            limit = int(args[1])
+            try:
+                limit = int(args[1])
+            except ValueError:
+                raise EsqlError(
+                    f"TOP limit must be an integer literal: {item!r}"
+                ) from None
             if limit < 1:
                 # ES|QL rejects non-positive limits at validation time;
                 # silently compiling one would drop whole groups here
@@ -1387,6 +1392,16 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
     # dependent, but ties are EQUAL VALUES — the top-k multiset is
     # deterministic either way.  Each aggregation buffer holds <= limit
     # values; each TOP costs one bounded window pass + one tiny agg.
+    all_names = [n for n, _ in keys] + agg_names
+    dupes = sorted({n for n in all_names if all_names.count(n) > 1})
+    if dupes:
+        # the exact-name lookups in the join-back select would silently
+        # collapse same-named columns to the last frame's values (the
+        # plain-agg path keeps Spark's duplicate columns; here it would
+        # be WRONG data, so fail loudly)
+        raise EsqlError(
+            f"STATS with TOP needs unique output names, duplicated: {dupes}"
+        )
     tmp = df
     key_cols = []
     for i, (_, e) in enumerate(keys):
@@ -1406,13 +1421,14 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
         t = t.withColumn(f"__tr{j}", F.row_number().over(w)).filter(
             F.col(f"__tr{j}") <= limit
         )
-        arr = F.sort_array(
+        # the frame is already rn-filtered, so the collected array can
+        # never exceed `limit` elements — no slice needed
+        col = F.sort_array(
             F.collect_list(
                 F.when(F.col(f"__tv{j}").isNotNull(), F.col(f"__tv{j}"))
             ),
             asc=asc,
-        )
-        col = F.slice(arr, 1, limit).alias(alias)
+        ).alias(alias)
         return t.groupBy(*gb).agg(col) if gb else t.agg(col)
 
     frames = [

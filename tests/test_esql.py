@@ -1349,3 +1349,19 @@ def test_stats_top_null_and_where_semantics(spark):
         'FROM t | STATS n = COUNT(*), big = TOP(v, 10, "asc")', tables={"t": df}
     ).collect()[0]
     assert g2["n"] == 5 and g2["big"] == [1.0, 2.0, 5.0]
+
+
+def test_stats_top_validation_regressions(spark):
+    """Review r10e: duplicate output names in a TOP-bearing STATS fail
+    loudly (the join-back lookup would silently collapse them to the
+    last frame's values), and a non-integer TOP limit raises EsqlError,
+    not a bare ValueError."""
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(EsqlError, match="unique output names"):
+        esql('FROM t | STATS hi = TOP(v, 2, "desc"), hi = TOP(v, 1, "asc") BY g',
+             tables={"t": df})
+    with pytest.raises(EsqlError, match="unique output names"):
+        esql('FROM t | STATS x = COUNT(*), x = TOP(v, 1, "desc") BY g',
+             tables={"t": df})
+    with pytest.raises(EsqlError, match="integer literal"):
+        esql('FROM t | STATS z = TOP(v, x, "desc") BY g', tables={"t": df})
