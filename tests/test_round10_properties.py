@@ -11,6 +11,9 @@ against a pure-Python reference:
   references, over arrays with NULLs, empties, and duplicates.
 - sql_page columnar mode vs row mode: same statement, same pages, the
   transpose is exact and the cursor carries the mode.
+- ES|QL TOP after the per-frame bounded-carry rewrite vs a Python
+  sorted-slice reference, mixed with an unfiltered COUNT(*), over
+  groups with hot keys and NULL-only values.
 """
 
 from __future__ import annotations
@@ -198,3 +201,41 @@ def test_sql_page_columnar_transposes_row_mode(spark, tmp_path_factory, n, fetch
             resp = cat.sql_page(cursor=resp["cursor"])
 
     assert pages(True) == pages(False)
+
+
+# ------------------------------------------------- ES|QL bounded TOP
+
+
+_TOP_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),                        # group (few -> hot groups)
+        st.one_of(st.none(), st.integers(-9, 9).map(float)),  # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_TOP_ROWS, k=st.integers(1, 4))
+def test_esql_top_matches_reference(spark, rows, k):
+    """The per-TOP bounded-frame compile returns exactly the k smallest /
+    largest non-NULL values per group, next to an unfiltered COUNT(*),
+    for every group — including groups with only NULL values (empty
+    array, count intact)."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    df = spark.createDataFrame(
+        [(g, v) for g, v in rows] or [(None, None)], "g int, v double"
+    )
+    out = {r["g"]: r for r in esql(
+        f'FROM t | STATS n = COUNT(*), hi = TOP(v, {k}, "desc"),'
+        f' lo = TOP(v, {k}, "asc") BY g',
+        tables={"t": df},
+    ).collect()}
+    src = rows or [(None, None)]
+    for g in {r[0] for r in src}:
+        vals = sorted(v for gg, v in src if gg == g and v is not None)
+        assert out[g]["n"] == sum(1 for gg, _ in src if gg == g)
+        assert out[g]["lo"] == vals[:k]
+        assert out[g]["hi"] == sorted(vals, reverse=True)[:k]
