@@ -77,6 +77,24 @@ def lexicographic_after(
     return cond
 
 
+def _pred_and_score(q) -> tuple[Column, Column]:
+    """The deterministic-scoring trichotomy shared by search() and
+    explain_doc(): function_score → its compiled score, constant_score →
+    the boost, anything else filter-context with score 1.0 (BM25 is out
+    of scope — no fake tf/idf)."""
+    from elasticsearch_hadoop_spark.query_dsl import (
+        compile_function_score,
+        compile_query,
+    )
+
+    if isinstance(q, dict) and set(q) == {"function_score"}:
+        pred, score = compile_function_score(q["function_score"])
+        return pred, score.cast("double")
+    if isinstance(q, dict) and set(q) == {"constant_score"}:
+        return compile_query(q), F.lit(float(q["constant_score"].get("boost", 1.0)))
+    return compile_query(q), F.lit(1.0)
+
+
 def search(
     df: DataFrame,
     body: dict,
@@ -108,20 +126,7 @@ def search(
     TakeOrderedAndProject (per-partition heaps).  ``from`` pages by
     limiting to from+size FIRST, then row_number over that tiny set —
     never a global window over the corpus."""
-    from elasticsearch_hadoop_spark.query_dsl import (
-        compile_function_score,
-        compile_query,
-    )
-
-    q = body.get("query", {"match_all": {}})
-    if isinstance(q, dict) and set(q) == {"function_score"}:
-        pred, score = compile_function_score(q["function_score"])
-        score = score.cast("double")
-    elif isinstance(q, dict) and set(q) == {"constant_score"}:
-        pred = compile_query(q)
-        score = F.lit(float(q["constant_score"].get("boost", 1.0)))
-    else:
-        pred, score = compile_query(q), F.lit(1.0)
+    pred, score = _pred_and_score(body.get("query", {"match_all": {}}))
     out = df.filter(pred).withColumn(score_col, score)
     if "min_score" in body:
         out = out.filter(F.col(score_col) >= F.lit(float(body["min_score"])))
@@ -415,6 +420,40 @@ def suggest_phrase(
             "n_corrections"
         ),
     )
+
+
+def explain_doc(df: DataFrame, doc_id, query: dict, id_col: str) -> dict:
+    """ES ``GET /<index>/_explain/<id>``: whether ONE document matches the
+    query.  Returns ``{"_id": id, "found": bool, "matched": bool,
+    "_score": float | None, "explanation": str}`` — ``found`` False when
+    the id does not exist (ES's 404 case), ``_score`` from the
+    deterministic scoring subset (the search() trichotomy) only when
+    matched, and ``explanation`` the compiled Catalyst predicate text
+    (the validate_query explain form — never a fake BM25 score tree,
+    the engine's documented scoreless rule).
+
+    Scale: the id equality filter is sargable (row-group stats pruning,
+    partition pruning on a partitioned id), so the scan touches only
+    files that can contain the id — one-row work at any corpus size."""
+    pred, score = _pred_and_score(query)
+    rows = (
+        df.filter(F.col(id_col) == F.lit(doc_id))
+        .select(pred.alias("__matched"), score.alias("__score"))
+        .limit(1)
+        .collect()
+    )
+    out = {
+        "_id": doc_id,
+        "found": bool(rows),
+        "matched": bool(rows and rows[0]["__matched"]),
+        "explanation": str(pred),
+    }
+    out["_score"] = (
+        float(rows[0]["__score"])
+        if out["matched"] and rows[0]["__score"] is not None
+        else None
+    )
+    return out
 
 
 def mget(

@@ -661,3 +661,35 @@ class TestPainlessStringMethods:
     ])
     def test_literal_masking_and_length_chain(self, sdf, script, want):
         assert sdf.select(compile_script(script).alias("x")).collect()[0]["x"] == want
+
+
+def test_explain_doc_matched_found_and_score(spark):
+    """ES _explain: found/matched flags, deterministic-subset _score,
+    compiled-predicate explanation; missing id is the 404 case."""
+    from elasticsearch_hadoop_spark.search import explain_doc
+
+    df = spark.createDataFrame(
+        [(1, "open", 10.0), (2, "closed", 5.0)], "id int, st string, w double"
+    )
+    hit = explain_doc(df, 1, {"term": {"st": "open"}}, id_col="id")
+    assert hit["found"] and hit["matched"] and hit["_score"] == 1.0
+    assert hit["_id"] == 1 and "open" in hit["explanation"]
+    miss = explain_doc(df, 2, {"term": {"st": "open"}}, id_col="id")
+    assert miss["found"] and not miss["matched"] and miss["_score"] is None
+    gone = explain_doc(df, 99, {"term": {"st": "open"}}, id_col="id")
+    assert not gone["found"] and not gone["matched"] and gone["_score"] is None
+    # deterministic scoring subset flows through (field_value_factor)
+    fs = explain_doc(
+        df, 1,
+        {"function_score": {
+            "query": {"term": {"st": "open"}},
+            "field_value_factor": {"field": "w", "factor": 2.0},
+        }},
+        id_col="id",
+    )
+    assert fs["matched"] and fs["_score"] == 20.0
+    # constant_score boost
+    cs = explain_doc(
+        df, 2, {"constant_score": {"filter": {"term": {"st": "closed"}},
+                                   "boost": 3.5}}, id_col="id")
+    assert cs["matched"] and cs["_score"] == 3.5
