@@ -1412,11 +1412,20 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
 
     def top_frame(j: int, alias: str, gexpr: Column, limit: int, asc: bool):
         t = tmp.withColumn(f"__tv{j}", gexpr)
-        order_col = (
-            F.col(f"__tv{j}").asc_nulls_last()
-            if asc
-            else F.col(f"__tv{j}").desc_nulls_last()
-        )
+        tv = F.col(f"__tv{j}")
+        if not gb:
+            # global TOP: an empty partition spec would funnel the WHOLE
+            # input through one window partition's sort (no
+            # WindowGroupLimit is planned for it either) — use
+            # orderBy+limit instead, which plans TakeOrderedAndProject:
+            # per-partition top-k heaps, driver merges k rows.  agg over
+            # the <= limit survivors still emits its one row on empty
+            # input (ES|QL's global-STATS contract).
+            t = t.filter(tv.isNotNull()).orderBy(
+                tv.asc() if asc else tv.desc()
+            ).limit(limit)
+            return t.agg(F.sort_array(F.collect_list(tv), asc=asc).alias(alias))
+        order_col = tv.asc_nulls_last() if asc else tv.desc_nulls_last()
         w = Window.partitionBy(*part).orderBy(order_col)
         t = t.withColumn(f"__tr{j}", F.row_number().over(w)).filter(
             F.col(f"__tr{j}") <= limit
@@ -1425,11 +1434,11 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
         # never exceed `limit` elements — no slice needed
         col = F.sort_array(
             F.collect_list(
-                F.when(F.col(f"__tv{j}").isNotNull(), F.col(f"__tv{j}"))
+                F.when(tv.isNotNull(), tv)
             ),
             asc=asc,
         ).alias(alias)
-        return t.groupBy(*gb).agg(col) if gb else t.agg(col)
+        return t.groupBy(*gb).agg(col)
 
     frames = [
         (alias, top_frame(j, alias, gexpr, limit, asc))

@@ -1321,6 +1321,13 @@ def test_stats_top_bounded_carry_plan(spark):
             + count_nodes(multi, "BroadcastHashJoin")) == 2
     with pytest.raises(EsqlError, match="TOP limit"):
         esql('FROM t | STATS z = TOP(v, 0, "desc") BY g', tables={"t": df})
+    # global (no BY) TOP: TakeOrderedAndProject, never a single-partition
+    # global window sort (an empty partition spec gets no WindowGroupLimit)
+    g = formatted_plan(esql(
+        'FROM t | STATS top = TOP(v, 2, "desc")', tables={"t": df}
+    ))
+    assert count_nodes(g, "TakeOrderedAndProject") == 1
+    assert count_nodes(g, "Window") == 0
 
 
 def test_stats_top_null_and_where_semantics(spark):
