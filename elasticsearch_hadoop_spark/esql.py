@@ -1355,6 +1355,10 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
                 # ES|QL rejects non-positive limits at validation time;
                 # silently compiling one would drop whole groups here
                 raise EsqlError(f"TOP limit must be >= 1, got {limit}")
+            if limit > 2**31 - 1:
+                # DataFrame.limit takes a Java int — past Int32 the
+                # global path would raise an opaque Py4JError
+                raise EsqlError(f"TOP limit must fit an int32, got {limit}")
             top_specs.append(
                 (name or item.lower(), _gate(_expr(args[0])), limit, order == "asc")
             )

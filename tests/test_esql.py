@@ -1372,3 +1372,5 @@ def test_stats_top_validation_regressions(spark):
              tables={"t": df})
     with pytest.raises(EsqlError, match="integer literal"):
         esql('FROM t | STATS z = TOP(v, x, "desc") BY g', tables={"t": df})
+    with pytest.raises(EsqlError, match="int32"):
+        esql('FROM t | STATS z = TOP(v, 2147483648, "desc")', tables={"t": df})
