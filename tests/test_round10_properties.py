@@ -14,6 +14,9 @@ against a pure-Python reference:
 - ES|QL TOP after the per-frame bounded-carry rewrite vs a Python
   sorted-slice reference, mixed with an unfiltered COUNT(*), over
   groups with hot keys and NULL-only values.
+- geo_line after the bounded-carry window pre-pass vs a Python
+  sort-truncate reference (NULL sorts/points, asc+desc, hot buckets,
+  sibling doc_count unfiltered).
 """
 
 from __future__ import annotations
@@ -239,3 +242,57 @@ def test_esql_top_matches_reference(spark, rows, k):
         assert out[g]["n"] == sum(1 for gg, _ in src if gg == g)
         assert out[g]["lo"] == vals[:k]
         assert out[g]["hi"] == sorted(vals, reverse=True)[:k]
+
+
+# ------------------------------------------------- bounded geo_line
+
+
+_GL_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 1),                           # bucket (hot)
+        st.one_of(st.none(), st.integers(0, 30)),    # sort value
+        st.booleans(),                               # point present?
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_GL_ROWS, size=st.integers(1, 4), desc=st.booleans())
+def test_geo_line_bounded_matches_reference(spark, rows, size, desc):
+    """geo_line after the bounded-carry window pre-pass: per bucket, the
+    size-truncated sort-ordered [lon, lat] path, NULL sort values and
+    NULL points skipped, sibling doc_count seeing EVERY row."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    data = [
+        (g, t, {"lat": float(i), "lon": float(10 * i)} if has_p else None)
+        for i, (g, t, has_p) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data or [(0, None, None)],
+        "g int, t int, p struct<lat: double, lon: double>",
+    )
+    out = {
+        r["by"]: r
+        for r in compile_aggs(df, {"by": {
+            "terms": {"field": "g", "size": 10, "order": {"_key": "asc"}},
+            "aggs": {"line": {"geo_line": {
+                "point": {"field": "p"}, "sort": {"field": "t"},
+                "size": size,
+                "sort_order": "desc" if desc else "asc",
+            }}},
+        }}).collect()
+    }
+    src = data or [(0, None, None)]
+    for g in {r[0] for r in src}:
+        pts = sorted(
+            (t, p["lon"], p["lat"])
+            for gg, t, p in src
+            if gg == g and t is not None and p is not None
+        )
+        if desc:
+            pts = pts[::-1]
+        assert out[g]["line"] == [[x, y] for _, x, y in pts[:size]]
+        assert out[g]["doc_count"] == sum(1 for gg, _, _ in src if gg == g)
