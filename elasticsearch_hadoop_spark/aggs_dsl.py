@@ -808,7 +808,7 @@ def compile_aggs(
         # a single global window partition — bounded buffer either way.
         from pyspark.sql import Window
 
-        for gname, gspec in geo_lines:
+        for gi, (gname, gspec) in enumerate(geo_lines):
             try:
                 point_f = gspec["point"]["field"]
                 sort_f = gspec["sort"]["field"]
@@ -826,7 +826,10 @@ def compile_aggs(
                 ok,
                 F.struct(F.col(sort_f).alias("s"), lon.alias("x"), lat.alias("y")),
             )
-            rn_col = f"__gl_rn_{gname}"
+            # index-based helper name (NOT the user-chosen agg name): a
+            # dotted gname would make F.col(rn_col) parse as struct-field
+            # access — same discipline as the TOP path's __tv{j}/__tr{j}
+            rn_col = f"__gl_rn_{gi}"
             ordc = item.asc_nulls_last() if order == "ASC" else item.desc_nulls_last()
             w = Window.partitionBy(*[expr for _, expr in keys]).orderBy(ordc)
             df = df.withColumn(rn_col, F.row_number().over(w))
@@ -984,7 +987,7 @@ _PARENT_PIPELINES = (
 _SIBLING_PIPELINES = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
     "stats_bucket", "percentiles_bucket", "bucket_correlation",
-    "change_point",
+    "change_point", "bucket_count_ks_test",
 )
 _MOVING_FNS = {
     "unweightedAvg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
@@ -1170,6 +1173,121 @@ def _apply_pipelines(
                     .withColumn(f"{name}_score", F.first("__cp_t").over(wbest))
                     .drop("__cp_t", "__cp_next")
                 )
+                continue
+            if kind == "bucket_count_ks_test":
+                # ES bucket_count_ks_test (ML sibling pipeline): a
+                # Kolmogorov–Smirnov test of the sibling buckets' doc
+                # counts against expected `fractions` (default uniform) —
+                # the drift detector for "do these buckets still follow
+                # the expected distribution".  Deterministic semantics,
+                # documented (ES's ML implementation is sampling-based;
+                # this engine computes the classical statistics exactly):
+                #   ECDF(i)   = cumsum(counts) / total   (bucket order)
+                #   F0(i)     = cumsum(fractions, normalized)
+                #   less      = sup(ECDF - F0)   (actual mass sits at
+                #               SMALLER bucket keys than expected)
+                #   greater   = sup(F0 - ECDF)
+                #   two_sided = sup|ECDF - F0|
+                # p-values: one-sided exp(-2·n·d²); two-sided the
+                # Kolmogorov asymptotic 2·Σ(-1)^{j-1}·exp(-2·j²·n·d²)
+                # (100 terms, clamped to [0,1]); n = total doc count.
+                # sampling_method restricts WHICH CDF points enter the
+                # sup: uniform = all (the default here — documented
+                # deviation from ES's upper_tail), upper_tail = points
+                # with F0 > 0.5, lower_tail = F0 <= 0.5.  All window math
+                # over the finished bucket frame — prefix sums give every
+                # CDF point in one pass, no fact rows, no collect.
+                alts = list(spec.get("alternative", ["two_sided"]))
+                bad = [a for a in alts if a not in ("less", "greater", "two_sided")]
+                if bad:
+                    raise AggsDslError(
+                        f"bucket_count_ks_test {name!r}: unknown alternative {bad}"
+                    )
+                sampling = spec.get("sampling_method", "uniform")
+                if sampling not in ("uniform", "upper_tail", "lower_tail"):
+                    raise AggsDslError(
+                        f"bucket_count_ks_test {name!r}: unknown "
+                        f"sampling_method {sampling!r}"
+                    )
+                v = _path_col(spec["buckets_path"]).cast("double")
+                worder = (
+                    Window.partitionBy(*part).orderBy(key_names[k])
+                    if part
+                    else Window.orderBy(key_names[k])
+                )
+                run = worder.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                total = F.sum(v).over(ws)
+                nb = F.count(F.lit(1)).over(ws)
+                rn = F.row_number().over(worder)
+                ecdf = F.sum(v).over(run) / total
+                fracs = spec.get("fractions")
+                if fracs is not None:
+                    fsum = float(sum(fracs))
+                    if fsum <= 0:
+                        raise AggsDslError(
+                            f"bucket_count_ks_test {name!r}: fractions must "
+                            "sum to a positive value"
+                        )
+                    cum, acc = [], 0.0
+                    for x in fracs:
+                        acc += float(x) / fsum
+                        cum.append(acc)
+                    # F.get: a bucket index past the fractions list yields
+                    # NULL — that point drops out of the sup (max skips
+                    # nulls) instead of erroring
+                    f0 = F.get(F.lit(cum), rn - 1)
+                else:
+                    f0 = rn.cast("double") / nb.cast("double")
+                mask = {
+                    "uniform": F.lit(True),
+                    "upper_tail": f0 > 0.5,
+                    "lower_tail": f0 <= 0.5,
+                }[sampling]
+                # materialize the per-bucket CDF difference before taking
+                # the partition-wide sup: a window aggregate over another
+                # window expression is a nested-window AnalysisException
+                out = out.withColumn(
+                    "__ks_diff", F.when(mask, ecdf - f0)
+                ).withColumn("__ks_n", total)
+                d_less = F.greatest(
+                    F.max(F.col("__ks_diff")).over(ws), F.lit(0.0)
+                )
+                d_greater = F.greatest(
+                    F.max(-F.col("__ks_diff")).over(ws), F.lit(0.0)
+                )
+                for alt in alts:
+                    d = {
+                        "less": d_less,
+                        "greater": d_greater,
+                        "two_sided": F.greatest(d_less, d_greater),
+                    }[alt]
+                    out = out.withColumn("__ks_nd2", F.col("__ks_n") * d * d)
+                    nd2 = F.col("__ks_nd2")
+                    if alt == "two_sided":
+                        series = F.aggregate(
+                            F.sequence(F.lit(1), F.lit(100)),
+                            F.lit(0.0),
+                            lambda acc, j: acc
+                            + F.pow(F.lit(-1.0), (j - 1).cast("double"))
+                            * F.exp(F.lit(-2.0) * (j * j).cast("double") * nd2),
+                        )
+                        # the alternating series needs ~sqrt(10/n·d²)
+                        # terms to converge; below n·d² = 1e-3 the 100
+                        # terms are too few — and the true p there is 1
+                        # to double precision (Kolmogorov CDF ~ 0 below
+                        # λ ≈ 0.3), so return it exactly
+                        p = F.when(nd2 <= 1e-3, F.lit(1.0)).otherwise(
+                            F.least(
+                                F.greatest(2.0 * series, F.lit(0.0)),
+                                F.lit(1.0),
+                            )
+                        )
+                    else:
+                        p = F.exp(F.lit(-2.0) * nd2)
+                    out = out.withColumn(f"{name}_{alt}", p).drop("__ks_nd2")
+                out = out.drop("__ks_n", "__ks_diff")
                 continue
             if kind == "bucket_correlation":
                 # ES bucket_correlation (count_correlation function):

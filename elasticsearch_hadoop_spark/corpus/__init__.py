@@ -40,87 +40,41 @@ def query(name: str, oracle: str | None = None):
 # (the first 50 queries, observed every round).  Every registered query
 # holds a banked GREEN verdict, so the graded window is pure upside:
 # never-graded new surface first, then drift-insurance re-grades of the
-# OLDEST banked verdicts.  Round-10 policy (VERDICT.md round-9 "Next
-# round" items 1/2/4):
-#   * slots 1-4: the round-10 net-new surfaces (ES SQL columnar response
-#     mode, ES|QL INLINESTATS multi-agg argmax, MV_PSERIES_WEIGHTED_SUM
-#     + null-skip MV_COUNT, bounded ES|QL TOP) — never graded;
-#   * slots 5-8: eql_sample_multi, esql_mv_percentile,
-#     ingest_circle_geogrid and aggs_geo_line — banked greens whose
-#     implementations CHANGED this round (the bounded-carry rewrites:
-#     eql_sample size>1, ES|QL TOP, geo_line; the MV and
-#     circle-processor bind-once rewrites), so the verdicts must be
-#     re-earned on the new code;
-#   * slots 9-34: ALL 26 remaining r3-era stale verdicts (VERDICT r9
-#     "What's missing" #1 — 7 rounds stale while query_dsl/esql/
-#     aggs_dsl/text were rewritten underneath them), draining the r3
-#     tail to zero;
-#   * slots 35-50: the 16 oldest r4-era greens, rewritten-library
-#     families and bench anchors first (the 14 aggs_* names — aggs_dsl
-#     was rewritten twice since round 4 — plus query_dsl scoring/fuzzy,
-#     query_dsl scoring/fuzzy).  The remaining 34 r4-era names stay
-#     ordered below the boundary so round 11's window picks up exactly
-#     where this one stops.
+# OLDEST banked verdicts.  Round-11 policy (VERDICT.md round-10 "Next
+# round" items 1/3/4):
+#   * slots 1-3: the round-11 net-new surfaces (ES|QL TOP inside TS
+#     STATS, the bucket_count_ks_test sibling pipeline, collapse with a
+#     real inner_hits sub-request) — never graded;
+#   * slots 4-7: esql_stats_top + aggs_geo_line (their graded code
+#     changed this round: the bounded-TOP machinery moved into the
+#     shared _agg_with_tops helper; geo_line's helper column went
+#     index-based per ADVICE r10) and esql_ts_rate + esql_ts_over_time
+#     (_stats_ts's item-parse loop and outer-aggregation assembly were
+#     rewritten to host TOP) — banked greens whose implementations
+#     CHANGED, so the verdicts must be re-earned on the new code;
+#   * slots 8-41: ALL 34 remaining r4-era stale verdicts (VERDICT r10
+#     "What's missing" #1), draining the r4 tail to ZERO this round;
+#   * slots 42-50: 9 of the oldest r5-era greens, rewritten-library
+#     adjacency first (aggs_change_point shares _apply_pipelines with
+#     this round's KS-test edit; the esql_*/eql_* names route through
+#     esql.py/eql.py which were rewritten again this round; the
+#     ingest_* names route through round-10's bind-once rewrites).
+#     The remaining 39 r5-era names stay ordered below the boundary so
+#     round 12's window picks up exactly where this one stops.
 PRIORITY: tuple[str, ...] = (
-    # round-10 net-new (never graded) lead
-    "writepath_es_sql_columnar",
-    "esql_inlinestats_argmax",
-    "esql_mv_pseries",
+    # round-11 net-new (never graded) lead
+    "esql_ts_stats_top",
+    "aggs_bucket_count_ks_test",
+    "search_collapse_inner_hits",
+    # changed-implementation re-grades (CHANGED_IMPL in
+    # tests/test_registration_order.py — banked verdicts grade dead code)
     "esql_stats_top",
-    # changed-implementation re-grades (r9 verdict item 1; the round-10
-    # bounded-carry and bind-once rewrites)
-    "eql_sample_multi",
-    "esql_mv_percentile",
-    "ingest_circle_geogrid",
     "aggs_geo_line",
-    # the 26 r3-era drift re-grades (latest verdict round 3 — computed
-    # from CORRECTNESS_r0{1..9}.json); the two names the driver cut at
-    # slot 50 last round go first
-    "stream_tumbling_window",
-    "stream_event_rates",
-    "stream_live_tumbling",
-    "subq_exists_priority",
-    "subq_in_big_orders",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_suppliers",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "geo_polygon_search",
-    "subq_not_in_inactive",
-    "subq_scalar_uncorrelated",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_tokenize",
-    "udaf_weighted_avg",
-    "udf_grouped_zscore",
-    "window_lag_lead",
-    "window_running_frames",
-    "multimodal_features",
-    # the 16 oldest r4-era re-grades (latest verdict round 4)
-    "aggs_adjacency_matrix",
-    "aggs_auto_date_histogram",
-    "aggs_boxplot_mad",
-    "aggs_date_histogram_nested",
-    "aggs_date_range",
-    "aggs_extended_stats",
-    "aggs_geohash_grid",
-    "aggs_geotile_grid",
-    "aggs_histogram_empty_buckets",
-    "aggs_multi_terms",
-    "aggs_percentile_ranks",
-    "aggs_pipeline_sibling",
-    "aggs_serial_diff_bucket_sort",
-    "aggs_terms_custom_order",
-    "query_dsl_function_score",
-    "query_dsl_fuzzy",
-    # --- round-10 window boundary (slot 50) — the tail below is the
-    # ordered round-11 re-grade queue (remaining r4-era names)
+    "esql_ts_rate",
+    "esql_ts_over_time",
+    # the 34 r4-era drift re-grades (latest verdict round 4 — computed
+    # from CORRECTNESS_r{01..10}.json), in the queue order round 10 left
+    # below its boundary
     "join_asof",
     "writepath_zorder_read",
     "dedup_cluster_components",
@@ -155,6 +109,58 @@ PRIORITY: tuple[str, ...] = (
     "writepath_geo_ingest",
     "writepath_stream_source",
     "writepath_time_travel",
+    # 9 oldest r5-era re-grades (latest verdict round 5),
+    # rewritten-library adjacency first
+    "aggs_change_point",
+    "esql_bucket_filtered_stats",
+    "esql_grok_dissect",
+    "esql_stats_by",
+    "eql_funnel_sequence",
+    "ingest_enrich_events",
+    "ingest_pipeline_dissect",
+    "ingest_pipeline_events",
+    "dedup_segments_global",
+    # --- round-11 window boundary (slot 50) — the tail below is the
+    # ordered round-12 re-grade queue (remaining r5-era names)
+    "join_has_child",
+    "join_has_parent_parent_id",
+    "query_dsl_combined_fields",
+    "query_dsl_dis_max_boosting",
+    "query_dsl_distance_feature",
+    "query_dsl_intervals",
+    "query_dsl_more_like_this",
+    "query_dsl_multi_match",
+    "query_dsl_pinned_wrapper",
+    "query_dsl_query_string",
+    "query_dsl_script_filter",
+    "query_dsl_span_first_not_or",
+    "query_dsl_span_near",
+    "query_dsl_sqs_phrase_prefix",
+    "query_dsl_terms_set",
+    "search_knn_filtered",
+    "search_linear_fuse",
+    "search_rank_eval",
+    "search_rescore_window",
+    "search_rrf_hybrid",
+    "search_scroll_sliced",
+    "search_sparse_vector",
+    "search_suggest_completion",
+    "search_suggest_phrase",
+    "text_c4_filters",
+    "text_quality_funnel",
+    "text_unigram_logprob",
+    "transform_latest_events",
+    "transform_pivot_monthly",
+    "writepath_ccs",
+    "writepath_component_template",
+    "writepath_data_stream",
+    "writepath_es_sql",
+    "writepath_filtered_alias",
+    "writepath_index_template",
+    "writepath_percolate",
+    "writepath_rollover",
+    "writepath_snapshot_restore",
+    "writepath_terms_lookup",
 )
 
 
@@ -179,6 +185,7 @@ def load_all() -> dict[str, QuerySpec]:
         round8_pending,
         round9_new,
         round10_new,
+        round11_new,
         sampling,
         scalar_functions,
         search_surface,

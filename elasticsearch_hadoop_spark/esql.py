@@ -1342,25 +1342,9 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
             args = _split_top(inner)
             if len(args) != 3:
                 raise EsqlError(f"TOP needs (field, limit, order): {item!r}")
-            order = args[2].strip().strip("'\"").lower()
-            if order not in ("asc", "desc"):
-                raise EsqlError(f"TOP order must be asc|desc: {item!r}")
-            try:
-                limit = int(args[1])
-            except ValueError:
-                raise EsqlError(
-                    f"TOP limit must be an integer literal: {item!r}"
-                ) from None
-            if limit < 1:
-                # ES|QL rejects non-positive limits at validation time;
-                # silently compiling one would drop whole groups here
-                raise EsqlError(f"TOP limit must be >= 1, got {limit}")
-            if limit > 2**31 - 1:
-                # DataFrame.limit takes a Java int — past Int32 the
-                # global path would raise an opaque Py4JError
-                raise EsqlError(f"TOP limit must fit an int32, got {limit}")
+            limit, asc = _top_limit_order(args[1], args[2], item)
             top_specs.append(
-                (name or item.lower(), _gate(_expr(args[0])), limit, order == "asc")
+                (name or item.lower(), _gate(_expr(args[0])), limit, asc)
             )
             agg_names.append(name or item.lower())
             aggs.append(None)  # placeholder keeps declared order
@@ -1378,24 +1362,67 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
         if keys:
             return df.groupBy(*[e.alias(n) for n, e in keys]).agg(*aggs)
         return df.agg(*aggs)
+    return _agg_with_tops(df, keys, aggs, agg_names, top_specs)
 
-    # ---- bounded TOP path ----------------------------------------------
-    # Each TOP gets its OWN bounded frame: row_number over (keys, gated
-    # value) with nulls LAST, then a CONJUNCTIVE `rn <= limit` filter —
-    # the shape InferWindowGroupLimit recognizes, so Spark plans
-    # WindowGroupLimit Partial+Final and a hot group's past-limit rows
-    # drop map-side before the exchange.  (A single shared frame with an
-    # OR over several tops' ranks defeats the optimization — review
-    # r10d-1 — and would full-sort every hot-group row through every
-    # window.)  Every group survives its frame: row_number assigns 1 to
-    # some row even when all values are NULL, and the collect's notnull
-    # gate then yields []. Non-TOP aggregates run over the UNFILTERED
-    # rows; all frames join back null-safely on the materialized keys
-    # (groupBy groups nulls, the join must too), declared column order
-    # restored at the end.  row_number tie-breaks are partition-order-
-    # dependent, but ties are EQUAL VALUES — the top-k multiset is
-    # deterministic either way.  Each aggregation buffer holds <= limit
-    # values; each TOP costs one bounded window pass + one tiny agg.
+
+def _top_limit_order(limit_txt: str, order_txt: str, item: str) -> tuple[int, bool]:
+    """Validate TOP's (limit, order) literal args — shared by the plain
+    STATS path and the TS STATS path."""
+    order = order_txt.strip().strip("'\"").lower()
+    if order not in ("asc", "desc"):
+        raise EsqlError(f"TOP order must be asc|desc: {item!r}")
+    try:
+        limit = int(limit_txt)
+    except ValueError:
+        raise EsqlError(
+            f"TOP limit must be an integer literal: {item!r}"
+        ) from None
+    if limit < 1:
+        # ES|QL rejects non-positive limits at validation time;
+        # silently compiling one would drop whole groups here
+        raise EsqlError(f"TOP limit must be >= 1, got {limit}")
+    if limit > 2**31 - 1:
+        # DataFrame.limit takes a Java int — past Int32 the
+        # global path would raise an opaque Py4JError
+        raise EsqlError(f"TOP limit must fit an int32, got {limit}")
+    return limit, order == "asc"
+
+
+def _agg_with_tops(
+    df: DataFrame,
+    keys: list[tuple[str, Column]],
+    aggs: list[Column | None],
+    agg_names: list[str],
+    top_specs: list[tuple[str, Column, int, bool]],
+) -> DataFrame:
+    """The bounded TOP aggregation: group ``df`` by ``keys`` computing
+    ``aggs`` (None placeholders mark TOP slots, declared order kept via
+    ``agg_names``) plus one bounded top-k array per ``top_specs`` entry.
+    Shared by plain STATS and TS STATS (where it runs over the per-series
+    frame).
+
+    Each TOP gets its OWN bounded frame: row_number over (keys, gated
+    value) with nulls LAST, then a CONJUNCTIVE `rn <= limit` filter —
+    the shape InferWindowGroupLimit recognizes, so Spark plans
+    WindowGroupLimit Partial+Final and a hot group's past-limit rows
+    drop map-side before the exchange.  (A single shared frame with an
+    OR over several tops' ranks defeats the optimization — review
+    r10d-1 — and would full-sort every hot-group row through every
+    window.)  Every group survives its frame: row_number assigns 1 to
+    some row even when all values are NULL, and the collect's notnull
+    gate then yields []. Non-TOP aggregates run over the UNFILTERED
+    rows; all frames join back null-safely on the materialized keys
+    (groupBy groups nulls, the join must too), declared column order
+    restored at the end.  row_number tie-breaks are partition-order-
+    dependent, but ties are EQUAL VALUES — the top-k multiset is
+    deterministic either way.  Each aggregation buffer holds <= limit
+    values; each TOP costs one bounded window pass + one tiny agg.
+
+    Cost trade (documented, ADVICE r10): the split re-evaluates the
+    upstream pipeline once per TOP frame plus once for the base
+    aggregate — N+1 source scans.  Fine when the input is a scan
+    (pushdown + pruning make each pass cheap); callers stacking several
+    TOPs on an EXPENSIVE computed pipeline should persist it first."""
     all_names = [n for n, _ in keys] + agg_names
     dupes = sorted({n for n in all_names if all_names.count(n) > 1})
     if dupes:
@@ -1538,7 +1565,8 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
             else:
                 keys.append((k, F.col(k)))
 
-    items: list[tuple[str, str, str, str]] = []  # (alias, outer, ts_fn, inner)
+    # (alias, outer, ts_fn, inner, limit, asc) — limit/asc only for TOP
+    items: list[tuple[str, str, str, str, int | None, bool | None]] = []
     for item in _split_top(agg_part):
         alias = None
         m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", item, flags=re.S)
@@ -1553,16 +1581,34 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
                 f"time-series aggregate {outer!r} must be wrapped in an "
                 "outer aggregate (e.g. MAX(RATE(f))) — ES|QL TS rule"
             )
+        limit = asc = None
+        if outer == "top":
+            # TOP(ts_fn(expr), limit, order): the limit highest/lowest
+            # PER-SERIES values within each BY group, as an array — the
+            # same bounded-carry compilation as plain STATS TOP, run over
+            # the per-series frame (one row per series per group)
+            targs = _split_top(inner)
+            if len(targs) != 3:
+                raise EsqlError(f"TOP needs (ts_fn(expr), limit, order): {item!r}")
+            inner = targs[0].strip()
+            limit, asc = _top_limit_order(targs[1], targs[2], item)
         im = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)$", inner, flags=re.S)
         if not im or im.group(1).lower() not in _TS_FNS:
             raise EsqlError(
                 "every aggregate in a TS STATS must wrap a time-series "
                 f"function (rate / *_over_time), got {item!r}"
             )
-        if outer not in _AGGS or outer in ("values",):
+        if outer != "top" and (outer not in _AGGS or outer in ("values",)):
             raise EsqlError(f"unsupported outer aggregate {outer!r} in TS STATS")
         items.append(
-            (alias or item.lower(), outer, im.group(1).lower(), im.group(2).strip())
+            (
+                alias or item.lower(),
+                outer,
+                im.group(1).lower(),
+                im.group(2).strip(),
+                limit,
+                asc,
+            )
         )
     if not items:
         raise EsqlError("TS STATS needs at least one aggregate")
@@ -1578,7 +1624,7 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
     ts_sec = F.col(ts_col).cast("timestamp").cast("double")
 
     series_aggs: list[Column] = []
-    for i, (_, _outer, fn, inner) in enumerate(items):
+    for i, (_, _outer, fn, inner, _limit, _asc) in enumerate(items):
         v = _expr(inner)
         out = f"__ts_v_{i}"
         if fn == "rate":
@@ -1610,7 +1656,7 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
         *[F.col(d) for d in dims], *[F.col(c) for c in key_cols]
     ).agg(*series_aggs)
     # rate finalization: increase / span, NULL under 2 samples / zero span
-    for i, (_, _outer, fn, _inner) in enumerate(items):
+    for i, (_, _outer, fn, _inner, _limit, _asc) in enumerate(items):
         if fn == "rate":
             span = F.col(f"__ts_span_{i}")
             per_series = per_series.withColumn(
@@ -1618,13 +1664,26 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
                 F.when(span > 0, F.col(f"__ts_inc_{i}") / span),
             )
 
-    outer_aggs = [
-        _AGGS[outer](F.col(f"__ts_v_{i}")).alias(alias)
-        for i, (alias, outer, _fn, _inner) in enumerate(items)
-    ]
+    # outer aggregation over the per-series frame — TOP slots go through
+    # the same bounded-carry machinery as plain STATS (_agg_with_tops):
+    # per-series rows can number in the millions at TSDS cardinalities,
+    # so the top-k buffer must stay capped map-side there too
+    outer_aggs: list[Column | None] = []
+    agg_names: list[str] = []
+    top_specs: list[tuple[str, Column, int, bool]] = []
+    for i, (alias, outer, _fn, _inner, limit, asc) in enumerate(items):
+        agg_names.append(alias)
+        if outer == "top":
+            outer_aggs.append(None)
+            top_specs.append((alias, F.col(f"__ts_v_{i}"), limit, asc))
+        else:
+            outer_aggs.append(_AGGS[outer](F.col(f"__ts_v_{i}")).alias(alias))
+    out_keys = [(n, F.col(c)) for (n, _), c in zip(keys, key_cols)]
+    if top_specs:
+        return _agg_with_tops(per_series, out_keys, outer_aggs, agg_names, top_specs)
     if keys:
         return per_series.groupBy(
-            *[F.col(c).alias(n) for (n, _), c in zip(keys, key_cols)]
+            *[e.alias(n) for n, e in out_keys]
         ).agg(*outer_aggs)
     return per_series.agg(*outer_aggs)
 

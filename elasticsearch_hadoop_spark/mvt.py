@@ -7,9 +7,10 @@ geotile sub-grid of cells inside the tile with per-cell counts /
 sub-aggs), and ``meta``.  This engine computes the two data layers as
 DataFrames with exactly ES's coordinate and grid semantics — Web-Mercator
 projection, tile-local [0, extent) integer pixels, ``z+grid_precision``
-sub-cells — and leaves the protobuf wire encoding out of scope (a pure
-serialization concern, like the JSON-vs-Arrow distinction elsewhere in
-the engine; document rendering belongs to the map client).
+sub-cells.  The protobuf wire encoding lives in ``mvt_wire.encode_tile``
+(round 11): a pure-Python MVT 2.1 serializer over ONE tile's collected
+rows — bounded driver-side rendering, since the per-tile frames are
+capped by construction.
 
 Tile MEMBERSHIP is defined by geotile cell equality, not a raw fraction
 filter: a doc belongs to tile z/x/y iff its clamped global geotile index

@@ -201,6 +201,67 @@ def collapse(
     )
 
 
+def collapse_inner_hits(
+    df: DataFrame,
+    field: str,
+    sort: list,
+    inner_hits: dict,
+    inner_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES field collapsing WITH an ``inner_hits`` sub-request: the search
+    returns ONE representative hit per ``field`` value — the top row by
+    the request's own ``sort`` — and each collapsed hit carries a nested
+    list of inner hits selected by a SEPARATE ``inner_hits`` spec
+    (``{"name": ..., "size": k, "sort": [...]}``), the two sorts
+    independent (ES's exact contract: the main sort ranks the groups'
+    representatives, the inner sort ranks within the group).
+
+    Output: the representative row's columns plus ``<name>`` — an
+    ``array<struct>`` of the group's top ``size`` rows (``inner_cols``
+    columns, or the inner sort's fields) in inner-sort order.  Both sorts
+    must break ties for determinism, like ``collapse``.
+
+    Scale shape: two bounded row_number frames over the SAME partition
+    key — each a conjunctive ``rn <= k`` filter, so InferWindowGroupLimit
+    plans WindowGroupLimit Partial+Final for both and a hot group's
+    past-limit rows drop map-side — then a single equi-join of the two
+    per-group frames on the collapse key (co-partitioned: both sides just
+    shuffled on that key).  Never a collect, never an unbounded buffer;
+    the inner array holds <= size structs per group by construction."""
+    size = int(inner_hits.get("size", 3))
+    if size < 1:
+        raise ValueError(f"inner_hits size must be >= 1, got {size}")
+    name = inner_hits.get("name", "inner_hits")
+    inner_sort = [_direction(s) for s in inner_hits.get("sort") or []]
+    if not inner_sort:
+        raise ValueError("inner_hits needs a sort (ties must break)")
+    cols = list(inner_cols) if inner_cols else [f for f, _ in inner_sort]
+
+    rep = collapse(df, field, sort, inner_hits=1, rank_col="__rep_rn").drop(
+        "__rep_rn"
+    )
+    iorder = [F.col(f).asc() if asc else F.col(f).desc() for f, asc in inner_sort]
+    iw = Window.partitionBy(field).orderBy(*iorder)
+    # the struct leads with the window's own rank, so array_sort restores
+    # the inner order after the unordered collect — type-agnostic (the
+    # rank already encodes the full inner sort, desc directions included)
+    key_struct = F.struct(
+        F.col("__ih_rn").alias("__rn"),
+        F.struct(*[F.col(c).alias(c) for c in cols]).alias("hit"),
+    )
+    inner = (
+        df.withColumn("__ih_rn", F.row_number().over(iw))
+        .filter(F.col("__ih_rn") <= size)
+        .groupBy(field)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(key_struct)), lambda s: s["hit"]
+            ).alias(name)
+        )
+    )
+    return rep.join(inner, on=field, how="left")
+
+
 def highlight(
     df: DataFrame,
     field: str,
@@ -422,6 +483,15 @@ def suggest_phrase(
     )
 
 
+def _column_text(col) -> str:
+    """The compiled expression text of a Column, without the Python repr
+    wrapper — ``str(col)`` yields ``Column<'(expr)'>``; the artifact should
+    carry only ``(expr)``."""
+    s = str(col)
+    m = re.fullmatch(r"Column<'(.*)'>", s, flags=re.DOTALL)
+    return m.group(1) if m else s
+
+
 def explain_doc(df: DataFrame, doc_id, query: dict, id_col: str) -> dict:
     """ES ``GET /<index>/_explain/<id>``: whether ONE document matches the
     query.  Returns ``{"_id": id, "found": bool, "matched": bool,
@@ -446,7 +516,7 @@ def explain_doc(df: DataFrame, doc_id, query: dict, id_col: str) -> dict:
         "_id": doc_id,
         "found": bool(rows),
         "matched": bool(rows and rows[0]["__matched"]),
-        "explanation": str(pred),
+        "explanation": _column_text(pred),
     }
     out["_score"] = (
         float(rows[0]["__score"])

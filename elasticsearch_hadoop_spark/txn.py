@@ -449,19 +449,31 @@ def vacuum(index_path: str, min_age_seconds: float = 3600.0) -> list[str]:
     if os.path.isdir(sroot):
         data_names = set(os.listdir(data_root)) if os.path.isdir(data_root) else set()
         for name in os.listdir(sroot):
-            if name.startswith("."):
-                # a crashed publisher's half-built ".tmp-*" link farm:
-                # streams never read dotfiles, but the hard links keep
-                # swept bytes alive forever — sweep farms that outlived
-                # the retention window (an IN-FLIGHT publisher's farm is
-                # younger than the window by construction: publication
-                # happens inside a single commit call)
+            if name.startswith(".tmp-"):
+                # a crashed publisher's half-built ".tmp-*" link farm
+                # (the exact prefix _publish_stream_dirs mints — other
+                # dot-entries are not ours to delete): streams never read
+                # dotfiles, but the hard links keep swept bytes alive
+                # forever — sweep farms that outlived the retention
+                # window.  Age keys off the NEWEST entry inside the farm,
+                # not the top dir's mtime: a publisher still linking into
+                # nested subdirs never touches the top dir, so the
+                # directory's own mtime would age an in-flight farm into
+                # deletion mid-commit.
                 p = os.path.join(sroot, name)
                 try:
-                    if now - os.path.getmtime(p) >= min_age_seconds:
+                    newest = os.path.getmtime(p)
+                    for root, dirs, files in os.walk(p):
+                        for entry in dirs + files:
+                            newest = max(
+                                newest,
+                                os.path.getmtime(os.path.join(root, entry)),
+                            )
+                    if now - newest >= min_age_seconds:
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
-            elif name not in data_names:
+            elif not name.startswith(".") and name not in data_names:
+                # foreign dot-entries are left alone: not ours to delete
                 shutil.rmtree(os.path.join(sroot, name), ignore_errors=True)
     return removed

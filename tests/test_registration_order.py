@@ -1,18 +1,18 @@
 """The driver grades a bounded prefix of the registration order (the
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
-corpus/__init__.py under the round-10 window policy: the round-10
-net-new surfaces lead, the changed-implementation re-grade
-(eql_sample_multi — its size>1 path was rewritten for the r9 verdict's
-bounded-carry fix, so the banked r9 verdict no longer grades the
-shipped code) follows, then ALL remaining r3-era stale verdicts, then
-the oldest r4-era greens fill the tail; every windowed query carries a
-DuckDB oracle (no rows-only slots), and the union of banked green
-verdicts with the current window still covers every §2.C operator
-family.
+corpus/__init__.py under the round-11 window policy: the round-11
+net-new surfaces lead, the changed-implementation re-grades follow
+(esql_stats_top/aggs_geo_line/esql_ts_rate/esql_ts_over_time — their
+graded code was rewritten this round, so the banked verdicts grade dead
+code), then ALL remaining r4-era stale verdicts (the r4 tail drains to
+zero), then the oldest r5-era greens fill the tail; every windowed
+query carries a DuckDB oracle (no rows-only slots), and the union of
+banked green verdicts with the current window still covers every §2.C
+operator family.
 
 ROUND-ROBUSTNESS (the r8 verdict's "What's wrong" #1): both the banked
 set and the staleness scan derive from the SAME pinned round list —
-the rounds that existed when this window was BUILT (r01-r09).  The
+the rounds that existed when this window was BUILT (r01-r10).  The
 driver dropping the current round's CORRECTNESS artifact mid-round must
 never change what these tests compute, so `itertools.count` scans over
 "whatever files exist" are banned here."""
@@ -27,18 +27,18 @@ from elasticsearch_hadoop_spark.corpus import PRIORITY, REGISTRY, load_all
 
 GRADED_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# the verdict rounds that existed when the round-10 window was built;
-# round 11 appends "10" when it rebuilds PRIORITY
-BANKED_ROUNDS = ("01", "02", "03", "04", "05", "06", "07", "08", "09")
+# the verdict rounds that existed when the round-11 window was built;
+# round 12 appends "11" when it rebuilds PRIORITY
+BANKED_ROUNDS = ("01", "02", "03", "04", "05", "06", "07", "08", "09", "10")
 
 # banked-green names whose IMPLEMENTATION changed since their latest
 # verdict — they hold early re-grade slots ahead of staler names because
 # the banked verdict graded code that no longer exists
 CHANGED_IMPL = {
-    "eql_sample_multi",       # r9 verdict item 1: bounded size>1 carry
-    "esql_mv_percentile",     # r10: MV median/percentile/MAD bind-once rewrite
-    "ingest_circle_geogrid",  # r10: circle-processor params bind-once rewrite
-    "aggs_geo_line",          # r10: bounded-carry window pre-pass
+    "esql_stats_top",    # r11: bounded-TOP machinery moved into _agg_with_tops
+    "aggs_geo_line",     # r11: index-based helper column (ADVICE r10)
+    "esql_ts_rate",      # r11: _stats_ts parse loop / outer-agg assembly rewrite
+    "esql_ts_over_time",  # r11: same _stats_ts rewrite
 }
 
 # family -> regex over query names; each must match >=1 query with a driver
@@ -161,15 +161,15 @@ def test_every_family_covered_by_union():
     assert not uncovered, f"families with no driver signal past or pending: {uncovered}"
 
 
-def test_round10_window_policy():
-    """Round-10 policy (VERDICT r9 'Next round' items 1/2/4): the net-new
-    surfaces lead, the changed-implementation re-grade follows, every
-    never-graded query holds a slot, ALL 26 r3-era stale verdicts are in
-    the window (draining the r3 tail to zero), and the r4-era fill takes
-    only r4-vintage names (no fresher verdict holds a re-grade slot while
+def test_round11_window_policy():
+    """Round-11 policy (VERDICT r10 'Next round' items 1/3/4): the net-new
+    surfaces lead, the changed-implementation re-grades follow, every
+    never-graded query holds a slot, ALL 34 r4-era stale verdicts are in
+    the window (draining the r4 tail to zero), and the r5-era fill takes
+    only r5-vintage names (no fresher verdict holds a re-grade slot while
     an older one waits — CHANGED_IMPL names exempt, their banked verdicts
     grade dead code).  Everything derives from the PINNED BANKED_ROUNDS
-    list, so the driver landing CORRECTNESS_r10.json cannot change the
+    list, so the driver landing CORRECTNESS_r11.json cannot change the
     outcome."""
     reg = load_all()
     first = list(reg)[:GRADED_WINDOW]
@@ -179,7 +179,7 @@ def test_round10_window_policy():
     # 1. no never-graded query left outside the window
     ungraded_outside = [n for n in reg if n not in banked and n not in set(first)]
     assert not ungraded_outside, (
-        f"queries that would still lack a driver verdict after round 10: "
+        f"queries that would still lack a driver verdict after round 11: "
         f"{ungraded_outside}"
     )
     # 2. the changed-implementation re-grades hold slots
@@ -187,11 +187,11 @@ def test_round10_window_policy():
     assert not missing_changed, (
         f"changed-implementation queries not being re-graded: {missing_changed}"
     )
-    # 3. every r3-era stale verdict is being re-graded — the r3 tail
+    # 3. every r4-era stale verdict is being re-graded — the r4 tail
     # drains to zero this round
-    stale_r3 = {n for n, r in last.items() if r == 3 and n in reg}
-    left_out = sorted(stale_r3 - set(first))
-    assert not left_out, f"r3-era stale verdicts left outside the window: {left_out}"
+    stale_r4 = {n for n, r in last.items() if r == 4 and n in reg}
+    left_out = sorted(stale_r4 - set(first))
+    assert not left_out, f"r4-era stale verdicts left outside the window: {left_out}"
     # 4. the banked re-grade slots target the stale end: no in-window
     # re-grade (changed-implementation names exempt) is FRESHER than a
     # banked name left outside the window

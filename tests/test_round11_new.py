@@ -1,0 +1,304 @@
+"""Round-11 surface: TOP inside ES|QL TS STATS (shared _agg_with_tops
+machinery), the bucket_count_ks_test sibling pipeline, collapse with a
+real inner_hits sub-request, and the ADVICE-r10 fixes (geo_line helper
+naming, explain_doc predicate text)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError, compile_aggs
+from elasticsearch_hadoop_spark.esql import EsqlError, esql
+
+
+# ---------------------------------------------------------------- TS TOP
+
+
+def _ts_frame(spark):
+    rows = [
+        # (host, day, value) — host is the dimension, day the BY bucket
+        ("a", "2024-01-01", 1.0),
+        ("a", "2024-01-01", 2.0),
+        ("a", "2024-01-01", 3.0),
+        ("b", "2024-01-01", 5.0),
+        ("b", "2024-01-01", None),
+        ("c", "2024-01-01", 7.0),
+        ("c", "2024-01-01", 8.0),
+        ("d", "2024-01-01", 9.0),
+        ("a", "2024-01-02", 4.0),
+        ("b", "2024-01-02", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "host string, day string, value double")
+    return df.withColumn("ts", F.to_timestamp("day"))
+
+
+def test_ts_stats_top_matches_brute_force(spark):
+    """TOP(COUNT_OVER_TIME(v), 2, 'desc') == per-series counts, top-2 per
+    group, computed by hand."""
+    df = _ts_frame(spark)
+    out = esql(
+        'TS t | STATS tc = TOP(COUNT_OVER_TIME(value), 2, "desc"),'
+        " mx = MAX(MAX_OVER_TIME(value))"
+        " BY day",
+        tables={"t": df},
+        time_series={"t": {"dimensions": ["host"], "timestamp": "ts"}},
+    )
+    got = {r["day"]: (list(r["tc"]), r["mx"]) for r in out.collect()}
+    # day 1: series counts a=3, b=1 (null skipped), c=2, d=1 -> top2 [3,2]
+    assert got["2024-01-01"] == ([3, 2], 9.0)
+    # day 2: a=1, b=1 -> [1, 1]
+    assert got["2024-01-02"] == ([1, 1], 6.0)
+
+
+def test_ts_stats_top_asc_and_only_top(spark):
+    """A TS STATS whose ONLY aggregate is a TOP (no base aggregate to join
+    back onto) still works — the first frame becomes the base."""
+    df = _ts_frame(spark)
+    out = esql(
+        'TS t | STATS lo = TOP(SUM_OVER_TIME(value), 3, "asc") BY day',
+        tables={"t": df},
+        time_series={"t": {"dimensions": ["host"], "timestamp": "ts"}},
+    )
+    got = {r["day"]: list(r["lo"]) for r in out.collect()}
+    # day 1 series sums: a=6, b=5, c=15, d=9 -> asc top3 [5, 6, 9]
+    assert got["2024-01-01"] == [5.0, 6.0, 9.0]
+    assert got["2024-01-02"] == [4.0, 6.0]
+
+
+def test_ts_stats_top_bounded_plan(spark):
+    """The TOP over the per-series frame plans WindowGroupLimit
+    Partial+Final — the per-series rows (millions at TSDS cardinality)
+    cap map-side before the group exchange."""
+    df = _ts_frame(spark)
+    out = esql(
+        'TS t | STATS tc = TOP(COUNT_OVER_TIME(value), 2, "desc"),'
+        " mx = MAX(MAX_OVER_TIME(value)) BY day",
+        tables={"t": df},
+        time_series={"t": {"dimensions": ["host"], "timestamp": "ts"}},
+    )
+    from elasticsearch_hadoop_spark.plans import count_nodes, formatted_plan
+
+    plan = formatted_plan(out)
+    assert count_nodes(plan, "WindowGroupLimit") == 2
+    assert ", 2, Partial" in plan
+
+
+def test_ts_stats_top_validation(spark):
+    df = _ts_frame(spark)
+    ts = {"t": {"dimensions": ["host"], "timestamp": "ts"}}
+    with pytest.raises(EsqlError, match=">= 1"):
+        esql(
+            'TS t | STATS x = TOP(COUNT_OVER_TIME(value), 0, "desc") BY day',
+            tables={"t": df}, time_series=ts,
+        )
+    with pytest.raises(EsqlError, match="asc|desc"):
+        esql(
+            'TS t | STATS x = TOP(COUNT_OVER_TIME(value), 2, "sideways") BY day',
+            tables={"t": df}, time_series=ts,
+        )
+    # in a TS STATS (one that uses a ts function anywhere), every
+    # aggregate — TOP included — must wrap a time-series function; a
+    # row-level TOP mixed in raises (a FULLY row-level STATS over a TS
+    # source stays legal: it routes to the plain _stats path)
+    with pytest.raises(EsqlError, match="time-series"):
+        esql(
+            'TS t | STATS x = TOP(value, 2, "desc"),'
+            " y = MAX(MAX_OVER_TIME(value)) BY day",
+            tables={"t": df}, time_series=ts,
+        )
+    with pytest.raises(EsqlError, match="TOP needs"):
+        esql(
+            'TS t | STATS x = TOP(COUNT_OVER_TIME(value)) BY day',
+            tables={"t": df}, time_series=ts,
+        )
+
+
+# ------------------------------------------------- bucket_count_ks_test
+
+
+def _ks_reference(counts, fractions=None, sampling="uniform"):
+    """The documented semantics, replayed in plain Python."""
+    total = float(sum(counts))
+    nb = len(counts)
+    if fractions is None:
+        f0s = [(i + 1) / nb for i in range(nb)]
+    else:
+        fs = sum(fractions)
+        acc, f0s = 0.0, []
+        for x in fractions:
+            acc += x / fs
+            f0s.append(acc)
+    cum = 0.0
+    diffs = []
+    for c, f0 in zip(counts, f0s):
+        cum += c
+        keep = (
+            sampling == "uniform"
+            or (sampling == "upper_tail" and f0 > 0.5)
+            or (sampling == "lower_tail" and f0 <= 0.5)
+        )
+        if keep:
+            diffs.append(cum / total - f0)
+    d_less = max(max(diffs, default=0.0), 0.0)
+    d_greater = max(max((-d for d in diffs), default=0.0), 0.0)
+    d_two = max(d_less, d_greater)
+    nd2 = total * d_two * d_two
+    if nd2 <= 1e-3:
+        p_two = 1.0  # small-λ guard, same as the engine
+    else:
+        series = sum(
+            (-1) ** (j - 1) * math.exp(-2 * j * j * nd2) for j in range(1, 101)
+        )
+        p_two = min(max(2 * series, 0.0), 1.0)
+    return {
+        "less": math.exp(-2 * total * d_less * d_less),
+        "greater": math.exp(-2 * total * d_greater * d_greater),
+        "two_sided": p_two,
+    }
+
+
+def _ks_run(spark, rows, body):
+    df = spark.createDataFrame([(k,) for k in rows], "k string")
+    return compile_aggs(
+        df,
+        {
+            "b": {"terms": {"field": "k", "size": 100, "order": {"_key": "asc"}}},
+            "ks": {"bucket_count_ks_test": {"buckets_path": "b>_count", **body}},
+        },
+    ).collect()
+
+
+def test_ks_test_matches_reference(spark):
+    rows = ["a"] * 10 + ["b"] * 30 + ["c"] * 20 + ["d"] * 40
+    got = _ks_run(
+        spark, rows, {"alternative": ["less", "greater", "two_sided"]}
+    )[0]
+    ref = _ks_reference([10, 30, 20, 40])
+    assert got["ks_less"] == pytest.approx(ref["less"], abs=1e-12)
+    assert got["ks_greater"] == pytest.approx(ref["greater"], abs=1e-12)
+    assert got["ks_two_sided"] == pytest.approx(ref["two_sided"], abs=1e-12)
+
+
+def test_ks_test_fractions_and_sampling(spark):
+    rows = ["a"] * 10 + ["b"] * 30 + ["c"] * 20 + ["d"] * 40
+    fr = [0.4, 0.3, 0.2, 0.1]
+    for sampling in ("uniform", "upper_tail", "lower_tail"):
+        got = _ks_run(
+            spark,
+            rows,
+            {
+                "alternative": ["less", "greater"],
+                "fractions": fr,
+                "sampling_method": sampling,
+            },
+        )[0]
+        ref = _ks_reference([10, 30, 20, 40], fr, sampling)
+        assert got["ks_less"] == pytest.approx(ref["less"], abs=1e-12), sampling
+        assert got["ks_greater"] == pytest.approx(ref["greater"], abs=1e-12), sampling
+
+
+def test_ks_test_perfect_fit_p_is_one(spark):
+    """Counts exactly matching the fractions: d = 0, every p-value 1."""
+    rows = ["a"] * 10 + ["b"] * 30
+    got = _ks_run(
+        spark,
+        rows,
+        {"alternative": ["less", "greater", "two_sided"], "fractions": [0.25, 0.75]},
+    )[0]
+    assert got["ks_less"] == pytest.approx(1.0)
+    assert got["ks_greater"] == pytest.approx(1.0)
+    assert got["ks_two_sided"] == pytest.approx(1.0)
+
+
+def test_ks_test_validation(spark):
+    with pytest.raises(AggsDslError, match="alternative"):
+        _ks_run(spark, ["a", "b"], {"alternative": ["sideways"]})
+    with pytest.raises(AggsDslError, match="sampling_method"):
+        _ks_run(spark, ["a", "b"], {"sampling_method": "bootstrap"})
+    with pytest.raises(AggsDslError, match="fractions"):
+        _ks_run(spark, ["a", "b"], {"fractions": [0.0, 0.0]})
+
+
+# -------------------------------------------------- collapse inner_hits
+
+
+def test_collapse_inner_hits_reference(spark):
+    from elasticsearch_hadoop_spark.search import collapse_inner_hits
+
+    rows = [
+        # (grp, id, ts, score)
+        (1, 10, 5, 1.0),
+        (1, 11, 9, 3.0),   # representative (latest ts)
+        (1, 12, 7, 2.0),
+        (1, 13, 1, 2.0),   # ties with id 12 on score -> id asc
+        (2, 20, 2, 9.0),   # representative AND top inner hit
+    ]
+    df = spark.createDataFrame(rows, "grp int, id int, ts int, score double")
+    out = collapse_inner_hits(
+        df,
+        "grp",
+        sort=[{"ts": "desc"}, {"id": "asc"}],
+        inner_hits={"name": "ih", "size": 3,
+                    "sort": [{"score": "desc"}, {"id": "asc"}]},
+        inner_cols=["id", "score"],
+    ).orderBy("grp")
+    got = out.collect()
+    assert [r["id"] for r in got] == [11, 20]  # main sort picks latest ts
+    assert [x["id"] for x in got[0]["ih"]] == [11, 12, 13]  # inner sort
+    assert [x["id"] for x in got[1]["ih"]] == [20]
+
+
+def test_collapse_inner_hits_validation(spark):
+    from elasticsearch_hadoop_spark.search import collapse_inner_hits
+
+    df = spark.createDataFrame([(1, 1)], "grp int, v int")
+    with pytest.raises(ValueError, match="sort"):
+        collapse_inner_hits(df, "grp", sort=[{"v": "desc"}], inner_hits={"size": 2})
+    with pytest.raises(ValueError, match=">= 1"):
+        collapse_inner_hits(
+            df, "grp", sort=[{"v": "desc"}],
+            inner_hits={"size": 0, "sort": [{"v": "asc"}]},
+        )
+
+
+# ------------------------------------------------------ ADVICE r10 fixes
+
+
+def test_geo_line_dotted_agg_name(spark):
+    """ADVICE r10: a dotted geo_line agg name must not be parsed as
+    struct-field access by the helper rank column."""
+    rows = [(1, 1.0, 10.0, 20.0), (1, 2.0, 11.0, 21.0), (1, 3.0, 12.0, 22.0)]
+    df = spark.createDataFrame(rows, "g int, s double, lat double, lon double")
+    df = df.withColumn("pt", F.struct(F.col("lat"), F.col("lon"))).drop("lat", "lon")
+    out = compile_aggs(
+        df,
+        {
+            "by_g": {
+                "terms": {"field": "g", "size": 10},
+                "aggs": {
+                    "my.line": {
+                        "geo_line": {
+                            "point": {"field": "pt"},
+                            "sort": {"field": "s"},
+                            "size": 2,
+                        }
+                    }
+                },
+            }
+        },
+    ).collect()
+    line = out[0]["my.line"]
+    assert [list(p) for p in line] == [[20.0, 10.0], [21.0, 11.0]]
+
+
+def test_explain_doc_explanation_is_predicate_text(spark):
+    from elasticsearch_hadoop_spark.search import explain_doc
+
+    df = spark.createDataFrame([(1, "open"), (2, "closed")], "_id int, st string")
+    hit = explain_doc(df, 1, {"term": {"st": "open"}}, id_col="_id")
+    assert hit["matched"] is True
+    assert not hit["explanation"].startswith("Column<")
+    assert "open" in hit["explanation"]

@@ -453,12 +453,16 @@ def test_vacuum_sweeps_orphaned_stream_mirrors(tmp_path):
 
 
 def test_vacuum_sweeps_aged_publisher_tmp_farms(tmp_path):
-    """Review r10c: a crashed publisher's half-built '.tmp-*' link farm in
-    _stream/ must be swept once it outlives the retention window (hard
-    links would otherwise keep vacuumed bytes alive forever); a young farm
-    — an in-flight publisher — survives."""
+    """Review r10c + ADVICE r10: a crashed publisher's half-built '.tmp-*'
+    link farm in _stream/ must be swept once it outlives the retention
+    window (hard links would otherwise keep vacuumed bytes alive forever);
+    a young farm — an in-flight publisher — survives.  The age keys off
+    the NEWEST entry inside the farm, not the top directory's mtime (a
+    publisher linking into nested subdirs never touches the top dir, so
+    dir-mtime aging would delete an in-flight farm mid-commit), and only
+    the exact '.tmp-' prefix the publisher mints is ever swept — foreign
+    dot-entries are not ours to delete."""
     import os
-    import shutil
 
     p = str(tmp_path / "t")
     txn.init_log(p)
@@ -468,14 +472,30 @@ def test_vacuum_sweeps_aged_publisher_tmp_farms(tmp_path):
         fh.write("x")
     txn.commit_append(p, d1)
     old_farm = os.path.join(txn.stream_root(p), ".tmp-deadbeef-1234")
-    os.makedirs(old_farm)
-    with open(os.path.join(old_farm, "a.parquet"), "w") as fh:
+    os.makedirs(os.path.join(old_farm, "sub"))
+    with open(os.path.join(old_farm, "sub", "a.parquet"), "w") as fh:
         fh.write("stale")
-    os.utime(old_farm, (1, 1))  # ancient
+    os.utime(os.path.join(old_farm, "sub", "a.parquet"), (1, 1))
+    os.utime(os.path.join(old_farm, "sub"), (1, 1))
+    os.utime(old_farm, (1, 1))  # ancient through and through
     young_farm = os.path.join(txn.stream_root(p), ".tmp-cafebabe-5678")
     os.makedirs(young_farm)  # mtime = now: an in-flight publisher
+    # a stalled-but-live publisher: ancient top dir, FRESH nested link —
+    # the in-flight case the dir-mtime key would have deleted mid-commit
+    stalled = os.path.join(txn.stream_root(p), ".tmp-feedface-9abc")
+    os.makedirs(os.path.join(stalled, "sub"))
+    with open(os.path.join(stalled, "sub", "b.parquet"), "w") as fh:
+        fh.write("fresh")
+    os.utime(stalled, (1, 1))
+    os.utime(os.path.join(stalled, "sub"), (1, 1))  # file stays fresh
+    # a foreign dot-entry (not our prefix): never swept, any age
+    foreign = os.path.join(txn.stream_root(p), ".keep")
+    os.makedirs(foreign)
+    os.utime(foreign, (1, 1))
     txn.vacuum(p, min_age_seconds=3600.0)
     assert not os.path.isdir(old_farm)
     assert os.path.isdir(young_farm)
+    assert os.path.isdir(stalled)
+    assert os.path.isdir(foreign)
     # the committed mirror is untouched
     assert os.path.basename(d1) in os.listdir(txn.stream_root(p))
