@@ -1224,6 +1224,13 @@ def _apply_pipelines(
                 ecdf = F.sum(v).over(run) / total
                 fracs = spec.get("fractions")
                 if fracs is not None:
+                    if any(float(x) < 0 for x in fracs):
+                        # a negative entry silently builds a non-monotone
+                        # reference CDF — garbage statistics (ES rejects)
+                        raise AggsDslError(
+                            f"bucket_count_ks_test {name!r}: fractions must "
+                            "be non-negative"
+                        )
                     fsum = float(sum(fracs))
                     if fsum <= 0:
                         raise AggsDslError(

@@ -1680,6 +1680,13 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
             outer_aggs.append(_AGGS[outer](F.col(f"__ts_v_{i}")).alias(alias))
     out_keys = [(n, F.col(c)) for (n, _), c in zip(keys, key_cols)]
     if top_specs:
+        # the per-series frame is the EXPENSIVE computed pipeline the
+        # _agg_with_tops docstring warns about (a full fact-row shuffle +
+        # aggregation, and a rate's window pass) — checkpoint it so the
+        # N+1 TOP/base passes re-read the materialized series rows (one
+        # row per series per group) instead of re-aggregating the facts
+        # once per frame.  Lazy: materializes at the first action.
+        per_series = per_series.localCheckpoint(eager=False)
         return _agg_with_tops(per_series, out_keys, outer_aggs, agg_names, top_specs)
     if keys:
         return per_series.groupBy(

@@ -162,11 +162,13 @@ def _cell_box(cell: str, z: int, x: int, y: int, extent: int) -> tuple[int, int,
     try:
         z2s, cxs, cys = cell.split("/")
         z2, cx, cy = int(z2s), int(cxs), int(cys)
-    except ValueError:
+    except (ValueError, AttributeError):
         raise MvtError(f"bad grid cell key {cell!r}") from None
     p = z2 - z
-    if p < 0 or p > 29:
+    if p < 0:
         raise MvtError(f"cell zoom {z2} below tile zoom {z}")
+    if p > 29:
+        raise MvtError(f"cell zoom {z2} exceeds the zoom ceiling for tile zoom {z}")
     span = extent / (1 << p)  # pixels per cell (may be fractional)
     x0 = (cx - (x << p)) * span
     y0 = (cy - (y << p)) * span
@@ -209,8 +211,10 @@ def encode_tile(
             row = dict(row)
             try:
                 px, py = int(row.pop("px")), int(row.pop("py"))
-            except KeyError:
-                raise MvtError("hits rows need px/py (use mvt_hits)") from None
+            except (KeyError, TypeError, ValueError):
+                raise MvtError(
+                    "hits rows need integer px/py (use mvt_hits)"
+                ) from None
             layer.add(_GEOM_POINT, _point_geom(px, py), row, fid=i + 1)
         out += layer.encode()
     if grid is not None:

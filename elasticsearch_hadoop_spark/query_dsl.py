@@ -2227,12 +2227,22 @@ def explain_query(df, query: str | dict, id_col: str = "_id"):
     return df.select("*", *cols, matched.alias("matched"))
 
 
+def column_text(col) -> str:
+    """The compiled expression text of a Column, without the Python repr
+    wrapper — ``str(col)`` yields ``Column<'(expr)'>``; explanation
+    artifacts should carry only ``(expr)`` (ADVICE r10)."""
+    s = str(col)
+    m = re.fullmatch(r"Column<'(.*)'>", s, flags=re.DOTALL)
+    return m.group(1) if m else s
+
+
 def validate_query(query: str | dict, id_col: str = "_id") -> dict:
     """ES ``_validate/query``: compile without running — ``{"valid": bool,
     "error": str | None}`` (with explain=true ES also returns the rewritten
-    query; the compiled Column's string form serves that role here)."""
+    query; the compiled predicate's expression text serves that role
+    here)."""
     try:
         col = compile_query(query, id_col=id_col)
-        return {"valid": True, "error": None, "explanation": str(col)}
+        return {"valid": True, "error": None, "explanation": column_text(col)}
     except (QueryDslError, ValueError, KeyError, TypeError) as e:
         return {"valid": False, "error": str(e), "explanation": None}

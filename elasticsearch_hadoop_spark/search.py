@@ -259,7 +259,136 @@ def collapse_inner_hits(
             ).alias(name)
         )
     )
-    return rep.join(inner, on=field, how="left")
+    # null-safe join: collapse/groupBy both treat NULL as a group, so the
+    # NULL-key group's representative must find its inner array too
+    rep, inner = rep.alias("__cih_r"), inner.alias("__cih_i")
+    return rep.join(
+        inner, rep[field].eqNullSafe(inner[field]), "left"
+    ).select(rep["*"], inner[name])
+
+
+def bm25_score(
+    df: DataFrame,
+    field: str,
+    query_text: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "_score",
+    matched_only: bool = True,
+) -> DataFrame:
+    """Okapi BM25 relevance over an analyzed text field — Lucene's exact
+    formula (the one ES scores ``match`` queries with):
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score   = Σ_t  mult_t · idf(t) · (tf_t · (k1+1))
+                              / (tf_t + k1 · (1 − b + b · dl / avgdl))
+
+    with ``mult_t`` the term's multiplicity in the analyzed query (Lucene
+    scores duplicate query terms as separate clauses), ``tf_t`` the term
+    frequency in the document, ``dl`` the document token count and
+    ``avgdl`` the corpus mean.  The one DOCUMENTED deviation from Lucene:
+    ``dl`` enters exactly, not through Lucene's SmallFloat norm
+    quantization (a lossy 1-byte index-size optimization) — rankings
+    agree except where the quantization itself flips near-ties.  The
+    analyzer is the engine's standard one (lowercase, split on
+    non-alphanumerics) — the same tokenization every text operator and
+    its DuckDB oracle share, which is what makes BM25 deterministic and
+    oracle-checkable here.
+
+    ``matched_only`` keeps ES's match-query contract: only documents
+    containing at least one query term come back (score > 0 always holds
+    for a match: idf > 0 even at df = N).
+
+    Scale shape: TWO passes over the corpus — a tiny stats aggregation
+    (N, Σdl, one df counter per unique term: ONE hash agg to a 1-row
+    frame, broadcast back) and the scoring pass (tokens materialized
+    once per row, per-term tf as array codegen, top-k downstream is a
+    TakeOrderedAndProject).  A production deployment precomputes the
+    stats frame like an index build and amortizes the first pass across
+    queries.  Integer inputs (counts, doc lengths) keep every float
+    derived identically on any engine — Σdl sums exactly as a long, so
+    avgdl is bit-identical regardless of partitioning."""
+    from elasticsearch_hadoop_spark.functions.text import (
+        py_standard_analyze,
+        standard_analyze,
+    )
+
+    terms = py_standard_analyze(query_text)
+    if not terms:
+        raise ValueError("bm25 needs at least one analyzed query term")
+    if not 0 <= b <= 1:
+        raise ValueError(f"b must be in [0, 1], got {b}")
+    if k1 < 0:
+        raise ValueError(f"k1 must be >= 0, got {k1}")
+    uniq = list(dict.fromkeys(terms))
+    mult = {t: terms.count(t) for t in uniq}
+
+    toks = df.withColumn("__bm_toks", standard_analyze(F.col(field)))
+    toks = toks.withColumn("__bm_dl", F.size("__bm_toks").cast("long"))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("__bm_n"),
+        # exact long sum -> avgdl is the SAME double on every engine and
+        # partitioning (a double-summed avg would be order-dependent)
+        F.sum("__bm_dl").cast("double").alias("__bm_sdl"),
+        *[
+            F.sum(F.array_contains("__bm_toks", t).cast("int"))
+            .cast("double")
+            .alias(f"__bm_df_{i}")
+            for i, t in enumerate(uniq)
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__bm_sdl") / F.col("__bm_n")
+    dl = F.col("__bm_dl").cast("double")
+    # bind the shared length norm once (the bind-once discipline)
+    scored = scored.withColumn(
+        "__bm_norm", F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / avgdl)
+    )
+    for i, t in enumerate(uniq):
+        scored = scored.withColumn(
+            f"__bm_tf_{i}",
+            F.size(F.filter(F.col("__bm_toks"), lambda x: x == F.lit(t))).cast(
+                "double"
+            ),
+        )
+    score = None
+    for i, t in enumerate(uniq):
+        n, dfc = F.col("__bm_n"), F.col(f"__bm_df_{i}")
+        idf = F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
+        tf = F.col(f"__bm_tf_{i}")
+        term = (
+            F.lit(float(mult[t]))
+            * idf
+            * ((tf * F.lit(k1 + 1.0)) / (tf + F.col("__bm_norm")))
+        )
+        score = term if score is None else score + term
+    scored = scored.withColumn(out_col, score)
+    if matched_only:
+        scored = scored.filter(F.col(out_col) > 0)
+    drop = ["__bm_toks", "__bm_dl", "__bm_n", "__bm_sdl", "__bm_norm"]
+    drop += [f"__bm_df_{i}" for i in range(len(uniq))]
+    drop += [f"__bm_tf_{i}" for i in range(len(uniq))]
+    return scored.drop(*drop)
+
+
+def bm25_topk(
+    df: DataFrame,
+    field: str,
+    query_text: str,
+    k: int = 10,
+    tiebreak: list[str] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The ES ``match`` + ``size`` shape: top-``k`` documents by BM25,
+    score ties broken by ``tiebreak`` columns for determinism.  Plans as
+    TakeOrderedAndProject over the scoring pass — per-partition top-k
+    heaps, never a global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out = bm25_score(df, field, query_text, k1=k1, b=b)
+    order = [F.col("_score").desc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    return out.orderBy(*order).limit(int(k))
 
 
 def highlight(
@@ -483,15 +612,6 @@ def suggest_phrase(
     )
 
 
-def _column_text(col) -> str:
-    """The compiled expression text of a Column, without the Python repr
-    wrapper — ``str(col)`` yields ``Column<'(expr)'>``; the artifact should
-    carry only ``(expr)``."""
-    s = str(col)
-    m = re.fullmatch(r"Column<'(.*)'>", s, flags=re.DOTALL)
-    return m.group(1) if m else s
-
-
 def explain_doc(df: DataFrame, doc_id, query: dict, id_col: str) -> dict:
     """ES ``GET /<index>/_explain/<id>``: whether ONE document matches the
     query.  Returns ``{"_id": id, "found": bool, "matched": bool,
@@ -505,6 +625,8 @@ def explain_doc(df: DataFrame, doc_id, query: dict, id_col: str) -> dict:
     Scale: the id equality filter is sargable (row-group stats pruning,
     partition pruning on a partitioned id), so the scan touches only
     files that can contain the id — one-row work at any corpus size."""
+    from elasticsearch_hadoop_spark.query_dsl import column_text
+
     pred, score = _pred_and_score(query)
     rows = (
         df.filter(F.col(id_col) == F.lit(doc_id))
@@ -516,7 +638,7 @@ def explain_doc(df: DataFrame, doc_id, query: dict, id_col: str) -> dict:
         "_id": doc_id,
         "found": bool(rows),
         "matched": bool(rows and rows[0]["__matched"]),
-        "explanation": _column_text(pred),
+        "explanation": column_text(pred),
     }
     out["_score"] = (
         float(rows[0]["__score"])

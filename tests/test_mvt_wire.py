@@ -198,6 +198,12 @@ def test_validation_errors():
         encode_tile(2, 1, 1, grid=[{"cell": "4/0/0", "doc_count": 1}])
     with pytest.raises(MvtError, match="below"):
         encode_tile(2, 1, 1, grid=[{"cell": "1/0/0", "doc_count": 1}])
+    with pytest.raises(MvtError, match="ceiling"):
+        encode_tile(0, 0, 0, grid=[{"cell": "30/0/0", "doc_count": 1}])
+    with pytest.raises(MvtError, match="integer px/py"):
+        encode_tile(0, 0, 0, hits=[{"px": None, "py": 3}])
+    with pytest.raises(MvtError, match="bad grid cell"):
+        encode_tile(0, 0, 0, grid=[{"cell": None, "doc_count": 1}])
     with pytest.raises(MvtError, match="unsupported property"):
         encode_tile(0, 0, 0, hits=[{"px": 1, "py": 1, "bad": [1, 2]}])
 

@@ -408,6 +408,33 @@ def test_eql_sample_multi_bounded_carry(spark, sf_dir):
     assert count_nodes(plan, "BroadcastHashJoin") == 0
 
 
+def test_ts_stats_top_bounded_over_series(spark, sf_dir):
+    """Round 11: TOP inside TS STATS caps the per-series frame with
+    WindowGroupLimit Partial+Final, and the checkpointed per-series frame
+    keeps the pre-materialization plan's bounded shape visible."""
+    plan = plan_of(spark, sf_dir, "esql_ts_stats_top")
+    assert count_nodes(plan, "WindowGroupLimit") == 2
+    assert ", 3, Partial" in plan
+
+
+def test_collapse_inner_hits_two_bounded_frames(spark, sf_dir):
+    """Round 11: rep (limit 1) and inner (limit 3) frames BOTH plan
+    WindowGroupLimit Partial+Final — four nodes total, no unbounded
+    collect before the cap."""
+    plan = plan_of(spark, sf_dir, "search_collapse_inner_hits")
+    assert count_nodes(plan, "WindowGroupLimit") == 4
+    assert ", 1, Partial" in plan and ", 3, Partial" in plan
+
+
+def test_bm25_topk_take_ordered_no_udf(spark, sf_dir):
+    """Round 11: BM25 is pure Column math ending in TakeOrderedAndProject
+    — one broadcast of the 1-row stats frame, no Python UDF."""
+    plan = plan_of(spark, sf_dir, "search_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # the 1-row stats attach
+
+
 def test_eql_sample_join_single_agg_no_join(spark, sf_dir):
     """EQL sample: one aggregation pair over the join key (SortAggregate
     for struct buffers — documented), one exchange, NO join of the

@@ -75,6 +75,7 @@ FAMILIES = {
     "udf": r"^(udf_|udaf_|udtf_)",
     "sampling": r"^sample_",
     "write_path": r"^writepath_",
+    "relevance": r"^search_bm25_",
 }
 
 

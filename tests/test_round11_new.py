@@ -220,6 +220,9 @@ def test_ks_test_validation(spark):
         _ks_run(spark, ["a", "b"], {"sampling_method": "bootstrap"})
     with pytest.raises(AggsDslError, match="fractions"):
         _ks_run(spark, ["a", "b"], {"fractions": [0.0, 0.0]})
+    # review r11a: a negative entry builds a non-monotone reference CDF
+    with pytest.raises(AggsDslError, match="non-negative"):
+        _ks_run(spark, ["a", "b"], {"fractions": [0.5, -0.2, 0.7]})
 
 
 # -------------------------------------------------- collapse inner_hits
@@ -249,6 +252,24 @@ def test_collapse_inner_hits_reference(spark):
     assert [r["id"] for r in got] == [11, 20]  # main sort picks latest ts
     assert [x["id"] for x in got[0]["ih"]] == [11, 12, 13]  # inner sort
     assert [x["id"] for x in got[1]["ih"]] == [20]
+
+
+def test_collapse_inner_hits_null_group_keeps_inner(spark):
+    """Review r11a: the rep->inner join is null-safe — a NULL collapse-key
+    group (collapse/groupBy both group nulls) keeps its inner array."""
+    from elasticsearch_hadoop_spark.search import collapse_inner_hits
+
+    rows = [(None, 1, 5, 1.0), (None, 2, 9, 3.0), (1, 3, 2, 2.0)]
+    df = spark.createDataFrame(rows, "grp int, id int, ts int, score double")
+    out = collapse_inner_hits(
+        df, "grp", sort=[{"ts": "desc"}, {"id": "asc"}],
+        inner_hits={"name": "ih", "size": 2,
+                    "sort": [{"score": "desc"}, {"id": "asc"}]},
+        inner_cols=["id"],
+    ).orderBy(F.col("grp").asc_nulls_first())
+    got = out.collect()
+    assert got[0]["grp"] is None and [x["id"] for x in got[0]["ih"]] == [2, 1]
+    assert got[1]["grp"] == 1 and [x["id"] for x in got[1]["ih"]] == [3]
 
 
 def test_collapse_inner_hits_validation(spark):
@@ -302,3 +323,94 @@ def test_explain_doc_explanation_is_predicate_text(spark):
     assert hit["matched"] is True
     assert not hit["explanation"].startswith("Column<")
     assert "open" in hit["explanation"]
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_score == the formula replayed in plain Python (exact doubles:
+    every input is an integer)."""
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    docs = [
+        (1, "spark joins hash join hash"),
+        (2, "merge join strategies"),
+        (3, "broadcast hash maps"),
+        (4, "unrelated text entirely"),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    out = {
+        r["id"]: r["_score"]
+        for r in bm25_score(df, "text", "hash join").collect()
+    }
+
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def ref(i):
+        s = 0.0
+        for t in ("hash", "join"):
+            dfc = sum(1 for v in toks.values() if t in v)
+            tf = toks[i].count(t)
+            idf = math.log(1 + (n - dfc + 0.5) / (dfc + 0.5))
+            s += idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1 - b + (b * len(toks[i])) / avgdl)))
+        return s
+
+    assert set(out) == {1, 2, 3}  # doc 4 matches nothing -> excluded
+    for i in out:
+        assert out[i] == pytest.approx(ref(i), abs=1e-12)
+    # doc 1 has the most query-term mass -> ranks first
+    assert max(out, key=out.get) == 1
+
+
+def test_bm25_duplicate_query_terms_double_the_clause(spark):
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    df = spark.createDataFrame(
+        [(1, "hash table"), (2, "other words")], "id int, text string"
+    )
+    once = bm25_score(df, "text", "hash").collect()[0]["_score"]
+    twice = bm25_score(df, "text", "hash hash").collect()[0]["_score"]
+    assert twice == pytest.approx(2 * once, abs=1e-12)
+
+
+def test_bm25_edge_params_and_validation(spark):
+    from elasticsearch_hadoop_spark.search import bm25_score, bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c")], "id int, text string"
+    )
+    # b=0: no length normalization -> doc 1's higher tf wins outright
+    r = {x["id"]: x["_score"] for x in bm25_score(df, "text", "a", b=0.0).collect()}
+    assert r[1] > r[2]
+    # k1=0: tf saturates completely -> equal scores for any tf > 0
+    r0 = {x["id"]: x["_score"] for x in bm25_score(df, "text", "a", k1=0.0).collect()}
+    assert r0[1] == pytest.approx(r0[2], abs=1e-12)
+    with pytest.raises(ValueError, match="query term"):
+        bm25_score(df, "text", "!!!")
+    with pytest.raises(ValueError, match="b must"):
+        bm25_score(df, "text", "a", b=1.5)
+    with pytest.raises(ValueError, match="k1 must"):
+        bm25_score(df, "text", "a", k1=-1)
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(df, "text", "a", k=0)
+
+
+def test_bm25_topk_plans_take_ordered(spark, sf_dir):
+    from elasticsearch_hadoop_spark.plans import formatted_plan
+    from elasticsearch_hadoop_spark.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = formatted_plan(bm25_topk(docs, "text", "hash join", tiebreak=["doc_id"]))
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan  # pure Column math, no UDF
+
+
+def test_validate_query_explanation_is_predicate_text(spark):
+    """Review r11a: validate_query shares the same repr-stripping as
+    explain_doc — no Column<'...'> wrapper in any explanation artifact."""
+    from elasticsearch_hadoop_spark.query_dsl import validate_query
+
+    ok = validate_query({"term": {"st": "open"}})
+    assert ok["valid"] and not ok["explanation"].startswith("Column<")
+    assert "open" in ok["explanation"]
