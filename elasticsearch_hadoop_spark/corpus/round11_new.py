@@ -161,7 +161,9 @@ WITH tok AS (
                      t -> length(t) > 0) AS toks
   FROM documents
 ), stats AS (
-  SELECT count(*)::DOUBLE AS n,
+  -- count(toks), not count(*): N is the field's docCount (Lucene), so
+  -- documents missing the field sit outside both N and avgdl
+  SELECT count(toks)::DOUBLE AS n,
          sum(len(toks))::DOUBLE AS sdl,
          sum(list_contains(toks, 'hash')::INT)::DOUBLE AS df1,
          sum(list_contains(toks, 'join')::INT)::DOUBLE AS df2

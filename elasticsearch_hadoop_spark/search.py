@@ -297,7 +297,11 @@ def bm25_score(
 
     ``matched_only`` keeps ES's match-query contract: only documents
     containing at least one query term come back (score > 0 always holds
-    for a match: idf > 0 even at df = N).
+    for a match: idf > 0 even at df = N).  Like Lucene, ``N`` and
+    ``avgdl`` are the field's docCount statistics — documents MISSING
+    the field (NULL) are outside them, and with ``matched_only=False``
+    such rows carry a NULL score (field absent), never 0.0 (present, no
+    match).
 
     Scale shape: TWO passes over the corpus — a tiny stats aggregation
     (N, Σdl, one df counter per unique term: ONE hash agg to a 1-row
@@ -326,7 +330,10 @@ def bm25_score(
     toks = df.withColumn("__bm_toks", standard_analyze(F.col(field)))
     toks = toks.withColumn("__bm_dl", F.size("__bm_toks").cast("long"))
     stats = toks.agg(
-        F.count(F.lit(1)).cast("double").alias("__bm_n"),
+        # Lucene's docCount-with-field, not the index row count: both the
+        # idf N and avgdl exclude documents missing the field (their dl
+        # is NULL), exactly like BM25Similarity's computeIdf/avgFieldLength
+        F.count("__bm_dl").cast("double").alias("__bm_n"),
         # exact long sum -> avgdl is the SAME double on every engine and
         # partitioning (a double-summed avg would be order-dependent)
         F.sum("__bm_dl").cast("double").alias("__bm_sdl"),
@@ -340,9 +347,15 @@ def bm25_score(
     scored = toks.crossJoin(F.broadcast(stats))
     avgdl = F.col("__bm_sdl") / F.col("__bm_n")
     dl = F.col("__bm_dl").cast("double")
-    # bind the shared length norm once (the bind-once discipline)
+    # bind the shared length norm once (the bind-once discipline); an
+    # all-empty corpus has avgdl = 0 — no document can match there, but
+    # the norm column computes for every row, so the division must be
+    # guarded (ANSI mode raises on /0)
+    rel_dl = F.when(
+        F.col("__bm_sdl") > 0, (F.lit(b) * dl) / avgdl
+    ).otherwise(F.lit(0.0))
     scored = scored.withColumn(
-        "__bm_norm", F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / avgdl)
+        "__bm_norm", F.lit(k1) * (F.lit(1.0 - b) + rel_dl)
     )
     for i, t in enumerate(uniq):
         scored = scored.withColumn(
@@ -356,13 +369,21 @@ def bm25_score(
         n, dfc = F.col("__bm_n"), F.col(f"__bm_df_{i}")
         idf = F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
         tf = F.col(f"__bm_tf_{i}")
-        term = (
+        # tf = 0 contributes exactly 0 — and guards the k1 = 0 edge,
+        # where tf + norm would be 0/0 under ANSI division
+        term = F.when(
+            tf > 0,
             F.lit(float(mult[t]))
             * idf
-            * ((tf * F.lit(k1 + 1.0)) / (tf + F.col("__bm_norm")))
-        )
+            * ((tf * F.lit(k1 + 1.0)) / (tf + F.col("__bm_norm"))),
+        ).otherwise(F.lit(0.0))
         score = term if score is None else score + term
-    scored = scored.withColumn(out_col, score)
+    # a document MISSING the field has no postings at all: score NULL
+    # (field absent), not 0.0 (present but no match) — visible only with
+    # matched_only=False
+    scored = scored.withColumn(
+        out_col, F.when(F.col("__bm_dl").isNotNull(), score)
+    )
     if matched_only:
         scored = scored.filter(F.col(out_col) > 0)
     drop = ["__bm_toks", "__bm_dl", "__bm_n", "__bm_sdl", "__bm_norm"]

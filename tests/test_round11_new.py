@@ -383,9 +383,39 @@ def test_bm25_edge_params_and_validation(spark):
     # b=0: no length normalization -> doc 1's higher tf wins outright
     r = {x["id"]: x["_score"] for x in bm25_score(df, "text", "a", b=0.0).collect()}
     assert r[1] > r[2]
-    # k1=0: tf saturates completely -> equal scores for any tf > 0
-    r0 = {x["id"]: x["_score"] for x in bm25_score(df, "text", "a", k1=0.0).collect()}
-    assert r0[1] == pytest.approx(r0[2], abs=1e-12)
+    # k1=0: tf saturates completely -> equal scores for any tf > 0; a
+    # NON-matching doc must not trip the 0/0 ANSI division (review r11b)
+    df0 = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c"), (3, "zz")], "id int, text string"
+    )
+    r0 = {x["id"]: x["_score"] for x in bm25_score(df0, "text", "a", k1=0.0).collect()}
+    assert set(r0) == {1, 2} and r0[1] == pytest.approx(r0[2], abs=1e-12)
+    # an all-empty corpus has avgdl=0: nothing matches, nothing raises
+    dfe = spark.createDataFrame([(1, ""), (2, "")], "id int, text string")
+    assert bm25_score(dfe, "text", "a").count() == 0
+
+
+def test_bm25_null_field_outside_stats_and_null_score(spark):
+    """Review r11b: N/avgdl are the field's docCount stats (Lucene's
+    avgFieldLength excludes docs missing the field), and a NULL-field row
+    scores NULL (absent), not 0.0 (no match), under matched_only=False."""
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    df = spark.createDataFrame([(1, "a b"), (2, None)], "id int, text string")
+    rows = {r["id"]: r["_score"]
+            for r in bm25_score(df, "text", "a", matched_only=False).collect()}
+    assert rows[2] is None
+    # N=1, df=1, avgdl=2, dl=2, tf=1:
+    # idf = ln(1 + 0.5/1.5); norm = k1*(1-b+b*1) = k1; tf_norm = 2.2/(1+1.2)
+    k1, b = 1.2, 0.75
+    expect = math.log(1 + 0.5 / 1.5) * (2.2 / (1 + k1))
+    assert rows[1] == pytest.approx(expect, abs=1e-12)
+
+
+def test_bm25_validation(spark):
+    from elasticsearch_hadoop_spark.search import bm25_score, bm25_topk
+
+    df = spark.createDataFrame([(1, "a b")], "id int, text string")
     with pytest.raises(ValueError, match="query term"):
         bm25_score(df, "text", "!!!")
     with pytest.raises(ValueError, match="b must"):
