@@ -42,25 +42,25 @@ def query(name: str, oracle: str | None = None):
 # never-graded new surface first, then drift-insurance re-grades of the
 # OLDEST banked verdicts.  Round-11 policy (VERDICT.md round-10 "Next
 # round" items 1/3/4):
-#   * slots 1-4: the round-11 net-new surfaces (ES|QL TOP inside TS
+#   * slots 1-5: the round-11 net-new surfaces (ES|QL TOP inside TS
 #     STATS, the bucket_count_ks_test sibling pipeline, collapse with a
-#     real inner_hits sub-request, deterministic BM25 top-k) — never
-#     graded;
-#   * slots 5-8: esql_stats_top + aggs_geo_line (their graded code
+#     real inner_hits sub-request, deterministic BM25 top-k, ES|QL
+#     METADATA _score + scored MATCH) — never graded;
+#   * slots 6-9: esql_stats_top + aggs_geo_line (their graded code
 #     changed this round: the bounded-TOP machinery moved into the
 #     shared _agg_with_tops helper; geo_line's helper column went
 #     index-based per ADVICE r10) and esql_ts_rate + esql_ts_over_time
 #     (_stats_ts's item-parse loop and outer-aggregation assembly were
 #     rewritten to host TOP) — banked greens whose implementations
 #     CHANGED, so the verdicts must be re-earned on the new code;
-#   * slots 9-42: ALL 34 remaining r4-era stale verdicts (VERDICT r10
+#   * slots 10-43: ALL 34 remaining r4-era stale verdicts (VERDICT r10
 #     "What's missing" #1), draining the r4 tail to ZERO this round;
-#   * slots 43-50: 8 of the oldest r5-era greens, rewritten-library
+#   * slots 44-50: 7 of the oldest r5-era greens, rewritten-library
 #     adjacency first (aggs_change_point shares _apply_pipelines with
 #     this round's KS-test edit; the esql_*/eql_* names route through
 #     esql.py/eql.py which were rewritten again this round; the
 #     ingest_* names route through round-10's bind-once rewrites).
-#     The remaining 40 r5-era names stay ordered below the boundary so
+#     The remaining 41 r5-era names stay ordered below the boundary so
 #     round 12's window picks up exactly where this one stops.
 PRIORITY: tuple[str, ...] = (
     # round-11 net-new (never graded) lead
@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "aggs_bucket_count_ks_test",
     "search_collapse_inner_hits",
     "search_bm25_topk",
+    "esql_match_score_topk",
     # changed-implementation re-grades (CHANGED_IMPL in
     # tests/test_registration_order.py — banked verdicts grade dead code)
     "esql_stats_top",
@@ -111,7 +112,7 @@ PRIORITY: tuple[str, ...] = (
     "writepath_geo_ingest",
     "writepath_stream_source",
     "writepath_time_travel",
-    # 8 oldest r5-era re-grades (latest verdict round 5),
+    # 7 oldest r5-era re-grades (latest verdict round 5),
     # rewritten-library adjacency first
     "aggs_change_point",
     "esql_bucket_filtered_stats",
@@ -120,9 +121,9 @@ PRIORITY: tuple[str, ...] = (
     "eql_funnel_sequence",
     "ingest_enrich_events",
     "ingest_pipeline_dissect",
-    "ingest_pipeline_events",
     # --- round-11 window boundary (slot 50) — the tail below is the
     # ordered round-12 re-grade queue (remaining r5-era names)
+    "ingest_pipeline_events",
     "dedup_segments_global",
     "join_has_child",
     "join_has_parent_parent_id",

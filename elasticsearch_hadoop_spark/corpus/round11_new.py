@@ -212,6 +212,73 @@ def search_bm25_topk(spark, sf_dir):
 
 
 @query(
+    "esql_match_score_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents
+), stats AS (
+  SELECT count(toks)::DOUBLE AS n,
+         sum(len(toks))::DOUBLE AS sdl,
+         sum(list_contains(toks, 'hash')::INT)::DOUBLE AS df1,
+         sum(list_contains(toks, 'join')::INT)::DOUBLE AS df2
+  FROM tok
+), scored AS (
+  SELECT doc_id, lang,
+         len(toks)::DOUBLE AS dl,
+         len(list_filter(toks, x -> x = 'hash'))::DOUBLE AS tf1,
+         len(list_filter(toks, x -> x = 'join'))::DOUBLE AS tf2
+  FROM tok
+), withnorm AS (
+  SELECT doc_id, lang, tf1, tf2,
+         1.2 * (0.25 + (0.75 * dl) / (sdl / n)) AS nrm,
+         ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) AS idf1,
+         ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) AS idf2
+  FROM scored, stats
+), s AS (
+  SELECT doc_id, lang,
+         (CASE WHEN tf1 > 0
+               THEN idf1 * ((tf1 * 2.2) / (tf1 + nrm)) ELSE 0.0 END)
+         + (CASE WHEN tf2 > 0
+                 THEN idf2 * ((tf2 * 2.2) / (tf2 + nrm)) ELSE 0.0 END)
+           AS raw
+  FROM withnorm
+  WHERE (tf1 > 0 OR tf2 > 0) AND lang = 'en'
+)
+SELECT doc_id, round(raw, 6) AS score
+FROM s
+ORDER BY raw DESC, doc_id
+LIMIT 10
+""",
+)
+def esql_match_score_topk(spark, sf_dir):
+    """ES|QL ``METADATA _score`` + full-text ``MATCH`` scoring (8.18,
+    esql._where_scored, new round 11): the classic relevance pipeline —
+    ``FROM docs METADATA _score | WHERE MATCH(...) AND lang == "en" |
+    SORT _score DESC | LIMIT 10`` — where the MATCH leaf contributes its
+    BM25 score to _score and the lang equality filters without scoring
+    (Lucene's BooleanQuery: filters contribute 0).  The plan is the
+    bm25_topk shape (one stats aggregation broadcast back, one scoring
+    pass, TakeOrderedAndProject); the oracle replays the exact Lucene
+    formula with the filter applied, proving the scored-WHERE path
+    produces the same doubles as the standalone scorer."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return esql(
+        "FROM documents METADATA _score"
+        ' | WHERE MATCH(text, "hash join") AND lang == "en"'
+        " | SORT _score DESC, doc_id"
+        " | LIMIT 10"
+        " | EVAL score = ROUND(_score, 6)"
+        " | KEEP doc_id, score",
+        tables={"documents": docs},
+    )
+
+
+@query(
     "search_collapse_inner_hits",
     oracle=f"""
 WITH r AS (

@@ -1122,14 +1122,20 @@ def _balanced(s: str) -> bool:
     return depth == 0
 
 
-def _where_pred(body: str) -> Column:
+def _where_pred(body: str, ft_leaves: list[tuple[str, str]] | None = None) -> Column:
     """A WHERE clause predicate.  Plain expressions go through the
     guarded SQL translator; clauses containing the full-text functions
     ``MATCH(field, "text")`` / ``QSTR("query")`` (ES|QL 8.17+) compile
     those leaves through the query-DSL (`match` clause semantics — the
     documented exact token-overlap subset; QSTR is the ``?q=``
     query-string subset) and combine them with the surrounding
-    AND/OR/NOT boolean structure."""
+    AND/OR/NOT boolean structure.
+
+    ``ft_leaves`` (the METADATA _score path) collects every MATCH /
+    colon-operator leaf as ``(field, query_text)`` so the caller can
+    attach BM25 contributions; QSTR leaves filter without scoring
+    (documented subset — the query-string grammar compiles to arbitrary
+    predicates, not term clauses)."""
     blanked = _blank_literals(body)
     if not _FT_PROBE.search(blanked) and ":" not in blanked:
         return _expr(body)
@@ -1159,6 +1165,8 @@ def _where_pred(body: str) -> Column:
             return ~pred(e[3:])
         cm = _FT_COLON.match(e)
         if cm:  # the match OPERATOR: field : "query text"
+            if ft_leaves is not None:
+                ft_leaves.append((cm.group(1), cm.group(2)[1:-1]))
             return compile_query({"match": {cm.group(1): cm.group(2)[1:-1]}})
         m = re.match(r"^(MATCH|QSTR)\s*\((.*)\)\s*$", e, flags=re.I | re.S)
         if m and _balanced(m.group(2)):
@@ -1172,6 +1180,8 @@ def _where_pred(body: str) -> Column:
                 field, q = args
                 if not re.match(r'^"[^"]*"$', q):
                     raise EsqlError(f"MATCH query must be a string literal: {e!r}")
+                if ft_leaves is not None:
+                    ft_leaves.append((field, q[1:-1]))
                 return compile_query({"match": {field: q[1:-1]}})
             if len(args) != 1 or not re.match(r'^"[^"]*"$', args[0]):
                 raise EsqlError(f"QSTR takes one string literal, got: {e!r}")
@@ -1179,6 +1189,41 @@ def _where_pred(body: str) -> Column:
         return _expr(e)
 
     return pred(body)
+
+
+def _where_scored(df: DataFrame, body: str) -> DataFrame:
+    """ES|QL 8.18 scored WHERE (active when ``METADATA _score`` was
+    requested): every MATCH / colon full-text leaf contributes its BM25
+    score to the ``_score`` column, pure filters and QSTR contribute 0 —
+    Lucene's BooleanQuery sum-of-matching-clauses.  A leaf a document
+    does NOT match contributes exactly 0 through the coalesce (its BM25
+    is 0 or NULL by the same analyzer), so the blanket sum is correct
+    under any AND/OR/NOT structure — non-matching docs are filtered by
+    the predicate anyway.
+
+    Scale: one extra stats aggregation + one scoring projection per
+    distinct full-text leaf (search.bm25_score's two-pass shape, each a
+    broadcast 1-row attach); the filter itself is unchanged.  Corpus
+    statistics are computed over the WHERE's input frame — ES computes
+    them per shard over the index; a pre-filtered pipeline input is the
+    engine's documented equivalent."""
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    leaves: list[tuple[str, str]] = []
+    p = _where_pred(body, ft_leaves=leaves)
+    out = df
+    score_cols = []
+    contrib = None
+    for j, (field, qtext) in enumerate(leaves):
+        c = f"__ft_s{j}"
+        out = bm25_score(out, field, qtext, matched_only=False, out_col=c)
+        score_cols.append(c)
+        add = F.coalesce(F.col(c), F.lit(0.0))
+        contrib = add if contrib is None else contrib + add
+    out = out.filter(p)
+    if contrib is not None:
+        out = out.withColumn("_score", F.col("_score") + contrib)
+    return out.drop(*score_cols)
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -1784,28 +1829,34 @@ def esql(
         mm = re.search(r"\bMETADATA\b(.*)$", body, flags=re.I | re.S)
         if mm:
             meta_cols = [c.strip() for c in _split_top(mm.group(1)) if c.strip()]
-            bad = [c for c in meta_cols if c not in ("_index", "_id", "_routing")]
+            bad = [
+                c for c in meta_cols
+                if c not in ("_index", "_id", "_routing", "_score")
+            ]
             if bad:
                 raise EsqlError(f"unsupported METADATA columns {bad!r}")
             body = body[: mm.start()]
+        # _score is synthesized, not stored (ES initializes it per query;
+        # 8.18+ full-text WHERE leaves then accumulate BM25 into it)
+        stored_meta = [c for c in meta_cols if c != "_score"]
         sources = [s.strip() for s in _split_top(body)]
         frames = []
         for s in sources:
             if tables and s in tables:
                 f2 = tables[s]
-                missing = [c for c in meta_cols if c not in f2.columns]
+                missing = [c for c in stored_meta if c not in f2.columns]
                 if missing:
                     raise EsqlError(
                         f"source {s!r} has no metadata columns {missing!r}"
                     )
                 frames.append(f2)
             elif catalog is not None:
-                f2 = catalog.read_index(s, metadata=bool(meta_cols))
+                f2 = catalog.read_index(s, metadata=bool(stored_meta))
                 if "_index" in meta_cols and "_index" not in f2.columns:
                     # single-index reads carry no _index column — the
                     # resolved source name IS the index
                     f2 = f2.withColumn("_index", F.lit(s))
-                missing = [c for c in meta_cols if c not in f2.columns]
+                missing = [c for c in stored_meta if c not in f2.columns]
                 if missing:
                     raise EsqlError(
                         f"source {s!r} has no metadata columns {missing!r}"
@@ -1818,6 +1869,8 @@ def esql(
         df = frames[0]
         for f2 in frames[1:]:
             df = df.unionByName(f2, allowMissingColumns=True)
+        if "_score" in meta_cols and "_score" not in df.columns:
+            df = df.withColumn("_score", F.lit(0.0).cast("double"))
 
     ts_spec = None
     if hm.group(1).upper() == "TS":
@@ -2079,8 +2132,14 @@ def _apply_stages(
             raise EsqlError(f"bad command: {stage!r}")
         cmd, body = cm.group(1).upper(), cm.group(2).strip()
         if cmd == "WHERE":
-            if re.search(r"\bKNN\s*\(", _blank_literals(body), flags=re.I):
+            blanked_w = _blank_literals(body)
+            if re.search(r"\bKNN\s*\(", blanked_w, flags=re.I):
                 df = _where_knn(df, body)
+            elif "_score" in df.columns and (
+                _FT_PROBE.search(blanked_w) or ":" in blanked_w
+            ):
+                # METADATA _score + full-text WHERE: leaves score (8.18)
+                df = _where_scored(df, body)
             else:
                 df = df.filter(_where_pred(body))
         elif cmd == "EVAL":

@@ -267,6 +267,34 @@ def collapse_inner_hits(
     ).select(rep["*"], inner[name])
 
 
+def bm25_corpus_stats(df: DataFrame, field: str, terms: list[str]) -> dict:
+    """Precompute the BM25 corpus statistics for ``terms`` — the
+    index-build step a production deployment runs ONCE and amortizes
+    across queries: ``{"doc_count": N, "sum_dl": Σdl, "df": {term: df}}``
+    (docCount semantics: documents missing the field are outside all
+    three).  Feed the result to ``bm25_score(..., stats=...)`` to skip
+    the per-query stats pass.  One hash aggregation to a single row."""
+    from elasticsearch_hadoop_spark.functions.text import standard_analyze
+
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("bm25_corpus_stats needs at least one term")
+    toks = df.select(standard_analyze(F.col(field)).alias("__t"))
+    row = toks.agg(
+        F.count("__t").alias("n"),
+        F.sum(F.size("__t").cast("long")).alias("sdl"),
+        *[
+            F.sum(F.array_contains("__t", t).cast("int")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    return {
+        "doc_count": int(row["n"]),
+        "sum_dl": int(row["sdl"] or 0),
+        "df": {t: int(row[f"df_{i}"] or 0) for i, t in enumerate(terms)},
+    }
+
+
 def bm25_score(
     df: DataFrame,
     field: str,
@@ -275,6 +303,7 @@ def bm25_score(
     b: float = 0.75,
     out_col: str = "_score",
     matched_only: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance over an analyzed text field — Lucene's exact
     formula (the one ES scores ``match`` queries with):
@@ -307,8 +336,8 @@ def bm25_score(
     (N, Σdl, one df counter per unique term: ONE hash agg to a 1-row
     frame, broadcast back) and the scoring pass (tokens materialized
     once per row, per-term tf as array codegen, top-k downstream is a
-    TakeOrderedAndProject).  A production deployment precomputes the
-    stats frame like an index build and amortizes the first pass across
+    TakeOrderedAndProject).  Pass ``stats=`` (from ``bm25_corpus_stats``,
+    the index-build step) to skip the first pass and amortize it across
     queries.  Integer inputs (counts, doc lengths) keep every float
     derived identically on any engine — Σdl sums exactly as a long, so
     avgdl is bit-identical regardless of partitioning."""
@@ -329,22 +358,44 @@ def bm25_score(
 
     toks = df.withColumn("__bm_toks", standard_analyze(F.col(field)))
     toks = toks.withColumn("__bm_dl", F.size("__bm_toks").cast("long"))
-    stats = toks.agg(
-        # Lucene's docCount-with-field, not the index row count: both the
-        # idf N and avgdl exclude documents missing the field (their dl
-        # is NULL), exactly like BM25Similarity's computeIdf/avgFieldLength
-        F.count("__bm_dl").cast("double").alias("__bm_n"),
-        # exact long sum -> avgdl is the SAME double on every engine and
-        # partitioning (a double-summed avg would be order-dependent)
-        F.sum("__bm_dl").cast("double").alias("__bm_sdl"),
-        *[
-            F.sum(F.array_contains("__bm_toks", t).cast("int"))
-            .cast("double")
-            .alias(f"__bm_df_{i}")
-            for i, t in enumerate(uniq)
-        ],
-    )
-    scored = toks.crossJoin(F.broadcast(stats))
+    if stats is not None:
+        # precomputed corpus statistics (bm25_corpus_stats): skip the
+        # stats pass entirely — the literals take the 1-row frame's place
+        missing = [t for t in uniq if t not in stats.get("df", {})]
+        if missing:
+            raise ValueError(f"stats missing df for query terms: {missing}")
+        stats_df = df.sparkSession.createDataFrame(
+            [
+                (
+                    float(stats["doc_count"]),
+                    float(stats["sum_dl"]),
+                    *[float(stats["df"][t]) for t in uniq],
+                )
+            ],
+            ", ".join(
+                ["__bm_n double", "__bm_sdl double"]
+                + [f"__bm_df_{i} double" for i in range(len(uniq))]
+            ),
+        )
+    else:
+        stats_df = toks.agg(
+            # Lucene's docCount-with-field, not the index row count: both
+            # the idf N and avgdl exclude documents missing the field
+            # (their dl is NULL), exactly like BM25Similarity's
+            # computeIdf/avgFieldLength
+            F.count("__bm_dl").cast("double").alias("__bm_n"),
+            # exact long sum -> avgdl is the SAME double on every engine
+            # and partitioning (a double-summed avg would be
+            # order-dependent)
+            F.sum("__bm_dl").cast("double").alias("__bm_sdl"),
+            *[
+                F.sum(F.array_contains("__bm_toks", t).cast("int"))
+                .cast("double")
+                .alias(f"__bm_df_{i}")
+                for i, t in enumerate(uniq)
+            ],
+        )
+    scored = toks.crossJoin(F.broadcast(stats_df))
     avgdl = F.col("__bm_sdl") / F.col("__bm_n")
     dl = F.col("__bm_dl").cast("double")
     # bind the shared length norm once (the bind-once discipline); an

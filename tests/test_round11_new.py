@@ -412,6 +412,27 @@ def test_bm25_null_field_outside_stats_and_null_score(spark):
     assert rows[1] == pytest.approx(expect, abs=1e-12)
 
 
+def test_bm25_precomputed_stats_match_inline(spark):
+    """bm25_corpus_stats + stats= reproduces the inline two-pass scores
+    exactly (the index-build amortization path), and guards missing df."""
+    from elasticsearch_hadoop_spark.search import bm25_corpus_stats, bm25_score
+
+    df = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "sort merge join"), (3, None)],
+        "id int, text string",
+    )
+    st = bm25_corpus_stats(df, "text", ["hash", "join"])
+    assert st == {"doc_count": 2, "sum_dl": 6, "df": {"hash": 1, "join": 2}}
+    inline = {r["id"]: r["_score"] for r in bm25_score(df, "text", "hash join").collect()}
+    pre = {
+        r["id"]: r["_score"]
+        for r in bm25_score(df, "text", "hash join", stats=st).collect()
+    }
+    assert inline == pre
+    with pytest.raises(ValueError, match="missing df"):
+        bm25_score(df, "text", "hash sort", stats=st)
+
+
 def test_bm25_validation(spark):
     from elasticsearch_hadoop_spark.search import bm25_score, bm25_topk
 
@@ -434,6 +455,67 @@ def test_bm25_topk_plans_take_ordered(spark, sf_dir):
     plan = formatted_plan(bm25_topk(docs, "text", "hash join", tiebreak=["doc_id"]))
     assert "TakeOrderedAndProject" in plan
     assert "PythonUDF" not in plan  # pure Column math, no UDF
+
+
+def test_esql_metadata_score_match_semantics(spark):
+    """METADATA _score + full-text WHERE (8.18): each MATCH / colon leaf
+    adds its BM25 to _score for docs that match it; non-matching leaves
+    under OR, NOT-guarded leaves, QSTR, and plain filters contribute 0;
+    without any full-text leaf _score stays the initialized 0.0."""
+    from elasticsearch_hadoop_spark.esql import esql
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    docs = [
+        (1, "hash join plan", "en"),
+        (2, "hash map only", "en"),
+        (3, "merge join strategies", "de"),
+        (4, "nothing relevant", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string, lang string")
+    tbls = {"d": df}
+
+    # OR of two MATCH leaves: a doc matching only one gets only that
+    # leaf's BM25 (the other coalesces to 0)
+    out = esql(
+        'FROM d METADATA _score | WHERE MATCH(text, "hash") OR'
+        ' MATCH(text, "merge") | KEEP doc_id, _score',
+        tables=tbls,
+    )
+    got = {r["doc_id"]: r["_score"] for r in out.collect()}
+    s_hash = {r["doc_id"]: r["_score"]
+              for r in bm25_score(df, "text", "hash").collect()}
+    s_merge = {r["doc_id"]: r["_score"]
+               for r in bm25_score(df, "text", "merge").collect()}
+    assert set(got) == {1, 2, 3}
+    for i in got:
+        assert got[i] == pytest.approx(
+            s_hash.get(i, 0.0) + s_merge.get(i, 0.0), abs=1e-12
+        )
+
+    # a plain filter alongside MATCH contributes nothing to _score
+    out2 = esql(
+        'FROM d METADATA _score | WHERE MATCH(text, "join") AND'
+        ' lang == "en" | KEEP doc_id, _score',
+        tables=tbls,
+    )
+    s_join = {r["doc_id"]: r["_score"]
+              for r in bm25_score(df, "text", "join").collect()}
+    got2 = {r["doc_id"]: r["_score"] for r in out2.collect()}
+    assert set(got2) == {1}
+    assert got2[1] == pytest.approx(s_join[1], abs=1e-12)
+
+    # no full-text leaf: _score survives as the initialized 0.0
+    out3 = esql(
+        'FROM d METADATA _score | WHERE lang == "de" | KEEP doc_id, _score',
+        tables=tbls,
+    )
+    assert [(r["doc_id"], r["_score"]) for r in out3.collect()] == [(3, 0.0)]
+
+    # without METADATA _score the scored path must NOT engage
+    out4 = esql(
+        'FROM d | WHERE MATCH(text, "join") | KEEP doc_id', tables=tbls
+    )
+    assert "_score" not in out4.columns
 
 
 def test_validate_query_explanation_is_predicate_text(spark):
