@@ -46,21 +46,24 @@ def query(name: str, oracle: str | None = None):
 #     STATS, the bucket_count_ks_test sibling pipeline, collapse with a
 #     real inner_hits sub-request, deterministic BM25 top-k, ES|QL
 #     METADATA _score + scored MATCH) — never graded;
-#   * slots 6-9: esql_stats_top + aggs_geo_line (their graded code
+#   * slots 6-11: esql_stats_top + aggs_geo_line (their graded code
 #     changed this round: the bounded-TOP machinery moved into the
 #     shared _agg_with_tops helper; geo_line's helper column went
-#     index-based per ADVICE r10) and esql_ts_rate + esql_ts_over_time
+#     index-based per ADVICE r10), esql_ts_rate + esql_ts_over_time
 #     (_stats_ts's item-parse loop and outer-aggregation assembly were
-#     rewritten to host TOP) — banked greens whose implementations
-#     CHANGED, so the verdicts must be re-earned on the new code;
-#   * slots 10-43: ALL 34 remaining r4-era stale verdicts (VERDICT r10
+#     rewritten to host TOP), and esql_fulltext_where +
+#     esql_match_colon (_where_pred's MATCH branch was restructured for
+#     the options map and the leaf collector) — banked greens whose
+#     implementations CHANGED, so the verdicts must be re-earned on the
+#     new code;
+#   * slots 12-45: ALL 34 remaining r4-era stale verdicts (VERDICT r10
 #     "What's missing" #1), draining the r4 tail to ZERO this round;
-#   * slots 44-50: 7 of the oldest r5-era greens, rewritten-library
+#   * slots 46-50: 5 of the oldest r5-era greens, rewritten-library
 #     adjacency first (aggs_change_point shares _apply_pipelines with
 #     this round's KS-test edit; the esql_*/eql_* names route through
 #     esql.py/eql.py which were rewritten again this round; the
 #     ingest_* names route through round-10's bind-once rewrites).
-#     The remaining 41 r5-era names stay ordered below the boundary so
+#     The remaining 43 r5-era names stay ordered below the boundary so
 #     round 12's window picks up exactly where this one stops.
 PRIORITY: tuple[str, ...] = (
     # round-11 net-new (never graded) lead
@@ -75,6 +78,8 @@ PRIORITY: tuple[str, ...] = (
     "aggs_geo_line",
     "esql_ts_rate",
     "esql_ts_over_time",
+    "esql_fulltext_where",
+    "esql_match_colon",
     # the 34 r4-era drift re-grades (latest verdict round 4 — computed
     # from CORRECTNESS_r{01..10}.json), in the queue order round 10 left
     # below its boundary
@@ -112,17 +117,17 @@ PRIORITY: tuple[str, ...] = (
     "writepath_geo_ingest",
     "writepath_stream_source",
     "writepath_time_travel",
-    # 7 oldest r5-era re-grades (latest verdict round 5),
+    # 5 oldest r5-era re-grades (latest verdict round 5),
     # rewritten-library adjacency first
     "aggs_change_point",
     "esql_bucket_filtered_stats",
     "esql_grok_dissect",
     "esql_stats_by",
     "eql_funnel_sequence",
-    "ingest_enrich_events",
-    "ingest_pipeline_dissect",
     # --- round-11 window boundary (slot 50) — the tail below is the
     # ordered round-12 re-grade queue (remaining r5-era names)
+    "ingest_enrich_events",
+    "ingest_pipeline_dissect",
     "ingest_pipeline_events",
     "dedup_segments_global",
     "join_has_child",

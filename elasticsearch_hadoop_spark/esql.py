@@ -1173,16 +1173,49 @@ def _where_pred(body: str, ft_leaves: list[tuple[str, str]] | None = None) -> Co
             fn, inner = m.group(1).upper(), m.group(2)
             args = [a.strip() for a in _split_top(inner)]
             if fn == "MATCH":
-                if len(args) != 2:
+                if len(args) < 2:
                     raise EsqlError(
-                        f"MATCH takes (field, query), got {len(args)} args: {e!r}"
+                        f"MATCH takes (field, query[, options]), got "
+                        f"{len(args)} args: {e!r}"
                     )
-                field, q = args
+                field, q = args[0], args[1]
                 if not re.match(r'^"[^"]*"$', q):
                     raise EsqlError(f"MATCH query must be a string literal: {e!r}")
+                opts = {}
+                if len(args) > 2:
+                    # the 8.18 named-options map — a JSON object literal
+                    # (re-joined: _split_top splits on the map's internal
+                    # commas, it tracks parens, not braces); supported
+                    # subset mirrors the match clause
+                    import json as _json
+
+                    opts_txt = ",".join(args[2:])
+                    try:
+                        opts = _json.loads(opts_txt)
+                        if not isinstance(opts, dict):
+                            raise ValueError
+                    except ValueError:
+                        raise EsqlError(
+                            f"MATCH options must be a JSON object: {opts_txt!r}"
+                        ) from None
+                    allowed = {
+                        "operator", "minimum_should_match",
+                        "zero_terms_query", "fuzziness",
+                    }
+                    bad = sorted(set(opts) - allowed)
+                    if bad:
+                        raise EsqlError(f"unsupported MATCH options {bad!r}")
                 if ft_leaves is not None:
+                    if "fuzziness" in opts:
+                        # fuzzy expansion scoring needs per-expanded-term
+                        # idf — out of the scored subset (filter-only)
+                        raise EsqlError(
+                            "MATCH with fuzziness cannot score (METADATA "
+                            "_score) — drop the option or the _score"
+                        )
                     ft_leaves.append((field, q[1:-1]))
-                return compile_query({"match": {field: q[1:-1]}})
+                body_q = {"query": q[1:-1], **opts} if opts else q[1:-1]
+                return compile_query({"match": {field: body_q}})
             if len(args) != 1 or not re.match(r'^"[^"]*"$', args[0]):
                 raise EsqlError(f"QSTR takes one string literal, got: {e!r}")
             return compile_query(args[0][1:-1])

@@ -39,6 +39,8 @@ CHANGED_IMPL = {
     "aggs_geo_line",     # r11: index-based helper column (ADVICE r10)
     "esql_ts_rate",      # r11: _stats_ts parse loop / outer-agg assembly rewrite
     "esql_ts_over_time",  # r11: same _stats_ts rewrite
+    "esql_fulltext_where",  # r11: _where_pred MATCH branch restructured (options)
+    "esql_match_colon",  # r11: colon branch gained the scored-leaf collector
 }
 
 # family -> regex over query names; each must match >=1 query with a driver

@@ -518,6 +518,71 @@ def test_esql_metadata_score_match_semantics(spark):
     assert "_score" not in out4.columns
 
 
+def test_esql_match_options(spark):
+    """MATCH(field, query, {options}) — the 8.18 named-options map:
+    operator/minimum_should_match reshape the predicate (and still score:
+    Lucene scores the matching term clauses regardless of operator);
+    fuzziness works as a filter but refuses to score; unknown options and
+    non-JSON maps raise."""
+    from elasticsearch_hadoop_spark.esql import EsqlError, esql
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    docs = [
+        (1, "hash join plan"),
+        (2, "hash map only"),
+        (3, "join order"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    tbls = {"d": df}
+
+    # operator AND: both terms required
+    out = esql(
+        'FROM d | WHERE MATCH(text, "hash join", {"operator": "and"})'
+        " | KEEP doc_id",
+        tables=tbls,
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    # multi-key map: the internal comma must survive the arg split
+    out2 = esql(
+        'FROM d | WHERE MATCH(text, "hash join",'
+        ' {"operator": "or", "minimum_should_match": 2}) | KEEP doc_id',
+        tables=tbls,
+    )
+    assert [r["doc_id"] for r in out2.collect()] == [1]
+    # scored AND leaf: contribution is the full BM25 (both terms match)
+    out3 = esql(
+        "FROM d METADATA _score | WHERE"
+        ' MATCH(text, "hash join", {"operator": "and"}) | KEEP doc_id, _score',
+        tables=tbls,
+    )
+    ref = {r["doc_id"]: r["_score"]
+           for r in bm25_score(df, "text", "hash join").collect()}
+    got = {r["doc_id"]: r["_score"] for r in out3.collect()}
+    assert set(got) == {1} and got[1] == pytest.approx(ref[1], abs=1e-12)
+    # fuzziness filters fine unscored, refuses to score
+    out4 = esql(
+        'FROM d | WHERE MATCH(text, "hashh", {"fuzziness": 1}) | KEEP doc_id',
+        tables=tbls,
+    )
+    assert [r["doc_id"] for r in out4.collect()] == [1, 2]
+    with pytest.raises(EsqlError, match="fuzziness cannot score"):
+        esql(
+            "FROM d METADATA _score | WHERE"
+            ' MATCH(text, "hashh", {"fuzziness": 1}) | KEEP doc_id',
+            tables=tbls,
+        )
+    with pytest.raises(EsqlError, match="unsupported MATCH options"):
+        esql(
+            'FROM d | WHERE MATCH(text, "hash", {"boost": 2.0}) | KEEP doc_id',
+            tables=tbls,
+        )
+    with pytest.raises(EsqlError, match="JSON object"):
+        esql(
+            'FROM d | WHERE MATCH(text, "hash", nonsense) | KEEP doc_id',
+            tables=tbls,
+        )
+
+
 def test_validate_query_explanation_is_predicate_text(spark):
     """Review r11a: validate_query shares the same repr-stripping as
     explain_doc — no Column<'...'> wrapper in any explanation artifact."""
