@@ -61,10 +61,10 @@ def query(name: str, oracle: str | None = None):
 #   * slots 46-50: 5 of the oldest r5-era greens, rewritten-library
 #     adjacency first (aggs_change_point shares _apply_pipelines with
 #     this round's KS-test edit; the esql_*/eql_* names route through
-#     esql.py/eql.py which were rewritten again this round; the
-#     ingest_* names route through round-10's bind-once rewrites).
-#     The remaining 43 r5-era names stay ordered below the boundary so
-#     round 12's window picks up exactly where this one stops.
+#     esql.py/eql.py which were rewritten again this round).  The
+#     remaining 43 r5-era names stay ordered below the boundary
+#     (ingest_* first) so round 12's window picks up exactly where this
+#     one stops.
 PRIORITY: tuple[str, ...] = (
     # round-11 net-new (never graded) lead
     "esql_ts_stats_top",

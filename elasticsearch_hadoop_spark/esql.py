@@ -1122,24 +1122,40 @@ def _balanced(s: str) -> bool:
     return depth == 0
 
 
-def _where_pred(body: str, ft_leaves: list[tuple[str, str]] | None = None) -> Column:
+def _where_pred(body: str, ft_leaves: list | None = None) -> Column:
     """A WHERE clause predicate.  Plain expressions go through the
     guarded SQL translator; clauses containing the full-text functions
-    ``MATCH(field, "text")`` / ``QSTR("query")`` (ES|QL 8.17+) compile
-    those leaves through the query-DSL (`match` clause semantics — the
-    documented exact token-overlap subset; QSTR is the ``?q=``
-    query-string subset) and combine them with the surrounding
-    AND/OR/NOT boolean structure.
+    ``MATCH(field, "text"[, options])`` / ``QSTR("query")`` (ES|QL
+    8.17+/8.18) compile those leaves through the query-DSL (`match`
+    clause semantics — the documented exact token-overlap subset; QSTR
+    is the ``?q=`` query-string subset) and combine them with the
+    surrounding AND/OR/NOT boolean structure.
 
     ``ft_leaves`` (the METADATA _score path) collects every MATCH /
-    colon-operator leaf as ``(field, query_text)`` so the caller can
-    attach BM25 contributions; QSTR leaves filter without scoring
-    (documented subset — the query-string grammar compiles to arbitrary
-    predicates, not term clauses)."""
+    colon-operator leaf as ``(field, query_text, leaf_pred)`` — the
+    compiled predicate rides along so the caller can gate each BM25
+    contribution on whether THAT leaf matched (operator /
+    minimum_should_match options reshape leaf membership, so "BM25 > 0"
+    alone is not the leaf's match test).  QSTR leaves filter without
+    scoring (documented subset — the query-string grammar compiles to
+    arbitrary predicates, not term clauses); a leaf whose query analyzes
+    to zero tokens also contributes no score (documented — it carries no
+    term information to weigh)."""
     blanked = _blank_literals(body)
     if not _FT_PROBE.search(blanked) and ":" not in blanked:
         return _expr(body)
-    from elasticsearch_hadoop_spark.query_dsl import compile_query
+    from elasticsearch_hadoop_spark.query_dsl import (
+        QueryDslError,
+        compile_query,
+    )
+    from elasticsearch_hadoop_spark.functions.text import py_standard_analyze
+
+    def _compile_ft(q) -> Column:
+        # every full-text leaf keeps esql()'s typed-error contract
+        try:
+            return compile_query(q)
+        except QueryDslError as exc:
+            raise EsqlError(f"bad full-text clause: {exc}") from None
 
     def pred(e: str) -> Column:
         e = e.strip()
@@ -1165,9 +1181,10 @@ def _where_pred(body: str, ft_leaves: list[tuple[str, str]] | None = None) -> Co
             return ~pred(e[3:])
         cm = _FT_COLON.match(e)
         if cm:  # the match OPERATOR: field : "query text"
-            if ft_leaves is not None:
-                ft_leaves.append((cm.group(1), cm.group(2)[1:-1]))
-            return compile_query({"match": {cm.group(1): cm.group(2)[1:-1]}})
+            leaf = _compile_ft({"match": {cm.group(1): cm.group(2)[1:-1]}})
+            if ft_leaves is not None and py_standard_analyze(cm.group(2)[1:-1]):
+                ft_leaves.append((cm.group(1), cm.group(2)[1:-1], leaf))
+            return leaf
         m = re.match(r"^(MATCH|QSTR)\s*\((.*)\)\s*$", e, flags=re.I | re.S)
         if m and _balanced(m.group(2)):
             fn, inner = m.group(1).upper(), m.group(2)
@@ -1205,20 +1222,34 @@ def _where_pred(body: str, ft_leaves: list[tuple[str, str]] | None = None) -> Co
                     bad = sorted(set(opts) - allowed)
                     if bad:
                         raise EsqlError(f"unsupported MATCH options {bad!r}")
-                if ft_leaves is not None:
-                    if "fuzziness" in opts:
-                        # fuzzy expansion scoring needs per-expanded-term
-                        # idf — out of the scored subset (filter-only)
+                    # option VALUES validate here too — ES rejects the
+                    # query with 400 where a silent default would return
+                    # wrong rows
+                    op = opts.get("operator", "or")
+                    if not isinstance(op, str) or op.lower() not in ("and", "or"):
+                        raise EsqlError(f"MATCH operator must be and|or: {op!r}")
+                    ztq = opts.get("zero_terms_query", "none")
+                    if not isinstance(ztq, str) or ztq.lower() not in (
+                        "all", "none",
+                    ):
                         raise EsqlError(
-                            "MATCH with fuzziness cannot score (METADATA "
-                            "_score) — drop the option or the _score"
+                            f"MATCH zero_terms_query must be all|none: {ztq!r}"
                         )
-                    ft_leaves.append((field, q[1:-1]))
+                if ft_leaves is not None and "fuzziness" in opts:
+                    # fuzzy expansion scoring needs per-expanded-term
+                    # idf — out of the scored subset (filter-only)
+                    raise EsqlError(
+                        "MATCH with fuzziness cannot score (METADATA "
+                        "_score) — drop the option or the _score"
+                    )
                 body_q = {"query": q[1:-1], **opts} if opts else q[1:-1]
-                return compile_query({"match": {field: body_q}})
+                leaf = _compile_ft({"match": {field: body_q}})
+                if ft_leaves is not None and py_standard_analyze(q[1:-1]):
+                    ft_leaves.append((field, q[1:-1], leaf))
+                return leaf
             if len(args) != 1 or not re.match(r'^"[^"]*"$', args[0]):
                 raise EsqlError(f"QSTR takes one string literal, got: {e!r}")
-            return compile_query(args[0][1:-1])
+            return _compile_ft(args[0][1:-1])
         return _expr(e)
 
     return pred(body)
@@ -1228,11 +1259,15 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     """ES|QL 8.18 scored WHERE (active when ``METADATA _score`` was
     requested): every MATCH / colon full-text leaf contributes its BM25
     score to the ``_score`` column, pure filters and QSTR contribute 0 —
-    Lucene's BooleanQuery sum-of-matching-clauses.  A leaf a document
-    does NOT match contributes exactly 0 through the coalesce (its BM25
-    is 0 or NULL by the same analyzer), so the blanket sum is correct
-    under any AND/OR/NOT structure — non-matching docs are filtered by
-    the predicate anyway.
+    Lucene's BooleanQuery sum-of-matching-clauses.  Each contribution is
+    GATED on the leaf's own compiled predicate (review r11c): with
+    ``operator``/``minimum_should_match`` options the leaf's membership
+    is narrower than "any term present", so a document surviving the
+    WHERE through another OR/NOT branch while failing the leaf must get
+    exactly 0 from it — the coalesce alone would pay partial term
+    matches.  For a MATCHING document the leaf pays the BM25 sum over
+    its present terms, which is precisely Lucene's BooleanQuery score
+    for the clause under every operator/msm setting.
 
     Scale: one extra stats aggregation + one scoring projection per
     distinct full-text leaf (search.bm25_score's two-pass shape, each a
@@ -1242,16 +1277,18 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     engine's documented equivalent."""
     from elasticsearch_hadoop_spark.search import bm25_score
 
-    leaves: list[tuple[str, str]] = []
+    leaves: list[tuple[str, str, Column]] = []
     p = _where_pred(body, ft_leaves=leaves)
     out = df
     score_cols = []
     contrib = None
-    for j, (field, qtext) in enumerate(leaves):
+    for j, (field, qtext, leaf_pred) in enumerate(leaves):
         c = f"__ft_s{j}"
         out = bm25_score(out, field, qtext, matched_only=False, out_col=c)
         score_cols.append(c)
-        add = F.coalesce(F.col(c), F.lit(0.0))
+        add = F.when(leaf_pred, F.coalesce(F.col(c), F.lit(0.0))).otherwise(
+            F.lit(0.0)
+        )
         contrib = add if contrib is None else contrib + add
     out = out.filter(p)
     if contrib is not None:

@@ -1,11 +1,11 @@
 """The driver grades a bounded prefix of the registration order (the
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
 corpus/__init__.py under the round-11 window policy: the round-11
-net-new surfaces lead, the changed-implementation re-grades follow
-(esql_stats_top/aggs_geo_line/esql_ts_rate/esql_ts_over_time — their
-graded code was rewritten this round, so the banked verdicts grade dead
-code), then ALL remaining r4-era stale verdicts (the r4 tail drains to
-zero), then the oldest r5-era greens fill the tail; every windowed
+net-new surfaces lead, the changed-implementation re-grades follow (the
+six CHANGED_IMPL names below — their graded code was rewritten this
+round, so the banked verdicts grade dead code), then ALL remaining
+r4-era stale verdicts (the r4 tail drains to zero), then the oldest
+r5-era greens fill the tail; every windowed
 query carries a DuckDB oracle (no rows-only slots), and the union of
 banked green verdicts with the current window still covers every §2.C
 operator family.

@@ -581,6 +581,71 @@ def test_esql_match_options(spark):
             'FROM d | WHERE MATCH(text, "hash", nonsense) | KEEP doc_id',
             tables=tbls,
         )
+    # option VALUES validate (review r11c): bad/None operator, bad
+    # zero_terms_query, and a malformed minimum_should_match all surface
+    # as typed EsqlError, never a silent default or a foreign exception
+    with pytest.raises(EsqlError, match="operator must be"):
+        esql(
+            'FROM d | WHERE MATCH(text, "hash", {"operator": "must"})'
+            " | KEEP doc_id",
+            tables=tbls,
+        )
+    with pytest.raises(EsqlError, match="operator must be"):
+        esql(
+            'FROM d | WHERE MATCH(text, "hash", {"operator": null})'
+            " | KEEP doc_id",
+            tables=tbls,
+        )
+    with pytest.raises(EsqlError, match="zero_terms_query must be"):
+        esql(
+            'FROM d | WHERE MATCH(text, "hash", {"zero_terms_query": "alll"})'
+            " | KEEP doc_id",
+            tables=tbls,
+        )
+    with pytest.raises(EsqlError, match="bad full-text clause"):
+        esql(
+            'FROM d | WHERE MATCH(text, "hash join",'
+            ' {"minimum_should_match": "2<75%"}) | KEEP doc_id',
+            tables=tbls,
+        )
+
+
+def test_esql_scored_leaf_gating(spark):
+    """Review r11c: a doc surviving the WHERE through another OR branch
+    while FAILING an options-narrowed MATCH leaf gets exactly 0 from that
+    leaf; a zero-token query with zero_terms_query=all scores 0 without
+    crashing (and still matches everything)."""
+    from elasticsearch_hadoop_spark.esql import esql
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    docs = [
+        (1, "hash join plan"),
+        (2, "hash map only"),
+        (3, "join order"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    tbls = {"d": df}
+    out = esql(
+        "FROM d METADATA _score | WHERE"
+        ' MATCH(text, "hash join", {"operator": "and"}) OR doc_id == 3'
+        " | KEEP doc_id, _score",
+        tables=tbls,
+    )
+    got = {r["doc_id"]: r["_score"] for r in out.collect()}
+    ref = {r["doc_id"]: r["_score"]
+           for r in bm25_score(df, "text", "hash join").collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == pytest.approx(ref[1], abs=1e-12)  # leaf matched: full sum
+    assert got[3] == 0.0  # leaf FAILED (no "hash"): zero despite tf("join")>0
+
+    out2 = esql(
+        "FROM d METADATA _score | WHERE"
+        ' MATCH(text, "!!!", {"zero_terms_query": "all"})'
+        " | KEEP doc_id, _score",
+        tables=tbls,
+    )
+    got2 = {r["doc_id"]: r["_score"] for r in out2.collect()}
+    assert got2 == {1: 0.0, 2: 0.0, 3: 0.0}
 
 
 def test_validate_query_explanation_is_predicate_text(spark):
