@@ -220,6 +220,105 @@ def test_ts_stats_top_property(spark, rows, asc, limit):
         assert got[g] == ref.get(g, []), (g, got[g], ref.get(g))
 
 
+# ------------------------------------- scored WHERE over boolean trees
+
+
+_LEAF = st.tuples(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=2),  # query terms
+    st.sampled_from(["or", "and"]),                             # operator
+)
+_TREE = st.recursive(
+    st.one_of(
+        st.tuples(st.just("match"), _LEAF),
+        st.tuples(st.just("filter"), st.integers(0, 7)),  # doc_id <= k
+    ),
+    lambda kids: st.one_of(
+        st.tuples(st.just("and"), kids, kids),
+        st.tuples(st.just("or"), kids, kids),
+        st.tuples(st.just("not"), kids),
+    ),
+    max_leaves=4,
+)
+
+
+def _tree_to_esql(t) -> str:
+    kind = t[0]
+    if kind == "match":
+        terms, op = t[1]
+        q = " ".join(terms)
+        if op == "and":
+            return f'MATCH(text, "{q}", {{"operator": "and"}})'
+        return f'MATCH(text, "{q}")'
+    if kind == "filter":
+        return f"(doc_id <= {t[1]})"
+    if kind == "not":
+        return f"(NOT {_tree_to_esql(t[1])})"
+    return f"({_tree_to_esql(t[1])} {kind.upper()} {_tree_to_esql(t[2])})"
+
+
+def _tree_eval(t, doc_id, toks) -> bool:
+    kind = t[0]
+    if kind == "match":
+        terms, op = t[1]
+        hits = [w in toks for w in dict.fromkeys(terms)]
+        return all(hits) if op == "and" else any(hits)
+    if kind == "filter":
+        return doc_id <= t[1]
+    if kind == "not":
+        return not _tree_eval(t[1], doc_id, toks)
+    a, b = _tree_eval(t[1], doc_id, toks), _tree_eval(t[2], doc_id, toks)
+    return (a and b) if kind == "and" else (a or b)
+
+
+def _tree_leaves(t):
+    if t[0] == "match":
+        yield t[1]
+    elif t[0] == "not":
+        yield from _tree_leaves(t[1])
+    elif t[0] in ("and", "or"):
+        yield from _tree_leaves(t[1])
+        yield from _tree_leaves(t[2])
+
+
+@given(docs=_DOCS, tree=_TREE)
+@settings(**_SETTINGS)
+def test_scored_where_boolean_trees(spark, docs, tree):
+    """METADATA _score over random AND/OR/NOT trees of MATCH leaves
+    (plain and operator=and) and plain filters: surviving docs carry
+    exactly the sum of the BM25 of the leaves THEY match — the
+    leaf-gating invariant (review r11c) under arbitrary structure."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    q = (
+        f"FROM d METADATA _score | WHERE {_tree_to_esql(tree)}"
+        " | KEEP doc_id, _score"
+    )
+    got = {r["doc_id"]: r["_score"] for r in esql(q, tables={"d": df}).collect()}
+
+    # per-leaf corpus-wide BM25 maps, computed once per distinct leaf
+    leaf_scores = [
+        (terms, op, _bm25_ref(docs, terms)) for terms, op in _tree_leaves(tree)
+    ]
+    expect = {}
+    for i, toks in enumerate(docs):
+        if not _tree_eval(tree, i, toks):
+            continue
+        s = 0.0
+        for terms, op, per_doc in leaf_scores:
+            hits = [w in toks for w in dict.fromkeys(terms)]
+            matched = all(hits) if op == "and" else any(hits)
+            if matched:
+                s += per_doc.get(i, 0.0)
+        expect[i] = s
+    assert set(got) == set(expect), (tree, got, expect)
+    for i in expect:
+        assert abs(got[i] - expect[i]) < 1e-9, (tree, i, got[i], expect[i])
+
+
 # ------------------------------------------------- collapse inner_hits
 
 
