@@ -1221,7 +1221,10 @@ def _apply_pipelines(
                 total = F.sum(v).over(ws)
                 nb = F.count(F.lit(1)).over(ws)
                 rn = F.row_number().over(worder)
-                ecdf = F.sum(v).over(run) / total
+                # all-zero counts (densified empty buckets, a filtered
+                # metric): no data -> every CDF point drops out, d = 0,
+                # p = 1 — and no ANSI /0 (same guard family as BM25)
+                ecdf = F.when(total > 0, F.sum(v).over(run) / total)
                 fracs = spec.get("fractions")
                 if fracs is not None:
                     if any(float(x) < 0 for x in fracs):
@@ -1241,10 +1244,25 @@ def _apply_pipelines(
                     for x in fracs:
                         acc += float(x) / fsum
                         cum.append(acc)
-                    # F.get: a bucket index past the fractions list yields
-                    # NULL — that point drops out of the sup (max skips
-                    # nulls) instead of erroring
-                    f0 = F.get(F.lit(cum), rn - 1)
+                    # the fractions list must cover the buckets exactly —
+                    # a silent mismatch drops CDF points from the sup and
+                    # understates D (ES rejects the request); the bucket
+                    # count is runtime information, so this asserts in
+                    # the plan (bucket rows are few)
+                    f0 = F.when(
+                        F.assert_true(
+                            nb == len(cum),
+                            F.concat(
+                                F.lit(
+                                    "bucket_count_ks_test: fractions has "
+                                    f"{len(cum)} entries but the level has "
+                                ),
+                                nb.cast("string"),
+                                F.lit(" buckets"),
+                            ),
+                        ).isNull(),
+                        F.get(F.lit(cum), rn - 1),
+                    )
                 else:
                     f0 = rn.cast("double") / nb.cast("double")
                 mask = {

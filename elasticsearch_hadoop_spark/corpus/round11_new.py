@@ -161,9 +161,10 @@ WITH tok AS (
                      t -> length(t) > 0) AS toks
   FROM documents
 ), stats AS (
-  -- count(toks), not count(*): N is the field's docCount (Lucene), so
-  -- documents missing the field sit outside both N and avgdl
-  SELECT count(toks)::DOUBLE AS n,
+  -- docCount semantics (Lucene): only documents with at least one
+  -- analyzed term enter N and avgdl — NULL or empty-analyzed fields
+  -- leave no postings or norm behind
+  SELECT count(CASE WHEN len(toks) > 0 THEN 1 END)::DOUBLE AS n,
          sum(len(toks))::DOUBLE AS sdl,
          sum(list_contains(toks, 'hash')::INT)::DOUBLE AS df1,
          sum(list_contains(toks, 'join')::INT)::DOUBLE AS df2
@@ -220,7 +221,8 @@ WITH tok AS (
                      t -> length(t) > 0) AS toks
   FROM documents
 ), stats AS (
-  SELECT count(toks)::DOUBLE AS n,
+  -- docCount semantics: docs with at least one analyzed term (Lucene)
+  SELECT count(CASE WHEN len(toks) > 0 THEN 1 END)::DOUBLE AS n,
          sum(len(toks))::DOUBLE AS sdl,
          sum(list_contains(toks, 'hash')::INT)::DOUBLE AS df1,
          sum(list_contains(toks, 'join')::INT)::DOUBLE AS df2

@@ -1157,7 +1157,10 @@ def _where_pred(body: str, ft_leaves: list | None = None) -> Column:
         except QueryDslError as exc:
             raise EsqlError(f"bad full-text clause: {exc}") from None
 
-    def pred(e: str) -> Column:
+    def pred(e: str, neg: bool = False) -> Column:
+        # ``neg`` marks must_not (filter) context: Lucene never scores a
+        # negated clause, so leaves under ANY enclosing NOT stay out of
+        # ft_leaves — they filter only
         e = e.strip()
         while (
             e.startswith("(")
@@ -1167,22 +1170,26 @@ def _where_pred(body: str, ft_leaves: list | None = None) -> Column:
             e = e[1:-1].strip()
         ors = _split_bool_top(e, "OR")
         if len(ors) > 1:
-            out = pred(ors[0])
+            out = pred(ors[0], neg)
             for p in ors[1:]:
-                out = out | pred(p)
+                out = out | pred(p, neg)
             return out
         ands = _split_bool_top(e, "AND")
         if len(ands) > 1:
-            out = pred(ands[0])
+            out = pred(ands[0], neg)
             for p in ands[1:]:
-                out = out & pred(p)
+                out = out & pred(p, neg)
             return out
         if re.match(r"^NOT\b", e, flags=re.I):
-            return ~pred(e[3:])
+            return ~pred(e[3:], True)
         cm = _FT_COLON.match(e)
         if cm:  # the match OPERATOR: field : "query text"
             leaf = _compile_ft({"match": {cm.group(1): cm.group(2)[1:-1]}})
-            if ft_leaves is not None and py_standard_analyze(cm.group(2)[1:-1]):
+            if (
+                ft_leaves is not None
+                and not neg
+                and py_standard_analyze(cm.group(2)[1:-1])
+            ):
                 ft_leaves.append((cm.group(1), cm.group(2)[1:-1], leaf))
             return leaf
         m = re.match(r"^(MATCH|QSTR)\s*\((.*)\)\s*$", e, flags=re.I | re.S)
@@ -1235,7 +1242,7 @@ def _where_pred(body: str, ft_leaves: list | None = None) -> Column:
                         raise EsqlError(
                             f"MATCH zero_terms_query must be all|none: {ztq!r}"
                         )
-                if ft_leaves is not None and "fuzziness" in opts:
+                if ft_leaves is not None and not neg and "fuzziness" in opts:
                     # fuzzy expansion scoring needs per-expanded-term
                     # idf — out of the scored subset (filter-only)
                     raise EsqlError(
@@ -1244,7 +1251,11 @@ def _where_pred(body: str, ft_leaves: list | None = None) -> Column:
                     )
                 body_q = {"query": q[1:-1], **opts} if opts else q[1:-1]
                 leaf = _compile_ft({"match": {field: body_q}})
-                if ft_leaves is not None and py_standard_analyze(q[1:-1]):
+                if (
+                    ft_leaves is not None
+                    and not neg
+                    and py_standard_analyze(q[1:-1])
+                ):
                     ft_leaves.append((field, q[1:-1], leaf))
                 return leaf
             if len(args) != 1 or not re.match(r'^"[^"]*"$', args[0]):
@@ -1267,7 +1278,9 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     exactly 0 from it — the coalesce alone would pay partial term
     matches.  For a MATCHING document the leaf pays the BM25 sum over
     its present terms, which is precisely Lucene's BooleanQuery score
-    for the clause under every operator/msm setting.
+    for the clause under every operator/msm setting.  Leaves under an
+    enclosing NOT are must_not clauses — filter context, never scored
+    (they are not collected at all).
 
     Scale: one extra stats aggregation + one scoring projection per
     distinct full-text leaf (search.bm25_score's two-pass shape, each a
@@ -1280,12 +1293,20 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     leaves: list[tuple[str, str, Column]] = []
     p = _where_pred(body, ft_leaves=leaves)
     out = df
-    score_cols = []
+    # one BM25 pass (stats aggregation + scoring projection) per DISTINCT
+    # (field, query) — repeated leaves share the column; each occurrence
+    # still contributes separately through its own gate, matching
+    # Lucene's one-clause-one-contribution scoring
+    col_of: dict[tuple[str, str], str] = {}
+    for field, qtext, _pred in leaves:
+        key = (field, qtext)
+        if key not in col_of:
+            c = f"__ft_s{len(col_of)}"
+            out = bm25_score(out, field, qtext, matched_only=False, out_col=c)
+            col_of[key] = c
     contrib = None
-    for j, (field, qtext, leaf_pred) in enumerate(leaves):
-        c = f"__ft_s{j}"
-        out = bm25_score(out, field, qtext, matched_only=False, out_col=c)
-        score_cols.append(c)
+    for field, qtext, leaf_pred in leaves:
+        c = col_of[(field, qtext)]
         add = F.when(leaf_pred, F.coalesce(F.col(c), F.lit(0.0))).otherwise(
             F.lit(0.0)
         )
@@ -1293,7 +1314,7 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     out = out.filter(p)
     if contrib is not None:
         out = out.withColumn("_score", F.col("_score") + contrib)
-    return out.drop(*score_cols)
+    return out.drop(*col_of.values())
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:

@@ -232,6 +232,12 @@ def collapse_inner_hits(
     if size < 1:
         raise ValueError(f"inner_hits size must be >= 1, got {size}")
     name = inner_hits.get("name", "inner_hits")
+    if name in df.columns:
+        # the output would carry two same-named columns — every later
+        # reference ambiguous; fail up front
+        raise ValueError(
+            f"inner_hits name {name!r} collides with an input column"
+        )
     inner_sort = [_direction(s) for s in inner_hits.get("sort") or []]
     if not inner_sort:
         raise ValueError("inner_hits needs a sort (ties must break)")
@@ -281,7 +287,9 @@ def bm25_corpus_stats(df: DataFrame, field: str, terms: list[str]) -> dict:
         raise ValueError("bm25_corpus_stats needs at least one term")
     toks = df.select(standard_analyze(F.col(field)).alias("__t"))
     row = toks.agg(
-        F.count("__t").alias("n"),
+        # docCount = docs with AT LEAST ONE term (Lucene: a NULL or
+        # empty-analyzed field leaves no postings or norm behind)
+        F.count(F.when(F.size("__t") > 0, 1)).alias("n"),
         F.sum(F.size("__t").cast("long")).alias("sdl"),
         *[
             F.sum(F.array_contains("__t", t).cast("int")).alias(f"df_{i}")
@@ -379,11 +387,14 @@ def bm25_score(
         )
     else:
         stats_df = toks.agg(
-            # Lucene's docCount-with-field, not the index row count: both
-            # the idf N and avgdl exclude documents missing the field
-            # (their dl is NULL), exactly like BM25Similarity's
-            # computeIdf/avgFieldLength
-            F.count("__bm_dl").cast("double").alias("__bm_n"),
+            # Lucene's docCount, not the index row count: both the idf N
+            # and avgdl exclude documents missing the field (NULL dl)
+            # AND documents whose analyzed field is empty — neither
+            # leaves postings or a norm behind, exactly like
+            # BM25Similarity's computeIdf/avgFieldLength
+            F.count(F.when(F.col("__bm_dl") > 0, 1))
+            .cast("double")
+            .alias("__bm_n"),
             # exact long sum -> avgdl is the SAME double on every engine
             # and partitioning (a double-summed avg would be
             # order-dependent)

@@ -119,45 +119,7 @@ def test_ts_stats_top_validation(spark):
 # ------------------------------------------------- bucket_count_ks_test
 
 
-def _ks_reference(counts, fractions=None, sampling="uniform"):
-    """The documented semantics, replayed in plain Python."""
-    total = float(sum(counts))
-    nb = len(counts)
-    if fractions is None:
-        f0s = [(i + 1) / nb for i in range(nb)]
-    else:
-        fs = sum(fractions)
-        acc, f0s = 0.0, []
-        for x in fractions:
-            acc += x / fs
-            f0s.append(acc)
-    cum = 0.0
-    diffs = []
-    for c, f0 in zip(counts, f0s):
-        cum += c
-        keep = (
-            sampling == "uniform"
-            or (sampling == "upper_tail" and f0 > 0.5)
-            or (sampling == "lower_tail" and f0 <= 0.5)
-        )
-        if keep:
-            diffs.append(cum / total - f0)
-    d_less = max(max(diffs, default=0.0), 0.0)
-    d_greater = max(max((-d for d in diffs), default=0.0), 0.0)
-    d_two = max(d_less, d_greater)
-    nd2 = total * d_two * d_two
-    if nd2 <= 1e-3:
-        p_two = 1.0  # small-λ guard, same as the engine
-    else:
-        series = sum(
-            (-1) ** (j - 1) * math.exp(-2 * j * j * nd2) for j in range(1, 101)
-        )
-        p_two = min(max(2 * series, 0.0), 1.0)
-    return {
-        "less": math.exp(-2 * total * d_less * d_less),
-        "greater": math.exp(-2 * total * d_greater * d_greater),
-        "two_sided": p_two,
-    }
+from tests.refs_round11 import ks_test_ref as _ks_reference  # noqa: E402
 
 
 def _ks_run(spark, rows, body):
@@ -211,6 +173,77 @@ def test_ks_test_perfect_fit_p_is_one(spark):
     assert got["ks_less"] == pytest.approx(1.0)
     assert got["ks_greater"] == pytest.approx(1.0)
     assert got["ks_two_sided"] == pytest.approx(1.0)
+
+
+def test_ks_test_fractions_length_mismatch_raises(spark):
+    """Review r11d: a fractions list shorter than the bucket count would
+    silently drop the tail CDF points from the sup (understating D) — it
+    must raise instead (runtime assert: the bucket count is data)."""
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception), match="fractions has"):
+        _ks_run(
+            spark,
+            ["a", "b", "c", "d"],
+            {"alternative": ["two_sided"], "fractions": [0.5, 0.5]},
+        )
+
+
+def test_ks_test_all_zero_counts_p_one(spark):
+    """Review r11d: an all-zero metric path (no data) yields d=0, p=1 —
+    not an ANSI divide-by-zero."""
+    from elasticsearch_hadoop_spark.aggs_dsl import compile_aggs
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "k string, v double"
+    )
+    out = compile_aggs(
+        df,
+        {
+            "b": {
+                "terms": {"field": "k", "size": 10, "order": {"_key": "asc"}},
+                "aggs": {"zc": {"value_count": {"field": "v"}}},
+            },
+            "ks": {
+                "bucket_count_ks_test": {
+                    "buckets_path": "b>zc",
+                    "alternative": ["less", "greater", "two_sided"],
+                }
+            },
+        },
+    ).collect()
+    for r in out:
+        assert r["ks_less"] == 1.0
+        assert r["ks_greater"] == 1.0
+        assert r["ks_two_sided"] == 1.0
+
+
+def test_bm25_empty_analyzed_docs_outside_doccount(spark):
+    """Review r11d: an empty-analyzed field (present, zero tokens) leaves
+    no postings or norm in Lucene — it sits outside N and avgdl."""
+    from elasticsearch_hadoop_spark.search import bm25_corpus_stats, bm25_score
+    from tests.refs_round11 import bm25_ref
+
+    df = spark.createDataFrame(
+        [(1, "hash join"), (2, ""), (3, "!!!")], "id int, text string"
+    )
+    st = bm25_corpus_stats(df, "text", ["hash"])
+    assert st["doc_count"] == 1 and st["sum_dl"] == 2
+    got = {r["id"]: r["_score"] for r in bm25_score(df, "text", "hash").collect()}
+    ref = bm25_ref([["hash", "join"], [], []], ["hash"])
+    assert set(got) == {1}
+    assert got[1] == pytest.approx(ref[0], abs=1e-12)
+
+
+def test_collapse_inner_hits_name_collision_raises(spark):
+    from elasticsearch_hadoop_spark.search import collapse_inner_hits
+
+    df = spark.createDataFrame([(1, 2, 3.0)], "grp int, ih int, v double")
+    with pytest.raises(ValueError, match="collides"):
+        collapse_inner_hits(
+            df, "grp", sort=[{"v": "desc"}],
+            inner_hits={"name": "ih", "size": 1, "sort": [{"v": "desc"}]},
+        )
 
 
 def test_ks_test_validation(spark):
@@ -646,6 +679,54 @@ def test_esql_scored_leaf_gating(spark):
     )
     got2 = {r["doc_id"]: r["_score"] for r in out2.collect()}
     assert got2 == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_esql_scored_not_leaf_is_filter_context(spark):
+    """Review r11d: a NOT-negated full-text leaf is Lucene must_not —
+    filter context, NEVER scored, even when the doc survives through
+    another OR branch and happens to match the negated text."""
+    from elasticsearch_hadoop_spark.esql import esql
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    docs = [(1, "hash join plan"), (2, "join order"), (3, "nothing here")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = esql(
+        "FROM d METADATA _score | WHERE"
+        ' MATCH(text, "join") OR NOT MATCH(text, "hash")'
+        " | KEEP doc_id, _score",
+        tables={"d": df},
+    )
+    got = {r["doc_id"]: r["_score"] for r in out.collect()}
+    ref = {r["doc_id"]: r["_score"]
+           for r in bm25_score(df, "text", "join").collect()}
+    # doc 1 matches BOTH leaves textually, but only the positive "join"
+    # leaf may pay; the negated "hash" leaf contributes nothing anywhere
+    assert set(got) == {1, 2, 3}
+    assert got[1] == pytest.approx(ref[1], abs=1e-12)
+    assert got[2] == pytest.approx(ref[2], abs=1e-12)
+    assert got[3] == 0.0
+
+
+def test_esql_scored_duplicate_leaves_share_stats_and_sum(spark):
+    """Review r11d: identical (field, query) leaves run ONE BM25 pass but
+    still contribute once per clause occurrence (Lucene sums clauses)."""
+    from elasticsearch_hadoop_spark.esql import esql
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    df = spark.createDataFrame(
+        [(1, "hash table"), (2, "plain words")], "doc_id int, text string"
+    )
+    out = esql(
+        "FROM d METADATA _score | WHERE"
+        ' MATCH(text, "hash") OR (doc_id <= 2 AND MATCH(text, "hash"))'
+        " | KEEP doc_id, _score",
+        tables={"d": df},
+    )
+    got = {r["doc_id"]: r["_score"] for r in out.collect()}
+    one = bm25_score(df, "text", "hash").collect()[0]["_score"]
+    # doc 2 matches neither branch (no "hash") and is filtered out
+    assert set(got) == {1}
+    assert got[1] == pytest.approx(2 * one, abs=1e-12)
 
 
 def test_validate_query_explanation_is_predicate_text(spark):

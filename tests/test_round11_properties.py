@@ -15,8 +15,6 @@ against a pure-Python reference:
 
 from __future__ import annotations
 
-import math
-
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -41,25 +39,8 @@ _DOCS = st.lists(
 _QUERY = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3)
 
 
-def _bm25_ref(doc_toks, query_terms, k1=1.2, b=0.75):
-    n = len(doc_toks)
-    sdl = sum(len(d) for d in doc_toks)
-    uniq = list(dict.fromkeys(query_terms))
-    out = {}
-    for i, toks in enumerate(doc_toks):
-        s = 0.0
-        for t in uniq:
-            dfc = float(sum(1 for d in doc_toks if t in d))
-            tf = float(toks.count(t))
-            if tf == 0:
-                continue  # contributes exactly 0 (the engine's guard)
-            idf = math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
-            rel = (b * float(len(toks))) / (float(sdl) / n) if sdl > 0 else 0.0
-            norm = k1 * ((1.0 - b) + rel)
-            s += float(query_terms.count(t)) * idf * ((tf * (k1 + 1.0)) / (tf + norm))
-        if s > 0:
-            out[i] = s
-    return out
+from tests.refs_round11 import bm25_ref as _bm25_ref  # noqa: E402
+from tests.refs_round11 import ks_test_ref as _shared_ks_ref  # noqa: E402
 
 
 @given(docs=_DOCS, query=_QUERY)
@@ -86,50 +67,7 @@ def test_bm25_property(spark, docs, query):
 _COUNTS = st.lists(st.integers(1, 50), min_size=2, max_size=8)
 
 
-def _ks_ref(counts, fractions, sampling):
-    total = float(sum(counts))
-    nb = len(counts)
-    if fractions is None:
-        f0s = [(i + 1) / nb for i in range(nb)]
-    else:
-        fs = float(sum(fractions))
-        acc, f0s = 0.0, []
-        for x in fractions:
-            acc += x / fs
-            f0s.append(acc)
-    cum, diffs = 0.0, []
-    for c, f0 in zip(counts, f0s):
-        cum += c
-        keep = (
-            sampling == "uniform"
-            or (sampling == "upper_tail" and f0 > 0.5)
-            or (sampling == "lower_tail" and f0 <= 0.5)
-        )
-        if keep:
-            diffs.append(cum / total - f0)
-    d_less = max(max(diffs, default=0.0), 0.0)
-    d_greater = max(max((-d for d in diffs), default=0.0), 0.0)
-    d_two = max(d_less, d_greater)
-    nd2 = total * d_two * d_two
-    if nd2 <= 1e-3:
-        p_two = 1.0
-    else:
-        p_two = min(
-            max(
-                2
-                * sum(
-                    (-1) ** (j - 1) * math.exp(-2 * j * j * nd2)
-                    for j in range(1, 101)
-                ),
-                0.0,
-            ),
-            1.0,
-        )
-    return {
-        "less": math.exp(-2 * total * d_less * d_less),
-        "greater": math.exp(-2 * total * d_greater * d_greater),
-        "two_sided": p_two,
-    }
+_ks_ref = _shared_ks_ref
 
 
 @given(
@@ -271,10 +209,12 @@ def _tree_eval(t, doc_id, toks) -> bool:
 
 
 def _tree_leaves(t):
+    """Scoring leaves only: anything under a NOT is must_not — filter
+    context, never scored (the engine's rule, review r11d)."""
     if t[0] == "match":
         yield t[1]
     elif t[0] == "not":
-        yield from _tree_leaves(t[1])
+        return  # filter context: the whole negated subtree scores 0
     elif t[0] in ("and", "or"):
         yield from _tree_leaves(t[1])
         yield from _tree_leaves(t[2])
