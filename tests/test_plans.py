@@ -435,6 +435,19 @@ def test_bm25_topk_take_ordered_no_udf(spark, sf_dir):
     assert count_nodes(plan, "BroadcastNestedLoopJoin") <= 1  # the 1-row stats attach
 
 
+def test_esql_match_score_two_pass_take_ordered(spark, sf_dir):
+    """Round 11: the scored MATCH pipeline is BM25's two-pass shape —
+    exactly one stats scan + one scoring scan (a duplicated stats pass
+    per leaf would show more), the 1-row stats frame attached by a
+    single broadcast nested-loop, top-k as TakeOrderedAndProject, no
+    Python UDF anywhere."""
+    plan = plan_of(spark, sf_dir, "esql_match_score_topk")
+    assert count_nodes(plan, "Scan parquet") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1
+
+
 def test_eql_sample_join_single_agg_no_join(spark, sf_dir):
     """EQL sample: one aggregation pair over the join key (SortAggregate
     for struct buffers — documented), one exchange, NO join of the
