@@ -1182,7 +1182,13 @@ def _apply_pipelines(
                 # the expected distribution".  Deterministic semantics,
                 # documented (ES's ML implementation is sampling-based;
                 # this engine computes the classical statistics exactly):
-                #   ECDF(i)   = cumsum(counts) / total   (bucket order)
+                #   ECDF(i)   = cumsum(counts) / total   (bucket-KEY order
+                #               — documented deviation: ES evaluates the
+                #               sibling agg's RESPONSE order, count-desc
+                #               for a default terms level, so D can
+                #               differ there; key order is the only
+                #               deterministic choice over a columnar
+                #               frame and is what the oracle replays)
                 #   F0(i)     = cumsum(fractions, normalized)
                 #   less      = sup(ECDF - F0)   (actual mass sits at
                 #               SMALLER bucket keys than expected)
@@ -1197,7 +1203,13 @@ def _apply_pipelines(
                 # with F0 > 0.5, lower_tail = F0 <= 0.5.  All window math
                 # over the finished bucket frame — prefix sums give every
                 # CDF point in one pass, no fact rows, no collect.
-                alts = list(spec.get("alternative", ["two_sided"]))
+                # ES's default runs ALL hypotheses; a bare string is the
+                # one-alternative shorthand (iterating it character-wise
+                # produced a garbage "unknown alternative" error)
+                alts = spec.get("alternative", ["less", "greater", "two_sided"])
+                if isinstance(alts, str):
+                    alts = [alts]
+                alts = list(alts)
                 bad = [a for a in alts if a not in ("less", "greater", "two_sided")]
                 if bad:
                     raise AggsDslError(

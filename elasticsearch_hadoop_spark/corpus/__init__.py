@@ -40,92 +40,39 @@ def query(name: str, oracle: str | None = None):
 # (the first 50 queries, observed every round).  Every registered query
 # holds a banked GREEN verdict, so the graded window is pure upside:
 # never-graded new surface first, then drift-insurance re-grades of the
-# OLDEST banked verdicts.  Round-11 policy (VERDICT.md round-10 "Next
-# round" items 1/3/4):
-#   * slots 1-5: the round-11 net-new surfaces (ES|QL TOP inside TS
-#     STATS, the bucket_count_ks_test sibling pipeline, collapse with a
-#     real inner_hits sub-request, deterministic BM25 top-k, ES|QL
-#     METADATA _score + scored MATCH) — never graded;
-#   * slots 6-11: esql_stats_top + aggs_geo_line (their graded code
-#     changed this round: the bounded-TOP machinery moved into the
-#     shared _agg_with_tops helper; geo_line's helper column went
-#     index-based per ADVICE r10), esql_ts_rate + esql_ts_over_time
-#     (_stats_ts's item-parse loop and outer-aggregation assembly were
-#     rewritten to host TOP), and esql_fulltext_where +
-#     esql_match_colon (_where_pred's MATCH branch was restructured for
-#     the options map and the leaf collector) — banked greens whose
-#     implementations CHANGED, so the verdicts must be re-earned on the
-#     new code;
-#   * slots 12-45: ALL 34 remaining r4-era stale verdicts (VERDICT r10
-#     "What's missing" #1), draining the r4 tail to ZERO this round;
-#   * slots 46-50: 5 of the oldest r5-era greens, rewritten-library
-#     adjacency first (aggs_change_point shares _apply_pipelines with
-#     this round's KS-test edit; the esql_*/eql_* names route through
-#     esql.py/eql.py which were rewritten again this round).  The
-#     remaining 43 r5-era names stay ordered below the boundary
-#     (ingest_* first) so round 12's window picks up exactly where this
-#     one stops.
+# OLDEST banked verdicts.  Round-12 policy (VERDICT.md round-11 "Next
+# round" items 1/4/5):
+#   * slots 1-2: the round-12 net-new surfaces (scored QSTR term leaves
+#     under METADATA _score; TS RATE over a non-calendar BUCKET span) —
+#     never graded;
+#   * slots 3-6: esql_match_score_topk (the scored-WHERE trigger now
+#     keys on the parsed METADATA _score flag and _score re-initializes
+#     unconditionally — ADVICE r11 medium), esql_fulltext_where
+#     (_where_pred's QSTR branch gained the scored-leaf decomposition),
+#     aggs_bucket_count_ks_test (the `alternative` default/validation
+#     rewrite — ADVICE r11), and esql_ts_stats_top (the per-series
+#     reuse moved from localCheckpoint to a replayable persist — ADVICE
+#     r11) — banked greens whose implementations CHANGED, so the
+#     verdicts must be re-earned on the new code;
+#   * slots 7-49: ALL 43 remaining r5-era stale verdicts (VERDICT r11
+#     "What's missing" #1), draining the r5 tail to ZERO this round, in
+#     the queue order round 11 left below its boundary;
+#   * slot 50: the oldest r6-era green in registration order.  The
+#     remaining 46 r6-era names stay ordered below the boundary so
+#     round 13's window picks up exactly where this one stops.
 PRIORITY: tuple[str, ...] = (
-    # round-11 net-new (never graded) lead
-    "esql_ts_stats_top",
-    "aggs_bucket_count_ks_test",
-    "search_collapse_inner_hits",
-    "search_bm25_topk",
-    "esql_match_score_topk",
+    # round-12 net-new (never graded) lead
+    "esql_qstr_score",
+    "esql_ts_rate_subday",
     # changed-implementation re-grades (CHANGED_IMPL in
     # tests/test_registration_order.py — banked verdicts grade dead code)
-    "esql_stats_top",
-    "aggs_geo_line",
-    "esql_ts_rate",
-    "esql_ts_over_time",
+    "esql_match_score_topk",
     "esql_fulltext_where",
-    "esql_match_colon",
-    # the 34 r4-era drift re-grades (latest verdict round 4 — computed
-    # from CORRECTNESS_r{01..10}.json), in the queue order round 10 left
-    # below its boundary
-    "join_asof",
-    "writepath_zorder_read",
-    "dedup_cluster_components",
-    "similarity_sq_topk",
-    "stream_session_window",
-    "fn_conditional",
-    "pack_sequences_by_lang",
-    "pack_utilization",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_by_flag",
-    "q14_promo_revenue",
-    "q19_disjunctive_filter",
-    "runtime_fields_script",
-    "search_after_page",
-    "search_collapse",
-    "search_highlight",
-    "search_suggest_term",
-    "search_terms_enum",
-    "similarity_range_search",
-    "similarity_topk_per_label",
-    "stream_sliding_window",
-    "text_decontaminate",
-    "text_redact_pii",
-    "text_repetition_signals",
-    "udf_row_scalar",
-    "window_range_frame",
-    "writepath_bucketed_join",
-    "writepath_compact_vacuum",
-    "writepath_count",
-    "writepath_csv_ingest",
-    "writepath_geo_ingest",
-    "writepath_stream_source",
-    "writepath_time_travel",
-    # 5 oldest r5-era re-grades (latest verdict round 5),
-    # rewritten-library adjacency first
-    "aggs_change_point",
-    "esql_bucket_filtered_stats",
-    "esql_grok_dissect",
-    "esql_stats_by",
-    "eql_funnel_sequence",
-    # --- round-11 window boundary (slot 50) — the tail below is the
-    # ordered round-12 re-grade queue (remaining r5-era names)
+    "aggs_bucket_count_ks_test",
+    "esql_ts_stats_top",
+    # ALL 43 remaining r5-era drift re-grades (latest verdict round 5 —
+    # computed from CORRECTNESS_r{01..11}.json), in the queue order round
+    # 11 left below its boundary — the r5 tail drains to ZERO this round
     "ingest_enrich_events",
     "ingest_pipeline_dissect",
     "ingest_pipeline_events",
@@ -169,6 +116,57 @@ PRIORITY: tuple[str, ...] = (
     "writepath_rollover",
     "writepath_snapshot_restore",
     "writepath_terms_lookup",
+    # 1 oldest r6-era re-grade fills the last slot (registration order)
+    "agg_rollup",
+    # --- round-12 window boundary (slot 50) — the tail below is the
+    # ordered round-13 re-grade queue (remaining r6-era names, in
+    # registration order)
+    "agg_cube",
+    "aggs_filters_top_hits",
+    "aggs_diversified_sampler",
+    "aggs_sampler_string_stats",
+    "aggs_stats_bucket",
+    "aggs_terms_include_exclude",
+    "aggs_ip_range",
+    "aggs_top_metrics",
+    "aggs_t_test",
+    "aggs_matrix_stats",
+    "aggs_geo_bounds_centroid",
+    "aggs_nested_items",
+    "aggs_global_escape",
+    "aggs_normalize",
+    "aggs_rate",
+    "aggs_composite_date_after",
+    "aggs_significant_text",
+    "aggs_cumulative_cardinality",
+    "aggs_variable_width_histogram",
+    "aggs_filters_other_bucket",
+    "aggs_date_histogram_offset",
+    "aggs_ip_prefix",
+    "aggs_moving_percentiles",
+    "aggs_scripted_metric",
+    "aggs_frequent_item_sets",
+    "aggs_bucket_correlation",
+    "aggs_composite_date_page",
+    "aggs_reverse_nested",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_events_first",
+    "geo_bounding_box_search",
+    "q5_local_supplier_volume",
+    "lateral_explode_tokens",
+    "map_entries_events",
+    "unpivot_stats",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "query_dsl_decay_score",
+    "query_dsl_phrase_slop",
+    "sample_to_mixture",
+    "search_mget",
+    "search_msearch",
+    "search_template_page",
+    "search_analyze_api",
+    "search_termvectors",
 )
 
 
@@ -194,6 +192,7 @@ def load_all() -> dict[str, QuerySpec]:
         round9_new,
         round10_new,
         round11_new,
+        round12_new,
         sampling,
         scalar_functions,
         search_surface,

@@ -27,6 +27,10 @@ Supported commands (the documented core; anything else raises):
   most cosine-similar rows survive with the similarity materialized as
   ``_score`` (exact brute kNN — a TakeOrderedAndProject; ties break by
   ``_id`` when present, documented where ES's tie is shard-order).
+  Under ``FROM ... METADATA _score`` every full-text WHERE leaf —
+  MATCH, the ``:`` operator, QSTR field:value term leaves — adds its
+  BM25 to ``_score`` (8.18, ``_where_scored``); plain filters and
+  NOT-guarded leaves contribute 0.
 - ``EVAL name = <expr>[, name2 = <expr2>...]`` — later names see earlier
   ones, like ES|QL.
 - ``STATS [name =] AGG(expr) [WHERE cond][, ...] [BY k1[, k2...]]`` —
@@ -1136,11 +1140,12 @@ def _where_pred(body: str, ft_leaves: list | None = None) -> Column:
     compiled predicate rides along so the caller can gate each BM25
     contribution on whether THAT leaf matched (operator /
     minimum_should_match options reshape leaf membership, so "BM25 > 0"
-    alone is not the leaf's match test).  QSTR leaves filter without
-    scoring (documented subset — the query-string grammar compiles to
-    arbitrary predicates, not term clauses); a leaf whose query analyzes
-    to zero tokens also contributes no score (documented — it carries no
-    term information to weigh)."""
+    alone is not the leaf's match test).  QSTR decomposes into its
+    field:value term leaves (the engine's whole QSTR grammar), each
+    scoring like a MATCH leaf gated on its own equality predicate —
+    see ``_qstr_score_leaves``; a leaf whose query analyzes to zero
+    tokens contributes no score (documented — it carries no term
+    information to weigh)."""
     blanked = _blank_literals(body)
     if not _FT_PROBE.search(blanked) and ":" not in blanked:
         return _expr(body)
@@ -1260,17 +1265,49 @@ def _where_pred(body: str, ft_leaves: list | None = None) -> Column:
                 return leaf
             if len(args) != 1 or not re.match(r'^"[^"]*"$', args[0]):
                 raise EsqlError(f"QSTR takes one string literal, got: {e!r}")
-            return _compile_ft(args[0][1:-1])
+            qs = args[0][1:-1]
+            out = _compile_ft(qs)
+            if ft_leaves is not None and not neg:
+                ft_leaves.extend(_qstr_score_leaves(qs))
+            return out
         return _expr(e)
 
     return pred(body)
 
 
+def _qstr_score_leaves(qs: str) -> list[tuple[str, str, Column]]:
+    """The scored QSTR subset (ES's ``query_string`` scores; new round
+    12): the engine's QSTR compiles the ``?q=`` URI-lite grammar —
+    ``field:value`` pairs joined by AND/OR — so every leaf is a term
+    leaf.  Under ``METADATA _score`` each pair contributes its BM25 over
+    the field exactly like a MATCH leaf, gated on the leaf's OWN
+    equality predicate (the URI subset's filter semantics: a document
+    surviving the WHERE through another OR branch while failing this
+    leaf gets exactly 0 from it).  A value that does not analyze to
+    exactly ONE token carries no single-term statistics and contributes
+    no score (documented — same rule as a zero-token MATCH); richer
+    query_string forms (ranges, wildcards, phrases) are outside the
+    engine's QSTR grammar entirely, so "term-only" here is the whole
+    supported surface, not a silent approximation."""
+    from elasticsearch_hadoop_spark.functions.text import py_standard_analyze
+
+    leaves: list[tuple[str, str, Column]] = []
+    for part in re.split(r"\s+(AND|OR)\s+", qs.strip()):
+        if part in ("AND", "OR") or ":" not in part:
+            continue
+        field, value = part.split(":", 1)
+        field, value = field.strip(), value.strip().strip('"')
+        if len(py_standard_analyze(value)) != 1:
+            continue
+        leaves.append((field, value, F.col(field) == F.lit(value)))
+    return leaves
+
+
 def _where_scored(df: DataFrame, body: str) -> DataFrame:
     """ES|QL 8.18 scored WHERE (active when ``METADATA _score`` was
-    requested): every MATCH / colon full-text leaf contributes its BM25
-    score to the ``_score`` column, pure filters and QSTR contribute 0 —
-    Lucene's BooleanQuery sum-of-matching-clauses.  Each contribution is
+    requested): every MATCH / colon / QSTR-term full-text leaf
+    contributes its BM25 score to the ``_score`` column, pure filters
+    contribute 0 — Lucene's BooleanQuery sum-of-matching-clauses.  Each contribution is
     GATED on the leaf's own compiled predicate (review r11c): with
     ``operator``/``minimum_should_match`` options the leaf's membership
     is narrower than "any term present", so a document surviving the
@@ -1818,11 +1855,17 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
     if top_specs:
         # the per-series frame is the EXPENSIVE computed pipeline the
         # _agg_with_tops docstring warns about (a full fact-row shuffle +
-        # aggregation, and a rate's window pass) — checkpoint it so the
+        # aggregation, and a rate's window pass) — persist it so the
         # N+1 TOP/base passes re-read the materialized series rows (one
         # row per series per group) instead of re-aggregating the facts
-        # once per frame.  Lazy: materializes at the first action.
-        per_series = per_series.localCheckpoint(eager=False)
+        # once per frame.  MEMORY_AND_DISK, not localCheckpoint: cache
+        # blocks recompute from lineage on executor loss, where
+        # checkpoint blocks are executor-local and would fail the job —
+        # the reuse doesn't require losing replayability (ADVICE r11).
+        # Lazy: materializes at the first action.
+        from pyspark import StorageLevel
+
+        per_series = per_series.persist(StorageLevel.MEMORY_AND_DISK)
         return _agg_with_tops(per_series, out_keys, outer_aggs, agg_names, top_specs)
     if keys:
         return per_series.groupBy(
@@ -1894,6 +1937,7 @@ def esql(
     hm = re.match(r"^(FROM|ROW|TS)\b(.*)$", head, flags=re.I | re.S)
     if not hm:
         raise EsqlError("query must start with FROM, ROW, or TS")
+    score_requested = False
     if hm.group(1).upper() == "ROW":
         cols = []
         for item in _split_top(hm.group(2)):
@@ -1960,8 +2004,13 @@ def esql(
         df = frames[0]
         for f2 in frames[1:]:
             df = df.unionByName(f2, allowMissingColumns=True)
-        if "_score" in meta_cols and "_score" not in df.columns:
+        if "_score" in meta_cols:
+            # unconditional: ES synthesizes _score fresh per query, so a
+            # `tables` frame that already carries one (search()/bm25_score
+            # emit _score by default) is re-initialized, never accumulated
+            # into (ADVICE r11)
             df = df.withColumn("_score", F.lit(0.0).cast("double"))
+            score_requested = True
 
     ts_spec = None
     if hm.group(1).upper() == "TS":
@@ -1985,7 +2034,8 @@ def esql(
             raise EsqlError(f"time_series spec columns not in source: {bad!r}")
 
     return _apply_stages(
-        df, stages[1:], tables, catalog, enrich_policies, ts_spec=ts_spec
+        df, stages[1:], tables, catalog, enrich_policies, ts_spec=ts_spec,
+        score_requested=score_requested,
     )
 
 
@@ -2215,6 +2265,7 @@ def _apply_stages(
     catalog,
     enrich_policies,
     ts_spec: dict | None = None,
+    score_requested: bool = False,
 ) -> DataFrame:
     for stage in stage_list:
         stage = stage.strip()
@@ -2226,10 +2277,16 @@ def _apply_stages(
             blanked_w = _blank_literals(body)
             if re.search(r"\bKNN\s*\(", blanked_w, flags=re.I):
                 df = _where_knn(df, body)
-            elif "_score" in df.columns and (
-                _FT_PROBE.search(blanked_w) or ":" in blanked_w
+            elif (
+                score_requested
+                and "_score" in df.columns
+                and (_FT_PROBE.search(blanked_w) or ":" in blanked_w)
             ):
-                # METADATA _score + full-text WHERE: leaves score (8.18)
+                # METADATA _score + full-text WHERE: leaves score (8.18).
+                # Gated on the explicit METADATA parse, not on a _score
+                # column happening to exist (ADVICE r11: a source frame
+                # carrying its own _score must not get BM25 silently
+                # added); a later DROP _score demotes WHERE to pure filter
                 df = _where_scored(df, body)
             else:
                 df = df.filter(_where_pred(body))
@@ -2448,7 +2505,10 @@ def _apply_stages(
             outs = []
             for i, br in enumerate(_fork_branches(body), start=1):
                 sub = [s.strip() for s in _split_top(br, "|") if s.strip()]
-                bdf = _apply_stages(df, sub, tables, catalog, enrich_policies)
+                bdf = _apply_stages(
+                    df, sub, tables, catalog, enrich_policies,
+                    score_requested=score_requested,
+                )
                 outs.append(bdf.withColumn("_fork", F.lit(f"fork{i}")))
             df = outs[0]
             for o in outs[1:]:

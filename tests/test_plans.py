@@ -410,7 +410,7 @@ def test_eql_sample_multi_bounded_carry(spark, sf_dir):
 
 def test_ts_stats_top_bounded_over_series(spark, sf_dir):
     """Round 11: TOP inside TS STATS caps the per-series frame with
-    WindowGroupLimit Partial+Final, and the checkpointed per-series frame
+    WindowGroupLimit Partial+Final, and the persisted per-series frame
     keeps the pre-materialization plan's bounded shape visible."""
     plan = plan_of(spark, sf_dir, "esql_ts_stats_top")
     assert count_nodes(plan, "WindowGroupLimit") == 2
@@ -457,3 +457,29 @@ def test_eql_sample_join_single_agg_no_join(spark, sf_dir):
     assert aggs == 2
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "BroadcastHashJoin") == 0
+
+
+def test_esql_qstr_score_two_pass_take_ordered(spark, sf_dir):
+    """Round 12: scored QSTR is the same two-pass BM25 shape as scored
+    MATCH, once per distinct term leaf — three leaves = three 1-row
+    stats scans + ONE scoring scan, each stats frame attached by a
+    single broadcast nested-loop, top-k as TakeOrderedAndProject, no
+    Python UDF anywhere."""
+    plan = plan_of(spark, sf_dir, "esql_qstr_score")
+    assert count_nodes(plan, "Scan parquet") == 4
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 3
+
+
+def test_esql_ts_rate_subday_one_window_two_aggs(spark, sf_dir):
+    """Round 12: RATE over a 6-hour BUCKET keeps the TS shape — one
+    window pass (the lag), two aggregation pairs (series, then group),
+    no join, no Python; the epoch-floor bucket is plain column math on
+    the scan."""
+    plan = plan_of(spark, sf_dir, "esql_ts_rate_subday")
+    assert count_nodes(plan, "Window") == 1
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
+    assert "PythonUDF" not in plan
+    assert count_nodes(plan, "Scan parquet") == 1

@@ -1,18 +1,18 @@
 """The driver grades a bounded prefix of the registration order (the
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
-corpus/__init__.py under the round-11 window policy: the round-11
+corpus/__init__.py under the round-12 window policy: the round-12
 net-new surfaces lead, the changed-implementation re-grades follow (the
-six CHANGED_IMPL names below — their graded code was rewritten this
+four CHANGED_IMPL names below — their graded code was rewritten this
 round, so the banked verdicts grade dead code), then ALL remaining
-r4-era stale verdicts (the r4 tail drains to zero), then the oldest
-r5-era greens fill the tail; every windowed
+r5-era stale verdicts (the r5 tail drains to zero), then the oldest
+r6-era green fills the last slot; every windowed
 query carries a DuckDB oracle (no rows-only slots), and the union of
 banked green verdicts with the current window still covers every §2.C
 operator family.
 
 ROUND-ROBUSTNESS (the r8 verdict's "What's wrong" #1): both the banked
 set and the staleness scan derive from the SAME pinned round list —
-the rounds that existed when this window was BUILT (r01-r10).  The
+the rounds that existed when this window was BUILT (r01-r11).  The
 driver dropping the current round's CORRECTNESS artifact mid-round must
 never change what these tests compute, so `itertools.count` scans over
 "whatever files exist" are banned here."""
@@ -27,20 +27,25 @@ from elasticsearch_hadoop_spark.corpus import PRIORITY, REGISTRY, load_all
 
 GRADED_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# the verdict rounds that existed when the round-11 window was built;
-# round 12 appends "11" when it rebuilds PRIORITY
-BANKED_ROUNDS = ("01", "02", "03", "04", "05", "06", "07", "08", "09", "10")
+# the verdict rounds that existed when the round-12 window was built;
+# round 13 appends "12" when it rebuilds PRIORITY
+BANKED_ROUNDS = (
+    "01", "02", "03", "04", "05", "06", "07", "08", "09", "10", "11",
+)
 
 # banked-green names whose IMPLEMENTATION changed since their latest
 # verdict — they hold early re-grade slots ahead of staler names because
 # the banked verdict graded code that no longer exists
 CHANGED_IMPL = {
-    "esql_stats_top",    # r11: bounded-TOP machinery moved into _agg_with_tops
-    "aggs_geo_line",     # r11: index-based helper column (ADVICE r10)
-    "esql_ts_rate",      # r11: _stats_ts parse loop / outer-agg assembly rewrite
-    "esql_ts_over_time",  # r11: same _stats_ts rewrite
-    "esql_fulltext_where",  # r11: _where_pred MATCH branch restructured (options)
-    "esql_match_colon",  # r11: colon branch gained the scored-leaf collector
+    # r12: scored-WHERE keys on the parsed METADATA _score flag, _score
+    # re-initializes unconditionally (ADVICE r11 medium)
+    "esql_match_score_topk",
+    # r12: _where_pred's QSTR branch gained the scored-leaf decomposition
+    "esql_fulltext_where",
+    # r12: `alternative` default/validation rewrite (ADVICE r11)
+    "aggs_bucket_count_ks_test",
+    # r12: per-series reuse localCheckpoint -> replayable persist
+    "esql_ts_stats_top",
 }
 
 # family -> regex over query names; each must match >=1 query with a driver
@@ -164,16 +169,16 @@ def test_every_family_covered_by_union():
     assert not uncovered, f"families with no driver signal past or pending: {uncovered}"
 
 
-def test_round11_window_policy():
-    """Round-11 policy (VERDICT r10 'Next round' items 1/3/4): the net-new
+def test_round12_window_policy():
+    """Round-12 policy (VERDICT r11 'Next round' items 1/4/5): the net-new
     surfaces lead, the changed-implementation re-grades follow, every
-    never-graded query holds a slot, ALL 34 r4-era stale verdicts are in
-    the window (draining the r4 tail to zero), and the r5-era fill takes
-    only r5-vintage names (no fresher verdict holds a re-grade slot while
-    an older one waits — CHANGED_IMPL names exempt, their banked verdicts
-    grade dead code).  Everything derives from the PINNED BANKED_ROUNDS
-    list, so the driver landing CORRECTNESS_r11.json cannot change the
-    outcome."""
+    never-graded query holds a slot, ALL 43 r5-era stale verdicts are in
+    the window (draining the r5 tail to zero), and the final fill takes
+    only the oldest vintage (no fresher verdict holds a re-grade slot
+    while an older one waits — CHANGED_IMPL names exempt, their banked
+    verdicts grade dead code).  Everything derives from the PINNED
+    BANKED_ROUNDS list, so the driver landing CORRECTNESS_r12.json
+    cannot change the outcome."""
     reg = load_all()
     first = list(reg)[:GRADED_WINDOW]
     last = _verdicts()
@@ -182,7 +187,7 @@ def test_round11_window_policy():
     # 1. no never-graded query left outside the window
     ungraded_outside = [n for n in reg if n not in banked and n not in set(first)]
     assert not ungraded_outside, (
-        f"queries that would still lack a driver verdict after round 11: "
+        f"queries that would still lack a driver verdict after round 12: "
         f"{ungraded_outside}"
     )
     # 2. the changed-implementation re-grades hold slots
@@ -190,11 +195,11 @@ def test_round11_window_policy():
     assert not missing_changed, (
         f"changed-implementation queries not being re-graded: {missing_changed}"
     )
-    # 3. every r4-era stale verdict is being re-graded — the r4 tail
+    # 3. every r5-era stale verdict is being re-graded — the r5 tail
     # drains to zero this round
-    stale_r4 = {n for n, r in last.items() if r == 4 and n in reg}
-    left_out = sorted(stale_r4 - set(first))
-    assert not left_out, f"r4-era stale verdicts left outside the window: {left_out}"
+    stale_r5 = {n for n, r in last.items() if r == 5 and n in reg}
+    left_out = sorted(stale_r5 - set(first))
+    assert not left_out, f"r5-era stale verdicts left outside the window: {left_out}"
     # 4. the banked re-grade slots target the stale end: no in-window
     # re-grade (changed-implementation names exempt) is FRESHER than a
     # banked name left outside the window

@@ -493,7 +493,8 @@ def test_bm25_topk_plans_take_ordered(spark, sf_dir):
 def test_esql_metadata_score_match_semantics(spark):
     """METADATA _score + full-text WHERE (8.18): each MATCH / colon leaf
     adds its BM25 to _score for docs that match it; non-matching leaves
-    under OR, NOT-guarded leaves, QSTR, and plain filters contribute 0;
+    under OR, NOT-guarded leaves, and plain filters contribute 0 (QSTR
+    term leaves score since round 12 — tests/test_round12_new.py);
     without any full-text leaf _score stays the initialized 0.0."""
     from elasticsearch_hadoop_spark.esql import esql
     from elasticsearch_hadoop_spark.search import bm25_score
