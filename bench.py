@@ -100,7 +100,9 @@ def _wait_for_quiet(threshold: float = 0.7) -> tuple[float, float]:
     it, so in-session samples can't judge the window) and, if the host
     is busy, wait up to $SPARK_GRAFT_QUIET_WAIT seconds (default 240,
     0 disables) for it to drop below ``threshold`` before benching.
-    Returns (loadavg at process start, seconds waited)."""
+    Returns (loadavg at process start, loadavg after the wait — the
+    number that actually describes the measurement window — and seconds
+    waited)."""
     start = os.getloadavg()[0]
     cap = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "240"))
     waited = 0.0
@@ -115,13 +117,13 @@ def _wait_for_quiet(threshold: float = 0.7) -> tuple[float, float]:
             f"after {waited:.0f}s",
             file=sys.stderr,
         )
-    return round(start, 2), waited
+    return round(start, 2), round(cur, 2), waited
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    loadavg_start, quiet_waited = _wait_for_quiet()
+    loadavg_start, loadavg_prelaunch, quiet_waited = _wait_for_quiet()
 
     from elasticsearch_hadoop_spark.corpus import load_all
     from elasticsearch_hadoop_spark.session import get_spark
@@ -164,10 +166,14 @@ def main() -> None:
                 # BASELINE.md variance caveat: identical code has measured
                 # 12.7-17.2 s on this shared host depending on ambient
                 # load — interpret `value` against these 1-min loadavgs.
-                # loadavg_start samples BEFORE Spark startup (the JVM
-                # spin-up inflates loadavg_before); quiet_waited_sec is
-                # the pre-flight wait spent getting under 0.7
+                # loadavg_start samples at process start, BEFORE the
+                # quiet-wait; loadavg_prelaunch is the post-wait, pre-JVM
+                # sample — the one that describes the measurement window
+                # (the JVM spin-up inflates loadavg_before);
+                # quiet_waited_sec is the pre-flight wait spent getting
+                # under 0.7
                 "loadavg_start": loadavg_start,
+                "loadavg_prelaunch": loadavg_prelaunch,
                 "quiet_waited_sec": quiet_waited,
                 "loadavg_before": round(load_before[0], 2),
                 "loadavg_after": round(load_after[0], 2),

@@ -45,20 +45,21 @@ def query(name: str, oracle: str | None = None):
 #   * slots 1-2: the round-12 net-new surfaces (scored QSTR term leaves
 #     under METADATA _score; TS RATE over a non-calendar BUCKET span) —
 #     never graded;
-#   * slots 3-6: esql_match_score_topk (the scored-WHERE trigger now
-#     keys on the parsed METADATA _score flag and _score re-initializes
-#     unconditionally — ADVICE r11 medium), esql_fulltext_where
+#   * slots 3-7: esql_match_score_topk (the scored-WHERE trigger now
+#     keys on the parsed METADATA _score flag, _score re-initializes
+#     unconditionally — ADVICE r11 medium — and every leaf's stats pass
+#     aggregates over the pristine WHERE input), esql_fulltext_where
 #     (_where_pred's QSTR branch gained the scored-leaf decomposition),
 #     aggs_bucket_count_ks_test (the `alternative` default/validation
-#     rewrite — ADVICE r11), and esql_ts_stats_top (the per-series
-#     reuse moved from localCheckpoint to a replayable persist — ADVICE
-#     r11) — banked greens whose implementations CHANGED, so the
-#     verdicts must be re-earned on the new code;
-#   * slots 7-49: ALL 43 remaining r5-era stale verdicts (VERDICT r11
+#     rewrite — ADVICE r11), search_bm25_topk (bm25_score grew the
+#     stats_over branch), and query_dsl_uri (_compile_uri_query
+#     rebuilt over the shared uri_query_parts grammar iterator) —
+#     banked greens whose implementations CHANGED, so the verdicts must
+#     be re-earned on the new code;
+#   * slots 8-50: ALL 43 remaining r5-era stale verdicts (VERDICT r11
 #     "What's missing" #1), draining the r5 tail to ZERO this round, in
-#     the queue order round 11 left below its boundary;
-#   * slot 50: the oldest r6-era green in registration order.  The
-#     remaining 46 r6-era names stay ordered below the boundary so
+#     the queue order round 11 left below its boundary.  The 47 r6-era
+#     names stay ordered below the boundary (registration order) so
 #     round 13's window picks up exactly where this one stops.
 PRIORITY: tuple[str, ...] = (
     # round-12 net-new (never graded) lead
@@ -69,7 +70,8 @@ PRIORITY: tuple[str, ...] = (
     "esql_match_score_topk",
     "esql_fulltext_where",
     "aggs_bucket_count_ks_test",
-    "esql_ts_stats_top",
+    "search_bm25_topk",
+    "query_dsl_uri",
     # ALL 43 remaining r5-era drift re-grades (latest verdict round 5 —
     # computed from CORRECTNESS_r{01..11}.json), in the queue order round
     # 11 left below its boundary — the r5 tail drains to ZERO this round
@@ -116,11 +118,10 @@ PRIORITY: tuple[str, ...] = (
     "writepath_rollover",
     "writepath_snapshot_restore",
     "writepath_terms_lookup",
-    # 1 oldest r6-era re-grade fills the last slot (registration order)
-    "agg_rollup",
     # --- round-12 window boundary (slot 50) — the tail below is the
-    # ordered round-13 re-grade queue (remaining r6-era names, in
+    # ordered round-13 re-grade queue (the r6-era names, in
     # registration order)
+    "agg_rollup",
     "agg_cube",
     "aggs_filters_top_hits",
     "aggs_diversified_sampler",

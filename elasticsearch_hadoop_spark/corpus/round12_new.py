@@ -88,9 +88,11 @@ def esql_qstr_score(spark, sf_dir):
     scoring.  Corpus statistics compute over the WHERE's input frame
     (the engine's documented per-shard-stats equivalent) and the oracle
     replays the exact Lucene formula, same parenthesization, same leaf
-    order.  Plan shape: one 1-row stats aggregation broadcast back per
-    distinct leaf + one scoring projection, ending in
-    TakeOrderedAndProject — no window, no global sort, no Python."""
+    order.  Plan shape (search.bm25_score_multi — leaves sharing a
+    field share its stats pass): ONE 1-row stats aggregation broadcast
+    back covering all three terms + one scoring projection, ending in
+    TakeOrderedAndProject — 2 corpus scans total, no window, no global
+    sort, no Python."""
     from elasticsearch_hadoop_spark.esql import esql
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")

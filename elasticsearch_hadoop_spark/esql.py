@@ -1288,18 +1288,23 @@ def _qstr_score_leaves(qs: str) -> list[tuple[str, str, Column]]:
     no score (documented — same rule as a zero-token MATCH); richer
     query_string forms (ranges, wildcards, phrases) are outside the
     engine's QSTR grammar entirely, so "term-only" here is the whole
-    supported surface, not a silent approximation."""
+    supported surface, not a silent approximation.
+
+    The pairs and their gate predicates come from query_dsl's
+    ``uri_query_parts``/``uri_pair_clause`` — the same single-source
+    grammar the filter compiles through, so the leaf a document scores
+    is always exactly the leaf it filtered on (review r12c)."""
     from elasticsearch_hadoop_spark.functions.text import py_standard_analyze
+    from elasticsearch_hadoop_spark.query_dsl import (
+        uri_pair_clause,
+        uri_query_parts,
+    )
 
     leaves: list[tuple[str, str, Column]] = []
-    for part in re.split(r"\s+(AND|OR)\s+", qs.strip()):
-        if part in ("AND", "OR") or ":" not in part:
-            continue
-        field, value = part.split(":", 1)
-        field, value = field.strip(), value.strip().strip('"')
+    for _op, field, value in uri_query_parts(qs):
         if len(py_standard_analyze(value)) != 1:
             continue
-        leaves.append((field, value, F.col(field) == F.lit(value)))
+        leaves.append((field, value, uri_pair_clause(field, value)))
     return leaves
 
 
@@ -1319,28 +1324,32 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     enclosing NOT are must_not clauses — filter context, never scored
     (they are not collected at all).
 
-    Scale: one extra stats aggregation + one scoring projection per
-    distinct full-text leaf (search.bm25_score's two-pass shape, each a
-    broadcast 1-row attach); the filter itself is unchanged.  Corpus
-    statistics are computed over the WHERE's input frame — ES computes
-    them per shard over the index; a pre-filtered pipeline input is the
-    engine's documented equivalent."""
-    from elasticsearch_hadoop_spark.search import bm25_score
+    Scale: ONE corpus-statistics aggregation per DISTINCT FIELD (all
+    leaves on a field share its 1-row stats frame — bm25_score_multi,
+    review r12a follow-up) + one scoring projection, each stats frame a
+    broadcast 1-row attach; the filter itself is unchanged.  The stats
+    passes aggregate over the WHERE's PRISTINE input frame (stats_over
+    — without it leaf N's pass re-read leaves 1..N-1's attaches and the
+    plan held 2^N source scans, review r12a).  Corpus statistics over
+    the WHERE input are the engine's documented equivalent of ES's
+    per-shard index statistics; a pre-filtered pipeline input shifts
+    scores with the pipeline prefix."""
+    from elasticsearch_hadoop_spark.search import bm25_score_multi
 
     leaves: list[tuple[str, str, Column]] = []
     p = _where_pred(body, ft_leaves=leaves)
-    out = df
-    # one BM25 pass (stats aggregation + scoring projection) per DISTINCT
-    # (field, query) — repeated leaves share the column; each occurrence
-    # still contributes separately through its own gate, matching
-    # Lucene's one-clause-one-contribution scoring
+    # one score column per DISTINCT (field, query) — repeated leaves
+    # share the column; each occurrence still contributes separately
+    # through its own gate, matching Lucene's one-clause-one-contribution
+    # scoring
     col_of: dict[tuple[str, str], str] = {}
     for field, qtext, _pred in leaves:
         key = (field, qtext)
         if key not in col_of:
-            c = f"__ft_s{len(col_of)}"
-            out = bm25_score(out, field, qtext, matched_only=False, out_col=c)
-            col_of[key] = c
+            col_of[key] = f"__ft_s{len(col_of)}"
+    # scoring starts from the pristine df, so the default stats frames
+    # (also over df) already give the N-fields + 1 scan shape
+    out = bm25_score_multi(df, [(f, q, c) for (f, q), c in col_of.items()])
     contrib = None
     for field, qtext, leaf_pred in leaves:
         c = col_of[(field, qtext)]
@@ -1855,17 +1864,21 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
     if top_specs:
         # the per-series frame is the EXPENSIVE computed pipeline the
         # _agg_with_tops docstring warns about (a full fact-row shuffle +
-        # aggregation, and a rate's window pass) — persist it so the
-        # N+1 TOP/base passes re-read the materialized series rows (one
-        # row per series per group) instead of re-aggregating the facts
-        # once per frame.  MEMORY_AND_DISK, not localCheckpoint: cache
-        # blocks recompute from lineage on executor loss, where
-        # checkpoint blocks are executor-local and would fail the job —
-        # the reuse doesn't require losing replayability (ADVICE r11).
-        # Lazy: materializes at the first action.
-        from pyspark import StorageLevel
-
-        per_series = per_series.persist(StorageLevel.MEMORY_AND_DISK)
+        # aggregation, and a rate's window pass) — localCheckpoint it so
+        # the N+1 TOP/base passes re-read the materialized series rows
+        # (one row per series per group) instead of re-aggregating the
+        # facts once per frame.  Lazy: materializes at the first action.
+        # Fault-tolerance trade, documented (ADVICE r11): checkpoint
+        # blocks are executor-local and non-replayable, so an executor
+        # loss mid-query fails the job instead of recomputing lineage.
+        # persist(MEMORY_AND_DISK) was evaluated and REJECTED (review
+        # r12b): DataFrame persistence registers in the session
+        # CacheManager keyed by the analyzed plan with no release path
+        # here (entries accumulate for the app lifetime), and a repeated
+        # identical query silently plan-matches the first run's cache —
+        # checkpoint blocks are per-call private and ContextCleaner-
+        # released after the frame is GC'd.
+        per_series = per_series.localCheckpoint(eager=False)
         return _agg_with_tops(per_series, out_keys, outer_aggs, agg_names, top_specs)
     if keys:
         return per_series.groupBy(

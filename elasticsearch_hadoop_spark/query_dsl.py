@@ -505,13 +505,16 @@ def _as_list(x) -> list:
     return x if isinstance(x, list) else [x]
 
 
-def _compile_uri_query(q: str) -> Column:
-    """`?q=` URI-lite subset: `field:value`, bare `value` unsupported
-    (no _all field in a columnar store), AND/OR of pairs."""
-    import re as _re
-
-    parts = _re.split(r"\s+(AND|OR)\s+", q.strip())
-    pred: Column | None = None
+def uri_query_parts(q: str) -> list[tuple[str, str, str]]:
+    """Tokenize the `?q=` URI-lite grammar into ``(connector, field,
+    value)`` triples (connector 'AND'|'OR'; 'AND' for the first pair —
+    never consumed).  The SINGLE source of truth for this grammar: both
+    the filter compiler below and esql's scored-leaf decomposition
+    (``esql._qstr_score_leaves``, round 12) iterate these triples, so a
+    grammar change reaches the filter and the score gates together —
+    they can never silently diverge."""
+    parts = re.split(r"\s+(AND|OR)\s+", q.strip())
+    out: list[tuple[str, str, str]] = []
     op = "AND"
     for part in parts:
         if part in ("AND", "OR"):
@@ -520,16 +523,32 @@ def _compile_uri_query(q: str) -> Column:
         if ":" not in part:
             raise QueryDslError(f"URI query needs field:value pairs, got {part!r}")
         field, value = part.split(":", 1)
-        value = value.strip().strip('"')
-        clause = F.col(field.strip()) == F.lit(value)
+        out.append((op, field.strip(), value.strip().strip('"')))
+    if not out:
+        raise QueryDslError("empty URI query")
+    return out
+
+
+def uri_pair_clause(field: str, value: str) -> Column:
+    """One URI-lite pair's predicate — exact equality (the documented
+    subset; no _all analysis in a columnar store).  Shared by the filter
+    compiler and the scored-leaf gates for the same can't-diverge
+    reason as ``uri_query_parts``."""
+    return F.col(field) == F.lit(value)
+
+
+def _compile_uri_query(q: str) -> Column:
+    """`?q=` URI-lite subset: `field:value`, bare `value` unsupported
+    (no _all field in a columnar store), AND/OR of pairs."""
+    pred: Column | None = None
+    for op, field, value in uri_query_parts(q):
+        clause = uri_pair_clause(field, value)
         if pred is None:
             pred = clause
         elif op == "AND":
             pred = pred & clause
         else:
             pred = pred | clause
-    if pred is None:
-        raise QueryDslError("empty URI query")
     return pred
 
 

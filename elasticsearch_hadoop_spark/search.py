@@ -303,6 +303,35 @@ def bm25_corpus_stats(df: DataFrame, field: str, terms: list[str]) -> dict:
     }
 
 
+def _bm25_idf(n: Column, dfc: Column) -> Column:
+    """Lucene's BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5)).  The ONE
+    place the expression is built — bm25_score and bm25_score_multi both
+    call it, so the formula cannot drift between the single-leaf and
+    field-batched paths."""
+    return F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
+
+
+def _bm25_norm(k1: float, b: float, dl: Column, sdl: Column, n: Column) -> Column:
+    """The shared length norm k1·(1−b + b·dl/avgdl), bound once per
+    field (bind-once discipline).  An all-empty corpus has avgdl = 0 —
+    no document can match there, but the norm column computes for every
+    row, so the division is guarded (ANSI mode raises on /0)."""
+    rel_dl = F.when(sdl > 0, (F.lit(b) * dl) / (sdl / n)).otherwise(F.lit(0.0))
+    return F.lit(k1) * (F.lit(1.0 - b) + rel_dl)
+
+
+def _bm25_term(
+    tf: Column, idf: Column, k1: float, norm: Column, mult: float
+) -> Column:
+    """One term clause's contribution: mult · idf · tf(k1+1)/(tf+norm).
+    tf = 0 contributes exactly 0 — and guards the k1 = 0 edge, where
+    tf + norm would be 0/0 under ANSI division."""
+    return F.when(
+        tf > 0,
+        F.lit(float(mult)) * idf * ((tf * F.lit(k1 + 1.0)) / (tf + norm)),
+    ).otherwise(F.lit(0.0))
+
+
 def bm25_score(
     df: DataFrame,
     field: str,
@@ -312,6 +341,7 @@ def bm25_score(
     out_col: str = "_score",
     matched_only: bool = True,
     stats: dict | None = None,
+    stats_over: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance over an analyzed text field — Lucene's exact
     formula (the one ES scores ``match`` queries with):
@@ -346,9 +376,16 @@ def bm25_score(
     once per row, per-term tf as array codegen, top-k downstream is a
     TakeOrderedAndProject).  Pass ``stats=`` (from ``bm25_corpus_stats``,
     the index-build step) to skip the first pass and amortize it across
-    queries.  Integer inputs (counts, doc lengths) keep every float
-    derived identically on any engine — Σdl sums exactly as a long, so
-    avgdl is bit-identical regardless of partitioning."""
+    queries.  ``stats_over=`` aggregates the corpus statistics over a
+    DIFFERENT frame than the one being scored (same rows required for ES
+    semantics — the caller's contract): a caller chaining several
+    score columns onto one frame points every stats pass at the pristine
+    source so the plans stay one-scan-per-leaf instead of re-scanning
+    the accumulated frame (esql._where_scored, round 12 — without it a
+    3-leaf WHERE planned 2^3 source scans).  Integer inputs (counts, doc
+    lengths) keep every float derived identically on any engine — Σdl
+    sums exactly as a long, so avgdl is bit-identical regardless of
+    partitioning."""
     from elasticsearch_hadoop_spark.functions.text import (
         py_standard_analyze,
         standard_analyze,
@@ -386,7 +423,13 @@ def bm25_score(
             ),
         )
     else:
-        stats_df = toks.agg(
+        if stats_over is not None:
+            src = stats_over.select(
+                standard_analyze(F.col(field)).alias("__bm_toks")
+            ).withColumn("__bm_dl", F.size("__bm_toks").cast("long"))
+        else:
+            src = toks
+        stats_df = src.agg(
             # Lucene's docCount, not the index row count: both the idf N
             # and avgdl exclude documents missing the field (NULL dl)
             # AND documents whose analyzed field is empty — neither
@@ -407,17 +450,14 @@ def bm25_score(
             ],
         )
     scored = toks.crossJoin(F.broadcast(stats_df))
-    avgdl = F.col("__bm_sdl") / F.col("__bm_n")
-    dl = F.col("__bm_dl").cast("double")
-    # bind the shared length norm once (the bind-once discipline); an
-    # all-empty corpus has avgdl = 0 — no document can match there, but
-    # the norm column computes for every row, so the division must be
-    # guarded (ANSI mode raises on /0)
-    rel_dl = F.when(
-        F.col("__bm_sdl") > 0, (F.lit(b) * dl) / avgdl
-    ).otherwise(F.lit(0.0))
     scored = scored.withColumn(
-        "__bm_norm", F.lit(k1) * (F.lit(1.0 - b) + rel_dl)
+        "__bm_norm",
+        _bm25_norm(
+            k1, b,
+            F.col("__bm_dl").cast("double"),
+            F.col("__bm_sdl"),
+            F.col("__bm_n"),
+        ),
     )
     for i, t in enumerate(uniq):
         scored = scored.withColumn(
@@ -428,17 +468,10 @@ def bm25_score(
         )
     score = None
     for i, t in enumerate(uniq):
-        n, dfc = F.col("__bm_n"), F.col(f"__bm_df_{i}")
-        idf = F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
-        tf = F.col(f"__bm_tf_{i}")
-        # tf = 0 contributes exactly 0 — and guards the k1 = 0 edge,
-        # where tf + norm would be 0/0 under ANSI division
-        term = F.when(
-            tf > 0,
-            F.lit(float(mult[t]))
-            * idf
-            * ((tf * F.lit(k1 + 1.0)) / (tf + F.col("__bm_norm"))),
-        ).otherwise(F.lit(0.0))
+        idf = _bm25_idf(F.col("__bm_n"), F.col(f"__bm_df_{i}"))
+        term = _bm25_term(
+            F.col(f"__bm_tf_{i}"), idf, k1, F.col("__bm_norm"), mult[t]
+        )
         score = term if score is None else score + term
     # a document MISSING the field has no postings at all: score NULL
     # (field absent), not 0.0 (present but no match) — visible only with
@@ -452,6 +485,119 @@ def bm25_score(
     drop += [f"__bm_df_{i}" for i in range(len(uniq))]
     drop += [f"__bm_tf_{i}" for i in range(len(uniq))]
     return scored.drop(*drop)
+
+
+def bm25_score_multi(
+    df: DataFrame,
+    leaves: list[tuple[str, str, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats_over: DataFrame | None = None,
+) -> DataFrame:
+    """Attach one BM25 column per ``(field, query_text, out_col)`` leaf
+    with ONE corpus-statistics aggregation per DISTINCT field — leaves
+    sharing a field share its N/Σdl pass and a single 1-row df-counter
+    frame covering the union of their terms.  Per-leaf semantics are
+    exactly ``bm25_score(..., matched_only=False)``: the idf/norm/term
+    expressions come from the same ``_bm25_idf``/``_bm25_norm``/
+    ``_bm25_term`` helpers, so the doubles are identical — only the
+    stats passes are shared.
+
+    Scale shape (the reason this exists — review r12a follow-up): a
+    scored WHERE with k leaves over one field plans k+1 corpus scans
+    through per-leaf ``bm25_score`` calls but exactly 2 here (one stats
+    aggregation broadcast back + one scoring projection); in general
+    #distinct-fields + 1.  ``stats_over`` points the stats passes at a
+    different frame than the one being scored (same rows required — the
+    chained-score-columns caller's contract, see bm25_score)."""
+    if not leaves:
+        return df
+    from elasticsearch_hadoop_spark.functions.text import (
+        py_standard_analyze,
+        standard_analyze,
+    )
+
+    out_cols = [c for _, _, c in leaves]
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(f"bm25_score_multi needs unique out_cols: {out_cols}")
+    if not 0 <= b <= 1:
+        raise ValueError(f"b must be in [0, 1], got {b}")
+    if k1 < 0:
+        raise ValueError(f"k1 must be >= 0, got {k1}")
+
+    # per-leaf analyzed terms (duplicate query terms score as separate
+    # clauses -> multiplicity), and the per-field term union
+    per_leaf: list[tuple[str, list[str], dict[str, int], str]] = []
+    by_field: dict[str, list[str]] = {}
+    for field, qtext, out_col in leaves:
+        terms = py_standard_analyze(qtext)
+        if not terms:
+            raise ValueError("bm25 needs at least one analyzed query term")
+        uniq = list(dict.fromkeys(terms))
+        per_leaf.append((field, uniq, {t: terms.count(t) for t in uniq}, out_col))
+        fu = by_field.setdefault(field, [])
+        fu.extend(t for t in uniq if t not in fu)
+
+    base = stats_over if stats_over is not None else df
+    scored = df
+    field_ix: dict[str, tuple[int, dict[str, int]]] = {}
+    for fi, (field, terms) in enumerate(by_field.items()):
+        src = base.select(
+            standard_analyze(F.col(field)).alias("__bm_toks")
+        ).withColumn("__bm_dl", F.size("__bm_toks").cast("long"))
+        stats_df = src.agg(
+            # docCount semantics, identical to bm25_score's stats pass
+            F.count(F.when(F.col("__bm_dl") > 0, 1))
+            .cast("double")
+            .alias(f"__bmm_n_{fi}"),
+            F.sum("__bm_dl").cast("double").alias(f"__bmm_sdl_{fi}"),
+            *[
+                F.sum(F.array_contains("__bm_toks", t).cast("int"))
+                .cast("double")
+                .alias(f"__bmm_df_{fi}_{j}")
+                for j, t in enumerate(terms)
+            ],
+        )
+        scored = scored.crossJoin(F.broadcast(stats_df))
+        scored = scored.withColumn(
+            f"__bmm_toks_{fi}", standard_analyze(F.col(field))
+        ).withColumn(f"__bmm_dl_{fi}", F.size(f"__bmm_toks_{fi}").cast("long"))
+        scored = scored.withColumn(
+            f"__bmm_norm_{fi}",
+            _bm25_norm(
+                k1, b,
+                F.col(f"__bmm_dl_{fi}").cast("double"),
+                F.col(f"__bmm_sdl_{fi}"),
+                F.col(f"__bmm_n_{fi}"),
+            ),
+        )
+        # per-(field, term) tf — computed once even when several leaves
+        # share a term
+        for j, t in enumerate(terms):
+            scored = scored.withColumn(
+                f"__bmm_tf_{fi}_{j}",
+                F.size(
+                    F.filter(F.col(f"__bmm_toks_{fi}"), lambda x: x == F.lit(t))
+                ).cast("double"),
+            )
+        field_ix[field] = (fi, {t: j for j, t in enumerate(terms)})
+
+    for field, uniq, mult, out_col in per_leaf:
+        fi, jmap = field_ix[field]
+        score = None
+        for t in uniq:
+            j = jmap[t]
+            idf = _bm25_idf(F.col(f"__bmm_n_{fi}"), F.col(f"__bmm_df_{fi}_{j}"))
+            term = _bm25_term(
+                F.col(f"__bmm_tf_{fi}_{j}"), idf, k1,
+                F.col(f"__bmm_norm_{fi}"), mult[t],
+            )
+            score = term if score is None else score + term
+        # NULL for a missing field (no postings), like bm25_score
+        scored = scored.withColumn(
+            out_col, F.when(F.col(f"__bmm_dl_{fi}").isNotNull(), score)
+        )
+    return scored.drop(*[c for c in scored.columns if c.startswith("__bmm_")])
 
 
 def bm25_topk(

@@ -460,16 +460,18 @@ def test_eql_sample_join_single_agg_no_join(spark, sf_dir):
 
 
 def test_esql_qstr_score_two_pass_take_ordered(spark, sf_dir):
-    """Round 12: scored QSTR is the same two-pass BM25 shape as scored
-    MATCH, once per distinct term leaf — three leaves = three 1-row
-    stats scans + ONE scoring scan, each stats frame attached by a
-    single broadcast nested-loop, top-k as TakeOrderedAndProject, no
-    Python UDF anywhere."""
+    """Round 12: scored QSTR is the two-pass BM25 shape FIELD-batched
+    (bm25_score_multi): three leaves on one field = ONE 1-row stats scan
+    covering all three terms + ONE scoring scan, the stats frame
+    attached by a single broadcast nested-loop, top-k as
+    TakeOrderedAndProject, no Python UDF anywhere.  (A per-leaf scorer
+    planned 4 scans; the first committed version even planned 2^3 —
+    review r12a.)"""
     plan = plan_of(spark, sf_dir, "esql_qstr_score")
-    assert count_nodes(plan, "Scan parquet") == 4
+    assert count_nodes(plan, "Scan parquet") == 2
     assert "TakeOrderedAndProject" in plan
     assert "PythonUDF" not in plan
-    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 3
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1
 
 
 def test_esql_ts_rate_subday_one_window_two_aggs(spark, sf_dir):

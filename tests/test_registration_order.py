@@ -38,14 +38,18 @@ BANKED_ROUNDS = (
 # the banked verdict graded code that no longer exists
 CHANGED_IMPL = {
     # r12: scored-WHERE keys on the parsed METADATA _score flag, _score
-    # re-initializes unconditionally (ADVICE r11 medium)
+    # re-initializes unconditionally (ADVICE r11 medium), and leaf stats
+    # passes aggregate over the pristine WHERE input (review r12a)
     "esql_match_score_topk",
     # r12: _where_pred's QSTR branch gained the scored-leaf decomposition
     "esql_fulltext_where",
     # r12: `alternative` default/validation rewrite (ADVICE r11)
     "aggs_bucket_count_ks_test",
-    # r12: per-series reuse localCheckpoint -> replayable persist
-    "esql_ts_stats_top",
+    # r12: bm25_score grew the stats_over branch (review r12a)
+    "search_bm25_topk",
+    # r12: _compile_uri_query rebuilt over the shared uri_query_parts
+    # grammar iterator (review r12c)
+    "query_dsl_uri",
 }
 
 # family -> regex over query names; each must match >=1 query with a driver

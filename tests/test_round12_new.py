@@ -271,3 +271,74 @@ def test_qstr_score_property(spark, cats, leaves):
     assert set(got) == set(exp)
     for i in exp:
         assert got[i] == pytest.approx(exp[i], abs=1e-9), (i, got, exp)
+
+
+# --------------------------------------------- bm25_score_multi
+
+
+def test_bm25_score_multi_matches_single(spark):
+    """bm25_score_multi == per-leaf bm25_score(matched_only=False) to the
+    bit, on a frame with two fields, shared terms across leaves, a NULL
+    field and an empty field."""
+    from elasticsearch_hadoop_spark.search import bm25_score, bm25_score_multi
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash join plan", "en"),
+            (2, "hash hash map", "fr"),
+            (3, None, "en"),
+            (4, "", None),
+            (5, "merge join", "en"),
+        ],
+        "id int, text string, lang string",
+    )
+    leaves = [
+        ("text", "hash join", "s0"),
+        ("text", "hash", "s1"),  # shares a term with leaf 0
+        ("lang", "en", "s2"),    # second field
+    ]
+    got = {
+        r["id"]: (r["s0"], r["s1"], r["s2"])
+        for r in bm25_score_multi(df, leaves).collect()
+    }
+    refs = [
+        {
+            r["id"]: r[c]
+            for r in bm25_score(
+                df, f, q, matched_only=False, out_col=c
+            ).collect()
+        }
+        for f, q, c in leaves
+    ]
+    assert set(got) == {1, 2, 3, 4, 5}
+    for i in got:
+        for k in range(3):
+            assert got[i][k] == refs[k][i], (i, k, got[i][k], refs[k][i])
+
+
+def test_bm25_score_multi_validation(spark):
+    from elasticsearch_hadoop_spark.search import bm25_score_multi
+
+    df = spark.createDataFrame([(1, "a")], "id int, t string")
+    with pytest.raises(ValueError, match="unique out_cols"):
+        bm25_score_multi(df, [("t", "a", "s"), ("t", "b", "s")])
+    with pytest.raises(ValueError, match="query term"):
+        bm25_score_multi(df, [("t", "!!!", "s")])
+    assert bm25_score_multi(df, []) is df  # no leaves -> untouched
+
+
+def test_bm25_stats_over_pristine_frame(spark):
+    """bm25_score(stats_over=...) computes N/Σdl/df over the given frame
+    while scoring the input frame — the chained-caller seam."""
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    full = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "c")], "id int, t string"
+    )
+    sub = full.filter("id = 2")
+    # scoring sub with stats over full == scoring full then filtering
+    got = bm25_score(sub, "t", "a", matched_only=False, stats_over=full)
+    ref = bm25_score(full, "t", "a", matched_only=False).filter("id = 2")
+    assert [r["_score"] for r in got.collect()] == [
+        r["_score"] for r in ref.collect()
+    ]
