@@ -93,7 +93,7 @@ EXTENSION = [
 ]
 
 
-def _wait_for_quiet(threshold: float = 0.7) -> tuple[float, float]:
+def _wait_for_quiet(threshold: float = 0.7) -> tuple[float, float, float]:
     """Pre-flight (VERDICT r11 item 2): the r10/r11 BENCH artifacts were
     recorded on a busy host and overstated the code by ~15%.  Sample the
     1-min loadavg BEFORE the JVM starts (Spark startup itself inflates

@@ -332,6 +332,39 @@ def _bm25_term(
     ).otherwise(F.lit(0.0))
 
 
+def _bm25_stats_aggs(terms, n_name, sdl_name, df_name) -> list[Column]:
+    """The corpus-statistics aggregation columns over a frame carrying
+    ``__bm_toks``/``__bm_dl`` — the ONE place the stats semantics live
+    for both scorers (like the formula helpers above):
+
+    - docCount, not the row count: both the idf N and avgdl exclude
+      documents missing the field (NULL dl) AND documents whose analyzed
+      field is empty — neither leaves postings or a norm behind, exactly
+      like BM25Similarity's computeIdf/avgFieldLength;
+    - Σdl sums exactly as a long, so avgdl is the SAME double on every
+      engine and partitioning (a double-summed avg would be
+      order-dependent);
+    - one df counter per term (``df_name(i, term)`` names them)."""
+    return [
+        F.count(F.when(F.col("__bm_dl") > 0, 1)).cast("double").alias(n_name),
+        F.sum("__bm_dl").cast("double").alias(sdl_name),
+        *[
+            F.sum(F.array_contains("__bm_toks", t).cast("int"))
+            .cast("double")
+            .alias(df_name(i, t))
+            for i, t in enumerate(terms)
+        ],
+    ]
+
+
+def _bm25_tf(toks_col: str, term: str) -> Column:
+    """Term frequency in the analyzed document — shared by both scorers
+    for the same can't-drift reason as the formula helpers."""
+    return F.size(
+        F.filter(F.col(toks_col), lambda x: x == F.lit(term))
+    ).cast("double")
+
+
 def bm25_score(
     df: DataFrame,
     field: str,
@@ -398,6 +431,10 @@ def bm25_score(
         raise ValueError(f"b must be in [0, 1], got {b}")
     if k1 < 0:
         raise ValueError(f"k1 must be >= 0, got {k1}")
+    if stats is not None and stats_over is not None:
+        # mutually exclusive corpus-statistics sources — silently letting
+        # the dict win would ignore the caller's frame
+        raise ValueError("pass stats= or stats_over=, not both")
     uniq = list(dict.fromkeys(terms))
     mult = {t: terms.count(t) for t in uniq}
 
@@ -430,24 +467,9 @@ def bm25_score(
         else:
             src = toks
         stats_df = src.agg(
-            # Lucene's docCount, not the index row count: both the idf N
-            # and avgdl exclude documents missing the field (NULL dl)
-            # AND documents whose analyzed field is empty — neither
-            # leaves postings or a norm behind, exactly like
-            # BM25Similarity's computeIdf/avgFieldLength
-            F.count(F.when(F.col("__bm_dl") > 0, 1))
-            .cast("double")
-            .alias("__bm_n"),
-            # exact long sum -> avgdl is the SAME double on every engine
-            # and partitioning (a double-summed avg would be
-            # order-dependent)
-            F.sum("__bm_dl").cast("double").alias("__bm_sdl"),
-            *[
-                F.sum(F.array_contains("__bm_toks", t).cast("int"))
-                .cast("double")
-                .alias(f"__bm_df_{i}")
-                for i, t in enumerate(uniq)
-            ],
+            *_bm25_stats_aggs(
+                uniq, "__bm_n", "__bm_sdl", lambda i, t: f"__bm_df_{i}"
+            )
         )
     scored = toks.crossJoin(F.broadcast(stats_df))
     scored = scored.withColumn(
@@ -460,12 +482,7 @@ def bm25_score(
         ),
     )
     for i, t in enumerate(uniq):
-        scored = scored.withColumn(
-            f"__bm_tf_{i}",
-            F.size(F.filter(F.col("__bm_toks"), lambda x: x == F.lit(t))).cast(
-                "double"
-            ),
-        )
+        scored = scored.withColumn(f"__bm_tf_{i}", _bm25_tf("__bm_toks", t))
     score = None
     for i, t in enumerate(uniq):
         idf = _bm25_idf(F.col("__bm_n"), F.col(f"__bm_df_{i}"))
@@ -520,6 +537,10 @@ def bm25_score_multi(
     out_cols = [c for _, _, c in leaves]
     if len(set(out_cols)) != len(out_cols):
         raise ValueError(f"bm25_score_multi needs unique out_cols: {out_cols}")
+    bad = [c for c in out_cols if c.startswith("__bmm_")]
+    if bad:
+        # the __bmm_ namespace holds the scorer's own helper columns
+        raise ValueError(f"out_cols may not start with '__bmm_': {bad}")
     if not 0 <= b <= 1:
         raise ValueError(f"b must be in [0, 1], got {b}")
     if k1 < 0:
@@ -540,24 +561,24 @@ def bm25_score_multi(
 
     base = stats_over if stats_over is not None else df
     scored = df
+    helper_cols: list[str] = []
     field_ix: dict[str, tuple[int, dict[str, int]]] = {}
     for fi, (field, terms) in enumerate(by_field.items()):
         src = base.select(
             standard_analyze(F.col(field)).alias("__bm_toks")
         ).withColumn("__bm_dl", F.size("__bm_toks").cast("long"))
+        # the same stats semantics as bm25_score — _bm25_stats_aggs is
+        # the single source for both scorers
         stats_df = src.agg(
-            # docCount semantics, identical to bm25_score's stats pass
-            F.count(F.when(F.col("__bm_dl") > 0, 1))
-            .cast("double")
-            .alias(f"__bmm_n_{fi}"),
-            F.sum("__bm_dl").cast("double").alias(f"__bmm_sdl_{fi}"),
-            *[
-                F.sum(F.array_contains("__bm_toks", t).cast("int"))
-                .cast("double")
-                .alias(f"__bmm_df_{fi}_{j}")
-                for j, t in enumerate(terms)
-            ],
+            *_bm25_stats_aggs(
+                terms,
+                f"__bmm_n_{fi}",
+                f"__bmm_sdl_{fi}",
+                lambda j, t, _fi=fi: f"__bmm_df_{_fi}_{j}",
+            )
         )
+        helper_cols += [f"__bmm_n_{fi}", f"__bmm_sdl_{fi}"]
+        helper_cols += [f"__bmm_df_{fi}_{j}" for j in range(len(terms))]
         scored = scored.crossJoin(F.broadcast(stats_df))
         scored = scored.withColumn(
             f"__bmm_toks_{fi}", standard_analyze(F.col(field))
@@ -571,15 +592,14 @@ def bm25_score_multi(
                 F.col(f"__bmm_n_{fi}"),
             ),
         )
+        helper_cols += [f"__bmm_toks_{fi}", f"__bmm_dl_{fi}", f"__bmm_norm_{fi}"]
         # per-(field, term) tf — computed once even when several leaves
         # share a term
         for j, t in enumerate(terms):
             scored = scored.withColumn(
-                f"__bmm_tf_{fi}_{j}",
-                F.size(
-                    F.filter(F.col(f"__bmm_toks_{fi}"), lambda x: x == F.lit(t))
-                ).cast("double"),
+                f"__bmm_tf_{fi}_{j}", _bm25_tf(f"__bmm_toks_{fi}", t)
             )
+            helper_cols.append(f"__bmm_tf_{fi}_{j}")
         field_ix[field] = (fi, {t: j for j, t in enumerate(terms)})
 
     for field, uniq, mult, out_col in per_leaf:
@@ -597,7 +617,9 @@ def bm25_score_multi(
         scored = scored.withColumn(
             out_col, F.when(F.col(f"__bmm_dl_{fi}").isNotNull(), score)
         )
-    return scored.drop(*[c for c in scored.columns if c.startswith("__bmm_")])
+    # drop exactly the helpers added above — a prefix scan would eat a
+    # caller's own __bmm_-named columns (review r12d)
+    return scored.drop(*helper_cols)
 
 
 def bm25_topk(

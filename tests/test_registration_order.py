@@ -2,10 +2,11 @@
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
 corpus/__init__.py under the round-12 window policy: the round-12
 net-new surfaces lead, the changed-implementation re-grades follow (the
-four CHANGED_IMPL names below — their graded code was rewritten this
-round, so the banked verdicts grade dead code), then ALL remaining
-r5-era stale verdicts (the r5 tail drains to zero), then the oldest
-r6-era green fills the last slot; every windowed
+five CHANGED_IMPL names below — their graded code was rewritten this
+round, so the banked verdicts grade dead code), then ALL 43 remaining
+r5-era stale verdicts fill the window exactly (2 + 5 + 43 = 50; the r5
+tail drains to zero, the r6-era queue starts below the boundary); every
+windowed
 query carries a DuckDB oracle (no rows-only slots), and the union of
 banked green verdicts with the current window still covers every §2.C
 operator family.

@@ -342,3 +342,78 @@ def test_bm25_stats_over_pristine_frame(spark):
     assert [r["_score"] for r in got.collect()] == [
         r["_score"] for r in ref.collect()
     ]
+
+
+def test_bm25_score_multi_stats_over(spark):
+    """bm25_score_multi(stats_over=...) mirrors the single-leaf seam:
+    stats over the given frame, scoring over the input frame."""
+    from elasticsearch_hadoop_spark.search import bm25_score, bm25_score_multi
+
+    full = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "c")], "id int, t string"
+    )
+    sub = full.filter("id = 2")
+    got = bm25_score_multi(sub, [("t", "a", "s0")], stats_over=full)
+    ref = bm25_score(full, "t", "a", matched_only=False, out_col="s0").filter(
+        "id = 2"
+    )
+    assert [r["s0"] for r in got.collect()] == [r["s0"] for r in ref.collect()]
+
+
+def test_bm25_conflicting_stats_sources(spark):
+    from elasticsearch_hadoop_spark.search import bm25_score, bm25_score_multi
+
+    df = spark.createDataFrame([(1, "a")], "id int, t string")
+    with pytest.raises(ValueError, match="not both"):
+        bm25_score(
+            df, "t", "a",
+            stats={"doc_count": 1, "sum_dl": 1, "df": {"a": 1}},
+            stats_over=df,
+        )
+    with pytest.raises(ValueError, match="__bmm_"):
+        bm25_score_multi(df, [("t", "a", "__bmm_s")])
+
+
+def test_bm25_score_multi_keeps_user_bmm_columns(spark):
+    """The helper cleanup drops exactly what the scorer added — a
+    caller's own __bmm_-prefixed column survives (review r12d)."""
+    from elasticsearch_hadoop_spark.search import bm25_score_multi
+
+    df = spark.createDataFrame([(1, "a", 9)], "id int, t string, __bmm_cache int")
+    out = bm25_score_multi(df, [("t", "a", "s0")])
+    assert "__bmm_cache" in out.columns
+    assert [r["__bmm_cache"] for r in out.collect()] == [9]
+
+
+def test_fork_branches_inherit_score_requested(spark, docs):
+    """The METADATA _score flag threads into FORK branches: a full-text
+    WHERE inside a branch scores there (the FORK->FUSE hybrid pattern),
+    and without METADATA the same branch only filters."""
+    from elasticsearch_hadoop_spark.search import bm25_score
+
+    out = esql(
+        "FROM d METADATA _score"
+        ' | FORK (WHERE MATCH(text, "hash") | KEEP doc_id, _score)'
+        '        (WHERE MATCH(text, "merge") | KEEP doc_id, _score)',
+        tables={"d": docs},
+    )
+    got = {(r["_fork"], r["doc_id"]): r["_score"] for r in out.collect()}
+    s_hash = {
+        r["doc_id"]: r["_score"]
+        for r in bm25_score(docs, "text", "hash").collect()
+    }
+    s_merge = {
+        r["doc_id"]: r["_score"]
+        for r in bm25_score(docs, "text", "merge").collect()
+    }
+    assert set(got) == {("fork1", 1), ("fork1", 2), ("fork1", 5), ("fork2", 3)}
+    for (fork, i), s in got.items():
+        ref = s_hash[i] if fork == "fork1" else s_merge[i]
+        assert s == pytest.approx(ref, abs=1e-12)
+
+    out2 = esql(
+        'FROM d | FORK (WHERE MATCH(text, "hash") | KEEP doc_id)'
+        '        (WHERE MATCH(text, "merge") | KEEP doc_id)',
+        tables={"d": docs},
+    )
+    assert "_score" not in out2.columns
