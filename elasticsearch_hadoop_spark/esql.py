@@ -1312,7 +1312,8 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     """ES|QL 8.18 scored WHERE (active when ``METADATA _score`` was
     requested): every MATCH / colon / QSTR-term full-text leaf
     contributes its BM25 score to the ``_score`` column, pure filters
-    contribute 0 — Lucene's BooleanQuery sum-of-matching-clauses.  Each contribution is
+    contribute 0 — Lucene's BooleanQuery sum-of-matching-clauses.
+    Each contribution is
     GATED on the leaf's own compiled predicate (review r11c): with
     ``operator``/``minimum_should_match`` options the leaf's membership
     is narrower than "any term present", so a document surviving the
@@ -1327,10 +1328,10 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     Scale: ONE corpus-statistics aggregation per DISTINCT FIELD (all
     leaves on a field share its 1-row stats frame — bm25_score_multi,
     review r12a follow-up) + one scoring projection, each stats frame a
-    broadcast 1-row attach; the filter itself is unchanged.  The stats
-    passes aggregate over the WHERE's PRISTINE input frame (stats_over
-    — without it leaf N's pass re-read leaves 1..N-1's attaches and the
-    plan held 2^N source scans, review r12a).  Corpus statistics over
+    broadcast 1-row attach; the filter itself is unchanged.  All score
+    columns attach in ONE bm25_score_multi call over the pristine WHERE
+    input — chained per-leaf scorers re-read each other's attaches and
+    planned 2^N source scans (review r12a).  Corpus statistics over
     the WHERE input are the engine's documented equivalent of ES's
     per-shard index statistics; a pre-filtered pipeline input shifts
     scores with the pipeline prefix."""
