@@ -1209,7 +1209,19 @@ def _apply_pipelines(
                 alts = spec.get("alternative", ["less", "greater", "two_sided"])
                 if isinstance(alts, str):
                     alts = [alts]
+                if not isinstance(alts, (list, tuple)):
+                    raise AggsDslError(
+                        f"bucket_count_ks_test {name!r}: alternative must be "
+                        f"a string or list, got {type(alts).__name__}"
+                    )
                 alts = list(alts)
+                if not alts:
+                    # an empty list would silently emit NO output columns
+                    # — the silent-no-op class this validation exists for
+                    raise AggsDslError(
+                        f"bucket_count_ks_test {name!r}: alternative must "
+                        "name at least one hypothesis"
+                    )
                 bad = [a for a in alts if a not in ("less", "greater", "two_sided")]
                 if bad:
                     raise AggsDslError(

@@ -438,39 +438,46 @@ def bm25_score(
     uniq = list(dict.fromkeys(terms))
     mult = {t: terms.count(t) for t in uniq}
 
+    if stats is None:
+        # the single-leaf case IS the one-leaf batched case — delegate,
+        # so there is exactly ONE scan-orchestration to maintain
+        # (review r12f); only the precomputed-stats path below keeps its
+        # own body (the literal 1-row frame replaces the stats pass)
+        out = bm25_score_multi(
+            df, [(field, query_text, out_col)],
+            k1=k1, b=b, stats_over=stats_over,
+        )
+        if matched_only:
+            out = out.filter(F.col(out_col) > 0)
+        return out
+
+    taken = [c for c in df.columns if c.startswith("__bm_")]
+    if taken:
+        # same reserved-namespace rule as bm25_score_multi (review r12e)
+        raise ValueError(
+            f"input columns may not use the reserved '__bm_' namespace: "
+            f"{taken}"
+        )
     toks = df.withColumn("__bm_toks", standard_analyze(F.col(field)))
     toks = toks.withColumn("__bm_dl", F.size("__bm_toks").cast("long"))
-    if stats is not None:
-        # precomputed corpus statistics (bm25_corpus_stats): skip the
-        # stats pass entirely — the literals take the 1-row frame's place
-        missing = [t for t in uniq if t not in stats.get("df", {})]
-        if missing:
-            raise ValueError(f"stats missing df for query terms: {missing}")
-        stats_df = df.sparkSession.createDataFrame(
-            [
-                (
-                    float(stats["doc_count"]),
-                    float(stats["sum_dl"]),
-                    *[float(stats["df"][t]) for t in uniq],
-                )
-            ],
-            ", ".join(
-                ["__bm_n double", "__bm_sdl double"]
-                + [f"__bm_df_{i} double" for i in range(len(uniq))]
-            ),
-        )
-    else:
-        if stats_over is not None:
-            src = stats_over.select(
-                standard_analyze(F.col(field)).alias("__bm_toks")
-            ).withColumn("__bm_dl", F.size("__bm_toks").cast("long"))
-        else:
-            src = toks
-        stats_df = src.agg(
-            *_bm25_stats_aggs(
-                uniq, "__bm_n", "__bm_sdl", lambda i, t: f"__bm_df_{i}"
+    # precomputed corpus statistics (bm25_corpus_stats): skip the
+    # stats pass entirely — the literals take the 1-row frame's place
+    missing = [t for t in uniq if t not in stats.get("df", {})]
+    if missing:
+        raise ValueError(f"stats missing df for query terms: {missing}")
+    stats_df = df.sparkSession.createDataFrame(
+        [
+            (
+                float(stats["doc_count"]),
+                float(stats["sum_dl"]),
+                *[float(stats["df"][t]) for t in uniq],
             )
-        )
+        ],
+        ", ".join(
+            ["__bm_n double", "__bm_sdl double"]
+            + [f"__bm_df_{i} double" for i in range(len(uniq))]
+        ),
+    )
     scored = toks.crossJoin(F.broadcast(stats_df))
     scored = scored.withColumn(
         "__bm_norm",
@@ -541,6 +548,15 @@ def bm25_score_multi(
     if bad:
         # the __bmm_ namespace holds the scorer's own helper columns
         raise ValueError(f"out_cols may not start with '__bmm_': {bad}")
+    taken = [c for c in df.columns if c.startswith("__bmm_")]
+    if taken:
+        # a caller column named exactly like a helper would be silently
+        # clobbered-and-dropped (or hit AMBIGUOUS_REFERENCE) — the whole
+        # prefix is reserved, loudly (review r12e)
+        raise ValueError(
+            f"input columns may not use the reserved '__bmm_' namespace: "
+            f"{taken}"
+        )
     if not 0 <= b <= 1:
         raise ValueError(f"b must be in [0, 1], got {b}")
     if k1 < 0:

@@ -374,15 +374,16 @@ def test_bm25_conflicting_stats_sources(spark):
         bm25_score_multi(df, [("t", "a", "__bmm_s")])
 
 
-def test_bm25_score_multi_keeps_user_bmm_columns(spark):
-    """The helper cleanup drops exactly what the scorer added — a
-    caller's own __bmm_-prefixed column survives (review r12d)."""
+def test_bm25_score_multi_reserved_namespace(spark):
+    """The __bmm_ prefix is RESERVED, loudly (review r12e): an input
+    column in that namespace raises instead of being silently clobbered
+    (exact helper name) or silently surviving-by-luck (any other name) —
+    two earlier behaviors that each hid a hazard."""
     from elasticsearch_hadoop_spark.search import bm25_score_multi
 
     df = spark.createDataFrame([(1, "a", 9)], "id int, t string, __bmm_cache int")
-    out = bm25_score_multi(df, [("t", "a", "s0")])
-    assert "__bmm_cache" in out.columns
-    assert [r["__bmm_cache"] for r in out.collect()] == [9]
+    with pytest.raises(ValueError, match="reserved '__bmm_'"):
+        bm25_score_multi(df, [("t", "a", "s0")])
 
 
 def test_fork_branches_inherit_score_requested(spark, docs):
