@@ -195,6 +195,20 @@ class TestKsAlternativeForms:
         with pytest.raises(AggsDslError, match=r"\['sideways'\]"):
             self._run(spark, alternative="sideways").collect()
 
+    def test_empty_alternative_rejected(self, spark):
+        """An empty list would silently emit NO output columns — the
+        silent-no-op class the validation exists for (review r12g)."""
+        from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError
+
+        with pytest.raises(AggsDslError, match="at least one hypothesis"):
+            self._run(spark, alternative=[])
+
+    def test_non_list_alternative_clean_error(self, spark):
+        from elasticsearch_hadoop_spark.aggs_dsl import AggsDslError
+
+        with pytest.raises(AggsDslError, match="string or list"):
+            self._run(spark, alternative=42)
+
 
 def test_ts_rate_subday_brute(spark):
     """RATE over a 6-hour BUCKET: epoch-floor bucketing + observed-span
@@ -418,3 +432,118 @@ def test_fork_branches_inherit_score_requested(spark, docs):
         tables={"d": docs},
     )
     assert "_score" not in out2.columns
+
+
+# ----------------------------------------------- TS RATE property test
+
+
+def _rate_ref(samples):
+    """esql._stats_ts's documented RATE semantics, replayed in Python
+    over one series' (ts_sec, value) samples: order by (ts, value NULLS
+    FIRST — Spark's asc default), per-pair contribution = NULL if either
+    side is NULL else (v - prev) on increase else v (counter reset),
+    inc = sum of non-NULL contributions (NULL if none), span = max(ts) -
+    min(ts) over ALL samples, rate = inc/span only when span > 0 and inc
+    is non-NULL."""
+    if not samples:
+        return None
+    ordered = sorted(samples, key=lambda s: (s[0], s[1] is not None, s[1] or 0.0))
+    contribs = []
+    for (_, prev), (_, cur) in zip(ordered, ordered[1:]):
+        if prev is None or cur is None:
+            contribs.append(None)
+        else:
+            contribs.append(cur - prev if cur >= prev else cur)
+    real = [c for c in contribs if c is not None]
+    span = max(t for t, _ in samples) - min(t for t, _ in samples)
+    if not real or span <= 0:
+        return None
+    return sum(real) / span
+
+
+@given(
+    series=st.dictionaries(
+        st.sampled_from(["h0", "h1", "h2"]),
+        st.lists(
+            st.tuples(
+                st.integers(0, 120),
+                st.one_of(st.none(), st.integers(0, 10).map(float)),
+            ),
+            min_size=1,
+            max_size=7,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_ts_rate_property(spark, series):
+    """RATE over random counter streams — resets, NULL samples, duplicate
+    timestamps, single-sample and zero-span series — vs the pure-Python
+    reference.  Integer-valued floats keep both sums exact."""
+    rows = [(h, t, v) for h, samples in series.items() for t, v in samples]
+    df = spark.createDataFrame(rows, "host string, tsec long, value double")
+    df = df.select("host", F.timestamp_seconds("tsec").alias("ts"), "value")
+    out = esql(
+        "TS t | STATS mx = MAX(RATE(value)), av = AVG(RATE(value)),"
+        " n = COUNT(RATE(value))",
+        tables={"t": df},
+        time_series={"t": {"dimensions": ["host"], "timestamp": "ts"}},
+    )
+    row = out.collect()[0]
+    rates = [r for r in (_rate_ref(s) for s in series.values()) if r is not None]
+    if not rates:
+        assert row["mx"] is None and row["av"] is None and row["n"] == 0
+    else:
+        assert row["n"] == len(rates)
+        assert row["mx"] == pytest.approx(max(rates), abs=1e-9)
+        assert row["av"] == pytest.approx(sum(rates) / len(rates), abs=1e-9)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.sampled_from(["f1", "f2"]), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=4,
+    ),
+    ops=st.lists(st.sampled_from(["AND", "OR"]), min_size=3, max_size=3),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_uri_query_left_assoc_property(spark, pairs, ops):
+    """The ?q= grammar evaluates left-associatively with no precedence
+    (documented URI-lite subset): the compiled filter over every value
+    combination matches a Python fold over uri_query_parts' triples."""
+    from elasticsearch_hadoop_spark.query_dsl import compile_query, uri_query_parts
+
+    q = pairs[0][0] + ":" + pairs[0][1]
+    for (f, v), op in zip(pairs[1:], ops):
+        q += f" {op} {f}:{v}"
+    vals = ["x", "y", "z"]
+    rows = [(i, a, b) for i, (a, b) in enumerate(
+        (a, b) for a in vals for b in vals
+    )]
+    df = spark.createDataFrame(rows, "id int, f1 string, f2 string")
+    got = {r["id"] for r in df.filter(compile_query(q)).collect()}
+    exp = set()
+    for rid, a, b in rows:
+        acc = None
+        for op, field, value in uri_query_parts(q):
+            hit = (a if field == "f1" else b) == value
+            acc = hit if acc is None else (acc and hit if op == "AND" else acc or hit)
+        if acc:
+            exp.add(rid)
+    assert got == exp, (q, got, exp)
