@@ -93,18 +93,41 @@ EXTENSION = [
 ]
 
 
-def _wait_for_quiet(threshold: float = 0.7) -> tuple[float, float, float]:
+def _env_float(name: str, default: float) -> float:
+    """Parse a float env knob, falling back LOUDLY on garbage — a
+    malformed $SPARK_GRAFT_QUIET_WAIT must not kill the bench before
+    any measurement (ADVICE r12)."""
+    raw = os.environ.get(name)
+    if raw is None or not raw.strip():
+        return default
+    try:
+        return float(raw)
+    except ValueError:
+        print(
+            f"# {name}={raw!r} is not a number - using default {default}",
+            file=sys.stderr,
+        )
+        return default
+
+
+def _wait_for_quiet(threshold: float | None = None) -> tuple[float, float, float]:
     """Pre-flight (VERDICT r11 item 2): the r10/r11 BENCH artifacts were
     recorded on a busy host and overstated the code by ~15%.  Sample the
     1-min loadavg BEFORE the JVM starts (Spark startup itself inflates
     it, so in-session samples can't judge the window) and, if the host
     is busy, wait up to $SPARK_GRAFT_QUIET_WAIT seconds (default 240,
     0 disables) for it to drop below ``threshold`` before benching.
-    Returns (loadavg at process start, loadavg after the wait — the
-    number that actually describes the measurement window — and seconds
-    waited)."""
+    The default threshold scales with the core count (ADVICE r12:
+    a flat 0.7 is near-saturation on 1 core and burns the full wait on
+    any multi-core background hum): max(0.7, 0.05/core), overridable
+    via $SPARK_GRAFT_QUIET_LOAD.  Returns (loadavg at process start,
+    loadavg after the wait — the number that actually describes the
+    measurement window — and seconds waited)."""
+    if threshold is None:
+        cores = os.cpu_count() or 1
+        threshold = _env_float("SPARK_GRAFT_QUIET_LOAD", max(0.7, 0.05 * cores))
     start = os.getloadavg()[0]
-    cap = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "240"))
+    cap = _env_float("SPARK_GRAFT_QUIET_WAIT", 240.0)
     waited = 0.0
     cur = start
     while cur > threshold and waited < cap:

@@ -1275,20 +1275,38 @@ def _where_pred(body: str, ft_leaves: list | None = None) -> Column:
     return pred(body)
 
 
-def _qstr_score_leaves(qs: str) -> list[tuple[str, str, Column]]:
-    """The scored QSTR subset (ES's ``query_string`` scores; new round
-    12): the engine's QSTR compiles the ``?q=`` URI-lite grammar —
-    ``field:value`` pairs joined by AND/OR — so every leaf is a term
-    leaf.  Under ``METADATA _score`` each pair contributes its BM25 over
-    the field exactly like a MATCH leaf, gated on the leaf's OWN
-    equality predicate (the URI subset's filter semantics: a document
-    surviving the WHERE through another OR branch while failing this
-    leaf gets exactly 0 from it).  A value that does not analyze to
-    exactly ONE token carries no single-term statistics and contributes
-    no score (documented — same rule as a zero-token MATCH); richer
-    query_string forms (ranges, wildcards, phrases) are outside the
-    engine's QSTR grammar entirely, so "term-only" here is the whole
-    supported surface, not a silent approximation.
+def _qstr_score_leaves(qs: str) -> list[tuple[str, str | None, Column]]:
+    """The scored QSTR subset (ES's ``query_string`` scores; round 12,
+    widened round 13): the engine's QSTR compiles the ``?q=`` URI-lite
+    grammar — ``field:value`` pairs joined by AND/OR, where a value is
+    a term, a ``va*``/``v?`` wildcard, a ``[a TO b]``/``{a TO b}``
+    range, or a ``>n`` comparison (``query_dsl.uri_leaf_kind``).  Under
+    ``METADATA _score``:
+
+    - a TERM leaf contributes its BM25 over the field exactly like a
+      MATCH leaf, gated on the leaf's OWN equality predicate (the URI
+      subset's filter semantics: a document surviving the WHERE through
+      another OR branch while failing this leaf gets exactly 0 from
+      it).  A value that does not analyze to exactly ONE token carries
+      no single-term statistics and contributes no score (documented —
+      same rule as a zero-token MATCH).
+    - a WILDCARD / RANGE / CMP leaf contributes a CONSTANT 1.0 when its
+      predicate matches — Lucene rewrites multi-term and range queries
+      under query_string to constant_score (boost 1.0, no corpus
+      statistics), and a ConstantScoreQuery clause adds its boost to
+      the BooleanQuery sum.  Emitted as ``(field, None, pred)``;
+      ``_where_scored`` turns the None query into the gated constant.
+
+    Case-sensitivity asymmetry (documented; ADVICE r12): the gate is
+    the filter's RAW equality (``uri_pair_clause``, case-sensitive —
+    keyword semantics in a columnar store) while the BM25 df/idf
+    statistics count the ANALYZED (lowercased) token.  A mixed-case
+    value therefore takes idf over documents containing any case
+    variant but gates on the exact form — ES's query_string, which
+    analyzes both sides, would also MATCH the case variants.  The
+    deviation is deliberate: analyzing the gate would silently widen
+    the FILTER for every `?q=` user (single-source grammar), trading a
+    visible scoring nuance for a correctness change.
 
     The pairs and their gate predicates come from query_dsl's
     ``uri_query_parts``/``uri_pair_clause`` — the same single-source
@@ -1296,15 +1314,20 @@ def _qstr_score_leaves(qs: str) -> list[tuple[str, str, Column]]:
     is always exactly the leaf it filtered on (review r12c)."""
     from elasticsearch_hadoop_spark.functions.text import py_standard_analyze
     from elasticsearch_hadoop_spark.query_dsl import (
+        uri_leaf_kind,
         uri_pair_clause,
         uri_query_parts,
     )
 
-    leaves: list[tuple[str, str, Column]] = []
+    leaves: list[tuple[str, str | None, Column]] = []
     for _op, field, value in uri_query_parts(qs):
-        if len(py_standard_analyze(value)) != 1:
-            continue
-        leaves.append((field, value, uri_pair_clause(field, value)))
+        kind, payload = uri_leaf_kind(value)
+        if kind == "term":
+            if len(py_standard_analyze(payload)) != 1:
+                continue
+            leaves.append((field, payload, uri_pair_clause(field, value)))
+        else:
+            leaves.append((field, None, uri_pair_clause(field, value)))
     return leaves
 
 
@@ -1313,7 +1336,10 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     requested): every MATCH / colon / QSTR-term full-text leaf
     contributes its BM25 score to the ``_score`` column, pure filters
     contribute 0 — Lucene's BooleanQuery sum-of-matching-clauses.
-    Each contribution is
+    QSTR wildcard/range/cmp leaves (round 13) arrive with a None query
+    text and contribute a gated CONSTANT 1.0 — Lucene's constant_score
+    rewrite for multi-term queries (no corpus statistics, boost added
+    to the sum).  Each contribution is
     GATED on the leaf's own compiled predicate (review r11c): with
     ``operator``/``minimum_should_match`` options the leaf's membership
     is narrower than "any term present", so a document surviving the
@@ -1337,14 +1363,16 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     scores with the pipeline prefix."""
     from elasticsearch_hadoop_spark.search import bm25_score_multi
 
-    leaves: list[tuple[str, str, Column]] = []
+    leaves: list[tuple[str, str | None, Column]] = []
     p = _where_pred(body, ft_leaves=leaves)
     # one score column per DISTINCT (field, query) — repeated leaves
     # share the column; each occurrence still contributes separately
     # through its own gate, matching Lucene's one-clause-one-contribution
-    # scoring
+    # scoring.  None-query (constant-score) leaves need no stats column.
     col_of: dict[tuple[str, str], str] = {}
     for field, qtext, _pred in leaves:
+        if qtext is None:
+            continue
         key = (field, qtext)
         if key not in col_of:
             col_of[key] = f"__ft_s{len(col_of)}"
@@ -1353,10 +1381,13 @@ def _where_scored(df: DataFrame, body: str) -> DataFrame:
     out = bm25_score_multi(df, [(f, q, c) for (f, q), c in col_of.items()])
     contrib = None
     for field, qtext, leaf_pred in leaves:
-        c = col_of[(field, qtext)]
-        add = F.when(leaf_pred, F.coalesce(F.col(c), F.lit(0.0))).otherwise(
-            F.lit(0.0)
-        )
+        if qtext is None:
+            add = F.when(leaf_pred, F.lit(1.0)).otherwise(F.lit(0.0))
+        else:
+            c = col_of[(field, qtext)]
+            add = F.when(leaf_pred, F.coalesce(F.col(c), F.lit(0.0))).otherwise(
+                F.lit(0.0)
+            )
         contrib = add if contrib is None else contrib + add
     out = out.filter(p)
     if contrib is not None:
@@ -1806,8 +1837,22 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
         key_cols.append(col)
     ts_sec = F.col(ts_col).cast("timestamp").cast("double")
 
+    # identical (ts_fn, inner-expr) pairs across STATS items share ONE
+    # per-series buffer (review r12g): MAX(RATE(v)), AVG(RATE(v)),
+    # COUNT(RATE(v)) carries one lag-contribution column and one
+    # (sum, span) aggregate pair, not three — canon maps the pair to the
+    # first item index that computes it, v_col[i] names the per-series
+    # column item i reads
     series_aggs: list[Column] = []
+    canon: dict[tuple[str, str], int] = {}
+    v_col: list[str] = []
     for i, (_, _outer, fn, inner, _limit, _asc) in enumerate(items):
+        key = (fn, inner)
+        if key in canon:
+            v_col.append(f"__ts_v_{canon[key]}")
+            continue
+        canon[key] = i
+        v_col.append(f"__ts_v_{i}")
         v = _expr(inner)
         out = f"__ts_v_{i}"
         if fn == "rate":
@@ -1839,8 +1884,9 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
         *[F.col(d) for d in dims], *[F.col(c) for c in key_cols]
     ).agg(*series_aggs)
     # rate finalization: increase / span, NULL under 2 samples / zero span
-    for i, (_, _outer, fn, _inner, _limit, _asc) in enumerate(items):
-        if fn == "rate":
+    # (canonical items only — duplicates read the canonical column)
+    for i, (_, _outer, fn, inner, _limit, _asc) in enumerate(items):
+        if fn == "rate" and canon[(fn, inner)] == i:
             span = F.col(f"__ts_span_{i}")
             per_series = per_series.withColumn(
                 f"__ts_v_{i}",
@@ -1858,9 +1904,9 @@ def _stats_ts(df: DataFrame, body: str, spec: dict) -> DataFrame:
         agg_names.append(alias)
         if outer == "top":
             outer_aggs.append(None)
-            top_specs.append((alias, F.col(f"__ts_v_{i}"), limit, asc))
+            top_specs.append((alias, F.col(v_col[i]), limit, asc))
         else:
-            outer_aggs.append(_AGGS[outer](F.col(f"__ts_v_{i}")).alias(alias))
+            outer_aggs.append(_AGGS[outer](F.col(v_col[i])).alias(alias))
     out_keys = [(n, F.col(c)) for (n, _), c in zip(keys, key_cols)]
     if top_specs:
         # the per-series frame is the EXPENSIVE computed pipeline the

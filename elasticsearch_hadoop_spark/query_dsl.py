@@ -508,11 +508,18 @@ def _as_list(x) -> list:
 def uri_query_parts(q: str) -> list[tuple[str, str, str]]:
     """Tokenize the `?q=` URI-lite grammar into ``(connector, field,
     value)`` triples (connector 'AND'|'OR'; 'AND' for the first pair —
-    never consumed).  The SINGLE source of truth for this grammar: both
-    the filter compiler below and esql's scored-leaf decomposition
-    (``esql._qstr_score_leaves``, round 12) iterate these triples, so a
-    grammar change reaches the filter and the score gates together —
-    they can never silently diverge."""
+    never consumed).  ``value`` is the RAW surface form (quotes kept) —
+    ``uri_leaf_kind`` classifies it into the term/wildcard/range/cmp
+    leaf kinds (round 13; VERDICT r12 item 4).  The SINGLE source of
+    truth for this grammar: both the filter compiler below and esql's
+    scored-leaf decomposition (``esql._qstr_score_leaves``, round 12)
+    iterate these triples and classify through the same
+    ``uri_leaf_kind``, so a grammar change reaches the filter and the
+    score gates together — they can never silently diverge.
+
+    Tokenizer limit (documented): pairs split on whitespace-delimited
+    AND/OR, so a QUOTED value cannot embed ``" AND "``/``" OR "`` —
+    the full ``query_string`` clause parser handles those."""
     parts = re.split(r"\s+(AND|OR)\s+", q.strip())
     out: list[tuple[str, str, str]] = []
     op = "AND"
@@ -523,18 +530,101 @@ def uri_query_parts(q: str) -> list[tuple[str, str, str]]:
         if ":" not in part:
             raise QueryDslError(f"URI query needs field:value pairs, got {part!r}")
         field, value = part.split(":", 1)
-        out.append((op, field.strip(), value.strip().strip('"')))
+        out.append((op, field.strip(), value.strip()))
     if not out:
         raise QueryDslError("empty URI query")
     return out
 
 
+# `field:>5`-style comparison shorthands and `[a TO b]` / `{a TO b}`
+# bracket ranges — the same forms the search-body query_string parser
+# accepts (ES: QueryStringQueryParser range syntax)
+_URI_CMP = re.compile(r"^(>=|<=|>|<)\s*(\S.*)$", re.S)
+_URI_RANGE = re.compile(r"^([\[\{])\s*(\S.*?)\s+TO\s+(\S.*?)\s*([\]\}])$", re.I | re.S)
+
+
+def _uri_bound(text: str):
+    """A range/comparison bound: numeric when it parses (int kept exact,
+    else float), otherwise the raw string (ISO dates compare lexically)."""
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text)
+    except ValueError:
+        return text
+
+
+def uri_wildcard_like(pattern: str) -> str:
+    """Translate a Lucene wildcard value (`*` any run, `?` one char) to
+    a SQL LIKE pattern, escaping LIKE's own metacharacters with ``\\``
+    (Spark's and DuckDB's default escape)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def uri_leaf_kind(value: str) -> tuple[str, object]:
+    """Classify one pair's RAW value into the URI-lite leaf kinds:
+
+    - ``("term", text)`` — plain value or ``"quoted"`` (quotes force a
+      literal term: no wildcard/range interpretation inside quotes);
+    - ``("wildcard", pattern)`` — unquoted value containing * or ?;
+    - ``("cmp", (op, bound))`` — ``field:>5`` comparison shorthands;
+    - ``("range", (lo_incl, lo, hi, hi_incl))`` — ``[a TO b]`` /
+      ``{a TO b}`` (mixed brackets allowed); a ``*`` bound is open.
+
+    Shared by ``uri_pair_clause`` and ``esql._qstr_score_leaves`` so
+    the filter and the score gates classify identically."""
+    if len(value) >= 2 and value[0] == '"' and value[-1] == '"':
+        return ("term", value[1:-1])
+    m = _URI_RANGE.match(value)
+    if m:
+        lo = None if m.group(2) == "*" else _uri_bound(m.group(2))
+        hi = None if m.group(3) == "*" else _uri_bound(m.group(3))
+        return ("range", (m.group(1) == "[", lo, hi, m.group(4) == "]"))
+    m = _URI_CMP.match(value)
+    if m:
+        return ("cmp", (m.group(1), _uri_bound(m.group(2).strip())))
+    if "*" in value or "?" in value:
+        return ("wildcard", value)
+    return ("term", value)
+
+
 def uri_pair_clause(field: str, value: str) -> Column:
-    """One URI-lite pair's predicate — exact equality (the documented
-    subset; no _all analysis in a columnar store).  Shared by the filter
-    compiler and the scored-leaf gates for the same can't-diverge
-    reason as ``uri_query_parts``."""
-    return F.col(field) == F.lit(value)
+    """One URI-lite pair's predicate, dispatched on ``uri_leaf_kind``:
+    term → exact equality (the documented subset; no _all analysis in a
+    columnar store), wildcard → LIKE, cmp/range → range predicates.
+    Shared by the filter compiler and the scored-leaf gates for the
+    same can't-diverge reason as ``uri_query_parts``."""
+    col = F.col(field)
+    kind, payload = uri_leaf_kind(value)
+    if kind == "term":
+        return col == F.lit(payload)
+    if kind == "wildcard":
+        return col.like(uri_wildcard_like(payload))
+    if kind == "cmp":
+        op, bound = payload
+        lit = F.lit(bound)
+        return {">": col > lit, ">=": col >= lit, "<": col < lit, "<=": col <= lit}[op]
+    lo_incl, lo, hi, hi_incl = payload
+    pred: Column | None = None
+    if lo is not None:
+        pred = col >= F.lit(lo) if lo_incl else col > F.lit(lo)
+    if hi is not None:
+        c = col <= F.lit(hi) if hi_incl else col < F.lit(hi)
+        pred = c if pred is None else pred & c
+    # [* TO *]: ES matches documents where the field EXISTS
+    return pred if pred is not None else col.isNotNull()
 
 
 def _compile_uri_query(q: str) -> Column:

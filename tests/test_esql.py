@@ -930,6 +930,59 @@ def test_ts_over_time_two_stage(spark, tsdata):
     assert out[1]["a"] == pytest.approx(99.0)
 
 
+def test_ts_duplicate_inner_aggregates_share_one_buffer(spark, tsdata):
+    """MAX/AVG/COUNT over the SAME (ts_fn, inner) — review r12g: the
+    canon-map dedupe must feed all three outers from one per-series
+    column, with values identical to the per-item computation."""
+    out = esql(
+        "TS m | STATS mx = MAX(RATE(v)), av = AVG(RATE(v)),"
+        " ct = COUNT(RATE(v))"
+        " BY tb = BUCKET(ts, \"1 hour\") | SORT tb",
+        tables=tsdata,
+        time_series={"m": {"dimensions": ["host"], "timestamp": "ts"}},
+    ).collect()
+    b0, b1 = out
+    assert b0["mx"] == pytest.approx(max(30 / 600, 50 / 1200))
+    assert b0["av"] == pytest.approx((30 / 600 + 50 / 1200) / 2)
+    assert b0["ct"] == 2
+    assert b1["mx"] is None and b1["av"] is None and b1["ct"] == 0
+
+
+def test_ts_distinct_inner_aggregates_stay_separate(spark, tsdata):
+    """The dedupe keys on the EXACT (ts_fn, inner-expr) pair: a different
+    inner expression must keep its own buffer and values."""
+    out = esql(
+        "TS m | STATS mx = MAX(RATE(v)), mx2 = MAX(RATE(v * 2)),"
+        " lo = MIN(LAST_OVER_TIME(v)), lo2 = MAX(LAST_OVER_TIME(v))"
+        " BY tb = BUCKET(ts, \"1 hour\") | SORT tb",
+        tables=tsdata,
+        time_series={"m": {"dimensions": ["host"], "timestamp": "ts"}},
+    ).collect()
+    b0 = out[0]
+    assert b0["mx"] == pytest.approx(0.05)
+    # v*2: a climbs 20->50->80 (rate 0.1); b resets 200->40->100
+    # (increases 40 + 60 = 100 over 1200s)
+    assert b0["mx2"] == pytest.approx(max(0.1, 100 / 1200))
+    # same (fn, inner) under two different OUTERS shares one buffer:
+    # last values per series are a=40, b=50
+    assert b0["lo"] == pytest.approx(40.0)
+    assert b0["lo2"] == pytest.approx(50.0)
+
+
+def test_ts_duplicate_inner_under_top_outer(spark, tsdata):
+    """TOP + a plain outer over the same (fn, inner): the TOP spec reads
+    the shared canonical column through v_col."""
+    out = esql(
+        "TS m | STATS mx = MAX(RATE(v)), t = TOP(RATE(v), 2, \"desc\")"
+        " BY tb = BUCKET(ts, \"1 hour\") | SORT tb",
+        tables=tsdata,
+        time_series={"m": {"dimensions": ["host"], "timestamp": "ts"}},
+    ).collect()
+    b0 = out[0]
+    assert b0["mx"] == pytest.approx(0.05)
+    assert [pytest.approx(x) for x in b0["t"]] == [0.05, 50 / 1200]
+
+
 def test_ts_error_contract(spark, tsdata):
     with pytest.raises(EsqlError, match="needs time_series"):
         esql("TS m | STATS MAX(RATE(v))", tables=tsdata)

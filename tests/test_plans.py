@@ -330,6 +330,34 @@ def test_ts_rate_series_agg_reuses_window_partitioning(spark, sf_dir):
     assert "PythonUDF" not in plan
 
 
+def test_ts_rate_duplicate_inner_plans_one_buffer_set(spark, sf_dir):
+    """3-outer-RATE shape (review r12g): MAX(RATE(v)), AVG(RATE(v)),
+    COUNT(RATE(v)) must plan ONE Window node carrying ONE lag column
+    (__ts_rc_0) and ONE (increase, span) aggregate pair — before the
+    canon-map dedupe each STATS item built its own, 3x the per-series
+    buffers."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_hadoop_spark.corpus._util import tbl
+    from elasticsearch_hadoop_spark.esql import esql
+    from elasticsearch_hadoop_spark.plans import formatted_plan
+
+    ev = tbl(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("host"), "ts", "value"
+    )
+    out = esql(
+        'TS ev | STATS mx = MAX(RATE(value)), av = AVG(RATE(value)),'
+        ' ct = COUNT(RATE(value)) BY tb = BUCKET(ts, "1 day")',
+        tables={"ev": ev},
+        time_series={"ev": {"dimensions": ["host"], "timestamp": "ts"}},
+    )
+    plan = formatted_plan(out)
+    assert count_nodes(plan, "Window") == 1
+    assert "__ts_rc_0" in plan and "__ts_rc_1" not in plan
+    assert "__ts_inc_0" in plan and "__ts_inc_1" not in plan
+    assert "__ts_span_1" not in plan and "__ts_span_2" not in plan
+
+
 def test_fuse_is_bounded_window_plus_hash_agg(spark, sf_dir):
     """FUSE over FORK top-k branches: per-branch ranking windows over
     bounded frames + one hash aggregation; no cartesian, no Python."""
@@ -472,6 +500,30 @@ def test_esql_qstr_score_two_pass_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "PythonUDF" not in plan
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1
+
+
+def test_esql_qstr_constant_score_same_two_pass_shape(spark, sf_dir):
+    """Round 13: constant-score leaves add NOTHING to the scan count —
+    the range and wildcard leaves are gated literals on the scoring
+    projection, so the plan stays the one-term-field shape: 1 stats
+    scan + 1 scoring scan, one broadcast attach, TakeOrderedAndProject,
+    no Python."""
+    plan = plan_of(spark, sf_dir, "esql_qstr_constant_score")
+    assert count_nodes(plan, "Scan parquet") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1
+
+
+def test_query_dsl_uri_extended_single_scan_pushdown(spark, sf_dir):
+    """Round 13: the widened URI grammar compiles to plain Column
+    predicates — one parquet scan, the whole disjunction pushed (LIKE
+    prefix becomes StringStartsWith, ranges become bounds), no shuffle
+    beyond the final order."""
+    plan = plan_of(spark, sf_dir, "query_dsl_uri_extended")
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "PythonUDF" not in plan
+    assert "Join" not in plan
 
 
 def test_esql_ts_rate_subday_one_window_two_aggs(spark, sf_dir):

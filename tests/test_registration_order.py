@@ -1,19 +1,20 @@
 """The driver grades a bounded prefix of the registration order (the
 first 50 queries, every round).  These tests pin the PRIORITY reorder in
-corpus/__init__.py under the round-12 window policy: the round-12
+corpus/__init__.py under the round-13 window policy: the round-13
 net-new surfaces lead, the changed-implementation re-grades follow (the
-five CHANGED_IMPL names below — their graded code was rewritten this
-round, so the banked verdicts grade dead code), then ALL 43 remaining
-r5-era stale verdicts fill the window exactly (2 + 5 + 43 = 50; the r5
-tail drains to zero, the r6-era queue starts below the boundary); every
-windowed
-query carries a DuckDB oracle (no rows-only slots), and the union of
-banked green verdicts with the current window still covers every §2.C
+eight CHANGED_IMPL names below — their graded code was rewritten this
+round, so the banked verdicts grade dead code), then the FIRST 40 of
+the 47 r6-era stale verdicts fill the window (2 + 8 + 40 = 50); the 7
+spilled r6 names (R6_SPILL) sit directly below the boundary and head
+round 14's queue — the honest CHANGED_IMPL set outgrew the 3 slots the
+round-12 plan budgeted (see corpus/__init__.py).  Every windowed query
+carries a DuckDB oracle (no rows-only slots), and the union of banked
+green verdicts with the current window still covers every §2.C
 operator family.
 
 ROUND-ROBUSTNESS (the r8 verdict's "What's wrong" #1): both the banked
 set and the staleness scan derive from the SAME pinned round list —
-the rounds that existed when this window was BUILT (r01-r11).  The
+the rounds that existed when this window was BUILT (r01-r12).  The
 driver dropping the current round's CORRECTNESS artifact mid-round must
 never change what these tests compute, so `itertools.count` scans over
 "whatever files exist" are banned here."""
@@ -28,30 +29,49 @@ from elasticsearch_hadoop_spark.corpus import PRIORITY, REGISTRY, load_all
 
 GRADED_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# the verdict rounds that existed when the round-12 window was built;
-# round 13 appends "12" when it rebuilds PRIORITY
+# the verdict rounds that existed when the round-13 window was built;
+# round 14 appends "13" when it rebuilds PRIORITY
 BANKED_ROUNDS = (
     "01", "02", "03", "04", "05", "06", "07", "08", "09", "10", "11",
+    "12",
 )
 
 # banked-green names whose IMPLEMENTATION changed since their latest
 # verdict — they hold early re-grade slots ahead of staler names because
 # the banked verdict graded code that no longer exists
 CHANGED_IMPL = {
-    # r12: scored-WHERE keys on the parsed METADATA _score flag, _score
-    # re-initializes unconditionally (ADVICE r11 medium), and leaf stats
-    # passes aggregate over the pristine WHERE input (review r12a)
-    "esql_match_score_topk",
-    # r12: _where_pred's QSTR branch gained the scored-leaf decomposition
-    "esql_fulltext_where",
-    # r12: `alternative` default/validation rewrite (ADVICE r11)
-    "aggs_bucket_count_ks_test",
-    # r12: bm25_score grew the stats_over branch (review r12a)
-    "search_bm25_topk",
-    # r12: _compile_uri_query rebuilt over the shared uri_query_parts
-    # grammar iterator (review r12c)
+    # r13: _stats_ts dedupes identical (ts_fn, inner) aggregates through
+    # the canon map (review r12g / VERDICT r12 item 2) — every TS query
+    # routes through the rewritten series_aggs loop, INCLUDING
+    # esql_ts_rate_subday whose verdict is only one round old
+    "esql_ts_rate",
+    "esql_ts_over_time",
+    "esql_ts_stats_top",
+    "esql_ts_rate_subday",
+    # r13: the `?q=` grammar widening (VERDICT r12 item 4) rewrote
+    # uri_query_parts (raw values) / uri_pair_clause (uri_leaf_kind
+    # dispatch) — the filter veneer both these compile through
     "query_dsl_uri",
+    "esql_fulltext_where",
+    # r13: _qstr_score_leaves classifies leaf kinds and emits
+    # constant-score (None-query) leaves; _where_scored turns them into
+    # gated 1.0 contributions
+    "esql_qstr_score",
+    "esql_match_score_topk",
 }
+
+# the 7 r6-era names the round-13 window could NOT hold (2 net-new +
+# 8 CHANGED_IMPL + 40 = 50): they sit directly below the boundary, in
+# queue order, and head round 14's window
+R6_SPILL = (
+    "query_dsl_phrase_slop",
+    "sample_to_mixture",
+    "search_mget",
+    "search_msearch",
+    "search_template_page",
+    "search_analyze_api",
+    "search_termvectors",
+)
 
 # family -> regex over query names; each must match >=1 query with a driver
 # verdict banked OR in the current graded window
@@ -174,25 +194,27 @@ def test_every_family_covered_by_union():
     assert not uncovered, f"families with no driver signal past or pending: {uncovered}"
 
 
-def test_round12_window_policy():
-    """Round-12 policy (VERDICT r11 'Next round' items 1/4/5): the net-new
-    surfaces lead, the changed-implementation re-grades follow, every
-    never-graded query holds a slot, ALL 43 r5-era stale verdicts are in
-    the window (draining the r5 tail to zero), and the final fill takes
-    only the oldest vintage (no fresher verdict holds a re-grade slot
-    while an older one waits — CHANGED_IMPL names exempt, their banked
-    verdicts grade dead code).  Everything derives from the PINNED
-    BANKED_ROUNDS list, so the driver landing CORRECTNESS_r12.json
-    cannot change the outcome."""
+def test_round13_window_policy():
+    """Round-13 policy (VERDICT r12 'Next round' items 1/2/4): the
+    net-new surfaces lead, the changed-implementation re-grades follow,
+    every never-graded query holds a slot, the r6-era stale verdicts
+    fill every remaining slot with EXACTLY the R6_SPILL names left over
+    (sitting first below the boundary, heading round 14's queue), and
+    the final fill takes only the oldest vintage (no fresher verdict
+    holds a re-grade slot while an older one waits — CHANGED_IMPL names
+    exempt, their banked verdicts grade dead code).  Everything derives
+    from the PINNED BANKED_ROUNDS list, so the driver landing
+    CORRECTNESS_r13.json cannot change the outcome."""
     reg = load_all()
-    first = list(reg)[:GRADED_WINDOW]
+    names = list(reg)
+    first = names[:GRADED_WINDOW]
     last = _verdicts()
     banked = set(last)
 
     # 1. no never-graded query left outside the window
     ungraded_outside = [n for n in reg if n not in banked and n not in set(first)]
     assert not ungraded_outside, (
-        f"queries that would still lack a driver verdict after round 12: "
+        f"queries that would still lack a driver verdict after round 13: "
         f"{ungraded_outside}"
     )
     # 2. the changed-implementation re-grades hold slots
@@ -200,11 +222,18 @@ def test_round12_window_policy():
     assert not missing_changed, (
         f"changed-implementation queries not being re-graded: {missing_changed}"
     )
-    # 3. every r5-era stale verdict is being re-graded — the r5 tail
-    # drains to zero this round
-    stale_r5 = {n for n, r in last.items() if r == 5 and n in reg}
-    left_out = sorted(stale_r5 - set(first))
-    assert not left_out, f"r5-era stale verdicts left outside the window: {left_out}"
+    # 3. the r6-era stale verdicts fill the window up to exactly the
+    # documented spill — no eighth name silently drops, no spilled name
+    # silently holds a slot a staler one needed
+    stale_r6 = {n for n, r in last.items() if r == 6 and n in reg}
+    left_out = sorted(stale_r6 - set(first))
+    assert left_out == sorted(R6_SPILL), (
+        f"r6-era names outside the window != the documented spill: "
+        f"{left_out} vs {sorted(R6_SPILL)}"
+    )
+    # 3b. the spill heads round 14's queue: directly below the boundary,
+    # in queue order
+    assert tuple(names[GRADED_WINDOW : GRADED_WINDOW + len(R6_SPILL)]) == R6_SPILL
     # 4. the banked re-grade slots target the stale end: no in-window
     # re-grade (changed-implementation names exempt) is FRESHER than a
     # banked name left outside the window
