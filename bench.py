@@ -171,9 +171,29 @@ def main() -> None:
             print(f"# {name}: {out[name]}s", file=sys.stderr)
         return out
 
+    # VERDICT r12 item 5: a single suite pass ships whatever load burst
+    # it caught — run the WHOLE suite N times (>=2) in this one process
+    # and take each query's min across passes (each pass is already
+    # best-of-3 back-to-back reps; a second pass minutes later recovers
+    # from a burst that inflated all three).  The headline is the sum
+    # of per-query mins, with the per-pass physical totals recorded
+    # alongside so a reader can see the spread.
+    try:
+        passes = max(1, min(16, int(_env_float("SPARK_GRAFT_BENCH_PASSES", 2))))
+    except (OverflowError, ValueError):  # inf / nan survive _env_float
+        print("# SPARK_GRAFT_BENCH_PASSES not usable - using 2", file=sys.stderr)
+        passes = 2
     load_before = os.getloadavg()
-    timings = bench(HEADLINE)
-    ext = bench(EXTENSION)
+    timings: dict[str, float] = {}
+    ext: dict[str, float] = {}
+    pass_totals: list[float] = []
+    for p in range(passes):
+        print(f"# --- pass {p + 1}/{passes} ---", file=sys.stderr)
+        t = bench(HEADLINE)
+        e = bench(EXTENSION)
+        pass_totals.append(round(sum(t.values()), 3))
+        timings = {k: min(v, timings.get(k, v)) for k, v in t.items()}
+        ext = {k: min(v, ext.get(k, v)) for k, v in e.items()}
     load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
@@ -185,6 +205,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {**timings, **{f"ext:{k}": v for k, v in ext.items()}},
                 "extension_total": round(sum(ext.values()), 3),
+                # `value` is the sum of per-query minima across all
+                # passes; pass_totals are the physical per-pass headline
+                # sums (their spread is the window's noise band)
+                "passes": passes,
+                "pass_totals": pass_totals,
                 "sf": sf,
                 # BASELINE.md variance caveat: identical code has measured
                 # 12.7-17.2 s on this shared host depending on ambient
@@ -194,7 +219,8 @@ def main() -> None:
                 # sample — the one that describes the measurement window
                 # (the JVM spin-up inflates loadavg_before);
                 # quiet_waited_sec is the pre-flight wait spent getting
-                # under 0.7
+                # under the quiet threshold (max(0.7, 0.05/core) or
+                # $SPARK_GRAFT_QUIET_LOAD — see _wait_for_quiet)
                 "loadavg_start": loadavg_start,
                 "loadavg_prelaunch": loadavg_prelaunch,
                 "quiet_waited_sec": quiet_waited,

@@ -1322,12 +1322,13 @@ def _qstr_score_leaves(qs: str) -> list[tuple[str, str | None, Column]]:
     leaves: list[tuple[str, str | None, Column]] = []
     for _op, field, value in uri_query_parts(qs):
         kind, payload = uri_leaf_kind(value)
+        clause = uri_pair_clause(field, value, kind=(kind, payload))
         if kind == "term":
             if len(py_standard_analyze(payload)) != 1:
                 continue
-            leaves.append((field, payload, uri_pair_clause(field, value)))
+            leaves.append((field, payload, clause))
         else:
-            leaves.append((field, None, uri_pair_clause(field, value)))
+            leaves.append((field, None, clause))
     return leaves
 
 

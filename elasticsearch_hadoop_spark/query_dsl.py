@@ -544,8 +544,20 @@ _URI_RANGE = re.compile(r"^([\[\{])\s*(\S.*?)\s+TO\s+(\S.*?)\s*([\]\}])$", re.I 
 
 
 def _uri_bound(text: str):
-    """A range/comparison bound: numeric when it parses (int kept exact,
-    else float), otherwise the raw string (ISO dates compare lexically)."""
+    """A range/comparison bound.  ``"quoted"`` forces a STRING bound
+    (lexical comparison — the escape hatch for keyword-like string
+    columns holding digits); unquoted text is numeric when it parses
+    (int kept exact, else float), otherwise the raw string (ISO dates
+    compare lexically).
+
+    The bound's SURFACE FORM is the engine's only type signal (the
+    Column builder is schema-free — ES reads the field type from the
+    mapping instead): a numeric bound means a numeric comparison, and
+    aiming one at a STRING column holding non-numeric values fails
+    LOUDLY at runtime (Spark ANSI CAST_INVALID_INPUT on the row cast),
+    never silently — quote the bound for lexical semantics there."""
+    if len(text) >= 2 and text[0] == '"' and text[-1] == '"':
+        return text[1:-1]
     try:
         return int(text)
     except ValueError:
@@ -556,20 +568,61 @@ def _uri_bound(text: str):
         return text
 
 
-def uri_wildcard_like(pattern: str) -> str:
-    """Translate a Lucene wildcard value (`*` any run, `?` one char) to
-    a SQL LIKE pattern, escaping LIKE's own metacharacters with ``\\``
-    (Spark's and DuckDB's default escape)."""
+def _uri_has_live_wildcard(value: str) -> bool:
+    """True when the value contains an UNESCAPED ``*`` or ``?`` —
+    Lucene's ``\\*``/``\\?`` escapes mean the literal character."""
+    i = 0
+    while i < len(value):
+        if value[i] == "\\":
+            i += 2
+            continue
+        if value[i] in "*?":
+            return True
+        i += 1
+    return False
+
+
+def _uri_unescape(value: str) -> str:
+    """Resolve Lucene ``\\x`` escapes to the literal character."""
     out = []
-    for ch in pattern:
+    i = 0
+    while i < len(value):
+        if value[i] == "\\" and i + 1 < len(value):
+            out.append(value[i + 1])
+            i += 2
+            continue
+        out.append(value[i])
+        i += 1
+    return "".join(out)
+
+
+def uri_wildcard_like(pattern: str) -> str:
+    """Translate a Lucene wildcard value (`*` any run, `?` one char,
+    ``\\*``/``\\?`` the literal character) to a SQL LIKE pattern,
+    escaping LIKE's own metacharacters with ``\\`` — Spark's default
+    LIKE escape.  Oracle authors: DuckDB has NO default escape
+    character, so a pattern containing ``\\%``/``\\_``/``\\\\`` needs an
+    explicit ``ESCAPE '\\'`` clause in the SQL twin (escape-free
+    patterns compare identically on both engines)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            out.append("\\" + nxt if nxt in ("%", "_", "\\") else nxt)
+            i += 2
+            continue
         if ch == "*":
             out.append("%")
         elif ch == "?":
             out.append("_")
         elif ch in ("%", "_", "\\"):
+            # a trailing lone backslash is a literal backslash
             out.append("\\" + ch)
         else:
             out.append(ch)
+        i += 1
     return "".join(out)
 
 
@@ -578,10 +631,20 @@ def uri_leaf_kind(value: str) -> tuple[str, object]:
 
     - ``("term", text)`` — plain value or ``"quoted"`` (quotes force a
       literal term: no wildcard/range interpretation inside quotes);
-    - ``("wildcard", pattern)`` — unquoted value containing * or ?;
+      Lucene ``\\x`` escapes resolve, so ``foo\\*`` is the literal term
+      ``foo*``, never a wildcard;
+    - ``("wildcard", pattern)`` — unquoted value containing an
+      UNESCAPED * or ? (pattern keeps the raw escapes;
+      ``uri_wildcard_like`` resolves them);
     - ``("cmp", (op, bound))`` — ``field:>5`` comparison shorthands;
     - ``("range", (lo_incl, lo, hi, hi_incl))`` — ``[a TO b]`` /
       ``{a TO b}`` (mixed brackets allowed); a ``*`` bound is open.
+
+    Bound typing note (`_uri_bound`): numeric-looking bounds compare
+    numerically; ``"quoted"`` bounds force lexical string comparison —
+    the explicit escape hatch for string columns holding digits, since
+    the schema-free builder cannot read the column type the way ES
+    reads its mapping.
 
     Shared by ``uri_pair_clause`` and ``esql._qstr_score_leaves`` so
     the filter and the score gates classify identically."""
@@ -595,19 +658,23 @@ def uri_leaf_kind(value: str) -> tuple[str, object]:
     m = _URI_CMP.match(value)
     if m:
         return ("cmp", (m.group(1), _uri_bound(m.group(2).strip())))
-    if "*" in value or "?" in value:
+    if _uri_has_live_wildcard(value):
         return ("wildcard", value)
-    return ("term", value)
+    return ("term", _uri_unescape(value) if "\\" in value else value)
 
 
-def uri_pair_clause(field: str, value: str) -> Column:
+def uri_pair_clause(
+    field: str, value: str, kind: tuple[str, object] | None = None
+) -> Column:
     """One URI-lite pair's predicate, dispatched on ``uri_leaf_kind``:
     term → exact equality (the documented subset; no _all analysis in a
     columnar store), wildcard → LIKE, cmp/range → range predicates.
-    Shared by the filter compiler and the scored-leaf gates for the
-    same can't-diverge reason as ``uri_query_parts``."""
+    ``kind`` takes a precomputed ``uri_leaf_kind(value)`` so a caller
+    that already classified (the scored-leaf path) never classifies
+    twice.  Shared by the filter compiler and the scored-leaf gates for
+    the same can't-diverge reason as ``uri_query_parts``."""
     col = F.col(field)
-    kind, payload = uri_leaf_kind(value)
+    kind, payload = kind if kind is not None else uri_leaf_kind(value)
     if kind == "term":
         return col == F.lit(payload)
     if kind == "wildcard":

@@ -54,11 +54,28 @@ def test_uri_leaf_kind(value, kind, payload):
 
 
 def test_uri_bound_typing():
-    """int bounds stay exact, floats parse, everything else is a string."""
+    """int bounds stay exact, floats parse, everything else is a string;
+    quoted bounds FORCE a string (the lexical escape hatch for keyword
+    columns holding digits — the schema-free builder can't read the
+    column type the way ES reads its mapping)."""
     assert uri_leaf_kind(">5") == ("cmp", (">", 5))
     assert isinstance(uri_leaf_kind(">5")[1][1], int)
     assert uri_leaf_kind(">5.25") == ("cmp", (">", 5.25))
     assert uri_leaf_kind(">abc") == ("cmp", (">", "abc"))
+    assert uri_leaf_kind('>"5"') == ("cmp", (">", "5"))
+    assert uri_leaf_kind('["1" TO "5"]') == ("range", (True, "1", "5", True))
+
+
+def test_uri_escaped_wildcards_are_literal():
+    """Lucene \\* / \\? escapes mean the literal character: a value of
+    only escaped wildcards is a TERM; a mixed value stays a wildcard
+    whose LIKE pattern keeps the escaped char literal."""
+    assert uri_leaf_kind(r"foo\*") == ("term", "foo*")
+    assert uri_leaf_kind(r"fo\?o") == ("term", "fo?o")
+    assert uri_leaf_kind(r"a\*b*")[0] == "wildcard"
+    assert uri_wildcard_like(r"a\*b*") == "a*b%"
+    assert uri_wildcard_like(r"\?x?") == "?x_"
+    assert uri_wildcard_like("a\\") == "a\\\\"  # trailing lone backslash
 
 
 def test_uri_query_parts_keeps_raw_values():
@@ -75,7 +92,10 @@ def test_wildcard_like_escapes_metacharacters():
     assert uri_wildcard_like("a?b") == "a_b"
     assert uri_wildcard_like("a%b*") == "a\\%b%"
     assert uri_wildcard_like("a_b?") == "a\\_b_"
-    assert uri_wildcard_like("a\\b*") == "a\\\\b%"
+    # backslash is Lucene's escape: \b resolves to the literal b, and a
+    # literal backslash is written \\ (then LIKE-escaped to \\\\)
+    assert uri_wildcard_like("a\\b*") == "ab%"
+    assert uri_wildcard_like("a\\\\b*") == "a\\\\b%"
 
 
 def test_uri_error_contract_still_loud():
@@ -134,6 +154,29 @@ def test_uri_range_and_cmp_filters(kinds_df):
     assert _ids(kinds_df, "s:[alpha TO b]") == [0, 1, 4]
 
 
+def test_uri_quoted_bounds_compare_lexically(kinds_df):
+    """Digit values in a STRING column: unquoted bounds would compare
+    numerically (and ANSI-crash on non-numeric rows); quoted bounds are
+    the documented lexical escape hatch."""
+    df = kinds_df.sparkSession.createDataFrame(
+        [(0, "10"), (1, "9"), (2, "abc")], "id int, v string"
+    )
+    # lexical: "10" < "5", "9" > "5", "abc" > "5"
+    assert sorted(
+        r["id"] for r in df.filter(compile_query('v:>"5"')).collect()
+    ) == [1, 2]
+    assert sorted(
+        r["id"] for r in df.filter(compile_query('v:["1" TO "5"]')).collect()
+    ) == [0]
+
+
+def test_uri_escaped_wildcard_filters(kinds_df):
+    # s values: alpha alps a%b beta b — r"b\*" is the literal term "b*"
+    # (matches nothing), while "b*" matches beta and b
+    assert _ids(kinds_df, r"s:b\*") == []
+    assert _ids(kinds_df, "s:b*") == [3, 4]
+
+
 def test_uri_mixed_kinds_left_assoc(kinds_df):
     # ((s like al% AND n<=3) OR n>=10)
     assert _ids(kinds_df, "s:al* AND n:<=3 OR n:>=10") == [0, 1, 4]
@@ -152,9 +195,13 @@ _N_LEAVES = [
 ]
 
 
-def _py_leaf(leaf: str, s: str, n: int) -> bool:
+def _py_leaf(leaf: str, s, n) -> bool:
     field, value = leaf.split(":", 1)
     v = s if field == "s" else n
+    if v is None:
+        # SQL three-valued logic: every leaf kind over NULL is
+        # not-true — including [* TO *], which compiles to isNotNull
+        return False
     kind, payload = uri_leaf_kind(value)
     if kind == "term":
         return v == payload if field == "s" else str(v) == payload
@@ -199,6 +246,9 @@ def test_uri_grammar_differential(spark, leaves, ops):
     rows = [
         (i * 16 + n, s, n) for i, s in enumerate(_S_VALUES) for n in range(13)
     ]
+    # NULL rows: every leaf kind over NULL is not-true (SQL 3VL; the
+    # AND/OR fold has no NOT, so null==False is exact for the fold too)
+    rows += [(1000, None, 5), (1001, "alpha", None), (1002, None, None)]
     df = spark.createDataFrame(rows, "id int, s string, n int")
     got = {r["id"] for r in df.filter(compile_query(q)).collect()}
     exp = set()
