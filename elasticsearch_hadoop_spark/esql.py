@@ -1323,7 +1323,10 @@ def _qstr_score_leaves(qs: str) -> list[tuple[str, str | None, Column]]:
     for _op, field, value in uri_query_parts(qs):
         kind, payload = uri_leaf_kind(value)
         clause = uri_pair_clause(field, value, kind=(kind, payload))
-        if kind == "term":
+        if field == "_exists_":
+            # ES wraps FieldExistsQuery in constant_score: 1.0, no stats
+            leaves.append((field, None, clause))
+        elif kind == "term":
             if len(py_standard_analyze(payload)) != 1:
                 continue
             leaves.append((field, payload, clause))

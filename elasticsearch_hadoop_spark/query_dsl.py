@@ -671,10 +671,18 @@ def uri_pair_clause(
     columnar store), wildcard → LIKE, cmp/range → range predicates.
     ``kind`` takes a precomputed ``uri_leaf_kind(value)`` so a caller
     that already classified (the scored-leaf path) never classifies
-    twice.  Shared by the filter compiler and the scored-leaf gates for
-    the same can't-diverge reason as ``uri_query_parts``."""
+    twice.  ``_exists_:field`` (the ES query_string pseudo-field) tests
+    the NAMED field for a non-null value.  Shared by the filter
+    compiler and the scored-leaf gates for the same can't-diverge
+    reason as ``uri_query_parts``."""
     col = F.col(field)
     kind, payload = kind if kind is not None else uri_leaf_kind(value)
+    if field == "_exists_":
+        if kind != "term":
+            raise QueryDslError(
+                f"_exists_ takes a field name, got {value!r}"
+            )
+        return F.col(payload).isNotNull()
     if kind == "term":
         return col == F.lit(payload)
     if kind == "wildcard":

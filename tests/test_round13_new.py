@@ -177,6 +177,38 @@ def test_uri_escaped_wildcard_filters(kinds_df):
     assert _ids(kinds_df, "s:b*") == [3, 4]
 
 
+def test_uri_exists_pseudo_field(spark):
+    """ES query_string `_exists_:field` — non-null test on the NAMED
+    field; a non-term value under _exists_ refuses loudly; under
+    METADATA _score it pays the constant 1.0 (ES wraps FieldExistsQuery
+    in constant_score)."""
+    from elasticsearch_hadoop_spark.esql import esql
+
+    df = spark.createDataFrame(
+        [(0, "en", 5), (1, None, 9), (2, "fr", None)],
+        "id int, lang string, n int",
+    )
+    got = sorted(
+        r["id"] for r in df.filter(compile_query("_exists_:lang AND n:>1")).collect()
+    )
+    assert got == [0]
+    with pytest.raises(QueryDslError, match="_exists_ takes a field name"):
+        compile_query("_exists_:la*")
+    out = {
+        r["id"]: r["_score"]
+        for r in esql(
+            'FROM t METADATA _score | WHERE QSTR("_exists_:lang OR n:>8")'
+            " | KEEP id, _score",
+            tables={"t": df},
+        ).collect()
+    }
+    assert out == {
+        0: pytest.approx(1.0),
+        1: pytest.approx(1.0),
+        2: pytest.approx(1.0),
+    }
+
+
 def test_uri_mixed_kinds_left_assoc(kinds_df):
     # ((s like al% AND n<=3) OR n>=10)
     assert _ids(kinds_df, "s:al* AND n:<=3 OR n:>=10") == [0, 1, 4]
