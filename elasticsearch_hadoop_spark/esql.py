@@ -28,9 +28,10 @@ Supported commands (the documented core; anything else raises):
   ``_score`` (exact brute kNN — a TakeOrderedAndProject; ties break by
   ``_id`` when present, documented where ES's tie is shard-order).
   Under ``FROM ... METADATA _score`` every full-text WHERE leaf —
-  MATCH, the ``:`` operator, QSTR field:value term leaves — adds its
-  BM25 to ``_score`` (8.18, ``_where_scored``); plain filters and
-  NOT-guarded leaves contribute 0.
+  MATCH, the ``:`` operator, QSTR term leaves — adds its BM25 to
+  ``_score`` (8.18, ``_where_scored``); QSTR wildcard/range/cmp/
+  ``_exists_`` leaves add Lucene's constant_score 1.0 (round 13);
+  plain filters and NOT-guarded leaves contribute 0.
 - ``EVAL name = <expr>[, name2 = <expr2>...]`` — later names see earlier
   ones, like ES|QL.
 - ``STATS [name =] AGG(expr) [WHERE cond][, ...] [BY k1[, k2...]]`` —
@@ -1141,11 +1142,12 @@ def _where_pred(body: str, ft_leaves: list | None = None) -> Column:
     contribution on whether THAT leaf matched (operator /
     minimum_should_match options reshape leaf membership, so "BM25 > 0"
     alone is not the leaf's match test).  QSTR decomposes into its
-    field:value term leaves (the engine's whole QSTR grammar), each
-    scoring like a MATCH leaf gated on its own equality predicate —
-    see ``_qstr_score_leaves``; a leaf whose query analyzes to zero
-    tokens contributes no score (documented — it carries no term
-    information to weigh)."""
+    ``field:value`` leaves (term / wildcard / range / cmp /
+    ``_exists_`` — ``query_dsl.uri_leaf_kind``): term leaves score
+    like a MATCH leaf gated on their own equality predicate, non-term
+    leaves pay a gated constant 1.0 — see ``_qstr_score_leaves``; a
+    term whose query analyzes to zero tokens contributes no score
+    (documented — it carries no term information to weigh)."""
     blanked = _blank_literals(body)
     if not _FT_PROBE.search(blanked) and ":" not in blanked:
         return _expr(body)

@@ -27,7 +27,10 @@ Supported clauses (the reference's §2.B algebra + the common ES core):
   function_score (deterministic
   field_value_factor / script_score / weight functions — the predicate
   form matches the base query + min_score; ``function_score(df, body)``
-  attaches the score column), the ``?q=field:value`` URI-lite subset,
+  attaches the score column), the ``?q=`` URI-lite subset (field:value
+  terms, ``va*``/``v?`` wildcards with Lucene escapes, ``[a TO b]`` /
+  ``{a TO b}`` ranges, ``>n`` comparisons, ``_exists_:field`` —
+  ``uri_leaf_kind``),
   geo_distance / geo_bounding_box / geo_polygon / geo_shape (point,
   polygon and envelope field types — see _geo_shape; indexed_shape
   lookups resolve in Catalog.read_index's pre-pass), and
@@ -703,8 +706,10 @@ def uri_pair_clause(
 
 
 def _compile_uri_query(q: str) -> Column:
-    """`?q=` URI-lite subset: `field:value`, bare `value` unsupported
-    (no _all field in a columnar store), AND/OR of pairs."""
+    """`?q=` URI-lite subset: `field:value` pairs joined by AND/OR,
+    values classified by ``uri_leaf_kind`` (term / wildcard / range /
+    cmp / ``_exists_``); bare `value` unsupported (no _all field in a
+    columnar store)."""
     pred: Column | None = None
     for op, field, value in uri_query_parts(q):
         clause = uri_pair_clause(field, value)
