@@ -119,7 +119,7 @@ def _wait_for_quiet(threshold: float | None = None) -> tuple[float, float, float
     0 disables) for it to drop below ``threshold`` before benching.
     The default threshold scales with the core count (ADVICE r12:
     a flat 0.7 is near-saturation on 1 core and burns the full wait on
-    any multi-core background hum): max(0.7, 0.05/core), overridable
+    any multi-core background hum): max(0.7, 0.05*cores), overridable
     via $SPARK_GRAFT_QUIET_LOAD.  Returns (loadavg at process start,
     loadavg after the wait — the number that actually describes the
     measurement window — and seconds waited)."""
@@ -219,7 +219,7 @@ def main() -> None:
                 # sample — the one that describes the measurement window
                 # (the JVM spin-up inflates loadavg_before);
                 # quiet_waited_sec is the pre-flight wait spent getting
-                # under the quiet threshold (max(0.7, 0.05/core) or
+                # under the quiet threshold (max(0.7, 0.05*cores) or
                 # $SPARK_GRAFT_QUIET_LOAD — see _wait_for_quiet)
                 "loadavg_start": loadavg_start,
                 "loadavg_prelaunch": loadavg_prelaunch,

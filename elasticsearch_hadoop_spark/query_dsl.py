@@ -546,11 +546,20 @@ _URI_CMP = re.compile(r"^(>=|<=|>|<)\s*(\S.*)$", re.S)
 _URI_RANGE = re.compile(r"^([\[\{])\s*(\S.*?)\s+TO\s+(\S.*?)\s*([\]\}])$", re.I | re.S)
 
 
+# exact numeric spellings only — Python's float()/int() also accept
+# nan/inf/1_000/Infinity, which ES's range parser 400s on and which
+# would compile to surprising comparisons (NaN is largest in Spark's
+# ordering); those spellings stay lexical strings here
+_URI_INT = re.compile(r"^[+-]?\d+$")
+_URI_FLOAT = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
+
+
 def _uri_bound(text: str):
     """A range/comparison bound.  ``"quoted"`` forces a STRING bound
     (lexical comparison — the escape hatch for keyword-like string
-    columns holding digits); unquoted text is numeric when it parses
-    (int kept exact, else float), otherwise the raw string (ISO dates
+    columns holding digits); unquoted text is numeric when it matches
+    an exact numeric spelling (int kept exact, else float; nan/inf/
+    underscores stay strings), otherwise the raw string (ISO dates
     compare lexically).
 
     The bound's SURFACE FORM is the engine's only type signal (the
@@ -561,42 +570,54 @@ def _uri_bound(text: str):
     never silently — quote the bound for lexical semantics there."""
     if len(text) >= 2 and text[0] == '"' and text[-1] == '"':
         return text[1:-1]
-    try:
+    if _URI_INT.match(text):
         return int(text)
-    except ValueError:
-        pass
-    try:
+    if _URI_FLOAT.match(text):
         return float(text)
-    except ValueError:
-        return text
+    # string bound: Lucene \x escapes resolve, same as term values
+    return _uri_unescape(text) if "\\" in text else text
+
+
+def _uri_scan(value: str) -> tuple[bool, str, str]:
+    """ONE walk of Lucene's backslash-escape rules (``\\x`` means the
+    literal x; a trailing lone backslash is a literal backslash),
+    returning ``(has_live_wildcard, unescaped_text, like_pattern)`` —
+    the single source of truth the three public views below share, so
+    the escape rules can never drift between them."""
+    live = False
+    un: list[str] = []
+    like: list[str] = []
+    i = 0
+    while i < len(value):
+        ch = value[i]
+        if ch == "\\" and i + 1 < len(value):
+            nxt = value[i + 1]
+            un.append(nxt)
+            like.append("\\" + nxt if nxt in ("%", "_", "\\") else nxt)
+            i += 2
+            continue
+        if ch in "*?":
+            live = True
+            un.append(ch)
+            like.append("%" if ch == "*" else "_")
+        elif ch in ("%", "_", "\\"):
+            un.append(ch)
+            like.append("\\" + ch)
+        else:
+            un.append(ch)
+            like.append(ch)
+        i += 1
+    return live, "".join(un), "".join(like)
 
 
 def _uri_has_live_wildcard(value: str) -> bool:
-    """True when the value contains an UNESCAPED ``*`` or ``?`` —
-    Lucene's ``\\*``/``\\?`` escapes mean the literal character."""
-    i = 0
-    while i < len(value):
-        if value[i] == "\\":
-            i += 2
-            continue
-        if value[i] in "*?":
-            return True
-        i += 1
-    return False
+    """True when the value contains an UNESCAPED ``*`` or ``?``."""
+    return _uri_scan(value)[0]
 
 
 def _uri_unescape(value: str) -> str:
     """Resolve Lucene ``\\x`` escapes to the literal character."""
-    out = []
-    i = 0
-    while i < len(value):
-        if value[i] == "\\" and i + 1 < len(value):
-            out.append(value[i + 1])
-            i += 2
-            continue
-        out.append(value[i])
-        i += 1
-    return "".join(out)
+    return _uri_scan(value)[1]
 
 
 def uri_wildcard_like(pattern: str) -> str:
@@ -607,26 +628,7 @@ def uri_wildcard_like(pattern: str) -> str:
     character, so a pattern containing ``\\%``/``\\_``/``\\\\`` needs an
     explicit ``ESCAPE '\\'`` clause in the SQL twin (escape-free
     patterns compare identically on both engines)."""
-    out = []
-    i = 0
-    while i < len(pattern):
-        ch = pattern[i]
-        if ch == "\\" and i + 1 < len(pattern):
-            nxt = pattern[i + 1]
-            out.append("\\" + nxt if nxt in ("%", "_", "\\") else nxt)
-            i += 2
-            continue
-        if ch == "*":
-            out.append("%")
-        elif ch == "?":
-            out.append("_")
-        elif ch in ("%", "_", "\\"):
-            # a trailing lone backslash is a literal backslash
-            out.append("\\" + ch)
-        else:
-            out.append(ch)
-        i += 1
-    return "".join(out)
+    return _uri_scan(pattern)[2]
 
 
 def uri_leaf_kind(value: str) -> tuple[str, object]:
@@ -653,14 +655,27 @@ def uri_leaf_kind(value: str) -> tuple[str, object]:
     the filter and the score gates classify identically."""
     if len(value) >= 2 and value[0] == '"' and value[-1] == '"':
         return ("term", value[1:-1])
+
+    def bound(text: str, open_ok: bool = False):
+        if open_ok and text == "*":
+            return None
+        if _uri_has_live_wildcard(text):
+            # a wildcard inside a range/comparison bound has no Lucene
+            # meaning — refuse loudly rather than compile a puzzling
+            # lexical/cast comparison against the raw '5*' text
+            raise QueryDslError(
+                f"range/comparison bound cannot contain wildcards: {value!r}"
+            )
+        return _uri_bound(text)
+
     m = _URI_RANGE.match(value)
     if m:
-        lo = None if m.group(2) == "*" else _uri_bound(m.group(2))
-        hi = None if m.group(3) == "*" else _uri_bound(m.group(3))
+        lo = bound(m.group(2), open_ok=True)
+        hi = bound(m.group(3), open_ok=True)
         return ("range", (m.group(1) == "[", lo, hi, m.group(4) == "]"))
     m = _URI_CMP.match(value)
     if m:
-        return ("cmp", (m.group(1), _uri_bound(m.group(2).strip())))
+        return ("cmp", (m.group(1), bound(m.group(2).strip())))
     if _uri_has_live_wildcard(value):
         return ("wildcard", value)
     return ("term", _uri_unescape(value) if "\\" in value else value)

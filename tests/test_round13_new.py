@@ -66,6 +66,36 @@ def test_uri_bound_typing():
     assert uri_leaf_kind('["1" TO "5"]') == ("range", (True, "1", "5", True))
 
 
+def test_uri_bound_rejects_python_only_numeric_spellings():
+    """float()/int() accept nan/inf/1_000/Infinity — ES's range parser
+    rejects them, and NaN bounds would silently match everything under
+    Spark's NaN-is-largest ordering.  They stay lexical strings."""
+    assert uri_leaf_kind(">nan") == ("cmp", (">", "nan"))
+    assert uri_leaf_kind(">inf") == ("cmp", (">", "inf"))
+    assert uri_leaf_kind(">Infinity") == ("cmp", (">", "Infinity"))
+    assert uri_leaf_kind(">1_000") == ("cmp", (">", "1_000"))
+    assert uri_leaf_kind("[1_0 TO 2]") == ("range", (True, "1_0", 2, True))
+    # exact spellings still type
+    assert uri_leaf_kind(">+5") == ("cmp", (">", 5))
+    assert uri_leaf_kind(">-5.5") == ("cmp", (">", -5.5))
+    assert uri_leaf_kind(">1e3") == ("cmp", (">", 1000.0))
+
+
+def test_uri_wildcard_in_bound_refuses_loudly(spark):
+    """A wildcard inside a range/comparison bound has no Lucene meaning
+    — loud refusal beats a puzzling lexical/cast comparison on '5*'."""
+    with pytest.raises(QueryDslError, match="bound cannot contain wildcards"):
+        uri_leaf_kind(">5*")
+    with pytest.raises(QueryDslError, match="bound cannot contain wildcards"):
+        uri_leaf_kind("[a* TO b]")
+    with pytest.raises(QueryDslError, match="bound cannot contain wildcards"):
+        compile_query("n:>5*")
+    # the exact '*' open bound stays legal, and escaped wildcards in a
+    # bound are literal characters
+    assert uri_leaf_kind("[* TO 5]") == ("range", (True, None, 5, True))
+    assert uri_leaf_kind(r"[a\* TO b]") == ("range", (True, "a*", "b", True))
+
+
 def test_uri_escaped_wildcards_are_literal():
     """Lucene \\* / \\? escapes mean the literal character: a value of
     only escaped wildcards is a TERM; a mixed value stays a wildcard
