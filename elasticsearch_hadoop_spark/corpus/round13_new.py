@@ -39,8 +39,13 @@ def query_dsl_uri_extended(spark, sf_dir):
     comparison shorthand.  All four leaf kinds compile through the
     single-source ``uri_leaf_kind`` dispatch, so this exercises exactly
     the grammar the scored QSTR path gates on.  Plan: one parquet scan
-    with the whole predicate; LIKE/range conjuncts stay codegen'd
-    Column math — no Python, no shuffle before the final sort."""
+    with the whole predicate codegen'd — no Python, no shuffle before
+    the final sort.  Scale honesty: a top-level OR with a generic-LIKE
+    leg converts to NO parquet filter (Spark pushes Or only when every
+    leg converts), so this shape scans all row groups and filters
+    post-scan — the same cost ES pays walking the terms index for a
+    leading-wildcard; conjunctive eq/range/prefix `?q=` forms DO push
+    (plan-pinned in tests/test_plans.py)."""
     from elasticsearch_hadoop_spark.query_dsl import compile_query
 
     d = tbl(spark, sf_dir, "documents")

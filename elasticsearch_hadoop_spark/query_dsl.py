@@ -101,7 +101,12 @@ def compile_query(query: str | dict[str, Any], id_col: str = "_id") -> Column:
         query = query.strip()
         if not query.startswith("{"):
             return _compile_uri_query(query)
-        query = json.loads(query)
+        try:
+            query = json.loads(query)
+        except json.JSONDecodeError as exc:
+            # user-facing syntax: a malformed JSON body keeps the typed
+            # error contract instead of leaking a raw JSONDecodeError
+            raise QueryDslError(f"query is not valid JSON: {exc}") from None
     if "query" in query and set(query) == {"query"}:  # full search body
         query = query["query"]
     return _compile_clause(query, id_col)

@@ -517,13 +517,36 @@ def test_esql_qstr_constant_score_same_two_pass_shape(spark, sf_dir):
 
 def test_query_dsl_uri_extended_single_scan_pushdown(spark, sf_dir):
     """Round 13: the widened URI grammar compiles to plain Column
-    predicates — one parquet scan, the whole disjunction pushed (LIKE
-    prefix becomes StringStartsWith, ranges become bounds), no shuffle
-    beyond the final order."""
+    predicates — one parquet scan with the whole disjunction evaluated
+    in codegen'd FilterExec, no Python, no join.  Pushdown honesty: a
+    top-level OR whose legs include a generic LIKE (`src1_` carries a
+    `_`, so it is not a StartsWith) converts to NO parquet filter —
+    Spark pushes Or only when every leg converts — so the row-group
+    pruning here is zero and the filter runs post-scan; conjunctive
+    eq/range/prefix `?q=` forms do push (pushdown_predicates family
+    pins those)."""
     plan = plan_of(spark, sf_dir, "query_dsl_uri_extended")
     assert count_nodes(plan, "Scan parquet") == 1
     assert "PythonUDF" not in plan
     assert "Join" not in plan
+
+
+def test_uri_conjunctive_range_pushes_to_parquet(spark, sf_dir):
+    """The widened grammar's range/cmp kinds DO reach the parquet scan
+    when the boolean shape allows it: a conjunctive `?q=` compiles to
+    plain gt/lte bounds in PushedFilters."""
+    from elasticsearch_hadoop_spark.corpus._util import tbl
+    from elasticsearch_hadoop_spark.plans import formatted_plan
+    from elasticsearch_hadoop_spark.query_dsl import compile_query
+
+    d = tbl(spark, sf_dir, "documents").filter(
+        compile_query("n_chars:{100 TO 400] AND lang:en")
+    )
+    plan = formatted_plan(d)
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan, flags=re.S).group(1)
+    assert "GreaterThan(n_chars,100)" in pushed
+    assert "LessThanOrEqual(n_chars,400)" in pushed
+    assert "EqualTo(lang,en)" in pushed
 
 
 def test_esql_ts_rate_subday_one_window_two_aggs(spark, sf_dir):

@@ -324,6 +324,33 @@ def test_uri_grammar_differential(spark, leaves, ops):
     assert got == exp, (q, sorted(got), sorted(exp))
 
 
+@given(
+    q=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_uri_grammar_error_contract_fuzz(spark, q):
+    """Arbitrary printable input either compiles to a Column or raises
+    the typed QueryDslError — never any other exception (the es.query
+    veneer is user-facing syntax; a raw regex/cast traceback there is a
+    bug)."""
+    from elasticsearch_hadoop_spark.query_dsl import QueryDslError, compile_query
+
+    try:
+        compile_query(q)
+    except QueryDslError:
+        pass
+
+
 # ---------- scored QSTR constant-score leaves ----------
 
 
