@@ -246,10 +246,11 @@ def test_uri_mixed_kinds_left_assoc(kinds_df):
 
 # ---------- hypothesis differential vs pure Python ----------
 
-_S_VALUES = ["alpha", "alps", "a%b", "beta", "b_c", "x"]
+_S_VALUES = ["alpha", "alps", "a%b", "beta", "b_c", "x", "a*b"]
 _S_LEAVES = [
     "s:alpha", 's:"beta"', "s:al*", "s:?lps", "s:a?b", "s:*a*",
     "s:[alpha TO beta]", "s:{alpha TO beta}", "s:>beta", "s:<=b_c",
+    r"s:a\*b", r"s:a\*b*", r"s:\?lps",
 ]
 _N_LEAVES = [
     "n:3", "n:>4", "n:>=4", "n:<9", "n:<=9",
@@ -268,11 +269,17 @@ def _py_leaf(leaf: str, s, n) -> bool:
     if kind == "term":
         return v == payload if field == "s" else str(v) == payload
     if kind == "wildcard":
-        rx = "".join(
-            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
-            for ch in payload
-        )
-        return re.fullmatch(rx, str(v)) is not None
+        # escape-aware translation: \x is the literal x, bare */? live
+        rx, i = [], 0
+        while i < len(payload):
+            ch = payload[i]
+            if ch == "\\" and i + 1 < len(payload):
+                rx.append(re.escape(payload[i + 1]))
+                i += 2
+                continue
+            rx.append(".*" if ch == "*" else "." if ch == "?" else re.escape(ch))
+            i += 1
+        return re.fullmatch("".join(rx), str(v)) is not None
     if kind == "cmp":
         op, b = payload
         return {" >": v > b, ">": v > b, ">=": v >= b, "<": v < b, "<=": v <= b}[op]
