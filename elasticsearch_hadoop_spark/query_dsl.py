@@ -698,14 +698,25 @@ def uri_pair_clause(
     the NAMED field for a non-null value.  Shared by the filter
     compiler and the scored-leaf gates for the same can't-diverge
     reason as ``uri_query_parts``."""
-    col = F.col(field)
+
+    def ucol(name: str) -> Column:
+        # user-facing syntax: a malformed attribute name (unbalanced
+        # backtick, empty) raises AnalysisException at Column-BUILD
+        # time — keep the typed error contract (found by the round-13
+        # printable-input fuzz)
+        try:
+            return F.col(name)
+        except Exception as exc:
+            raise QueryDslError(f"bad field name {name!r}: {exc}") from None
+
+    col = ucol(field)
     kind, payload = kind if kind is not None else uri_leaf_kind(value)
     if field == "_exists_":
         if kind != "term":
             raise QueryDslError(
                 f"_exists_ takes a field name, got {value!r}"
             )
-        return F.col(payload).isNotNull()
+        return ucol(payload).isNotNull()
     if kind == "term":
         return col == F.lit(payload)
     if kind == "wildcard":
