@@ -576,9 +576,21 @@ def _uri_bound(text: str):
     if len(text) >= 2 and text[0] == '"' and text[-1] == '"':
         return text[1:-1]
     if _URI_INT.match(text):
-        return int(text)
+        v = int(text)
+        if not -(2**63) <= v <= 2**63 - 1:
+            # F.lit would raise an untyped Py4JError past int64; ES
+            # 400s an out-of-range long the same way.  A double-typed
+            # bound is still expressible via a float spelling (1e30).
+            raise QueryDslError(
+                f"integer bound out of int64 range: {text!r} "
+                "(use a float spelling like 1e30 for a double bound)"
+            )
+        return v
     if _URI_FLOAT.match(text):
-        return float(text)
+        v = float(text)
+        if v in (float("inf"), float("-inf")):
+            raise QueryDslError(f"bound overflows double: {text!r}")
+        return v
     # string bound: Lucene \x escapes resolve, same as term values
     return _uri_unescape(text) if "\\" in text else text
 

@@ -81,6 +81,22 @@ def test_uri_bound_rejects_python_only_numeric_spellings():
     assert uri_leaf_kind(">1e3") == ("cmp", (">", 1000.0))
 
 
+def test_uri_bound_range_overflow_refuses_loudly():
+    """Past-int64 integer bounds and double-overflow float bounds raise
+    the typed error instead of leaking Py4JError from F.lit (found by
+    the printable-input fuzz + a directed probe)."""
+    with pytest.raises(QueryDslError, match="out of int64 range"):
+        uri_leaf_kind(">" + "9" * 30)
+    with pytest.raises(QueryDslError, match="out of int64 range"):
+        uri_leaf_kind("[-" + "9" * 25 + " TO 5]")
+    with pytest.raises(QueryDslError, match="overflows double"):
+        uri_leaf_kind(">1e400")
+    # int64 edges and big doubles stay fine
+    assert uri_leaf_kind(f">{2**63 - 1}") == ("cmp", (">", 2**63 - 1))
+    assert uri_leaf_kind(f">{-(2**63)}") == ("cmp", (">", -(2**63)))
+    assert uri_leaf_kind(">1e30") == ("cmp", (">", 1e30))
+
+
 def test_uri_wildcard_in_bound_refuses_loudly(spark):
     """A wildcard inside a range/comparison bound has no Lucene meaning
     — loud refusal beats a puzzling lexical/cast comparison on '5*'."""
