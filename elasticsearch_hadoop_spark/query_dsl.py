@@ -557,6 +557,9 @@ _URI_RANGE = re.compile(r"^([\[\{])\s*(\S.*?)\s+TO\s+(\S.*?)\s*([\]\}])$", re.I 
 # ordering); those spellings stay lexical strings here
 _URI_INT = re.compile(r"^[+-]?\d+$")
 _URI_FLOAT = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
+# special FP spellings Spark's string->double coercion parses
+# case-insensitively on numeric columns — refused loudly (see _uri_bound)
+_URI_SPECIAL_FP = re.compile(r"^[+-]?(nan|inf|infinity)$", re.I)
 
 
 def _uri_bound(text: str):
@@ -575,6 +578,19 @@ def _uri_bound(text: str):
     never silently — quote the bound for lexical semantics there."""
     if len(text) >= 2 and text[0] == '"' and text[-1] == '"':
         return text[1:-1]
+    if _URI_SPECIAL_FP.match(text):
+        # 'stays a lexical string' is NOT protection here: Spark's
+        # binary-comparison coercion casts the string back to double on
+        # a numeric column, and special FP literals parse
+        # case-insensitively — `n < nan` silently matches EVERY row
+        # under NaN-is-largest ordering (review r13c, verified live).
+        # ES 400s these; so do we.  A quoted bound stays expressible
+        # for a string column legitimately holding the text.
+        raise QueryDslError(
+            f"bound {text!r} would compare as NaN/Infinity and silently "
+            "match everything or nothing - quote it for a literal "
+            "string bound"
+        )
     if _URI_INT.match(text):
         v = int(text)
         if not -(2**63) <= v <= 2**63 - 1:
@@ -676,12 +692,19 @@ def uri_leaf_kind(value: str) -> tuple[str, object]:
     def bound(text: str, open_ok: bool = False):
         if open_ok and text == "*":
             return None
+        if len(text) >= 2 and text[0] == '"' and text[-1] == '"':
+            # quoted FIRST: quotes force a literal string bound, so a
+            # quoted '*'/'5*' is the literal text, never a wildcard
+            # (review r13c — the wildcard refusal below must not see
+            # the quoted form)
+            return text[1:-1]
         if _uri_has_live_wildcard(text):
-            # a wildcard inside a range/comparison bound has no Lucene
-            # meaning — refuse loudly rather than compile a puzzling
-            # lexical/cast comparison against the raw '5*' text
+            # a wildcard inside an unquoted range/comparison bound has
+            # no Lucene meaning — refuse loudly rather than compile a
+            # puzzling lexical/cast comparison against the raw '5*'
             raise QueryDslError(
-                f"range/comparison bound cannot contain wildcards: {value!r}"
+                f"range/comparison bound cannot contain wildcards: "
+                f"{value!r} (quote the bound for the literal text)"
             )
         return _uri_bound(text)
 
@@ -713,12 +736,16 @@ def uri_pair_clause(
 
     def ucol(name: str) -> Column:
         # user-facing syntax: a malformed attribute name (unbalanced
-        # backtick, empty) raises AnalysisException at Column-BUILD
-        # time — keep the typed error contract (found by the round-13
-        # printable-input fuzz)
+        # backtick) raises AnalysisException at Column-BUILD time —
+        # keep the typed error contract (found by the round-13
+        # printable-input fuzz).  Catch ONLY the parse error: a bare
+        # Exception here would relabel a dead gateway/session as "bad
+        # field name" (review r13c).
+        from pyspark.errors import AnalysisException
+
         try:
             return F.col(name)
-        except Exception as exc:
+        except AnalysisException as exc:
             raise QueryDslError(f"bad field name {name!r}: {exc}") from None
 
     col = ucol(field)

@@ -543,10 +543,10 @@ def test_uri_conjunctive_range_pushes_to_parquet(spark, sf_dir):
         compile_query("n_chars:{100 TO 400] AND lang:en")
     )
     plan = formatted_plan(d)
-    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan, flags=re.S).group(1)
-    assert "GreaterThan(n_chars,100)" in pushed
-    assert "LessThanOrEqual(n_chars,400)" in pushed
-    assert "EqualTo(lang,en)" in pushed
+    pushed = " ".join(pushed_filters(plan))
+    assert "GreaterThan(n_chars,100)" in pushed, pushed
+    assert "LessThanOrEqual(n_chars,400)" in pushed, pushed
+    assert "EqualTo(lang,en)" in pushed, pushed
 
 
 def test_esql_ts_rate_subday_one_window_two_aggs(spark, sf_dir):

@@ -67,18 +67,35 @@ def test_uri_bound_typing():
 
 
 def test_uri_bound_rejects_python_only_numeric_spellings():
-    """float()/int() accept nan/inf/1_000/Infinity — ES's range parser
-    rejects them, and NaN bounds would silently match everything under
-    Spark's NaN-is-largest ordering.  They stay lexical strings."""
-    assert uri_leaf_kind(">nan") == ("cmp", (">", "nan"))
-    assert uri_leaf_kind(">inf") == ("cmp", (">", "inf"))
-    assert uri_leaf_kind(">Infinity") == ("cmp", (">", "Infinity"))
+    """nan/inf/Infinity bounds refuse LOUDLY — 'stays a lexical
+    string' is no protection, because Spark's comparison coercion
+    casts the string back to double on a numeric column
+    (case-insensitively) and `n < nan` silently matches every row
+    under NaN-is-largest ordering (review r13c, verified live).
+    Underscore spellings stay lexical strings (no coercion hazard:
+    '1_0' does not cast to a number)."""
+    for bad in (">nan", ">inf", ">Infinity", "<NaN", ">=-inf", "[nan TO 5]"):
+        with pytest.raises(QueryDslError, match="NaN/Infinity"):
+            uri_leaf_kind(bad)
+    # quoted keeps a literal string bound expressible
+    assert uri_leaf_kind('>"nan"') == ("cmp", (">", "nan"))
     assert uri_leaf_kind(">1_000") == ("cmp", (">", "1_000"))
     assert uri_leaf_kind("[1_0 TO 2]") == ("range", (True, "1_0", 2, True))
     # exact spellings still type
     assert uri_leaf_kind(">+5") == ("cmp", (">", 5))
     assert uri_leaf_kind(">-5.5") == ("cmp", (">", -5.5))
     assert uri_leaf_kind(">1e3") == ("cmp", (">", 1000.0))
+
+
+def test_uri_quoted_bound_with_wildcard_chars_is_literal():
+    """review r13c regression: the wildcard-in-bound refusal must not
+    see QUOTED bounds — quotes force the literal text."""
+    assert uri_leaf_kind('>"5*"') == ("cmp", (">", "5*"))
+    assert uri_leaf_kind('["src1*" TO "src2*"]') == (
+        "range",
+        (True, "src1*", "src2*", True),
+    )
+    assert uri_leaf_kind('["*" TO b]') == ("range", (True, "*", "b", True))
 
 
 def test_uri_bound_range_overflow_refuses_loudly():
@@ -298,7 +315,7 @@ def _py_leaf(leaf: str, s, n) -> bool:
         return re.fullmatch("".join(rx), str(v)) is not None
     if kind == "cmp":
         op, b = payload
-        return {" >": v > b, ">": v > b, ">=": v >= b, "<": v < b, "<=": v <= b}[op]
+        return {">": v > b, ">=": v >= b, "<": v < b, "<=": v <= b}[op]
     lo_incl, lo, hi, hi_incl = payload
     ok = True
     if lo is not None:
