@@ -52,7 +52,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark import txn
@@ -271,16 +271,27 @@ class Catalog:
             raise ValueError(f"delete_by_query takes a single index, got {names}")
         (idx,) = names
         pred = compile_query(query)
-        counts: dict[str, int] = {}
+        # before/kept counts ride the rewrite job as Observation metrics
+        # (CollectMetrics accumulators) — previously two EXTRA full-scan
+        # count jobs bracketed the write; at scale that tripled the I/O of
+        # every delete_by_query.  A transactional retry re-invokes build,
+        # so each invocation gets fresh Observations; the committed result
+        # is the last pair.
+        obs: list[tuple[Observation, Observation]] = []
 
         def build(df: DataFrame) -> DataFrame:
             if df is None:
                 raise ValueError(f"index {idx!r} has no committed data")
-            counts["before"] = df.count()
-            return df.filter(~pred | pred.isNull())
+            o_in, o_out = Observation(), Observation()
+            obs.append((o_in, o_out))
+            d = df.observe(o_in, F.count(F.lit(1)).alias("n"))
+            return d.filter(~pred | pred.isNull()).observe(
+                o_out, F.count(F.lit(1)).alias("n")
+            )
 
         self._commit_build(idx, [], build)
-        return counts["before"] - self._read_files(idx).count()
+        o_in, o_out = obs[-1]
+        return o_in.get["n"] - o_out.get["n"]
 
     def stats_index(self, name: str) -> dict:
         """_stats parity: per-index doc count, store size in bytes, field
@@ -314,13 +325,18 @@ class Catalog:
             raise ValueError(f"update_by_query takes a single index, got {names}")
         (idx,) = names
         pred = compile_query(query)
-        counts: dict[str, int] = {}
+        # matched count rides the rewrite job as an Observation metric on
+        # the PRE-update rows (pred must see the old values) — previously a
+        # separate full-scan count job ran before the rewrite.  Fresh
+        # Observation per build invocation (transactional retry re-invokes).
+        obs: list[Observation] = []
 
         def build(df: DataFrame) -> DataFrame:
             if df is None:
                 raise ValueError(f"index {idx!r} has no committed data")
-            counts["matched"] = df.filter(pred).count()
-            out = df
+            o = Observation()
+            obs.append(o)
+            out = df.observe(o, F.count(F.when(pred, F.lit(1))).alias("n"))
             for col_name, expr in set_exprs.items():
                 out = out.withColumn(
                     col_name, F.when(pred, expr).otherwise(F.col(col_name))
@@ -328,7 +344,7 @@ class Catalog:
             return out
 
         self._commit_build(idx, [], build)
-        return counts["matched"]
+        return obs[-1].get["n"]
 
     def reindex(
         self,
@@ -401,7 +417,11 @@ class Catalog:
         new_index = f"{m.group(1)}-{int(m.group(2)) + 1:06d}"
         if rolled and not dry_run:
             schema = self.read_index(current).schema
-            self.write_index(self.spark.createDataFrame([], schema), new_index)
+            # the new generation is born empty: write its schema-bearing
+            # parquet marker as ONE task, not defaultParallelism empty tasks
+            self.write_index(
+                self.spark.createDataFrame([], schema).coalesce(1), new_index
+            )
             meta = self._read_meta(new_index)
             meta["created_at"] = time.time()
             self._write_meta(new_index, meta)
@@ -443,6 +463,7 @@ class Catalog:
         max_records_per_file: int | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        zorder_bounds: dict[str, tuple[float, float]] | None = None,
     ) -> None:
         """Write ``df`` into index ``name`` (saveToEs parity, SURVEY.md §3.2).
 
@@ -529,7 +550,9 @@ class Catalog:
                 return frame
             from elasticsearch_hadoop_spark.operators.zorder import zorder
 
-            return zorder(frame, zorder_by)
+            # zorder_bounds skips the operator's own (min, max) scan when the
+            # caller already computed covering bounds (one scan instead of two)
+            return zorder(frame, zorder_by, bounds=zorder_bounds)
         if id_col is not None:
             out = out.withColumn("_id", F.col(id_col).cast("string"))
         if routing_col is not None:
@@ -553,6 +576,7 @@ class Catalog:
                 self._append_files(cluster(out), name, partition_cols, max_records_per_file)
             else:
                 final = out
+                checks: list = []
 
                 def merge_build(existing: DataFrame | None) -> DataFrame:
                     if existing is None:
@@ -562,13 +586,22 @@ class Catalog:
                         # everything, update raises DocumentMissingError,
                         # delete is a no-op — instead of crashing on None.
                         existing = self.spark.createDataFrame([], final.schema)
-                    return cluster(self._merge(existing, final, operation, on_match))
+                    return cluster(
+                        self._merge(existing, final, operation, on_match, checks=checks)
+                    )
 
                 self._commit_build(
                     name,
                     partition_cols,
                     merge_build,
                     max_records_per_file=max_records_per_file,
+                    # update's missing-_id contract is enforced from the
+                    # merge job's own Observation metrics (zero extra scans),
+                    # AFTER the build wrote but BEFORE the commit publishes —
+                    # a failure leaves the index untouched, like the old
+                    # pre-check.  checks[-1] is the latest build invocation's
+                    # closure (a transactional retry re-invokes build).
+                    validate=(lambda: checks[-1]()) if operation == "update" else None,
                 )
 
         # merge (not replace) the meta: created_at (rollover/data-stream
@@ -596,12 +629,21 @@ class Catalog:
         incoming: DataFrame,
         operation: str,
         on_match: dict[str, Column] | None,
+        checks: list | None = None,
     ) -> DataFrame:
         """Hash-join merge on _id.  Incoming batch is usually the small side
         -> AQE broadcasts it; existing data shuffles at most once on _id.
         ``existing`` is the snapshot the commit layer resolved — under the
         transactional log a lost race re-invokes this against the winner's
-        snapshot (optimistic MERGE INTO)."""
+        snapshot (optimistic MERGE INTO).
+
+        ``operation="update"``'s missing-_id check rides the merge job
+        itself: the merge joins already touch every (incoming, existing)
+        id pair, so Observation metrics on those joins count the misses
+        for free, and the appended ``checks`` closure (run by the commit
+        layer post-write, pre-publish) raises DocumentMissingError from
+        the counts.  The old shape ran a separate pre-check join job —
+        at scale that doubled the update's join I/O."""
         # last occurrence wins within the incoming batch (bulk-order parity)
         w_id = incoming
         if operation != "delete":
@@ -619,11 +661,26 @@ class Catalog:
                 raise DocumentConflictError(f"create conflicts on _id, e.g. {some}")
             return existing.unionByName(w_id, allowMissingColumns=True)
 
-        if operation == "update":
-            missing = w_id.join(existing.select("_id"), on="_id", how="left_anti")
-            if missing.limit(1).count():
-                some = [r["_id"] for r in missing.select("_id").limit(5).collect()]
-                raise DocumentMissingError(f"update for missing _id, e.g. {some}")
+        def missing_check(get_missing):
+            """Closure for the commit layer: read the merge job's metrics;
+            on a miss, fetch example ids with a query on the error path
+            only (the happy path never runs a second join job)."""
+
+            def check():
+                n = get_missing()
+                if n:
+                    missing = w_id.join(
+                        existing.select("_id"), on="_id", how="left_anti"
+                    )
+                    some = [
+                        r["_id"] for r in missing.select("_id").limit(5).collect()
+                    ]
+                    raise DocumentMissingError(
+                        f"update for missing _id ({n} total), e.g. {some}"
+                    )
+
+            if checks is not None:
+                checks.append(check)
 
         # update / upsert
         if on_match:
@@ -631,10 +688,19 @@ class Catalog:
             new_side = w_id.select(
                 F.col("_id"), *[F.col(c).alias(f"_new_{c}") for c in w_id.columns if c != "_id"]
             )
+            if operation == "update":
+                # missing = incoming ids minus matched ids, both observed on
+                # single-consumer branches of this same plan (new_side feeds
+                # only the inner join; matched feeds only the union)
+                o_in, o_match = Observation(), Observation()
+                new_side = new_side.observe(o_in, F.count(F.lit(1)).alias("n"))
             matched = existing.join(new_side, on="_id", how="inner")
             for col_name, expr in on_match.items():
                 matched = matched.withColumn(col_name, expr)
             matched = matched.select(existing.columns)
+            if operation == "update":
+                matched = matched.observe(o_match, F.count(F.lit(1)).alias("n"))
+                missing_check(lambda: o_in.get["n"] - o_match.get["n"])
             untouched = existing.join(w_id.select("_id"), on="_id", how="left_anti")
             result = untouched.unionByName(matched)
             if operation == "upsert":
@@ -645,7 +711,17 @@ class Catalog:
         # whole-document replace (ES index/upsert semantics)
         untouched = existing.join(w_id.select("_id"), on="_id", how="left_anti")
         if operation == "update":
-            replacements = w_id.join(existing.select("_id"), on="_id", how="left_semi")
+            # left-join + presence marker instead of left_semi: same join
+            # shape and cost, but the pre-join rows can carry an Observation
+            # that counts the misses the filter drops
+            o_miss = Observation()
+            marked = w_id.join(
+                existing.select("_id").withColumn("__ex", F.lit(True)),
+                on="_id",
+                how="left",
+            ).observe(o_miss, F.count(F.when(F.col("__ex").isNull(), 1)).alias("n"))
+            replacements = marked.filter(F.col("__ex").isNotNull()).drop("__ex")
+            missing_check(lambda: o_miss.get["n"])
         else:  # index / upsert: all incoming docs land
             replacements = w_id
         return untouched.unionByName(replacements, allowMissingColumns=True)
@@ -677,6 +753,7 @@ class Catalog:
         build,
         max_records_per_file: int | None = None,
         needs_existing: bool = True,
+        validate=None,
     ) -> None:
         """Derive-and-replace commit: ``build(existing_df_or_None)`` returns
         the index's new full contents.
@@ -685,7 +762,13 @@ class Catalog:
         the old single-writer _commit).  Transactional: write the result to
         an immutable uuid data dir and claim the next manifest version; if
         another writer won the race, re-run ``build`` against the winner's
-        snapshot and try again (txn.commit_replace's optimistic loop)."""
+        snapshot and try again (txn.commit_replace's optimistic loop).
+
+        ``validate`` (when given) runs after the build's write job finishes
+        but BEFORE the result becomes visible (pre-swap / pre-publish) — the
+        hook that lets contract checks ride the write job's own Observation
+        metrics instead of paying a separate pre-check job; a raise aborts
+        the commit with the index untouched."""
         self._assert_not_follower(name)
         target = self.path(name)
         if not self.transactional:
@@ -693,7 +776,8 @@ class Catalog:
                 self._read_files(name) if needs_existing and self.exists(name) else None
             )
             self._commit(build(existing), name, partition_cols, replace=True,
-                         max_records_per_file=max_records_per_file)
+                         max_records_per_file=max_records_per_file,
+                         validate=validate)
             return
         txn.adopt(target)  # pre-existing plain data becomes committed v1
         version, dirs = txn.latest(target)
@@ -703,6 +787,14 @@ class Catalog:
             out = build(existing)
             d = txn.new_data_dir(target)
             self._writer(out, partition_cols, max_records_per_file).parquet(d)
+            if validate is not None:
+                try:
+                    validate()
+                except Exception:
+                    # uncommitted uuid dir: invisible to readers; drop it
+                    # eagerly rather than waiting for vacuum
+                    shutil.rmtree(d, ignore_errors=True)
+                    raise
             return d
 
         txn.commit_replace(target, version, produce(dirs), recompute=produce)
@@ -1022,9 +1114,12 @@ class Catalog:
         partition_cols: list[str],
         replace: bool,
         max_records_per_file: int | None = None,
+        validate=None,
     ) -> None:
         """Write to a temp dir, atomically swap in (single-writer commit).
-        The transactional path never routes here — see _commit_build."""
+        The transactional path never routes here — see _commit_build.
+        ``validate`` runs between the temp write and the swap — see
+        _commit_build."""
         target = self.path(name)
         tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
@@ -1033,6 +1128,12 @@ class Catalog:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(tmp)
+        if validate is not None:
+            try:
+                validate()
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
         old = None
         if os.path.exists(target):
             old = os.path.join(self.root, f".old-{name}-{uuid.uuid4().hex[:8]}")

@@ -440,8 +440,11 @@ ORDER BY l_orderkey, l_linenumber
 def writepath_zorder_read(spark, sf_dir):
     """Z-order clustered write round trip (operators/zorder.py via
     write_index(zorder_by=...)): cluster lineitem on (l_partkey, l_suppkey)
-    into many small files, then run the two-dimensional range read the
-    clustering exists for.  Correctness = the clustered copy returns exactly
+    into multiple bounded files (20k rows each — small enough that the
+    2-D range read demonstrably skips most of them, large enough that
+    file-open overhead doesn't dominate the round trip; at 100 TB the
+    same knob targets 128 MB-1 GB files per guide §6), then run the
+    two-dimensional range read the clustering exists for.  Correctness = the clustered copy returns exactly
     the source rows (a lossy interleave/merge would drop or duplicate);
     the file-skipping benefit itself is plan-pinned in tests/test_zorder.py.
     Thresholds derive from max() on BOTH sides so the filter stays
@@ -451,6 +454,8 @@ def writepath_zorder_read(spark, sf_dir):
     which would defeat the row-group skipping this query exists to grade.
     Flooring preserves the row set exactly (both columns are positive
     integers, so x <= m/10.0 iff x <= floor(m/10))."""
+    from elasticsearch_hadoop_spark.operators.zorder import column_bounds
+
     root = _workdir(sf_dir, "zorder")
     cat = Catalog(spark, root)
     cols = [
@@ -458,16 +463,21 @@ def writepath_zorder_read(spark, sf_dir):
         "l_quantity", "l_extendedprice",
     ]
     li = tbl(spark, sf_dir, "lineitem").select(*cols)
+    # ONE (min, max) scan serves both the z-order rank normalization
+    # (zorder_bounds) and the query's own filter thresholds — previously
+    # the operator scanned for bounds and this query scanned again for
+    # the maxes (guide: don't recompute what a prior pass already knows)
+    zb = column_bounds(li, ["l_partkey", "l_suppkey"])
     cat.write_index(
         li, "li", mode="overwrite",
-        zorder_by=["l_partkey", "l_suppkey"], max_records_per_file=2000,
+        zorder_by=["l_partkey", "l_suppkey"], zorder_bounds=zb,
+        max_records_per_file=20000,
     )
-    bounds = li.agg(F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")).first()
     return (
         cat.read_index("li")
         .filter(
-            (F.col("l_partkey") <= int(bounds["p"] // 10))
-            & (F.col("l_suppkey") <= int(bounds["s"] // 2))
+            (F.col("l_partkey") <= int(zb["l_partkey"][1] // 10))
+            & (F.col("l_suppkey") <= int(zb["l_suppkey"][1] // 2))
         )
         .select(*cols)
         .orderBy("l_orderkey", "l_linenumber")

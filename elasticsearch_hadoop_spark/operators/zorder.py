@@ -75,10 +75,20 @@ def zvalue(
     return z
 
 
-def zorder(df: DataFrame, cols: list[str], bits: int | None = None, num_partitions: int | None = None) -> DataFrame:
+def zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int | None = None,
+    num_partitions: int | None = None,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
     """Cluster ``df`` on the z-curve of ``cols``: one range shuffle +
-    in-partition sort; the helper column is dropped before return."""
-    b = column_bounds(df, cols)
+    in-partition sort; the helper column is dropped before return.
+    ``bounds`` lets a caller that already knows (or also needs) the
+    per-column (min, max) pass them in, skipping the bounds scan — at
+    scale the rank-normalization only needs *covering* bounds, so table
+    statistics or a previous pass's values are fine."""
+    b = bounds if bounds is not None else column_bounds(df, cols)
     out = df.withColumn("__z", zvalue(cols, b, bits))
     if num_partitions:
         out = out.repartitionByRange(num_partitions, "__z")
