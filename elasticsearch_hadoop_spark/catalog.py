@@ -417,14 +417,7 @@ class Catalog:
         new_index = f"{m.group(1)}-{int(m.group(2)) + 1:06d}"
         if rolled and not dry_run:
             schema = self.read_index(current).schema
-            # the new generation is born empty: write its schema-bearing
-            # parquet marker as ONE task, not defaultParallelism empty tasks
-            self.write_index(
-                self.spark.createDataFrame([], schema).coalesce(1), new_index
-            )
-            meta = self._read_meta(new_index)
-            meta["created_at"] = time.time()
-            self._write_meta(new_index, meta)
+            self._create_empty_index(new_index, schema)
             aliases[alias] = [*targets, new_index]
             with open(self._aliases_path(), "w") as f:
                 json.dump(aliases, f)
@@ -436,6 +429,39 @@ class Catalog:
             "conditions": conditions,
             "docs": docs,
         }
+
+    def _create_empty_index(self, name: str, schema) -> None:
+        """Create an index as pure METADATA — empty directory + the Spark
+        schema persisted in ``_meta`` — exactly like ES, where index
+        creation touches no data nodes' segments.  The old shape wrote a
+        zero-row parquet file through a full Spark job (~0.7s each, paid
+        on EVERY rollover); ``_read_files`` special-cases the empty dir by
+        rebuilding the frame from the stored schema.  Index templates
+        resolve here like any new-index creation (write_index parity)."""
+        os.makedirs(self.path(name), exist_ok=True)
+        meta = self._read_meta(name)
+        meta.update(
+            {
+                "created_at": time.time(),
+                "updated_at": time.time(),
+                "schema": schema.jsonValue(),
+            }
+        )
+        tpl = self._match_template(name)
+        if tpl is not None:
+            t = self._resolve_template(tpl)
+            settings = t.get("settings") or {}
+            pipeline = settings.get("index.default_pipeline") or settings.get(
+                "default_pipeline"
+            )
+            sort_field = settings.get("index.sort.field") or settings.get("sort.field")
+            if pipeline:
+                meta["default_pipeline"] = pipeline
+            if sort_field:
+                meta["index_sort"] = sort_field
+            if t.get("mappings") is not None and "mappings" not in meta:
+                meta["mappings"] = t["mappings"]
+        self._write_meta(name, meta)
 
     def write_alias(self, df: DataFrame, alias: str, **kwargs) -> None:
         """Write through a rollover alias: documents land in the alias's
@@ -1105,6 +1131,17 @@ class Catalog:
             if not dirs:
                 raise ValueError(f"index {idx!r} has no committed data")
             return self._read_dirs(dirs)
+        if not os.listdir(path):
+            # metadata-only index (fresh rollover generation): rebuild the
+            # empty frame from the schema _create_empty_index persisted —
+            # StructType.fromJson round-trips the Spark schema exactly
+            meta = self._read_meta(idx)
+            if meta.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(meta["schema"])
+                )
         return self.spark.read.option("mergeSchema", "true").parquet(path)
 
     def _commit(
