@@ -518,30 +518,43 @@ def compile_aggs(
             # math (codegen; the DuckDB oracle replays the same
             # arithmetic).  IPv6 is unsupported (documented).
             b = body["ip_range"]
-            ipnum = _ipv4_to_long(F.col(b["field"]))
-            labels = []
-            for r in b.get("ranges", []):
-                if "mask" in r:
-                    lo_i, hi_i = _cidr_bounds(str(r["mask"]))
-                    label = r.get("key", str(r["mask"]))
-                    cond = (ipnum >= F.lit(lo_i)) & (ipnum < F.lit(hi_i))
-                else:
-                    lo, hi = r.get("from"), r.get("to")
-                    label = r.get("key") or (
-                        f"{lo if lo is not None else '*'}-"
-                        f"{hi if hi is not None else '*'}"
-                    )
-                    cond = F.lit(True)
-                    if lo is not None:
-                        cond = cond & (ipnum >= F.lit(_ipv4_str_to_int(str(lo))))
-                    if hi is not None:
-                        cond = cond & (ipnum < F.lit(_ipv4_str_to_int(str(hi))))
-                labels.append(F.when(cond, F.lit(label)))
-            if not labels:
+            ranges = b.get("ranges", [])
+            if not ranges:
                 raise AggsDslError("ip_range needs a non-empty ranges list")
+
+            # let-bind the parsed address: each range's CASE references the
+            # 4-split/cast parse, and CollapseProject would otherwise inline
+            # it into EVERY range bound (2 bounds x N ranges -> up to 2N
+            # full parses per row; see functions/text.py let_bind)
+            def _bucket_labels(ipnum: Column) -> Column:
+                labels = []
+                for r in ranges:
+                    if "mask" in r:
+                        lo_i, hi_i = _cidr_bounds(str(r["mask"]))
+                        label = r.get("key", str(r["mask"]))
+                        cond = (ipnum >= F.lit(lo_i)) & (ipnum < F.lit(hi_i))
+                    else:
+                        lo, hi = r.get("from"), r.get("to")
+                        label = r.get("key") or (
+                            f"{lo if lo is not None else '*'}-"
+                            f"{hi if hi is not None else '*'}"
+                        )
+                        cond = F.lit(True)
+                        if lo is not None:
+                            cond = cond & (ipnum >= F.lit(_ipv4_str_to_int(str(lo))))
+                        if hi is not None:
+                            cond = cond & (ipnum < F.lit(_ipv4_str_to_int(str(hi))))
+                    labels.append(F.when(cond, F.lit(label)))
+                return F.filter(F.array(*labels), lambda x: x.isNotNull())
+
+            from elasticsearch_hadoop_spark.functions.text import let_bind
+
             tmp = f"__bucket_{name}"
             df = df.withColumn(
-                tmp, F.explode(F.filter(F.array(*labels), lambda x: x.isNotNull()))
+                tmp,
+                F.explode(
+                    let_bind(_ipv4_to_long(F.col(b["field"])), _bucket_labels)
+                ),
             )
             keys.append((name, F.col(tmp)))
         elif kind == "nested":
@@ -2156,13 +2169,19 @@ def _bucket_key(kind: str, b: dict) -> Column:
         unit_km = {"m": 0.001, "km": 1.0, "mi": 1.609344}.get(b.get("unit", "m"))
         if unit_km is None:
             raise AggsDslError(f"geo_distance unit {b['unit']!r} (want m/km/mi)")
+        from elasticsearch_hadoop_spark.functions.text import let_bind
+
         dist = haversine_km(
             F.col(f"{b['field']}.lat"),
             F.col(f"{b['field']}.lon"),
             F.lit(float(origin["lat"])),
             F.lit(float(origin["lon"])),
         ) / F.lit(unit_km)
-        return _range_whens(dist, b["ranges"], lambda v: F.lit(float(v)))
+        # let-bind the distance: the when-chain reads it up to 2x per ring,
+        # and CollapseProject would inline the trig into every bound
+        return let_bind(
+            dist, lambda d: _range_whens(d, b["ranges"], lambda v: F.lit(float(v)))
+        )
     if kind in ("range", "date_range"):
         # date_range is range with from/to parsed as timestamps (ES also
         # allows date-math like "now-1d" — not supported, literals only)
@@ -2180,17 +2199,27 @@ def _bucket_key(kind: str, b: dict) -> Column:
         n_bits = int(b["prefix_length"])
         if not 0 <= n_bits <= 32:
             raise AggsDslError(f"ip_prefix prefix_length {n_bits} out of range 0..32")
-        net = F.shiftleft(F.shiftright(_ipv4_to_long(field), 32 - n_bits), 32 - n_bits)
-        quad = F.concat_ws(
-            ".",
-            *[
-                F.shiftright(net, s).bitwiseAND(F.lit(255)).cast("string")
-                for s in (24, 16, 8, 0)
-            ],
+        from elasticsearch_hadoop_spark.functions.text import let_bind
+
+        # let-bind the masked network int: the dotted-quad rendering reads
+        # it four times, and CollapseProject would inline the 4-split parse
+        # into every octet (4 full parses per row without the binding)
+        def _quad(net: Column) -> Column:
+            quad = F.concat_ws(
+                ".",
+                *[
+                    F.shiftright(net, s).bitwiseAND(F.lit(255)).cast("string")
+                    for s in (24, 16, 8, 0)
+                ],
+            )
+            if b.get("append_prefix_length"):
+                quad = F.concat(quad, F.lit(f"/{n_bits}"))
+            return quad
+
+        return let_bind(
+            F.shiftleft(F.shiftright(_ipv4_to_long(field), 32 - n_bits), 32 - n_bits),
+            _quad,
         )
-        if b.get("append_prefix_length"):
-            quad = F.concat(quad, F.lit(f"/{n_bits}"))
-        return quad
     if kind == "geotile_grid":
         # Web-Mercator slippy tile "z/x/y" at `precision` zoom (ES
         # geotile_grid keys).  asinh(tan φ) written as ln(tan φ + sec φ)

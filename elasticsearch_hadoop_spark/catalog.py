@@ -67,6 +67,21 @@ VALID_OPERATIONS = ("index", "create", "update", "upsert", "delete")
 VALID_MODES = ("append", "overwrite", "error", "ignore")
 
 
+def _merge_schema_json(stored: dict, new_schema) -> dict:
+    """Union a stored schema-JSON with a newly written frame's schema BY
+    FIELD NAME: stored fields keep their position and type (an ES mapping
+    conflict keeps the first mapping), new fields append in their frame
+    order.  Used only for _meta bookkeeping (rollover's empty-generation
+    schema); data reads still resolve their own schema from the files."""
+    fields = list(stored.get("fields", []))
+    seen = {f["name"] for f in fields}
+    for f in new_schema.jsonValue()["fields"]:
+        if f["name"] not in seen:
+            fields.append(f)
+            seen.add(f["name"])
+    return {**stored, "fields": fields}
+
+
 class IndexExistsError(RuntimeError):
     """mode="error" target already exists (SaveMode.ErrorIfExists parity)."""
 
@@ -416,7 +431,16 @@ class Catalog:
         rolled = any(conditions.values())
         new_index = f"{m.group(1)}-{int(m.group(2)) + 1:06d}"
         if rolled and not dry_run:
-            schema = self.read_index(current).schema
+            # the old generation's schema: from its _meta when the write
+            # path recorded it (zero Spark work), else inferred from files
+            # (spark.read.parquet pays a footer job per call)
+            cur_meta = self._read_meta(current)
+            if cur_meta.get("schema"):
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(cur_meta["schema"])
+            else:
+                schema = self.read_index(current).schema
             self._create_empty_index(new_index, schema)
             aliases[alias] = [*targets, new_index]
             with open(self._aliases_path(), "w") as f:
@@ -641,6 +665,15 @@ class Catalog:
                 "updated_at": time.time(),
             }
         )
+        # keep the index's Spark schema in _meta (ES keeps the mapping in
+        # cluster state): overwrite/create set it outright; appends/merges
+        # union new fields in by name (first type wins, like an ES mapping
+        # conflict).  rollover reads it instead of paying a per-call
+        # schema-inference Spark job on the old generation.
+        if mode == "overwrite" or not existed:
+            meta["schema"] = out.schema.jsonValue()
+        elif meta.get("schema"):
+            meta["schema"] = _merge_schema_json(meta["schema"], out.schema)
         if tpl_mappings is not None and "mappings" not in meta:
             meta["mappings"] = tpl_mappings
         if pipeline_name:
@@ -1117,14 +1150,44 @@ class Catalog:
                 out.extend(txn.vacuum(self.path(idx), min_age_seconds))
         return out
 
+    @staticmethod
+    def _single_write_job(paths: list[str]) -> bool:
+        """True when every data file under ``paths`` carries the SAME
+        part-file job UUID — i.e. one Spark write job produced them all.
+        One job writes one schema, so the mergeSchema footer-merge job
+        (a distributed footer read launched at PLANNING time, one extra
+        Spark job per read) is provably redundant and the single-footer
+        fast path is exact.  Any unrecognized filename or a second UUID
+        returns False — the reader then keeps full mergeSchema semantics
+        (ES dynamic-mapping drift parity for multi-commit appends).  The
+        driver-side listing is the same walk Spark's file index performs
+        at planning anyway."""
+        uuids: set[str] = set()
+        for p in paths:
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                        continue
+                    m = re.match(r"part-\d+-([0-9a-f]{8}(?:-[0-9a-f]{4}){3}-[0-9a-f]{12})", f)
+                    if m is None:
+                        return False
+                    uuids.add(m.group(1))
+                    if len(uuids) > 1:
+                        return False
+        return True
+
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
-        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        reader = self.spark.read
+        if not self._single_write_job(dirs):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     def _read_files(self, idx: str) -> DataFrame:
         """One resolved index's current contents: the latest manifest's data
         dirs when the index is transactional, else the plain directory.
         mergeSchema either way (ES dynamic-mapping drift parity — see
-        _read_resolved)."""
+        _read_resolved) unless every file came from one write job, where
+        the single-footer read is provably identical (_single_write_job)."""
         path = self.path(idx)
         if txn.is_transactional(path):
             _, dirs = txn.latest(path)
@@ -1142,7 +1205,7 @@ class Catalog:
                 return self.spark.createDataFrame(
                     [], StructType.fromJson(meta["schema"])
                 )
-        return self.spark.read.option("mergeSchema", "true").parquet(path)
+        return self._read_dirs([path])
 
     def _commit(
         self,
@@ -1442,9 +1505,72 @@ class Catalog:
                 out[k] = v
         return out
 
+    # above this many data files the driver-side footer loop loses to the
+    # distributed count job — shard/generation sizing (rollover, compact)
+    # keeps real indices far below it
+    _FOOTER_COUNT_MAX_FILES = 256
+
     def count_index(self, name: str, query: str | dict | None = None) -> int:
-        """_count parity (A10)."""
+        """_count parity (A10).  The unfiltered count of plain (unfiltered-
+        alias) targets is answered from parquet footer row counts read on
+        the DRIVER — exactly ES's shard-stats doc count, zero Spark jobs
+        (the count job, even footer-stats-pushed, costs 2-3 AQE jobs /
+        ~1 s of scheduling per call, and rollover conditions pay it on
+        every write).  Filtered counts and odd layouts fall back to the
+        scan path."""
+        if query is None:
+            n = self._footer_count(name)
+            if n is not None:
+                return n
         return self.read_index(name, query=query).count()
+
+    def _footer_count(self, name: str) -> int | None:
+        """Driver-side row count from parquet footers, or None when the
+        fast path does not apply (filtered alias, too many files, or any
+        unreadable footer).  Walks exactly the files a Spark read would:
+        txn-committed dirs for transactional indices, the plain directory
+        otherwise, skipping '_'/'.'-prefixed entries (invisible to parquet
+        readers too, so the two paths count the same files)."""
+        try:
+            pairs = self._resolve_parts(name)
+        except Exception:
+            return None  # let the slow path raise its own typed error
+        if any(flt is not None for _, flt in pairs):
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        n_files = 0
+        for idx, _ in pairs:
+            path = self.path(idx)
+            if txn.is_transactional(path):
+                _, dirs = txn.latest(path)
+                if not dirs:
+                    return None  # slow path raises "no committed data"
+            else:
+                if not os.listdir(path) and self._read_meta(idx).get("schema"):
+                    continue  # metadata-only empty generation: 0 rows
+                dirs = [path]
+            idx_files = 0
+            for d in dirs:
+                for root, subdirs, files in os.walk(d):
+                    subdirs[:] = [s for s in subdirs if not s.startswith(("_", "."))]
+                    for f in files:
+                        if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                            continue
+                        n_files += 1
+                        idx_files += 1
+                        if n_files > self._FOOTER_COUNT_MAX_FILES:
+                            return None
+                        try:
+                            total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                        except Exception:
+                            return None
+            if idx_files == 0:
+                # a data-less plain dir: the scan path would raise its
+                # schema-inference error — don't silently answer 0
+                return None
+        return total
 
     def snapshot_index(self, name: str, repo: str, snapshot: str) -> dict:
         """ES ``_snapshot``: a point-in-time copy of the index into a

@@ -36,6 +36,17 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def local_rows(spark: SparkSession, data: list, schema: str) -> DataFrame:
+    """A handful of driver-local rows as a SINGLE-partition DataFrame.
+    ``spark.createDataFrame(list, ...)`` slices the list across
+    defaultParallelism partitions (32 on the bench box) — a subsequent
+    write job then runs 32 near-empty tasks and leaves one file per
+    non-empty slice (measured: 0.62 s vs 0.32 s per tiny write, and the
+    read-back lists a directory of shards for 3 rows).  One partition is
+    the honest shape for metadata-sized frames at any scale."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a fixture table.  events.ts is parquet TIMESTAMP(NANOS), which
     Spark 4 refuses outright [PARQUET_TYPE_ILLEGAL]; read it as nanos-long

@@ -200,6 +200,10 @@ def dedup_simhash_pairs(spark, sf_dir):
         d.select("doc_id", "n_chars", shingle_hashes(sh).alias("h"))
         .filter(F.size("h") > 0)
         .select("doc_id", "n_chars", simhash_signature(F.col("h")).alias("simhash"))
+        # both sides of the self-join reference this frame; without the
+        # checkpoint Spark recomputes the shingle+md5+32-bitsum pipeline
+        # twice (2 corpus scans).  Narrow (id, len, 1 long) rows — tiny.
+        .localCheckpoint(eager=False)
     )
     a, b = base.alias("a"), base.alias("b")
     return (
@@ -248,8 +252,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     within-band comparison stays quadratic, which is the point of the
     anchor."""
     d = spread(spark, tbl(spark, sf_dir, "documents"))
-    base = d.select("doc_id", "n_chars", shingles(F.col("text")).alias("s")).filter(
-        F.size("s") > 0
+    base = (
+        d.select("doc_id", "n_chars", shingles(F.col("text")).alias("s"))
+        .filter(F.size("s") > 0)
+        # referenced by both join sides: checkpoint so the analyzer+shingle
+        # pipeline runs once, not twice (one corpus scan instead of two)
+        .localCheckpoint(eager=False)
     )
     band = F.floor(F.col("n_chars") / 33)
     a = base.select(

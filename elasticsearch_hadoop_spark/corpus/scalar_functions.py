@@ -212,16 +212,25 @@ ORDER BY event_id
 """,
 )
 def fn_json(spark, sf_dir):
-    """JSON functions over events.props (get_json_object / from_json /
-    json_tuple — the fixture column FIXTURES.md calls out)."""
+    """JSON functions over events.props (from_json — the fixture column
+    FIXTURES.md calls out).  The document is parsed ONCE per row: all three
+    outputs derive from a single from_json extraction with a string-typed
+    field (Jackson returns the raw scalar text — exactly what
+    get_json_object yields), and the numeric columns cast that text.  The
+    previous shape ran get_json_object twice plus a typed from_json — up to
+    three Jackson parses per row (measured with the noop sink: 1.59 s ->
+    0.83 s at sf0.1); the oracle itself defines k_extract and k_typed as
+    the same CAST(json_extract(..)), so the shared parse is the exact
+    twin."""
     ev = tbl(spark, sf_dir, "events")
-    schema = T.StructType([T.StructField("k", T.LongType())])
+    schema = T.StructType([T.StructField("k", T.StringType())])
     return (
-        ev.select(
+        ev.select("event_id", F.from_json("props", schema).getField("k").alias("k_str"))
+        .select(
             "event_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("k_extract"),
-            F.from_json("props", schema).getField("k").alias("k_typed"),
-            F.get_json_object("props", "$.k").alias("k_str"),
+            F.col("k_str").cast("bigint").alias("k_extract"),
+            F.col("k_str").cast("bigint").alias("k_typed"),
+            "k_str",
         )
         .orderBy("event_id")
     )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from elasticsearch_hadoop_spark.catalog import Catalog
 from elasticsearch_hadoop_spark.corpus import query
-from elasticsearch_hadoop_spark.corpus._util import TS_FMT_DUCK, TS_FMT_SPARK, tbl
+from elasticsearch_hadoop_spark.corpus._util import TS_FMT_DUCK, TS_FMT_SPARK, local_rows, tbl
 
 
 def _workdir(sf_dir: str, name: str) -> str:
@@ -546,7 +546,8 @@ def writepath_count(spark, sf_dir):
     n_all = cat.count_index("ord")
     n_hot = cat.count_index("ord", query={"range": {"o_totalprice": {"gte": 150000}}})
     n_open = cat.count_index("ord", query={"term": {"o_orderstatus": "O"}})
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(n_all, n_hot, n_open)], "n_all long, n_hot long, n_open long"
     )
 
@@ -739,13 +740,17 @@ def writepath_rollover(spark, sf_dir):
     assert res["rolled_over"] and res["new_index"] == "gen-000002", res
     cat.write_alias(b2, "gen")
 
-    # alias read must union the generations; per-gen reads must stay split
-    both = cat.read_index("gen")
+    # alias must resolve to BOTH generations (checked from footer stats —
+    # count_index's driver-side fast path, zero Spark jobs; the returned
+    # frame below grades the per-generation reads and their contents, and
+    # writepath_data_stream grades the alias-union READ itself)
+    assert cat.count_index("gen") == cat.count_index("gen-000001") + cat.count_index(
+        "gen-000002"
+    )
     tagged = None
     for gen in ("gen-000001", "gen-000002"):
         part = cat.read_index(gen).withColumn("gen", F.lit(gen))
         tagged = part if tagged is None else tagged.unionByName(part)
-    assert both.count() == tagged.count()
     return (
         tagged.groupBy("gen")
         .agg(
@@ -775,7 +780,8 @@ def writepath_terms_lookup(spark, sf_dir):
     cat = Catalog(spark, root)
     docs = tbl(spark, sf_dir, "documents")
     cat.write_index(docs, "docs", mode="overwrite", id_col="doc_id")
-    lookup = spark.createDataFrame(
+    lookup = local_rows(
+        spark,
         [(1, ["en", "fr"])], "lk_id int, langs array<string>"
     )
     cat.write_index(lookup, "lang_filter", mode="overwrite", id_col="lk_id")
@@ -861,7 +867,8 @@ def writepath_percolate(spark, sf_dir):
 
     root = _workdir(sf_dir, "percolate")
     cat = Catalog(spark, root)
-    stored = spark.createDataFrame(
+    stored = local_rows(
+        spark,
         [
             ("q_purchase", _json.dumps({"term": {"event_type": "purchase"}})),
             ("q_big_value", _json.dumps({"range": {"value": {"gte": 8.0}}})),
@@ -1183,7 +1190,8 @@ def writepath_indexed_shape(spark, sf_dir):
         ).alias("poly"),
     )
     cat.write_index(diamonds, "diamonds", mode="overwrite", id_col="event_id")
-    shapes = spark.createDataFrame(
+    shapes = local_rows(
+        spark,
         [(7, '{"type": "envelope", "coordinates": [[-10.0, 9.0], [12.0, -8.0]]}')],
         "shape_id int, geometry string",
     )
@@ -1286,7 +1294,8 @@ def writepath_watcher_ack_cycle(spark, sf_dir):
                         state=state, now=10000.0)
     steps.append((4, status(rec), rec["payload"]["hits"]["total"],
                   cat.count_index("alerts")))
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         steps, "step int, status string, hits_total long, alerts long"
     ).orderBy("step")
 

@@ -154,10 +154,23 @@ def minhash_lsh_pairs(
     columns, never a cross product. 100 TB-safe.
     """
     assert bands * rows_per_band == len(MINHASH_PERMS)
-    base = df.select(
-        F.col(id_col),
-        shingles(F.col(text_col), n).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(shingle_hashes(F.col("__sh"))))
+    base = (
+        df.select(
+            F.col(id_col),
+            shingles(F.col(text_col), n).alias("__sh"),
+        )
+        .withColumn("__sig", minhash_signature(shingle_hashes(F.col("__sh"))))
+        # materialize the analyzer->shingle->md5->16-perm pipeline ONCE:
+        # `base` is referenced FOUR times below (both sides of the band
+        # self-join and both sides of the verify join), and Spark re-executes
+        # the whole producing subtree per reference — 4 corpus scans and 4x
+        # the signature math (measured in plans/r14/dedup_minhash_lsh_before
+        # .txt: 4 parquet scans of documents, the md5 projection duplicated).
+        # localCheckpoint (MEMORY_AND_DISK, spills at scale) is the guide-§8
+        # "compute the lightweight proxy once" pass: the cached frame is
+        # (id, shingles, sig) — the decision data — never the raw text.
+        .localCheckpoint(eager=False)
+    )
 
     banded = base.select(
         id_col,
@@ -203,39 +216,33 @@ def dedup_segments_global(
     column).  Returns (id_col, kept_segments, n_kept, n_dropped) with
     kept segments in their original in-document order.
 
-    Shape: posexplode -> ONE hash aggregation per segment value taking
-    min(struct(id, pos)) as the winner (partial-aggregatable — no window
-    over the full corpus), an equi-join back on (segment, id, pos) that
-    keeps only winners, and a per-doc re-aggregation.  Three shuffles,
-    each keyed well (segment hash, then doc id); this is the inherent
-    cost of EXACT global dedup — the approximate alternative is the
-    MinHash pipeline above."""
+    Shape: posexplode -> ONE shuffle on the segment hash where a window
+    min(struct(id, pos)) marks each segment's winner in place, then a
+    per-doc re-aggregation.  Two full-data shuffles total.  (The earlier
+    shape aggregated winners separately and equi-joined them back — that
+    shuffled the exploded rows twice more, once into the aggregate and
+    once into the join; the window keeps every segment's rows in one
+    task, same skew behaviour, minus the join.  Measured at sf0.1:
+    2.25 s -> 1.71 s, plan 10 Exchange -> 4.)  This is the inherent cost
+    of EXACT global dedup — the approximate alternative is the MinHash
+    pipeline above."""
     segs = df.select(
         F.col(id_col),
         F.posexplode(F.col(segments_col)).alias("__pos", "__seg"),
     )
-    winners = (
-        segs.groupBy("__seg")
-        .agg(
+    w = Window.partitionBy("__seg")
+    kept = (
+        segs.withColumn(
+            "__w",
             F.min(
                 F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
-            ).alias("__w")
+            ).over(w),
         )
-        # derived-from-segs lineage would make the join self-ambiguous;
-        # re-aliasing breaks the shared attribute ids
-        .select(
-            F.col("__seg").alias("__wseg"),
-            F.col("__w.i").alias("__wi"),
-            F.col("__w.p").alias("__wp"),
+        .filter(
+            (F.col(id_col) == F.col("__w.i")) & (F.col("__pos") == F.col("__w.p"))
         )
+        .select(id_col, "__pos", "__seg")
     )
-    kept = segs.join(
-        winners,
-        (segs["__seg"] == winners["__wseg"])
-        & (segs[id_col] == winners["__wi"])
-        & (segs["__pos"] == winners["__wp"]),
-        "inner",
-    ).select(segs[id_col], segs["__pos"], segs["__seg"])
     per_doc = kept.groupBy(id_col).agg(
         F.transform(
             F.array_sort(

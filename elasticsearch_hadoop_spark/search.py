@@ -847,7 +847,12 @@ def suggest_phrase(
         .filter(F.col("rn") == 1)
         .select("pos", F.col("term").alias("best"), "freq", "total")
     )
-    joined = req.join(best, "pos", "left")
+    # `best` is at most one row per query token (rn == 1), but its
+    # size estimate is inherited from the vocab aggregate, so Catalyst
+    # plans a SortMergeJoin (2 Exchange + 2 Sort for a handful of rows —
+    # see plans/r14/search_suggest_phrase_before.txt).  Broadcast it:
+    # BroadcastHashJoin LeftOuter BuildRight, no exchange on either side.
+    joined = req.join(F.broadcast(best), "pos", "left")
     # OOV fallback: keep the token, 0.5-count smoothing against the vocab
     # total (window-computed; re-attached via a cross join of the 1-row
     # total frame would be another shuffle — max() over the join result
