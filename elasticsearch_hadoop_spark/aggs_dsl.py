@@ -2169,19 +2169,16 @@ def _bucket_key(kind: str, b: dict) -> Column:
         unit_km = {"m": 0.001, "km": 1.0, "mi": 1.609344}.get(b.get("unit", "m"))
         if unit_km is None:
             raise AggsDslError(f"geo_distance unit {b['unit']!r} (want m/km/mi)")
-        from elasticsearch_hadoop_spark.functions.text import let_bind
-
+        # the when-chain reads `dist` up to 2x per ring, but the trig is
+        # pure codegen where subexpression elimination computes it once; a
+        # let_bind would demote it to an interpreted HOF (CodegenFallback)
         dist = haversine_km(
             F.col(f"{b['field']}.lat"),
             F.col(f"{b['field']}.lon"),
             F.lit(float(origin["lat"])),
             F.lit(float(origin["lon"])),
         ) / F.lit(unit_km)
-        # let-bind the distance: the when-chain reads it up to 2x per ring,
-        # and CollapseProject would inline the trig into every bound
-        return let_bind(
-            dist, lambda d: _range_whens(d, b["ranges"], lambda v: F.lit(float(v)))
-        )
+        return _range_whens(dist, b["ranges"], lambda v: F.lit(float(v)))
     if kind in ("range", "date_range"):
         # date_range is range with from/to parsed as timestamps (ES also
         # allows date-math like "now-1d" — not supported, literals only)
@@ -2199,27 +2196,20 @@ def _bucket_key(kind: str, b: dict) -> Column:
         n_bits = int(b["prefix_length"])
         if not 0 <= n_bits <= 32:
             raise AggsDslError(f"ip_prefix prefix_length {n_bits} out of range 0..32")
-        from elasticsearch_hadoop_spark.functions.text import let_bind
-
-        # let-bind the masked network int: the dotted-quad rendering reads
-        # it four times, and CollapseProject would inline the 4-split parse
-        # into every octet (4 full parses per row without the binding)
-        def _quad(net: Column) -> Column:
-            quad = F.concat_ws(
-                ".",
-                *[
-                    F.shiftright(net, s).bitwiseAND(F.lit(255)).cast("string")
-                    for s in (24, 16, 8, 0)
-                ],
-            )
-            if b.get("append_prefix_length"):
-                quad = F.concat(quad, F.lit(f"/{n_bits}"))
-            return quad
-
-        return let_bind(
-            F.shiftleft(F.shiftright(_ipv4_to_long(field), 32 - n_bits), 32 - n_bits),
-            _quad,
+        # `net` is textually inlined once per octet, but this expression is
+        # pure codegen where subexpression elimination computes it once; a
+        # let_bind would demote it to an interpreted HOF (CodegenFallback)
+        net = F.shiftleft(F.shiftright(_ipv4_to_long(field), 32 - n_bits), 32 - n_bits)
+        quad = F.concat_ws(
+            ".",
+            *[
+                F.shiftright(net, s).bitwiseAND(F.lit(255)).cast("string")
+                for s in (24, 16, 8, 0)
+            ],
         )
+        if b.get("append_prefix_length"):
+            quad = F.concat(quad, F.lit(f"/{n_bits}"))
+        return quad
     if kind == "geotile_grid":
         # Web-Mercator slippy tile "z/x/y" at `precision` zoom (ES
         # geotile_grid keys).  asinh(tan φ) written as ln(tan φ + sec φ)

@@ -2351,6 +2351,17 @@ class Catalog:
         if len(names) != 1:
             raise ValueError(f"streaming read supports a single index, got {names}")
         path = self.path(names[0])
+
+        def _default_schema():
+            # the write path records the index schema in _meta — zero Spark
+            # work; fall back to file inference (one footer job) otherwise
+            meta = self._read_meta(names[0])
+            if meta.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return StructType.fromJson(meta["schema"])
+            return self._read_files(names[0]).schema
+
         if txn.is_transactional(path):
             if txn.has_replace_commit(path):
                 raise ValueError(
@@ -2359,11 +2370,11 @@ class Catalog:
                     "use the esdocs streaming sink for merge-style pipelines"
                 )
             if schema is None:
-                schema = self._read_files(names[0]).schema
+                schema = _default_schema()
             stream_path = os.path.join(txn.enable_streaming(path), "*")
         else:
             if schema is None:
-                schema = self.spark.read.parquet(path).schema
+                schema = _default_schema()
             stream_path = path
         df = self.spark.readStream.schema(schema).parquet(stream_path)
         if query is not None:

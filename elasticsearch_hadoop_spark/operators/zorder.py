@@ -67,6 +67,13 @@ def zvalue(
         scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * n
         cell = F.least(F.greatest(F.round(scaled, 0), F.lit(0.0)), F.lit(float(n)))
         cells.append(F.coalesce(cell.cast("long"), F.lit(0)))
+
+    # NOTE: the per-column cell expression is textually inlined once per
+    # bit below (16x), but this whole tree is plain integer/bit math —
+    # fully codegen'd, where subexpression elimination computes each cell
+    # once.  A let_bind (transform/array) variant was tried and REVERTED:
+    # higher-order functions are CodegenFallback (interpreted), which
+    # cost ~3x on the clustering shuffle despite the smaller tree.
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, cell in enumerate(cells):
