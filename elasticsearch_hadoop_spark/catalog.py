@@ -748,18 +748,34 @@ class Catalog:
                 F.col("_id"), *[F.col(c).alias(f"_new_{c}") for c in w_id.columns if c != "_id"]
             )
             if operation == "update":
-                # missing = incoming ids minus matched ids, both observed on
-                # single-consumer branches of this same plan (new_side feeds
-                # only the inner join; matched feeds only the union)
-                o_in, o_match = Observation(), Observation()
-                new_side = new_side.observe(o_in, F.count(F.lit(1)).alias("n"))
+                # misses counted with a left-join presence marker riding this
+                # same plan.  The count is EXACT even when blind appends left
+                # duplicate _ids in `existing`: duplicates fan out only the
+                # MATCHED marker rows, never the null-marker (missing) rows —
+                # unlike the old o_in - o_match subtraction, whose inner-join
+                # fan-out could mask a real miss or raise a spurious one.
+                # dropDuplicates collapses the fan-out back to one row per
+                # incoming id (copies are identical) so the merge join below
+                # keeps its one-match-per-existing-row semantics.
+                o_miss = Observation()
+                new_side = (
+                    new_side.join(
+                        existing.select("_id").withColumn("__ex", F.lit(True)),
+                        on="_id",
+                        how="left",
+                    )
+                    .observe(
+                        o_miss, F.count(F.when(F.col("__ex").isNull(), 1)).alias("n")
+                    )
+                    .dropDuplicates(["_id"])
+                    .drop("__ex")
+                )
             matched = existing.join(new_side, on="_id", how="inner")
             for col_name, expr in on_match.items():
                 matched = matched.withColumn(col_name, expr)
             matched = matched.select(existing.columns)
             if operation == "update":
-                matched = matched.observe(o_match, F.count(F.lit(1)).alias("n"))
-                missing_check(lambda: o_in.get["n"] - o_match.get["n"])
+                missing_check(lambda: o_miss.get["n"])
             untouched = existing.join(w_id.select("_id"), on="_id", how="left_anti")
             result = untouched.unionByName(matched)
             if operation == "upsert":
@@ -779,7 +795,14 @@ class Catalog:
                 on="_id",
                 how="left",
             ).observe(o_miss, F.count(F.when(F.col("__ex").isNull(), 1)).alias("n"))
-            replacements = marked.filter(F.col("__ex").isNotNull()).drop("__ex")
+            # duplicate _ids in `existing` (blind appends) fan the marker
+            # join out; collapse to ONE replacement per incoming doc (the
+            # old left_semi's guarantee) — copies are identical rows
+            replacements = (
+                marked.filter(F.col("__ex").isNotNull())
+                .dropDuplicates(["_id"])
+                .drop("__ex")
+            )
             missing_check(lambda: o_miss.get["n"])
         else:  # index / upsert: all incoming docs land
             replacements = w_id

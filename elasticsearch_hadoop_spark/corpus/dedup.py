@@ -454,8 +454,9 @@ def dedup_segments_global(spark, sf_dir):
     every-span): documents chunk into 10-token segments; across the
     whole corpus only each segment's first (doc_id, pos) occurrence
     survives.  One posexplode + a min-(id,pos) hash aggregation per
-    segment (partial-aggregatable, no corpus-wide window) + the
-    winners equi-join + per-doc reassembly (operators/dedup.py
+    segment (partial-aggregatable, so hot boilerplate segments are
+    map-side combined — no corpus-wide window, no join-back: the winner
+    struct IS the kept row) + per-doc reassembly (operators/dedup.py
     dedup_segments_global)."""
     from elasticsearch_hadoop_spark.functions.text import (
         let_bind,

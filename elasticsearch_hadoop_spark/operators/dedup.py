@@ -216,32 +216,34 @@ def dedup_segments_global(
     column).  Returns (id_col, kept_segments, n_kept, n_dropped) with
     kept segments in their original in-document order.
 
-    Shape: posexplode -> ONE shuffle on the segment hash where a window
-    min(struct(id, pos)) marks each segment's winner in place, then a
-    per-doc re-aggregation.  Two full-data shuffles total.  (The earlier
-    shape aggregated winners separately and equi-joined them back — that
-    shuffled the exploded rows twice more, once into the aggregate and
-    once into the join; the window keeps every segment's rows in one
-    task, same skew behaviour, minus the join.  Measured at sf0.1:
-    2.25 s -> 1.71 s, plan 10 Exchange -> 4.)  This is the inherent cost
-    of EXACT global dedup — the approximate alternative is the MinHash
-    pipeline above."""
+    Shape: posexplode -> groupBy(segment).agg(min(struct(id, pos))) —
+    the winner struct already carries the kept row's (id, pos), so the
+    aggregate's output IS the kept set (one row per distinct segment);
+    no window and no join-back.  The min is PARTIAL-aggregatable: a hot
+    segment (boilerplate appearing in a large fraction of documents) is
+    pre-combined map-side to one row per map task before the shuffle, so
+    the reduce task for that segment receives O(#map tasks) rows instead
+    of every occurrence — the skew bound the earlier window shape
+    (PARTITION BY segment ships every exploded row of a hot segment to
+    one task) lost.  NULL segment elements group like any other value
+    (one group, one winner) — same retention as the window shape.
+    Two shuffles of the exploded rows total (winner agg + per-doc
+    reassembly).  This is the inherent cost of EXACT global dedup — the
+    approximate alternative is the MinHash pipeline above."""
     segs = df.select(
         F.col(id_col),
         F.posexplode(F.col(segments_col)).alias("__pos", "__seg"),
     )
-    w = Window.partitionBy("__seg")
     kept = (
-        segs.withColumn(
-            "__w",
+        segs.groupBy("__seg")
+        .agg(
             F.min(
                 F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
-            ).over(w),
+            ).alias("__w")
         )
-        .filter(
-            (F.col(id_col) == F.col("__w.i")) & (F.col("__pos") == F.col("__w.p"))
+        .select(
+            F.col("__w.i").alias(id_col), F.col("__w.p").alias("__pos"), "__seg"
         )
-        .select(id_col, "__pos", "__seg")
     )
     per_doc = kept.groupBy(id_col).agg(
         F.transform(

@@ -123,6 +123,67 @@ def test_delete(spark, cat):
     assert [d["k"] for d in as_dicts(cat.read_index("t7"))] == [3]
 
 
+def _seed_with_duplicate_id(spark, cat, name):
+    """An index CAN hold duplicate _ids: mode="overwrite" stamps _id but
+    runs no merge, so a duplicated batch lands as-is — the shape that used
+    to confuse the update paths' miss accounting (r14 verdict #2 / advice)."""
+    cat.write_index(
+        docs(spark, BASE + [{"k": 2, "v": "dup", "n": 21}]),
+        name,
+        id_col="k",
+        mode="overwrite",
+    )
+
+
+def test_update_missing_id_raises_despite_duplicate_ids(spark, cat):
+    # k=2 now has TWO rows; the old o_in - o_match subtraction let the
+    # inner-join fan-out (+1) cancel a genuinely missing id (-1) and the
+    # DocumentMissingError was silently masked
+    _seed_with_duplicate_id(spark, cat, "t7d")
+    with pytest.raises(DocumentMissingError):
+        cat.write_index(
+            docs(spark, [{"k": 2, "v": "upd", "n": 0}, {"k": 99, "v": "miss", "n": 0}]),
+            "t7d",
+            id_col="k",
+            operation="update",
+            on_match={"n": F.col("n") + F.col("_new_n")},
+        )
+    # and no spurious raise when every incoming id exists (fan-out alone
+    # made the old subtraction negative/truthy in the other direction)
+    cat.write_index(
+        docs(spark, [{"k": 2, "v": "upd", "n": 1}]),
+        "t7d",
+        id_col="k",
+        operation="update",
+        on_match={"n": F.col("n") + F.col("_new_n")},
+    )
+    got = [d for d in as_dicts(cat.read_index("t7d")) if d["k"] == 2]
+    # scripted update touches EVERY stored copy of the id (dup rows kept)
+    assert sorted(d["n"] for d in got) == [20 + 1, 21 + 1]
+
+
+def test_replace_update_writes_one_doc_per_incoming_id(spark, cat):
+    # whole-document replace against a duplicated id: the marker join fans
+    # out; without the dedupe the replacement doc was written TWICE
+    _seed_with_duplicate_id(spark, cat, "t7e")
+    cat.write_index(
+        docs(spark, [{"k": 2, "v": "replaced", "n": 0}]),
+        "t7e",
+        id_col="k",
+        operation="update",
+    )
+    got = [d for d in as_dicts(cat.read_index("t7e")) if d["k"] == 2]
+    assert len(got) == 1 and got[0]["v"] == "replaced"
+    # a genuinely missing id still raises (count rides the same marker join)
+    with pytest.raises(DocumentMissingError):
+        cat.write_index(
+            docs(spark, [{"k": 123, "v": "x", "n": 0}]),
+            "t7e",
+            id_col="k",
+            operation="update",
+        )
+
+
 def test_index_pattern_routing(spark, cat):
     """A7: dynamic index routing -> hive partitions, partition-prunable."""
     rows = [

@@ -116,3 +116,39 @@ def test_dedup_segments_global_keeps_first_occurrence(spark):
     df2 = spark.createDataFrame([(9, [])], "id int, segs array<string>")
     row = dedup_segments_global(df2, "segs", "id").collect()[0]
     assert row["kept_segments"] == [] and row["n_kept"] == 0 and row["n_dropped"] == 0
+
+
+def test_dedup_segments_global_hot_segment_bounded_skew(spark):
+    """A boilerplate segment in 30% of docs (the 100 TB skew case): the
+    winner pick must be a partial-aggregatable min — map-side combine
+    bounds what the hot segment's reduce task receives — and the result
+    must still keep exactly the first (id, pos) occurrence."""
+    from elasticsearch_hadoop_spark.operators.dedup import dedup_segments_global
+    from elasticsearch_hadoop_spark.plans import count_nodes, formatted_plan
+
+    n = 1000
+    df = (
+        spark.range(1, n + 1)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 10 < 3, F.array(F.lit("HOT"), F.concat(F.lit("u"), F.col("id"))))
+            .otherwise(F.array(F.concat(F.lit("u"), F.col("id"))))
+            .alias("segs"),
+        )
+    )
+    out = dedup_segments_global(df, "segs", "id")
+    plan = formatted_plan(out)
+    # skew bound: the winner min is partially aggregated BEFORE its exchange
+    assert "partial_min(struct(" in plan
+    # no corpus-wide window (would ship every HOT row to one task)
+    assert count_nodes(plan, "Window") == 0
+    rows = {r["id"]: r for r in out.collect()}
+    # exactly ONE doc keeps HOT: the minimum id carrying it (id=1 here,
+    # since 1 % 10 < 3); every doc keeps its own unique segment
+    hot_keepers = [i for i, r in rows.items() if "HOT" in r["kept_segments"]]
+    assert hot_keepers == [min(i for i in range(1, n + 1) if i % 10 < 3)]
+    assert all(f"u{i}" in rows[i]["kept_segments"] for i in range(1, n + 1))
+    # every other hot doc dropped exactly the one duplicate
+    for i in range(1, n + 1):
+        expect_drop = 1 if (i % 10 < 3 and i not in hot_keepers) else 0
+        assert rows[i]["n_dropped"] == expect_drop, i

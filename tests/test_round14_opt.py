@@ -36,11 +36,14 @@ def test_simhash_and_ngram_scan_once(spark, sf_dir):
         assert "ExistingRDD" in plan, name
 
 
-def test_segments_global_uses_window_not_join_back(spark, sf_dir):
-    # winners are marked by a window min over the segment hash — the old
-    # aggregate + equi-join-back shape had 2 more exchanges and 2 joins
+def test_segments_global_uses_partial_min_not_window(spark, sf_dir):
+    # r15: winners come from groupBy(seg).agg(min(struct(id,pos))) — the
+    # struct already IS the kept row, so there is no window (r14's window
+    # shipped every exploded row of a hot segment to one task) and no
+    # join-back; the partial_min pre-combines hot segments map-side
     plan = plan_of(spark, sf_dir, "dedup_segments_global")
-    assert count_nodes(plan, "Window") == 1
+    assert count_nodes(plan, "Window") == 0
+    assert "partial_min(struct(" in plan  # map-side combine = skew bound
     assert count_nodes(plan, "SortMergeJoin") + count_nodes(
         plan, "ShuffledHashJoin"
     ) + count_nodes(plan, "BroadcastHashJoin") <= 1  # only the totals join
